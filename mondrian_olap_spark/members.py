@@ -1,0 +1,157 @@
+"""Member-identifier parsing and resolution.
+
+Reproduces the reference's MDX identifier handling:
+
+* bracketed segments with ``]]`` escape — the reference extracts dimension
+  names the same way (``lib/mondrian/olap/query.rb:409-414``) and parses full
+  identifiers via olap4j ``IdentifierNode``
+  (``lib/mondrian/olap/cube.rb:106-116``);
+* navigation suffixes ``.Members`` / ``.AllMembers`` / ``.Children``
+  (README.md:126, ``test/query_test.rb:711-724``).
+
+A parsed identifier resolves against a :class:`~mondrian_olap_spark.model.Cube`
+into one of:
+
+* :class:`MeasureRef`   — ``[Measures].[Unit Sales]``
+* :class:`MemberSetRef` — a set of members of one dimension: either all
+  members at a level (``[Customer].[Nation].Members``), the children of a
+  member path (``[Customer].[EUROPE].children``), or a single member path
+  (``[Customer].[EUROPE].[FRANCE]``) used as a slicer / enumerated set
+  element.
+
+Member paths are key values from the top level down (Mondrian full names,
+``lib/mondrian/olap/cube.rb:377-517``); the ``.Members`` form addresses a
+level by *name* instead.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from .model import Cube, Dimension
+
+
+class MemberParseError(ValueError):
+    pass
+
+
+def parse_identifier(s: str) -> list[str]:
+    """Split ``[A].[B b].[C]].C]`` into segments, honouring ``]]`` escapes.
+
+    Bare (unbracketed) segments like ``children`` are returned as-is.
+    """
+    segments: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        if s[i] == "[":
+            j = i + 1
+            buf: list[str] = []
+            while j < n:
+                if s[j] == "]":
+                    if j + 1 < n and s[j + 1] == "]":  # escaped ]
+                        buf.append("]")
+                        j += 2
+                        continue
+                    break
+                buf.append(s[j])
+                j += 1
+            else:
+                raise MemberParseError(f"unterminated '[' in {s!r}")
+            segments.append("".join(buf))
+            i = j + 1
+            if i < n:
+                if s[i] != ".":
+                    raise MemberParseError(f"expected '.' after ']' in {s!r}")
+                i += 1
+        else:
+            j = s.find(".", i)
+            if j == -1:
+                segments.append(s[i:])
+                i = n
+            else:
+                segments.append(s[i:j])
+                i = j + 1
+    if not segments or any(seg == "" for seg in segments):
+        raise MemberParseError(f"empty segment in identifier {s!r}")
+    return segments
+
+
+def quote_segment(seg: str) -> str:
+    return "[" + seg.replace("]", "]]") + "]"
+
+
+def format_name(segments: list[str]) -> str:
+    """Render a full member name ``[A].[B]`` (cube.rb full_name)."""
+    return ".".join(quote_segment(s) for s in segments)
+
+
+@dataclass(frozen=True)
+class MeasureRef:
+    name: str
+
+
+@dataclass(frozen=True)
+class MemberSetRef:
+    """A set of members of one dimension.
+
+    * ``depth`` — deepest level index included in the grouping (0-based).
+    * ``path`` — fixed ancestor key values for levels ``0..len(path)-1``;
+      members beyond the path are unconstrained.
+    * ``kind`` — ``'member'`` (single member / enumerated element),
+      ``'children'`` (children of path), ``'level_members'`` (all members of
+      a named level).
+    """
+
+    dimension: Dimension
+    depth: int
+    path: tuple[str, ...] = ()
+    kind: str = "member"
+
+    @property
+    def group_levels(self):
+        return self.dimension.levels[: self.depth + 1]
+
+
+_NAV_SUFFIXES = {"members", "allmembers", "children"}
+
+
+def resolve(cube: Cube, identifier: str) -> MeasureRef | MemberSetRef:
+    """Resolve one member/measure identifier against a cube."""
+    segs = parse_identifier(identifier)
+    head = segs[0]
+    if head.lower() == "measures":
+        if len(segs) != 2:
+            raise MemberParseError(f"measure identifier must be [Measures].[Name]: {identifier!r}")
+        cube.measure(segs[1])  # raises KeyError if unknown
+        return MeasureRef(name=segs[1])
+
+    dim = cube.dimension(head)  # raises KeyError if unknown
+    rest = segs[1:]
+    suffix = rest[-1].lower() if rest and rest[-1].lower() in _NAV_SUFFIXES else None
+    if suffix:
+        rest = rest[:-1]
+
+    if suffix in ("members", "allmembers"):
+        # [Dim].[LevelName].Members — level addressed by name
+        if len(rest) == 1 and dim.level_index(rest[0]) is not None:
+            return MemberSetRef(dim, depth=dim.level_index(rest[0]), kind="level_members")
+        if len(rest) == 0:
+            # [Dim].Members → members of the top level
+            return MemberSetRef(dim, depth=0, kind="level_members")
+        raise MemberParseError(
+            f"{identifier!r}: {'.'.join(rest)!r} is not a level of dimension {dim.name!r}"
+        )
+
+    if suffix == "children":
+        # [Dim].children → top-level members (children of the All member,
+        # README.md:126); [Dim].[A].children → members one level below path
+        if len(rest) >= len(dim.levels):
+            raise MemberParseError(f"{identifier!r}: path deeper than hierarchy")
+        return MemberSetRef(dim, depth=len(rest), path=tuple(rest), kind="children")
+
+    # plain member path: key values from level 0 down
+    if not rest:
+        raise MemberParseError(f"{identifier!r}: dimension reference needs a path or suffix")
+    if len(rest) > len(dim.levels):
+        raise MemberParseError(f"{identifier!r}: path deeper than hierarchy")
+    return MemberSetRef(dim, depth=len(rest) - 1, path=tuple(rest), kind="member")

@@ -1,0 +1,240 @@
+"""Semantic model dataclasses (Schema / Cube / Dimension / Level / Measure).
+
+Mirrors the declarative surface of the reference schema DSL
+(``/root/reference/lib/mondrian/olap/schema.rb``):
+
+* ``Cube``      — schema.rb:56-69  (fact table + dimensions + measures)
+* ``Dimension`` — schema.rb:88-104 (foreign_key, levels; snowflake ``Join``
+  schema.rb:169-174 becomes :class:`JoinLink` chains)
+* ``Level``     — schema.rb:176-246 (column / expression / ordinal /
+  level_type); level SQL expressions schema.rb:248-270 are plain Spark SQL
+  expression strings here (single engine → no per-dialect variants)
+* ``Measure``   — schema.rb:286-312 (column-or-expression + aggregator)
+* ``CalculatedMember`` — schema.rb:314-341 (post-aggregation formula with
+  solve_order)
+
+Unlike the reference there is no XML rendering step: the dataclasses *are*
+the catalog, validated eagerly when a :class:`~mondrian_olap_spark.star.CubeEngine`
+is constructed (the reference validates at connect time —
+``test/schema_definition_test.rb:1477-1488``).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+def _snake(name: str) -> str:
+    s = re.sub(r"[^0-9a-zA-Z]+", "_", name).strip("_")
+    s = re.sub(r"(?<=[a-z0-9])(?=[A-Z])", "_", s)
+    return s.lower()
+
+
+AGGREGATORS = frozenset(
+    # schema.rb:294 — sum, count, min, max, avg, distinct-count
+    {"sum", "count", "min", "max", "avg", "distinct-count"}
+)
+
+TIME_LEVEL_TYPES = frozenset(
+    # schema.rb:218-221
+    {"TimeYears", "TimeQuarters", "TimeMonths", "TimeWeeks", "TimeDays"}
+)
+
+
+@dataclass(frozen=True)
+class Level:
+    """One level of a hierarchy.
+
+    ``column`` is a column name *or any Spark SQL expression* over the
+    dimension's (pre-joined snowflake) table — covering both the plain
+    ``column:`` attribute and the ``key_expression`` form of the reference
+    (schema.rb:176-190, 248-270).
+    """
+
+    name: str
+    column: str
+    #: output column name in result DataFrames (defaults to snake_case(name))
+    output: str | None = None
+    #: sort-key expression for member ordering (``ordinal_column`` /
+    #: OrdinalExpression, schema.rb:188-190); defaults to ``column``
+    ordinal: str | None = None
+    #: one of TIME_LEVEL_TYPES for time dimensions (schema.rb:218-221)
+    level_type: str | None = None
+    #: extra attribute columns attached to members (schema.rb:272-284);
+    #: mapping property-name -> SQL expression over the dimension table
+    properties: tuple[tuple[str, str], ...] = ()
+
+    @property
+    def out(self) -> str:
+        return self.output or _snake(self.name)
+
+    @property
+    def ordinal_expr(self) -> str:
+        return self.ordinal or self.column
+
+
+@dataclass(frozen=True)
+class JoinLink:
+    """One hop of a snowflake join chain (schema.rb:169-174).
+
+    The dimension's base table is joined to ``table`` on
+    ``left_key = right_key``; chains nest by listing several links in order.
+    ``alias`` supports self-joins / reusing one physical table twice
+    (``test/mondrian_test.rb:23-35``).
+    """
+
+    left_key: str
+    table: str
+    right_key: str
+    alias: str | None = None
+
+
+@dataclass(frozen=True)
+class Dimension:
+    """A dimension usable by a cube (schema.rb:88-130).
+
+    Two physical shapes:
+
+    * **table dimension** — ``table`` + ``primary_key`` (+ optional snowflake
+      ``joins``); joined to the fact on ``fact.foreign_key = dim.primary_key``.
+    * **degenerate dimension** — ``table is None``; level expressions are
+      evaluated directly over fact columns (Mondrian models these as
+      dimensions whose hierarchy has no table).
+
+    ``guaranteed_small`` marks dimensions whose cardinality is bounded at any
+    data scale (e.g. region/nation): the planner adds an explicit
+    ``broadcast()`` hint for them.  Everything else is left to Catalyst /
+    AQE (a customer dimension at 100 TB is *not* broadcastable, so we must
+    not hard-code the hint — SURVEY.md §4).
+    """
+
+    name: str
+    levels: tuple[Level, ...]
+    foreign_key: str | None = None
+    table: str | None = None
+    primary_key: str | None = None
+    joins: tuple[JoinLink, ...] = ()
+    guaranteed_small: bool = False
+    #: synthetic "(All)" member exists (hierarchy hasAll — schema.rb:132-167)
+    has_all: bool = True
+
+    def __post_init__(self) -> None:
+        if not self.levels:
+            raise ValueError(f"dimension {self.name!r} needs at least one level")
+        if self.table is not None and self.primary_key is None:
+            raise ValueError(f"dimension {self.name!r}: table requires primary_key")
+        if self.table is None and self.joins:
+            raise ValueError(f"dimension {self.name!r}: degenerate dim cannot have joins")
+
+    @property
+    def degenerate(self) -> bool:
+        return self.table is None
+
+    def level_index(self, level_name: str) -> int | None:
+        for i, lv in enumerate(self.levels):
+            if lv.name.lower() == level_name.lower():
+                return i
+        return None
+
+
+@dataclass(frozen=True)
+class Measure:
+    """Fact measure: aggregator over a column or SQL expression
+    (schema.rb:286-312; ``measure_expression`` test
+    ``test/schema_definition_test.rb:527-550``)."""
+
+    name: str
+    expression: str
+    aggregator: str = "sum"
+    output: str | None = None
+    format_string: str | None = None
+
+    def __post_init__(self) -> None:
+        if self.aggregator not in AGGREGATORS:
+            raise ValueError(
+                f"measure {self.name!r}: unknown aggregator {self.aggregator!r} "
+                f"(expected one of {sorted(AGGREGATORS)})"
+            )
+
+    @property
+    def out(self) -> str:
+        return self.output or _snake(self.name)
+
+
+@dataclass(frozen=True)
+class CalculatedMember:
+    """Calculated member on the Measures dimension (schema.rb:314-341).
+
+    ``expression`` is a Spark SQL expression over *output* measure aliases
+    (the reference's MDX formula over ``[Measures].[X]`` references).
+    Members are applied after aggregation in ``solve_order`` (ascending), so
+    a calculated member may reference earlier calculated members — matching
+    Mondrian solve-order semantics.
+    """
+
+    name: str
+    expression: str
+    output: str | None = None
+    solve_order: int = 0
+    format_string: str | None = None
+
+    @property
+    def out(self) -> str:
+        return self.output or _snake(self.name)
+
+
+@dataclass(frozen=True)
+class Cube:
+    """Fact table + dimensions + measures (schema.rb:56-69)."""
+
+    name: str
+    fact: str
+    dimensions: tuple[Dimension, ...]
+    measures: tuple[Measure, ...]
+    calculated_members: tuple[CalculatedMember, ...] = ()
+    #: optional SQL WHERE filter baked into the fact table reference
+    #: (``Table`` inline SQL filter — schema.rb:71-79,
+    #: test/schema_definition_test.rb:149-168)
+    fact_filter: str | None = None
+
+    def __post_init__(self) -> None:
+        seen: set[str] = set()
+        for d in self.dimensions:
+            for lv in d.levels:
+                if lv.out in seen:
+                    raise ValueError(
+                        f"cube {self.name!r}: duplicate output column {lv.out!r}"
+                    )
+                seen.add(lv.out)
+        for m in (*self.measures, *self.calculated_members):
+            if m.out in seen:
+                raise ValueError(f"cube {self.name!r}: duplicate output column {m.out!r}")
+            seen.add(m.out)
+
+    def dimension(self, name: str) -> Dimension:
+        for d in self.dimensions:
+            if d.name.lower() == name.lower():
+                return d
+        raise KeyError(f"cube {self.name!r} has no dimension {name!r}")
+
+    def measure(self, name: str) -> Measure | CalculatedMember:
+        for m in (*self.measures, *self.calculated_members):
+            if m.name.lower() == name.lower():
+                return m
+        raise KeyError(f"cube {self.name!r} has no measure {name!r}")
+
+
+@dataclass(frozen=True)
+class Schema:
+    """Root catalog: named cubes (+ future: shared dims, virtual cubes,
+    roles, parameters — schema.rb:53-54)."""
+
+    name: str
+    cubes: tuple[Cube, ...] = ()
+
+    def cube(self, name: str) -> Cube:
+        for c in self.cubes:
+            if c.name.lower() == name.lower():
+                return c
+        raise KeyError(f"schema {self.name!r} has no cube {name!r}")

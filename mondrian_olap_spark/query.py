@@ -1,0 +1,351 @@
+"""Chainable query builder — the Spark-native analog of
+``/root/reference/lib/mondrian/olap/query.rb``.
+
+API parity (query.rb line references):
+
+* ``columns/rows/pages/chapters/sections/axis`` — :12-45
+* ``crossjoin`` / ``nonempty_crossjoin``        — :47-57
+* ``except_``                                   — :59-66
+* ``nonempty``                                  — :68-72
+* ``distinct``                                  — :74-78
+* ``filter`` (condition may reference measures ⇒ HAVING semantics) — :80-95
+* ``generate`` (string form)                    — :97-108
+* ``order`` ASC/DESC/BASC/BDESC                 — :110-119
+* ``top_count/bottom_count/top_percent/bottom_percent/top_sum/bottom_sum`` — :121-139
+* ``hierarchize``                               — :141-157
+* ``where``                                     — :160-172
+* ``with_member(...).as_(...)``                 — :174-186, 211-219
+
+Where the reference accumulates an MDX AST and serialises it to text
+(query.rb:230-237 ``to_mdx``), this builder resolves members against the
+cube model and compiles directly to a DataFrame plan via
+:class:`~mondrian_olap_spark.plan.Planner`; set operations become DataFrame
+transformations over the aggregated cell grid (HAVING-style ``filter``,
+window-function top-k, anti-filter ``except``), exactly the "native set
+evaluation" the reference engine only achieves for a few functions
+(SURVEY.md §4 RolapNative*) — here it is the only execution path.
+
+Conditions and sort keys are Spark SQL expression strings over *output
+aliases* (e.g. ``"sum_price > 1000"``), the engine's spelling of MDX
+formulas over ``[Measures].[X]``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .members import MeasureRef, MemberSetRef, resolve
+from .model import CalculatedMember, Measure
+from .plan import Planner
+from .result import Result
+from .star import CubeEngine
+
+
+@dataclass
+class _Axis:
+    sets: list[MemberSetRef] = field(default_factory=list)
+    measure_names: list[str] = field(default_factory=list)
+    mods: list[tuple] = field(default_factory=list)  # ordered modifiers
+
+
+class QueryError(ValueError):
+    pass
+
+
+class Query:
+    """One multidimensional query under construction."""
+
+    AXIS_NAMES = ("columns", "rows", "pages", "chapters", "sections")
+
+    def __init__(self, engine: CubeEngine):
+        self.engine = engine
+        self.cube = engine.cube
+        self._axes: dict[int, _Axis] = {}
+        self._slicer: list[MemberSetRef] = []
+        self._with: list[CalculatedMember] = []
+        self._current_axis: int | None = None
+        self._pending_member: str | None = None
+
+    # -- axes ----------------------------------------------------------
+    def axis(self, i: int, *members: str) -> "Query":
+        ax = self._axes.setdefault(i, _Axis())
+        for m in members:
+            ref = self._resolve(m)
+            if isinstance(ref, MeasureRef):
+                ax.measure_names.append(ref.name)
+            else:
+                ax.sets.append(ref)
+        self._current_axis = i
+        return self
+
+    def columns(self, *members: str) -> "Query":
+        return self.axis(0, *members)
+
+    def rows(self, *members: str) -> "Query":
+        return self.axis(1, *members)
+
+    def pages(self, *members: str) -> "Query":
+        return self.axis(2, *members)
+
+    def chapters(self, *members: str) -> "Query":
+        return self.axis(3, *members)
+
+    def sections(self, *members: str) -> "Query":
+        return self.axis(4, *members)
+
+    # -- set operations on the current axis ----------------------------
+    def crossjoin(self, *members: str) -> "Query":
+        """Cross join additional member sets onto the current axis
+        (query.rb:47-57).  In the aggregated-DataFrame view a cross join of
+        axis sets is simply *additional grouping columns* — the cartesian
+        combinations that actually hold data emerge from ``groupBy``."""
+        ax = self._axis()
+        for m in members:
+            ref = self._resolve(m)
+            if isinstance(ref, MeasureRef):
+                raise QueryError("cannot crossjoin measures")
+            ax.sets.append(ref)
+        return self
+
+    def nonempty_crossjoin(self, *members: str) -> "Query":
+        # NonEmptyCrossJoin ≡ crossjoin here: groupBy over the fact yields
+        # only combinations with data (SURVEY.md §2.3)
+        return self.crossjoin(*members)
+
+    def nonempty(self) -> "Query":
+        """NON EMPTY (query.rb:68-72).  The aggregated grid contains only
+        non-empty cells by construction (SQL GROUP BY view), so this is a
+        recorded no-op kept for API parity; axis expansion to empty cells is
+        the opt-in (``Result.include_empty`` — future work)."""
+        self._axis().mods.append(("nonempty",))
+        return self
+
+    def except_(self, *members: str) -> "Query":
+        refs = [self._resolve(m) for m in members]
+        self._axis().mods.append(("except", refs))
+        return self
+
+    def distinct(self) -> "Query":
+        self._axis().mods.append(("distinct",))
+        return self
+
+    def filter(self, condition: str) -> "Query":
+        """FILTER with measure conditions = HAVING on the aggregated grid
+        (query.rb:80-95; jar!mondrian/olap/fun/FilterFunDef)."""
+        self._axis().mods.append(("filter", condition))
+        return self
+
+    def order(self, expr: str, direction: str = "BASC") -> "Query":
+        """ORDER (query.rb:110-119).  B-variants break the hierarchy (global
+        sort); plain ASC/DESC sort within the parent — implemented as a sort
+        prefixed by the ancestor level columns (SURVEY.md §2.5)."""
+        d = direction.upper()
+        if d not in ("ASC", "DESC", "BASC", "BDESC"):
+            raise QueryError(f"bad order direction {direction!r}")
+        self._axis().mods.append(("order", expr, d))
+        return self
+
+    def top_count(self, n: int, expr: str | None = None) -> "Query":
+        self._axis().mods.append(("topbottom", "top", "count", n, expr))
+        return self
+
+    def bottom_count(self, n: int, expr: str | None = None) -> "Query":
+        self._axis().mods.append(("topbottom", "bottom", "count", n, expr))
+        return self
+
+    def top_percent(self, p: float, expr: str) -> "Query":
+        self._axis().mods.append(("topbottom", "top", "percent", p, expr))
+        return self
+
+    def bottom_percent(self, p: float, expr: str) -> "Query":
+        self._axis().mods.append(("topbottom", "bottom", "percent", p, expr))
+        return self
+
+    def top_sum(self, s: float, expr: str) -> "Query":
+        self._axis().mods.append(("topbottom", "top", "sum", s, expr))
+        return self
+
+    def bottom_sum(self, s: float, expr: str) -> "Query":
+        self._axis().mods.append(("topbottom", "bottom", "sum", s, expr))
+        return self
+
+    def hierarchize(self, post: bool = False) -> "Query":
+        self._axis().mods.append(("hierarchize", post))
+        return self
+
+    # -- slicer / WITH --------------------------------------------------
+    def where(self, *members: str) -> "Query":
+        """Slicer (query.rb:160-172): same-dimension members form a set
+        (IN); different dimensions a tuple (AND) — README.md:134-143."""
+        for m in members:
+            ref = self._resolve(m)
+            if isinstance(ref, MeasureRef):
+                raise QueryError("measures cannot appear in the slicer")
+            self._slicer.append(ref)
+        return self
+
+    def with_member(self, name: str) -> "Query":
+        self._pending_member = name
+        return self
+
+    def as_(
+        self,
+        expression: str,
+        solve_order: int = 0,
+        format_string: str | None = None,
+        output: str | None = None,
+    ) -> "Query":
+        if self._pending_member is None:
+            raise QueryError("as_ must follow with_member")
+        self._with.append(
+            CalculatedMember(
+                name=self._pending_member,
+                expression=expression,
+                solve_order=solve_order,
+                format_string=format_string,
+                output=output,
+            )
+        )
+        self._pending_member = None
+        return self
+
+    # -- execution -------------------------------------------------------
+    def execute(self) -> Result:
+        axes = [self._axes[i] for i in sorted(self._axes)]
+        measures: list[Measure | CalculatedMember] = []
+        for ax in axes:
+            for name in ax.measure_names:
+                measures.append(self._measure(name))
+        if not measures and not self._with:
+            pass  # pure member query
+        planner = Planner(self.engine)
+        df, group_cols = planner.aggregate(
+            [ax.sets for ax in axes], self._slicer, measures
+        )
+        sort_spec: list = []
+        for ax in axes:
+            df, sort_spec = self._apply_mods(df, ax, sort_spec)
+        axis_cols = [
+            [lv.out for s in ax.sets for lv in s.group_levels] for ax in axes
+        ]
+        return Result(df, axis_cols, [m.out for m in measures], sort_spec)
+
+    # -- internals -------------------------------------------------------
+    def _axis(self) -> _Axis:
+        if self._current_axis is None:
+            raise QueryError("no axis defined yet")
+        return self._axes[self._current_axis]
+
+    def _resolve(self, member: str):
+        # query-scoped WITH members shadow nothing but are resolvable as
+        # [Measures].[Name] (query.rb:174-186)
+        ref = None
+        if member.lower().startswith("[measures]."):
+            from .members import parse_identifier
+
+            segs = parse_identifier(member)
+            for cm in self._with:
+                if len(segs) == 2 and cm.name.lower() == segs[1].lower():
+                    return MeasureRef(name=cm.name)
+        return resolve(self.cube, member)
+
+    def _measure(self, name: str) -> Measure | CalculatedMember:
+        for cm in self._with:
+            if cm.name.lower() == name.lower():
+                return cm
+        return self.cube.measure(name)
+
+    def _group_cols_of(self, ax: _Axis) -> list[str]:
+        cols: list[str] = []
+        for s in ax.sets:
+            for lv in s.group_levels:
+                if lv.out not in cols:
+                    cols.append(lv.out)
+        return cols
+
+    def _apply_mods(self, df: DataFrame, ax: _Axis, sort_spec: list):
+        group_cols = self._group_cols_of(ax)
+        tiebreak = [F.col(c) for c in group_cols]
+        for mod in ax.mods:
+            kind = mod[0]
+            if kind == "nonempty":
+                continue
+            if kind == "filter":
+                df = df.filter(F.expr(mod[1]))
+            elif kind == "except":
+                # set difference = anti-filter on member paths
+                # (query.rb:59-66; jar!...ExceptFunDef)
+                for ref in mod[1]:
+                    pred = None
+                    for i, key in enumerate(ref.path):
+                        c = F.col(ref.dimension.levels[i].out) == key
+                        pred = c if pred is None else (pred & c)
+                    if pred is not None:
+                        df = df.filter(~pred)
+            elif kind == "distinct":
+                df = df.dropDuplicates()
+            elif kind == "order":
+                _, expr, d = mod
+                key = F.expr(expr)
+                key = key.desc() if d.endswith("DESC") else key.asc()
+                if d.startswith("B"):
+                    sort_spec = [key] + tiebreak
+                else:
+                    # hierarchical: sort within parent levels
+                    parents = [F.col(c) for c in group_cols[:-1]]
+                    sort_spec = parents + [key] + tiebreak
+            elif kind == "hierarchize":
+                post = mod[1]
+                sort_spec = list(tiebreak)  # level-path order
+                if post:
+                    sort_spec = sort_spec[::-1]
+            elif kind == "topbottom":
+                _, side, how, n, expr = mod
+                df, sort_spec = _top_bottom(df, side, how, n, expr, tiebreak)
+        return df, sort_spec
+
+
+def _top_bottom(df: DataFrame, side: str, how: str, n, expr, tiebreak):
+    """TOPCOUNT / TOPPERCENT / TOPSUM family
+    (jar!mondrian/olap/fun/TopBottomCountFunDef, TopBottomPercentSumFunDef;
+    SURVEY.md §2.5).
+
+    COUNT  → row_number over (expr desc) ≤ n
+    PERCENT→ smallest prefix of the sorted set whose running sum ≥ p% of total
+    SUM    → smallest prefix whose running sum ≥ s
+
+    All three are single-window computations — no driver-side sorting, and at
+    scale the window is a single shuffle over the (small) aggregated grid,
+    never over the fact table.
+    """
+    key = F.expr(expr) if expr else None
+    order = []
+    if key is not None:
+        order.append(key.desc() if side == "top" else key.asc())
+    order += tiebreak
+    w = Window.orderBy(*order)
+    if how == "count":
+        df = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= int(n))
+            .drop("__rn")
+        )
+        return df, order
+    val = F.expr(expr)
+    cum = F.sum(val).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    total = F.sum(val).over(
+        Window.orderBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    threshold = total * (float(n) / 100.0) if how == "percent" else F.lit(float(n))
+    df = (
+        df.withColumn("__cum", cum)
+        .withColumn("__thr", threshold)
+        .filter((F.col("__cum") - val) < F.col("__thr"))
+        .drop("__cum", "__thr")
+    )
+    return df, order

@@ -1,0 +1,82 @@
+"""Result shaping — the CellSet-style wrapper over the tidy aggregate
+DataFrame (``/root/reference/lib/mondrian/olap/result.rb``).
+
+The reference materialises an olap4j CellSet (axes → positions → cells) and
+exposes ``axes_count / column_names / row_names / values / formatted_values``
+(result.rb:17-63,606-650).  Here the canonical artifact is the **DataFrame**
+(one row per non-empty cell combination) — at 100 TB that is the only sane
+shape — and the CellSet accessors are a thin driver-side view materialised
+lazily on first access (cell grids presented to a human are small by
+definition; anything large should stay a DataFrame).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+class Result:
+    def __init__(
+        self,
+        df: DataFrame,
+        axis_columns: list[list[str]],
+        measure_columns: list[str],
+        sort_spec: list | None = None,
+    ):
+        self._df = df
+        self.axis_columns = axis_columns
+        self.measure_columns = measure_columns
+        self._sort_spec = sort_spec or []
+        self._rows_cache: list | None = None
+
+    @property
+    def df(self) -> DataFrame:
+        """The tidy cell DataFrame (sorted if the query ordered an axis)."""
+        if self._sort_spec:
+            return self._df.orderBy(*self._sort_spec)
+        # default: hierarchize order (parents before children ≡ level-path
+        # sort — jar!...HierarchizeFunDef)
+        flat = [c for ax in self.axis_columns for c in ax]
+        return self._df.orderBy(*flat) if flat else self._df
+
+    @property
+    def axes_count(self) -> int:
+        return max(2, len(self.axis_columns))
+
+    @property
+    def column_names(self) -> list[str]:
+        """Names on the columns axis — for the common measures-on-columns
+        layout these are the measure output names (result.rb column_names)."""
+        return self.measure_columns
+
+    def _collect(self) -> list:
+        if self._rows_cache is None:
+            self._rows_cache = self.df.collect()
+        return self._rows_cache
+
+    @property
+    def row_names(self) -> list:
+        """Member names of the rows-axis positions (result.rb row_names)."""
+        row_cols = self.axis_columns[1] if len(self.axis_columns) > 1 else []
+        if not row_cols:
+            return []
+        rows = self._collect()
+        names = [
+            tuple(r[c] for c in row_cols) if len(row_cols) > 1 else r[row_cols[0]]
+            for r in rows
+        ]
+        return names
+
+    @property
+    def values(self) -> list:
+        """2-D values grid: one entry per rows-axis position, each a list of
+        measure values (result.rb values for the 2-axis case)."""
+        rows = self._collect()
+        if len(self.axis_columns) > 1 and self.axis_columns[1]:
+            return [[r[m] for m in self.measure_columns] for r in rows]
+        if rows:
+            return [rows[0][m] for m in self.measure_columns]
+        return []
+
+    def to_pandas(self):
+        return self.df.toPandas()

@@ -1,0 +1,152 @@
+"""Star-schema assembly: semantic model + source DataFrames → dimension and
+fact views.
+
+The reference engine generates star-join SQL per query
+(``/root/reference/README.md:132-143``: LEFT JOIN fact to each dimension
+table on ``foreign_key = primary_key``; snowflake ``Join`` elements chain
+further tables — ``lib/mondrian/olap/schema.rb:169-174``).  Here each
+dimension is assembled *once* into a lazy DataFrame view (pk + one column per
+level + ordinal/property expressions) and reused by every query plan; Spark
+never materialises it until an action runs, and Catalyst prunes unused
+columns per query, so the "assemble once" view costs nothing at scan time.
+
+Scale notes (SURVEY.md §4):
+
+* dimensions flagged ``guaranteed_small`` (region/nation-like: bounded
+  cardinality at any data scale) get an explicit ``broadcast()`` hint at join
+  time; everything else is left to Catalyst's size-based broadcast decision +
+  AQE runtime re-planning, because a customer-like dimension is *not*
+  broadcastable at 100 TB;
+* degenerate (fact-column) dimension predicates filter the fact scan
+  directly → parquet predicate pushdown;
+* slicer predicates on table dimensions are applied to the dimension view
+  *before* the join, so a broadcast hash join drops fact rows at scan time
+  (and on a real cluster enables dynamic partition pruning).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .model import Cube, Dimension, Schema
+
+
+def _ordinal_out(dim: Dimension, level) -> str:
+    return f"__ord_{level.out}"
+
+
+class DimView:
+    """A pre-joined snowflake dimension view.
+
+    ``df`` columns: ``__pk`` (join key) + ``level.out`` per level +
+    ``__ord_<out>`` ordinal sort keys + declared member properties.
+    """
+
+    def __init__(self, dim: Dimension, tables: Mapping[str, DataFrame]):
+        self.dim = dim
+        if dim.degenerate:
+            self.df = None
+            return
+        base = tables[dim.table]
+        for link in dim.joins:
+            right = tables[link.table]
+            if link.alias:
+                right = right.alias(link.alias)
+            # snowflake hop (schema.rb:169-174); equi join, Catalyst picks
+            # broadcast for small right sides
+            base = base.join(right, F.col(link.left_key) == right[link.right_key], "inner")
+        cols = [F.col(dim.primary_key).alias("__pk")]
+        for lv in dim.levels:
+            cols.append(F.expr(lv.column).alias(lv.out))
+            cols.append(F.expr(lv.ordinal_expr).alias(_ordinal_out(dim, lv)))
+            for pname, pexpr in lv.properties:
+                cols.append(F.expr(pexpr).alias(pname))
+        self.df = base.select(*cols)
+
+    def joinable(self, needed_outputs: list[str], hint_broadcast: bool) -> DataFrame:
+        """Project to pk + needed columns (column pruning is explicit here so
+        the join ships only what the query groups/filters on)."""
+        df = self.df.select("__pk", *needed_outputs)
+        return F.broadcast(df) if hint_broadcast else df
+
+
+class CubeEngine:
+    """Executable cube: semantic model bound to source DataFrames.
+
+    The Spark analog of a Mondrian connection + RolapCube
+    (``lib/mondrian/olap/connection.rb``, ``lib/mondrian/olap/cube.rb``):
+    holds the fact view (degenerate level columns materialised as named
+    expressions) and one :class:`DimView` per table dimension.
+    """
+
+    def __init__(self, cube: Cube, tables: Mapping[str, DataFrame]):
+        self.cube = cube
+        self.tables = tables
+        fact = tables[cube.fact]
+        if cube.fact_filter:
+            # Table-element inline WHERE (schema.rb:71-79)
+            fact = fact.filter(F.expr(cube.fact_filter))
+        # materialise degenerate-dimension level columns on the fact view;
+        # unused ones are pruned by Catalyst per query
+        for dim in cube.dimensions:
+            if dim.degenerate:
+                for lv in dim.levels:
+                    fact = fact.withColumn(lv.out, F.expr(lv.column))
+        self.fact = fact
+        self.dims: dict[str, DimView] = {
+            d.name: DimView(d, tables) for d in cube.dimensions if not d.degenerate
+        }
+
+    # ------------------------------------------------------------------
+    # member metadata queries (entry point C — SURVEY.md §3;
+    # lib/mondrian/olap/cube.rb:328-332 level.members,
+    # :437-468 children/descendants)
+    # ------------------------------------------------------------------
+    def level_members(self, dim_name: str, depth: int, path: tuple[str, ...] = ()) -> DataFrame:
+        """Distinct members at ``depth`` (optionally under ancestor ``path``),
+        hierarchy-ordered by ordinal expressions.
+
+        Spark mapping of ``SqlTupleReader`` member loads (SURVEY.md §2.1):
+        ``dim.select(level_cols).distinct().orderBy(ordinals)``.  Members stay
+        distributed — no driver materialisation (the reference's
+        high-cardinality streaming concern disappears, SURVEY.md §4).
+        """
+        dim = self.cube.dimension(dim_name)
+        levels = dim.levels[: depth + 1]
+        outs = [lv.out for lv in levels]
+        if dim.degenerate:
+            df = self.fact
+            ords = {lv.out: F.expr(lv.ordinal_expr) for lv in levels}
+            sel = [F.col(o) for o in outs] + [
+                ords[lv.out].alias(_ordinal_out(dim, lv)) for lv in levels
+            ]
+            df = df.select(*sel)
+        else:
+            df = self.dims[dim.name].df.select(
+                *outs, *[_ordinal_out(dim, lv) for lv in levels]
+            )
+        for i, key in enumerate(path):
+            df = df.filter(F.col(dim.levels[i].out) == key)
+        return (
+            df.dropDuplicates(outs)
+            .orderBy(*[_ordinal_out(dim, lv) for lv in levels])
+            .select(*outs)
+        )
+
+
+def engine_from_parquet(
+    spark: SparkSession, schema: Schema, cube_name: str, data_dir: str
+) -> CubeEngine:
+    """Bind a cube to ``{data_dir}/{table}.parquet`` sources."""
+    cube = schema.cube(cube_name)
+    names = {cube.fact}
+    for d in cube.dimensions:
+        if d.table:
+            names.add(d.table)
+            for link in d.joins:
+                names.add(link.table)
+    tables = {n: spark.read.parquet(f"{data_dir}/{n}.parquet") for n in names}
+    return CubeEngine(cube, tables)

@@ -1,0 +1,210 @@
+"""Demo semantic model over the /root/testdata TPC-H-ish star schema.
+
+FIXTURES.md §3 maps the reference's cube fixture
+(``/root/reference/test/fixtures/MondrianTest.xml``) onto these tables:
+``lineitem`` is the fact; customer geography is a *snowflake* dimension
+(orders → customer → nation → region — exercising nested ``Join`` semantics,
+schema.rb:169-174); time derives from ``o_orderdate`` with Time* level types;
+return-flag / line-status are degenerate fact dimensions.
+
+Scale notes: the orders-keyed dimensions (Customer, Time, …) are
+high-cardinality — they join on ``l_orderkey`` via shuffle (sort-merge or
+AQE-selected) and are deliberately *not* broadcast-hinted.  Region/nation
+grain is bounded at any scale.  Part/supplier are left to Catalyst's
+size-based broadcast + AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from .model import Cube, Dimension, JoinLink, Level, Measure, CalculatedMember, Schema
+from .star import CubeEngine, engine_from_parquet
+
+SALES_CUBE = Cube(
+    name="Sales",
+    fact="lineitem",
+    dimensions=(
+        # snowflake: orders → customer → nation → region (FIXTURES.md §3)
+        Dimension(
+            name="Customer",
+            foreign_key="l_orderkey",
+            table="orders",
+            primary_key="o_orderkey",
+            joins=(
+                JoinLink("o_custkey", "customer", "c_custkey"),
+                JoinLink("c_nationkey", "nation", "n_nationkey"),
+                JoinLink("n_regionkey", "region", "r_regionkey"),
+            ),
+            levels=(
+                Level("Region", "r_name", output="region_name"),
+                Level("Nation", "n_name", output="nation_name"),
+                Level("Customer", "c_name", output="customer_name"),
+            ),
+        ),
+        # time dimension from the order date (TimeDimension — schema.rb:92-96)
+        Dimension(
+            name="Time",
+            foreign_key="l_orderkey",
+            table="orders",
+            primary_key="o_orderkey",
+            levels=(
+                Level("Year", "year(o_orderdate)", output="o_year", level_type="TimeYears"),
+                Level(
+                    "Quarter",
+                    "concat('Q', quarter(o_orderdate))",
+                    output="o_quarter",
+                    ordinal="quarter(o_orderdate)",
+                    level_type="TimeQuarters",
+                ),
+                Level(
+                    "Month",
+                    "month(o_orderdate)",
+                    output="o_month",
+                    level_type="TimeMonths",
+                ),
+            ),
+        ),
+        Dimension(
+            name="Priority",
+            foreign_key="l_orderkey",
+            table="orders",
+            primary_key="o_orderkey",
+            levels=(Level("Priority", "o_orderpriority", output="order_priority"),),
+        ),
+        Dimension(
+            name="Segment",
+            foreign_key="l_orderkey",
+            table="orders",
+            primary_key="o_orderkey",
+            joins=(JoinLink("o_custkey", "customer", "c_custkey"),),
+            levels=(Level("Segment", "c_mktsegment", output="mktsegment"),),
+        ),
+        Dimension(
+            name="Part",
+            foreign_key="l_partkey",
+            table="part",
+            primary_key="p_partkey",
+            levels=(
+                Level("Brand", "p_brand", output="brand"),
+                Level("Part", "p_name", output="part_name"),
+            ),
+        ),
+        Dimension(
+            name="PartType",
+            foreign_key="l_partkey",
+            table="part",
+            primary_key="p_partkey",
+            levels=(Level("Type", "p_type", output="part_type"),),
+        ),
+        Dimension(
+            name="Supplier",
+            foreign_key="l_suppkey",
+            table="supplier",
+            primary_key="s_suppkey",
+            joins=(JoinLink("s_nationkey", "nation", "n_nationkey"),),
+            levels=(
+                Level("Nation", "n_name", output="supplier_nation"),
+                Level("Supplier", "s_name", output="supplier_name"),
+            ),
+            guaranteed_small=True,  # supplier table is tiny in this dataset
+        ),
+        # degenerate dimensions — level expressions over fact columns
+        Dimension(
+            name="ReturnFlag",
+            levels=(Level("ReturnFlag", "l_returnflag", output="return_flag"),),
+        ),
+        Dimension(
+            name="LineStatus",
+            levels=(Level("LineStatus", "l_linestatus", output="line_status"),),
+        ),
+        Dimension(
+            name="ShipTime",
+            levels=(
+                Level("Year", "year(l_shipdate)", output="ship_year", level_type="TimeYears"),
+                Level("Month", "month(l_shipdate)", output="ship_month", level_type="TimeMonths"),
+            ),
+        ),
+    ),
+    measures=(
+        Measure("Sum Qty", "l_quantity", "sum", output="sum_qty"),
+        Measure("Sum Price", "l_extendedprice", "sum", output="sum_price"),
+        Measure(
+            "Sum Disc Price",
+            "l_extendedprice * (1 - l_discount)",
+            "sum",
+            output="sum_disc_price",
+        ),
+        Measure(
+            "Sum Charge",
+            "l_extendedprice * (1 - l_discount) * (1 + l_tax)",
+            "sum",
+            output="sum_charge",
+        ),
+        Measure("Avg Qty", "l_quantity", "avg", output="avg_qty"),
+        Measure("Avg Price", "l_extendedprice", "avg", output="avg_price"),
+        Measure("Avg Disc", "l_discount", "avg", output="avg_disc"),
+        Measure("Count Order", "l_orderkey", "count", output="count_order"),
+        Measure("Distinct Parts", "l_partkey", "distinct-count", output="distinct_parts"),
+        Measure(
+            "Distinct Suppliers", "l_suppkey", "distinct-count", output="distinct_suppliers"
+        ),
+        Measure("Min Price", "l_extendedprice", "min", output="min_price"),
+        Measure("Max Price", "l_extendedprice", "max", output="max_price"),
+    ),
+    calculated_members=(
+        # calc members over measure aliases, applied in solve_order
+        # (schema.rb:314-341; MondrianTest.xml Profit members)
+        CalculatedMember(
+            "Discount Amount",
+            "sum_price - sum_disc_price",
+            output="discount_amount",
+            solve_order=1,
+        ),
+        CalculatedMember(
+            "Avg Item Value",
+            "sum_price / count_order",
+            output="avg_item_value",
+            solve_order=1,
+        ),
+        CalculatedMember(
+            "Discount Share",
+            "discount_amount / sum_price",
+            output="discount_share",
+            solve_order=2,  # references an earlier calc member
+        ),
+    ),
+)
+
+EVENTS_CUBE = Cube(
+    name="Events",
+    fact="events",
+    dimensions=(
+        Dimension(
+            name="EventType",
+            levels=(Level("EventType", "event_type", output="event_type"),),
+        ),
+        Dimension(
+            name="EventTime",
+            levels=(
+                Level("Day", "day(ts)", output="event_day", level_type="TimeDays"),
+            ),
+        ),
+    ),
+    measures=(
+        Measure("Sum Value", "value", "sum", output="sum_value"),
+        Measure("Event Count", "event_id", "count", output="event_count"),
+        Measure("Distinct Users", "user_id", "distinct-count", output="distinct_users"),
+    ),
+)
+
+SCHEMA = Schema(name="TPCH", cubes=(SALES_CUBE, EVENTS_CUBE))
+
+_ENGINES: dict[tuple[str, str], CubeEngine] = {}
+
+
+def get_engine(spark: SparkSession, sf_dir: str, cube: str = "Sales") -> CubeEngine:
+    key = (sf_dir, cube)
+    if key not in _ENGINES:
+        _ENGINES[key] = engine_from_parquet(spark, SCHEMA, cube, sf_dir)
+    return _ENGINES[key]

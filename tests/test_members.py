@@ -1,0 +1,72 @@
+"""Identifier parsing tests — semantics from
+/root/reference/lib/mondrian/olap/query.rb:409-414 (]] escapes) and
+cube.rb member lookup."""
+
+import pytest
+
+from mondrian_olap_spark.members import (
+    MemberParseError,
+    format_name,
+    parse_identifier,
+    quote_segment,
+    resolve,
+)
+from mondrian_olap_spark.tpch import SALES_CUBE
+
+
+def test_parse_simple():
+    assert parse_identifier("[Customer].[EUROPE]") == ["Customer", "EUROPE"]
+
+
+def test_parse_escaped_bracket():
+    # ]] escape — query.rb:409-414
+    assert parse_identifier("[Cust]]omer].[A]") == ["Cust]omer", "A"]
+
+
+def test_parse_bare_suffix():
+    assert parse_identifier("[Customer].children") == ["Customer", "children"]
+
+
+def test_parse_unterminated():
+    with pytest.raises(MemberParseError):
+        parse_identifier("[Customer")
+
+
+def test_roundtrip_quote():
+    assert quote_segment("A]B") == "[A]]B]"
+    assert format_name(["Customer", "EU]R"]) == "[Customer].[EU]]R]"
+
+
+def test_resolve_measure():
+    ref = resolve(SALES_CUBE, "[Measures].[Sum Qty]")
+    assert ref.name == "Sum Qty"
+
+
+def test_resolve_unknown_measure():
+    with pytest.raises(KeyError):
+        resolve(SALES_CUBE, "[Measures].[Nope]")
+
+
+def test_resolve_children_top():
+    ref = resolve(SALES_CUBE, "[Customer].children")
+    assert ref.depth == 0 and ref.path == () and ref.kind == "children"
+
+
+def test_resolve_children_of_member():
+    ref = resolve(SALES_CUBE, "[Customer].[EUROPE].children")
+    assert ref.depth == 1 and ref.path == ("EUROPE",)
+
+
+def test_resolve_level_members():
+    ref = resolve(SALES_CUBE, "[Customer].[Nation].Members")
+    assert ref.depth == 1 and ref.kind == "level_members"
+
+
+def test_resolve_member_path():
+    ref = resolve(SALES_CUBE, "[Time].[1995].[Q1]")
+    assert ref.depth == 1 and ref.path == ("1995", "Q1")
+
+
+def test_resolve_too_deep():
+    with pytest.raises(MemberParseError):
+        resolve(SALES_CUBE, "[ReturnFlag].[A].[B].[C]")

@@ -1,0 +1,305 @@
+"""Query-engine behavior tests.
+
+Follows the reference's test strategy (SURVEY.md §5): hardcoded expected
+values on deterministic data (mondrian_test.rb style) + differential
+assertions against a DuckDB SQL oracle (query_test.rb:14-39 style).
+Runs on /root/testdata/sf0.001 (seed=42 deterministic).
+"""
+
+import pytest
+
+from mondrian_olap_spark.query import Query, QueryError
+
+from .conftest import assert_df_matches_sql
+
+
+def q(engine):
+    return Query(engine)
+
+
+# ---------------------------------------------------------------- flagship
+def test_flagship_slice(engine, duck):
+    """README.md:118-143 canonical query shape: measures on columns, children
+    on rows, slicer tuple in WHERE."""
+    r = (
+        q(engine)
+        .columns("[Measures].[Sum Qty]", "[Measures].[Sum Price]", "[Measures].[Count Order]")
+        .rows("[Customer].children")
+        .where("[Time].[1995].[Q1]")
+        .execute()
+    )
+    assert_df_matches_sql(
+        r.df,
+        duck,
+        """
+        SELECT r_name AS region_name, sum(l_quantity) AS sum_qty,
+               sum(l_extendedprice) AS sum_price, count(l_orderkey) AS count_order
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE year(o_orderdate) = 1995 AND 'Q' || quarter(o_orderdate) = 'Q1'
+        GROUP BY r_name
+        """,
+        rel_tol=1e-6,
+    )
+
+
+def test_flagship_values_shape(engine):
+    r = (
+        q(engine)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].children")
+        .where("[Time].[1995].[Q1]")
+        .execute()
+    )
+    assert r.column_names == ["sum_qty"]
+    names = r.row_names
+    assert names == sorted(names)  # default hierarchize order
+    assert len(names) == 5
+    assert all(len(v) == 1 for v in r.values)
+
+
+# ------------------------------------------------------------- set operators
+def test_crossjoin(engine, duck):
+    r = (
+        q(engine)
+        .columns("[Measures].[Sum Price]")
+        .rows("[ReturnFlag].children")
+        .crossjoin("[LineStatus].children")
+        .execute()
+    )
+    assert_df_matches_sql(
+        r.df,
+        duck,
+        """SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
+                  sum(l_extendedprice) AS sum_price
+           FROM lineitem GROUP BY 1, 2""",
+        rel_tol=1e-6,
+    )
+
+
+def test_slicer_multi_member_is_in(engine, duck):
+    """Two same-dimension slicer members = IN (README.md:134-143)."""
+    r = (
+        q(engine)
+        .columns("[Measures].[Count Order]")
+        .rows("[ReturnFlag].children")
+        .where("[Customer].[ASIA]", "[Customer].[EUROPE]")
+        .execute()
+    )
+    assert_df_matches_sql(
+        r.df,
+        duck,
+        """SELECT l_returnflag AS return_flag, count(l_orderkey) AS count_order
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name IN ('ASIA','EUROPE') GROUP BY 1""",
+    )
+
+
+def test_filter_having(engine):
+    r = (
+        q(engine)
+        .columns("[Measures].[Sum Price]")
+        .rows("[Customer].[Nation].Members")
+        .filter("sum_price > 10000000")
+        .execute()
+    )
+    rows = r.df.collect()
+    assert rows and all(row["sum_price"] > 10_000_000 for row in rows)
+
+
+def test_except(engine):
+    r = (
+        q(engine)
+        .columns("[Measures].[Sum Price]")
+        .rows("[Customer].children")
+        .except_("[Customer].[ASIA]", "[Customer].[EUROPE]")
+        .execute()
+    )
+    names = {row["region_name"] for row in r.df.collect()}
+    assert names == {"AFRICA", "AMERICA", "MIDDLE EAST"}
+
+
+def test_top_count(engine, duck):
+    r = (
+        q(engine)
+        .columns("[Measures].[Sum Price]")
+        .rows("[Customer].[Nation].Members")
+        .top_count(5, "sum_price")
+        .execute()
+    )
+    assert_df_matches_sql(
+        r.df,
+        duck,
+        """SELECT r_name AS region_name, n_name AS nation_name,
+                  sum(l_extendedprice) AS sum_price
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           GROUP BY 1, 2
+           ORDER BY sum_price DESC, region_name, nation_name LIMIT 5""",
+        rel_tol=1e-6,
+    )
+
+
+def test_top_percent(engine):
+    """TopPercent: smallest prefix with ≥ p% of the total (SURVEY.md §2.5)."""
+    full = (
+        q(engine)
+        .columns("[Measures].[Sum Price]")
+        .rows("[Customer].[Nation].Members")
+        .execute()
+    ).df.collect()
+    total = sum(row["sum_price"] for row in full)
+    r = (
+        q(engine)
+        .columns("[Measures].[Sum Price]")
+        .rows("[Customer].[Nation].Members")
+        .top_percent(30, "sum_price")
+        .execute()
+    )
+    kept = sorted((row["sum_price"] for row in r.df.collect()), reverse=True)
+    assert 0 < len(kept) < len(full)
+    assert sum(kept) >= 0.30 * total
+    assert sum(kept) - kept[-1] < 0.30 * total  # minimality
+
+
+def test_order_bdesc(engine):
+    r = (
+        q(engine)
+        .columns("[Measures].[Sum Price]")
+        .rows("[Customer].[Nation].Members")
+        .order("sum_price", "BDESC")
+        .execute()
+    )
+    vals = [row["sum_price"] for row in r.df.collect()]
+    assert vals == sorted(vals, reverse=True)
+
+
+def test_order_hierarchical_asc(engine):
+    """Plain ASC sorts within the parent member (SURVEY.md §2.5)."""
+    r = (
+        q(engine)
+        .columns("[Measures].[Sum Price]")
+        .rows("[Customer].[Nation].Members")
+        .order("sum_price", "ASC")
+        .execute()
+    )
+    rows = r.df.collect()
+    by_region = {}
+    for row in rows:
+        by_region.setdefault(row["region_name"], []).append(row["sum_price"])
+    for region, vals in by_region.items():
+        assert vals == sorted(vals), region
+
+
+# -------------------------------------------------------------- calc members
+def test_calculated_member_chain(engine, duck):
+    """Calc member referencing another calc member resolves transitively
+    (mondrian_test.rb:579-605)."""
+    r = (
+        q(engine)
+        .columns("[Measures].[Sum Price]", "[Measures].[Discount Share]")
+        .rows("[ReturnFlag].children")
+        .execute()
+    )
+    assert_df_matches_sql(
+        r.df,
+        duck,
+        """SELECT l_returnflag AS return_flag,
+                  sum(l_extendedprice) AS sum_price,
+                  (sum(l_extendedprice) - sum(l_extendedprice*(1-l_discount)))
+                    / sum(l_extendedprice) AS discount_share
+           FROM lineitem GROUP BY 1""",
+        rel_tol=1e-6,
+    )
+
+
+def test_with_member(engine):
+    r = (
+        q(engine)
+        .with_member("Double Qty")
+        .as_("sum_qty * 2", output="double_qty")
+        .columns("[Measures].[Sum Qty]", "[Measures].[Double Qty]")
+        .rows("[ReturnFlag].children")
+        .execute()
+    )
+    for row in r.df.collect():
+        assert row["double_qty"] == row["sum_qty"] * 2
+
+
+# ---------------------------------------------------------------- aggregates
+def test_distinct_count(engine, duck):
+    r = (
+        q(engine)
+        .columns("[Measures].[Distinct Parts]", "[Measures].[Distinct Suppliers]")
+        .rows("[Customer].children")
+        .execute()
+    )
+    assert_df_matches_sql(
+        r.df,
+        duck,
+        """SELECT r_name AS region_name,
+                  count(DISTINCT l_partkey) AS distinct_parts,
+                  count(DISTINCT l_suppkey) AS distinct_suppliers
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           GROUP BY 1""",
+    )
+
+
+def test_grand_total(engine, duck):
+    r = q(engine).columns("[Measures].[Sum Qty]", "[Measures].[Count Order]").execute()
+    assert_df_matches_sql(
+        r.df,
+        duck,
+        "SELECT sum(l_quantity) AS sum_qty, count(l_orderkey) AS count_order FROM lineitem",
+        rel_tol=1e-6,
+    )
+
+
+# ----------------------------------------------------------------- metadata
+def test_level_members(engine):
+    df = engine.level_members("Customer", 0)
+    assert [r["region_name"] for r in df.collect()] == [
+        "AFRICA",
+        "AMERICA",
+        "ASIA",
+        "EUROPE",
+        "MIDDLE EAST",
+    ]
+
+
+def test_children_under_path(engine, duck):
+    df = engine.level_members("Customer", 1, ("EUROPE",))
+    assert_df_matches_sql(
+        df,
+        duck,
+        """SELECT DISTINCT r_name AS region_name, n_name AS nation_name
+           FROM nation JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'EUROPE'""",
+    )
+
+
+# -------------------------------------------------------------------- errors
+def test_unknown_dimension_raises(engine):
+    with pytest.raises(KeyError):
+        q(engine).rows("[Nope].children")
+
+
+def test_bad_order_direction(engine):
+    with pytest.raises(QueryError):
+        q(engine).rows("[Customer].children").order("sum_qty", "SIDEWAYS")
+
+
+def test_measure_in_slicer_rejected(engine):
+    with pytest.raises(QueryError):
+        q(engine).rows("[Customer].children").where("[Measures].[Sum Qty]")
