@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+HEADLINE = [
+    "flagship_region_quarter",
+    "pricing_summary_flags",
+    "crossjoin_nation_priority",
+    "rollup_region_nation",
+    "distinct_count_by_region",
+    "topcount_nations",
+    "toppercent_nations",
+    "ytd_monthly",
+    "parallel_period_month",
+    "calc_member_chain",
+    "drillthrough_cell",
+    "generate_customer_list",
+    "events_by_type",
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    from mondrian_olap_spark.suite import QUERIES
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("mondrian-olap-spark-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers with one throwaway run (cold-start JIT
+    # noise is not what we're measuring; the reference engine likewise
+    # measures warm-cache behavior — BASELINE.md)
+    QUERIES["flagship_region_quarter"](spark, SF_DIR).collect()
+
+    # two passes, per-query min: measures warm steady-state throughput and
+    # damps JIT/GC noise (single-JVM local mode)
+    timings: dict[str, float] = {}
+    for _ in range(2):
+        for name in HEADLINE:
+            fn = QUERIES[name]
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).collect()
+            dt = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline-query wall time (warm JVM, local Spark)",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -155,3 +155,18 @@ def resolve(cube: Cube, identifier: str) -> MeasureRef | MemberSetRef:
     if len(rest) > len(dim.levels):
         raise MemberParseError(f"{identifier!r}: path deeper than hierarchy")
     return MemberSetRef(dim, depth=len(rest) - 1, path=tuple(rest), kind="member")
+
+
+def resolve_level(cube: Cube, identifier: str) -> tuple[Dimension, int]:
+    """Resolve ``[Dim].[LevelName]`` (or ``[Dim]`` → level 0) to a
+    (dimension, level-index) pair — the RETURN-field form of drill-through
+    (``lib/mondrian/olap/result.rb:283-419`` level key fields)."""
+    segs = parse_identifier(identifier)
+    dim = cube.dimension(segs[0])
+    if len(segs) == 1:
+        return dim, 0
+    if len(segs) == 2:
+        idx = dim.level_index(segs[1])
+        if idx is not None:
+            return dim, idx
+    raise MemberParseError(f"{identifier!r} is not a [Dimension].[Level] reference")

@@ -61,6 +61,7 @@ class _DimUse:
     dim: Dimension
     group_outputs: list[str] = field(default_factory=list)  # ordered level outputs
     predicates: list[Column] = field(default_factory=list)  # OR-ed together
+    pred_depth: int = 0  # deepest level referenced by any predicate
 
     def add_levels(self, outputs: list[str]) -> None:
         for o in outputs:
@@ -98,6 +99,7 @@ class Planner:
         axes: list[list[MemberSetRef]],
         slicer: list[MemberSetRef],
         measures: list[Measure | CalculatedMember],
+        totals: str | None = None,
     ) -> tuple[DataFrame, list[str]]:
         """Build the aggregate DataFrame for a query.
 
@@ -129,6 +131,7 @@ class Planner:
                 preds = [_path_predicate(r) for r in refs]
                 if all(p is not None for p in preds):
                     u.predicates.append(_or_all(preds))
+                    u.pred_depth = max(u.pred_depth, *(len(r.path) for r in refs))
                 # any unconstrained set (e.g. Level.Members) makes the union
                 # unconstrained → no predicate
 
@@ -143,6 +146,7 @@ class Planner:
             if any(p is None for p in preds):
                 continue  # slicing by the All member = no constraint
             u.predicates.append(_or_all(preds))
+            u.pred_depth = max(u.pred_depth, *(len(r.path) for r in refs))
 
         df = self._join(uses)
         base_measures, calc_chain = self._measure_closure(measures)
@@ -151,7 +155,21 @@ class Planner:
             # pure member/tuple query — distinct combinations
             agg = df.select(*group_cols).dropDuplicates(group_cols) if group_cols else df
         elif group_cols:
-            agg = df.groupBy(*group_cols).agg(*measure_cols)
+            # multi-level rollup: every cell at the grouping set implied by
+            # its axis members' levels; the "(All)" member = grand total —
+            # Mondrian batches these as GROUPING SETS
+            # (jar!mondrian/rolap/agg/GroupingSetsList; SURVEY.md §2.4).
+            # Spark's rollup/cube emit all grouping sets in ONE pass with
+            # partial aggregation — exactly the engine-side batching the
+            # reference implements by hand.
+            if totals == "rollup":
+                agg = df.rollup(*group_cols).agg(*measure_cols)
+            elif totals == "cube":
+                agg = df.cube(*group_cols).agg(*measure_cols)
+            elif totals is None:
+                agg = df.groupBy(*group_cols).agg(*measure_cols)
+            else:
+                raise ValueError(f"unknown totals mode {totals!r}")
         else:
             agg = df.agg(*measure_cols)
 
@@ -204,27 +222,100 @@ class Planner:
         )
         return base, calcs
 
+    def drill_through(
+        self,
+        slicer: list[MemberSetRef],
+        fields: list[tuple[str, str]],
+        max_rows: int | None = None,
+        nonempty_field: str | None = None,
+    ) -> DataFrame:
+        """Drill-through: the underlying fact rows for one cell context
+        (entry point D — SURVEY.md §3; ``lib/mondrian/olap/result.rb:283-419``).
+
+        The reference gets Mondrian's generated drill SQL and *rewrites the
+        SQL text in Ruby* (re-selected RETURN fields, LEFT OUTER JOINs for
+        non-context tables, max-rows).  Here the same capability is direct
+        DataFrame composition: star join ⋈ slicer filter ⋈ projection ⋈ limit
+        — the 240-line rewriter collapses (SURVEY.md §3 D).
+
+        ``fields``: ``(output_name, spec)`` where ``spec`` is a level
+        reference ``[Dim].[Level]`` or a SQL expression over fact columns.
+        Rows are ordered by the returned fields so ``max_rows`` is
+        deterministic (result.rb:167-181 orders drill output too).
+        """
+        from .members import resolve_level
+
+        uses: dict[str, _DimUse] = {}
+
+        def use(dim: Dimension) -> _DimUse:
+            return uses.setdefault(dim.name, _DimUse(dim))
+
+        select_exprs: list[tuple[str, str]] = []  # (output, column-after-join)
+        for out, spec in fields:
+            if spec.startswith("["):
+                dim, idx = resolve_level(self.cube, spec)
+                u = use(dim)
+                level_out = dim.levels[idx].out
+                if not dim.degenerate:
+                    u.add_levels([lv.out for lv in dim.levels[: idx + 1]])
+                select_exprs.append((out, level_out))
+            else:
+                select_exprs.append((out, spec))
+
+        for ref in slicer:
+            u = use(ref.dimension)
+            p = _path_predicate(ref)
+            if p is not None:
+                u.predicates.append(p)
+                u.pred_depth = max(u.pred_depth, len(ref.path))
+
+        df = self._join(uses)
+        df = df.select(*[F.expr(col).alias(out) for out, col in select_exprs])
+        if nonempty_field:
+            # nonempty: drop rows where the requested measure field is NULL
+            # (result.rb IS NOT NULL injection, :385-407)
+            df = df.filter(F.col(nonempty_field).isNotNull())
+        if max_rows is not None:
+            df = df.orderBy(*[out for out, _ in select_exprs]).limit(max_rows)
+        return df
+
     def _join(self, uses: dict[str, _DimUse]) -> DataFrame:
-        """Star join: fact ⋈ each used dimension (README.md:132-143)."""
+        """Star join: fact ⋈ each used dimension (README.md:132-143).
+
+        Dimensions sharing one physical bridge (same foreign_key + table +
+        primary_key, e.g. every orders-derived dimension) are coalesced into
+        a single merged join — one shuffle of the fact per *physical* key,
+        not per logical dimension (critical at 100 TB where the orders
+        bridge is itself large)."""
         df = self.engine.fact
         # degenerate dims: predicates directly on the fact scan (pushdown)
         for u in uses.values():
             if u.dim.degenerate and u.predicate is not None:
                 df = df.filter(u.predicate)
+
+        groups: dict[tuple, list[_DimUse]] = {}
         for u in uses.values():
             if u.dim.degenerate:
                 continue
-            dv = self.engine.dims[u.dim.name]
-            pred_cols = _predicate_outputs(u)
-            need = list(dict.fromkeys(u.group_outputs + pred_cols))
-            ddf = dv.df.select("__pk", *need)
-            if u.predicate is not None:
-                ddf = ddf.filter(u.predicate)
-            if u.dim.guaranteed_small:
+            key = (u.dim.foreign_key, u.dim.table, u.dim.primary_key)
+            groups.setdefault(key, []).append(u)
+
+        for (fk, _table, _pk), members in groups.items():
+            needed = {
+                u.dim.name: list(dict.fromkeys(u.group_outputs + _predicate_outputs(u)))
+                for u in members
+            }
+            ddf = self.engine.merged_dim_view([u.dim for u in members], needed)
+            # within a dim the predicate is already OR-combined; across
+            # dims (a slicer tuple) predicates AND (README.md:134-143)
+            for u in members:
+                if u.predicate is not None:
+                    ddf = ddf.filter(u.predicate)
+            if all(u.dim.guaranteed_small for u in members):
                 ddf = F.broadcast(ddf)
-            on = df[u.dim.foreign_key] == ddf["__pk"]
-            if not u.group_outputs:
-                # slicer-only dimension: restrict, ship nothing
+            on = df[fk] == ddf["__pk"]
+            if not any(u.group_outputs for u in members):
+                # slicer-only bridge: restrict the fact, ship nothing
                 df = df.join(ddf, on, "left_semi")
             else:
                 df = df.join(ddf, on, "inner").drop(ddf["__pk"])
@@ -239,10 +330,6 @@ def _or_all(preds: list[Column]) -> Column:
 
 
 def _predicate_outputs(u: _DimUse) -> list[str]:
-    """Level outputs referenced by this dim's predicates (path depth)."""
-    outs: list[str] = []
-    if u.predicates:
-        # predicates only ever reference level output columns of this dim
-        for lv in u.dim.levels:
-            outs.append(lv.out)
-    return outs
+    """Level outputs referenced by this dim's predicates — only the path
+    prefix actually constrained, so slicer-only joins ship the minimum."""
+    return [lv.out for lv in u.dim.levels[: u.pred_depth]]

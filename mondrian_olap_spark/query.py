@@ -68,6 +68,7 @@ class Query:
         self._with: list[CalculatedMember] = []
         self._current_axis: int | None = None
         self._pending_member: str | None = None
+        self._totals: str | None = None
 
     # -- axes ----------------------------------------------------------
     def axis(self, i: int, *members: str) -> "Query":
@@ -187,6 +188,17 @@ class Query:
             self._slicer.append(ref)
         return self
 
+    def totals(self, mode: str = "rollup") -> "Query":
+        """Include super-aggregate rows for every axis prefix (``rollup``) or
+        every axis subset (``cube``) — the engine-side analog of Mondrian's
+        "(All)" members and batched GROUPING SETS cell loads
+        (jar!mondrian/rolap/agg/GroupingSetsList; SURVEY.md §2.4).
+        Super-aggregate rows carry NULL in the rolled-up level columns."""
+        if mode not in ("rollup", "cube"):
+            raise QueryError(f"totals mode must be rollup|cube, got {mode!r}")
+        self._totals = mode
+        return self
+
     def with_member(self, name: str) -> "Query":
         self._pending_member = name
         return self
@@ -223,7 +235,7 @@ class Query:
             pass  # pure member query
         planner = Planner(self.engine)
         df, group_cols = planner.aggregate(
-            [ax.sets for ax in axes], self._slicer, measures
+            [ax.sets for ax in axes], self._slicer, measures, totals=self._totals
         )
         sort_spec: list = []
         for ax in axes:

@@ -136,6 +136,87 @@ class CubeEngine:
             .select(*outs)
         )
 
+    def merged_dim_view(
+        self, dims: list[Dimension], needed: Mapping[str, list[str]]
+    ) -> DataFrame:
+        """One join-ready view for several dimensions sharing the same
+        (foreign_key, table, primary_key) — e.g. Time / Customer / Priority
+        all riding the ``orders`` bridge.
+
+        Mondrian reaches every dimension through its own join in the
+        generated SQL; at Spark scale joining the same bridge table once per
+        dimension doubles (or worse) the shuffle volume, so the planner
+        coalesces them: union of the snowflake link chains (deduplicated,
+        order-preserving) + the union of needed level columns.  The merged
+        view costs nothing when a query uses only one of the dimensions —
+        only the links those dimensions declare are included.
+        """
+        base = self.tables[dims[0].table]
+        seen: set[tuple] = set()
+        for d in dims:
+            for link in d.joins:
+                key = (link.left_key, link.table, link.right_key, link.alias)
+                if key in seen:
+                    continue
+                seen.add(key)
+                right = self.tables[link.table]
+                if link.alias:
+                    right = right.alias(link.alias)
+                base = base.join(
+                    right, F.col(link.left_key) == right[link.right_key], "inner"
+                )
+        cols = [F.col(dims[0].primary_key).alias("__pk")]
+        for d in dims:
+            want = set(needed.get(d.name, ()))
+            for lv in d.levels:
+                if lv.out in want:
+                    cols.append(F.expr(lv.column).alias(lv.out))
+        return base.select(*cols)
+
+    def drill_through(
+        self,
+        where: list[str],
+        fields: list[tuple[str, str]],
+        max_rows: int | None = None,
+    ) -> DataFrame:
+        """Cell drill-through: underlying fact rows for a cell context
+        (``lib/mondrian/olap/result.rb:145-157``; RETURN-field SQL rewriting
+        :283-419 collapses to DataFrame composition — SURVEY.md §3 D)."""
+        from .members import resolve
+        from .plan import Planner
+
+        slicer = [resolve(self.cube, m) for m in where]
+        return Planner(self).drill_through(slicer, fields, max_rows=max_rows)
+
+
+def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read that tolerates nanosecond timestamps.
+
+    Spark rejects INT64 TIMESTAMP(NANOS) parquet columns by default; we fall
+    back to ``spark.sql.legacy.parquet.nanosAsLong`` and convert the raw
+    nano longs back to (microsecond) timestamps so downstream date functions
+    keep working."""
+    nano_cols: list[str] = []
+    try:
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+        nano_cols = [
+            f.name
+            for f in schema
+            if str(f.type).startswith("timestamp[ns")
+        ]
+    except Exception:
+        pass  # directory datasets / exotic stores: fall through to plain read
+    if nano_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for name in nano_cols:
+        # nanos surface as raw longs under nanosAsLong; restore timestamp
+        # semantics at microsecond precision
+        df = df.withColumn(name, F.timestamp_micros((F.col(name) / 1000).cast("long")))
+    return df
+
 
 def engine_from_parquet(
     spark: SparkSession, schema: Schema, cube_name: str, data_dir: str
@@ -148,5 +229,5 @@ def engine_from_parquet(
             names.add(d.table)
             for link in d.joins:
                 names.add(link.table)
-    tables = {n: spark.read.parquet(f"{data_dir}/{n}.parquet") for n in names}
+    tables = {n: read_parquet_table(spark, f"{data_dir}/{n}.parquet") for n in names}
     return CubeEngine(cube, tables)

@@ -1,0 +1,878 @@
+"""Operator correctness suite: one (Spark query, DuckDB oracle SQL) pair per
+implemented operator from SURVEY.md §2.
+
+Every entry is exported through ``__spark_entry__.py`` ``queries()`` /
+``oracle_sql()`` and verified by the driver at sf=0.01 (row-count + schema +
+order-insensitive value hash).  This mirrors the reference's own test
+strategy — differential assertions against a hand-written SQL oracle over
+the same database (``/root/reference/test/query_test.rb:14-39``).
+
+Column-name discipline: every computed column is aliased identically in the
+Spark plan and the oracle SQL (the driver sorts columns by name before
+hashing).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import functions as fx
+from .functions.stats import set_aggregate
+from .query import Query
+from .tpch import get_engine
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+# reusable oracle star-join fragments (README.md:132-143 star SQL shape)
+_CUST_STAR = (
+    "lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey"
+)
+_ORD_STAR = "lineitem JOIN orders ON l_orderkey = o_orderkey"
+_SUPP_STAR = (
+    "lineitem JOIN supplier ON l_suppkey = s_suppkey "
+    "JOIN nation ON s_nationkey = n_nationkey"
+)
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# =====================================================================
+# §2.1/2.2 — scans, slicers, axis projection
+# =====================================================================
+@q(
+    "flagship_region_quarter",
+    f"""
+    SELECT r_name AS region_name, sum(l_quantity) AS sum_qty,
+           sum(l_extendedprice) AS sum_price, count(l_orderkey) AS count_order
+    FROM {_CUST_STAR}
+    WHERE year(o_orderdate) = 1995 AND 'Q' || quarter(o_orderdate) = 'Q1'
+    GROUP BY r_name
+    """,
+)
+def flagship_region_quarter(spark, sf_dir):
+    """README.md:118-143 canonical query: measures on columns, children on
+    rows, slicer tuple in WHERE."""
+    return (
+        Query(get_engine(spark, sf_dir))
+        .columns("[Measures].[Sum Qty]", "[Measures].[Sum Price]", "[Measures].[Count Order]")
+        .rows("[Customer].children")
+        .where("[Time].[1995].[Q1]")
+        .execute()
+        .df
+    )
+
+
+@q(
+    "pricing_summary_flags",
+    """
+    SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
+           sum(l_quantity) AS sum_qty, sum(l_extendedprice) AS sum_price,
+           sum(l_extendedprice*(1-l_discount)) AS sum_disc_price,
+           sum(l_extendedprice*(1-l_discount)*(1+l_tax)) AS sum_charge,
+           avg(l_quantity) AS avg_qty, avg(l_extendedprice) AS avg_price,
+           avg(l_discount) AS avg_disc, count(l_orderkey) AS count_order
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def pricing_summary_flags(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary through the cube (degenerate dims
+    crossjoin + 8 measures)."""
+    return (
+        Query(get_engine(spark, sf_dir))
+        .columns(
+            "[Measures].[Sum Qty]", "[Measures].[Sum Price]",
+            "[Measures].[Sum Disc Price]", "[Measures].[Sum Charge]",
+            "[Measures].[Avg Qty]", "[Measures].[Avg Price]",
+            "[Measures].[Avg Disc]", "[Measures].[Count Order]",
+        )
+        .rows("[ReturnFlag].children")
+        .crossjoin("[LineStatus].children")
+        .execute()
+        .df
+    )
+
+
+@q(
+    "slicer_multi_member_in",
+    f"""
+    SELECT l_returnflag AS return_flag, count(l_orderkey) AS count_order,
+           sum(l_quantity) AS sum_qty
+    FROM {_CUST_STAR}
+    WHERE r_name IN ('ASIA', 'EUROPE') GROUP BY 1
+    """,
+)
+def slicer_multi_member_in(spark, sf_dir):
+    """Multi-member same-dimension slicer = IN (README.md:134-143)."""
+    return (
+        Query(get_engine(spark, sf_dir))
+        .columns("[Measures].[Count Order]", "[Measures].[Sum Qty]")
+        .rows("[ReturnFlag].children")
+        .where("[Customer].[ASIA]", "[Customer].[EUROPE]")
+        .execute()
+        .df
+    )
+
+
+@q(
+    "slicer_cross_dim_tuple",
+    f"""
+    SELECT n_name AS supplier_nation, sum(l_extendedprice) AS sum_price
+    FROM {_SUPP_STAR}
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE year(o_orderdate) = 1997 AND l_returnflag = 'R'
+    GROUP BY 1
+    """,
+)
+def slicer_cross_dim_tuple(spark, sf_dir):
+    """Cross-dimension slicer tuple = AND of predicates."""
+    return (
+        Query(get_engine(spark, sf_dir))
+        .columns("[Measures].[Sum Price]")
+        .rows("[Supplier].children")
+        .where("[Time].[1997]", "[ReturnFlag].[R]")
+        .execute()
+        .df
+    )
+
+
+# =====================================================================
+# §2.3 — joins (star, snowflake, crossjoin, nonempty crossjoin)
+# =====================================================================
+@q(
+    "crossjoin_nation_priority",
+    f"""
+    SELECT r_name AS region_name, n_name AS nation_name,
+           o_orderpriority AS order_priority, sum(l_extendedprice) AS sum_price
+    FROM {_CUST_STAR} GROUP BY 1, 2, 3
+    """,
+)
+def crossjoin_nation_priority(spark, sf_dir):
+    """CROSSJOIN of two dimension sets (jar!...CrossJoinFunDef)."""
+    return (
+        Query(get_engine(spark, sf_dir))
+        .columns("[Measures].[Sum Price]")
+        .rows("[Customer].[Nation].Members")
+        .crossjoin("[Priority].children")
+        .execute()
+        .df
+    )
+
+
+@q(
+    "nonempty_crossjoin_nation_brand",
+    f"""
+    SELECT n_name AS supplier_nation, p_brand AS brand,
+           sum(l_quantity) AS sum_qty
+    FROM {_SUPP_STAR} JOIN part ON l_partkey = p_partkey
+    GROUP BY 1, 2
+    """,
+)
+def nonempty_crossjoin_nation_brand(spark, sf_dir):
+    """NONEMPTYCROSSJOIN: only combinations with fact data appear —
+    emerges naturally from groupBy over the fact (SURVEY.md §2.3)."""
+    return (
+        Query(get_engine(spark, sf_dir))
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Supplier].children")
+        .nonempty_crossjoin("[Part].children")
+        .execute()
+        .df
+    )
+
+
+# =====================================================================
+# §2.4 — aggregation (rollup, cube, distinct count, Aggregate(), stats)
+# =====================================================================
+@q(
+    "rollup_region_nation",
+    f"""
+    SELECT r_name AS region_name, n_name AS nation_name,
+           sum(l_extendedprice) AS sum_price, count(l_orderkey) AS count_order
+    FROM {_CUST_STAR}
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def rollup_region_nation(spark, sf_dir):
+    """Multi-level rollup with super-aggregate (All) rows in one pass
+    (jar!mondrian/rolap/agg/GroupingSetsList → df.rollup)."""
+    return (
+        Query(get_engine(spark, sf_dir))
+        .columns("[Measures].[Sum Price]", "[Measures].[Count Order]")
+        .rows("[Customer].[Nation].Members")
+        .totals("rollup")
+        .execute()
+        .df
+    )
+
+
+@q(
+    "cube_flags_totals",
+    """
+    SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
+           sum(l_quantity) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_flags_totals(spark, sf_dir):
+    return (
+        Query(get_engine(spark, sf_dir))
+        .columns("[Measures].[Sum Qty]")
+        .rows("[ReturnFlag].children")
+        .crossjoin("[LineStatus].children")
+        .totals("cube")
+        .execute()
+        .df
+    )
+
+
+@q(
+    "distinct_count_by_region",
+    f"""
+    SELECT r_name AS region_name, count(DISTINCT l_partkey) AS distinct_parts,
+           count(DISTINCT l_suppkey) AS distinct_suppliers
+    FROM {_CUST_STAR} GROUP BY 1
+    """,
+)
+def distinct_count_by_region(spark, sf_dir):
+    """Exact distinct-count measures (MondrianTest.xml:105-106 pattern)."""
+    return (
+        Query(get_engine(spark, sf_dir))
+        .columns("[Measures].[Distinct Parts]", "[Measures].[Distinct Suppliers]")
+        .rows("[Customer].children")
+        .execute()
+        .df
+    )
+
+
+@q(
+    "aggregate_member_set",
+    f"""
+    SELECT sum(l_extendedprice) AS sum_price, sum(l_quantity) AS sum_qty,
+           count(l_orderkey) AS count_order
+    FROM {_CUST_STAR}
+    WHERE r_name IN ('ASIA', 'EUROPE') AND year(o_orderdate) = 1997
+    """,
+)
+def aggregate_member_set(spark, sf_dir):
+    """Aggregate() over a compound member set: union of member keys filtered
+    then aggregated (jar!...AggregateFunDef; mondrian_test.rb:189-239)."""
+    return (
+        Query(get_engine(spark, sf_dir))
+        .columns("[Measures].[Sum Price]", "[Measures].[Sum Qty]", "[Measures].[Count Order]")
+        .where("[Customer].[ASIA]", "[Customer].[EUROPE]", "[Time].[1997]")
+        .execute()
+        .df
+    )
+
+
+@q(
+    "median_percentile_price",
+    """
+    SELECT l_returnflag AS return_flag,
+           median(l_extendedprice) AS median_price,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price
+    FROM lineitem GROUP BY 1
+    """,
+)
+def median_percentile_price(spark, sf_dir):
+    """Median / Percentile set functions (jar!...MedianFunDef,
+    PercentileFunDef) — exact continuous percentiles, JVM-side."""
+    eng = get_engine(spark, sf_dir)
+    return set_aggregate(
+        eng.fact,
+        ["return_flag"],
+        [
+            ("median_price", "median", "l_extendedprice"),
+            ("p90_price", "percentile", "l_extendedprice", 0.9),
+        ],
+    )
+
+
+@q(
+    "dispersion_stats",
+    """
+    SELECT l_returnflag AS return_flag,
+           stddev_samp(l_extendedprice) AS stdev_price,
+           stddev_pop(l_extendedprice) AS stdevp_price,
+           var_samp(l_extendedprice) AS var_price,
+           var_pop(l_extendedprice) AS varp_price
+    FROM lineitem GROUP BY 1
+    """,
+)
+def dispersion_stats(spark, sf_dir):
+    """Stdev/StdevP/Var/VarP (jar!...StdevFunDef etc.; mondrian_test.rb
+    NaN-on-NULL behavior tests :673-686)."""
+    eng = get_engine(spark, sf_dir)
+    return set_aggregate(
+        eng.fact,
+        ["return_flag"],
+        [
+            ("stdev_price", "stdev", "l_extendedprice"),
+            ("stdevp_price", "stdevp", "l_extendedprice"),
+            ("var_price", "var", "l_extendedprice"),
+            ("varp_price", "varp", "l_extendedprice"),
+        ],
+    )
+
+
+@q(
+    "corr_linreg_stats",
+    """
+    SELECT l_returnflag AS return_flag,
+           corr(l_extendedprice, l_quantity) AS corr_price_qty,
+           covar_pop(l_extendedprice, l_quantity) AS covar_price_qty,
+           regr_slope(l_extendedprice, l_quantity) AS slope,
+           regr_intercept(l_extendedprice, l_quantity) AS intercept,
+           regr_r2(l_extendedprice, l_quantity) AS r2
+    FROM lineitem GROUP BY 1
+    """,
+)
+def corr_linreg_stats(spark, sf_dir):
+    """Correlation / Covariance / LinRegSlope / LinRegIntercept / LinRegR2
+    (jar!...CorrelationFunDef, CovarianceFunDef, LinReg$*FunDef;
+    behavior tests mondrian_test.rb:608-778)."""
+    eng = get_engine(spark, sf_dir)
+    return set_aggregate(
+        eng.fact,
+        ["return_flag"],
+        [
+            ("corr_price_qty", "correlation", "l_extendedprice", "l_quantity"),
+            ("covar_price_qty", "covariance", "l_extendedprice", "l_quantity"),
+            ("slope", "linregslope", "l_extendedprice", "l_quantity"),
+            ("intercept", "linregintercept", "l_extendedprice", "l_quantity"),
+            ("r2", "linregr2", "l_extendedprice", "l_quantity"),
+        ],
+    )
+
+
+@q(
+    "case_coalesce_measures",
+    f"""
+    SELECT r_name AS region_name,
+           sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END)
+             AS high_disc_revenue,
+           count(nullif(l_discount, 0.0)) AS nonzero_disc_count
+    FROM {_CUST_STAR} GROUP BY 1
+    """,
+)
+def case_coalesce_measures(spark, sf_dir):
+    """CASE / IIF / CoalesceEmpty / NULLIF scalar functions inside measure
+    expressions (SURVEY.md §2.7)."""
+    return (
+        Query(get_engine(spark, sf_dir))
+        .columns("[Measures].[High Disc Revenue]", "[Measures].[Nonzero Disc Count]")
+        .rows("[Customer].children")
+        .execute()
+        .df
+    )
+
+
+@q(
+    "calc_member_chain",
+    """
+    SELECT l_returnflag AS return_flag, sum(l_extendedprice) AS sum_price,
+           sum(l_extendedprice) - sum(l_extendedprice*(1-l_discount)) AS discount_amount,
+           (sum(l_extendedprice) - sum(l_extendedprice*(1-l_discount)))
+             / sum(l_extendedprice) AS discount_share,
+           sum(l_extendedprice) / count(l_orderkey) AS avg_item_value
+    FROM lineitem GROUP BY 1
+    """,
+)
+def calc_member_chain(spark, sf_dir):
+    """Calculated members with solve-order chaining (schema.rb:314-341;
+    member-referencing-member mondrian_test.rb:579-605)."""
+    return (
+        Query(get_engine(spark, sf_dir))
+        .columns(
+            "[Measures].[Sum Price]", "[Measures].[Discount Amount]",
+            "[Measures].[Discount Share]", "[Measures].[Avg Item Value]",
+        )
+        .rows("[ReturnFlag].children")
+        .execute()
+        .df
+    )
+
+
+# =====================================================================
+# §2.5 — windows / ranking / time intelligence
+# =====================================================================
+_NATION_AGG = f"""
+    SELECT r_name AS region_name, n_name AS nation_name,
+           sum(l_extendedprice) AS sum_price, sum(l_quantity) AS sum_qty
+    FROM {_CUST_STAR} GROUP BY 1, 2
+"""
+
+
+@q(
+    "topcount_nations",
+    f"""
+    WITH agg AS ({_NATION_AGG})
+    SELECT region_name, nation_name, sum_price FROM agg
+    ORDER BY sum_price DESC, region_name, nation_name LIMIT 5
+    """,
+)
+def topcount_nations(spark, sf_dir):
+    """TOPCOUNT (jar!...TopBottomCountFunDef; mondrian_test.rb:272-296)."""
+    return (
+        Query(get_engine(spark, sf_dir))
+        .columns("[Measures].[Sum Price]")
+        .rows("[Customer].[Nation].Members")
+        .top_count(5, "sum_price")
+        .execute()
+        .df
+    )
+
+
+@q(
+    "bottomcount_nations",
+    f"""
+    WITH agg AS ({_NATION_AGG})
+    SELECT region_name, nation_name, sum_qty FROM agg
+    ORDER BY sum_qty ASC, region_name, nation_name LIMIT 5
+    """,
+)
+def bottomcount_nations(spark, sf_dir):
+    return (
+        Query(get_engine(spark, sf_dir))
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].[Nation].Members")
+        .bottom_count(5, "sum_qty")
+        .execute()
+        .df
+    )
+
+
+@q(
+    "toppercent_nations",
+    f"""
+    WITH agg AS ({_NATION_AGG}),
+    w AS (
+      SELECT region_name, nation_name, sum_price,
+             sum(sum_price) OVER (ORDER BY sum_price DESC, region_name, nation_name
+                                  ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(sum_price) OVER () AS total
+      FROM agg
+    )
+    SELECT region_name, nation_name, sum_price FROM w
+    WHERE cum - sum_price < 0.30 * total
+    """,
+)
+def toppercent_nations(spark, sf_dir):
+    """TOPPERCENT: smallest prefix of the sorted set reaching 30% of total
+    (jar!...TopBottomPercentSumFunDef) — cumulative-window pattern."""
+    return (
+        Query(get_engine(spark, sf_dir))
+        .columns("[Measures].[Sum Price]")
+        .rows("[Customer].[Nation].Members")
+        .top_percent(30, "sum_price")
+        .execute()
+        .df
+    )
+
+
+@q(
+    "topsum_nations",
+    f"""
+    WITH agg AS ({_NATION_AGG}),
+    w AS (
+      SELECT region_name, nation_name, sum_price,
+             sum(sum_price) OVER (ORDER BY sum_price DESC, region_name, nation_name
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+      FROM agg
+    )
+    SELECT region_name, nation_name, sum_price FROM w
+    WHERE cum - sum_price < 500000000
+    """,
+)
+def topsum_nations(spark, sf_dir):
+    """TOPSUM: smallest prefix whose running sum reaches the threshold."""
+    return (
+        Query(get_engine(spark, sf_dir))
+        .columns("[Measures].[Sum Price]")
+        .rows("[Customer].[Nation].Members")
+        .top_sum(500_000_000, "sum_price")
+        .execute()
+        .df
+    )
+
+
+@q(
+    "rank_nations",
+    f"""
+    WITH agg AS ({_NATION_AGG})
+    SELECT region_name, nation_name, sum_price,
+           rank() OVER (ORDER BY sum_price DESC) AS price_rank
+    FROM agg
+    """,
+)
+def rank_nations(spark, sf_dir):
+    """RANK over a set by expression (jar!...RankFunDef)."""
+    df = (
+        Query(get_engine(spark, sf_dir))
+        .columns("[Measures].[Sum Price]")
+        .rows("[Customer].[Nation].Members")
+        .execute()
+        .df
+    )
+    return fx.rank_over(df, "sum_price", output="price_rank")
+
+
+@q(
+    "head_nations_hierarchized",
+    f"""
+    WITH agg AS ({_NATION_AGG})
+    SELECT region_name, nation_name, sum_price FROM agg
+    ORDER BY region_name, nation_name LIMIT 3
+    """,
+)
+def head_nations_hierarchized(spark, sf_dir):
+    """HEAD(set, 3) in hierarchize order (jar!...HeadTailFunDef)."""
+    df = (
+        Query(get_engine(spark, sf_dir))
+        .columns("[Measures].[Sum Price]")
+        .rows("[Customer].[Nation].Members")
+        .execute()
+        .df
+    )
+    return fx.head(df, ["region_name", "nation_name"], 3)
+
+
+@q(
+    "subset_nations_by_price",
+    f"""
+    WITH agg AS ({_NATION_AGG}),
+    w AS (
+      SELECT region_name, nation_name, sum_price,
+             row_number() OVER (ORDER BY sum_price DESC, region_name, nation_name) AS rn
+      FROM agg
+    )
+    SELECT region_name, nation_name, sum_price FROM w WHERE rn > 5 AND rn <= 10
+    """,
+)
+def subset_nations_by_price(spark, sf_dir):
+    """SUBSET(set, 5, 5) — ranks 6..10 by measure (jar!...SubsetFunDef)."""
+    df = (
+        Query(get_engine(spark, sf_dir))
+        .columns("[Measures].[Sum Price]")
+        .rows("[Customer].[Nation].Members")
+        .execute()
+        .df
+    )
+    return fx.subset(df, ["sum_price DESC", "region_name", "nation_name"], 5, 5)
+
+
+_MONTHLY_AGG = f"""
+    SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
+           sum(l_extendedprice) AS sum_price
+    FROM {_ORD_STAR} GROUP BY 1, 2
+"""
+
+
+@q(
+    "ytd_monthly",
+    f"""
+    WITH agg AS ({_MONTHLY_AGG})
+    SELECT o_year, o_month, sum_price,
+           sum(sum_price) OVER (PARTITION BY o_year ORDER BY o_month
+                                ROWS UNBOUNDED PRECEDING) AS ytd_price
+    FROM agg
+    """,
+)
+def ytd_monthly(spark, sf_dir):
+    """YTD / PeriodsToDate: cumulative from period start within the period
+    parent (jar!...XtdFunDef, PeriodsToDateFunDef)."""
+    df = (
+        Query(get_engine(spark, sf_dir))
+        .columns("[Measures].[Sum Price]")
+        .rows("[Time].[Month].Members")
+        .execute()
+        .df
+        .drop("o_quarter")
+    )
+    return fx.cumulative(df, "sum_price", ["o_month"], partition=["o_year"], output="ytd_price")
+
+
+@q(
+    "prev_member_month",
+    f"""
+    WITH agg AS ({_MONTHLY_AGG})
+    SELECT o_year, o_month, sum_price,
+           lag(sum_price, 1) OVER (ORDER BY o_year, o_month) AS prev_price
+    FROM agg
+    """,
+)
+def prev_member_month(spark, sf_dir):
+    """PrevMember / Lag (jar!...LeadLagFunDef)."""
+    df = (
+        Query(get_engine(spark, sf_dir))
+        .columns("[Measures].[Sum Price]")
+        .rows("[Time].[Month].Members")
+        .execute()
+        .df
+        .drop("o_quarter")
+    )
+    return fx.lag_over(df, "sum_price", ["o_year", "o_month"], output="prev_price")
+
+
+@q(
+    "parallel_period_month",
+    f"""
+    WITH agg AS ({_MONTHLY_AGG})
+    SELECT o_year, o_month, sum_price,
+           lag(sum_price, 1) OVER (PARTITION BY o_month ORDER BY o_year) AS py_price
+    FROM agg
+    """,
+)
+def parallel_period_month(spark, sf_dir):
+    """ParallelPeriod(Year, 1): same month previous year
+    (jar!...ParallelPeriodFunDef)."""
+    df = (
+        Query(get_engine(spark, sf_dir))
+        .columns("[Measures].[Sum Price]")
+        .rows("[Time].[Month].Members")
+        .execute()
+        .df
+        .drop("o_quarter")
+    )
+    return fx.lag_over(df, "sum_price", ["o_year"], partition=["o_month"], output="py_price")
+
+
+@q(
+    "last_periods_moving_3m",
+    f"""
+    WITH agg AS ({_MONTHLY_AGG})
+    SELECT o_year, o_month, sum_price,
+           sum(sum_price) OVER (ORDER BY o_year, o_month
+                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_3m
+    FROM agg
+    """,
+)
+def last_periods_moving_3m(spark, sf_dir):
+    """LastPeriods(3): trailing 3-period aggregate (jar!...LastPeriodsFunDef)."""
+    df = (
+        Query(get_engine(spark, sf_dir))
+        .columns("[Measures].[Sum Price]")
+        .rows("[Time].[Month].Members")
+        .execute()
+        .df
+        .drop("o_quarter")
+    )
+    return fx.last_periods(df, "sum_price", ["o_year", "o_month"], 3, output="moving_3m")
+
+
+@q(
+    "opening_closing_period",
+    f"""
+    WITH agg AS ({_MONTHLY_AGG})
+    SELECT o_year, o_month, sum_price,
+           first_value(sum_price) OVER (PARTITION BY o_year ORDER BY o_month
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS opening_value,
+           last_value(sum_price) OVER (PARTITION BY o_year ORDER BY o_month
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS closing_value
+    FROM agg
+    """,
+)
+def opening_closing_period(spark, sf_dir):
+    """OpeningPeriod / ClosingPeriod (jar!...OpeningClosingPeriodFunDef)."""
+    df = (
+        Query(get_engine(spark, sf_dir))
+        .columns("[Measures].[Sum Price]")
+        .rows("[Time].[Month].Members")
+        .execute()
+        .df
+        .drop("o_quarter")
+    )
+    df = fx.opening_period(df, "sum_price", ["o_month"], ["o_year"], output="opening_value")
+    return fx.closing_period(df, "sum_price", ["o_month"], ["o_year"], output="closing_value")
+
+
+# =====================================================================
+# §2.6 — set operations & generators
+# =====================================================================
+@q(
+    "except_regions",
+    f"""
+    SELECT r_name AS region_name, sum(l_extendedprice) AS sum_price
+    FROM {_CUST_STAR}
+    WHERE r_name NOT IN ('ASIA', 'EUROPE') GROUP BY 1
+    """,
+)
+def except_regions(spark, sf_dir):
+    """EXCEPT set difference (query.rb:59-66; jar!...ExceptFunDef)."""
+    return (
+        Query(get_engine(spark, sf_dir))
+        .columns("[Measures].[Sum Price]")
+        .rows("[Customer].children")
+        .except_("[Customer].[ASIA]", "[Customer].[EUROPE]")
+        .execute()
+        .df
+    )
+
+
+@q(
+    "filter_order_nations",
+    f"""
+    WITH agg AS (
+      SELECT r_name AS region_name, n_name AS nation_name,
+             sum(l_extendedprice) AS sum_price, avg(l_quantity) AS avg_qty
+      FROM {_CUST_STAR} GROUP BY 1, 2
+    )
+    SELECT region_name, nation_name, sum_price, avg_qty FROM agg
+    WHERE avg_qty > 25.5
+    """,
+)
+def filter_order_nations(spark, sf_dir):
+    """FILTER with a measure condition = HAVING (query.rb:80-95,
+    jar!...FilterFunDef; test/query_test.rb:624-655)."""
+    return (
+        Query(get_engine(spark, sf_dir))
+        .columns("[Measures].[Sum Price]", "[Measures].[Avg Qty]")
+        .rows("[Customer].[Nation].Members")
+        .filter("avg_qty > 25.5")
+        .order("sum_price", "BDESC")
+        .execute()
+        .df
+    )
+
+
+@q(
+    "generate_customer_list",
+    """
+    SELECT r_name AS region_name, n_name AS nation_name,
+           string_agg(c_name, '|' ORDER BY c_name) AS customer_list
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+def generate_customer_list(spark, sf_dir):
+    """GENERATE string form: concatenate an expression over a set with a
+    separator (query.rb:97-108; string form mondrian_test.rb:491-517)."""
+    eng = get_engine(spark, sf_dir)
+    members = eng.level_members("Customer", 2)
+    return fx.generate_concat(
+        members,
+        ["region_name", "nation_name"],
+        "customer_name",
+        ["customer_name"],
+        sep="|",
+        output="customer_list",
+    )
+
+
+@q(
+    "level_members_metadata",
+    """
+    SELECT DISTINCT r_name AS region_name, n_name AS nation_name
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def level_members_metadata(spark, sf_dir):
+    """Level member load (entry point C — SqlTupleReader analog:
+    distinct + hierarchy order, cube.rb:328-332)."""
+    return get_engine(spark, sf_dir).level_members("Customer", 1)
+
+
+@q(
+    "descendants_of_member",
+    """
+    SELECT DISTINCT r_name AS region_name, n_name AS nation_name,
+           c_name AS customer_name
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE'
+    """,
+)
+def descendants_of_member(spark, sf_dir):
+    """Descendants(member, level) (jar!...DescendantsFunDef;
+    cube.rb:453-468 descendants_at_level)."""
+    return get_engine(spark, sf_dir).level_members("Customer", 2, ("EUROPE",))
+
+
+# =====================================================================
+# §3 D — drill-through
+# =====================================================================
+@q(
+    "drillthrough_cell",
+    f"""
+    SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+           c_name AS customer_name, l_quantity AS quantity,
+           l_extendedprice AS price
+    FROM {_CUST_STAR}
+    WHERE r_name = 'ASIA' AND year(o_orderdate) = 1998
+    ORDER BY orderkey, linenumber, customer_name, quantity, price
+    LIMIT 1000
+    """,
+)
+def drillthrough_cell(spark, sf_dir):
+    """Cell drill-through with RETURN fields and MAXROWS
+    (result.rb:145-157, :283-419; expected SQL test/query_test.rb:932-1028)."""
+    eng = get_engine(spark, sf_dir)
+    return eng.drill_through(
+        where=["[Customer].[ASIA]", "[Time].[1998]"],
+        fields=[
+            ("orderkey", "l_orderkey"),
+            ("linenumber", "l_linenumber"),
+            ("customer_name", "[Customer].[Customer]"),
+            ("quantity", "l_quantity"),
+            ("price", "l_extendedprice"),
+        ],
+        max_rows=1000,
+    )
+
+
+# =====================================================================
+# Events cube (second fact — Sales-and-Warehouse analog, FIXTURES.md §3)
+# =====================================================================
+@q(
+    "events_by_type",
+    """
+    SELECT event_type, sum(value) AS sum_value, count(event_id) AS event_count,
+           count(DISTINCT user_id) AS distinct_users
+    FROM events GROUP BY 1
+    """,
+)
+def events_by_type(spark, sf_dir):
+    return (
+        Query(get_engine(spark, sf_dir, cube="Events"))
+        .columns(
+            "[Measures].[Sum Value]", "[Measures].[Event Count]",
+            "[Measures].[Distinct Users]",
+        )
+        .rows("[EventType].children")
+        .execute()
+        .df
+    )
+
+
+@q(
+    "events_daily_users",
+    """
+    SELECT day(ts) AS event_day, count(DISTINCT user_id) AS distinct_users,
+           sum(value) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def events_daily_users(spark, sf_dir):
+    return (
+        Query(get_engine(spark, sf_dir, cube="Events"))
+        .columns("[Measures].[Distinct Users]", "[Measures].[Sum Value]")
+        .rows("[EventTime].children")
+        .execute()
+        .df
+    )

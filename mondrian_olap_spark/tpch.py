@@ -151,6 +151,22 @@ SALES_CUBE = Cube(
         ),
         Measure("Min Price", "l_extendedprice", "min", output="min_price"),
         Measure("Max Price", "l_extendedprice", "max", output="max_price"),
+        # measure_expression with CASE (schema_definition_test.rb:527-550;
+        # CASE WHEN — jar!...CaseTestFunDef, SURVEY.md §2.7)
+        Measure(
+            "High Disc Revenue",
+            "CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END",
+            "sum",
+            output="high_disc_revenue",
+        ),
+        # CoalesceEmpty/NULLIF scalar composition inside a measure expression
+        # (jar!...CoalesceEmptyFunDef; tests mondrian_test.rb:520-541)
+        Measure(
+            "Nonzero Disc Count",
+            "nullif(l_discount, 0.0)",
+            "count",
+            output="nonzero_disc_count",
+        ),
     ),
     calculated_members=(
         # calc members over measure aliases, applied in solve_order

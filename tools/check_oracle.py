@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Local mirror of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry at sf0.01 and compares it to
+its ``oracle_sql()`` DuckDB result: row count, column names, and
+order-insensitive values (floats with tolerance).  Usage:
+
+    python tools/check_oracle.py [query-name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def norm(v):
+    if v is None:
+        return (0, "")
+    if isinstance(v, bool):
+        return (1, str(int(v)))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return (2, "nan")
+        return (2, f"{v:.6g}")
+    try:
+        f = float(v)
+        if isinstance(v, int) or f == int(f):
+            return (2, f"{f:.6g}")
+        return (2, f"{f:.6g}")
+    except (TypeError, ValueError):
+        return (3, str(v))
+
+
+def compare(srows, scols, drows, dcols):
+    if sorted(scols) != sorted(dcols):
+        return f"SCHEMA columns {sorted(scols)} vs {sorted(dcols)}"
+    if len(srows) != len(drows):
+        return f"ROWS {len(srows)} vs {len(drows)}"
+    order = sorted(scols)
+    sidx = [scols.index(c) for c in order]
+    didx = [dcols.index(c) for c in order]
+    snorm = sorted(tuple(norm(r[i]) for i in sidx) for r in srows)
+    dnorm = sorted(tuple(norm(r[i]) for i in didx) for r in drows)
+    for a, b in zip(snorm, dnorm):
+        for (ka, va), (kb, vb) in zip(a, b):
+            if ka != kb:
+                return f"TYPE {a} vs {b}"
+            if ka == 2 and va != vb:
+                fa, fb = float(va), float(vb)
+                if not math.isclose(fa, fb, rel_tol=1e-5, abs_tol=1e-6):
+                    return f"VALUE {a} vs {b}"
+            elif ka != 2 and va != vb:
+                return f"VALUE {a} vs {b}"
+    return None
+
+
+def main():
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry
+
+    only = set(sys.argv[1:])
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("oracle-check")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "6g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    queries = entry.queries()
+    oracles = entry.oracle_sql()
+    passed = failed = skipped = 0
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, SF_DIR)
+            scols = df.columns
+            srows = [tuple(r) for r in df.collect()]
+        except Exception:
+            print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
+            failed += 1
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"SKIP {name}: no oracle (rows={len(srows)}) [{time.time()-t0:.1f}s]")
+            skipped += 1
+            continue
+        try:
+            res = con.execute(sql)
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception:
+            print(f"FAIL {name}: duckdb error\n{traceback.format_exc()}")
+            failed += 1
+            continue
+        err = compare(srows, scols, drows, dcols)
+        if err:
+            print(f"FAIL {name}: {err} [{time.time()-t0:.1f}s]")
+            failed += 1
+        else:
+            print(f"PASS {name} ({len(srows)} rows) [{time.time()-t0:.1f}s]")
+            passed += 1
+    print(f"\n{passed} passed, {failed} failed, {skipped} rows-only")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
