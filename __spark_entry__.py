@@ -25,12 +25,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    import mondrian_olap_spark.suite_pipeline  # noqa: F401 — registers entries
     from mondrian_olap_spark.suite import QUERIES
 
     return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
+    import mondrian_olap_spark.suite_pipeline  # noqa: F401 — registers entries
     from mondrian_olap_spark.suite import ORACLE
 
     return dict(ORACLE)

@@ -1,0 +1,318 @@
+"""Document deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+SimHash.
+
+Design for 100 TB:
+
+* everything is expression-based (whole-stage codegen) — no Python UDFs;
+* near-dup detection never materialises the O(n²) pair matrix: candidates
+  come from sparse joins (shared shingle / LSH band bucket / SimHash chunk)
+  and only candidates are verified;
+* all hashing is deterministic and engine-portable (derived from md5), so
+  results are reproducible and SQL-oracle-verifiable.
+
+Hash portability: ``cast(conv(substr(md5(s),1,15),16,10) as bigint)`` in
+Spark equals ``('0x' || substr(md5(s),1,15))::BIGINT`` in DuckDB/ANSI-ish
+SQL — 60 bits of md5, well inside int64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: portable 60-bit string hash (see module docstring)
+def _h(expr: str) -> str:
+    return f"cast(conv(substr(md5({expr}), 1, 15), 16, 10) as bigint)"
+
+
+#: MinHash universal-hash modulus — prime 2^31-1 keeps a*x+b inside int64
+MINHASH_PRIME = 2_147_483_647
+
+
+def minhash_coefficients(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a*x + b) mod P via a simple
+    LCG — reproducible across engines because the literals are inlined into
+    the generated expressions."""
+    coeffs = []
+    state = seed
+    for _ in range(num_hashes):
+        state = (state * 1_103_515_245 + 12_345) % (1 << 31)
+        a = state % (MINHASH_PRIME - 1) + 1
+        state = (state * 1_103_515_245 + 12_345) % (1 << 31)
+        b = state % MINHASH_PRIME
+        coeffs.append((a, b))
+    return coeffs
+
+
+def tokens(df: DataFrame, text_col: str = "text", output: str = "toks") -> DataFrame:
+    """Whitespace tokenization as an array column (JVM-side)."""
+    return df.withColumn(output, F.split(F.trim(F.col(text_col)), r"\s+"))
+
+
+def shingles(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Distinct word n-gram shingles, one row per (id, shingle).
+
+    Pure expression pipeline: split → sliding slices via
+    ``transform(sequence(...))`` → ``array_distinct`` → ``explode``.
+    """
+    t = F.split(F.trim(F.col(text_col)), r"\s+")
+    sh = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", t)))
+    return df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle"))
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup by content fingerprint: md5 of normalised text →
+    (fingerprint, keep_id, dup_count).  One hash-shuffle; the canonical
+    survivor is the minimum id (deterministic)."""
+    fp = F.md5(F.lower(F.trim(F.col(text_col))))
+    return (
+        df.select(fp.alias("fingerprint"), F.col(id_col).alias("id"))
+        .groupBy("fingerprint")
+        .agg(F.min("id").alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs via sparse shingle join.
+
+    |A∩B| comes from joining the exploded shingle table with itself on the
+    shingle value — candidate pairs are only documents *sharing at least one
+    shingle*, never the dense O(n²) matrix.  ``max_shingle_df`` optionally
+    drops ubiquitous shingles (document frequency cap) to kill join skew at
+    corpus scale — the standard stop-shingle trick; leave ``None`` for exact
+    semantics.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ threshold.
+    """
+    sh = shingles(df, id_col, text_col, n)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        common.join(sa, F.col("id_a") == F.col("sa.id"))
+        .join(sb, F.col("id_b") == F.col("sb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("common")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """MinHash signatures: min over shingle hashes under ``num_hashes``
+    universal hash functions — one groupBy over the exploded shingle table
+    computes every component (map-side partial min, single shuffle)."""
+    sh = shingles(df, id_col, text_col, n).withColumn(
+        "h", F.expr(_h("shingle")) % MINHASH_PRIME
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"m{i}")
+        for i, (a, b) in enumerate(minhash_coefficients(num_hashes))
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, num_hashes: int = 16, bands: int = 8
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` bands of
+    ``num_hashes/bands`` rows; documents agreeing on any whole band become a
+    candidate pair.  The band bucket join is the only shuffle — candidate
+    volume scales with collisions, not n²."""
+    rows = num_hashes // bands
+    band_cols = []
+    for bi in range(bands):
+        members = [F.col(f"m{bi * rows + r}") for r in range(rows)]
+        band_cols.append(
+            F.struct(F.lit(bi).alias("band"), F.md5(F.concat_ws(",", *members)).alias("key"))
+        )
+    buckets = sigs.select("id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """MinHash-LSH near-dup pipeline: signatures → band candidates → exact
+    Jaccard verification of candidates only.
+
+    Returns (id_a, id_b, jaccard) for verified pairs ≥ threshold.  With 8
+    bands × 2 rows the miss probability at j=0.8 is (1-0.8²)^8 ≈ 7e-4 and
+    vanishes for the j≥0.95 pairs real corpora plant.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    cand = minhash_lsh_candidates(sigs, num_hashes, bands)
+    sh = shingles(df, id_col, text_col, n)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("sha")
+    b = sh.alias("shb")
+    common = (
+        cand.join(a, F.col("id_a") == F.col("sha.id"))
+        .join(b, (F.col("id_b") == F.col("shb.id")) & (F.col("sha.shingle") == F.col("shb.shingle")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.alias("sza")
+    sb = sizes.alias("szb")
+    return (
+        common.join(sa, F.col("id_a") == F.col("sza.id"))
+        .join(sb, F.col("id_b") == F.col("szb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("common")
+                / (F.col("sza.n_sh") + F.col("szb.n_sh") - F.col("common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    n: int = 3,
+) -> DataFrame:
+    """SimHash signatures over distinct word n-gram features (weight 1).
+
+    Per bit b: sign of Σ_features (bit b of feature-hash ? +1 : -1); the bit
+    vector packs into one BIGINT.  Features are shingles rather than single
+    tokens — on small-vocabulary corpora token-level SimHash collapses
+    (every document shares most tokens), while shingles keep signatures
+    document-specific.  Expression pipeline: shingle → explode →
+    explode(sequence(0, bits-1)) → groupBy(id) conditional sums — everything
+    stays in codegen.
+    """
+    toks = shingles(df, id_col, text_col, n).withColumn("th", F.expr(_h("shingle")))
+    contrib = toks.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        "th",
+    ).withColumn("v", F.expr("CASE WHEN (th >> bit) & 1 = 1 THEN 1 ELSE -1 END"))
+    bitsum = contrib.groupBy("id", "bit").agg(F.sum("v").alias("s"))
+    return bitsum.groupBy("id").agg(
+        F.sum(
+            F.expr("CASE WHEN s > 0 THEN shiftleft(cast(1 as bigint), bit) ELSE cast(0 as bigint) END")
+        ).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+    chunks: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs with guaranteed-recall chunk blocking.
+
+    Pigeonhole: splitting a ``bits``-bit signature into ``chunks`` equal
+    chunks, any pair within hamming distance < ``chunks`` must agree on at
+    least one whole chunk — so joining on (chunk_idx, chunk_value) finds
+    every pair with distance ≤ chunks-1 without an O(n²) join.  Requires
+    ``max_hamming < chunks``.
+
+    Returns (id_a, id_b, hamming) with hamming ≤ max_hamming.
+    """
+    if max_hamming >= chunks:
+        raise ValueError("guaranteed recall needs max_hamming < chunks")
+    width = bits // chunks
+    sigs = simhash(df, id_col, text_col, bits, n)
+    mask = (1 << width) - 1
+    chunk_cols = [
+        F.struct(
+            F.lit(ci).alias("ci"),
+            F.shiftright(F.col("simhash"), ci * width).bitwiseAND(F.lit(mask)).alias("cv"),
+        )
+        for ci in range(chunks)
+    ]
+    blocks = sigs.select(
+        "id", "simhash", F.explode(F.array(*chunk_cols)).alias("c")
+    ).select("id", "simhash", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv"))
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

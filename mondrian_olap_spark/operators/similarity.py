@@ -1,0 +1,177 @@
+"""Embedding similarity search: brute-force cosine top-k (baseline) and
+random-hyperplane LSH bucketing (scale path).
+
+Vectors are ``array<float>`` columns; all arithmetic is promoted to double
+and kept in JVM expressions (``zip_with`` + ``aggregate`` fold — sequential
+left-to-right sum, so results are bit-reproducible and match any engine that
+sums in element order).
+
+Scale notes:
+
+* brute-force top-k broadcasts the (small) query set against the corpus —
+  one scan, no shuffle of the corpus, per-partition partial top-k via the
+  ranking window on (query, cosine);
+* the LSH variant buckets vectors by sign patterns against deterministic
+  pseudo-random hyperplanes; candidate generation is a bucket equi-join, so
+  cost scales with bucket collisions, not n².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dvec(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double precision."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """NULL-safe cosine: zero-norm vectors yield NULL (no defined direction)
+    instead of tripping ANSI division-by-zero."""
+    return F.try_divide(dot(a, b), na * nb)
+
+
+def with_cosine(df: DataFrame, a: str, b: str, output: str = "cosine") -> DataFrame:
+    av, bv = _dvec(F.col(a)), _dvec(F.col(b))
+    return df.withColumn(output, cosine(av, bv, norm(av), norm(bv)))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: exact baseline.
+
+    Returns (query_id, neighbor_id, cosine) — k rows per query, cosine
+    descending, neighbor id as deterministic tiebreak; self-matches excluded.
+    """
+    q = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("qv"))
+        .withColumn("qn", norm(F.col("qv")))
+    )
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"), _dvec(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", norm(F.col("cv")))
+    pairs = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")))
+        .filter(F.col("cosine").isNotNull())
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
+def cosine_pairs_threshold(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (exact; O(n²) — the correctness
+    baseline for the LSH path, usable up to ~10⁵ vectors)."""
+    a = emb.select(F.col(id_col).alias("id_a"), _dvec(F.col(vec_col)).alias("va")).withColumn(
+        "na", norm(F.col("va"))
+    )
+    b = emb.select(F.col(id_col).alias("id_b"), _dvec(F.col(vec_col)).alias("vb")).withColumn(
+        "nb", norm(F.col("vb"))
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def _hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane components in [-1, 1): derived
+    from md5 of (plane, component) so any engine can reproduce them."""
+    import hashlib
+
+    comps = []
+    for j in range(dim):
+        h = int(hashlib.md5(f"plane:{plane}:{j}".encode()).hexdigest()[:15], 16)
+        comps.append((h % 2001 - 1000) / 1000.0)
+    return comps
+
+
+def lsh_signatures(
+    emb: DataFrame,
+    dim: int,
+    planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane (SimHash-for-cosine) signatures: bit p = sign of
+    ⟨v, h_p⟩.  P(bit match) = 1 - θ/π, so agreeing buckets concentrate
+    high-cosine pairs."""
+    v = _dvec(F.col(vec_col))
+    bits = []
+    for p in range(planes):
+        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, p)])
+        bits.append(
+            F.when(dot(v, plane) > 0, F.shiftleft(F.lit(1).cast("bigint"), p)).otherwise(
+                F.lit(0).cast("bigint")
+            )
+        )
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return emb.select(F.col(id_col).alias("id"), sig.alias("bucket"))
+
+
+def lsh_candidate_pairs(
+    emb: DataFrame,
+    dim: int,
+    planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN candidate pairs: band the hyperplane signature (``bands`` bands of
+    ``planes/bands`` bits) and join on any agreeing band — the scale path
+    that replaces the O(n²) join."""
+    width = planes // bands
+    sigs = lsh_signatures(emb, dim, planes, id_col, vec_col)
+    mask = (1 << width) - 1
+    chunk_cols = [
+        F.struct(
+            F.lit(ci).alias("ci"),
+            F.shiftright(F.col("bucket"), ci * width).bitwiseAND(F.lit(mask)).alias("cv"),
+        )
+        for ci in range(bands)
+    ]
+    blocks = sigs.select("id", F.explode(F.array(*chunk_cols)).alias("c")).select(
+        "id", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )

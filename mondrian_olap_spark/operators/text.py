@@ -1,0 +1,126 @@
+"""Text analysis operators: language ID, quality scoring, token counting,
+document fingerprinting.
+
+Every feature is a single Spark SQL expression over the text column —
+whole-stage codegen, no UDFs, trivially SQL-oracle-checkable.  The language
+heuristic is stopword-hit voting (deterministic n-gram/stopword approach; a
+real fastText-style model would slot in as a Pandas UDF without changing the
+plan shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword sets for the voting heuristic
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "is", "to", "in"),
+    "de": ("der", "die", "das", "und", "ist", "zu", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une"),
+    "es": ("el", "los", "las", "y", "es", "un", "una"),
+}
+
+
+def _in_list(vals: tuple[str, ...]) -> str:
+    return ", ".join(f"'{v}'" for v in vals)
+
+
+def _toks(text_col: str) -> str:
+    return f"split(trim({text_col}), '\\\\s+')"
+
+
+def _stop_count(text_col: str, lang: str) -> str:
+    return (
+        f"size(filter(transform({_toks(text_col)}, t -> lower(t)), "
+        f"t -> t IN ({_in_list(STOPWORDS[lang])})))"
+    )
+
+
+def text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds token/char counts, punctuation + stopword ratios, a composite
+    quality score, a bag-of-words fingerprint, and a language guess.
+
+    Columns: n_tokens, n_chars_calc, avg_token_len, punct_ratio,
+    stopword_ratio, quality_score, bag_fingerprint, lang_guess.
+    """
+    t = _toks(text_col)
+    exprs = {
+        "n_tokens": f"size({t})",
+        "n_chars_calc": f"length({text_col})",
+        # greatest(...,1) guards: empty/whitespace-only docs must yield 0
+        # ratios, not ANSI division-by-zero
+        "avg_token_len": (
+            f"length(regexp_replace({text_col}, '\\\\s', '')) * 1.0 / greatest(size({t}), 1)"
+        ),
+        "punct_ratio": (
+            f"length(regexp_replace({text_col}, '[A-Za-z0-9\\\\s]', '')) * 1.0 "
+            f"/ greatest(length({text_col}), 1)"
+        ),
+        "stopword_ratio": f"{_stop_count(text_col, 'en')} * 1.0 / greatest(size({t}), 1)",
+    }
+    out = df
+    for name, e in exprs.items():
+        out = out.withColumn(name, F.expr(e))
+    # composite quality score: length saturation + stopword density +
+    # punctuation cleanliness (weights are arbitrary but fixed)
+    out = out.withColumn(
+        "quality_score",
+        F.expr(
+            "round(least(1.0, n_tokens / 100.0) * 0.4 + stopword_ratio * 0.4 "
+            "+ (1.0 - punct_ratio) * 0.2, 6)"
+        ),
+    )
+    # bag-of-words fingerprint: order-insensitive content identity (md5 of
+    # the sorted distinct token list) — catches shuffled near-identical docs
+    out = out.withColumn(
+        "bag_fingerprint",
+        F.expr(f"md5(concat_ws(' ', array_sort(array_distinct({t}))))"),
+    )
+    # stopword-vote language guess with fixed preference order on ties
+    votes = {lang: _stop_count(text_col, lang) for lang in STOPWORDS}
+    out = out.withColumn(
+        "lang_guess",
+        F.expr(
+            f"""CASE
+            WHEN {votes['en']} >= greatest({votes['de']}, {votes['fr']}, {votes['es']})
+                 AND {votes['en']} > 0 THEN 'en'
+            WHEN {votes['de']} >= greatest({votes['fr']}, {votes['es']})
+                 AND {votes['de']} > 0 THEN 'de'
+            WHEN {votes['fr']} >= {votes['es']} AND {votes['fr']} > 0 THEN 'fr'
+            WHEN {votes['es']} > 0 THEN 'es'
+            ELSE 'und' END"""
+        ),
+    )
+    return out
+
+
+def rolling_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints: k-gram rolling hashes, minimum per
+    sliding window (Schleimer et al. winnowing) — the standard
+    plagiarism/near-dup fingerprint.  Expression-only: k-gram hashes via the
+    portable md5 hash, window minima via ``transform`` over index sequences.
+
+    Returns (id, fingerprint) exploded — one row per selected fingerprint.
+    """
+    t = f"split(trim({text_col}), '\\\\s+')"
+    kgrams = (
+        f"transform(sequence(1, greatest(size({t}) - {k - 1}, 1)), "
+        f"i -> cast(conv(substr(md5(concat_ws(' ', slice({t}, i, {k}))), 1, 15), 16, 10) as bigint))"
+    )
+    # materialise the k-gram array once; the window pass then slices it
+    # instead of recomputing every hash per window position
+    staged = df.select(F.col(id_col).alias("id"), F.expr(kgrams).alias("__grams"))
+    windows = (
+        f"transform(sequence(1, greatest(size(__grams) - {window - 1}, 1)), "
+        f"i -> array_min(slice(__grams, i, {window})))"
+    )
+    return staged.select(
+        "id", F.explode(F.array_distinct(F.expr(windows))).alias("fingerprint")
+    )

@@ -1,0 +1,263 @@
+"""Correctness-suite entries for the data-pipeline operators (dedup,
+similarity search, text analysis) over the ``documents`` / ``embeddings``
+tables — registered into the same QUERIES/ORACLE dicts as the OLAP suite.
+
+Oracles reimplement each operator in DuckDB SQL from the same deterministic
+primitives (md5-derived hashes, double-precision sequential dot products),
+so Spark and DuckDB agree bit-for-bit modulo float rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .operators import dedup, similarity, text
+from .star import read_parquet_table
+from .suite import ORACLE, QUERIES, q
+
+_DOC_TOKS = "string_split_regex(trim(text), '\\s+')"
+
+# shared oracle fragment: distinct 3-shingles per document (positional join)
+_SHINGLES_SQL = f"""
+toks AS (
+  SELECT doc_id, unnest({_DOC_TOKS}) AS w,
+         generate_subscripts({_DOC_TOKS}, 1) AS pos
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT a.doc_id AS id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+  FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1)
+"""
+
+_JACCARD_SQL = f"""
+WITH {_SHINGLES_SQL},
+common AS (
+  SELECT x.id AS id_a, y.id AS id_b, count(*) AS c
+  FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.id < y.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(c * 1.0 / (sa.n_sh + sb.n_sh - c), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.8
+"""
+
+
+def _docs(spark, sf_dir):
+    return read_parquet_table(spark, f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return read_parquet_table(spark, f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------- dedup
+@q(
+    "dedup_exact_fingerprint",
+    """
+    SELECT md5(lower(trim(text))) AS fingerprint, min(doc_id) AS keep_id,
+           count(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact_fingerprint(spark, sf_dir):
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+@q("dedup_ngram_jaccard_pairs", _JACCARD_SQL)
+def dedup_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs via sparse shingle join."""
+    df = dedup.jaccard_pairs(_docs(spark, sf_dir), threshold=0.8)
+    return df.withColumn("jaccard", F.round("jaccard", 6))
+
+
+@q("dedup_minhash_lsh_pairs", _JACCARD_SQL)
+def dedup_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash-LSH candidates + exact verification.  The oracle is the exact
+    all-pairs Jaccard — LSH recall at the planted-near-dup similarity levels
+    (≥0.95) is ~1-1e-13, verified empirically on this corpus."""
+    df = dedup.minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.8)
+    return df.withColumn("jaccard", F.round("jaccard", 6))
+
+
+@q(
+    "dedup_simhash_pairs",
+    f"""
+    WITH {_SHINGLES_SQL},
+    th AS (
+      SELECT id AS doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh
+    ),
+    bitsum AS (
+      SELECT doc_id, bits.b AS bit,
+             sum(CASE WHEN (h >> bits.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS b) bits
+      GROUP BY 1, 2
+    ),
+    sig AS (
+      SELECT doc_id,
+             sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0::BIGINT END) AS sh
+      FROM bitsum GROUP BY 1
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sh, b.sh)) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    """,
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (32-bit, hamming ≤ 3) with chunk blocking —
+    recall-guaranteed by pigeonhole, verified against brute-force SQL."""
+    return dedup.simhash_pairs(_docs(spark, sf_dir), bits=32, max_hamming=3, chunks=4)
+
+
+# ------------------------------------------------------------ similarity
+_EMB_D = "embedding::DOUBLE[]"
+
+
+@q(
+    "embed_cosine_topk",
+    f"""
+    WITH e AS (SELECT vec_id, {_EMB_D} AS v FROM embeddings),
+    qv AS (
+      SELECT vec_id AS query_id, v AS qvec FROM e
+      WHERE vec_id IN (0, 100, 200, 300, 400)
+    ),
+    p AS (
+      SELECT query_id, e.vec_id AS neighbor_id,
+             list_dot_product(qvec, v)
+               / (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(v, v))) AS cos
+      FROM qv JOIN e ON e.vec_id <> qv.query_id
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine
+    FROM p
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 10
+    """,
+)
+def embed_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k (ANN correctness baseline)."""
+    df = similarity.cosine_topk(_emb(spark, sf_dir), [0, 100, 200, 300, 400], k=10)
+    return df.withColumn("cosine", F.round("cosine", 6))
+
+
+@q(
+    "embed_neardup_pairs",
+    f"""
+    WITH e AS (SELECT vec_id, {_EMB_D} AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+             AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
+    """,
+)
+def embed_neardup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact threshold scan)."""
+    df = similarity.cosine_pairs_threshold(_emb(spark, sf_dir), 0.45)
+    return df.withColumn("cosine", F.round("cosine", 6))
+
+
+# ------------------------------------------------------------------ text
+_STOP = {
+    lang: ", ".join(f"'{w}'" for w in words) for lang, words in text.STOPWORDS.items()
+}
+_VOTE = {
+    lang: (
+        f"len(list_filter(list_transform({_DOC_TOKS}, t -> lower(t)), "
+        f"t -> t IN ({_STOP[lang]})))"
+    )
+    for lang in _STOP
+}
+_LANG_SQL = f"""CASE
+    WHEN {_VOTE['en']} >= greatest({_VOTE['de']}, {_VOTE['fr']}, {_VOTE['es']})
+         AND {_VOTE['en']} > 0 THEN 'en'
+    WHEN {_VOTE['de']} >= greatest({_VOTE['fr']}, {_VOTE['es']})
+         AND {_VOTE['de']} > 0 THEN 'de'
+    WHEN {_VOTE['fr']} >= {_VOTE['es']} AND {_VOTE['fr']} > 0 THEN 'fr'
+    WHEN {_VOTE['es']} > 0 THEN 'es'
+    ELSE 'und' END"""
+
+_QUALITY_SQL = f"""
+    round(least(1.0, len({_DOC_TOKS}) / 100.0) * 0.4
+      + (len(list_filter(list_transform({_DOC_TOKS}, t -> lower(t)),
+             t -> t IN ({_STOP['en']}))) * 1.0 / greatest(len({_DOC_TOKS}), 1)) * 0.4
+      + (1.0 - length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+           / greatest(length(text), 1)) * 0.2, 6)
+"""
+
+
+@q(
+    "text_quality_features",
+    f"""
+    SELECT doc_id, len({_DOC_TOKS}) AS n_tokens,
+           {_QUALITY_SQL} AS quality_score,
+           md5(array_to_string(list_sort(list_distinct({_DOC_TOKS})), ' '))
+             AS bag_fingerprint,
+           {_LANG_SQL} AS lang_guess
+    FROM documents
+    """,
+)
+def text_quality_features(spark, sf_dir):
+    """Per-document quality features: token count, composite quality score,
+    bag-of-words fingerprint, stopword-vote language guess."""
+    df = text.text_features(_docs(spark, sf_dir))
+    return df.select("doc_id", "n_tokens", "quality_score", "bag_fingerprint", "lang_guess")
+
+
+@q(
+    "text_langid_distribution",
+    f"""
+    SELECT {_LANG_SQL} AS lang_guess, count(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def text_langid_distribution(spark, sf_dir):
+    df = text.text_features(_docs(spark, sf_dir))
+    return df.groupBy("lang_guess").agg(F.count("*").alias("n_docs"))
+
+
+@q(
+    "text_stats_by_source",
+    f"""
+    SELECT source, sum(len({_DOC_TOKS})) AS total_tokens,
+           round(avg({_QUALITY_SQL}), 6) AS avg_quality,
+           count(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def text_stats_by_source(spark, sf_dir):
+    df = text.text_features(_docs(spark, sf_dir))
+    return df.groupBy("source").agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@q(
+    "text_winnowing_fingerprints",
+    f"""
+    WITH t AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+    kg AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(toks) - 4, 1) + 1),
+               i -> ('0x' || substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 15))::BIGINT)
+               AS grams
+      FROM t
+    )
+    SELECT DISTINCT doc_id AS id,
+           unnest(list_transform(range(1, greatest(len(grams) - 3, 1) + 1),
+                  i -> list_min(grams[i:i+3]))) AS fingerprint
+    FROM kg
+    """,
+)
+def text_winnowing_fingerprints(spark, sf_dir):
+    """Winnowing (rolling-hash) document fingerprints: 5-gram hashes,
+    minimum per 4-window."""
+    return text.rolling_fingerprints(_docs(spark, sf_dir), k=5, window=4)
