@@ -1,0 +1,114 @@
+"""Aggregate-DataFrame cache — the Spark analog of Mondrian's segment cache
+(SURVEY.md §4; ``jar!mondrian/rolap/agg/SegmentCacheManager``,
+``mondrian/spi/SegmentCache``).
+
+Where Mondrian caches dense/sparse arrays of aggregated cells keyed by
+(measure, level tuple, predicate), we cache *persisted aggregate DataFrames*
+keyed by the logical aggregation signature (cube, grouping columns, slicer
+fingerprint, measure set, totals mode).  A warm repeat query reuses the
+persisted aggregate — zero fact scans, matching the reference's warm-cache
+behavior (``test/query_test.rb:1162-1213``: repeated query does 0 SQL until
+flush).
+
+Region flush reproduces ``cube.flush_region_cache_with_segments``
+(``lib/mondrian/olap/cube.rb:519-547``; behavior spec
+``test/cube_cache_control_test.rb:116-218``): flushing a member region drops
+every cached aggregate that might contain cells for those members.  An entry
+survives only if its slicer *provably excludes* the region (conservative
+over-flushing is always correct; under-flushing never is).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+from .members import MemberSetRef
+
+
+def slicer_fingerprint(slicer: list[MemberSetRef]) -> tuple:
+    """Canonical, order-insensitive slicer signature."""
+    return tuple(
+        sorted((ref.dimension.name, ref.kind, ref.depth, ref.path) for ref in slicer)
+    )
+
+
+@dataclass
+class _Entry:
+    df: DataFrame
+    #: dim name → set of constrained member paths (from the slicer);
+    #: a dim absent from this map is unconstrained in this aggregate
+    slicer_paths: dict[str, set[tuple]] = field(default_factory=dict)
+
+
+class AggregateCache:
+    def __init__(self, storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK):
+        self._entries: dict[tuple, _Entry] = {}
+        self._storage_level = storage_level
+        self.hits = 0
+        self.misses = 0
+
+    def __len__(self) -> int:
+        return len(self._entries)
+
+    def get_or_build(
+        self,
+        key: tuple,
+        slicer: list[MemberSetRef],
+        builder,
+    ) -> DataFrame:
+        entry = self._entries.get(key)
+        if entry is not None:
+            self.hits += 1
+            return entry.df
+        self.misses += 1
+        df = builder().persist(self._storage_level)
+        paths: dict[str, set[tuple]] = {}
+        for ref in slicer:
+            if ref.path:
+                paths.setdefault(ref.dimension.name, set()).add(ref.path)
+        self._entries[key] = _Entry(df=df, slicer_paths=paths)
+        return df
+
+    def flush_all(self) -> int:
+        """Whole-schema flush (``connection.rb:153-181`` flush_schema_cache)."""
+        n = len(self._entries)
+        for e in self._entries.values():
+            e.df.unpersist()
+        self._entries.clear()
+        return n
+
+    def flush_region(self, region: list[MemberSetRef]) -> int:
+        """Drop cached aggregates overlapping a member region.
+
+        Overlap rule: an entry is safe only if, for some region member, the
+        entry's slicer constrains that dimension to paths that all *exclude*
+        the member (no shared path prefix).  Unconstrained entries (grand
+        totals, other-dim aggregates) always overlap — their cells contain
+        contributions from the region's fact rows.
+        """
+        doomed = []
+        for key, entry in self._entries.items():
+            if any(self._excludes(entry, ref) for ref in region):
+                continue
+            doomed.append(key)
+        for key in doomed:
+            self._entries[key].df.unpersist()
+            del self._entries[key]
+        return len(doomed)
+
+    @staticmethod
+    def _excludes(entry: _Entry, ref: MemberSetRef) -> bool:
+        """True if the entry's slicer provably excludes the region member."""
+        if not ref.path:
+            return False  # region covers the whole dimension
+        allowed = entry.slicer_paths.get(ref.dimension.name)
+        if not allowed:
+            return False  # entry unconstrained on this dim → overlaps
+        for path in allowed:
+            k = min(len(path), len(ref.path))
+            if tuple(path[:k]) == tuple(ref.path[:k]):
+                return False  # shared prefix → possible overlap
+        return True

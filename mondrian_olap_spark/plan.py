@@ -148,8 +148,66 @@ class Planner:
             u.predicates.append(_or_all(preds))
             u.pred_depth = max(u.pred_depth, *(len(r.path) for r in refs))
 
-        df = self._join(uses)
+        self._apply_role(use)
         base_measures, calc_chain = self._measure_closure(measures)
+        cache = getattr(self.engine, "cache", None)
+        all_refs = [r for axis in axes for r in axis] + list(slicer)
+
+        def build() -> DataFrame:
+            return self._aggregate_base(uses, group_cols, base_measures, totals)
+
+        if cache is not None and base_measures:
+            from .cache import slicer_fingerprint
+
+            key = (
+                self.cube.name,
+                tuple(group_cols),
+                slicer_fingerprint(all_refs),
+                tuple(sorted(m.out for m in base_measures)),
+                totals,
+            )
+            agg = cache.get_or_build(key, all_refs, build)
+        else:
+            agg = build()
+
+        # calculated members in solve_order (schema.rb:314-341): formulas
+        # over measure aliases, may reference earlier calculated members
+        for cm in calc_chain:
+            agg = agg.withColumn(cm.out, F.expr(cm.expression))
+        ordered = group_cols + [m.out for m in measures]
+        return agg.select(*ordered), group_cols
+
+    def _apply_role(self, use) -> None:
+        """Role grants: the fact is restricted to the granted member region
+        on every plan — aggregates *and* drill-through — touched dimension
+        or not (rollup_policy 'partial' semantics; roles.py;
+        drill-through row filtering test/query_test.rb:1032-1057)."""
+        role = getattr(self.engine, "role", None)
+        if role is None:
+            return
+        for dim in role.constrained_dimensions(self.cube):
+            u = use(dim)
+            pred = role.dimension_predicate(dim)
+            if pred is not None:
+                u.predicates.append(pred)
+                depth = max(
+                    (
+                        len(g.path)
+                        for g in role.grants
+                        if g.dimension.lower() == dim.name.lower()
+                    ),
+                    default=0,
+                )
+                u.pred_depth = max(u.pred_depth, depth)
+
+    def _aggregate_base(
+        self,
+        uses: dict[str, _DimUse],
+        group_cols: list[str],
+        base_measures: list[Measure],
+        totals: str | None,
+    ) -> DataFrame:
+        df = self._join(uses)
         measure_cols = [measure_column(m) for m in base_measures]
         if not measure_cols:
             # pure member/tuple query — distinct combinations
@@ -172,13 +230,7 @@ class Planner:
                 raise ValueError(f"unknown totals mode {totals!r}")
         else:
             agg = df.agg(*measure_cols)
-
-        # calculated members in solve_order (schema.rb:314-341): formulas
-        # over measure aliases, may reference earlier calculated members
-        for cm in calc_chain:
-            agg = agg.withColumn(cm.out, F.expr(cm.expression))
-        ordered = group_cols + [m.out for m in measures]
-        return agg.select(*ordered), group_cols
+        return agg
 
     def _measure_closure(
         self, measures: list[Measure | CalculatedMember]
@@ -269,6 +321,7 @@ class Planner:
                 u.predicates.append(p)
                 u.pred_depth = max(u.pred_depth, len(ref.path))
 
+        self._apply_role(use)
         df = self._join(uses)
         df = df.select(*[F.expr(col).alias(out) for out, col in select_exprs])
         if nonempty_field:

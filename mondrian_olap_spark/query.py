@@ -265,6 +265,10 @@ class Query:
         return resolve(self.cube, member)
 
     def _measure(self, name: str) -> Measure | CalculatedMember:
+        role = getattr(self.engine, "role", None)
+        if role is not None:
+            # measure invisibility under roles (connection_role_test.rb)
+            role.check_measure(self.cube, name)
         for cm in self._with:
             if cm.name.lower() == name.lower():
                 return cm

@@ -99,6 +99,45 @@ class CubeEngine:
         self.dims: dict[str, DimView] = {
             d.name: DimView(d, tables) for d in cube.dimensions if not d.degenerate
         }
+        #: optional aggregate cache (segment-cache analog, SURVEY.md §4)
+        self.cache = None
+        #: optional access-control role applied to every plan (§2 roles)
+        self.role = None
+
+    def enable_cache(self, storage_level=None):
+        """Turn on the aggregate cache (CACHE fun-def analog + segment
+        cache; ``jar!mondrian/olap/fun/CacheFunDef``)."""
+        from pyspark.storagelevel import StorageLevel
+
+        from .cache import AggregateCache
+
+        self.cache = AggregateCache(storage_level or StorageLevel.MEMORY_AND_DISK)
+        return self.cache
+
+    def flush_schema_cache(self) -> int:
+        """Whole-schema cache flush (``connection.rb:153-181``)."""
+        return self.cache.flush_all() if self.cache else 0
+
+    def flush_region_cache(self, members: list[str]) -> int:
+        """Targeted region flush by member identifiers
+        (``cube.rb:519-547`` flush_region_cache_with_segments)."""
+        if not self.cache:
+            return 0
+        from .members import resolve
+
+        refs = [resolve(self.cube, m) for m in members]
+        return self.cache.flush_region(refs)
+
+    def with_role(self, role) -> "CubeEngine":
+        """A shallow engine copy with an access-control role bound; every
+        query planned through it gets the role's grants applied
+        (``lib/mondrian/olap/connection.rb:183-211`` role_name=…)."""
+        import copy
+
+        clone = copy.copy(self)
+        clone.role = role
+        clone.cache = None  # per-role results must not share the cache
+        return clone
 
     # ------------------------------------------------------------------
     # member metadata queries (entry point C — SURVEY.md §3;

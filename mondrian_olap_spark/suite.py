@@ -876,3 +876,110 @@ def events_daily_users(spark, sf_dir):
         .execute()
         .df
     )
+
+
+# =====================================================================
+# Virtual cubes (§1.1 — schema.rb:343-372) & roles (§2 — schema.rb:416-489)
+# =====================================================================
+_ORD_CUST = (
+    "orders JOIN customer ON o_custkey = c_custkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey"
+)
+
+
+@q(
+    "virtual_sales_orders",
+    f"""
+    WITH s AS (
+      SELECT r_name AS region_name, year(o_orderdate) AS o_year,
+             sum(l_extendedprice) AS sum_price, count(l_orderkey) AS count_order
+      FROM {_CUST_STAR} GROUP BY 1, 2
+    ),
+    o AS (
+      SELECT r_name AS region_name, year(o_orderdate) AS o_year,
+             sum(o_totalprice) AS sum_totalprice, count(o_orderkey) AS order_count
+      FROM {_ORD_CUST} GROUP BY 1, 2
+    )
+    SELECT coalesce(s.region_name, o.region_name) AS region_name,
+           coalesce(s.o_year, o.o_year) AS o_year,
+           s.sum_price, s.count_order, o.sum_totalprice, o.order_count
+    FROM s FULL OUTER JOIN o
+      ON s.region_name = o.region_name AND s.o_year = o.o_year
+    """,
+)
+def virtual_sales_orders(spark, sf_dir):
+    """Virtual cube over two fact tables conformed on customer geography +
+    order year: per-cube aggregates full-outer-joined on the conformed
+    levels (MondrianTest.xml Sales+Warehouse analog)."""
+    from .virtual import CubeUsage, VirtualCube
+
+    vc = VirtualCube(
+        "SalesAndOrders",
+        [
+            CubeUsage(get_engine(spark, sf_dir, "Sales"), ("Sum Price", "Count Order")),
+            CubeUsage(get_engine(spark, sf_dir, "Orders"), ("Sum Total Price", "Order Count")),
+        ],
+    )
+    df = vc.aggregate(rows=["[Customer].children", "[Time].[Year].Members"])
+    return df.select(
+        "region_name", "o_year", "sum_price", "count_order", "sum_totalprice", "order_count"
+    )
+
+
+@q(
+    "virtual_valid_measure",
+    f"""
+    WITH s AS (
+      SELECT r_name AS region_name, sum(l_extendedprice) AS sum_price
+      FROM {_CUST_STAR} GROUP BY 1
+    ),
+    o AS (
+      SELECT r_name AS region_name, o_orderstatus AS order_status,
+             sum(o_totalprice) AS sum_totalprice
+      FROM {_ORD_CUST} GROUP BY 1, 2
+    )
+    SELECT o.region_name, s.sum_price, o.order_status, o.sum_totalprice
+    FROM s FULL OUTER JOIN o ON s.region_name = o.region_name
+    """,
+)
+def virtual_valid_measure(spark, sf_dir):
+    """ValidMeasure: the Sales cube lacks the order-status dimension, so its
+    measure aggregates without that grouping and repeats across statuses
+    (jar!mondrian/olap/fun/ValidMeasureFunDef)."""
+    from .virtual import CubeUsage, VirtualCube
+
+    vc = VirtualCube(
+        "SalesAndOrders",
+        [
+            CubeUsage(get_engine(spark, sf_dir, "Sales"), ("Sum Price",)),
+            CubeUsage(get_engine(spark, sf_dir, "Orders"), ("Sum Total Price",)),
+        ],
+    )
+    df = vc.aggregate(rows=["[Customer].children", "[Status].children"])
+    return df.select("region_name", "sum_price", "order_status", "sum_totalprice")
+
+
+@q(
+    "role_region_grant",
+    f"""
+    SELECT n_name AS nation_name, sum(l_extendedprice) AS sum_price
+    FROM {_CUST_STAR}
+    WHERE r_name = 'ASIA' GROUP BY 1
+    """,
+)
+def role_region_grant(spark, sf_dir):
+    """Member-grant role ('Mexico manager' analog — MondrianTest.xml:161-169):
+    every query through the role engine sees only the granted region."""
+    from .roles import MemberGrant, Role
+
+    role = Role("asia_manager", grants=(MemberGrant("Customer", ("ASIA",)),))
+    eng = get_engine(spark, sf_dir).with_role(role)
+    df = (
+        Query(eng)
+        .columns("[Measures].[Sum Price]")
+        .rows("[Customer].[Nation].Members")
+        .execute()
+        .df
+    )
+    return df.select("nation_name", "sum_price")

@@ -192,6 +192,59 @@ SALES_CUBE = Cube(
     ),
 )
 
+# second fact cube over the orders table — conformed with Sales on the
+# customer-geography and order-date dimensions (the Sales+Warehouse virtual
+# cube analog, MondrianTest.xml:146-159 / FIXTURES.md §3)
+ORDERS_CUBE = Cube(
+    name="Orders",
+    fact="orders",
+    dimensions=(
+        Dimension(
+            name="Customer",
+            foreign_key="o_custkey",
+            table="customer",
+            primary_key="c_custkey",
+            joins=(
+                JoinLink("c_nationkey", "nation", "n_nationkey"),
+                JoinLink("n_regionkey", "region", "r_regionkey"),
+            ),
+            levels=(
+                Level("Region", "r_name", output="region_name"),
+                Level("Nation", "n_name", output="nation_name"),
+                Level("Customer", "c_name", output="customer_name"),
+            ),
+        ),
+        Dimension(
+            name="Time",
+            levels=(
+                Level("Year", "year(o_orderdate)", output="o_year", level_type="TimeYears"),
+                Level(
+                    "Quarter",
+                    "concat('Q', quarter(o_orderdate))",
+                    output="o_quarter",
+                    ordinal="quarter(o_orderdate)",
+                    level_type="TimeQuarters",
+                ),
+                Level("Month", "month(o_orderdate)", output="o_month", level_type="TimeMonths"),
+            ),
+        ),
+        Dimension(
+            name="Priority",
+            levels=(Level("Priority", "o_orderpriority", output="order_priority"),),
+        ),
+        Dimension(
+            name="Status",
+            levels=(Level("Status", "o_orderstatus", output="order_status"),),
+        ),
+    ),
+    measures=(
+        Measure("Sum Total Price", "o_totalprice", "sum", output="sum_totalprice"),
+        Measure("Order Count", "o_orderkey", "count", output="order_count"),
+        Measure("Avg Total Price", "o_totalprice", "avg", output="avg_totalprice"),
+        Measure("Distinct Customers", "o_custkey", "distinct-count", output="distinct_customers"),
+    ),
+)
+
 EVENTS_CUBE = Cube(
     name="Events",
     fact="events",
@@ -214,7 +267,7 @@ EVENTS_CUBE = Cube(
     ),
 )
 
-SCHEMA = Schema(name="TPCH", cubes=(SALES_CUBE, EVENTS_CUBE))
+SCHEMA = Schema(name="TPCH", cubes=(SALES_CUBE, ORDERS_CUBE, EVENTS_CUBE))
 
 _ENGINES: dict[tuple[str, str], CubeEngine] = {}
 
