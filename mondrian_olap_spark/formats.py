@@ -1,0 +1,135 @@
+"""VBA format-string interpreter for ``formatted_values``
+(SURVEY.md §2.7; reference ``jar!mondrian/util/Format`` — measure
+``format_string`` schema.rb:296-297, fixture formats
+``test/fixtures/MondrianTest.xml:98-127``, behavior
+``test/mondrian_test.rb:163-167``).
+
+Covers the subset the reference exercises: named formats (Standard, Fixed,
+Percent, Currency), digit patterns (``#,##0``, ``#,##0.00``, ``0.0%``,
+``$#,##0.00``), multi-section ``pos;neg;zero`` strings, and VBA date tokens
+(``dd.mm.yyyy``, ``hh:nn:ss``).  Formatting is a driver-side presentation
+concern — cells shown to a human are small by definition — so this is plain
+Python over collected values, never a UDF in the plan.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+import re
+
+NAMED = {
+    "standard": "#,##0.##",
+    "fixed": "0.00",
+    "percent": "0.00%",
+    "currency": "$#,##0.00",
+    "general number": "#.######",
+}
+
+_DATE_TOKENS = [
+    ("yyyy", "%Y"),
+    ("yy", "%y"),
+    ("mmmm", "%B"),
+    ("mmm", "%b"),
+    ("mm", "%m"),
+    ("m", "%-m"),
+    ("dd", "%d"),
+    ("d", "%-d"),
+    ("hh", "%H"),
+    ("h", "%-H"),
+    ("nn", "%M"),
+    ("n", "%-M"),
+    ("ss", "%S"),
+    ("s", "%-S"),
+]
+
+
+def format_value(value, fmt: str | None) -> str:
+    """Format one cell value with a VBA format string."""
+    if value is None:
+        sections = (fmt or "").split(";")
+        return sections[3] if len(sections) > 3 else ""
+    if fmt is None or fmt == "":
+        return str(value)
+    if isinstance(value, (_dt.date, _dt.datetime)):
+        return _format_date(value, fmt)
+    if isinstance(value, bool):
+        return str(value)
+    if isinstance(value, (int, float)):
+        return _format_number(float(value), fmt)
+    return str(value)
+
+
+_DATE_TOKEN_RE = re.compile(
+    "|".join(re.escape(tok) for tok, _ in _DATE_TOKENS)
+)
+_DATE_TOKEN_MAP = dict(_DATE_TOKENS)
+
+
+def _format_date(value, fmt: str) -> str:
+    # single-pass token substitution (sequential replace would corrupt
+    # earlier expansions: the 'm' in '%m' is itself a VBA token)
+    out = _DATE_TOKEN_RE.sub(lambda m: _DATE_TOKEN_MAP[m.group(0)], fmt.lower())
+    return value.strftime(out)
+
+
+def _format_number(value: float, fmt: str) -> str:
+    pattern = NAMED.get(fmt.strip().lower(), fmt)
+    sections = pattern.split(";")
+    if value < 0 and len(sections) > 1:
+        return _apply_pattern(-value, sections[1])
+    if value == 0 and len(sections) > 2:
+        return _apply_pattern(value, sections[2])
+    out = _apply_pattern(abs(value), sections[0])
+    return "-" + out if value < 0 else out
+
+
+_PAT_RE = re.compile(
+    r"^(?P<prefix>[^#0]*?)(?P<int>[#,0]+)(?:\.(?P<frac>[#0]+))?(?P<suffix>.*)$"
+)
+
+
+def _apply_pattern(value: float, pattern: str) -> str:
+    m = _PAT_RE.match(pattern)
+    if not m:
+        # no digit placeholders → the section is literal text (e.g. the
+        # zero-section 'zero' in '0.00;(0.00);zero')
+        return pattern if not re.search(r"[#0]", pattern) else str(value)
+    prefix, int_pat, frac_pat, suffix = (
+        m.group("prefix"),
+        m.group("int"),
+        m.group("frac") or "",
+        m.group("suffix"),
+    )
+    if "%" in prefix or "%" in suffix:
+        value = value * 100.0
+    grouping = "," in int_pat
+    min_int = int_pat.replace(",", "").count("0")
+    max_frac = len(frac_pat)
+    min_frac = frac_pat.count("0")
+
+    if math.isnan(value):
+        return prefix + "NaN" + suffix
+
+    rounded = round(value, max_frac)
+    int_part = int(rounded)
+    frac_value = abs(rounded - int_part)
+
+    int_str = str(int_part).zfill(min_int)
+    if min_int == 0 and int_part == 0 and max_frac > 0:
+        int_str = ""  # '#'-only integer part drops the leading zero
+    if grouping and int_str:
+        int_str = f"{int(int_str):,}"
+
+    frac_digits = ""
+    if max_frac:
+        full = f"{frac_value:.{max_frac}f}"[2:]  # exactly max_frac digits
+        keep = max(min_frac, len(full.rstrip("0")))
+        frac_digits = full[:keep]
+
+    out = int_str
+    if frac_digits:
+        out += "." + frac_digits
+    elif not out:
+        out = "0"
+    return prefix + out + suffix

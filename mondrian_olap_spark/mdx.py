@@ -1,0 +1,455 @@
+"""MDX string subset parser — entry point A (SURVEY.md §3;
+``lib/mondrian/olap/connection.rb:75-86`` execute(mdx)).
+
+Where the reference hands MDX text to Mondrian's JavaCC parser
+(``jar!mondrian/parser/MdxParserImpl``), this module parses the practical
+subset the reference's own tests exercise and lowers it onto the
+:class:`~mondrian_olap_spark.query.Query` builder — so both entry points
+share one planner:
+
+* ``WITH MEMBER … AS '…' [, SOLVE_ORDER = n]``
+* ``SELECT <set> ON COLUMNS, <set> ON ROWS, … FROM [Cube] [WHERE …]``
+* ``NON EMPTY`` axis prefix
+* set constructors: ``{…}`` literals, ``.Members`` / ``.AllMembers`` /
+  ``.Children``, ``CROSSJOIN`` / ``NONEMPTYCROSSJOIN``, ``FILTER``,
+  ``ORDER``, ``TOPCOUNT`` / ``BOTTOMCOUNT`` / ``TOPPERCENT`` / ``TOPSUM``
+  (+ BOTTOM variants), ``EXCEPT``, ``DISTINCT``, ``HIERARCHIZE``
+* value expressions over measures with arithmetic / comparisons / CASE-less
+  boolean logic, ``Parameter("name", TYPE, default)`` and
+  ``ParamRef("name")`` (``test/schema_definition_test.rb:1298-1427``).
+
+Parse errors raise :class:`MdxError` carrying the offending fragment
+(error-path parity: ``test/query_test.rb:761-803``).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from .members import format_name, quote_segment
+
+
+class MdxError(ValueError):
+    pass
+
+
+# ------------------------------------------------------------------ lexer
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<bracket>\[(?:[^\]]|\]\])*\])
+  | (?P<string>'(?:[^']|'')*')
+  | (?P<number>\d+(?:\.\d+)?)
+  | (?P<op><>|<=|>=|[<>=+\-*/(),.{}:])
+  | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
+""",
+    re.VERBOSE,
+)
+
+
+@dataclass(frozen=True)
+class Tok:
+    kind: str
+    text: str
+    pos: int
+
+
+def tokenize(s: str) -> list[Tok]:
+    out: list[Tok] = []
+    i = 0
+    while i < len(s):
+        m = _TOKEN_RE.match(s, i)
+        if not m:
+            raise MdxError(f"MDX lexer error at position {i}: {s[i:i+20]!r}")
+        kind = m.lastgroup
+        if kind != "ws":
+            out.append(Tok(kind, m.group(), i))
+        i = m.end()
+    return out
+
+
+# ----------------------------------------------------------------- parser
+_SET_FUNCTIONS = {
+    "crossjoin",
+    "nonemptycrossjoin",
+    "filter",
+    "order",
+    "topcount",
+    "bottomcount",
+    "toppercent",
+    "bottompercent",
+    "topsum",
+    "bottomsum",
+    "except",
+    "distinct",
+    "hierarchize",
+}
+
+_AXIS_NAMES = {"columns": 0, "rows": 1, "pages": 2, "chapters": 3, "sections": 4}
+
+
+class MdxParser:
+    """Recursive-descent parser lowering MDX text onto a Query builder."""
+
+    def __init__(self, engine, mdx: str, parameters: dict | None = None):
+        from .query import Query
+
+        self.engine = engine
+        self.cube = engine.cube
+        self.toks = tokenize(mdx)
+        self.i = 0
+        self.q = Query(engine)
+        self.params = dict(parameters or {})
+        self.defined_params: dict[str, object] = {}
+
+    # -- token helpers -------------------------------------------------
+    def peek(self, k: int = 0) -> Tok | None:
+        return self.toks[self.i + k] if self.i + k < len(self.toks) else None
+
+    def next(self) -> Tok:
+        t = self.peek()
+        if t is None:
+            raise MdxError("unexpected end of MDX")
+        self.i += 1
+        return t
+
+    def expect_word(self, *words: str) -> Tok:
+        t = self.next()
+        if t.kind != "word" or t.text.lower() not in words:
+            raise MdxError(f"expected {'/'.join(words).upper()} at {t.pos}, got {t.text!r}")
+        return t
+
+    def expect_op(self, op: str) -> Tok:
+        t = self.next()
+        if t.kind != "op" or t.text != op:
+            raise MdxError(f"expected {op!r} at {t.pos}, got {t.text!r}")
+        return t
+
+    def at_word(self, *words: str) -> bool:
+        t = self.peek()
+        return t is not None and t.kind == "word" and t.text.lower() in words
+
+    def at_op(self, op: str) -> bool:
+        t = self.peek()
+        return t is not None and t.kind == "op" and t.text == op
+
+    # -- grammar -------------------------------------------------------
+    def parse(self):
+        if self.at_word("with"):
+            self.next()
+            while self.at_word("member"):
+                self.parse_with_member()
+        self.expect_word("select")
+        self.parse_axis()
+        while self.at_op(","):
+            self.next()
+            self.parse_axis()
+        self.expect_word("from")
+        cube_tok = self.next()
+        cube_name = _segment(cube_tok)
+        if cube_name.lower() != self.cube.name.lower():
+            raise MdxError(
+                f"MDX object {quote_segment(cube_name)} not found: engine is bound "
+                f"to cube {self.cube.name!r}"
+            )
+        if self.at_word("where"):
+            self.next()
+            self.parse_where()
+        if self.peek() is not None:
+            t = self.peek()
+            raise MdxError(f"unexpected trailing token {t.text!r} at {t.pos}")
+        return self.q
+
+    def parse_with_member(self):
+        self.expect_word("member")
+        name_segs = self.parse_identifier_segments()
+        if len(name_segs) != 2 or name_segs[0].lower() != "measures":
+            raise MdxError(
+                f"WITH MEMBER must define [Measures].[Name], got {format_name(name_segs)}"
+            )
+        self.expect_word("as")
+        t = self.next()
+        if t.kind == "string":
+            expr_sql = self.translate_expression_text(_unquote(t.text))
+        else:
+            # unquoted expression form: re-parse from this token
+            self.i -= 1
+            expr_sql = self.parse_value_expression()
+        solve_order = 0
+        while self.at_op(","):
+            save = self.i
+            self.next()
+            if self.at_word("solve_order"):
+                self.next()
+                self.expect_op("=")
+                solve_order = int(self.next().text)
+            else:
+                self.i = save
+                break
+        self.q.with_member(name_segs[1]).as_(expr_sql, solve_order=solve_order)
+
+    def parse_axis(self):
+        nonempty = False
+        if self.at_word("non"):
+            self.next()
+            self.expect_word("empty")
+            nonempty = True
+        members = self.parse_set()
+        self.expect_word("on")
+        t = self.next()
+        if t.kind == "word" and t.text.lower() in _AXIS_NAMES:
+            axis_i = _AXIS_NAMES[t.text.lower()]
+        elif t.kind == "word" and t.text.lower() == "axis":
+            self.expect_op("(")
+            axis_i = int(self.next().text)
+            self.expect_op(")")
+        else:
+            raise MdxError(f"bad axis name {t.text!r} at {t.pos}")
+        self.q.axis(axis_i, *members.base)
+        for op in members.ops:
+            op(self.q)
+        if nonempty:
+            self.q.nonempty()
+
+    def parse_where(self):
+        members: list[str] = []
+        if self.at_op("(") or self.at_op("{"):
+            close = ")" if self.at_op("(") else "}"
+            self.next()
+            members.append(self.parse_member_string())
+            while self.at_op(","):
+                self.next()
+                members.append(self.parse_member_string())
+            self.expect_op(close)
+        else:
+            members.append(self.parse_member_string())
+        self.q.where(*members)
+
+    # -- sets ----------------------------------------------------------
+    def parse_set(self) -> "_SetBuild":
+        if self.at_op("{"):
+            self.next()
+            members = [self.parse_member_string()]
+            while self.at_op(","):
+                self.next()
+                members.append(self.parse_member_string())
+            self.expect_op("}")
+            return _SetBuild(base=members)
+        t = self.peek()
+        if t is not None and t.kind == "word" and t.text.lower() in _SET_FUNCTIONS:
+            return self.parse_set_function()
+        return _SetBuild(base=[self.parse_member_string()])
+
+    def parse_set_function(self) -> "_SetBuild":
+        fname = self.next().text.lower()
+        self.expect_op("(")
+        inner = self.parse_set()
+        if fname in ("crossjoin", "nonemptycrossjoin"):
+            self.expect_op(",")
+            right = self.parse_set()
+            if right.ops:
+                raise MdxError(f"{fname.upper()}: nested set operations on the right side "
+                               "are not supported in this subset")
+            inner.base.extend(right.base)
+            self.expect_op(")")
+            return inner
+        if fname == "filter":
+            self.expect_op(",")
+            cond = self.parse_value_expression()
+            self.expect_op(")")
+            inner.ops.append(lambda q: q.filter(cond))
+            return inner
+        if fname == "order":
+            self.expect_op(",")
+            expr = self.parse_value_expression()
+            direction = "BASC"
+            if self.at_op(","):
+                self.next()
+                direction = self.expect_word("asc", "desc", "basc", "bdesc").text.upper()
+            self.expect_op(")")
+            inner.ops.append(lambda q: q.order(expr, direction))
+            return inner
+        if fname in ("topcount", "bottomcount", "toppercent", "bottompercent", "topsum", "bottomsum"):
+            self.expect_op(",")
+            n = float(self.next().text)
+            expr = None
+            if self.at_op(","):
+                self.next()
+                expr = self.parse_value_expression()
+            self.expect_op(")")
+            method = {
+                "topcount": "top_count",
+                "bottomcount": "bottom_count",
+                "toppercent": "top_percent",
+                "bottompercent": "bottom_percent",
+                "topsum": "top_sum",
+                "bottomsum": "bottom_sum",
+            }[fname]
+            arg = int(n) if fname.endswith("count") else n
+            inner.ops.append(lambda q: getattr(q, method)(arg, expr))
+            return inner
+        if fname == "except":
+            self.expect_op(",")
+            right = self.parse_set()
+            self.expect_op(")")
+            inner.ops.append(lambda q: q.except_(*right.base))
+            return inner
+        if fname == "distinct":
+            self.expect_op(")")
+            inner.ops.append(lambda q: q.distinct())
+            return inner
+        if fname == "hierarchize":
+            post = False
+            if self.at_op(","):
+                self.next()
+                post = self.expect_word("post").text.lower() == "post"
+            self.expect_op(")")
+            inner.ops.append(lambda q: q.hierarchize(post))
+            return inner
+        raise MdxError(f"unsupported set function {fname!r}")
+
+    # -- identifiers / members ----------------------------------------
+    def parse_identifier_segments(self) -> list[str]:
+        segs = [_segment(self.next())]
+        while self.at_op("."):
+            self.next()
+            t = self.next()
+            segs.append(_segment(t))
+        return segs
+
+    def parse_member_string(self) -> str:
+        segs = self.parse_identifier_segments()
+        return ".".join(
+            s if s.lower() in ("members", "allmembers", "children") else quote_segment(s)
+            for s in segs
+        )
+
+    # -- value expressions --------------------------------------------
+    def parse_value_expression(self) -> str:
+        """Parse an expression until an unbalanced ')' or a top-level ','
+        and translate it to Spark SQL over measure output aliases."""
+        depth = 0
+        parts: list[str] = []
+        while True:
+            t = self.peek()
+            if t is None:
+                break
+            if t.kind == "op" and t.text == "(":
+                depth += 1
+            elif t.kind == "op" and t.text == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif t.kind == "op" and t.text == "," and depth == 0:
+                break
+            parts.append(self.next().text)
+        if not parts:
+            raise MdxError("empty expression")
+        return self.translate_expression_text(" ".join(parts))
+
+    def translate_expression_text(self, text: str) -> str:
+        """MDX value expression → Spark SQL over output aliases.
+
+        Handles ``[Measures].[X]`` references, ``Parameter("p", TYPE, default)``
+        / ``ParamRef("p")`` substitution, and passes arithmetic/boolean
+        operators through (AND/OR/NOT/CASE are shared syntax)."""
+        out = text
+
+        def param_value(name: str, default: str | None) -> str:
+            if name in self.params:
+                return _sql_literal(self.params[name])
+            if name in self.defined_params:
+                return _sql_literal(self.defined_params[name])
+            if default is not None:
+                return default
+            raise MdxError(f"parameter {name!r} has no value and no default")
+
+        def repl_parameter(m: re.Match) -> str:
+            name = m.group(1)
+            default = m.group(3)
+            if default is not None:
+                self.defined_params.setdefault(
+                    name, self.params.get(name, _parse_literal(default))
+                )
+            return param_value(name, default)
+
+        out = re.sub(
+            r"Parameter\s*\(\s*[\"']([^\"']+)[\"']\s*,\s*(\w+)\s*,\s*([^),]+)\s*(?:,[^)]*)?\)",
+            repl_parameter,
+            out,
+            flags=re.IGNORECASE,
+        )
+        out = re.sub(
+            r"ParamRef\s*\(\s*[\"']([^\"']+)[\"']\s*\)",
+            lambda m: param_value(m.group(1), None),
+            out,
+            flags=re.IGNORECASE,
+        )
+
+        def repl_measure(m: re.Match) -> str:
+            name = m.group(1).replace("]]", "]")
+            try:
+                return self.cube.measure(name).out
+            except KeyError:
+                for cm in self.q._with:
+                    if cm.name.lower() == name.lower():
+                        return cm.out
+                raise MdxError(
+                    f"MDX object [Measures].{quote_segment(name)} not found in cube "
+                    f"{quote_segment(self.cube.name)}"
+                )
+
+        out = re.sub(r"\[Measures\]\s*\.\s*\[((?:[^\]]|\]\])*)\]", repl_measure, out)
+        out = out.replace("<>", "!=")
+        return out
+
+
+@dataclass
+class _SetBuild:
+    base: list[str]
+    ops: list = None
+
+    def __post_init__(self):
+        if self.ops is None:
+            self.ops = []
+
+
+def _segment(t: Tok) -> str:
+    if t.kind == "bracket":
+        return t.text[1:-1].replace("]]", "]")
+    if t.kind == "word":
+        return t.text
+    raise MdxError(f"expected identifier at {t.pos}, got {t.text!r}")
+
+
+def _unquote(s: str) -> str:
+    return s[1:-1].replace("''", "'")
+
+
+def _sql_literal(v) -> str:
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return repr(v)
+
+
+def _parse_literal(s: str):
+    s = s.strip()
+    if s.startswith("'") or s.startswith('"'):
+        return s[1:-1]
+    try:
+        return int(s)
+    except ValueError:
+        try:
+            return float(s)
+        except ValueError:
+            return s
+
+
+def execute_mdx(engine, mdx: str, parameters: dict | None = None):
+    """Parse and execute an MDX string against a cube engine — the
+    ``connection.execute(mdx, params)`` surface (connection.rb:75-86,
+    :498-520 setParameter)."""
+    return MdxParser(engine, mdx, parameters).parse().execute()

@@ -49,6 +49,11 @@ class _Axis:
     sets: list[MemberSetRef] = field(default_factory=list)
     measure_names: list[str] = field(default_factory=list)
     mods: list[tuple] = field(default_factory=list)  # ordered modifiers
+    #: raw inputs preserved for to_mdx serialization (the reference keeps the
+    #: same nested-array IR — query.rb:14-36, asserted test/query_test.rb:157-392)
+    raw_base: list[str] = field(default_factory=list)
+    display_ops: list[tuple] = field(default_factory=list)
+    nonempty_flag: bool = False
 
 
 class QueryError(ValueError):
@@ -69,10 +74,12 @@ class Query:
         self._current_axis: int | None = None
         self._pending_member: str | None = None
         self._totals: str | None = None
+        self._slicer_raw: list[str] = []
 
     # -- axes ----------------------------------------------------------
     def axis(self, i: int, *members: str) -> "Query":
         ax = self._axes.setdefault(i, _Axis())
+        ax.raw_base.extend(members)
         for m in members:
             ref = self._resolve(m)
             if isinstance(ref, MeasureRef):
@@ -104,6 +111,7 @@ class Query:
         axis sets is simply *additional grouping columns* — the cartesian
         combinations that actually hold data emerge from ``groupBy``."""
         ax = self._axis()
+        ax.display_ops.append(("crossjoin", list(members)))
         for m in members:
             ref = self._resolve(m)
             if isinstance(ref, MeasureRef):
@@ -122,21 +130,25 @@ class Query:
         recorded no-op kept for API parity; axis expansion to empty cells is
         the opt-in (``Result.include_empty`` — future work)."""
         self._axis().mods.append(("nonempty",))
+        self._axis().nonempty_flag = True
         return self
 
     def except_(self, *members: str) -> "Query":
         refs = [self._resolve(m) for m in members]
         self._axis().mods.append(("except", refs))
+        self._axis().display_ops.append(("except", list(members)))
         return self
 
     def distinct(self) -> "Query":
         self._axis().mods.append(("distinct",))
+        self._axis().display_ops.append(("distinct",))
         return self
 
     def filter(self, condition: str) -> "Query":
         """FILTER with measure conditions = HAVING on the aggregated grid
         (query.rb:80-95; jar!mondrian/olap/fun/FilterFunDef)."""
         self._axis().mods.append(("filter", condition))
+        self._axis().display_ops.append(("filter", condition))
         return self
 
     def order(self, expr: str, direction: str = "BASC") -> "Query":
@@ -147,34 +159,42 @@ class Query:
         if d not in ("ASC", "DESC", "BASC", "BDESC"):
             raise QueryError(f"bad order direction {direction!r}")
         self._axis().mods.append(("order", expr, d))
+        self._axis().display_ops.append(("order", expr, d))
         return self
 
     def top_count(self, n: int, expr: str | None = None) -> "Query":
         self._axis().mods.append(("topbottom", "top", "count", n, expr))
+        self._axis().display_ops.append(("TOPCOUNT", n, expr))
         return self
 
     def bottom_count(self, n: int, expr: str | None = None) -> "Query":
         self._axis().mods.append(("topbottom", "bottom", "count", n, expr))
+        self._axis().display_ops.append(("BOTTOMCOUNT", n, expr))
         return self
 
     def top_percent(self, p: float, expr: str) -> "Query":
         self._axis().mods.append(("topbottom", "top", "percent", p, expr))
+        self._axis().display_ops.append(("TOPPERCENT", p, expr))
         return self
 
     def bottom_percent(self, p: float, expr: str) -> "Query":
         self._axis().mods.append(("topbottom", "bottom", "percent", p, expr))
+        self._axis().display_ops.append(("BOTTOMPERCENT", p, expr))
         return self
 
     def top_sum(self, s: float, expr: str) -> "Query":
         self._axis().mods.append(("topbottom", "top", "sum", s, expr))
+        self._axis().display_ops.append(("TOPSUM", s, expr))
         return self
 
     def bottom_sum(self, s: float, expr: str) -> "Query":
         self._axis().mods.append(("topbottom", "bottom", "sum", s, expr))
+        self._axis().display_ops.append(("BOTTOMSUM", s, expr))
         return self
 
     def hierarchize(self, post: bool = False) -> "Query":
         self._axis().mods.append(("hierarchize", post))
+        self._axis().display_ops.append(("hierarchize", post))
         return self
 
     # -- slicer / WITH --------------------------------------------------
@@ -186,6 +206,7 @@ class Query:
             if isinstance(ref, MeasureRef):
                 raise QueryError("measures cannot appear in the slicer")
             self._slicer.append(ref)
+        self._slicer_raw.extend(members)
         return self
 
     def totals(self, mode: str = "rollup") -> "Query":
@@ -243,7 +264,87 @@ class Query:
         axis_cols = [
             [lv.out for s in ax.sets for lv in s.group_levels] for ax in axes
         ]
-        return Result(df, axis_cols, [m.out for m in measures], sort_spec)
+        formats = {m.out: m.format_string for m in measures if m.format_string}
+        return Result(df, axis_cols, [m.out for m in measures], sort_spec, formats)
+
+    # -- MDX serialization (query.rb:230-237,284-327 to_mdx) -------------
+    def to_mdx(self) -> str:
+        """Serialize the builder state to MDX text — kept for debugging and
+        golden-test parity with the reference builder
+        (``test/query_test.rb:394-732``)."""
+        lines: list[str] = []
+        if self._with:
+            parts = []
+            for cm in self._with:
+                decl = (
+                    f"MEMBER [Measures].[{cm.name}] AS '{self._aliases_to_mdx(cm.expression)}'"
+                )
+                if cm.solve_order:
+                    decl += f", SOLVE_ORDER = {cm.solve_order}"
+                if cm.format_string:
+                    decl += f", FORMAT_STRING = '{cm.format_string}'"
+                parts.append(decl)
+            lines.append("WITH " + " ".join(parts))
+        axis_strs = []
+        for i in sorted(self._axes):
+            ax = self._axes[i]
+            axis_strs.append(
+                f"{self._axis_set_mdx(ax)} ON {self.AXIS_NAMES[i].upper() if i < 5 else f'AXIS({i})'}"
+            )
+        lines.append("SELECT " + ",\n  ".join(axis_strs))
+        lines.append(f"FROM [{self.cube.name}]")
+        if self._slicer_raw:
+            if len(self._slicer_raw) == 1:
+                lines.append(f"WHERE ({self._slicer_raw[0]})")
+            else:
+                lines.append("WHERE (" + ", ".join(self._slicer_raw) + ")")
+        return "\n".join(lines)
+
+    def _axis_set_mdx(self, ax: _Axis) -> str:
+        base = ax.raw_base
+        cur = base[0] if len(base) == 1 else "{" + ", ".join(base) + "}"
+        for op in ax.display_ops:
+            kind = op[0]
+            if kind == "crossjoin":
+                right = op[1][0] if len(op[1]) == 1 else "{" + ", ".join(op[1]) + "}"
+                cur = f"CROSSJOIN({cur}, {right})"
+            elif kind == "filter":
+                cur = f"FILTER({cur}, {self._aliases_to_mdx(op[1])})"
+            elif kind == "order":
+                cur = f"ORDER({cur}, {self._aliases_to_mdx(op[1])}, {op[2]})"
+            elif kind == "except":
+                right = op[1][0] if len(op[1]) == 1 else "{" + ", ".join(op[1]) + "}"
+                cur = f"EXCEPT({cur}, {right})"
+            elif kind == "distinct":
+                cur = f"DISTINCT({cur})"
+            elif kind == "hierarchize":
+                cur = f"HIERARCHIZE({cur}" + (", POST)" if op[1] else ")")
+            elif kind in (
+                "TOPCOUNT", "BOTTOMCOUNT", "TOPPERCENT",
+                "BOTTOMPERCENT", "TOPSUM", "BOTTOMSUM",
+            ):
+                n, expr = op[1], op[2]
+                if expr is not None:
+                    cur = f"{kind}({cur}, {n}, {self._aliases_to_mdx(expr)})"
+                else:
+                    cur = f"{kind}({cur}, {n})"
+        if ax.nonempty_flag:
+            cur = f"NON EMPTY {cur}"
+        return cur
+
+    def _aliases_to_mdx(self, expr: str) -> str:
+        """Reverse-map output aliases back to [Measures].[Name] references
+        for display."""
+        import re as _re
+
+        mapping = {}
+        for m in (*self.cube.measures, *self.cube.calculated_members, *self._with):
+            mapping[m.out] = f"[Measures].[{m.name}]"
+
+        def repl(match: _re.Match) -> str:
+            return mapping.get(match.group(0), match.group(0))
+
+        return _re.sub(r"[A-Za-z_][A-Za-z0-9_]*", repl, expr)
 
     # -- internals -------------------------------------------------------
     def _axis(self) -> _Axis:

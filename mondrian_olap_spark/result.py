@@ -22,11 +22,13 @@ class Result:
         axis_columns: list[list[str]],
         measure_columns: list[str],
         sort_spec: list | None = None,
+        formats: dict[str, str] | None = None,
     ):
         self._df = df
         self.axis_columns = axis_columns
         self.measure_columns = measure_columns
         self._sort_spec = sort_spec or []
+        self._formats = formats or {}
         self._rows_cache: list | None = None
 
     @property
@@ -78,5 +80,23 @@ class Result:
             return [rows[0][m] for m in self.measure_columns]
         return []
 
+    @property
+    def formatted_values(self) -> list:
+        """Values grid with measure format_strings applied
+        (result.rb formatted cell values; jar!mondrian/util/Format)."""
+        from .formats import format_value
+
+        rows = self._collect()
+        fmt = lambda m, v: format_value(v, self._formats.get(m))
+        if len(self.axis_columns) > 1 and self.axis_columns[1]:
+            return [[fmt(m, r[m]) for m in self.measure_columns] for r in rows]
+        if rows:
+            return [fmt(m, rows[0][m]) for m in self.measure_columns]
+        return []
+
     def to_pandas(self):
         return self.df.toPandas()
+
+    def to_html(self) -> str:
+        """HTML table rendering (result.rb:66-110 to_html)."""
+        return self.to_pandas().to_html(index=False)

@@ -128,6 +128,13 @@ class CubeEngine:
         refs = [resolve(self.cube, m) for m in members]
         return self.cache.flush_region(refs)
 
+    def execute(self, mdx: str, parameters: dict | None = None):
+        """Execute an MDX string — entry point A
+        (``connection.rb:75-86`` execute, ``:498-520`` parameters)."""
+        from .mdx import execute_mdx
+
+        return execute_mdx(self, mdx, parameters)
+
     def with_role(self, role) -> "CubeEngine":
         """A shallow engine copy with an access-control role bound; every
         query planned through it gets the role's grants applied

@@ -1,0 +1,240 @@
+"""MDX string entry point + to_mdx golden tests.
+
+Mirrors the reference's golden-MDX builder tests (query_test.rb:394-732,
+whitespace-normalized assert_like) and error-path tests (:761-803)."""
+
+import re
+
+import pytest
+
+from mondrian_olap_spark.mdx import MdxError, execute_mdx
+from mondrian_olap_spark.query import Query
+
+
+def like(a: str, b: str) -> bool:
+    """Whitespace-normalized comparison (test/test_helper.rb:12-18)."""
+    norm = lambda s: re.sub(r"\s+", " ", s).strip()
+    return norm(a) == norm(b)
+
+
+def rows_of(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ------------------------------------------------------------- execution
+def test_canonical_select(engine):
+    r = execute_mdx(
+        engine,
+        """
+        SELECT {[Measures].[Sum Qty], [Measures].[Sum Price]} ON COLUMNS,
+               [Customer].children ON ROWS
+        FROM [Sales]
+        WHERE ([Time].[1995].[Q1])
+        """,
+    )
+    b = (
+        Query(engine)
+        .columns("[Measures].[Sum Qty]", "[Measures].[Sum Price]")
+        .rows("[Customer].children")
+        .where("[Time].[1995].[Q1]")
+        .execute()
+    )
+    assert rows_of(r.df) == rows_of(b.df)
+
+
+def test_crossjoin_and_filter(engine):
+    r = execute_mdx(
+        engine,
+        """
+        SELECT [Measures].[Sum Price] ON COLUMNS,
+               FILTER(CROSSJOIN([ReturnFlag].children, [LineStatus].children),
+                      [Measures].[Sum Price] > 1000) ON ROWS
+        FROM [Sales]
+        """,
+    )
+    b = (
+        Query(engine)
+        .columns("[Measures].[Sum Price]")
+        .rows("[ReturnFlag].children")
+        .crossjoin("[LineStatus].children")
+        .filter("sum_price > 1000")
+        .execute()
+    )
+    assert rows_of(r.df) == rows_of(b.df)
+
+
+def test_topcount_order(engine):
+    r = execute_mdx(
+        engine,
+        """
+        SELECT [Measures].[Sum Price] ON COLUMNS,
+               TOPCOUNT([Customer].[Nation].Members, 5, [Measures].[Sum Price]) ON ROWS
+        FROM [Sales]
+        """,
+    )
+    assert r.df.count() == 5
+
+
+def test_with_member_solve_order(engine):
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[Double Qty] AS '[Measures].[Sum Qty] * 2', SOLVE_ORDER = 1
+        SELECT {[Measures].[Sum Qty], [Measures].[Double Qty]} ON COLUMNS,
+               [ReturnFlag].children ON ROWS
+        FROM [Sales]
+        """,
+    )
+    for row in r.df.collect():
+        assert row["double_qty"] == row["sum_qty"] * 2
+
+
+def test_where_tuple_and_in_set(engine):
+    r = execute_mdx(
+        engine,
+        """
+        SELECT [Measures].[Count Order] ON COLUMNS, [ReturnFlag].children ON ROWS
+        FROM [Sales] WHERE ([Customer].[ASIA], [Customer].[EUROPE])
+        """,
+    )
+    b = (
+        Query(engine)
+        .columns("[Measures].[Count Order]")
+        .rows("[ReturnFlag].children")
+        .where("[Customer].[ASIA]", "[Customer].[EUROPE]")
+        .execute()
+    )
+    assert rows_of(r.df) == rows_of(b.df)
+
+
+def test_parameters(engine):
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[Scaled] AS
+          '[Measures].[Sum Qty] * Parameter("factor", NUMERIC, 2)'
+        SELECT {[Measures].[Sum Qty], [Measures].[Scaled]} ON COLUMNS
+        FROM [Sales]
+        """,
+        parameters={"factor": 10},
+    )
+    row = r.df.collect()[0]
+    assert row["scaled"] == row["sum_qty"] * 10
+
+
+def test_parameter_default(engine):
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[Scaled] AS
+          '[Measures].[Sum Qty] * Parameter("factor", NUMERIC, 3)'
+        SELECT [Measures].[Scaled] ON COLUMNS FROM [Sales]
+        """,
+    )
+    r2 = execute_mdx(engine, "SELECT [Measures].[Sum Qty] ON COLUMNS FROM [Sales]")
+    assert r.df.collect()[0]["scaled"] == r2.df.collect()[0]["sum_qty"] * 3
+
+
+def test_parameter_missing_no_default(engine):
+    with pytest.raises(MdxError, match="no value and no default"):
+        execute_mdx(
+            engine,
+            """
+            WITH MEMBER [Measures].[X] AS 'ParamRef("nope")'
+            SELECT [Measures].[X] ON COLUMNS FROM [Sales]
+            """,
+        )
+
+
+# ------------------------------------------------------------ error paths
+def test_parse_error(engine):
+    with pytest.raises(MdxError):
+        execute_mdx(engine, "SELECT FROM WHERE")
+
+
+def test_unknown_cube(engine):
+    with pytest.raises(MdxError, match="not found"):
+        execute_mdx(engine, "SELECT [Measures].[Sum Qty] ON COLUMNS FROM [Nope]")
+
+
+def test_unknown_measure(engine):
+    with pytest.raises(KeyError):
+        execute_mdx(engine, "SELECT [Measures].[Nope] ON COLUMNS FROM [Sales]")
+
+
+def test_lexer_error(engine):
+    with pytest.raises(MdxError, match="lexer"):
+        execute_mdx(engine, "SELECT ~~~ ON COLUMNS FROM [Sales]")
+
+
+# ---------------------------------------------------------------- to_mdx
+def test_to_mdx_golden_canonical(engine):
+    q = (
+        Query(engine)
+        .columns("[Measures].[Sum Qty]", "[Measures].[Sum Price]")
+        .rows("[Customer].children")
+        .where("[Time].[1995].[Q1]")
+    )
+    assert like(
+        q.to_mdx(),
+        """
+        SELECT {[Measures].[Sum Qty], [Measures].[Sum Price]} ON COLUMNS,
+          [Customer].children ON ROWS
+        FROM [Sales]
+        WHERE ([Time].[1995].[Q1])
+        """,
+    )
+
+
+def test_to_mdx_golden_nested_ops(engine):
+    q = (
+        Query(engine)
+        .columns("[Measures].[Sum Price]")
+        .rows("[Customer].[Nation].Members")
+        .filter("sum_price > 100")
+        .order("sum_price", "BDESC")
+        .top_count(5, "sum_price")
+    )
+    assert like(
+        q.to_mdx(),
+        """
+        SELECT [Measures].[Sum Price] ON COLUMNS,
+          TOPCOUNT(ORDER(FILTER([Customer].[Nation].Members,
+            [Measures].[Sum Price] > 100), [Measures].[Sum Price], BDESC),
+            5, [Measures].[Sum Price]) ON ROWS
+        FROM [Sales]
+        """,
+    )
+
+
+def test_to_mdx_with_member(engine):
+    q = (
+        Query(engine)
+        .with_member("Profit Pct")
+        .as_("sum_disc_price / sum_price", solve_order=2, output="profit_pct")
+        .columns("[Measures].[Profit Pct]")
+        .rows("[ReturnFlag].children")
+    )
+    assert like(
+        q.to_mdx(),
+        """
+        WITH MEMBER [Measures].[Profit Pct] AS
+          '[Measures].[Sum Disc Price] / [Measures].[Sum Price]', SOLVE_ORDER = 2
+        SELECT [Measures].[Profit Pct] ON COLUMNS,
+          [ReturnFlag].children ON ROWS
+        FROM [Sales]
+        """,
+    )
+
+
+def test_mdx_roundtrip(engine):
+    """Builder → to_mdx → parser → same results."""
+    q = (
+        Query(engine)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].children")
+        .where("[Time].[1996]")
+    )
+    r1 = q.execute()
+    r2 = execute_mdx(engine, q.to_mdx())
+    assert rows_of(r1.df) == rows_of(r2.df)
