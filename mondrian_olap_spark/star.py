@@ -151,7 +151,23 @@ class CubeEngine:
     # lib/mondrian/olap/cube.rb:328-332 level.members,
     # :437-468 children/descendants)
     # ------------------------------------------------------------------
-    def level_members(self, dim_name: str, depth: int, path: tuple[str, ...] = ()) -> DataFrame:
+    def member(self, identifier: str) -> DataFrame:
+        """Member lookup by full name — ``cube.member('[A].[B]')``
+        (cube.rb:106-116 lookupMember; StrToMember,
+        jar!mondrian/olap/fun/StrToMemberFunDef).  Returns the member's key
+        columns as a one-row DataFrame (empty if no such member)."""
+        from .members import resolve
+
+        ref = resolve(self.cube, identifier)
+        return self.level_members(ref.dimension.name, ref.depth, ref.path)
+
+    def level_members(
+        self,
+        dim_name: str,
+        depth: int,
+        path: tuple[str, ...] = (),
+        include_properties: bool = False,
+    ) -> DataFrame:
         """Distinct members at ``depth`` (optionally under ancestor ``path``),
         hierarchy-ordered by ordinal expressions.
 
@@ -163,24 +179,32 @@ class CubeEngine:
         dim = self.cube.dimension(dim_name)
         levels = dim.levels[: depth + 1]
         outs = [lv.out for lv in levels]
+        props = [p for lv in levels for p, _ in lv.properties] if include_properties else []
         if dim.degenerate:
             df = self.fact
-            ords = {lv.out: F.expr(lv.ordinal_expr) for lv in levels}
             sel = [F.col(o) for o in outs] + [
-                ords[lv.out].alias(_ordinal_out(dim, lv)) for lv in levels
+                F.expr(lv.ordinal_expr).alias(_ordinal_out(dim, lv)) for lv in levels
             ]
+            if include_properties:
+                for lv in levels:
+                    for pname, pexpr in lv.properties:
+                        sel.append(F.expr(pexpr).alias(pname))
             df = df.select(*sel)
         else:
             df = self.dims[dim.name].df.select(
-                *outs, *[_ordinal_out(dim, lv) for lv in levels]
+                *outs, *[_ordinal_out(dim, lv) for lv in levels], *props
             )
         for i, key in enumerate(path):
             df = df.filter(F.col(dim.levels[i].out) == key)
-        return (
-            df.dropDuplicates(outs)
-            .orderBy(*[_ordinal_out(dim, lv) for lv in levels])
-            .select(*outs)
-        )
+        # dedupe by member key with min() as the deterministic representative
+        # for ordinals/properties: Mondrian assumes properties are
+        # functionally dependent on the level key (depends_on_level_value,
+        # schema.rb:277-281); where the data violates that, an arbitrary
+        # dropDuplicates row would be nondeterministic across runs
+        ord_cols = [_ordinal_out(dim, lv) for lv in levels]
+        agg_cols = [F.min(c).alias(c) for c in (*ord_cols, *props)]
+        df = df.groupBy(*outs).agg(*agg_cols)
+        return df.orderBy(*ord_cols).select(*outs, *props)
 
     def merged_dim_view(
         self, dims: list[Dimension], needed: Mapping[str, list[str]]

@@ -983,3 +983,221 @@ def role_region_grant(spark, sf_dir):
         .df
     )
     return df.select("nation_name", "sum_price")
+
+
+# =====================================================================
+# §2.6 set operators, §2.7 scalar functions, metadata & drilldown
+# =====================================================================
+@q(
+    "set_union_nations",
+    f"""
+    SELECT nation_name, sum_qty FROM (
+      SELECT n_name AS nation_name, sum(l_quantity) AS sum_qty
+      FROM {_CUST_STAR} GROUP BY 1, r_name HAVING r_name = 'ASIA'
+      UNION
+      SELECT n_name AS nation_name, sum(l_quantity) AS sum_qty
+      FROM {_CUST_STAR} GROUP BY 1, r_name HAVING r_name = 'EUROPE'
+    )
+    """,
+)
+def set_union_nations(spark, sf_dir):
+    """UNION of two member-set aggregates (jar!...UnionFunDef)."""
+    from .functions.sets import set_union
+
+    def nations_of(region):
+        return (
+            Query(get_engine(spark, sf_dir))
+            .columns("[Measures].[Sum Qty]")
+            .rows(f"[Customer].[{region}].children")
+            .execute()
+            .df.select("nation_name", "sum_qty")
+        )
+
+    return set_union(nations_of("ASIA"), nations_of("EUROPE"))
+
+
+@q(
+    "set_intersect_active_nations",
+    f"""
+    SELECT n_name AS nation_name FROM {_CUST_STAR}
+    WHERE year(o_orderdate) = 1995
+    INTERSECT
+    SELECT n_name AS nation_name FROM {_CUST_STAR}
+    WHERE year(o_orderdate) = 2000
+    """,
+)
+def set_intersect_active_nations(spark, sf_dir):
+    """INTERSECT of member sets derived from fact slices
+    (jar!...IntersectFunDef)."""
+    from .functions.sets import set_intersect
+
+    def active_in(year):
+        return (
+            Query(get_engine(spark, sf_dir))
+            .rows("[Customer].[Nation].Members")
+            .where(f"[Time].[{year}]")
+            .execute()
+            .df.select("nation_name")
+        )
+
+    return set_intersect(active_in(1995), active_in(2000))
+
+
+@q(
+    "visual_totals_regions",
+    f"""
+    WITH nations AS (
+      SELECT r_name AS region_name, n_name AS nation_name,
+             sum(l_extendedprice) AS sum_price, avg(l_quantity) AS avg_qty
+      FROM {_CUST_STAR} GROUP BY 1, 2
+    )
+    SELECT region_name, sum(sum_price) AS visual_total
+    FROM nations WHERE avg_qty > 25.5 GROUP BY 1
+    """,
+)
+def visual_totals_regions(spark, sf_dir):
+    """VisualTotals: parent totals recomputed from *visible* children only
+    (jar!...VisualTotalsFunDef) — also demonstrates in-memory rollup of a
+    finer aggregate to a coarser one without rescanning the fact
+    (SURVEY.md §4 EnableInMemoryRollup)."""
+    nations = (
+        Query(get_engine(spark, sf_dir))
+        .columns("[Measures].[Sum Price]", "[Measures].[Avg Qty]")
+        .rows("[Customer].[Nation].Members")
+        .filter("avg_qty > 25.5")
+        .execute()
+        .df
+    )
+    return nations.groupBy("region_name").agg(
+        F.sum("sum_price").alias("visual_total")
+    )
+
+
+@q(
+    "scalar_string_math_functions",
+    """
+    SELECT n_name AS nation_name,
+           upper(n_name) AS upper_name,
+           lower(trim(n_name)) AS lower_name,
+           length(n_name) AS name_len,
+           instr(n_name, '_') AS underscore_pos,
+           substring(n_name, 1, 6) AS name_prefix,
+           replace(n_name, 'NATION', 'N') AS short_name,
+           abs(-1 * n_nationkey) AS abs_key,
+           round(sqrt(n_nationkey), 4) AS sqrt_key,
+           round(exp(ln(n_nationkey + 1)), 6) AS exp_ln_key
+    FROM nation
+    """,
+)
+def scalar_string_math_functions(spark, sf_dir):
+    """VBA/MDX scalar function library mapped to built-in Spark functions —
+    UCase/LCase/Trim/InStr/Left/Mid/Len/Replace/Abs/Sqr/Exp/Log
+    (SURVEY.md §2.7; jar!mondrian/olap/fun/vba/Vba)."""
+    from .star import read_parquet_table
+
+    nation = read_parquet_table(spark, f"{sf_dir}/nation.parquet")
+    return nation.selectExpr(
+        "n_name AS nation_name",
+        "upper(n_name) AS upper_name",
+        "lower(trim(n_name)) AS lower_name",
+        "length(n_name) AS name_len",
+        "instr(n_name, '_') AS underscore_pos",
+        "substring(n_name, 1, 6) AS name_prefix",
+        "replace(n_name, 'NATION', 'N') AS short_name",
+        "abs(-1 * n_nationkey) AS abs_key",
+        "round(sqrt(n_nationkey), 4) AS sqrt_key",
+        "round(exp(ln(n_nationkey + 1)), 6) AS exp_ln_key",
+    )
+
+
+@q(
+    "date_functions_by_year",
+    """
+    SELECT year(o_orderdate) AS o_year,
+           min(o_orderdate) AS first_order,
+           max(o_orderdate) AS last_order,
+           date_diff('day', min(o_orderdate), max(o_orderdate)) AS span_days,
+           (min(o_orderdate) + INTERVAL 30 DAY)::DATE AS first_plus_30
+    FROM orders GROUP BY 1
+    """,
+)
+def date_functions_by_year(spark, sf_dir):
+    """Date function family — Now/DateAdd/DateDiff/DatePart analogs
+    (SURVEY.md §2.7 date row)."""
+    from .star import read_parquet_table
+
+    orders = read_parquet_table(spark, f"{sf_dir}/orders.parquet")
+    return (
+        orders.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+        .withColumn("span_days", F.datediff(F.col("last_order"), F.col("first_order")))
+        .withColumn("first_plus_30", F.date_add(F.col("first_order").cast("date"), 30))
+    )
+
+
+@q(
+    "member_properties_parts",
+    """
+    SELECT p_brand AS brand, p_name AS part_name,
+           min(p_size) AS part_size, min(p_type) AS part_type_prop,
+           min(p_retailprice) AS retail_price
+    FROM part WHERE p_brand = 'Brand#11'
+    GROUP BY 1, 2
+    """,
+)
+def member_properties_parts(spark, sf_dir):
+    """Member property columns carried with level members
+    (schema.rb:272-284; .Properties('X') accessors §2.7)."""
+    eng = get_engine(spark, sf_dir)
+    df = eng.level_members("Part", 1, ("Brand#11",), include_properties=True)
+    return df.select("brand", "part_name", "part_size", "part_type_prop", "retail_price")
+
+
+@q(
+    "member_lookup_strtomember",
+    """
+    SELECT DISTINCT r_name AS region_name, n_name AS nation_name
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE' AND n_name = 'NATION_13'
+    """,
+)
+def member_lookup_strtomember(spark, sf_dir):
+    """StrToMember / cube.member full-name lookup with bracket parsing
+    (cube.rb:106-116; jar!...StrToMemberFunDef)."""
+    return get_engine(spark, sf_dir).member("[Customer].[EUROPE].[NATION_13]")
+
+
+@q(
+    "drilldown_member_region",
+    f"""
+    SELECT r_name AS region_name, CAST(NULL AS VARCHAR) AS nation_name,
+           sum(l_extendedprice) AS sum_price
+    FROM {_CUST_STAR} GROUP BY 1
+    UNION ALL
+    SELECT r_name, n_name, sum(l_extendedprice)
+    FROM {_CUST_STAR} WHERE r_name = 'ASIA' GROUP BY 1, 2
+    """,
+)
+def drilldown_member_region(spark, sf_dir):
+    """DrilldownMember: parent positions plus the drilled member's children
+    (jar!...DrilldownMemberFunDef) — union of the two grouping sets."""
+    eng = get_engine(spark, sf_dir)
+    parents = (
+        Query(eng)
+        .columns("[Measures].[Sum Price]")
+        .rows("[Customer].children")
+        .execute()
+        .df.withColumn("nation_name", F.lit(None).cast("string"))
+        .select("region_name", "nation_name", "sum_price")
+    )
+    children = (
+        Query(eng)
+        .columns("[Measures].[Sum Price]")
+        .rows("[Customer].[ASIA].children")
+        .execute()
+        .df.select("region_name", "nation_name", "sum_price")
+    )
+    return parents.unionByName(children)

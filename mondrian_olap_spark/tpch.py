@@ -87,7 +87,18 @@ SALES_CUBE = Cube(
             primary_key="p_partkey",
             levels=(
                 Level("Brand", "p_brand", output="brand"),
-                Level("Part", "p_name", output="part_name"),
+                Level(
+                    "Part",
+                    "p_name",
+                    output="part_name",
+                    # member properties (schema.rb:272-284; property test
+                    # schema_definition_test.rb:777-818)
+                    properties=(
+                        ("part_size", "p_size"),
+                        ("part_type_prop", "p_type"),
+                        ("retail_price", "p_retailprice"),
+                    ),
+                ),
             ),
         ),
         Dimension(

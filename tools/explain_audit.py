@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Physical-plan audit: asserts the plans the engine produces are the plans
+we'd want at 100 TB (SURVEY.md §4).
+
+Checks per query:
+* predicate pushdown — degenerate-dim slicers reach the parquet scan
+  (PushedFilters non-empty on the fact scan);
+* column pruning — the fact scan's ReadSchema contains only needed columns;
+* join strategy — bounded-cardinality dims broadcast, no CartesianProduct in
+  star joins;
+* rollup — one Expand node (single-pass grouping sets), not N aggregations.
+
+Run: python tools/explain_audit.py  (exit 1 on any failed property)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def plan_str(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def fact_scan_lines(plan: str, table: str) -> list[str]:
+    return [l for l in plan.splitlines() if "Scan parquet" in l and table in l]
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    from mondrian_olap_spark.query import Query
+    from mondrian_olap_spark.tpch import get_engine
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "16")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    eng = get_engine(spark, SF_DIR)
+    failures: list[str] = []
+
+    def check(name: str, ok: bool, detail: str = "") -> None:
+        print(f"{'PASS' if ok else 'FAIL'} {name}" + (f": {detail}" if detail and not ok else ""))
+        if not ok:
+            failures.append(name)
+
+    # 1. degenerate-dim slicer pushes to the parquet scan
+    df = (
+        Query(eng)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].children")
+        .where("[ReturnFlag].[A]")
+        .execute()
+        .df
+    )
+    p = plan_str(df)
+    scans = fact_scan_lines(p, "lineitem")
+    pushed = any("PushedFilters: [" in l and "l_returnflag" in l for l in p.splitlines())
+    check("pushdown.degenerate_slicer_reaches_scan", pushed, p[:2000])
+
+    # 2. column pruning: a 2-measure query reads only the needed fact columns
+    df = (
+        Query(eng)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[ReturnFlag].children")
+        .execute()
+        .df
+    )
+    p = plan_str(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    cols = set(re.findall(r"(\w+):", m.group(1))) if m else set()
+    check(
+        "pruning.fact_reads_only_needed_columns",
+        cols == {"l_quantity", "l_returnflag"},
+        f"read {sorted(cols)}",
+    )
+
+    # 3. guaranteed-small dim joins broadcast; no cartesian product
+    df = (
+        Query(eng)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Supplier].children")
+        .execute()
+        .df
+    )
+    p = plan_str(df)
+    check("join.small_dim_broadcasts", "BroadcastHashJoin" in p)
+    check("join.no_cartesian_in_star", "CartesianProduct" not in p)
+
+    # 4. orders-bridge dims coalesce: Customer + Time + Priority = ONE join
+    #    of the fact against the merged bridge
+    df = (
+        Query(eng)
+        .columns("[Measures].[Sum Price]")
+        .rows("[Customer].children")
+        .crossjoin("[Time].[Year].Members", "[Priority].children")
+        .execute()
+        .df
+    )
+    p = plan_str(df)
+    n_orders_scans = len(fact_scan_lines(p, "/orders.parquet"))
+    check("join.bridge_dims_coalesced_single_orders_scan", n_orders_scans == 1,
+          f"{n_orders_scans} orders scans")
+
+    # 5. rollup runs as one Expand pass (single shuffle for all grouping sets)
+    df = (
+        Query(eng)
+        .columns("[Measures].[Sum Price]")
+        .rows("[Customer].[Nation].Members")
+        .totals("rollup")
+        .execute()
+        .df
+    )
+    p = plan_str(df)
+    check(
+        "rollup.single_expand_pass",
+        p.count("Expand") == 1 and len(fact_scan_lines(p, "lineitem")) == 1,
+        f"expands={p.count('Expand')} fact_scans={len(fact_scan_lines(p, 'lineitem'))}",
+    )
+
+    # 6. whole-stage codegen covers the aggregation path (inspect the FINAL
+    #    adaptive plan — pre-execution AQE plans carry no codegen annotation)
+    df = Query(eng).columns("[Measures].[Sum Qty]").rows("[ReturnFlag].children").execute().df
+    df.collect()
+    p = plan_str(df)
+    # '*(n)' operator prefixes are the whole-stage-codegen stage markers in
+    # the final adaptive plan's toString
+    check("codegen.wholestage_active", "WholeStageCodegen" in p or "*(1)" in p, p[:1500])
+
+    print(f"\n{len(failures)} failed properties" if failures else "\nall plan properties hold")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
