@@ -75,6 +75,7 @@ class Query:
         self._pending_member: str | None = None
         self._totals: str | None = None
         self._slicer_raw: list[str] = []
+        self._cell_formatters: dict = {}
 
     # -- axes ----------------------------------------------------------
     def axis(self, i: int, *members: str) -> "Query":
@@ -230,18 +231,23 @@ class Query:
         solve_order: int = 0,
         format_string: str | None = None,
         output: str | None = None,
+        cell_formatter=None,
     ) -> "Query":
+        """``cell_formatter``: Python callable value→str applied driver-side
+        in ``formatted_values`` (schema_udf.rb:220-239 CellFormatter;
+        inline form query.rb:211-219)."""
         if self._pending_member is None:
             raise QueryError("as_ must follow with_member")
-        self._with.append(
-            CalculatedMember(
-                name=self._pending_member,
-                expression=expression,
-                solve_order=solve_order,
-                format_string=format_string,
-                output=output,
-            )
+        cm = CalculatedMember(
+            name=self._pending_member,
+            expression=expression,
+            solve_order=solve_order,
+            format_string=format_string,
+            output=output,
         )
+        self._with.append(cm)
+        if cell_formatter is not None:
+            self._cell_formatters[cm.out] = cell_formatter
         self._pending_member = None
         return self
 
@@ -264,7 +270,8 @@ class Query:
         axis_cols = [
             [lv.out for s in ax.sets for lv in s.group_levels] for ax in axes
         ]
-        formats = {m.out: m.format_string for m in measures if m.format_string}
+        formats: dict = {m.out: m.format_string for m in measures if m.format_string}
+        formats.update(self._cell_formatters)  # callables win over strings
         return Result(df, axis_cols, [m.out for m in measures], sort_spec, formats)
 
     # -- MDX serialization (query.rb:230-237,284-327 to_mdx) -------------

@@ -87,7 +87,12 @@ class Result:
         from .formats import format_value
 
         rows = self._collect()
-        fmt = lambda m, v: format_value(v, self._formats.get(m))
+
+        def fmt(m, v):
+            f = self._formats.get(m)
+            if callable(f):  # cell formatter (schema_udf.rb:220-239)
+                return f(v)
+            return format_value(v, f)
         if len(self.axis_columns) > 1 and self.axis_columns[1]:
             return [[fmt(m, r[m]) for m in self.measure_columns] for r in rows]
         if rows:

@@ -1,0 +1,19 @@
+"""Structured Streaming surface.
+
+The reference has **no** streaming operators (SURVEY.md §2.9) — its nearest
+capability is incremental cache invalidation when underlying data changes
+(``connection.rb:153-181`` schema flush, ``cube.rb:519-547`` region flush).
+This module supplies the Spark-native streaming layer a modern deployment
+expects on top of that parity surface:
+
+* :func:`windowed_aggregate` — event-time tumbling/sliding windows with
+  watermark-based late-data handling over any streaming DataFrame;
+* :func:`invalidate_cache_on_update` — ``foreachBatch`` sink that flushes
+  the engine's aggregate cache (whole schema or a member region) as new fact
+  data lands, turning the reference's *manual* flush API into an automatic
+  one.
+"""
+
+from .windows import invalidate_cache_on_update, windowed_aggregate
+
+__all__ = ["invalidate_cache_on_update", "windowed_aggregate"]

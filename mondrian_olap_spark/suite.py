@@ -1201,3 +1201,70 @@ def drilldown_member_region(spark, sf_dir):
         .df.select("region_name", "nation_name", "sum_price")
     )
     return parents.unionByName(children)
+
+
+@q(
+    "parent_child_rollup",
+    """
+    WITH RECURSIVE cl AS (
+      SELECT c_custkey AS ancestor, c_custkey AS descendant FROM customer
+      UNION ALL
+      SELECT cl.ancestor, c.c_custkey
+      FROM cl JOIN customer c
+        ON (c.c_custkey // 10) = cl.descendant AND c.c_custkey <> cl.descendant
+    )
+    SELECT ancestor, count(*) AS n_desc,
+           round(sum(c.c_acctbal), 4) AS total_acctbal
+    FROM cl JOIN customer c ON c.c_custkey = cl.descendant
+    GROUP BY 1
+    """,
+)
+def parent_child_rollup(spark, sf_dir):
+    """Parent-child hierarchy rollup (schema.rb:191-197 parent_column):
+    transitive closure via iterative distributed self-joins (Spark has no
+    recursive CTE), then subtree aggregation through the closure table.
+    The synthetic hierarchy is parent(k) = k div 10 over customer keys."""
+    from .hierarchy import closure, rollup_parent_child
+    from .star import read_parquet_table
+
+    cust = read_parquet_table(spark, f"{sf_dir}/customer.parquet")
+    # parent(k) = k div 10; key 0 would be its own parent -> treat as root
+    # (null_parent_value semantics, schema.rb:191-197)
+    edges = cust.selectExpr(
+        "c_custkey AS id",
+        "CASE WHEN c_custkey div 10 = c_custkey THEN NULL "
+        "ELSE c_custkey div 10 END AS parent",
+    )
+    cl = closure(edges, "id", "parent")
+    return rollup_parent_child(
+        cust,
+        cl,
+        "c_custkey",
+        [F.count("*").alias("n_desc"), F.round(F.sum("c_acctbal"), 4).alias("total_acctbal")],
+    )
+
+
+@q(
+    "udf_scaled_revenue",
+    f"""
+    SELECT r_name AS region_name, sum(l_extendedprice) AS sum_price,
+           sum(l_extendedprice) * 2 + 1 AS scaled
+    FROM {_CUST_STAR} GROUP BY 1
+    """,
+)
+def udf_scaled_revenue(spark, sf_dir):
+    """Python-registered MDX-style function used in a WITH MEMBER formula
+    (schema_udf.rb:64-213 UDF bridge) — the documented slow path, registered
+    per session and callable from any query expression."""
+    from .udf import register_scalar
+
+    register_scalar(spark, "suite_scale_fn", lambda x: x * 2 + 1 if x is not None else None)
+    return (
+        Query(get_engine(spark, sf_dir))
+        .with_member("Scaled")
+        .as_("suite_scale_fn(sum_price)", output="scaled")
+        .columns("[Measures].[Sum Price]", "[Measures].[Scaled]")
+        .rows("[Customer].children")
+        .execute()
+        .df
+    )

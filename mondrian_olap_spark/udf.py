@@ -1,0 +1,58 @@
+"""User-defined function surface — the analog of the reference's Ruby→Java
+UDF bridge (``lib/mondrian/olap/schema_udf.rb:64-213``; tests
+``test/schema_definition_test.rb:900-1139``).
+
+The reference lets schemas register typed MDX functions, cell formatters and
+member formatters.  Here:
+
+* :func:`register_scalar` wires a Python callable into Spark SQL (row UDF or
+  Arrow-batched Pandas UDF) so any query expression — ``with_member``
+  formulas, ``filter`` conditions, measure expressions — can call it by
+  name.  UDFs are the documented slow path: everything built-in stays in
+  codegen; Pandas UDFs are ~10-100× faster than row UDFs when Python is
+  unavoidable.
+* shared registry (``:shared`` UDFs, schema_udf.rb:17-31): register once per
+  SparkSession, visible to every cube on it.
+* cell formatters (schema_udf.rb:220-239) are plain Python callables applied
+  driver-side in ``Result.formatted_values`` — never part of the plan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import SparkSession
+
+#: session-id → registered names (idempotence + introspection)
+_REGISTERED: dict[str, set[str]] = {}
+
+
+def register_scalar(
+    spark: SparkSession,
+    name: str,
+    fn: Callable,
+    returns: str = "double",
+    vectorized: bool = False,
+) -> None:
+    """Register ``fn`` as SQL function ``name``.
+
+    ``vectorized=True`` wraps it as an Arrow-batched Pandas UDF (``fn``
+    receives/returns ``pandas.Series``) — prefer this for anything on a hot
+    path.
+    """
+    from pyspark.sql import functions as F
+
+    if vectorized:
+        udf = F.pandas_udf(fn, returnType=returns)
+    else:
+        udf = F.udf(fn, returnType=returns)
+    spark.udf.register(name, udf)
+    _REGISTERED.setdefault(_session_key(spark), set()).add(name)
+
+
+def registered_functions(spark: SparkSession) -> set[str]:
+    return set(_REGISTERED.get(_session_key(spark), set()))
+
+
+def _session_key(spark: SparkSession) -> str:
+    return str(id(spark))
