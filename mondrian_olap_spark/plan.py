@@ -154,6 +154,9 @@ class Planner:
         all_refs = [r for axis in axes for r in axis] + list(slicer)
 
         def build() -> DataFrame:
+            routed = self._route_aggregate_table(uses, group_cols, base_measures, totals)
+            if routed is not None:
+                return routed
             return self._aggregate_base(uses, group_cols, base_measures, totals)
 
         if cache is not None and base_measures:
@@ -177,6 +180,45 @@ class Planner:
         ordered = group_cols + [m.out for m in measures]
         return agg.select(*ordered), group_cols
 
+    def expand_empty(
+        self,
+        agg: DataFrame,
+        axes: list[list[MemberSetRef]],
+        group_cols: list[str],
+    ) -> DataFrame:
+        """Expand the non-empty cell grid to the FULL axis cross product:
+        empty cells surface as NULL measures (NULL-vs-empty semantics,
+        SURVEY.md §1.2; NON EMPTY is the default/scale path and this is the
+        opt-in — Mondrian defaults the other way round).
+
+        Member frames come from the dimension views (members exist whether
+        or not fact rows do), constrained by the axis sets' own path
+        predicates; the grid is their cross join, left-joined with the
+        aggregate.  Axis cardinality is the user's contract here exactly as
+        in the reference — NON EMPTY exists because full grids explode.
+        """
+        grid: DataFrame | None = None
+        for axis in axes:
+            by_dim: dict[str, list[MemberSetRef]] = {}
+            for ref in axis:
+                by_dim.setdefault(ref.dimension.name, []).append(ref)
+            for dim_name, refs in by_dim.items():
+                dim = refs[0].dimension
+                outs: list[str] = []
+                for ref in refs:
+                    outs = max(outs, [lv.out for lv in ref.group_levels], key=len)
+                if dim.degenerate:
+                    members = self.engine.fact.select(*outs).dropDuplicates()
+                else:
+                    members = self.engine.dims[dim.name].df.select(*outs).dropDuplicates()
+                preds = [_path_predicate(r) for r in refs]
+                if all(p is not None for p in preds):
+                    members = members.filter(_or_all(preds))
+                grid = members if grid is None else grid.crossJoin(members)
+        if grid is None:
+            return agg
+        return grid.join(agg, on=group_cols, how="left")
+
     def _apply_role(self, use) -> None:
         """Role grants: the fact is restricted to the granted member region
         on every plan — aggregates *and* drill-through — touched dimension
@@ -199,6 +241,44 @@ class Planner:
                     default=0,
                 )
                 u.pred_depth = max(u.pred_depth, depth)
+
+    def _route_aggregate_table(
+        self,
+        uses: dict[str, _DimUse],
+        group_cols: list[str],
+        base_measures: list[Measure],
+        totals: str | None,
+    ) -> DataFrame | None:
+        """Aggregate-table routing (SURVEY.md §4): serve the query from a
+        registered summary table when it covers the requested grouping,
+        predicates and measures — a plan-construction rule, no Catalyst
+        extension needed.  Returns None when no table qualifies."""
+        tables = getattr(self.engine, "aggregate_tables", None)
+        if not tables or totals is not None or not base_measures:
+            return None
+        pred_cols: list[str] = []
+        preds: list[Column] = []
+        for u in uses.values():
+            if u.predicate is not None:
+                preds.append(u.predicate)
+                pred_cols += [lv.out for lv in u.dim.levels[: u.pred_depth]]
+        needed_cols = set(group_cols) | set(pred_cols)
+        for df, agg_outputs, agg_measures in tables:
+            if not needed_cols.issubset(agg_outputs):
+                continue
+            if any(m.out not in agg_measures for m in base_measures):
+                continue
+            for p in preds:
+                df = df.filter(p)
+            cols = []
+            for m in base_measures:
+                a = agg_measures[m.out]
+                fn = F.sum if a in ("sum", "count") else (F.min if a == "min" else F.max)
+                cols.append(fn(F.col(m.out)).alias(m.out))
+            if group_cols:
+                return df.groupBy(*group_cols).agg(*cols)
+            return df.agg(*cols)
+        return None
 
     def _aggregate_base(
         self,

@@ -76,6 +76,7 @@ class Query:
         self._totals: str | None = None
         self._slicer_raw: list[str] = []
         self._cell_formatters: dict = {}
+        self._include_empty = False
 
     # -- axes ----------------------------------------------------------
     def axis(self, i: int, *members: str) -> "Query":
@@ -124,6 +125,15 @@ class Query:
         # NonEmptyCrossJoin ≡ crossjoin here: groupBy over the fact yields
         # only combinations with data (SURVEY.md §2.3)
         return self.crossjoin(*members)
+
+    def include_empty(self) -> "Query":
+        """Expand axes to the full member cross product — empty cells appear
+        with NULL measures (the reference's default axis behavior; ISEMPTY /
+        CoalesceEmpty operate on these cells — mondrian_test.rb:520-541,
+        673-686).  NON EMPTY remains the default here because full grids are
+        the anti-scale path."""
+        self._include_empty = True
+        return self
 
     def nonempty(self) -> "Query":
         """NON EMPTY (query.rb:68-72).  The aggregated grid contains only
@@ -252,7 +262,7 @@ class Query:
         return self
 
     # -- execution -------------------------------------------------------
-    def execute(self) -> Result:
+    def execute(self, timeout: float | None = None) -> Result:
         axes = [self._axes[i] for i in sorted(self._axes)]
         measures: list[Measure | CalculatedMember] = []
         for ax in axes:
@@ -264,6 +274,8 @@ class Query:
         df, group_cols = planner.aggregate(
             [ax.sets for ax in axes], self._slicer, measures, totals=self._totals
         )
+        if self._include_empty:
+            df = planner.expand_empty(df, [ax.sets for ax in axes], group_cols)
         sort_spec: list = []
         for ax in axes:
             df, sort_spec = self._apply_mods(df, ax, sort_spec)
@@ -272,7 +284,9 @@ class Query:
         ]
         formats: dict = {m.out: m.format_string for m in measures if m.format_string}
         formats.update(self._cell_formatters)  # callables win over strings
-        return Result(df, axis_cols, [m.out for m in measures], sort_spec, formats)
+        res = Result(df, axis_cols, [m.out for m in measures], sort_spec, formats)
+        res.timeout = timeout
+        return res
 
     # -- MDX serialization (query.rb:230-237,284-327 to_mdx) -------------
     def to_mdx(self) -> str:

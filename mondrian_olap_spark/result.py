@@ -12,7 +12,16 @@ definition; anything large should stay a DataFrame).
 
 from __future__ import annotations
 
+import threading
+import time
+
+
 from pyspark.sql import DataFrame
+
+
+class QueryTimeoutError(TimeoutError):
+    """Query exceeded its timeout and was cancelled
+    (``connection.rb:513-515``; behavior ``test/query_test.rb:1290-1336``)."""
 
 
 class Result:
@@ -30,6 +39,11 @@ class Result:
         self._sort_spec = sort_spec or []
         self._formats = formats or {}
         self._rows_cache: list | None = None
+        #: wall-clock of the first materialisation, ms (total_duration —
+        #: connection.rb:78-84)
+        self.total_duration: float | None = None
+        #: optional timeout in seconds applied at materialisation
+        self.timeout: float | None = None
 
     @property
     def df(self) -> DataFrame:
@@ -53,8 +67,52 @@ class Result:
 
     def _collect(self) -> list:
         if self._rows_cache is None:
-            self._rows_cache = self.df.collect()
+            df = self.df
+            t0 = time.perf_counter()
+            if self.timeout is not None:
+                # Driver-side watchdog (the Spark analog of Mondrian's
+                # statement timeout, connection.rb:513-515).  Job-group/tag
+                # cancellation is not reliable from Python's unpinned
+                # threads, so the deadline is enforced on the driver: the
+                # collect runs in a worker thread, the caller gets
+                # QueryTimeoutError at the deadline, and best-effort
+                # cancelAllJobs sweeps reap the runaway job in the
+                # background (caveat: cancels other concurrent jobs on this
+                # SparkContext — one interactive query per session assumed).
+                sc = df.sparkSession.sparkContext
+                box: dict = {}
+
+                def run() -> None:
+                    try:
+                        box["rows"] = df.collect()
+                    except Exception as e:  # pragma: no cover - racing cancel
+                        box["err"] = e
+
+                worker = threading.Thread(target=run, daemon=True)
+                worker.start()
+                worker.join(self.timeout)
+                if worker.is_alive():
+                    # one immediate best-effort cancel; a task that ignores
+                    # the cancel flag finishes in the background (delayed
+                    # cancel sweeps would shoot down *later* queries)
+                    sc.cancelAllJobs()
+                    raise QueryTimeoutError(
+                        f"query exceeded timeout of {self.timeout}s"
+                    )
+                if "err" in box:
+                    raise box["err"]
+                self._rows_cache = box["rows"]
+            else:
+                self._rows_cache = df.collect()
+            self.total_duration = (time.perf_counter() - t0) * 1000.0
         return self._rows_cache
+
+    @property
+    def profiling_plan(self) -> str:
+        """Physical plan text — the profiling surface
+        (``connection.rb:525-539`` profiling_plan; here Catalyst's plan
+        replaces Mondrian's calc-tree dump)."""
+        return self._df._jdf.queryExecution().executedPlan().toString()
 
     @property
     def row_names(self) -> list:

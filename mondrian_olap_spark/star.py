@@ -103,6 +103,32 @@ class CubeEngine:
         self.cache = None
         #: optional access-control role applied to every plan (§2 roles)
         self.role = None
+        #: registered pre-aggregated summary tables (AggName matcher analog)
+        self.aggregate_tables: list = []
+
+    def register_aggregate(
+        self,
+        df: DataFrame,
+        group_outputs: list[str],
+        measures: dict[str, str],
+    ) -> None:
+        """Register a pre-aggregated summary table — the declared
+        aggregate-table surface (AggName — schema.rb:374-414; matcher
+        ``jar!mondrian/rolap/aggmatcher/AggStar``).
+
+        ``df`` holds one row per ``group_outputs`` combination with
+        already-aggregated measure columns; ``measures`` maps measure output
+        name → its aggregator ('sum'|'count'|'min'|'max').  The planner
+        routes any query whose grouping ⊆ ``group_outputs``, whose
+        predicates reference only those outputs, and whose measures are
+        roll-up-safe to this table instead of the fact (avg and
+        distinct-count are never rolled up from summaries — SURVEY.md §7.4
+        distinct-count caveat)."""
+        rollable = {"sum", "count", "min", "max"}
+        bad = {m: a for m, a in measures.items() if a not in rollable}
+        if bad:
+            raise ValueError(f"aggregators not roll-up-safe from a summary table: {bad}")
+        self.aggregate_tables.append((df, list(group_outputs), dict(measures)))
 
     def enable_cache(self, storage_level=None):
         """Turn on the aggregate cache (CACHE fun-def analog + segment

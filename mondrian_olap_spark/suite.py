@@ -1268,3 +1268,41 @@ def udf_scaled_revenue(spark, sf_dir):
         .execute()
         .df
     )
+
+
+@q(
+    "empty_cells_grid",
+    f"""
+    WITH members AS (
+      SELECT DISTINCT n_name AS supplier_nation FROM supplier
+      JOIN nation ON s_nationkey = n_nationkey
+    ),
+    years AS (SELECT DISTINCT year(o_orderdate) AS o_year FROM orders),
+    agg AS (
+      SELECT n_name AS supplier_nation, year(o_orderdate) AS o_year,
+             sum(l_quantity) AS sum_qty
+      FROM {_SUPP_STAR} JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_returnflag = 'R'
+      GROUP BY 1, 2
+    )
+    SELECT m.supplier_nation, y.o_year, agg.sum_qty
+    FROM members m CROSS JOIN years y
+    LEFT JOIN agg ON agg.supplier_nation = m.supplier_nation AND agg.o_year = y.o_year
+    """,
+)
+def empty_cells_grid(spark, sf_dir):
+    """Empty-cell semantics (SURVEY.md §1.2): the full axis cross product
+    with NULL measures where no fact rows exist — ISEMPTY operates on these
+    cells; NON EMPTY (the default) drops them."""
+    eng = get_engine(spark, sf_dir)
+    df = (
+        Query(eng)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Supplier].children")
+        .crossjoin("[Time].[Year].Members")
+        .where("[ReturnFlag].[R]")
+        .include_empty()
+        .execute()
+        .df
+    )
+    return df.select("supplier_nation", "o_year", "sum_qty")

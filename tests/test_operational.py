@@ -1,0 +1,141 @@
+"""Profiling, query timeout, aggregate-table routing, empty-cell expansion
+(SURVEY.md §4 operational parity + §1.2 NULL-vs-empty semantics)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from mondrian_olap_spark.query import Query
+from mondrian_olap_spark.result import QueryTimeoutError
+from mondrian_olap_spark.star import engine_from_parquet
+from mondrian_olap_spark.tpch import SCHEMA
+
+from .conftest import SF_DIR
+
+
+# ----------------------------------------------------------- profiling
+def test_profiling_plan_and_duration(engine):
+    r = Query(engine).columns("[Measures].[Sum Qty]").rows("[Customer].children").execute()
+    assert "HashAggregate" in r.profiling_plan
+    r.values  # materialise
+    assert r.total_duration is not None and r.total_duration > 0
+
+
+# -------------------------------------------------------------- timeout
+def test_timeout_triggers_on_heavy_query(spark, engine):
+    """A short timeout cancels a heavy query (query_test.rb:1290-1336)."""
+    from mondrian_olap_spark.result import Result
+
+    fact = engine.fact
+    heavy_df = (
+        fact.crossJoin(fact.select(F.col("l_orderkey").alias("k2")))
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+    )
+    res = Result(heavy_df, [], ["n"])
+    res.timeout = 0.05
+    with pytest.raises(QueryTimeoutError):
+        res._collect()
+
+
+def test_timeout_passes_trivial_query(engine):
+    r = Query(engine).columns("[Measures].[Sum Qty]").execute(timeout=60)
+    assert r.values  # completes well inside the budget
+
+
+# ------------------------------------------------- aggregate-table routing
+def test_aggregate_table_routing(spark, tmp_path):
+    eng = engine_from_parquet(spark, SCHEMA, "Sales", SF_DIR)
+    base = (
+        Query(eng)
+        .columns("[Measures].[Sum Price]", "[Measures].[Count Order]")
+        .rows("[Customer].[Nation].Members")
+        .execute()
+        .df
+    )
+    # materialise the nation-grain aggregate (a lazy DF would still carry
+    # the fact scan in its lineage) and register it as a summary table
+    summary_path = str(tmp_path / "agg_nation")
+    base.write.parquet(summary_path)
+    eng.register_aggregate(
+        spark.read.parquet(summary_path),
+        ["region_name", "nation_name"],
+        {"sum_price": "sum", "count_order": "count"},
+    )
+    routed = (
+        Query(eng)
+        .columns("[Measures].[Sum Price]", "[Measures].[Count Order]")
+        .rows("[Customer].children")
+        .execute()
+        .df
+    )
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem" not in plan  # served from the summary, not the fact
+    fresh = engine_from_parquet(spark, SCHEMA, "Sales", SF_DIR)  # no summary registered
+    expected = {
+        r["region_name"]: (r["sum_price"], r["count_order"])
+        for r in Query(fresh)
+        .columns("[Measures].[Sum Price]", "[Measures].[Count Order]")
+        .rows("[Customer].children")
+        .execute()
+        .df.collect()
+    }
+    got = {r["region_name"]: (r["sum_price"], r["count_order"]) for r in routed.collect()}
+    assert got.keys() == expected.keys()
+    for k in got:
+        assert got[k][1] == expected[k][1]
+        assert abs(got[k][0] - expected[k][0]) < 1e-4
+
+
+def test_aggregate_table_not_used_for_uncovered_grouping(spark):
+    eng = engine_from_parquet(spark, SCHEMA, "Sales", SF_DIR)
+    agg = (
+        Query(eng)
+        .columns("[Measures].[Sum Price]")
+        .rows("[Customer].children")
+        .execute()
+        .df
+    )
+    eng.register_aggregate(agg, ["region_name"], {"sum_price": "sum"})
+    # nation grouping is finer than the summary -> must hit the fact
+    df = (
+        Query(eng)
+        .columns("[Measures].[Sum Price]")
+        .rows("[Customer].[Nation].Members")
+        .execute()
+        .df
+    )
+    assert "lineitem" in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_aggregate_table_rejects_unrollable(spark):
+    eng = engine_from_parquet(spark, SCHEMA, "Sales", SF_DIR)
+    with pytest.raises(ValueError, match="roll-up-safe"):
+        eng.register_aggregate(eng.fact, ["region_name"], {"avg_qty": "avg"})
+
+
+# ------------------------------------------------------ empty-cell grid
+def test_include_empty_expands_axis(engine):
+    r = (
+        Query(engine)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Supplier].children")
+        .crossjoin("[Time].[Year].Members")
+        .where("[ReturnFlag].[R]")
+        .include_empty()
+        .execute()
+    )
+    rows = r.df.collect()
+    nations = {row["supplier_nation"] for row in rows}
+    years = {row["o_year"] for row in rows}
+    assert len(rows) == len(nations) * len(years)  # full cross product
+    # ISEMPTY semantics: empty cells are NULL, not 0
+    empties = [row for row in rows if row["sum_qty"] is None]
+    nonempty = (
+        Query(engine)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Supplier].children")
+        .crossjoin("[Time].[Year].Members")
+        .where("[ReturnFlag].[R]")
+        .execute()
+    ).df.count()
+    assert len(rows) - len(empties) == nonempty
