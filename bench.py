@@ -31,12 +31,19 @@ HEADLINE = [
     "drillthrough_cell",
     "generate_customer_list",
     "events_by_type",
+    "virtual_sales_orders",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_pairs",
+    "embed_cosine_topk",
+    "text_quality_features",
+    "parent_child_rollup",
 ]
 
 
 def main() -> None:
     from pyspark.sql import SparkSession
 
+    import mondrian_olap_spark.suite_pipeline  # noqa: F401 — registers entries
     from mondrian_olap_spark.suite import QUERIES
 
     spark = (

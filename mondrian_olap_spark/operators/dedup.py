@@ -252,17 +252,21 @@ def simhash(
     stays in codegen.
     """
     toks = shingles(df, id_col, text_col, n).withColumn("th", F.expr(_h("shingle")))
-    contrib = toks.select(
-        "id",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-        "th",
-    ).withColumn("v", F.expr("CASE WHEN (th >> bit) & 1 = 1 THEN 1 ELSE -1 END"))
-    bitsum = contrib.groupBy("id", "bit").agg(F.sum("v").alias("s"))
-    return bitsum.groupBy("id").agg(
-        F.sum(
-            F.expr("CASE WHEN s > 0 THEN shiftleft(cast(1 as bigint), bit) ELSE cast(0 as bigint) END")
-        ).alias("simhash")
+    # one conditional-aggregation pass computes every bit sum — no bits×
+    # row explosion, single shuffle on the document id
+    bit_sums = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.expr(f"CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END")
+            ).alias(f"__s{b}")
+            for b in range(bits)
+        ]
     )
+    pack = " + ".join(
+        f"(CASE WHEN __s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(bits)
+    )
+    return bit_sums.select("id", F.expr(pack).alias("simhash"))
 
 
 def simhash_pairs(
