@@ -135,7 +135,50 @@ class MdxParser:
         return t is not None and t.kind == "op" and t.text == op
 
     # -- grammar -------------------------------------------------------
-    def parse(self):
+    def parse_statement(self):
+        """Top-level: SELECT query → Query, or DRILLTHROUGH statement →
+        (Query, max_rows, return_fields) for the statement drill form
+        (``DRILLTHROUGH MAXROWS n SELECT … RETURN …`` —
+        lib/mondrian/olap/query.rb:243-249, connection.rb:95-100)."""
+        if not self.at_word("drillthrough"):
+            return self.parse(), None
+        self.next()
+        max_rows = None
+        if self.at_word("maxrows"):
+            self.next()
+            max_rows = int(self.next().text)
+        q = self.parse(stop_at_return=True)
+        fields: list[tuple[str, str]] = []
+        if self.at_word("return"):
+            self.next()
+            while True:
+                fields.append(self.parse_return_field())
+                if self.at_op(","):
+                    self.next()
+                    continue
+                break
+        if self.peek() is not None:
+            t = self.peek()
+            raise MdxError(f"unexpected trailing token {t.text!r} at {t.pos}")
+        if not fields:
+            raise MdxError("DRILLTHROUGH requires a RETURN field list in this subset")
+        return q, (max_rows, fields)
+
+    def parse_return_field(self) -> tuple[str, str]:
+        """RETURN item: [Dim].[Level] level key or [Measures].[X] → the
+        measure's underlying fact expression (result.rb:283-419 field
+        re-selection)."""
+        segs = self.parse_identifier_segments()
+        if segs[0].lower() == "measures" and len(segs) == 2:
+            m = self.cube.measure(segs[1])
+            return (m.out, m.expression)
+        ident = ".".join(quote_segment(s) for s in segs)
+        from .members import resolve_level
+
+        dim, idx = resolve_level(self.cube, ident)
+        return (dim.levels[idx].out, ident)
+
+    def parse(self, stop_at_return: bool = False):
         if self.at_word("with"):
             self.next()
             while self.at_word("member"):
@@ -156,7 +199,7 @@ class MdxParser:
         if self.at_word("where"):
             self.next()
             self.parse_where()
-        if self.peek() is not None:
+        if self.peek() is not None and not (stop_at_return and self.at_word("return")):
             t = self.peek()
             raise MdxError(f"unexpected trailing token {t.text!r} at {t.pos}")
         return self.q
@@ -451,5 +494,21 @@ def _parse_literal(s: str):
 def execute_mdx(engine, mdx: str, parameters: dict | None = None):
     """Parse and execute an MDX string against a cube engine — the
     ``connection.execute(mdx, params)`` surface (connection.rb:75-86,
-    :498-520 setParameter)."""
-    return MdxParser(engine, mdx, parameters).parse().execute()
+    :498-520 setParameter).
+
+    A ``DRILLTHROUGH …`` statement returns the fact-row DataFrame
+    (connection.rb:95-100 execute_drill_through); a SELECT returns a
+    :class:`~mondrian_olap_spark.result.Result`.
+    """
+    q, drill = MdxParser(engine, mdx, parameters).parse_statement()
+    if drill is None:
+        return q.execute()
+    max_rows, fields = drill
+    from .plan import Planner
+
+    # cell context = every constrained member reference in the statement
+    # (axis member paths + slicer)
+    refs = list(q._slicer)
+    for ax in q._axes.values():
+        refs.extend(ref for ref in ax.sets if ref.path)
+    return Planner(engine).drill_through(refs, fields, max_rows=max_rows)

@@ -157,6 +157,45 @@ class Result:
             return [fmt(m, rows[0][m]) for m in self.measure_columns]
         return []
 
+    @property
+    def axes(self) -> list[list[tuple]]:
+        """Positions per axis: ordered distinct member tuples
+        (result.rb:17-63 axes → positions)."""
+        rows = self._collect()
+        out: list[list[tuple]] = []
+        for cols in self.axis_columns:
+            if not cols:
+                out.append([])
+                continue
+            seen = dict.fromkeys(tuple(r[c] for c in cols) for r in rows)
+            out.append(list(seen))
+        return out
+
+    def pivot(self) -> dict:
+        """CellSet pivot for the 2-axis case with dimension members on the
+        COLUMNS axis: column positions are (member-tuple × measure), row
+        positions are the rows-axis tuples, values a dense grid with None
+        for empty cells (result.rb:606-650 cell addressing).  Driver-side —
+        pivoted grids shown to humans are small by definition."""
+        rows = self._collect()
+        ca = self.axis_columns[0] if self.axis_columns else []
+        ra = self.axis_columns[1] if len(self.axis_columns) > 1 else []
+        col_dims = (
+            list(dict.fromkeys(tuple(r[c] for c in ca) for r in rows)) if ca else [()]
+        )
+        row_keys = (
+            list(dict.fromkeys(tuple(r[c] for c in ra) for r in rows)) if ra else [()]
+        )
+        columns = [(cd, m) for cd in col_dims for m in self.measure_columns]
+        cell: dict = {}
+        for r in rows:
+            ck = tuple(r[c] for c in ca) if ca else ()
+            rk = tuple(r[c] for c in ra) if ra else ()
+            for m in self.measure_columns:
+                cell[(rk, ck, m)] = r[m]
+        grid = [[cell.get((rk, cd, m)) for cd, m in columns] for rk in row_keys]
+        return {"columns": columns, "rows": row_keys, "values": grid}
+
     def to_pandas(self):
         return self.df.toPandas()
 

@@ -1306,3 +1306,26 @@ def empty_cells_grid(spark, sf_dir):
         .df
     )
     return df.select("supplier_nation", "o_year", "sum_qty")
+
+
+@q(
+    "pages_axis_3d",
+    f"""
+    SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
+           o_orderpriority AS order_priority,
+           sum(l_quantity) AS sum_qty, count(l_orderkey) AS count_order
+    FROM {_ORD_STAR} GROUP BY 1, 2, 3
+    """,
+)
+def pages_axis_3d(spark, sf_dir):
+    """Third axis (PAGES — query.rb:23-45 five named axes): grouping columns
+    from three axes in one aggregation pass."""
+    return (
+        Query(get_engine(spark, sf_dir))
+        .columns("[Measures].[Sum Qty]", "[Measures].[Count Order]")
+        .rows("[ReturnFlag].children")
+        .crossjoin("[LineStatus].children")
+        .pages("[Priority].children")
+        .execute()
+        .df
+    )

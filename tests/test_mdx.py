@@ -238,3 +238,27 @@ def test_mdx_roundtrip(engine):
     r1 = q.execute()
     r2 = execute_mdx(engine, q.to_mdx())
     assert rows_of(r1.df) == rows_of(r2.df)
+
+
+def test_drillthrough_statement(engine):
+    """DRILLTHROUGH MAXROWS n SELECT ... RETURN ... (query.rb:243-249)."""
+    df = execute_mdx(
+        engine,
+        """
+        DRILLTHROUGH MAXROWS 50
+        SELECT [Measures].[Sum Qty] ON COLUMNS, [Customer].[ASIA] ON ROWS
+        FROM [Sales] WHERE ([Time].[1995])
+        RETURN [Customer].[Region], [Customer].[Nation], [Measures].[Sum Qty]
+        """,
+    )
+    rows = df.collect()
+    assert 0 < len(rows) <= 50
+    assert set(df.columns) == {"region_name", "nation_name", "sum_qty"}
+    assert all(r["region_name"] == "ASIA" for r in rows)
+    # RETURN measures are raw fact values, not aggregates
+    assert all(r["sum_qty"] is not None for r in rows)
+
+
+def test_drillthrough_requires_return(engine):
+    with pytest.raises(MdxError, match="RETURN"):
+        execute_mdx(engine, "DRILLTHROUGH SELECT [Measures].[Sum Qty] ON COLUMNS FROM [Sales]")

@@ -303,3 +303,52 @@ def test_bad_order_direction(engine):
 def test_measure_in_slicer_rejected(engine):
     with pytest.raises(QueryError):
         q(engine).rows("[Customer].children").where("[Measures].[Sum Qty]")
+
+
+def test_pivot_dims_on_columns(engine):
+    """CellSet pivot: dimension members on COLUMNS x measures
+    (result.rb:606-650)."""
+    r = (
+        q(engine)
+        .columns("[LineStatus].children", "[Measures].[Sum Qty]")
+        .rows("[ReturnFlag].children")
+        .execute()
+    )
+    p = r.pivot()
+    assert len(p["rows"]) == 3          # A / N / R
+    assert len(p["columns"]) == 2       # F / O x one measure
+    assert all(len(row) == 2 for row in p["values"])
+    total = sum(v for row in p["values"] for v in row if v is not None)
+    flat = q(engine).columns("[Measures].[Sum Qty]").execute().values
+    assert abs(total - flat[0]) < 1e-6
+
+
+def test_axes_positions(engine):
+    r = (
+        q(engine)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].[Nation].Members")
+        .execute()
+    )
+    axes = r.axes
+    assert axes[0] == []  # measures-only columns axis
+    assert len(axes[1]) == 25 and all(len(t) == 2 for t in axes[1])
+
+
+def test_pages_axis(engine, duck):
+    r = (
+        q(engine)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[ReturnFlag].children")
+        .pages("[Priority].children")
+        .execute()
+    )
+    assert_df_matches_sql(
+        r.df,
+        duck,
+        """SELECT l_returnflag AS return_flag, o_orderpriority AS order_priority,
+                  sum(l_quantity) AS sum_qty
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           GROUP BY 1, 2""",
+        rel_tol=1e-6,
+    )
