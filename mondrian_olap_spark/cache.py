@@ -35,12 +35,20 @@ def slicer_fingerprint(slicer: list[MemberSetRef]) -> tuple:
     )
 
 
+#: aggregators whose cached per-group values roll up to coarser groupings
+ROLLABLE = frozenset({"sum", "count", "min", "max"})
+
+
 @dataclass
 class _Entry:
     df: DataFrame
     #: dim name → set of constrained member paths (from the slicer);
     #: a dim absent from this map is unconstrained in this aggregate
     slicer_paths: dict[str, set[tuple]] = field(default_factory=dict)
+    #: grouping columns of this aggregate (for in-memory rollup reuse)
+    group_cols: tuple = ()
+    #: measure output → aggregator
+    measures: dict = field(default_factory=dict)
 
 
 class AggregateCache:
@@ -49,6 +57,8 @@ class AggregateCache:
         self._storage_level = storage_level
         self.hits = 0
         self.misses = 0
+        #: coarser requests served by re-aggregating a finer cached entry
+        self.rollups = 0
 
     def __len__(self) -> int:
         return len(self._entries)
@@ -58,19 +68,62 @@ class AggregateCache:
         key: tuple,
         slicer: list[MemberSetRef],
         builder,
+        group_cols: list[str] | None = None,
+        measures: dict[str, str] | None = None,
+        rollup_fn=None,
     ) -> DataFrame:
         entry = self._entries.get(key)
         if entry is not None:
             self.hits += 1
             return entry.df
-        self.misses += 1
-        df = builder().persist(self._storage_level)
+        df = None
+        if rollup_fn is not None and measures:
+            src = self._rollup_source(key, group_cols or [], measures)
+            if src is not None:
+                # in-memory rollup: re-aggregate the finer cached grid
+                # instead of rescanning the fact
+                # (mondrian.rolap.EnableInMemoryRollup — SURVEY.md §4;
+                # distinct-count/avg never roll up)
+                self.rollups += 1
+                df = rollup_fn(src)
+        if df is None:
+            self.misses += 1
+            df = builder()
+        df = df.persist(self._storage_level)
         paths: dict[str, set[tuple]] = {}
         for ref in slicer:
             if ref.path:
                 paths.setdefault(ref.dimension.name, set()).add(ref.path)
-        self._entries[key] = _Entry(df=df, slicer_paths=paths)
+        self._entries[key] = _Entry(
+            df=df,
+            slicer_paths=paths,
+            group_cols=tuple(group_cols or ()),
+            measures=dict(measures or {}),
+        )
         return df
+
+    def _rollup_source(
+        self, key: tuple, group_cols: list[str], measures: dict[str, str]
+    ) -> DataFrame | None:
+        """A cached finer-grain aggregate that can serve this request: same
+        cube + slicer fingerprint + totals, superset grouping, all requested
+        measures present and roll-up-safe."""
+        cube, _gc, fp, _m, totals = key
+        if totals is not None:
+            return None
+        if any(agg not in ROLLABLE for agg in measures.values()):
+            return None
+        for other_key, e in self._entries.items():
+            o_cube, _ogc, o_fp, _om, o_totals = other_key
+            if o_cube != cube or o_fp != fp or o_totals is not None:
+                continue
+            if not set(group_cols) <= set(e.group_cols):
+                continue
+            if set(group_cols) == set(e.group_cols):
+                continue  # same grain with a different key ordering — skip
+            if all(out in e.measures for out in measures):
+                return e.df
+        return None
 
     def flush_all(self) -> int:
         """Whole-schema flush (``connection.rb:153-181`` flush_schema_cache)."""

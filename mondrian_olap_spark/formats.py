@@ -110,6 +110,9 @@ def _apply_pattern(value: float, pattern: str) -> str:
 
     if math.isnan(value):
         return prefix + "NaN" + suffix
+    if math.isinf(value):
+        # a finite value can overflow to inf via the % scaling
+        return prefix + "Infinity" + suffix
 
     rounded = round(value, max_frac)
     int_part = int(rounded)

@@ -181,8 +181,11 @@ class MdxParser:
     def parse(self, stop_at_return: bool = False):
         if self.at_word("with"):
             self.next()
-            while self.at_word("member"):
-                self.parse_with_member()
+            while self.at_word("member", "set"):
+                if self.at_word("member"):
+                    self.parse_with_member()
+                else:
+                    self.parse_with_set()
         self.expect_word("select")
         self.parse_axis()
         while self.at_op(","):
@@ -231,6 +234,26 @@ class MdxParser:
                 self.i = save
                 break
         self.q.with_member(name_segs[1]).as_(expr_sql, solve_order=solve_order)
+
+    def parse_with_set(self):
+        """WITH SET [Name] AS '{…}' (query.rb:182-186 named sets)."""
+        self.expect_word("set")
+        name = _segment(self.next())
+        self.expect_word("as")
+        t = self.next()
+        if t.kind == "string":
+            inner = MdxParser.__new__(MdxParser)
+            inner.__dict__.update(self.__dict__)
+            inner.toks = tokenize(_unquote(t.text))
+            inner.i = 0
+            sb = inner.parse_set()
+        else:
+            self.i -= 1
+            sb = self.parse_set()
+        if sb.ops:
+            raise MdxError(f"named set {name!r}: set operations inside WITH SET "
+                           "are not supported in this subset")
+        self.q.with_set(name, *sb.base)
 
     def parse_axis(self):
         nonempty = False

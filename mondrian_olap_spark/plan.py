@@ -162,14 +162,37 @@ class Planner:
         if cache is not None and base_measures:
             from .cache import slicer_fingerprint
 
+            # fingerprint only the *constraining* refs (member paths):
+            # unconstrained sets (Members/children-of-all) affect grouping —
+            # already in the key — not the slice, and must not block
+            # rollup-reuse across queries at different grains
+            constrained = [r for r in all_refs if r.path]
             key = (
                 self.cube.name,
                 tuple(group_cols),
-                slicer_fingerprint(all_refs),
+                slicer_fingerprint(constrained),
                 tuple(sorted(m.out for m in base_measures)),
                 totals,
             )
-            agg = cache.get_or_build(key, all_refs, build)
+            measure_aggs = {m.out: m.aggregator for m in base_measures}
+
+            def rollup_from(src: DataFrame) -> DataFrame:
+                cols = []
+                for m in base_measures:
+                    fn = (
+                        F.sum
+                        if m.aggregator in ("sum", "count")
+                        else (F.min if m.aggregator == "min" else F.max)
+                    )
+                    cols.append(fn(F.col(m.out)).alias(m.out))
+                if group_cols:
+                    return src.groupBy(*group_cols).agg(*cols)
+                return src.agg(*cols)
+
+            agg = cache.get_or_build(
+                key, all_refs, build,
+                group_cols=group_cols, measures=measure_aggs, rollup_fn=rollup_from,
+            )
         else:
             agg = build()
 

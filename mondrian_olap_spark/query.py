@@ -77,10 +77,25 @@ class Query:
         self._slicer_raw: list[str] = []
         self._cell_formatters: dict = {}
         self._include_empty = False
+        self._named_sets: dict[str, list[str]] = {}
 
     # -- axes ----------------------------------------------------------
     def axis(self, i: int, *members: str) -> "Query":
         ax = self._axes.setdefault(i, _Axis())
+        # splice named-set references ([SetName] -> its member list)
+        expanded: list[str] = []
+        for m in members:
+            from .members import parse_identifier
+
+            try:
+                segs = parse_identifier(m)
+            except Exception:
+                segs = []
+            if len(segs) == 1 and segs[0].lower() in self._named_sets:
+                expanded.extend(self._named_sets[segs[0].lower()])
+            else:
+                expanded.append(m)
+        members = tuple(expanded)
         ax.raw_base.extend(members)
         for m in members:
             ref = self._resolve(m)
@@ -233,6 +248,13 @@ class Query:
 
     def with_member(self, name: str) -> "Query":
         self._pending_member = name
+        return self
+
+    def with_set(self, name: str, *members: str) -> "Query":
+        """Named set (WITH SET — query.rb:182-186,302-305; reusable set
+        definition in query scope, test/query_test.rb:706-731).  Reference
+        it on an axis as ``[name]``."""
+        self._named_sets[name.lower()] = list(members)
         return self
 
     def as_(

@@ -109,3 +109,52 @@ def test_mutation_invisible_until_flush(spark, tmp_path):
     after = {r["region_name"]: r["count_order"] for r in _q(fresh_eng).collect()}
     assert all(after[k] < before[k] for k in before)
     fresh_eng.flush_schema_cache()
+
+
+def test_in_memory_rollup_reuse(cached_engine):
+    """A coarser request re-aggregates a finer cached entry instead of
+    rescanning the fact (EnableInMemoryRollup — SURVEY.md §4)."""
+    fine = (
+        Query(cached_engine)
+        .columns("[Measures].[Sum Qty]", "[Measures].[Count Order]")
+        .rows("[Customer].[Nation].Members")
+        .execute()
+        .df
+    )
+    fine.collect()
+    assert cached_engine.cache.misses == 1
+
+    coarse = (
+        Query(cached_engine)
+        .columns("[Measures].[Sum Qty]", "[Measures].[Count Order]")
+        .rows("[Customer].children")
+        .execute()
+        .df
+    )
+    rows = {r["region_name"]: r for r in coarse.collect()}
+    assert cached_engine.cache.rollups == 1
+    assert cached_engine.cache.misses == 1  # fact never rescanned
+    # and values match a fresh computation
+    fresh = {
+        r["region_name"]: r
+        for r in Query(cached_engine)
+        .columns("[Measures].[Sum Qty]", "[Measures].[Count Order]")
+        .rows("[Customer].children")
+        .execute()
+        .df.collect()
+    }
+    for k in fresh:
+        assert rows[k]["count_order"] == fresh[k]["count_order"]
+        assert abs(rows[k]["sum_qty"] - fresh[k]["sum_qty"]) < 1e-6
+
+
+def test_distinct_count_never_rolls_up(cached_engine):
+    """distinct-count is not summable — must rescan (SURVEY.md §7.4)."""
+    Query(cached_engine).columns("[Measures].[Distinct Parts]").rows(
+        "[Customer].[Nation].Members"
+    ).execute().df.collect()
+    Query(cached_engine).columns("[Measures].[Distinct Parts]").rows(
+        "[Customer].children"
+    ).execute().df.collect()
+    assert cached_engine.cache.rollups == 0
+    assert cached_engine.cache.misses == 2

@@ -262,3 +262,28 @@ def test_drillthrough_statement(engine):
 def test_drillthrough_requires_return(engine):
     with pytest.raises(MdxError, match="RETURN"):
         execute_mdx(engine, "DRILLTHROUGH SELECT [Measures].[Sum Qty] ON COLUMNS FROM [Sales]")
+
+
+def test_named_set(engine):
+    """WITH SET + axis reference by name (query.rb:182-186;
+    test/query_test.rb:706-731)."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH SET [Two Regions] AS '{[Customer].[ASIA], [Customer].[EUROPE]}'
+        SELECT [Measures].[Sum Qty] ON COLUMNS, [Two Regions] ON ROWS
+        FROM [Sales]
+        """,
+    )
+    assert {row["region_name"] for row in r.df.collect()} == {"ASIA", "EUROPE"}
+
+
+def test_named_set_builder(engine):
+    r = (
+        Query(engine)
+        .with_set("pair", "[Customer].[AFRICA]", "[Customer].[AMERICA]")
+        .columns("[Measures].[Sum Qty]")
+        .rows("[pair]")
+        .execute()
+    )
+    assert {row["region_name"] for row in r.df.collect()} == {"AFRICA", "AMERICA"}

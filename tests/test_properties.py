@@ -1,0 +1,100 @@
+"""Property-based tests (hypothesis) for the pure-Python layers: identifier
+parsing round-trips and the format-string interpreter never crashing.
+
+The reference has no property tests (SURVEY.md §5); these guard the layers
+where hand-rolled parsing lives.
+"""
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mondrian_olap_spark.formats import format_value
+from mondrian_olap_spark.members import format_name, parse_identifier, quote_segment
+
+segments = st.lists(
+    st.text(min_size=1, max_size=12).filter(lambda s: s.strip() == s and s != ""),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(segments)
+@settings(max_examples=200)
+def test_identifier_roundtrip(segs):
+    """quote → parse is the identity for arbitrary segment content
+    (including ']' which must escape as ']]' — query.rb:409-414)."""
+    assert parse_identifier(format_name(segs)) == segs
+
+
+@given(st.text(min_size=1, max_size=20).filter(lambda s: s.strip() == s and s != ""))
+@settings(max_examples=200)
+def test_quote_always_parses(seg):
+    parsed = parse_identifier(quote_segment(seg))
+    assert parsed == [seg]
+
+
+number_formats = st.sampled_from(
+    ["#,##0.00", "#,##0", "0.0%", "$#,##0.00", "0.00;(0.00)", "Percent",
+     "Fixed", "Currency", "#.##", "0", "0.000000"]
+)
+
+
+@given(
+    st.floats(allow_nan=True, allow_infinity=False, width=64),
+    number_formats,
+)
+@settings(max_examples=300)
+def test_format_never_crashes_and_is_string(value, fmt):
+    out = format_value(value, fmt)
+    assert isinstance(out, str) and out != ""
+
+
+@given(st.integers(min_value=-(10**12), max_value=10**12))
+@settings(max_examples=200)
+def test_integer_grouping_roundtrip(n):
+    out = format_value(n, "#,##0")
+    assert int(out.replace(",", "")) == n
+
+
+def test_salted_aggregate_matches_direct(spark, engine):
+    from pyspark.sql import functions as F
+
+    from mondrian_olap_spark.functions.skew import salted_aggregate
+
+    fact = engine.fact
+    direct = {
+        r["l_returnflag"]: r
+        for r in fact.groupBy("l_returnflag")
+        .agg(
+            F.sum("l_quantity").alias("s"),
+            F.count("l_quantity").alias("c"),
+            F.min("l_extendedprice").alias("mn"),
+            F.max("l_extendedprice").alias("mx"),
+            F.avg("l_discount").alias("av"),
+        )
+        .collect()
+    }
+    salted = {
+        r["l_returnflag"]: r
+        for r in salted_aggregate(
+            fact,
+            ["l_returnflag"],
+            [
+                ("s", "sum", "l_quantity"),
+                ("c", "count", "l_quantity"),
+                ("mn", "min", "l_extendedprice"),
+                ("mx", "max", "l_extendedprice"),
+                ("av", "avg", "l_discount"),
+            ],
+            salt=8,
+        ).collect()
+    }
+    assert direct.keys() == salted.keys()
+    for k in direct:
+        assert direct[k]["c"] == salted[k]["c"]
+        assert direct[k]["mn"] == salted[k]["mn"]
+        assert direct[k]["mx"] == salted[k]["mx"]
+        assert math.isclose(direct[k]["s"], salted[k]["s"], rel_tol=1e-9)
+        assert math.isclose(direct[k]["av"], salted[k]["av"], rel_tol=1e-9)
