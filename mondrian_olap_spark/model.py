@@ -32,8 +32,10 @@ def _snake(name: str) -> str:
 
 
 AGGREGATORS = frozenset(
-    # schema.rb:294 — sum, count, min, max, avg, distinct-count
-    {"sum", "count", "min", "max", "avg", "distinct-count"}
+    # schema.rb:294 — sum, count, min, max, avg, distinct-count;
+    # approx-distinct-count is the engine's opt-in HLL variant
+    # (SURVEY.md §2.4: approx only as opt-in)
+    {"sum", "count", "min", "max", "avg", "distinct-count", "approx-distinct-count"}
 )
 
 TIME_LEVEL_TYPES = frozenset(
@@ -64,6 +66,10 @@ class Level:
     #: extra attribute columns attached to members (schema.rb:272-284);
     #: mapping property-name -> SQL expression over the dimension table
     properties: tuple[tuple[str, str], ...] = ()
+    #: ragged-hierarchy member hiding (schema.rb:222-230):
+    #: 'IfBlankName' hides members whose key is NULL/empty;
+    #: 'IfParentsName' hides members equal to their parent's key
+    hide_member_if: str | None = None
 
     @property
     def out(self) -> str:

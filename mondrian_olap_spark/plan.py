@@ -49,8 +49,10 @@ def measure_column(m: Measure) -> Column:
         return F.count(e).alias(m.out)
     if m.aggregator == "distinct-count":
         # exact by default, matching Mondrian distinct-count semantics
-        # (approx_count_distinct would be an opt-in — SURVEY.md §2.4)
         return F.count_distinct(e).alias(m.out)
+    if m.aggregator == "approx-distinct-count":
+        # HLL++ opt-in for 100 TB-scale cardinalities (SURVEY.md §2.4)
+        return F.approx_count_distinct(e).alias(m.out)
     raise ValueError(f"unknown aggregator {m.aggregator!r}")
 
 

@@ -222,6 +222,17 @@ class CubeEngine:
             )
         for i, key in enumerate(path):
             df = df.filter(F.col(dim.levels[i].out) == key)
+        # ragged hierarchies: hidden members are invisible in member lists
+        # (hide_member_if — schema.rb:222-230); their fact rows still roll
+        # up to the surviving ancestors through the physical columns
+        for i, lv in enumerate(levels):
+            if lv.hide_member_if == "IfBlankName":
+                c = F.col(lv.out)
+                df = df.filter(c.isNotNull() & (c != ""))
+            elif lv.hide_member_if == "IfParentsName" and i > 0:
+                df = df.filter(
+                    ~F.col(lv.out).eqNullSafe(F.col(levels[i - 1].out))
+                )
         # dedupe by member key with min() as the deterministic representative
         # for ordinals/properties: Mondrian assumes properties are
         # functionally dependent on the level key (depends_on_level_value,

@@ -1329,3 +1329,45 @@ def pages_axis_3d(spark, sf_dir):
         .execute()
         .df
     )
+
+
+@q(
+    "weekly_hierarchy_totals",
+    f"""
+    SELECT year(o_orderdate) AS w_year, weekofyear(o_orderdate) AS w_week,
+           sum(l_quantity) AS sum_qty
+    FROM {_ORD_STAR}
+    WHERE year(o_orderdate) = 1999
+    GROUP BY 1, 2
+    """,
+)
+def weekly_hierarchy_totals(spark, sf_dir):
+    """Second hierarchy on the time axis (Time.Weekly — two-hierarchy
+    example /root/reference/test/mondrian_test.rb:54-68): Year > ISO Week."""
+    return (
+        Query(get_engine(spark, sf_dir))
+        .columns("[Measures].[Sum Qty]")
+        .rows("[TimeWeekly].[Week].Members")
+        .where("[TimeWeekly].[1999]")
+        .execute()
+        .df
+    )
+
+
+@q(
+    "currentdate_member",
+    """
+    SELECT max(year(o_orderdate)) AS latest_year,
+           count(DISTINCT year(o_orderdate)) AS n_years
+    FROM orders WHERE year(o_orderdate) <= year(current_date)
+    """,
+)
+def currentdate_member(spark, sf_dir):
+    """CurrentDateMember analog (test/schema_definition_test.rb:580-583):
+    the latest time member not after today, resolved against the dimension."""
+    eng = get_engine(spark, sf_dir)
+    years = eng.level_members("Time", 0)
+    return years.filter("o_year <= year(current_date())").agg(
+        F.max("o_year").alias("latest_year"),
+        F.count_distinct("o_year").alias("n_years"),
+    )

@@ -65,6 +65,18 @@ SALES_CUBE = Cube(
                 ),
             ),
         ),
+        # second hierarchy on the same time axis (Time.Weekly analog —
+        # two-hierarchy example /root/reference/test/mondrian_test.rb:54-68)
+        Dimension(
+            name="TimeWeekly",
+            foreign_key="l_orderkey",
+            table="orders",
+            primary_key="o_orderkey",
+            levels=(
+                Level("Year", "year(o_orderdate)", output="w_year", level_type="TimeYears"),
+                Level("Week", "weekofyear(o_orderdate)", output="w_week", level_type="TimeWeeks"),
+            ),
+        ),
         Dimension(
             name="Priority",
             foreign_key="l_orderkey",
@@ -172,6 +184,12 @@ SALES_CUBE = Cube(
         ),
         # CoalesceEmpty/NULLIF scalar composition inside a measure expression
         # (jar!...CoalesceEmptyFunDef; tests mondrian_test.rb:520-541)
+        Measure(
+            "Approx Parts",
+            "l_partkey",
+            "approx-distinct-count",
+            output="approx_parts",
+        ),
         Measure(
             "Nonzero Disc Count",
             "nullif(l_discount, 0.0)",

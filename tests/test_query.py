@@ -352,3 +352,87 @@ def test_pages_axis(engine, duck):
            GROUP BY 1, 2""",
         rel_tol=1e-6,
     )
+
+
+def test_ragged_hierarchy_hides_members(spark):
+    """hide_member_if (schema.rb:222-230): blank and parent-named members
+    disappear from member lists; fact rows still roll up."""
+    from pyspark.sql import Row
+
+    from mondrian_olap_spark.model import Cube, Dimension, Level, Measure
+    from mondrian_olap_spark.star import CubeEngine
+
+    geo = spark.createDataFrame(
+        [
+            Row(id=1, country="USA", city="Boston"),
+            Row(id=2, country="USA", city=""),          # blank -> hidden
+            Row(id=3, country="Monaco", city="Monaco"),  # = parent -> hidden
+            Row(id=4, country="France", city="Paris"),
+        ]
+    )
+    fact = spark.createDataFrame(
+        [Row(geo_id=1, v=1.0), Row(geo_id=2, v=2.0), Row(geo_id=3, v=4.0), Row(geo_id=4, v=8.0)]
+    )
+    cube = Cube(
+        name="Ragged",
+        fact="fact",
+        dimensions=(
+            Dimension(
+                name="Geo",
+                foreign_key="geo_id",
+                table="geo",
+                primary_key="id",
+                levels=(
+                    Level("Country", "country"),
+                    Level("City", "city", hide_member_if="IfBlankName"),
+                ),
+            ),
+        ),
+        measures=(Measure("V", "v", "sum", output="v_sum"),),
+    )
+    eng = CubeEngine(cube, {"fact": fact, "geo": geo})
+    cities = [r["city"] for r in eng.level_members("Geo", 1).collect()]
+    assert "" not in cities and "Boston" in cities
+
+    cube2 = Cube(
+        name="Ragged2",
+        fact="fact",
+        dimensions=(
+            Dimension(
+                name="Geo",
+                foreign_key="geo_id",
+                table="geo",
+                primary_key="id",
+                levels=(
+                    Level("Country", "country"),
+                    Level("City", "city", hide_member_if="IfParentsName"),
+                ),
+            ),
+        ),
+        measures=(Measure("V", "v", "sum", output="v_sum"),),
+    )
+    eng2 = CubeEngine(cube2, {"fact": fact, "geo": geo})
+    cities2 = [r["city"] for r in eng2.level_members("Geo", 1).collect()]
+    assert "Monaco" not in cities2 and "Paris" in cities2
+
+    # fact rows of hidden members still roll up to the country level
+    r = (
+        q(eng)
+        .columns("[Measures].[V]")
+        .rows("[Geo].children")
+        .execute()
+    )
+    totals = {row["country"]: row["v_sum"] for row in r.df.collect()}
+    assert totals["USA"] == 3.0 and totals["Monaco"] == 4.0
+
+
+def test_approx_distinct_count(engine):
+    r = (
+        q(engine)
+        .columns("[Measures].[Distinct Parts]", "[Measures].[Approx Parts]")
+        .rows("[Customer].children")
+        .execute()
+    )
+    for row in r.df.collect():
+        exact, approx = row["distinct_parts"], row["approx_parts"]
+        assert abs(approx - exact) / exact < 0.15  # HLL++ default rsd ~5%
