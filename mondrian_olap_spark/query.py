@@ -78,6 +78,7 @@ class Query:
         self._cell_formatters: dict = {}
         self._include_empty = False
         self._named_sets: dict[str, list[str]] = {}
+        self._dim_members: list[tuple] = []
 
     # -- axes ----------------------------------------------------------
     def axis(self, i: int, *members: str) -> "Query":
@@ -250,6 +251,36 @@ class Query:
         self._pending_member = name
         return self
 
+    def with_dimension_member(self, name: str, *members: str) -> "Query":
+        """Calculated member on a non-Measures dimension: a synthetic member
+        whose cells aggregate a set of real members (the common
+        ``WITH MEMBER [Time].[H1] AS 'Aggregate({[Q1],[Q2]})'`` pattern —
+        schema.rb:314-341 calc members on any dimension; non-measure calc
+        member test /root/reference/test/cube_test.rb:48-51,65-68).
+
+        The synthetic member's cells are recomputed from the fact over the
+        member set (exact even for distinct-count — never a sum of sums),
+        and appear unioned onto any axis that groups this dimension at the
+        members' level.
+        """
+        refs = [self._resolve(m) for m in members]
+        if not refs or any(isinstance(r, MeasureRef) for r in refs):
+            raise QueryError("with_dimension_member needs dimension members")
+        dim = refs[0].dimension
+        if any(r.dimension.name != dim.name for r in refs):
+            raise QueryError("all members of a dimension calc member must share a dimension")
+        depth = refs[0].depth
+        if any(r.depth != depth or not r.path for r in refs):
+            raise QueryError("dimension calc members need full member paths at one level")
+        prefix = refs[0].path[:-1]
+        if any(r.path[:-1] != prefix for r in refs):
+            raise QueryError(
+                "dimension calc member set must share a parent (differing "
+                "ancestor paths are not supported)"
+            )
+        self._dim_members.append((name, dim, depth, tuple(prefix), refs))
+        return self
+
     def with_set(self, name: str, *members: str) -> "Query":
         """Named set (WITH SET — query.rb:182-186,302-305; reusable set
         definition in query scope, test/query_test.rb:706-731).  Reference
@@ -298,6 +329,8 @@ class Query:
         )
         if self._include_empty:
             df = planner.expand_empty(df, [ax.sets for ax in axes], group_cols)
+        for dm in self._dim_members:
+            df = self._union_dimension_member(planner, df, axes, measures, group_cols, dm)
         sort_spec: list = []
         for ax in axes:
             df, sort_spec = self._apply_mods(df, ax, sort_spec)
@@ -309,6 +342,33 @@ class Query:
         res = Result(df, axis_cols, [m.out for m in measures], sort_spec, formats)
         res.timeout = timeout
         return res
+
+    def _union_dimension_member(self, planner, df, axes, measures, group_cols, dm):
+        """Compute a dimension calc member's cells (fact re-aggregated over
+        its member set) and union them onto the grid with the synthetic
+        member name in the level columns."""
+        name, dim, depth, prefix, refs = dm
+        target_levels = [lv.out for lv in dim.levels[: depth + 1]]
+        if not all(c in group_cols for c in target_levels):
+            raise QueryError(
+                f"dimension calc member {name!r} needs the {dim.name} axis "
+                f"grouped at its level"
+            )
+        if any(c in group_cols for c in
+               [lv.out for lv in dim.levels[depth + 1:]]):
+            raise QueryError(
+                f"dimension calc member {name!r}: axis grouped deeper than "
+                "the member's level"
+            )
+        other_axes = [
+            [ref for ref in ax.sets if ref.dimension.name != dim.name]
+            for ax in axes
+        ]
+        synth, _ = planner.aggregate(other_axes, list(self._slicer) + list(refs), measures)
+        for i, c in enumerate(target_levels[:-1]):
+            synth = synth.withColumn(c, F.lit(prefix[i]))
+        synth = synth.withColumn(target_levels[-1], F.lit(name))
+        return df.unionByName(synth.select(*df.columns))
 
     # -- MDX serialization (query.rb:230-237,284-327 to_mdx) -------------
     def to_mdx(self) -> str:

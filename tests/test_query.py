@@ -436,3 +436,54 @@ def test_approx_distinct_count(engine):
     for row in r.df.collect():
         exact, approx = row["distinct_parts"], row["approx_parts"]
         assert abs(approx - exact) / exact < 0.15  # HLL++ default rsd ~5%
+
+
+def test_dimension_calculated_member(engine, duck):
+    """Calc member on a non-Measures dimension: [Time].[H1-1995] aggregates
+    Q1+Q2 of 1995 (cube_test.rb:48-51 non-measure calc member)."""
+    r = (
+        q(engine)
+        .with_dimension_member("H1-1995", "[Time].[1995].[Q1]", "[Time].[1995].[Q2]")
+        .columns("[Measures].[Sum Qty]", "[Measures].[Distinct Parts]")
+        .rows("[Time].[Quarter].Members")
+        .where("[Customer].[ASIA]")
+        .execute()
+    )
+    assert_df_matches_sql(
+        r.df,
+        duck,
+        """
+        WITH base AS (
+          SELECT year(o_orderdate) AS o_year, 'Q' || quarter(o_orderdate) AS o_quarter,
+                 l_quantity, l_partkey
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'
+        )
+        SELECT o_year, o_quarter, sum(l_quantity) AS sum_qty,
+               count(DISTINCT l_partkey) AS distinct_parts
+        FROM base GROUP BY 1, 2
+        UNION ALL
+        SELECT 1995, 'H1-1995', sum(l_quantity), count(DISTINCT l_partkey)
+        FROM base WHERE o_year = 1995 AND o_quarter IN ('Q1','Q2')
+        """,
+        rel_tol=1e-6,
+    )
+
+
+def test_dimension_member_needs_matching_level(engine):
+    with pytest.raises(QueryError, match="grouped at its level"):
+        (
+            q(engine)
+            .with_dimension_member("X", "[Time].[1995].[Q1]")
+            .columns("[Measures].[Sum Qty]")
+            .rows("[Customer].children")
+            .execute()
+        )
+
+
+def test_dimension_member_mixed_parents_rejected(engine):
+    with pytest.raises(QueryError, match="share a parent"):
+        q(engine).with_dimension_member("X", "[Time].[1995].[Q1]", "[Time].[1996].[Q2]")
