@@ -84,6 +84,9 @@ _SET_FUNCTIONS = {
     "except",
     "distinct",
     "hierarchize",
+    "head",
+    "tail",
+    "subset",
 }
 
 _AXIS_NAMES = {"columns": 0, "rows": 1, "pages": 2, "chapters": 3, "sections": 4}
@@ -210,7 +213,11 @@ class MdxParser:
     def parse_with_member(self):
         self.expect_word("member")
         name_segs = self.parse_identifier_segments()
-        if len(name_segs) != 2 or name_segs[0].lower() != "measures":
+        if name_segs[0].lower() != "measures":
+            # calc member on a non-Measures dimension: the Aggregate-of-set
+            # form (cube_test.rb:48-51; query.with_dimension_member)
+            return self.parse_dimension_member(name_segs)
+        if len(name_segs) != 2:
             raise MdxError(
                 f"WITH MEMBER must define [Measures].[Name], got {format_name(name_segs)}"
             )
@@ -234,6 +241,41 @@ class MdxParser:
                 self.i = save
                 break
         self.q.with_member(name_segs[1]).as_(expr_sql, solve_order=solve_order)
+
+    def parse_dimension_member(self, name_segs: list[str]):
+        """``WITH MEMBER [Dim].[Name] AS 'Aggregate({m1, m2})'`` — the only
+        non-measure formula shape in this subset (it is also the dominant
+        one in the reference's tests: mondrian_test.rb:189-239)."""
+        self.expect_word("as")
+        t = self.next()
+        if t.kind != "string":
+            raise MdxError("non-measure WITH MEMBER needs a quoted 'Aggregate({…})' formula")
+        body = _unquote(t.text).strip()
+        m = re.match(r"(?is)^aggregate\s*\(\s*\{(.*)\}\s*\)$", body)
+        if not m:
+            raise MdxError(
+                f"non-measure calc member {format_name(name_segs)}: only the "
+                "Aggregate({members}) formula form is supported"
+            )
+        inner = MdxParser.__new__(MdxParser)
+        inner.__dict__.update(self.__dict__)
+        inner.toks = tokenize(m.group(1))
+        inner.i = 0
+        members = [inner.parse_member_string()]
+        while inner.at_op(","):
+            inner.next()
+            members.append(inner.parse_member_string())
+        self.q.with_dimension_member(name_segs[-1], *members)
+        # swallow an optional SOLVE_ORDER clause for syntax parity
+        save = self.i
+        if self.at_op(","):
+            self.next()
+            if self.at_word("solve_order"):
+                self.next()
+                self.expect_op("=")
+                self.next()
+            else:
+                self.i = save
 
     def parse_with_set(self):
         """WITH SET [Name] AS '{…}' (query.rb:182-186 named sets)."""
@@ -354,6 +396,24 @@ class MdxParser:
             }[fname]
             arg = int(n) if fname.endswith("count") else n
             inner.ops.append(lambda q: getattr(q, method)(arg, expr))
+            return inner
+        if fname in ("head", "tail"):
+            self.expect_op(",")
+            n = int(self.next().text)
+            self.expect_op(")")
+            inner.ops.append(
+                (lambda q: q.head(n)) if fname == "head" else (lambda q: q.tail(n))
+            )
+            return inner
+        if fname == "subset":
+            self.expect_op(",")
+            start = int(self.next().text)
+            count = 2**31 - 1
+            if self.at_op(","):
+                self.next()
+                count = int(self.next().text)
+            self.expect_op(")")
+            inner.ops.append(lambda q: q.subset(start, count))
             return inner
         if fname == "except":
             self.expect_op(",")

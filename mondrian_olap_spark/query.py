@@ -219,6 +219,25 @@ class Query:
         self._axis().display_ops.append(("BOTTOMSUM", s, expr))
         return self
 
+    def head(self, n: int) -> "Query":
+        """HEAD(set, n) in the axis's current order (hierarchize by default —
+        jar!...HeadTailFunDef; test/query_test.rb:478-482)."""
+        self._axis().mods.append(("slice", 0, n, False))
+        self._axis().display_ops.append(("HEAD", n, None))
+        return self
+
+    def tail(self, n: int) -> "Query":
+        """TAIL(set, n) — last n in set order."""
+        self._axis().mods.append(("slice", 0, n, True))
+        self._axis().display_ops.append(("TAIL", n, None))
+        return self
+
+    def subset(self, start: int, count: int) -> "Query":
+        """SUBSET(set, start, count) — 0-based slice (jar!...SubsetFunDef)."""
+        self._axis().mods.append(("slice", start, count, False))
+        self._axis().display_ops.append(("SUBSET", start, count))
+        return self
+
     def hierarchize(self, post: bool = False) -> "Query":
         self._axis().mods.append(("hierarchize", post))
         self._axis().display_ops.append(("hierarchize", post))
@@ -522,6 +541,20 @@ class Query:
                 sort_spec = list(tiebreak)  # level-path order
                 if post:
                     sort_spec = sort_spec[::-1]
+            elif kind == "slice":
+                _, start, count, from_end = mod
+                order = sort_spec if sort_spec else list(tiebreak)
+                w_order = [c.desc() if from_end else c for c in order] if from_end else order
+                # reversing an existing sort spec isn't generally possible on
+                # Column objects; TAIL therefore uses the hierarchize order
+                if from_end and sort_spec:
+                    raise QueryError("tail() combined with a custom order is not supported")
+                w = Window.orderBy(*(w_order if w_order else [F.lit(1)]))
+                df = (
+                    df.withColumn("__rn", F.row_number().over(w))
+                    .filter((F.col("__rn") > start) & (F.col("__rn") <= start + count))
+                    .drop("__rn")
+                )
             elif kind == "topbottom":
                 _, side, how, n, expr = mod
                 df, sort_spec = _top_bottom(df, side, how, n, expr, tiebreak)

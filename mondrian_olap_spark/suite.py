@@ -1371,3 +1371,34 @@ def currentdate_member(spark, sf_dir):
         F.max("o_year").alias("latest_year"),
         F.count_distinct("o_year").alias("n_years"),
     )
+
+
+@q(
+    "dimension_calc_member_mdx",
+    f"""
+    WITH base AS (
+      SELECT year(o_orderdate) AS o_year, 'Q' || quarter(o_orderdate) AS o_quarter,
+             l_quantity, l_extendedprice
+      FROM {_ORD_STAR}
+    )
+    SELECT o_year, o_quarter, sum(l_quantity) AS sum_qty,
+           sum(l_extendedprice) AS sum_price
+    FROM base GROUP BY 1, 2
+    UNION ALL
+    SELECT 1996, 'H1-1996', sum(l_quantity), sum(l_extendedprice)
+    FROM base WHERE o_year = 1996 AND o_quarter IN ('Q1', 'Q2')
+    """,
+)
+def dimension_calc_member_mdx(spark, sf_dir):
+    """Calculated member on a non-Measures dimension through the MDX entry
+    point: Aggregate({Q1,Q2}) synthesised onto the Time axis
+    (schema.rb:314-341; cube_test.rb:48-51)."""
+    eng = get_engine(spark, sf_dir)
+    return eng.execute(
+        """
+        WITH MEMBER [Time].[H1-1996] AS 'Aggregate({[Time].[1996].[Q1], [Time].[1996].[Q2]})'
+        SELECT {[Measures].[Sum Qty], [Measures].[Sum Price]} ON COLUMNS,
+               [Time].[Quarter].Members ON ROWS
+        FROM [Sales]
+        """
+    ).df

@@ -287,3 +287,55 @@ def test_named_set_builder(engine):
         .execute()
     )
     assert {row["region_name"] for row in r.df.collect()} == {"AFRICA", "AMERICA"}
+
+
+def test_non_measure_with_member(engine):
+    """WITH MEMBER on a dimension via Aggregate({...}) (cube_test.rb:48-51)."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Time].[H1-1995] AS 'Aggregate({[Time].[1995].[Q1], [Time].[1995].[Q2]})'
+        SELECT [Measures].[Sum Qty] ON COLUMNS,
+               [Time].[Quarter].Members ON ROWS
+        FROM [Sales]
+        """,
+    )
+    rows = {(row["o_year"], row["o_quarter"]): row["sum_qty"] for row in r.df.collect()}
+    assert (1995, "H1-1995") in rows
+    assert abs(rows[(1995, "H1-1995")] - (rows[(1995, "Q1")] + rows[(1995, "Q2")])) < 1e-6
+
+
+def test_non_measure_with_member_bad_formula(engine):
+    with pytest.raises(MdxError, match="Aggregate"):
+        execute_mdx(
+            engine,
+            """
+            WITH MEMBER [Time].[X] AS '[Measures].[Sum Qty] * 2'
+            SELECT [Measures].[Sum Qty] ON COLUMNS FROM [Sales]
+            """,
+        )
+
+
+def test_head_tail_subset_mdx(engine):
+    head = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "HEAD([Customer].[Nation].Members, 3) ON ROWS FROM [Sales]",
+    )
+    assert head.df.count() == 3
+    names = [r["nation_name"] for r in head.df.collect()]
+
+    tail = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "TAIL([Customer].[Nation].Members, 3) ON ROWS FROM [Sales]",
+    )
+    tail_names = [r["nation_name"] for r in tail.df.collect()]
+    assert len(tail_names) == 3 and set(tail_names).isdisjoint(names)
+
+    sub = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "SUBSET([Customer].[Nation].Members, 5, 5) ON ROWS FROM [Sales]",
+    )
+    assert sub.df.count() == 5
