@@ -124,6 +124,14 @@ class Dimension:
     guaranteed_small: bool = False
     #: synthetic "(All)" member exists (hierarchy hasAll — schema.rb:132-167)
     has_all: bool = True
+    #: when the dimension rides a *bridge* table (its ``table`` is a fact-side
+    #: association like orders, not the hierarchy's own table), member lists
+    #: must come from the hierarchy tables alone — members exist whether or
+    #: not fact/bridge rows do (Mondrian's primary_key_table distinction,
+    #: schema.rb:146-151).  ``members_from_join`` = index into ``joins``
+    #: whose right table starts the member view (subsequent links still
+    #: apply); None = members derive from the full joined view.
+    members_from_join: int | None = None
 
     def __post_init__(self) -> None:
         if not self.levels:

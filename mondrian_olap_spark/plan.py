@@ -150,7 +150,7 @@ class Planner:
             u.predicates.append(_or_all(preds))
             u.pred_depth = max(u.pred_depth, *(len(r.path) for r in refs))
 
-        self._apply_role(use)
+        self._apply_role(uses, use)
         base_measures, calc_chain = self._measure_closure(measures)
         cache = getattr(self.engine, "cache", None)
         all_refs = [r for axis in axes for r in axis] + list(slicer)
@@ -235,7 +235,9 @@ class Planner:
                 if dim.degenerate:
                     members = self.engine.fact.select(*outs).dropDuplicates()
                 else:
-                    members = self.engine.dims[dim.name].df.select(*outs).dropDuplicates()
+                    members = (
+                        self.engine.dims[dim.name].member_df.select(*outs).dropDuplicates()
+                    )
                 preds = [_path_predicate(r) for r in refs]
                 if all(p is not None for p in preds):
                     members = members.filter(_or_all(preds))
@@ -244,7 +246,7 @@ class Planner:
             return agg
         return grid.join(agg, on=group_cols, how="left")
 
-    def _apply_role(self, use) -> None:
+    def _apply_role(self, uses, use, force: bool = False) -> None:
         """Role grants: the fact is restricted to the granted member region
         on every plan — aggregates *and* drill-through — touched dimension
         or not (rollup_policy 'partial' semantics; roles.py;
@@ -253,6 +255,13 @@ class Planner:
         if role is None:
             return
         for dim in role.constrained_dimensions(self.cube):
+            if not force and getattr(role, "rollup_policy", "partial") == "full":
+                existing = uses.get(dim.name)
+                if existing is None or not existing.group_outputs:
+                    # 'full' rollup policy: aggregates that don't group this
+                    # dimension see the unrestricted fact (roles.py) — and we
+                    # must not inject a join for an untouched dimension
+                    continue
             u = use(dim)
             pred = role.dimension_predicate(dim)
             if pred is not None:
@@ -426,7 +435,10 @@ class Planner:
                 u.predicates.append(p)
                 u.pred_depth = max(u.pred_depth, len(ref.path))
 
-        self._apply_role(use)
+        # drill-through returns raw rows: row-level security applies
+        # regardless of rollup_policy (full/partial only differ for
+        # aggregate display — query_test.rb:1032-1057 drill row filtering)
+        self._apply_role(uses, use, force=True)
         df = self._join(uses)
         df = df.select(*[F.expr(col).alias(out) for out, col in select_exprs])
         if nonempty_field:

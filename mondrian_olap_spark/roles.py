@@ -45,6 +45,14 @@ class MemberGrant:
 class Role:
     """Named role: member grants + optional measure allow-list.
 
+    ``rollup_policy`` (schema.rb:416-489):
+
+    * ``'partial'`` (default here) — every plan is restricted to the granted
+      region: totals reflect only visible members;
+    * ``'full'`` — member lists and grouped axes are filtered, but
+      aggregates that do not group the granted dimension (grand totals,
+      other-dim rollups) see the full fact.
+
     Union roles (``role_union`` — connection.rb:183-211) combine by
     :func:`union_roles`: a member is visible if any constituent role grants
     it.
@@ -53,6 +61,13 @@ class Role:
     name: str
     grants: tuple[MemberGrant, ...] = ()
     allowed_measures: tuple[str, ...] | None = None
+    rollup_policy: str = "partial"
+
+    def __post_init__(self):
+        if self.rollup_policy not in ("partial", "full"):
+            raise ValueError(
+                f"rollup_policy must be partial|full, got {self.rollup_policy!r}"
+            )
 
     def dimension_predicate(self, dim: Dimension) -> Column | None:
         """Row predicate for one dimension: OR of allow paths minus OR of

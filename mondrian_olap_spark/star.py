@@ -59,12 +59,30 @@ class DimView:
             # broadcast for small right sides
             base = base.join(right, F.col(link.left_key) == right[link.right_key], "inner")
         cols = [F.col(dim.primary_key).alias("__pk")]
+        level_cols = []
         for lv in dim.levels:
-            cols.append(F.expr(lv.column).alias(lv.out))
-            cols.append(F.expr(lv.ordinal_expr).alias(_ordinal_out(dim, lv)))
+            level_cols.append(F.expr(lv.column).alias(lv.out))
+            level_cols.append(F.expr(lv.ordinal_expr).alias(_ordinal_out(dim, lv)))
             for pname, pexpr in lv.properties:
-                cols.append(F.expr(pexpr).alias(pname))
-        self.df = base.select(*cols)
+                level_cols.append(F.expr(pexpr).alias(pname))
+        self.df = base.select(*cols, *level_cols)
+        # member view: members exist independently of the bridge/fact
+        # (members_from_join — model.py); defaults to the joined view
+        if dim.members_from_join is None:
+            self.member_df = self.df.drop("__pk")
+        else:
+            start = dim.members_from_join
+            mbase = tables[dim.joins[start].table]
+            if dim.joins[start].alias:
+                mbase = mbase.alias(dim.joins[start].alias)
+            for link in dim.joins[start + 1 :]:
+                right = tables[link.table]
+                if link.alias:
+                    right = right.alias(link.alias)
+                mbase = mbase.join(
+                    right, F.col(link.left_key) == right[link.right_key], "inner"
+                )
+            self.member_df = mbase.select(*level_cols)
 
     def joinable(self, needed_outputs: list[str], hint_broadcast: bool) -> DataFrame:
         """Project to pk + needed columns (column pruning is explicit here so
@@ -217,7 +235,7 @@ class CubeEngine:
                         sel.append(F.expr(pexpr).alias(pname))
             df = df.select(*sel)
         else:
-            df = self.dims[dim.name].df.select(
+            df = self.dims[dim.name].member_df.select(
                 *outs, *[_ordinal_out(dim, lv) for lv in levels], *props
             )
         for i, key in enumerate(path):

@@ -41,6 +41,9 @@ SALES_CUBE = Cube(
                 Level("Nation", "n_name", output="nation_name"),
                 Level("Customer", "c_name", output="customer_name"),
             ),
+            # orders is only the bridge: customers without orders are still
+            # members (model.members_from_join)
+            members_from_join=0,
         ),
         # time dimension from the order date (TimeDimension — schema.rb:92-96)
         Dimension(
@@ -91,6 +94,7 @@ SALES_CUBE = Cube(
             primary_key="o_orderkey",
             joins=(JoinLink("o_custkey", "customer", "c_custkey"),),
             levels=(Level("Segment", "c_mktsegment", output="mktsegment"),),
+            members_from_join=0,
         ),
         Dimension(
             name="Part",

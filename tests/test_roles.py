@@ -84,3 +84,45 @@ def test_role_filters_drill_through(engine):
         max_rows=5000,
     )
     assert {r["region_name"] for r in df.collect()} == {"ASIA"}
+
+
+def test_rollup_policy_full(engine):
+    """'full' rollup policy: member lists restricted, totals not
+    (schema.rb rollup_policy)."""
+    full_role = Role(
+        "asia_full",
+        grants=(MemberGrant("Customer", ("ASIA",)),),
+        rollup_policy="full",
+    )
+    eng = engine.with_role(full_role)
+    # grouped axis: only granted members visible
+    assert _nations(eng) == {"ASIA"}
+    # grand total without the dimension: unrestricted
+    total = Query(eng).columns("[Measures].[Count Order]").execute().df.collect()[0]
+    base = Query(engine).columns("[Measures].[Count Order]").execute().df.collect()[0]
+    assert total["count_order"] == base["count_order"]
+    # other-dimension rollups also unrestricted
+    flags = Query(eng).columns("[Measures].[Count Order]").rows("[ReturnFlag].children").execute().df
+    base_flags = Query(engine).columns("[Measures].[Count Order]").rows("[ReturnFlag].children").execute().df
+    assert sorted(map(tuple, flags.collect())) == sorted(map(tuple, base_flags.collect()))
+
+
+def test_rollup_policy_validation():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rollup_policy"):
+        Role("bad", rollup_policy="hidden")
+
+
+def test_full_policy_still_restricts_drill_through(engine):
+    full_role = Role(
+        "asia_full",
+        grants=(MemberGrant("Customer", ("ASIA",)),),
+        rollup_policy="full",
+    )
+    eng = engine.with_role(full_role)
+    df = eng.drill_through(
+        where=["[Time].[1995]"],
+        fields=[("region_name", "[Customer].[Region]"), ("qty", "l_quantity")],
+    )
+    assert {r["region_name"] for r in df.collect()} == {"ASIA"}
