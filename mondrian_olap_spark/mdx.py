@@ -347,7 +347,13 @@ class MdxParser:
         t = self.peek()
         if t is not None and t.kind == "word" and t.text.lower() in _SET_FUNCTIONS:
             return self.parse_set_function()
-        return _SetBuild(base=[self.parse_member_string()])
+        first = self.parse_member_string()
+        if self.at_op(":"):
+            # member range a:b (jar!...RangeFunDef)
+            self.next()
+            second = self.parse_member_string()
+            return _SetBuild(base=[], ops=[lambda q: q.member_range(first, second)])
+        return _SetBuild(base=[first])
 
     def parse_set_function(self) -> "_SetBuild":
         fname = self.next().text.lower()

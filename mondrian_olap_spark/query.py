@@ -137,6 +137,51 @@ class Query:
             ax.sets.append(ref)
         return self
 
+    def member_range(self, from_member: str, to_member: str) -> "Query":
+        """Member range ``a:b`` — inclusive range within one level in member
+        (ordinal) order (jar!mondrian/olap/fun/RangeFunDef; SURVEY.md §2.5).
+
+        Endpoints are resolved against the level's ordered member list (the
+        same resolution Mondrian performs at validate time); the enumerated
+        members join the current axis as a set.
+        """
+        ra = self._resolve(from_member)
+        rb = self._resolve(to_member)
+        if isinstance(ra, MeasureRef) or isinstance(rb, MeasureRef):
+            raise QueryError("member_range takes dimension members")
+        if (
+            ra.dimension.name != rb.dimension.name
+            or ra.depth != rb.depth
+            or not ra.path
+            or not rb.path
+            or ra.path[:-1] != rb.path[:-1]
+        ):
+            raise QueryError(
+                "member_range endpoints must be members at the same level "
+                "under the same parent"
+            )
+        dim, depth, prefix = ra.dimension, ra.depth, ra.path[:-1]
+        out = dim.levels[depth].out
+        vals = [
+            r[out]
+            for r in self.engine.level_members(dim.name, depth, prefix).collect()
+        ]
+        try:
+            ia = next(i for i, v in enumerate(vals) if str(v) == str(ra.path[-1]))
+            ib = next(i for i, v in enumerate(vals) if str(v) == str(rb.path[-1]))
+        except StopIteration:
+            raise QueryError(
+                f"member_range endpoint not found among {dim.name}.{dim.levels[depth].name} members"
+            ) from None
+        lo, hi = sorted((ia, ib))
+        ax = self._axis()
+        for v in vals[lo : hi + 1]:
+            ax.sets.append(
+                MemberSetRef(dim, depth=depth, path=tuple(prefix) + (v,), kind="member")
+            )
+        ax.raw_base.append(f"{from_member}:{to_member}")
+        return self
+
     def nonempty_crossjoin(self, *members: str) -> "Query":
         # NonEmptyCrossJoin ≡ crossjoin here: groupBy over the fact yields
         # only combinations with data (SURVEY.md §2.3)

@@ -1402,3 +1402,22 @@ def dimension_calc_member_mdx(spark, sf_dir):
         FROM [Sales]
         """
     ).df
+
+
+@q(
+    "member_range_years",
+    f"""
+    SELECT year(o_orderdate) AS o_year, sum(l_extendedprice) AS sum_price
+    FROM {_ORD_STAR}
+    WHERE year(o_orderdate) BETWEEN 1996 AND 1999
+    GROUP BY 1
+    """,
+)
+def member_range_years(spark, sf_dir):
+    """Member range a:b resolved against the level's ordered member list
+    (jar!mondrian/olap/fun/RangeFunDef)."""
+    eng = get_engine(spark, sf_dir)
+    return eng.execute(
+        "SELECT [Measures].[Sum Price] ON COLUMNS, "
+        "[Time].[1996]:[Time].[1999] ON ROWS FROM [Sales]"
+    ).df

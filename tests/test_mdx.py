@@ -339,3 +339,35 @@ def test_head_tail_subset_mdx(engine):
         "SUBSET([Customer].[Nation].Members, 5, 5) ON ROWS FROM [Sales]",
     )
     assert sub.df.count() == 5
+
+
+def test_member_range(engine):
+    """a:b member range (jar!...RangeFunDef)."""
+    r = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "[Time].[1996]:[Time].[1999] ON ROWS FROM [Sales]",
+    )
+    assert sorted(row["o_year"] for row in r.df.collect()) == [1996, 1997, 1998, 1999]
+
+
+def test_member_range_builder(engine):
+    r = (
+        Query(engine)
+        .columns("[Measures].[Sum Qty]")
+        .rows()
+        .member_range("[Time].[1995].[Q2]", "[Time].[1995].[Q4]")
+        .execute()
+    )
+    assert sorted(row["o_quarter"] for row in r.df.collect()) == ["Q2", "Q3", "Q4"]
+
+
+def test_member_range_mixed_parents_rejected(engine):
+    from mondrian_olap_spark.query import QueryError
+
+    with pytest.raises(QueryError, match="same parent"):
+        (
+            Query(engine)
+            .rows()
+            .member_range("[Time].[1995].[Q1]", "[Time].[1996].[Q2]")
+        )

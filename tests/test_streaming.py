@@ -79,3 +79,74 @@ def test_cache_invalidation_sink(event_stream, spark, tmp_path):
     # new fact data arrived -> cache flushed (query_test.rb:1162-1213: the
     # reference needs a manual flush; the sink automates it)
     assert len(eng.cache) == 0
+
+
+def test_session_window_aggregate(spark, tmp_path):
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01 00:00:00", "user_id": 1, "event_type": "click", "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01 00:00:30", "user_id": 1, "event_type": "click", "value": 2.0},
+        # > 1 min gap -> new session for user 1
+        {"event_id": 3, "ts": "2024-01-01 00:05:00", "user_id": 1, "event_type": "click", "value": 3.0},
+        {"event_id": 4, "ts": "2024-01-01 00:00:10", "user_id": 2, "event_type": "view", "value": 4.0},
+    ]
+    src = tmp_path / "sess_src"
+    _write_events(src, rows)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).json(str(src))
+
+    from mondrian_olap_spark.streaming.stateful import session_aggregate
+
+    agg = session_aggregate(
+        stream, "ts", "1 minute",
+        [F.count("*").alias("n"), F.sum("value").alias("sum_value")],
+        group_cols=["user_id"],
+    )
+    q = (
+        agg.writeStream.format("memory").queryName("sess_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(60)
+    got = {(r["user_id"], r["n"]): r["sum_value"]
+           for r in spark.sql("SELECT * FROM sess_test").collect()}
+    assert got[(1, 2)] == 3.0   # first session: two events within the gap
+    assert got[(1, 1)] == 3.0   # second session after >1min silence
+    assert got[(2, 1)] == 4.0
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState custom operator: totals accumulate across
+    micro-batches (two source files -> two batches with maxFilesPerTrigger)."""
+    src = tmp_path / "state_src"
+    _write_events(src, [
+        {"event_id": 1, "ts": "2024-01-01 00:00:00", "user_id": 1, "event_type": "click", "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01 00:00:10", "user_id": 1, "event_type": "click", "value": 2.0},
+    ])
+    with open(src / "part2.json", "w") as f:
+        f.write(json.dumps({"event_id": 3, "ts": "2024-01-01 00:01:00", "user_id": 1,
+                            "event_type": "click", "value": 4.0}) + "\n")
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    from mondrian_olap_spark.streaming.stateful import stateful_running_totals
+
+    out = stateful_running_totals(
+        stream.withColumn("key", F.col("event_type")), "key", "value"
+    )
+    q = (
+        out.writeStream.format("memory").queryName("state_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "state_ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        (r["batch_events"], r["total_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM state_test").collect()
+    )
+    # two micro-batches: state carries totals across them
+    assert rows[-1][1] == 3 and rows[-1][2] == 7.0
+    assert len(rows) == 2
