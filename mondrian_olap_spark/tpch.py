@@ -302,11 +302,13 @@ EVENTS_CUBE = Cube(
 
 SCHEMA = Schema(name="TPCH", cubes=(SALES_CUBE, ORDERS_CUBE, EVENTS_CUBE))
 
-_ENGINES: dict[tuple[str, str], CubeEngine] = {}
+_ENGINES: dict[tuple, CubeEngine] = {}
 
 
 def get_engine(spark: SparkSession, sf_dir: str, cube: str = "Sales") -> CubeEngine:
-    key = (sf_dir, cube)
+    # keyed by session identity too: DataFrames bound to a stopped/replaced
+    # SparkSession must not be served to a new one
+    key = (id(spark), sf_dir, cube)
     if key not in _ENGINES:
         _ENGINES[key] = engine_from_parquet(spark, SCHEMA, cube, sf_dir)
     return _ENGINES[key]
