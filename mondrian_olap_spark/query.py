@@ -79,6 +79,7 @@ class Query:
         self._include_empty = False
         self._named_sets: dict[str, list[str]] = {}
         self._dim_members: list[tuple] = []
+        self._drilldowns: list[MemberSetRef] = []
 
     # -- axes ----------------------------------------------------------
     def axis(self, i: int, *members: str) -> "Query":
@@ -315,6 +316,22 @@ class Query:
         self._pending_member = name
         return self
 
+    def drilldown(self, member: str) -> "Query":
+        """DrilldownMember: keep the axis's members and add ``member``'s
+        children beneath it (jar!mondrian/olap/fun/DrilldownMemberFunDef).
+        Parent rows carry NULL in the child-level column — the
+        union-of-grouping-sets shape."""
+        ref = self._resolve(member)
+        if isinstance(ref, MeasureRef) or not ref.path:
+            raise QueryError("drilldown needs a full member path")
+        if ref.depth + 1 >= len(ref.dimension.levels):
+            raise QueryError(
+                f"drilldown: {ref.dimension.name} has no level below "
+                f"{ref.dimension.levels[ref.depth].name}"
+            )
+        self._drilldowns.append(ref)
+        return self
+
     def with_dimension_member(self, name: str, *members: str) -> "Query":
         """Calculated member on a non-Measures dimension: a synthetic member
         whose cells aggregate a set of real members (the common
@@ -395,6 +412,8 @@ class Query:
             df = planner.expand_empty(df, [ax.sets for ax in axes], group_cols)
         for dm in self._dim_members:
             df = self._union_dimension_member(planner, df, axes, measures, group_cols, dm)
+        for ref in self._drilldowns:
+            df = self._union_drilldown(planner, df, axes, measures, ref)
         sort_spec: list = []
         for ax in axes:
             df, sort_spec = self._apply_mods(df, ax, sort_spec)
@@ -432,6 +451,40 @@ class Query:
         for i, c in enumerate(target_levels[:-1]):
             synth = synth.withColumn(c, F.lit(prefix[i]))
         synth = synth.withColumn(target_levels[-1], F.lit(name))
+        return df.unionByName(synth.select(*df.columns))
+
+    def _union_drilldown(self, planner, df, axes, measures, ref):
+        """Append the drilled member's children as extra rows: same axes but
+        the target dimension grouped one level deeper under the member's
+        path; parent rows get NULL in the new child column."""
+        dim = ref.dimension
+        if ref.depth + 1 >= len(dim.levels):
+            raise QueryError(f"drilldown: {dim.name} has no level below depth {ref.depth}")
+        child_ref = MemberSetRef(
+            dim, depth=ref.depth + 1, path=ref.path, kind="children"
+        )
+        child_out = dim.levels[ref.depth + 1].out
+        synth_axes = []
+        replaced = False
+        for ax in axes:
+            new_sets = []
+            for s_ in ax.sets:
+                if s_.dimension.name == dim.name:
+                    if not replaced:
+                        new_sets.append(child_ref)
+                        replaced = True
+                else:
+                    new_sets.append(s_)
+            synth_axes.append(new_sets)
+        if not replaced:
+            raise QueryError(
+                f"drilldown member's dimension {dim.name!r} is not on any axis"
+            )
+        synth, _ = planner.aggregate(synth_axes, list(self._slicer), measures)
+        if child_out not in df.columns:
+            # NULL parent cells typed like the child level column
+            child_type = dict(synth.dtypes)[child_out]
+            df = df.withColumn(child_out, F.lit(None).cast(child_type))
         return df.unionByName(synth.select(*df.columns))
 
     # -- MDX serialization (query.rb:230-237,284-327 to_mdx) -------------

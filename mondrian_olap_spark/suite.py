@@ -1421,3 +1421,27 @@ def member_range_years(spark, sf_dir):
         "SELECT [Measures].[Sum Price] ON COLUMNS, "
         "[Time].[1996]:[Time].[1999] ON ROWS FROM [Sales]"
     ).df
+
+
+@q(
+    "drilldown_operator_month",
+    f"""
+    SELECT year(o_orderdate) AS o_year, CAST(NULL AS VARCHAR) AS o_quarter,
+           sum(l_quantity) AS sum_qty
+    FROM {_ORD_STAR} GROUP BY 1
+    UNION ALL
+    SELECT year(o_orderdate), 'Q' || quarter(o_orderdate), sum(l_quantity)
+    FROM {_ORD_STAR} WHERE year(o_orderdate) = 1997 GROUP BY 1, 2
+    """,
+)
+def drilldown_operator_month(spark, sf_dir):
+    """DrilldownMember as a first-class builder operator: years plus 1997's
+    quarters with NULL quarter on parent rows (jar!...DrilldownMemberFunDef)."""
+    return (
+        Query(get_engine(spark, sf_dir))
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Time].[Year].Members")
+        .drilldown("[Time].[1997]")
+        .execute()
+        .df
+    )

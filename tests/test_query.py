@@ -487,3 +487,47 @@ def test_dimension_member_needs_matching_level(engine):
 def test_dimension_member_mixed_parents_rejected(engine):
     with pytest.raises(QueryError, match="share a parent"):
         q(engine).with_dimension_member("X", "[Time].[1995].[Q1]", "[Time].[1996].[Q2]")
+
+
+def test_drilldown_member(engine, duck):
+    """DrilldownMember: regions plus ASIA's nations as extra rows
+    (jar!...DrilldownMemberFunDef)."""
+    r = (
+        q(engine)
+        .columns("[Measures].[Sum Price]")
+        .rows("[Customer].children")
+        .drilldown("[Customer].[ASIA]")
+        .execute()
+    )
+    assert_df_matches_sql(
+        r.df,
+        duck,
+        """
+        SELECT r_name AS region_name, CAST(NULL AS VARCHAR) AS nation_name,
+               sum(l_extendedprice) AS sum_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1
+        UNION ALL
+        SELECT r_name, n_name, sum(l_extendedprice)
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA' GROUP BY 1, 2
+        """,
+        rel_tol=1e-6,
+    )
+
+
+def test_drilldown_requires_axis_dimension(engine):
+    with pytest.raises(QueryError, match="not on any axis"):
+        (
+            q(engine)
+            .columns("[Measures].[Sum Price]")
+            .rows("[ReturnFlag].children")
+            .drilldown("[Customer].[ASIA]")
+            .execute()
+        )
