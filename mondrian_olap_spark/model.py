@@ -70,6 +70,10 @@ class Level:
     #: 'IfBlankName' hides members whose key is NULL/empty;
     #: 'IfParentsName' hides members equal to their parent's key
     hide_member_if: str | None = None
+    #: display caption expression (caption/name columns distinct from the
+    #: key column — schema.rb:176-190 name_column/caption_column and
+    #: CaptionExpression :248-270); surfaces as ``<out>_caption``
+    caption: str | None = None
 
     @property
     def out(self) -> str:

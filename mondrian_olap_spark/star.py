@@ -63,6 +63,8 @@ class DimView:
         for lv in dim.levels:
             level_cols.append(F.expr(lv.column).alias(lv.out))
             level_cols.append(F.expr(lv.ordinal_expr).alias(_ordinal_out(dim, lv)))
+            if lv.caption:
+                level_cols.append(F.expr(lv.caption).alias(f"{lv.out}_caption"))
             for pname, pexpr in lv.properties:
                 level_cols.append(F.expr(pexpr).alias(pname))
         self.df = base.select(*cols, *level_cols)
@@ -223,7 +225,10 @@ class CubeEngine:
         dim = self.cube.dimension(dim_name)
         levels = dim.levels[: depth + 1]
         outs = [lv.out for lv in levels]
-        props = [p for lv in levels for p, _ in lv.properties] if include_properties else []
+        props = []
+        if include_properties:
+            props = [p for lv in levels for p, _ in lv.properties]
+            props += [f"{lv.out}_caption" for lv in levels if lv.caption]
         if dim.degenerate:
             df = self.fact
             sel = [F.col(o) for o in outs] + [
@@ -231,6 +236,8 @@ class CubeEngine:
             ]
             if include_properties:
                 for lv in levels:
+                    if lv.caption:
+                        sel.append(F.expr(lv.caption).alias(f"{lv.out}_caption"))
                     for pname, pexpr in lv.properties:
                         sel.append(F.expr(pexpr).alias(pname))
             df = df.select(*sel)

@@ -1445,3 +1445,19 @@ def drilldown_operator_month(spark, sf_dir):
         .execute()
         .df
     )
+
+
+@q(
+    "member_captions_suppliers",
+    """
+    SELECT n_name AS supplier_nation, s_name AS supplier_name,
+           s_name || ' (' || n_name || ')' AS supplier_name_caption
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def member_captions_suppliers(spark, sf_dir):
+    """Member captions distinct from keys (schema.rb:176-190 name/caption
+    columns; .Caption accessor §2.7)."""
+    eng = get_engine(spark, sf_dir)
+    return eng.level_members("Supplier", 1, include_properties=True)

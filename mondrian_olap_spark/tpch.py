@@ -132,7 +132,14 @@ SALES_CUBE = Cube(
             joins=(JoinLink("s_nationkey", "nation", "n_nationkey"),),
             levels=(
                 Level("Nation", "n_name", output="supplier_nation"),
-                Level("Supplier", "s_name", output="supplier_name"),
+                Level(
+                    "Supplier",
+                    "s_name",
+                    output="supplier_name",
+                    # display caption distinct from the key (schema.rb
+                    # name/caption columns)
+                    caption="concat(s_name, ' (', n_name, ')')",
+                ),
             ),
             guaranteed_small=True,  # supplier table is tiny in this dataset
         ),
