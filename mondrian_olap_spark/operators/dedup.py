@@ -234,6 +234,63 @@ def minhash_dedup_pairs(
     )
 
 
+def dedup_clusters(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs → cluster labels.
+
+    The missing last step of every near-dup pipeline: pairs (id_a, id_b)
+    define an undirected similarity graph; each document gets
+    ``cluster = min id reachable from it``, so one canonical survivor per
+    component (``keep = id == cluster``).
+
+    Distributed label propagation: every round each node adopts the minimum
+    label in its neighborhood; converges in O(component diameter) rounds —
+    near-dup components are tiny (pairs/chains), so a handful of rounds.
+    Per-round persist + ``localCheckpoint`` truncates lineage (same
+    discipline as :func:`~mondrian_olap_spark.hierarchy.closure`).
+
+    Returns (id, cluster, keep).
+    """
+    edges = (
+        pairs.selectExpr("id_a AS src", "id_b AS dst")
+        .unionByName(pairs.selectExpr("id_b AS src", "id_a AS dst"))
+        .dropDuplicates()
+    )
+    labels = ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("cluster"))
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.min("cluster").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))
+                ).alias("cluster"),
+                (F.coalesce(F.col("nmin"), F.col("cluster")) < F.col("cluster")).alias(
+                    "__changed"
+                ),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        changed = updated.filter(F.col("__changed")).limit(1).count()
+        labels = updated.drop("__changed")
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("id"),
+        "cluster",
+        (F.col("node") == F.col("cluster")).alias("keep"),
+    )
+
+
 def simhash(
     df: DataFrame,
     id_col: str = "doc_id",

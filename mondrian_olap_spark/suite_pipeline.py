@@ -261,3 +261,41 @@ def text_winnowing_fingerprints(spark, sf_dir):
     """Winnowing (rolling-hash) document fingerprints: 5-gram hashes,
     minimum per 4-window."""
     return text.rolling_fingerprints(_docs(spark, sf_dir), k=5, window=4)
+
+
+@q(
+    "dedup_keep_list",
+    f"""
+    WITH RECURSIVE {_SHINGLES_SQL},
+    common AS (
+      SELECT x.id AS id_a, y.id AS id_b, count(*) AS c
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.id < y.id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM common
+      JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+      WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, target) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT reach.node, edges.dst FROM reach JOIN edges ON edges.src = reach.target
+    )
+    SELECT node AS id, min(target) AS cluster,
+           (node = min(target)) AS keep
+    FROM reach GROUP BY 1
+    """,
+)
+def dedup_keep_list(spark, sf_dir):
+    """End-to-end dedup: near-dup pairs → connected components → one
+    canonical survivor per cluster (keep-list).  Oracle: recursive-CTE
+    reachability over the same exact-Jaccard pair graph."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.jaccard_pairs(docs, threshold=0.8)
+    ids = docs.select(F.col("doc_id").alias("id"))
+    return dedup.dedup_clusters(ids, pairs)

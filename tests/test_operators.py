@@ -151,3 +151,29 @@ def test_frame_sample(media):
     assert sorted(by_id[2]) == [0, 10, 20]
     assert sorted(by_id.get(1, [])) == [0]
     assert 3 not in by_id  # no frames metadata -> no rows
+
+
+def test_dedup_clusters(spark, docs):
+    """Connected components: 1-4 exact dups, 2 chained to 1 -> one cluster
+    {1,2,4}; 3 alone."""
+    from pyspark.sql import functions as F
+
+    pairs = dedup.jaccard_pairs(docs, threshold=0.5)
+    ids = docs.select(F.col("doc_id").alias("id"))
+    out = {r["id"]: (r["cluster"], r["keep"]) for r in
+           dedup.dedup_clusters(ids, pairs).collect()}
+    assert out[1] == (1, True)
+    assert out[2] == (1, False)
+    assert out[4] == (1, False)
+    assert out[3] == (3, True)
+
+
+def test_dedup_clusters_chain(spark):
+    """Transitive chain a-b, b-c -> one component even without an a-c pair."""
+    from pyspark.sql import functions as F
+
+    ids = spark.createDataFrame([(i,) for i in range(1, 6)], "id LONG")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (4, 5)], "id_a LONG, id_b LONG")
+    out = {r["id"]: r["cluster"] for r in dedup.dedup_clusters(ids, pairs).collect()}
+    assert out[1] == out[2] == out[3] == 1
+    assert out[4] == out[5] == 4
