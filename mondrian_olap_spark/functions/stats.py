@@ -43,10 +43,79 @@ _BINARY = {
 }
 
 
+#: deterministic dispersion variants: computed from exact decimal moment
+#: sums (sum(x), sum(x*x) over a DECIMAL expression are order-independent),
+#: widened to double once, then a fixed IEEE op sequence — so the result is
+#: bit-identical across shuffle orders and across engines when the SQL
+#: oracle spells the same formula.  Pass a DECIMAL-typed expression, e.g.
+#: ``CAST(l_extendedprice AS DECIMAL(12,2))``.
+_DETERMINISTIC_DISPERSION = {"dstdev", "dstdevp", "dvar", "dvarp"}
+
+
+#: deterministic two-expression statistics over DECIMAL exprs, same idea:
+#: exact moment sums (n, sx, sy, sxx, syy, sxy), then a fixed IEEE formula.
+#: Argument order matches the Spark natives: (y, x).
+_DETERMINISTIC_BINARY = {
+    "dcorrelation",
+    "dcovariance",
+    "dlinregslope",
+    "dlinregintercept",
+    "dlinregr2",
+}
+
+
+def _binary_det(name: str, ey: str, ex: str) -> Column:
+    y, x = F.expr(ey), F.expr(ex)
+    n = F.count(F.lit(1))
+    sx = F.sum(x).cast("double")
+    sy = F.sum(y).cast("double")
+    sxx = F.sum(x * x).cast("double")
+    syy = F.sum(y * y).cast("double")
+    sxy = F.sum(x * y).cast("double")
+    # fixed op order mirrored verbatim in the SQL oracles
+    cov_n = sxy - sx * sy / n  # n * covariance
+    var_x_n = sxx - sx * sx / n
+    var_y_n = syy - sy * sy / n
+    if name == "dcovariance":  # population covariance (MDX Covariance)
+        return cov_n / n
+    if name == "dcorrelation":
+        return cov_n / F.sqrt(var_x_n * var_y_n)
+    if name == "dlinregslope":  # regression of y on x
+        return cov_n / var_x_n
+    if name == "dlinregintercept":
+        return sy / n - cov_n / var_x_n * (sx / n)
+    # dlinregr2 = corr^2, spelled without an intermediate sqrt
+    return cov_n * cov_n / (var_x_n * var_y_n)
+
+
+def _dispersion_det(name: str, expr: str) -> Column:
+    e = F.expr(expr)
+    n = F.count(e)
+    s1 = F.sum(e).cast("double")
+    s2 = F.sum(e * e).cast("double")
+    # op order matters for bit-determinism: t = s2 - s1*s1/n, then /n or /(n-1)
+    num = s2 - s1 * s1 / n
+    if name == "dvarp":
+        return num / n
+    if name == "dvar":
+        return num / (n - F.lit(1))
+    if name == "dstdevp":
+        return F.sqrt(num / n)
+    return F.sqrt(num / (n - F.lit(1)))  # dstdev
+
+
 def stat_column(output: str, fn: str, *exprs: str, arg: float | None = None) -> Column:
     """One statistical aggregate column; ``fn`` is the lower-cased MDX name
     (plus ``percentile`` with ``arg`` in 0..1)."""
     name = fn.lower()
+    if name in _DETERMINISTIC_DISPERSION:
+        if len(exprs) != 1:
+            raise ValueError(f"{fn} takes one expression")
+        return _dispersion_det(name, exprs[0]).alias(output)
+    if name in _DETERMINISTIC_BINARY:
+        if len(exprs) != 2:
+            raise ValueError(f"{fn} takes two expressions (y, x)")
+        return _binary_det(name, exprs[0], exprs[1]).alias(output)
     if name == "percentile":
         if arg is None:
             raise ValueError("percentile requires arg")

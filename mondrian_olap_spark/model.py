@@ -167,6 +167,15 @@ class Measure:
     aggregator: str = "sum"
     output: str | None = None
     format_string: str | None = None
+    #: optional edge cast for the *aggregated* output (e.g. ``"double"``).
+    #: Money measures aggregate over exact DECIMAL expressions — decimal
+    #: addition is associative, so the sum is identical regardless of
+    #: partition/merge order — and only the final cell value is widened back
+    #: to double.  This is what makes results bit-deterministic across
+    #: engines and shuffle orders (double sums are order-sensitive in the
+    #: last ulps).  For ``avg`` the cast applies to the numerator:
+    #: ``cast(sum(expr) as dtype) / count(expr)``.
+    dtype: str | None = None
 
     def __post_init__(self) -> None:
         if self.aggregator not in AGGREGATORS:

@@ -35,15 +35,26 @@ from .star import CubeEngine
 
 
 def measure_column(m: Measure) -> Column:
-    """Aggregator → Spark aggregate expression (schema.rb:294 list)."""
+    """Aggregator → Spark aggregate expression (schema.rb:294 list).
+
+    ``m.dtype`` is the deterministic edge cast: exact (decimal) aggregation
+    internally, one cast at the cell boundary (see model.Measure.dtype).
+    """
     e = F.expr(m.expression)
     if m.aggregator == "sum":
-        return F.sum(e).alias(m.out)
+        c = F.sum(e)
+        if m.dtype:
+            c = c.cast(m.dtype)
+        return c.alias(m.out)
     if m.aggregator == "min":
         return F.min(e).alias(m.out)
     if m.aggregator == "max":
         return F.max(e).alias(m.out)
     if m.aggregator == "avg":
+        if m.dtype:
+            # numerator widened once, then one IEEE division — same op
+            # sequence as the SQL oracle, so the result is bit-identical
+            return (F.sum(e).cast(m.dtype) / F.count(e)).alias(m.out)
         return F.avg(e).alias(m.out)
     if m.aggregator == "count":
         return F.count(e).alias(m.out)

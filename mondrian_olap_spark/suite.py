@@ -58,7 +58,7 @@ def q(name: str, oracle: str | None = None):
     "flagship_region_quarter",
     f"""
     SELECT r_name AS region_name, sum(l_quantity) AS sum_qty,
-           sum(l_extendedprice) AS sum_price, count(l_orderkey) AS count_order
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price, count(l_orderkey) AS count_order
     FROM {_CUST_STAR}
     WHERE year(o_orderdate) = 1995 AND 'Q' || quarter(o_orderdate) = 'Q1'
     GROUP BY r_name
@@ -81,11 +81,11 @@ def flagship_region_quarter(spark, sf_dir):
     "pricing_summary_flags",
     """
     SELECT l_returnflag AS return_flag, l_linestatus AS line_status,
-           sum(l_quantity) AS sum_qty, sum(l_extendedprice) AS sum_price,
-           sum(l_extendedprice*(1-l_discount)) AS sum_disc_price,
-           sum(l_extendedprice*(1-l_discount)*(1+l_tax)) AS sum_charge,
-           avg(l_quantity) AS avg_qty, avg(l_extendedprice) AS avg_price,
-           avg(l_discount) AS avg_disc, count(l_orderkey) AS count_order
+           sum(l_quantity) AS sum_qty, CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(1,0)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+           avg(l_quantity) AS avg_qty, (CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(l_extendedprice)) AS avg_price,
+           (CAST(sum(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / count(l_discount)) AS avg_disc, count(l_orderkey) AS count_order
     FROM lineitem GROUP BY 1, 2
     """,
 )
@@ -131,7 +131,7 @@ def slicer_multi_member_in(spark, sf_dir):
 @q(
     "slicer_cross_dim_tuple",
     f"""
-    SELECT n_name AS supplier_nation, sum(l_extendedprice) AS sum_price
+    SELECT n_name AS supplier_nation, CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
     FROM {_SUPP_STAR}
     JOIN orders ON l_orderkey = o_orderkey
     WHERE year(o_orderdate) = 1997 AND l_returnflag = 'R'
@@ -157,7 +157,7 @@ def slicer_cross_dim_tuple(spark, sf_dir):
     "crossjoin_nation_priority",
     f"""
     SELECT r_name AS region_name, n_name AS nation_name,
-           o_orderpriority AS order_priority, sum(l_extendedprice) AS sum_price
+           o_orderpriority AS order_priority, CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
     FROM {_CUST_STAR} GROUP BY 1, 2, 3
     """,
 )
@@ -202,7 +202,7 @@ def nonempty_crossjoin_nation_brand(spark, sf_dir):
     "rollup_region_nation",
     f"""
     SELECT r_name AS region_name, n_name AS nation_name,
-           sum(l_extendedprice) AS sum_price, count(l_orderkey) AS count_order
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price, count(l_orderkey) AS count_order
     FROM {_CUST_STAR}
     GROUP BY ROLLUP (r_name, n_name)
     """,
@@ -262,7 +262,7 @@ def distinct_count_by_region(spark, sf_dir):
 @q(
     "aggregate_member_set",
     f"""
-    SELECT sum(l_extendedprice) AS sum_price, sum(l_quantity) AS sum_qty,
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price, sum(l_quantity) AS sum_qty,
            count(l_orderkey) AS count_order
     FROM {_CUST_STAR}
     WHERE r_name IN ('ASIA', 'EUROPE') AND year(o_orderdate) = 1997
@@ -306,26 +306,37 @@ def median_percentile_price(spark, sf_dir):
 @q(
     "dispersion_stats",
     """
-    SELECT l_returnflag AS return_flag,
-           stddev_samp(l_extendedprice) AS stdev_price,
-           stddev_pop(l_extendedprice) AS stdevp_price,
-           var_samp(l_extendedprice) AS var_price,
-           var_pop(l_extendedprice) AS varp_price
-    FROM lineitem GROUP BY 1
+    WITH m AS (
+      SELECT l_returnflag AS return_flag,
+             count(l_extendedprice) AS n,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS s2
+      FROM lineitem GROUP BY 1
+    )
+    SELECT return_flag,
+           sqrt((s2 - s1*s1/n) / (n - 1)) AS stdev_price,
+           sqrt((s2 - s1*s1/n) / n) AS stdevp_price,
+           (s2 - s1*s1/n) / (n - 1) AS var_price,
+           (s2 - s1*s1/n) / n AS varp_price
+    FROM m
     """,
 )
 def dispersion_stats(spark, sf_dir):
     """Stdev/StdevP/Var/VarP (jar!...StdevFunDef etc.; mondrian_test.rb
-    NaN-on-NULL behavior tests :673-686)."""
+    NaN-on-NULL behavior tests :673-686).  Uses the deterministic
+    decimal-moment variants so cell values are bit-stable across shuffle
+    orders (the plain stdev/var Spark natives remain available)."""
     eng = get_engine(spark, sf_dir)
+    dec = "CAST(l_extendedprice AS DECIMAL(12,2))"
     return set_aggregate(
         eng.fact,
         ["return_flag"],
         [
-            ("stdev_price", "stdev", "l_extendedprice"),
-            ("stdevp_price", "stdevp", "l_extendedprice"),
-            ("var_price", "var", "l_extendedprice"),
-            ("varp_price", "varp", "l_extendedprice"),
+            ("stdev_price", "dstdev", dec),
+            ("stdevp_price", "dstdevp", dec),
+            ("var_price", "dvar", dec),
+            ("varp_price", "dvarp", dec),
         ],
     )
 
@@ -333,29 +344,47 @@ def dispersion_stats(spark, sf_dir):
 @q(
     "corr_linreg_stats",
     """
-    SELECT l_returnflag AS return_flag,
-           corr(l_extendedprice, l_quantity) AS corr_price_qty,
-           covar_pop(l_extendedprice, l_quantity) AS covar_price_qty,
-           regr_slope(l_extendedprice, l_quantity) AS slope,
-           regr_intercept(l_extendedprice, l_quantity) AS intercept,
-           regr_r2(l_extendedprice, l_quantity) AS r2
-    FROM lineitem GROUP BY 1
+    WITH m AS (
+      SELECT l_returnflag AS return_flag,
+             count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY 1
+    )
+    SELECT return_flag,
+           (sxy - sx*sy/n) / sqrt((sxx - sx*sx/n) * (syy - sy*sy/n)) AS corr_price_qty,
+           (sxy - sx*sy/n) / n AS covar_price_qty,
+           (sxy - sx*sy/n) / (sxx - sx*sx/n) AS slope,
+           sy/n - (sxy - sx*sy/n) / (sxx - sx*sx/n) * (sx/n) AS intercept,
+           (sxy - sx*sy/n) * (sxy - sx*sy/n)
+             / ((sxx - sx*sx/n) * (syy - sy*sy/n)) AS r2
+    FROM m
     """,
 )
 def corr_linreg_stats(spark, sf_dir):
     """Correlation / Covariance / LinRegSlope / LinRegIntercept / LinRegR2
     (jar!...CorrelationFunDef, CovarianceFunDef, LinReg$*FunDef;
-    behavior tests mondrian_test.rb:608-778)."""
+    behavior tests mondrian_test.rb:608-778).  Deterministic decimal-moment
+    variants (bit-stable across shuffle orders); Spark-native corr/covar/
+    regr_* stay available through set_aggregate."""
     eng = get_engine(spark, sf_dir)
+    y = "CAST(l_extendedprice AS DECIMAL(12,2))"
+    x = "CAST(l_quantity AS DECIMAL(12,2))"
     return set_aggregate(
         eng.fact,
         ["return_flag"],
         [
-            ("corr_price_qty", "correlation", "l_extendedprice", "l_quantity"),
-            ("covar_price_qty", "covariance", "l_extendedprice", "l_quantity"),
-            ("slope", "linregslope", "l_extendedprice", "l_quantity"),
-            ("intercept", "linregintercept", "l_extendedprice", "l_quantity"),
-            ("r2", "linregr2", "l_extendedprice", "l_quantity"),
+            ("corr_price_qty", "dcorrelation", y, x),
+            ("covar_price_qty", "dcovariance", y, x),
+            ("slope", "dlinregslope", y, x),
+            ("intercept", "dlinregintercept", y, x),
+            ("r2", "dlinregr2", y, x),
         ],
     )
 
@@ -364,7 +393,7 @@ def corr_linreg_stats(spark, sf_dir):
     "case_coalesce_measures",
     f"""
     SELECT r_name AS region_name,
-           sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END)
+           CAST(sum(CASE WHEN l_discount > 0.05 THEN CAST(l_extendedprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
              AS high_disc_revenue,
            count(nullif(l_discount, 0.0)) AS nonzero_disc_count
     FROM {_CUST_STAR} GROUP BY 1
@@ -385,11 +414,11 @@ def case_coalesce_measures(spark, sf_dir):
 @q(
     "calc_member_chain",
     """
-    SELECT l_returnflag AS return_flag, sum(l_extendedprice) AS sum_price,
-           sum(l_extendedprice) - sum(l_extendedprice*(1-l_discount)) AS discount_amount,
-           (sum(l_extendedprice) - sum(l_extendedprice*(1-l_discount)))
-             / sum(l_extendedprice) AS discount_share,
-           sum(l_extendedprice) / count(l_orderkey) AS avg_item_value
+    SELECT l_returnflag AS return_flag, CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) - CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS discount_amount,
+           (CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) - CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE))
+             / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS discount_share,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(l_orderkey) AS avg_item_value
     FROM lineitem GROUP BY 1
     """,
 )
@@ -413,7 +442,7 @@ def calc_member_chain(spark, sf_dir):
 # =====================================================================
 _NATION_AGG = f"""
     SELECT r_name AS region_name, n_name AS nation_name,
-           sum(l_extendedprice) AS sum_price, sum(l_quantity) AS sum_qty
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price, sum(l_quantity) AS sum_qty
     FROM {_CUST_STAR} GROUP BY 1, 2
 """
 
@@ -578,7 +607,7 @@ def subset_nations_by_price(spark, sf_dir):
 
 _MONTHLY_AGG = f"""
     SELECT year(o_orderdate) AS o_year, month(o_orderdate) AS o_month,
-           sum(l_extendedprice) AS sum_price
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
     FROM {_ORD_STAR} GROUP BY 1, 2
 """
 
@@ -707,7 +736,7 @@ def opening_closing_period(spark, sf_dir):
 @q(
     "except_regions",
     f"""
-    SELECT r_name AS region_name, sum(l_extendedprice) AS sum_price
+    SELECT r_name AS region_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
     FROM {_CUST_STAR}
     WHERE r_name NOT IN ('ASIA', 'EUROPE') GROUP BY 1
     """,
@@ -729,7 +758,7 @@ def except_regions(spark, sf_dir):
     f"""
     WITH agg AS (
       SELECT r_name AS region_name, n_name AS nation_name,
-             sum(l_extendedprice) AS sum_price, avg(l_quantity) AS avg_qty
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price, avg(l_quantity) AS avg_qty
       FROM {_CUST_STAR} GROUP BY 1, 2
     )
     SELECT region_name, nation_name, sum_price, avg_qty FROM agg
@@ -842,7 +871,7 @@ def drillthrough_cell(spark, sf_dir):
 @q(
     "events_by_type",
     """
-    SELECT event_type, sum(value) AS sum_value, count(event_id) AS event_count,
+    SELECT event_type, CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value, count(event_id) AS event_count,
            count(DISTINCT user_id) AS distinct_users
     FROM events GROUP BY 1
     """,
@@ -864,7 +893,7 @@ def events_by_type(spark, sf_dir):
     "events_daily_users",
     """
     SELECT day(ts) AS event_day, count(DISTINCT user_id) AS distinct_users,
-           sum(value) AS sum_value
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1
     """,
 )
@@ -893,12 +922,12 @@ _ORD_CUST = (
     f"""
     WITH s AS (
       SELECT r_name AS region_name, year(o_orderdate) AS o_year,
-             sum(l_extendedprice) AS sum_price, count(l_orderkey) AS count_order
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price, count(l_orderkey) AS count_order
       FROM {_CUST_STAR} GROUP BY 1, 2
     ),
     o AS (
       SELECT r_name AS region_name, year(o_orderdate) AS o_year,
-             sum(o_totalprice) AS sum_totalprice, count(o_orderkey) AS order_count
+             CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_totalprice, count(o_orderkey) AS order_count
       FROM {_ORD_CUST} GROUP BY 1, 2
     )
     SELECT coalesce(s.region_name, o.region_name) AS region_name,
@@ -931,12 +960,12 @@ def virtual_sales_orders(spark, sf_dir):
     "virtual_valid_measure",
     f"""
     WITH s AS (
-      SELECT r_name AS region_name, sum(l_extendedprice) AS sum_price
+      SELECT r_name AS region_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
       FROM {_CUST_STAR} GROUP BY 1
     ),
     o AS (
       SELECT r_name AS region_name, o_orderstatus AS order_status,
-             sum(o_totalprice) AS sum_totalprice
+             CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_totalprice
       FROM {_ORD_CUST} GROUP BY 1, 2
     )
     SELECT o.region_name, s.sum_price, o.order_status, o.sum_totalprice
@@ -963,7 +992,7 @@ def virtual_valid_measure(spark, sf_dir):
 @q(
     "role_region_grant",
     f"""
-    SELECT n_name AS nation_name, sum(l_extendedprice) AS sum_price
+    SELECT n_name AS nation_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
     FROM {_CUST_STAR}
     WHERE r_name = 'ASIA' GROUP BY 1
     """,
@@ -1048,7 +1077,7 @@ def set_intersect_active_nations(spark, sf_dir):
     f"""
     WITH nations AS (
       SELECT r_name AS region_name, n_name AS nation_name,
-             sum(l_extendedprice) AS sum_price, avg(l_quantity) AS avg_qty
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price, avg(l_quantity) AS avg_qty
       FROM {_CUST_STAR} GROUP BY 1, 2
     )
     SELECT region_name, sum(sum_price) AS visual_total
@@ -1174,10 +1203,10 @@ def member_lookup_strtomember(spark, sf_dir):
     "drilldown_member_region",
     f"""
     SELECT r_name AS region_name, CAST(NULL AS VARCHAR) AS nation_name,
-           sum(l_extendedprice) AS sum_price
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
     FROM {_CUST_STAR} GROUP BY 1
     UNION ALL
-    SELECT r_name, n_name, sum(l_extendedprice)
+    SELECT r_name, n_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
     FROM {_CUST_STAR} WHERE r_name = 'ASIA' GROUP BY 1, 2
     """,
 )
@@ -1247,8 +1276,8 @@ def parent_child_rollup(spark, sf_dir):
 @q(
     "udf_scaled_revenue",
     f"""
-    SELECT r_name AS region_name, sum(l_extendedprice) AS sum_price,
-           sum(l_extendedprice) * 2 + 1 AS scaled
+    SELECT r_name AS region_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) * 2 + 1 AS scaled
     FROM {_CUST_STAR} GROUP BY 1
     """,
 )
@@ -1382,10 +1411,10 @@ def currentdate_member(spark, sf_dir):
       FROM {_ORD_STAR}
     )
     SELECT o_year, o_quarter, sum(l_quantity) AS sum_qty,
-           sum(l_extendedprice) AS sum_price
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
     FROM base GROUP BY 1, 2
     UNION ALL
-    SELECT 1996, 'H1-1996', sum(l_quantity), sum(l_extendedprice)
+    SELECT 1996, 'H1-1996', sum(l_quantity), CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
     FROM base WHERE o_year = 1996 AND o_quarter IN ('Q1', 'Q2')
     """,
 )
@@ -1407,7 +1436,7 @@ def dimension_calc_member_mdx(spark, sf_dir):
 @q(
     "member_range_years",
     f"""
-    SELECT year(o_orderdate) AS o_year, sum(l_extendedprice) AS sum_price
+    SELECT year(o_orderdate) AS o_year, CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
     FROM {_ORD_STAR}
     WHERE year(o_orderdate) BETWEEN 1996 AND 1999
     GROUP BY 1

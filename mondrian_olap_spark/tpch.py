@@ -161,23 +161,51 @@ SALES_CUBE = Cube(
         ),
     ),
     measures=(
+        # Money measures aggregate over exact DECIMAL expressions and cast
+        # back to double at the cell edge (Measure.dtype) — decimal addition
+        # is associative, so cell values are bit-identical across partition
+        # counts, shuffle orders, and engines.  l_quantity is whole numbers
+        # (< 2^53), already exact as double sums.
         Measure("Sum Qty", "l_quantity", "sum", output="sum_qty"),
-        Measure("Sum Price", "l_extendedprice", "sum", output="sum_price"),
+        Measure(
+            "Sum Price",
+            "CAST(l_extendedprice AS DECIMAL(12,2))",
+            "sum",
+            output="sum_price",
+            dtype="double",
+        ),
         Measure(
             "Sum Disc Price",
-            "l_extendedprice * (1 - l_discount)",
+            "CAST(l_extendedprice AS DECIMAL(12,2))"
+            " * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(3,2)))",
             "sum",
             output="sum_disc_price",
+            dtype="double",
         ),
         Measure(
             "Sum Charge",
-            "l_extendedprice * (1 - l_discount) * (1 + l_tax)",
+            "CAST(l_extendedprice AS DECIMAL(12,2))"
+            " * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(3,2)))"
+            " * (CAST(1 AS DECIMAL(1,0)) + CAST(l_tax AS DECIMAL(3,2)))",
             "sum",
             output="sum_charge",
+            dtype="double",
         ),
         Measure("Avg Qty", "l_quantity", "avg", output="avg_qty"),
-        Measure("Avg Price", "l_extendedprice", "avg", output="avg_price"),
-        Measure("Avg Disc", "l_discount", "avg", output="avg_disc"),
+        Measure(
+            "Avg Price",
+            "CAST(l_extendedprice AS DECIMAL(12,2))",
+            "avg",
+            output="avg_price",
+            dtype="double",
+        ),
+        Measure(
+            "Avg Disc",
+            "CAST(l_discount AS DECIMAL(3,2))",
+            "avg",
+            output="avg_disc",
+            dtype="double",
+        ),
         Measure("Count Order", "l_orderkey", "count", output="count_order"),
         Measure("Distinct Parts", "l_partkey", "distinct-count", output="distinct_parts"),
         Measure(
@@ -189,9 +217,11 @@ SALES_CUBE = Cube(
         # CASE WHEN — jar!...CaseTestFunDef, SURVEY.md §2.7)
         Measure(
             "High Disc Revenue",
-            "CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END",
+            "CASE WHEN l_discount > 0.05 THEN CAST(l_extendedprice AS DECIMAL(12,2))"
+            " ELSE CAST(0 AS DECIMAL(12,2)) END",
             "sum",
             output="high_disc_revenue",
+            dtype="double",
         ),
         # CoalesceEmpty/NULLIF scalar composition inside a measure expression
         # (jar!...CoalesceEmptyFunDef; tests mondrian_test.rb:520-541)
@@ -278,9 +308,21 @@ ORDERS_CUBE = Cube(
         ),
     ),
     measures=(
-        Measure("Sum Total Price", "o_totalprice", "sum", output="sum_totalprice"),
+        Measure(
+            "Sum Total Price",
+            "CAST(o_totalprice AS DECIMAL(12,2))",
+            "sum",
+            output="sum_totalprice",
+            dtype="double",
+        ),
         Measure("Order Count", "o_orderkey", "count", output="order_count"),
-        Measure("Avg Total Price", "o_totalprice", "avg", output="avg_totalprice"),
+        Measure(
+            "Avg Total Price",
+            "CAST(o_totalprice AS DECIMAL(12,2))",
+            "avg",
+            output="avg_totalprice",
+            dtype="double",
+        ),
         Measure("Distinct Customers", "o_custkey", "distinct-count", output="distinct_customers"),
     ),
 )
@@ -301,7 +343,13 @@ EVENTS_CUBE = Cube(
         ),
     ),
     measures=(
-        Measure("Sum Value", "value", "sum", output="sum_value"),
+        Measure(
+            "Sum Value",
+            "CAST(value AS DECIMAL(12,2))",
+            "sum",
+            output="sum_value",
+            dtype="double",
+        ),
         Measure("Event Count", "event_id", "count", output="event_count"),
         Measure("Distinct Users", "user_id", "distinct-count", output="distinct_users"),
     ),

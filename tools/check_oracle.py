@@ -25,6 +25,12 @@ TABLES = (
 ).split()
 
 
+#: --exact: normalize floats at full precision (repr round-trip) — a proxy
+#: for the driver's value *hash*, which is stricter than the tolerance
+#: compare below.  Queries that pass --exact are bit-deterministic.
+EXACT = False
+
+
 def norm(v):
     if v is None:
         return (0, "")
@@ -33,12 +39,12 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return (2, "nan")
-        return (2, f"{v:.6g}")
+        return (2, repr(v) if EXACT else f"{v:.6g}")
     try:
         f = float(v)
         if isinstance(v, int) or f == int(f):
-            return (2, f"{f:.6g}")
-        return (2, f"{f:.6g}")
+            return (2, repr(f) if EXACT else f"{f:.6g}")
+        return (2, repr(f) if EXACT else f"{f:.6g}")
     except (TypeError, ValueError):
         return (3, str(v))
 
@@ -58,6 +64,8 @@ def compare(srows, scols, drows, dcols):
             if ka != kb:
                 return f"TYPE {a} vs {b}"
             if ka == 2 and va != vb:
+                if EXACT:
+                    return f"EXACT-VALUE {a} vs {b}"
                 fa, fb = float(va), float(vb)
                 if not math.isclose(fa, fb, rel_tol=1e-5, abs_tol=1e-6):
                     return f"VALUE {a} vs {b}"
@@ -72,7 +80,10 @@ def main():
 
     import __spark_entry__ as entry
 
-    only = set(sys.argv[1:])
+    global EXACT
+    args = [a for a in sys.argv[1:] if a != "--exact"]
+    EXACT = "--exact" in sys.argv[1:]
+    only = set(args)
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("oracle-check")
