@@ -29,9 +29,20 @@ from .members import MemberSetRef
 
 
 def slicer_fingerprint(slicer: list[MemberSetRef]) -> tuple:
-    """Canonical, order-insensitive slicer signature."""
+    """Canonical, order-insensitive slicer signature.  Range bounds are part
+    of the identity — two ranges over the same level with different endpoints
+    must not share a cache entry."""
     return tuple(
-        sorted((ref.dimension.name, ref.kind, ref.depth, ref.path) for ref in slicer)
+        sorted(
+            (
+                ref.dimension.name,
+                ref.kind,
+                ref.depth,
+                ref.path,
+                tuple(map(str, ref.ordinal_range)) if ref.ordinal_range else (),
+            )
+            for ref in slicer
+        )
     )
 
 

@@ -99,13 +99,18 @@ class MemberSetRef:
       members beyond the path are unconstrained.
     * ``kind`` — ``'member'`` (single member / enumerated element),
       ``'children'`` (children of path), ``'level_members'`` (all members of
-      a named level).
+      a named level), ``'range'`` (members whose level ordinal falls in
+      ``ordinal_range``, under ancestor ``path`` — the ``a:b`` MDX range,
+      planned as a BETWEEN predicate so the member set is never enumerated).
     """
 
     dimension: Dimension
     depth: int
     path: tuple[str, ...] = ()
     kind: str = "member"
+    #: (lo, hi) inclusive bounds over the ``depth`` level's ordinal
+    #: expression; only set for ``kind='range'``
+    ordinal_range: tuple | None = None
 
     @property
     def group_levels(self):

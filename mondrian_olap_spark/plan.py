@@ -75,11 +75,31 @@ class _DimUse:
     group_outputs: list[str] = field(default_factory=list)  # ordered level outputs
     predicates: list[Column] = field(default_factory=list)  # OR-ed together
     pred_depth: int = 0  # deepest level referenced by any predicate
+    #: ordinal (__ord_*) columns referenced by range predicates — shipped
+    #: through the merged dim view alongside the level outputs
+    ordinal_outputs: list[str] = field(default_factory=list)
 
     def add_levels(self, outputs: list[str]) -> None:
         for o in outputs:
             if o not in self.group_outputs:
                 self.group_outputs.append(o)
+
+    #: True when a predicate references columns a summary table cannot have
+    #: (range ordinals over raw fact columns) — disables agg-table routing
+    unroutable: bool = False
+
+    def note_refs(self, refs: list[MemberSetRef]) -> None:
+        """Record predicate metadata for a batch of constraining refs:
+        deepest level touched + any ordinal columns ranges compare on."""
+        for r in refs:
+            self.pred_depth = max(self.pred_depth, len(r.path))
+            if r.kind == "range":
+                if r.dimension.degenerate:
+                    self.unroutable = True
+                else:
+                    oc = f"__ord_{r.dimension.levels[r.depth].out}"
+                    if oc not in self.ordinal_outputs:
+                        self.ordinal_outputs.append(oc)
 
     @property
     def predicate(self) -> Column | None:
@@ -92,12 +112,22 @@ class _DimUse:
 
 
 def _path_predicate(ref: MemberSetRef) -> Column | None:
-    """Ancestor-path constraint of a member set → conjunctive predicate."""
-    if not ref.path:
-        return None
+    """Ancestor-path constraint of a member set → conjunctive predicate.
+    Range sets add an ``ordinal BETWEEN lo AND hi`` conjunct over the level's
+    ordinal (planned, never enumerated — jar!mondrian/olap/fun/RangeFunDef)."""
     p = None
     for i, key in enumerate(ref.path):
         c = F.col(ref.dimension.levels[i].out) == key
+        p = c if p is None else (p & c)
+    if ref.kind == "range" and ref.ordinal_range is not None:
+        dim, lv = ref.dimension, ref.dimension.levels[ref.depth]
+        oc = (
+            F.expr(lv.ordinal_expr)
+            if dim.degenerate
+            else F.col(f"__ord_{lv.out}")
+        )
+        lo, hi = ref.ordinal_range
+        c = oc.between(F.lit(lo), F.lit(hi))
         p = c if p is None else (p & c)
     return p
 
@@ -144,7 +174,7 @@ class Planner:
                 preds = [_path_predicate(r) for r in refs]
                 if all(p is not None for p in preds):
                     u.predicates.append(_or_all(preds))
-                    u.pred_depth = max(u.pred_depth, *(len(r.path) for r in refs))
+                    u.note_refs(refs)
                 # any unconstrained set (e.g. Level.Members) makes the union
                 # unconstrained → no predicate
 
@@ -159,7 +189,7 @@ class Planner:
             if any(p is None for p in preds):
                 continue  # slicing by the All member = no constraint
             u.predicates.append(_or_all(preds))
-            u.pred_depth = max(u.pred_depth, *(len(r.path) for r in refs))
+            u.note_refs(refs)
 
         self._apply_role(uses, use)
         base_measures, calc_chain = self._measure_closure(measures)
@@ -175,11 +205,11 @@ class Planner:
         if cache is not None and base_measures:
             from .cache import slicer_fingerprint
 
-            # fingerprint only the *constraining* refs (member paths):
-            # unconstrained sets (Members/children-of-all) affect grouping —
-            # already in the key — not the slice, and must not block
-            # rollup-reuse across queries at different grains
-            constrained = [r for r in all_refs if r.path]
+            # fingerprint only the *constraining* refs (member paths and
+            # ranges): unconstrained sets (Members/children-of-all) affect
+            # grouping — already in the key — not the slice, and must not
+            # block rollup-reuse across queries at different grains
+            constrained = [r for r in all_refs if r.path or r.ordinal_range]
             key = (
                 self.cube.name,
                 tuple(group_cols),
@@ -243,15 +273,17 @@ class Planner:
                 outs: list[str] = []
                 for ref in refs:
                     outs = max(outs, [lv.out for lv in ref.group_levels], key=len)
-                if dim.degenerate:
-                    members = self.engine.fact.select(*outs).dropDuplicates()
-                else:
-                    members = (
-                        self.engine.dims[dim.name].member_df.select(*outs).dropDuplicates()
-                    )
+                members = (
+                    self.engine.fact
+                    if dim.degenerate
+                    else self.engine.dims[dim.name].member_df
+                )
+                # filter BEFORE projecting: range predicates reference
+                # ordinal columns that the projection drops
                 preds = [_path_predicate(r) for r in refs]
                 if all(p is not None for p in preds):
                     members = members.filter(_or_all(preds))
+                members = members.select(*outs).dropDuplicates()
                 grid = members if grid is None else grid.crossJoin(members)
         if grid is None:
             return agg
@@ -304,9 +336,12 @@ class Planner:
         pred_cols: list[str] = []
         preds: list[Column] = []
         for u in uses.values():
+            if u.unroutable:
+                return None
             if u.predicate is not None:
                 preds.append(u.predicate)
                 pred_cols += [lv.out for lv in u.dim.levels[: u.pred_depth]]
+                pred_cols += list(u.ordinal_outputs)
         needed_cols = set(group_cols) | set(pred_cols)
         for df, agg_outputs, agg_measures in tables:
             if not needed_cols.issubset(agg_outputs):
@@ -512,5 +547,6 @@ def _or_all(preds: list[Column]) -> Column:
 
 def _predicate_outputs(u: _DimUse) -> list[str]:
     """Level outputs referenced by this dim's predicates — only the path
-    prefix actually constrained, so slicer-only joins ship the minimum."""
-    return [lv.out for lv in u.dim.levels[: u.pred_depth]]
+    prefix actually constrained (plus any range-ordinal columns), so
+    slicer-only joins ship the minimum."""
+    return [lv.out for lv in u.dim.levels[: u.pred_depth]] + list(u.ordinal_outputs)

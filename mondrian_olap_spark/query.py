@@ -142,9 +142,11 @@ class Query:
         """Member range ``a:b`` — inclusive range within one level in member
         (ordinal) order (jar!mondrian/olap/fun/RangeFunDef; SURVEY.md §2.5).
 
-        Endpoints are resolved against the level's ordered member list (the
-        same resolution Mondrian performs at validate time); the enumerated
-        members join the current axis as a set.
+        Only the two endpoints are resolved (one-scalar ordinal lookups — the
+        same member resolution Mondrian performs at validate time); the range
+        itself becomes an ``ordinal BETWEEN lo AND hi`` predicate in the plan,
+        so a range over a high-cardinality level never enumerates members on
+        the driver.
         """
         ra = self._resolve(from_member)
         rb = self._resolve(to_member)
@@ -162,24 +164,23 @@ class Query:
                 "under the same parent"
             )
         dim, depth, prefix = ra.dimension, ra.depth, ra.path[:-1]
-        out = dim.levels[depth].out
-        vals = [
-            r[out]
-            for r in self.engine.level_members(dim.name, depth, prefix).collect()
-        ]
         try:
-            ia = next(i for i, v in enumerate(vals) if str(v) == str(ra.path[-1]))
-            ib = next(i for i, v in enumerate(vals) if str(v) == str(rb.path[-1]))
-        except StopIteration:
+            lo = self.engine.member_ordinal(dim.name, depth, ra.path)
+            hi = self.engine.member_ordinal(dim.name, depth, rb.path)
+        except KeyError as e:
             raise QueryError(
-                f"member_range endpoint not found among {dim.name}.{dim.levels[depth].name} members"
+                f"member_range endpoint not found among "
+                f"{dim.name}.{dim.levels[depth].name} members: {e}"
             ) from None
-        lo, hi = sorted((ia, ib))
+        if lo > hi:  # Mondrian's RangeFunDef normalizes reversed endpoints
+            lo, hi = hi, lo
         ax = self._axis()
-        for v in vals[lo : hi + 1]:
-            ax.sets.append(
-                MemberSetRef(dim, depth=depth, path=tuple(prefix) + (v,), kind="member")
+        ax.sets.append(
+            MemberSetRef(
+                dim, depth=depth, path=tuple(prefix), kind="range",
+                ordinal_range=(lo, hi),
             )
+        )
         ax.raw_base.append(f"{from_member}:{to_member}")
         return self
 

@@ -268,6 +268,30 @@ class CubeEngine:
         df = df.groupBy(*outs).agg(*agg_cols)
         return df.orderBy(*ord_cols).select(*outs, *props)
 
+    def member_ordinal(self, dim_name: str, depth: int, path: tuple[str, ...]):
+        """Ordinal value of ONE member — a single-row lookup used to resolve
+        range (``a:b``) endpoints at plan time (the same member resolution
+        Mondrian performs at validate time).  Unlike enumerating the level's
+        member list, this collects exactly one scalar regardless of level
+        cardinality — the range itself is then planned as an
+        ``ordinal BETWEEN lo AND hi`` predicate, never an enumerated set."""
+        dim = self.cube.dimension(dim_name)
+        lv = dim.levels[depth]
+        if dim.degenerate:
+            df = self.fact
+            ord_col = F.expr(lv.ordinal_expr)
+        else:
+            df = self.dims[dim.name].member_df
+            ord_col = F.col(_ordinal_out(dim, lv))
+        for i, key in enumerate(path):
+            df = df.filter(F.col(dim.levels[i].out) == key)
+        row = df.agg(F.min(ord_col).alias("o"), F.count(F.lit(1)).alias("n")).collect()[0]
+        if row["n"] == 0:
+            raise KeyError(
+                f"member {path!r} not found at {dim.name}.{lv.name}"
+            )
+        return row["o"]
+
     def merged_dim_view(
         self, dims: list[Dimension], needed: Mapping[str, list[str]]
     ) -> DataFrame:
@@ -303,6 +327,9 @@ class CubeEngine:
             for lv in d.levels:
                 if lv.out in want:
                     cols.append(F.expr(lv.column).alias(lv.out))
+                if _ordinal_out(d, lv) in want:
+                    # range predicates compare against the level's ordinal
+                    cols.append(F.expr(lv.ordinal_expr).alias(_ordinal_out(d, lv)))
         return base.select(*cols)
 
     def drill_through(

@@ -1080,7 +1080,8 @@ def set_intersect_active_nations(spark, sf_dir):
              CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price, avg(l_quantity) AS avg_qty
       FROM {_CUST_STAR} GROUP BY 1, 2
     )
-    SELECT region_name, sum(sum_price) AS visual_total
+    SELECT region_name,
+           CAST(sum(CAST(sum_price AS DECIMAL(18,2))) AS DOUBLE) AS visual_total
     FROM nations WHERE avg_qty > 25.5 GROUP BY 1
     """,
 )
@@ -1097,8 +1098,11 @@ def visual_totals_regions(spark, sf_dir):
         .execute()
         .df
     )
+    # re-widen the child cells to exact decimals for the visible-total
+    # re-aggregation: decimal addition is order-insensitive, so the visual
+    # total is bit-identical across shuffle orders (and engines)
     return nations.groupBy("region_name").agg(
-        F.sum("sum_price").alias("visual_total")
+        F.sum(F.col("sum_price").cast("decimal(18,2)")).cast("double").alias("visual_total")
     )
 
 

@@ -128,7 +128,23 @@ def main() -> int:
         f"expands={p.count('Expand')} fact_scans={len(fact_scan_lines(p, 'lineitem'))}",
     )
 
-    # 6. whole-stage codegen covers the aggregation path (inspect the FINAL
+    # 6. member ranges (a:b) plan as a BETWEEN predicate — the range is never
+    #    enumerated into members on the driver; only the two endpoints are
+    #    resolved (1-row lookups).  The plan must show the ordinal bound as a
+    #    filter, and the query must not add per-member jobs.
+    df = (
+        Query(eng)
+        .columns("[Measures].[Sum Price]")
+        .rows()
+        .member_range("[Time].[1996]", "[Time].[1998]")
+        .execute()
+        .df
+    )
+    p = plan_str(df)
+    has_range_filter = bool(re.search(r">=\s*1996", p)) and bool(re.search(r"<=\s*1998", p))
+    check("range.planned_as_between_predicate", has_range_filter, p[:2000])
+
+    # 7. whole-stage codegen covers the aggregation path (inspect the FINAL
     #    adaptive plan — pre-execution AQE plans carry no codegen annotation)
     df = Query(eng).columns("[Measures].[Sum Qty]").rows("[ReturnFlag].children").execute().df
     df.collect()
