@@ -87,6 +87,7 @@ _SET_FUNCTIONS = {
     "head",
     "tail",
     "subset",
+    "generate",
 }
 
 _AXIS_NAMES = {"columns": 0, "rows": 1, "pages": 2, "chapters": 3, "sections": 4}
@@ -421,6 +422,19 @@ class MdxParser:
             self.expect_op(")")
             inner.ops.append(lambda q: q.subset(start, count))
             return inner
+        if fname == "generate":
+            # GENERATE(set1, set2[, ALL]) — set2 may reference CurrentMember
+            self.expect_op(",")
+            right = self.parse_set()
+            all_flag = False
+            if self.at_op(","):
+                self.next()
+                self.expect_word("all")
+                all_flag = True
+            self.expect_op(")")
+            members = list(right.base)
+            inner.ops.append(lambda q: q.generate(*members, all=all_flag))
+            return inner
         if fname == "except":
             self.expect_op(",")
             right = self.parse_set()
@@ -453,7 +467,9 @@ class MdxParser:
     def parse_member_string(self) -> str:
         segs = self.parse_identifier_segments()
         return ".".join(
-            s if s.lower() in ("members", "allmembers", "children") else quote_segment(s)
+            s
+            if s.lower() in ("members", "allmembers", "children", "currentmember")
+            else quote_segment(s)
             for s in segs
         )
 

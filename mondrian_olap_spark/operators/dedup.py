@@ -85,34 +85,59 @@ def exact_dedup(
     )
 
 
+def _drop_hot_shingles(
+    sh: DataFrame, docs: DataFrame, cap: int | float
+) -> DataFrame:
+    """Stop-shingle guard: drop shingles whose document frequency exceeds
+    ``cap`` — absolute when int, fraction of corpus size when float (the
+    fraction form needs no driver-side count: corpus size is a 1-row
+    broadcast inside the plan).  A floor of 8 documents keeps tiny corpora
+    exact.  The hot list is tiny by construction (only ubiquitous shingles
+    qualify), so the anti-join broadcasts."""
+    stats = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    if isinstance(cap, float):
+        total = docs.agg(F.count("*").alias("__total"))
+        hot = (
+            stats.crossJoin(F.broadcast(total))
+            .filter(
+                F.col("df")
+                > F.greatest(F.lit(8), (F.col("__total") * cap).cast("long"))
+            )
+            .select("shingle")
+        )
+    else:
+        hot = stats.filter(F.col("df") > cap).select("shingle")
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | float | None = 0.5,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-duplicate pairs via sparse shingle join.
 
     |A∩B| comes from joining the exploded shingle table with itself on the
     shingle value — candidate pairs are only documents *sharing at least one
-    shingle*, never the dense O(n²) matrix.  ``max_shingle_df`` optionally
-    drops ubiquitous shingles (document frequency cap) to kill join skew at
-    corpus scale — the standard stop-shingle trick; leave ``None`` for exact
-    semantics.
+    shingle*, never the dense O(n²) matrix.
+
+    ``max_shingle_df`` drops ubiquitous shingles (document-frequency cap:
+    absolute when int, corpus fraction when float) BEFORE the self-join —
+    the standard stop-shingle trick, on by default (0.5: a shingle present
+    in more than half the corpus) because a single hot shingle turns the
+    self-join quadratic at corpus scale.  Exactness tradeoff: sizes and
+    intersections are both computed on the capped shingle sets, so a pair
+    whose similarity rests *only* on boilerplate shared by >50% of the
+    corpus can shift; pass ``None`` for exact textbook Jaccard.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard ≥ threshold.
     """
     sh = shingles(df, id_col, text_col, n)
     if max_shingle_df is not None:
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") > max_shingle_df)
-            .select("shingle")
-        )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        sh = _drop_hot_shingles(sh, df, max_shingle_df)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -197,9 +222,15 @@ def minhash_dedup_pairs(
     threshold: float = 0.8,
     num_hashes: int = 16,
     bands: int = 8,
+    max_shingle_df: int | float | None = 0.5,
 ) -> DataFrame:
     """MinHash-LSH near-dup pipeline: signatures → band candidates → exact
     Jaccard verification of candidates only.
+
+    ``max_shingle_df`` applies the stop-shingle guard (see
+    :func:`jaccard_pairs`) to the verification join — candidate pairs all
+    sharing one boilerplate shingle otherwise skew a single reducer at
+    corpus scale.  Signatures are unaffected (min-hash is per-document).
 
     Returns (id_a, id_b, jaccard) for verified pairs ≥ threshold.  With 8
     bands × 2 rows the miss probability at j=0.8 is (1-0.8²)^8 ≈ 7e-4 and
@@ -208,6 +239,8 @@ def minhash_dedup_pairs(
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
     cand = minhash_lsh_candidates(sigs, num_hashes, bands)
     sh = shingles(df, id_col, text_col, n)
+    if max_shingle_df is not None:
+        sh = _drop_hot_shingles(sh, df, max_shingle_df)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("sha")
     b = sh.alias("shb")

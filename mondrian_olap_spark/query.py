@@ -218,11 +218,101 @@ class Query:
         self._axis().display_ops.append(("distinct",))
         return self
 
-    def filter(self, condition: str) -> "Query":
+    def filter(self, condition: str, as_alias: str | None = None) -> "Query":
         """FILTER with measure conditions = HAVING on the aggregated grid
-        (query.rb:80-95; jar!mondrian/olap/fun/FilterFunDef)."""
+        (query.rb:80-85; jar!mondrian/olap/fun/FilterFunDef).  ``as_alias``
+        names the set in the serialized MDX (``FILTER(set AS S, …)`` —
+        query.rb options[:as])."""
         self._axis().mods.append(("filter", condition))
-        self._axis().display_ops.append(("filter", condition))
+        self._axis().display_ops.append(("filter", condition, as_alias))
+        return self
+
+    def filter_last(self, condition: str) -> "Query":
+        """FILTER applied to the LAST set added to the axis only
+        (query.rb:86-91 add_last_set_function): rows belonging to the last
+        set must satisfy ``condition``; rows of earlier sets pass through.
+        Serializes as ``{m1, …, FILTER(mN, condition)}``."""
+        ax = self._axis()
+        if not ax.sets:
+            raise QueryError("filter_last needs a set on the current axis")
+        ax.mods.append(("filter_last", condition, ax.sets[-1]))
+        ax.display_ops.append(("filter_last", condition))
+        return self
+
+    def filter_nonempty(self) -> "Query":
+        """Drop empty cells of the last set —
+        ``FILTER(set AS S, NOT ISEMPTY(S.CURRENT))`` (query.rb:93-95).  On
+        the aggregated grid a cell is empty iff every measure is NULL, so
+        this matters with :meth:`include_empty` (the default grid is already
+        non-empty by construction)."""
+        ax = self._axis()
+        if not ax.sets:
+            raise QueryError("filter_nonempty needs a set on the current axis")
+        ax.mods.append(("filter_nonempty", ax.sets[-1]))
+        ax.display_ops.append(("filter_nonempty",))
+        return self
+
+    def generate(self, *members: str, all: bool = False) -> "Query":
+        """GENERATE(set1, set2[, ALL]) — evaluate ``set2`` for each member of
+        the current set (query.rb:97-108; jar!mondrian/olap/fun/GenerateFunDef).
+
+        Supported ``set2`` shapes (the reference's own test corpus,
+        query_test.rb:301-310,657-676):
+
+        * ``[Dim].CurrentMember``          — identity (set1 unchanged);
+        * ``[Dim].CurrentMember.Children`` — per-member drill: each set of
+          that dimension moves one level deeper under the same path;
+        * any plain member set             — set2 ignores the current member,
+          so the result is set2 itself (duplicates collapse in the grouped
+          grid; ``ALL`` is preserved for serialization only).
+        """
+        import re as _re
+
+        ax = self._axis()
+        if not members:
+            raise QueryError("generate needs a member set")
+        if not ax.sets:
+            raise QueryError("generate needs a set on the current axis")
+        plain_refs: list = []
+        for m in members:
+            cm = _re.match(
+                r"(?is)^\s*(\[(?:[^\]]|\]\])*\])\s*\.\s*currentmember"
+                r"(\s*\.\s*children)?\s*$",
+                m,
+            )
+            if cm:
+                from .members import parse_identifier
+
+                dim = self.cube.dimension(parse_identifier(cm.group(1))[0])
+                if cm.group(2):  # CurrentMember.Children — drill one level
+                    new_sets = []
+                    for s_ in ax.sets:
+                        if s_.dimension.name == dim.name:
+                            if s_.depth + 1 >= len(dim.levels):
+                                raise QueryError(
+                                    f"generate: {dim.name} has no level below "
+                                    f"{dim.levels[s_.depth].name}"
+                                )
+                            new_sets.append(
+                                MemberSetRef(
+                                    dim, depth=s_.depth + 1, path=s_.path,
+                                    kind="children" if s_.kind == "member" else s_.kind,
+                                    ordinal_range=s_.ordinal_range,
+                                )
+                            )
+                        else:
+                            new_sets.append(s_)
+                    ax.sets = new_sets
+                # identity: set1 unchanged
+            else:
+                ref = self._resolve(m)
+                if isinstance(ref, MeasureRef):
+                    raise QueryError("generate takes dimension member sets")
+                plain_refs.append(ref)
+        if plain_refs:
+            # set2 does not reference the current member → result is set2
+            ax.sets = plain_refs
+        ax.display_ops.append(("GENERATE", list(members), bool(all)))
         return self
 
     def order(self, expr: str, direction: str = "BASC") -> "Query":
@@ -289,6 +379,14 @@ class Query:
         self._axis().mods.append(("hierarchize", post))
         self._axis().display_ops.append(("hierarchize", post))
         return self
+
+    def hierarchize_all(self, post: bool = False) -> "Query":
+        """HIERARCHIZE over the whole current set expression
+        (query.rb:154-158).  The grid planner always hierarchizes the full
+        axis (level-path order), so this shares :meth:`hierarchize`'s
+        execution; both serialize as ``HIERARCHIZE({…})`` — the golden shape
+        of test/query_test.rb:591-611."""
+        return self.hierarchize(post)
 
     # -- slicer / WITH --------------------------------------------------
     def where(self, *members: str) -> "Query":
@@ -416,8 +514,9 @@ class Query:
         for ref in self._drilldowns:
             df = self._union_drilldown(planner, df, axes, measures, ref)
         sort_spec: list = []
+        measure_outs = [m.out for m in measures]
         for ax in axes:
-            df, sort_spec = self._apply_mods(df, ax, sort_spec)
+            df, sort_spec = self._apply_mods(df, ax, sort_spec, measure_outs)
         axis_cols = [
             [lv.out for s in ax.sets for lv in s.group_levels] for ax in axes
         ]
@@ -522,15 +621,34 @@ class Query:
         return "\n".join(lines)
 
     def _axis_set_mdx(self, ax: _Axis) -> str:
-        base = ax.raw_base
+        base = list(ax.raw_base)
+        # filter_last wraps the LAST set element, not the whole expression
+        # (query.rb add_last_set_function) — rewrite base before joining
+        for op in ax.display_ops:
+            if op[0] == "filter_last" and base:
+                base[-1] = f"FILTER({base[-1]}, {self._aliases_to_mdx(op[1])})"
         cur = base[0] if len(base) == 1 else "{" + ", ".join(base) + "}"
         for op in ax.display_ops:
             kind = op[0]
+            if kind == "filter_last":
+                continue  # applied above
             if kind == "crossjoin":
                 right = op[1][0] if len(op[1]) == 1 else "{" + ", ".join(op[1]) + "}"
                 cur = f"CROSSJOIN({cur}, {right})"
             elif kind == "filter":
-                cur = f"FILTER({cur}, {self._aliases_to_mdx(op[1])})"
+                cond = self._aliases_to_mdx(op[1])
+                alias = op[2] if len(op) > 2 else None
+                cur = (
+                    f"FILTER({cur} AS {alias}, {cond})"
+                    if alias
+                    else f"FILTER({cur}, {cond})"
+                )
+            elif kind == "filter_nonempty":
+                cur = f"FILTER({cur} AS S, NOT ISEMPTY(S.CURRENT))"
+            elif kind == "GENERATE":
+                members, all_flag = op[1], op[2]
+                right = members[0] if len(members) == 1 else "{" + ", ".join(members) + "}"
+                cur = f"GENERATE({cur}, {right}" + (", ALL)" if all_flag else ")")
             elif kind == "order":
                 cur = f"ORDER({cur}, {self._aliases_to_mdx(op[1])}, {op[2]})"
             elif kind == "except":
@@ -604,7 +722,10 @@ class Query:
                     cols.append(lv.out)
         return cols
 
-    def _apply_mods(self, df: DataFrame, ax: _Axis, sort_spec: list):
+    def _apply_mods(self, df: DataFrame, ax: _Axis, sort_spec: list,
+                    measure_outs: list[str] | None = None):
+        from .plan import _path_predicate
+
         group_cols = self._group_cols_of(ax)
         tiebreak = [F.col(c) for c in group_cols]
         for mod in ax.mods:
@@ -613,6 +734,32 @@ class Query:
                 continue
             if kind == "filter":
                 df = df.filter(F.expr(mod[1]))
+            elif kind == "filter_last":
+                # condition applies only to rows of the LAST set; other
+                # sets' rows pass through (query.rb:86-91)
+                _, cond, ref = mod
+                memb = _path_predicate(ref)
+                if memb is None:
+                    df = df.filter(F.expr(cond))
+                else:
+                    # NULL membership (totals rows) passes through
+                    df = df.filter(F.coalesce(~memb, F.lit(True)) | F.expr(cond))
+            elif kind == "filter_nonempty":
+                # a cell is empty iff every measure is NULL (ISEMPTY
+                # semantics over the grid — SURVEY.md §1.2)
+                ref = mod[1]
+                nonempty = None
+                for mc in measure_outs or []:
+                    c = F.col(mc).isNotNull()
+                    nonempty = c if nonempty is None else (nonempty | c)
+                if nonempty is None:
+                    continue
+                memb = _path_predicate(ref)
+                df = df.filter(
+                    nonempty
+                    if memb is None
+                    else (F.coalesce(~memb, F.lit(True)) | nonempty)
+                )
             elif kind == "except":
                 # set difference = anti-filter on member paths
                 # (query.rb:59-66; jar!...ExceptFunDef)

@@ -1342,6 +1342,84 @@ def empty_cells_grid(spark, sf_dir):
 
 
 @q(
+    "filter_nonempty_grid",
+    f"""
+    SELECT n_name AS supplier_nation, year(o_orderdate) AS o_year,
+           sum(l_quantity) AS sum_qty
+    FROM {_SUPP_STAR} JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+    GROUP BY 1, 2
+    """,
+)
+def filter_nonempty_grid(spark, sf_dir):
+    """filter_nonempty (query.rb:93-95 — FILTER(set AS S, NOT
+    ISEMPTY(S.CURRENT))): expanding the grid to empty cells and then
+    filtering them out is the identity on the non-empty aggregation — the
+    oracle is the plain GROUP BY."""
+    eng = get_engine(spark, sf_dir)
+    df = (
+        Query(eng)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Supplier].children")
+        .crossjoin("[Time].[Year].Members")
+        .where("[ReturnFlag].[R]")
+        .include_empty()
+        .filter_nonempty()
+        .execute()
+        .df
+    )
+    return df.select("supplier_nation", "o_year", "sum_qty")
+
+
+@q(
+    "filter_last_regions",
+    f"""
+    WITH cells AS (
+      SELECT r_name AS region_name,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      FROM {_CUST_STAR}
+      WHERE r_name IN ('ASIA', 'EUROPE', 'AFRICA')
+      GROUP BY 1
+    )
+    SELECT region_name, sum_price FROM cells
+    WHERE region_name IN ('ASIA', 'EUROPE') OR sum_price > 400000000
+    """,
+)
+def filter_last_regions(spark, sf_dir):
+    """filter_last (query.rb:86-91): the condition applies only to the last
+    set added to the axis ({ASIA, EUROPE, FILTER(AFRICA, cond)}); earlier
+    sets pass through unconditionally."""
+    return (
+        Query(get_engine(spark, sf_dir))
+        .columns("[Measures].[Sum Price]")
+        .rows("[Customer].[ASIA]", "[Customer].[EUROPE]", "[Customer].[AFRICA]")
+        .filter_last("sum_price > 400000000")
+        .execute()
+        .df
+    )
+
+
+@q(
+    "generate_children_drill",
+    f"""
+    SELECT n_name AS nation_name, sum(l_quantity) AS sum_qty
+    FROM {_CUST_STAR} GROUP BY 1
+    """,
+)
+def generate_children_drill(spark, sf_dir):
+    """GENERATE(set, [Dim].CurrentMember.Children) — per-member drilldown
+    composed through the Generate set form (query.rb:97-108;
+    jar!mondrian/olap/fun/GenerateFunDef), executed from MDX text."""
+    eng = get_engine(spark, sf_dir)
+    df = eng.execute(
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "GENERATE([Customer].[Region].Members, [Customer].CurrentMember.Children) ON ROWS "
+        "FROM [Sales]"
+    ).df
+    return df.select("nation_name", "sum_qty")
+
+
+@q(
     "pages_axis_3d",
     f"""
     SELECT l_returnflag AS return_flag, l_linestatus AS line_status,

@@ -227,6 +227,197 @@ def test_to_mdx_with_member(engine):
     )
 
 
+def test_to_mdx_golden_filter_nonempty(engine):
+    """filter_nonempty serializes as the reference golden
+    (test/query_test.rb:648-655)."""
+    q = (
+        Query(engine)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].[Nation].Members")
+        .filter_nonempty()
+    )
+    assert like(
+        q.to_mdx(),
+        """
+        SELECT [Measures].[Sum Qty] ON COLUMNS,
+          FILTER([Customer].[Nation].Members AS S, NOT ISEMPTY(S.CURRENT)) ON ROWS
+        FROM [Sales]
+        """,
+    )
+
+
+def test_to_mdx_golden_filter_last(engine):
+    """filter_last wraps only the LAST set element (query.rb:86-91
+    add_last_set_function)."""
+    q = (
+        Query(engine)
+        .columns("[Measures].[Sum Price]")
+        .rows("[Customer].[ASIA]", "[Customer].[EUROPE]")
+        .filter_last("sum_price > 100")
+    )
+    assert like(
+        q.to_mdx(),
+        """
+        SELECT [Measures].[Sum Price] ON COLUMNS,
+          {[Customer].[ASIA], FILTER([Customer].[EUROPE], [Measures].[Sum Price] > 100)} ON ROWS
+        FROM [Sales]
+        """,
+    )
+
+
+def test_to_mdx_golden_generate(engine):
+    """generate serializes as GENERATE(set1, set2[, ALL])
+    (test/query_test.rb:657-676)."""
+    q = (
+        Query(engine)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].[Region].Members")
+        .generate("[Customer].CurrentMember", all=True)
+    )
+    assert like(
+        q.to_mdx(),
+        """
+        SELECT [Measures].[Sum Qty] ON COLUMNS,
+          GENERATE([Customer].[Region].Members, [Customer].CurrentMember, ALL) ON ROWS
+        FROM [Sales]
+        """,
+    )
+
+
+def test_filter_last_behavior(engine):
+    """Earlier sets pass through; the last set must satisfy the condition."""
+    base = (
+        Query(engine)
+        .columns("[Measures].[Sum Price]")
+        .rows("[Customer].[ASIA]", "[Customer].[EUROPE]")
+        .execute()
+        .df
+        .collect()
+    )
+    by_region = {r["region_name"]: r["sum_price"] for r in base}
+    cutoff = (by_region["ASIA"] + by_region["EUROPE"]) / 2
+    hi, lo = ("ASIA", "EUROPE") if by_region["ASIA"] > cutoff else ("EUROPE", "ASIA")
+    # last set = EUROPE: EUROPE kept only if above cutoff, ASIA always kept
+    r = (
+        Query(engine)
+        .columns("[Measures].[Sum Price]")
+        .rows("[Customer].[ASIA]", "[Customer].[EUROPE]")
+        .filter_last(f"sum_price > {cutoff}")
+        .execute()
+        .df
+        .collect()
+    )
+    kept = {row["region_name"] for row in r}
+    expected = {"ASIA"} | ({"EUROPE"} if by_region["EUROPE"] > cutoff else set())
+    assert kept == expected
+
+
+def test_generate_identity_behavior(engine):
+    """Generate(set, CurrentMember) == set (query_test.rb:301-304)."""
+    a = (
+        Query(engine)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].[Region].Members")
+        .execute()
+        .df
+    )
+    b = (
+        Query(engine)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].[Region].Members")
+        .generate("[Customer].CurrentMember")
+        .execute()
+        .df
+    )
+    assert rows_of(a) == rows_of(b)
+
+
+def test_generate_children_drills(engine):
+    """Generate(set, CurrentMember.Children) == one level deeper."""
+    drilled = (
+        Query(engine)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].[Region].Members")
+        .generate("[Customer].CurrentMember.Children")
+        .execute()
+        .df
+    )
+    direct = (
+        Query(engine)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].[Nation].Members")
+        .execute()
+        .df
+    )
+    assert rows_of(drilled) == rows_of(direct)
+
+
+def test_generate_mdx_roundtrip(engine):
+    """GENERATE parses from MDX text and matches the builder result."""
+    r1 = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "GENERATE([Customer].[Region].Members, [Customer].CurrentMember.Children) ON ROWS "
+        "FROM [Sales]",
+    )
+    r2 = (
+        Query(engine)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].[Nation].Members")
+        .execute()
+    )
+    assert rows_of(r1.df) == rows_of(r2.df)
+
+
+def test_filter_nonempty_drops_empty_cells(engine):
+    """A slicer outside part of the expanded grid creates genuinely empty
+    cells; filter_nonempty removes exactly those."""
+    base = (
+        Query(engine)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Supplier].children")
+        .crossjoin("[Time].[Year].Members")
+        .where("[Time].[1995]")
+        .include_empty()
+    )
+    full = base.execute().df.collect()
+    filtered = (
+        Query(engine)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Supplier].children")
+        .crossjoin("[Time].[Year].Members")
+        .where("[Time].[1995]")
+        .include_empty()
+        .filter_nonempty()
+        .execute()
+        .df
+        .collect()
+    )
+    assert {r["o_year"] for r in full} > {1995}  # grid spans all years
+    assert {r["o_year"] for r in filtered} == {1995}
+    assert all(r["sum_qty"] is not None for r in filtered)
+
+
+def test_hierarchize_all_matches_hierarchize(engine):
+    a = (
+        Query(engine)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].[Nation].Members")
+        .hierarchize_all()
+        .execute()
+        .df
+    )
+    b = (
+        Query(engine)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].[Nation].Members")
+        .hierarchize()
+        .execute()
+        .df
+    )
+    assert rows_of(a) == rows_of(b)
+
+
 def test_mdx_roundtrip(engine):
     """Builder → to_mdx → parser → same results."""
     q = (

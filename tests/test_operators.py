@@ -45,6 +45,39 @@ def test_minhash_matches_exact(docs):
     assert mh == exact  # verification step makes precision exact; recall ~1 here
 
 
+def test_hot_shingle_guard_skewed_corpus(spark):
+    """Stop-shingle default: a boilerplate phrase shared by every document
+    (the 100 TB skew scenario) is dropped before the self-join, so
+    boilerplate-only similarity yields no pairs while true near-dups (same
+    distinct body) are still found."""
+    boiler = "this document is provided as is without any warranty of any kind whatsoever"
+    rows = [
+        Row(doc_id=i, text=f"{boiler} unique body number {i} speaks about topic {i % 7} today")
+        for i in range(40)
+    ]
+    # 40 and 41: identical distinct bodies → true near-dup pair
+    rows += [
+        Row(doc_id=40, text=f"{boiler} identical interesting body shared by the pair of docs"),
+        Row(doc_id=41, text=f"{boiler} identical interesting body shared by the pair of docs"),
+    ]
+    docs = spark.createDataFrame(rows)
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             dedup.jaccard_pairs(docs, threshold=0.8).collect()}
+    assert (40, 41) in pairs
+    # every other doc only shares the boilerplate — no pair survives
+    assert pairs == {(40, 41)}
+
+
+def test_hot_shingle_guard_inactive_on_small_corpora(docs):
+    """The 8-doc floor keeps tiny corpora exact: default-capped results equal
+    uncapped results."""
+    capped = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9) for r in
+              dedup.jaccard_pairs(docs, threshold=0.5).collect()}
+    exact = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9) for r in
+             dedup.jaccard_pairs(docs, threshold=0.5, max_shingle_df=None).collect()}
+    assert capped == exact
+
+
 def test_simhash_identical_docs(docs):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
              dedup.simhash_pairs(docs, max_hamming=3).collect()}
