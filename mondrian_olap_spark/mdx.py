@@ -244,29 +244,29 @@ class MdxParser:
         self.q.with_member(name_segs[1]).as_(expr_sql, solve_order=solve_order)
 
     def parse_dimension_member(self, name_segs: list[str]):
-        """``WITH MEMBER [Dim].[Name] AS 'Aggregate({m1, m2})'`` — the only
-        non-measure formula shape in this subset (it is also the dominant
-        one in the reference's tests: mondrian_test.rb:189-239)."""
+        """``WITH MEMBER [Dim].[Name] AS '…'`` on a non-Measures dimension —
+        ``Aggregate({m1, m2})`` (mondrian_test.rb:189-239) or an arithmetic
+        formula over member cells (cube_test.rb:48-51, e.g.
+        ``'[Customers].[All Customers] - [Customers].[USA]'``)."""
         self.expect_word("as")
         t = self.next()
         if t.kind != "string":
-            raise MdxError("non-measure WITH MEMBER needs a quoted 'Aggregate({…})' formula")
+            raise MdxError("non-measure WITH MEMBER needs a quoted formula string")
         body = _unquote(t.text).strip()
         m = re.match(r"(?is)^aggregate\s*\(\s*\{(.*)\}\s*\)$", body)
-        if not m:
-            raise MdxError(
-                f"non-measure calc member {format_name(name_segs)}: only the "
-                "Aggregate({members}) formula form is supported"
-            )
-        inner = MdxParser.__new__(MdxParser)
-        inner.__dict__.update(self.__dict__)
-        inner.toks = tokenize(m.group(1))
-        inner.i = 0
-        members = [inner.parse_member_string()]
-        while inner.at_op(","):
-            inner.next()
-            members.append(inner.parse_member_string())
-        self.q.with_dimension_member(name_segs[-1], *members)
+        if m:
+            inner = MdxParser.__new__(MdxParser)
+            inner.__dict__.update(self.__dict__)
+            inner.toks = tokenize(m.group(1))
+            inner.i = 0
+            members = [inner.parse_member_string()]
+            while inner.at_op(","):
+                inner.next()
+                members.append(inner.parse_member_string())
+            self.q.with_dimension_member(name_segs[-1], *members)
+        else:
+            # arithmetic formula over member cells
+            self.q.with_dimension_member_formula(name_segs[-1], body)
         # swallow an optional SOLVE_ORDER clause for syntax parity
         save = self.i
         if self.at_op(","):

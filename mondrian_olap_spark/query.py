@@ -458,7 +458,74 @@ class Query:
                 "dimension calc member set must share a parent (differing "
                 "ancestor paths are not supported)"
             )
-        self._dim_members.append((name, dim, depth, tuple(prefix), refs))
+        self._dim_members.append(("aggregate", name, dim, depth, tuple(prefix), refs))
+        return self
+
+    def with_dimension_member_formula(self, name: str, formula: str) -> "Query":
+        """Formula calculated member on a non-Measures dimension
+        (schema.rb:314-341 ``calculated_member`` with ``dimension`` +
+        ``formula``; reference test /root/reference/test/cube_test.rb:48-51 —
+        e.g. ``'[Customers].[All Customers] - [Customers].[USA]'``).
+
+        ``formula`` is an arithmetic expression over member references of ONE
+        dimension; for every measure on the query, the synthetic member's
+        cell is the formula applied to the referenced members' cells (each
+        recomputed exactly from the fact — one grouped pass for all concrete
+        members + one pass for the All member if referenced).  ``[Dim].[All]``
+        (or any ``All …`` segment) references the dimension total.  Empty
+        member cells count as 0 — Mondrian's additive empty-cell arithmetic.
+        """
+        import re as _re
+
+        pat = r"(?:\[(?:[^\]]|\]\])*\]\s*\.\s*)+\[(?:[^\]]|\]\])*\]"
+        refs: list = []
+
+        def repl(m: "_re.Match") -> str:
+            ident = _re.sub(r"\]\s*\.\s*\[", "].[", m.group(0))
+            from .members import parse_identifier
+
+            segs = parse_identifier(ident)
+            if len(segs) == 2 and (
+                segs[1].lower() == "all" or segs[1].lower().startswith("all ")
+            ):
+                refs.append(("ALL", self.cube.dimension(segs[0])))
+            else:
+                r = self._resolve(ident)
+                if isinstance(r, MeasureRef) or not r.path:
+                    raise QueryError(
+                        f"formula member {name!r}: {ident!r} is not a full "
+                        "dimension member path"
+                    )
+                refs.append(("MEMBER", r))
+            return f"__cm{len(refs) - 1}"
+
+        body = _re.sub(pat, repl, formula)
+        if not refs:
+            raise QueryError(f"formula member {name!r} references no members")
+        dims = {
+            r.name if kind == "ALL" else r.dimension.name for kind, r in refs
+        }
+        if len(dims) > 1:
+            raise QueryError(
+                f"formula member {name!r}: references span dimensions {sorted(dims)}"
+            )
+        concrete = [r for kind, r in refs if kind == "MEMBER"]
+        if not concrete:
+            raise QueryError(
+                f"formula member {name!r}: needs at least one concrete member "
+                "to anchor the level"
+            )
+        dim = concrete[0].dimension
+        depth = concrete[0].depth
+        prefix = concrete[0].path[:-1]
+        if any(r.depth != depth or r.path[:-1] != prefix for r in concrete):
+            raise QueryError(
+                f"formula member {name!r}: concrete members must share a "
+                "level and parent"
+            )
+        self._dim_members.append(
+            ("formula", name, dim, depth, tuple(prefix), body, refs)
+        )
         return self
 
     def with_set(self, name: str, *members: str) -> "Query":
@@ -504,11 +571,31 @@ class Query:
         if not measures and not self._with:
             pass  # pure member query
         planner = Planner(self.engine)
+        main_axes, shallow_groups = self._split_mixed_depth([ax.sets for ax in axes])
         df, group_cols = planner.aggregate(
-            [ax.sets for ax in axes], self._slicer, measures, totals=self._totals
+            main_axes, self._slicer, measures, totals=self._totals
         )
         if self._include_empty:
-            df = planner.expand_empty(df, [ax.sets for ax in axes], group_cols)
+            df = planner.expand_empty(df, main_axes, group_cols)
+        for axis_i, dim, shallow_refs in shallow_groups:
+            # mixed-depth axis set {[USA], [Canada].[BC]}: shallower members
+            # union onto the grid with NULL in the deeper level columns —
+            # the grouping-sets shape (jar!mondrian/olap/fun/SetFunDef union
+            # of members at different levels; same machinery as drilldown)
+            synth_axes = [
+                (
+                    [r for r in sets if r.dimension.name != dim.name] + shallow_refs
+                    if i == axis_i
+                    else list(sets)
+                )
+                for i, sets in enumerate(main_axes)
+            ]
+            synth, _ = planner.aggregate(synth_axes, self._slicer, measures)
+            types = dict(df.dtypes)
+            for c in df.columns:
+                if c not in synth.columns:
+                    synth = synth.withColumn(c, F.lit(None).cast(types[c]))
+            df = df.unionByName(synth.select(*df.columns))
         for dm in self._dim_members:
             df = self._union_dimension_member(planner, df, axes, measures, group_cols, dm)
         for ref in self._drilldowns:
@@ -526,11 +613,43 @@ class Query:
         res.timeout = timeout
         return res
 
+    def _split_mixed_depth(self, axes_sets):
+        """Partition each axis's same-dimension sets by depth: the deepest
+        group drives the main aggregation grain; every shallower group
+        becomes a union aggregate (NULL-padded in the deeper level columns).
+        Without this, {[USA], [Canada].[BC]} would group USA at the state
+        grain — wrong rows entirely (SURVEY.md §2.6 mixed-level sets)."""
+        unions: list[tuple] = []
+        main_axes: list[list] = []
+        for ai, sets in enumerate(axes_sets):
+            by_dim: dict[str, list] = {}
+            for r in sets:
+                by_dim.setdefault(r.dimension.name, []).append(r)
+            main = list(sets)
+            for refs in by_dim.values():
+                depths = {r.depth for r in refs}
+                if len(depths) <= 1:
+                    continue
+                deepest = max(depths)
+                dim = refs[0].dimension
+                main = [
+                    r for r in main
+                    if r.dimension.name != dim.name or r.depth == deepest
+                ]
+                for d in sorted(depths - {deepest}):
+                    unions.append(
+                        (ai, dim, [r for r in refs if r.depth == d])
+                    )
+            main_axes.append(main)
+        return main_axes, unions
+
     def _union_dimension_member(self, planner, df, axes, measures, group_cols, dm):
-        """Compute a dimension calc member's cells (fact re-aggregated over
-        its member set) and union them onto the grid with the synthetic
-        member name in the level columns."""
-        name, dim, depth, prefix, refs = dm
+        """Compute a dimension calc member's cells and union them onto the
+        grid with the synthetic member name in the level columns.  Two
+        forms: ``aggregate`` (cells re-aggregated from the fact over a
+        member set — exact even for distinct-count) and ``formula``
+        (arithmetic over sibling members' cells)."""
+        form, name, dim, depth, prefix = dm[:5]
         target_levels = [lv.out for lv in dim.levels[: depth + 1]]
         if not all(c in group_cols for c in target_levels):
             raise QueryError(
@@ -547,11 +666,63 @@ class Query:
             [ref for ref in ax.sets if ref.dimension.name != dim.name]
             for ax in axes
         ]
-        synth, _ = planner.aggregate(other_axes, list(self._slicer) + list(refs), measures)
+        if form == "aggregate":
+            refs = dm[5]
+            synth, _ = planner.aggregate(
+                other_axes, list(self._slicer) + list(refs), measures
+            )
+        else:
+            synth = self._formula_member_cells(
+                planner, other_axes, measures, dm
+            )
         for i, c in enumerate(target_levels[:-1]):
             synth = synth.withColumn(c, F.lit(prefix[i]))
         synth = synth.withColumn(target_levels[-1], F.lit(name))
         return df.unionByName(synth.select(*df.columns))
+
+    def _formula_member_cells(self, planner, other_axes, measures, dm):
+        """Cells of a formula dimension member: one grouped pass computes
+        every referenced member's cells (conditional reshape — no per-member
+        jobs), one more pass for the All total if referenced; the formula
+        combines them per measure.  Everything stays a single declarative
+        plan — no driver-side cell loops."""
+        import re as _re
+
+        _, name, dim, depth, prefix, body, refs = dm
+        concrete = [(i, r) for i, (kind, r) in enumerate(refs) if kind == "MEMBER"]
+        all_idx = [i for i, (kind, _) in enumerate(refs) if kind == "ALL"]
+        member_axes = [list(s) for s in other_axes]
+        member_axes.append([r for _, r in concrete])
+        cells, cgroup = planner.aggregate(member_axes, self._slicer, measures)
+        dim_outs = {lv.out for lv in dim.levels}
+        other_cols = [c for c in cgroup if c not in dim_outs]
+        key_col = dim.levels[depth].out
+        aggs = []
+        for i, r in concrete:
+            for m in measures:
+                aggs.append(
+                    F.max(
+                        F.when(F.col(key_col) == r.path[-1], F.col(m.out))
+                    ).alias(f"__cm{i}_{m.out}")
+                )
+        piv = (
+            cells.groupBy(*other_cols).agg(*aggs) if other_cols else cells.agg(*aggs)
+        )
+        if all_idx:
+            tot, _ = planner.aggregate(other_axes, self._slicer, measures)
+            sel = [F.col(c) for c in other_cols]
+            for i in all_idx:
+                for m in measures:
+                    sel.append(F.col(m.out).alias(f"__cm{i}_{m.out}"))
+            tot = tot.select(*sel)
+            piv = piv.join(tot, other_cols) if other_cols else piv.crossJoin(tot)
+        out_cols = [F.col(c) for c in other_cols]
+        for m in measures:
+            expr = _re.sub(
+                r"__cm(\d+)", lambda mt: f"coalesce(__cm{mt.group(1)}_{m.out}, 0)", body
+            )
+            out_cols.append(F.expr(expr).alias(m.out))
+        return piv.select(*out_cols)
 
     def _union_drilldown(self, planner, df, axes, measures, ref):
         """Append the drilled member's children as extra rows: same axes but

@@ -1342,6 +1342,32 @@ def empty_cells_grid(spark, sf_dir):
 
 
 @q(
+    "mixed_depth_axis",
+    f"""
+    SELECT r_name AS region_name, CAST(NULL AS VARCHAR) AS nation_name,
+           sum(l_quantity) AS sum_qty
+    FROM {_CUST_STAR} WHERE r_name = 'ASIA' GROUP BY 1
+    UNION ALL
+    SELECT r_name AS region_name, n_name AS nation_name,
+           sum(l_quantity) AS sum_qty
+    FROM {_CUST_STAR} WHERE r_name = 'EUROPE' AND n_name = 'NATION_13'
+    GROUP BY 1, 2
+    """,
+)
+def mixed_depth_axis(spark, sf_dir):
+    """Mixed-depth axis set {[Region], [Nation]} — members at different
+    levels union on one axis; the shallower member carries NULL in the
+    deeper level columns (SetFunDef union-of-levels; SURVEY.md §2.6)."""
+    return (
+        Query(get_engine(spark, sf_dir))
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].[ASIA]", "[Customer].[EUROPE].[NATION_13]")
+        .execute()
+        .df
+    )
+
+
+@q(
     "filter_nonempty_grid",
     f"""
     SELECT n_name AS supplier_nation, year(o_orderdate) AS o_year,
@@ -1510,6 +1536,35 @@ def dimension_calc_member_mdx(spark, sf_dir):
         WITH MEMBER [Time].[H1-1996] AS 'Aggregate({[Time].[1996].[Q1], [Time].[1996].[Q2]})'
         SELECT {[Measures].[Sum Qty], [Measures].[Sum Price]} ON COLUMNS,
                [Time].[Quarter].Members ON ROWS
+        FROM [Sales]
+        """
+    ).df
+
+
+@q(
+    "dimension_formula_member",
+    f"""
+    WITH star AS (
+      SELECT r_name, l_quantity FROM {_CUST_STAR}
+    )
+    SELECT r_name AS region_name, sum(l_quantity) AS sum_qty
+    FROM star GROUP BY 1
+    UNION ALL
+    SELECT 'Non-ASIA', sum(l_quantity) FROM star WHERE r_name <> 'ASIA'
+    """,
+)
+def dimension_formula_member(spark, sf_dir):
+    """Formula calculated member on a non-Measures dimension:
+    [Customer].[Non-ASIA] = All - ASIA (schema.rb:314-341 calculated_member
+    with formula; cube_test.rb:48-51), via the MDX entry point.  Quantity
+    sums are whole numbers in double, so the member-cell arithmetic is
+    bit-exact on both sides."""
+    eng = get_engine(spark, sf_dir)
+    return eng.execute(
+        """
+        WITH MEMBER [Customer].[Non-ASIA] AS '[Customer].[All] - [Customer].[ASIA]'
+        SELECT [Measures].[Sum Qty] ON COLUMNS,
+               [Customer].[Region].Members ON ROWS
         FROM [Sales]
         """
     ).df

@@ -473,6 +473,86 @@ def test_dimension_calculated_member(engine, duck):
     )
 
 
+def test_dimension_formula_member(engine, duck):
+    """Formula calc member: [Customer].[Non-ASIA] = All - ASIA
+    (cube_test.rb:48-51 '[Customers].[All Customers] - [Customers].[USA]')."""
+    r = (
+        q(engine)
+        .with_dimension_member_formula(
+            "Non-ASIA", "[Customer].[All] - [Customer].[ASIA]"
+        )
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].[Region].Members")
+        .execute()
+    )
+    assert_df_matches_sql(
+        r.df,
+        duck,
+        """
+        WITH star AS (
+          SELECT r_name, l_quantity
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        )
+        SELECT r_name AS region_name, sum(l_quantity) AS sum_qty
+        FROM star GROUP BY 1
+        UNION ALL
+        SELECT 'Non-ASIA', sum(l_quantity) FROM star WHERE r_name <> 'ASIA'
+        """,
+        rel_tol=1e-6,
+    )
+
+
+def test_dimension_formula_member_ratio(engine):
+    """Arbitrary arithmetic: average of two sibling members' cells."""
+    base = {
+        r["region_name"]: r["sum_qty"]
+        for r in (
+            q(engine)
+            .columns("[Measures].[Sum Qty]")
+            .rows("[Customer].[Region].Members")
+            .execute()
+            .df.collect()
+        )
+    }
+    r = (
+        q(engine)
+        .with_dimension_member_formula(
+            "AE-Avg", "([Customer].[ASIA] + [Customer].[EUROPE]) / 2"
+        )
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].[Region].Members")
+        .execute()
+    )
+    rows = {r_["region_name"]: r_["sum_qty"] for r_ in r.df.collect()}
+    assert rows["AE-Avg"] == pytest.approx((base["ASIA"] + base["EUROPE"]) / 2)
+
+
+def test_dimension_formula_member_mdx(engine):
+    """Formula member through the MDX entry point."""
+    r = engine.execute(
+        """
+        WITH MEMBER [Customer].[Non-ASIA] AS '[Customer].[All] - [Customer].[ASIA]'
+        SELECT [Measures].[Sum Qty] ON COLUMNS,
+               [Customer].[Region].Members ON ROWS
+        FROM [Sales]
+        """
+    )
+    rows = {r_["region_name"]: r_["sum_qty"] for r_ in r.df.collect()}
+    assert rows["Non-ASIA"] == pytest.approx(
+        sum(v for k, v in rows.items() if k not in ("Non-ASIA", "ASIA"))
+    )
+
+
+def test_dimension_formula_member_spanning_dims_rejected(engine):
+    with pytest.raises(QueryError, match="span dimensions"):
+        q(engine).with_dimension_member_formula(
+            "X", "[Customer].[ASIA] - [Time].[1995]"
+        )
+
+
 def test_dimension_member_needs_matching_level(engine):
     with pytest.raises(QueryError, match="grouped at its level"):
         (
@@ -520,6 +600,54 @@ def test_drilldown_member(engine, duck):
         """,
         rel_tol=1e-6,
     )
+
+
+def test_mixed_depth_axis_set(engine, duck):
+    """{[Region member], [Nation member]} on one axis: the shallower member
+    appears as a total row (NULL nation), the deeper one at its own grain
+    (SURVEY.md §2.6 mixed-level sets)."""
+    df = (
+        Query(engine)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].[ASIA]", "[Customer].[EUROPE].[NATION_13]")
+        .execute()
+        .df
+    )
+    rows = {(r["region_name"], r["nation_name"]): r["sum_qty"] for r in df.collect()}
+    expected = {
+        (r[0], r[1]): r[2]
+        for r in duck.sql(
+            """
+            SELECT r_name, NULL, sum(l_quantity)
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA' GROUP BY 1
+            UNION ALL
+            SELECT r_name, n_name, sum(l_quantity)
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE' AND n_name = 'NATION_13' GROUP BY 1, 2
+            """
+        ).fetchall()
+    }
+    assert rows == expected
+
+
+def test_single_depth_axis_unchanged(engine):
+    """Same-depth enumerated sets take the fast single-aggregate path (no
+    union)."""
+    df = (
+        Query(engine)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].[ASIA]", "[Customer].[EUROPE]")
+        .execute()
+        .df
+    )
+    assert {r["region_name"] for r in df.collect()} == {"ASIA", "EUROPE"}
 
 
 def test_drilldown_requires_axis_dimension(engine):
