@@ -117,8 +117,24 @@ def repartition_for_media(
     total_rows: int | None = None,
 ) -> DataFrame:
     """Partition by expected payload volume, not row count: media rows are
-    orders of magnitude wider than their file-split row estimate assumes."""
+    orders of magnitude wider than their file-split row estimate assumes.
+
+    Sizing never triggers a blocking scan: pass ``total_rows`` when known;
+    otherwise the partition count derives from Catalyst's plan statistics
+    (row count when available, else the scan's size estimate) — an extra
+    full pass over a media table just to count it would read the payloads
+    twice."""
     rows_per_partition = max(1, target_partition_bytes // avg_payload_bytes)
-    total = total_rows if total_rows is not None else df.count()
-    parts = max(1, total // rows_per_partition)
-    return df.repartition(int(parts))
+    if total_rows is not None:
+        parts = max(1, total_rows // rows_per_partition)
+    else:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        if rc.isDefined():
+            parts = max(1, int(str(rc.get())) // rows_per_partition)
+        else:
+            # parquet scans report total file bytes; payload dominates, so
+            # bytes/target is the partition count directly
+            size = int(str(stats.sizeInBytes()))
+            parts = max(1, size // target_partition_bytes)
+    return df.repartition(int(min(parts, 1 << 20)))

@@ -195,6 +195,12 @@ class Planner:
         base_measures, calc_chain = self._measure_closure(measures)
         cache = getattr(self.engine, "cache", None)
         all_refs = [r for axis in axes for r in axis] + list(slicer)
+        role = getattr(self.engine, "role", None)
+        if role is not None:
+            # level-bounded hierarchy grants: querying a level outside the
+            # granted range is denied outright (schema.rb:440-466)
+            for ref in all_refs:
+                role.check_level(ref.dimension, ref.depth)
 
         def build() -> DataFrame:
             routed = self._route_aggregate_table(uses, group_cols, base_measures, totals)
@@ -243,8 +249,33 @@ class Planner:
         # over measure aliases, may reference earlier calculated members
         for cm in calc_chain:
             agg = agg.withColumn(cm.out, F.expr(cm.expression))
+        if role is not None and getattr(role, "rollup_policy", "") == "hidden":
+            agg = self._hide_rollups(agg, role, group_cols, measures)
         ordered = group_cols + [m.out for m in measures]
         return agg.select(*ordered), group_cols
+
+    def _hide_rollups(self, agg, role, group_cols, measures):
+        """rollup_policy='hidden' (schema.rb:468-489): a cell whose value
+        would roll up over any non-granted member is NULLed.  A cell is
+        decidable (→ visible) only when the constrained dimension is grouped
+        at least as deep as the deepest grant path; totals rows above that
+        grain (NULL level key from rollup/cube) and aggregates that do not
+        group the dimension at all are hidden."""
+        types = dict(agg.dtypes)
+        for dim in role.constrained_dimensions(self.cube):
+            need = role.grant_depth(dim)
+            if need == 0:
+                continue
+            guard = dim.levels[need - 1].out
+            hide = F.col(guard).isNull() if guard in group_cols else F.lit(True)
+            for m in measures:
+                agg = agg.withColumn(
+                    m.out,
+                    F.when(hide, F.lit(None).cast(types[m.out])).otherwise(
+                        F.col(m.out)
+                    ),
+                )
+        return agg
 
     def expand_empty(
         self,
@@ -283,6 +314,17 @@ class Planner:
                 preds = [_path_predicate(r) for r in refs]
                 if all(p is not None for p in preds):
                     members = members.filter(_or_all(preds))
+                # role grants apply to the expanded grid too — non-granted
+                # members must not surface even as NULL cells
+                # (member invisibility is absolute —
+                # connection_role_test.rb:101-184; STATUS.md leak #8)
+                role = getattr(self.engine, "role", None)
+                if role is not None:
+                    vis = role.member_visibility_predicate(
+                        dim, max(r.depth for r in refs)
+                    )
+                    if vis is not None:
+                        members = members.filter(vis)
                 members = members.select(*outs).dropDuplicates()
                 grid = members if grid is None else grid.crossJoin(members)
         if grid is None:
@@ -329,9 +371,14 @@ class Planner:
         """Aggregate-table routing (SURVEY.md §4): serve the query from a
         registered summary table when it covers the requested grouping,
         predicates and measures — a plan-construction rule, no Catalyst
-        extension needed.  Returns None when no table qualifies."""
+        extension needed.  Rollup/cube totals route too: every aggregator a
+        summary table may carry is roll-up-safe (register_aggregate rejects
+        avg/distinct-count), so the grouping-sets pass runs over the summary
+        rows instead of the fact (Mondrian routes GROUPING SETS loads to agg
+        tables the same way — schema.rb:374-414).  Returns None when no
+        table qualifies."""
         tables = getattr(self.engine, "aggregate_tables", None)
-        if not tables or totals is not None or not base_measures:
+        if not tables or not base_measures:
             return None
         pred_cols: list[str] = []
         preds: list[Column] = []
@@ -355,9 +402,13 @@ class Planner:
                 a = agg_measures[m.out]
                 fn = F.sum if a in ("sum", "count") else (F.min if a == "min" else F.max)
                 cols.append(fn(F.col(m.out)).alias(m.out))
-            if group_cols:
-                return df.groupBy(*group_cols).agg(*cols)
-            return df.agg(*cols)
+            if not group_cols:
+                return df.agg(*cols)
+            if totals == "rollup":
+                return df.rollup(*group_cols).agg(*cols)
+            if totals == "cube":
+                return df.cube(*group_cols).agg(*cols)
+            return df.groupBy(*group_cols).agg(*cols)
         return None
 
     def _aggregate_base(

@@ -611,6 +611,18 @@ class Query:
         formats.update(self._cell_formatters)  # callables win over strings
         res = Result(df, axis_cols, [m.out for m in measures], sort_spec, formats)
         res.timeout = timeout
+        # cell-addressing context: engine + slicer + column→(dim, level)
+        # map so Result.cell(...).drill_through() can pin the cell's member
+        # region (result.rb:140-157)
+        res._engine = self.engine
+        res._slicer = list(self._slicer)
+        res._col_levels = {
+            lv.out: (s.dimension, li)
+            for ax in axes
+            for s in ax.sets
+            for li, lv in enumerate(s.group_levels)
+        }
+        res._base_measures = [m for m in measures if isinstance(m, Measure)]
         return res
 
     def _split_mixed_depth(self, axes_sets):

@@ -196,9 +196,110 @@ class Result:
         grid = [[cell.get((rk, cd, m)) for cd, m in columns] for rk in row_keys]
         return {"columns": columns, "rows": row_keys, "values": grid}
 
+    def cell(self, column: int = 0, row: int = 0) -> "Cell":
+        """Coordinate-addressed cell access for the 2-axis case
+        (result.rb:606-650 ``getCell(positions)``): ``column`` indexes the
+        pivot's (column-member × measure) positions, ``row`` the rows-axis
+        positions.  Returns a :class:`Cell` carrying the value, its
+        formatted form, and the member context for drill-through."""
+        if len([a for a in self.axis_columns if a]) > 2:
+            raise ValueError("cell addressing supports at most 2 member axes")
+        p = self.pivot()
+        try:
+            col_members, measure = p["columns"][column]
+            row_members = p["rows"][row]
+            value = p["values"][row][column]
+        except IndexError:
+            raise IndexError(
+                f"cell ({column}, {row}) outside the {len(p['columns'])}×"
+                f"{len(p['rows'])} grid"
+            ) from None
+        return Cell(self, value, measure, col_members, row_members)
+
+    def _cell_context_refs(self, col_members: tuple, row_members: tuple) -> list:
+        """Member refs pinning one cell: the query slicer plus the cell's
+        axis coordinates (result.rb:145-157 — drill-through context)."""
+        from .members import MemberSetRef
+
+        refs = list(getattr(self, "_slicer", ()) or ())
+        col_levels = getattr(self, "_col_levels", {}) or {}
+        for cols, keys in (
+            (self.axis_columns[0] if self.axis_columns else [], col_members),
+            (self.axis_columns[1] if len(self.axis_columns) > 1 else [], row_members),
+        ):
+            by_dim: dict[str, list] = {}
+            for c, v in zip(cols, keys):
+                if c in col_levels:
+                    dim, li = col_levels[c]
+                    by_dim.setdefault(dim.name, []).append((li, v, dim))
+            for entries in by_dim.values():
+                entries.sort()
+                path = []
+                for _li, v, dim in entries:
+                    if v is None:
+                        break  # totals/mixed-depth rows: truncate at NULL
+                    path.append(v)
+                if path:
+                    refs.append(
+                        MemberSetRef(entries[0][2], depth=len(path) - 1,
+                                     path=tuple(path), kind="member")
+                    )
+        return refs
+
     def to_pandas(self):
         return self.df.toPandas()
 
     def to_html(self) -> str:
         """HTML table rendering (result.rb:66-110 to_html)."""
         return self.to_pandas().to_html(index=False)
+
+
+class Cell:
+    """One addressed cell: value + formatted value + drill-through
+    (result.rb ``Cell`` surface: :140-157 drill_through, :606-650 value
+    accessors)."""
+
+    def __init__(self, result: Result, value, measure: str,
+                 col_members: tuple, row_members: tuple):
+        self._result = result
+        self.value = value
+        self.measure = measure
+        self.column_members = col_members
+        self.row_members = row_members
+
+    @property
+    def formatted_value(self) -> str:
+        from .formats import format_value
+
+        f = self._result._formats.get(self.measure)
+        if callable(f):
+            return f(self.value)
+        return format_value(self.value, f)
+
+    def drill_through(
+        self,
+        fields: list[tuple[str, str]] | None = None,
+        max_rows: int | None = None,
+    ):
+        """Fact rows underlying this cell (result.rb:140-157 ``Cell.
+        drill_through(row:, column:, …)`` sugar).  Default RETURN fields are
+        the query's axis levels plus its base measures' fact expressions."""
+        engine = getattr(self._result, "_engine", None)
+        if engine is None:
+            raise ValueError("this Result carries no engine context")
+        from .plan import Planner
+
+        refs = self._result._cell_context_refs(self.column_members, self.row_members)
+        if fields is None:
+            fields = []
+            col_levels = getattr(self._result, "_col_levels", {}) or {}
+            for ax in self._result.axis_columns:
+                for c in ax:
+                    if c in col_levels:
+                        dim, li = col_levels[c]
+                        fields.append((c, f"[{dim.name}].[{dim.levels[li].name}]"))
+            for m in getattr(self._result, "_base_measures", ()) or ():
+                fields.append((m.out, m.expression))
+        return Planner(engine).drill_through(refs, fields, max_rows=max_rows)
+
+

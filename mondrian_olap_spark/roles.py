@@ -42,6 +42,18 @@ class MemberGrant:
 
 
 @dataclass(frozen=True)
+class HierarchyGrant:
+    """Level-bounded hierarchy grant (schema.rb:440-466 ``top_level`` /
+    ``bottom_level``): the role sees only levels within the bounds —
+    querying or listing members outside them raises :class:`AccessDenied`
+    (absolute level invisibility, connection_role_test.rb:101-184)."""
+
+    dimension: str
+    top_level: str | None = None
+    bottom_level: str | None = None
+
+
+@dataclass(frozen=True)
 class Role:
     """Named role: member grants + optional measure allow-list.
 
@@ -51,7 +63,10 @@ class Role:
       region: totals reflect only visible members;
     * ``'full'`` — member lists and grouped axes are filtered, but
       aggregates that do not group the granted dimension (grand totals,
-      other-dim rollups) see the full fact.
+      other-dim rollups) see the full fact;
+    * ``'hidden'`` — a cell that would roll up over any non-granted member
+      is NULLed out entirely: totals above the grant grain are hidden
+      rather than partially summed or fully revealed.
 
     Union roles (``role_union`` — connection.rb:183-211) combine by
     :func:`union_roles`: a member is visible if any constituent role grants
@@ -62,11 +77,12 @@ class Role:
     grants: tuple[MemberGrant, ...] = ()
     allowed_measures: tuple[str, ...] | None = None
     rollup_policy: str = "partial"
+    hierarchy_grants: tuple[HierarchyGrant, ...] = ()
 
     def __post_init__(self):
-        if self.rollup_policy not in ("partial", "full"):
+        if self.rollup_policy not in ("partial", "full", "hidden"):
             raise ValueError(
-                f"rollup_policy must be partial|full, got {self.rollup_policy!r}"
+                f"rollup_policy must be partial|full|hidden, got {self.rollup_policy!r}"
             )
 
     def dimension_predicate(self, dim: Dimension) -> Column | None:
@@ -96,13 +112,105 @@ class Role:
         names = {g.dimension.lower() for g in self.grants}
         return [d for d in cube.dimensions if d.name.lower() in names]
 
+    def grant_depth(self, dim: Dimension) -> int:
+        """Deepest level any member grant (allow OR deny) references on this
+        dimension — the grain at which cell membership in the granted region
+        is decidable (drives the 'hidden' rollup policy)."""
+        return max(
+            (
+                len(g.path)
+                for g in self.grants
+                if g.dimension.lower() == dim.name.lower()
+            ),
+            default=0,
+        )
+
+    def level_bounds(self, dim: Dimension) -> tuple[int, int] | None:
+        """(top, bottom) level-index bounds across this dimension's
+        hierarchy grants — several grants (e.g. from a role union) combine
+        to the LOOSEST bounds; None if the dimension has no level-bounded
+        grant."""
+        bounds = []
+        for hg in self.hierarchy_grants:
+            if hg.dimension.lower() != dim.name.lower():
+                continue
+            top = dim.level_index(hg.top_level) if hg.top_level else 0
+            bottom = (
+                dim.level_index(hg.bottom_level)
+                if hg.bottom_level
+                else len(dim.levels) - 1
+            )
+            if top is None or bottom is None:
+                raise ValueError(
+                    f"hierarchy grant on {dim.name!r}: unknown level "
+                    f"{hg.top_level!r}/{hg.bottom_level!r}"
+                )
+            bounds.append((top, bottom))
+        if not bounds:
+            return None
+        return (min(t for t, _ in bounds), max(b for _, b in bounds))
+
+    def check_level(self, dim: Dimension, depth: int) -> None:
+        """Raise :class:`AccessDenied` when ``depth`` lies outside the
+        role's level bounds for this dimension."""
+        b = self.level_bounds(dim)
+        if b is not None and not (b[0] <= depth <= b[1]):
+            raise AccessDenied(
+                f"role {self.name!r} does not grant level "
+                f"{dim.levels[depth].name!r} of dimension {dim.name!r} "
+                f"(granted levels {dim.levels[b[0]].name!r}.."
+                f"{dim.levels[b[1]].name!r})"
+            )
+
+    def member_visibility_predicate(self, dim: Dimension, depth: int) -> Column | None:
+        """Member-list visibility at ``depth`` (absolute invisibility —
+        connection_role_test.rb:101-184): a member is visible iff its
+        subtree intersects an allow grant (allow paths truncated to the
+        listing depth) and it is not fully covered by a deny grant."""
+        allows = [
+            g.path[: depth + 1]
+            for g in self.grants
+            if g.dimension.lower() == dim.name.lower() and g.access == "all"
+        ]
+        denies = [
+            g.path
+            for g in self.grants
+            if g.dimension.lower() == dim.name.lower()
+            and g.access == "none"
+            and len(g.path) <= depth + 1
+        ]
+        if not allows and not denies:
+            return None
+        pred = _or_paths(dim, allows) if allows else None
+        for p in denies:
+            d = _path_pred(dim, p)
+            pred = (~d) if pred is None else (pred & ~d)
+        return pred
+
 
 def union_roles(name: str, *roles: Role) -> Role:
     """Union of roles: any constituent grant admits the member; measures are
-    allowed if any role allows them (None anywhere = all allowed)."""
+    allowed if any role allows them (None anywhere = all allowed); level
+    bounds widen to the loosest constituent — but only when EVERY
+    constituent bounds the dimension (one unbounded role unbounds the
+    union)."""
     grants: list[MemberGrant] = []
     for r in roles:
         grants.extend(r.grants)
+    hg_by_dim: dict[str, list[HierarchyGrant]] = {}
+    for r in roles:
+        for hg in r.hierarchy_grants:
+            hg_by_dim.setdefault(hg.dimension.lower(), []).append(hg)
+    hgrants: list[HierarchyGrant] = []
+    for hgs in hg_by_dim.values():
+        bounded_in_all = all(
+            any(hg.dimension.lower() == hgs[0].dimension.lower()
+                for hg in r.hierarchy_grants)
+            for r in roles
+        )
+        if bounded_in_all:
+            # keep every grant; Role.level_bounds combines them loosest-wins
+            hgrants.extend(hgs)
     measures: tuple[str, ...] | None
     if any(r.allowed_measures is None for r in roles):
         measures = None
@@ -113,7 +221,12 @@ def union_roles(name: str, *roles: Role) -> Role:
                 if m not in seen:
                     seen.append(m)
         measures = tuple(seen)
-    return Role(name=name, grants=tuple(grants), allowed_measures=measures)
+    return Role(
+        name=name,
+        grants=tuple(grants),
+        allowed_measures=measures,
+        hierarchy_grants=tuple(hgrants),
+    )
 
 
 def _path_pred(dim: Dimension, path: tuple[str, ...]) -> Column:

@@ -223,6 +223,11 @@ class CubeEngine:
         high-cardinality streaming concern disappears, SURVEY.md §4).
         """
         dim = self.cube.dimension(dim_name)
+        role = getattr(self, "role", None)
+        if role is not None:
+            # level bounds are absolute: listing members outside them is
+            # denied (schema.rb:440-466 top_level/bottom_level)
+            role.check_level(dim, depth)
         levels = dim.levels[: depth + 1]
         outs = [lv.out for lv in levels]
         props = []
@@ -247,6 +252,12 @@ class CubeEngine:
             )
         for i, key in enumerate(path):
             df = df.filter(F.col(dim.levels[i].out) == key)
+        if role is not None:
+            # member invisibility is absolute (connection_role_test.rb:
+            # 101-184): non-granted members never appear in member lists
+            vis = role.member_visibility_predicate(dim, depth)
+            if vis is not None:
+                df = df.filter(vis)
         # ragged hierarchies: hidden members are invisible in member lists
         # (hide_member_if — schema.rb:222-230); their fact rows still roll
         # up to the surviving ancestors through the physical columns

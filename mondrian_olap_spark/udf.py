@@ -38,13 +38,23 @@ def register_scalar(
 
     ``vectorized=True`` wraps it as an Arrow-batched Pandas UDF (``fn``
     receives/returns ``pandas.Series``) — prefer this for anything on a hot
-    path.
+    path.  Row-at-a-time registration warns: per-row Python dispatch is
+    10-100× slower than the Arrow path at scale (UDFs are the slow path —
+    SURVEY.md §4; keep hot expressions in built-in functions).
     """
+    import warnings
+
     from pyspark.sql import functions as F
 
     if vectorized:
         udf = F.pandas_udf(fn, returnType=returns)
     else:
+        warnings.warn(
+            f"UDF {name!r} registered as a row-at-a-time Python UDF; pass "
+            "vectorized=True (pandas Series in/out) for the Arrow-batched "
+            "fast path",
+            stacklevel=2,
+        )
         udf = F.udf(fn, returnType=returns)
     spark.udf.register(name, udf)
     _REGISTERED.setdefault(_session_key(spark), set()).add(name)

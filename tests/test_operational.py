@@ -86,6 +86,50 @@ def test_aggregate_table_routing(spark, tmp_path):
         assert abs(got[k][0] - expected[k][0]) < 1e-4
 
 
+def test_aggregate_table_routes_rollup_totals(spark, tmp_path):
+    """totals('rollup') routes to a covering summary table: the grouping-sets
+    pass runs over summary rows, no fact scan (schema.rb:374-414 — Mondrian
+    routes GROUPING SETS loads to agg tables too)."""
+    eng = engine_from_parquet(spark, SCHEMA, "Sales", SF_DIR)
+    base = (
+        Query(eng)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].[Nation].Members")
+        .execute()
+        .df
+    )
+    summary_path = str(tmp_path / "agg_nation_rollup")
+    base.write.parquet(summary_path)
+    eng.register_aggregate(
+        spark.read.parquet(summary_path),
+        ["region_name", "nation_name"],
+        {"sum_qty": "sum"},
+    )
+    routed = (
+        Query(eng)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].[Nation].Members")
+        .totals("rollup")
+        .execute()
+        .df
+    )
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem" not in plan  # no fact scan in the routed rollup plan
+    fresh = engine_from_parquet(spark, SCHEMA, "Sales", SF_DIR)
+    expected = {
+        tuple(r)
+        for r in Query(fresh)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].[Nation].Members")
+        .totals("rollup")
+        .execute()
+        .df
+        .collect()
+    }
+    got = {tuple(r) for r in routed.collect()}
+    assert got == expected
+
+
 def test_aggregate_table_not_used_for_uncovered_grouping(spark):
     eng = engine_from_parquet(spark, SCHEMA, "Sales", SF_DIR)
     agg = (

@@ -602,6 +602,51 @@ def test_drilldown_member(engine, duck):
     )
 
 
+def test_cell_addressing(engine):
+    """Coordinate-addressed cells (result.rb:606-650 getCell): pivot order,
+    value + measure + formatted value, index errors."""
+    r = (
+        q(engine)
+        .columns("[Measures].[Sum Qty]", "[Measures].[Sum Price]")
+        .rows("[Customer].[Region].Members")
+        .execute()
+    )
+    p = r.pivot()
+    c = r.cell(column=0, row=0)
+    assert c.value == p["values"][0][0]
+    assert c.measure == "sum_qty"
+    assert c.row_members == p["rows"][0]
+    assert isinstance(c.formatted_value, str)
+    c2 = r.cell(column=1, row=2)
+    assert c2.measure == "sum_price" and c2.value == p["values"][2][1]
+    with pytest.raises(IndexError):
+        r.cell(column=99, row=0)
+
+
+def test_cell_drill_through(engine):
+    """Cell.drill_through sugar (result.rb:140-157): fact rows of exactly
+    the addressed cell; their measure expression sums back to the cell
+    value."""
+    from pyspark.sql import functions as F
+
+    r = (
+        q(engine)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].[Region].Members")
+        .where("[Time].[1995]")
+        .execute()
+    )
+    c = r.cell(column=0, row=0)
+    region = c.row_members[0]
+    drill = c.drill_through()
+    got_regions = {x["region_name"] for x in drill.select("region_name").distinct().collect()}
+    assert got_regions == {region}
+    total = drill.agg(F.sum("sum_qty")).collect()[0][0]
+    assert total == pytest.approx(c.value)
+    # max_rows caps deterministically
+    assert c.drill_through(max_rows=7).count() == 7
+
+
 def test_mixed_depth_axis_set(engine, duck):
     """{[Region member], [Nation member]} on one axis: the shallower member
     appears as a total row (NULL nation), the deeper one at its own grain

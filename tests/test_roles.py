@@ -111,7 +111,121 @@ def test_rollup_policy_validation():
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="rollup_policy"):
-        Role("bad", rollup_policy="hidden")
+        Role("bad", rollup_policy="nope")
+
+
+def test_rollup_policy_hidden_nulls_totals(engine):
+    """'hidden': totals above the grant grain are NULL, granted detail rows
+    keep their values (schema.rb:468-489)."""
+    role = Role(
+        "asia_hidden",
+        grants=(MemberGrant("Customer", ("ASIA",)),),
+        rollup_policy="hidden",
+    )
+    eng = engine.with_role(role)
+    # grand total does not group Customer → rolls over non-granted → NULL
+    total = Query(eng).columns("[Measures].[Count Order]").execute().df.collect()[0]
+    assert total["count_order"] is None
+    # region-grain rows are decidable and granted → visible values
+    rows = (
+        Query(eng)
+        .columns("[Measures].[Count Order]")
+        .rows("[Customer].[Region].Members")
+        .execute()
+        .df
+        .collect()
+    )
+    assert {r["region_name"] for r in rows} == {"ASIA"}
+    assert all(r["count_order"] is not None for r in rows)
+    # rollup totals rows (NULL region key) hidden, detail rows visible
+    tot = (
+        Query(eng)
+        .columns("[Measures].[Count Order]")
+        .rows("[Customer].[Region].Members")
+        .totals("rollup")
+        .execute()
+        .df
+        .collect()
+    )
+    for r in tot:
+        if r["region_name"] is None:
+            assert r["count_order"] is None
+        else:
+            assert r["count_order"] is not None
+
+
+def test_rollup_policy_hidden_other_dim_rollup_hidden(engine):
+    """Grouping a different dimension still rolls over non-granted Customer
+    members → hidden."""
+    role = Role(
+        "asia_hidden",
+        grants=(MemberGrant("Customer", ("ASIA",)),),
+        rollup_policy="hidden",
+    )
+    eng = engine.with_role(role)
+    rows = (
+        Query(eng)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[ReturnFlag].children")
+        .execute()
+        .df
+        .collect()
+    )
+    assert rows and all(r["sum_qty"] is None for r in rows)
+
+
+def test_include_empty_honors_grants(engine):
+    """The expanded (include_empty) grid must not leak non-granted members
+    even as NULL rows (STATUS leak #8; member invisibility is absolute)."""
+    role = Role("asia", grants=(MemberGrant("Customer", ("ASIA",)),))
+    eng = engine.with_role(role)
+    df = (
+        Query(eng)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].[Region].Members")
+        .include_empty()
+        .execute()
+        .df
+    )
+    assert {r["region_name"] for r in df.collect()} == {"ASIA"}
+
+
+def test_hierarchy_grant_level_bounds(engine):
+    """top_level/bottom_level grants (schema.rb:440-466): querying or
+    listing levels outside the bounds is denied."""
+    from mondrian_olap_spark.roles import HierarchyGrant
+
+    role = Role(
+        "nation_only",
+        hierarchy_grants=(
+            HierarchyGrant("Customer", top_level="Region", bottom_level="Nation"),
+        ),
+    )
+    eng = engine.with_role(role)
+    # within bounds: fine
+    Query(eng).columns("[Measures].[Sum Qty]").rows(
+        "[Customer].[Nation].Members"
+    ).execute()
+    # below bottom_level: denied
+    with pytest.raises(AccessDenied, match="Customer"):
+        Query(eng).columns("[Measures].[Sum Qty]").rows(
+            "[Customer].[Customer].Members"
+        ).execute()
+    # member metadata queries honor the bounds too
+    with pytest.raises(AccessDenied):
+        eng.level_members("Customer", 2)
+
+
+def test_member_list_honors_grants(engine):
+    """engine.level_members hides non-granted members (absolute
+    invisibility — connection_role_test.rb:101-184)."""
+    role = Role("asia", grants=(MemberGrant("Customer", ("ASIA",)),))
+    eng = engine.with_role(role)
+    regions = {r["region_name"] for r in eng.level_members("Customer", 0).collect()}
+    assert regions == {"ASIA"}
+    # nations under the granted region remain visible
+    nations = eng.level_members("Customer", 1, ("ASIA",)).count()
+    assert nations == 5
 
 
 def test_full_policy_still_restricts_drill_through(engine):
