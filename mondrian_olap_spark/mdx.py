@@ -293,10 +293,61 @@ class MdxParser:
         else:
             self.i -= 1
             sb = self.parse_set()
-        if sb.ops:
+        if sb.ops or sb.set_ops:
             raise MdxError(f"named set {name!r}: set operations inside WITH SET "
                            "are not supported in this subset")
         self.q.with_set(name, *sb.base)
+
+    #: descriptor → axis-level Query application (whole-set semantics)
+    @staticmethod
+    def _apply_axis_op(q, d):
+        k = d[0]
+        if k == "filter":
+            q.filter(d[1])
+        elif k == "order":
+            q.order(d[1], d[2])
+        elif k == "topbottom":
+            _, side, how, n, expr = d
+            getattr(q, f"{side}_{how}")(n, expr)
+        elif k == "slice":
+            _, start, count, from_end = d
+            if from_end:
+                q.tail(count)
+            else:
+                q.subset(start, count)
+        elif k == "except":
+            q.except_(*d[1])
+        elif k == "distinct":
+            q.distinct()
+        elif k == "hierarchize":
+            q.hierarchize(d[1])
+        elif k == "generate":
+            q.generate(*d[1], all=d[2])
+        elif k == "range":
+            q.member_range(d[1], d[2])
+        else:  # pragma: no cover - parser and applier move together
+            raise MdxError(f"unknown set operation {k!r}")
+
+    #: descriptor → set-level Query application (nested-function semantics,
+    #: e.g. the right side of a CROSSJOIN)
+    @staticmethod
+    def _apply_set_op(q, members, d):
+        k = d[0]
+        if k == "filter":
+            q.filter_set(members, d[1])
+        elif k == "topbottom":
+            _, side, how, n, expr = d
+            q.topbottom_set(members, side, how, n, expr)
+        elif k == "slice":
+            _, start, count, from_end = d
+            q.slice_set(members, start, count, from_end)
+        elif k in ("distinct", "hierarchize"):
+            pass  # no-ops on a grouped sub-set (grid rows are distinct)
+        else:
+            raise MdxError(
+                f"{k.upper()} is not supported as a nested set argument "
+                "in this subset"
+            )
 
     def parse_axis(self):
         nonempty = False
@@ -316,8 +367,10 @@ class MdxParser:
         else:
             raise MdxError(f"bad axis name {t.text!r} at {t.pos}")
         self.q.axis(axis_i, *members.base)
+        for subset, op in members.set_ops:
+            self._apply_set_op(self.q, subset, op)
         for op in members.ops:
-            op(self.q)
+            self._apply_axis_op(self.q, op)
         if nonempty:
             self.q.nonempty()
 
@@ -347,13 +400,28 @@ class MdxParser:
             return _SetBuild(base=members)
         t = self.peek()
         if t is not None and t.kind == "word" and t.text.lower() in _SET_FUNCTIONS:
-            return self.parse_set_function()
+            sb = self.parse_set_function()
+            # .Item(i) on a set expression → single-element slice
+            # (jar!mondrian/olap/fun/SetItemFunDef)
+            while self.at_op("."):
+                save = self.i
+                self.next()
+                if self.at_word("item"):
+                    self.next()
+                    self.expect_op("(")
+                    idx = int(self.next().text)
+                    self.expect_op(")")
+                    sb.ops.append(("slice", idx, 1, False))
+                else:
+                    self.i = save
+                    break
+            return sb
         first = self.parse_member_string()
         if self.at_op(":"):
             # member range a:b (jar!...RangeFunDef)
             self.next()
             second = self.parse_member_string()
-            return _SetBuild(base=[], ops=[lambda q: q.member_range(first, second)])
+            return _SetBuild(base=[], ops=[("range", first, second)])
         return _SetBuild(base=[first])
 
     def parse_set_function(self) -> "_SetBuild":
@@ -363,17 +431,24 @@ class MdxParser:
         if fname in ("crossjoin", "nonemptycrossjoin"):
             self.expect_op(",")
             right = self.parse_set()
-            if right.ops:
-                raise MdxError(f"{fname.upper()}: nested set operations on the right side "
-                               "are not supported in this subset")
-            inner.base.extend(right.base)
             self.expect_op(")")
+            inner.base.extend(right.base)
+            # a set FUNCTION as the crossjoin argument evaluates against its
+            # own set in the slicer context (Mondrian nested-set semantics):
+            # lower each right-side op to a set-level application bound to
+            # the right side's members
+            for op in right.ops:
+                if op[0] == "range":
+                    inner.ops.append(op)  # ranges constrain, not select
+                else:
+                    inner.set_ops.append((tuple(right.base), op))
+            inner.set_ops.extend(right.set_ops)
             return inner
         if fname == "filter":
             self.expect_op(",")
             cond = self.parse_value_expression()
             self.expect_op(")")
-            inner.ops.append(lambda q: q.filter(cond))
+            inner.ops.append(("filter", cond))
             return inner
         if fname == "order":
             self.expect_op(",")
@@ -383,7 +458,7 @@ class MdxParser:
                 self.next()
                 direction = self.expect_word("asc", "desc", "basc", "bdesc").text.upper()
             self.expect_op(")")
-            inner.ops.append(lambda q: q.order(expr, direction))
+            inner.ops.append(("order", expr, direction))
             return inner
         if fname in ("topcount", "bottomcount", "toppercent", "bottompercent", "topsum", "bottomsum"):
             self.expect_op(",")
@@ -393,24 +468,16 @@ class MdxParser:
                 self.next()
                 expr = self.parse_value_expression()
             self.expect_op(")")
-            method = {
-                "topcount": "top_count",
-                "bottomcount": "bottom_count",
-                "toppercent": "top_percent",
-                "bottompercent": "bottom_percent",
-                "topsum": "top_sum",
-                "bottomsum": "bottom_sum",
-            }[fname]
-            arg = int(n) if fname.endswith("count") else n
-            inner.ops.append(lambda q: getattr(q, method)(arg, expr))
+            side = "top" if fname.startswith("top") else "bottom"
+            how = fname.removeprefix(side)
+            arg = int(n) if how == "count" else n
+            inner.ops.append(("topbottom", side, how, arg, expr))
             return inner
         if fname in ("head", "tail"):
             self.expect_op(",")
             n = int(self.next().text)
             self.expect_op(")")
-            inner.ops.append(
-                (lambda q: q.head(n)) if fname == "head" else (lambda q: q.tail(n))
-            )
+            inner.ops.append(("slice", 0, n, fname == "tail"))
             return inner
         if fname == "subset":
             self.expect_op(",")
@@ -420,7 +487,7 @@ class MdxParser:
                 self.next()
                 count = int(self.next().text)
             self.expect_op(")")
-            inner.ops.append(lambda q: q.subset(start, count))
+            inner.ops.append(("slice", start, count, False))
             return inner
         if fname == "generate":
             # GENERATE(set1, set2[, ALL]) — set2 may reference CurrentMember
@@ -432,18 +499,17 @@ class MdxParser:
                 self.expect_word("all")
                 all_flag = True
             self.expect_op(")")
-            members = list(right.base)
-            inner.ops.append(lambda q: q.generate(*members, all=all_flag))
+            inner.ops.append(("generate", list(right.base), all_flag))
             return inner
         if fname == "except":
             self.expect_op(",")
             right = self.parse_set()
             self.expect_op(")")
-            inner.ops.append(lambda q: q.except_(*right.base))
+            inner.ops.append(("except", list(right.base)))
             return inner
         if fname == "distinct":
             self.expect_op(")")
-            inner.ops.append(lambda q: q.distinct())
+            inner.ops.append(("distinct",))
             return inner
         if fname == "hierarchize":
             post = False
@@ -451,7 +517,7 @@ class MdxParser:
                 self.next()
                 post = self.expect_word("post").text.lower() == "post"
             self.expect_op(")")
-            inner.ops.append(lambda q: q.hierarchize(post))
+            inner.ops.append(("hierarchize", post))
             return inner
         raise MdxError(f"unsupported set function {fname!r}")
 
@@ -550,17 +616,27 @@ class MdxParser:
 
         out = re.sub(r"\[Measures\]\s*\.\s*\[((?:[^\]]|\]\])*)\]", repl_measure, out)
         out = out.replace("<>", "!=")
+        # IIF(cond, a, b) → Spark if(); CASE WHEN … THEN … END is shared
+        # syntax and passes through untouched (jar!mondrian/olap/fun/IifFunDef,
+        # CaseTestFunDef)
+        out = re.sub(r"\bIIF\s*\(", "if(", out, flags=re.IGNORECASE)
         return out
 
 
 @dataclass
 class _SetBuild:
     base: list[str]
+    #: whole-set operation descriptors, applied in order
     ops: list = None
+    #: (member-subset, descriptor) pairs from nested set functions —
+    #: evaluated set-level (against their own members in the slicer context)
+    set_ops: list = None
 
     def __post_init__(self):
         if self.ops is None:
             self.ops = []
+        if self.set_ops is None:
+            self.set_ops = []
 
 
 def _segment(t: Tok) -> str:

@@ -375,6 +375,42 @@ class Query:
         self._axis().display_ops.append(("SUBSET", start, count))
         return self
 
+    # -- set-level operations (nested set functions) --------------------
+    def _subselect(self, members: tuple[str, ...], desc: tuple) -> "Query":
+        """Register a set-level operation: the nested-function semantics of
+        ``CROSSJOIN(A, FILTER(B, cond))`` — ``cond`` is evaluated per B
+        member in the slicer context (Mondrian evaluates nested set
+        functions against the current context, NOT per output tuple), the
+        qualifying members become a semi-join filter on the axis grid."""
+        refs = [self._resolve(m) for m in members]
+        if not refs or any(isinstance(r, MeasureRef) for r in refs):
+            raise QueryError("nested set functions need dimension member sets")
+        dim = refs[0].dimension
+        if any(r.dimension.name != dim.name for r in refs):
+            raise QueryError("nested set function members must share a dimension")
+        self._axis().mods.append(("subselect", refs, desc))
+        return self
+
+    def filter_set(self, members: tuple[str, ...], condition: str) -> "Query":
+        """FILTER as a nested set argument (e.g. the right side of a
+        CROSSJOIN): members whose cells — aggregated in the slicer context —
+        satisfy ``condition`` survive; the axis grid is semi-joined to them
+        (jar!mondrian/olap/fun/FilterFunDef nested evaluation)."""
+        return self._subselect(members, ("filter", condition))
+
+    def topbottom_set(
+        self, members: tuple[str, ...], side: str, how: str, n, expr: str | None
+    ) -> "Query":
+        """TOPCOUNT/BOTTOMCOUNT/TOPPERCENT/TOPSUM… as a nested set argument
+        — the top-k of the member set in the slicer context."""
+        return self._subselect(members, ("topbottom", side, how, n, expr))
+
+    def slice_set(
+        self, members: tuple[str, ...], start: int, count: int, from_end: bool
+    ) -> "Query":
+        """HEAD/TAIL/SUBSET/Item(i) as a nested set argument."""
+        return self._subselect(members, ("slice", start, count, from_end))
+
     def hierarchize(self, post: bool = False) -> "Query":
         self._axis().mods.append(("hierarchize", post))
         self._axis().display_ops.append(("hierarchize", post))
@@ -970,6 +1006,9 @@ class Query:
                 sort_spec = list(tiebreak)  # level-path order
                 if post:
                     sort_spec = sort_spec[::-1]
+            elif kind == "subselect":
+                _, refs, desc = mod
+                df = self._apply_subselect(df, refs, desc)
             elif kind == "slice":
                 _, start, count, from_end = mod
                 order = sort_spec if sort_spec else list(tiebreak)
@@ -988,6 +1027,52 @@ class Query:
                 _, side, how, n, expr = mod
                 df, sort_spec = _top_bottom(df, side, how, n, expr, tiebreak)
         return df, sort_spec
+
+
+    def _measures_in(self, expr: str | None):
+        """Measures referenced (by output alias) in a condition/sort key."""
+        import re as _re
+
+        if not expr:
+            return []
+        toks = set(_re.findall(r"[A-Za-z_][A-Za-z0-9_]*", expr))
+        out = []
+        for m in (*self.cube.measures, *self.cube.calculated_members, *self._with):
+            if m.out in toks:
+                out.append(self._measure(m.name))
+        return out
+
+    def _apply_subselect(self, df: DataFrame, refs, desc) -> DataFrame:
+        """Evaluate a nested set function over its own member sub-grid
+        (grouped at the set's grain, slicer context, measures the expression
+        needs), then semi-join the axis grid to the qualifying members.  The
+        qualifying list is axis-sized → broadcast semi-join, no extra
+        shuffle of the grid."""
+        from .plan import Planner
+
+        planner = Planner(self.engine)
+        kind = desc[0]
+        expr = desc[1] if kind == "filter" else (desc[4] if kind == "topbottom" else None)
+        sub, sub_group = planner.aggregate(
+            [list(refs)], self._slicer, self._measures_in(expr)
+        )
+        keys = [F.col(c) for c in sub_group]
+        if kind == "filter":
+            sub = sub.filter(F.expr(desc[1]))
+        elif kind == "topbottom":
+            _, side, how, n, e = desc
+            sub, _ = _top_bottom(sub, side, how, n, e, keys)
+        elif kind == "slice":
+            _, start, count, from_end = desc
+            order = [c.desc() for c in keys] if from_end else keys
+            w = Window.orderBy(*order)
+            sub = (
+                sub.withColumn("__rn", F.row_number().over(w))
+                .filter((F.col("__rn") > start) & (F.col("__rn") <= start + count))
+                .drop("__rn")
+            )
+        members = sub.select(*sub_group).dropDuplicates()
+        return df.join(F.broadcast(members), on=sub_group, how="left_semi")
 
 
 def _top_bottom(df: DataFrame, side: str, how: str, n, expr, tiebreak):

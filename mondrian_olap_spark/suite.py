@@ -1342,6 +1342,37 @@ def empty_cells_grid(spark, sf_dir):
 
 
 @q(
+    "nested_filter_crossjoin",
+    f"""
+    WITH qualifying AS (
+      SELECT n_name
+      FROM {_CUST_STAR}
+      GROUP BY 1
+      HAVING CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) > 130000000
+    )
+    SELECT l_returnflag AS return_flag, n_name AS nation_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+    FROM {_CUST_STAR}
+    WHERE n_name IN (SELECT n_name FROM qualifying)
+    GROUP BY 1, 2
+    """,
+)
+def nested_filter_crossjoin(spark, sf_dir):
+    """Nested set function as a CROSSJOIN argument, from MDX text:
+    FILTER evaluates per member of ITS set in the slicer context (the
+    qualifying-member semi-join), then crosses — Mondrian nested-set
+    evaluation (jar!mondrian/olap/fun/FilterFunDef; verdict item: MDX
+    parser depth)."""
+    eng = get_engine(spark, sf_dir)
+    return eng.execute(
+        "SELECT [Measures].[Sum Price] ON COLUMNS, "
+        "CROSSJOIN([ReturnFlag].children, "
+        "  FILTER([Customer].[Nation].Members, [Measures].[Sum Price] > 130000000)) ON ROWS "
+        "FROM [Sales]"
+    ).df.select("return_flag", "nation_name", "sum_price")
+
+
+@q(
     "mixed_depth_axis",
     f"""
     SELECT r_name AS region_name, CAST(NULL AS VARCHAR) AS nation_name,

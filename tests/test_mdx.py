@@ -369,6 +369,104 @@ def test_generate_mdx_roundtrip(engine):
     assert rows_of(r1.df) == rows_of(r2.df)
 
 
+def test_nested_filter_in_crossjoin(engine):
+    """CROSSJOIN(A, FILTER(B, cond)): cond evaluates per B member in the
+    slicer context (not per output tuple) — Mondrian nested-set semantics."""
+    totals = {
+        r["nation_name"]: r["sum_price"]
+        for r in (
+            Query(engine)
+            .columns("[Measures].[Sum Price]")
+            .rows("[Customer].[Nation].Members")
+            .execute()
+            .df
+            .collect()
+        )
+    }
+    cutoff = sorted(totals.values())[len(totals) // 2]
+    qualifying = {n for n, v in totals.items() if v > cutoff}
+    r = execute_mdx(
+        engine,
+        f"SELECT [Measures].[Sum Price] ON COLUMNS, "
+        f"CROSSJOIN([ReturnFlag].children, "
+        f"  FILTER([Customer].[Nation].Members, [Measures].[Sum Price] > {cutoff})) ON ROWS "
+        f"FROM [Sales]",
+    )
+    rows = r.df.collect()
+    assert {x["nation_name"] for x in rows} == qualifying
+    assert {x["return_flag"] for x in rows} == {"A", "N", "R"}
+
+
+def test_nested_topcount_in_crossjoin(engine):
+    """CROSSJOIN(A, TOPCOUNT(B, 3, m)): top members chosen on their own
+    totals, then crossed."""
+    top3 = [
+        r["nation_name"]
+        for r in (
+            Query(engine)
+            .columns("[Measures].[Sum Price]")
+            .rows("[Customer].[Nation].Members")
+            .order("sum_price", "BDESC")
+            .top_count(3, "sum_price")
+            .execute()
+            .df
+            .collect()
+        )
+    ]
+    r = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Price] ON COLUMNS, "
+        "CROSSJOIN([ReturnFlag].children, "
+        "  TOPCOUNT([Customer].[Nation].Members, 3, [Measures].[Sum Price])) ON ROWS "
+        "FROM [Sales]",
+    )
+    rows = r.df.collect()
+    assert {x["nation_name"] for x in rows} == set(top3)
+    assert len(rows) == 9  # 3 flags × 3 nations
+
+
+def test_item_on_set(engine):
+    """Set.Item(i) (jar!...SetItemFunDef): single-position slice."""
+    r = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "HEAD([Customer].[Region].Members, 3).Item(1) ON ROWS FROM [Sales]",
+    )
+    rows = r.df.collect()
+    assert len(rows) == 1 and rows[0]["region_name"] == "AMERICA"
+
+
+def test_case_in_value_expression(engine):
+    """CASE WHEN inside FILTER and WITH MEMBER (CaseTestFunDef parity)."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[Big] AS
+          'CASE WHEN [Measures].[Sum Qty] > 20000 THEN 1 ELSE 0 END'
+        SELECT {[Measures].[Sum Qty], [Measures].[Big]} ON COLUMNS,
+               [Customer].[Region].Members ON ROWS
+        FROM [Sales]
+        """,
+    )
+    for row in r.df.collect():
+        assert row["big"] == (1 if row["sum_qty"] > 20000 else 0)
+
+
+def test_iif_translates(engine):
+    """IIF(cond, a, b) → Spark if() (IifFunDef)."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[Flagged] AS 'IIF([Measures].[Sum Qty] > 20000, 1, 0)'
+        SELECT {[Measures].[Sum Qty], [Measures].[Flagged]} ON COLUMNS,
+               [Customer].[Region].Members ON ROWS
+        FROM [Sales]
+        """,
+    )
+    for row in r.df.collect():
+        assert row["flagged"] == (1 if row["sum_qty"] > 20000 else 0)
+
+
 def test_filter_nonempty_drops_empty_cells(engine):
     """A slicer outside part of the expanded grid creates genuinely empty
     cells; filter_nonempty removes exactly those."""
@@ -497,7 +595,11 @@ def test_non_measure_with_member(engine):
 
 
 def test_non_measure_with_member_bad_formula(engine):
-    with pytest.raises(MdxError, match="Aggregate"):
+    """A dimension calc member formula must combine dimension member cells;
+    measure references belong in [Measures] calc members."""
+    from mondrian_olap_spark.query import QueryError
+
+    with pytest.raises(QueryError, match="member path"):
         execute_mdx(
             engine,
             """
