@@ -106,6 +106,9 @@ class MdxParser:
         self.q = Query(engine)
         self.params = dict(parameters or {})
         self.defined_params: dict[str, object] = {}
+        #: WITH SET definitions including set-function ops — referenced by
+        #: bare name on axes (query_test.rb:706-731 WITH SET clause)
+        self.named_sets: dict[str, "_SetBuild"] = {}
 
     # -- token helpers -------------------------------------------------
     def peek(self, k: int = 0) -> Tok | None:
@@ -293,10 +296,11 @@ class MdxParser:
         else:
             self.i -= 1
             sb = self.parse_set()
-        if sb.ops or sb.set_ops:
-            raise MdxError(f"named set {name!r}: set operations inside WITH SET "
-                           "are not supported in this subset")
-        self.q.with_set(name, *sb.base)
+        self.named_sets[name.lower()] = sb
+        if not sb.ops and not sb.set_ops:
+            # plain member lists also register on the builder (axis splicing
+            # + to_mdx); sets with ops live parser-side and expand on use
+            self.q.with_set(name, *sb.base)
 
     #: descriptor → axis-level Query application (whole-set semantics)
     @staticmethod
@@ -389,16 +393,63 @@ class MdxParser:
         self.q.where(*members)
 
     # -- sets ----------------------------------------------------------
+    def _parse_braced_member(self):
+        """One element of a ``{…}`` literal; supports a trailing
+        ``.Item(i)`` (query_test.rb ItemSet shape)."""
+        m = self.parse_member_string()
+        if m.lower().endswith(".[item]") and self.at_op("("):
+            self.next()
+            idx = int(self.next().text)
+            self.expect_op(")")
+            return m.rsplit(".", 1)[0], ("slice", idx, 1, False)
+        return m, None
+
     def parse_set(self) -> "_SetBuild":
         if self.at_op("{"):
             self.next()
-            members = [self.parse_member_string()]
-            while self.at_op(","):
-                self.next()
-                members.append(self.parse_member_string())
+            members, ops = [], []
+            while True:
+                m, op = self._parse_braced_member()
+                members.append(m)
+                if op is not None:
+                    ops.append(op)
+                if self.at_op(","):
+                    self.next()
+                    continue
+                break
             self.expect_op("}")
-            return _SetBuild(base=members)
+            if ops and len(members) > 1:
+                raise MdxError(
+                    "Item(i) inside a multi-element set literal is not "
+                    "supported in this subset"
+                )
+            return _SetBuild(base=members, ops=ops)
         t = self.peek()
+        if (
+            t is not None
+            and t.kind in ("word", "bracket")
+            and _segment(t).lower() in self.named_sets
+        ):
+            # named-set reference: expand to a copy of its definition
+            self.next()
+            sb0 = self.named_sets[_segment(t).lower()]
+            return _SetBuild(
+                base=list(sb0.base), ops=list(sb0.ops), set_ops=list(sb0.set_ops)
+            )
+        if t is not None and t.kind == "word" and t.text.lower() == "strtoset":
+            # StrToSet("…") — runtime set construction from a string
+            # (jar!mondrian/olap/fun/StrToSetFunDef; SURVEY.md §2.6)
+            self.next()
+            self.expect_op("(")
+            st = self.next()
+            if st.kind != "string":
+                raise MdxError("StrToSet takes a quoted set string")
+            self.expect_op(")")
+            inner = MdxParser.__new__(MdxParser)
+            inner.__dict__.update(self.__dict__)
+            inner.toks = tokenize(_unquote(st.text))
+            inner.i = 0
+            return inner.parse_set()
         if t is not None and t.kind == "word" and t.text.lower() in _SET_FUNCTIONS:
             sb = self.parse_set_function()
             # .Item(i) on a set expression → single-element slice
@@ -422,6 +473,20 @@ class MdxParser:
             self.next()
             second = self.parse_member_string()
             return _SetBuild(base=[], ops=[("range", first, second)])
+        low = first.lower()
+        if low.endswith(".[defaultmember]"):
+            # [Dim].DefaultMember → first member in hierarchy order
+            # (jar!mondrian/olap/fun/DimensionDefaultMemberFunDef; no All
+            # member on axes here, so the default is the first top-level one)
+            head = first.rsplit(".", 1)[0]
+            return _SetBuild(base=[f"{head}.Members"], ops=[("slice", 0, 1, False)])
+        if low.endswith(".[item]") and self.at_op("("):
+            # member-set .Item(i) (SetItemFunDef on an enumerated set)
+            self.next()
+            idx = int(self.next().text)
+            self.expect_op(")")
+            head = first.rsplit(".", 1)[0]
+            return _SetBuild(base=[head], ops=[("slice", idx, 1, False)])
         return _SetBuild(base=[first])
 
     def parse_set_function(self) -> "_SetBuild":

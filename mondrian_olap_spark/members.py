@@ -162,6 +162,38 @@ def resolve(cube: Cube, identifier: str) -> MeasureRef | MemberSetRef:
     return MemberSetRef(dim, depth=len(rest) - 1, path=tuple(rest), kind="member")
 
 
+def format_ref(ref: MemberSetRef) -> str:
+    """Serialize one member-set reference back to its MDX identifier —
+    the inverse of :func:`resolve` (SetToStr/TupleToStr building block,
+    jar!mondrian/olap/fun/SetToStrFunDef)."""
+    dim = ref.dimension
+    if ref.kind == "member":
+        return format_name([dim.name, *map(str, ref.path)])
+    if ref.kind == "children":
+        base = format_name([dim.name, *map(str, ref.path)])
+        return f"{base}.children"
+    if ref.kind == "level_members":
+        return f"{format_name([dim.name, dim.levels[ref.depth].name])}.Members"
+    if ref.kind == "range":
+        lo, hi = ref.ordinal_range or ("?", "?")
+        prefix = [dim.name, *map(str, ref.path)]
+        return (
+            f"{format_name([*prefix, str(lo)])}:{format_name([*prefix, str(hi)])}"
+        )
+    raise MemberParseError(f"cannot serialize member set kind {ref.kind!r}")
+
+
+def set_to_str(refs: list[MemberSetRef]) -> str:
+    """SetToStr: ``{[A].[X], [A].[Y]}`` (SetToStrFunDef)."""
+    return "{" + ", ".join(format_ref(r) for r in refs) + "}"
+
+
+def tuple_to_str(refs: list[MemberSetRef]) -> str:
+    """TupleToStr: ``([A].[X], [B].[Y])`` — one member per dimension
+    (TupleToStrFunDef)."""
+    return "(" + ", ".join(format_ref(r) for r in refs) + ")"
+
+
 def resolve_level(cube: Cube, identifier: str) -> tuple[Dimension, int]:
     """Resolve ``[Dim].[LevelName]`` (or ``[Dim]`` → level 0) to a
     (dimension, level-index) pair — the RETURN-field form of drill-through

@@ -89,25 +89,32 @@ def _drop_hot_shingles(
     sh: DataFrame, docs: DataFrame, cap: int | float
 ) -> DataFrame:
     """Stop-shingle guard: drop shingles whose document frequency exceeds
-    ``cap`` — absolute when int, fraction of corpus size when float (the
-    fraction form needs no driver-side count: corpus size is a 1-row
-    broadcast inside the plan).  A floor of 8 documents keeps tiny corpora
-    exact.  The hot list is tiny by construction (only ubiquitous shingles
-    qualify), so the anti-join broadcasts."""
-    stats = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    ``cap`` — absolute when int, fraction of corpus size when float.  A
+    floor of 8 documents keeps tiny corpora exact.
+
+    The hot list is resolved EAGERLY, once: it is tiny by construction
+    (shingles in >50% of a corpus are boilerplate — a bounded stop list),
+    so one stats job + one driver-side list beats re-deriving stats inside
+    every downstream plan branch.  The shingle table is persisted first —
+    the stats job doubles as cache materialization, so the expensive
+    shingle explosion runs ONCE and every downstream branch (signatures,
+    verification, sizes) reads the cache instead of re-exploding
+    (ContextCleaner unpersists when the frame is garbage collected).  Most
+    corpora have NO hot shingles, making the filter itself free.  Very
+    large stop lists (>10k) fall back to a broadcast anti-join."""
+    from pyspark.storagelevel import StorageLevel
+
     if isinstance(cap, float):
-        total = docs.agg(F.count("*").alias("__total"))
-        hot = (
-            stats.crossJoin(F.broadcast(total))
-            .filter(
-                F.col("df")
-                > F.greatest(F.lit(8), (F.col("__total") * cap).cast("long"))
-            )
-            .select("shingle")
-        )
-    else:
-        hot = stats.filter(F.col("df") > cap).select("shingle")
-    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+        cap = max(8, int(docs.count() * cap))
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    stats = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    hot_df = stats.filter(F.col("df") > cap).select("shingle")
+    hot = [r["shingle"] for r in hot_df.limit(10_001).collect()]
+    if not hot:
+        return sh
+    if len(hot) > 10_000:
+        return sh.join(F.broadcast(hot_df), "shingle", "left_anti")
+    return sh.filter(~F.col("shingle").isin(hot))
 
 
 def jaccard_pairs(

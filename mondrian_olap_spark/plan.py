@@ -471,8 +471,14 @@ class Planner:
                 return
             needed[item.out] = item
             if isinstance(item, CalculatedMember):
-                for token in re.findall(r"[A-Za-z_][A-Za-z0-9_]*", item.expression):
-                    dep = known.get(token)
+                for m_ in re.finditer(r"[A-Za-z_][A-Za-z0-9_]*", item.expression):
+                    # a token immediately followed by '(' is a function
+                    # call, not a measure alias — a measure named like a
+                    # SQL function (sum, count) must not collide
+                    rest = item.expression[m_.end():].lstrip()
+                    if rest.startswith("("):
+                        continue
+                    dep = known.get(m_.group(0))
                     if dep is not None and dep.out != item.out:
                         visit(dep)
 

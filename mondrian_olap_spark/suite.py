@@ -890,6 +890,28 @@ def events_by_type(spark, sf_dir):
 
 
 @q(
+    "count_exclude_empty",
+    """
+    SELECT event_type,
+           count(event_id) AS event_count,
+           count(CASE WHEN value > 50 THEN value END) AS high_value_count
+    FROM events GROUP BY 1
+    """,
+)
+def count_exclude_empty(spark, sf_dir):
+    """Count vs Count-EXCLUDEEMPTY (jar!mondrian/olap/fun/CountFunDef):
+    counting an expression that is NULL for empty cells counts only the
+    non-empty ones; plain count counts every row."""
+    return (
+        Query(get_engine(spark, sf_dir, cube="Events"))
+        .columns("[Measures].[Event Count]", "[Measures].[High Value Count]")
+        .rows("[EventType].children")
+        .execute()
+        .df
+    )
+
+
+@q(
     "events_daily_users",
     """
     SELECT day(ts) AS event_day, count(DISTINCT user_id) AS distinct_users,

@@ -351,6 +351,15 @@ EVENTS_CUBE = Cube(
             dtype="double",
         ),
         Measure("Event Count", "event_id", "count", output="event_count"),
+        # Count(…, EXCLUDEEMPTY) semantics: count over an expression that is
+        # NULL for empty cells counts only non-empty ones
+        # (jar!mondrian/olap/fun/CountFunDef EXCLUDEEMPTY flag)
+        Measure(
+            "High Value Count",
+            "IF(value > 50, value, NULL)",
+            "count",
+            output="high_value_count",
+        ),
         Measure("Distinct Users", "user_id", "distinct-count", output="distinct_users"),
     ),
 )

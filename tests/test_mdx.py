@@ -664,3 +664,67 @@ def test_member_range_mixed_parents_rejected(engine):
             .rows()
             .member_range("[Time].[1995].[Q1]", "[Time].[1996].[Q2]")
         )
+
+
+def test_strtoset(engine):
+    """StrToSet("{…}") builds the set at parse time (StrToSetFunDef)."""
+    r = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "StrToSet('{[Customer].[ASIA], [Customer].[EUROPE]}') ON ROWS FROM [Sales]",
+    )
+    assert {x["region_name"] for x in r.df.collect()} == {"ASIA", "EUROPE"}
+
+
+def test_csv_export(engine, tmp_path):
+    """CSV sink: Result DataFrames round-trip through Spark's CSV writer
+    (SURVEY.md §2.1 CSV export)."""
+    r = (
+        Query(engine)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].[Region].Members")
+        .execute()
+    )
+    out = str(tmp_path / "regions_csv")
+    r.df.write.option("header", True).csv(out)
+    back = r.df.sparkSession.read.option("header", True).csv(out)
+    assert back.count() == 5
+    assert set(back.columns) == {"region_name", "sum_qty"}
+
+
+def test_with_set_function_form(engine):
+    """WITH SET holding a set FUNCTION (query_test.rb:706-731 shapes):
+    the named set expands with its operations on reference."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH SET TopNations AS 'TOPCOUNT([Customer].[Nation].Members, 3, [Measures].[Sum Price])'
+        SELECT [Measures].[Sum Price] ON COLUMNS, TopNations ON ROWS
+        FROM [Sales]
+        """,
+    )
+    assert r.df.count() == 3
+
+
+def test_default_member(engine):
+    """[Dim].DefaultMember → first member in hierarchy order."""
+    r = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "[Customer].DefaultMember ON ROWS FROM [Sales]",
+    )
+    rows = r.df.collect()
+    assert len(rows) == 1 and rows[0]["region_name"] == "AFRICA"
+
+
+def test_with_set_itemset(engine):
+    """WITH SET … Item(0) over AllMembers (query_test.rb ItemSet shape)."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH SET FirstRegion AS '{[Customer].[Region].Members.Item(0)}'
+        SELECT [Measures].[Sum Qty] ON COLUMNS, FirstRegion ON ROWS FROM [Sales]
+        """,
+    )
+    rows = r.df.collect()
+    assert len(rows) == 1 and rows[0]["region_name"] == "AFRICA"

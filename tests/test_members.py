@@ -70,3 +70,26 @@ def test_resolve_member_path():
 def test_resolve_too_deep():
     with pytest.raises(MemberParseError):
         resolve(SALES_CUBE, "[ReturnFlag].[A].[B].[C]")
+
+
+def test_format_ref_roundtrip():
+    """format_ref is the inverse of resolve (SetToStr building block)."""
+    from mondrian_olap_spark.members import format_ref, set_to_str, tuple_to_str
+
+    for ident in (
+        "[Customer].[EUROPE]",
+        "[Customer].[EUROPE].[NATION_13]",
+        "[Customer].[EUROPE].children",
+        "[Customer].[Nation].Members",
+    ):
+        ref = resolve(SALES_CUBE, ident)
+        assert resolve(SALES_CUBE, format_ref(ref)) == ref
+
+    refs = [
+        resolve(SALES_CUBE, "[Customer].[ASIA]"),
+        resolve(SALES_CUBE, "[Customer].[EUROPE]"),
+    ]
+    assert set_to_str(refs) == "{[Customer].[ASIA], [Customer].[EUROPE]}"
+    assert tuple_to_str(
+        [resolve(SALES_CUBE, "[Customer].[ASIA]"), resolve(SALES_CUBE, "[Time].[1995]")]
+    ) == "([Customer].[ASIA], [Time].[1995])"
