@@ -88,6 +88,10 @@ _SET_FUNCTIONS = {
     "tail",
     "subset",
     "generate",
+    "drilldownmember",
+    "drilldownlevel",
+    "drilldownleveltop",
+    "drilldownlevelbottom",
 }
 
 _AXIS_NAMES = {"columns": 0, "rows": 1, "pages": 2, "chapters": 3, "sections": 4}
@@ -106,6 +110,27 @@ class MdxParser:
         self.q = Query(engine)
         self.params = dict(parameters or {})
         self.defined_params: dict[str, object] = {}
+        # schema-declared parameters: type + modifiability enforced on
+        # user-supplied values (schema.rb:515-524;
+        # test/schema_definition_test.rb:1298-1427)
+        for pname, pval in self.params.items():
+            decl = None
+            lookup = getattr(engine, "parameter", None)
+            if callable(lookup):
+                decl = lookup(pname)
+            if decl is not None:
+                if not decl.modifiable:
+                    raise MdxError(
+                        f"parameter {pname!r} is not modifiable"
+                    )
+                try:
+                    decl.check_value(pval)
+                except TypeError as e:
+                    raise MdxError(str(e)) from None
+            self.defined_params.setdefault(pname, pval)
+        for decl in getattr(engine, "parameters", ()):
+            if decl.default_value is not None:
+                self.defined_params.setdefault(decl.name, decl.default_value)
         #: WITH SET definitions including set-function ops — referenced by
         #: bare name on axes (query_test.rb:706-731 WITH SET clause)
         self.named_sets: dict[str, "_SetBuild"] = {}
@@ -329,6 +354,13 @@ class MdxParser:
             q.generate(*d[1], all=d[2])
         elif k == "range":
             q.member_range(d[1], d[2])
+        elif k == "drilldown_member":
+            for m in d[1]:
+                q.drilldown(m)
+        elif k == "drilldown_level":
+            q.drilldown_level()
+        elif k == "drilldown_level_top":
+            q.drilldown_level_top(d[1], d[2], side=d[3])
         else:  # pragma: no cover - parser and applier move together
             raise MdxError(f"unknown set operation {k!r}")
 
@@ -553,6 +585,49 @@ class MdxParser:
                 count = int(self.next().text)
             self.expect_op(")")
             inner.ops.append(("slice", start, count, False))
+            return inner
+        if fname == "drilldownmember":
+            # DRILLDOWNMEMBER(set1, set2) — drill set2's members within set1
+            self.expect_op(",")
+            right = self.parse_set()
+            self.expect_op(")")
+            inner.ops.append(("drilldown_member", list(right.base)))
+            return inner
+        if fname in ("drilldownlevel", "drilldownleveltop", "drilldownlevelbottom"):
+            n = None
+            expr = None
+            while self.at_op(","):
+                self.next()
+                if self.at_op(","):
+                    continue  # empty optional-argument slot
+                if self.at_op(")"):
+                    break
+                if n is None and fname != "drilldownlevel":
+                    n = int(self.next().text)
+                    continue
+                # a [Dim].[Level] reference is the optional level argument —
+                # implicit here (the drill always goes one level below the
+                # set); anything else is the ranking expression
+                save = self.i
+                try:
+                    segs = self.parse_identifier_segments()
+                    from .members import resolve_level
+
+                    resolve_level(
+                        self.cube, ".".join(quote_segment(s) for s in segs)
+                    )
+                    continue
+                except Exception:
+                    self.i = save
+                    expr = self.parse_value_expression()
+            self.expect_op(")")
+            if fname == "drilldownlevel":
+                inner.ops.append(("drilldown_level",))
+            else:
+                if n is None:
+                    raise MdxError(f"{fname.upper()} needs a count argument")
+                side = "top" if fname == "drilldownleveltop" else "bottom"
+                inner.ops.append(("drilldown_level_top", n, expr, side))
             return inner
         if fname == "generate":
             # GENERATE(set1, set2[, ALL]) — set2 may reference CurrentMember

@@ -253,15 +253,66 @@ class Cube:
 
 
 @dataclass(frozen=True)
+class Parameter:
+    """Schema-level parameter declaration (schema.rb:515-524): typed,
+    optionally non-modifiable, with a default value.  Referenced in queries
+    via ``ParamRef('name')`` / ``Parameter('name', TYPE, default)``;
+    supplying a value for a non-modifiable parameter, or a value of the
+    wrong type, is rejected at execute time
+    (test/schema_definition_test.rb:1298-1427)."""
+
+    name: str
+    type: str = "String"  # String | Numeric | Integer | Boolean
+    modifiable: bool = True
+    default_value: object = None
+    description: str | None = None
+
+    VALID_TYPES = ("String", "Numeric", "Integer", "Boolean")
+
+    def __post_init__(self) -> None:
+        if self.type.capitalize() not in self.VALID_TYPES:
+            raise ValueError(
+                f"parameter {self.name!r}: type must be one of "
+                f"{self.VALID_TYPES}, got {self.type!r}"
+            )
+
+    def check_value(self, value) -> None:
+        t = self.type.capitalize()
+        ok = (
+            isinstance(value, str)
+            if t == "String"
+            else isinstance(value, bool)
+            if t == "Boolean"
+            else isinstance(value, int) and not isinstance(value, bool)
+            if t == "Integer"
+            else isinstance(value, (int, float)) and not isinstance(value, bool)
+        )
+        if not ok:
+            raise TypeError(
+                f"parameter {self.name!r} is {t}; got {type(value).__name__} "
+                f"value {value!r}"
+            )
+
+
+@dataclass(frozen=True)
 class Schema:
-    """Root catalog: named cubes (+ future: shared dims, virtual cubes,
-    roles, parameters — schema.rb:53-54)."""
+    """Root catalog: named cubes + typed parameters (schema.rb:53-54,
+    515-524)."""
 
     name: str
     cubes: tuple[Cube, ...] = ()
+    parameters: tuple[Parameter, ...] = ()
 
     def cube(self, name: str) -> Cube:
         for c in self.cubes:
             if c.name.lower() == name.lower():
                 return c
         raise KeyError(f"schema {self.name!r} has no cube {name!r}")
+
+    def parameter(self, name: str) -> Parameter | None:
+        """Parameter definition lookup — ``mondrian_parameter`` analog
+        (connection.rb parameter access; None for unknown names)."""
+        for p in self.parameters:
+            if p.name.lower() == name.lower():
+                return p
+        return None

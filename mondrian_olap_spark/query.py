@@ -464,7 +464,63 @@ class Query:
                 f"drilldown: {ref.dimension.name} has no level below "
                 f"{ref.dimension.levels[ref.depth].name}"
             )
-        self._drilldowns.append(ref)
+        self._drilldowns.append((ref, None))
+        return self
+
+    def drilldown_level_top(
+        self, n: int, expr: str | None = None, member: str | None = None,
+        side: str = "top",
+    ) -> "Query":
+        """DrilldownLevelTop/Bottom (jar!mondrian/olap/fun/
+        DrilldownLevelTopBottomFunDef): drill the axis's members one level
+        down but keep only each parent's top/bottom ``n`` children by
+        ``expr``.  With ``member``, drills that member only (the
+        DrilldownMember top-n variant); otherwise every member of the
+        current axis's last set drills."""
+        if side not in ("top", "bottom"):
+            raise QueryError(f"side must be top|bottom, got {side!r}")
+        if member is not None:
+            ref = self._resolve(member)
+            if isinstance(ref, MeasureRef) or not ref.path:
+                raise QueryError("drilldown_level_top needs a full member path")
+        else:
+            ax = self._axis()
+            sets = [s for s in ax.sets]
+            if not sets:
+                raise QueryError("drilldown_level_top needs a set on the axis")
+            ref = sets[-1]
+        if ref.depth + 1 >= len(ref.dimension.levels):
+            raise QueryError(
+                f"drilldown_level_top: {ref.dimension.name} has no level "
+                f"below {ref.dimension.levels[ref.depth].name}"
+            )
+        self._drilldowns.append((ref, (int(n), expr, side)))
+        return self
+
+    def drilldown_level_bottom(
+        self, n: int, expr: str | None = None, member: str | None = None
+    ) -> "Query":
+        return self.drilldown_level_top(n, expr, member, side="bottom")
+
+    def drilldown_level(self, member: str | None = None) -> "Query":
+        """DrilldownLevel (jar!mondrian/olap/fun/DrilldownLevelFunDef):
+        drill the axis's members (or ``member``) one level down with no
+        top-n cap — all children union on beneath their parents."""
+        if member is not None:
+            ref = self._resolve(member)
+            if isinstance(ref, MeasureRef) or not ref.path:
+                raise QueryError("drilldown_level needs a full member path")
+        else:
+            ax = self._axis()
+            if not ax.sets:
+                raise QueryError("drilldown_level needs a set on the axis")
+            ref = ax.sets[-1]
+        if ref.depth + 1 >= len(ref.dimension.levels):
+            raise QueryError(
+                f"drilldown_level: {ref.dimension.name} has no level below "
+                f"{ref.dimension.levels[ref.depth].name}"
+            )
+        self._drilldowns.append((ref, None))
         return self
 
     def with_dimension_member(self, name: str, *members: str) -> "Query":
@@ -634,8 +690,8 @@ class Query:
             df = df.unionByName(synth.select(*df.columns))
         for dm in self._dim_members:
             df = self._union_dimension_member(planner, df, axes, measures, group_cols, dm)
-        for ref in self._drilldowns:
-            df = self._union_drilldown(planner, df, axes, measures, ref)
+        for ref, limit in self._drilldowns:
+            df = self._union_drilldown(planner, df, axes, measures, ref, limit)
         sort_spec: list = []
         measure_outs = [m.out for m in measures]
         for ax in axes:
@@ -772,15 +828,21 @@ class Query:
             out_cols.append(F.expr(expr).alias(m.out))
         return piv.select(*out_cols)
 
-    def _union_drilldown(self, planner, df, axes, measures, ref):
+    def _union_drilldown(self, planner, df, axes, measures, ref, limit=None):
         """Append the drilled member's children as extra rows: same axes but
         the target dimension grouped one level deeper under the member's
-        path; parent rows get NULL in the new child column."""
+        path; parent rows get NULL in the new child column.  ``limit``
+        (n, expr, side) keeps only each parent's top/bottom-n children —
+        one window over the (small) child grid, partitioned by parent."""
         dim = ref.dimension
         if ref.depth + 1 >= len(dim.levels):
             raise QueryError(f"drilldown: {dim.name} has no level below depth {ref.depth}")
         child_ref = MemberSetRef(
-            dim, depth=ref.depth + 1, path=ref.path, kind="children"
+            dim,
+            depth=ref.depth + 1,
+            path=ref.path,
+            kind="children" if ref.kind == "member" else ref.kind,
+            ordinal_range=ref.ordinal_range,
         )
         child_out = dim.levels[ref.depth + 1].out
         synth_axes = []
@@ -800,6 +862,17 @@ class Query:
                 f"drilldown member's dimension {dim.name!r} is not on any axis"
             )
         synth, _ = planner.aggregate(synth_axes, list(self._slicer), measures)
+        if limit is not None:
+            n, expr, side = limit
+            key = F.expr(expr) if expr else F.col(child_out)
+            order = key.desc() if side == "top" else key.asc()
+            parents = [dim.levels[i].out for i in range(ref.depth + 1)]
+            w = Window.partitionBy(*parents).orderBy(order, F.col(child_out))
+            synth = (
+                synth.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= n)
+                .drop("__rn")
+            )
         if child_out not in df.columns:
             # NULL parent cells typed like the child level column
             child_type = dict(synth.dtypes)[child_out]

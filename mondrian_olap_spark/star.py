@@ -102,9 +102,16 @@ class CubeEngine:
     expressions) and one :class:`DimView` per table dimension.
     """
 
-    def __init__(self, cube: Cube, tables: Mapping[str, DataFrame]):
+    def __init__(
+        self,
+        cube: Cube,
+        tables: Mapping[str, DataFrame],
+        parameters: tuple = (),
+    ):
         self.cube = cube
         self.tables = tables
+        #: schema-declared typed parameters (schema.rb:515-524)
+        self.parameters = tuple(parameters)
         fact = tables[cube.fact]
         if cube.fact_filter:
             # Table-element inline WHERE (schema.rb:71-79)
@@ -173,6 +180,14 @@ class CubeEngine:
 
         refs = [resolve(self.cube, m) for m in members]
         return self.cache.flush_region(refs)
+
+    def parameter(self, name: str):
+        """Schema parameter definition lookup (``mondrian_parameter`` —
+        connection.rb; None for unknown names)."""
+        for p in self.parameters:
+            if p.name.lower() == name.lower():
+                return p
+        return None
 
     def execute(self, mdx: str, parameters: dict | None = None):
         """Execute an MDX string — entry point A
@@ -400,4 +415,4 @@ def engine_from_parquet(
             for link in d.joins:
                 names.add(link.table)
     tables = {n: read_parquet_table(spark, f"{data_dir}/{n}.parquet") for n in names}
-    return CubeEngine(cube, tables)
+    return CubeEngine(cube, tables, parameters=schema.parameters)

@@ -1595,6 +1595,35 @@ def dimension_calc_member_mdx(spark, sf_dir):
 
 
 @q(
+    "drilldown_level_top",
+    f"""
+    WITH star AS (SELECT r_name, n_name, l_quantity FROM {_CUST_STAR})
+    SELECT r_name AS region_name, CAST(NULL AS VARCHAR) AS nation_name,
+           sum(l_quantity) AS sum_qty
+    FROM star GROUP BY 1
+    UNION ALL
+    SELECT region_name, nation_name, sum_qty FROM (
+      SELECT r_name AS region_name, n_name AS nation_name,
+             sum(l_quantity) AS sum_qty,
+             row_number() OVER (PARTITION BY r_name
+                                ORDER BY sum(l_quantity) DESC, n_name) AS rn
+      FROM star GROUP BY 1, 2
+    ) WHERE rn <= 2
+    """,
+)
+def drilldown_level_top(spark, sf_dir):
+    """DrilldownLevelTop: every region plus its top-2 nations by Sum Qty
+    (jar!mondrian/olap/fun/DrilldownLevelTopBottomFunDef), from MDX text
+    with the empty optional-level slot."""
+    eng = get_engine(spark, sf_dir)
+    return eng.execute(
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "DRILLDOWNLEVELTOP([Customer].[Region].Members, 2, , [Measures].[Sum Qty]) ON ROWS "
+        "FROM [Sales]"
+    ).df
+
+
+@q(
     "dimension_formula_member",
     f"""
     WITH star AS (

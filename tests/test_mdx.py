@@ -728,3 +728,55 @@ def test_with_set_itemset(engine):
     )
     rows = r.df.collect()
     assert len(rows) == 1 and rows[0]["region_name"] == "AFRICA"
+
+
+def test_schema_parameters(spark):
+    """Schema-declared typed parameters (schema.rb:515-524;
+    schema_definition_test.rb:1298-1427): defaults via ParamRef, modifiable
+    overrides, non-modifiable and wrong-type rejection, definition lookup."""
+    import dataclasses
+
+    from mondrian_olap_spark.model import Parameter
+    from mondrian_olap_spark.star import engine_from_parquet
+    from mondrian_olap_spark.tpch import SCHEMA
+
+    from .conftest import SF_DIR
+
+    schema = dataclasses.replace(
+        SCHEMA,
+        parameters=(
+            Parameter("Scale Factor", type="Numeric", default_value=2),
+            Parameter("Fixed User", type="String", modifiable=False,
+                      default_value="default"),
+        ),
+    )
+    eng = engine_from_parquet(spark, schema, "Sales", SF_DIR)
+    mdx = (
+        "WITH MEMBER [Measures].[Scaled] AS "
+        "'[Measures].[Sum Qty] * ParamRef(\"Scale Factor\")' "
+        "SELECT {[Measures].[Sum Qty], [Measures].[Scaled]} ON COLUMNS FROM [Sales]"
+    )
+    row = eng.execute(mdx).df.collect()[0]
+    assert row["scaled"] == row["sum_qty"] * 2  # schema default
+    row = eng.execute(mdx, parameters={"Scale Factor": 5}).df.collect()[0]
+    assert row["scaled"] == row["sum_qty"] * 5  # modifiable override
+    with pytest.raises(MdxError, match="not modifiable"):
+        eng.execute(mdx, parameters={"Fixed User": "someone"})
+    with pytest.raises(MdxError, match="Numeric"):
+        eng.execute(mdx, parameters={"Scale Factor": "ten"})
+    p = eng.parameter("Fixed User")
+    assert p is not None and not p.modifiable and p.type == "String"
+    assert eng.parameter("Nope") is None
+
+
+def test_parameter_type_validation():
+    from mondrian_olap_spark.model import Parameter
+
+    with pytest.raises(ValueError, match="type"):
+        Parameter("Bad", type="Fancy")
+    p = Parameter("N", type="Integer")
+    p.check_value(3)
+    with pytest.raises(TypeError):
+        p.check_value(3.5)
+    with pytest.raises(TypeError):
+        p.check_value(True)  # bool is not an Integer parameter value

@@ -704,3 +704,70 @@ def test_drilldown_requires_axis_dimension(engine):
             .drilldown("[Customer].[ASIA]")
             .execute()
         )
+
+
+def test_drilldown_level_top(engine, duck):
+    """DrilldownLevelTop: every region plus its top-2 nations by Sum Qty
+    (jar!mondrian/olap/fun/DrilldownLevelTopBottomFunDef)."""
+    r = (
+        q(engine)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].[Region].Members")
+        .drilldown_level_top(2, "sum_qty")
+        .execute()
+    )
+    assert_df_matches_sql(
+        r.df,
+        duck,
+        """
+        WITH star AS (
+          SELECT r_name, n_name, l_quantity
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        )
+        SELECT r_name AS region_name, CAST(NULL AS VARCHAR) AS nation_name,
+               sum(l_quantity) AS sum_qty
+        FROM star GROUP BY 1
+        UNION ALL
+        SELECT region_name, nation_name, sum_qty FROM (
+          SELECT r_name AS region_name, n_name AS nation_name,
+                 sum(l_quantity) AS sum_qty,
+                 row_number() OVER (PARTITION BY r_name
+                                    ORDER BY sum(l_quantity) DESC, n_name) AS rn
+          FROM star GROUP BY 1, 2
+        ) WHERE rn <= 2
+        """,
+        rel_tol=1e-6,
+    )
+
+
+def test_drilldown_level_all_children(engine):
+    """DrilldownLevel without a cap: regions plus every nation."""
+    r = (
+        q(engine)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].[Region].Members")
+        .drilldown_level()
+        .execute()
+    )
+    rows = r.df.collect()
+    parents = [x for x in rows if x["nation_name"] is None]
+    children = [x for x in rows if x["nation_name"] is not None]
+    assert len(parents) == 5 and len(children) == 25
+
+
+def test_drilldown_level_top_mdx(engine):
+    """DRILLDOWNLEVELTOP from MDX text, with the empty level-argument slot."""
+    from mondrian_olap_spark.mdx import execute_mdx
+
+    r = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "DRILLDOWNLEVELTOP([Customer].[Region].Members, 2, , [Measures].[Sum Qty]) ON ROWS "
+        "FROM [Sales]",
+    )
+    rows = r.df.collect()
+    assert len([x for x in rows if x["nation_name"] is None]) == 5
+    assert len([x for x in rows if x["nation_name"] is not None]) == 10
