@@ -468,6 +468,19 @@ class MdxParser:
             return _SetBuild(
                 base=list(sb0.base), ops=list(sb0.ops), set_ops=list(sb0.set_ops)
             )
+        if t is not None and t.kind == "word":
+            from .udf import set_function
+
+            fn = set_function(t.text)
+            nxt = self.peek(1)
+            if fn is not None and nxt is not None and nxt.text == "(":
+                # registered set-valued UDF: MySet() — evaluated against
+                # the engine at parse/plan time (call_with_evaluator)
+                self.next()
+                self.expect_op("(")
+                self.expect_op(")")
+                members = fn(self.engine)
+                return _SetBuild(base=list(members))
         if t is not None and t.kind == "word" and t.text.lower() == "strtoset":
             # StrToSet("…") — runtime set construction from a string
             # (jar!mondrian/olap/fun/StrToSetFunDef; SURVEY.md §2.6)

@@ -74,6 +74,10 @@ class Level:
     #: key column — schema.rb:176-190 name_column/caption_column and
     #: CaptionExpression :248-270); surfaces as ``<out>_caption``
     caption: str | None = None
+    #: Python MEMBER FORMATTER (schema_udf.rb:241-249 MemberFormatter —
+    #: a callable ``value -> display string`` applied to the caption
+    #: source, Arrow-batched as a pandas UDF, never per-row Python)
+    formatter: object | None = None
 
     @property
     def out(self) -> str:

@@ -82,13 +82,26 @@ class Query:
         self._drilldowns: list[MemberSetRef] = []
 
     # -- axes ----------------------------------------------------------
-    def axis(self, i: int, *members: str) -> "Query":
+    def axis(self, i: int, *members) -> "Query":
         ax = self._axes.setdefault(i, _Axis())
-        # splice named-set references ([SetName] -> its member list)
+        # splice named-set references ([SetName] -> its member list) and
+        # evaluate set-valued UDFs (callables receiving the engine at
+        # planning time — the call_with_evaluator surface, udf.py)
         expanded: list[str] = []
         for m in members:
             from .members import parse_identifier
 
+            if callable(m):
+                out = m(self.engine)
+                if not isinstance(out, (list, tuple)) or not all(
+                    isinstance(x, str) for x in out
+                ):
+                    raise QueryError(
+                        "set-valued function must return a list of member "
+                        "identifier strings"
+                    )
+                expanded.extend(out)
+                continue
             try:
                 segs = parse_identifier(m)
             except Exception:

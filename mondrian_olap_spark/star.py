@@ -38,6 +38,27 @@ def _ordinal_out(dim: Dimension, level) -> str:
     return f"__ord_{level.out}"
 
 
+def _caption_col(lv) -> "F.Column":
+    """Display caption source for a level: the caption expression (or the
+    key column), optionally passed through a Python MEMBER FORMATTER as an
+    Arrow-batched pandas UDF (schema_udf.rb:241-249 MemberFormatter — the
+    only Python-in-the-loop path for member display, never per-row)."""
+    src = F.expr(lv.caption) if lv.caption else F.expr(lv.column)
+    if lv.formatter is None:
+        return src
+    fmt = lv.formatter
+
+    @F.pandas_udf("string")
+    def _apply(s):
+        return s.map(lambda v: None if v is None else str(fmt(v)))
+
+    return _apply(src.cast("string"))
+
+
+def _has_caption(lv) -> bool:
+    return lv.caption is not None or lv.formatter is not None
+
+
 class DimView:
     """A pre-joined snowflake dimension view.
 
@@ -63,8 +84,8 @@ class DimView:
         for lv in dim.levels:
             level_cols.append(F.expr(lv.column).alias(lv.out))
             level_cols.append(F.expr(lv.ordinal_expr).alias(_ordinal_out(dim, lv)))
-            if lv.caption:
-                level_cols.append(F.expr(lv.caption).alias(f"{lv.out}_caption"))
+            if _has_caption(lv):
+                level_cols.append(_caption_col(lv).alias(f"{lv.out}_caption"))
             for pname, pexpr in lv.properties:
                 level_cols.append(F.expr(pexpr).alias(pname))
         self.df = base.select(*cols, *level_cols)
@@ -248,7 +269,7 @@ class CubeEngine:
         props = []
         if include_properties:
             props = [p for lv in levels for p, _ in lv.properties]
-            props += [f"{lv.out}_caption" for lv in levels if lv.caption]
+            props += [f"{lv.out}_caption" for lv in levels if _has_caption(lv)]
         if dim.degenerate:
             df = self.fact
             sel = [F.col(o) for o in outs] + [
@@ -256,8 +277,8 @@ class CubeEngine:
             ]
             if include_properties:
                 for lv in levels:
-                    if lv.caption:
-                        sel.append(F.expr(lv.caption).alias(f"{lv.out}_caption"))
+                    if _has_caption(lv):
+                        sel.append(_caption_col(lv).alias(f"{lv.out}_caption"))
                     for pname, pexpr in lv.properties:
                         sel.append(F.expr(pexpr).alias(pname))
             df = df.select(*sel)

@@ -66,3 +66,23 @@ def registered_functions(spark: SparkSession) -> set[str]:
 
 def _session_key(spark: SparkSession) -> str:
     return str(id(spark))
+
+
+#: set-valued UDFs: name → callable(engine) -> list[member identifier]
+#: (the ``call_with_evaluator`` surface, schema_udf.rb:120-180 — evaluated
+#: at PLANNING time against the engine, like Mondrian evaluator access;
+#: the returned identifiers resolve through the normal member machinery so
+#: the set itself never leaves the plan)
+_SET_VALUED: dict[str, Callable] = {}
+
+
+def register_set_function(name: str, fn: Callable) -> None:
+    """Register a set-valued UDF: ``fn(engine) -> list[str]`` of member
+    identifiers.  Usable as a builder axis element
+    (``.rows(set_function('name'))``) or called by name in MDX
+    (``MySet() ON ROWS``)."""
+    _SET_VALUED[name.lower()] = fn
+
+
+def set_function(name: str) -> Callable | None:
+    return _SET_VALUED.get(name.lower())

@@ -62,3 +62,66 @@ def test_cell_formatter(engine):
     )
     for row in r.formatted_values:
         assert row[0].startswith("<") and row[0].endswith(">")
+
+
+def test_set_valued_udf_builder(engine):
+    """Set-valued UDF (call_with_evaluator analog, schema_udf.rb:120-180):
+    a callable receives the engine at planning time and returns member
+    identifiers — usable directly as an axis element."""
+    from mondrian_olap_spark.query import Query
+    from mondrian_olap_spark.udf import register_set_function, set_function
+
+    def top_two_regions(eng):
+        rows = eng.level_members("Customer", 0).limit(2).collect()
+        return [f"[Customer].[{r['region_name']}]" for r in rows]
+
+    register_set_function("TopTwoRegions", top_two_regions)
+    r = (
+        Query(engine)
+        .columns("[Measures].[Sum Qty]")
+        .rows(set_function("TopTwoRegions"))
+        .execute()
+    )
+    assert {x["region_name"] for x in r.df.collect()} == {"AFRICA", "AMERICA"}
+
+
+def test_set_valued_udf_mdx(engine):
+    """Registered set-valued UDFs are callable by name in MDX text."""
+    from mondrian_olap_spark.udf import register_set_function
+
+    register_set_function(
+        "AsiaEurope", lambda eng: ["[Customer].[ASIA]", "[Customer].[EUROPE]"]
+    )
+    r = engine.execute(
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, AsiaEurope() ON ROWS FROM [Sales]"
+    )
+    assert {x["region_name"] for x in r.df.collect()} == {"ASIA", "EUROPE"}
+
+
+def test_member_formatter_callable(spark):
+    """Python MEMBER FORMATTER on a level (schema_udf.rb:241-249): applied
+    to the caption column as an Arrow-batched pandas UDF."""
+    import dataclasses
+
+    from mondrian_olap_spark.star import engine_from_parquet
+    from mondrian_olap_spark.tpch import SCHEMA
+
+    from .conftest import SF_DIR
+
+    sales = SCHEMA.cube("Sales")
+    cust = sales.dimension("Customer")
+    lv0 = dataclasses.replace(cust.levels[0], formatter=lambda v: v.title())
+    cust2 = dataclasses.replace(cust, levels=(lv0,) + cust.levels[1:])
+    sales2 = dataclasses.replace(
+        sales,
+        dimensions=tuple(
+            cust2 if d.name == "Customer" else d for d in sales.dimensions
+        ),
+    )
+    schema2 = dataclasses.replace(
+        SCHEMA, cubes=tuple(sales2 if c.name == "Sales" else c for c in SCHEMA.cubes)
+    )
+    eng = engine_from_parquet(spark, schema2, "Sales", SF_DIR)
+    rows = eng.level_members("Customer", 0, include_properties=True).collect()
+    caps = {r["region_name"]: r["region_name_caption"] for r in rows}
+    assert caps["AFRICA"] == "Africa" and caps["MIDDLE EAST"] == "Middle East"
