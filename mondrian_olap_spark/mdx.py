@@ -92,6 +92,7 @@ _SET_FUNCTIONS = {
     "drilldownlevel",
     "drilldownleveltop",
     "drilldownlevelbottom",
+    "exists",
 }
 
 _AXIS_NAMES = {"columns": 0, "rows": 1, "pages": 2, "chapters": 3, "sections": 4}
@@ -346,6 +347,8 @@ class MdxParser:
                 q.subset(start, count)
         elif k == "except":
             q.except_(*d[1])
+        elif k == "exists":
+            q.exists_(*d[1])
         elif k == "distinct":
             q.distinct()
         elif k == "hierarchize":
@@ -659,6 +662,13 @@ class MdxParser:
             right = self.parse_set()
             self.expect_op(")")
             inner.ops.append(("except", list(right.base)))
+            return inner
+        if fname == "exists":
+            # EXISTS(set1, set2) — set1 members sharing fact rows with set2
+            self.expect_op(",")
+            right = self.parse_set()
+            self.expect_op(")")
+            inner.ops.append(("exists", list(right.base)))
             return inner
         if fname == "distinct":
             self.expect_op(")")

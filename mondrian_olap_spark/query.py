@@ -424,6 +424,22 @@ class Query:
         """HEAD/TAIL/SUBSET/Item(i) as a nested set argument."""
         return self._subselect(members, ("slice", start, count, from_end))
 
+    def exists_(self, *within: str) -> "Query":
+        """EXISTS(set1, set2) (jar!mondrian/olap/fun/ExistsFunDef): keep the
+        axis's members that share fact rows with at least one member of
+        ``within``; measures still aggregate over the UNRESTRICTED context
+        (EXISTS filters the set, not the cells).  Planned as a distinct
+        member lookup under the ``within`` slice + broadcast semi-join."""
+        refs2 = [self._resolve(m) for m in within]
+        if not refs2 or any(isinstance(r, MeasureRef) for r in refs2):
+            raise QueryError("exists_ takes dimension members")
+        ax = self._axis()
+        if not ax.sets:
+            raise QueryError("exists_ needs a set on the current axis")
+        ax.mods.append(("subselect", list(ax.sets), ("exists", refs2)))
+        ax.display_ops.append(("EXISTS", list(within)))
+        return self
+
     def hierarchize(self, post: bool = False) -> "Query":
         self._axis().mods.append(("hierarchize", post))
         self._axis().display_ops.append(("hierarchize", post))
@@ -1139,8 +1155,9 @@ class Query:
         planner = Planner(self.engine)
         kind = desc[0]
         expr = desc[1] if kind == "filter" else (desc[4] if kind == "topbottom" else None)
+        extra_slice = list(desc[1]) if kind == "exists" else []
         sub, sub_group = planner.aggregate(
-            [list(refs)], self._slicer, self._measures_in(expr)
+            [list(refs)], list(self._slicer) + extra_slice, self._measures_in(expr)
         )
         keys = [F.col(c) for c in sub_group]
         if kind == "filter":

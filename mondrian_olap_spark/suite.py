@@ -1395,6 +1395,35 @@ def nested_filter_crossjoin(spark, sf_dir):
 
 
 @q(
+    "exists_customers_q1",
+    f"""
+    WITH star AS (
+      SELECT r_name, n_name, c_name, l_quantity, o_orderdate FROM {_CUST_STAR}
+    )
+    SELECT r_name AS region_name, n_name AS nation_name,
+           c_name AS customer_name, sum(l_quantity) AS sum_qty
+    FROM star
+    WHERE c_name IN (
+      SELECT DISTINCT c_name FROM star
+      WHERE year(o_orderdate) = 1995 AND 'Q' || quarter(o_orderdate) = 'Q1'
+    )
+    GROUP BY 1, 2, 3
+    """,
+)
+def exists_customers_q1(spark, sf_dir):
+    """EXISTS(set1, set2) as an explicit operator
+    (jar!mondrian/olap/fun/ExistsFunDef): customers with any Q1-1995 fact
+    rows — the member set filters, the measures aggregate over ALL time.
+    Planned as a distinct member lookup + broadcast semi-join, from MDX."""
+    eng = get_engine(spark, sf_dir)
+    return eng.execute(
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "EXISTS([Customer].[Customer].Members, {[Time].[1995].[Q1]}) ON ROWS "
+        "FROM [Sales]"
+    ).df
+
+
+@q(
     "mixed_depth_axis",
     f"""
     SELECT r_name AS region_name, CAST(NULL AS VARCHAR) AS nation_name,

@@ -771,3 +771,58 @@ def test_drilldown_level_top_mdx(engine):
     rows = r.df.collect()
     assert len([x for x in rows if x["nation_name"] is None]) == 5
     assert len([x for x in rows if x["nation_name"] is not None]) == 10
+
+
+def test_exists_filters_set_not_cells(engine, duck):
+    """EXISTS(set1, set2) keeps set1 members sharing fact rows with set2;
+    measures still aggregate over the UNRESTRICTED context
+    (jar!mondrian/olap/fun/ExistsFunDef)."""
+    r = (
+        q(engine)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].[Customer].Members")
+        .exists_("[Time].[1995].[Q1]")
+        .execute()
+    )
+    assert_df_matches_sql(
+        r.df,
+        duck,
+        """
+        WITH star AS (
+          SELECT r_name, n_name, c_name, l_quantity, o_orderdate
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        )
+        SELECT r_name AS region_name, n_name AS nation_name,
+               c_name AS customer_name, sum(l_quantity) AS sum_qty
+        FROM star
+        WHERE c_name IN (
+          SELECT DISTINCT c_name FROM star
+          WHERE year(o_orderdate) = 1995 AND 'Q' || quarter(o_orderdate) = 'Q1'
+        )
+        GROUP BY 1, 2, 3
+        """,
+        rel_tol=1e-6,
+    )
+
+
+def test_exists_mdx(engine):
+    """EXISTS parses from MDX text and matches the builder."""
+    from mondrian_olap_spark.mdx import execute_mdx
+
+    r1 = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "EXISTS([Customer].[Customer].Members, {[Time].[1995].[Q1]}) ON ROWS "
+        "FROM [Sales]",
+    )
+    r2 = (
+        q(engine)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].[Customer].Members")
+        .exists_("[Time].[1995].[Q1]")
+        .execute()
+    )
+    assert sorted(map(tuple, r1.df.collect())) == sorted(map(tuple, r2.df.collect()))
