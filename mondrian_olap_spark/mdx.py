@@ -333,7 +333,7 @@ class MdxParser:
     def _apply_axis_op(q, d):
         k = d[0]
         if k == "filter":
-            q.filter(d[1])
+            q.filter(d[1], as_alias=d[2] if len(d) > 2 else None)
         elif k == "order":
             q.order(d[1], d[2])
         elif k == "topbottom":
@@ -373,6 +373,13 @@ class MdxParser:
     def _apply_set_op(q, members, d):
         k = d[0]
         if k == "filter":
+            if len(d) > 2 and d[2] and re.search(
+                rf"(?i)\[?{re.escape(d[2])}\]?\s*\.\s*CURRENT", d[1]
+            ):
+                raise MdxError(
+                    "set self-references (ALIAS.Current) are only supported "
+                    "in top-level axis FILTERs in this subset"
+                )
             q.filter_set(members, d[1])
         elif k == "topbottom":
             _, side, how, n, expr = d
@@ -469,7 +476,8 @@ class MdxParser:
             self.next()
             sb0 = self.named_sets[_segment(t).lower()]
             return _SetBuild(
-                base=list(sb0.base), ops=list(sb0.ops), set_ops=list(sb0.set_ops)
+                base=list(sb0.base), ops=list(sb0.ops), set_ops=list(sb0.set_ops),
+                alias=_segment(t),
             )
         if t is not None and t.kind == "word":
             from .udf import set_function
@@ -558,10 +566,17 @@ class MdxParser:
             inner.set_ops.extend(right.set_ops)
             return inner
         if fname == "filter":
+            # FILTER(set AS S, cond) names the set for self-reference
+            # (query_test.rb:635-644); a bare named-set argument implicitly
+            # aliases as its own name (NamedSetExpr semantics)
+            alias = inner.alias
+            if self.at_word("as"):
+                self.next()
+                alias = _segment(self.next())
             self.expect_op(",")
             cond = self.parse_value_expression()
             self.expect_op(")")
-            inner.ops.append(("filter", cond))
+            inner.ops.append(("filter", cond, alias))
             return inner
         if fname == "order":
             self.expect_op(",")
@@ -794,6 +809,9 @@ class _SetBuild:
     #: (member-subset, descriptor) pairs from nested set functions —
     #: evaluated set-level (against their own members in the slicer context)
     set_ops: list = None
+    #: named-set name when this build came from one — enables
+    #: ``Name.Current`` self-references in enclosing FILTERs
+    alias: str | None = None
 
     def __post_init__(self):
         if self.ops is None:

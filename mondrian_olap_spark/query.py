@@ -234,9 +234,12 @@ class Query:
     def filter(self, condition: str, as_alias: str | None = None) -> "Query":
         """FILTER with measure conditions = HAVING on the aggregated grid
         (query.rb:80-85; jar!mondrian/olap/fun/FilterFunDef).  ``as_alias``
-        names the set in the serialized MDX (``FILTER(set AS S, …)`` —
-        query.rb options[:as])."""
-        self._axis().mods.append(("filter", condition))
+        names the set for self-referential iteration (``FILTER(set AS S, …)``
+        — query.rb options[:as]; test/query_test.rb:635-644): the condition
+        may then use ``S.Current`` / ``S.CurrentOrdinal`` /
+        ``RANK(S.Current, S[, expr])``, planned as window functions over the
+        axis grid order (never a driver-side iteration)."""
+        self._axis().mods.append(("filter", condition, as_alias))
         self._axis().display_ops.append(("filter", condition, as_alias))
         return self
 
@@ -1054,7 +1057,14 @@ class Query:
             if kind == "nonempty":
                 continue
             if kind == "filter":
-                df = df.filter(F.expr(mod[1]))
+                alias = mod[2] if len(mod) > 2 else None
+                df, cond, drops = self._rewrite_current(
+                    df, mod[1], alias, sort_spec or list(tiebreak),
+                    group_cols, measure_outs or [],
+                )
+                df = df.filter(F.expr(cond))
+                if drops:
+                    df = df.drop(*drops)
             elif kind == "filter_last":
                 # condition applies only to rows of the LAST set; other
                 # sets' rows pass through (query.rb:86-91)
@@ -1130,6 +1140,67 @@ class Query:
                 df, sort_spec = _top_bottom(df, side, how, n, expr, tiebreak)
         return df, sort_spec
 
+
+    def _rewrite_current(self, df: DataFrame, cond: str, alias: str | None,
+                         order: list, group_cols: list[str],
+                         measure_outs: list[str]):
+        """Lower ``ALIAS.Current`` self-references inside a FILTER condition
+        (named-set / ``AS S`` iteration — test/query_test.rb:635-644;
+        jar!mondrian/mdx/NamedSetExpr $Current/$CurrentOrdinal, fun/RankFunDef)
+        to grid-native forms:
+
+        * ``[NOT] ISEMPTY(S.Current)``     → all/any-measure NULL test
+        * ``S.CurrentOrdinal``             → ``row_number() - 1`` over the
+          axis order (the set's iteration order)
+        * ``RANK(S.Current, S, expr)``     → ``rank()`` over ``expr DESC``
+        * ``RANK(S.Current, S)``           → 1-based position in set order
+        * ``S.Current.Name``               → the deepest level's member column
+
+        Everything stays a window over the (axis-sized) grid — no driver
+        iteration, no per-member subqueries."""
+        import re as _re
+
+        if not alias:
+            return df, cond, []
+        a = r"\[?" + _re.escape(alias) + r"\]?"
+        drops: list[str] = []
+
+        def empty_test(neg: bool) -> str:
+            if not measure_outs:
+                return "true" if neg else "false"
+            op, joiner = (" IS NOT NULL", " OR ") if neg else (" IS NULL", " AND ")
+            return "(" + joiner.join(c + op for c in measure_outs) + ")"
+
+        cond = _re.sub(
+            rf"(?i)NOT\s+ISEMPTY\s*\(\s*{a}\s*\.\s*CURRENT\s*\)",
+            lambda m: empty_test(True), cond)
+        cond = _re.sub(
+            rf"(?i)ISEMPTY\s*\(\s*{a}\s*\.\s*CURRENT\s*\)",
+            lambda m: empty_test(False), cond)
+
+        rank_pat = rf"(?i)RANK\s*\(\s*{a}\s*\.\s*CURRENT\s*,\s*{a}\s*(?:,\s*([^)]+?)\s*)?\)"
+        m = _re.search(rank_pat, cond)
+        if m:
+            expr = m.group(1)
+            if expr:
+                # Rank(t, set, expr): position when the set is sorted by expr
+                # descending; ties share a rank (RankFunDef 3-arg form)
+                w = Window.orderBy(F.expr(expr).desc())
+                df = df.withColumn("__set_rank", F.rank().over(w))
+            else:
+                # 2-arg Rank: 1-based position in the set's own order
+                w = Window.orderBy(*order)
+                df = df.withColumn("__set_rank", F.row_number().over(w))
+            cond = _re.sub(rank_pat, "__set_rank", cond)
+            drops.append("__set_rank")
+        if _re.search(rf"(?i){a}\s*\.\s*CURRENTORDINAL", cond):
+            w = Window.orderBy(*order)
+            df = df.withColumn("__set_ordinal", F.row_number().over(w) - F.lit(1))
+            cond = _re.sub(rf"(?i){a}\s*\.\s*CURRENTORDINAL", "__set_ordinal", cond)
+            drops.append("__set_ordinal")
+        cond = _re.sub(
+            rf"(?i){a}\s*\.\s*CURRENT\s*\.\s*NAME", group_cols[-1], cond)
+        return df, cond, drops
 
     def _measures_in(self, expr: str | None):
         """Measures referenced (by output alias) in a condition/sort key."""

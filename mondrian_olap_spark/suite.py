@@ -1738,3 +1738,31 @@ def member_captions_suppliers(spark, sf_dir):
     columns; .Caption accessor §2.7)."""
     eng = get_engine(spark, sf_dir)
     return eng.level_members("Supplier", 1, include_properties=True)
+
+
+@q(
+    "namedset_rank_filter",
+    f"""
+    WITH g AS (
+      SELECT r_name AS region_name, n_name AS nation_name,
+             sum(l_quantity) AS sum_qty
+      FROM {_CUST_STAR} GROUP BY 1, 2
+    )
+    SELECT region_name, nation_name, sum_qty FROM (
+      SELECT g.*, rank() OVER (ORDER BY sum_qty DESC) AS rk FROM g
+    ) WHERE rk <= 5
+    """,
+)
+def namedset_rank_filter(spark, sf_dir):
+    """Named-set self-reference: RANK(NS.Current, NS, expr) inside a FILTER
+    over the same set (query_test.rb:635-644; jar!mondrian/mdx/NamedSetExpr,
+    fun/RankFunDef) — planned as one rank() window over the axis grid."""
+    eng = get_engine(spark, sf_dir)
+    return eng.execute(
+        """
+        WITH SET NS AS '[Customer].[Nation].Members'
+        SELECT [Measures].[Sum Qty] ON COLUMNS,
+               FILTER(NS, RANK(NS.Current, NS, [Measures].[Sum Qty]) <= 5) ON ROWS
+        FROM [Sales]
+        """
+    ).df

@@ -730,6 +730,112 @@ def test_with_set_itemset(engine):
     assert len(rows) == 1 and rows[0]["region_name"] == "AFRICA"
 
 
+def test_namedset_current_ordinal(engine):
+    """NamedSet.CurrentOrdinal self-reference (query_test.rb:635-644;
+    jar!mondrian/mdx/NamedSetExpr): FILTER(NS, NS.CurrentOrdinal < n) ==
+    HEAD(NS, n) in the set's iteration order."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH SET NS AS '[Customer].[Nation].Members'
+        SELECT [Measures].[Sum Qty] ON COLUMNS,
+               FILTER(NS, NS.CurrentOrdinal < 3) ON ROWS
+        FROM [Sales]
+        """,
+    )
+    head = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "HEAD([Customer].[Nation].Members, 3) ON ROWS FROM [Sales]",
+    )
+    assert rows_of(r.df) == rows_of(head.df)
+    assert r.df.count() == 3
+
+
+def test_namedset_rank_self(engine):
+    """RANK(NS.Current, NS, expr) against the set itself == TOPCOUNT by the
+    same expression (fun/RankFunDef 3-arg form)."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH SET NS AS '[Customer].[Nation].Members'
+        SELECT [Measures].[Sum Qty] ON COLUMNS,
+               FILTER(NS, RANK(NS.Current, NS, [Measures].[Sum Qty]) <= 5) ON ROWS
+        FROM [Sales]
+        """,
+    )
+    top = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "TOPCOUNT([Customer].[Nation].Members, 5, [Measures].[Sum Qty]) ON ROWS "
+        "FROM [Sales]",
+    )
+    assert rows_of(r.df) == rows_of(top.df)
+
+
+def test_namedset_rank_positional(engine):
+    """2-arg RANK = 1-based position in the set's own order: keeping
+    rank <= n equals CurrentOrdinal < n."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH SET NS AS '[Customer].[Region].Members'
+        SELECT [Measures].[Sum Qty] ON COLUMNS,
+               FILTER(NS, RANK(NS.Current, NS) <= 2) ON ROWS
+        FROM [Sales]
+        """,
+    )
+    rows = r.df.collect()
+    assert {row["region_name"] for row in rows} == {"AFRICA", "AMERICA"}
+
+
+def test_filter_as_alias_isempty(engine):
+    """FILTER(set AS S, NOT ISEMPTY(S.CURRENT)) — the reference's
+    filter-with-alias golden shape (query_test.rb:635-644), executed."""
+    r = execute_mdx(
+        engine,
+        """
+        SELECT [Measures].[Sum Qty] ON COLUMNS,
+               FILTER([Customer].[Nation].Members AS S, NOT ISEMPTY(S.CURRENT)) ON ROWS
+        FROM [Sales]
+        """,
+    )
+    plain = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "[Customer].[Nation].Members ON ROWS FROM [Sales]",
+    )
+    # default grid is already non-empty by construction → identical sets
+    assert rows_of(r.df) == rows_of(plain.df)
+
+
+def test_builder_filter_alias_current(engine):
+    """Builder filter(cond, as_alias=…) lowers ALIAS.CurrentOrdinal without
+    MDX round-tripping; golden serialization keeps the AS form."""
+    q = (
+        Query(engine)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].[Nation].Members")
+        .filter("S.CurrentOrdinal >= 20", as_alias="S")
+    )
+    assert "FILTER([Customer].[Nation].Members AS S, S.CurrentOrdinal >= 20)" in q.to_mdx()
+    assert q.execute().df.count() == 5  # 25 nations, ordinals 20..24
+
+
+def test_nested_current_reference_rejected(engine):
+    with pytest.raises(MdxError, match="self-references"):
+        execute_mdx(
+            engine,
+            """
+            SELECT [Measures].[Sum Qty] ON COLUMNS,
+                   CROSSJOIN([ReturnFlag].children,
+                             FILTER([Customer].[Region].Members AS S,
+                                    RANK(S.Current, S) <= 2)) ON ROWS
+            FROM [Sales]
+            """,
+        )
+
+
 def test_schema_parameters(spark):
     """Schema-declared typed parameters (schema.rb:515-524;
     schema_definition_test.rb:1298-1427): defaults via ParamRef, modifiable
