@@ -89,6 +89,7 @@ _SET_FUNCTIONS = {
     "subset",
     "generate",
     "drilldownmember",
+    "toggledrillstate",
     "drilldownlevel",
     "drilldownleveltop",
     "drilldownlevelbottom",
@@ -360,6 +361,8 @@ class MdxParser:
         elif k == "drilldown_member":
             for m in d[1]:
                 q.drilldown(m)
+        elif k == "toggle_drill":
+            q.toggle_drill_state(*d[1])
         elif k == "drilldown_level":
             q.drilldown_level()
         elif k == "drilldown_level_top":
@@ -616,6 +619,18 @@ class MdxParser:
                 count = int(self.next().text)
             self.expect_op(")")
             inner.ops.append(("slice", start, count, False))
+            return inner
+        if fname == "toggledrillstate":
+            # TOGGLEDRILLSTATE(set1, set2) — flip each set2 member's drill
+            # state within set1 (ToggleDrillStateFunDef); RECURSIVE flag
+            # accepted (collapse removes the whole drill either way here)
+            self.expect_op(",")
+            right = self.parse_set()
+            if self.at_op(","):
+                self.next()
+                self.expect_word("recursive")
+            self.expect_op(")")
+            inner.ops.append(("toggle_drill", list(right.base)))
             return inner
         if fname == "drilldownmember":
             # DRILLDOWNMEMBER(set1, set2) — drill set2's members within set1

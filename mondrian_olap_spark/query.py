@@ -499,6 +499,30 @@ class Query:
         self._drilldowns.append((ref, None))
         return self
 
+    def toggle_drill_state(self, *members: str) -> "Query":
+        """ToggleDrillState(set, {members}) (jar!mondrian/olap/fun/
+        ToggleDrillStateFunDef): per member — if it is currently drilled
+        (its children were added by an earlier drill of the same member),
+        collapse it by cancelling that drill; otherwise drill it down.
+        This is the batch reading of the interactive toggle: the "state"
+        is the query's own drill list, so
+        ``TOGGLEDRILLSTATE(DRILLDOWNMEMBER(s, {m}), {m})`` returns ``s``."""
+        for member in members:
+            ref = self._resolve(member)
+            if isinstance(ref, MeasureRef) or not ref.path:
+                raise QueryError("toggle_drill_state needs a full member path")
+            existing = [
+                i for i, (r, _lim) in enumerate(self._drilldowns)
+                if r.dimension.name == ref.dimension.name
+                and r.path == ref.path and r.kind == ref.kind
+            ]
+            if existing:
+                for i in reversed(existing):
+                    del self._drilldowns[i]
+            else:
+                self.drilldown(member)
+        return self
+
     def drilldown_level_top(
         self, n: int, expr: str | None = None, member: str | None = None,
         side: str = "top",

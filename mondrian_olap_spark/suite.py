@@ -1766,3 +1766,26 @@ def namedset_rank_filter(spark, sf_dir):
         FROM [Sales]
         """
     ).df
+
+
+@q(
+    "toggle_drill_state_year",
+    f"""
+    SELECT year(o_orderdate) AS o_year, CAST(NULL AS VARCHAR) AS o_quarter,
+           sum(l_quantity) AS sum_qty
+    FROM {_ORD_STAR} GROUP BY 1
+    UNION ALL
+    SELECT year(o_orderdate), 'Q' || quarter(o_orderdate), sum(l_quantity)
+    FROM {_ORD_STAR} WHERE year(o_orderdate) = 1996 GROUP BY 1, 2
+    """,
+)
+def toggle_drill_state_year(spark, sf_dir):
+    """ToggleDrillState from MDX text: an undrilled member toggles to
+    drilled — years plus 1996's quarters
+    (jar!mondrian/olap/fun/ToggleDrillStateFunDef)."""
+    eng = get_engine(spark, sf_dir)
+    return eng.execute(
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "TOGGLEDRILLSTATE([Time].[Year].Members, {[Time].[1996]}) ON ROWS "
+        "FROM [Sales]"
+    ).df

@@ -836,6 +836,52 @@ def test_nested_current_reference_rejected(engine):
         )
 
 
+def test_toggle_drill_state_drills(engine):
+    """ToggleDrillState on an undrilled member == DrilldownMember
+    (ToggleDrillStateFunDef: not drilled → drill)."""
+    t = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "TOGGLEDRILLSTATE([Time].[Year].Members, {[Time].[1997]}) ON ROWS "
+        "FROM [Sales]",
+    )
+    d = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "DRILLDOWNMEMBER([Time].[Year].Members, {[Time].[1997]}) ON ROWS "
+        "FROM [Sales]",
+    )
+    assert rows_of(t.df) == rows_of(d.df)
+
+
+def test_toggle_drill_state_collapses(engine):
+    """Toggling an already-drilled member collapses it back to the base set
+    (query shape TOGGLEDRILLSTATE(DRILLDOWNMEMBER(s, {m}), {m}) == s)."""
+    t = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "TOGGLEDRILLSTATE(DRILLDOWNMEMBER([Time].[Year].Members, {[Time].[1997]}), "
+        "{[Time].[1997]}) ON ROWS FROM [Sales]",
+    )
+    base = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "[Time].[Year].Members ON ROWS FROM [Sales]",
+    )
+    assert rows_of(t.df) == rows_of(base.df)
+
+
+def test_toggle_drill_state_builder(engine):
+    q = (
+        Query(engine)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Time].[Year].Members")
+        .toggle_drill_state("[Time].[1997]")   # drills
+        .toggle_drill_state("[Time].[1997]")   # collapses
+    )
+    assert q.execute().df.count() == 7  # just the 7 years
+
+
 def test_schema_parameters(spark):
     """Schema-declared typed parameters (schema.rb:515-524;
     schema_definition_test.rb:1298-1427): defaults via ParamRef, modifiable
