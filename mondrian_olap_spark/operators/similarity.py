@@ -103,6 +103,121 @@ def cosine_pairs_threshold(
     )
 
 
+def ivf_index(
+    emb: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer + assignment — the ANN scale path beside LSH.
+
+    The ``n_cells`` lowest-id vectors seed the cells (a deterministic,
+    zero-iteration quantizer any engine can reproduce; swap in trained
+    centroids at scale without changing the plan shape).  Every vector is
+    assigned to its nearest cell by cosine (ties → lowest cell id).
+
+    Scale shape: the centroids are model parameters (k rows, collected once
+    and inlined as literals — the same pattern as the LSH hyperplanes), so
+    assignment is a pure projection over the corpus: one scan, zero
+    shuffles, whole-stage codegen.  Persist the result bucketed by ``cell``
+    to make every later probe a pruned scan.
+
+    Returns (id, cell, v, nv) with zero-norm vectors dropped (cosine has no
+    defined direction for them).
+    """
+    base = (
+        emb.select(
+            F.col(id_col).alias("id"), _dvec(F.col(vec_col)).alias("v")
+        )
+        .withColumn("nv", norm(F.col("v")))
+        .filter(F.col("nv") > 0)
+    )
+    seeds = base.orderBy("id").limit(n_cells).select("id", "v", "nv").collect()
+    entries = [
+        F.struct(
+            cosine(
+                F.col("v"),
+                F.array(*[F.lit(float(x)) for x in s["v"]]),
+                F.col("nv"),
+                F.lit(float(s["nv"])),
+            ).alias("cos"),
+            F.lit(-s["id"]).alias("ncid"),
+        )
+        for s in seeds
+    ]
+    best = F.sort_array(F.array(*entries), asc=False)[0]
+    return base.withColumn("cell", -best["ncid"])
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF: each query probes its ``n_probe``
+    nearest cells and ranks only the vectors assigned there.
+
+    Cost model vs brute force: candidates ≈ corpus × n_probe / n_cells —
+    the ranking join touches a tunable fraction of the data instead of all
+    of it, and with the index persisted bucketed by ``cell`` the probe is a
+    partition-pruned scan.  Recall grows with ``n_probe`` (== n_cells is
+    exact search).
+
+    Returns (query_id, neighbor_id, cosine), k rows per query, cosine
+    descending with neighbor id tiebreak; self-matches excluded.
+    """
+    idx = index if index is not None else ivf_index(emb, n_cells, id_col, vec_col)
+    seeds = idx.orderBy("id").limit(n_cells).select("id", "v", "nv").collect()
+    q = idx.filter(F.col("id").isin(query_ids)).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"), F.col("nv").alias("qn")
+    )
+    entries = [
+        F.struct(
+            cosine(
+                F.col("qv"),
+                F.array(*[F.lit(float(x)) for x in s["v"]]),
+                F.col("qn"),
+                F.lit(float(s["nv"])),
+            ).alias("cos"),
+            F.lit(-s["id"]).alias("ncid"),
+        )
+        for s in seeds
+    ]
+    probes = q.withColumn(
+        "cell", F.explode(
+            F.transform(
+                F.slice(F.sort_array(F.array(*entries), asc=False), 1, n_probe),
+                lambda s: -s["ncid"],
+            )
+        )
+    )
+    # probes shares lineage with idx (self-join) → disambiguate by alias
+    cand = (
+        idx.alias("L")
+        .join(
+            F.broadcast(probes.alias("P")),
+            (F.col("L.cell") == F.col("P.cell"))
+            & (F.col("L.id") != F.col("P.query_id")),
+        )
+        .select(
+            F.col("P.query_id").alias("query_id"),
+            F.col("L.id").alias("neighbor_id"),
+            cosine(F.col("P.qv"), F.col("L.v"), F.col("P.qn"), F.col("L.nv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )
+
+
 def _hyperplane(dim: int, plane: int) -> list[float]:
     """Deterministic pseudo-random hyperplane components in [-1, 1): derived
     from md5 of (plane, component) so any engine can reproduce them."""

@@ -299,3 +299,48 @@ def dedup_keep_list(spark, sf_dir):
     pairs = dedup.jaccard_pairs(docs, threshold=0.8)
     ids = docs.select(F.col("doc_id").alias("id"))
     return dedup.dedup_clusters(ids, pairs)
+
+
+@q(
+    "embed_ivf_topk",
+    f"""
+    WITH en AS (
+      SELECT vec_id, {_EMB_D} AS v,
+             sqrt(list_dot_product({_EMB_D}, {_EMB_D})) AS nv
+      FROM embeddings
+      WHERE list_dot_product({_EMB_D}, {_EMB_D}) > 0
+    ),
+    c AS (SELECT vec_id AS cid, v AS cv, nv AS cn FROM en ORDER BY vec_id LIMIT 8),
+    a AS (
+      SELECT en.vec_id, c.cid,
+             row_number() OVER (
+               PARTITION BY en.vec_id
+               ORDER BY list_dot_product(en.v, c.cv) / (en.nv * c.cn) DESC, c.cid
+             ) AS rn
+      FROM en CROSS JOIN c
+    ),
+    cell AS (SELECT vec_id, cid AS cell FROM a WHERE rn = 1),
+    probe AS (
+      SELECT vec_id AS query_id, cid AS cell FROM a
+      WHERE rn <= 2 AND vec_id IN (0, 100, 200, 300, 400)
+    ),
+    scored AS (
+      SELECT p.query_id, ce.vec_id AS neighbor_id,
+             list_dot_product(q.v, n.v) / (q.nv * n.nv) AS cos
+      FROM probe p
+      JOIN cell ce ON ce.cell = p.cell AND ce.vec_id <> p.query_id
+      JOIN en q ON q.vec_id = p.query_id
+      JOIN en n ON n.vec_id = ce.vec_id
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 10
+    """,
+)
+def embed_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k (the tunable-recall ANN scale path: probe
+    n_probe of n_cells coarse cells instead of the whole corpus)."""
+    df = similarity.ivf_topk(
+        _emb(spark, sf_dir), [0, 100, 200, 300, 400], k=10, n_cells=8, n_probe=2
+    )
+    return df.withColumn("cosine", F.round("cosine", 6))
