@@ -178,6 +178,73 @@ class CubeEngine:
             raise ValueError(f"aggregators not roll-up-safe from a summary table: {bad}")
         self.aggregate_tables.append((df, list(group_outputs), dict(measures)))
 
+    def materialize_aggregate(
+        self,
+        levels: list[str],
+        measures: list[str] | None = None,
+        path: str | None = None,
+        bucket_by: str | None = None,
+        num_buckets: int = 32,
+        table_name: str | None = None,
+    ) -> DataFrame:
+        """Materialise + register a summary table at the grain of ``levels``
+        — the "materialise this grain" convenience on top of
+        :meth:`register_aggregate` (Mondrian declares agg tables in the
+        schema and expects them pre-built — schema.rb:374-414; this builds
+        them from the cube definition itself).
+
+        ``levels``: ``["[Customer].[Nation]", "[Time].[Quarter]"]`` grain.
+        ``measures``: measure names to carry (default: every roll-up-safe
+        base measure — sum/count/min/max; avg and distinct-count cannot be
+        rolled up from summaries).  Storage: ``path`` writes plain parquet;
+        ``bucket_by`` + ``table_name`` writes a bucketed saveAsTable so
+        grain-key joins/groupings over the summary are shuffle-free;
+        neither → an eager ``localCheckpoint`` (lineage truncated so routed
+        plans carry no fact scan, but the summary dies with the session).
+
+        Note: measures with a deterministic edge cast store their *cast*
+        cell values; re-rollups from the summary re-aggregate those, which
+        is only bit-identical to fact-level aggregation for whole-number
+        sums/counts (SCALE.md "Determinism vs speed")."""
+        from .members import resolve_level
+        from .model import CalculatedMember
+        from .plan import Planner
+
+        rollable = {"sum", "count", "min", "max"}
+        if measures is None:
+            ms = [
+                m for m in self.cube.measures
+                if not isinstance(m, CalculatedMember) and m.aggregator in rollable
+            ]
+        else:
+            ms = [self.cube.measure(n) for n in measures]
+        if not ms:
+            raise ValueError("no roll-up-safe measures to materialise")
+        from .members import MemberSetRef
+
+        refs = []
+        for ident in levels:
+            dim, idx = resolve_level(self.cube, ident)
+            refs.append(MemberSetRef(dim, depth=idx, kind="level_members"))
+        df, group_cols = Planner(self).aggregate([refs], [], ms)
+        spark = self.fact.sparkSession
+        if path is not None:
+            df.write.mode("overwrite").parquet(path)
+            df = spark.read.parquet(path)
+        elif bucket_by is not None or table_name is not None:
+            name = table_name or "agg_" + "_".join(group_cols)
+            keys = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by or group_cols)
+            (
+                df.write.mode("overwrite").format("parquet")
+                .bucketBy(num_buckets, *keys).sortBy(*keys)
+                .saveAsTable(name)
+            )
+            df = spark.table(name)
+        else:
+            df = df.localCheckpoint(eager=True)
+        self.register_aggregate(df, group_cols, {m.out: m.aggregator for m in ms})
+        return df
+
     def enable_cache(self, storage_level=None):
         """Turn on the aggregate cache (CACHE fun-def analog + segment
         cache; ``jar!mondrian/olap/fun/CacheFunDef``)."""

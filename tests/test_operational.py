@@ -43,6 +43,56 @@ def test_timeout_passes_trivial_query(engine):
 
 
 # ------------------------------------------------- aggregate-table routing
+def test_materialize_aggregate_helper(spark, tmp_path):
+    """materialize_aggregate builds, stores and registers the summary in one
+    call; subsequent covered queries route to it (no fact scan)."""
+    eng = engine_from_parquet(spark, SCHEMA, "Sales", SF_DIR)
+    summary = eng.materialize_aggregate(
+        ["[Customer].[Nation]"],
+        measures=["Sum Qty", "Count Order"],
+        path=str(tmp_path / "agg_nation_auto"),
+    )
+    assert set(summary.columns) >= {"region_name", "nation_name", "sum_qty", "count_order"}
+    routed = (
+        Query(eng)
+        .columns("[Measures].[Sum Qty]", "[Measures].[Count Order]")
+        .rows("[Customer].children")
+        .execute()
+        .df
+    )
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem" not in plan
+    fresh = engine_from_parquet(spark, SCHEMA, "Sales", SF_DIR)
+    expected = {
+        r["region_name"]: (r["sum_qty"], r["count_order"])
+        for r in Query(fresh)
+        .columns("[Measures].[Sum Qty]", "[Measures].[Count Order]")
+        .rows("[Customer].children")
+        .execute()
+        .df.collect()
+    }
+    got = {r["region_name"]: (r["sum_qty"], r["count_order"]) for r in routed.collect()}
+    assert got == expected  # whole-number sums + counts: exact
+
+
+def test_materialize_aggregate_checkpoint_default(spark):
+    """Without a path the summary is an eager localCheckpoint — still no
+    fact scan in routed plans, no files needed."""
+    eng = engine_from_parquet(spark, SCHEMA, "Sales", SF_DIR)
+    eng.materialize_aggregate(["[Customer].[Region]"], measures=["Sum Qty"])
+    routed = (
+        Query(eng).columns("[Measures].[Sum Qty]").rows("[Customer].children").execute().df
+    )
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem" not in plan
+
+
+def test_materialize_aggregate_rejects_unrollable(spark):
+    eng = engine_from_parquet(spark, SCHEMA, "Sales", SF_DIR)
+    with pytest.raises(ValueError):
+        eng.materialize_aggregate(["[Customer].[Region]"], measures=["Avg Qty"])
+
+
 def test_aggregate_table_routing(spark, tmp_path):
     eng = engine_from_parquet(spark, SCHEMA, "Sales", SF_DIR)
     base = (
