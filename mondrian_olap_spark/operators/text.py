@@ -95,6 +95,70 @@ def text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out
 
 
+#: PII patterns shared by the Spark plan and SQL oracles — portable regex
+#: subset (no lookarounds/backrefs) so Java and RE2-family engines agree
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}",
+}
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub emails/phone numbers from a text column — the pre-training PII
+    pass.  Pure ``regexp_replace``/``regexp_count`` projection (one codegen
+    stage, no UDFs); patterns are engine-portable so the result is
+    oracle-checkable.
+
+    Adds ``redacted`` (scrubbed text), ``n_emails``, ``n_phones``.
+    Redaction order is fixed (emails first) — part of the contract since
+    patterns could in principle overlap."""
+    # functions-API (not expr) so regex strings reach the JVM verbatim —
+    # no SQL-string-literal backslash escaping to diverge from the oracle
+    c = F.col(text_col)
+    out = df.withColumn(
+        "n_emails", F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS["email"]), F.lit(0)))
+    ).withColumn(
+        "n_phones", F.size(F.regexp_extract_all(c, F.lit(PII_PATTERNS["phone"]), F.lit(0)))
+    )
+    red = F.regexp_replace(c, PII_PATTERNS["email"], "<EMAIL>")
+    red = F.regexp_replace(red, PII_PATTERNS["phone"], "<PHONE>")
+    return out.withColumn("redacted", red)
+
+
+#: Gopher-style quality rule thresholds (Rae et al. 2021 §A1.1 shapes;
+#: values tuned to the synthetic corpus so each rule is load-bearing)
+QUALITY_RULES = {
+    "min_tokens": 20,
+    "max_tokens": 100_000,
+    "min_avg_token_len": 4.0,
+    "max_avg_token_len": 12.0,
+    "max_punct_ratio": 0.20,
+    "min_stopword_ratio": 0.02,
+}
+
+
+def quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Rule-based document filter over :func:`text_features` outputs — the
+    repetition/length/symbol heuristics of a Gopher-style quality pass.
+
+    Adds ``keep`` (boolean) and ``drop_reason`` (first failing rule name,
+    NULL when kept).  Rules evaluate in a fixed order so the reason is
+    deterministic."""
+    feats = text_features(df, text_col)
+    r = QUALITY_RULES
+    reason = (
+        F.when(F.col("n_tokens") < r["min_tokens"], "too_short")
+        .when(F.col("n_tokens") > r["max_tokens"], "too_long")
+        .when(F.col("avg_token_len") < r["min_avg_token_len"], "tokens_too_short")
+        .when(F.col("avg_token_len") > r["max_avg_token_len"], "tokens_too_long")
+        .when(F.col("punct_ratio") > r["max_punct_ratio"], "too_much_punct")
+        .when(F.col("stopword_ratio") < r["min_stopword_ratio"], "too_few_stopwords")
+    )
+    return feats.withColumn("drop_reason", reason).withColumn(
+        "keep", F.col("drop_reason").isNull()
+    )
+
+
 def rolling_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

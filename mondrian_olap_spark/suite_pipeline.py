@@ -344,3 +344,123 @@ def embed_ivf_topk(spark, sf_dir):
         _emb(spark, sf_dir), [0, 100, 200, 300, 400], k=10, n_cells=8, n_probe=2
     )
     return df.withColumn("cosine", F.round("cosine", 6))
+
+
+# ------------------------------------------------- training-set plumbing
+from .operators import sampling  # noqa: E402  (module-level for oracle SQL)
+
+_SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+@q(
+    "pipeline_split_counts",
+    f"""
+    SELECT {sampling.split_case_sql(_SPLIT_WEIGHTS)} AS split, source,
+           count(*) AS n_docs
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def pipeline_split_counts(spark, sf_dir):
+    """Deterministic hash-bucket train/val/test assignment — reproducible
+    across engines, runs, and partition layouts (unlike rand()-based
+    splits).  One projection, no shuffle beyond the final count."""
+    df = sampling.assign_splits(_docs(spark, sf_dir), _SPLIT_WEIGHTS)
+    return df.groupBy("split", "source").agg(F.count("*").alias("n_docs"))
+
+
+@q(
+    "pipeline_deterministic_sample",
+    f"""
+    SELECT source, count(*) AS n_docs, sum(doc_id) AS id_sum
+    FROM documents
+    WHERE {sampling.bucket_sql("doc_id", "sample")} < 2000
+    GROUP BY 1
+    """,
+)
+def pipeline_deterministic_sample(spark, sf_dir):
+    """Content-hash Bernoulli sample (20%): the same records every run on
+    every engine — what keeps eval sets stable under re-ingestion."""
+    df = sampling.deterministic_sample(_docs(spark, sf_dir), 0.2)
+    return df.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("doc_id").alias("id_sum")
+    )
+
+
+_PII_TEXT = (
+    "text || CASE WHEN doc_id % 3 = 0 "
+    "THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END "
+    "|| CASE WHEN doc_id % 5 = 0 THEN ' call 555 123-4567' ELSE '' END"
+)
+
+
+@q(
+    "text_pii_redaction",
+    f"""
+    WITH aug AS (SELECT doc_id, {_PII_TEXT} AS t FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{text.PII_PATTERNS["email"]}')) AS n_emails,
+           len(regexp_extract_all(t, '{text.PII_PATTERNS["phone"]}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(t, '{text.PII_PATTERNS["email"]}', '<EMAIL>', 'g'),
+                              '{text.PII_PATTERNS["phone"]}', '<PHONE>', 'g')) AS red_md5
+    FROM aug
+    """,
+)
+def text_pii_redaction(spark, sf_dir):
+    """PII scrub (emails/phones → placeholder tokens) with per-doc match
+    counts; deterministic synthetic PII is injected first since the corpus
+    carries none (the md5 over the redacted text proves byte-identical
+    scrubbing)."""
+    aug = _docs(spark, sf_dir).withColumn(
+        "t",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com")),
+            ).otherwise(""),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(" call 555 123-4567")).otherwise(""),
+        ),
+    ).select("doc_id", "t")
+    out = text.redact_pii(aug, "t")
+    return out.select("doc_id", "n_emails", "n_phones", F.md5("redacted").alias("red_md5"))
+
+
+_FEAT_SQL = {
+    "n_tokens": f"len({_DOC_TOKS})",
+    "avg_token_len": (
+        f"length(regexp_replace(text, '\\s', '', 'g')) * 1.0 / greatest(len({_DOC_TOKS}), 1)"
+    ),
+    "punct_ratio": (
+        "length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0 "
+        "/ greatest(length(text), 1)"
+    ),
+    "stopword_ratio": (
+        f"len(list_filter(list_transform({_DOC_TOKS}, t -> lower(t)), "
+        f"t -> t IN ({_STOP['en']}))) * 1.0 / greatest(len({_DOC_TOKS}), 1)"
+    ),
+}
+_R = text.QUALITY_RULES
+_REASON_SQL = f"""CASE
+    WHEN {_FEAT_SQL['n_tokens']} < {_R['min_tokens']} THEN 'too_short'
+    WHEN {_FEAT_SQL['n_tokens']} > {_R['max_tokens']} THEN 'too_long'
+    WHEN {_FEAT_SQL['avg_token_len']} < {_R['min_avg_token_len']} THEN 'tokens_too_short'
+    WHEN {_FEAT_SQL['avg_token_len']} > {_R['max_avg_token_len']} THEN 'tokens_too_long'
+    WHEN {_FEAT_SQL['punct_ratio']} > {_R['max_punct_ratio']} THEN 'too_much_punct'
+    WHEN {_FEAT_SQL['stopword_ratio']} < {_R['min_stopword_ratio']} THEN 'too_few_stopwords'
+    ELSE NULL END"""
+
+
+@q(
+    "text_quality_filter",
+    f"""
+    SELECT coalesce({_REASON_SQL}, 'kept') AS drop_reason, count(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+)
+def text_quality_filter(spark, sf_dir):
+    """Gopher-style rule filter: first failing rule per document, counted —
+    the keep/drop decision a pre-training corpus pass applies."""
+    df = text.quality_filter(_docs(spark, sf_dir))
+    return df.groupBy(
+        F.coalesce(F.col("drop_reason"), F.lit("kept")).alias("drop_reason")
+    ).agg(F.count("*").alias("n_docs"))

@@ -168,6 +168,55 @@ def test_lsh_candidates_find_near_duplicates(spark):
         assert (c * 10, c * 10 + 1) in cands  # same-cluster pairs bucket together
 
 
+def test_assign_splits_partitions_everything(docs):
+    from mondrian_olap_spark.operators import sampling
+
+    out = sampling.assign_splits(docs, {"train": 0.8, "val": 0.2})
+    rows = out.collect()
+    assert all(r["split"] in ("train", "val") for r in rows)
+    # deterministic: same assignment on recompute
+    again = {r["doc_id"]: r["split"] for r in sampling.assign_splits(docs, {"train": 0.8, "val": 0.2}).collect()}
+    assert {r["doc_id"]: r["split"] for r in rows} == again
+
+
+def test_deterministic_sample_stable_and_composable(docs):
+    from mondrian_olap_spark.operators import sampling
+
+    s1 = {r["doc_id"] for r in sampling.deterministic_sample(docs, 0.5).collect()}
+    s2 = {r["doc_id"] for r in sampling.deterministic_sample(docs, 0.5).collect()}
+    assert s1 == s2
+    # a larger fraction strictly contains a smaller one (same seed)
+    s_small = {r["doc_id"] for r in sampling.deterministic_sample(docs, 0.2).collect()}
+    assert s_small <= s1
+
+
+def test_redact_pii(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="write to alice@example.com or call 555 123-4567 now"),
+        Row(doc_id=2, text="no pii here"),
+    ])
+    out = {r["doc_id"]: r for r in text.redact_pii(df).collect()}
+    assert out[1]["n_emails"] == 1 and out[1]["n_phones"] == 1
+    assert "<EMAIL>" in out[1]["redacted"] and "<PHONE>" in out[1]["redacted"]
+    assert "alice@" not in out[1]["redacted"]
+    assert out[2]["redacted"] == "no pii here"
+
+
+def test_quality_filter_reasons(spark):
+    from pyspark.sql import Row
+
+    long_good = " ".join(["the quick brown fox jumps over lazy dogs again"] * 5)
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="too short"),
+        Row(doc_id=2, text=long_good),
+    ])
+    out = {r["doc_id"]: r for r in text.quality_filter(df).collect()}
+    assert out[1]["keep"] is False and out[1]["drop_reason"] == "too_short"
+    assert out[2]["keep"] is True and out[2]["drop_reason"] is None
+
+
 def test_text_features(docs):
     out = {r["doc_id"]: r for r in text.text_features(docs).collect()}
     assert out[1]["n_tokens"] == 9
