@@ -300,6 +300,15 @@ class CubeEngine:
     # lib/mondrian/olap/cube.rb:328-332 level.members,
     # :437-468 children/descendants)
     # ------------------------------------------------------------------
+    def metadata(self):
+        """Olap4j-style introspection surface (cube.rb; test/cube_test.rb):
+        ``engine.metadata().dimension('Customer').level('Nation').members``,
+        ``.member('[Customer].[ASIA]').children`` …  Lazy views over
+        :meth:`level_members` — nothing collects until navigated."""
+        from .metadata import CubeMeta
+
+        return CubeMeta(self)
+
     def member(self, identifier: str) -> DataFrame:
         """Member lookup by full name — ``cube.member('[A].[B]')``
         (cube.rb:106-116 lookupMember; StrToMember,
