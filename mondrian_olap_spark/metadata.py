@@ -134,6 +134,14 @@ class MeasureMeta:
         return format_name(["Measures", self._measure.name])
 
     @property
+    def caption(self) -> str:
+        return getattr(self._measure, "caption", None) or self._measure.name
+
+    @property
+    def annotations(self) -> dict:
+        return dict(getattr(self._measure, "annotations", ()) or ())
+
+    @property
     def calculated(self) -> bool:
         return isinstance(self._measure, CalculatedMember)
 
@@ -173,6 +181,18 @@ class LevelMeta:
     @property
     def full_name(self) -> str:
         return format_name([self._dim.name, self._level.name])
+
+    @property
+    def description(self) -> str | None:
+        return self._level.description
+
+    @property
+    def caption(self) -> str:
+        return self._level.display_caption or self._level.name
+
+    @property
+    def annotations(self) -> dict:
+        return dict(self._level.annotations)
 
     @property
     def child_level(self) -> "LevelMeta | None":
@@ -219,6 +239,18 @@ class DimensionMeta:
     @property
     def full_name(self) -> str:
         return format_name([self._dim.name])
+
+    @property
+    def description(self) -> str | None:
+        return self._dim.description
+
+    @property
+    def caption(self) -> str:
+        return self._dim.caption or self._dim.name
+
+    @property
+    def annotations(self) -> dict:
+        return dict(self._dim.annotations)
 
     @property
     def dimension_type(self) -> str:
@@ -271,6 +303,18 @@ class CubeMeta:
     @property
     def name(self) -> str:
         return self._cube.name
+
+    @property
+    def description(self) -> str | None:
+        return self._cube.description
+
+    @property
+    def caption(self) -> str:
+        return self._cube.caption or self._cube.name
+
+    @property
+    def annotations(self) -> dict:
+        return dict(self._cube.annotations)
 
     @property
     def visible(self) -> bool:

@@ -78,6 +78,12 @@ class Level:
     #: a callable ``value -> display string`` applied to the caption
     #: source, Arrow-batched as a pandas UDF, never per-row Python)
     formatter: object | None = None
+    #: display metadata for the level itself (``caption`` above is the
+    #: member-caption *expression*; this is the level's display name —
+    #: cube_test.rb:331-374 description/caption/annotations accessors)
+    description: str | None = None
+    display_caption: str | None = None
+    annotations: tuple[tuple[str, str], ...] = ()
 
     @property
     def out(self) -> str:
@@ -132,6 +138,10 @@ class Dimension:
     guaranteed_small: bool = False
     #: synthetic "(All)" member exists (hierarchy hasAll — schema.rb:132-167)
     has_all: bool = True
+    #: display metadata (schema.rb:88-130 description/caption/Annotations)
+    description: str | None = None
+    caption: str | None = None
+    annotations: tuple[tuple[str, str], ...] = ()
     #: when the dimension rides a *bridge* table (its ``table`` is a fact-side
     #: association like orders, not the hierarchy's own table), member lists
     #: must come from the hierarchy tables alone — members exist whether or
@@ -180,6 +190,10 @@ class Measure:
     #: last ulps).  For ``avg`` the cast applies to the numerator:
     #: ``cast(sum(expr) as dtype) / count(expr)``.
     dtype: str | None = None
+    #: display metadata (cube_test.rb:500-508 measure annotations)
+    description: str | None = None
+    caption: str | None = None
+    annotations: tuple[tuple[str, str], ...] = ()
 
     def __post_init__(self) -> None:
         if self.aggregator not in AGGREGATORS:
@@ -228,6 +242,12 @@ class Cube:
     #: (``Table`` inline SQL filter — schema.rb:71-79,
     #: test/schema_definition_test.rb:149-168)
     fact_filter: str | None = None
+    #: display metadata (schema.rb description/caption attributes +
+    #: Annotations elements — cube_test.rb:93-104); annotations are
+    #: name→value pairs (tuple-of-pairs to keep the dataclass hashable)
+    description: str | None = None
+    caption: str | None = None
+    annotations: tuple[tuple[str, str], ...] = ()
 
     def __post_init__(self) -> None:
         seen: set[str] = set()
@@ -306,6 +326,11 @@ class Schema:
     name: str
     cubes: tuple[Cube, ...] = ()
     parameters: tuple[Parameter, ...] = ()
+
+    @property
+    def cube_names(self) -> list[str]:
+        """connection.rb:142-145 ``cube_names``."""
+        return [c.name for c in self.cubes]
 
     def cube(self, name: str) -> Cube:
         for c in self.cubes:

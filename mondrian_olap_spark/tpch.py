@@ -24,6 +24,8 @@ from .star import CubeEngine, engine_from_parquet
 SALES_CUBE = Cube(
     name="Sales",
     fact="lineitem",
+    description="TPC-H lineitem sales cube",
+    annotations=(("source", "tpch"),),
     dimensions=(
         # snowflake: orders → customer → nation → region (FIXTURES.md §3)
         Dimension(

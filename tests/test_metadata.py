@@ -15,6 +15,25 @@ def test_cube_accessors(engine):
     assert "Sum Qty" in md.measure_names
 
 
+def test_cube_display_metadata(engine):
+    """description / caption / annotations accessors (cube_test.rb:93-104;
+    annotations default to {} when unset — :165-168)."""
+    md = engine.metadata()
+    assert md.description == "TPC-H lineitem sales cube"
+    assert md.caption == "Sales"  # falls back to name
+    assert md.annotations == {"source": "tpch"}
+    d = md.dimension("Customer")
+    assert d.annotations == {} and d.caption == "Customer"
+    lv = d.level("Nation")
+    assert lv.annotations == {} and lv.caption == "Nation"
+
+
+def test_schema_cube_names():
+    from mondrian_olap_spark.tpch import SCHEMA
+
+    assert "Sales" in SCHEMA.cube_names
+
+
 def test_dimension_and_hierarchy_accessors(engine):
     d = engine.metadata().dimension("Customer")
     assert d.dimension_type == "STANDARD"
