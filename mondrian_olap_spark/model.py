@@ -170,6 +170,32 @@ class Dimension:
         return None
 
 
+def dimension_usage(
+    source: Dimension,
+    foreign_key: str,
+    name: str | None = None,
+    usage_prefix: str | None = None,
+) -> Dimension:
+    """Shared-dimension usage (schema.rb:106-121 DimensionUsage): bind a
+    schema-level shared dimension into a cube with a cube-specific foreign
+    key, optional rename, and optional ``usage_prefix`` on the output
+    columns — the role-playing case (one shared Date dimension used as
+    ship-date and order-date needs distinct result columns)."""
+    from dataclasses import replace
+
+    levels = source.levels
+    if usage_prefix:
+        levels = tuple(
+            replace(lv, output=f"{usage_prefix}{lv.out}") for lv in levels
+        )
+    return replace(
+        source,
+        name=name or source.name,
+        foreign_key=foreign_key,
+        levels=levels,
+    )
+
+
 @dataclass(frozen=True)
 class Measure:
     """Fact measure: aggregator over a column or SQL expression
@@ -326,6 +352,16 @@ class Schema:
     name: str
     cubes: tuple[Cube, ...] = ()
     parameters: tuple[Parameter, ...] = ()
+    #: schema-level shared dimensions (schema.rb:53-54 ``:dimension``
+    #: elements): referenced from cubes via :func:`dimension_usage`
+    dimensions: tuple[Dimension, ...] = ()
+
+    def dimension(self, name: str) -> Dimension:
+        """Shared-dimension lookup (source resolution for DimensionUsage)."""
+        for d in self.dimensions:
+            if d.name.lower() == name.lower():
+                return d
+        raise KeyError(f"schema {self.name!r} has no shared dimension {name!r}")
 
     @property
     def cube_names(self) -> list[str]:
