@@ -44,3 +44,21 @@ def engine_from_catalog(
 ) -> CubeEngine:
     cube = schema.cube(cube_name)
     return CubeEngine(cube, tables_from_catalog(spark, cube, mapping))
+
+
+def with_sql_views(
+    spark: SparkSession,
+    tables: Mapping[str, DataFrame],
+    views: Mapping[str, str],
+) -> dict[str, DataFrame]:
+    """View elements (schema.rb View/SQL — schema_definition_test.rb:171-193):
+    logical tables defined by SQL text instead of a physical source.  The
+    base ``tables`` register as temp views first so view SQL can reference
+    them; each view then becomes a regular entry in the table map (Catalyst
+    inlines it — predicate pushdown and pruning reach the underlying scans)."""
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    out = dict(tables)
+    for alias, sql in views.items():
+        out[alias] = spark.sql(sql)
+    return out

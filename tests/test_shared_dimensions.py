@@ -62,3 +62,32 @@ def test_usage_driven_cube_queries(spark):
     n_suppliers = spark.read.parquet(f"{SF_DIR}/supplier.parquet").count()
     assert rows and all(r["supplier_count"] > 0 for r in rows)
     assert sum(r["supplier_count"] for r in rows) == n_suppliers
+
+
+def test_sql_view_as_fact(spark):
+    """View elements: a cube whose fact is SQL text over base tables
+    (schema.rb View/SQL; schema_definition_test.rb:171-193)."""
+    from mondrian_olap_spark.sources.registry import with_sql_views
+    from mondrian_olap_spark.star import CubeEngine, read_parquet_table
+
+    base = {
+        "supplier": read_parquet_table(spark, f"{SF_DIR}/supplier.parquet"),
+        "nation": read_parquet_table(spark, f"{SF_DIR}/nation.parquet"),
+    }
+    tables = with_sql_views(
+        spark, base,
+        {"big_suppliers": "SELECT * FROM supplier WHERE s_acctbal > 0"},
+    )
+    cube = Cube(
+        name="BigSuppliers",
+        fact="big_suppliers",
+        dimensions=(dimension_usage(GEO, foreign_key="s_nationkey"),),
+        measures=(Measure("Supplier Count", "s_suppkey", "count",
+                          output="supplier_count"),),
+    )
+    eng = CubeEngine(cube, tables)
+    total = (
+        Query(eng).columns("[Measures].[Supplier Count]").execute().df.collect()
+    )
+    expected = base["supplier"].filter("s_acctbal > 0").count()
+    assert total[0]["supplier_count"] == expected
