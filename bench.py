@@ -52,6 +52,13 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", CPUS)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # sf0.1 tables are single small parquet files; the default 128 MB
+        # split puts every scan on one core.  4 MB splits spread the scan
+        # across the local executor threads — the local-mode analog of what
+        # file layout gives a real cluster for free (at 100 TB the default
+        # split size is correct; SCALE.md "Knobs at real scale")
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.driver.memory", "16g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
