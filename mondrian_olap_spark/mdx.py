@@ -199,9 +199,26 @@ class MdxParser:
         return q, (max_rows, fields)
 
     def parse_return_field(self) -> tuple[str, str]:
-        """RETURN item: [Dim].[Level] level key or [Measures].[X] → the
-        measure's underlying fact expression (result.rb:283-419 field
-        re-selection)."""
+        """RETURN item: [Dim].[Level] level key, [Measures].[X] → the
+        measure's underlying fact expression, Name([Dim].[Level]) member
+        display name, or Property([Dim].[Level], 'X') (result.rb:283-419
+        field re-selection; query_test.rb:960-996)."""
+        t = self.peek()
+        if t is not None and t.kind == "word" and t.text.lower() in ("name", "property"):
+            kind = self.next().text.lower()
+            self.expect_op("(")
+            segs = self.parse_identifier_segments()
+            ident = ".".join(quote_segment(s) for s in segs)
+            if kind == "name":
+                self.expect_op(")")
+                return ("name", f"Name({ident})")
+            self.expect_op(",")
+            pt = self.next()
+            if pt.kind != "string":
+                raise MdxError("Property() takes a quoted property name")
+            self.expect_op(")")
+            pname = _unquote(pt.text)
+            return (pname.lower().replace(" ", "_"), f"Property({ident}, '{pname}')")
         segs = self.parse_identifier_segments()
         if segs[0].lower() == "measures" and len(segs) == 2:
             m = self.cube.measure(segs[1])

@@ -519,8 +519,48 @@ class Planner:
         def use(dim: Dimension) -> _DimUse:
             return uses.setdefault(dim.name, _DimUse(dim))
 
+        import re as _re
+
+        from .star import _has_caption
+
         select_exprs: list[tuple[str, str]] = []  # (output, column-after-join)
         for out, spec in fields:
+            # RETURN field grammar (result.rb:283-419): level keys,
+            # Name([Dim].[Level]), Property([Dim].[Level], 'X'), measures /
+            # raw fact expressions
+            name_m = _re.match(r"(?is)^\s*name\s*\(\s*(\[.+?\])\s*\)\s*$", spec)
+            prop_m = _re.match(
+                r"(?is)^\s*property\s*\(\s*(\[.+?\])\s*,\s*'([^']*)'\s*\)\s*$", spec
+            )
+            if name_m or prop_m:
+                dim, idx = resolve_level(self.cube, (name_m or prop_m).group(1))
+                u = use(dim)
+                lv = dim.levels[idx]
+                if name_m:
+                    # member display name: the caption source when declared,
+                    # else the key column (query_test.rb:962 Name(...))
+                    if dim.degenerate:
+                        select_exprs.append((out, lv.caption or lv.column))
+                    else:
+                        cap = f"{lv.out}_caption" if _has_caption(lv) else lv.out
+                        u.add_levels([l2.out for l2 in dim.levels[: idx + 1]])
+                        if cap != lv.out:
+                            u.add_levels([cap])
+                        select_exprs.append((out, cap))
+                else:
+                    props = dict(lv.properties)
+                    pexpr = props.get(prop_m.group(2))
+                    if pexpr is None:
+                        # unknown property → empty column, not an error
+                        # (query_test.rb:965,978 '' as non_existing)
+                        select_exprs.append((out, "''"))
+                    elif dim.degenerate:
+                        select_exprs.append((out, pexpr))
+                    else:
+                        u.add_levels([l2.out for l2 in dim.levels[: idx + 1]])
+                        u.add_levels([prop_m.group(2)])
+                        select_exprs.append((out, prop_m.group(2)))
+                continue
             if spec.startswith("["):
                 dim, idx = resolve_level(self.cube, spec)
                 u = use(dim)

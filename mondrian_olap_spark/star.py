@@ -453,6 +453,13 @@ class CubeEngine:
                 if _ordinal_out(d, lv) in want:
                     # range predicates compare against the level's ordinal
                     cols.append(F.expr(lv.ordinal_expr).alias(_ordinal_out(d, lv)))
+                if f"{lv.out}_caption" in want and _has_caption(lv):
+                    # drill-through Name(...) fields ship the caption source
+                    cols.append(_caption_col(lv).alias(f"{lv.out}_caption"))
+                for pname, pexpr in lv.properties:
+                    # drill-through Property(...) fields (result.rb:283-419)
+                    if pname in want:
+                        cols.append(F.expr(pexpr).alias(pname))
         return base.select(*cols)
 
     def drill_through(

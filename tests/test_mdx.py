@@ -548,6 +548,30 @@ def test_drillthrough_statement(engine):
     assert all(r["sum_qty"] is not None for r in rows)
 
 
+def test_drillthrough_name_and_property(engine):
+    """RETURN Name(...) / Property(...) fields (query_test.rb:960-996):
+    member display names, declared properties, '' for unknown properties."""
+    df = execute_mdx(
+        engine,
+        """
+        DRILLTHROUGH MAXROWS 10
+        SELECT [Measures].[Sum Qty] ON COLUMNS, [Customer].children ON ROWS
+        FROM [Sales] WHERE ([Time].[1995].[Q1])
+        RETURN Name([Supplier].[Supplier]),
+               Property([Part].[Part], 'part_size'),
+               Property([Part].[Part], 'No Such Prop'),
+               [Measures].[Sum Qty]
+        """,
+    )
+    rows = df.collect()
+    assert len(rows) == 10
+    assert set(df.columns) == {"name", "part_size", "no_such_prop", "sum_qty"}
+    # caption declared on Supplier: "NAME (NATION)"
+    assert all("(" in r["name"] for r in rows)
+    assert all(isinstance(r["part_size"], int) for r in rows)
+    assert all(r["no_such_prop"] == "" for r in rows)
+
+
 def test_drillthrough_requires_return(engine):
     with pytest.raises(MdxError, match="RETURN"):
         execute_mdx(engine, "DRILLTHROUGH SELECT [Measures].[Sum Qty] ON COLUMNS FROM [Sales]")
