@@ -497,6 +497,7 @@ class Planner:
         fields: list[tuple[str, str]],
         max_rows: int | None = None,
         nonempty_field: str | None = None,
+        group_by: bool = False,
     ) -> DataFrame:
         """Drill-through: the underlying fact rows for one cell context
         (entry point D — SURVEY.md §3; ``lib/mondrian/olap/result.rb:283-419``).
@@ -588,8 +589,39 @@ class Planner:
             # nonempty: drop rows where the requested measure field is NULL
             # (result.rb IS NOT NULL injection, :385-407)
             df = df.filter(F.col(nonempty_field).isNotNull())
+        if group_by:
+            # aggregated drill (result.rb group_by option,
+            # query_test.rb:999-1029): measure fields aggregate with their
+            # own aggregator; every other RETURN field becomes a group key
+            by_out = {m.out: m for m in self.cube.measures}
+            keys, aggs = [], []
+            for out, _ in select_exprs:
+                m = by_out.get(out)
+                if m is None:
+                    keys.append(out)
+                    continue
+                a = m.aggregator
+                c = F.col(out)
+                # the projected field already carries the measure's exact
+                # (decimal-cast) expression; aggregate it and widen at the
+                # edge exactly like measure_column does
+                agg = (
+                    F.sum(c) if a == "sum"
+                    else F.count(c) if a == "count"
+                    else F.min(c) if a == "min"
+                    else F.max(c) if a == "max"
+                    else F.avg(c) if a == "avg"
+                    else F.count_distinct(c)
+                )
+                if m.dtype:
+                    agg = agg.cast(m.dtype)
+                aggs.append(agg.alias(out))
+            if not aggs:
+                raise ValueError("group_by drill-through needs a measure field")
+            df = df.groupBy(*keys).agg(*aggs).select(*[o for o, _ in select_exprs])
         if max_rows is not None:
-            df = df.orderBy(*[out for out, _ in select_exprs]).limit(max_rows)
+            order = [out for out, _ in select_exprs]
+            df = df.orderBy(*order).limit(max_rows)
         return df
 
     def _join(self, uses: dict[str, _DimUse]) -> DataFrame:

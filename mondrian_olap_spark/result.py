@@ -280,6 +280,7 @@ class Cell:
         self,
         fields: list[tuple[str, str]] | None = None,
         max_rows: int | None = None,
+        group_by: bool = False,
     ):
         """Fact rows underlying this cell (result.rb:140-157 ``Cell.
         drill_through(row:, column:, …)`` sugar).  Default RETURN fields are
@@ -300,6 +301,8 @@ class Cell:
                         fields.append((c, f"[{dim.name}].[{dim.levels[li].name}]"))
             for m in getattr(self._result, "_base_measures", ()) or ():
                 fields.append((m.out, m.expression))
-        return Planner(engine).drill_through(refs, fields, max_rows=max_rows)
+        return Planner(engine).drill_through(
+            refs, fields, max_rows=max_rows, group_by=group_by
+        )
 
 

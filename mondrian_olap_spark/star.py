@@ -467,15 +467,20 @@ class CubeEngine:
         where: list[str],
         fields: list[tuple[str, str]],
         max_rows: int | None = None,
+        group_by: bool = False,
     ) -> DataFrame:
         """Cell drill-through: underlying fact rows for a cell context
         (``lib/mondrian/olap/result.rb:145-157``; RETURN-field SQL rewriting
-        :283-419 collapses to DataFrame composition — SURVEY.md §3 D)."""
+        :283-419 collapses to DataFrame composition — SURVEY.md §3 D).
+        ``group_by=True`` aggregates measures over the non-measure RETURN
+        fields (result.rb group_by option)."""
         from .members import resolve
         from .plan import Planner
 
         slicer = [resolve(self.cube, m) for m in where]
-        return Planner(self).drill_through(slicer, fields, max_rows=max_rows)
+        return Planner(self).drill_through(
+            slicer, fields, max_rows=max_rows, group_by=group_by
+        )
 
 
 def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:

@@ -1789,3 +1789,29 @@ def toggle_drill_state_year(spark, sf_dir):
         "TOGGLEDRILLSTATE([Time].[Year].Members, {[Time].[1996]}) ON ROWS "
         "FROM [Sales]"
     ).df
+
+
+@q(
+    "drillthrough_grouped",
+    f"""
+    SELECT n_name AS nation_name, sum(l_quantity) AS sum_qty,
+           count(l_orderkey) AS count_order
+    FROM {_CUST_STAR}
+    WHERE year(o_orderdate) = 1995 AND 'Q' || quarter(o_orderdate) = 'Q1'
+    GROUP BY 1
+    """,
+)
+def drillthrough_grouped(spark, sf_dir):
+    """Aggregated drill-through (result.rb group_by option,
+    query_test.rb:999-1029): measure fields aggregate over the RETURN grain
+    instead of returning raw fact rows."""
+    eng = get_engine(spark, sf_dir)
+    return eng.drill_through(
+        ["[Time].[1995].[Q1]"],
+        [
+            ("nation_name", "[Customer].[Nation]"),
+            ("sum_qty", "l_quantity"),
+            ("count_order", "l_orderkey"),
+        ],
+        group_by=True,
+    )

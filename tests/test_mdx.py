@@ -572,6 +572,35 @@ def test_drillthrough_name_and_property(engine):
     assert all(r["no_such_prop"] == "" for r in rows)
 
 
+def test_drillthrough_group_by(engine):
+    """Aggregated drill (result.rb group_by; query_test.rb:999-1029):
+    measures SUM over the non-measure RETURN fields."""
+    df = engine.drill_through(
+        ["[Time].[1995].[Q1]"],
+        [
+            ("region_name", "[Customer].[Region]"),
+            ("sum_qty", "l_quantity"),
+            ("count_order", "l_orderkey"),
+        ],
+        group_by=True,
+    )
+    rows = {r["region_name"]: r for r in df.collect()}
+    assert len(rows) == 5
+    # must equal the cube's own aggregate for the same slice
+    agg = {
+        r["region_name"]: r
+        for r in Query(engine)
+        .columns("[Measures].[Sum Qty]", "[Measures].[Count Order]")
+        .rows("[Customer].children")
+        .where("[Time].[1995].[Q1]")
+        .execute()
+        .df.collect()
+    }
+    for k in rows:
+        assert rows[k]["sum_qty"] == agg[k]["sum_qty"]
+        assert rows[k]["count_order"] == agg[k]["count_order"]
+
+
 def test_drillthrough_requires_return(engine):
     with pytest.raises(MdxError, match="RETURN"):
         execute_mdx(engine, "DRILLTHROUGH SELECT [Measures].[Sum Qty] ON COLUMNS FROM [Sales]")
