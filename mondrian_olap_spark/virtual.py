@@ -96,3 +96,55 @@ class VirtualCube:
                 df = df.crossJoin(other)
             cols = cols + [c for c in other_cols if c not in cols]
         return df
+
+    def drill_through(
+        self,
+        where: list[str],
+        fields: list[tuple[str, str]],
+        max_rows: int | None = None,
+        group_by: bool = False,
+    ) -> DataFrame:
+        """Virtual-cube drill-through (query_test.rb:1072-1106): the drill
+        routes to the base cube that owns the requested measure field(s);
+        RETURN fields that only exist in *other* base cubes come back as
+        empty-string columns (the reference's exact behavior)."""
+        target = None
+        for usage in self.usages:
+            outs = {usage.engine.cube.measure(n).out for n in usage.measures}
+            if any(out in outs for out, _ in fields):
+                target = usage.engine
+                break
+        if target is None:
+            target = self.usages[0].engine
+        resolved: list[tuple[str, str]] = []
+        missing: list[str] = []
+        for out, spec in fields:
+            if self._resolvable(target, spec):
+                resolved.append((out, spec))
+            else:
+                missing.append(out)
+        usable_where = [w for w in where if self._resolvable(target, w)]
+        df = target.drill_through(
+            usable_where, resolved, max_rows=max_rows, group_by=group_by
+        )
+        for out in missing:
+            df = df.withColumn(out, F.lit(""))
+        return df.select(*[out for out, _ in fields])
+
+    @staticmethod
+    def _resolvable(engine: CubeEngine, spec: str) -> bool:
+        """Does a RETURN spec / slicer member resolve in this base cube?"""
+        if not spec.startswith("["):
+            return True  # raw fact expression — validated at plan time
+        from .members import MemberParseError, resolve, resolve_level
+
+        try:
+            resolve_level(engine.cube, spec)
+            return True
+        except (MemberParseError, KeyError):
+            pass
+        try:
+            resolve(engine.cube, spec)
+            return True
+        except (MemberParseError, KeyError):
+            return False

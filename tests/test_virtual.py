@@ -39,6 +39,42 @@ def test_valid_measure_repeats_across_missing_dim(vc):
     assert len({r["order_status"] for r in rows}) == 3
 
 
+def test_virtual_drill_through_missing_fields_empty(vc):
+    """Drill routes to the measure's base cube; fields from other cubes
+    come back as empty strings (query_test.rb:1076-1106)."""
+    df = vc.drill_through(
+        ["[Time].[1995]"],
+        [
+            ("region_name", "[Customer].[Region]"),
+            ("order_status", "[Status].[Status]"),  # Orders-only dimension
+            ("sum_qty", "l_quantity"),              # Sales measure
+        ],
+        max_rows=20,
+    )
+    rows = df.collect()
+    assert len(rows) == 20
+    assert df.columns == ["region_name", "order_status", "sum_qty"]
+    assert all(r["order_status"] == "" for r in rows)
+    assert all(r["region_name"] and r["sum_qty"] is not None for r in rows)
+
+
+def test_virtual_drill_routes_to_orders(vc):
+    """A field naming an Orders measure routes the drill to Orders, where
+    Status resolves."""
+    df = vc.drill_through(
+        ["[Time].[1995]"],
+        [
+            ("order_status", "[Status].[Status]"),
+            ("sum_totalprice", "CAST(o_totalprice AS DECIMAL(12,2))"),
+        ],
+        max_rows=10,
+        group_by=True,
+    )
+    rows = df.collect()
+    assert {r["order_status"] for r in rows} <= {"F", "O", "P"}
+    assert all(r["sum_totalprice"] is not None for r in rows)
+
+
 def test_needs_two_usages(spark):
     with pytest.raises(ValueError):
         VirtualCube("solo", [CubeUsage(get_engine(spark, SF_DIR, "Sales"), ("Sum Qty",))])
