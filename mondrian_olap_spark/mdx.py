@@ -195,7 +195,9 @@ class MdxParser:
             t = self.peek()
             raise MdxError(f"unexpected trailing token {t.text!r} at {t.pos}")
         if not fields:
-            raise MdxError("DRILLTHROUGH requires a RETURN field list in this subset")
+            # no RETURN: Mondrian's default drill columns are the raw fact
+            # row fields (query.rb:243-249 drill without explicit RETURN)
+            fields = [(c, c) for c in self.engine.fact.columns]
         return q, (max_rows, fields)
 
     def parse_return_field(self) -> tuple[str, str]:

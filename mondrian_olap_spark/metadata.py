@@ -91,6 +91,22 @@ class MemberMeta:
             self._dim.name, self.depth + 1, self.path
         ).count()
 
+    @property
+    def parent(self) -> "MemberMeta | None":
+        """Parent member (one level up; None at the root level)."""
+        if self.depth == 0:
+            return None
+        return MemberMeta(self._engine, self._dim, self.depth - 1, self.path[:-1])
+
+    @property
+    def siblings(self) -> list["MemberMeta"]:
+        """Members sharing this member's parent (this member included),
+        in hierarchy order."""
+        df = self._engine.level_members(
+            self._dim.name, self.depth, self.path[:-1], include_properties=True
+        )
+        return _rows_to_members(self._engine, self._dim, self.depth, df)
+
     def descendants_at_level(self, level_name: str) -> list["MemberMeta"]:
         """Members of the named level under this member; empty when the
         level is above this member's own (cube_test.rb:433-443)."""

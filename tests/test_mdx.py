@@ -601,9 +601,16 @@ def test_drillthrough_group_by(engine):
         assert rows[k]["count_order"] == agg[k]["count_order"]
 
 
-def test_drillthrough_requires_return(engine):
-    with pytest.raises(MdxError, match="RETURN"):
-        execute_mdx(engine, "DRILLTHROUGH SELECT [Measures].[Sum Qty] ON COLUMNS FROM [Sales]")
+def test_drillthrough_default_return(engine):
+    """DRILLTHROUGH without RETURN drills the raw fact columns
+    (query.rb:243-249 drill without explicit field list)."""
+    df = execute_mdx(
+        engine,
+        "DRILLTHROUGH MAXROWS 5 SELECT [Measures].[Sum Qty] ON COLUMNS "
+        "FROM [Sales] WHERE ([Customer].[ASIA])",
+    )
+    assert "l_orderkey" in df.columns and "l_quantity" in df.columns
+    assert df.count() == 5
 
 
 def test_named_set(engine):

@@ -82,6 +82,20 @@ def test_member_descendants_and_leaf(engine):
     assert not leaf.drillable and leaf.children == [] and leaf.children_count == 0
 
 
+def test_member_parent_and_siblings(engine):
+    md = engine.metadata()
+    m = md.member("[Customer].[ASIA].[NATION_13]")
+    if m is None:  # nation names differ per sf — take any child
+        m = md.member("[Customer].[ASIA]").children[0]
+    p = m.parent
+    assert p is not None and p.name == "ASIA" and p.depth == 0
+    assert p.parent is None
+    sibs = m.siblings
+    assert m.name in [s.name for s in sibs]
+    assert all(s.depth == m.depth for s in sibs)
+    assert len(sibs) == p.children_count
+
+
 def test_member_typed_keys(engine):
     """Non-string level keys (Time years are ints) resolve via string
     identifiers and keep their typed path."""

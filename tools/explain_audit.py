@@ -144,6 +144,20 @@ def main() -> int:
     has_range_filter = bool(re.search(r">=\s*1996", p)) and bool(re.search(r"<=\s*1998", p))
     check("range.planned_as_between_predicate", has_range_filter, p[:2000])
 
+    # 7b. IVF cell assignment is a pure projection: the corpus never
+    #     shuffles (centroids are inlined literals — operators/similarity.py)
+    from mondrian_olap_spark.operators.similarity import ivf_index
+    from mondrian_olap_spark.star import read_parquet_table
+
+    emb = read_parquet_table(spark, f"{SF_DIR}/embeddings.parquet")
+    p = plan_str(ivf_index(emb, n_cells=4).drop("v"))
+    assert_scan = "parquet" in p.lower()
+    check(
+        "ivf.assignment_no_shuffle",
+        assert_scan and "Exchange" not in p,
+        p[:1500],
+    )
+
     # 7. whole-stage codegen covers the aggregation path (inspect the FINAL
     #    adaptive plan — pre-execution AQE plans carry no codegen annotation)
     df = Query(eng).columns("[Measures].[Sum Qty]").rows("[ReturnFlag].children").execute().df
