@@ -152,3 +152,57 @@ def test_stateful_running_totals(spark, tmp_path):
     assert len(rows) == 2
     final = max(rows, key=lambda t: t[1])
     assert final[1] == 3 and final[2] == 7.0
+
+
+def test_maintain_aggregate(spark, tmp_path):
+    """Streaming summary maintenance: micro-batches of fact rows merge into
+    a grain summary; a second batch updates (not duplicates) existing keys."""
+    from mondrian_olap_spark.streaming.maintenance import maintain_aggregate
+
+    eng = engine_from_parquet(spark, SCHEMA, "Sales", SF_DIR)
+    fact = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    half1 = fact.filter(F.col("l_orderkey") % 2 == 0)
+    half2 = fact.filter(F.col("l_orderkey") % 2 == 1)
+    src = tmp_path / "fact_stream"
+    summary = str(tmp_path / "nation_summary")
+    ckpt = str(tmp_path / "ckpt")
+    half1.write.parquet(str(src), mode="overwrite")
+
+    stream = spark.readStream.schema(fact.schema).parquet(str(src))
+    q = maintain_aggregate(
+        eng, stream, ["[Customer].[Nation]"], ["Sum Qty"], summary, ckpt
+    )
+    q.awaitTermination(120)
+
+    def summary_totals():
+        return {
+            r["nation_name"]: r["sum_qty"]
+            for r in spark.read.parquet(summary).collect()
+        }
+
+    def expected(df):
+        eng2 = engine_from_parquet(spark, SCHEMA, "Sales", SF_DIR)
+        eng2.tables = {**dict(eng2.tables), "lineitem": df}
+        from mondrian_olap_spark.star import CubeEngine
+        e = CubeEngine(eng2.cube, eng2.tables)
+        return {
+            (r["nation_name"]): r["sum_qty"]
+            for r in Query(e)
+            .columns("[Measures].[Sum Qty]")
+            .rows("[Customer].[Nation].Members")
+            .execute()
+            .df.collect()
+        }
+
+    assert summary_totals() == expected(half1)
+    # summary registered for routing
+    assert any(t[1] == ["region_name", "nation_name"] for t in eng.aggregate_tables)
+
+    # second batch arrives → merged totals equal the full-fact aggregate
+    half2.write.parquet(str(src), mode="append")
+    q2 = maintain_aggregate(
+        eng, spark.readStream.schema(fact.schema).parquet(str(src)),
+        ["[Customer].[Nation]"], ["Sum Qty"], summary, ckpt,
+    )
+    q2.awaitTermination(120)
+    assert summary_totals() == expected(fact)
