@@ -61,6 +61,7 @@ _DETERMINISTIC_BINARY = {
     "dlinregslope",
     "dlinregintercept",
     "dlinregr2",
+    "dlinregvariance",
 }
 
 
@@ -84,6 +85,11 @@ def _binary_det(name: str, ey: str, ex: str) -> Column:
         return cov_n / var_x_n
     if name == "dlinregintercept":
         return sy / n - cov_n / var_x_n * (sx / n)
+    if name == "dlinregvariance":
+        # residual sum of squares of the least-squares fit — matches the
+        # reference's observed LinRegVariance values (mondrian_test.rb:
+        # 689-760: flat line → 266.67, perfect fit → 0)
+        return var_y_n - cov_n * cov_n / var_x_n
     # dlinregr2 = corr^2, spelled without an intermediate sqrt
     return cov_n * cov_n / (var_x_n * var_y_n)
 
@@ -116,6 +122,18 @@ def stat_column(output: str, fn: str, *exprs: str, arg: float | None = None) -> 
         if len(exprs) != 2:
             raise ValueError(f"{fn} takes two expressions (y, x)")
         return _binary_det(name, exprs[0], exprs[1]).alias(output)
+    if name == "linregvariance":
+        if len(exprs) != 2:
+            raise ValueError(f"{fn} takes two expressions (y, x)")
+        return _binary_det("dlinregvariance", exprs[0], exprs[1]).alias(output)
+    if name == "linregpoint":
+        # LinRegPoint(x0, set, y, x) = slope·x0 + intercept
+        # (jar!mondrian/olap/fun/LinReg$PointFunDef)
+        if arg is None or len(exprs) != 2:
+            raise ValueError("linregpoint takes arg=x0 and (y, x) expressions")
+        slope = _binary_det("dlinregslope", exprs[0], exprs[1])
+        intercept = _binary_det("dlinregintercept", exprs[0], exprs[1])
+        return (slope * F.lit(float(arg)) + intercept).alias(output)
     if name == "percentile":
         if arg is None:
             raise ValueError("percentile requires arg")
@@ -139,13 +157,17 @@ def set_aggregate(
 ) -> DataFrame:
     """Aggregate ``stats`` over ``df`` grouped by ``group_cols``.
 
-    Each stat is ``(output, fn, expr[, expr2])`` or
-    ``(output, 'percentile', expr, p)``.
+    Each stat is ``(output, fn, expr[, expr2])``,
+    ``(output, 'percentile', expr, p)``, or
+    ``(output, 'linregpoint', y, x, x0)``.
     """
     cols = []
     for st in stats:
-        if st[1].lower() == "percentile":
+        name = st[1].lower()
+        if name == "percentile":
             cols.append(stat_column(st[0], st[1], st[2], arg=st[3]))
+        elif name == "linregpoint":
+            cols.append(stat_column(st[0], st[1], st[2], st[3], arg=st[4]))
         else:
             cols.append(stat_column(st[0], st[1], *st[2:]))
     return df.groupBy(*group_cols).agg(*cols) if group_cols else df.agg(*cols)

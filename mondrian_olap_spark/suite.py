@@ -1815,3 +1815,44 @@ def drillthrough_grouped(spark, sf_dir):
         ],
         group_by=True,
     )
+
+
+@q(
+    "linreg_variance_point",
+    """
+    WITH m AS (
+      SELECT l_returnflag AS return_flag,
+             count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY 1
+    )
+    SELECT return_flag,
+           (syy - sy*sy/n)
+             - (sxy - sx*sy/n) * (sxy - sx*sy/n) / (sxx - sx*sx/n) AS resid_ss,
+           (sxy - sx*sy/n) / (sxx - sx*sx/n) * 25.0
+             + (sy/n - (sxy - sx*sy/n) / (sxx - sx*sx/n) * (sx/n)) AS point_at_25
+    FROM m
+    """,
+)
+def linreg_variance_point(spark, sf_dir):
+    """LinRegVariance (residual sum of squares of the least-squares fit —
+    mondrian_test.rb:689-760) and LinRegPoint(x0) = slope·x0 + intercept
+    (jar!mondrian/olap/fun/LinReg$PointFunDef), decimal-moment exact."""
+    eng = get_engine(spark, sf_dir)
+    y = "CAST(l_extendedprice AS DECIMAL(12,2))"
+    x = "CAST(l_quantity AS DECIMAL(12,2))"
+    return set_aggregate(
+        eng.fact,
+        ["return_flag"],
+        [
+            ("resid_ss", "linregvariance", y, x),
+            ("point_at_25", "linregpoint", y, x, 25.0),
+        ],
+    )

@@ -826,3 +826,31 @@ def test_exists_mdx(engine):
         .execute()
     )
     assert sorted(map(tuple, r1.df.collect())) == sorted(map(tuple, r2.df.collect()))
+
+
+def test_linreg_variance_reference_values(spark):
+    """LinRegVariance semantics pinned to the reference's observed values
+    (mondrian_test.rb:689-760): flat line → 266.67, moderate fit → 104.17,
+    perfect fit → 0."""
+    from pyspark.sql import Row
+
+    from mondrian_olap_spark.functions.stats import set_aggregate
+
+    def rss(ys):
+        df = spark.createDataFrame([Row(x=float(i + 1), y=float(v)) for i, v in enumerate(ys)])
+        out = set_aggregate(df, [], [("v", "linregvariance", "y", "x")]).collect()
+        return out[0]["v"]
+
+    assert abs(rss([10, 30, 10]) - 266.67) < 0.01
+    assert abs(rss([10, 30, 25]) - 104.17) < 0.01
+    assert abs(rss([10, 20, 30])) < 1e-9
+
+
+def test_linreg_point_on_line(spark):
+    from pyspark.sql import Row
+
+    from mondrian_olap_spark.functions.stats import set_aggregate
+
+    df = spark.createDataFrame([Row(x=1.0, y=10.0), Row(x=2.0, y=20.0), Row(x=3.0, y=30.0)])
+    out = set_aggregate(df, [], [("p", "linregpoint", "y", "x", 7.0)]).collect()
+    assert abs(out[0]["p"] - 70.0) < 1e-9
