@@ -110,6 +110,54 @@ def frame_sample(
     return df.select("media_id", "kind", F.explode(idx).alias("frame_index"))
 
 
+#: resize output: payload replaced by the (re-encoded) resized bytes
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+
+def fake_resizer(kind: str, payload: bytes, max_side: int) -> tuple[bytes, int, int]:
+    """Deterministic stand-in resizer: dimensions from the payload digest
+    scaled into the bound, payload replaced by a digest-derived stub of
+    proportional length — stable plumbing without codecs."""
+    digest = hashlib.md5(payload or b"").digest()
+    w, h = 16 + digest[0], 16 + digest[1]
+    scale = min(1.0, max_side / max(w, h))
+    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+    out = (digest * (1 + (nw * nh) // len(digest)))[: max(1, (nw * nh) // 4)]
+    return out, nw, nh
+
+
+def resize_media(
+    df: DataFrame,
+    max_side: int = 256,
+    resizer: Callable[[str, bytes, int], tuple[bytes, int, int]] = fake_resizer,
+) -> DataFrame:
+    """Resize stage as ``mapInPandas``: payload-in/payload-out per Arrow
+    batch (the shape a PIL/ffmpeg resizer drops into via ``resizer=``);
+    bytes never transit the driver, one batch in flight per core."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                out, w, h = resizer(
+                    kind, bytes(payload) if payload is not None else b"", max_side
+                )
+                rows.append((mid, kind, out, w, h))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "width", "height"]
+            )
+
+    return df.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
 def repartition_for_media(
     df: DataFrame,
     target_partition_bytes: int = 128 << 20,

@@ -255,6 +255,17 @@ def test_decode_media_deterministic(media):
         assert a[k]["width"] >= 16 and a[k]["height"] >= 16
 
 
+def test_resize_media_bounds_dimensions(media):
+    out = {r["media_id"]: r for r in multimodal.resize_media(media, max_side=20).collect()}
+    assert out.keys() == {1, 2, 3}
+    for r in out.values():
+        assert max(r["width"], r["height"]) <= 20
+        assert r["payload"] is not None and len(r["payload"]) >= 1
+    # deterministic across runs
+    again = {r["media_id"]: r for r in multimodal.resize_media(media, max_side=20).collect()}
+    assert all(bytes(out[k]["payload"]) == bytes(again[k]["payload"]) for k in out)
+
+
 def test_real_decoder_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.real_decoder("image", b"")
