@@ -133,9 +133,13 @@ def _path_predicate(ref: MemberSetRef) -> Column | None:
 
 
 class Planner:
-    def __init__(self, engine: CubeEngine):
+    def __init__(self, engine: CubeEngine, extra_measures: tuple = ()):
         self.engine = engine
         self.cube = engine.cube
+        #: query-scoped WITH members not on any axis — visible to the
+        #: dependency closure (a requested member may reference them;
+        #: mondrian_test.rb:338-413 CASE chains over helper members)
+        self.extra_measures = tuple(extra_measures)
 
     def aggregate(
         self,
@@ -421,8 +425,14 @@ class Planner:
         df = self._join(uses)
         measure_cols = [measure_column(m) for m in base_measures]
         if not measure_cols:
-            # pure member/tuple query — distinct combinations
-            agg = df.select(*group_cols).dropDuplicates(group_cols) if group_cols else df
+            if group_cols:
+                # pure member/tuple query — distinct combinations
+                agg = df.select(*group_cols).dropDuplicates(group_cols)
+            else:
+                # no grouping, no base measures (e.g. literal-only
+                # calculated members, mondrian_test.rb:338-358): one
+                # grand-total context row for the calc chain to build on
+                agg = df.agg(F.max(F.lit(1)).alias("__gt"))
         elif group_cols:
             # multi-level rollup: every cell at the grouping set implied by
             # its axis members' levels; the "(All)" member = grand total —
@@ -461,6 +471,8 @@ class Planner:
             known[m.out] = m
         for c in self.cube.calculated_members:
             known[c.out] = c
+        for c in self.extra_measures:
+            known[c.out] = c
         for m in measures:  # query-scoped WITH members shadow cube entries
             known[m.out] = m
 
@@ -485,10 +497,38 @@ class Planner:
         for m in measures:
             visit(m)
         base = [m for m in needed.values() if isinstance(m, Measure)]
-        calcs = sorted(
-            (m for m in needed.values() if isinstance(m, CalculatedMember)),
-            key=lambda c: (c.solve_order, c.out),
-        )
+        calc_items = [m for m in needed.values() if isinstance(m, CalculatedMember)]
+        calc_outs = {c.out for c in calc_items}
+        deps: dict[str, set[str]] = {}
+        for c in calc_items:
+            d = set()
+            for m_ in re.finditer(r"[A-Za-z_][A-Za-z0-9_]*", c.expression):
+                rest = c.expression[m_.end():].lstrip()
+                if rest.startswith("("):
+                    continue
+                t = m_.group(0)
+                if t in calc_outs and t != c.out:
+                    d.add(t)
+            deps[c.out] = d
+        # dependency-topological order, (solve_order, out) among the ready —
+        # a member must compute after every member its formula references
+        # even when solve orders tie (Mondrian resolves this through the
+        # calc DAG; mondrian_test.rb:338-413 CASE chains)
+        by_out = {c.out: c for c in calc_items}
+        calcs: list[CalculatedMember] = []
+        placed: set[str] = set()
+        remaining = set(by_out)
+        while remaining:
+            ready = sorted(
+                (o for o in remaining if deps[o] <= placed),
+                key=lambda o: (by_out[o].solve_order, o),
+            )
+            if not ready:  # cycle: fall back to solve_order (will error in SQL)
+                ready = sorted(remaining, key=lambda o: (by_out[o].solve_order, o))
+            o = ready[0]
+            calcs.append(by_out[o])
+            placed.add(o)
+            remaining.discard(o)
         return base, calcs
 
     def drill_through(

@@ -718,7 +718,7 @@ class Query:
                 measures.append(self._measure(name))
         if not measures and not self._with:
             pass  # pure member query
-        planner = Planner(self.engine)
+        planner = Planner(self.engine, extra_measures=tuple(self._with))
         main_axes, shallow_groups = self._split_mixed_depth([ax.sets for ax in axes])
         df, group_cols = planner.aggregate(
             main_axes, self._slicer, measures, totals=self._totals
@@ -1247,7 +1247,7 @@ class Query:
         shuffle of the grid."""
         from .plan import Planner
 
-        planner = Planner(self.engine)
+        planner = Planner(self.engine, extra_measures=tuple(self._with))
         kind = desc[0]
         expr = desc[1] if kind == "filter" else (desc[4] if kind == "topbottom" else None)
         extra_slice = list(desc[1]) if kind == "exists" else []

@@ -992,3 +992,37 @@ def test_parameter_type_validation():
         p.check_value(3.5)
     with pytest.raises(TypeError):
         p.check_value(True)  # bool is not an Integer parameter value
+
+
+def test_case_match_with_helper_members(engine):
+    """CASE over literal helper members (mondrian_test.rb:338-358): member
+    references in branches, dependency-ordered even with tied solve
+    orders, grand-total context row with no base measures."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[one] AS '1'
+             MEMBER [Measures].[two] AS '2'
+             MEMBER [Measures].[Case 1] AS 'CASE 1 WHEN 1 THEN [Measures].[one] ELSE [Measures].[two] END'
+             MEMBER [Measures].[Case 2] AS 'CASE 2 WHEN 1 THEN [Measures].[one] ELSE [Measures].[two] END'
+        SELECT {[Measures].[Case 1], [Measures].[Case 2]} ON COLUMNS FROM [Sales]
+        """,
+    )
+    rows = r.df.collect()
+    assert len(rows) == 1
+    assert rows[0]["case_1"] == 1 and rows[0]["case_2"] == 2
+
+
+def test_case_null_results(engine):
+    """CASE branches yielding NULL (mondrian_test.rb:398-413)."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[one] AS '1'
+             MEMBER [Measures].[Case 1] AS 'CASE 1 WHEN 1 THEN NULL ELSE [Measures].[one] END'
+             MEMBER [Measures].[Case 2] AS 'CASE 2 WHEN 1 THEN NULL ELSE [Measures].[one] END'
+        SELECT {[Measures].[Case 1], [Measures].[Case 2]} ON COLUMNS FROM [Sales]
+        """,
+    )
+    rows = r.df.collect()
+    assert rows[0]["case_1"] is None and rows[0]["case_2"] == 1
