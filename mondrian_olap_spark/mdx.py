@@ -813,6 +813,20 @@ class MdxParser:
             flags=re.IGNORECASE,
         )
 
+        def repl_case_name(m: re.Match) -> str:
+            # CASE … END.Name returns the winning *member's name* as a
+            # string (mondrian_test.rb:382-397): rewrite each member
+            # reference inside the CASE to its quoted name literal and
+            # drop the .Name accessor
+            inner = m.group(1)
+            return re.sub(
+                r"\[Measures\]\s*\.\s*\[((?:[^\]]|\]\])*)\]",
+                lambda mm: "'" + mm.group(1).replace("]]", "]").replace("'", "''") + "'",
+                inner,
+            )
+
+        out = re.sub(r"(?is)\b(CASE\b.*?\bEND)\s*\.\s*Name\b", repl_case_name, out)
+
         def repl_measure(m: re.Match) -> str:
             name = m.group(1).replace("]]", "]")
             try:

@@ -1026,3 +1026,20 @@ def test_case_null_results(engine):
     )
     rows = r.df.collect()
     assert rows[0]["case_1"] is None and rows[0]["case_2"] == 1
+
+
+def test_case_end_name_returns_member_name(engine):
+    """CASE … END.Name yields the winning member's NAME as a string
+    (mondrian_test.rb:382-397)."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[one] AS '1'
+             MEMBER [Measures].[two] AS '2'
+             MEMBER [Measures].[Case 1] AS 'CASE 1 WHEN 1 THEN [Measures].[one] ELSE [Measures].[two] END.Name'
+             MEMBER [Measures].[Case 2] AS 'CASE 2 WHEN 1 THEN [Measures].[one] ELSE [Measures].[two] END.Name'
+        SELECT {[Measures].[Case 1], [Measures].[Case 2]} ON COLUMNS FROM [Sales]
+        """,
+    )
+    rows = r.df.collect()
+    assert rows[0]["case_1"] == "one" and rows[0]["case_2"] == "two"
