@@ -1856,3 +1856,102 @@ def linreg_variance_point(spark, sf_dir):
             ("point_at_25", "linregpoint", y, x, 25.0),
         ],
     )
+
+
+@q(
+    "matches_regex_filter",
+    f"""
+    SELECT r_name AS region_name, n_name AS nation_name,
+           sum(l_quantity) AS sum_qty
+    FROM {_CUST_STAR}
+    WHERE regexp_matches(n_name, '^NATION_1[0-9]$')
+    GROUP BY 1, 2
+    """,
+)
+def matches_regex_filter(spark, sf_dir):
+    """MATCHES regex predicate on member names (schema_element MATCHES →
+    Spark rlike; SURVEY.md §2.2)."""
+    return (
+        Query(get_engine(spark, sf_dir))
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].[Nation].Members")
+        .filter("nation_name rlike '^NATION_1[0-9]$'")
+        .execute()
+        .df
+    )
+
+
+@q(
+    "extract_hierarchy",
+    f"""
+    SELECT DISTINCT n_name AS nation_name
+    FROM {_CUST_STAR}
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = 'Brand#11'
+    """,
+)
+def extract_hierarchy(spark, sf_dir):
+    """EXTRACT(set, hierarchy): project a crossjoin grid onto one
+    hierarchy's tuples (jar!mondrian/olap/fun/ExtractFunDef)."""
+    from .functions.sets import extract
+
+    grid = (
+        Query(get_engine(spark, sf_dir))
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].[Nation].Members")
+        .crossjoin("[Part].[Brand].Members")
+        .execute()
+        .df
+        .filter("brand = 'Brand#11'")
+    )
+    return extract(grid, "nation_name")
+
+
+@q(
+    "sql_view_fact",
+    """
+    SELECT n_name AS geo_nation, count(s_suppkey) AS supplier_count
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_acctbal > 1000
+    GROUP BY 1
+    """,
+)
+def sql_view_fact(spark, sf_dir):
+    """SQL view as the fact table (schema.rb View/SQL element,
+    schema_definition_test.rb:171-193): the cube runs over SQL text whose
+    scan Catalyst inlines (pushdown reaches the base parquet)."""
+    from .model import Cube, Dimension, Level, Measure
+    from .sources.registry import with_sql_views
+    from .star import CubeEngine, read_parquet_table
+
+    base = {
+        "supplier": read_parquet_table(spark, f"{sf_dir}/supplier.parquet"),
+        "nation": read_parquet_table(spark, f"{sf_dir}/nation.parquet"),
+    }
+    tables = with_sql_views(
+        spark, base, {"rich_suppliers": "SELECT * FROM supplier WHERE s_acctbal > 1000"}
+    )
+    cube = Cube(
+        name="RichSuppliers",
+        fact="rich_suppliers",
+        dimensions=(
+            Dimension(
+                name="Geo",
+                foreign_key="s_nationkey",
+                table="nation",
+                primary_key="n_nationkey",
+                levels=(Level("Nation", "n_name", output="geo_nation"),),
+                guaranteed_small=True,
+            ),
+        ),
+        measures=(
+            Measure("Supplier Count", "s_suppkey", "count", output="supplier_count"),
+        ),
+    )
+    return (
+        Query(CubeEngine(cube, tables))
+        .columns("[Measures].[Supplier Count]")
+        .rows("[Geo].[Nation].Members")
+        .execute()
+        .df
+    )
