@@ -293,6 +293,15 @@ class Cube:
         for d in self.dimensions:
             if d.name.lower() == name.lower():
                 return d
+        # Mondrian's [Dimension.Hierarchy] secondary-hierarchy references
+        # ([Time.Weekly] — schema.rb:132-167 named hierarchies): secondary
+        # hierarchies are modelled as sibling dimensions here, named by
+        # concatenation (TimeWeekly)
+        if "." in name:
+            squashed = name.replace(".", "").lower()
+            for d in self.dimensions:
+                if d.name.lower() == squashed:
+                    return d
         raise KeyError(f"cube {self.name!r} has no dimension {name!r}")
 
     def measure(self, name: str) -> Measure | CalculatedMember:

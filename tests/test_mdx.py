@@ -1053,3 +1053,16 @@ def test_isdirty_false(engine):
         "SELECT [Measures].[d] ON COLUMNS FROM [Sales]",
     )
     assert r.df.collect()[0]["d"] is False
+
+
+def test_secondary_hierarchy_dotted_reference(engine):
+    """[Time.Weekly] secondary-hierarchy naming (schema.rb:132-167) maps to
+    the sibling TimeWeekly dimension."""
+    r = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "[Time.Weekly].[Week].Members ON ROWS FROM [Sales] "
+        "WHERE ([Time.Weekly].[1995])",
+    )
+    rows = r.df.collect()
+    assert len(rows) >= 52 and all(row["w_year"] == 1995 for row in rows)
