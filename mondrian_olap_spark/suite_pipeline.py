@@ -464,3 +464,50 @@ def text_quality_filter(spark, sf_dir):
     return df.groupBy(
         F.coalesce(F.col("drop_reason"), F.lit("kept")).alias("drop_reason")
     ).agg(F.count("*").alias("n_docs"))
+
+
+@q(
+    "embed_dedup_keep_list",
+    f"""
+    WITH RECURSIVE en AS (
+      SELECT vec_id, {_EMB_D} AS v FROM embeddings
+      WHERE list_dot_product({_EMB_D}, {_EMB_D}) > 0
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM en a JOIN en b ON a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+            >= 0.45
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, target) AS (
+      SELECT vec_id, vec_id FROM en
+      UNION
+      SELECT reach.node, edges.dst FROM reach JOIN edges ON edges.src = reach.target
+    )
+    SELECT node AS id, min(target) AS cluster,
+           (node = min(target)) AS keep
+    FROM reach GROUP BY 1
+    """,
+)
+def embed_dedup_keep_list(spark, sf_dir):
+    """Embedding-space dedup end to end: cosine near-dup pairs →
+    connected components → canonical keep-list (the semantic-dedup pass a
+    training pipeline runs after text-level dedup).  Exact pair scan here
+    for the oracle; at corpus scale swap in lsh_candidate_pairs /
+    ivf_index blocking for candidates with identical downstream plumbing."""
+    emb = _emb(spark, sf_dir)
+    pairs = similarity.cosine_pairs_threshold(emb, 0.45).select("id_a", "id_b")
+    nonzero = emb.filter(
+        similarity.dot(
+            F.transform("embedding", lambda x: x.cast("double")),
+            F.transform("embedding", lambda x: x.cast("double")),
+        )
+        > 0
+    )
+    ids = nonzero.select(F.col("vec_id").alias("id"))
+    return dedup.dedup_clusters(ids, pairs)
