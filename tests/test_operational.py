@@ -233,3 +233,45 @@ def test_include_empty_expands_axis(engine):
         .execute()
     ).df.count()
     assert len(rows) - len(empties) == nonempty
+
+
+def test_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """At 100 TB the fact is date-partitioned; a time slicer must prune
+    partitions at plan time (PartitionFilters on the scan), not filter
+    rows after reading everything."""
+    src = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    part_dir = str(tmp_path / "lineitem_by_year")
+    src.withColumn("ship_year_part", F.year("l_shipdate")).write.partitionBy(
+        "ship_year_part"
+    ).parquet(part_dir)
+
+    from mondrian_olap_spark.model import Cube, Dimension, Level, Measure
+    from mondrian_olap_spark.query import Query
+    from mondrian_olap_spark.star import CubeEngine
+
+    cube = Cube(
+        name="PartSales",
+        fact="lineitem_p",
+        dimensions=(
+            Dimension(
+                name="ShipYear",
+                levels=(Level("Year", "ship_year_part", output="ship_year_p"),),
+            ),
+        ),
+        measures=(Measure("Sum Qty", "l_quantity", "sum", output="sum_qty"),),
+    )
+    eng = CubeEngine(cube, {"lineitem_p": spark.read.parquet(part_dir)})
+    df = (
+        Query(eng)
+        .columns("[Measures].[Sum Qty]")
+        .where("[ShipYear].[1996]")
+        .execute()
+        .df
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "1996" in plan.split("PartitionFilters", 1)[1][:200]
+    # and the answer matches the unpartitioned scan
+    expected = src.filter(F.year("l_shipdate") == 1996).agg(
+        F.sum("l_quantity").alias("s")
+    ).collect()[0]["s"]
+    assert df.collect()[0]["sum_qty"] == expected
