@@ -98,3 +98,55 @@ def test_salted_aggregate_matches_direct(spark, engine):
         assert direct[k]["mx"] == salted[k]["mx"]
         assert math.isclose(direct[k]["s"], salted[k]["s"], rel_tol=1e-9)
         assert math.isclose(direct[k]["av"], salted[k]["av"], rel_tol=1e-9)
+
+
+# ---------------------------------------------------------- sampling maths
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=50,
+             unique=True),
+    st.lists(st.floats(min_value=0.01, max_value=10.0, allow_nan=False),
+             min_size=2, max_size=4),
+)
+@settings(max_examples=100, deadline=None)
+def test_split_case_partitions_hash_space(ids, weights):
+    """The pure-Python bucket/threshold maths behind assign_splits: every
+    bucket lands in exactly one split, thresholds are monotonic, and the
+    mapping is deterministic."""
+    import hashlib
+
+    from mondrian_olap_spark.operators.sampling import _BUCKETS
+
+    names = [f"s{i}" for i in range(len(weights))]
+    w = dict(zip(names, weights))
+    total = sum(w.values())
+    cuts = []
+    acc = 0.0
+    for n in names[:-1]:
+        acc += w[n] / total * _BUCKETS
+        cuts.append(int(round(acc)))
+    assert cuts == sorted(cuts)
+    for i in ids:
+        b = (
+            int(hashlib.md5(f"split:{i}".encode()).hexdigest()[:15], 16) % _BUCKETS
+        )
+        matches = [n for n, c in zip(names[:-1], cuts) if b < c]
+        # first matching threshold wins; no threshold → last split
+        chosen = matches[0] if matches else names[-1]
+        assert chosen in names
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_pii_patterns_idempotent(text):
+    """Redacting already-redacted text changes nothing: the placeholder
+    tokens never re-match the PII patterns."""
+    import re as _re
+
+    from mondrian_olap_spark.operators.text import PII_PATTERNS
+
+    def redact(s: str) -> str:
+        s = _re.sub(PII_PATTERNS["email"], "<EMAIL>", s)
+        return _re.sub(PII_PATTERNS["phone"], "<PHONE>", s)
+
+    once = redact(text)
+    assert redact(once) == once
