@@ -73,6 +73,7 @@ def tokenize(s: str) -> list[Tok]:
 _SET_FUNCTIONS = {
     "crossjoin",
     "nonemptycrossjoin",
+    "nonempty",
     "filter",
     "order",
     "topcount",
@@ -369,6 +370,8 @@ class MdxParser:
             q.except_(*d[1])
         elif k == "exists":
             q.exists_(*d[1])
+        elif k == "nonempty":
+            q.nonempty()
         elif k == "distinct":
             q.distinct()
         elif k == "hierarchize":
@@ -718,6 +721,20 @@ class MdxParser:
             right = self.parse_set()
             self.expect_op(")")
             inner.ops.append(("exists", list(right.base)))
+            return inner
+        if fname == "nonempty":
+            # NONEMPTY(set[, set2]) (jar!mondrian/olap/fun/NonEmptyFunDef):
+            # one-arg form = drop empty cells in the query context; two-arg
+            # form = keep set1 members with data in set2's member context
+            # (shared-fact-rows semi-join, same plan as EXISTS)
+            if self.at_op(","):
+                self.next()
+                right = self.parse_set()
+                self.expect_op(")")
+                inner.ops.append(("exists", list(right.base)))
+            else:
+                self.expect_op(")")
+                inner.ops.append(("nonempty",))
             return inner
         if fname == "distinct":
             self.expect_op(")")

@@ -1066,3 +1066,30 @@ def test_secondary_hierarchy_dotted_reference(engine):
     )
     rows = r.df.collect()
     assert len(rows) >= 52 and all(row["w_year"] == 1995 for row in rows)
+
+
+def test_nonempty_function_forms(engine):
+    """NONEMPTY(set) == NON EMPTY axis; NONEMPTY(set1, set2) keeps members
+    with data in set2's context (NonEmptyFunDef)."""
+    one = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "NONEMPTY([Customer].[Nation].Members) ON ROWS FROM [Sales]",
+    )
+    plain = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "NON EMPTY [Customer].[Nation].Members ON ROWS FROM [Sales]",
+    )
+    assert rows_of(one.df) == rows_of(plain.df)
+    two = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "NONEMPTY([Customer].[Nation].Members, {[Time].[1995]}) ON ROWS FROM [Sales]",
+    )
+    ex = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "EXISTS([Customer].[Nation].Members, {[Time].[1995]}) ON ROWS FROM [Sales]",
+    )
+    assert rows_of(two.df) == rows_of(ex.df)
