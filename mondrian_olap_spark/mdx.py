@@ -555,6 +555,32 @@ class MdxParser:
             second = self.parse_member_string()
             return _SetBuild(base=[], ops=[("range", first, second)])
         low = first.lower()
+        # member family navigation (jar!mondrian/olap/fun/
+        # FirstChild/LastChild/Parent/FirstSibling/LastSibling/SiblingsFunDef):
+        # expressed through Children sets + head/tail slices — stays a
+        # distributed member query, never a driver lookup
+        if low.endswith(".firstchild") or low.endswith(".lastchild"):
+            head = first.rsplit(".", 1)[0]
+            return _SetBuild(
+                base=[f"{head}.Children"],
+                ops=[("slice", 0, 1, low.endswith(".lastchild"))],
+            )
+        if low.endswith(".parent"):
+            head = first.rsplit(".", 1)[0]
+            if "." not in head:
+                raise MdxError(f"{first!r}: root members have no parent")
+            return _SetBuild(base=[head.rsplit(".", 1)[0]])
+        if low.endswith(".firstsibling") or low.endswith(".lastsibling"):
+            head = first.rsplit(".", 1)[0]
+            parent = head.rsplit(".", 1)[0] if "." in head else head
+            return _SetBuild(
+                base=[f"{parent}.Children"],
+                ops=[("slice", 0, 1, low.endswith(".lastsibling"))],
+            )
+        if low.endswith(".siblings"):
+            head = first.rsplit(".", 1)[0]
+            parent = head.rsplit(".", 1)[0] if "." in head else head
+            return _SetBuild(base=[f"{parent}.Children"])
         if low.endswith(".[defaultmember]"):
             # [Dim].DefaultMember → first member in hierarchy order
             # (jar!mondrian/olap/fun/DimensionDefaultMemberFunDef; no All
@@ -763,7 +789,12 @@ class MdxParser:
         segs = self.parse_identifier_segments()
         return ".".join(
             s
-            if s.lower() in ("members", "allmembers", "children", "currentmember")
+            if s.lower()
+            in (
+                "members", "allmembers", "children", "currentmember",
+                "firstchild", "lastchild", "parent",
+                "firstsibling", "lastsibling", "siblings",
+            )
             else quote_segment(s)
             for s in segs
         )

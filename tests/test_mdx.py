@@ -1093,3 +1093,46 @@ def test_nonempty_function_forms(engine):
         "EXISTS([Customer].[Nation].Members, {[Time].[1995]}) ON ROWS FROM [Sales]",
     )
     assert rows_of(two.df) == rows_of(ex.df)
+
+
+def test_member_family_navigation(engine):
+    """FirstChild / LastChild / Parent / FirstSibling / Siblings
+    (jar!mondrian/olap/fun member navigation family)."""
+    fc = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "[Time].[1995].FirstChild ON ROWS FROM [Sales]",
+    )
+    rows = fc.df.collect()
+    assert len(rows) == 1 and rows[0]["o_quarter"] == "Q1"
+
+    lc = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "[Time].[1995].LastChild ON ROWS FROM [Sales]",
+    )
+    rows = lc.df.collect()
+    assert len(rows) == 1 and rows[0]["o_quarter"] == "Q4"
+
+    par = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "[Time].[1995].[Q2].Parent ON ROWS FROM [Sales]",
+    )
+    rows = par.df.collect()
+    assert len(rows) == 1 and rows[0]["o_year"] == 1995
+
+    sib = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "[Time].[1995].[Q2].Siblings ON ROWS FROM [Sales]",
+    )
+    assert {r["o_quarter"] for r in sib.df.collect()} == {"Q1", "Q2", "Q3", "Q4"}
+
+    fs = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "[Time].[1995].[Q3].FirstSibling ON ROWS FROM [Sales]",
+    )
+    rows = fs.df.collect()
+    assert len(rows) == 1 and rows[0]["o_quarter"] == "Q1"
