@@ -517,6 +517,40 @@ class MdxParser:
                 self.expect_op(")")
                 members = fn(self.engine)
                 return _SetBuild(base=list(members))
+        if (
+            t is not None
+            and t.kind == "word"
+            and t.text.lower() == "cousin"
+            and self.peek(1) is not None
+            and self.peek(1).text == "("
+        ):
+            # COUSIN(member, ancestor) (jar!mondrian/olap/fun/CousinFunDef):
+            # the member at the same relative position under the new
+            # ancestor.  The source member's sibling position resolves at
+            # validate time (one bounded sibling-list lookup — exactly what
+            # Mondrian's validator does), then the result plans as
+            # ancestor.Children sliced at that position.
+            self.next()
+            self.expect_op("(")
+            m1 = self.parse_member_string()
+            self.expect_op(",")
+            m2 = self.parse_member_string()
+            self.expect_op(")")
+            from .members import resolve
+
+            ref = resolve(self.cube, m1)
+            if not getattr(ref, "path", None):
+                raise MdxError("COUSIN needs a full member path as its first argument")
+            sibs = self.engine.level_members(
+                ref.dimension.name, ref.depth, ref.path[:-1]
+            )
+            key_col = ref.dimension.levels[ref.depth].out
+            keys = [str(r[key_col]) for r in sibs.collect()]
+            try:
+                idx = keys.index(str(ref.path[-1]))
+            except ValueError:
+                raise MdxError(f"COUSIN: member {m1!r} not found among its siblings")
+            return _SetBuild(base=[f"{m2}.Children"], ops=[("slice", idx, 1, False)])
         if t is not None and t.kind == "word" and t.text.lower() == "strtoset":
             # StrToSet("…") — runtime set construction from a string
             # (jar!mondrian/olap/fun/StrToSetFunDef; SURVEY.md §2.6)

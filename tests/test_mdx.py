@@ -1136,3 +1136,16 @@ def test_member_family_navigation(engine):
     )
     rows = fs.df.collect()
     assert len(rows) == 1 and rows[0]["o_quarter"] == "Q1"
+
+
+def test_cousin(engine):
+    """Cousin(member, ancestor): same relative position under the new
+    ancestor (CousinFunDef)."""
+    r = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "COUSIN([Time].[1995].[Q2], [Time].[1996]) ON ROWS FROM [Sales]",
+    )
+    rows = r.df.collect()
+    assert len(rows) == 1
+    assert rows[0]["o_year"] == 1996 and rows[0]["o_quarter"] == "Q2"
