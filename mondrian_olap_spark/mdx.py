@@ -520,6 +520,43 @@ class MdxParser:
         if (
             t is not None
             and t.kind == "word"
+            and t.text.lower() in ("ancestor", "descendants")
+            and self.peek(1) is not None
+            and self.peek(1).text == "("
+        ):
+            # ANCESTOR(member, level) → path truncated at the level's depth
+            # (AncestorFunDef); DESCENDANTS(member, level) → the level's
+            # members under the path (DescendantsFunDef) — both pure path
+            # arithmetic, planned as ordinary member sets
+            fn = self.next().text.lower()
+            self.expect_op("(")
+            m1 = self.parse_member_string()
+            self.expect_op(",")
+            segs = self.parse_identifier_segments()
+            self.expect_op(")")
+            from .members import resolve, resolve_level
+
+            ref = resolve(self.cube, m1)
+            level_ident = ".".join(quote_segment(s) for s in segs)
+            dim, lvl_idx = resolve_level(self.cube, level_ident)
+            if dim.name != ref.dimension.name:
+                raise MdxError(f"{fn.upper()}: member and level dimensions differ")
+            if fn == "ancestor":
+                if lvl_idx > ref.depth:
+                    raise MdxError("ANCESTOR level is below the member's own level")
+                head_segs = [quote_segment(ref.dimension.name)] + [
+                    quote_segment(str(k)) for k in ref.path[: lvl_idx + 1]
+                ]
+                return _SetBuild(base=[".".join(head_segs)])
+            if lvl_idx <= ref.depth:
+                raise MdxError("DESCENDANTS level must be below the member's level")
+            base = m1
+            for _ in range(lvl_idx - ref.depth):
+                base += ".Children"
+            return _SetBuild(base=[base])
+        if (
+            t is not None
+            and t.kind == "word"
             and t.text.lower() == "cousin"
             and self.peek(1) is not None
             and self.peek(1).text == "("

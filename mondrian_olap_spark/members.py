@@ -149,10 +149,17 @@ def resolve(cube: Cube, identifier: str) -> MeasureRef | MemberSetRef:
 
     if suffix == "children":
         # [Dim].children → top-level members (children of the All member,
-        # README.md:126); [Dim].[A].children → members one level below path
-        if len(rest) >= len(dim.levels):
+        # README.md:126); [Dim].[A].children → members one level below path;
+        # chained .Children.Children descends multiple levels (the
+        # DESCENDANTS(member, level) lowering — DescendantsFunDef)
+        extra = 0
+        while rest and rest[-1].lower() == "children":
+            rest = rest[:-1]
+            extra += 1
+        depth = len(rest) + extra
+        if depth >= len(dim.levels):
             raise MemberParseError(f"{identifier!r}: path deeper than hierarchy")
-        return MemberSetRef(dim, depth=len(rest), path=tuple(rest), kind="children")
+        return MemberSetRef(dim, depth=depth, path=tuple(rest), kind="children")
 
     # plain member path: key values from level 0 down
     if not rest:

@@ -1149,3 +1149,23 @@ def test_cousin(engine):
     rows = r.df.collect()
     assert len(rows) == 1
     assert rows[0]["o_year"] == 1996 and rows[0]["o_quarter"] == "Q2"
+
+
+def test_ancestor_and_descendants_functions(engine):
+    """ANCESTOR(member, level) / DESCENDANTS(member, level)
+    (AncestorFunDef / DescendantsFunDef)."""
+    a = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "ANCESTOR([Time].[1995].[Q2], [Time].[Year]) ON ROWS FROM [Sales]",
+    )
+    rows = a.df.collect()
+    assert len(rows) == 1 and rows[0]["o_year"] == 1995
+
+    d = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "DESCENDANTS([Time].[1995], [Time].[Month]) ON ROWS FROM [Sales]",
+    )
+    rows = d.df.collect()
+    assert len(rows) == 12 and all(r["o_year"] == 1995 for r in rows)
