@@ -364,6 +364,20 @@ class Schema:
     #: schema-level shared dimensions (schema.rb:53-54 ``:dimension``
     #: elements): referenced from cubes via :func:`dimension_usage`
     dimensions: tuple[Dimension, ...] = ()
+    #: schema-declared roles, selectable by name on a connection
+    #: (schema.rb:416-489; connection.rb role_name= / available role names)
+    roles: tuple = ()
+
+    @property
+    def role_names(self) -> list[str]:
+        """connection_role_test.rb:105-108 available role names."""
+        return [r.name for r in self.roles]
+
+    def role(self, name: str):
+        for r in self.roles:
+            if r.name.lower() == name.lower():
+                return r
+        raise KeyError(f"schema {self.name!r} has no role {name!r}")
 
     def dimension(self, name: str) -> Dimension:
         """Shared-dimension lookup (source resolution for DimensionUsage)."""

@@ -128,11 +128,14 @@ class CubeEngine:
         cube: Cube,
         tables: Mapping[str, DataFrame],
         parameters: tuple = (),
+        roles: tuple = (),
     ):
         self.cube = cube
         self.tables = tables
         #: schema-declared typed parameters (schema.rb:515-524)
         self.parameters = tuple(parameters)
+        #: schema-declared roles selectable via :meth:`set_role_name`
+        self.available_roles = tuple(roles)
         fact = tables[cube.fact]
         if cube.fact_filter:
             # Table-element inline WHERE (schema.rb:71-79)
@@ -300,6 +303,37 @@ class CubeEngine:
     # lib/mondrian/olap/cube.rb:328-332 level.members,
     # :437-468 children/descendants)
     # ------------------------------------------------------------------
+    @property
+    def role_names(self) -> list[str]:
+        """Available role names (connection_role_test.rb:105-108)."""
+        return [r.name for r in self.available_roles]
+
+    @property
+    def role_name(self) -> str | None:
+        """Active role name, or None (connection_role_test.rb:109-119)."""
+        return self.role.name if self.role is not None else None
+
+    def set_role_name(self, *names: str) -> None:
+        """Select the active role by schema-declared name; several names
+        combine as a union role (connection.rb:183-211 role_name= /
+        role_names=); empty call clears.  Unknown names raise KeyError
+        (connection_role_test.rb:120-128)."""
+        if not names:
+            self.role = None
+            return
+        by_name = {r.name.lower(): r for r in self.available_roles}
+        picked = []
+        for n in names:
+            if n.lower() not in by_name:
+                raise KeyError(f"schema declares no role {n!r}")
+            picked.append(by_name[n.lower()])
+        if len(picked) == 1:
+            self.role = picked[0]
+        else:
+            from .roles import union_roles
+
+            self.role = union_roles("+".join(r.name for r in picked), *picked)
+
     def metadata(self):
         """Olap4j-style introspection surface (cube.rb; test/cube_test.rb):
         ``engine.metadata().dimension('Customer').level('Nation').members``,
@@ -524,4 +558,7 @@ def engine_from_parquet(
             for link in d.joins:
                 names.add(link.table)
     tables = {n: read_parquet_table(spark, f"{data_dir}/{n}.parquet") for n in names}
-    return CubeEngine(cube, tables, parameters=schema.parameters)
+    return CubeEngine(
+        cube, tables, parameters=schema.parameters,
+        roles=getattr(schema, "roles", ()),
+    )

@@ -240,3 +240,42 @@ def test_full_policy_still_restricts_drill_through(engine):
         fields=[("region_name", "[Customer].[Region]"), ("qty", "l_quantity")],
     )
     assert {r["region_name"] for r in df.collect()} == {"ASIA"}
+
+
+def test_schema_role_registry(spark):
+    """Schema-declared roles selected by name; several names union;
+    unknown names raise (connection_role_test.rb:105-134)."""
+    from mondrian_olap_spark.model import Schema
+    from mondrian_olap_spark.roles import MemberGrant, Role
+    from mondrian_olap_spark.star import engine_from_parquet
+    from mondrian_olap_spark.tpch import SCHEMA as BASE
+
+    import dataclasses
+
+    from .conftest import SF_DIR
+
+    asia = Role("asia", grants=(MemberGrant("Customer", ("ASIA",)),))
+    europe = Role("europe", grants=(MemberGrant("Customer", ("EUROPE",)),))
+    schema = dataclasses.replace(BASE, roles=(asia, europe))
+    assert schema.role_names == ["asia", "europe"]
+    eng = engine_from_parquet(spark, schema, "Sales", SF_DIR)
+    assert eng.role_name is None
+    with pytest.raises(KeyError):
+        eng.set_role_name("nope")
+    eng.set_role_name("asia")
+    assert eng.role_name == "asia"
+    regions = {
+        r["region_name"]
+        for r in Query(eng).columns("[Measures].[Sum Qty]")
+        .rows("[Customer].children").execute().df.collect()
+    }
+    assert regions == {"ASIA"}
+    eng.set_role_name("asia", "europe")
+    regions = {
+        r["region_name"]
+        for r in Query(eng).columns("[Measures].[Sum Qty]")
+        .rows("[Customer].children").execute().df.collect()
+    }
+    assert regions == {"ASIA", "EUROPE"}
+    eng.set_role_name()
+    assert eng.role_name is None
