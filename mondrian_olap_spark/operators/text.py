@@ -95,6 +95,27 @@ def text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out
 
 
+#: GPT-2-style pretokenizer pattern, simplified to the portable regex
+#: subset (no lookarounds, no unicode property classes): contractions,
+#: letter runs, digit runs, punctuation runs — the standard BPE
+#: pre-segmentation whose piece count approximates BPE token count far
+#: better than whitespace splitting
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting both ways (the brief's "whitespace + BPE-ish regex"):
+    ``n_tokens_ws`` (whitespace pieces) and ``n_tokens_bpe`` (GPT-2-style
+    pretokenizer pieces).  Pure ``regexp_extract_all`` projection."""
+    c = F.col(text_col)
+    return df.withColumn(
+        "n_tokens_ws", F.size(F.split(F.trim(c), r"\s+"))
+    ).withColumn(
+        "n_tokens_bpe",
+        F.size(F.regexp_extract_all(c, F.lit(BPE_SPLIT_PATTERN), F.lit(0))),
+    )
+
+
 #: PII patterns shared by the Spark plan and SQL oracles — portable regex
 #: subset (no lookarounds/backrefs) so Java and RE2-family engines agree
 PII_PATTERNS = {

@@ -511,3 +511,20 @@ def embed_dedup_keep_list(spark, sf_dir):
     )
     ids = nonzero.select(F.col("vec_id").alias("id"))
     return dedup.dedup_clusters(ids, pairs)
+
+
+@q(
+    "text_token_counts",
+    f"""
+    SELECT doc_id,
+           len({_DOC_TOKS}) AS n_tokens_ws,
+           len(regexp_extract_all(text,
+               '{text.BPE_SPLIT_PATTERN.replace("'", "''")}')) AS n_tokens_bpe
+    FROM documents
+    """,
+)
+def text_token_counts(spark, sf_dir):
+    """Whitespace vs BPE-ish-regex token counts per document (training
+    token budgeting; GPT-2-style pretokenizer piece count)."""
+    df = text.with_token_counts(_docs(spark, sf_dir))
+    return df.select("doc_id", "n_tokens_ws", "n_tokens_bpe")
