@@ -1006,6 +1006,10 @@ class Query:
                 cur = f"DISTINCT({cur})"
             elif kind == "hierarchize":
                 cur = f"HIERARCHIZE({cur}" + (", POST)" if op[1] else ")")
+            elif kind in ("HEAD", "TAIL"):
+                cur = f"{kind}({cur}, {op[1]})"
+            elif kind == "SUBSET":
+                cur = f"SUBSET({cur}, {op[1]}, {op[2]})"
             elif kind in (
                 "TOPCOUNT", "BOTTOMCOUNT", "TOPPERCENT",
                 "BOTTOMPERCENT", "TOPSUM", "BOTTOMSUM",

@@ -150,3 +150,46 @@ def test_pii_patterns_idempotent(text):
 
     once = redact(text)
     assert redact(once) == once
+
+
+# ------------------------------------------- randomized MDX differential
+_ROWS = [
+    "[Customer].children",
+    "[Customer].[Nation].Members",
+    "[ReturnFlag].children",
+    "[Time].[Year].Members",
+]
+_XJOIN = [None, "[LineStatus].children", "[Priority].children"]
+_SLICER = [None, "[Time].[1995]", "[Customer].[ASIA]"]
+_MEASURES = ["[Measures].[Sum Qty]", "[Measures].[Count Order]"]
+
+
+@given(
+    st.integers(0, len(_ROWS) - 1),
+    st.integers(0, len(_XJOIN) - 1),
+    st.integers(0, len(_SLICER) - 1),
+    st.integers(1, 2),
+    st.sampled_from(["none", "topcount", "head", "order"]),
+)
+@settings(max_examples=12, deadline=None)
+def test_builder_mdx_differential_random(engine, ri, xi, si, nm, op):
+    """Random bounded query shapes: the builder and its to_mdx text must
+    produce identical grids (the reference's builder↔MDX equivalence,
+    generalized beyond the golden cases)."""
+    from mondrian_olap_spark.mdx import execute_mdx
+    from mondrian_olap_spark.query import Query
+
+    q = Query(engine).columns(*_MEASURES[:nm]).rows(_ROWS[ri])
+    if _XJOIN[xi]:
+        q = q.crossjoin(_XJOIN[xi])
+    if op == "topcount":
+        q = q.top_count(3, "sum_qty")
+    elif op == "head":
+        q = q.head(4)
+    elif op == "order":
+        q = q.order("sum_qty", "BDESC")
+    if _SLICER[si]:
+        q = q.where(_SLICER[si])
+    direct = sorted(tuple(r) for r in q.execute().df.collect())
+    via_mdx = sorted(tuple(r) for r in execute_mdx(engine, q.to_mdx()).df.collect())
+    assert direct == via_mdx
