@@ -169,9 +169,11 @@ _MEASURES = ["[Measures].[Sum Qty]", "[Measures].[Count Order]"]
     st.integers(0, len(_XJOIN) - 1),
     st.integers(0, len(_SLICER) - 1),
     st.integers(1, 2),
-    st.sampled_from(["none", "topcount", "head", "order"]),
+    st.sampled_from(
+        ["none", "topcount", "head", "order", "filter", "subset", "bottomsum", "except"]
+    ),
 )
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=24, deadline=None)
 def test_builder_mdx_differential_random(engine, ri, xi, si, nm, op):
     """Random bounded query shapes: the builder and its to_mdx text must
     produce identical grids (the reference's builder↔MDX equivalence,
@@ -188,6 +190,17 @@ def test_builder_mdx_differential_random(engine, ri, xi, si, nm, op):
         q = q.head(4)
     elif op == "order":
         q = q.order("sum_qty", "BDESC")
+    elif op == "filter":
+        q = q.filter("sum_qty > 1000")
+    elif op == "subset":
+        q = q.subset(1, 3)
+    elif op == "bottomsum":
+        q = q.bottom_sum(50000, "sum_qty")
+    elif op == "except":
+        if ri == 0:
+            q = q.except_("[Customer].[ASIA]")
+        elif ri == 3:
+            q = q.except_("[Time].[1996]")
     if _SLICER[si]:
         q = q.where(_SLICER[si])
     direct = sorted(tuple(r) for r in q.execute().df.collect())
