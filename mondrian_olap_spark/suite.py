@@ -1955,3 +1955,25 @@ def sql_view_fact(spark, sf_dir):
         .execute()
         .df
     )
+
+
+@q(
+    "descendants_months_mdx",
+    f"""
+    SELECT year(o_orderdate) AS o_year,
+           'Q' || quarter(o_orderdate) AS o_quarter,
+           month(o_orderdate) AS o_month,
+           sum(l_quantity) AS sum_qty
+    FROM {_ORD_STAR}
+    WHERE year(o_orderdate) = 1995
+    GROUP BY 1, 2, 3
+    """,
+)
+def descendants_months_mdx(spark, sf_dir):
+    """DESCENDANTS(member, level) from MDX text (DescendantsFunDef; the
+    chained-.Children lowering)."""
+    eng = get_engine(spark, sf_dir)
+    return eng.execute(
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "DESCENDANTS([Time].[1995], [Time].[Month]) ON ROWS FROM [Sales]"
+    ).df
