@@ -206,3 +206,31 @@ def test_builder_mdx_differential_random(engine, ri, xi, si, nm, op):
     direct = sorted(tuple(r) for r in q.execute().df.collect())
     via_mdx = sorted(tuple(r) for r in execute_mdx(engine, q.to_mdx()).df.collect())
     assert direct == via_mdx
+
+
+# ------------------------------------------------------------ parser fuzz
+_MDX_VOCAB = [
+    "SELECT", "FROM", "WHERE", "ON", "COLUMNS", "ROWS", "WITH", "MEMBER",
+    "SET", "AS", "NON", "EMPTY", "{", "}", "(", ")", ",", ".", ":",
+    "[Sales]", "[Measures].[Sum Qty]", "[Customer].children",
+    "[Customer].[Nation].Members", "[Time].[1995]", "CROSSJOIN", "FILTER",
+    "TOPCOUNT", "ORDER", "HEAD", "'x'", "1", "2.5", "BDESC", "Item",
+    "NONEMPTY", "COUSIN", "ANCESTOR", "DESCENDANTS", "Parent", "Children",
+]
+
+
+@given(st.lists(st.sampled_from(_MDX_VOCAB), min_size=1, max_size=25))
+@settings(max_examples=120, deadline=None)
+def test_mdx_parser_fuzz_never_crashes(engine, toks):
+    """Token-soup fuzz: the parser either parses (query may even run) or
+    raises a *typed* engine error — never a hang, never an internal
+    exception like AttributeError/IndexError escaping to the caller."""
+    from mondrian_olap_spark.mdx import MdxError, execute_mdx
+    from mondrian_olap_spark.members import MemberParseError
+    from mondrian_olap_spark.query import QueryError
+
+    text = " ".join(toks)
+    try:
+        execute_mdx(engine, text)
+    except (MdxError, MemberParseError, QueryError, KeyError, ValueError):
+        pass
