@@ -446,29 +446,51 @@ class MdxParser:
             self.q.nonempty()
 
     def parse_where(self):
+        def one() -> str:
+            m, op = self._braced_member_nav(self.parse_member_string())
+            if op is not None:
+                raise MdxError("Item(i) is not supported in WHERE in this subset")
+            return m
+
         members: list[str] = []
         if self.at_op("(") or self.at_op("{"):
             close = ")" if self.at_op("(") else "}"
             self.next()
-            members.append(self.parse_member_string())
+            members.append(one())
             while self.at_op(","):
                 self.next()
-                members.append(self.parse_member_string())
+                members.append(one())
             self.expect_op(close)
         else:
-            members.append(self.parse_member_string())
+            members.append(one())
         self.q.where(*members)
 
     # -- sets ----------------------------------------------------------
     def _parse_braced_member(self):
         """One element of a ``{…}`` literal; supports a trailing
-        ``.Item(i)`` (query_test.rb ItemSet shape)."""
+        ``.Item(i)`` (query_test.rb ItemSet shape) and ``.Parent`` (a pure
+        path truncation).  Other family-navigation suffixes need a member
+        lookup and are only supported as bare set expressions — reject them
+        loudly instead of resolving 'firstchild' as a literal key."""
         m = self.parse_member_string()
-        if m.lower().endswith(".[item]") and self.at_op("("):
+        return self._braced_member_nav(m)
+
+    def _braced_member_nav(self, m: str):
+        low = m.lower()
+        if low.endswith(".[item]") and self.at_op("("):
             self.next()
             idx = int(self.next().text)
             self.expect_op(")")
             return m.rsplit(".", 1)[0], ("slice", idx, 1, False)
+        if low.endswith(".parent"):
+            return _parent_of(m), None
+        for suf in (".firstchild", ".lastchild", ".firstsibling",
+                    ".lastsibling", ".siblings"):
+            if low.endswith(suf):
+                raise MdxError(
+                    f"{m!r}: {suf[1:]} is only supported as a bare set "
+                    "expression (not inside braces/tuples) in this subset"
+                )
         return m, None
 
     def parse_set(self) -> "_SetBuild":
@@ -548,8 +570,11 @@ class MdxParser:
                     quote_segment(str(k)) for k in ref.path[: lvl_idx + 1]
                 ]
                 return _SetBuild(base=[".".join(head_segs)])
-            if lvl_idx <= ref.depth:
-                raise MdxError("DESCENDANTS level must be below the member's level")
+            if lvl_idx < ref.depth:
+                raise MdxError("DESCENDANTS level must not be above the member's level")
+            if lvl_idx == ref.depth:
+                # level == member's own level → {member} (DescendantsFunDef)
+                return _SetBuild(base=[m1])
             base = m1
             for _ in range(lvl_idx - ref.depth):
                 base += ".Children"
@@ -637,10 +662,8 @@ class MdxParser:
                 ops=[("slice", 0, 1, low.endswith(".lastchild"))],
             )
         if low.endswith(".parent"):
-            head = first.rsplit(".", 1)[0]
-            if "." not in head:
-                raise MdxError(f"{first!r}: root members have no parent")
-            return _SetBuild(base=[head.rsplit(".", 1)[0]])
+            parent = _parent_of(first)
+            return _SetBuild(base=[parent])
         if low.endswith(".firstsibling") or low.endswith(".lastsibling"):
             head = first.rsplit(".", 1)[0]
             parent = head.rsplit(".", 1)[0] if "." in head else head
@@ -934,17 +957,33 @@ class MdxParser:
 
         def repl_case_name(m: re.Match) -> str:
             # CASE … END.Name returns the winning *member's name* as a
-            # string (mondrian_test.rb:382-397): rewrite each member
-            # reference inside the CASE to its quoted name literal and
-            # drop the .Name accessor
-            inner = m.group(1)
+            # string (mondrian_test.rb:382-397): rewrite member references
+            # in the THEN/ELSE *result* positions only (WHEN conditions and
+            # the selector keep their cell values) and drop the .Name
+            inner = m.group(1)  # the CASE…END text
+
+            def repl_result(rm: re.Match) -> str:
+                return rm.group(1) + re.sub(
+                    r"\[Measures\]\s*\.\s*\[((?:[^\]]|\]\])*)\]",
+                    lambda mm: "'"
+                    + mm.group(1).replace("]]", "]").replace("'", "''")
+                    + "'",
+                    rm.group(2),
+                )
+
             return re.sub(
-                r"\[Measures\]\s*\.\s*\[((?:[^\]]|\]\])*)\]",
-                lambda mm: "'" + mm.group(1).replace("]]", "]").replace("'", "''") + "'",
+                r"(?is)\b(THEN\s+|ELSE\s+)(.*?)(?=\bWHEN\b|\bELSE\b|\bEND\b)",
+                repl_result,
                 inner,
             )
 
-        out = re.sub(r"(?is)\b(CASE\b.*?\bEND)\s*\.\s*Name\b", repl_case_name, out)
+        # tempered match: no nested CASE/END inside, so the .Name binds to
+        # the nearest preceding CASE and never swallows an earlier one
+        out = re.sub(
+            r"(?is)(\bCASE\b(?:(?!\bCASE\b|\bEND\b).)*\bEND\b)\s*\.\s*Name\b",
+            repl_case_name,
+            out,
+        )
 
         def repl_measure(m: re.Match) -> str:
             name = m.group(1).replace("]]", "]")
@@ -991,6 +1030,16 @@ class _SetBuild:
             self.ops = []
         if self.set_ops is None:
             self.set_ops = []
+
+
+def _parent_of(member_with_suffix: str) -> str:
+    """``[Dim].[a].[b].Parent`` → ``[Dim].[a]``; root members have no
+    parent (ParentFunDef — the All member is implicit here)."""
+    head = member_with_suffix.rsplit(".", 1)[0]  # strip .Parent
+    parent = head.rsplit(".", 1)[0]  # strip the member's own key
+    if "." not in parent:
+        raise MdxError(f"{member_with_suffix!r}: root members have no parent")
+    return parent
 
 
 def _segment(t: Tok) -> str:

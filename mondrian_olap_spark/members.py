@@ -178,7 +178,10 @@ def format_ref(ref: MemberSetRef) -> str:
         return format_name([dim.name, *map(str, ref.path)])
     if ref.kind == "children":
         base = format_name([dim.name, *map(str, ref.path)])
-        return f"{base}.children"
+        # depth may exceed len(path)+1 (chained-children DESCENDANTS
+        # lowering): serialize one .children per descended level so the
+        # string round-trips through resolve()
+        return base + ".children" * (ref.depth - len(ref.path) + 1)
     if ref.kind == "level_members":
         return f"{format_name([dim.name, dim.levels[ref.depth].name])}.Members"
     if ref.kind == "range":

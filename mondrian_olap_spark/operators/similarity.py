@@ -103,11 +103,30 @@ def cosine_pairs_threshold(
     )
 
 
+def ivf_seeds(
+    emb: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """The default deterministic coarse-quantizer model: the ``n_cells``
+    lowest-id non-zero vectors, as collected rows ``(id, v, nv)``.  Pass
+    the same list to both :func:`ivf_index` and :func:`ivf_topk`; swap in
+    trained centroids by passing rows of the same shape."""
+    base = (
+        emb.select(F.col(id_col).alias("id"), _dvec(F.col(vec_col)).alias("v"))
+        .withColumn("nv", norm(F.col("v")))
+        .filter(F.col("nv") > 0)
+    )
+    return base.orderBy("id").limit(n_cells).select("id", "v", "nv").collect()
+
+
 def ivf_index(
     emb: DataFrame,
     n_cells: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list | None = None,
 ) -> DataFrame:
     """IVF coarse quantizer + assignment — the ANN scale path beside LSH.
 
@@ -132,7 +151,9 @@ def ivf_index(
         .withColumn("nv", norm(F.col("v")))
         .filter(F.col("nv") > 0)
     )
-    seeds = base.orderBy("id").limit(n_cells).select("id", "v", "nv").collect()
+    seeds = centroids if centroids is not None else ivf_seeds(
+        emb, n_cells, id_col, vec_col
+    )
     entries = [
         F.struct(
             cosine(
@@ -158,6 +179,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index: DataFrame | None = None,
+    centroids: list | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via IVF: each query probes its ``n_probe``
     nearest cells and ranks only the vectors assigned there.
@@ -171,8 +193,21 @@ def ivf_topk(
     Returns (query_id, neighbor_id, cosine), k rows per query, cosine
     descending with neighbor id tiebreak; self-matches excluded.
     """
-    idx = index if index is not None else ivf_index(emb, n_cells, id_col, vec_col)
-    seeds = idx.orderBy("id").limit(n_cells).select("id", "v", "nv").collect()
+    if index is not None and centroids is None:
+        raise ValueError(
+            "ivf_topk(index=...) needs the matching centroids= list (from "
+            "ivf_seeds or your trained quantizer) — probing must use the "
+            "same centroids the index was assigned with; deriving them "
+            "from the index's rows is only correct for default seeding"
+        )
+    seeds = centroids if centroids is not None else ivf_seeds(
+        emb, n_cells, id_col, vec_col
+    )
+    idx = (
+        index
+        if index is not None
+        else ivf_index(emb, n_cells, id_col, vec_col, centroids=seeds)
+    )
     q = idx.filter(F.col("id").isin(query_ids)).select(
         F.col("id").alias("query_id"), F.col("v").alias("qv"), F.col("nv").alias("qn")
     )

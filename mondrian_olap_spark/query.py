@@ -1080,6 +1080,12 @@ class Query:
 
         group_cols = self._group_cols_of(ax)
         tiebreak = [F.col(c) for c in group_cols]
+        # the set's own iteration order on THIS axis: hierarchize order
+        # until an order/hierarchize mod of this axis changes it.  The
+        # cross-axis ``sort_spec`` (threaded for final display ordering)
+        # must NOT leak into set semantics — a previous axis's ORDER has no
+        # bearing on which members HEAD/CurrentOrdinal select here.
+        local_sort: list | None = None
         for mod in ax.mods:
             kind = mod[0]
             if kind == "nonempty":
@@ -1087,7 +1093,7 @@ class Query:
             if kind == "filter":
                 alias = mod[2] if len(mod) > 2 else None
                 df, cond, drops = self._rewrite_current(
-                    df, mod[1], alias, sort_spec or list(tiebreak),
+                    df, mod[1], alias, local_sort or list(tiebreak),
                     group_cols, measure_outs or [],
                 )
                 df = df.filter(F.expr(cond))
@@ -1141,21 +1147,23 @@ class Query:
                     # hierarchical: sort within parent levels
                     parents = [F.col(c) for c in group_cols[:-1]]
                     sort_spec = parents + [key] + tiebreak
+                local_sort = list(sort_spec)
             elif kind == "hierarchize":
                 post = mod[1]
                 sort_spec = list(tiebreak)  # level-path order
                 if post:
                     sort_spec = sort_spec[::-1]
+                local_sort = list(sort_spec)
             elif kind == "subselect":
                 _, refs, desc = mod
                 df = self._apply_subselect(df, refs, desc)
             elif kind == "slice":
                 _, start, count, from_end = mod
-                order = sort_spec if sort_spec else list(tiebreak)
+                order = local_sort if local_sort else list(tiebreak)
                 w_order = [c.desc() if from_end else c for c in order] if from_end else order
                 # reversing an existing sort spec isn't generally possible on
                 # Column objects; TAIL therefore uses the hierarchize order
-                if from_end and sort_spec:
+                if from_end and local_sort:
                     raise QueryError("tail() combined with a custom order is not supported")
                 w = Window.orderBy(*(w_order if w_order else [F.lit(1)]))
                 df = (
@@ -1166,6 +1174,7 @@ class Query:
             elif kind == "topbottom":
                 _, side, how, n, expr = mod
                 df, sort_spec = _top_bottom(df, side, how, n, expr, tiebreak)
+                local_sort = list(sort_spec)
         return df, sort_spec
 
 
@@ -1206,10 +1215,32 @@ class Query:
             rf"(?i)ISEMPTY\s*\(\s*{a}\s*\.\s*CURRENT\s*\)",
             lambda m: empty_test(False), cond)
 
-        rank_pat = rf"(?i)RANK\s*\(\s*{a}\s*\.\s*CURRENT\s*,\s*{a}\s*(?:,\s*([^)]+?)\s*)?\)"
-        m = _re.search(rank_pat, cond)
+        # RANK head matched by regex, the optional expression argument by a
+        # balanced-paren scan (a regex cannot bound parenthesized exprs)
+        rank_head = rf"(?i)RANK\s*\(\s*{a}\s*\.\s*CURRENT\s*,\s*{a}\s*"
+        m = _re.search(rank_head, cond)
         if m:
-            expr = m.group(1)
+            i = m.end()
+            expr = None
+            if i < len(cond) and cond[i] == ",":
+                j, depth = i + 1, 0
+                while j < len(cond):
+                    ch = cond[j]
+                    if ch == "(":
+                        depth += 1
+                    elif ch == ")":
+                        if depth == 0:
+                            break
+                        depth -= 1
+                    j += 1
+                if j >= len(cond):
+                    raise QueryError(f"unbalanced RANK() in condition {cond!r}")
+                expr = cond[i + 1:j].strip()
+                end = j + 1
+            elif i < len(cond) and cond[i] == ")":
+                end = i + 1
+            else:
+                raise QueryError(f"malformed RANK() in condition {cond!r}")
             if expr:
                 # Rank(t, set, expr): position when the set is sorted by expr
                 # descending; ties share a rank (RankFunDef 3-arg form)
@@ -1219,15 +1250,20 @@ class Query:
                 # 2-arg Rank: 1-based position in the set's own order
                 w = Window.orderBy(*order)
                 df = df.withColumn("__set_rank", F.row_number().over(w))
-            cond = _re.sub(rank_pat, "__set_rank", cond)
+            cond = cond[: m.start()] + "__set_rank" + cond[end:]
             drops.append("__set_rank")
         if _re.search(rf"(?i){a}\s*\.\s*CURRENTORDINAL", cond):
             w = Window.orderBy(*order)
             df = df.withColumn("__set_ordinal", F.row_number().over(w) - F.lit(1))
             cond = _re.sub(rf"(?i){a}\s*\.\s*CURRENTORDINAL", "__set_ordinal", cond)
             drops.append("__set_ordinal")
-        cond = _re.sub(
-            rf"(?i){a}\s*\.\s*CURRENT\s*\.\s*NAME", group_cols[-1], cond)
+        name_pat = rf"(?i){a}\s*\.\s*CURRENT\s*\.\s*NAME"
+        if _re.search(name_pat, cond):
+            if not group_cols:
+                raise QueryError(
+                    f"{alias}.Current.Name needs member columns on the axis"
+                )
+            cond = _re.sub(name_pat, group_cols[-1], cond)
         return df, cond, drops
 
     def _measures_in(self, expr: str | None):

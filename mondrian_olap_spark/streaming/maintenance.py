@@ -75,11 +75,20 @@ def maintain_aggregate(
             engine.cube, {**dict(engine.tables), engine.cube.fact: batch_df}
         )
         delta, group_cols = Planner(batch_engine).aggregate([refs], [], ms)
+        from pyspark.errors import AnalysisException
+
         try:
             current = spark.read.parquet(summary_path)
             merged = current.unionByName(delta, allowMissingColumns=True)
-        except Exception:
-            merged = delta  # first batch: summary does not exist yet
+        except AnalysisException as e:
+            # ONLY path-not-found means "first batch".  Any other read
+            # failure (corrupt file, permissions, concurrent writer) must
+            # abort the batch — treating it as first-batch would overwrite
+            # the summary with this batch's delta and silently discard
+            # every previously accumulated aggregate.
+            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
+                raise
+            merged = delta  # genuine first batch: summary does not exist yet
         merged = merged.groupBy(*group_cols).agg(
             *[merge_fn(m.out, m.aggregator) for m in ms]
         )

@@ -1169,3 +1169,119 @@ def test_ancestor_and_descendants_functions(engine):
     )
     rows = d.df.collect()
     assert len(rows) == 12 and all(r["o_year"] == 1995 for r in rows)
+
+
+# ----------------------------------- code-review regression fixes
+def test_current_ordinal_ignores_other_axis_order(engine):
+    """A previous axis's ORDER must not change which members
+    NS.CurrentOrdinal selects (set order is per-axis hierarchize order)."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH SET NS AS '[Customer].[Nation].Members'
+        SELECT ORDER({[Measures].[Sum Qty]}, [Measures].[Sum Qty], BDESC) ON COLUMNS,
+               FILTER(NS, NS.CurrentOrdinal < 3) ON ROWS
+        FROM [Sales]
+        """,
+    )
+    head = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "HEAD([Customer].[Nation].Members, 3) ON ROWS FROM [Sales]",
+    )
+    assert rows_of(r.df) == rows_of(head.df)
+
+
+def test_case_end_name_keeps_when_conditions(engine):
+    """END.Name rewrites only THEN/ELSE results — WHEN conditions keep
+    their measure cell values."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[Pick] AS
+          'CASE WHEN [Measures].[Sum Qty] > 100 THEN [Measures].[Sum Qty] ELSE [Measures].[Count Order] END.Name'
+        SELECT [Measures].[Pick] ON COLUMNS FROM [Sales]
+        """,
+    )
+    assert r.df.collect()[0]["pick"] == "Sum Qty"
+
+
+def test_parent_in_braces_and_where(engine):
+    """.Parent works inside braces and WHERE (path truncation); other
+    family suffixes are rejected loudly rather than matching nothing."""
+    r = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "{[Time].[1995].[Q2].Parent} ON ROWS FROM [Sales] "
+        "WHERE ([Customer].[ASIA].[NATION_13].Parent)",
+    )
+    rows = r.df.collect()
+    assert len(rows) == 1 and rows[0]["o_year"] == 1995
+    with pytest.raises(MdxError, match="bare set expression"):
+        execute_mdx(
+            engine,
+            "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+            "{[Customer].[ASIA].FirstChild} ON ROWS FROM [Sales]",
+        )
+
+
+def test_parent_of_root_raises(engine):
+    with pytest.raises(MdxError, match="no parent"):
+        execute_mdx(
+            engine,
+            "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+            "[Customer].[ASIA].Parent ON ROWS FROM [Sales]",
+        )
+
+
+def test_filter_alias_on_measure_only_axis(engine):
+    """An aliased FILTER on a measures-only axis must not crash."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH SET MS AS '{[Measures].[Sum Qty]}'
+        SELECT FILTER(MS, [Measures].[Sum Qty] > 0) ON COLUMNS FROM [Sales]
+        """,
+    )
+    assert len(r.df.collect()) == 1
+
+
+def test_rank_with_parenthesized_expression(engine):
+    """3-arg RANK whose expression itself contains parentheses."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH SET NS AS '[Customer].[Nation].Members'
+        SELECT [Measures].[Sum Qty] ON COLUMNS,
+               FILTER(NS, RANK(NS.Current, NS, [Measures].[Sum Qty] * (1 + 0.1)) <= 5) ON ROWS
+        FROM [Sales]
+        """,
+    )
+    top = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "TOPCOUNT([Customer].[Nation].Members, 5, [Measures].[Sum Qty]) ON ROWS "
+        "FROM [Sales]",
+    )
+    assert rows_of(r.df) == rows_of(top.df)
+
+
+def test_descendants_same_level_is_member(engine):
+    r = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "DESCENDANTS([Time].[1995], [Time].[Year]) ON ROWS FROM [Sales]",
+    )
+    rows = r.df.collect()
+    assert len(rows) == 1 and rows[0]["o_year"] == 1995
+
+
+def test_chained_children_format_roundtrip(engine):
+    from mondrian_olap_spark.members import format_ref, resolve
+
+    ref = resolve(engine.cube, "[Time].[1995].Children.Children")
+    s = format_ref(ref)
+    assert s.lower().count(".children") == 2
+    assert resolve(engine.cube, s) == ref
+    plain = resolve(engine.cube, "[Time].[1995].Children")
+    assert format_ref(plain).lower().count(".children") == 1

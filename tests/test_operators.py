@@ -305,3 +305,19 @@ def test_dedup_clusters_chain(spark):
     out = {r["id"]: r["cluster"] for r in dedup.dedup_clusters(ids, pairs).collect()}
     assert out[1] == out[2] == out[3] == 1
     assert out[4] == out[5] == 4
+
+
+def test_ivf_external_index_requires_centroids(vectors):
+    idx = similarity.ivf_index(vectors, n_cells=2)
+    with pytest.raises(ValueError, match="centroids"):
+        similarity.ivf_topk(vectors, [1], k=3, index=idx)
+
+
+def test_ivf_external_index_with_centroids_matches(vectors):
+    seeds = similarity.ivf_seeds(vectors, n_cells=2)
+    idx = similarity.ivf_index(vectors, n_cells=2, centroids=seeds)
+    ext = similarity.ivf_topk(
+        vectors, [1], k=3, n_cells=2, n_probe=2, index=idx, centroids=seeds
+    ).collect()
+    internal = similarity.ivf_topk(vectors, [1], k=3, n_cells=2, n_probe=2).collect()
+    assert [r["neighbor_id"] for r in ext] == [r["neighbor_id"] for r in internal]
