@@ -690,6 +690,19 @@ class MdxParser:
             return _SetBuild(base=[head], ops=[("slice", idx, 1, False)])
         return _SetBuild(base=[first])
 
+    @staticmethod
+    def _plain_members(sb: "_SetBuild", where: str) -> list[str]:
+        """Second set arguments (EXISTS/GENERATE/DRILLDOWNMEMBER/NONEMPTY/
+        TOGGLEDRILLSTATE) must be plain member lists in this subset —
+        silently dropping a nested set function's operations would return a
+        wrong member set with no error."""
+        if sb.ops or sb.set_ops:
+            raise MdxError(
+                f"set functions are not supported as the second argument of "
+                f"{where} in this subset (got a computed set)"
+            )
+        return list(sb.base)
+
     def parse_set_function(self) -> "_SetBuild":
         fname = self.next().text.lower()
         self.expect_op("(")
@@ -772,14 +785,14 @@ class MdxParser:
                 self.next()
                 self.expect_word("recursive")
             self.expect_op(")")
-            inner.ops.append(("toggle_drill", list(right.base)))
+            inner.ops.append(("toggle_drill", self._plain_members(right, "TOGGLEDRILLSTATE")))
             return inner
         if fname == "drilldownmember":
             # DRILLDOWNMEMBER(set1, set2) — drill set2's members within set1
             self.expect_op(",")
             right = self.parse_set()
             self.expect_op(")")
-            inner.ops.append(("drilldown_member", list(right.base)))
+            inner.ops.append(("drilldown_member", self._plain_members(right, "DRILLDOWNMEMBER")))
             return inner
         if fname in ("drilldownlevel", "drilldownleveltop", "drilldownlevelbottom"):
             n = None
@@ -827,20 +840,20 @@ class MdxParser:
                 self.expect_word("all")
                 all_flag = True
             self.expect_op(")")
-            inner.ops.append(("generate", list(right.base), all_flag))
+            inner.ops.append(("generate", self._plain_members(right, "GENERATE"), all_flag))
             return inner
         if fname == "except":
             self.expect_op(",")
             right = self.parse_set()
             self.expect_op(")")
-            inner.ops.append(("except", list(right.base)))
+            inner.ops.append(("except", self._plain_members(right, "EXCEPT")))
             return inner
         if fname == "exists":
             # EXISTS(set1, set2) — set1 members sharing fact rows with set2
             self.expect_op(",")
             right = self.parse_set()
             self.expect_op(")")
-            inner.ops.append(("exists", list(right.base)))
+            inner.ops.append(("exists", self._plain_members(right, "EXISTS/NONEMPTY")))
             return inner
         if fname == "nonempty":
             # NONEMPTY(set[, set2]) (jar!mondrian/olap/fun/NonEmptyFunDef):
@@ -851,7 +864,7 @@ class MdxParser:
                 self.next()
                 right = self.parse_set()
                 self.expect_op(")")
-                inner.ops.append(("exists", list(right.base)))
+                inner.ops.append(("exists", self._plain_members(right, "EXISTS/NONEMPTY")))
             else:
                 self.expect_op(")")
                 inner.ops.append(("nonempty",))

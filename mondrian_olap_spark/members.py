@@ -108,9 +108,13 @@ class MemberSetRef:
     depth: int
     path: tuple[str, ...] = ()
     kind: str = "member"
-    #: (lo, hi) inclusive bounds over the ``depth`` level's ordinal
-    #: expression; only set for ``kind='range'``
+    #: (lo, hi) inclusive bounds over a level's ordinal expression; only
+    #: set for ``kind='range'``
     ordinal_range: tuple | None = None
+    #: the level the ordinal range constrains — defaults to ``depth``;
+    #: differs after drilling a range set deeper (the range keeps
+    #: constraining the original level, not the child level)
+    range_depth: int | None = None
 
     @property
     def group_levels(self):

@@ -176,13 +176,28 @@ def repartition_for_media(
     if total_rows is not None:
         parts = max(1, total_rows // rows_per_partition)
     else:
-        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        try:
+            stats = df._jdf.queryExecution().optimizedPlan().stats()
+        except AttributeError:  # Spark Connect: no _jdf — stats unavailable
+            raise ValueError(
+                "repartition_for_media needs total_rows= when plan "
+                "statistics are unavailable (Spark Connect session)"
+            ) from None
         rc = stats.rowCount()
         if rc.isDefined():
             parts = max(1, int(str(rc.get())) // rows_per_partition)
         else:
             # parquet scans report total file bytes; payload dominates, so
-            # bytes/target is the partition count directly
+            # bytes/target is the partition count directly.  Statless
+            # sources report spark.sql.defaultSizeInBytes (Long.MaxValue) —
+            # deriving a partition count from that would request millions
+            # of partitions, so demand an explicit row count instead.
             size = int(str(stats.sizeInBytes()))
+            if size >= (1 << 60):
+                raise ValueError(
+                    "source reports no size statistics — pass total_rows= "
+                    "(deriving partitions from defaultSizeInBytes would "
+                    "produce a pathological repartition)"
+                )
             parts = max(1, size // target_partition_bytes)
-    return df.repartition(int(min(parts, 1 << 20)))
+    return df.repartition(int(min(parts, 1 << 16)))

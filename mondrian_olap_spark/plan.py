@@ -97,7 +97,8 @@ class _DimUse:
                 if r.dimension.degenerate:
                     self.unroutable = True
                 else:
-                    oc = f"__ord_{r.dimension.levels[r.depth].out}"
+                    rd = r.range_depth if r.range_depth is not None else r.depth
+                    oc = f"__ord_{r.dimension.levels[rd].out}"
                     if oc not in self.ordinal_outputs:
                         self.ordinal_outputs.append(oc)
 
@@ -120,7 +121,8 @@ def _path_predicate(ref: MemberSetRef) -> Column | None:
         c = F.col(ref.dimension.levels[i].out) == key
         p = c if p is None else (p & c)
     if ref.kind == "range" and ref.ordinal_range is not None:
-        dim, lv = ref.dimension, ref.dimension.levels[ref.depth]
+        rd = ref.range_depth if ref.range_depth is not None else ref.depth
+        dim, lv = ref.dimension, ref.dimension.levels[rd]
         oc = (
             F.expr(lv.ordinal_expr)
             if dim.degenerate
@@ -171,6 +173,18 @@ class Planner:
                 outs = []
                 for ref in refs:
                     outs = max(outs, [lv.out for lv in ref.group_levels], key=len)
+                role_ = getattr(self.engine, "role", None)
+                if role_ is not None:
+                    # level-bounded grants make levels ABOVE top_level
+                    # invisible (schema.rb:440-466): their columns must not
+                    # appear in the grid at all, or the role would read
+                    # ancestor-level member values it was never granted
+                    b = role_.level_bounds(refs[0].dimension)
+                    if b is not None and b[0] > 0:
+                        hidden = [
+                            lv.out for lv in refs[0].dimension.levels[: b[0]]
+                        ]
+                        outs = [o for o in outs if o not in hidden]
                 u.add_levels(outs)
                 for o in outs:
                     if o not in group_cols:

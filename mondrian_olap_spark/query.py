@@ -314,6 +314,11 @@ class Query:
                                     dim, depth=s_.depth + 1, path=s_.path,
                                     kind="children" if s_.kind == "member" else s_.kind,
                                     ordinal_range=s_.ordinal_range,
+                                    range_depth=(
+                                        s_.range_depth
+                                        if s_.range_depth is not None
+                                        else s_.depth
+                                    ) if s_.kind == "range" else None,
                                 )
                             )
                         else:
@@ -720,6 +725,14 @@ class Query:
             pass  # pure member query
         planner = Planner(self.engine, extra_measures=tuple(self._with))
         main_axes, shallow_groups = self._split_mixed_depth([ax.sets for ax in axes])
+        if shallow_groups and (self._totals is not None or self._include_empty):
+            # the shallow unions run outside the totals / empty-expansion
+            # passes — combining them would silently omit the shallow
+            # members from grand totals and expanded grids
+            raise QueryError(
+                "mixed-depth axis sets cannot be combined with "
+                "totals()/include_empty() in this subset"
+            )
         df, group_cols = planner.aggregate(
             main_axes, self._slicer, measures, totals=self._totals
         )
@@ -753,7 +766,8 @@ class Query:
         for ax in axes:
             df, sort_spec = self._apply_mods(df, ax, sort_spec, measure_outs)
         axis_cols = [
-            [lv.out for s in ax.sets for lv in s.group_levels] for ax in axes
+            [lv.out for s in ax.sets for lv in self._visible_levels(s)]
+            for ax in axes
         ]
         formats: dict = {m.out: m.format_string for m in measures if m.format_string}
         formats.update(self._cell_formatters)  # callables win over strings
@@ -769,6 +783,7 @@ class Query:
             for ax in axes
             for s in ax.sets
             for li, lv in enumerate(s.group_levels)
+            if lv.out in {v.out for v in self._visible_levels(s)}
         }
         res._base_measures = [m for m in measures if isinstance(m, Measure)]
         return res
@@ -899,6 +914,11 @@ class Query:
             path=ref.path,
             kind="children" if ref.kind == "member" else ref.kind,
             ordinal_range=ref.ordinal_range,
+            # a drilled range still constrains the ORIGINAL level's ordinal
+            # (children of members in the range), never the child level's
+            range_depth=(
+                ref.range_depth if ref.range_depth is not None else ref.depth
+            ) if ref.kind == "range" else None,
         )
         child_out = dim.levels[ref.depth + 1].out
         synth_axes = []
@@ -1002,6 +1022,9 @@ class Query:
             elif kind == "except":
                 right = op[1][0] if len(op[1]) == 1 else "{" + ", ".join(op[1]) + "}"
                 cur = f"EXCEPT({cur}, {right})"
+            elif kind == "EXISTS":
+                right = op[1][0] if len(op[1]) == 1 else "{" + ", ".join(op[1]) + "}"
+                cur = f"EXISTS({cur}, {right})"
             elif kind == "distinct":
                 cur = f"DISTINCT({cur})"
             elif kind == "hierarchize":
@@ -1066,10 +1089,22 @@ class Query:
                 return cm
         return self.cube.measure(name)
 
+    def _visible_levels(self, s) -> list:
+        """A set's grouping levels minus any hidden by a level-bounded
+        hierarchy grant (ancestors above top_level are invisible —
+        mirrors plan.aggregate's grid columns)."""
+        role = getattr(self.engine, "role", None)
+        levels = s.group_levels
+        if role is not None:
+            b = role.level_bounds(s.dimension)
+            if b is not None and b[0] > 0:
+                levels = levels[b[0]:]
+        return list(levels)
+
     def _group_cols_of(self, ax: _Axis) -> list[str]:
         cols: list[str] = []
         for s in ax.sets:
-            for lv in s.group_levels:
+            for lv in self._visible_levels(s):
                 if lv.out not in cols:
                     cols.append(lv.out)
         return cols
@@ -1310,7 +1345,19 @@ class Query:
                 .drop("__rn")
             )
         members = sub.select(*sub_group).dropDuplicates()
-        return df.join(F.broadcast(members), on=sub_group, how="left_semi")
+        # totals / drilldown parent rows carry NULL in the member columns;
+        # a semi-join would silently drop them (NULL never equi-matches) —
+        # pass them through like filter_last does
+        null_rows = None
+        for c in sub_group:
+            p = F.col(c).isNull()
+            null_rows = p if null_rows is None else (null_rows | p)
+        kept = df.filter(~null_rows if null_rows is not None else F.lit(True)).join(
+            F.broadcast(members), on=sub_group, how="left_semi"
+        )
+        if null_rows is None:
+            return kept
+        return kept.unionByName(df.filter(null_rows))
 
 
 def _top_bottom(df: DataFrame, side: str, how: str, n, expr, tiebreak):

@@ -176,7 +176,11 @@ class Result:
         COLUMNS axis: column positions are (member-tuple × measure), row
         positions are the rows-axis tuples, values a dense grid with None
         for empty cells (result.rb:606-650 cell addressing).  Driver-side —
-        pivoted grids shown to humans are small by definition."""
+        pivoted grids shown to humans are small by definition.  The rows
+        come from the cached collect; the derived pivot dict is cached too
+        so per-cell access loops stay O(1) per cell."""
+        if getattr(self, "_pivot_cache", None) is not None:
+            return self._pivot_cache
         rows = self._collect()
         ca = self.axis_columns[0] if self.axis_columns else []
         ra = self.axis_columns[1] if len(self.axis_columns) > 1 else []
@@ -194,7 +198,8 @@ class Result:
             for m in self.measure_columns:
                 cell[(rk, ck, m)] = r[m]
         grid = [[cell.get((rk, cd, m)) for cd, m in columns] for rk in row_keys]
-        return {"columns": columns, "rows": row_keys, "values": grid}
+        self._pivot_cache = {"columns": columns, "rows": row_keys, "values": grid}
+        return self._pivot_cache
 
     def cell(self, column: int = 0, row: int = 0) -> "Cell":
         """Coordinate-addressed cell access for the 2-axis case

@@ -50,9 +50,13 @@ def _caption_col(lv) -> "F.Column":
 
     @F.pandas_udf("string")
     def _apply(s):
-        return s.map(lambda v: None if v is None else str(fmt(v)))
+        import pandas as pd
 
-    return _apply(src.cast("string"))
+        return s.map(lambda v: None if pd.isna(v) else str(fmt(v)))
+
+    # the formatter receives the RAW member value (int keys stay ints —
+    # Mondrian's MemberFormatter contract); only the OUTPUT is a string
+    return _apply(src)
 
 
 def _has_caption(lv) -> bool:
@@ -370,16 +374,24 @@ class CubeEngine:
         """
         dim = self.cube.dimension(dim_name)
         role = getattr(self, "role", None)
+        top_bound = 0
         if role is not None:
             # level bounds are absolute: listing members outside them is
-            # denied (schema.rb:440-466 top_level/bottom_level)
+            # denied (schema.rb:440-466 top_level/bottom_level), and
+            # ancestor columns ABOVE top_level stay invisible in listings
             role.check_level(dim, depth)
+            b = role.level_bounds(dim)
+            if b is not None:
+                top_bound = b[0]
         levels = dim.levels[: depth + 1]
-        outs = [lv.out for lv in levels]
+        visible_levels = levels[top_bound:]
+        outs = [lv.out for lv in visible_levels]
         props = []
         if include_properties:
-            props = [p for lv in levels for p, _ in lv.properties]
-            props += [f"{lv.out}_caption" for lv in levels if _has_caption(lv)]
+            props = [p for lv in visible_levels for p, _ in lv.properties]
+            props += [
+                f"{lv.out}_caption" for lv in visible_levels if _has_caption(lv)
+            ]
         if dim.degenerate:
             df = self.fact
             sel = [F.col(o) for o in outs] + [

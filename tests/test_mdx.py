@@ -1285,3 +1285,47 @@ def test_chained_children_format_roundtrip(engine):
     assert resolve(engine.cube, s) == ref
     plain = resolve(engine.cube, "[Time].[1995].Children")
     assert format_ref(plain).lower().count(".children") == 1
+
+
+def test_range_drilldown_keeps_range_constraint(engine):
+    """Drilling a range set keeps the BETWEEN predicate on the ORIGINAL
+    level: DRILLDOWNLEVEL over [1996]:[1998] yields those years' quarters,
+    not an empty set from comparing quarter ordinals to year bounds."""
+    r = (
+        Query(engine)
+        .columns("[Measures].[Sum Qty]")
+        .member_range("[Time].[1996]", "[Time].[1998]")
+        .drilldown_level()
+        .execute()
+    )
+    rows = r.df.collect()
+    years = {row["o_year"] for row in rows}
+    assert years == {1996, 1997, 1998}
+    # children rows cover all quarters; parent rows carry NULL quarter
+    assert {row["o_quarter"] for row in rows} == {"Q1", "Q2", "Q3", "Q4", None}
+    assert len(rows) == 3 * 5  # 3 years × (4 quarters + parent row)
+
+
+def test_computed_second_set_argument_rejected(engine):
+    """Nested set functions as the second argument of EXISTS etc. raise
+    instead of silently evaluating against the unreduced set."""
+    with pytest.raises(MdxError, match="second argument"):
+        execute_mdx(
+            engine,
+            "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+            "EXISTS([Customer].[Nation].Members, "
+            "TOPCOUNT([Time].[Year].Members, 1, [Measures].[Sum Qty])) ON ROWS "
+            "FROM [Sales]",
+        )
+
+
+def test_exists_to_mdx_roundtrip(engine):
+    q = (
+        Query(engine)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].[Nation].Members")
+        .exists_("[Time].[1995].[Q1]")
+    )
+    assert "EXISTS([Customer].[Nation].Members, [Time].[1995].[Q1])" in q.to_mdx()
+    direct = rows_of(q.execute().df)
+    assert rows_of(execute_mdx(engine, q.to_mdx()).df) == direct

@@ -854,3 +854,18 @@ def test_linreg_point_on_line(spark):
     df = spark.createDataFrame([Row(x=1.0, y=10.0), Row(x=2.0, y=20.0), Row(x=3.0, y=30.0)])
     out = set_aggregate(df, [], [("p", "linregpoint", "y", "x", 7.0)]).collect()
     assert abs(out[0]["p"] - 70.0) < 1e-9
+
+
+def test_mixed_depth_with_totals_rejected(engine):
+    """Mixed-depth sets + totals would omit shallow members from the grand
+    total — rejected loudly rather than silently wrong."""
+    from mondrian_olap_spark.query import QueryError
+
+    with pytest.raises(QueryError, match="mixed-depth"):
+        (
+            Query(engine)
+            .columns("[Measures].[Sum Qty]")
+            .rows("[Customer].[ASIA]", "[Customer].[EUROPE].[NATION_13]")
+            .totals("rollup")
+            .execute()
+        )

@@ -279,3 +279,29 @@ def test_schema_role_registry(spark):
     assert regions == {"ASIA", "EUROPE"}
     eng.set_role_name()
     assert eng.role_name is None
+
+
+def test_hierarchy_grant_hides_ancestor_columns(engine):
+    """top_level bounds hide ancestor LEVEL COLUMNS, not just deeper
+    levels: a Nation-bounded role must not see region values in grids or
+    member listings (schema.rb:440-466 absolute level invisibility)."""
+    import copy
+
+    from mondrian_olap_spark.roles import HierarchyGrant, Role
+
+    eng = copy.copy(engine)
+    eng.role = Role(
+        "nation-only",
+        hierarchy_grants=(HierarchyGrant("Customer", top_level="Nation"),),
+    )
+    df = (
+        Query(eng)
+        .columns("[Measures].[Sum Price]")
+        .rows("[Customer].[Nation].Members")
+        .execute()
+        .df
+    )
+    assert "region_name" not in df.columns and "nation_name" in df.columns
+    listing = eng.level_members("Customer", 1)
+    assert "region_name" not in listing.columns
+    eng.role = None
