@@ -147,15 +147,25 @@ class AggregateCache:
     def flush_region(self, region: list[MemberSetRef]) -> int:
         """Drop cached aggregates overlapping a member region.
 
-        Overlap rule: an entry is safe only if, for some region member, the
-        entry's slicer constrains that dimension to paths that all *exclude*
-        the member (no shared path prefix).  Unconstrained entries (grand
-        totals, other-dim aggregates) always overlap — their cells contain
-        contributions from the region's fact rows.
+        Region semantics (cube.rb:519-547 flush_region_cache_with_segments):
+        same-dimension members form a UNION, distinct dimensions a cross
+        product.  An entry is safe only if, for some dimension in the
+        region, the entry excludes EVERY member of that dimension's group
+        (no overlap on one cross-product axis ⇒ no intersection).  Keeping
+        an entry because it excludes merely *one* member of a same-dim
+        union would under-flush — stale cells for the other members.
+        Unconstrained entries (grand totals, other-dim aggregates) always
+        overlap — their cells contain contributions from the region's rows.
         """
+        by_dim: dict[str, list[MemberSetRef]] = {}
+        for ref in region:
+            by_dim.setdefault(ref.dimension.name, []).append(ref)
         doomed = []
         for key, entry in self._entries.items():
-            if any(self._excludes(entry, ref) for ref in region):
+            if any(
+                all(self._excludes(entry, ref) for ref in refs)
+                for refs in by_dim.values()
+            ):
                 continue
             doomed.append(key)
         for key in doomed:

@@ -122,7 +122,16 @@ def _apply_pattern(value: float, pattern: str) -> str:
     if min_int == 0 and int_part == 0 and max_frac > 0:
         int_str = ""  # '#'-only integer part drops the leading zero
     if grouping and int_str:
-        int_str = f"{int(int_str):,}"
+        # group the zero-PADDED digit string (int() would strip the
+        # '0'-placeholder padding: '0,000' on 5 must give '0,005')
+        sign = "-" if int_str.startswith("-") else ""
+        digits = int_str.lstrip("-")
+        chunks = []
+        while len(digits) > 3:
+            chunks.append(digits[-3:])
+            digits = digits[:-3]
+        chunks.append(digits)
+        int_str = sign + ",".join(reversed(chunks))
 
     frac_digits = ""
     if max_frac:

@@ -221,7 +221,19 @@ class Query:
         return self
 
     def except_(self, *members: str) -> "Query":
+        """EXCEPT(set, {members}) — anti-filter on member paths
+        (query.rb:59-66; jar!...ExceptFunDef).  Arguments must be concrete
+        members: a measure would crash at plan time and a path-less set
+        (``Level.Members``) would silently no-op — both rejected here."""
         refs = [self._resolve(m) for m in members]
+        for m, r in zip(members, refs):
+            if isinstance(r, MeasureRef):
+                raise QueryError(f"except_ takes dimension members, got {m!r}")
+            if not r.path:
+                raise QueryError(
+                    f"except_ needs concrete member paths; {m!r} is a whole "
+                    "level/hierarchy (subtracting it would empty the set)"
+                )
         self._axis().mods.append(("except", refs))
         self._axis().display_ops.append(("except", list(members)))
         return self
@@ -737,7 +749,20 @@ class Query:
             main_axes, self._slicer, measures, totals=self._totals
         )
         if self._include_empty:
-            df = planner.expand_empty(df, main_axes, group_cols)
+            if self._totals is not None and group_cols:
+                # rollup/cube super-aggregate rows carry NULL grouping keys
+                # — the member-grid left join would silently drop them, so
+                # expand only the detail rows and union the totals back
+                detail_pred = None
+                for c in group_cols:
+                    p = F.col(c).isNotNull()
+                    detail_pred = p if detail_pred is None else (detail_pred & p)
+                totals_rows = df.filter(~detail_pred)
+                df = planner.expand_empty(
+                    df.filter(detail_pred), main_axes, group_cols
+                ).unionByName(totals_rows)
+            else:
+                df = planner.expand_empty(df, main_axes, group_cols)
         for axis_i, dim, shallow_refs in shallow_groups:
             # mixed-depth axis set {[USA], [Canada].[BC]}: shallower members
             # union onto the grid with NULL in the deeper level columns —
@@ -764,7 +789,16 @@ class Query:
         sort_spec: list = []
         measure_outs = [m.out for m in measures]
         for ax in axes:
-            df, sort_spec = self._apply_mods(df, ax, sort_spec, measure_outs)
+            other_cols = [
+                c
+                for other in axes
+                if other is not ax
+                for c in self._group_cols_of(other)
+                if c not in self._group_cols_of(ax)
+            ]
+            df, sort_spec = self._apply_mods(
+                df, ax, sort_spec, measure_outs, other_cols
+            )
         axis_cols = [
             [lv.out for s in ax.sets for lv in self._visible_levels(s)]
             for ax in axes
@@ -1110,10 +1144,19 @@ class Query:
         return cols
 
     def _apply_mods(self, df: DataFrame, ax: _Axis, sort_spec: list,
-                    measure_outs: list[str] | None = None):
+                    measure_outs: list[str] | None = None,
+                    other_cols: list[str] | None = None):
         from .plan import _path_predicate
 
         group_cols = self._group_cols_of(ax)
+        # dimension members on OTHER axes: ranking/slicing windows over the
+        # cell grid would pick top-n CELLS, not top-n members of this
+        # axis's set — the set must be evaluated at its own grain (query
+        # context = slicer only; Mondrian evaluates axis set expressions
+        # once, not per cross-cell).  Route through the nested-set
+        # machinery: sub-aggregate at this axis's grain, rank there,
+        # semi-join the qualifying members.
+        contextual = bool(other_cols)
         tiebreak = [F.col(c) for c in group_cols]
         # the set's own iteration order on THIS axis: hierarchize order
         # until an order/hierarchize mod of this axis changes it.  The
@@ -1127,6 +1170,18 @@ class Query:
                 continue
             if kind == "filter":
                 alias = mod[2] if len(mod) > 2 else None
+                if contextual and alias is not None:
+                    import re as _re
+
+                    if _re.search(
+                        rf"(?i)\[?{_re.escape(alias)}\]?\s*\.\s*CURRENT", mod[1]
+                    ):
+                        raise QueryError(
+                            "set self-references (ALIAS.Current) are not "
+                            "supported when dimension members sit on other "
+                            "axes — the window would rank cells, not the "
+                            "set's members"
+                        )
                 df, cond, drops = self._rewrite_current(
                     df, mod[1], alias, local_sort or list(tiebreak),
                     group_cols, measure_outs or [],
@@ -1185,14 +1240,28 @@ class Query:
                 local_sort = list(sort_spec)
             elif kind == "hierarchize":
                 post = mod[1]
-                sort_spec = list(tiebreak)  # level-path order
+                # sort over the GRID's member columns (drilldown adds child
+                # level columns that are not in ax.sets)
+                grid_cols = [
+                    c for c in df.columns if c not in set(measure_outs or [])
+                ]
                 if post:
-                    sort_spec = sort_spec[::-1]
+                    # POST = depth-first with parents AFTER children: parent
+                    # rows carry NULL in the deeper level columns (drilldown
+                    # / totals shape), so asc_nulls_last per level places
+                    # each parent right after its own subtree
+                    # (jar!mondrian/olap/fun/HierarchizeFunDef post flag)
+                    sort_spec = [F.col(c).asc_nulls_last() for c in grid_cols]
+                else:
+                    sort_spec = [F.col(c) for c in grid_cols]  # level-path order
                 local_sort = list(sort_spec)
             elif kind == "subselect":
                 _, refs, desc = mod
                 df = self._apply_subselect(df, refs, desc)
             elif kind == "slice":
+                if contextual:
+                    df = self._apply_subselect(df, list(ax.sets), mod)
+                    continue
                 _, start, count, from_end = mod
                 order = local_sort if local_sort else list(tiebreak)
                 w_order = [c.desc() if from_end else c for c in order] if from_end else order
@@ -1207,6 +1276,9 @@ class Query:
                     .drop("__rn")
                 )
             elif kind == "topbottom":
+                if contextual:
+                    df = self._apply_subselect(df, list(ax.sets), mod)
+                    continue
                 _, side, how, n, expr = mod
                 df, sort_spec = _top_bottom(df, side, how, n, expr, tiebreak)
                 local_sort = list(sort_spec)
@@ -1251,10 +1323,16 @@ class Query:
             lambda m: empty_test(False), cond)
 
         # RANK head matched by regex, the optional expression argument by a
-        # balanced-paren scan (a regex cannot bound parenthesized exprs)
+        # balanced-paren scan (a regex cannot bound parenthesized exprs);
+        # loop so every occurrence lowers, each to its own window column
         rank_head = rf"(?i)RANK\s*\(\s*{a}\s*\.\s*CURRENT\s*,\s*{a}\s*"
-        m = _re.search(rank_head, cond)
-        if m:
+        rank_i = 0
+        while True:
+            m = _re.search(rank_head, cond)
+            if m is None:
+                break
+            out_col = f"__set_rank_{rank_i}"
+            rank_i += 1
             i = m.end()
             expr = None
             if i < len(cond) and cond[i] == ",":
@@ -1280,13 +1358,13 @@ class Query:
                 # Rank(t, set, expr): position when the set is sorted by expr
                 # descending; ties share a rank (RankFunDef 3-arg form)
                 w = Window.orderBy(F.expr(expr).desc())
-                df = df.withColumn("__set_rank", F.rank().over(w))
+                df = df.withColumn(out_col, F.rank().over(w))
             else:
                 # 2-arg Rank: 1-based position in the set's own order
                 w = Window.orderBy(*order)
-                df = df.withColumn("__set_rank", F.row_number().over(w))
-            cond = cond[: m.start()] + "__set_rank" + cond[end:]
-            drops.append("__set_rank")
+                df = df.withColumn(out_col, F.row_number().over(w))
+            cond = cond[: m.start()] + out_col + cond[end:]
+            drops.append(out_col)
         if _re.search(rf"(?i){a}\s*\.\s*CURRENTORDINAL", cond):
             w = Window.orderBy(*order)
             df = df.withColumn("__set_ordinal", F.row_number().over(w) - F.lit(1))

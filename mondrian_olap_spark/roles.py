@@ -221,11 +221,18 @@ def union_roles(name: str, *roles: Role) -> Role:
                 if m not in seen:
                     seen.append(m)
         measures = tuple(seen)
+    # rollup_policy combines most-permissive-wins, matching the union's
+    # "any constituent admits" visibility semantics (full > partial >
+    # hidden) — dropping it entirely would silently downgrade 'hidden'
+    # constituents to 'partial'
+    order = {"full": 2, "partial": 1, "hidden": 0}
+    policy = max((r.rollup_policy for r in roles), key=lambda p: order[p])
     return Role(
         name=name,
         grants=tuple(grants),
         allowed_measures=measures,
         hierarchy_grants=tuple(hgrants),
+        rollup_policy=policy,
     )
 
 

@@ -322,6 +322,11 @@ class CubeEngine:
         combine as a union role (connection.rb:183-211 role_name= /
         role_names=); empty call clears.  Unknown names raise KeyError
         (connection_role_test.rb:120-128)."""
+        # the aggregate cache key has no role component — cached cells from
+        # one role must never serve another (with_role() guarantees this by
+        # cloning with cache=None); flush on every in-place role switch
+        if self.cache is not None:
+            self.cache.flush_all()
         if not names:
             self.role = None
             return
@@ -549,12 +554,26 @@ def read_parquet_table(spark: SparkSession, path: str) -> DataFrame:
     except Exception:
         pass  # directory datasets / exotic stores: fall through to plain read
     if nano_cols:
+        # the conf only needs to cover plan ANALYSIS of this read; restore
+        # it so later plain reads in the session keep strict behavior
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+        try:
+            df = spark.read.parquet(path)
+            df.schema  # force analysis while the conf is active
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    else:
+        df = spark.read.parquet(path)
     for name in nano_cols:
         # nanos surface as raw longs under nanosAsLong; restore timestamp
-        # semantics at microsecond precision
-        df = df.withColumn(name, F.timestamp_micros((F.col(name) / 1000).cast("long")))
+        # semantics at microsecond precision.  Integer division — going
+        # through double would truncate the last microseconds (ns epochs
+        # exceed 2^53)
+        df = df.withColumn(name, F.timestamp_micros(F.expr(f"`{name}` div 1000")))
     return df
 
 

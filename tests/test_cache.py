@@ -158,3 +158,46 @@ def test_distinct_count_never_rolls_up(cached_engine):
     ).execute().df.collect()
     assert cached_engine.cache.rollups == 0
     assert cached_engine.cache.misses == 2
+
+
+def test_flush_region_same_dim_union(spark):
+    """A same-dimension member list is a UNION region: an entry overlapping
+    ANY listed member must flush (cube.rb:519-547 segment semantics)."""
+    from mondrian_olap_spark.star import engine_from_parquet
+    from mondrian_olap_spark.tpch import SCHEMA
+    from mondrian_olap_spark.query import Query
+
+    from .conftest import SF_DIR
+
+    eng = engine_from_parquet(spark, SCHEMA, "Sales", SF_DIR)
+    eng.enable_cache()
+    # warm an EUROPE-sliced aggregate
+    Query(eng).columns("[Measures].[Sum Qty]").rows("[ReturnFlag].children").where(
+        "[Customer].[EUROPE]"
+    ).execute().df.collect()
+    # flushing the {ASIA, EUROPE} union region must drop it
+    n = eng.flush_region_cache(["[Customer].[ASIA]", "[Customer].[EUROPE]"])
+    assert n >= 1
+
+
+def test_set_role_name_flushes_cache(spark):
+    """In-place role switches must not serve cached unrestricted cells."""
+    import dataclasses
+
+    from mondrian_olap_spark.roles import MemberGrant, Role
+    from mondrian_olap_spark.star import engine_from_parquet
+    from mondrian_olap_spark.tpch import SCHEMA
+    from mondrian_olap_spark.query import Query
+
+    from .conftest import SF_DIR
+
+    asia = Role("asia", grants=(MemberGrant("Customer", ("ASIA",)),))
+    eng = engine_from_parquet(
+        spark, dataclasses.replace(SCHEMA, roles=(asia,)), "Sales", SF_DIR
+    )
+    cache = eng.enable_cache()
+    full = Query(eng).columns("[Measures].[Count Order]").execute().df.collect()[0]
+    eng.set_role_name("asia")
+    restricted = Query(eng).columns("[Measures].[Count Order]").execute().df.collect()[0]
+    assert restricted["count_order"] < full["count_order"]
+    eng.set_role_name()

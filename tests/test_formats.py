@@ -70,3 +70,13 @@ def test_formatted_values_through_query(engine):
     assert len(vals) == 5
     for row in vals:
         assert "," in row[0] and row[0].count(".") == 1
+
+
+def test_zero_pad_with_grouping():
+    """'0'-placeholder min width survives grouping: '0,000' on 5 → '0,005'
+    (VBA padding + thousands separators)."""
+    from mondrian_olap_spark.formats import format_value
+
+    assert format_value(5, "0,000") == "0,005"
+    assert format_value(1234567, "#,##0") == "1,234,567"
+    assert format_value(-5, "0,000") == "-0,005"

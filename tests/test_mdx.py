@@ -1329,3 +1329,19 @@ def test_exists_to_mdx_roundtrip(engine):
     assert "EXISTS([Customer].[Nation].Members, [Time].[1995].[Q1])" in q.to_mdx()
     direct = rows_of(q.execute().df)
     assert rows_of(execute_mdx(engine, q.to_mdx()).df) == direct
+
+
+def test_multiple_rank_occurrences(engine):
+    """Every RANK(S.Current, …) occurrence lowers (not just the first)."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH SET NS AS '[Customer].[Nation].Members'
+        SELECT [Measures].[Sum Qty] ON COLUMNS,
+               FILTER(NS, RANK(NS.Current, NS) <= 10 AND
+                          RANK(NS.Current, NS, [Measures].[Sum Qty]) <= 3) ON ROWS
+        FROM [Sales]
+        """,
+    )
+    rows = r.df.collect()
+    assert 0 < len(rows) <= 3

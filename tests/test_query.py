@@ -869,3 +869,90 @@ def test_mixed_depth_with_totals_rejected(engine):
             .totals("rollup")
             .execute()
         )
+
+
+def test_topcount_with_other_axis_selects_members(engine):
+    """TOPCOUNT on ROWS with dimension members on COLUMNS must keep top-n
+    MEMBERS of the rows set (evaluated in the slicer context), not top-n
+    cells of the cross grid (TopBottomCountFunDef axis semantics)."""
+    df = (
+        Query(engine)
+        .columns("[Measures].[Sum Price]")
+        .rows("[Customer].[Nation].Members")
+        .top_count(3, "sum_price")
+        .pages("[ReturnFlag].children")
+        .execute()
+        .df
+    )
+    rows = df.collect()
+    nations = {r["nation_name"] for r in rows}
+    assert len(nations) == 3  # 3 members, each crossed with every flag
+    assert len(rows) > 3
+    # the 3 members are the overall top-3 by Sum Price
+    top3 = {
+        r["nation_name"]
+        for r in Query(engine)
+        .columns("[Measures].[Sum Price]")
+        .rows("[Customer].[Nation].Members")
+        .top_count(3, "sum_price")
+        .execute()
+        .df.collect()
+    }
+    assert nations == top3
+
+
+def test_head_with_other_axis_selects_members(engine):
+    df = (
+        Query(engine)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].[Region].Members")
+        .head(2)
+        .pages("[LineStatus].children")
+        .execute()
+        .df
+    )
+    regions = {r["region_name"] for r in df.collect()}
+    assert regions == {"AFRICA", "AMERICA"}
+
+
+def test_hierarchize_post_places_parents_after_children(engine):
+    """HIERARCHIZE(…, POST): parent rows (NULL child keys) come after
+    their own subtree, not a reversed-column global sort."""
+    r = (
+        Query(engine)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].[Region].Members")
+        .drilldown("[Customer].[ASIA]")
+        .hierarchize(post=True)
+        .execute()
+    )
+    names = [(row["region_name"], row["nation_name"]) for row in r._collect()]
+    asia_positions = [i for i, (r_, n) in enumerate(names) if r_ == "ASIA"]
+    parent_pos = [i for i in asia_positions if names[i][1] is None][0]
+    child_pos = [i for i in asia_positions if names[i][1] is not None]
+    assert child_pos and all(i < parent_pos for i in child_pos)
+
+
+def test_except_validates_arguments(engine):
+    from mondrian_olap_spark.query import QueryError
+
+    with pytest.raises(QueryError, match="dimension members"):
+        Query(engine).rows("[Customer].children").except_("[Measures].[Sum Qty]")
+    with pytest.raises(QueryError, match="concrete member paths"):
+        Query(engine).rows("[Customer].children").except_("[Customer].[Nation].Members")
+
+
+def test_rollup_totals_with_include_empty(engine):
+    """totals rows survive the empty-cell expansion."""
+    df = (
+        Query(engine)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].[Region].Members")
+        .totals("rollup")
+        .include_empty()
+        .execute()
+        .df
+    )
+    rows = df.collect()
+    assert any(r["region_name"] is None for r in rows)  # grand total kept
+    assert len([r for r in rows if r["region_name"] is not None]) == 5

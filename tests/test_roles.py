@@ -305,3 +305,12 @@ def test_hierarchy_grant_hides_ancestor_columns(engine):
     listing = eng.level_members("Customer", 1)
     assert "region_name" not in listing.columns
     eng.role = None
+
+
+def test_union_roles_keeps_rollup_policy():
+    a = Role("a", grants=(MemberGrant("Customer", ("ASIA",)),), rollup_policy="hidden")
+    b = Role("b", grants=(MemberGrant("Customer", ("EUROPE",)),), rollup_policy="hidden")
+    assert union_roles("ab", a, b).rollup_policy == "hidden"
+    c = Role("c", grants=(MemberGrant("Customer", ("AFRICA",)),), rollup_policy="full")
+    # mixed policies: most permissive wins (union admits what any admits)
+    assert union_roles("ac", a, c).rollup_policy == "full"
