@@ -559,6 +559,10 @@ class MdxParser:
             from .members import resolve, resolve_level
 
             ref = resolve(self.cube, m1)
+            if not getattr(ref, "path", None):
+                raise MdxError(
+                    f"{fn.upper()} needs a full member path as its first argument"
+                )
             level_ident = ".".join(quote_segment(s) for s in segs)
             dim, lvl_idx = resolve_level(self.cube, level_ident)
             if dim.name != ref.dimension.name:
@@ -612,7 +616,22 @@ class MdxParser:
                 idx = keys.index(str(ref.path[-1]))
             except ValueError:
                 raise MdxError(f"COUSIN: member {m1!r} not found among its siblings")
-            return _SetBuild(base=[f"{m2}.Children"], ops=[("slice", idx, 1, False)])
+            # index the TARGET's children in the same (ordinal) order —
+            # a key-ordered slice would disagree with hierarchy order
+            # whenever the level declares an ordinal expression
+            ref2 = resolve(self.cube, m2)
+            if not getattr(ref2, "path", None):
+                raise MdxError("COUSIN needs a member as its second argument")
+            kids = self.engine.level_members(
+                ref2.dimension.name, ref2.depth + 1, ref2.path
+            )
+            kid_col = ref2.dimension.levels[ref2.depth + 1].out
+            kid_keys = [str(r[kid_col]) for r in kids.collect()]
+            if idx >= len(kid_keys):
+                raise MdxError(
+                    f"COUSIN: {m2!r} has no child at sibling position {idx}"
+                )
+            return _SetBuild(base=[f"{m2}.{quote_segment(kid_keys[idx])}"])
         if t is not None and t.kind == "word" and t.text.lower() == "strtoset":
             # StrToSet("…") — runtime set construction from a string
             # (jar!mondrian/olap/fun/StrToSetFunDef; SURVEY.md §2.6)
@@ -652,35 +671,34 @@ class MdxParser:
             return _SetBuild(base=[], ops=[("range", first, second)])
         low = first.lower()
         # member family navigation (jar!mondrian/olap/fun/
-        # FirstChild/LastChild/Parent/FirstSibling/LastSibling/SiblingsFunDef):
-        # expressed through Children sets + head/tail slices — stays a
-        # distributed member query, never a driver lookup
+        # FirstChild/LastChild/Parent/FirstSibling/LastSibling/SiblingsFunDef).
+        # First/last members resolve at validate time through the engine's
+        # ordinal-ordered single-row lookup (edge_member) — hierarchy order
+        # is the level's ORDINAL order, which key-sorted slices would get
+        # wrong whenever a level declares an ordinal expression.
         if low.endswith(".firstchild") or low.endswith(".lastchild"):
-            head = first.rsplit(".", 1)[0]
-            return _SetBuild(
-                base=[f"{head}.Children"],
-                ops=[("slice", 0, 1, low.endswith(".lastchild"))],
-            )
+            return _SetBuild(base=[self._edge_of(first, 1, low.endswith(".lastchild"))])
         if low.endswith(".parent"):
             parent = _parent_of(first)
             return _SetBuild(base=[parent])
         if low.endswith(".firstsibling") or low.endswith(".lastsibling"):
-            head = first.rsplit(".", 1)[0]
-            parent = head.rsplit(".", 1)[0] if "." in head else head
-            return _SetBuild(
-                base=[f"{parent}.Children"],
-                ops=[("slice", 0, 1, low.endswith(".lastsibling"))],
-            )
+            return _SetBuild(base=[self._edge_of(first, 2, low.endswith(".lastsibling"))])
         if low.endswith(".siblings"):
-            head = first.rsplit(".", 1)[0]
-            parent = head.rsplit(".", 1)[0] if "." in head else head
-            return _SetBuild(base=[f"{parent}.Children"])
+            segs = _strip_segments(first, 2)  # keyword + own key
+            base = format_name(segs) if len(segs) > 1 else quote_segment(segs[0])
+            return _SetBuild(base=[f"{base}.Children"])
         if low.endswith(".[defaultmember]"):
-            # [Dim].DefaultMember → first member in hierarchy order
-            # (jar!mondrian/olap/fun/DimensionDefaultMemberFunDef; no All
-            # member on axes here, so the default is the first top-level one)
-            head = first.rsplit(".", 1)[0]
-            return _SetBuild(base=[f"{head}.Members"], ops=[("slice", 0, 1, False)])
+            # [Dim].DefaultMember → first member of the top level in
+            # hierarchy (ordinal) order
+            # (jar!mondrian/olap/fun/DimensionDefaultMemberFunDef)
+            segs = _strip_segments(first, 1)
+            from .members import MemberParseError
+
+            try:
+                key = self.engine.edge_member(segs[0], 0, ())
+            except KeyError as e:
+                raise MdxError(str(e)) from None
+            return _SetBuild(base=[format_name([segs[0], str(key)])])
         if low.endswith(".[item]") and self.at_op("("):
             # member-set .Item(i) (SetItemFunDef on an enumerated set)
             self.next()
@@ -884,26 +902,67 @@ class MdxParser:
         raise MdxError(f"unsupported set function {fname!r}")
 
     # -- identifiers / members ----------------------------------------
+    def _edge_of(self, member_with_suffix: str, strip: int, last: bool) -> str:
+        """Resolve First/Last Child (strip=1: suffix only → children of the
+        member) or Sibling (strip=2: suffix + own key → children of the
+        parent) to a concrete member identifier via the engine's
+        ordinal-ordered lookup."""
+        from .members import resolve
+
+        segs = _strip_segments(member_with_suffix, strip)
+        if strip == 1:
+            # …[m].FirstChild: children live under m's own path
+            parent_path_segs = segs[1:]
+            ref = resolve(self.cube, format_name(segs))
+            depth = ref.depth + 1
+            if depth >= len(ref.dimension.levels):
+                raise MdxError(
+                    f"{member_with_suffix!r}: no level below "
+                    f"{ref.dimension.levels[ref.depth].name}"
+                )
+        else:
+            # …[m].FirstSibling: siblings live under m's PARENT path
+            parent_path_segs = segs[1:]
+            depth = len(parent_path_segs)
+            if depth >= len(self.cube.dimension(segs[0]).levels):
+                raise MdxError(f"{member_with_suffix!r}: path deeper than hierarchy")
+        try:
+            key = self.engine.edge_member(
+                segs[0], depth, tuple(parent_path_segs), last=last
+            )
+        except KeyError as e:
+            raise MdxError(str(e)) from None
+        return format_name([segs[0], *parent_path_segs, str(key)])
+
     def parse_identifier_segments(self) -> list[str]:
-        segs = [_segment(self.next())]
+        return [s for s, _ in self.parse_identifier_segments_tagged()]
+
+    def parse_identifier_segments_tagged(self) -> list[tuple[str, bool]]:
+        """Segments with their quoting: ``(text, was_bracketed)`` — the tag
+        distinguishes the ``.Children`` KEYWORD from a member key literally
+        named ``[Children]``."""
+        t = self.next()
+        segs = [(_segment(t), t.kind == "bracket")]
         while self.at_op("."):
             self.next()
             t = self.next()
-            segs.append(_segment(t))
+            segs.append((_segment(t), t.kind == "bracket"))
         return segs
 
+    #: navigation suffix keywords (only meaningful when UNQUOTED)
+    _NAV_WORDS = (
+        "members", "allmembers", "children", "currentmember",
+        "firstchild", "lastchild", "parent",
+        "firstsibling", "lastsibling", "siblings",
+    )
+
     def parse_member_string(self) -> str:
-        segs = self.parse_identifier_segments()
+        segs = self.parse_identifier_segments_tagged()
         return ".".join(
             s
-            if s.lower()
-            in (
-                "members", "allmembers", "children", "currentmember",
-                "firstchild", "lastchild", "parent",
-                "firstsibling", "lastsibling", "siblings",
-            )
+            if not bracketed and s.lower() in self._NAV_WORDS
             else quote_segment(s)
-            for s in segs
+            for s, bracketed in segs
         )
 
     # -- value expressions --------------------------------------------
@@ -1045,14 +1104,22 @@ class _SetBuild:
             self.set_ops = []
 
 
+def _strip_segments(member_with_suffix: str, n: int) -> list[str]:
+    """Drop the last ``n`` segments quote-AWARELY (a naive rsplit on '.'
+    would cut inside bracketed keys like ``[J. Smith]``)."""
+    from .members import parse_identifier
+
+    segs = parse_identifier(member_with_suffix)
+    return segs[: len(segs) - n]
+
+
 def _parent_of(member_with_suffix: str) -> str:
     """``[Dim].[a].[b].Parent`` → ``[Dim].[a]``; root members have no
     parent (ParentFunDef — the All member is implicit here)."""
-    head = member_with_suffix.rsplit(".", 1)[0]  # strip .Parent
-    parent = head.rsplit(".", 1)[0]  # strip the member's own key
-    if "." not in parent:
+    segs = _strip_segments(member_with_suffix, 2)  # .Parent + own key
+    if len(segs) < 2:
         raise MdxError(f"{member_with_suffix!r}: root members have no parent")
-    return parent
+    return format_name(segs)
 
 
 def _segment(t: Tok) -> str:

@@ -35,12 +35,12 @@ class MemberParseError(ValueError):
     pass
 
 
-def parse_identifier(s: str) -> list[str]:
-    """Split ``[A].[B b].[C]].C]`` into segments, honouring ``]]`` escapes.
-
-    Bare (unbracketed) segments like ``children`` are returned as-is.
-    """
-    segments: list[str] = []
+def parse_identifier_tagged(s: str) -> list[tuple[str, bool]]:
+    """Split ``[A].[B b].[C]].C]`` into ``(segment, was_bracketed)`` pairs,
+    honouring ``]]`` escapes.  The tag is what distinguishes the navigation
+    KEYWORD ``.Children`` from a member whose key happens to be
+    ``[Children]`` — quoting must survive parsing or the two collide."""
+    segments: list[tuple[str, bool]] = []
     i, n = 0, len(s)
     while i < n:
         if s[i] == "[":
@@ -57,7 +57,7 @@ def parse_identifier(s: str) -> list[str]:
                 j += 1
             else:
                 raise MemberParseError(f"unterminated '[' in {s!r}")
-            segments.append("".join(buf))
+            segments.append(("".join(buf), True))
             i = j + 1
             if i < n:
                 if s[i] != ".":
@@ -66,14 +66,19 @@ def parse_identifier(s: str) -> list[str]:
         else:
             j = s.find(".", i)
             if j == -1:
-                segments.append(s[i:])
+                segments.append((s[i:], False))
                 i = n
             else:
-                segments.append(s[i:j])
+                segments.append((s[i:j], False))
                 i = j + 1
-    if not segments or any(seg == "" for seg in segments):
+    if not segments or any(seg == "" for seg, _ in segments):
         raise MemberParseError(f"empty segment in identifier {s!r}")
     return segments
+
+
+def parse_identifier(s: str) -> list[str]:
+    """Split an identifier into plain segments (quoting tags dropped)."""
+    return [seg for seg, _ in parse_identifier_tagged(s)]
 
 
 def quote_segment(seg: str) -> str:
@@ -125,8 +130,12 @@ _NAV_SUFFIXES = {"members", "allmembers", "children"}
 
 
 def resolve(cube: Cube, identifier: str) -> MeasureRef | MemberSetRef:
-    """Resolve one member/measure identifier against a cube."""
-    segs = parse_identifier(identifier)
+    """Resolve one member/measure identifier against a cube.
+
+    Navigation keywords (``Members``/``Children``/…) count only when BARE:
+    a bracket-quoted ``[Children]`` is a member key, never the keyword."""
+    tagged = parse_identifier_tagged(identifier)
+    segs = [seg for seg, _ in tagged]
     head = segs[0]
     if head.lower() == "measures":
         if len(segs) != 2:
@@ -136,9 +145,15 @@ def resolve(cube: Cube, identifier: str) -> MeasureRef | MemberSetRef:
 
     dim = cube.dimension(head)  # raises KeyError if unknown
     rest = segs[1:]
-    suffix = rest[-1].lower() if rest and rest[-1].lower() in _NAV_SUFFIXES else None
+    rest_tags = tagged[1:]
+    suffix = (
+        rest[-1].lower()
+        if rest and not rest_tags[-1][1] and rest[-1].lower() in _NAV_SUFFIXES
+        else None
+    )
     if suffix:
         rest = rest[:-1]
+        rest_tags = rest_tags[:-1]
 
     if suffix in ("members", "allmembers"):
         # [Dim].[LevelName].Members — level addressed by name
@@ -157,8 +172,9 @@ def resolve(cube: Cube, identifier: str) -> MeasureRef | MemberSetRef:
         # chained .Children.Children descends multiple levels (the
         # DESCENDANTS(member, level) lowering — DescendantsFunDef)
         extra = 0
-        while rest and rest[-1].lower() == "children":
+        while rest and not rest_tags[-1][1] and rest[-1].lower() == "children":
             rest = rest[:-1]
+            rest_tags = rest_tags[:-1]
             extra += 1
         depth = len(rest) + extra
         if depth >= len(dim.levels):

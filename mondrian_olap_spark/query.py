@@ -1157,6 +1157,9 @@ class Query:
         # machinery: sub-aggregate at this axis's grain, rank there,
         # semi-join the qualifying members.
         contextual = bool(other_cols)
+        # mods already applied to this axis: the contextual re-route
+        # re-evaluates the set FRESH, which cannot compose with them
+        prior_semantic = False
         tiebreak = [F.col(c) for c in group_cols]
         # the set's own iteration order on THIS axis: hierarchize order
         # until an order/hierarchize mod of this axis changes it.  The
@@ -1260,7 +1263,15 @@ class Query:
                 df = self._apply_subselect(df, refs, desc)
             elif kind == "slice":
                 if contextual:
+                    if prior_semantic:
+                        raise QueryError(
+                            "HEAD/TAIL/SUBSET after other set operations is "
+                            "not supported when dimension members sit on "
+                            "other axes (the set re-evaluates fresh at its "
+                            "own grain)"
+                        )
                     df = self._apply_subselect(df, list(ax.sets), mod)
+                    prior_semantic = True
                     continue
                 _, start, count, from_end = mod
                 order = local_sort if local_sort else list(tiebreak)
@@ -1277,11 +1288,21 @@ class Query:
                 )
             elif kind == "topbottom":
                 if contextual:
+                    if prior_semantic:
+                        raise QueryError(
+                            "TOPCOUNT-family after other set operations is "
+                            "not supported when dimension members sit on "
+                            "other axes (the set re-evaluates fresh at its "
+                            "own grain)"
+                        )
                     df = self._apply_subselect(df, list(ax.sets), mod)
+                    prior_semantic = True
                     continue
                 _, side, how, n, expr = mod
                 df, sort_spec = _top_bottom(df, side, how, n, expr, tiebreak)
                 local_sort = list(sort_spec)
+            if kind not in ("nonempty", "hierarchize"):
+                prior_semantic = True
         return df, sort_spec
 
 

@@ -322,6 +322,14 @@ class CubeEngine:
         combine as a union role (connection.rb:183-211 role_name= /
         role_names=); empty call clears.  Unknown names raise KeyError
         (connection_role_test.rb:120-128)."""
+        by_name = {r.name.lower(): r for r in self.available_roles}
+        picked = []
+        for n in names:
+            if n.lower() not in by_name:
+                # validate BEFORE flushing: a typo must not destroy a warm
+                # cache while leaving the role unchanged
+                raise KeyError(f"schema declares no role {n!r}")
+            picked.append(by_name[n.lower()])
         # the aggregate cache key has no role component — cached cells from
         # one role must never serve another (with_role() guarantees this by
         # cloning with cache=None); flush on every in-place role switch
@@ -330,12 +338,6 @@ class CubeEngine:
         if not names:
             self.role = None
             return
-        by_name = {r.name.lower(): r for r in self.available_roles}
-        picked = []
-        for n in names:
-            if n.lower() not in by_name:
-                raise KeyError(f"schema declares no role {n!r}")
-            picked.append(by_name[n.lower()])
         if len(picked) == 1:
             self.role = picked[0]
         else:
@@ -441,6 +443,37 @@ class CubeEngine:
         agg_cols = [F.min(c).alias(c) for c in (*ord_cols, *props)]
         df = df.groupBy(*outs).agg(*agg_cols)
         return df.orderBy(*ord_cols).select(*outs, *props)
+
+    def edge_member(
+        self, dim_name: str, depth: int, path: tuple = (), last: bool = False
+    ):
+        """First/last member key at ``depth`` under ``path`` in HIERARCHY
+        (ordinal) order — a single-row lookup backing FirstChild/LastChild/
+        FirstSibling/LastSibling/DefaultMember resolution.  Key-column sort
+        is NOT hierarchy order when a level declares an ordinal expression
+        (month names ordered by month number), so slicing the key-ordered
+        grid would pick the wrong member; this asks the member view for the
+        ordinal-extreme row directly."""
+        dim = self.cube.dimension(dim_name)
+        lv = dim.levels[depth]
+        if dim.degenerate:
+            df = self.fact
+            ord_col = F.expr(lv.ordinal_expr)
+            key_col = F.expr(lv.column)
+        else:
+            df = self.dims[dim.name].member_df
+            ord_col = F.col(_ordinal_out(dim, lv))
+            key_col = F.col(lv.out)
+        for i, key in enumerate(path):
+            df = df.filter(F.col(dim.levels[i].out) == key)
+        row = df.select(key_col.alias("k"), ord_col.alias("o")).orderBy(
+            F.col("o").desc() if last else F.col("o").asc(), F.col("k")
+        ).limit(1).collect()
+        if not row:
+            raise KeyError(
+                f"no members at {dim.name}.{lv.name} under {path!r}"
+            )
+        return row[0]["k"]
 
     def member_ordinal(self, dim_name: str, depth: int, path: tuple[str, ...]):
         """Ordinal value of ONE member — a single-row lookup used to resolve

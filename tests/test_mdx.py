@@ -1345,3 +1345,32 @@ def test_multiple_rank_occurrences(engine):
     )
     rows = r.df.collect()
     assert 0 < len(rows) <= 3
+
+
+def test_nav_member_edge_resolution(engine):
+    """FirstChild/LastChild resolve through the ordinal-ordered lookup to
+    concrete members at parse time (correct even when key order differs
+    from hierarchy order)."""
+    fc = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "[Time].[1995].FirstChild ON ROWS FROM [Sales]",
+    )
+    rows = fc.df.collect()
+    assert len(rows) == 1 and rows[0]["o_quarter"] == "Q1"
+    ls = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "[Time].[1995].[Q2].LastSibling ON ROWS FROM [Sales]",
+    )
+    rows = ls.df.collect()
+    assert len(rows) == 1 and rows[0]["o_quarter"] == "Q4"
+
+
+def test_ancestor_rejects_measures(engine):
+    with pytest.raises(MdxError, match="full member path"):
+        execute_mdx(
+            engine,
+            "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+            "ANCESTOR([Measures].[Sum Qty], [Time].[Year]) ON ROWS FROM [Sales]",
+        )

@@ -93,3 +93,18 @@ def test_format_ref_roundtrip():
     assert tuple_to_str(
         [resolve(SALES_CUBE, "[Customer].[ASIA]"), resolve(SALES_CUBE, "[Time].[1995]")]
     ) == "([Customer].[ASIA], [Time].[1995])"
+
+
+def test_bracketed_keyword_keys_are_not_navigation():
+    """A member key literally named [Children]/[Parent] must resolve as a
+    KEY, not as the navigation keyword (quoting survives parsing)."""
+    from mondrian_olap_spark.members import parse_identifier_tagged, resolve
+    from mondrian_olap_spark.tpch import SALES_CUBE
+
+    tagged = parse_identifier_tagged("[Customer].[Children].Children")
+    assert tagged[1] == ("Children", True) and tagged[2] == ("Children", False)
+    ref = resolve(SALES_CUBE, "[Customer].[Children].Children")
+    # bracketed [Children] is a region KEY; bare .Children descends once
+    assert ref.kind == "children" and ref.path == ("Children",) and ref.depth == 1
+    ref2 = resolve(SALES_CUBE, "[Customer].[Children]")
+    assert ref2.kind == "member" and ref2.path == ("Children",)

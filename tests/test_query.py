@@ -956,3 +956,17 @@ def test_rollup_totals_with_include_empty(engine):
     rows = df.collect()
     assert any(r["region_name"] is None for r in rows)  # grand total kept
     assert len([r for r in rows if r["region_name"] is not None]) == 5
+
+
+def test_nano_timestamps_collect_after_conf_restore(spark):
+    """read_parquet_table restores nanosAsLong after analysis; execution of
+    the scan (collect) must still work and yield correct microseconds."""
+    from mondrian_olap_spark.star import read_parquet_table
+
+    from .conftest import SF_DIR
+
+    df = read_parquet_table(spark, f"{SF_DIR}/events.parquet")
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == "false"
+    rows = df.select("ts").limit(3).collect()
+    assert rows and all(r["ts"].year >= 2020 for r in rows)
+    assert df.count() > 0
