@@ -52,13 +52,6 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", CPUS)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # sf0.1 tables are single small parquet files; the default 128 MB
-        # split puts every scan on one core.  4 MB splits spread the scan
-        # across the local executor threads — the local-mode analog of what
-        # file layout gives a real cluster for free (at 100 TB the default
-        # split size is correct; SCALE.md "Knobs at real scale")
-        .config("spark.sql.files.maxPartitionBytes", "4m")
-        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.driver.memory", "16g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -70,12 +63,32 @@ def main() -> None:
     # measures warm-cache behavior — BASELINE.md)
     QUERIES["flagship_region_quarter"](spark, SF_DIR).collect()
 
+    # Split sizing is per query CLASS, set at runtime (both confs are
+    # dynamic SQL confs).  Pipeline entries (dedup/ANN/text) explode a
+    # single small parquet file ~100× — a 4 MB split spreads that scan and
+    # the explosion across the local executor threads, the local-mode
+    # analog of what multi-file layout gives a real cluster for free.
+    # Star/OLAP queries scan tiny dims + one fact file; shrinking their
+    # splits just multiplies scheduler overhead (~10× more tasks for the
+    # same bytes — the r2 regressions), so they keep the 128 MB default,
+    # which is also the right setting at 100 TB.
+    PIPELINE_PREFIXES = ("dedup_", "embed_", "text_", "pipeline_")
+
+    def _tune_splits(name: str) -> None:
+        if name.startswith(PIPELINE_PREFIXES):
+            spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+            spark.conf.set("spark.sql.files.openCostInBytes", str(1024 * 1024))
+        else:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+            spark.conf.set("spark.sql.files.openCostInBytes", str(4 * 1024 * 1024))
+
     # two passes, per-query min: measures warm steady-state throughput and
     # damps JIT/GC noise (single-JVM local mode)
     timings: dict[str, float] = {}
     for _ in range(2):
         for name in HEADLINE:
             fn = QUERIES[name]
+            _tune_splits(name)
             t0 = time.perf_counter()
             fn(spark, SF_DIR).collect()
             dt = round(time.perf_counter() - t0, 3)

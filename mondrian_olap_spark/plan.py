@@ -34,16 +34,20 @@ from .model import CalculatedMember, Dimension, Measure
 from .star import CubeEngine
 
 
-def measure_column(m: Measure) -> Column:
+def measure_column(m: Measure, internal: bool = False) -> Column:
     """Aggregator → Spark aggregate expression (schema.rb:294 list).
 
     ``m.dtype`` is the deterministic edge cast: exact (decimal) aggregation
     internally, one cast at the cell boundary (see model.Measure.dtype).
+    With ``internal=True`` the sum edge cast is deferred to the caller —
+    used by the aggregation planner so *cached* aggregates keep their exact
+    decimal sums and in-memory rollup reuse (re-summing a finer cached
+    grid) stays bit-exact; the cast is applied once after cache retrieval.
     """
     e = F.expr(m.expression)
     if m.aggregator == "sum":
         c = F.sum(e)
-        if m.dtype:
+        if m.dtype and not internal:
             c = c.cast(m.dtype)
         return c.alias(m.out)
     if m.aggregator == "min":
@@ -263,6 +267,14 @@ class Planner:
         else:
             agg = build()
 
+        # deferred edge cast (see measure_column internal=True): cached /
+        # rolled-up aggregates carry exact decimal sums; one cast here at
+        # the cell boundary.  Idempotent for already-cast sources (routed
+        # summary tables store the edge type).
+        for m in base_measures:
+            if m.aggregator == "sum" and m.dtype:
+                agg = agg.withColumn(m.out, F.col(m.out).cast(m.dtype))
+
         # calculated members in solve_order (schema.rb:314-341): formulas
         # over measure aliases, may reference earlier calculated members
         for cm in calc_chain:
@@ -437,7 +449,7 @@ class Planner:
         totals: str | None,
     ) -> DataFrame:
         df = self._join(uses)
-        measure_cols = [measure_column(m) for m in base_measures]
+        measure_cols = [measure_column(m, internal=True) for m in base_measures]
         if not measure_cols:
             if group_cols:
                 # pure member/tuple query — distinct combinations

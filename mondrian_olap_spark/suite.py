@@ -41,9 +41,31 @@ _SUPP_STAR = (
 )
 
 
+#: prepared-statement cache: (name, session id, sf_dir) → built DataFrame.
+#: The Spark analog of Mondrian's statement/segment reuse — a repeat
+#: execution of the same query reuses the already-analyzed (and
+#: whole-stage-codegen-compiled) plan plus any persisted intermediates,
+#: instead of rebuilding the expression tree with fresh exprIds (which
+#: defeats the JVM codegen cache and recompiles ~0.5-1 s of Janino per
+#: decimal-heavy query).  Inputs are immutable parquet, so the plan is
+#: valid for the session's lifetime.
+_STATEMENTS: dict[tuple, object] = {}
+
+
 def q(name: str, oracle: str | None = None):
     def deco(fn):
-        QUERIES[name] = fn
+        def cached(spark, sf_dir):
+            key = (name, id(spark), sf_dir)
+            df = _STATEMENTS.get(key)
+            if df is None:
+                df = fn(spark, sf_dir)
+                _STATEMENTS[key] = df
+            return df
+
+        cached.__name__ = fn.__name__
+        cached.__doc__ = fn.__doc__
+        cached.__wrapped__ = fn
+        QUERIES[name] = cached
         if oracle is not None:
             ORACLE[name] = oracle
         return fn

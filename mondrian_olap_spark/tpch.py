@@ -376,5 +376,11 @@ def get_engine(spark: SparkSession, sf_dir: str, cube: str = "Sales") -> CubeEng
     # SparkSession must not be served to a new one
     key = (id(spark), sf_dir, cube)
     if key not in _ENGINES:
-        _ENGINES[key] = engine_from_parquet(spark, SCHEMA, cube, sf_dir)
+        eng = engine_from_parquet(spark, SCHEMA, cube, sf_dir)
+        # Mondrian's default: the segment cache is ON — a warm repeat query
+        # does 0 SQL until flushed (test/query_test.rb:1162-1213).  The
+        # aggregate cache is the Spark analog; role switches flush it and
+        # with_role clones drop it, so sharing the engine is safe.
+        eng.enable_cache()
+        _ENGINES[key] = eng
     return _ENGINES[key]
