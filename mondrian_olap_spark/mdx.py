@@ -622,6 +622,12 @@ class MdxParser:
             ref2 = resolve(self.cube, m2)
             if not getattr(ref2, "path", None):
                 raise MdxError("COUSIN needs a member as its second argument")
+            if ref2.depth + 1 >= len(ref2.dimension.levels):
+                raise MdxError(
+                    f"COUSIN: ancestor {m2!r} is at the leaf level "
+                    f"{quote_segment(ref2.dimension.levels[ref2.depth].name)} "
+                    "and has no child level"
+                )
             kids = self.engine.level_members(
                 ref2.dimension.name, ref2.depth + 1, ref2.path
             )
@@ -1027,6 +1033,19 @@ class MdxParser:
             flags=re.IGNORECASE,
         )
 
+        # Mask string literals before the structural regex passes below: a
+        # quoted literal containing WHEN/ELSE/END would misplace the
+        # tempered CASE match, "IsDirty()" inside a string would be
+        # rewritten to false, and '[Measures].[X]' in a label would be
+        # resolved as a measure reference.  Restored after the passes.
+        _masked: list[str] = []
+
+        def _mask(m: re.Match) -> str:
+            _masked.append(m.group(0))
+            return f"\x00{len(_masked) - 1}\x00"
+
+        out = re.sub(r"'(?:[^']|'')*'|\"[^\"]*\"", _mask, out)
+
         def repl_case_name(m: re.Match) -> str:
             # CASE … END.Name returns the winning *member's name* as a
             # string (mondrian_test.rb:382-397): rewrite member references
@@ -1082,6 +1101,7 @@ class MdxParser:
         # syntax and passes through untouched (jar!mondrian/olap/fun/IifFunDef,
         # CaseTestFunDef)
         out = re.sub(r"\bIIF\s*\(", "if(", out, flags=re.IGNORECASE)
+        out = re.sub(r"\x00(\d+)\x00", lambda m: _masked[int(m.group(1))], out)
         return out
 
 

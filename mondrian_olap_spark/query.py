@@ -1444,13 +1444,18 @@ class Query:
                 .drop("__rn")
             )
         members = sub.select(*sub_group).dropDuplicates()
-        # totals / drilldown parent rows carry NULL in the member columns;
-        # a semi-join would silently drop them (NULL never equi-matches) —
-        # pass them through like filter_last does
+        # totals / drilldown parent rows carry NULL in the member columns; a
+        # semi-join would silently drop them (NULL never equi-matches) —
+        # pass them through like filter_last does.  Only when totals or
+        # drilldowns are actually in play: those are the only sources of
+        # synthesized NULL level keys, and a grid row whose member key is
+        # genuinely NULL in the data must stay subject to the set operation.
+        synthesized_nulls = self._totals is not None or bool(self._drilldowns)
         null_rows = None
-        for c in sub_group:
-            p = F.col(c).isNull()
-            null_rows = p if null_rows is None else (null_rows | p)
+        if synthesized_nulls:
+            for c in sub_group:
+                p = F.col(c).isNull()
+                null_rows = p if null_rows is None else (null_rows | p)
         kept = df.filter(~null_rows if null_rows is not None else F.lit(True)).join(
             F.broadcast(members), on=sub_group, how="left_semi"
         )

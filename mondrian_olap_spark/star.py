@@ -217,6 +217,17 @@ class CubeEngine:
         from .model import CalculatedMember
         from .plan import Planner
 
+        if self.role is not None:
+            # A summary built through a role-scoped engine would be silently
+            # filtered by that role's grants, then served role-agnostically
+            # to every other connection (register_aggregate publishes to the
+            # shared aggregate_tables list).  Materialise through the
+            # unscoped engine instead.
+            raise PermissionError(
+                "materialize_aggregate is not allowed on a role-scoped engine: "
+                f"role {self.role.name!r} would bake its row filters into a "
+                "summary shared by all roles"
+            )
         rollable = {"sum", "count", "min", "max"}
         if measures is None:
             ms = [

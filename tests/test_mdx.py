@@ -1374,3 +1374,37 @@ def test_ancestor_rejects_measures(engine):
             "SELECT [Measures].[Sum Qty] ON COLUMNS, "
             "ANCESTOR([Measures].[Sum Qty], [Time].[Year]) ON ROWS FROM [Sales]",
         )
+
+
+def test_string_literals_survive_structural_rewrites(engine):
+    """A quoted literal containing END/IsDirty()/[Measures].[X] text must
+    pass through untouched — the CASE/IsDirty/measure rewrites operate on
+    code, not on string contents (ADVICE r2: literals are masked before the
+    regex passes and restored after)."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[lit] AS '''THE END'''
+             MEMBER [Measures].[dirty lit] AS '''IsDirty() inside'''
+             MEMBER [Measures].[label] AS 'CASE WHEN 1 = 1 THEN ''WHEN ELSE END'' ELSE ''x'' END'
+        SELECT {[Measures].[lit], [Measures].[dirty lit], [Measures].[label]} ON COLUMNS
+        FROM [Sales]
+        """,
+    )
+    row = r.df.collect()[0]
+    assert row["lit"] == "THE END"
+    assert row["dirty_lit"] == "IsDirty() inside"
+    assert row["label"] == "WHEN ELSE END"
+
+
+def test_cousin_leaf_ancestor_raises_mdx_error(engine):
+    """COUSIN with a leaf-level ancestor is a user error, not an
+    IndexError (jar!mondrian/olap/fun/CousinFunDef validation)."""
+    from mondrian_olap_spark.mdx import MdxError
+
+    with pytest.raises(MdxError, match="leaf level"):
+        execute_mdx(
+            engine,
+            "SELECT COUSIN([Time].[1995].[Q1].[1], [Time].[1996].[Q2].[4]) "
+            "ON COLUMNS FROM [Sales]",
+        )

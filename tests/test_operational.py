@@ -275,3 +275,22 @@ def test_partition_pruning_on_partitioned_fact(spark, tmp_path):
         F.sum("l_quantity").alias("s")
     ).collect()[0]["s"]
     assert df.collect()[0]["sum_qty"] == expected
+
+
+def test_materialize_aggregate_rejects_role_scoped_engine(spark):
+    """A summary materialised through a role-scoped engine would bake the
+    role's row filters into a table served role-agnostically to everyone
+    (ADVICE r2 medium): refuse outright."""
+    import dataclasses
+
+    from mondrian_olap_spark.roles import MemberGrant, Role
+
+    asia = Role("asia", grants=(MemberGrant("Customer", ("ASIA",)),))
+    eng = engine_from_parquet(
+        spark, dataclasses.replace(SCHEMA, roles=(asia,)), "Sales", SF_DIR
+    )
+    eng.set_role_name("asia")
+    with pytest.raises(PermissionError, match="role-scoped"):
+        eng.materialize_aggregate(["[Customer].[Region]"], measures=["Sum Qty"])
+    eng.set_role_name()
+    eng.materialize_aggregate(["[Customer].[Region]"], measures=["Sum Qty"])

@@ -970,3 +970,54 @@ def test_nano_timestamps_collect_after_conf_restore(spark):
     rows = df.select("ts").limit(3).collect()
     assert rows and all(r["ts"].year >= 2020 for r in rows)
     assert df.count() > 0
+
+
+def test_subselect_null_member_not_passed_through(spark):
+    """A grid row whose member key is genuinely NULL in the data (unmatched
+    fact FK under the left star join) stays subject to contextual set
+    operations — the NULL pass-through applies only to totals/drilldown
+    synthesized parent rows (ADVICE r2)."""
+    from pyspark.sql import Row
+
+    from mondrian_olap_spark.model import Cube, Dimension, Level, Measure
+    from mondrian_olap_spark.star import CubeEngine
+
+    geo = spark.createDataFrame(
+        [Row(id=1, country="USA"), Row(id=2, country="France")]
+    )
+    fact = spark.createDataFrame(
+        [
+            Row(geo_id=1, cat="a", v=10.0),
+            Row(geo_id=2, cat="a", v=5.0),
+            Row(geo_id=99, cat="a", v=99.0),  # unmatched FK -> NULL member
+        ]
+    )
+    cube = Cube(
+        name="NullGeo",
+        fact="fact",
+        dimensions=(
+            Dimension(
+                name="Geo", foreign_key="geo_id", table="geo", primary_key="id",
+                levels=(Level("Country", "country"),),
+            ),
+            Dimension(
+                name="Cat", foreign_key=None, table=None,
+                levels=(Level("Code", "cat"),),
+            ),
+        ),
+        measures=(Measure("V", "v", "sum", output="v_sum"),),
+    )
+    eng = CubeEngine(cube, {"fact": fact, "geo": geo})
+    r = (
+        Query(eng)
+        .columns("[Cat].children")
+        .rows("[Geo].children")
+        .top_count(1, "v_sum")
+        .execute()
+    )
+    rows = r.df.collect()
+    countries = {row["country"] for row in rows}
+    # top-1 by v_sum is the NULL-key row (99.0) if NULLs compete, or USA if
+    # the engine excludes NULL members from children; either way the NULL
+    # row must NOT additionally bypass the top-count
+    assert len(countries) == 1
