@@ -32,32 +32,48 @@ def register_scalar(
     name: str,
     fn: Callable,
     returns: str = "double",
-    vectorized: bool = False,
+    vectorized: bool | None = None,
 ) -> None:
     """Register ``fn`` as SQL function ``name``.
 
-    ``vectorized=True`` wraps it as an Arrow-batched Pandas UDF (``fn``
-    receives/returns ``pandas.Series``) — prefer this for anything on a hot
-    path.  Row-at-a-time registration warns: per-row Python dispatch is
-    10-100× slower than the Arrow path at scale (UDFs are the slow path —
-    SURVEY.md §4; keep hot expressions in built-in functions).
-    """
-    import warnings
+    The Arrow-batched Pandas UDF path is the DEFAULT — the scale-safe
+    choice (batched transfer, no per-row pickling):
 
+    * ``vectorized=None`` (default): ``fn`` is an ordinary scalar callable
+      (``fn(x, ...) -> value``); it is auto-wrapped to apply elementwise
+      over Arrow-delivered ``pandas.Series`` batches.
+    * ``vectorized=True``: ``fn`` is already Series-aware
+      (``pandas.Series`` in/out) — registered directly, fully vectorized.
+    * ``vectorized=False``: explicit opt-out to a row-at-a-time Python UDF
+      (10-100× slower at scale; only for callables that can't tolerate
+      Arrow type coercion).
+    """
     from pyspark.sql import functions as F
 
-    if vectorized:
+    if vectorized is False:
+        udf = F.udf(fn, returnType=returns)
+    elif vectorized:
         udf = F.pandas_udf(fn, returnType=returns)
     else:
-        warnings.warn(
-            f"UDF {name!r} registered as a row-at-a-time Python UDF; pass "
-            "vectorized=True (pandas Series in/out) for the Arrow-batched "
-            "fast path",
-            stacklevel=2,
-        )
-        udf = F.udf(fn, returnType=returns)
+        udf = F.pandas_udf(_elementwise_over_batches(fn), returnType=returns)
     spark.udf.register(name, udf)
     _REGISTERED.setdefault(_session_key(spark), set()).add(name)
+
+
+def _elementwise_over_batches(fn: Callable) -> Callable:
+    """Lift a scalar callable to Series-in/Series-out so plain lambdas ride
+    the Arrow batch path (saves the per-row serialization even though the
+    Python call itself stays per-element)."""
+    import pandas as pd
+
+    # NOTE: no type annotations here — pandas_udf would try to interpret
+    # them as its typed-signature API and reject the variadic form
+    def _batched(*cols):
+        if len(cols) == 1:
+            return cols[0].map(fn)
+        return pd.Series([fn(*vals) for vals in zip(*cols)])
+
+    return _batched
 
 
 def registered_functions(spark: SparkSession) -> set[str]:

@@ -39,6 +39,48 @@ def test_pandas_udf_vectorized(spark, engine):
         assert row["clipped"] == min(row["avg_price"], 1000.0)
 
 
+def test_default_is_arrow_batched(spark, engine, recwarn):
+    """register_scalar without flags rides the Arrow/pandas path (the
+    scale-safe default, VERDICT r2 #4): no slow-path warning, and the
+    callable observes pandas batch values (NaN for missing doubles)."""
+    seen_types = set()
+
+    def probe(x):
+        seen_types.add(type(x).__name__)
+        return float(x) * 3.0
+
+    register_scalar(spark, "py_probe", probe)
+    r = (
+        Query(engine)
+        .with_member("Tripled")
+        .as_("py_probe(sum_qty)", output="tripled")
+        .columns("[Measures].[Sum Qty]", "[Measures].[Tripled]")
+        .rows("[Customer].children")
+        .execute()
+    )
+    for row in r.df.collect():
+        assert abs(row["tripled"] - row["sum_qty"] * 3.0) < 1e-6
+    assert not [w for w in recwarn.list if "row-at-a-time" in str(w.message)]
+    # values arrived via pandas batches, not one-python-object-per-row rows
+    assert seen_types <= {"float", "float64", "int64"}
+
+
+def test_row_udf_explicit_opt_out(spark, engine):
+    register_scalar(
+        spark, "py_rowwise", lambda x: x + 0.5, returns="double", vectorized=False
+    )
+    r = (
+        Query(engine)
+        .with_member("Shifted")
+        .as_("py_rowwise(avg_price)", output="shifted")
+        .columns("[Measures].[Avg Price]", "[Measures].[Shifted]")
+        .rows("[Customer].children")
+        .execute()
+    )
+    for row in r.df.collect():
+        assert abs(row["shifted"] - (row["avg_price"] + 0.5)) < 1e-6
+
+
 def test_udf_in_filter_condition(spark, engine):
     register_scalar(spark, "py_is_big", lambda x: bool(x > 1000), returns="boolean")
     r = (
