@@ -1076,6 +1076,117 @@ class MdxParser:
             out,
         )
 
+        # a bracketed member identifier (one or more [..]-quoted segments)
+        _id_pat = r"\[(?:[^\]]|\]\])+\](?:\s*\.\s*\[(?:[^\]]|\]\])+\])*"
+
+        def repl_case_item_name(m: re.Match) -> str:
+            # CASE … END.Item(i).Name (mondrian_test.rb:388-397): branches
+            # return members or tuples; take the winning result's i-th
+            # component's NAME.  A bare member coerces to a 1-tuple
+            # (Item(0) = itself, like Mondrian's member→tuple coercion).
+            from .members import parse_identifier
+
+            inner, idx = m.group(1), int(m.group(2))
+
+            def repl_result(rm: re.Match) -> str:
+                body = rm.group(2)
+                stripped = body.strip()
+                trail = body[len(body.rstrip()):]
+                if re.fullmatch(
+                    r"\(\s*" + _id_pat + r"(?:\s*,\s*" + _id_pat + r")*\s*\)",
+                    stripped,
+                ):
+                    parts = re.findall(_id_pat, stripped)
+                elif re.fullmatch(_id_pat, stripped):
+                    parts = [stripped]
+                else:
+                    return rm.group(0)  # scalar branch — leave untouched
+                if idx >= len(parts):
+                    raise MdxError(
+                        f"Item({idx}): CASE result tuple has only "
+                        f"{len(parts)} component(s)"
+                    )
+                name = parse_identifier(parts[idx])[-1]
+                return (
+                    rm.group(1) + "'" + name.replace("'", "''") + "'" + trail
+                )
+
+            return re.sub(
+                r"(?is)\b(THEN\s+|ELSE\s+)(.*?)(?=\bWHEN\b|\bELSE\b|\bEND\b)",
+                repl_result,
+                inner,
+            )
+
+        out = re.sub(
+            r"(?is)(\bCASE\b(?:(?!\bCASE\b|\bEND\b).)*\bEND\b)\s*\.\s*"
+            r"Item\s*\(\s*(\d+)\s*\)\s*\.\s*Name\b",
+            repl_case_item_name,
+            out,
+        )
+        if re.search(r"(?is)\bEND\s*\.\s*Item\b", out):
+            raise MdxError(
+                "CASE … END.Item(i) is supported only with a .Name suffix "
+                "in this subset"
+            )
+
+        def repl_tuple(m: re.Match) -> str:
+            # tuple scalar ([Measures].[X], [Dim].[M], …): the cell value
+            # of X with the listed dimensions' context overridden
+            # (mondrian_test.rb:361-380).  Lowered to a synthetic column;
+            # the planner attaches it via a member-scoped sub-aggregate
+            # broadcast-joined onto the grid (plan._attach_tuple_scalar).
+            from .members import parse_identifier
+
+            parts = re.findall(_id_pat, m.group(0))
+            measure_name = None
+            members: list[str] = []
+            for p in parts:
+                segs = parse_identifier(p)
+                if segs[0].lower() == "measures":
+                    if measure_name is not None:
+                        raise MdxError(
+                            "tuple has more than one Measures component"
+                        )
+                    if len(segs) != 2:
+                        raise MdxError(f"bad measure reference in tuple: {p}")
+                    measure_name = segs[1]
+                else:
+                    members.append(p)
+            if measure_name is None:
+                raise MdxError(
+                    "a tuple used as a value needs an explicit [Measures] "
+                    "component in this subset"
+                )
+            if not members:
+                return m.group(0)  # ([Measures].[X]) — plain parenthesized
+            key = (
+                measure_name.lower(),
+                tuple(re.sub(r"\s", "", mm).lower() for mm in members),
+            )
+            for prior_out, prior_name, prior_members in self.q._tuple_scalars:
+                prior_key = (
+                    prior_name.lower(),
+                    tuple(
+                        re.sub(r"\s", "", mm).lower() for mm in prior_members
+                    ),
+                )
+                if prior_key == key:
+                    return prior_out
+            out_name = f"__tuple{len(self.q._tuple_scalars)}"
+            self.q._tuple_scalars.append(
+                (out_name, measure_name, tuple(members))
+            )
+            return out_name
+
+        # the lookbehind keeps function CALLS out: in ``Fn([A].[B], [C].[D])``
+        # the char before ``(`` is part of the function name, so the
+        # parenthesized argument list is not a tuple literal
+        out = re.sub(
+            r"(?<![\w\]])\(\s*" + _id_pat + r"(?:\s*,\s*" + _id_pat + r")+\s*\)",
+            repl_tuple,
+            out,
+        )
+
         def repl_measure(m: re.Match) -> str:
             name = m.group(1).replace("]]", "]")
             try:

@@ -139,13 +139,22 @@ def _path_predicate(ref: MemberSetRef) -> Column | None:
 
 
 class Planner:
-    def __init__(self, engine: CubeEngine, extra_measures: tuple = ()):
+    def __init__(
+        self,
+        engine: CubeEngine,
+        extra_measures: tuple = (),
+        tuple_scalars: tuple = (),
+    ):
         self.engine = engine
         self.cube = engine.cube
         #: query-scoped WITH members not on any axis — visible to the
         #: dependency closure (a requested member may reference them;
         #: mondrian_test.rb:338-413 CASE chains over helper members)
         self.extra_measures = tuple(extra_measures)
+        #: tuple scalar references from formulas — (out, measure, member
+        #: refs): the value of ``measure`` with the listed dimensions'
+        #: context overridden (mondrian_test.rb:361-380)
+        self.tuple_scalars = tuple(tuple_scalars)
 
     def aggregate(
         self,
@@ -275,6 +284,12 @@ class Planner:
             if m.aggregator == "sum" and m.dtype:
                 agg = agg.withColumn(m.out, F.col(m.out).cast(m.dtype))
 
+        # tuple scalar references ([Measures].[X], [Dim].[M], …) used in
+        # formulas: attach each as a column BEFORE the calc chain so the
+        # formulas can reference it like any measure alias
+        for spec in self.tuple_scalars:
+            agg = self._attach_tuple_scalar(agg, spec, axes, slicer)
+
         # calculated members in solve_order (schema.rb:314-341): formulas
         # over measure aliases, may reference earlier calculated members
         for cm in calc_chain:
@@ -283,6 +298,35 @@ class Planner:
             agg = self._hide_rollups(agg, role, group_cols, measures)
         ordered = group_cols + [m.out for m in measures]
         return agg.select(*ordered), group_cols
+
+    def _attach_tuple_scalar(self, agg, spec, axes, slicer):
+        """Tuple scalar reference ``([Measures].[X], [Dim].[M], …)`` in a
+        formula (mondrian_test.rb:361-380; jar!mondrian/calc/impl tuple
+        value calcs): the value of X with the listed dimensions' current
+        members overridden by the tuple's members — other dimensions keep
+        the row's context.
+
+        Spark lowering: a sub-aggregate at the grid's grain MINUS the
+        overridden dimensions, sliced to the tuple's members, broadcast-
+        joined back onto the grid.  The sub-aggregate is one row per
+        remaining-grain combination — small by construction, so the join
+        never shuffles the grid."""
+        out, measure, refs = spec
+        overridden = {r.dimension.name for r in refs}
+        sub_axes = [
+            [s for s in axis if s.dimension.name not in overridden]
+            for axis in axes
+        ]
+        sub_slicer = [r for r in slicer if r.dimension.name not in overridden]
+        sub_slicer += list(refs)
+        # a fresh planner WITHOUT tuple scalars: nested tuple references
+        # are out of scope, and re-attaching here would recurse
+        sub_planner = Planner(self.engine, extra_measures=self.extra_measures)
+        sub, sub_cols = sub_planner.aggregate(sub_axes, sub_slicer, [measure])
+        sub = sub.select(*sub_cols, F.col(measure.out).alias(out))
+        if sub_cols:
+            return agg.join(F.broadcast(sub), on=sub_cols, how="left")
+        return agg.crossJoin(F.broadcast(sub))
 
     def _hide_rollups(self, agg, role, group_cols, measures):
         """rollup_policy='hidden' (schema.rb:468-489): a cell whose value

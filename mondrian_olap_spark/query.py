@@ -80,6 +80,9 @@ class Query:
         self._named_sets: dict[str, list[str]] = {}
         self._dim_members: list[tuple] = []
         self._drilldowns: list[MemberSetRef] = []
+        #: tuple scalar references recorded by formula translation:
+        #: (output column, measure name, member identifier strings)
+        self._tuple_scalars: list[tuple[str, str, tuple[str, ...]]] = []
 
     # -- axes ----------------------------------------------------------
     def axis(self, i: int, *members) -> "Query":
@@ -735,7 +738,24 @@ class Query:
                 measures.append(self._measure(name))
         if not measures and not self._with:
             pass  # pure member query
-        planner = Planner(self.engine, extra_measures=tuple(self._with))
+        tuple_specs = []
+        for out, mname, member_strs in self._tuple_scalars:
+            measure = self._measure(mname)
+            refs = []
+            for mstr in member_strs:
+                ref = self._resolve(mstr)
+                if isinstance(ref, MeasureRef):
+                    raise QueryError(
+                        f"tuple component {mstr!r}: only one Measures "
+                        "component is allowed per tuple"
+                    )
+                refs.append(ref)
+            tuple_specs.append((out, measure, tuple(refs)))
+        planner = Planner(
+            self.engine,
+            extra_measures=tuple(self._with),
+            tuple_scalars=tuple(tuple_specs),
+        )
         main_axes, shallow_groups = self._split_mixed_depth([ax.sets for ax in axes])
         if shallow_groups and (self._totals is not None or self._include_empty):
             # the shallow unions run outside the totals / empty-expansion

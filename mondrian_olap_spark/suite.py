@@ -1999,3 +1999,36 @@ def descendants_months_mdx(spark, sf_dir):
         "SELECT [Measures].[Sum Qty] ON COLUMNS, "
         "DESCENDANTS([Time].[1995], [Time].[Month]) ON ROWS FROM [Sales]"
     ).df
+
+
+@q(
+    "tuple_case_contextual",
+    f"""
+    WITH star AS (
+      SELECT year(o_orderdate) AS y, l_quantity, r_name FROM {_CUST_STAR}
+    ),
+    base AS (SELECT y AS o_year, sum(l_quantity) AS sum_qty FROM star GROUP BY 1),
+    asia AS (SELECT y AS o_year, sum(l_quantity) AS q FROM star WHERE r_name = 'ASIA' GROUP BY 1),
+    africa AS (SELECT y AS o_year, sum(l_quantity) AS q FROM star WHERE r_name = 'AFRICA' GROUP BY 1)
+    SELECT b.o_year, b.sum_qty,
+           CASE WHEN b.sum_qty > 50000 THEN a.q ELSE f.q END AS asia_or_africa
+    FROM base b LEFT JOIN asia a USING (o_year) LEFT JOIN africa f USING (o_year)
+    """,
+)
+def tuple_case_contextual(spark, sf_dir):
+    """Tuple-valued CASE results (mondrian_test.rb:361-380): branches return
+    ([Measures].[Sum Qty], [Customer].[REGION]) tuples — the measure with
+    Customer's context overridden, per-year otherwise.  Lowered to member-
+    scoped sub-aggregates broadcast-joined onto the grid
+    (plan._attach_tuple_scalar)."""
+    eng = get_engine(spark, sf_dir)
+    return eng.execute(
+        """
+        WITH MEMBER [Measures].[Asia Or Africa] AS
+          'CASE WHEN [Measures].[Sum Qty] > 50000
+                THEN ([Measures].[Sum Qty], [Customer].[ASIA])
+                ELSE ([Measures].[Sum Qty], [Customer].[AFRICA]) END'
+        SELECT {[Measures].[Sum Qty], [Measures].[Asia Or Africa]} ON COLUMNS,
+               [Time].[Year].Members ON ROWS FROM [Sales]
+        """
+    ).df

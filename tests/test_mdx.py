@@ -1045,6 +1045,83 @@ def test_case_end_name_returns_member_name(engine):
     assert rows[0]["case_1"] == "one" and rows[0]["case_2"] == "two"
 
 
+def test_case_tuple_scalar_results(engine):
+    """CASE branches returning tuples evaluate to the tuple's CELL VALUE —
+    the measure with the listed dimension's context overridden
+    (mondrian_test.rb:361-380, Case 3-6)."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[one] AS '1'
+             MEMBER [Measures].[two] AS '2'
+             MEMBER [Measures].[Case 3] AS 'CASE 1 WHEN 1 THEN ([Measures].[one], [Customer].[ASIA]) ELSE ([Measures].[two], [Customer].[AFRICA]) END'
+             MEMBER [Measures].[Case 4] AS 'CASE 1 WHEN 1 THEN ([Measures].[one], [Customer].[ASIA]) ELSE 2 END'
+             MEMBER [Measures].[Case 5] AS 'CASE 1 WHEN 2 THEN [Measures].[one] ELSE ([Measures].[two], [Customer].[ASIA]) END'
+             MEMBER [Measures].[Case 6] AS 'CASE 2 WHEN 2 THEN ([Measures].[two], [Customer].[ASIA]) ELSE [Measures].[one] END'
+        SELECT {[Measures].[Case 3], [Measures].[Case 4], [Measures].[Case 5], [Measures].[Case 6]} ON COLUMNS FROM [Sales]
+        """,
+    )
+    row = r.df.collect()[0]
+    assert [row["case_3"], row["case_4"], row["case_5"], row["case_6"]] == [
+        1, 1, 2, 2,
+    ]
+
+
+def test_case_item_name(engine):
+    """CASE … END.Item(i).Name indexes the winning tuple result and returns
+    that component's NAME (mondrian_test.rb:388-397, Case 3/4); a bare
+    member result coerces to a 1-tuple."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[one] AS '1'
+             MEMBER [Measures].[two] AS '2'
+             MEMBER [Measures].[Case 3] AS 'CASE 1 WHEN 1 THEN ([Measures].[one], [Customer].[ASIA]) ELSE ([Measures].[two], [Customer].[AFRICA]) END.Item(0).Name'
+             MEMBER [Measures].[Case 4] AS 'CASE 2 WHEN 1 THEN ([Measures].[one], [Customer].[ASIA]) ELSE ([Measures].[two], [Customer].[AFRICA]) END.Item(1).Name'
+             MEMBER [Measures].[Case 5] AS 'CASE 1 WHEN 1 THEN [Measures].[one] ELSE [Measures].[two] END.Item(0).Name'
+        SELECT {[Measures].[Case 3], [Measures].[Case 4], [Measures].[Case 5]} ON COLUMNS FROM [Sales]
+        """,
+    )
+    row = r.df.collect()[0]
+    assert [row["case_3"], row["case_4"], row["case_5"]] == [
+        "one", "AFRICA", "one",
+    ]
+
+
+def test_tuple_scalar_contextual_measure(engine):
+    """A tuple over a REAL measure keeps the non-overridden dimensions'
+    row context: ([Sum Qty], [Customer].[ASIA]) on a Time-rows grid is the
+    per-year Asia quantity (jar!mondrian/olap/fun tuple value evaluation)."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[Asia Qty] AS '([Measures].[Sum Qty], [Customer].[ASIA])'
+        SELECT {[Measures].[Sum Qty], [Measures].[Asia Qty]} ON COLUMNS,
+               [Time].[Year].Members ON ROWS FROM [Sales]
+        """,
+    )
+    rows = {x["o_year"]: x for x in r.df.collect()}
+    direct = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, [Time].[Year].Members ON ROWS "
+        "FROM [Sales] WHERE ([Customer].[ASIA])",
+    )
+    for x in direct.df.collect():
+        assert rows[x["o_year"]]["asia_qty"] == x["sum_qty"]
+        assert rows[x["o_year"]]["sum_qty"] >= x["sum_qty"]
+
+
+def test_case_item_without_name_raises(engine):
+    with pytest.raises(MdxError, match="Item"):
+        execute_mdx(
+            engine,
+            """
+            WITH MEMBER [Measures].[x] AS 'CASE 1 WHEN 1 THEN ([Measures].[Sum Qty], [Customer].[ASIA]) ELSE 2 END.Item(0)'
+            SELECT [Measures].[x] ON COLUMNS FROM [Sales]
+            """,
+        )
+
+
 def test_isdirty_false(engine):
     """IsDirty() evaluator introspection (mondrian_test.rb:241-247)."""
     r = execute_mdx(
