@@ -137,6 +137,61 @@ class MdxParser:
         #: WITH SET definitions including set-function ops — referenced by
         #: bare name on axes (query_test.rb:706-731 WITH SET clause)
         self.named_sets: dict[str, "_SetBuild"] = {}
+        self._rewrite_dimensions_calls()
+
+    def _dimension_by_index_or_name(self, arg: int | str) -> str:
+        """``Dimensions(n)`` / ``Dimensions('name')`` resolution
+        (jar!mondrian/olap/fun/DimensionsNumericFunDef /
+        DimensionsStringFunDef): index 0 is the Measures dimension, then
+        the cube's dimensions in schema order — Mondrian's ordering."""
+        dims = ["Measures"] + [d.name for d in self.cube.dimensions]
+        if isinstance(arg, int):
+            if not 0 <= arg < len(dims):
+                raise MdxError(
+                    f"Dimensions({arg}): cube {self.cube.name!r} has "
+                    f"{len(dims)} dimensions (0..{len(dims) - 1})"
+                )
+            return dims[arg]
+        for d in dims:
+            if d.lower() == arg.lower():
+                return d
+        raise MdxError(f"Dimensions({arg!r}): no such dimension")
+
+    def _rewrite_dimensions_calls(self) -> None:
+        """Fold ``Dimensions(n)`` / ``Dimensions('name')`` calls in the
+        token stream into the named dimension's bracketed identifier, so
+        every downstream position (axis sets, suffix navigation,
+        expressions) sees an ordinary dimension reference."""
+        out: list[Tok] = []
+        i = 0
+        toks = self.toks
+        while i < len(toks):
+            t = toks[i]
+            if (
+                t.kind == "word"
+                and t.text.lower() == "dimensions"
+                and i + 3 < len(toks)
+                and toks[i + 1].text == "("
+                and toks[i + 3].text == ")"
+                and not (out and out[-1].text == ".")
+            ):
+                argt = toks[i + 2]
+                if argt.kind == "number":
+                    name = self._dimension_by_index_or_name(int(float(argt.text)))
+                elif argt.kind == "string":
+                    name = self._dimension_by_index_or_name(_unquote(argt.text))
+                else:
+                    raise MdxError(
+                        "Dimensions() takes a numeric index or a quoted name"
+                    )
+                out.append(
+                    Tok("bracket", "[" + name.replace("]", "]]") + "]", t.pos)
+                )
+                i += 4
+                continue
+            out.append(t)
+            i += 1
+        self.toks = out
 
     # -- token helpers -------------------------------------------------
     def peek(self, k: int = 0) -> Tok | None:
@@ -994,6 +1049,115 @@ class MdxParser:
             raise MdxError("empty expression")
         return self.translate_expression_text(" ".join(parts))
 
+    def _object_accessor_literal(self, ident: str, obj: str, prop: str) -> str | None:
+        """Fold ``X[.Dimension|.Hierarchy|.Level].Name/UniqueName/Caption/
+        Ordinal`` to a SQL literal.  ``X`` may be a member path, a level
+        identifier, a bare dimension, or a measure reference — all static
+        metadata.  Returns ``None`` when the identifier doesn't resolve
+        (the expression is left untouched for later passes)."""
+        from .members import parse_identifier
+
+        def s(lit: str) -> str:
+            return "'" + lit.replace("'", "''") + "'"
+
+        def uname(segs: list[str]) -> str:
+            return format_name(segs)
+
+        try:
+            segs = parse_identifier(ident)
+        except Exception:
+            return None
+        if segs[0].lower() == "measures":
+            # the Measures dimension: its single level is named
+            # "MeasuresLevel" in Mondrian
+            if obj in ("dimension", "hierarchy"):
+                return {
+                    "name": s("Measures"),
+                    "uniquename": s("[Measures]"),
+                    "caption": s("Measures"),
+                }.get(prop)
+            if obj == "level":
+                return {
+                    "name": s("MeasuresLevel"),
+                    "uniquename": s("[Measures].[MeasuresLevel]"),
+                    "caption": s("MeasuresLevel"),
+                    "ordinal": "0",
+                }.get(prop)
+            if len(segs) == 1:  # bare [Measures] dimension reference
+                return {
+                    "name": s("Measures"),
+                    "uniquename": s("[Measures]"),
+                    "caption": s("Measures"),
+                }.get(prop)
+            if len(segs) == 2 and prop in ("name", "uniquename", "caption"):
+                try:
+                    self.cube.measure(segs[1])
+                except KeyError:
+                    found = any(
+                        cm.name.lower() == segs[1].lower() for cm in self.q._with
+                    )
+                    if not found:
+                        return None
+                if prop == "uniquename":
+                    return s(uname(segs))
+                return s(segs[1])
+            return None
+        try:
+            dim = self.cube.dimension(segs[0])
+        except KeyError:
+            return None
+        rest = segs[1:]
+        # classify: level identifier beats member path on name collision
+        # (Mondrian's resolution order)
+        level_idx: int | None = None
+        member_path: list[str] | None = None
+        if len(rest) == 1 and dim.level_index(rest[0]) is not None:
+            level_idx = dim.level_index(rest[0])
+        elif rest:
+            if len(rest) > len(dim.levels):
+                return None
+            member_path = rest
+            level_idx = len(rest) - 1
+        if obj in ("dimension", "hierarchy"):
+            return {
+                "name": s(dim.name),
+                "uniquename": s(uname([dim.name])),
+                "caption": s(getattr(dim, "caption", None) or dim.name),
+            }.get(prop)
+        if obj == "level":
+            if level_idx is None:
+                return None
+            lv = dim.levels[level_idx]
+            return {
+                "name": s(lv.name),
+                "uniquename": s(uname([dim.name, lv.name])),
+                "caption": s(getattr(lv, "caption", None) or lv.name),
+                "ordinal": str(level_idx),
+            }.get(prop)
+        # no object step: property directly on the identifier
+        if member_path is not None:
+            # member .Ordinal is data-dependent (position within its level)
+            # — not a metadata constant, so leave it to raise loudly
+            return {
+                "name": s(member_path[-1]),
+                "uniquename": s(uname([dim.name, *member_path])),
+                "caption": s(member_path[-1]),
+            }.get(prop)
+        if level_idx is not None:  # level identifier
+            lv = dim.levels[level_idx]
+            return {
+                "name": s(lv.name),
+                "uniquename": s(uname([dim.name, lv.name])),
+                "caption": s(getattr(lv, "caption", None) or lv.name),
+                "ordinal": str(level_idx),
+            }.get(prop)
+        # bare dimension reference
+        return {
+            "name": s(dim.name),
+            "uniquename": s(uname([dim.name])),
+            "caption": s(getattr(dim, "caption", None) or dim.name),
+        }.get(prop)
+
     def translate_expression_text(self, text: str) -> str:
         """MDX value expression → Spark SQL over output aliases.
 
@@ -1128,6 +1292,50 @@ class MdxParser:
                 "CASE … END.Item(i) is supported only with a .Name suffix "
                 "in this subset"
             )
+
+        def repl_expr_dimensions(m: re.Match) -> str:
+            # Dimensions(n) / Dimensions("name") inside a value expression
+            # — folds to the dimension's bracketed identifier so the
+            # object-accessor pass below can take .Name/.UniqueName of it
+            raw = m.group(1).strip()
+            masked = re.fullmatch(r"\x00(\d+)\x00", raw)
+            if masked:
+                arg: int | str = _unquote(_masked[int(masked.group(1))])
+            elif re.fullmatch(r"\d+", raw):
+                arg = int(raw)
+            else:
+                raise MdxError(
+                    "Dimensions() takes a numeric index or a quoted name"
+                )
+            name = self._dimension_by_index_or_name(arg)
+            return "[" + name.replace("]", "]]") + "]"
+
+        out = re.sub(
+            r"(?i)(?<![\w\].])Dimensions\s*\(\s*([^()]*?)\s*\)",
+            repl_expr_dimensions,
+            out,
+        )
+
+        def repl_accessor(m: re.Match) -> str:
+            # object-accessor family on metadata identifiers
+            # (jar!mondrian/olap/fun/DimensionDimensionFunDef,
+            # LevelLevelFunDef, …): X.Dimension/.Hierarchy/.Level chains
+            # and direct .Name/.UniqueName/.Caption/.Ordinal — all
+            # compile-time metadata constants, folded to literals here
+            ident = m.group(1)
+            obj = (m.group(2) or "").lower()
+            prop = m.group(3).lower()
+            lit = self._object_accessor_literal(ident, obj, prop)
+            return lit if lit is not None else m.group(0)
+
+        out = re.sub(
+            r"(" + _id_pat + r")\s*\.\s*"
+            r"(?:(Dimension|Hierarchy|Level)\s*\.\s*)?"
+            r"(Name|UniqueName|Caption|Ordinal)\b",
+            repl_accessor,
+            out,
+            flags=re.IGNORECASE,
+        )
 
         def repl_tuple(m: re.Match) -> str:
             # tuple scalar ([Measures].[X], [Dim].[M], …): the cell value

@@ -2032,3 +2032,30 @@ def tuple_case_contextual(spark, sf_dir):
                [Time].[Year].Members ON ROWS FROM [Sales]
         """
     ).df
+
+
+@q(
+    "object_accessor_metadata",
+    f"""
+    SELECT r_name AS region_name, sum(l_quantity) AS sum_qty,
+           'Customer/Region/Sum Qty#1' AS meta_tag
+    FROM {_CUST_STAR} GROUP BY 1
+    """,
+)
+def object_accessor_metadata(spark, sf_dir):
+    """Object-accessor MDX surface (DimensionDimensionFunDef,
+    LevelLevelFunDef, DimensionsStringFunDef): .Dimension.Name /
+    .Level.Name / measure .Name / level .Ordinal fold to metadata
+    constants inside a formula."""
+    eng = get_engine(spark, sf_dir)
+    return eng.execute(
+        """
+        WITH MEMBER [Measures].[Meta Tag] AS
+          'concat([Customer].[ASIA].Dimension.Name, ''/'',
+                  [Customer].[ASIA].Level.Name, ''/'',
+                  [Measures].[Sum Qty].Name, ''#'',
+                  CAST(Dimensions(''Customer'').[Nation].Ordinal AS STRING))'
+        SELECT {[Measures].[Sum Qty], [Measures].[Meta Tag]} ON COLUMNS,
+               [Customer].[Region].Members ON ROWS FROM [Sales]
+        """
+    ).df

@@ -1122,6 +1122,69 @@ def test_case_item_without_name_raises(engine):
         )
 
 
+def test_object_accessors_in_expressions(engine):
+    """Object-accessor family (DimensionDimensionFunDef, LevelLevelFunDef
+    et al.): .Dimension/.Hierarchy/.Level chains and .Name/.UniqueName/
+    .Ordinal fold to metadata constants in value expressions."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[dim_name] AS '[Customer].[ASIA].Dimension.Name'
+             MEMBER [Measures].[hier_name] AS '[Customer].[ASIA].Hierarchy.Name'
+             MEMBER [Measures].[lvl_name] AS '[Customer].[ASIA].Level.Name'
+             MEMBER [Measures].[lvl_ord] AS '[Customer].[Nation].Ordinal'
+             MEMBER [Measures].[mem_name] AS '[Customer].[ASIA].Name'
+             MEMBER [Measures].[mem_uname] AS '[Customer].[ASIA].UniqueName'
+             MEMBER [Measures].[meas_name] AS '[Measures].[Sum Qty].Name'
+        SELECT {[Measures].[dim_name], [Measures].[hier_name], [Measures].[lvl_name],
+                [Measures].[lvl_ord], [Measures].[mem_name], [Measures].[mem_uname],
+                [Measures].[meas_name]} ON COLUMNS
+        FROM [Sales]
+        """,
+    )
+    row = r.df.collect()[0]
+    assert row["dim_name"] == "Customer"
+    assert row["hier_name"] == "Customer"
+    assert row["lvl_name"] == "Region"
+    assert row["lvl_ord"] == 1
+    assert row["mem_name"] == "ASIA"
+    assert row["mem_uname"] == "[Customer].[ASIA]"
+    assert row["meas_name"] == "Sum Qty"
+
+
+def test_dimensions_function(engine):
+    """Dimensions(n) / Dimensions('name') (DimensionsNumericFunDef /
+    DimensionsStringFunDef): index 0 is Measures, then schema order; works
+    in axis position and in expressions."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[d0] AS 'Dimensions(0).Name'
+             MEMBER [Measures].[dn] AS 'Dimensions(''Customer'').UniqueName'
+        SELECT {[Measures].[d0], [Measures].[dn]} ON COLUMNS FROM [Sales]
+        """,
+    )
+    row = r.df.collect()[0]
+    assert row["d0"] == "Measures"
+    assert row["dn"] == "[Customer]"
+    # axis position: Dimensions('Customer').Members == [Customer].Members
+    r2 = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "Dimensions('Customer').Members ON ROWS FROM [Sales]",
+    )
+    assert r2.df.count() == 5  # the five regions
+
+
+def test_dimensions_out_of_range(engine):
+    with pytest.raises(MdxError, match="Dimensions"):
+        execute_mdx(
+            engine,
+            "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+            "Dimensions(99).Members ON ROWS FROM [Sales]",
+        )
+
+
 def test_isdirty_false(engine):
     """IsDirty() evaluator introspection (mondrian_test.rb:241-247)."""
     r = execute_mdx(
