@@ -501,6 +501,27 @@ class MdxParser:
             self.q.nonempty()
 
     def parse_where(self):
+        if (
+            self.at_word("strtotuple")
+            and self.peek(1) is not None
+            and self.peek(1).text == "("
+        ):
+            # StrToTuple("(…)") in the slicer (jar!mondrian/olap/fun/
+            # StrToTupleFunDef; completes the StrToSet/SetToStr/TupleToStr
+            # string-bridge family): splice the string's tokens in and let
+            # the ordinary tuple parsing below consume them
+            self.next()
+            self.expect_op("(")
+            st = self.next()
+            if st.kind != "string":
+                raise MdxError("StrToTuple takes a quoted tuple string")
+            self.expect_op(")")
+            self.toks = (
+                self.toks[: self.i]
+                + tokenize(_unquote(st.text))
+                + self.toks[self.i :]
+            )
+
         def one() -> str:
             m, op = self._braced_member_nav(self.parse_member_string())
             if op is not None:
@@ -1335,6 +1356,14 @@ class MdxParser:
             repl_accessor,
             out,
             flags=re.IGNORECASE,
+        )
+
+        # StrToTuple("(…)") as a value expression: unwrap the string and
+        # let the tuple-scalar lowering below handle the content
+        out = re.sub(
+            r"(?i)\bStrToTuple\s*\(\s*\x00(\d+)\x00\s*\)",
+            lambda m: _unquote(_masked[int(m.group(1))]),
+            out,
         )
 
         def repl_tuple(m: re.Match) -> str:

@@ -1185,6 +1185,44 @@ def test_dimensions_out_of_range(engine):
         )
 
 
+def test_strtotuple_in_where(engine):
+    """StrToTuple in the slicer (StrToTupleFunDef; completes the
+    string-bridge family of schema_definition_test.rb:1111-1138)."""
+    r = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, [ReturnFlag].children ON ROWS "
+        "FROM [Sales] WHERE StrToTuple('([Customer].[ASIA], [Time].[1995])')",
+    )
+    b = (
+        Query(engine)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[ReturnFlag].children")
+        .where("[Customer].[ASIA]", "[Time].[1995]")
+        .execute()
+    )
+    assert rows_of(r.df) == rows_of(b.df)
+
+
+def test_strtotuple_in_expression(engine):
+    """StrToTuple as a value expression routes through the tuple-scalar
+    lowering (contextual measure)."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[Asia Qty] AS 'StrToTuple(''([Measures].[Sum Qty], [Customer].[ASIA])'')'
+        SELECT {[Measures].[Sum Qty], [Measures].[Asia Qty]} ON COLUMNS FROM [Sales]
+        """,
+    )
+    direct = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS FROM [Sales] "
+        "WHERE ([Customer].[ASIA])",
+    )
+    assert (
+        r.df.collect()[0]["asia_qty"] == direct.df.collect()[0]["sum_qty"]
+    )
+
+
 def test_isdirty_false(engine):
     """IsDirty() evaluator introspection (mondrian_test.rb:241-247)."""
     r = execute_mdx(
