@@ -262,7 +262,13 @@ class DimensionMeta:
 
     @property
     def caption(self) -> str:
-        return self._dim.caption or self._dim.name
+        from .model import localized
+
+        return localized(
+            self._dim.caption_locales,
+            getattr(self._engine, "locale", None),
+            self._dim.caption or self._dim.name,
+        )
 
     @property
     def annotations(self) -> dict:
@@ -326,7 +332,13 @@ class CubeMeta:
 
     @property
     def caption(self) -> str:
-        return self._cube.caption or self._cube.name
+        from .model import localized
+
+        return localized(
+            self._cube.caption_locales,
+            getattr(self._engine, "locale", None),
+            self._cube.caption or self._cube.name,
+        )
 
     @property
     def annotations(self) -> dict:

@@ -31,6 +31,24 @@ def _snake(name: str) -> str:
     return s.lower()
 
 
+def localized(
+    locales: tuple[tuple[str, str], ...], locale: str | None, fallback
+):
+    """Pick the best localized variant from (locale, value) pairs: exact
+    locale match first, then bare language ('de' matches 'de_DE'), else
+    ``fallback`` — Mondrian's resource-bundle resolution order
+    (connection.rb:213-223 locale surface)."""
+    if locale and locales:
+        d = {k.lower(): v for k, v in locales}
+        low = locale.lower()
+        if low in d:
+            return d[low]
+        lang = low.split("_")[0]
+        if lang in d:
+            return d[lang]
+    return fallback
+
+
 AGGREGATORS = frozenset(
     # schema.rb:294 — sum, count, min, max, avg, distinct-count;
     # approx-distinct-count is the engine's opt-in HLL variant
@@ -74,6 +92,11 @@ class Level:
     #: key column — schema.rb:176-190 name_column/caption_column and
     #: CaptionExpression :248-270); surfaces as ``<out>_caption``
     caption: str | None = None
+    #: localized member-caption expressions: (locale, SQL expression)
+    #: pairs selected by the engine's active locale
+    #: (connection.rb:213-223 locale surface; Mondrian resolves localized
+    #: captions the same way from schema resource annotations)
+    caption_locales: tuple[tuple[str, str], ...] = ()
     #: Python MEMBER FORMATTER (schema_udf.rb:241-249 MemberFormatter —
     #: a callable ``value -> display string`` applied to the caption
     #: source, Arrow-batched as a pandas UDF, never per-row Python)
@@ -141,6 +164,8 @@ class Dimension:
     #: display metadata (schema.rb:88-130 description/caption/Annotations)
     description: str | None = None
     caption: str | None = None
+    #: localized display captions: (locale, caption) pairs
+    caption_locales: tuple[tuple[str, str], ...] = ()
     annotations: tuple[tuple[str, str], ...] = ()
     #: when the dimension rides a *bridge* table (its ``table`` is a fact-side
     #: association like orders, not the hierarchy's own table), member lists
@@ -273,6 +298,8 @@ class Cube:
     #: name→value pairs (tuple-of-pairs to keep the dataclass hashable)
     description: str | None = None
     caption: str | None = None
+    #: localized display captions: (locale, caption) pairs
+    caption_locales: tuple[tuple[str, str], ...] = ()
     annotations: tuple[tuple[str, str], ...] = ()
 
     def __post_init__(self) -> None:

@@ -38,12 +38,17 @@ def _ordinal_out(dim: Dimension, level) -> str:
     return f"__ord_{level.out}"
 
 
-def _caption_col(lv) -> "F.Column":
-    """Display caption source for a level: the caption expression (or the
-    key column), optionally passed through a Python MEMBER FORMATTER as an
-    Arrow-batched pandas UDF (schema_udf.rb:241-249 MemberFormatter — the
-    only Python-in-the-loop path for member display, never per-row)."""
-    src = F.expr(lv.caption) if lv.caption else F.expr(lv.column)
+def _caption_col(lv, locale: str | None = None) -> "F.Column":
+    """Display caption source for a level: the locale-selected caption
+    expression (connection.rb:213-223 locale surface), else the declared
+    caption expression, else the key column — optionally passed through a
+    Python MEMBER FORMATTER as an Arrow-batched pandas UDF
+    (schema_udf.rb:241-249 MemberFormatter — the only Python-in-the-loop
+    path for member display, never per-row)."""
+    from .model import localized
+
+    expr = localized(lv.caption_locales, locale, lv.caption)
+    src = F.expr(expr) if expr else F.expr(lv.column)
     if lv.formatter is None:
         return src
     fmt = lv.formatter
@@ -60,7 +65,11 @@ def _caption_col(lv) -> "F.Column":
 
 
 def _has_caption(lv) -> bool:
-    return lv.caption is not None or lv.formatter is not None
+    return (
+        lv.caption is not None
+        or lv.formatter is not None
+        or bool(lv.caption_locales)
+    )
 
 
 class DimView:
@@ -70,7 +79,12 @@ class DimView:
     ``__ord_<out>`` ordinal sort keys + declared member properties.
     """
 
-    def __init__(self, dim: Dimension, tables: Mapping[str, DataFrame]):
+    def __init__(
+        self,
+        dim: Dimension,
+        tables: Mapping[str, DataFrame],
+        locale: str | None = None,
+    ):
         self.dim = dim
         if dim.degenerate:
             self.df = None
@@ -89,7 +103,9 @@ class DimView:
             level_cols.append(F.expr(lv.column).alias(lv.out))
             level_cols.append(F.expr(lv.ordinal_expr).alias(_ordinal_out(dim, lv)))
             if _has_caption(lv):
-                level_cols.append(_caption_col(lv).alias(f"{lv.out}_caption"))
+                level_cols.append(
+                    _caption_col(lv, locale).alias(f"{lv.out}_caption")
+                )
             for pname, pexpr in lv.properties:
                 level_cols.append(F.expr(pexpr).alias(pname))
         self.df = base.select(*cols, *level_cols)
@@ -151,8 +167,13 @@ class CubeEngine:
                 for lv in dim.levels:
                     fact = fact.withColumn(lv.out, F.expr(lv.column))
         self.fact = fact
+        #: active locale (connection.rb:213-223); 'en' default, set via the
+        #: ``locale`` property / :meth:`with_locale`
+        self._locale = "en"
         self.dims: dict[str, DimView] = {
-            d.name: DimView(d, tables) for d in cube.dimensions if not d.degenerate
+            d.name: DimView(d, tables, self._locale)
+            for d in cube.dimensions
+            if not d.degenerate
         }
         #: optional aggregate cache (segment-cache analog, SURVEY.md §4)
         self.cache = None
@@ -302,6 +323,52 @@ class CubeEngine:
 
         return execute_mdx(self, mdx, parameters)
 
+    # ------------------------------------------------------------------
+    # locale surface (connection.rb:213-223; test/connection_test.rb:69-86)
+    # ------------------------------------------------------------------
+    @property
+    def locale(self) -> str:
+        return self._locale
+
+    @locale.setter
+    def locale(self, value: str) -> None:
+        """Set the active locale (``en``, ``en_US``, ``de_DE_var`` — 1 to 3
+        underscore-separated elements, connection.rb:218-220).  Rebuilds
+        the dimension views so locale-selected caption expressions take
+        effect, and flushes the cell cache (cached grids may carry caption
+        columns from the previous locale)."""
+        parts = str(value).split("_")
+        if not 1 <= len(parts) <= 3 or not all(parts):
+            raise ValueError(f"invalid locale string {value!r}")
+        if str(value) == self._locale:
+            return
+        self._locale = str(value)
+        self.dims = {
+            d.name: DimView(d, self.tables, self._locale)
+            for d in self.cube.dimensions
+            if not d.degenerate
+        }
+        if self.cache is not None:
+            self.cache.flush_all()
+
+    def with_locale(self, locale: str) -> "CubeEngine":
+        """A shallow engine copy bound to ``locale`` (per-connection locale
+        — the reference sets it as a connection parameter)."""
+        import copy
+
+        parts = str(locale).split("_")
+        if not 1 <= len(parts) <= 3 or not all(parts):
+            raise ValueError(f"invalid locale string {locale!r}")
+        clone = copy.copy(self)
+        clone.cache = None  # caption columns differ per locale
+        clone._locale = str(locale)
+        clone.dims = {
+            d.name: DimView(d, self.tables, clone._locale)
+            for d in self.cube.dimensions
+            if not d.degenerate
+        }
+        return clone
+
     def with_role(self, role) -> "CubeEngine":
         """A shallow engine copy with an access-control role bound; every
         query planned through it gets the role's grants applied
@@ -418,7 +485,7 @@ class CubeEngine:
             if include_properties:
                 for lv in levels:
                     if _has_caption(lv):
-                        sel.append(_caption_col(lv).alias(f"{lv.out}_caption"))
+                        sel.append(_caption_col(lv, self.locale).alias(f"{lv.out}_caption"))
                     for pname, pexpr in lv.properties:
                         sel.append(F.expr(pexpr).alias(pname))
             df = df.select(*sel)
@@ -550,7 +617,7 @@ class CubeEngine:
                     cols.append(F.expr(lv.ordinal_expr).alias(_ordinal_out(d, lv)))
                 if f"{lv.out}_caption" in want and _has_caption(lv):
                     # drill-through Name(...) fields ship the caption source
-                    cols.append(_caption_col(lv).alias(f"{lv.out}_caption"))
+                    cols.append(_caption_col(lv, self.locale).alias(f"{lv.out}_caption"))
                 for pname, pexpr in lv.properties:
                     # drill-through Property(...) fields (result.rb:283-419)
                     if pname in want:

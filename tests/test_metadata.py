@@ -122,3 +122,92 @@ def test_member_property_value(engine):
         parts = d.level("Brand").members[0]
     kids = parts.children
     assert kids  # parts under the brand exist
+
+
+# ---------------------------------------------------------------- locale
+def test_locale_get_set_validation(engine):
+    """connection_test.rb:69-86: en / en_US / de / de_DE forms accepted;
+    malformed locale strings rejected."""
+    import pytest
+
+    assert engine.locale == "en"
+    for loc in ("en", "en_US", "de", "de_DE"):
+        e2 = engine.with_locale(loc)
+        assert e2.locale == loc
+    assert engine.locale == "en"  # with_locale never mutates the source
+    with pytest.raises(ValueError, match="invalid locale"):
+        engine.with_locale("a_b_c_d")
+    with pytest.raises(ValueError, match="invalid locale"):
+        engine.with_locale("")
+
+
+def test_locale_selects_caption_expressions(spark):
+    """Localized member captions: the level's (locale, expression) pairs
+    select the caption column by the engine's locale, with bare-language
+    fallback (de matches de_DE)."""
+    import dataclasses
+
+    from mondrian_olap_spark.star import engine_from_parquet
+    from mondrian_olap_spark.tpch import SCHEMA
+
+    from .conftest import SF_DIR
+
+    sales = SCHEMA.cube("Sales")
+    cust = sales.dimension("Customer")
+    lv0 = dataclasses.replace(
+        cust.levels[0],
+        caption_locales=(
+            ("en", "initcap(r_name)"),
+            ("de", "concat('Region ', r_name)"),
+        ),
+    )
+    cust2 = dataclasses.replace(cust, levels=(lv0,) + cust.levels[1:])
+    sales2 = dataclasses.replace(
+        sales,
+        dimensions=tuple(
+            cust2 if d.name == "Customer" else d for d in sales.dimensions
+        ),
+    )
+    schema2 = dataclasses.replace(
+        SCHEMA, cubes=tuple(sales2 if c.name == "Sales" else c for c in SCHEMA.cubes)
+    )
+    eng = engine_from_parquet(spark, schema2, "Sales", SF_DIR)
+
+    def caps(e):
+        rows = e.level_members("Customer", 0, include_properties=True).collect()
+        return {r["region_name"]: r["region_name_caption"] for r in rows}
+
+    assert caps(eng)["AFRICA"] == "Africa"  # en default
+    de = eng.with_locale("de_DE")  # bare-language fallback de_DE → de
+    assert caps(de)["AFRICA"] == "Region AFRICA"
+    assert eng.locale == "en" and caps(eng)["AFRICA"] == "Africa"
+    # in-place switch rebuilds the dimension views
+    eng.locale = "de"
+    assert caps(eng)["AFRICA"] == "Region AFRICA"
+
+
+def test_locale_display_captions(engine):
+    """Localized cube/dimension display captions resolve through
+    engine.metadata() by the active locale."""
+    import dataclasses
+
+    from mondrian_olap_spark.star import CubeEngine
+
+    cube = engine.cube
+    cust = cube.dimension("Customer")
+    cust2 = dataclasses.replace(
+        cust, caption_locales=(("de", "Kunde"), ("fr", "Client"))
+    )
+    cube2 = dataclasses.replace(
+        cube,
+        caption_locales=(("de", "Verkäufe"),),
+        dimensions=tuple(
+            cust2 if d.name == "Customer" else d for d in cube.dimensions
+        ),
+    )
+    eng = CubeEngine(cube2, engine.tables)
+    assert eng.metadata().caption == "Sales"
+    assert eng.metadata().dimension("Customer").caption == "Customer"
+    de = eng.with_locale("de")
+    assert de.metadata().caption == "Verkäufe"
+    assert de.metadata().dimension("Customer").caption == "Kunde"
