@@ -31,7 +31,22 @@ from .members import format_name, quote_segment
 
 
 class MdxError(ValueError):
-    pass
+    """MDX-surface error with the reference's two-part shape
+    (``error.message`` + ``error.root_cause_message`` —
+    test/query_test.rb:761-803): the wrapper message describes the phase,
+    the root cause carries the precise diagnostic."""
+
+    def __init__(self, message: str, root_cause: str | None = None):
+        super().__init__(message)
+        self.root_cause_message = root_cause or message
+
+
+def _line_col(src: str, pos: int) -> tuple[int, int]:
+    """1-based (line, column) of a character offset — the reference reports
+    'Syntax error at line L, column C' (query_test.rb:771)."""
+    line = src.count("\n", 0, pos) + 1
+    col = pos - (src.rfind("\n", 0, pos) + 1) + 1
+    return line, col
 
 
 # ------------------------------------------------------------------ lexer
@@ -61,7 +76,14 @@ def tokenize(s: str) -> list[Tok]:
     while i < len(s):
         m = _TOKEN_RE.match(s, i)
         if not m:
-            raise MdxError(f"MDX lexer error at position {i}: {s[i:i+20]!r}")
+            line, col = _line_col(s, i)
+            raise MdxError(
+                f"MDX lexer error at position {i}: {s[i:i+20]!r}",
+                root_cause=(
+                    f"Lexical error at line {line}, column {col}: "
+                    f"{s[i:i+20]!r}"
+                ),
+            )
         kind = m.lastgroup
         if kind != "ws":
             out.append(Tok(kind, m.group(), i))
@@ -108,6 +130,7 @@ class MdxParser:
 
         self.engine = engine
         self.cube = engine.cube
+        self.src = mdx
         self.toks = tokenize(mdx)
         self.i = 0
         self.q = Query(engine)
@@ -204,16 +227,28 @@ class MdxParser:
         self.i += 1
         return t
 
+    def _syntax_error(self, t: Tok, expected: str) -> MdxError:
+        # the reference's parse-error root cause names line/column/token
+        # (query_test.rb:766-772)
+        line, col = _line_col(self.src, t.pos)
+        return MdxError(
+            f"expected {expected} at {t.pos}, got {t.text!r}",
+            root_cause=(
+                f"Syntax error at line {line}, column {col}, "
+                f"token '{t.text}'"
+            ),
+        )
+
     def expect_word(self, *words: str) -> Tok:
         t = self.next()
         if t.kind != "word" or t.text.lower() not in words:
-            raise MdxError(f"expected {'/'.join(words).upper()} at {t.pos}, got {t.text!r}")
+            raise self._syntax_error(t, "/".join(words).upper())
         return t
 
     def expect_op(self, op: str) -> Tok:
         t = self.next()
         if t.kind != "op" or t.text != op:
-            raise MdxError(f"expected {op!r} at {t.pos}, got {t.text!r}")
+            raise self._syntax_error(t, repr(op))
         return t
 
     def at_word(self, *words: str) -> bool:
@@ -1432,9 +1467,10 @@ class MdxParser:
                 for cm in self.q._with:
                     if cm.name.lower() == name.lower():
                         return cm.out
+                # exact reference root-cause shape (query_test.rb:779-780)
                 raise MdxError(
-                    f"MDX object [Measures].{quote_segment(name)} not found in cube "
-                    f"{quote_segment(self.cube.name)}"
+                    f"MDX object '[Measures].{quote_segment(name)}' not "
+                    f"found in cube '{self.cube.name}'"
                 )
 
         out = re.sub(r"\[Measures\]\s*\.\s*\[((?:[^\]]|\]\])*)\]", repl_measure, out)

@@ -138,6 +138,22 @@ def _path_predicate(ref: MemberSetRef) -> Column | None:
     return p
 
 
+def _unresolved_routine_name(e: Exception) -> str | None:
+    """Extract the function name from Spark's UNRESOLVED_ROUTINE analysis
+    error, else None."""
+    import re as _re
+
+    cond = getattr(e, "getCondition", None)
+    if callable(cond):
+        try:
+            if cond() != "UNRESOLVED_ROUTINE":
+                return None
+        except Exception:
+            return None
+    m = _re.search(r"Cannot resolve routine `([^`]+)`", str(e))
+    return m.group(1) if m else None
+
+
 class Planner:
     def __init__(
         self,
@@ -293,7 +309,20 @@ class Planner:
         # calculated members in solve_order (schema.rb:314-341): formulas
         # over measure aliases, may reference earlier calculated members
         for cm in calc_chain:
-            agg = agg.withColumn(cm.out, F.expr(cm.expression))
+            try:
+                agg = agg.withColumn(cm.out, F.expr(cm.expression))
+            except Exception as e:  # map analysis errors to reference shape
+                bad = _unresolved_routine_name(e)
+                if bad is None:
+                    raise
+                from .query import QueryError
+
+                # reference root cause: "No function matches signature
+                # 'Dummy(<Numeric Expression>)'" (query_test.rb:783-790)
+                raise QueryError(
+                    f"formula for [Measures].[{cm.name}] failed to resolve",
+                    root_cause=f"No function matches signature '{bad}'",
+                ) from None
         if role is not None and getattr(role, "rollup_policy", "") == "hidden":
             agg = self._hide_rollups(agg, role, group_cols, measures)
         ordered = group_cols + [m.out for m in measures]

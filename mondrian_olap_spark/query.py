@@ -57,7 +57,12 @@ class _Axis:
 
 
 class QueryError(ValueError):
-    pass
+    """Builder/planner error carrying the reference's two-part shape
+    (``message`` + ``root_cause_message`` — test/query_test.rb:761-803)."""
+
+    def __init__(self, message: str, root_cause: str | None = None):
+        super().__init__(message)
+        self.root_cause_message = root_cause or message
 
 
 class Query:
@@ -1131,7 +1136,14 @@ class Query:
             for cm in self._with:
                 if len(segs) == 2 and cm.name.lower() == segs[1].lower():
                     return MeasureRef(name=cm.name)
-        return resolve(self.cube, member)
+        try:
+            return resolve(self.cube, member)
+        except KeyError:
+            # exact reference root-cause shape (query_test.rb:774-781)
+            raise QueryError(
+                f"MDX object '{member}' not found in cube "
+                f"'{self.cube.name}'"
+            ) from None
 
     def _measure(self, name: str) -> Measure | CalculatedMember:
         role = getattr(self.engine, "role", None)
@@ -1141,7 +1153,16 @@ class Query:
         for cm in self._with:
             if cm.name.lower() == name.lower():
                 return cm
-        return self.cube.measure(name)
+        try:
+            return self.cube.measure(name)
+        except KeyError:
+            from .members import quote_segment
+
+            # exact reference root-cause shape (query_test.rb:774-781)
+            raise QueryError(
+                f"MDX object '[Measures].{quote_segment(name)}' not found "
+                f"in cube '{self.cube.name}'"
+            ) from None
 
     def _visible_levels(self, s) -> list:
         """A set's grouping levels minus any hidden by a level-bounded

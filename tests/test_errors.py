@@ -1,0 +1,114 @@
+"""Error-message parity suite (test/query_test.rb:761-803, :1290-1335).
+
+The reference asserts exact error SHAPES — a wrapper ``message`` plus a
+``root_cause_message`` naming the precise diagnostic (syntax position,
+missing object, unmatched function signature, lexical error, timeout).
+This suite pins the same shapes on the engine's typed errors.
+"""
+
+import pytest
+
+from mondrian_olap_spark.mdx import MdxError, execute_mdx
+from mondrian_olap_spark.query import Query, QueryError
+from mondrian_olap_spark.result import QueryTimeoutError
+
+
+def test_invalid_mdx_statement_names_line_column_token(engine):
+    """query_test.rb:766-772: "Syntax error at line 1, column 14, token
+    'FROM'" root cause for a malformed statement."""
+    with pytest.raises(MdxError) as ei:
+        execute_mdx(engine, "SELECT [Measures].[Sum Qty] COLUMNS FROM [Sales]")
+    rc = ei.value.root_cause_message
+    assert rc.startswith("Syntax error at line 1, column ")
+    assert "token 'COLUMNS'" in rc
+
+
+def test_unknown_measure_builder_root_cause(engine):
+    """query_test.rb:774-781: "MDX object '[Measures].[Dummy]' not found
+    in cube 'Sales'"."""
+    with pytest.raises(QueryError) as ei:
+        Query(engine).columns("[Measures].[Dummy]").execute()
+    assert (
+        ei.value.root_cause_message
+        == "MDX object '[Measures].[Dummy]' not found in cube 'Sales'"
+    )
+
+
+def test_unknown_measure_in_formula_root_cause(engine):
+    with pytest.raises(MdxError) as ei:
+        execute_mdx(
+            engine,
+            "WITH MEMBER [Measures].[X] AS '[Measures].[Dummy] + 1' "
+            "SELECT [Measures].[X] ON COLUMNS FROM [Sales]",
+        )
+    assert (
+        ei.value.root_cause_message
+        == "MDX object '[Measures].[Dummy]' not found in cube 'Sales'"
+    )
+
+
+def test_invalid_formula_unknown_function(engine):
+    """query_test.rb:783-790: unknown function in a formula surfaces as
+    "No function matches signature 'Dummy…'", not a raw Spark analysis
+    stack."""
+    with pytest.raises(QueryError) as ei:
+        (
+            Query(engine)
+            .with_member("Dummy")
+            .as_("Dummy(123)", output="dummy")
+            .columns("[Measures].[Dummy]")
+            .execute()
+        )
+    assert ei.value.root_cause_message.startswith(
+        "No function matches signature 'Dummy"
+    )
+
+
+def test_lexical_error_root_cause(engine):
+    """query_test.rb:792-800: a TokenMgrError-equivalent reports "Lexical
+    error" with position."""
+    with pytest.raises(MdxError) as ei:
+        execute_mdx(engine, "SELECT ~~~ ON COLUMNS FROM [Sales]")
+    assert "Lexical error at line 1, column 8" in ei.value.root_cause_message
+
+
+def test_timeout_error_message(engine):
+    """query_test.rb:1290-1335: a query exceeding its timeout raises a
+    typed timeout error naming the limit; fast queries under a generous
+    timeout succeed."""
+    import time
+
+    from mondrian_olap_spark.udf import register_scalar
+
+    spark = engine.fact.sparkSession
+    register_scalar(
+        spark, "py_sleepy", lambda x: (time.sleep(2.0), float(x))[1]
+    )
+    q = (
+        Query(engine)
+        .with_member("Sleepy")
+        .as_("py_sleepy(sum_qty)", output="sleepy")
+        .columns("[Measures].[Sleepy]")
+        .rows("[Customer].children")
+    )
+    with pytest.raises(QueryTimeoutError, match="timeout of 0.2"):
+        q.execute(timeout=0.2).values
+    # short query under a long timeout completes (query_test.rb:1333-1335)
+    fast = (
+        Query(engine)
+        .columns("[Measures].[Sum Qty]")
+        .execute(timeout=60)
+    )
+    v = fast.values
+    while isinstance(v, list):
+        v = v[0]
+    assert v > 0
+
+
+def test_error_message_and_root_cause_are_both_present(engine):
+    """Both channels exist on every typed error (the reference's
+    error.message + error.root_cause_message pair)."""
+    with pytest.raises(QueryError) as ei:
+        Query(engine).columns("[Measures].[Dummy]").execute()
+    assert str(ei.value)  # wrapper message
+    assert ei.value.root_cause_message  # precise diagnostic

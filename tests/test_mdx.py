@@ -158,7 +158,9 @@ def test_unknown_cube(engine):
 
 
 def test_unknown_measure(engine):
-    with pytest.raises(KeyError):
+    from mondrian_olap_spark.query import QueryError
+
+    with pytest.raises(QueryError, match="not found in cube 'Sales'"):
         execute_mdx(engine, "SELECT [Measures].[Nope] ON COLUMNS FROM [Sales]")
 
 

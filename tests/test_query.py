@@ -291,7 +291,9 @@ def test_children_under_path(engine, duck):
 
 # -------------------------------------------------------------------- errors
 def test_unknown_dimension_raises(engine):
-    with pytest.raises(KeyError):
+    from mondrian_olap_spark.query import QueryError
+
+    with pytest.raises(QueryError, match="not found in cube"):
         q(engine).rows("[Nope].children")
 
 
