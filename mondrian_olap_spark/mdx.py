@@ -718,15 +718,18 @@ class MdxParser:
             ref = resolve(self.cube, m1)
             if not getattr(ref, "path", None):
                 raise MdxError("COUSIN needs a full member path as its first argument")
-            sibs = self.engine.level_members(
-                ref.dimension.name, ref.depth, ref.path[:-1]
-            )
-            key_col = ref.dimension.levels[ref.depth].out
-            keys = [str(r[key_col]) for r in sibs.collect()]
+            # positional lookups, NOT sibling-list collects: the source's
+            # ordinal position is a count aggregate, the target child a
+            # window row_number slice — one scalar each to the driver,
+            # scale-proof on high-cardinality flat hierarchies
             try:
-                idx = keys.index(str(ref.path[-1]))
-            except ValueError:
-                raise MdxError(f"COUSIN: member {m1!r} not found among its siblings")
+                idx = self.engine.member_position(
+                    ref.dimension.name, ref.depth, ref.path
+                )
+            except KeyError:
+                raise MdxError(
+                    f"COUSIN: member {m1!r} not found among its siblings"
+                ) from None
             # index the TARGET's children in the same (ordinal) order —
             # a key-ordered slice would disagree with hierarchy order
             # whenever the level declares an ordinal expression
@@ -739,16 +742,14 @@ class MdxParser:
                     f"{quote_segment(ref2.dimension.levels[ref2.depth].name)} "
                     "and has no child level"
                 )
-            kids = self.engine.level_members(
-                ref2.dimension.name, ref2.depth + 1, ref2.path
+            kid_key = self.engine.member_at_position(
+                ref2.dimension.name, ref2.depth + 1, ref2.path, idx
             )
-            kid_col = ref2.dimension.levels[ref2.depth + 1].out
-            kid_keys = [str(r[kid_col]) for r in kids.collect()]
-            if idx >= len(kid_keys):
+            if kid_key is None:
                 raise MdxError(
                     f"COUSIN: {m2!r} has no child at sibling position {idx}"
                 )
-            return _SetBuild(base=[f"{m2}.{quote_segment(kid_keys[idx])}"])
+            return _SetBuild(base=[f"{m2}.{quote_segment(str(kid_key))}"])
         if t is not None and t.kind == "word" and t.text.lower() == "strtoset":
             # StrToSet("…") — runtime set construction from a string
             # (jar!mondrian/olap/fun/StrToSetFunDef; SURVEY.md §2.6)

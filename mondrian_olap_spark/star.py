@@ -553,6 +553,65 @@ class CubeEngine:
             )
         return row[0]["k"]
 
+    def _member_keys_at(self, dim_name: str, depth: int, path: tuple):
+        """Distinct (key, min-ordinal) frame at ``depth`` under ``path`` —
+        shared base for the positional sibling lookups below."""
+        dim = self.cube.dimension(dim_name)
+        lv = dim.levels[depth]
+        if dim.degenerate:
+            df = self.fact
+            ord_col = F.expr(lv.ordinal_expr)
+            key_col = F.expr(lv.column)
+        else:
+            df = self.dims[dim.name].member_df
+            ord_col = F.col(_ordinal_out(dim, lv))
+            key_col = F.col(lv.out)
+        for i, key in enumerate(path):
+            df = df.filter(F.col(dim.levels[i].out) == key)
+        return (
+            df.select(key_col.alias("k"), ord_col.alias("o"))
+            .groupBy("k")
+            .agg(F.min("o").alias("o"))
+        )
+
+    def member_position(self, dim_name: str, depth: int, path: tuple) -> int:
+        """0-based sibling position of the member at ``path`` in hierarchy
+        (ordinal) order — computed as a COUNT of siblings ordered strictly
+        before it, so exactly two scalars reach the driver regardless of
+        sibling cardinality (the COUSIN source position,
+        jar!mondrian/olap/fun/CousinFunDef; replaces the sibling-list
+        collect flagged in the r2 review)."""
+        df = self._member_keys_at(dim_name, depth, tuple(path[:-1]))
+        key = path[-1]
+        t = df.filter(F.col("k") == F.lit(key)).agg(
+            F.min("o").alias("o"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        if t["n"] == 0:
+            raise KeyError(f"member {path!r} not found among its siblings")
+        before = df.filter(
+            (F.col("o") < F.lit(t["o"]))
+            | ((F.col("o") == F.lit(t["o"])) & (F.col("k") < F.lit(key)))
+        ).count()
+        return int(before)
+
+    def member_at_position(
+        self, dim_name: str, depth: int, parent_path: tuple, position: int
+    ):
+        """Member key at 0-based ``position`` under ``parent_path`` in
+        hierarchy order — a window ``row_number`` slice fetching ONE row
+        (the COUSIN target lookup).  Returns None past the end."""
+        from pyspark.sql import Window
+
+        df = self._member_keys_at(dim_name, depth, tuple(parent_path))
+        w = Window.orderBy(F.col("o"), F.col("k"))
+        rows = (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == int(position) + 1)
+            .limit(1)
+            .collect()
+        )
+        return rows[0]["k"] if rows else None
+
     def member_ordinal(self, dim_name: str, depth: int, path: tuple[str, ...]):
         """Ordinal value of ONE member — a single-row lookup used to resolve
         range (``a:b``) endpoints at plan time (the same member resolution

@@ -1577,6 +1577,29 @@ def test_string_literals_survive_structural_rewrites(engine):
     assert row["label"] == "WHEN ELSE END"
 
 
+def test_cousin_resolution_collects_single_rows(engine, monkeypatch):
+    """COUSIN resolves positions via count + window-slice lookups — every
+    driver round-trip during validation carries at most ONE row, never a
+    sibling list (r2 review: scale-proof on high-cardinality flat
+    hierarchies)."""
+    cls = type(engine.fact)
+    orig = cls.collect
+    sizes = []
+
+    def counting(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(cls, "collect", counting)
+    execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "COUSIN([Time].[1995].[Q2], [Time].[1996]) ON ROWS FROM [Sales]",
+    )
+    assert sizes and all(n <= 1 for n in sizes)
+
+
 def test_cousin_leaf_ancestor_raises_mdx_error(engine):
     """COUSIN with a leaf-level ancestor is a user error, not an
     IndexError (jar!mondrian/olap/fun/CousinFunDef validation)."""
