@@ -100,8 +100,9 @@ def _drop_hot_shingles(
     shingle explosion runs ONCE and every downstream branch (signatures,
     verification, sizes) reads the cache instead of re-exploding
     (ContextCleaner unpersists when the frame is garbage collected).  Most
-    corpora have NO hot shingles, making the filter itself free.  Very
-    large stop lists (>10k) fall back to a broadcast anti-join."""
+    corpora have NO hot shingles, making the filter itself free.  Larger
+    stop lists (>1k) fall back to a broadcast anti-join so the plan never
+    embeds an unbounded literal list."""
     from pyspark.storagelevel import StorageLevel
 
     if isinstance(cap, float):
@@ -109,10 +110,13 @@ def _drop_hot_shingles(
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     stats = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     hot_df = stats.filter(F.col("df") > cap).select("shingle")
-    hot = [r["shingle"] for r in hot_df.limit(10_001).collect()]
+    # small stop lists inline as an isin() literal (pushdown-friendly and
+    # plan-cacheable); beyond ~1k the embedded literals bloat the plan, so
+    # switch to a broadcast anti-join — same semantics, O(1) plan size
+    hot = [r["shingle"] for r in hot_df.limit(1_001).collect()]
     if not hot:
         return sh
-    if len(hot) > 10_000:
+    if len(hot) > 1_000:
         return sh.join(F.broadcast(hot_df), "shingle", "left_anti")
     return sh.filter(~F.col("shingle").isin(hot))
 

@@ -206,6 +206,65 @@ class CubeEngine:
             raise ValueError(f"aggregators not roll-up-safe from a summary table: {bad}")
         self.aggregate_tables.append((df, list(group_outputs), dict(measures)))
 
+    def register_aggregate_pattern(
+        self,
+        pattern: str,
+        levels: Mapping[str, str],
+        measures: Mapping[str, str],
+        exclude: tuple = (),
+        ignorecase: bool = True,
+    ) -> list[str]:
+        """Pattern-matched aggregate tables — the ``AggPattern`` analog
+        (schema.rb:374-414 AggPattern/AggExclude; recognizer
+        ``jar!mondrian/rolap/aggmatcher``; rendered form
+        test/schema_definition_test.rb:716-775).
+
+        Every table in this engine's ``tables`` whose NAME matches
+        ``pattern`` (a regex) registers as a summary table.  ``levels``
+        maps level identifiers (``'[Customer].[Nation]'``) to physical
+        column names; ``measures`` maps measure names to physical column
+        names.  A matched table registers at the grain of whichever mapped
+        level columns it actually HAS — Mondrian's recognizer performs the
+        same per-table column check, which is how one declaration covers
+        agg tables at several grains.  ``exclude`` entries (exact names or
+        regexes, AggExclude) are skipped.  Returns the registered names.
+        """
+        import re
+
+        from .members import resolve_level
+
+        flags = re.IGNORECASE if ignorecase else 0
+        pat = re.compile(pattern, flags)
+        excl = [re.compile(e, flags) for e in exclude]
+        registered: list[str] = []
+        for name, df in self.tables.items():
+            if not pat.fullmatch(name):
+                continue
+            if any(e.fullmatch(name) for e in excl):
+                continue
+            cols = set(df.columns)
+            sel = []
+            group_outputs: list[str] = []
+            agg_measures: dict[str, str] = {}
+            for ident, col in levels.items():
+                if col not in cols:
+                    continue  # this table is at a coarser grain
+                dim, lvl_idx = resolve_level(self.cube, ident)
+                out = dim.levels[lvl_idx].out
+                sel.append(F.col(col).alias(out))
+                group_outputs.append(out)
+            for mname, col in measures.items():
+                if col not in cols:
+                    continue
+                m = self.cube.measure(mname)
+                sel.append(F.col(col).alias(m.out))
+                agg_measures[m.out] = m.aggregator
+            if not group_outputs or not agg_measures:
+                continue  # nothing usable — not a recognizable summary
+            self.register_aggregate(df.select(*sel), group_outputs, agg_measures)
+            registered.append(name)
+        return registered
+
     def materialize_aggregate(
         self,
         levels: list[str],

@@ -6,7 +6,7 @@ from pyspark.sql import functions as F
 
 from mondrian_olap_spark.query import Query
 from mondrian_olap_spark.result import QueryTimeoutError
-from mondrian_olap_spark.star import engine_from_parquet
+from mondrian_olap_spark.star import CubeEngine, engine_from_parquet
 from mondrian_olap_spark.tpch import SCHEMA
 
 from .conftest import SF_DIR
@@ -294,3 +294,64 @@ def test_materialize_aggregate_rejects_role_scoped_engine(spark):
         eng.materialize_aggregate(["[Customer].[Region]"], measures=["Sum Qty"])
     eng.set_role_name()
     eng.materialize_aggregate(["[Customer].[Region]"], measures=["Sum Qty"])
+
+
+def test_aggregate_pattern_recognition(spark, tmp_path):
+    """AggPattern analog (schema.rb:374-414; schema_definition_test.rb:
+    716-775): tables matching the name regex auto-register at the grain of
+    whichever declared level columns they carry; AggExclude names skip."""
+    eng = engine_from_parquet(spark, SCHEMA, "Sales", SF_DIR)
+    nation = (
+        Query(eng)
+        .columns("[Measures].[Sum Price]")
+        .rows("[Customer].[Nation].Members")
+        .execute()
+        .df.selectExpr(
+            "region_name AS r", "nation_name AS n", "sum_price AS sp"
+        )
+    )
+    region = (
+        Query(eng)
+        .columns("[Measures].[Sum Price]")
+        .rows("[Customer].[Region].Members")
+        .execute()
+        .df.selectExpr("region_name AS r", "sum_price AS sp")
+    )
+    nation.write.parquet(str(tmp_path / "agg_n"))
+    region.write.parquet(str(tmp_path / "agg_r"))
+    tables = dict(eng.tables)
+    tables["agg_02_nation_sales"] = spark.read.parquet(str(tmp_path / "agg_n"))
+    tables["agg_01_region_sales"] = spark.read.parquet(str(tmp_path / "agg_r"))
+    tables["agg_99_skip_sales"] = tables["agg_01_region_sales"]
+    eng2 = CubeEngine(SCHEMA.cube("Sales"), tables)
+    got = eng2.register_aggregate_pattern(
+        r"agg_.*_sales",
+        levels={"[Customer].[Region]": "r", "[Customer].[Nation]": "n"},
+        measures={"Sum Price": "sp"},
+        exclude=("agg_99_skip_sales",),
+    )
+    assert sorted(got) == ["agg_01_region_sales", "agg_02_nation_sales"]
+    # grains inferred per table from present columns
+    grains = sorted(tuple(t[1]) for t in eng2.aggregate_tables)
+    assert grains == [("region_name",), ("region_name", "nation_name")]
+    routed = (
+        Query(eng2)
+        .columns("[Measures].[Sum Price]")
+        .rows("[Customer].children")
+        .execute()
+        .df
+    )
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem" not in plan  # served from a recognized summary
+    expected = {
+        r["region_name"]: r["sum_price"]
+        for r in Query(eng)
+        .columns("[Measures].[Sum Price]")
+        .rows("[Customer].children")
+        .execute()
+        .df.collect()
+    }
+    gotvals = {r["region_name"]: r["sum_price"] for r in routed.collect()}
+    assert gotvals.keys() == expected.keys()
+    for k in gotvals:
+        assert abs(gotvals[k] - expected[k]) < 1e-6
