@@ -2059,3 +2059,62 @@ def object_accessor_metadata(spark, sf_dir):
                [Customer].[Region].Members ON ROWS FROM [Sales]
         """
     ).df
+
+
+@q(
+    "strtotuple_slicer",
+    f"""
+    SELECT l_returnflag AS return_flag, sum(l_quantity) AS sum_qty
+    FROM {_CUST_STAR}
+    WHERE r_name = 'ASIA' AND year(o_orderdate) = 1995
+    GROUP BY 1
+    """,
+)
+def strtotuple_slicer(spark, sf_dir):
+    """StrToTuple in the WHERE clause (jar!mondrian/olap/fun/
+    StrToTupleFunDef): the quoted tuple string parses into the ordinary
+    cross-dimension slicer AND."""
+    eng = get_engine(spark, sf_dir)
+    return eng.execute(
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, [ReturnFlag].children ON ROWS "
+        "FROM [Sales] WHERE StrToTuple('([Customer].[ASIA], [Time].[1995])')"
+    ).df
+
+
+@q(
+    "locale_caption_members",
+    """
+    SELECT r_name AS region_name, 'Region ' || r_name AS region_name_caption
+    FROM region
+    """,
+)
+def locale_caption_members(spark, sf_dir):
+    """Localized member captions (connection.rb:213-223 locale surface):
+    a German caption expression is selected when the engine runs under
+    locale de_DE (bare-language fallback)."""
+    import dataclasses
+
+    from .star import engine_from_parquet
+    from .tpch import SCHEMA
+
+    sales = SCHEMA.cube("Sales")
+    cust = sales.dimension("Customer")
+    lv0 = dataclasses.replace(
+        cust.levels[0],
+        caption_locales=(("de", "concat('Region ', r_name)"),),
+    )
+    cust2 = dataclasses.replace(cust, levels=(lv0,) + cust.levels[1:])
+    sales2 = dataclasses.replace(
+        sales,
+        dimensions=tuple(
+            cust2 if d.name == "Customer" else d for d in sales.dimensions
+        ),
+    )
+    schema2 = dataclasses.replace(
+        SCHEMA,
+        cubes=tuple(sales2 if c.name == "Sales" else c for c in SCHEMA.cubes),
+    )
+    eng = engine_from_parquet(spark, schema2, "Sales", sf_dir).with_locale("de_DE")
+    return eng.level_members("Customer", 0, include_properties=True).select(
+        "region_name", "region_name_caption"
+    )

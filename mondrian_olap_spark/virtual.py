@@ -21,7 +21,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .query import Query
+from .query import Query, QueryError
 from .star import CubeEngine
 
 
@@ -66,9 +66,11 @@ class VirtualCube:
             for m in rows:
                 try:
                     q = Query(usage.engine)
-                    q._resolve(m)  # raises KeyError for missing dimension
+                    # raises QueryError ("MDX object … not found") when the
+                    # dimension is missing from this usage's cube
+                    q._resolve(m)
                     usable_rows.append(m)
-                except KeyError:
+                except (KeyError, QueryError):
                     if not valid_measure:
                         raise
             q = Query(usage.engine)
@@ -78,7 +80,7 @@ class VirtualCube:
             for w in where or []:
                 try:
                     q.where(w)
-                except KeyError:
+                except (KeyError, QueryError):
                     if not valid_measure:
                         raise
             res = q.execute()
