@@ -70,6 +70,13 @@ class Tok:
     pos: int
 
 
+def _shift_toks(toks: list[Tok], base: int) -> list[Tok]:
+    """Re-base token positions of a nested string's tokens onto the OUTER
+    statement (base = offset of the string content), so syntax-error
+    line/column diagnostics point at the real location."""
+    return [Tok(t.kind, t.text, base + t.pos) for t in toks]
+
+
 def tokenize(s: str) -> list[Tok]:
     out: list[Tok] = []
     i = 0
@@ -397,7 +404,9 @@ class MdxParser:
         if m:
             inner = MdxParser.__new__(MdxParser)
             inner.__dict__.update(self.__dict__)
-            inner.toks = tokenize(m.group(1))
+            inner.toks = _shift_toks(
+                tokenize(m.group(1)), t.pos + 1 + m.start(1)
+            )
             inner.i = 0
             members = [inner.parse_member_string()]
             while inner.at_op(","):
@@ -427,7 +436,7 @@ class MdxParser:
         if t.kind == "string":
             inner = MdxParser.__new__(MdxParser)
             inner.__dict__.update(self.__dict__)
-            inner.toks = tokenize(_unquote(t.text))
+            inner.toks = _shift_toks(tokenize(_unquote(t.text)), t.pos + 1)
             inner.i = 0
             sb = inner.parse_set()
         else:
@@ -553,7 +562,7 @@ class MdxParser:
             self.expect_op(")")
             self.toks = (
                 self.toks[: self.i]
-                + tokenize(_unquote(st.text))
+                + _shift_toks(tokenize(_unquote(st.text)), st.pos + 1)
                 + self.toks[self.i :]
             )
 
@@ -761,7 +770,7 @@ class MdxParser:
             self.expect_op(")")
             inner = MdxParser.__new__(MdxParser)
             inner.__dict__.update(self.__dict__)
-            inner.toks = tokenize(_unquote(st.text))
+            inner.toks = _shift_toks(tokenize(_unquote(st.text)), st.pos + 1)
             inner.i = 0
             return inner.parse_set()
         if t is not None and t.kind == "word" and t.text.lower() in _SET_FUNCTIONS:
@@ -1127,6 +1136,23 @@ class MdxParser:
         if segs[0].lower() == "measures":
             # the Measures dimension: its single level is named
             # "MeasuresLevel" in Mondrian
+            if len(segs) == 2:
+                # validate existence BEFORE folding any chain — a typo'd
+                # measure must raise not-found, not produce a plausible
+                # constant (query_test.rb:774-781)
+                try:
+                    self.cube.measure(segs[1])
+                except KeyError:
+                    if not any(
+                        cm.name.lower() == segs[1].lower()
+                        for cm in self.q._with
+                    ):
+                        raise MdxError(
+                            f"MDX object '[Measures].{quote_segment(segs[1])}'"
+                            f" not found in cube '{self.cube.name}'"
+                        ) from None
+            elif len(segs) > 2:
+                return None
             if obj in ("dimension", "hierarchy"):
                 return {
                     "name": s("Measures"),
@@ -1147,8 +1173,9 @@ class MdxParser:
                     "caption": s("Measures"),
                 }.get(prop)
             if len(segs) == 2 and prop in ("name", "uniquename", "caption"):
+                measure = None
                 try:
-                    self.cube.measure(segs[1])
+                    measure = self.cube.measure(segs[1])
                 except KeyError:
                     found = any(
                         cm.name.lower() == segs[1].lower() for cm in self.q._with
@@ -1157,6 +1184,9 @@ class MdxParser:
                         return None
                 if prop == "uniquename":
                     return s(uname(segs))
+                if prop == "caption":
+                    cap = getattr(measure, "caption", None)
+                    return s(cap or segs[1])
                 return s(segs[1])
             return None
         try:
@@ -1188,24 +1218,36 @@ class MdxParser:
             return {
                 "name": s(lv.name),
                 "uniquename": s(uname([dim.name, lv.name])),
-                "caption": s(getattr(lv, "caption", None) or lv.name),
+                # the level's DISPLAY caption — lv.caption is the member-
+                # caption SQL expression and must never leak as a constant
+                "caption": s(lv.display_caption or lv.name),
                 "ordinal": str(level_idx),
             }.get(prop)
         # no object step: property directly on the identifier
         if member_path is not None:
+            if prop == "caption":
+                lv = dim.levels[level_idx]
+                if lv.caption or lv.formatter or lv.caption_locales:
+                    # member captions with a caption expression are DATA,
+                    # not metadata — refuse to constant-fold a wrong value
+                    raise MdxError(
+                        f"{ident}.Caption is data-dependent (the level "
+                        f"declares a caption expression); read it via "
+                        f"level_members(include_properties=True)"
+                    )
+                return s(member_path[-1])
             # member .Ordinal is data-dependent (position within its level)
             # — not a metadata constant, so leave it to raise loudly
             return {
                 "name": s(member_path[-1]),
                 "uniquename": s(uname([dim.name, *member_path])),
-                "caption": s(member_path[-1]),
             }.get(prop)
         if level_idx is not None:  # level identifier
             lv = dim.levels[level_idx]
             return {
                 "name": s(lv.name),
                 "uniquename": s(uname([dim.name, lv.name])),
-                "caption": s(getattr(lv, "caption", None) or lv.name),
+                "caption": s(lv.display_caption or lv.name),
                 "ordinal": str(level_idx),
             }.get(prop)
         # bare dimension reference

@@ -170,11 +170,8 @@ class CubeEngine:
         #: active locale (connection.rb:213-223); 'en' default, set via the
         #: ``locale`` property / :meth:`with_locale`
         self._locale = "en"
-        self.dims: dict[str, DimView] = {
-            d.name: DimView(d, tables, self._locale)
-            for d in cube.dimensions
-            if not d.degenerate
-        }
+        self.dims: dict[str, DimView] = {}
+        self._rebuild_dims()
         #: optional aggregate cache (segment-cache analog, SURVEY.md §4)
         self.cache = None
         #: optional access-control role applied to every plan (§2 roles)
@@ -236,6 +233,22 @@ class CubeEngine:
         flags = re.IGNORECASE if ignorecase else 0
         pat = re.compile(pattern, flags)
         excl = [re.compile(e, flags) for e in exclude]
+        # resolve the DECLARATION fully before touching any state: a typo'd
+        # level/measure name raises here with nothing registered, and
+        # non-rollup-safe measures (avg/distinct-count) are skipped per
+        # table like Mondrian's recognizer skips unusable columns —
+        # register_aggregate must never abort the loop mid-way
+        rollable = {"sum", "count", "min", "max"}
+        level_outs: list[tuple[str, str]] = []  # (physical col, out)
+        for ident, col in levels.items():
+            dim, lvl_idx = resolve_level(self.cube, ident)
+            level_outs.append((col, dim.levels[lvl_idx].out))
+        measure_outs: list[tuple[str, str, str]] = []  # (col, out, agg)
+        for mname, col in measures.items():
+            m = self.cube.measure(mname)  # raises KeyError on typos
+            if m.aggregator not in rollable:
+                continue  # avg/distinct-count never roll up from summaries
+            measure_outs.append((col, m.out, m.aggregator))
         registered: list[str] = []
         for name, df in self.tables.items():
             if not pat.fullmatch(name):
@@ -246,19 +259,16 @@ class CubeEngine:
             sel = []
             group_outputs: list[str] = []
             agg_measures: dict[str, str] = {}
-            for ident, col in levels.items():
+            for col, out in level_outs:
                 if col not in cols:
                     continue  # this table is at a coarser grain
-                dim, lvl_idx = resolve_level(self.cube, ident)
-                out = dim.levels[lvl_idx].out
                 sel.append(F.col(col).alias(out))
                 group_outputs.append(out)
-            for mname, col in measures.items():
+            for col, out, agg in measure_outs:
                 if col not in cols:
                     continue
-                m = self.cube.measure(mname)
-                sel.append(F.col(col).alias(m.out))
-                agg_measures[m.out] = m.aggregator
+                sel.append(F.col(col).alias(out))
+                agg_measures[out] = agg
             if not group_outputs or not agg_measures:
                 continue  # nothing usable — not a recognizable summary
             self.register_aggregate(df.select(*sel), group_outputs, agg_measures)
@@ -389,24 +399,33 @@ class CubeEngine:
     def locale(self) -> str:
         return self._locale
 
-    @locale.setter
-    def locale(self, value: str) -> None:
-        """Set the active locale (``en``, ``en_US``, ``de_DE_var`` — 1 to 3
-        underscore-separated elements, connection.rb:218-220).  Rebuilds
-        the dimension views so locale-selected caption expressions take
-        effect, and flushes the cell cache (cached grids may carry caption
-        columns from the previous locale)."""
+    @staticmethod
+    def _check_locale(value: str) -> str:
+        """1 to 3 underscore-separated non-empty elements
+        (connection.rb:218-220's validation)."""
         parts = str(value).split("_")
         if not 1 <= len(parts) <= 3 or not all(parts):
             raise ValueError(f"invalid locale string {value!r}")
-        if str(value) == self._locale:
-            return
-        self._locale = str(value)
+        return str(value)
+
+    def _rebuild_dims(self) -> None:
         self.dims = {
             d.name: DimView(d, self.tables, self._locale)
             for d in self.cube.dimensions
             if not d.degenerate
         }
+
+    @locale.setter
+    def locale(self, value: str) -> None:
+        """Set the active locale.  Rebuilds the dimension views so
+        locale-selected caption expressions take effect, and flushes the
+        cell cache (cached grids may carry caption columns from the
+        previous locale)."""
+        value = self._check_locale(value)
+        if value == self._locale:
+            return
+        self._locale = value
+        self._rebuild_dims()
         if self.cache is not None:
             self.cache.flush_all()
 
@@ -415,17 +434,10 @@ class CubeEngine:
         — the reference sets it as a connection parameter)."""
         import copy
 
-        parts = str(locale).split("_")
-        if not 1 <= len(parts) <= 3 or not all(parts):
-            raise ValueError(f"invalid locale string {locale!r}")
         clone = copy.copy(self)
         clone.cache = None  # caption columns differ per locale
-        clone._locale = str(locale)
-        clone.dims = {
-            d.name: DimView(d, self.tables, clone._locale)
-            for d in self.cube.dimensions
-            if not d.degenerate
-        }
+        clone._locale = self._check_locale(locale)
+        clone._rebuild_dims()
         return clone
 
     def with_role(self, role) -> "CubeEngine":
@@ -590,20 +602,12 @@ class CubeEngine:
         is NOT hierarchy order when a level declares an ordinal expression
         (month names ordered by month number), so slicing the key-ordered
         grid would pick the wrong member; this asks the member view for the
-        ordinal-extreme row directly."""
+        ordinal-extreme row directly.  Rides :meth:`_member_keys_at`, so
+        role-hidden and ragged-hidden members can never be the edge."""
         dim = self.cube.dimension(dim_name)
         lv = dim.levels[depth]
-        if dim.degenerate:
-            df = self.fact
-            ord_col = F.expr(lv.ordinal_expr)
-            key_col = F.expr(lv.column)
-        else:
-            df = self.dims[dim.name].member_df
-            ord_col = F.col(_ordinal_out(dim, lv))
-            key_col = F.col(lv.out)
-        for i, key in enumerate(path):
-            df = df.filter(F.col(dim.levels[i].out) == key)
-        row = df.select(key_col.alias("k"), ord_col.alias("o")).orderBy(
+        df = self._member_keys_at(dim_name, depth, tuple(path))
+        row = df.orderBy(
             F.col("o").desc() if last else F.col("o").asc(), F.col("k")
         ).limit(1).collect()
         if not row:
@@ -613,20 +617,45 @@ class CubeEngine:
         return row[0]["k"]
 
     def _member_keys_at(self, dim_name: str, depth: int, path: tuple):
-        """Distinct (key, min-ordinal) frame at ``depth`` under ``path`` —
-        shared base for the positional sibling lookups below."""
+        """Distinct (key, min-ordinal) frame of VISIBLE members at ``depth``
+        under ``path`` — shared base for the positional sibling lookups
+        below.  Applies the same visibility rules as :meth:`level_members`
+        (role member grants, role level bounds, ragged ``hide_member_if``):
+        a hidden member must neither count toward sibling positions nor be
+        returnable as a lookup result."""
         dim = self.cube.dimension(dim_name)
         lv = dim.levels[depth]
+        levels = dim.levels[: depth + 1]
         if dim.degenerate:
             df = self.fact
+            sel = [
+                F.expr(l_.column).alias(l_.out)
+                for l_ in levels
+                if l_.out not in df.columns
+            ]
+            df = df.select("*", *sel) if sel else df
             ord_col = F.expr(lv.ordinal_expr)
-            key_col = F.expr(lv.column)
+            key_col = F.col(lv.out)
         else:
             df = self.dims[dim.name].member_df
             ord_col = F.col(_ordinal_out(dim, lv))
             key_col = F.col(lv.out)
         for i, key in enumerate(path):
             df = df.filter(F.col(dim.levels[i].out) == key)
+        role = getattr(self, "role", None)
+        if role is not None:
+            role.check_level(dim, depth)
+            vis = role.member_visibility_predicate(dim, depth)
+            if vis is not None:
+                df = df.filter(vis)
+        for i, l_ in enumerate(levels):
+            if l_.hide_member_if == "IfBlankName":
+                c = F.col(l_.out)
+                df = df.filter(c.isNotNull() & (c != ""))
+            elif l_.hide_member_if == "IfParentsName" and i > 0:
+                df = df.filter(
+                    ~F.col(l_.out).eqNullSafe(F.col(levels[i - 1].out))
+                )
         return (
             df.select(key_col.alias("k"), ord_col.alias("o"))
             .groupBy("k")

@@ -63,15 +63,33 @@ def register_scalar(
 def _elementwise_over_batches(fn: Callable) -> Callable:
     """Lift a scalar callable to Series-in/Series-out so plain lambdas ride
     the Arrow batch path (saves the per-row serialization even though the
-    Python call itself stays per-element)."""
+    Python call itself stays per-element).
+
+    Missing values are delivered as Python ``None``, matching what a
+    row-at-a-time UDF would pass — pandas would otherwise hand the
+    callable ``NaN``, silently breaking ``x is None`` guards in callables
+    written against the old default."""
     import pandas as pd
+
+    def _clean(v):
+        if v is None:
+            return None
+        try:
+            if v != v:  # NaN/NaT without importing numpy
+                return None
+        except Exception:
+            pass
+        return v
 
     # NOTE: no type annotations here — pandas_udf would try to interpret
     # them as its typed-signature API and reject the variadic form
     def _batched(*cols):
         if len(cols) == 1:
-            return cols[0].map(fn)
-        return pd.Series([fn(*vals) for vals in zip(*cols)])
+            col = cols[0]
+            return col.astype(object).where(col.notna(), None).map(fn)
+        return pd.Series(
+            [fn(*(_clean(v) for v in vals)) for vals in zip(*cols)]
+        )
 
     return _batched
 

@@ -1611,3 +1611,87 @@ def test_cousin_leaf_ancestor_raises_mdx_error(engine):
             "SELECT COUSIN([Time].[1995].[Q1].[1], [Time].[1996].[Q2].[4]) "
             "ON COLUMNS FROM [Sales]",
         )
+
+
+def test_cousin_skips_ragged_hidden_siblings(spark):
+    """COUSIN positional lookups count only VISIBLE siblings: a ragged
+    hide_member_if member must not shift positions nor be returnable
+    (review fix: _member_keys_at applies level_members' visibility
+    rules)."""
+    import dataclasses
+
+    from mondrian_olap_spark.star import CubeEngine
+    from mondrian_olap_spark.tpch import SCHEMA
+
+    rows = [
+        ("USA", "Albany"), ("USA", ""), ("USA", "Boston"),
+        ("France", "Lyon"), ("France", "Nice"), ("France", "Paris"),
+    ]
+    geo = spark.createDataFrame(rows, "country string, city string")
+    fact = spark.createDataFrame(
+        [(c, ci, 1.0) for c, ci in rows], "country string, city string, v double"
+    )
+    from mondrian_olap_spark.model import Cube, Dimension, Level, Measure
+
+    cube = Cube(
+        name="G",
+        fact="fact",
+        dimensions=(
+            Dimension(
+                name="Geo",
+                levels=(
+                    Level("Country", "country", output="country"),
+                    Level(
+                        "City", "city", output="city",
+                        hide_member_if="IfBlankName",
+                    ),
+                ),
+            ),
+        ),
+        measures=(Measure("V", "v", "sum", output="v"),),
+    )
+    eng = CubeEngine(cube, {"fact": fact, "geo": geo})
+    # visible USA siblings: [Albany, Boston] → Boston is position 1
+    assert eng.member_position("Geo", 1, ("USA", "Boston")) == 1
+    assert eng.member_at_position("Geo", 1, ("France",), 1) == "Nice"
+    r = execute_mdx(
+        eng,
+        "SELECT [Measures].[V] ON COLUMNS, "
+        "COUSIN([Geo].[USA].[Boston], [Geo].[France]) ON ROWS FROM [G]",
+    )
+    assert [x["city"] for x in r.df.collect()] == ["Nice"]
+    # edge lookups ride the same visibility frame: the blank hidden city
+    # (which sorts first) is never FirstChild
+    assert eng.edge_member("Geo", 1, ("USA",)) == "Albany"
+
+
+def test_accessor_level_caption_uses_display_caption(engine):
+    """.Caption on a level folds the DISPLAY caption, never the member-
+    caption SQL expression (review fix); member .Caption with a caption
+    expression refuses to constant-fold."""
+    r = execute_mdx(
+        engine,
+        "WITH MEMBER [Measures].[c] AS '[Supplier].[Supplier].Caption' "
+        "SELECT [Measures].[c] ON COLUMNS FROM [Sales]",
+    )
+    val = r.df.collect()[0]["c"]
+    assert "concat" not in val and val == "Supplier"
+    with pytest.raises(MdxError, match="data-dependent"):
+        execute_mdx(
+            engine,
+            "WITH MEMBER [Measures].[c] AS "
+            "'[Supplier].[Supplier Nation 1].[SUPP].Caption' "
+            "SELECT [Measures].[c] ON COLUMNS FROM [Sales]",
+        )
+
+
+def test_accessor_unknown_measure_chain_raises(engine):
+    """Object-accessor chains on a nonexistent measure raise not-found
+    instead of folding to a plausible constant (review fix)."""
+    with pytest.raises(MdxError, match="not found in cube"):
+        execute_mdx(
+            engine,
+            "WITH MEMBER [Measures].[x] AS "
+            "'[Measures].[Nonexistent].Dimension.Name' "
+            "SELECT [Measures].[x] ON COLUMNS FROM [Sales]",
+        )

@@ -355,3 +355,36 @@ def test_aggregate_pattern_recognition(spark, tmp_path):
     assert gotvals.keys() == expected.keys()
     for k in gotvals:
         assert abs(gotvals[k] - expected[k]) < 1e-6
+
+
+def test_aggregate_pattern_validates_before_registering(spark):
+    """A typo'd measure name in the declaration raises with NOTHING
+    registered, and non-rollup-safe measures are skipped per table
+    instead of aborting mid-loop (review fix)."""
+    eng = engine_from_parquet(spark, SCHEMA, "Sales", SF_DIR)
+    agg = (
+        Query(eng)
+        .columns("[Measures].[Sum Price]")
+        .rows("[Customer].[Region].Members")
+        .execute()
+        .df.selectExpr("region_name AS r", "sum_price AS sp")
+    )
+    tables = dict(eng.tables)
+    tables["agg_a_sales"] = agg
+    tables["agg_b_sales"] = agg
+    eng2 = CubeEngine(SCHEMA.cube("Sales"), tables)
+    with pytest.raises(KeyError):
+        eng2.register_aggregate_pattern(
+            r"agg_.*_sales",
+            levels={"[Customer].[Region]": "r"},
+            measures={"Sum Price": "sp", "No Such Measure": "zz"},
+        )
+    assert eng2.aggregate_tables == []  # nothing half-registered
+    # avg measures are skipped (never roll up from summaries), not fatal
+    got = eng2.register_aggregate_pattern(
+        r"agg_.*_sales",
+        levels={"[Customer].[Region]": "r"},
+        measures={"Sum Price": "sp", "Avg Price": "sp"},
+    )
+    assert sorted(got) == ["agg_a_sales", "agg_b_sales"]
+    assert all(t[2] == {"sum_price": "sum"} for t in eng2.aggregate_tables)

@@ -167,3 +167,29 @@ def test_member_formatter_callable(spark):
     rows = eng.level_members("Customer", 0, include_properties=True).collect()
     caps = {r["region_name"]: r["region_name_caption"] for r in rows}
     assert caps["AFRICA"] == "Africa" and caps["MIDDLE EAST"] == "Middle East"
+
+
+def test_default_path_preserves_none_semantics(spark, engine):
+    """The Arrow-default wrapper delivers Python None for missing values
+    (review fix): 'x is None' guards written against the old row-UDF
+    default keep firing instead of seeing NaN."""
+    register_scalar(
+        spark, "py_none_guard", lambda x: -1.0 if x is None else float(x)
+    )
+    df = spark.createDataFrame([(1.0,), (None,), (3.0,)], "x double")
+    df.createOrReplaceTempView("none_probe")
+    rows = spark.sql(
+        "SELECT py_none_guard(x) AS y FROM none_probe ORDER BY y"
+    ).collect()
+    # the NULL cell hit the 'is None' branch, not a NaN fall-through
+    assert [r["y"] for r in rows] == [-1.0, 1.0, 3.0]
+    # two-arg form cleans each argument too
+    register_scalar(
+        spark,
+        "py_none_add",
+        lambda a, b: -9.0 if (a is None or b is None) else a + b,
+    )
+    rows2 = spark.sql(
+        "SELECT py_none_add(x, 1.0d) AS y FROM none_probe ORDER BY y"
+    ).collect()
+    assert [r["y"] for r in rows2] == [-9.0, 2.0, 4.0]

@@ -158,6 +158,26 @@ def main() -> int:
         p[:1500],
     )
 
+    # 7c. tuple scalar references attach via a BROADCAST join: the grid
+    #     never reshuffles to pick up the member-scoped sub-aggregate
+    #     (plan._attach_tuple_scalar)
+    from mondrian_olap_spark.mdx import execute_mdx
+
+    df = execute_mdx(
+        eng,
+        "WITH MEMBER [Measures].[Asia Qty] AS "
+        "'([Measures].[Sum Qty], [Customer].[ASIA])' "
+        "SELECT {[Measures].[Sum Qty], [Measures].[Asia Qty]} ON COLUMNS, "
+        "[Time].[Year].Members ON ROWS FROM [Sales]",
+    ).df
+    p = plan_str(df)
+    check(
+        "tuple_scalar.subagg_broadcast_join",
+        ("BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p)
+        and "SortMergeJoin" not in p,
+        p[:2000],
+    )
+
     # 7. whole-stage codegen covers the aggregation path (inspect the FINAL
     #    adaptive plan — pre-execution AQE plans carry no codegen annotation)
     df = Query(eng).columns("[Measures].[Sum Qty]").rows("[ReturnFlag].children").execute().df
