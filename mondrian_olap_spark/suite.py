@@ -2118,3 +2118,73 @@ def locale_caption_members(spark, sf_dir):
     return eng.level_members("Customer", 0, include_properties=True).select(
         "region_name", "region_name_caption"
     )
+
+
+@q(
+    "family_navigation_firstchild",
+    f"""
+    SELECT year(o_orderdate) AS o_year, 'Q' || quarter(o_orderdate) AS o_quarter,
+           sum(l_quantity) AS sum_qty
+    FROM {_ORD_STAR}
+    WHERE year(o_orderdate) = 1995 AND quarter(o_orderdate) = 1
+    GROUP BY 1, 2
+    """,
+)
+def family_navigation_firstchild(spark, sf_dir):
+    """FirstChild navigation resolved through the ordinal-ordered edge
+    lookup (jar!mondrian/olap/fun/... FirstChild; engine.edge_member —
+    one row to the driver, visibility-filtered)."""
+    eng = get_engine(spark, sf_dir)
+    return eng.execute(
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "[Time].[1995].FirstChild ON ROWS FROM [Sales]"
+    ).df
+
+
+@q(
+    "parameter_scaled_measure",
+    f"""
+    SELECT r_name AS region_name, sum(l_quantity) AS sum_qty,
+           sum(l_quantity) * 3 AS scaled_qty
+    FROM {_CUST_STAR} GROUP BY 1
+    """,
+)
+def parameter_scaled_measure(spark, sf_dir):
+    """Typed Parameter with default in a formula
+    (test/schema_definition_test.rb:1298-1427; ParameterFunDef): the
+    default value folds into the calc-member expression."""
+    eng = get_engine(spark, sf_dir)
+    return eng.execute(
+        """
+        WITH MEMBER [Measures].[Scaled Qty] AS
+          '[Measures].[Sum Qty] * Parameter("factor", NUMERIC, 3)'
+        SELECT {[Measures].[Sum Qty], [Measures].[Scaled Qty]} ON COLUMNS,
+               [Customer].[Region].Members ON ROWS FROM [Sales]
+        """
+    ).df
+
+
+@q(
+    "tuple_item_name",
+    f"""
+    SELECT year(o_orderdate) AS o_year, sum(l_quantity) AS sum_qty,
+           CASE WHEN sum(l_quantity) > 50000 THEN 'ASIA' ELSE 'AFRICA' END
+             AS picked_region
+    FROM {_ORD_STAR} GROUP BY 1
+    """,
+)
+def tuple_item_name(spark, sf_dir):
+    """CASE … END.Item(i).Name over tuple branches
+    (mondrian_test.rb:388-397): the winning tuple's i-th component NAME
+    per row."""
+    eng = get_engine(spark, sf_dir)
+    return eng.execute(
+        """
+        WITH MEMBER [Measures].[Picked Region] AS
+          'CASE WHEN [Measures].[Sum Qty] > 50000
+                THEN ([Measures].[Sum Qty], [Customer].[ASIA])
+                ELSE ([Measures].[Sum Qty], [Customer].[AFRICA]) END.Item(1).Name'
+        SELECT {[Measures].[Sum Qty], [Measures].[Picked Region]} ON COLUMNS,
+               [Time].[Year].Members ON ROWS FROM [Sales]
+        """
+    ).df

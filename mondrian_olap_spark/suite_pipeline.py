@@ -528,3 +528,39 @@ def text_token_counts(spark, sf_dir):
     token budgeting; GPT-2-style pretokenizer piece count)."""
     df = text.with_token_counts(_docs(spark, sf_dir))
     return df.select("doc_id", "n_tokens_ws", "n_tokens_bpe")
+
+
+@q(
+    "multimodal_decode_features",
+    """
+    SELECT doc_id AS media_id,
+           16 + ('0x' || substr(md5(text), 1, 2))::INT AS width,
+           16 + ('0x' || substr(md5(text), 3, 2))::INT AS height,
+           CAST(CAST((('0x' || substr(md5(text), 1, 2))::INT / 255.0) * 2.0 - 1.0
+                AS REAL) AS DOUBLE) AS feat0
+    FROM documents
+    """,
+)
+def multimodal_decode_features(spark, sf_dir):
+    """Multimodal decode plumbing against the driver gate: documents' text
+    bytes stand in as opaque media payloads, the deterministic fake
+    decoder (md5-digest-derived dims/features — the injected-codec seam,
+    operators/multimodal.py) runs as mapInPandas, and the oracle
+    recomputes the same digest math in DuckDB.  Proves the schema,
+    Arrow batch shape, and distributed decode path end-to-end."""
+    from .operators import multimodal
+
+    docs = read_parquet_table(spark, f"{sf_dir}/documents.parquet")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.create_map().cast("map<string,string>").alias("meta"),
+    )
+    decoded = multimodal.decode_media(media)
+    return decoded.select(
+        "media_id",
+        "width",
+        "height",
+        F.element_at("features", 1).cast("double").alias("feat0"),
+    )
