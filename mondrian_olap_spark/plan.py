@@ -304,7 +304,7 @@ class Planner:
         # formulas: attach each as a column BEFORE the calc chain so the
         # formulas can reference it like any measure alias
         for spec in self.tuple_scalars:
-            agg = self._attach_tuple_scalar(agg, spec, axes, slicer)
+            agg = self._attach_tuple_scalar(agg, spec, axes, slicer, totals)
 
         # calculated members in solve_order (schema.rb:314-341): formulas
         # over measure aliases, may reference earlier calculated members
@@ -328,7 +328,7 @@ class Planner:
         ordered = group_cols + [m.out for m in measures]
         return agg.select(*ordered), group_cols
 
-    def _attach_tuple_scalar(self, agg, spec, axes, slicer):
+    def _attach_tuple_scalar(self, agg, spec, axes, slicer, totals=None):
         """Tuple scalar reference ``([Measures].[X], [Dim].[M], …)`` in a
         formula (mondrian_test.rb:361-380; jar!mondrian/calc/impl tuple
         value calcs): the value of X with the listed dimensions' current
@@ -351,11 +351,26 @@ class Planner:
         # a fresh planner WITHOUT tuple scalars: nested tuple references
         # are out of scope, and re-attaching here would recurse
         sub_planner = Planner(self.engine, extra_measures=self.extra_measures)
-        sub, sub_cols = sub_planner.aggregate(sub_axes, sub_slicer, [measure])
+        # mirror the grid's totals mode so rollup/cube super-aggregate rows
+        # (NULL grouping keys) find a matching sub-aggregate row
+        sub, sub_cols = sub_planner.aggregate(
+            sub_axes, sub_slicer, [measure], totals=totals
+        )
         sub = sub.select(*sub_cols, F.col(measure.out).alias(out))
-        if sub_cols:
+        if not sub_cols:
+            return agg.crossJoin(F.broadcast(sub))
+        if totals is None:
             return agg.join(F.broadcast(sub), on=sub_cols, how="left")
-        return agg.crossJoin(F.broadcast(sub))
+        # null-safe equi-join: totals rows carry NULL keys that plain `=`
+        # would never match
+        g, t = agg.alias("__grid"), sub.alias("__tup")
+        cond = None
+        for c in sub_cols:
+            e = F.col(f"__grid.{c}").eqNullSafe(F.col(f"__tup.{c}"))
+            cond = e if cond is None else (cond & e)
+        joined = g.join(F.broadcast(t), on=cond, how="left")
+        keep = [F.col(f"__grid.{c}") for c in agg.columns] + [F.col(out)]
+        return joined.select(*keep)
 
     def _hide_rollups(self, agg, role, group_cols, measures):
         """rollup_policy='hidden' (schema.rb:468-489): a cell whose value

@@ -1695,3 +1695,29 @@ def test_accessor_unknown_measure_chain_raises(engine):
             "'[Measures].[Nonexistent].Dimension.Name' "
             "SELECT [Measures].[x] ON COLUMNS FROM [Sales]",
         )
+
+
+def test_tuple_scalar_with_rollup_totals(engine):
+    """Tuple scalars under totals('rollup'): the super-aggregate row (NULL
+    grouping keys) carries the tuple value at ITS grain via the null-safe
+    sub-aggregate join — not a NULL hole."""
+    q = (
+        Query(engine)
+        .with_member("Asia Qty")
+        .as_("__tuple0", output="asia_qty")
+        .columns("[Measures].[Sum Qty]", "[Measures].[Asia Qty]")
+        .rows("[Time].[Year].Members")
+        .totals("rollup")
+    )
+    q._tuple_scalars.append(("__tuple0", "Sum Qty", ("[Customer].[ASIA]",)))
+    rows = q.execute().df.collect()
+    total = [r for r in rows if r["o_year"] is None]
+    detail = {r["o_year"]: r["asia_qty"] for r in rows if r["o_year"] is not None}
+    direct = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, [Time].[Year].Members ON ROWS "
+        "FROM [Sales] WHERE ([Customer].[ASIA])",
+    )
+    expected = {r["o_year"]: r["sum_qty"] for r in direct.df.collect()}
+    assert detail == expected
+    assert len(total) == 1 and total[0]["asia_qty"] == sum(expected.values())
