@@ -216,6 +216,10 @@ _MDX_VOCAB = [
     "[Customer].[Nation].Members", "[Time].[1995]", "CROSSJOIN", "FILTER",
     "TOPCOUNT", "ORDER", "HEAD", "'x'", "1", "2.5", "BDESC", "Item",
     "NONEMPTY", "COUSIN", "ANCESTOR", "DESCENDANTS", "Parent", "Children",
+    # round-3 surface: object accessors, Dimensions(), StrToTuple, CASE
+    "Dimensions", "StrToTuple", "Name", "Caption", "UniqueName", "Ordinal",
+    "Dimension", "Hierarchy", "Level", "CASE", "WHEN", "THEN", "ELSE",
+    "END", "'([Customer].[ASIA], [Time].[1995])'", "'Customer'", "0",
 ]
 
 
