@@ -399,8 +399,12 @@ class MdxParser:
         t = self.next()
         if t.kind != "string":
             raise MdxError("non-measure WITH MEMBER needs a quoted formula string")
-        body = _unquote(t.text).strip()
-        m = re.match(r"(?is)^aggregate\s*\(\s*\{(.*)\}\s*\)$", body)
+        unstripped = _unquote(t.text)
+        body = unstripped.strip()
+        # match against the UNSTRIPPED text so m.start(1) is a true offset
+        # into the quoted string (leading whitespace would otherwise shift
+        # the re-based error positions)
+        m = re.match(r"(?is)^\s*aggregate\s*\(\s*\{(.*)\}\s*\)\s*$", unstripped)
         if m:
             inner = MdxParser.__new__(MdxParser)
             inner.__dict__.update(self.__dict__)
@@ -1136,6 +1140,24 @@ class MdxParser:
         if segs[0].lower() == "measures":
             # the Measures dimension: its single level is named
             # "MeasuresLevel" in Mondrian
+            if len(segs) >= 2 and segs[1].lower() == "measureslevel":
+                if len(segs) == 2:
+                    if obj in ("dimension", "hierarchy"):
+                        return {
+                            "name": s("Measures"),
+                            "uniquename": s("[Measures]"),
+                            "caption": s("Measures"),
+                        }.get(prop)
+                    # the level identifier itself — fold its own props
+                    return {
+                        "name": s("MeasuresLevel"),
+                        "uniquename": s("[Measures].[MeasuresLevel]"),
+                        "caption": s("MeasuresLevel"),
+                        "ordinal": "0",
+                    }.get(prop)
+                # [Measures].[MeasuresLevel].[X]… → the measure X's
+                # level-qualified unique-name form; drop the level segment
+                segs = [segs[0]] + segs[2:]
             if len(segs) == 2:
                 # validate existence BEFORE folding any chain — a typo'd
                 # measure must raise not-found, not produce a plausible

@@ -361,8 +361,20 @@ class Planner:
             return agg.crossJoin(F.broadcast(sub))
         if totals is None:
             return agg.join(F.broadcast(sub), on=sub_cols, how="left")
-        # null-safe equi-join: totals rows carry NULL keys that plain `=`
-        # would never match
+        # Totals mode: super-aggregate rows carry NULL keys, so the join
+        # must be null-safe.  But a GENUINE NULL member key in the data
+        # collides with the rollup marker (two sub rows share one key
+        # combo) — a null-safe join would then fan grid rows out and
+        # cross-assign values.  Detect the collision (one tiny aggregate
+        # over the already-small sub frame) and fall back to the plain
+        # equality join: detail rows keep exact values, totals rows get
+        # NULL — the pre-totals-support behavior, never a wrong value.
+        dup = (
+            sub.groupBy(*sub_cols).count().filter(F.col("count") > 1)
+            .limit(1).count()
+        )
+        if dup:
+            return agg.join(F.broadcast(sub), on=sub_cols, how="left")
         g, t = agg.alias("__grid"), sub.alias("__tup")
         cond = None
         for c in sub_cols:

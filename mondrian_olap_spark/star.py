@@ -34,6 +34,11 @@ from pyspark.sql import functions as F
 from .model import Cube, Dimension, Schema
 
 
+#: aggregators that can be re-aggregated from a summary table
+#: (avg / distinct-count never roll up — SURVEY.md §7.4)
+_ROLLUP_SAFE = frozenset({"sum", "count", "min", "max"})
+
+
 def _ordinal_out(dim: Dimension, level) -> str:
     return f"__ord_{level.out}"
 
@@ -70,6 +75,27 @@ def _has_caption(lv) -> bool:
         or lv.formatter is not None
         or bool(lv.caption_locales)
     )
+
+
+def _apply_member_visibility(df, dim, levels, role, depth):
+    """Shared member-visibility rules — role member grants
+    (connection_role_test.rb:101-184) plus ragged ``hide_member_if``
+    (schema.rb:222-230) — used by level_members AND the positional
+    sibling lookups so navigation and listing can never disagree about
+    which members exist."""
+    if role is not None:
+        vis = role.member_visibility_predicate(dim, depth)
+        if vis is not None:
+            df = df.filter(vis)
+    for i, lv in enumerate(levels):
+        if lv.hide_member_if == "IfBlankName":
+            c = F.col(lv.out)
+            df = df.filter(c.isNotNull() & (c != ""))
+        elif lv.hide_member_if == "IfParentsName" and i > 0:
+            df = df.filter(
+                ~F.col(lv.out).eqNullSafe(F.col(levels[i - 1].out))
+            )
+    return df
 
 
 class DimView:
@@ -197,8 +223,7 @@ class CubeEngine:
         roll-up-safe to this table instead of the fact (avg and
         distinct-count are never rolled up from summaries — SURVEY.md §7.4
         distinct-count caveat)."""
-        rollable = {"sum", "count", "min", "max"}
-        bad = {m: a for m, a in measures.items() if a not in rollable}
+        bad = {m: a for m, a in measures.items() if a not in _ROLLUP_SAFE}
         if bad:
             raise ValueError(f"aggregators not roll-up-safe from a summary table: {bad}")
         self.aggregate_tables.append((df, list(group_outputs), dict(measures)))
@@ -238,7 +263,6 @@ class CubeEngine:
         # non-rollup-safe measures (avg/distinct-count) are skipped per
         # table like Mondrian's recognizer skips unusable columns —
         # register_aggregate must never abort the loop mid-way
-        rollable = {"sum", "count", "min", "max"}
         level_outs: list[tuple[str, str]] = []  # (physical col, out)
         for ident, col in levels.items():
             dim, lvl_idx = resolve_level(self.cube, ident)
@@ -246,7 +270,7 @@ class CubeEngine:
         measure_outs: list[tuple[str, str, str]] = []  # (col, out, agg)
         for mname, col in measures.items():
             m = self.cube.measure(mname)  # raises KeyError on typos
-            if m.aggregator not in rollable:
+            if m.aggregator not in _ROLLUP_SAFE:
                 continue  # avg/distinct-count never roll up from summaries
             measure_outs.append((col, m.out, m.aggregator))
         registered: list[str] = []
@@ -318,11 +342,10 @@ class CubeEngine:
                 f"role {self.role.name!r} would bake its row filters into a "
                 "summary shared by all roles"
             )
-        rollable = {"sum", "count", "min", "max"}
         if measures is None:
             ms = [
                 m for m in self.cube.measures
-                if not isinstance(m, CalculatedMember) and m.aggregator in rollable
+                if not isinstance(m, CalculatedMember) and m.aggregator in _ROLLUP_SAFE
             ]
         else:
             ms = [self.cube.measure(n) for n in measures]
@@ -566,23 +589,9 @@ class CubeEngine:
             )
         for i, key in enumerate(path):
             df = df.filter(F.col(dim.levels[i].out) == key)
-        if role is not None:
-            # member invisibility is absolute (connection_role_test.rb:
-            # 101-184): non-granted members never appear in member lists
-            vis = role.member_visibility_predicate(dim, depth)
-            if vis is not None:
-                df = df.filter(vis)
-        # ragged hierarchies: hidden members are invisible in member lists
-        # (hide_member_if — schema.rb:222-230); their fact rows still roll
-        # up to the surviving ancestors through the physical columns
-        for i, lv in enumerate(levels):
-            if lv.hide_member_if == "IfBlankName":
-                c = F.col(lv.out)
-                df = df.filter(c.isNotNull() & (c != ""))
-            elif lv.hide_member_if == "IfParentsName" and i > 0:
-                df = df.filter(
-                    ~F.col(lv.out).eqNullSafe(F.col(levels[i - 1].out))
-                )
+        # role member grants + ragged hiding (shared with the positional
+        # sibling lookups — _apply_member_visibility)
+        df = _apply_member_visibility(df, dim, levels, role, depth)
         # dedupe by member key with min() as the deterministic representative
         # for ordinals/properties: Mondrian assumes properties are
         # functionally dependent on the level key (depends_on_level_value,
@@ -645,17 +654,7 @@ class CubeEngine:
         role = getattr(self, "role", None)
         if role is not None:
             role.check_level(dim, depth)
-            vis = role.member_visibility_predicate(dim, depth)
-            if vis is not None:
-                df = df.filter(vis)
-        for i, l_ in enumerate(levels):
-            if l_.hide_member_if == "IfBlankName":
-                c = F.col(l_.out)
-                df = df.filter(c.isNotNull() & (c != ""))
-            elif l_.hide_member_if == "IfParentsName" and i > 0:
-                df = df.filter(
-                    ~F.col(l_.out).eqNullSafe(F.col(levels[i - 1].out))
-                )
+        df = _apply_member_visibility(df, dim, levels, role, depth)
         return (
             df.select(key_col.alias("k"), ord_col.alias("o"))
             .groupBy("k")

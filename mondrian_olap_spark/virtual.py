@@ -60,6 +60,7 @@ class VirtualCube:
         without it (ValidMeasure semantics) instead of erroring.
         """
         parts: list[tuple[DataFrame, list[str]]] = []
+        resolved_anywhere: set[str] = set()
         for usage in self.usages:
             cube = usage.engine.cube
             usable_rows: list[str] = []
@@ -70,6 +71,7 @@ class VirtualCube:
                     # dimension is missing from this usage's cube
                     q._resolve(m)
                     usable_rows.append(m)
+                    resolved_anywhere.add(m)
                 except (KeyError, QueryError):
                     if not valid_measure:
                         raise
@@ -86,6 +88,16 @@ class VirtualCube:
             res = q.execute()
             group_cols = [c for ax in res.axis_columns for c in ax]
             parts.append((res.df, group_cols))
+
+        # ValidMeasure tolerates a dimension missing from SOME cubes — a
+        # member that resolves in NO usage is a typo, not a validity gap
+        unresolved = [m for m in rows if m not in resolved_anywhere]
+        if unresolved:
+            raise QueryError(
+                f"MDX object {unresolved[0]!r} not found in any cube of "
+                f"virtual cube (usages: "
+                f"{[u.engine.cube.name for u in self.usages]})"
+            )
 
         df, cols = parts[0]
         for other, other_cols in parts[1:]:

@@ -1721,3 +1721,20 @@ def test_tuple_scalar_with_rollup_totals(engine):
     expected = {r["o_year"]: r["sum_qty"] for r in direct.df.collect()}
     assert detail == expected
     assert len(total) == 1 and total[0]["asia_qty"] == sum(expected.values())
+
+
+def test_measures_level_accessor_chains(engine):
+    """[Measures].[MeasuresLevel] is the Measures level identifier, not a
+    measure lookup (review fix): its props and object chains fold."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[a] AS '[Measures].[MeasuresLevel].Ordinal'
+             MEMBER [Measures].[b] AS '[Measures].[MeasuresLevel].Dimension.Name'
+             MEMBER [Measures].[c] AS '[Measures].[MeasuresLevel].[Sum Qty].Name'
+        SELECT {[Measures].[a], [Measures].[b], [Measures].[c]} ON COLUMNS
+        FROM [Sales]
+        """,
+    )
+    row = r.df.collect()[0]
+    assert row["a"] == 0 and row["b"] == "Measures" and row["c"] == "Sum Qty"

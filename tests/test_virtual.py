@@ -78,3 +78,14 @@ def test_virtual_drill_routes_to_orders(vc):
 def test_needs_two_usages(spark):
     with pytest.raises(ValueError):
         VirtualCube("solo", [CubeUsage(get_engine(spark, SF_DIR, "Sales"), ("Sum Qty",))])
+
+
+def test_valid_measure_rejects_member_unknown_everywhere(vc):
+    """valid_measure tolerates a dimension missing from SOME cubes; a
+    member resolving in NO usage is a typo and raises (review fix)."""
+    import pytest
+
+    from mondrian_olap_spark.query import QueryError
+
+    with pytest.raises(QueryError, match="not found in any cube"):
+        vc.aggregate(rows=["[Custmer].children"])
