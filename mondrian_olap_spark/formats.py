@@ -18,6 +18,28 @@ import datetime as _dt
 import math
 import re
 
+#: language → (decimal separator, grouping separator); everything else
+#: keeps the en defaults.  Mirrors Java DecimalFormatSymbols per Locale —
+#: the reference formats through java.util.Locale (connection.rb:213-223).
+_LOCALE_SEPARATORS = {
+    "de": (",", "."),
+    "es": (",", "."),
+    "it": (",", "."),
+    "pt": (",", "."),
+    "nl": (",", "."),
+    "fr": (",", "\u00a0"),
+    "ru": (",", "\u00a0"),
+}
+
+
+def _localize_separators(s: str, locale: str | None) -> str:
+    lang = (locale or "en").split("_")[0].lower()
+    dec, grp = _LOCALE_SEPARATORS.get(lang, (".", ","))
+    if (dec, grp) == (".", ","):
+        return s
+    return s.replace(",", "\x00").replace(".", dec).replace("\x00", grp)
+
+
 NAMED = {
     "standard": "#,##0.##",
     "fixed": "0.00",
@@ -44,8 +66,10 @@ _DATE_TOKENS = [
 ]
 
 
-def format_value(value, fmt: str | None) -> str:
-    """Format one cell value with a VBA format string."""
+def format_value(value, fmt: str | None, locale: str | None = None) -> str:
+    """Format one cell value with a VBA format string; numeric separators
+    follow ``locale`` (de → 1.234,50) like java.util.Format under the
+    connection's Locale."""
     if value is None:
         sections = (fmt or "").split(";")
         return sections[3] if len(sections) > 3 else ""
@@ -56,7 +80,7 @@ def format_value(value, fmt: str | None) -> str:
     if isinstance(value, bool):
         return str(value)
     if isinstance(value, (int, float)):
-        return _format_number(float(value), fmt)
+        return _localize_separators(_format_number(float(value), fmt), locale)
     return str(value)
 
 

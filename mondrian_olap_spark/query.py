@@ -830,7 +830,10 @@ class Query:
         ]
         formats: dict = {m.out: m.format_string for m in measures if m.format_string}
         formats.update(self._cell_formatters)  # callables win over strings
-        res = Result(df, axis_cols, [m.out for m in measures], sort_spec, formats)
+        res = Result(
+            df, axis_cols, [m.out for m in measures], sort_spec, formats,
+            locale=getattr(self.engine, "locale", None),
+        )
         res.timeout = timeout
         # cell-addressing context: engine + slicer + column→(dim, level)
         # map so Result.cell(...).drill_through() can pin the cell's member

@@ -32,12 +32,15 @@ class Result:
         measure_columns: list[str],
         sort_spec: list | None = None,
         formats: dict[str, str] | None = None,
+        locale: str | None = None,
     ):
         self._df = df
         self.axis_columns = axis_columns
         self.measure_columns = measure_columns
         self._sort_spec = sort_spec or []
         self._formats = formats or {}
+        #: connection locale for numeric separators in formatted values
+        self.locale = locale
         self._rows_cache: list | None = None
         #: wall-clock of the first materialisation, ms (total_duration —
         #: connection.rb:78-84)
@@ -150,7 +153,7 @@ class Result:
             f = self._formats.get(m)
             if callable(f):  # cell formatter (schema_udf.rb:220-239)
                 return f(v)
-            return format_value(v, f)
+            return format_value(v, f, self.locale)
         if len(self.axis_columns) > 1 and self.axis_columns[1]:
             return [[fmt(m, r[m]) for m in self.measure_columns] for r in rows]
         if rows:
@@ -279,7 +282,7 @@ class Cell:
         f = self._result._formats.get(self.measure)
         if callable(f):
             return f(self.value)
-        return format_value(self.value, f)
+        return format_value(self.value, f, self._result.locale)
 
     def drill_through(
         self,

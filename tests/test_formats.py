@@ -80,3 +80,35 @@ def test_zero_pad_with_grouping():
     assert format_value(5, "0,000") == "0,005"
     assert format_value(1234567, "#,##0") == "1,234,567"
     assert format_value(-5, "0,000") == "-0,005"
+
+
+def test_locale_number_separators():
+    """Numeric separators follow the locale like Java's DecimalFormat under
+    the connection Locale (connection.rb:213-223): de swaps to 1.234,50."""
+    from mondrian_olap_spark.formats import format_value
+
+    assert format_value(1234.5, "#,##0.00") == "1,234.50"
+    assert format_value(1234.5, "#,##0.00", "de_DE") == "1.234,50"
+    assert format_value(-0.175, "0.0%", "de") == "-17,5%"
+    assert format_value(1234.5, "#,##0.00", "fr") == "1 234,50"
+
+
+def test_locale_formatted_values_through_engine(engine):
+    """with_locale('de') reaches formatted_values via the Result."""
+    from mondrian_olap_spark.query import Query
+
+    de = engine.with_locale("de_DE")
+    r = (
+        Query(de)
+        .with_member("Pretty")
+        .as_("sum_price", output="pretty", format_string=None)
+        .columns("[Measures].[Sum Price]")
+        .rows("[Customer].children")
+        .execute()
+    )
+    # attach a format for the existing measure column
+    r._formats["sum_price"] = "#,##0.00"
+    for row in r.formatted_values:
+        assert "," in row[0] and row[0].count(",") >= 1
+        # de decimal comma: last separator is a comma with 2 digits after
+        assert row[0][-3] == ","
