@@ -37,6 +37,8 @@ HEADLINE = [
     "embed_cosine_topk",
     "text_quality_features",
     "parent_child_rollup",
+    "tuple_case_contextual",
+    "multimodal_decode_features",
 ]
 
 
@@ -72,7 +74,7 @@ def main() -> None:
     # splits just multiplies scheduler overhead (~10× more tasks for the
     # same bytes — the r2 regressions), so they keep the 128 MB default,
     # which is also the right setting at 100 TB.
-    PIPELINE_PREFIXES = ("dedup_", "embed_", "text_", "pipeline_")
+    PIPELINE_PREFIXES = ("dedup_", "embed_", "text_", "pipeline_", "multimodal_")
 
     def _tune_splits(name: str) -> None:
         if name.startswith(PIPELINE_PREFIXES):
