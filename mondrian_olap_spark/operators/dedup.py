@@ -194,13 +194,10 @@ def minhash_signatures(
     return sh.groupBy("id").agg(*aggs)
 
 
-def minhash_lsh_candidates(
-    sigs: DataFrame, num_hashes: int = 16, bands: int = 8
-) -> DataFrame:
-    """LSH banding: split the signature into ``bands`` bands of
-    ``num_hashes/bands`` rows; documents agreeing on any whole band become a
-    candidate pair.  The band bucket join is the only shuffle — candidate
-    volume scales with collisions, not n²."""
+def _band_buckets(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, key) bucket rows from a signature frame — the banding
+    building block shared by the batch candidate join and the streaming
+    near-dup filter (streaming/dedup.py)."""
     rows = num_hashes // bands
     band_cols = []
     for bi in range(bands):
@@ -208,9 +205,34 @@ def minhash_lsh_candidates(
         band_cols.append(
             F.struct(F.lit(bi).alias("band"), F.md5(F.concat_ws(",", *members)).alias("key"))
         )
-    buckets = sigs.select("id", F.explode(F.array(*band_cols)).alias("bk")).select(
+    return sigs.select("id", F.explode(F.array(*band_cols)).alias("bk")).select(
         "id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+
+
+def minhash_band_keys(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Per-document LSH band keys (id, band, key) straight from text —
+    signatures + banding in one call (the streaming filter's per-batch
+    step; one hash-math implementation for batch and streaming)."""
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    return _band_buckets(sigs, num_hashes, bands)
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, num_hashes: int = 16, bands: int = 8
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` bands of
+    ``num_hashes/bands`` rows; documents agreeing on any whole band become a
+    candidate pair.  The band bucket join is the only shuffle — candidate
+    volume scales with collisions, not n²."""
+    buckets = _band_buckets(sigs, num_hashes, bands)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (

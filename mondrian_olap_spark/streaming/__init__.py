@@ -14,6 +14,12 @@ expects on top of that parity surface:
   one.
 """
 
+from .dedup import streaming_exact_dedup, streaming_neardup_filter
 from .windows import invalidate_cache_on_update, windowed_aggregate
 
-__all__ = ["invalidate_cache_on_update", "windowed_aggregate"]
+__all__ = [
+    "invalidate_cache_on_update",
+    "windowed_aggregate",
+    "streaming_exact_dedup",
+    "streaming_neardup_filter",
+]

@@ -206,3 +206,79 @@ def test_maintain_aggregate(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert summary_totals() == expected(fact)
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Watermark-bounded exact dedup: duplicate text within the horizon is
+    dropped; distinct texts pass (streaming/dedup.py)."""
+    import json
+
+    from mondrian_olap_spark.streaming.dedup import streaming_exact_dedup
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    rows = [
+        {"ts": "2024-01-01T00:00:00", "doc_id": 1, "text": "alpha beta"},
+        {"ts": "2024-01-01T00:00:10", "doc_id": 2, "text": "alpha beta"},
+        {"ts": "2024-01-01T00:00:20", "doc_id": 3, "text": "gamma delta"},
+    ]
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.schema("ts timestamp, doc_id long, text string")
+        .json(str(src))
+    )
+    out = streaming_exact_dedup(stream, event_time_col="ts")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_exact_stream")
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.sql("SELECT * FROM dedup_exact_stream").collect()}
+    assert 3 in got and len(got & {1, 2}) == 1  # one of the dups survives
+
+
+def test_streaming_neardup_filter(spark, tmp_path):
+    """Cross-batch MinHash/LSH filter: a later batch's near-duplicate of an
+    accepted doc is rejected via the band store; novel docs pass."""
+    import json
+
+    from mondrian_olap_spark.streaming.dedup import streaming_neardup_filter
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    novel = "completely different content about parquet shuffles and broadcast joins"
+    src = tmp_path / "nd_src"
+    src.mkdir()
+    accepted_batches = []
+
+    def sink(df):
+        accepted_batches.append([r["doc_id"] for r in df.collect()])
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    # batch 1: the base doc
+    (src / "b1.json").write_text(json.dumps({"doc_id": 1, "text": base}))
+    q = streaming_neardup_filter(
+        stream,
+        store_path=str(tmp_path / "nd_store"),
+        checkpoint_dir=str(tmp_path / "nd_ckpt"),
+        accept_sink=sink,
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a near-dup (one word changed) + a novel doc
+        (src / "b2.json").write_text(
+            json.dumps({"doc_id": 2, "text": base.replace("today", "tonight")})
+            + "\n"
+            + json.dumps({"doc_id": 3, "text": novel})
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    flat = [i for b in accepted_batches for i in b]
+    assert 1 in flat and 3 in flat and 2 not in flat
