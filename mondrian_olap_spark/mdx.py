@@ -763,6 +763,26 @@ class MdxParser:
                     f"COUSIN: {m2!r} has no child at sibling position {idx}"
                 )
             return _SetBuild(base=[f"{m2}.{quote_segment(str(kid_key))}"])
+        if (
+            t is not None
+            and t.kind == "word"
+            and t.text.lower() == "addcalculatedmembers"
+            and self.peek(1) is not None
+            and self.peek(1).text == "("
+        ):
+            # AddCalculatedMembers(set) (jar!mondrian/olap/fun/
+            # AddCalculatedMembersFunDef): include the hierarchy's schema
+            # calculated members — i.e. rewrite each X.Members element to
+            # X.AllMembers (the Members/AllMembers split is exactly
+            # with-vs-without calculated members)
+            self.next()
+            self.expect_op("(")
+            sb = self.parse_set()
+            self.expect_op(")")
+            sb.base = [
+                re.sub(r"(?i)\.members$", ".AllMembers", b) for b in sb.base
+            ]
+            return sb
         if t is not None and t.kind == "word" and t.text.lower() == "strtoset":
             # StrToSet("…") — runtime set construction from a string
             # (jar!mondrian/olap/fun/StrToSetFunDef; SURVEY.md §2.6)

@@ -116,6 +116,13 @@ class Query:
                 segs = []
             if len(segs) == 1 and segs[0].lower() in self._named_sets:
                 expanded.extend(self._named_sets[segs[0].lower()])
+            elif self._is_measures_listing(m):
+                # [Measures].Members lists the cube's base measures;
+                # .AllMembers additionally includes schema calculated
+                # members (Mondrian's Members-vs-AllMembers split —
+                # jar!mondrian/olap/fun/LevelMembersFunDef,
+                # AddCalculatedMembersFunDef)
+                expanded.extend(self._measures_listing(m))
             else:
                 expanded.append(m)
         members = tuple(expanded)
@@ -128,6 +135,41 @@ class Query:
                 ax.sets.append(ref)
         self._current_axis = i
         return self
+
+    @staticmethod
+    def _is_measures_listing(m: str) -> bool:
+        from .members import parse_identifier_tagged
+
+        try:
+            tagged = parse_identifier_tagged(m)
+        except Exception:
+            return False
+        return (
+            len(tagged) == 2
+            and tagged[0][0].lower() == "measures"
+            and not tagged[1][1]  # bare keyword, not a [Members] key
+            and tagged[1][0].lower() in ("members", "allmembers")
+        )
+
+    def _measures_listing(self, m: str) -> list[str]:
+        from .members import parse_identifier
+
+        include_calc = parse_identifier(m)[1].lower() == "allmembers"
+        role = getattr(self.engine, "role", None)
+        out: list[str] = []
+        items = list(self.cube.measures)
+        if include_calc:
+            items += list(self.cube.calculated_members)
+        for meas in items:
+            if role is not None:
+                try:
+                    # a role-denied measure is absent from listings, not an
+                    # error (listing vs direct-reference semantics)
+                    role.check_measure(self.cube, meas.name)
+                except Exception:
+                    continue
+            out.append(f"[Measures].[{meas.name}]")
+        return out
 
     def columns(self, *members: str) -> "Query":
         return self.axis(0, *members)

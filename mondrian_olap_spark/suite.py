@@ -2188,3 +2188,60 @@ def tuple_item_name(spark, sf_dir):
                [Time].[Year].Members ON ROWS FROM [Sales]
         """
     ).df
+
+
+@q(
+    "measures_allmembers",
+    f"""
+    WITH base AS (
+      SELECT r_name AS region_name,
+             sum(l_quantity) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(1,0)) - CAST(l_discount AS DECIMAL(3,2))) * (CAST(1 AS DECIMAL(1,0)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+             avg(l_quantity) AS avg_qty,
+             (CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(l_extendedprice)) AS avg_price,
+             (CAST(sum(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / count(l_discount)) AS avg_disc,
+             count(l_orderkey) AS count_order,
+             count(DISTINCT l_partkey) AS distinct_parts,
+             count(DISTINCT l_suppkey) AS distinct_suppliers,
+             min(l_extendedprice) AS min_price,
+             max(l_extendedprice) AS max_price,
+             CAST(sum(CASE WHEN l_discount > 0.05 THEN CAST(l_extendedprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS high_disc_revenue,
+             count(nullif(l_discount, 0.0)) AS nonzero_disc_count
+      FROM {_CUST_STAR} GROUP BY 1
+    ),
+    calc1 AS (
+      SELECT *, sum_price - sum_disc_price AS discount_amount,
+             sum_price / count_order AS avg_item_value
+      FROM base
+    )
+    SELECT *, discount_amount / sum_price AS discount_share FROM calc1
+    """,
+)
+def measures_allmembers(spark, sf_dir):
+    """AddCalculatedMembers([Measures].Members): every base measure plus
+    the schema's calculated members on one axis
+    (AddCalculatedMembersFunDef; the Members/AllMembers split).  The
+    approx-distinct (HLL) measure is projected out — its value is
+    engine-specific by construction and covered by its own rows-only
+    check."""
+    eng = get_engine(spark, sf_dir)
+    return eng.execute(
+        "SELECT AddCalculatedMembers([Measures].Members) ON COLUMNS, "
+        "[Customer].[Region].Members ON ROWS FROM [Sales]"
+    ).df.drop("approx_parts")
+
+
+@q("approx_distinct_parts")  # no oracle: HLL values are engine-specific —
+# the driver records the weaker rows-only check for this entry by design
+def approx_distinct_parts(spark, sf_dir):
+    """approx-distinct-count measure (the HLL opt-in variant —
+    SURVEY.md §2.4 'approx only as opt-in'; Spark approx_count_distinct)."""
+    return (
+        Query(get_engine(spark, sf_dir))
+        .columns("[Measures].[Approx Parts]", "[Measures].[Distinct Parts]")
+        .rows("[Customer].[Region].Members")
+        .execute()
+        .df
+    )

@@ -1738,3 +1738,24 @@ def test_measures_level_accessor_chains(engine):
     )
     row = r.df.collect()[0]
     assert row["a"] == 0 and row["b"] == "Measures" and row["c"] == "Sum Qty"
+
+
+def test_measures_members_listing(engine):
+    """[Measures].Members lists base measures; AddCalculatedMembers /
+    .AllMembers additionally include schema calculated members
+    (LevelMembersFunDef / AddCalculatedMembersFunDef split)."""
+    base = execute_mdx(
+        engine,
+        "SELECT [Measures].Members ON COLUMNS, [Customer].children ON ROWS "
+        "FROM [Sales]",
+    )
+    base_cols = set(base.measure_columns)
+    assert "sum_qty" in base_cols and "discount_amount" not in base_cols
+    allm = execute_mdx(
+        engine,
+        "SELECT AddCalculatedMembers([Measures].Members) ON COLUMNS, "
+        "[Customer].children ON ROWS FROM [Sales]",
+    )
+    all_cols = set(allm.measure_columns)
+    assert base_cols < all_cols
+    assert {"discount_amount", "avg_item_value", "discount_share"} <= all_cols
