@@ -32,12 +32,9 @@ _LOCALE_SEPARATORS = {
 }
 
 
-def _localize_separators(s: str, locale: str | None) -> str:
+def _separators(locale: str | None) -> tuple[str, str]:
     lang = (locale or "en").split("_")[0].lower()
-    dec, grp = _LOCALE_SEPARATORS.get(lang, (".", ","))
-    if (dec, grp) == (".", ","):
-        return s
-    return s.replace(",", "\x00").replace(".", dec).replace("\x00", grp)
+    return _LOCALE_SEPARATORS.get(lang, (".", ","))
 
 
 NAMED = {
@@ -80,7 +77,7 @@ def format_value(value, fmt: str | None, locale: str | None = None) -> str:
     if isinstance(value, bool):
         return str(value)
     if isinstance(value, (int, float)):
-        return _localize_separators(_format_number(float(value), fmt), locale)
+        return _format_number(float(value), fmt, locale)
     return str(value)
 
 
@@ -97,14 +94,14 @@ def _format_date(value, fmt: str) -> str:
     return value.strftime(out)
 
 
-def _format_number(value: float, fmt: str) -> str:
+def _format_number(value: float, fmt: str, locale: str | None = None) -> str:
     pattern = NAMED.get(fmt.strip().lower(), fmt)
     sections = pattern.split(";")
     if value < 0 and len(sections) > 1:
-        return _apply_pattern(-value, sections[1])
+        return _apply_pattern(-value, sections[1], locale)
     if value == 0 and len(sections) > 2:
-        return _apply_pattern(value, sections[2])
-    out = _apply_pattern(abs(value), sections[0])
+        return _apply_pattern(value, sections[2], locale)
+    out = _apply_pattern(abs(value), sections[0], locale)
     return "-" + out if value < 0 else out
 
 
@@ -113,7 +110,11 @@ _PAT_RE = re.compile(
 )
 
 
-def _apply_pattern(value: float, pattern: str) -> str:
+def _apply_pattern(value: float, pattern: str, locale: str | None = None) -> str:
+    # locale swaps only the NUMERIC separators the pattern emits — literal
+    # prefix/suffix text keeps its punctuation (Java DecimalFormat under a
+    # Locale localizes symbols, never pattern literals)
+    dec_sep, grp_sep = _separators(locale)
     m = _PAT_RE.match(pattern)
     if not m:
         # no digit placeholders → the section is literal text (e.g. the
@@ -155,7 +156,7 @@ def _apply_pattern(value: float, pattern: str) -> str:
             chunks.append(digits[-3:])
             digits = digits[:-3]
         chunks.append(digits)
-        int_str = sign + ",".join(reversed(chunks))
+        int_str = sign + grp_sep.join(reversed(chunks))
 
     frac_digits = ""
     if max_frac:
@@ -165,7 +166,7 @@ def _apply_pattern(value: float, pattern: str) -> str:
 
     out = int_str
     if frac_digits:
-        out += "." + frac_digits
+        out += dec_sep + frac_digits
     elif not out:
         out = "0"
     return prefix + out + suffix

@@ -779,6 +779,17 @@ class MdxParser:
             self.expect_op("(")
             sb = self.parse_set()
             self.expect_op(")")
+            if sb.ops or sb.set_ops or not any(
+                re.search(r"(?i)\.members$", b) for b in sb.base
+            ):
+                # a computed inner set (Head(...) etc.) or an enumerated
+                # member list would need true post-expansion semantics —
+                # rewriting before the ops would add calc members to the
+                # WRONG stage, so reject loudly instead of being wrong
+                raise MdxError(
+                    "AddCalculatedMembers supports Level.Members set "
+                    "arguments in this subset"
+                )
             sb.base = [
                 re.sub(r"(?i)\.members$", ".AllMembers", b) for b in sb.base
             ]

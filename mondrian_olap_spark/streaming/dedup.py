@@ -10,20 +10,17 @@ continuously rather than as a fixed corpus.
   state entry per fingerprint only within the lateness horizon, so state
   size tracks the arrival window, never the corpus (the unbounded
   ``dropDuplicates`` variant is the explicit opt-in for exactly-once
-  global dedup on bounded backfills).
+  global dedup on bounded backfills).  The fingerprint normalizes like the
+  batch operator (md5 of lower+trim), so batch and streaming agree on
+  what a duplicate is.
 * :func:`streaming_neardup_filter` — per-micro-batch MinHash/LSH near-dup
-  filtering against an accumulating signature store: each batch reuses the
-  BATCH banding machinery (one code path for the math), joins its band
-  keys against the store (band-bucket equality — a sparse join, never
-  all-pairs), drops candidates that verify as near-duplicates of already
-  ACCEPTED documents, and appends the survivors' bands to the store.  The
-  store is grain-sized (bands × accepted docs), partitioned by band id, and
-  on a lakehouse table format the append becomes a transactional commit.
+  filtering against an accumulating store, with the same
+  candidates-then-VERIFY contract as the batch pipeline: LSH band
+  collisions only nominate candidates; an exact n-gram Jaccard check at
+  ``threshold`` decides (a single band collision never drops a document).
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -35,8 +32,8 @@ def streaming_exact_dedup(
     event_time_col: str | None = None,
     watermark: str = "10 minutes",
 ) -> DataFrame:
-    """Exact near-real-time dedup: md5 fingerprint + watermark-bounded
-    duplicate state.
+    """Exact near-real-time dedup: normalized md5 fingerprint +
+    watermark-bounded duplicate state.
 
     With ``event_time_col``, state is bounded: a duplicate arriving within
     ``watermark`` of the original is dropped, later re-arrivals pass (the
@@ -44,7 +41,9 @@ def streaming_exact_dedup(
     Without an event-time column, falls back to global ``dropDuplicates``
     (state grows with distinct fingerprints — bounded backfills only).
     """
-    fp = F.md5(F.col(text_col).cast("binary")).alias("__fp")
+    # same normalization as operators.dedup.exact_dedup — batch and
+    # streaming must agree on what counts as a duplicate
+    fp = F.md5(F.lower(F.trim(F.col(text_col)))).alias("__fp")
     out = stream.select("*", fp)
     if event_time_col is None:
         return out.dropDuplicates(["__fp"]).drop("__fp")
@@ -53,6 +52,17 @@ def streaming_exact_dedup(
         .dropDuplicatesWithinWatermark(["__fp"])
         .drop("__fp")
     )
+
+
+def _try_read_parquet(spark, path: str) -> DataFrame | None:
+    """Read a parquet path, or None when it does not exist yet — probed via
+    the reader (works on any Hadoop-compatible filesystem, unlike a
+    driver-local ``os.path`` check that would silently disable the store
+    on object storage)."""
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None
 
 
 def streaming_neardup_filter(
@@ -64,83 +74,144 @@ def streaming_neardup_filter(
     n: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
+    threshold: float = 0.8,
     accept_sink=None,
 ):
     """Continuous MinHash/LSH near-dup filtering via ``foreachBatch``.
 
     Per micro-batch:
 
-    1. compute MinHash band keys for the batch's documents through the
-       SAME banding code as the batch operator
-       (``operators.dedup.minhash_band_keys``) — one implementation of the
-       hash math;
-    2. anti-join the batch's band keys against the accumulated signature
-       store on (band id, band hash): any shared band marks the document a
-       near-dup CANDIDATE of an accepted doc, and LSH banding guarantees
-       recall ≥ 1-(1-s^r)^b for similarity s;
-    3. documents with no colliding band are ACCEPTED: handed to
-       ``accept_sink(batch_df)`` if given, and their bands appended to the
-       store so later batches dedup against them.  Within-batch dups resolve by
-       min-id per band: a batch-mate is dropped when EVERY band collides
-       (exact/near-exact dup); partial collisions defer to the next
-       batch's store check.
+    1. compute MinHash band keys through the SAME banding code as the
+       batch operator (``operators.dedup.minhash_band_keys``) — one
+       implementation of the hash math;
+    2. CANDIDATES: stored docs sharing any (band, key) with a batch doc.
+       The batch's band keys broadcast into the join, so the store side
+       prunes to colliding buckets — the store is never fully shuffled —
+       and same-id matches are excluded (that's how a replayed batch
+       re-accepts its own documents instead of colliding with itself);
+    3. VERIFY: candidate (batch, stored) pairs are checked by exact
+       n-gram Jaccard at ``threshold`` through the batch verifier
+       (``operators.dedup.jaccard_pairs`` over the small candidate pool)
+       — a lone band collision NEVER drops a document;
+    4. within-batch near-dups among the survivors verify the same way
+       (smallest id wins);
+    5. ACCEPTED docs are handed to ``accept_sink`` and their bands + text
+       land in per-batch store subdirectories written with OVERWRITE —
+       a replayed batch rewrites its own directories idempotently, so a
+       sink failure can never strand documents half-registered.
 
-    The store is band-bucket rows (band_id, band_hash, doc id) — sparse,
-    append-only, partitioned by band id; at 100 TB it lives as a bucketed
-    lakehouse table and the anti-join prunes to colliding buckets.
-
-    Returns the StreamingQuery.
+    The store is sparse band-bucket rows plus accepted text, laid out in
+    per-batch directories; on a lakehouse table format the per-batch
+    overwrite becomes a transactional replaceWhere.  Returns the
+    StreamingQuery.
     """
-    from ..operators.dedup import minhash_band_keys
+    from ..operators.dedup import jaccard_pairs, minhash_band_keys
+
+    bands_dir = f"{store_path}/bands"
+    docs_dir = f"{store_path}/docs"
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         if batch.isEmpty():
             return
-        bands_df = minhash_band_keys(
+        bands_new = minhash_band_keys(
             batch, id_col=id_col, text_col=text_col, n=n,
             num_hashes=num_hashes, bands=bands,
-        )  # columns: (id, band, key)
-        # within-batch resolution: for colliding bands keep the smallest id
-        keep_first = bands_df.groupBy("band", "key").agg(
-            F.min("id").alias("__keep")
-        )
-        bands_df = bands_df.join(
-            keep_first, ["band", "key"], "inner"
-        ).filter(F.col("id") == F.col("__keep")).drop("__keep")
-        if os.path.exists(store_path):
-            store = spark.read.parquet(store_path)
-            colliding = (
-                bands_df.join(
-                    store.select("band", "key").dropDuplicates(),
+        )  # (id, band, key) — unfiltered: every band participates
+        store_bands = _try_read_parquet(spark, bands_dir)
+        batch_ids = batch.select(id_col).dropDuplicates()
+        rejected = None
+        if store_bands is not None:
+            cand = (
+                store_bands.join(
+                    F.broadcast(bands_new.withColumnRenamed("id", "__bid")),
                     ["band", "key"],
-                    "left_semi",
                 )
-                .select("id")
+                .filter(F.col("id") != F.col("__bid"))
+                .select(
+                    F.col("__bid").alias("__batch_doc"),
+                    F.col("id").alias("__stored_doc"),
+                )
                 .dropDuplicates()
             )
-        else:
-            colliding = bands_df.select("id").limit(0)
-        accepted_ids = (
-            bands_df.select("id").dropDuplicates()
-            .join(colliding, ["id"], "left_anti")
-        )
-        accepted_bands = bands_df.join(accepted_ids, ["id"], "left_semi")
-        # append BEFORE the sink: if the sink fails and the batch replays,
-        # re-appended bands only strengthen the filter (dedup is idempotent
-        # on the accept side, and re-accepted docs collide with their own
-        # stored bands and are dropped)
-        accepted_bands.select("band", "key", "id").write.mode(
-            "append"
-        ).partitionBy("band").parquet(store_path)
-        if accept_sink is not None:
-            accept_sink(
-                batch.join(
-                    accepted_ids.withColumnRenamed("id", id_col),
-                    [id_col],
-                    "left_semi",
+            if not cand.isEmpty():
+                stored_docs = spark.read.parquet(docs_dir).select(
+                    id_col, text_col
                 )
-            )
+                pool = (
+                    stored_docs.join(
+                        cand.select(
+                            F.col("__stored_doc").alias(id_col)
+                        ).dropDuplicates(),
+                        [id_col],
+                        "left_semi",
+                    )
+                    .unionByName(
+                        batch.select(id_col, text_col).join(
+                            cand.select(
+                                F.col("__batch_doc").alias(id_col)
+                            ).dropDuplicates(),
+                            [id_col],
+                            "left_semi",
+                        )
+                    )
+                    .dropDuplicates([id_col])
+                )
+                # exact verification over the candidate pool only — small
+                # by construction; exact textbook Jaccard (no DF cap)
+                pairs = jaccard_pairs(
+                    pool, id_col=id_col, text_col=text_col, n=n,
+                    threshold=threshold, max_shingle_df=None,
+                )
+                stored_only = (
+                    cand.select(F.col("__stored_doc").alias(id_col))
+                    .dropDuplicates()
+                    .join(batch_ids, [id_col], "left_anti")
+                )
+                # a verified pair touching a stored-only doc rejects its
+                # batch-side counterpart (either orientation)
+                rejected = (
+                    pairs.join(
+                        stored_only.withColumnRenamed(id_col, "id_a"),
+                        ["id_a"], "left_semi",
+                    ).select(F.col("id_b").alias(id_col))
+                    .unionByName(
+                        pairs.join(
+                            stored_only.withColumnRenamed(id_col, "id_b"),
+                            ["id_b"], "left_semi",
+                        ).select(F.col("id_a").alias(id_col))
+                    )
+                    .dropDuplicates()
+                    .join(batch_ids, [id_col], "left_semi")
+                )
+        survivors = (
+            batch if rejected is None
+            else batch.join(rejected, [id_col], "left_anti")
+        )
+        # within-batch: verified near-dup pairs among survivors; the
+        # larger id of each pair drops (deterministic keep-first)
+        within = jaccard_pairs(
+            survivors.select(id_col, text_col), id_col=id_col,
+            text_col=text_col, n=n, threshold=threshold,
+            max_shingle_df=None,
+        )
+        accepted = survivors.join(
+            within.select(F.col("id_b").alias(id_col)).dropDuplicates(),
+            [id_col],
+            "left_anti",
+        )
+        accepted_bands = bands_new.join(
+            accepted.select(F.col(id_col).alias("id")), ["id"], "left_semi"
+        )
+        # per-batch directories + overwrite = replay-idempotent registration
+        accepted_bands.write.mode("overwrite").parquet(
+            f"{bands_dir}/batch={batch_id}"
+        )
+        accepted.select(id_col, text_col).write.mode("overwrite").parquet(
+            f"{docs_dir}/batch={batch_id}"
+        )
+        if accept_sink is not None:
+            accept_sink(accepted)
 
     return (
         stream.writeStream.foreachBatch(process_batch)

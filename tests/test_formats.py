@@ -112,3 +112,11 @@ def test_locale_formatted_values_through_engine(engine):
         assert "," in row[0] and row[0].count(",") >= 1
         # de decimal comma: last separator is a comma with 2 digits after
         assert row[0][-3] == ","
+
+
+def test_locale_keeps_literal_punctuation():
+    """Locale swaps only numeric separators; literal pattern text keeps its
+    punctuation (Java DecimalFormat localizes symbols, not literals)."""
+    from mondrian_olap_spark.formats import format_value
+
+    assert format_value(12.3, "0.00 kr.", "de") == "12,30 kr."

@@ -267,6 +267,7 @@ def test_streaming_neardup_filter(spark, tmp_path):
         stream,
         store_path=str(tmp_path / "nd_store"),
         checkpoint_dir=str(tmp_path / "nd_ckpt"),
+        threshold=0.5,  # one changed word in a 13-word doc ⇒ J ≈ 0.57
         accept_sink=sink,
     )
     try:
