@@ -43,23 +43,38 @@ def text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Columns: n_tokens, n_chars_calc, avg_token_len, punct_ratio,
     stopword_ratio, quality_score, bag_fingerprint, lang_guess.
-    """
-    t = _toks(text_col)
+
+    The token array and per-language stopword votes materialise ONCE as
+    intermediate columns and every feature references them — the text is
+    split and lowered a single time per row instead of once per feature
+    (Catalyst's subexpression elimination is not guaranteed across
+    separate projections; making the sharing explicit is)."""
+    out = df.withColumn("__toks", F.expr(_toks(text_col)))
+    out = out.withColumn(
+        "__ltoks", F.expr("transform(__toks, t -> lower(t))")
+    )
+    for lang in STOPWORDS:
+        out = out.withColumn(
+            f"__v_{lang}",
+            F.expr(
+                f"size(filter(__ltoks, t -> t IN ({_in_list(STOPWORDS[lang])})))"
+            ),
+        )
     exprs = {
-        "n_tokens": f"size({t})",
+        "n_tokens": "size(__toks)",
         "n_chars_calc": f"length({text_col})",
         # greatest(...,1) guards: empty/whitespace-only docs must yield 0
         # ratios, not ANSI division-by-zero
         "avg_token_len": (
-            f"length(regexp_replace({text_col}, '\\\\s', '')) * 1.0 / greatest(size({t}), 1)"
+            f"length(regexp_replace({text_col}, '\\\\s', '')) * 1.0 "
+            "/ greatest(size(__toks), 1)"
         ),
         "punct_ratio": (
             f"length(regexp_replace({text_col}, '[A-Za-z0-9\\\\s]', '')) * 1.0 "
             f"/ greatest(length({text_col}), 1)"
         ),
-        "stopword_ratio": f"{_stop_count(text_col, 'en')} * 1.0 / greatest(size({t}), 1)",
+        "stopword_ratio": "__v_en * 1.0 / greatest(size(__toks), 1)",
     }
-    out = df
     for name, e in exprs.items():
         out = out.withColumn(name, F.expr(e))
     # composite quality score: length saturation + stopword density +
@@ -75,24 +90,23 @@ def text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     # the sorted distinct token list) — catches shuffled near-identical docs
     out = out.withColumn(
         "bag_fingerprint",
-        F.expr(f"md5(concat_ws(' ', array_sort(array_distinct({t}))))"),
+        F.expr("md5(concat_ws(' ', array_sort(array_distinct(__toks))))"),
     )
     # stopword-vote language guess with fixed preference order on ties
-    votes = {lang: _stop_count(text_col, lang) for lang in STOPWORDS}
     out = out.withColumn(
         "lang_guess",
         F.expr(
-            f"""CASE
-            WHEN {votes['en']} >= greatest({votes['de']}, {votes['fr']}, {votes['es']})
-                 AND {votes['en']} > 0 THEN 'en'
-            WHEN {votes['de']} >= greatest({votes['fr']}, {votes['es']})
-                 AND {votes['de']} > 0 THEN 'de'
-            WHEN {votes['fr']} >= {votes['es']} AND {votes['fr']} > 0 THEN 'fr'
-            WHEN {votes['es']} > 0 THEN 'es'
+            """CASE
+            WHEN __v_en >= greatest(__v_de, __v_fr, __v_es)
+                 AND __v_en > 0 THEN 'en'
+            WHEN __v_de >= greatest(__v_fr, __v_es)
+                 AND __v_de > 0 THEN 'de'
+            WHEN __v_fr >= __v_es AND __v_fr > 0 THEN 'fr'
+            WHEN __v_es > 0 THEN 'es'
             ELSE 'und' END"""
         ),
     )
-    return out
+    return out.drop("__toks", "__ltoks", *[f"__v_{lang}" for lang in STOPWORDS])
 
 
 #: GPT-2-style pretokenizer pattern, simplified to the portable regex
