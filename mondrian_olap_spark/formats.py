@@ -33,7 +33,8 @@ _LOCALE_SEPARATORS = {
 
 
 def _separators(locale: str | None) -> tuple[str, str]:
-    lang = (locale or "en").split("_")[0].lower()
+    # accept both underscore (Java Locale) and hyphen (BCP-47) forms
+    lang = re.split(r"[-_]", locale or "en")[0].lower()
     return _LOCALE_SEPARATORS.get(lang, (".", ","))
 
 

@@ -779,7 +779,7 @@ class MdxParser:
             self.expect_op("(")
             sb = self.parse_set()
             self.expect_op(")")
-            if sb.ops or sb.set_ops or not any(
+            if sb.ops or sb.set_ops or not all(
                 re.search(r"(?i)\.members$", b) for b in sb.base
             ):
                 # a computed inner set (Head(...) etc.) or an enumerated

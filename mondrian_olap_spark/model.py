@@ -43,7 +43,9 @@ def localized(
         low = locale.lower()
         if low in d:
             return d[low]
-        lang = low.split("_")[0]
+        # bare-language fallback; both underscore (Java Locale) and
+        # hyphen (BCP-47) forms split
+        lang = re.split(r"[-_]", low)[0]
         if lang in d:
             return d[lang]
     return fallback

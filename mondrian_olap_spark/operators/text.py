@@ -30,13 +30,6 @@ def _toks(text_col: str) -> str:
     return f"split(trim({text_col}), '\\\\s+')"
 
 
-def _stop_count(text_col: str, lang: str) -> str:
-    return (
-        f"size(filter(transform({_toks(text_col)}, t -> lower(t)), "
-        f"t -> t IN ({_in_list(STOPWORDS[lang])})))"
-    )
-
-
 def text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds token/char counts, punctuation + stopword ratios, a composite
     quality score, a bag-of-words fingerprint, and a language guess.

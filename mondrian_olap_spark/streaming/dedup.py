@@ -55,14 +55,28 @@ def streaming_exact_dedup(
 
 
 def _try_read_parquet(spark, path: str) -> DataFrame | None:
-    """Read a parquet path, or None when it does not exist yet — probed via
+    """Read a parquet path, or None when it does not exist YET — probed via
     the reader (works on any Hadoop-compatible filesystem, unlike a
     driver-local ``os.path`` check that would silently disable the store
-    on object storage)."""
+    on object storage).  Only path-not-found maps to None: any other read
+    failure (throttle, permission, corrupt footer) re-raises — treating it
+    as an empty store would silently skip cross-batch dedup for the batch
+    and contaminate the corpus."""
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.parquet(path)
-    except Exception:
-        return None
+    except AnalysisException as e:
+        cond = None
+        get = getattr(e, "getCondition", None)
+        if callable(get):
+            try:
+                cond = get()
+            except Exception:
+                cond = None
+        if (cond and "PATH_NOT_FOUND" in cond) or "PATH_NOT_FOUND" in str(e):
+            return None
+        raise
 
 
 def streaming_neardup_filter(
@@ -111,13 +125,18 @@ def streaming_neardup_filter(
     docs_dir = f"{store_path}/docs"
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.storagelevel import StorageLevel
+
         spark = batch.sparkSession
+        batch = batch.persist(StorageLevel.MEMORY_AND_DISK)
         if batch.isEmpty():
+            batch.unpersist()
             return
         bands_new = minhash_band_keys(
             batch, id_col=id_col, text_col=text_col, n=n,
             num_hashes=num_hashes, bands=bands,
         )  # (id, band, key) — unfiltered: every band participates
+        bands_new = bands_new.persist(StorageLevel.MEMORY_AND_DISK)
         store_bands = _try_read_parquet(spark, bands_dir)
         batch_ids = batch.select(id_col).dropDuplicates()
         rejected = None
@@ -134,10 +153,17 @@ def streaming_neardup_filter(
                 )
                 .dropDuplicates()
             )
-            if not cand.isEmpty():
-                stored_docs = spark.read.parquet(docs_dir).select(
-                    id_col, text_col
-                )
+            # a half-written store (bands landed, docs write crashed) must
+            # not wedge the query: with no stored text to verify against,
+            # candidates cannot be CONFIRMED duplicates, so they pass —
+            # the verification-required contract, never a crash loop
+            stored_docs_all = (
+                _try_read_parquet(spark, docs_dir)
+                if not cand.isEmpty()
+                else None
+            )
+            if stored_docs_all is not None:
+                stored_docs = stored_docs_all.select(id_col, text_col)
                 pool = (
                     stored_docs.join(
                         cand.select(
@@ -203,6 +229,12 @@ def streaming_neardup_filter(
         accepted_bands = bands_new.join(
             accepted.select(F.col(id_col).alias("id")), ["id"], "left_semi"
         )
+        # materialise BEFORE the store writes: both frames' lineage reads
+        # the store directories that the overwrite below deletes — writing
+        # from live lineage on a replay would scan just-deleted files.
+        # localCheckpoint cuts the lineage to executor-held blocks.
+        accepted = accepted.localCheckpoint(eager=True)
+        accepted_bands = accepted_bands.localCheckpoint(eager=True)
         # per-batch directories + overwrite = replay-idempotent registration
         accepted_bands.write.mode("overwrite").parquet(
             f"{bands_dir}/batch={batch_id}"
@@ -212,6 +244,8 @@ def streaming_neardup_filter(
         )
         if accept_sink is not None:
             accept_sink(accepted)
+        bands_new.unpersist()
+        batch.unpersist()
 
     return (
         stream.writeStream.foreachBatch(process_batch)
