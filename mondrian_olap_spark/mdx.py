@@ -207,7 +207,11 @@ class MdxParser:
             ):
                 argt = toks[i + 2]
                 if argt.kind == "number":
-                    name = self._dimension_by_index_or_name(int(float(argt.text)))
+                    if "." in argt.text:
+                        raise MdxError(
+                            f"Dimensions({argt.text}): index must be an integer"
+                        )
+                    name = self._dimension_by_index_or_name(int(argt.text))
                 elif argt.kind == "string":
                     name = self._dimension_by_index_or_name(_unquote(argt.text))
                 else:
@@ -1226,15 +1230,13 @@ class MdxParser:
                     "caption": s("Measures"),
                 }.get(prop)
             if len(segs) == 2 and prop in ("name", "uniquename", "caption"):
-                measure = None
+                # existence was already validated above — only the cube
+                # lookup (None for query-scoped WITH members) is needed
+                # for the declared caption
                 try:
                     measure = self.cube.measure(segs[1])
                 except KeyError:
-                    found = any(
-                        cm.name.lower() == segs[1].lower() for cm in self.q._with
-                    )
-                    if not found:
-                        return None
+                    measure = None  # a validated WITH member
                 if prop == "uniquename":
                     return s(uname(segs))
                 if prop == "caption":
@@ -1478,7 +1480,13 @@ class MdxParser:
             obj = (m.group(2) or "").lower()
             prop = m.group(3).lower()
             lit = self._object_accessor_literal(ident, obj, prop)
-            return lit if lit is not None else m.group(0)
+            if lit is None:
+                return m.group(0)
+            # MASK the folded literal like input literals: a UniqueName
+            # like '[Measures].[X]' would otherwise be rewritten by the
+            # later measure-reference pass into the internal column alias
+            _masked.append(lit)
+            return f"\x00{len(_masked) - 1}\x00"
 
         out = re.sub(
             r"(" + _id_pat + r")\s*\.\s*"

@@ -1542,11 +1542,21 @@ class Query:
             for c in sub_group:
                 p = F.col(c).isNull()
                 null_rows = p if null_rows is None else (null_rows | p)
-        kept = df.filter(~null_rows if null_rows is not None else F.lit(True)).join(
+        if null_rows is None:
+            # no synthesized NULLs possible → null-SAFE semi-join, so a
+            # genuinely-NULL member key that QUALIFIES the set operation
+            # survives (plain equality would never match it)
+            m = F.broadcast(
+                members.withColumnsRenamed({c: f"__m_{c}" for c in sub_group})
+            )
+            cond = None
+            for c in sub_group:
+                e = F.col(c).eqNullSafe(F.col(f"__m_{c}"))
+                cond = e if cond is None else (cond & e)
+            return df.join(m, on=cond, how="left_semi")
+        kept = df.filter(~null_rows).join(
             F.broadcast(members), on=sub_group, how="left_semi"
         )
-        if null_rows is None:
-            return kept
         return kept.unionByName(df.filter(null_rows))
 
 

@@ -55,7 +55,10 @@ _STATEMENTS: dict[tuple, object] = {}
 def q(name: str, oracle: str | None = None):
     def deco(fn):
         def cached(spark, sf_dir):
-            key = (name, id(spark), sf_dir)
+            # keyed by applicationId, not id(spark): a freed session's id
+            # can be reused by a NEW session, which would serve plans bound
+            # to a stopped SparkContext
+            key = (name, spark.sparkContext.applicationId, sf_dir)
             df = _STATEMENTS.get(key)
             if df is None:
                 df = fn(spark, sf_dir)

@@ -59,45 +59,58 @@ class VirtualCube:
         ``valid_measure``: cubes lacking one of the row dimensions aggregate
         without it (ValidMeasure semantics) instead of erroring.
         """
+        # phase 1 — RESOLVE everything against every usage before any
+        # execution: a typo must raise before full aggregate plans run
         parts: list[tuple[DataFrame, list[str]]] = []
-        resolved_anywhere: set[str] = set()
+        resolved_rows: set[str] = set()
+        resolved_where: set[str] = set()
+        plans: list[tuple[object, list[str], list[str]]] = []
         for usage in self.usages:
-            cube = usage.engine.cube
+            probe = Query(usage.engine)
             usable_rows: list[str] = []
             for m in rows:
                 try:
-                    q = Query(usage.engine)
                     # raises QueryError ("MDX object … not found") when the
                     # dimension is missing from this usage's cube
-                    q._resolve(m)
+                    probe._resolve(m)
                     usable_rows.append(m)
-                    resolved_anywhere.add(m)
+                    resolved_rows.add(m)
                 except (KeyError, QueryError):
                     if not valid_measure:
                         raise
-            q = Query(usage.engine)
-            if usable_rows:
-                q.rows(*usable_rows)
-            q.columns(*[f"[Measures].[{name}]" for name in usage.measures])
+            usable_where: list[str] = []
             for w in where or []:
                 try:
-                    q.where(w)
+                    probe._resolve(w)
+                    usable_where.append(w)
+                    resolved_where.add(w)
                 except (KeyError, QueryError):
                     if not valid_measure:
                         raise
-            res = q.execute()
-            group_cols = [c for ax in res.axis_columns for c in ax]
-            parts.append((res.df, group_cols))
-
+            plans.append((usage, usable_rows, usable_where))
         # ValidMeasure tolerates a dimension missing from SOME cubes — a
-        # member that resolves in NO usage is a typo, not a validity gap
-        unresolved = [m for m in rows if m not in resolved_anywhere]
+        # member (row OR slicer) resolving in NO usage is a typo
+        unresolved = [m for m in rows if m not in resolved_rows] + [
+            w for w in (where or []) if w not in resolved_where
+        ]
         if unresolved:
             raise QueryError(
                 f"MDX object {unresolved[0]!r} not found in any cube of "
                 f"virtual cube (usages: "
                 f"{[u.engine.cube.name for u in self.usages]})"
             )
+
+        # phase 2 — execute per usage
+        for usage, usable_rows, usable_where in plans:
+            q = Query(usage.engine)
+            if usable_rows:
+                q.rows(*usable_rows)
+            q.columns(*[f"[Measures].[{name}]" for name in usage.measures])
+            for w in usable_where:
+                q.where(w)
+            res = q.execute()
+            group_cols = [c for ax in res.axis_columns for c in ax]
+            parts.append((res.df, group_cols))
 
         df, cols = parts[0]
         for other, other_cols in parts[1:]:

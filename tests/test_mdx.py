@@ -1759,3 +1759,53 @@ def test_measures_members_listing(engine):
     all_cols = set(allm.measure_columns)
     assert base_cols < all_cols
     assert {"discount_amount", "avg_item_value", "discount_share"} <= all_cols
+
+
+def test_accessor_uniquename_not_rewritten(engine):
+    """Folded accessor literals are masked from the later measure-reference
+    pass: .UniqueName returns the identifier text, never the internal
+    column alias, and .Level.UniqueName doesn't spuriously fail."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[u] AS '[Measures].[Sum Qty].UniqueName'
+             MEMBER [Measures].[lu] AS '[Measures].[Sum Qty].Level.UniqueName'
+        SELECT {[Measures].[u], [Measures].[lu]} ON COLUMNS FROM [Sales]
+        """,
+    )
+    row = r.df.collect()[0]
+    assert row["u"] == "[Measures].[Sum Qty]"
+    assert row["lu"] == "[Measures].[MeasuresLevel]"
+
+
+def test_subselect_keeps_qualifying_null_member(spark):
+    """A genuinely-NULL member key that QUALIFIES a contextual set
+    operation survives the null-safe semi-join (review fix: plain equality
+    would silently drop it)."""
+    from mondrian_olap_spark.model import Cube, Dimension, Level, Measure
+    from mondrian_olap_spark.star import CubeEngine
+
+    fact = spark.createDataFrame(
+        [(None, "g1", 99.0), ("a", "g1", 10.0), ("b", "g2", 5.0)],
+        "cat string, grp string, v double",
+    )
+    cube = Cube(
+        name="N",
+        fact="fact",
+        dimensions=(
+            Dimension(name="Cat", levels=(Level("Cat", "cat", output="cat"),)),
+            Dimension(name="Grp", levels=(Level("Grp", "grp", output="grp"),)),
+        ),
+        measures=(Measure("V", "v", "sum", output="v_sum"),),
+    )
+    eng = CubeEngine(cube, {"fact": fact})
+    rows = (
+        Query(eng)
+        .columns("[Measures].[V]")
+        .rows("[Cat].children")
+        .crossjoin("[Grp].children")
+        .top_count(1, "v_sum")
+        .execute()
+        .df.collect()
+    )
+    assert len(rows) == 1 and rows[0]["cat"] is None and rows[0]["v_sum"] == 99.0

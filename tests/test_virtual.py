@@ -89,3 +89,14 @@ def test_valid_measure_rejects_member_unknown_everywhere(vc):
 
     with pytest.raises(QueryError, match="not found in any cube"):
         vc.aggregate(rows=["[Custmer].children"])
+
+
+def test_valid_measure_rejects_unknown_slicer(vc):
+    """The typo check covers WHERE members too (review fix): a slicer
+    resolving in no usage raises instead of silently unslicing."""
+    import pytest
+
+    from mondrian_olap_spark.query import QueryError
+
+    with pytest.raises(QueryError, match="not found in any cube"):
+        vc.aggregate(rows=["[Customer].children"], where=["[Tme].[1995]"])
