@@ -53,9 +53,16 @@ _DRIVER_CHECKED = frozenset({
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import mondrian_olap_spark.suite_pipeline  # noqa: F401 — registers entries
-    from mondrian_olap_spark.suite import QUERIES
+    from mondrian_olap_spark.suite import ORACLE, QUERIES
 
+    # never-driver-checked entries first (the driver hashes a 50-entry
+    # prefix); among those, entries WITH a bit-exact oracle precede
+    # rows-only ones — a hash-verifiable entry must not lose its prefix
+    # slot to a weak-check entry
     unchecked = {k: v for k, v in QUERIES.items() if k not in _DRIVER_CHECKED}
+    unchecked = dict(
+        sorted(unchecked.items(), key=lambda kv: kv[0] not in ORACLE)
+    )
     checked = {k: v for k, v in QUERIES.items() if k in _DRIVER_CHECKED}
     return {**unchecked, **checked}
 
