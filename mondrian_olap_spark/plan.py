@@ -369,11 +369,12 @@ class Planner:
         # over the already-small sub frame) and fall back to the plain
         # equality join: detail rows keep exact values, totals rows get
         # NULL — the pre-totals-support behavior, never a wrong value.
-        # persist: the probe below and the join both consume this frame —
-        # without it the sub-aggregate lineage would execute twice
-        from pyspark.storagelevel import StorageLevel
-
-        sub = sub.persist(StorageLevel.MEMORY_AND_DISK)
+        # localCheckpoint: the probe below and the join both consume this
+        # frame — eager materialization computes the sub-aggregate once,
+        # and (unlike persist) the blocks are released by the
+        # ContextCleaner when the frame is garbage-collected, so repeated
+        # totals+tuple queries cannot accumulate CacheManager entries
+        sub = sub.localCheckpoint(eager=True)
         dup = (
             sub.groupBy(*sub_cols).count().filter(F.col("count") > 1)
             .limit(1).count()

@@ -55,14 +55,16 @@ _STATEMENTS: dict[tuple, object] = {}
 def q(name: str, oracle: str | None = None):
     def deco(fn):
         def cached(spark, sf_dir):
-            # keyed by applicationId, not id(spark): a freed session's id
-            # can be reused by a NEW session, which would serve plans bound
-            # to a stopped SparkContext
-            key = (name, spark.sparkContext.applicationId, sf_dir)
-            df = _STATEMENTS.get(key)
-            if df is None:
-                df = fn(spark, sf_dir)
-                _STATEMENTS[key] = df
+            # keyed by the session object's id; the entry HOLDS the session
+            # reference, so the id cannot be recycled by a new session
+            # while the entry lives (and sibling sessions of one
+            # application never share plans)
+            key = (name, id(spark), sf_dir)
+            hit = _STATEMENTS.get(key)
+            if hit is not None and hit[0] is spark:
+                return hit[1]
+            df = fn(spark, sf_dir)
+            _STATEMENTS[key] = (spark, df)
             return df
 
         cached.__name__ = fn.__name__

@@ -81,10 +81,21 @@ class VirtualCube:
             usable_where: list[str] = []
             for w in where or []:
                 try:
-                    probe._resolve(w)
+                    ref = probe._resolve(w)
+                    from .members import MeasureRef
+
+                    if isinstance(ref, MeasureRef):
+                        # a measure in the slicer is a USER error, never a
+                        # missing-dimension gap — raise in phase 1
+                        raise QueryError(
+                            f"measures cannot appear in the slicer: {w!r}"
+                        )
                     usable_where.append(w)
                     resolved_where.add(w)
-                except (KeyError, QueryError):
+                except QueryError as e:
+                    if "slicer" in str(e) or not valid_measure:
+                        raise
+                except KeyError:
                     if not valid_measure:
                         raise
             plans.append((usage, usable_rows, usable_where))
