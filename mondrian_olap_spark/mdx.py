@@ -128,6 +128,18 @@ _SET_FUNCTIONS = {
 
 _AXIS_NAMES = {"columns": 0, "rows": 1, "pages": 2, "chapters": 3, "sections": 4}
 
+#: VBA scalar-function names → Spark builtins (names Spark already has —
+#: UCase/LCase/InStr/Chr/Space/Len — pass through untouched)
+_VBA_FN_ALIASES = {
+    "sqr": "sqrt",
+    "mid": "substring",
+    "sgn": "sign",
+    "atn": "atan",
+    "asc": "ascii",
+    "cdbl": "double",
+    "cint": "int",
+}
+
 
 class MdxParser:
     """Recursive-descent parser lowering MDX text onto a Query builder."""
@@ -1363,6 +1375,15 @@ class MdxParser:
             return f"\x00{len(_masked) - 1}\x00"
 
         out = re.sub(r"'(?:[^']|'')*'|\"[^\"]*\"", _mask, out)
+
+        # VBA function names without a same-named Spark builtin
+        # (jar!mondrian/olap/fun/vba/Vba; SURVEY.md §2.7 — UCase/LCase/
+        # InStr/Chr/Space already exist in Spark under their VBA names)
+        out = re.sub(
+            r"(?i)\b(sqr|mid|sgn|atn|asc|cdbl|cint)\s*\(",
+            lambda m: _VBA_FN_ALIASES[m.group(1).lower()] + "(",
+            out,
+        )
 
         def repl_case_name(m: re.Match) -> str:
             # CASE … END.Name returns the winning *member's name* as a

@@ -2250,3 +2250,38 @@ def approx_distinct_parts(spark, sf_dir):
         .execute()
         .df
     )
+
+
+@q(
+    "vba_function_names",
+    f"""
+    SELECT r_name AS region_name, n_name AS nation_name,
+           sum(l_quantity) AS sum_qty,
+           round(sqrt(sum(l_quantity)), 6) AS sqr_qty,
+           substring(n_name, 1, 6) AS mid_name,
+           CAST(sign(sum(l_quantity) - 50000) AS DOUBLE) AS sgn_qty,
+           round(atan(sum(l_quantity) / 10000), 6) AS atn_qty,
+           ascii(n_name) AS asc_first,
+           upper(lower(n_name)) AS roundtrip_name
+    FROM {_CUST_STAR} GROUP BY 1, 2
+    """,
+)
+def vba_function_names(spark, sf_dir):
+    """VBA function NAMES in MDX formulas (jar!mondrian/olap/fun/vba/Vba;
+    SURVEY.md §2.7): Sqr/Mid/Sgn/Atn/Asc alias to Spark builtins at
+    translation time; UCase/LCase pass through (Spark has them natively)."""
+    eng = get_engine(spark, sf_dir)
+    return eng.execute(
+        """
+        WITH MEMBER [Measures].[Sqr Qty] AS 'round(Sqr(sum_qty), 6)'
+             MEMBER [Measures].[Mid Name] AS 'Mid(nation_name, 1, 6)'
+             MEMBER [Measures].[Sgn Qty] AS 'CAST(Sgn(sum_qty - 50000) AS DOUBLE)'
+             MEMBER [Measures].[Atn Qty] AS 'round(Atn(sum_qty / 10000), 6)'
+             MEMBER [Measures].[Asc First] AS 'Asc(nation_name)'
+             MEMBER [Measures].[Roundtrip Name] AS 'UCase(LCase(nation_name))'
+        SELECT {[Measures].[Sum Qty], [Measures].[Sqr Qty], [Measures].[Mid Name],
+                [Measures].[Sgn Qty], [Measures].[Atn Qty], [Measures].[Asc First],
+                [Measures].[Roundtrip Name]} ON COLUMNS,
+               [Customer].[Nation].Members ON ROWS FROM [Sales]
+        """
+    ).df

@@ -1809,3 +1809,20 @@ def test_subselect_keeps_qualifying_null_member(spark):
         .df.collect()
     )
     assert len(rows) == 1 and rows[0]["cat"] is None and rows[0]["v_sum"] == 99.0
+
+
+def test_vba_function_name_aliases(engine):
+    """VBA names without a same-named Spark builtin alias at translation
+    time (vba/Vba): Sqr/Mid/Sgn/Atn/Asc/CDbl/CInt."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[a] AS 'Sqr(16)'
+             MEMBER [Measures].[b] AS 'CInt(CDbl(3))'
+             MEMBER [Measures].[c] AS 'Sgn(-7)'
+        SELECT {[Measures].[a], [Measures].[b], [Measures].[c]} ON COLUMNS
+        FROM [Sales]
+        """,
+    )
+    row = r.df.collect()[0]
+    assert row["a"] == 4.0 and row["b"] == 3 and row["c"] == -1.0
