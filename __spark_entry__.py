@@ -60,8 +60,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows-only ones — a hash-verifiable entry must not lose its prefix
     # slot to a weak-check entry
     unchecked = {k: v for k, v in QUERIES.items() if k not in _DRIVER_CHECKED}
+    # highest-value entries pinned to the very front of the prefix, then
+    # oracle-backed entries, then rows-only ones
+    front = ("multimodal_decode_features", "tuple_case_contextual")
     unchecked = dict(
-        sorted(unchecked.items(), key=lambda kv: kv[0] not in ORACLE)
+        sorted(
+            unchecked.items(),
+            key=lambda kv: (
+                kv[0] not in front,
+                kv[0] not in ORACLE,
+            ),
+        )
     )
     checked = {k: v for k, v in QUERIES.items() if k in _DRIVER_CHECKED}
     return {**unchecked, **checked}
