@@ -2285,3 +2285,67 @@ def vba_function_names(spark, sf_dir):
                [Customer].[Nation].Members ON ROWS FROM [Sales]
         """
     ).df
+
+
+@q(
+    "ragged_hierarchy_members",
+    """
+    WITH rn AS (
+      SELECT r_regionkey, r_name,
+             CASE WHEN n_nationkey % 5 = 0 THEN '' ELSE n_name END AS city
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+    )
+    SELECT r_name AS region_name, city AS city_name
+    FROM rn WHERE city IS NOT NULL AND city <> ''
+    GROUP BY 1, 2
+    """,
+)
+def ragged_hierarchy_members(spark, sf_dir):
+    """Ragged hierarchy via hide_member_if='IfBlankName'
+    (schema.rb:222-230): blank member keys are invisible in member lists;
+    the blanks are injected through a SQL-view table so the shape is
+    driver-checkable on the standard testdata."""
+    from .model import Cube, Dimension, Level, Measure
+    from .sources.registry import with_sql_views
+    from .star import CubeEngine, read_parquet_table
+
+    base = {
+        t: read_parquet_table(spark, f"{sf_dir}/{t}.parquet")
+        for t in ("nation", "region", "supplier")
+    }
+    tables = with_sql_views(
+        spark,
+        base,
+        {
+            "ragged_nation": (
+                "SELECT n_nationkey, n_regionkey, r_name, "
+                "CASE WHEN n_nationkey % 5 = 0 THEN '' ELSE n_name END AS city "
+                "FROM nation JOIN region ON n_regionkey = r_regionkey"
+            )
+        },
+    )
+    cube = Cube(
+        name="Ragged",
+        fact="supplier",
+        dimensions=(
+            Dimension(
+                name="Geo",
+                foreign_key="s_nationkey",
+                table="ragged_nation",
+                primary_key="n_nationkey",
+                levels=(
+                    Level("Region", "r_name", output="region_name"),
+                    Level(
+                        "City", "city", output="city_name",
+                        hide_member_if="IfBlankName",
+                    ),
+                ),
+                guaranteed_small=True,
+            ),
+        ),
+        measures=(
+            Measure("Suppliers", "s_suppkey", "count", output="suppliers"),
+        ),
+    )
+    eng = CubeEngine(cube, tables)
+    return eng.level_members("Geo", 1)
