@@ -2349,3 +2349,40 @@ def ragged_hierarchy_members(spark, sf_dir):
     )
     eng = CubeEngine(cube, tables)
     return eng.level_members("Geo", 1)
+
+
+@q(
+    "format_strings_gate",
+    f"""
+    WITH v AS (
+      SELECT r_name AS region_name,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sp
+      FROM {_CUST_STAR} GROUP BY 1
+    )
+    SELECT region_name,
+           format('{{:,}}', CAST(floor(sp) AS BIGINT)) || '.' ||
+           lpad(CAST(CAST(round((sp - floor(sp)) * 100) AS INT) AS VARCHAR), 2, '0')
+             AS pretty_price
+    FROM v
+    """,
+)
+def format_strings_gate(spark, sf_dir):
+    """VBA format strings in the driver gate (jar!mondrian/util/Format;
+    formats.py): '#,##0.00' formatting of exact-decimal sums compared
+    against DuckDB's fmt-library rendering of the same doubles.
+    Formatting is a driver-side presentation concern, so the formatted
+    grid re-enters Spark as a literal DataFrame for the comparison."""
+    from .formats import format_value
+
+    eng = get_engine(spark, sf_dir)
+    r = (
+        Query(eng)
+        .columns("[Measures].[Sum Price]")
+        .rows("[Customer].[Region].Members")
+        .execute()
+    )
+    data = [
+        (x["region_name"], format_value(x["sum_price"], "#,##0.00"))
+        for x in r.df.collect()
+    ]
+    return spark.createDataFrame(data, "region_name string, pretty_price string")
