@@ -67,7 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sorted(
             unchecked.items(),
             key=lambda kv: (
-                kv[0] not in front,
+                front.index(kv[0]) if kv[0] in front else len(front),
                 kv[0] not in ORACLE,
             ),
         )

@@ -133,12 +133,33 @@ _AXIS_NAMES = {"columns": 0, "rows": 1, "pages": 2, "chapters": 3, "sections": 4
 _VBA_FN_ALIASES = {
     "sqr": "sqrt",
     "mid": "substring",
-    "sgn": "sign",
     "atn": "atan",
     "asc": "ascii",
     "cdbl": "double",
-    "cint": "int",
 }
+
+
+def _rewrite_call(text: str, name: str, open_repl: str, close_repl: str) -> str:
+    """Paren-aware ``NAME(args)`` → ``open_repl args close_repl`` — for VBA
+    functions whose Spark equivalent needs wrapping, not just renaming."""
+    pat = re.compile(rf"(?i)\b{name}\s*\(")
+    out: list[str] = []
+    i = 0
+    while True:
+        m = pat.search(text, i)
+        if not m:
+            out.append(text[i:])
+            return "".join(out)
+        out.append(text[i : m.start()])
+        depth, j = 1, m.end()
+        while j < len(text) and depth:
+            if text[j] == "(":
+                depth += 1
+            elif text[j] == ")":
+                depth -= 1
+            j += 1
+        out.append(open_repl + text[m.end() : j - 1] + close_repl)
+        i = j
 
 
 class MdxParser:
@@ -1380,10 +1401,15 @@ class MdxParser:
         # (jar!mondrian/olap/fun/vba/Vba; SURVEY.md §2.7 — UCase/LCase/
         # InStr/Chr/Space already exist in Spark under their VBA names)
         out = re.sub(
-            r"(?i)\b(sqr|mid|sgn|atn|asc|cdbl|cint)\s*\(",
+            r"(?i)\b(sqr|mid|atn|asc|cdbl)\s*\(",
             lambda m: _VBA_FN_ALIASES[m.group(1).lower()] + "(",
             out,
         )
+        # CInt ROUNDS (half-to-even, per the reference Vba.cInt) — a bare
+        # int() cast would truncate; Sgn returns Integer, Spark sign()
+        # returns double — both need wrapping, not renaming
+        out = _rewrite_call(out, "cint", "int(bround(", "))")
+        out = _rewrite_call(out, "sgn", "cast(sign(", ") as int)")
 
         def repl_case_name(m: re.Match) -> str:
             # CASE … END.Name returns the winning *member's name* as a

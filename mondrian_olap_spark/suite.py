@@ -2259,7 +2259,7 @@ def approx_distinct_parts(spark, sf_dir):
            sum(l_quantity) AS sum_qty,
            round(sqrt(sum(l_quantity)), 6) AS sqr_qty,
            substring(n_name, 1, 6) AS mid_name,
-           CAST(sign(sum(l_quantity) - 50000) AS DOUBLE) AS sgn_qty,
+           CAST(sign(sum(l_quantity) - 50000) AS INT) AS sgn_qty,
            round(atan(sum(l_quantity) / 10000), 6) AS atn_qty,
            ascii(n_name) AS asc_first,
            upper(lower(n_name)) AS roundtrip_name
@@ -2275,7 +2275,7 @@ def vba_function_names(spark, sf_dir):
         """
         WITH MEMBER [Measures].[Sqr Qty] AS 'round(Sqr(sum_qty), 6)'
              MEMBER [Measures].[Mid Name] AS 'Mid(nation_name, 1, 6)'
-             MEMBER [Measures].[Sgn Qty] AS 'CAST(Sgn(sum_qty - 50000) AS DOUBLE)'
+             MEMBER [Measures].[Sgn Qty] AS 'Sgn(sum_qty - 50000)'
              MEMBER [Measures].[Atn Qty] AS 'round(Atn(sum_qty / 10000), 6)'
              MEMBER [Measures].[Asc First] AS 'Asc(nation_name)'
              MEMBER [Measures].[Roundtrip Name] AS 'UCase(LCase(nation_name))'

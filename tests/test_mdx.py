@@ -1820,9 +1820,16 @@ def test_vba_function_name_aliases(engine):
         WITH MEMBER [Measures].[a] AS 'Sqr(16)'
              MEMBER [Measures].[b] AS 'CInt(CDbl(3))'
              MEMBER [Measures].[c] AS 'Sgn(-7)'
-        SELECT {[Measures].[a], [Measures].[b], [Measures].[c]} ON COLUMNS
+             MEMBER [Measures].[d] AS 'CInt(2.6)'
+             MEMBER [Measures].[e] AS 'CInt(2.5)'
+             MEMBER [Measures].[f] AS 'CInt(0 - 2.6)'
+        SELECT {[Measures].[a], [Measures].[b], [Measures].[c],
+                [Measures].[d], [Measures].[e], [Measures].[f]} ON COLUMNS
         FROM [Sales]
         """,
     )
     row = r.df.collect()[0]
-    assert row["a"] == 4.0 and row["b"] == 3 and row["c"] == -1.0
+    assert row["a"] == 4.0 and row["b"] == 3
+    # Sgn returns INTEGER (Vba.sgn), CInt ROUNDS half-to-even (Vba.cInt)
+    assert row["c"] == -1 and isinstance(row["c"], int)
+    assert row["d"] == 3 and row["e"] == 2 and row["f"] == -3
