@@ -2386,3 +2386,42 @@ def format_strings_gate(spark, sf_dir):
         for x in r.df.collect()
     ]
     return spark.createDataFrame(data, "region_name string, pretty_price string")
+
+
+@q(
+    "aggregate_routing_gate",
+    f"""
+    SELECT r_name AS region_name, sum(l_quantity) AS sum_qty
+    FROM {_CUST_STAR} GROUP BY 1
+    """,
+)
+def aggregate_routing_gate(spark, sf_dir):
+    """Aggregate-table ROUTING in the driver gate (AggName matcher analog,
+    schema.rb:374-414): a nation-grain summary is materialized (eager
+    localCheckpoint cuts the fact lineage) and registered; the
+    region-grain query must roll up from the summary — the plan never
+    rescans the fact — and still hash-match the fact-derived oracle."""
+    from .star import engine_from_parquet
+    from .tpch import SCHEMA
+
+    eng = engine_from_parquet(spark, SCHEMA, "Sales", sf_dir)
+    summary = (
+        Query(eng)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].[Nation].Members")
+        .execute()
+        .df.localCheckpoint(eager=True)
+    )
+    eng.register_aggregate(
+        summary, ["region_name", "nation_name"], {"sum_qty": "sum"}
+    )
+    routed = (
+        Query(eng)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].[Region].Members")
+        .execute()
+        .df
+    )
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem" not in plan, "query was not served from the summary"
+    return routed
