@@ -24,12 +24,34 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["flagship_region_quarter"](spark, "/root/testdata/sf0.001")
 
 
-#: entries already hash-verified by the driver in rounds 1-2 (green in
-#: CORRECTNESS_r01/r02).  The driver checks a 50-entry prefix of this dict,
-#: so never-yet-checked entries are listed FIRST to rotate them through the
-#: gate; the previously-green entries keep full local coverage via
-#: tools/check_oracle.py --exact (the driver-gate mirror).
+#: entries already hash-verified GREEN by the driver in rounds 1-3.  The
+#: driver checks a 50-entry prefix of this dict, so never-yet-checked (or
+#: previously-red, now fixed) entries are listed FIRST to rotate them
+#: through the gate; the previously-green entries keep full local coverage
+#: via tools/check_oracle.py --exact (the driver-gate mirror).
 _DRIVER_CHECKED = frozenset({
+    # round 3 greens (CORRECTNESS_r03.json; the 3 red rows are excluded —
+    # their typing fixes need a fresh driver hash)
+    "multimodal_decode_features", "tuple_case_contextual",
+    "nested_filter_crossjoin", "exists_customers_q1", "mixed_depth_axis",
+    "filter_nonempty_grid", "filter_last_regions", "generate_children_drill",
+    "pages_axis_3d", "weekly_hierarchy_totals", "currentdate_member",
+    "dimension_calc_member_mdx", "drilldown_level_top",
+    "dimension_formula_member", "member_range_years",
+    "drilldown_operator_month", "member_captions_suppliers",
+    "namedset_rank_filter", "toggle_drill_state_year", "drillthrough_grouped",
+    "linreg_variance_point", "matches_regex_filter", "extract_hierarchy",
+    "sql_view_fact", "descendants_months_mdx", "object_accessor_metadata",
+    "strtotuple_slicer", "locale_caption_members",
+    "family_navigation_firstchild", "parameter_scaled_measure",
+    "tuple_item_name", "measures_allmembers", "vba_function_names",
+    "ragged_hierarchy_members", "format_strings_gate",
+    "aggregate_routing_gate", "dedup_exact_fingerprint",
+    "dedup_ngram_jaccard_pairs", "dedup_minhash_lsh_pairs",
+    "dedup_simhash_pairs", "embed_cosine_topk", "embed_neardup_pairs",
+    "text_langid_distribution", "text_winnowing_fingerprints",
+    "dedup_keep_list", "embed_ivf_topk", "pipeline_split_counts",
+    # rounds 1-2 greens
     "flagship_region_quarter", "pricing_summary_flags", "slicer_multi_member_in",
     "slicer_cross_dim_tuple", "crossjoin_nation_priority",
     "nonempty_crossjoin_nation_brand", "rollup_region_nation", "cube_flags_totals",
@@ -60,9 +82,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows-only ones — a hash-verifiable entry must not lose its prefix
     # slot to a weak-check entry
     unchecked = {k: v for k, v in QUERIES.items() if k not in _DRIVER_CHECKED}
-    # highest-value entries pinned to the very front of the prefix, then
-    # oracle-backed entries, then rows-only ones
-    front = ("multimodal_decode_features", "tuple_case_contextual")
+    # highest-value entries pinned to the very front of the prefix: the 3
+    # round-3 hash-fails (typing fixed this round, need a fresh green), then
+    # the 5 entries that have never been in a driver prefix
+    front = (
+        "text_quality_features", "text_stats_by_source",
+        "pipeline_deterministic_sample", "text_pii_redaction",
+        "text_quality_filter", "embed_dedup_keep_list", "text_token_counts",
+        "approx_distinct_parts",
+    )
     unchecked = dict(
         sorted(
             unchecked.items(),

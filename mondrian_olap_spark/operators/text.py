@@ -71,12 +71,15 @@ def text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     for name, e in exprs.items():
         out = out.withColumn(name, F.expr(e))
     # composite quality score: length saturation + stopword density +
-    # punctuation cleanliness (weights are arbitrary but fixed)
+    # punctuation cleanliness (weights are arbitrary but fixed).  Emitted as
+    # DOUBLE: the internal arithmetic is DECIMAL (exact), but DuckDB's
+    # round() yields DOUBLE here, and Decimal('0.378000') vs 0.378
+    # stringify differently under the driver's value hash.
     out = out.withColumn(
         "quality_score",
         F.expr(
-            "round(least(1.0, n_tokens / 100.0) * 0.4 + stopword_ratio * 0.4 "
-            "+ (1.0 - punct_ratio) * 0.2, 6)"
+            "cast(round(least(1.0, n_tokens / 100.0) * 0.4 + stopword_ratio * 0.4 "
+            "+ (1.0 - punct_ratio) * 0.2, 6) as double)"
         ),
     )
     # bag-of-words fingerprint: order-insensitive content identity (md5 of

@@ -196,7 +196,7 @@ _QUALITY_SQL = f"""
     "text_quality_features",
     f"""
     SELECT doc_id, len({_DOC_TOKS}) AS n_tokens,
-           {_QUALITY_SQL} AS quality_score,
+           CAST({_QUALITY_SQL} AS DOUBLE) AS quality_score,
            md5(array_to_string(list_sort(list_distinct({_DOC_TOKS})), ' '))
              AS bag_fingerprint,
            {_LANG_SQL} AS lang_guess
@@ -225,17 +225,21 @@ def text_langid_distribution(spark, sf_dir):
 @q(
     "text_stats_by_source",
     f"""
-    SELECT source, sum(len({_DOC_TOKS})) AS total_tokens,
-           round(avg({_QUALITY_SQL}), 6) AS avg_quality,
+    SELECT source, CAST(sum(len({_DOC_TOKS})) AS BIGINT) AS total_tokens,
+           CAST(round(avg({_QUALITY_SQL}), 6) AS DOUBLE) AS avg_quality,
            count(*) AS n_docs
     FROM documents GROUP BY 1
     """,
 )
 def text_stats_by_source(spark, sf_dir):
+    # DuckDB sum(BIGINT) is HUGEINT and round() over decimal avg is DECIMAL —
+    # both stringify differently under the driver's value hash, so the oracle
+    # casts to BIGINT/DOUBLE and the Spark side matches (sum(int)=BIGINT,
+    # avg(double)=DOUBLE natively).
     df = text.text_features(_docs(spark, sf_dir))
     return df.groupBy("source").agg(
         F.sum("n_tokens").alias("total_tokens"),
-        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+        F.round(F.avg("quality_score"), 6).cast("double").alias("avg_quality"),
         F.count("*").alias("n_docs"),
     )
 
@@ -371,7 +375,7 @@ def pipeline_split_counts(spark, sf_dir):
 @q(
     "pipeline_deterministic_sample",
     f"""
-    SELECT source, count(*) AS n_docs, sum(doc_id) AS id_sum
+    SELECT source, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
     FROM documents
     WHERE {sampling.bucket_sql("doc_id", "sample")} < 2000
     GROUP BY 1

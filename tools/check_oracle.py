@@ -25,26 +25,37 @@ TABLES = (
 ).split()
 
 
-#: --exact: normalize floats at full precision (repr round-trip) — a proxy
-#: for the driver's value *hash*, which is stricter than the tolerance
-#: compare below.  Queries that pass --exact are bit-deterministic.
+#: --exact: a proxy for the driver's value *hash*, which stringifies values
+#: WITHOUT numeric coercion — so Decimal('0.378000') vs float 0.378 and
+#: int vs float are mismatches, exactly as they are at the driver.  Queries
+#: that pass --exact are bit-deterministic AND type-aligned.
 EXACT = False
 
 
 def norm(v):
+    import decimal
+
     if v is None:
         return (0, "")
     if isinstance(v, bool):
         return (1, str(int(v)))
+    if EXACT:
+        # preserve native types: the driver hashes the stringified value, so
+        # a Decimal-vs-float or int-vs-float divergence must FAIL here too
+        if isinstance(v, float):
+            return (2, "nan" if math.isnan(v) else repr(v))
+        if isinstance(v, int):
+            return (4, str(v))
+        if isinstance(v, decimal.Decimal):
+            return (5, str(v))
+        return (3, str(v))
     if isinstance(v, float):
         if math.isnan(v):
             return (2, "nan")
-        return (2, repr(v) if EXACT else f"{v:.6g}")
+        return (2, f"{v:.6g}")
     try:
         f = float(v)
-        if isinstance(v, int) or f == int(f):
-            return (2, repr(f) if EXACT else f"{f:.6g}")
-        return (2, repr(f) if EXACT else f"{f:.6g}")
+        return (2, f"{f:.6g}")
     except (TypeError, ValueError):
         return (3, str(v))
 
@@ -119,14 +130,22 @@ def main():
             skipped += 1
             continue
         try:
-            res = con.execute(sql)
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            rel = con.sql(sql)
+            dcols = list(rel.columns)
+            dtypes = [str(t).upper() for t in rel.types]
+            drows = rel.fetchall()
         except Exception:
             print(f"FAIL {name}: duckdb error\n{traceback.format_exc()}")
             failed += 1
             continue
         err = compare(srows, scols, drows, dcols)
+        if err is None and EXACT:
+            # the driver materialises the DuckDB side through pandas, where
+            # HUGEINT becomes float64 ("5.0" vs Spark's "5") — fetchall()
+            # can't see that, so flag the column type itself
+            huge = [c for c, t in zip(dcols, dtypes) if t == "HUGEINT"]
+            if huge:
+                err = f"ORACLE-TYPE HUGEINT column(s) {huge} — CAST to BIGINT"
         if err:
             print(f"FAIL {name}: {err} [{time.time()-t0:.1f}s]")
             failed += 1
