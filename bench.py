@@ -84,9 +84,33 @@ def main() -> None:
             spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
             spark.conf.set("spark.sql.files.openCostInBytes", str(4 * 1024 * 1024))
 
-    # two passes, per-query min: measures warm steady-state throughput and
-    # damps JIT/GC noise (single-JVM local mode)
-    timings: dict[str, float] = {}
+    def _flush_caches() -> None:
+        """Drop every engine-level cache so the next run rebuilds the plan
+        and re-reads the fact table: statement cache (analyzed DataFrames),
+        aggregate caches (persisted cell segments), and any other persisted
+        intermediates.  The JVM stays warm — cold here means cold PLAN, the
+        measurement that reflects plan quality at scale."""
+        from mondrian_olap_spark import suite, tpch
+
+        suite._STATEMENTS.clear()
+        for eng in tpch._ENGINES.values():
+            eng.flush_schema_cache()
+        spark.catalog.clearCache()
+
+    # Pass 1 — COLD: caches flushed before every query; times plan build +
+    # full execution (what a first-run query costs, the number that scales
+    # with data volume).  Passes 2-3 — WARM: per-query min with caches on,
+    # the reference's measurement convention (Mondrian's warm repeat query
+    # does 0 SQL — BASELINE.md).
+    cold: dict[str, float] = {}
+    warm: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        _tune_splits(name)
+        _flush_caches()
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).collect()
+        cold[name] = round(time.perf_counter() - t0, 3)
     for _ in range(2):
         for name in HEADLINE:
             fn = QUERIES[name]
@@ -94,7 +118,7 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, SF_DIR).collect()
             dt = round(time.perf_counter() - t0, 3)
-            timings[name] = min(timings.get(name, dt), dt)
+            warm[name] = min(warm.get(name, dt), dt)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -104,10 +128,15 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline-query wall time (warm JVM, local Spark)",
-                "value": round(sum(timings.values()), 3),
+                "metric": (
+                    "headline-query wall time (warm-cache steady state; "
+                    "cold = fresh plans + flushed caches, warm JVM)"
+                ),
+                "value": round(sum(warm.values()), 3),
                 "unit": "sec",
-                "queries": timings,
+                "queries": warm,
+                "cold_value": round(sum(cold.values()), 3),
+                "cold_queries": cold,
                 "sf": sf_val,
             }
         )
