@@ -158,7 +158,10 @@ def _rewrite_call(text: str, name: str, open_repl: str, close_repl: str) -> str:
             elif text[j] == ")":
                 depth -= 1
             j += 1
-        out.append(open_repl + text[m.end() : j - 1] + close_repl)
+        # recurse into the argument segment: Sgn(a + Sgn(b)) must rewrite
+        # the inner call too (search resumes at j, which skips it)
+        arg = _rewrite_call(text[m.end() : j - 1], name, open_repl, close_repl)
+        out.append(open_repl + arg + close_repl)
         i = j
 
 
@@ -1293,6 +1296,24 @@ class MdxParser:
                 return None
             member_path = rest
             level_idx = len(rest) - 1
+        if member_path is not None:
+            # validate existence BEFORE folding anything, like the measure
+            # branch: [Customer].[Bogus].Name (or .Dimension.Name etc.)
+            # must raise the reference's member-not-found error, not fold
+            # to a plausible constant.  Query-scoped WITH members on this
+            # dimension are exempt — not in the data by construction.
+            # ≤1-row probe sharing level_members' visibility rules.
+            is_query_member = any(
+                dm[1].lower() == member_path[-1].lower()
+                for dm in self.q._dim_members
+            )
+            if not is_query_member and not self.engine.member_exists(
+                dim.name, level_idx, tuple(member_path)
+            ):
+                raise MdxError(
+                    f"MDX object '{uname([dim.name, *member_path])}' not "
+                    f"found in cube '{self.cube.name}'"
+                )
         if obj in ("dimension", "hierarchy"):
             return {
                 "name": s(dim.name),
@@ -1488,10 +1509,59 @@ class MdxParser:
             repl_case_item_name,
             out,
         )
+
+        def repl_case_item_value(m: re.Match) -> str:
+            # bare CASE … END.Item(i) as a VALUE (mondrian_test.rb:361-380
+            # family): the winning branch's i-th tuple component evaluated
+            # as a cell value in the current context.  A [Measures]
+            # component becomes that measure's reference; any other member
+            # becomes a single-member tuple scalar (implicit current
+            # measure → the cube's default measure).  A bare member
+            # coerces to a 1-tuple; scalar branches pass through unchanged
+            # (scalar.Item(i) = the scalar, Mondrian's scalar coercion).
+            from .members import parse_identifier
+
+            inner, idx = m.group(1), int(m.group(2))
+
+            def repl_result(rm: re.Match) -> str:
+                body = rm.group(2)
+                stripped = body.strip()
+                trail = body[len(body.rstrip()):]
+                if re.fullmatch(
+                    r"\(\s*" + _id_pat + r"(?:\s*,\s*" + _id_pat + r")*\s*\)",
+                    stripped,
+                ):
+                    parts = re.findall(_id_pat, stripped)
+                elif re.fullmatch(_id_pat, stripped):
+                    parts = [stripped]
+                else:
+                    return rm.group(0)  # scalar branch — value is itself
+                if idx >= len(parts):
+                    raise MdxError(
+                        f"Item({idx}): CASE result tuple has only "
+                        f"{len(parts)} component(s)"
+                    )
+                comp = parts[idx]
+                if parse_identifier(comp)[0].lower() == "measures":
+                    return rm.group(1) + comp + trail
+                return rm.group(1) + "(" + comp + ")" + trail
+
+            return re.sub(
+                r"(?is)\b(THEN\s+|ELSE\s+)(.*?)(?=\bWHEN\b|\bELSE\b|\bEND\b)",
+                repl_result,
+                inner,
+            )
+
+        out = re.sub(
+            r"(?is)(\bCASE\b(?:(?!\bCASE\b|\bEND\b).)*\bEND\b)\s*\.\s*"
+            r"Item\s*\(\s*(\d+)\s*\)(?!\s*\.)",
+            repl_case_item_value,
+            out,
+        )
         if re.search(r"(?is)\bEND\s*\.\s*Item\b", out):
             raise MdxError(
-                "CASE … END.Item(i) is supported only with a .Name suffix "
-                "in this subset"
+                "CASE … END.Item(i): only .Name / bare-value suffixes over "
+                "non-nested CASE expressions are supported in this subset"
             )
 
         def repl_expr_dimensions(m: re.Match) -> str:
@@ -1575,20 +1645,21 @@ class MdxParser:
                     measure_name = segs[1]
                 else:
                     members.append(p)
-            if measure_name is None:
-                raise MdxError(
-                    "a tuple used as a value needs an explicit [Measures] "
-                    "component in this subset"
-                )
             if not members:
                 return m.group(0)  # ([Measures].[X]) — plain parenthesized
+            # implicit current measure (no [Measures] component): the
+            # Measures hierarchy's default member resolves the context,
+            # like Mondrian's unpinned-Measures evaluation (Cube
+            # defaultMeasure — schema.rb:61; falls back to the first
+            # stored measure).  measure_name None is the marker; the
+            # query layer substitutes cube.default_measure_obj().
             key = (
-                measure_name.lower(),
+                measure_name.lower() if measure_name else None,
                 tuple(re.sub(r"\s", "", mm).lower() for mm in members),
             )
             for prior_out, prior_name, prior_members in self.q._tuple_scalars:
                 prior_key = (
-                    prior_name.lower(),
+                    prior_name.lower() if prior_name else None,
                     tuple(
                         re.sub(r"\s", "", mm).lower() for mm in prior_members
                     ),
@@ -1603,9 +1674,11 @@ class MdxParser:
 
         # the lookbehind keeps function CALLS out: in ``Fn([A].[B], [C].[D])``
         # the char before ``(`` is part of the function name, so the
-        # parenthesized argument list is not a tuple literal
+        # parenthesized argument list is not a tuple literal.  Single-member
+        # tuples ``([Gender].[F])`` lower too (implicit current measure);
+        # ``([Measures].[X])`` falls through repl_tuple unchanged.
         out = re.sub(
-            r"(?<![\w\]])\(\s*" + _id_pat + r"(?:\s*,\s*" + _id_pat + r")+\s*\)",
+            r"(?<![\w\]])\(\s*" + _id_pat + r"(?:\s*,\s*" + _id_pat + r")*\s*\)",
             repl_tuple,
             out,
         )

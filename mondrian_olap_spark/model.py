@@ -303,6 +303,11 @@ class Cube:
     #: localized display captions: (locale, caption) pairs
     caption_locales: tuple[tuple[str, str], ...] = ()
     annotations: tuple[tuple[str, str], ...] = ()
+    #: Measures-hierarchy default member (``Cube defaultMeasure`` —
+    #: schema.rb:61,348; test/schema_definition_test.rb:46-69).  Resolves
+    #: value expressions whose Measures context is unpinned, e.g. a tuple
+    #: scalar with no [Measures] component.  None → first stored measure.
+    default_measure: str | None = None
 
     def __post_init__(self) -> None:
         seen: set[str] = set()
@@ -338,6 +343,22 @@ class Cube:
             if m.name.lower() == name.lower():
                 return m
         raise KeyError(f"cube {self.name!r} has no measure {name!r}")
+
+    def default_measure_obj(self) -> Measure:
+        """The Measures hierarchy's default member: the declared
+        ``default_measure`` or the first stored measure (Mondrian's
+        fallback when ``defaultMeasure`` is absent)."""
+        if self.default_measure is not None:
+            m = self.measure(self.default_measure)
+            if isinstance(m, Measure):
+                return m
+            raise ValueError(
+                f"cube {self.name!r}: default_measure {self.default_measure!r} "
+                "must be a stored measure"
+            )
+        if not self.measures:
+            raise ValueError(f"cube {self.name!r} has no stored measures")
+        return self.measures[0]
 
 
 @dataclass(frozen=True)

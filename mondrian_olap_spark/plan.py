@@ -360,7 +360,19 @@ class Planner:
         if not sub_cols:
             return agg.crossJoin(F.broadcast(sub))
         if totals is None:
-            return agg.join(F.broadcast(sub), on=sub_cols, how="left")
+            # null-safe equality: a grid row whose member key is genuinely
+            # NULL in the data must still find its matching NULL-keyed sub
+            # row (same semantics as query._apply_subselect's null-safe
+            # semi-join).  No totals → no rollup-marker NULLs → no
+            # collision risk, so eqNullSafe is always safe here.
+            g, t = agg.alias("__grid"), sub.alias("__tup")
+            cond = None
+            for c in sub_cols:
+                e = F.col(f"__grid.{c}").eqNullSafe(F.col(f"__tup.{c}"))
+                cond = e if cond is None else (cond & e)
+            joined = g.join(F.broadcast(t), on=cond, how="left")
+            keep = [F.col(f"__grid.{c}") for c in agg.columns] + [F.col(out)]
+            return joined.select(*keep)
         # Totals mode: super-aggregate rows carry NULL keys, so the join
         # must be null-safe.  But a GENUINE NULL member key in the data
         # collides with the rollup marker (two sub rows share one key

@@ -787,7 +787,15 @@ class Query:
             pass  # pure member query
         tuple_specs = []
         for out, mname, member_strs in self._tuple_scalars:
-            measure = self._measure(mname)
+            # mname None = tuple with no [Measures] component: the Measures
+            # context is unpinned, so the hierarchy's default member
+            # resolves it (Cube defaultMeasure — schema.rb:61; Mondrian
+            # evaluates the default measure when Measures is never
+            # overridden on an axis or slicer)
+            if mname is None:
+                measure = self.cube.default_measure_obj()
+            else:
+                measure = self._measure(mname)
             refs = []
             for mstr in member_strs:
                 ref = self._resolve(mstr)

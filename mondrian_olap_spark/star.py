@@ -681,6 +681,15 @@ class CubeEngine:
         ).count()
         return int(before)
 
+    def member_exists(self, dim_name: str, depth: int, path: tuple) -> bool:
+        """1-row existence probe for a full member path (accessor-fold
+        validation: a typo'd member must raise the reference's
+        member-not-found error, not fold to a plausible constant).  Shares
+        ``_member_keys_at``'s role/ragged visibility rules; ≤1 row reaches
+        the driver."""
+        df = self._member_keys_at(dim_name, depth, tuple(path[:-1]))
+        return df.filter(F.col("k") == F.lit(path[-1])).limit(1).count() > 0
+
     def member_at_position(
         self, dim_name: str, depth: int, parent_path: tuple, position: int
     ):

@@ -14,6 +14,7 @@ hashing).
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -48,8 +49,11 @@ _SUPP_STAR = (
 #: instead of rebuilding the expression tree with fresh exprIds (which
 #: defeats the JVM codegen cache and recompiles ~0.5-1 s of Janino per
 #: decimal-heavy query).  Inputs are immutable parquet, so the plan is
-#: valid for the session's lifetime.
-_STATEMENTS: dict[tuple, object] = {}
+#: valid for the session's lifetime.  Bounded LRU: stale-session entries
+#: are evicted on sight and the size is capped, so long-lived processes
+#: creating many sessions cannot leak sessions or plans.
+_STATEMENTS: "OrderedDict[tuple, tuple]" = OrderedDict()
+_STATEMENTS_MAX = 256
 
 
 def q(name: str, oracle: str | None = None):
@@ -61,10 +65,17 @@ def q(name: str, oracle: str | None = None):
             # application never share plans)
             key = (name, id(spark), sf_dir)
             hit = _STATEMENTS.get(key)
-            if hit is not None and hit[0] is spark:
-                return hit[1]
+            if hit is not None:
+                if hit[0] is spark:
+                    _STATEMENTS.move_to_end(key)
+                    return hit[1]
+                # a dead session's plan: drop it so the session object is
+                # released instead of pinned for the process lifetime
+                del _STATEMENTS[key]
             df = fn(spark, sf_dir)
             _STATEMENTS[key] = (spark, df)
+            while len(_STATEMENTS) > _STATEMENTS_MAX:
+                _STATEMENTS.popitem(last=False)
             return df
 
         cached.__name__ = fn.__name__
@@ -2034,6 +2045,41 @@ def tuple_case_contextual(spark, sf_dir):
                 THEN ([Measures].[Sum Qty], [Customer].[ASIA])
                 ELSE ([Measures].[Sum Qty], [Customer].[AFRICA]) END'
         SELECT {[Measures].[Sum Qty], [Measures].[Asia Or Africa]} ON COLUMNS,
+               [Time].[Year].Members ON ROWS FROM [Sales]
+        """
+    ).df
+
+
+@q(
+    "tuple_item_implicit_measure",
+    f"""
+    WITH star AS (
+      SELECT year(o_orderdate) AS y, l_quantity, r_name FROM {_CUST_STAR}
+    ),
+    base AS (SELECT y AS o_year, sum(l_quantity) AS sum_qty FROM star GROUP BY 1),
+    asia AS (SELECT y AS o_year, sum(l_quantity) AS q FROM star WHERE r_name = 'ASIA' GROUP BY 1)
+    SELECT b.o_year, b.sum_qty,
+           a.q AS implicit_asia,
+           b.sum_qty AS picked_qty
+    FROM base b LEFT JOIN asia a USING (o_year)
+    """,
+)
+def tuple_item_implicit_measure(spark, sf_dir):
+    """The last two MDX-surface gaps in one grid (mondrian_test.rb:361-397
+    family): a tuple with NO [Measures] component — ([Customer].[ASIA]) —
+    resolves its Measures context via the cube's default measure (Sum Qty;
+    Cube defaultMeasure, schema.rb:61), and a bare CASE … END.Item(0) used
+    as a VALUE evaluates the winning branch's indexed tuple component as a
+    cell value in the per-row context."""
+    eng = get_engine(spark, sf_dir)
+    return eng.execute(
+        """
+        WITH MEMBER [Measures].[Implicit Asia] AS '([Customer].[ASIA])'
+             MEMBER [Measures].[Picked Qty] AS
+          'CASE 1 WHEN 1 THEN ([Measures].[Sum Qty], [Customer].[EUROPE])
+                  ELSE ([Measures].[Count Order], [Customer].[AFRICA]) END.Item(0)'
+        SELECT {[Measures].[Sum Qty], [Measures].[Implicit Asia],
+                [Measures].[Picked Qty]} ON COLUMNS,
                [Time].[Year].Members ON ROWS FROM [Sales]
         """
     ).df

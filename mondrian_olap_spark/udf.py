@@ -65,17 +65,21 @@ def _elementwise_over_batches(fn: Callable) -> Callable:
     the Arrow batch path (saves the per-row serialization even though the
     Python call itself stays per-element).
 
-    Missing values are delivered as Python ``None``, matching what a
-    row-at-a-time UDF would pass — pandas would otherwise hand the
-    callable ``NaN``, silently breaking ``x is None`` guards in callables
-    written against the old default."""
+    Missing values are delivered as Python ``None`` and numpy scalars as
+    Python natives (``np.int64`` is NOT an ``int`` subclass), matching
+    exactly what a row-at-a-time UDF would pass — otherwise an existing
+    callable guarded by ``isinstance(x, int)`` or ``x is None`` silently
+    misbehaves under the vectorized default."""
+    import numpy as np
     import pandas as pd
 
     def _clean(v):
         if v is None:
             return None
+        if isinstance(v, np.generic):
+            v = v.item()
         try:
-            if v != v:  # NaN/NaT without importing numpy
+            if v != v:  # NaN/NaT
                 return None
         except Exception:
             pass
@@ -86,7 +90,11 @@ def _elementwise_over_batches(fn: Callable) -> Callable:
     def _batched(*cols):
         if len(cols) == 1:
             col = cols[0]
-            return col.astype(object).where(col.notna(), None).map(fn)
+            return (
+                col.astype(object)
+                .where(col.notna(), None)
+                .map(lambda v: fn(_clean(v)))
+            )
         return pd.Series(
             [fn(*(_clean(v) for v in vals)) for vals in zip(*cols)]
         )

@@ -1113,15 +1113,62 @@ def test_tuple_scalar_contextual_measure(engine):
         assert rows[x["o_year"]]["sum_qty"] >= x["sum_qty"]
 
 
-def test_case_item_without_name_raises(engine):
+def test_case_item_bare_value(engine):
+    """Bare CASE … END.Item(i) as a VALUE (mondrian_test.rb:361-380 family,
+    STATUS gap 3): the winning branch's i-th component evaluated as a cell
+    value — a measure component yields that measure, a non-measure member
+    coerces to a 1-tuple under the implicit (default) measure, a scalar
+    branch passes through."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[one] AS '1'
+             MEMBER [Measures].[two] AS '2'
+             MEMBER [Measures].[C1] AS 'CASE 1 WHEN 1 THEN ([Measures].[one], [Customer].[ASIA]) ELSE ([Measures].[two], [Customer].[AFRICA]) END.Item(0)'
+             MEMBER [Measures].[C2] AS 'CASE 2 WHEN 1 THEN ([Measures].[one], [Customer].[ASIA]) ELSE ([Measures].[two], [Customer].[AFRICA]) END.Item(0)'
+             MEMBER [Measures].[C3] AS 'CASE 1 WHEN 1 THEN [Customer].[ASIA] ELSE [Customer].[EUROPE] END.Item(0)'
+             MEMBER [Measures].[C4] AS 'CASE 2 WHEN 1 THEN ([Measures].[one], [Customer].[ASIA]) ELSE 7 END.Item(0)'
+        SELECT {[Measures].[C1], [Measures].[C2], [Measures].[C3], [Measures].[C4]} ON COLUMNS FROM [Sales]
+        """,
+    )
+    row = r.df.collect()[0]
+    asia_qty = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS FROM [Sales] "
+        "WHERE ([Customer].[ASIA])",
+    ).df.collect()[0]["sum_qty"]
+    assert [row["c1"], row["c2"], row["c4"]] == [1, 2, 7]
+    assert row["c3"] == asia_qty
+
+
+def test_case_item_out_of_range_raises(engine):
     with pytest.raises(MdxError, match="Item"):
         execute_mdx(
             engine,
             """
-            WITH MEMBER [Measures].[x] AS 'CASE 1 WHEN 1 THEN ([Measures].[Sum Qty], [Customer].[ASIA]) ELSE 2 END.Item(0)'
+            WITH MEMBER [Measures].[x] AS 'CASE 1 WHEN 1 THEN ([Measures].[Sum Qty], [Customer].[ASIA]) ELSE 2 END.Item(5)'
             SELECT [Measures].[x] ON COLUMNS FROM [Sales]
             """,
         )
+
+
+def test_tuple_scalar_implicit_measure(engine):
+    """A tuple with NO [Measures] component (STATUS gap 4): the Measures
+    context is unpinned, so the hierarchy's default member — the cube's
+    default_measure / first stored measure (schema.rb:61 defaultMeasure) —
+    resolves the cell value."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[AsiaImplicit] AS '([Customer].[ASIA])'
+             MEMBER [Measures].[AsiaExplicit] AS '([Measures].[Sum Qty], [Customer].[ASIA])'
+        SELECT {[Measures].[AsiaImplicit], [Measures].[AsiaExplicit]} ON COLUMNS,
+               [Time].[Year].Members ON ROWS FROM [Sales]
+        """,
+    )
+    for x in r.df.collect():
+        assert x["asia_implicit"] == x["asia_explicit"]
+        assert x["asia_implicit"] is not None
 
 
 def test_object_accessors_in_expressions(engine):
@@ -1676,11 +1723,13 @@ def test_accessor_level_caption_uses_display_caption(engine):
     )
     val = r.df.collect()[0]["c"]
     assert "concat" not in val and val == "Supplier"
+    # a REAL member (existence validation passes) whose level declares a
+    # caption expression still refuses to constant-fold
     with pytest.raises(MdxError, match="data-dependent"):
         execute_mdx(
             engine,
             "WITH MEMBER [Measures].[c] AS "
-            "'[Supplier].[Supplier Nation 1].[SUPP].Caption' "
+            "'[Supplier].[NATION_3].[Supplier#000000003].Caption' "
             "SELECT [Measures].[c] ON COLUMNS FROM [Sales]",
         )
 
@@ -1833,3 +1882,46 @@ def test_vba_function_name_aliases(engine):
     # Sgn returns INTEGER (Vba.sgn), CInt ROUNDS half-to-even (Vba.cInt)
     assert row["c"] == -1 and isinstance(row["c"], int)
     assert row["d"] == 3 and row["e"] == 2 and row["f"] == -3
+
+
+def test_vba_nested_same_name_calls(engine):
+    """Nested same-name VBA calls rewrite ALL occurrences — Sgn(a + Sgn(b))
+    and CInt(CInt(x)) must not leave an inner unresolved sgn()/cint()
+    (the rewrite recurses into the replaced argument segment)."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[a] AS 'Sgn(5 + Sgn(-9))'
+             MEMBER [Measures].[b] AS 'CInt(CInt(2.5) + 0.6)'
+             MEMBER [Measures].[c] AS 'Sgn(Sgn(Sgn(-3)))'
+        SELECT {[Measures].[a], [Measures].[b], [Measures].[c]} ON COLUMNS
+        FROM [Sales]
+        """,
+    )
+    row = r.df.collect()[0]
+    # Sgn(5 + (-1)) = 1; CInt(2 + 0.6) = CInt(2.6) = 3; Sgn chain = -1
+    assert [row["a"], row["b"], row["c"]] == [1, 3, -1]
+
+
+def test_accessor_bogus_member_raises(engine):
+    """Member-path accessors validate existence before folding
+    ([Customer].[Bogus].Name must raise the reference's member-not-found
+    error, not fold to 'Bogus') — mirrors the measure-branch validation."""
+    for expr in (
+        "'[Customer].[Bogus].Name'",
+        "'[Customer].[Bogus].Dimension.Name'",
+        "'[Customer].[ASIA].[NO_SUCH_NATION].UniqueName'",
+    ):
+        with pytest.raises(MdxError, match="not found in cube"):
+            execute_mdx(
+                engine,
+                f"WITH MEMBER [Measures].[x] AS {expr} "
+                "SELECT [Measures].[x] ON COLUMNS FROM [Sales]",
+            )
+    # existing members still fold
+    r = execute_mdx(
+        engine,
+        "WITH MEMBER [Measures].[x] AS '[Customer].[ASIA].Name' "
+        "SELECT [Measures].[x] ON COLUMNS FROM [Sales]",
+    )
+    assert r.df.collect()[0]["x"] == "ASIA"

@@ -388,3 +388,46 @@ def test_aggregate_pattern_validates_before_registering(spark):
     )
     assert sorted(got) == ["agg_a_sales", "agg_b_sales"]
     assert all(t[2] == {"sum_price": "sum"} for t in eng2.aggregate_tables)
+
+
+def test_statement_cache_bounded_and_stale_evicted(spark):
+    """_STATEMENTS is a bounded LRU that drops dead-session entries on
+    sight — long-lived processes creating many sessions must not pin
+    sessions or plans forever."""
+    from mondrian_olap_spark import suite
+
+    saved = dict(suite._STATEMENTS)
+    suite._STATEMENTS.clear()
+    try:
+        calls = []
+
+        def fake(sp, sf):
+            calls.append(sf)
+            return object()
+
+        cached = None
+
+        def deco_capture():
+            nonlocal cached
+            prev = suite.QUERIES.get("__evict_probe")
+            suite.q("__evict_probe")(fake)
+            cached = suite.QUERIES.pop("__evict_probe")
+            if prev is not None:
+                suite.QUERIES["__evict_probe"] = prev
+
+        deco_capture()
+        r1 = cached(spark, "sf-a")
+        assert cached(spark, "sf-a") is r1 and calls == ["sf-a"]
+        # stale-session entry is evicted, not pinned: same key id, new obj
+        key = ("__evict_probe", id(spark), "sf-a")
+        ghost = object()
+        suite._STATEMENTS[key] = (ghost, r1)
+        r2 = cached(spark, "sf-a")
+        assert r2 is not r1 and suite._STATEMENTS[key][0] is spark
+        # size cap: inserting past the max evicts the oldest entries
+        for i in range(suite._STATEMENTS_MAX + 10):
+            cached(spark, f"sf-{i}")
+        assert len(suite._STATEMENTS) <= suite._STATEMENTS_MAX
+    finally:
+        suite._STATEMENTS.clear()
+        suite._STATEMENTS.update(saved)

@@ -193,3 +193,30 @@ def test_default_path_preserves_none_semantics(spark, engine):
         "SELECT py_none_add(x, 1.0d) AS y FROM none_probe ORDER BY y"
     ).collect()
     assert [r["y"] for r in rows2] == [-9.0, 2.0, 4.0]
+
+
+def test_default_path_delivers_python_natives(spark, engine):
+    """The Arrow-default wrapper hands callables Python natives, not numpy
+    scalars (np.int64 is not an int subclass) — an isinstance(x, int)
+    guard written against the old row-UDF default keeps working."""
+    register_scalar(
+        spark,
+        "py_int_guard",
+        lambda x: 1.0 if isinstance(x, int) else 0.0,
+    )
+    df = spark.createDataFrame([(1,), (2,)], "x bigint")
+    df.createOrReplaceTempView("native_probe")
+    rows = spark.sql("SELECT py_int_guard(x) AS y FROM native_probe").collect()
+    assert [r["y"] for r in rows] == [1.0, 1.0]
+    # multi-arg path cleans every argument
+    register_scalar(
+        spark,
+        "py_int_guard2",
+        lambda a, b: 1.0 if isinstance(a, int) and isinstance(b, float) else 0.0,
+    )
+    df2 = spark.createDataFrame([(1, 2.0,)], "a bigint, b double")
+    df2.createOrReplaceTempView("native_probe2")
+    rows2 = spark.sql(
+        "SELECT py_int_guard2(a, b) AS y FROM native_probe2"
+    ).collect()
+    assert [r["y"] for r in rows2] == [1.0]
