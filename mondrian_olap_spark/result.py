@@ -47,6 +47,12 @@ class Result:
         self.total_duration: float | None = None
         #: optional timeout in seconds applied at materialisation
         self.timeout: float | None = None
+        #: profiling timers: name → list of per-invocation durations (ms).
+        #: The cell materialisation records itself as
+        #: "SparkCollect-Segment.load" (the analog of Mondrian's
+        #: SqlStatement-Segment.load); record_timing adds custom timers
+        #: (connection.rb profiling handler parity).
+        self._timings: dict[str, list[float]] = {}
 
     @property
     def df(self) -> DataFrame:
@@ -108,7 +114,29 @@ class Result:
             else:
                 self._rows_cache = df.collect()
             self.total_duration = (time.perf_counter() - t0) * 1000.0
+            self.record_timing("SparkCollect-Segment.load", self.total_duration)
         return self._rows_cache
+
+    def record_timing(self, name: str, duration_ms: float) -> None:
+        """Record a named profiling timer invocation — the analog of
+        Mondrian's custom profiling handler (test/query_test.rb:1252-1263
+        'MDX query time invoked 1 times for total of 100ms')."""
+        self._timings.setdefault(name, []).append(float(duration_ms))
+
+    @property
+    def profiling_timing_string(self) -> str:
+        """Timing summary in the reference's exact line shape
+        (test/query_test.rb:1252-1263; QueryTiming.toString):
+        ``<name> invoked <n> times for total of <total>ms.  (Avg.
+        <avg>ms/invocation)`` — one line per recorded timer."""
+        lines = []
+        for name, durs in self._timings.items():
+            total = sum(durs)
+            lines.append(
+                f"{name} invoked {len(durs)} times for total of "
+                f"{total:.0f}ms.  (Avg. {total / len(durs):.0f}ms/invocation)"
+            )
+        return "\n".join(lines)
 
     @property
     def profiling_plan(self) -> str:

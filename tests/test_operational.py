@@ -431,3 +431,53 @@ def test_statement_cache_bounded_and_stale_evicted(spark):
     finally:
         suite._STATEMENTS.clear()
         suite._STATEMENTS.update(saved)
+
+
+def test_profiling_golden_parity(engine):
+    """Golden profiling parity (test/query_test.rb:1228-1263): the plan
+    text pins the physical operator skeleton of a 1-axis query (the way
+    the reference pins its calc tree), the timing string matches the
+    reference's exact line shape with invoked counts, and total_duration
+    is positive."""
+    import re
+
+    r = (
+        Query(engine)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].children")
+        .where("[Time].[1995].[Q1]")
+        .execute()
+    )
+    r.values  # materialise (records the Segment.load timer)
+
+    # --- plan golden: operator skeleton, exprIds/codegen ids normalized
+    ops = re.findall(r"(?m)^[\s:+*(\d)-]*([A-Za-z][A-Za-z]+)", r.profiling_plan)
+    # the skeleton a star query must compile to: hash aggregation over a
+    # broadcast star join reading parquet — and never a cartesian product
+    for needed in ("HashAggregate", "BroadcastHashJoin", "Scan"):
+        assert any(needed in o for o in ops), (needed, ops)
+    assert not any("CartesianProduct" in o for o in ops)
+    # the slicer predicate reaches the scan (pushdown visible in plan text)
+    assert "PushedFilters" in r.profiling_plan
+
+    # --- timing string: the reference's exact line shape
+    line = r.profiling_timing_string.strip().splitlines()[0]
+    assert re.fullmatch(
+        r"SparkCollect-Segment\.load invoked 1 times for total of \d+ms\."
+        r"  \(Avg\. \d+ms/invocation\)",
+        line,
+    ), line
+    # repeat access does not re-invoke the load (statement reuse parity:
+    # Mondrian's warm repeat query does 0 SQL)
+    r.values
+    assert "invoked 1 times" in r.profiling_timing_string
+
+    # --- custom timer (query_test.rb:1252-1257 custom profiling handler)
+    r.record_timing("MDX query time", 100)
+    assert re.search(
+        r"^MDX query time invoked 1 times for total of 100ms\."
+        r"  \(Avg\. 100ms/invocation\)$",
+        r.profiling_timing_string,
+        re.M,
+    )
+    assert r.total_duration > 0

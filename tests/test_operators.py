@@ -266,9 +266,101 @@ def test_resize_media_bounds_dimensions(media):
     assert all(bytes(out[k]["payload"]) == bytes(again[k]["payload"]) for k in out)
 
 
-def test_real_decoder_is_stubbed():
+def _make_bmp(pixels):
+    """Minimal uncompressed 24-bpp bottom-up BMP from a row-major [[(r,g,b)]]
+    grid (pure struct — the same spec real_decoder parses)."""
+    import struct
+
+    h, w = len(pixels), len(pixels[0])
+    stride = ((w * 3 + 3) // 4) * 4
+    body = b""
+    for row in reversed(pixels):  # bottom-up storage
+        line = b"".join(bytes((b_, g, r)) for r, g, b_ in row)
+        body += line + b"\x00" * (stride - len(line))
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+    head = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    return head + info + body
+
+
+def _make_wav(samples, rate=8000, channels=1):
+    """Minimal PCM-16 RIFF/WAVE from int16 samples (interleaved)."""
+    import struct
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def test_real_decoder_bmp():
+    """decode_bmp parses genuine pixel data: a 3x2 image with known colors
+    yields exact dimensions and channel statistics."""
+    import numpy as np
+
+    g = 128 / 255.0
+    pixels = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+        [(255, 255, 255), (0, 0, 0), (128, 128, 128)],
+    ]
+    w, h, feats = multimodal.real_decoder("image", _make_bmp(pixels))
+    assert (w, h) == (3, 2)
+    arr = np.array(pixels, dtype=np.float64) / 255.0
+    r_, g_, b_ = arr[..., 0], arr[..., 1], arr[..., 2]
+    lum = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+    expect = [r_.mean(), g_.mean(), b_.mean(), lum.mean(), lum.std(),
+              lum.min(), lum.max(), 1.5]
+    assert feats == pytest.approx(expect)
+    assert len(feats) == multimodal.FEATURE_DIM
+
+
+def test_real_decoder_wav():
+    """decode_wav parses genuine PCM samples: known waveform yields exact
+    RMS/peak/zero-crossing/duration features."""
+    import math
+
+    w, h, feats = multimodal.real_decoder(
+        "audio", _make_wav([0, 16384, -16384, 0], rate=8000)
+    )
+    assert (w, h) == (4, 1)  # samples-per-channel, channels
+    mean, rms, peak, zcr, dur, khz, ch, depth = feats
+    assert mean == pytest.approx(0.0)
+    assert rms == pytest.approx(math.sqrt(0.125))
+    assert peak == pytest.approx(0.5)
+    assert zcr == pytest.approx(2 / 3)
+    assert dur == pytest.approx(4 / 8000)
+    assert (khz, ch, depth) == (8.0, 1.0, 0.5)
+
+
+def test_real_decoder_through_map_in_pandas(spark):
+    """The real codec rides the same mapInPandas stage as the fake one:
+    genuine BMP/WAV payloads decode distributed, mixed in one frame."""
+    rows = [
+        Row(media_id=1, kind="image",
+            payload=_make_bmp([[(255, 0, 0), (0, 0, 255)]]), meta={}),
+        Row(media_id=2, kind="audio",
+            payload=_make_wav([1000, -1000] * 50, rate=4000), meta={}),
+    ]
+    df = spark.createDataFrame(rows, schema=multimodal.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in
+           multimodal.decode_media(df, decoder=multimodal.real_decoder).collect()}
+    assert (out[1]["width"], out[1]["height"]) == (2, 1)
+    assert out[1]["features"][0] == pytest.approx(0.5)  # mean R
+    assert (out[2]["width"], out[2]["height"]) == (100, 1)
+    assert out[2]["features"][2] == pytest.approx(1000 / 32768)  # peak
+
+
+def test_real_decoder_unsupported_formats_raise():
     with pytest.raises(NotImplementedError):
-        multimodal.real_decoder("image", b"")
+        multimodal.real_decoder("image", b"\x89PNG not parseable")
+    with pytest.raises(ValueError):
+        multimodal.real_decoder("image", b"BM" + b"\x00" * 10)  # truncated
+    with pytest.raises(ValueError):  # RIFF but no data chunk
+        import struct
+
+        multimodal.real_decoder(
+            "audio", b"RIFF" + struct.pack("<I", 4) + b"WAVE"
+        )
 
 
 def test_frame_sample(media):
