@@ -481,3 +481,148 @@ def test_profiling_golden_parity(engine):
         re.M,
     )
     assert r.total_duration > 0
+
+
+# ------------------------------------------- role x cache x routing audit
+def _region_totals(eng, **kw):
+    q = Query(eng).columns("[Measures].[Sum Price]").rows("[Customer].children")
+    return {r["region_name"]: r["sum_price"] for r in q.execute().df.collect()}
+
+
+def test_role_switch_flushes_warm_cache(spark):
+    """In-place role switches flush the aggregate cache (its key has no
+    role component): a warm full-access cell must never serve a
+    restricted role, and vice versa on clearing."""
+    from mondrian_olap_spark.roles import MemberGrant, Role
+
+    eng = engine_from_parquet(spark, SCHEMA, "Sales", SF_DIR)
+    eng.available_roles = (
+        Role("asia", grants=(MemberGrant("Customer", ("ASIA",)),)),
+    )
+    eng.enable_cache()
+    full = _region_totals(eng)
+    assert len(full) == 5 and len(eng.cache) > 0
+    eng.set_role_name("asia")
+    assert len(eng.cache) == 0  # flushed on switch
+    restricted = _region_totals(eng)
+    assert set(restricted) == {"ASIA"}
+    assert restricted["ASIA"] == pytest.approx(full["ASIA"])
+    eng.set_role_name()  # clear — must flush the role-scoped cells too
+    assert len(eng.cache) == 0
+    assert _region_totals(eng).keys() == full.keys()
+
+
+def test_with_role_clone_never_shares_cache(spark):
+    """with_role() clones drop the cache reference entirely — the clone
+    cannot read the parent's cells and cannot poison them."""
+    from mondrian_olap_spark.roles import MemberGrant, Role
+
+    eng = engine_from_parquet(spark, SCHEMA, "Sales", SF_DIR)
+    eng.enable_cache()
+    full = _region_totals(eng)
+    warm = len(eng.cache)
+    clone = eng.with_role(
+        Role("asia", grants=(MemberGrant("Customer", ("ASIA",)),))
+    )
+    assert clone.cache is None
+    assert set(_region_totals(clone)) == {"ASIA"}
+    # parent cache untouched and still serving full-access cells
+    assert len(eng.cache) == warm
+    assert _region_totals(eng).keys() == full.keys()
+
+
+def test_routing_applies_role_predicates(spark, tmp_path):
+    """A role-scoped query that routes to a summary table must filter the
+    summary rows by the role's grants — never serve unrestricted summary
+    cells."""
+    from mondrian_olap_spark.roles import MemberGrant, Role
+
+    eng = engine_from_parquet(spark, SCHEMA, "Sales", SF_DIR)
+    base = (
+        Query(eng).columns("[Measures].[Sum Price]")
+        .rows("[Customer].[Nation].Members").execute().df
+    )
+    path = str(tmp_path / "agg_nation_roles")
+    base.write.parquet(path)
+    eng.register_aggregate(
+        spark.read.parquet(path), ["region_name", "nation_name"],
+        {"sum_price": "sum"},
+    )
+    scoped = eng.with_role(
+        Role("asia", grants=(MemberGrant("Customer", ("ASIA",)),))
+    )
+    df = (
+        Query(scoped).columns("[Measures].[Sum Price]")
+        .rows("[Customer].children").execute().df
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem" not in plan  # still routed to the summary
+    got = {r["region_name"]: r["sum_price"] for r in df.collect()}
+    fresh = engine_from_parquet(spark, SCHEMA, "Sales", SF_DIR).with_role(
+        Role("asia", grants=(MemberGrant("Customer", ("ASIA",)),))
+    )
+    expected = _region_totals(fresh)
+    assert set(got) == {"ASIA"} and got["ASIA"] == pytest.approx(expected["ASIA"])
+
+
+def test_routing_skips_summary_below_grant_depth(spark, tmp_path):
+    """A role grant DEEPER than a summary table's grain makes the table
+    non-covering (the grant predicate needs columns the summary lacks):
+    the planner must fall back to the fact, not under-filter."""
+    from mondrian_olap_spark.roles import MemberGrant, Role
+
+    eng = engine_from_parquet(spark, SCHEMA, "Sales", SF_DIR)
+    region_summary = (
+        Query(eng).columns("[Measures].[Sum Price]")
+        .rows("[Customer].children").execute().df
+    )
+    path = str(tmp_path / "agg_region_only")
+    region_summary.write.parquet(path)
+    eng.register_aggregate(
+        spark.read.parquet(path), ["region_name"], {"sum_price": "sum"}
+    )
+    scoped = eng.with_role(
+        Role("nation13", grants=(MemberGrant("Customer", ("EUROPE", "NATION_13")),))
+    )
+    df = (
+        Query(scoped).columns("[Measures].[Sum Price]")
+        .rows("[Customer].children").execute().df
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem" in plan  # fell back to the fact — not under-filtered
+    got = {r["region_name"]: r["sum_price"] for r in df.collect()}
+    full = _region_totals(engine_from_parquet(spark, SCHEMA, "Sales", SF_DIR))
+    assert set(got) == {"EUROPE"} and got["EUROPE"] < full["EUROPE"]
+
+
+def test_pattern_register_then_role_switch_then_query(spark, tmp_path):
+    """The full 3-way combination: warm cache -> pattern registration ->
+    in-place role switch -> query.  The answer must be the role-restricted
+    cells (served via the pattern-matched summary with the grant applied),
+    never the warm unrestricted cells."""
+    from mondrian_olap_spark.roles import MemberGrant, Role
+
+    eng = engine_from_parquet(spark, SCHEMA, "Sales", SF_DIR)
+    eng.available_roles = (
+        Role("asia", grants=(MemberGrant("Customer", ("ASIA",)),)),
+    )
+    eng.enable_cache()
+    full = _region_totals(eng)  # warms the cache with unrestricted cells
+    nation = (
+        Query(eng).columns("[Measures].[Sum Price]")
+        .rows("[Customer].[Nation].Members").execute().df
+    )
+    nation.write.parquet(str(tmp_path / "agg_sales_nation"))
+    eng.tables["agg_sales_nation"] = spark.read.parquet(
+        str(tmp_path / "agg_sales_nation")
+    )
+    registered = eng.register_aggregate_pattern(
+        r"agg_sales_.*",
+        {"[Customer].[Region]": "region_name", "[Customer].[Nation]": "nation_name"},
+        {"Sum Price": "sum_price"},
+    )
+    assert registered == ["agg_sales_nation"]
+    eng.set_role_name("asia")
+    restricted = _region_totals(eng)
+    assert set(restricted) == {"ASIA"}
+    assert restricted["ASIA"] == pytest.approx(full["ASIA"])
