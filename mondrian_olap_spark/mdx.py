@@ -444,19 +444,36 @@ class MdxParser:
         # match against the UNSTRIPPED text so m.start(1) is a true offset
         # into the quoted string (leading whitespace would otherwise shift
         # the re-based error positions)
-        m = re.match(r"(?is)^\s*aggregate\s*\(\s*\{(.*)\}\s*\)\s*$", unstripped)
+        m = re.match(
+            r"(?is)^\s*aggregate\s*\(\s*(\{.*\})\s*\)\s*$", unstripped
+        )
         if m:
-            inner = MdxParser.__new__(MdxParser)
-            inner.__dict__.update(self.__dict__)
-            inner.toks = _shift_toks(
-                tokenize(m.group(1)), t.pos + 1 + m.start(1)
-            )
-            inner.i = 0
-            members = [inner.parse_member_string()]
-            while inner.at_op(","):
-                inner.next()
+            # one or more {…} sets joined by top-level * (the crossjoin-set
+            # form, mondrian_test.rb:205-212): each set contributes its
+            # member list; members of the home dimension (the WITH MEMBER
+            # name's dimension) define the synthetic member, the rest become
+            # context constraints
+            members: list[str] = []
+            for sm in re.finditer(r"\{(.*?)\}", m.group(1)):
+                inner = MdxParser.__new__(MdxParser)
+                inner.__dict__.update(self.__dict__)
+                inner.toks = _shift_toks(
+                    tokenize(sm.group(1)), t.pos + 1 + m.start(1) + sm.start(1)
+                )
+                inner.i = 0
                 members.append(inner.parse_member_string())
-            self.q.with_dimension_member(name_segs[-1], *members)
+                while inner.at_op(","):
+                    inner.next()
+                    members.append(inner.parse_member_string())
+            between = re.sub(r"\{.*?\}", "", m.group(1))
+            if between.strip().strip("*").strip():
+                raise MdxError(
+                    "Aggregate sets combine only with * (crossjoin) in "
+                    "this subset"
+                )
+            self.q.with_dimension_member(
+                name_segs[-1], *members, dimension=name_segs[0]
+            )
         else:
             # arithmetic formula over member cells
             self.q.with_dimension_member_formula(name_segs[-1], body)

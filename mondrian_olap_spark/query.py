@@ -646,12 +646,23 @@ class Query:
         self._drilldowns.append((ref, None))
         return self
 
-    def with_dimension_member(self, name: str, *members: str) -> "Query":
+    def with_dimension_member(
+        self, name: str, *members: str, dimension: str | None = None
+    ) -> "Query":
         """Calculated member on a non-Measures dimension: a synthetic member
         whose cells aggregate a set of real members (the common
         ``WITH MEMBER [Time].[H1] AS 'Aggregate({[Q1],[Q2]})'`` pattern —
         schema.rb:314-341 calc members on any dimension; non-measure calc
         member test /root/reference/test/cube_test.rb:48-51,65-68).
+
+        The member set may span OTHER dimensions (the crossjoin-set form
+        ``Aggregate({[Gender].[F]} * {[Customers].[CA], [Customers].[OR]})``
+        — mondrian_test.rb:205-212): members of the calc member's home
+        dimension (``dimension=``, or the first member's dimension when
+        omitted) define the synthetic member; members of any other
+        dimension become additional context constraints ANDed into the
+        aggregation (a full cross product of per-dimension IN-sets — the
+        relational meaning of a crossjoined Aggregate set).
 
         The synthetic member's cells are recomputed from the fact over the
         member set (exact even for distinct-count — never a sum of sums),
@@ -661,19 +672,35 @@ class Query:
         refs = [self._resolve(m) for m in members]
         if not refs or any(isinstance(r, MeasureRef) for r in refs):
             raise QueryError("with_dimension_member needs dimension members")
-        dim = refs[0].dimension
-        if any(r.dimension.name != dim.name for r in refs):
-            raise QueryError("all members of a dimension calc member must share a dimension")
-        depth = refs[0].depth
-        if any(r.depth != depth or not r.path for r in refs):
+        dim = self.cube.dimension(dimension) if dimension else refs[0].dimension
+        home = [r for r in refs if r.dimension.name == dim.name]
+        extra = [r for r in refs if r.dimension.name != dim.name]
+        if not home:
+            raise QueryError(
+                f"dimension calc member {name!r}: no members of its home "
+                f"dimension {dim.name!r} in the set"
+            )
+        if extra and dimension is None and len({r.dimension.name for r in refs}) > 1:
+            raise QueryError(
+                "cross-dimension Aggregate sets need an explicit "
+                "dimension= for the calc member's home dimension"
+            )
+        depth = home[0].depth
+        if any(r.depth != depth or not r.path for r in home):
             raise QueryError("dimension calc members need full member paths at one level")
-        prefix = refs[0].path[:-1]
-        if any(r.path[:-1] != prefix for r in refs):
+        prefix = home[0].path[:-1]
+        if any(r.path[:-1] != prefix for r in home):
             raise QueryError(
                 "dimension calc member set must share a parent (differing "
                 "ancestor paths are not supported)"
             )
-        self._dim_members.append(("aggregate", name, dim, depth, tuple(prefix), refs))
+        if any(not r.path for r in extra):
+            raise QueryError(
+                "cross-dimension constraint members need full member paths"
+            )
+        self._dim_members.append(
+            ("aggregate", name, dim, depth, tuple(prefix), home, tuple(extra))
+        )
         return self
 
     def with_dimension_member_formula(self, name: str, formula: str) -> "Query":
@@ -955,8 +982,12 @@ class Query:
         ]
         if form == "aggregate":
             refs = dm[5]
+            # cross-dimension constraint members (crossjoin-set Aggregate,
+            # mondrian_test.rb:205-212): extra slicer refs — per-dimension
+            # IN within the slicer machinery, AND across dimensions
+            extra = list(dm[6]) if len(dm) > 6 else []
             synth, _ = planner.aggregate(
-                other_axes, list(self._slicer) + list(refs), measures
+                other_axes, list(self._slicer) + list(refs) + extra, measures
             )
         else:
             synth = self._formula_member_cells(

@@ -319,6 +319,42 @@ def aggregate_member_set(spark, sf_dir):
 
 
 @q(
+    "aggregate_crossjoin_set",
+    f"""
+    WITH star AS (
+      SELECT r_name, l_quantity, p_brand
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      JOIN part ON l_partkey = p_partkey
+    )
+    SELECT r_name AS region_name, sum(l_quantity) AS sum_qty
+    FROM star GROUP BY 1
+    UNION ALL
+    SELECT 'AsiaAfrica B13', sum(l_quantity)
+    FROM star WHERE r_name IN ('ASIA', 'AFRICA') AND p_brand = 'Brand#13'
+    """,
+)
+def aggregate_crossjoin_set(spark, sf_dir):
+    """Aggregate over a CROSSJOIN of sets spanning dimensions
+    (mondrian_test.rb:205-212 'aggregate stored members from several
+    dimensions'): home-dimension members define the synthetic member, the
+    other set becomes a context constraint ANDed into its cells."""
+    eng = get_engine(spark, sf_dir)
+    return eng.execute(
+        """
+        WITH MEMBER [Customer].[AsiaAfrica B13] AS
+          'Aggregate({[Part].[Brand#13]} * {[Customer].[ASIA], [Customer].[AFRICA]})'
+        SELECT [Measures].[Sum Qty] ON COLUMNS,
+               {[Customer].children, [Customer].[AsiaAfrica B13]} ON ROWS
+        FROM [Sales]
+        """
+    ).df
+
+
+@q(
     "median_percentile_price",
     """
     SELECT l_returnflag AS return_flag,

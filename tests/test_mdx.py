@@ -1925,3 +1925,46 @@ def test_accessor_bogus_member_raises(engine):
         "SELECT [Measures].[x] ON COLUMNS FROM [Sales]",
     )
     assert r.df.collect()[0]["x"] == "ASIA"
+
+
+def test_aggregate_crossjoin_set(engine, duck):
+    """Aggregate({set} * {set}) spanning dimensions (mondrian_test.rb:
+    205-212): home-dimension members define the synthetic member, the
+    other set becomes an ANDed context constraint."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Customer].[AsiaAfrica B13] AS
+          'Aggregate({[Part].[Brand#13]} * {[Customer].[ASIA], [Customer].[AFRICA]})'
+        SELECT [Measures].[Sum Qty] ON COLUMNS,
+               {[Customer].children, [Customer].[AsiaAfrica B13]} ON ROWS
+        FROM [Sales]
+        """,
+    )
+    vals = {x["region_name"]: x["sum_qty"] for x in r.df.collect()}
+    expected = duck.execute(
+        """
+        SELECT sum(l_quantity) FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE r_name IN ('ASIA','AFRICA') AND p_brand = 'Brand#13'
+        """
+    ).fetchone()[0]
+    assert vals["AsiaAfrica B13"] == pytest.approx(expected)
+    assert len(vals) == 6  # 5 regions + the synthetic member
+
+
+def test_aggregate_crossjoin_set_non_star_raises(engine):
+    with pytest.raises(MdxError, match="crossjoin"):
+        execute_mdx(
+            engine,
+            """
+            WITH MEMBER [Customer].[X] AS
+              'Aggregate({[Customer].[ASIA]} + {[Customer].[AFRICA]})'
+            SELECT [Measures].[Sum Qty] ON COLUMNS,
+                   {[Customer].[X]} ON ROWS FROM [Sales]
+            """,
+        )
