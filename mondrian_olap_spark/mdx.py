@@ -465,8 +465,13 @@ class MdxParser:
                 while inner.at_op(","):
                     inner.next()
                     members.append(inner.parse_member_string())
+            n_sets = len(re.findall(r"\{.*?\}", m.group(1)))
             between = re.sub(r"\{.*?\}", "", m.group(1))
-            if between.strip().strip("*").strip():
+            # exactly one * between each pair of sets — '+' (union) and a
+            # bare juxtaposition are both rejected, not silently crossjoined
+            if between.count("*") != n_sets - 1 or re.sub(
+                r"[\s*]", "", between
+            ):
                 raise MdxError(
                     "Aggregate sets combine only with * (crossjoin) in "
                     "this subset"
@@ -1324,6 +1329,19 @@ class MdxParser:
                 dm[1].lower() == member_path[-1].lower()
                 for dm in self.q._dim_members
             )
+            if not is_query_member:
+                # WITH entries parse in order, so a formula may reference a
+                # dimension calc member DEFINED LATER in the same clause —
+                # scan the raw statement for such a definition before
+                # probing the data (parse-order independence)
+                later_def = (
+                    r"(?is)\bmember\s+(?:\[(?:[^\]]|\]\])*\]\s*\.\s*)*\["
+                    + re.escape(member_path[-1])
+                    + r"\]\s*as\b"
+                )
+                is_query_member = bool(
+                    re.search(later_def, getattr(self, "src", "") or "")
+                )
             if not is_query_member and not self.engine.member_exists(
                 dim.name, level_idx, tuple(member_path)
             ):

@@ -151,6 +151,11 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[float]]:
                 raise ValueError("WAV fmt chunk truncated")
             fmt = struct.unpack_from("<HHIIHH", payload, body)
         elif cid == b"data":
+            if body + size > end:
+                raise ValueError(
+                    f"WAV data chunk truncated (declares {size} bytes, "
+                    f"{end - body} available)"
+                )
             samples = payload[body : body + size]
         pos = body + size + (size & 1)  # chunks are word-aligned
     if fmt is None or samples is None:
@@ -158,6 +163,13 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[float]]:
     audio_format, channels, sample_rate, _, _, bits = fmt
     if channels <= 0 or sample_rate <= 0:
         raise ValueError(f"bad WAV fmt (channels={channels}, rate={sample_rate})")
+    width = max(bits // 8, 1)
+    if len(samples) % width:
+        # clean contract instead of numpy's opaque buffer-size error
+        raise ValueError(
+            f"WAV data length {len(samples)} is not a multiple of the "
+            f"{bits}-bit sample width"
+        )
     if audio_format == 1 and bits == 16:
         x = np.frombuffer(samples, dtype="<i2").astype(np.float64) / 32768.0
     elif audio_format == 1 and bits == 8:  # 8-bit PCM is unsigned

@@ -984,10 +984,20 @@ class Query:
             refs = dm[5]
             # cross-dimension constraint members (crossjoin-set Aggregate,
             # mondrian_test.rb:205-212): extra slicer refs — per-dimension
-            # IN within the slicer machinery, AND across dimensions
+            # IN within the slicer machinery, AND across dimensions.
+            # Aggregate-set context OVERRIDES the query slicer on every
+            # dimension the set mentions (Mondrian tuple/set evaluation
+            # semantics) — same-dimension slicer refs would otherwise
+            # OR-merge with the set and silently overcount.
             extra = list(dm[6]) if len(dm) > 6 else []
+            overridden = {r.dimension.name for r in refs} | {
+                r.dimension.name for r in extra
+            }
+            kept_slicer = [
+                s for s in self._slicer if s.dimension.name not in overridden
+            ]
             synth, _ = planner.aggregate(
-                other_axes, list(self._slicer) + list(refs) + extra, measures
+                other_axes, kept_slicer + list(refs) + extra, measures
             )
         else:
             synth = self._formula_member_cells(

@@ -46,18 +46,29 @@ def engine_from_catalog(
     return CubeEngine(cube, tables_from_catalog(spark, cube, mapping))
 
 
-#: per-driver JDBC URI shapes (connection.rb:338-457 jdbc_uri_* family);
-#: value = (uri_prefix or None for the generic jdbc:<driver>:// form,
-#: default_port, default_properties)
-_JDBC_DRIVERS: dict[str, tuple[str | None, int | None, dict]] = {
-    "mysql": (None, 3306, {"useUnicode": "true", "characterEncoding": "UTF-8"}),
-    "mariadb": (None, 3306, {}),
-    "postgresql": (None, 5432, {}),
-    "vertica": (None, 5433, {}),
-    "oracle": ("jdbc:oracle:thin:@", 1521, {}),
-    "mssql": ("jdbc:sqlserver://", 1433, {}),
-    "clickhouse": (None, 8123, {}),
+#: generic-form drivers (connection.rb:338-368 jdbc_uri_generic +
+#: aliases): value = (default_port, default_properties)
+_JDBC_GENERIC: dict[str, tuple[int | None, dict]] = {
+    "mysql": (3306, {"useUnicode": "true", "characterEncoding": "UTF-8"}),
+    "mariadb": (3306, {}),
+    "postgresql": (5432, {}),
+    "vertica": (5433, {}),
 }
+
+
+def _props_string(
+    properties: Mapping[str, str], separator: str, first_separator: str
+) -> str:
+    """``k=v`` pairs with URL-quoted values (a password containing ``&``
+    or ``=`` must not corrupt the URI)."""
+    from urllib.parse import quote
+
+    if not properties:
+        return ""
+    body = separator.join(
+        f"{k}={quote(str(v), safe='')}" for k, v in properties.items()
+    )
+    return first_separator + body
 
 
 def jdbc_uri(
@@ -67,26 +78,48 @@ def jdbc_uri(
     database: str | None = None,
     properties: Mapping[str, str] | None = None,
 ) -> str:
-    """Build the per-driver JDBC URI exactly like the reference's
-    ``jdbc_uri_<driver>`` methods (connection.rb:313-457): generic
-    ``jdbc:<driver>://host[:port][/database][?k=v&…]`` with driver-specific
-    prefixes/defaults for Oracle/MSSQL."""
+    """Build the per-driver JDBC URI like the reference's
+    ``jdbc_uri_<driver>`` methods (connection.rb:313-457): the generic
+    ``jdbc:<driver>://host[:port][/database][?k=v&…]`` form for
+    mysql/mariadb/postgresql/vertica, plus the driver-specific shapes —
+    Oracle thin SID (``jdbc:oracle:thin:@h:1521:SID``; a database starting
+    with ``/`` or ``:`` passes through as a service name), SQL Server
+    (``;databaseName=…`` with ``;``-separated properties, never a path
+    database), Snowflake (``/?db=…``), ClickHouse (``jdbc:ch://``).
+    Property values are URL-quoted."""
+    props = dict(properties or {})
+    if driver == "oracle":
+        db = database or ""
+        if db and db[0] not in ":/":
+            db = f":{db}"  # bare name = SID (reference back-compat rule)
+        return f"jdbc:oracle:thin:@{host}:{port or 1521}{db}"
+    if driver == "sqlserver":
+        uri = f"jdbc:sqlserver://{host}:{port or 1433}"
+        merged = ({"databaseName": database} if database else {}) | props
+        return uri + _props_string(merged, ";", ";")
+    if driver == "snowflake":
+        uri = f"jdbc:snowflake://{host}" + (f":{port}" if port else "")
+        merged = ({"db": database} if database else {}) | props
+        return uri + _props_string(merged, "&", "/?")
+    if driver == "clickhouse":
+        uri = f"jdbc:ch://{host}:{port or 8123}"
+        if database:
+            uri += f"/{database}"
+        return uri + _props_string(props, "&", "?")
     try:
-        prefix, default_port, default_props = _JDBC_DRIVERS[driver]
+        default_port, default_props = _JDBC_GENERIC[driver]
     except KeyError:
         raise ValueError(
-            f"unknown JDBC driver {driver!r} (known: {sorted(_JDBC_DRIVERS)})"
+            f"unknown JDBC driver {driver!r} (known: "
+            f"{sorted(_JDBC_GENERIC) + ['oracle', 'sqlserver', 'snowflake', 'clickhouse']})"
         ) from None
-    uri = (prefix or f"jdbc:{driver}://") + host
+    uri = f"jdbc:{driver}://{host}"
     p = port or default_port
     if p:
         uri += f":{p}"
     if database:
         uri += f"/{database}"
-    props = {**default_props, **dict(properties or {})}
-    if props:
-        uri += "?" + "&".join(f"{k}={v}" for k, v in props.items())
-    return uri
+    return uri + _props_string({**default_props, **props}, "&", "?")
 
 
 def tables_from_jdbc(

@@ -686,9 +686,19 @@ class CubeEngine:
         validation: a typo'd member must raise the reference's
         member-not-found error, not fold to a plausible constant).  Shares
         ``_member_keys_at``'s role/ragged visibility rules; ≤1 row reaches
-        the driver."""
-        df = self._member_keys_at(dim_name, depth, tuple(path[:-1]))
-        return df.filter(F.col("k") == F.lit(path[-1])).limit(1).count() > 0
+        the driver.  Memoized per (path, role): member data is immutable
+        parquet, so repeated accessors on one member cost one job, not one
+        per occurrence — the key includes the active role name because
+        visibility is role-dependent and clones share this dict."""
+        memo = self.__dict__.setdefault("_exists_memo", {})
+        key = (
+            dim_name, depth, tuple(path),
+            self.role.name if getattr(self, "role", None) else None,
+        )
+        if key not in memo:
+            df = self._member_keys_at(dim_name, depth, tuple(path[:-1]))
+            memo[key] = df.filter(F.col("k") == F.lit(path[-1])).limit(1).count() > 0
+        return memo[key]
 
     def member_at_position(
         self, dim_name: str, depth: int, parent_path: tuple, position: int

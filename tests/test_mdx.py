@@ -1968,3 +1968,66 @@ def test_aggregate_crossjoin_set_non_star_raises(engine):
                    {[Customer].[X]} ON ROWS FROM [Sales]
             """,
         )
+
+
+def test_aggregate_set_overrides_slicer(engine, duck):
+    """Aggregate-set context OVERRIDES the query slicer on every dimension
+    the set mentions (review fix): a conflicting slicer member must not
+    OR-merge into the synthetic member's cells."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Customer].[X] AS
+          'Aggregate({[Part].[Brand#13]} * {[Customer].[ASIA]})'
+        SELECT [Measures].[Sum Qty] ON COLUMNS,
+               {[Customer].[X]} ON ROWS FROM [Sales]
+        WHERE ([Part].[Brand#45])
+        """,
+    )
+    got = r.df.collect()[0]["sum_qty"]
+    expected = duck.execute(
+        """
+        SELECT sum(l_quantity) FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE r_name = 'ASIA' AND p_brand = 'Brand#13'
+        """
+    ).fetchone()[0]
+    assert got == pytest.approx(expected)
+    # (a slicer on the HOME dimension is not tested: the reference rejects
+    # the same hierarchy on both an axis and the slicer, so that MDX is
+    # ill-formed — the override code still guards the builder path)
+
+
+def test_accessor_forward_reference_to_with_member(engine):
+    """A formula may reference a dimension calc member defined LATER in
+    the same WITH clause (review fix: the accessor existence probe must
+    be parse-order independent)."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[n] AS '[Customer].[H1].Name'
+             MEMBER [Customer].[H1] AS 'Aggregate({[Customer].[ASIA]})'
+        SELECT {[Measures].[Sum Qty], [Measures].[n]} ON COLUMNS,
+               {[Customer].[H1]} ON ROWS FROM [Sales]
+        """,
+    )
+    assert r.df.collect()[0]["n"] == "H1"
+
+
+def test_aggregate_sets_juxtaposed_raise(engine):
+    """Two sets with NO operator between them are rejected, not silently
+    crossjoined (review fix)."""
+    with pytest.raises(MdxError, match="crossjoin"):
+        execute_mdx(
+            engine,
+            """
+            WITH MEMBER [Customer].[X] AS
+              'Aggregate({[Part].[Brand#13]} {[Customer].[ASIA]})'
+            SELECT [Measures].[Sum Qty] ON COLUMNS,
+                   {[Customer].[X]} ON ROWS FROM [Sales]
+            """,
+        )

@@ -413,3 +413,25 @@ def test_ivf_external_index_with_centroids_matches(vectors):
     ).collect()
     internal = similarity.ivf_topk(vectors, [1], k=3, n_cells=2, n_probe=2).collect()
     assert [r["neighbor_id"] for r in ext] == [r["neighbor_id"] for r in internal]
+
+
+def test_wav_malformed_sizes_raise_cleanly():
+    """decode_wav validates the declared data size and sample alignment
+    (review fix): truncated and misaligned chunks raise ValueError, not
+    an opaque numpy buffer error."""
+    import struct
+
+    good = _make_wav([0, 100, -100, 0])
+    # declared data size overruns the payload
+    truncated = good[:-2]
+    with pytest.raises(ValueError, match="truncated"):
+        multimodal.decode_wav(truncated)
+    # odd byte count for 16-bit samples
+    data_at = good.rindex(b"data")
+    odd = (
+        good[: data_at + 4]
+        + struct.pack("<I", 7)
+        + good[data_at + 8 : data_at + 8 + 7]
+    )
+    with pytest.raises(ValueError, match="multiple"):
+        multimodal.decode_wav(odd)

@@ -29,9 +29,28 @@ def test_jdbc_uri_generic_and_driver_shapes():
         "mysql", "h", database="d", properties={"useUnicode": "false"}
     )
     assert "useUnicode=false" in uri2
-    # oracle uses its thin-driver prefix
-    assert registry.jdbc_uri("oracle", "h", database="XE").startswith(
-        "jdbc:oracle:thin:@h:1521/XE"
+    # oracle thin SID form (bare database = SID, connection.rb:370-384)
+    assert registry.jdbc_uri("oracle", "h", database="XE") == (
+        "jdbc:oracle:thin:@h:1521:XE"
+    )
+    assert registry.jdbc_uri("oracle", "h", database="/service") == (
+        "jdbc:oracle:thin:@h:1521/service"
+    )
+    # SQL Server: ;databaseName= with ;-separated properties, no path db
+    assert registry.jdbc_uri(
+        "sqlserver", "h", database="d", properties={"instanceName": "i"}
+    ) == "jdbc:sqlserver://h:1433;databaseName=d;instanceName=i"
+    # Snowflake: /?db=…&…  (connection.rb jdbc_uri_snowflake)
+    assert registry.jdbc_uri(
+        "snowflake", "acct.snowflakecomputing.com", database="d"
+    ) == "jdbc:snowflake://acct.snowflakecomputing.com/?db=d"
+    # ClickHouse prefix is jdbc:ch://
+    assert registry.jdbc_uri("clickhouse", "h", database="d") == (
+        "jdbc:ch://h:8123/d"
+    )
+    # property values URL-quote (a password with & must not split the URI)
+    assert "p%26q" in registry.jdbc_uri(
+        "postgresql", "h", database="d", properties={"password": "p&q"}
     )
     with pytest.raises(ValueError, match="unknown JDBC driver"):
         registry.jdbc_uri("nosuchdb", "h")
