@@ -139,6 +139,30 @@ _VBA_FN_ALIASES = {
 }
 
 
+def _rewrite_paren_call(text: str, name: str, repl) -> str:
+    """Paren-aware ``NAME(args)`` rewrite: passes the balanced argument
+    text to ``repl(inner) -> str | None`` (None = leave the call as-is)."""
+    pat = re.compile(rf"(?i)\b{name}\s*\(")
+    out: list[str] = []
+    i = 0
+    while True:
+        m = pat.search(text, i)
+        if not m:
+            out.append(text[i:])
+            return "".join(out)
+        depth, j = 1, m.end()
+        while j < len(text) and depth:
+            if text[j] == "(":
+                depth += 1
+            elif text[j] == ")":
+                depth -= 1
+            j += 1
+        replaced = repl(text[m.end() : j - 1])
+        out.append(text[i : m.start()])
+        out.append(text[m.start() : j] if replaced is None else replaced)
+        i = j
+
+
 def _rewrite_call(text: str, name: str, open_repl: str, close_repl: str) -> str:
     """Paren-aware ``NAME(args)`` → ``open_repl args close_repl`` — for VBA
     functions whose Spark equivalent needs wrapping, not just renaming."""
@@ -1466,6 +1490,9 @@ class MdxParser:
         # returns double — both need wrapping, not renaming
         out = _rewrite_call(out, "cint", "int(bround(", "))")
         out = _rewrite_call(out, "sgn", "cast(sign(", ") as int)")
+        # IsDirty() — cache-dirtiness probe (mondrian_test.rb:242-247);
+        # immutable-parquet inputs are never dirty, so it folds to false
+        out = re.sub(r"(?i)\bIsDirty\s*\(\s*\)", "false", out)
 
         def repl_case_name(m: re.Match) -> str:
             # CASE … END.Name returns the winning *member's name* as a
@@ -1656,6 +1683,94 @@ class MdxParser:
             lambda m: _unquote(_masked[int(m.group(1))]),
             out,
         )
+
+        def repl_aggregate_value(m: re.Match) -> str:
+            # Aggregate() as a VALUE inside a Measures formula
+            # (mondrian_test.rb:197-228): three forms —
+            #   Aggregate({m1, m2})               implicit current measure
+            #   Aggregate({m1, m2} * {[Measures].[X]})  explicit measure
+            #   Aggregate({m1, m2}, expr)          expression per member
+            # The member-set forms lower through the tuple-scalar machinery
+            # (same-dimension members become an IN — exact even for
+            # distinct-count); the expression form lowers to a per-member
+            # sub-aggregate + additive combine (plan._attach_agg_scalar).
+            from .members import parse_identifier
+
+            inner = m
+            sets_part, expr_part = inner, None
+            # split a top-level ", expr" tail (not inside braces/parens)
+            depth = 0
+            for i, ch in enumerate(inner):
+                if ch in "{(":
+                    depth += 1
+                elif ch in "})":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    sets_part, expr_part = inner[:i], inner[i + 1 :]
+                    break
+            sets = re.findall(r"\{(.*?)\}", sets_part)
+            if not sets:
+                return None  # not the set form — leave untouched
+            n_between = re.sub(r"\{.*?\}", "", sets_part)
+            if n_between.count("*") != len(sets) - 1 or re.sub(
+                r"[\s*]", "", n_between
+            ):
+                raise MdxError(
+                    "Aggregate sets combine only with * (crossjoin) in "
+                    "this subset"
+                )
+            measure_name = None
+            members: list[str] = []
+            for s in sets:
+                for p in re.findall(_id_pat, s):
+                    segs = parse_identifier(p)
+                    if segs[0].lower() == "measures":
+                        if measure_name is not None:
+                            raise MdxError(
+                                "Aggregate set has more than one Measures "
+                                "component"
+                            )
+                        if len(segs) != 2:
+                            raise MdxError(
+                                f"bad measure reference in Aggregate: {p}"
+                            )
+                        measure_name = segs[1]
+                    else:
+                        members.append(p)
+            if not members:
+                raise MdxError("Aggregate needs at least one member in its set")
+            if expr_part is not None:
+                if measure_name is not None:
+                    raise MdxError(
+                        "Aggregate takes a measure in the set OR an "
+                        "expression argument, not both"
+                    )
+                expr_sql = self.translate_expression_text(expr_part)
+                out_name = f"__aggexpr{len(self.q._agg_scalars)}"
+                self.q._agg_scalars.append(
+                    (out_name, expr_sql, tuple(members))
+                )
+                return out_name
+            key = (
+                measure_name.lower() if measure_name else None,
+                tuple(re.sub(r"\s", "", mm).lower() for mm in members),
+            )
+            for prior_out, prior_name, prior_members in self.q._tuple_scalars:
+                prior_key = (
+                    prior_name.lower() if prior_name else None,
+                    tuple(
+                        re.sub(r"\s", "", mm).lower() for mm in prior_members
+                    ),
+                )
+                if prior_key == key:
+                    return prior_out
+            out_name = f"__tuple{len(self.q._tuple_scalars)}"
+            self.q._tuple_scalars.append(
+                (out_name, measure_name, tuple(members))
+            )
+            return out_name
+
+        out = _rewrite_paren_call(out, "aggregate", repl_aggregate_value)
 
         def repl_tuple(m: re.Match) -> str:
             # tuple scalar ([Measures].[X], [Dim].[M], …): the cell value

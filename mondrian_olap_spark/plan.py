@@ -171,6 +171,11 @@ class Planner:
         #: refs): the value of ``measure`` with the listed dimensions'
         #: context overridden (mondrian_test.rb:361-380)
         self.tuple_scalars = tuple(tuple_scalars)
+        #: Aggregate(set, expr) scalar references — (out, expr_sql, member
+        #: refs): ``expr`` evaluated per set member and summed
+        #: (mondrian_test.rb:222-228 'aggregate stored members with
+        #: expression')
+        self.agg_scalars: tuple = ()
 
     def aggregate(
         self,
@@ -305,6 +310,8 @@ class Planner:
         # formulas can reference it like any measure alias
         for spec in self.tuple_scalars:
             agg = self._attach_tuple_scalar(agg, spec, axes, slicer, totals)
+        for spec in self.agg_scalars:
+            agg = self._attach_agg_scalar(agg, spec, axes, slicer, totals)
 
         # calculated members in solve_order (schema.rb:314-341): formulas
         # over measure aliases, may reference earlier calculated members
@@ -357,6 +364,13 @@ class Planner:
             sub_axes, sub_slicer, [measure], totals=totals
         )
         sub = sub.select(*sub_cols, F.col(measure.out).alias(out))
+        return self._broadcast_attach(agg, sub, sub_cols, out, totals)
+
+    def _broadcast_attach(self, agg, sub, sub_cols, out, totals):
+        """Attach a grid-grain scalar sub-frame onto the grid by broadcast
+        left join (shared tail of the tuple-scalar and Aggregate-scalar
+        lowerings — the sub-frame is one row per remaining-grain
+        combination, small by construction, so the grid never shuffles)."""
         if not sub_cols:
             return agg.crossJoin(F.broadcast(sub))
         if totals is None:
@@ -401,6 +415,51 @@ class Planner:
         joined = g.join(F.broadcast(t), on=cond, how="left")
         keep = [F.col(f"__grid.{c}") for c in agg.columns] + [F.col(out)]
         return joined.select(*keep)
+
+    def _attach_agg_scalar(self, agg, spec, axes, slicer, totals=None):
+        """``Aggregate({m1, m2}, expr)`` in a Measures formula
+        (mondrian_test.rb:222-228; jar!mondrian/olap/fun/AggregateFunDef
+        expression form): ``expr`` evaluated per set member — each member's
+        cells recomputed exactly at the remaining grain — then summed over
+        the set (Mondrian's additive combine for the expression form).
+
+        Spark lowering: one sub-aggregate at (grid grain MINUS overridden
+        dims) × the set dimension's level over ALL base measures, expr as
+        a projection, a second tiny groupBy collapsing the set dimension,
+        broadcast-joined back onto the grid."""
+        out, expr_sql, refs = spec
+        if totals is not None:
+            from .query import QueryError
+
+            raise QueryError(
+                "Aggregate(set, expression) formulas cannot be combined "
+                "with totals() in this subset"
+            )
+        overridden = {r.dimension.name for r in refs}
+        sub_axes = [
+            [s for s in axis if s.dimension.name not in overridden]
+            for axis in axes
+        ]
+        # the set dimension groups at its members' level so expr evaluates
+        # per member; Aggregate-set context overrides the slicer on every
+        # dimension the set mentions
+        sub_axes.append(list(refs))
+        kept_slicer = [
+            s for s in slicer if s.dimension.name not in overridden
+        ]
+        sub_planner = Planner(self.engine)
+        base = list(self.cube.measures)
+        sub, sub_cols = sub_planner.aggregate(sub_axes, kept_slicer, base)
+        set_outs = {
+            lv.out for r in refs for lv in r.dimension.levels
+        }
+        rem_cols = [c for c in sub_cols if c not in set_outs]
+        sub = sub.withColumn(out, F.expr(expr_sql))
+        if rem_cols:
+            sub = sub.groupBy(*rem_cols).agg(F.sum(out).alias(out))
+        else:
+            sub = sub.agg(F.sum(out).alias(out))
+        return self._broadcast_attach(agg, sub, rem_cols, out, totals)
 
     def _hide_rollups(self, agg, role, group_cols, measures):
         """rollup_policy='hidden' (schema.rb:468-489): a cell whose value

@@ -88,6 +88,9 @@ class Query:
         #: tuple scalar references recorded by formula translation:
         #: (output column, measure name, member identifier strings)
         self._tuple_scalars: list[tuple[str, str, tuple[str, ...]]] = []
+        #: Aggregate(set, expr) scalar references from formula translation:
+        #: (out, expr_sql, member identifier strings)
+        self._agg_scalars: list[tuple[str, str, tuple[str, ...]]] = []
 
     # -- axes ----------------------------------------------------------
     def axis(self, i: int, *members) -> "Query":
@@ -669,7 +672,32 @@ class Query:
         and appear unioned onto any axis that groups this dimension at the
         members' level.
         """
-        refs = [self._resolve(m) for m in members]
+        # a set element may name an EARLIER query-scoped aggregate member
+        # ('aggregate calculated aggregate members', mondrian_test.rb:
+        # 231-239): expand it to its underlying real member set — entries
+        # store only real refs, so nesting composes to any depth
+        refs = []
+        for m in members:
+            from .members import parse_identifier
+
+            last = parse_identifier(m)[-1].lower()
+            hit = next(
+                (
+                    dm
+                    for dm in self._dim_members
+                    if dm[0] == "aggregate" and dm[1].lower() == last
+                ),
+                None,
+            )
+            if hit is not None:
+                if len(hit) > 6 and hit[6]:
+                    raise QueryError(
+                        f"nested aggregate member {m!r} carries cross-"
+                        "dimension constraints — not composable by union"
+                    )
+                refs.extend(hit[5])
+            else:
+                refs.append(self._resolve(m))
         if not refs or any(isinstance(r, MeasureRef) for r in refs):
             raise QueryError("with_dimension_member needs dimension members")
         dim = self.cube.dimension(dimension) if dimension else refs[0].dimension
@@ -833,11 +861,24 @@ class Query:
                     )
                 refs.append(ref)
             tuple_specs.append((out, measure, tuple(refs)))
+        agg_specs = []
+        for out, expr_sql, member_strs in self._agg_scalars:
+            refs = []
+            for mstr in member_strs:
+                ref = self._resolve(mstr)
+                if isinstance(ref, MeasureRef):
+                    raise QueryError(
+                        f"Aggregate set member {mstr!r}: measures belong in "
+                        "the expression, not the set, for the expression form"
+                    )
+                refs.append(ref)
+            agg_specs.append((out, expr_sql, tuple(refs)))
         planner = Planner(
             self.engine,
             extra_measures=tuple(self._with),
             tuple_scalars=tuple(tuple_specs),
         )
+        planner.agg_scalars = tuple(agg_specs)
         main_axes, shallow_groups = self._split_mixed_depth([ax.sets for ax in axes])
         if shallow_groups and (self._totals is not None or self._include_empty):
             # the shallow unions run outside the totals / empty-expansion

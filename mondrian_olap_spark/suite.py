@@ -355,6 +355,42 @@ def aggregate_crossjoin_set(spark, sf_dir):
 
 
 @q(
+    "aggregate_value_forms",
+    f"""
+    WITH star AS (
+      SELECT year(o_orderdate) AS y, l_quantity, r_name FROM {_CUST_STAR}
+    ),
+    base AS (SELECT y AS o_year, sum(l_quantity) AS sum_qty FROM star GROUP BY 1),
+    aa AS (
+      SELECT y AS o_year, sum(l_quantity) AS q FROM star
+      WHERE r_name IN ('ASIA', 'AFRICA') GROUP BY 1
+    )
+    SELECT b.o_year, b.sum_qty, a.q AS asia_africa,
+           a.q * 2 AS asia_africa_doubled
+    FROM base b LEFT JOIN aa a USING (o_year)
+    """,
+)
+def aggregate_value_forms(spark, sf_dir):
+    """Aggregate() as a VALUE in Measures formulas — all three reference
+    forms in one grid (mondrian_test.rb:197-228): implicit-measure set,
+    crossjoined explicit-measure set, and the expression form (per-member
+    evaluation + additive combine), each keeping the per-row Time
+    context."""
+    eng = get_engine(spark, sf_dir)
+    return eng.execute(
+        """
+        WITH MEMBER [Measures].[Asia Africa] AS
+          'Aggregate({[Customer].[ASIA], [Customer].[AFRICA]} * {[Measures].[Sum Qty]})'
+             MEMBER [Measures].[Asia Africa Doubled] AS
+          'Aggregate({[Customer].[ASIA], [Customer].[AFRICA]}, [Measures].[Sum Qty] * 2)'
+        SELECT {[Measures].[Sum Qty], [Measures].[Asia Africa],
+                [Measures].[Asia Africa Doubled]} ON COLUMNS,
+               [Time].[Year].Members ON ROWS FROM [Sales]
+        """
+    ).df
+
+
+@q(
     "median_percentile_price",
     """
     SELECT l_returnflag AS return_flag,

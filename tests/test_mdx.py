@@ -2031,3 +2031,108 @@ def test_aggregate_sets_juxtaposed_raise(engine):
                    {[Customer].[X]} ON ROWS FROM [Sales]
             """,
         )
+
+
+def test_aggregate_calculated_aggregate_members(engine):
+    """Aggregate sets may reference earlier query-scoped aggregate members
+    (mondrian_test.rb:231-239): the union expands to the underlying real
+    member sets."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Customer].[Asia calc] AS 'Aggregate({[Customer].[ASIA]})'
+             MEMBER [Customer].[Africa calc] AS 'Aggregate({[Customer].[AFRICA]})'
+             MEMBER [Customer].[Both] AS
+               'Aggregate({[Customer].[Asia calc], [Customer].[Africa calc]})'
+        SELECT [Measures].[Sum Qty] ON COLUMNS,
+               {[Customer].children, [Customer].[Both]} ON ROWS FROM [Sales]
+        """,
+    )
+    vals = {x["region_name"]: x["sum_qty"] for x in r.df.collect()}
+    assert vals["Both"] == pytest.approx(vals["ASIA"] + vals["AFRICA"])
+
+
+def test_isdirty_folds_false(engine):
+    """IsDirty() (mondrian_test.rb:242-247): immutable parquet inputs are
+    never dirty — folds to false."""
+    r = execute_mdx(
+        engine,
+        "WITH MEMBER [Measures].[d] AS 'IIF(IsDirty(), 1, 0)' "
+        "SELECT [Measures].[d] ON COLUMNS FROM [Sales]",
+    )
+    assert r.df.collect()[0]["d"] == 0
+
+
+def test_aggregate_value_three_forms(engine, duck):
+    """Aggregate() as a value in Measures formulas (mondrian_test.rb:
+    197-228): implicit-measure set, set*{measure} crossjoin, and the
+    (set, expr) expression form — all equal to their SQL meaning."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[AA] AS
+               'Aggregate({[Customer].[ASIA], [Customer].[AFRICA]})'
+             MEMBER [Measures].[AAQ] AS
+               'Aggregate({[Customer].[ASIA], [Customer].[AFRICA]} * {[Measures].[Sum Qty]})'
+             MEMBER [Measures].[AAQ2] AS
+               'Aggregate({[Customer].[ASIA], [Customer].[AFRICA]}, [Measures].[Sum Qty] * 2)'
+        SELECT {[Measures].[AA], [Measures].[AAQ], [Measures].[AAQ2]} ON COLUMNS
+        FROM [Sales]
+        """,
+    )
+    row = r.df.collect()[0]
+    expected = duck.execute(
+        """
+        SELECT sum(l_quantity) FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name IN ('ASIA', 'AFRICA')
+        """
+    ).fetchone()[0]
+    assert row["aa"] == pytest.approx(expected)       # implicit default measure
+    assert row["aaq"] == pytest.approx(expected)      # explicit measure
+    assert row["aaq2"] == pytest.approx(expected * 2)  # expression form
+
+
+def test_aggregate_expression_keeps_row_context(engine, duck):
+    """The expression form recomputes per grid row: non-overridden Time
+    context is preserved (same shape as tuple scalars)."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[AAQ2] AS
+          'Aggregate({[Customer].[ASIA], [Customer].[AFRICA]}, [Measures].[Sum Qty] * 2)'
+        SELECT {[Measures].[AAQ2]} ON COLUMNS,
+               [Time].[Year].Members ON ROWS FROM [Sales]
+        """,
+    )
+    got = {x["o_year"]: x["aaq2"] for x in r.df.collect()}
+    for y, q in duck.execute(
+        """
+        SELECT year(o_orderdate), sum(l_quantity) FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name IN ('ASIA', 'AFRICA') GROUP BY 1
+        """
+    ).fetchall():
+        assert got[y] == pytest.approx(q * 2)
+
+
+def test_aggregate_expression_with_totals_raises(engine):
+    """The expression form refuses totals() loudly (super-aggregate rows
+    would need their own combine pass) instead of joining wrong cells."""
+    from mondrian_olap_spark.query import Query, QueryError
+
+    q = (
+        Query(engine)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[ReturnFlag].children")
+        .totals("rollup")
+    )
+    q._agg_scalars.append(("__aggexpr0", "sum_qty * 2", ("[Customer].[ASIA]",)))
+    with pytest.raises(QueryError, match="totals"):
+        q.execute()
