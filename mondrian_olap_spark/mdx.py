@@ -1841,6 +1841,21 @@ class MdxParser:
                 for cm in self.q._with:
                     if cm.name.lower() == name.lower():
                         return cm.out
+                # WITH entries parse in order, but a formula may reference a
+                # calc member DEFINED LATER in the same clause
+                # (mondrian_test.rb:580-590 parent-before-child): scan the
+                # raw statement and emit the alias the later with_member
+                # will produce — the planner's calc chain orders by the
+                # dependency DAG, so evaluation order is still correct
+                from .model import _snake
+
+                later_def = (
+                    r"(?is)\bmember\s+\[Measures\]\s*\.\s*\["
+                    + re.escape(name)
+                    + r"\]\s*as\b"
+                )
+                if re.search(later_def, self.src or ""):
+                    return _snake(name)
                 # exact reference root-cause shape (query_test.rb:779-780)
                 raise MdxError(
                     f"MDX object '[Measures].{quote_segment(name)}' not "
@@ -1848,7 +1863,105 @@ class MdxParser:
                 )
 
         out = re.sub(r"\[Measures\]\s*\.\s*\[((?:[^\]]|\]\])*)\]", repl_measure, out)
+
+        def _rewrite_matches(text: str) -> str:
+            # X [NOT] MATCHES pattern as a VALUE expression
+            # (mondrian_test.rb:556-579; jar!mondrian/olap/fun/fun resource
+            # MATCHES operator): regex match with NULL-as-false semantics —
+            # a NULL operand yields false (true under NOT), and numeric
+            # operands coerce to string.  Runs AFTER measure rewriting so
+            # the left operand is an alias/parenthesized expr/literal.
+            pat = re.compile(r"(?i)\b(NOT\s+)?MATCHES\b")
+
+            def left_operand(s: str, end: int) -> int:
+                i = end
+                while i > 0 and s[i - 1].isspace():
+                    i -= 1
+                if i > 0 and s[i - 1] == ")":
+                    depth = 0
+                    while i > 0:
+                        i -= 1
+                        if s[i] == ")":
+                            depth += 1
+                        elif s[i] == "(":
+                            depth -= 1
+                            if depth == 0:
+                                break
+                    # absorb a function-name prefix (e.g. cast(...))
+                    while i > 0 and (s[i - 1].isalnum() or s[i - 1] == "_"):
+                        i -= 1
+                    return i
+                while i > 0 and (s[i - 1].isalnum() or s[i - 1] in "_\x00."):
+                    i -= 1
+                return i
+
+            def right_operand(s: str, start: int) -> int:
+                i = start
+                while i < len(s) and s[i].isspace():
+                    i += 1
+                if i < len(s) and s[i] == "(":
+                    depth = 0
+                    while i < len(s):
+                        if s[i] == "(":
+                            depth += 1
+                        elif s[i] == ")":
+                            depth -= 1
+                            if depth == 0:
+                                return i + 1
+                        i += 1
+                    return i
+                while i < len(s) and (s[i].isalnum() or s[i] in "_\x00."):
+                    i += 1
+                return i
+
+            while True:
+                m2 = pat.search(text)
+                if m2 is None:
+                    return text
+                ls = left_operand(text, m2.start())
+                re_end = right_operand(text, m2.end())
+                left = text[ls : m2.start()].strip()
+                right = text[m2.end() : re_end].strip()
+                if not left or not right:
+                    raise MdxError("MATCHES needs two operands")
+                repl = (
+                    f"coalesce(rlike(cast(({left}) as string), {right}), false)"
+                )
+                if m2.group(1):
+                    repl = f"(not {repl})"
+                text = text[:ls] + repl + text[re_end:]
+
+        if re.search(r"(?i)\bMATCHES\b", out):
+            out = _rewrite_matches(out)
         out = out.replace("<>", "!=")
+        # COALESCEEMPTY → coalesce (first non-empty; CoalesceEmptyFunDef).
+        # Mixed numeric/string arguments (mondrian_test.rb:532-543): a Spark
+        # column is monotyped, so when a string literal mixes with non-string
+        # args every arg casts to string — the one lossless common type (the
+        # reference keeps per-branch types; a cross-typed numeric cell
+        # surfaces as its string form here, documented deviation)
+        def repl_coalesceempty(inner: str) -> str:
+            args, depth, start = [], 0, 0
+            for i, ch in enumerate(inner):
+                if ch in "({":
+                    depth += 1
+                elif ch in ")}":
+                    depth -= 1
+                elif ch == "," and depth == 0:
+                    args.append(inner[start:i])
+                    start = i + 1
+            args.append(inner[start:])
+            is_str = [
+                bool(re.fullmatch(r"\s*\x00\d+\x00\s*", a)) for a in args
+            ]
+            if any(is_str) and not all(is_str):
+                args = [
+                    a if s else f"cast(({a.strip()}) as string)"
+                    for a, s in zip(args, is_str)
+                ]
+            return "coalesce(" + ", ".join(a.strip() for a in args) + ")"
+
+        out = _rewrite_paren_call(out, "coalesceempty", repl_coalesceempty)
         # IsDirty(): cache-dirty introspection (mondrian_test.rb:241-247).
         # Aggregates here are always (re)computed from consistent source
         # snapshots — a cell is never served from a stale segment — so the

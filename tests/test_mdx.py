@@ -2136,3 +2136,64 @@ def test_aggregate_expression_with_totals_raises(engine):
     q._agg_scalars.append(("__aggexpr0", "sum_qty * 2", ("[Customer].[ASIA]",)))
     with pytest.raises(QueryError, match="totals"):
         q.execute()
+
+
+def test_matches_value_operator(engine):
+    """X [NOT] MATCHES pattern as a value expression (mondrian_test.rb:
+    545-579): regex match with NULL-as-false semantics and numeric
+    coercion."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[m1] AS '''dummy'' MATCHES ''.*dum.*'''
+             MEMBER [Measures].[m2] AS '(CASE WHEN 1=2 THEN ''dummy'' END) MATCHES ''.*dum.*'''
+             MEMBER [Measures].[m3] AS '''dummy'' MATCHES (CASE WHEN 1=2 THEN ''.*dum.*'' END)'
+             MEMBER [Measures].[n] AS '123'
+             MEMBER [Measures].[m4] AS '[Measures].[n] MATCHES ''\\\\d+'''
+             MEMBER [Measures].[m5] AS '''dummy'' NOT MATCHES ''.*xyz.*'''
+             MEMBER [Measures].[m6] AS '(CASE WHEN 1=2 THEN ''dummy'' END) NOT MATCHES ''.*dum.*'''
+        SELECT {[Measures].[m1], [Measures].[m2], [Measures].[m3],
+                [Measures].[m4], [Measures].[m5], [Measures].[m6]} ON COLUMNS
+        FROM [Sales]
+        """,
+    )
+    row = r.df.collect()[0]
+    assert [row["m1"], row["m2"], row["m3"]] == [True, False, False]
+    assert [row["m4"], row["m5"], row["m6"]] == [True, True, True]
+
+
+def test_coalesceempty_mixed_types(engine):
+    """CoalesceEmpty with mixed numeric/string args (mondrian_test.rb:
+    532-543): first non-empty wins; a Spark column is monotyped, so mixed
+    args unify as strings (documented deviation — the reference keeps the
+    numeric 123 as a number, here it surfaces as '123')."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[c1] AS 'COALESCEEMPTY(123, ''dummy'')'
+             MEMBER [Measures].[c2] AS 'COALESCEEMPTY(CASE WHEN 1=2 THEN 1 END, ''dummy'')'
+             MEMBER [Measures].[c3] AS 'COALESCEEMPTY(CAST(NULL AS DOUBLE), [Measures].[Sum Qty])'
+        SELECT {[Measures].[c1], [Measures].[c2], [Measures].[c3]} ON COLUMNS
+        FROM [Sales]
+        """,
+    )
+    row = r.df.collect()[0]
+    assert row["c1"] == "123" and row["c2"] == "dummy"
+    assert row["c3"] > 0  # same-typed args stay numeric
+
+
+def test_forward_calc_member_reference(engine):
+    """A calc member may reference another calc member defined LATER in
+    the WITH clause (mondrian_test.rb:580-590 FormatFinder parent-before-
+    child): the calc chain orders by the dependency DAG, not parse order."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[parent calculation] AS '[Measures].[child calculation]'
+             MEMBER [Measures].[child calculation] AS '[Measures].[Sum Qty] * [Measures].[Count Order]'
+        SELECT {[Measures].[parent calculation], [Measures].[child calculation]} ON COLUMNS
+        FROM [Sales]
+        """,
+    )
+    row = r.df.collect()[0]
+    assert row["parent_calculation"] == row["child_calculation"] != 0
