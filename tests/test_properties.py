@@ -7,6 +7,7 @@ where hand-rolled parsing lives.
 
 import math
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -238,3 +239,76 @@ def test_mdx_parser_fuzz_never_crashes(engine, toks):
         execute_mdx(engine, text)
     except (MdxError, MemberParseError, QueryError, KeyError, ValueError):
         pass
+
+
+# ---------------------------------------------------------------- codecs
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 12),
+    data=st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_bmp_roundtrip_property(w, h, data):
+    """decode_bmp recovers exact dimensions and channel means from any
+    constructed 24-bpp image (including widths whose rows need padding)."""
+    import struct
+
+    import numpy as np
+
+    from mondrian_olap_spark.operators import multimodal
+
+    px = data.draw(
+        st.lists(
+            st.lists(st.tuples(*[st.integers(0, 255)] * 3), min_size=w, max_size=w),
+            min_size=h,
+            max_size=h,
+        )
+    )
+    stride = ((w * 3 + 3) // 4) * 4
+    body = b""
+    for row in reversed(px):
+        line = b"".join(bytes((b_, g, r)) for r, g, b_ in row)
+        body += line + b"\x00" * (stride - len(line))
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+    head = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    dw, dh, feats = multimodal.decode_bmp(head + info + body)
+    assert (dw, dh) == (w, h)
+    arr = np.array(px, dtype=np.float64) / 255.0
+    assert feats[0] == pytest.approx(arr[..., 0].mean())
+    assert feats[1] == pytest.approx(arr[..., 1].mean())
+    assert feats[2] == pytest.approx(arr[..., 2].mean())
+    assert feats[7] == pytest.approx(w / h)
+
+
+@given(
+    samples=st.lists(st.integers(-32768, 32767), min_size=2, max_size=200),
+    channels=st.integers(1, 2),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_property(samples, channels, rate):
+    """decode_wav recovers frame counts and amplitude statistics from any
+    constructed PCM-16 payload."""
+    import struct
+
+    import numpy as np
+
+    from mondrian_olap_spark.operators import multimodal
+
+    n = (len(samples) // channels) * channels
+    if n == 0:
+        samples = samples + samples  # ensure one full frame
+        n = (len(samples) // channels) * channels
+    samples = samples[:n]
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    payload = b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+    per, ch, feats = multimodal.decode_wav(payload)
+    assert (per, ch) == (n // channels, channels)
+    x = np.array(samples, dtype=np.float64).reshape(-1, channels).mean(axis=1) / 32768.0
+    assert feats[0] == pytest.approx(x.mean(), abs=1e-12)
+    assert feats[1] == pytest.approx(float(np.sqrt(np.mean(x * x))), abs=1e-12)
+    assert feats[2] == pytest.approx(float(np.abs(x).max()), abs=1e-12)
+    assert feats[4] == pytest.approx(per / rate)
