@@ -141,7 +141,10 @@ _VBA_FN_ALIASES = {
 
 def _rewrite_paren_call(text: str, name: str, repl) -> str:
     """Paren-aware ``NAME(args)`` rewrite: passes the balanced argument
-    text to ``repl(inner) -> str | None`` (None = leave the call as-is)."""
+    text to ``repl(inner) -> str | None`` (None = leave the call as-is).
+    Recurses into each replacement so nested same-name calls rewrite too
+    (``CoalesceEmpty(CoalesceEmpty(a, b), c)``) — ``repl`` must eliminate
+    the outer NAME from its output or the recursion would not converge."""
     pat = re.compile(rf"(?i)\b{name}\s*\(")
     out: list[str] = []
     i = 0
@@ -158,6 +161,8 @@ def _rewrite_paren_call(text: str, name: str, repl) -> str:
                 depth -= 1
             j += 1
         replaced = repl(text[m.end() : j - 1])
+        if replaced is not None:
+            replaced = _rewrite_paren_call(replaced, name, repl)
         out.append(text[i : m.start()])
         out.append(text[m.start() : j] if replaced is None else replaced)
         i = j
@@ -435,12 +440,19 @@ class MdxParser:
             )
         self.expect_word("as")
         t = self.next()
-        if t.kind == "string":
-            expr_sql = self.translate_expression_text(_unquote(t.text))
-        else:
-            # unquoted expression form: re-parse from this token
-            self.i -= 1
-            expr_sql = self.parse_value_expression()
+        # the member being defined — a formula referencing itself must
+        # raise the reference's infinite-loop error, not an opaque
+        # unresolved-column failure via the forward-definition scan
+        self._defining_measure = name_segs[1]
+        try:
+            if t.kind == "string":
+                expr_sql = self.translate_expression_text(_unquote(t.text))
+            else:
+                # unquoted expression form: re-parse from this token
+                self.i -= 1
+                expr_sql = self.parse_value_expression()
+        finally:
+            self._defining_measure = None
         solve_order = 0
         while self.at_op(","):
             save = self.i
@@ -1357,9 +1369,14 @@ class MdxParser:
                 # WITH entries parse in order, so a formula may reference a
                 # dimension calc member DEFINED LATER in the same clause —
                 # scan the raw statement for such a definition before
-                # probing the data (parse-order independence)
+                # probing the data (parse-order independence).  The scan is
+                # scoped to THIS dimension: a later [Measures] (or other-
+                # dimension) member with a colliding name must not exempt a
+                # typo'd member from the not-found error.
                 later_def = (
-                    r"(?is)\bmember\s+(?:\[(?:[^\]]|\]\])*\]\s*\.\s*)*\["
+                    r"(?is)\bmember\s+\["
+                    + re.escape(dim.name)
+                    + r"\]\s*\.\s*(?:\[(?:[^\]]|\]\])*\]\s*\.\s*)*\["
                     + re.escape(member_path[-1])
                     + r"\]\s*as\b"
                 )
@@ -1490,9 +1507,6 @@ class MdxParser:
         # returns double — both need wrapping, not renaming
         out = _rewrite_call(out, "cint", "int(bround(", "))")
         out = _rewrite_call(out, "sgn", "cast(sign(", ") as int)")
-        # IsDirty() — cache-dirtiness probe (mondrian_test.rb:242-247);
-        # immutable-parquet inputs are never dirty, so it folds to false
-        out = re.sub(r"(?i)\bIsDirty\s*\(\s*\)", "false", out)
 
         def repl_case_name(m: re.Match) -> str:
             # CASE … END.Name returns the winning *member's name* as a
@@ -1745,7 +1759,15 @@ class MdxParser:
                         "Aggregate takes a measure in the set OR an "
                         "expression argument, not both"
                     )
-                expr_sql = self.translate_expression_text(expr_part)
+                # restore the OUTER pass's literal masks before recursing —
+                # the recursive call owns its own mask list, so a leaked
+                # \x00N\x00 placeholder would index into the wrong list
+                expr_raw = re.sub(
+                    r"\x00(\d+)\x00",
+                    lambda mm: _masked[int(mm.group(1))],
+                    expr_part,
+                )
+                expr_sql = self.translate_expression_text(expr_raw)
                 out_name = f"__aggexpr{len(self.q._agg_scalars)}"
                 self.q._agg_scalars.append(
                     (out_name, expr_sql, tuple(members))
@@ -1849,6 +1871,12 @@ class MdxParser:
                 # dependency DAG, so evaluation order is still correct
                 from .model import _snake
 
+                defining = getattr(self, "_defining_measure", None)
+                if defining and defining.lower() == name.lower():
+                    raise MdxError(
+                        f"Infinite loop while evaluating calculated member "
+                        f"'[Measures].{quote_segment(name)}'"
+                    )
                 later_def = (
                     r"(?is)\bmember\s+\[Measures\]\s*\.\s*\["
                     + re.escape(name)
@@ -1924,8 +1952,12 @@ class MdxParser:
                 right = text[m2.end() : re_end].strip()
                 if not left or not right:
                     raise MdxError("MATCHES needs two operands")
+                # Mondrian's MATCHES is java.util.regex Matcher.matches() —
+                # a FULL match, not rlike's substring search — so anchor
+                # the pattern
                 repl = (
-                    f"coalesce(rlike(cast(({left}) as string), {right}), false)"
+                    f"coalesce(rlike(cast(({left}) as string), "
+                    f"concat('^(?:', {right}, ')$')), false)"
                 )
                 if m2.group(1):
                     repl = f"(not {repl})"

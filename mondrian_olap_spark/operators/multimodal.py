@@ -147,7 +147,7 @@ def decode_wav(payload: bytes) -> tuple[int, int, list[float]]:
         cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
         body = pos + 8
         if cid == b"fmt ":
-            if size < 16:
+            if size < 16 or body + 16 > end:
                 raise ValueError("WAV fmt chunk truncated")
             fmt = struct.unpack_from("<HHIIHH", payload, body)
         elif cid == b"data":

@@ -447,8 +447,27 @@ class Planner:
         kept_slicer = [
             s for s in slicer if s.dimension.name not in overridden
         ]
-        sub_planner = Planner(self.engine)
-        base = list(self.cube.measures)
+        sub_planner = Planner(self.engine, extra_measures=self.extra_measures)
+        # expr may reference calculated members (WITH or cube-level), so the
+        # sub-aggregate computes them too — except ones that themselves
+        # lower to tuple/Aggregate scalars (attaching those here would
+        # recurse; refuse loudly instead of failing with an unresolved
+        # column)
+        calcs = []
+        for c in (*self.cube.calculated_members, *self.extra_measures):
+            if re.search(r"__tuple\d|__aggexpr\d", c.expression):
+                if re.search(rf"\b{re.escape(c.out)}\b", expr_sql):
+                    from .query import QueryError
+
+                    raise QueryError(
+                        f"Aggregate(set, expr): expression references "
+                        f"[Measures].[{c.name}], whose formula contains a "
+                        "tuple/Aggregate scalar — nested scalar lowerings "
+                        "are not supported"
+                    )
+                continue
+            calcs.append(c)
+        base = list(self.cube.measures) + calcs
         sub, sub_cols = sub_planner.aggregate(sub_axes, kept_slicer, base)
         set_outs = {
             lv.out for r in refs for lv in r.dimension.levels
@@ -726,8 +745,18 @@ class Planner:
                 (o for o in remaining if deps[o] <= placed),
                 key=lambda o: (by_out[o].solve_order, o),
             )
-            if not ready:  # cycle: fall back to solve_order (will error in SQL)
-                ready = sorted(remaining, key=lambda o: (by_out[o].solve_order, o))
+            if not ready:
+                # a genuine cycle — raise the reference-shaped error
+                # (Mondrian: 'Infinite loop while evaluating calculated
+                # member') instead of an opaque unresolved-column failure
+                from .query import QueryError
+
+                cyc = sorted(remaining)
+                names = ", ".join(f"[Measures].[{by_out[o].name}]" for o in cyc)
+                raise QueryError(
+                    f"cyclic calculated-member references: {names}",
+                    root_cause="Infinite loop while evaluating calculated member",
+                )
             o = ready[0]
             calcs.append(by_out[o])
             placed.add(o)

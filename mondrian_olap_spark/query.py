@@ -680,12 +680,30 @@ class Query:
         for m in members:
             from .members import parse_identifier
 
-            last = parse_identifier(m)[-1].lower()
+            segs = parse_identifier(m)
+            last = segs[-1].lower()
+
+            def _same_dim(dm) -> bool:
+                # the reference must name the aggregate member's own
+                # dimension — a REAL member of another dimension that
+                # happens to share the name must not be shadowed
+                if len(segs) < 2:
+                    return True
+                try:
+                    return (
+                        self.cube.dimension(segs[0]).name.lower()
+                        == dm[2].name.lower()
+                    )
+                except KeyError:
+                    return False
+
             hit = next(
                 (
                     dm
                     for dm in self._dim_members
-                    if dm[0] == "aggregate" and dm[1].lower() == last
+                    if dm[0] == "aggregate"
+                    and dm[1].lower() == last
+                    and _same_dim(dm)
                 ),
                 None,
             )

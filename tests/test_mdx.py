@@ -2197,3 +2197,88 @@ def test_forward_calc_member_reference(engine):
     )
     row = r.df.collect()[0]
     assert row["parent_calculation"] == row["child_calculation"] != 0
+
+
+def test_aggregate_expr_with_string_literal_and_calc_ref(engine):
+    """Review fixes: a string literal inside Aggregate(set, expr) survives
+    the nested translation (mask restore before recursion), and expr may
+    reference a calculated member."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[Doubled] AS '[Measures].[Sum Qty] * 2'
+             MEMBER [Measures].[X] AS
+               'Aggregate({[Customer].[ASIA]}, [Measures].[Doubled])'
+             MEMBER [Measures].[Y] AS
+               'Aggregate({[Customer].[ASIA]}, IIF(''a'' = ''a'', [Measures].[Sum Qty], 0))'
+        SELECT {[Measures].[X], [Measures].[Y]} ON COLUMNS FROM [Sales]
+        """,
+    )
+    row = r.df.collect()[0]
+    assert row["x"] == pytest.approx(row["y"] * 2)
+    assert row["y"] > 0
+
+
+def test_matches_is_full_match(engine):
+    """MATCHES is a java-regex FULL match (review fix): a substring
+    pattern without wildcards must NOT match."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[m1] AS '''dummy'' MATCHES ''dum'''
+             MEMBER [Measures].[m2] AS '''dummy'' MATCHES ''dummy'''
+             MEMBER [Measures].[m3] AS '''dummy'' MATCHES ''.*mm.*'''
+        SELECT {[Measures].[m1], [Measures].[m2], [Measures].[m3]} ON COLUMNS
+        FROM [Sales]
+        """,
+    )
+    row = r.df.collect()[0]
+    assert [row["m1"], row["m2"], row["m3"]] == [False, True, True]
+
+
+def test_nested_coalesceempty(engine):
+    """Nested same-name CoalesceEmpty rewrites fully (review fix)."""
+    r = execute_mdx(
+        engine,
+        "WITH MEMBER [Measures].[c] AS "
+        "'COALESCEEMPTY(COALESCEEMPTY(CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)), 7.5)' "
+        "SELECT [Measures].[c] ON COLUMNS FROM [Sales]",
+    )
+    assert r.df.collect()[0]["c"] == 7.5
+
+
+def test_self_referential_calc_member_raises(engine):
+    with pytest.raises(MdxError, match="Infinite loop"):
+        execute_mdx(
+            engine,
+            "WITH MEMBER [Measures].[X] AS '[Measures].[X] + 1' "
+            "SELECT [Measures].[X] ON COLUMNS FROM [Sales]",
+        )
+
+
+def test_mutually_cyclic_calc_members_raise(engine):
+    from mondrian_olap_spark.query import QueryError
+
+    with pytest.raises((QueryError, MdxError), match="(?i)infinite|cyclic"):
+        execute_mdx(
+            engine,
+            """
+            WITH MEMBER [Measures].[X] AS '[Measures].[Y] + 1'
+                 MEMBER [Measures].[Y] AS '[Measures].[X] + 1'
+            SELECT {[Measures].[X], [Measures].[Y]} ON COLUMNS FROM [Sales]
+            """,
+        )
+
+
+def test_accessor_not_exempted_by_other_dimension_member(engine):
+    """A later WITH member on ANOTHER dimension must not exempt a typo'd
+    member path from the not-found error (review fix)."""
+    with pytest.raises(MdxError, match="not found in cube"):
+        execute_mdx(
+            engine,
+            """
+            WITH MEMBER [Measures].[x] AS '[Customer].[Bogus].Name'
+                 MEMBER [Measures].[Bogus] AS '1'
+            SELECT {[Measures].[x]} ON COLUMNS FROM [Sales]
+            """,
+        )
