@@ -283,3 +283,40 @@ def test_streaming_neardup_filter(spark, tmp_path):
         q.stop()
     flat = [i for b in accepted_batches for i in b]
     assert 1 in flat and 3 in flat and 2 not in flat
+
+
+def test_streaming_text_pipeline_operators(spark, tmp_path):
+    """The expression-only text operators (quality filter, token counts,
+    PII redaction) run UNCHANGED on streaming frames — no UDFs, no state,
+    pure projections, so the same code covers batch and streams (the
+    Structured Streaming contract for stateless transforms)."""
+    import json
+
+    from mondrian_olap_spark.operators import text
+
+    src = tmp_path / "textstream_src"
+    src.mkdir()
+    rows = [
+        {"doc_id": 1, "text": (
+            "the quick brown fox jumps over the lazy dog and then the dog "
+            "sleeps all of the day while the fox keeps running to the woods "
+            "contact me at someone@example.com for details about the story"
+        )},
+        {"doc_id": 2, "text": "tiny"},
+    ]
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+    out = text.redact_pii(text.with_token_counts(text.quality_filter(stream)))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("text_stream")
+        .option("checkpointLocation", str(tmp_path / "text_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r for r in spark.sql("SELECT * FROM text_stream").collect()}
+    assert got[1]["keep"] is True and got[2]["keep"] is False
+    assert got[2]["drop_reason"] == "too_short"
+    assert "<EMAIL>" in got[1]["redacted"]
+    assert got[1]["n_tokens_ws"] > got[1]["n_tokens_ws"] * 0 and got[1]["n_tokens_bpe"] >= got[1]["n_tokens_ws"]
