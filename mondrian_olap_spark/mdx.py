@@ -1373,16 +1373,23 @@ class MdxParser:
                 # scoped to THIS dimension: a later [Measures] (or other-
                 # dimension) member with a colliding name must not exempt a
                 # typo'd member from the not-found error.
-                later_def = (
-                    r"(?is)\bmember\s+\["
-                    + re.escape(dim.name)
-                    + r"\]\s*\.\s*(?:\[(?:[^\]]|\]\])*\]\s*\.\s*)*\["
+                later_def = re.compile(
+                    r"(?is)\bmember\s+\[((?:[^\]]|\]\])*)\]"
+                    r"\s*\.\s*(?:\[(?:[^\]]|\]\])*\]\s*\.\s*)*\["
                     + re.escape(member_path[-1])
                     + r"\]\s*as\b"
                 )
-                is_query_member = bool(
-                    re.search(later_def, getattr(self, "src", "") or "")
-                )
+                want = dim.name.replace(".", "").lower()
+                for dm_match in later_def.finditer(
+                    getattr(self, "src", "") or ""
+                ):
+                    first = dm_match.group(1).replace("]]", "]")
+                    # secondary hierarchies are written [Dim.Hierarchy] but
+                    # the dimension object is the squashed name (TimeWeekly)
+                    # — compare through the same squashing rule
+                    if first.replace(".", "").lower() == want:
+                        is_query_member = True
+                        break
             if not is_query_member and not self.engine.member_exists(
                 dim.name, level_idx, tuple(member_path)
             ):
@@ -1768,6 +1775,19 @@ class MdxParser:
                     expr_part,
                 )
                 expr_sql = self.translate_expression_text(expr_raw)
+                key2 = (
+                    re.sub(r"\s", "", expr_sql),
+                    tuple(re.sub(r"\s", "", mm).lower() for mm in members),
+                )
+                for prior_out, prior_expr, prior_members in self.q._agg_scalars:
+                    if key2 == (
+                        re.sub(r"\s", "", prior_expr),
+                        tuple(
+                            re.sub(r"\s", "", mm).lower()
+                            for mm in prior_members
+                        ),
+                    ):
+                        return prior_out
                 out_name = f"__aggexpr{len(self.q._agg_scalars)}"
                 self.q._agg_scalars.append(
                     (out_name, expr_sql, tuple(members))
@@ -1924,22 +1944,31 @@ class MdxParser:
                 return i
 
             def right_operand(s: str, start: int) -> int:
+                def balanced(k: int) -> int:
+                    depth = 0
+                    while k < len(s):
+                        if s[k] == "(":
+                            depth += 1
+                        elif s[k] == ")":
+                            depth -= 1
+                            if depth == 0:
+                                return k + 1
+                        k += 1
+                    return k
+
                 i = start
                 while i < len(s) and s[i].isspace():
                     i += 1
                 if i < len(s) and s[i] == "(":
-                    depth = 0
-                    while i < len(s):
-                        if s[i] == "(":
-                            depth += 1
-                        elif s[i] == ")":
-                            depth -= 1
-                            if depth == 0:
-                                return i + 1
-                        i += 1
-                    return i
+                    return balanced(i)
                 while i < len(s) and (s[i].isalnum() or s[i] in "_\x00."):
                     i += 1
+                # a function-call pattern (Trim(p)): absorb the argument list
+                k = i
+                while k < len(s) and s[k].isspace():
+                    k += 1
+                if k < len(s) and s[k] == "(":
+                    return balanced(k)
                 return i
 
             while True:

@@ -102,19 +102,25 @@ def _drop_hot_shingles(
     is persisted so the expensive explosion materializes ONCE and every
     consumer — the stats branch, signatures, verification, sizes — reads
     the cache instead of re-exploding (ContextCleaner unpersists when the
-    frame is garbage collected).  ``docs.count()`` for the fractional cap
-    is a parquet-footer count, not a scan."""
+    frame is garbage collected).  The fractional cap's corpus count is a
+    1-row aggregate broadcast into the threshold — also in-plan, so even a
+    derived/filtered ``docs`` frame costs no build-time scan."""
     from pyspark.storagelevel import StorageLevel
 
-    if isinstance(cap, float):
-        cap = max(8, int(docs.count() * cap))
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-    hot_df = (
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > cap)
-        .select("shingle")
-    )
+    stats = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    if isinstance(cap, float):
+        n = docs.agg(F.count(F.lit(1)).alias("__n"))
+        hot_df = (
+            stats.crossJoin(F.broadcast(n))
+            .filter(
+                F.col("df")
+                > F.greatest(F.lit(8), (F.col("__n") * cap).cast("long"))
+            )
+            .select("shingle")
+        )
+    else:
+        hot_df = stats.filter(F.col("df") > cap).select("shingle")
     return sh.join(F.broadcast(hot_df), "shingle", "left_anti")
 
 

@@ -447,26 +447,49 @@ class Planner:
         kept_slicer = [
             s for s in slicer if s.dimension.name not in overridden
         ]
-        sub_planner = Planner(self.engine, extra_measures=self.extra_measures)
-        # expr may reference calculated members (WITH or cube-level), so the
-        # sub-aggregate computes them too — except ones that themselves
-        # lower to tuple/Aggregate scalars (attaching those here would
-        # recurse; refuse loudly instead of failing with an unresolved
-        # column)
-        calcs = []
-        for c in (*self.cube.calculated_members, *self.extra_measures):
-            if re.search(r"__tuple\d|__aggexpr\d", c.expression):
-                if re.search(rf"\b{re.escape(c.out)}\b", expr_sql):
-                    from .query import QueryError
+        # expr may reference calculated members (WITH or cube-level), so
+        # the sub-aggregate computes them too.  Query-scoped WITH members
+        # SHADOW same-named cube members (query._measure resolution order),
+        # so they are listed first and win the closure's first-per-out
+        # rule.  Members whose formulas lower to tuple/Aggregate scalars —
+        # directly or through any transitive reference — cannot attach
+        # inside this sub-plan (it would recurse); the expression must not
+        # reach one, and tainted members stay out of the sub-plan entirely.
+        candidates: list = []
+        seen_outs: set[str] = set()
+        for c in (*self.extra_measures, *self.cube.calculated_members):
+            if c.out not in seen_outs:
+                seen_outs.add(c.out)
+                candidates.append(c)
+        tainted = {
+            c.out
+            for c in candidates
+            if re.search(r"__tuple\d|__aggexpr\d", c.expression)
+        }
+        changed = True
+        while changed:  # transitive closure of scalar taint
+            changed = False
+            for c in candidates:
+                if c.out in tainted:
+                    continue
+                if any(
+                    re.search(rf"\b{re.escape(t)}\b", c.expression)
+                    for t in tainted
+                ):
+                    tainted.add(c.out)
+                    changed = True
+        bad = [t for t in tainted if re.search(rf"\b{re.escape(t)}\b", expr_sql)]
+        if bad or re.search(r"__tuple\d|__aggexpr\d", expr_sql):
+            from .query import QueryError
 
-                    raise QueryError(
-                        f"Aggregate(set, expr): expression references "
-                        f"[Measures].[{c.name}], whose formula contains a "
-                        "tuple/Aggregate scalar — nested scalar lowerings "
-                        "are not supported"
-                    )
-                continue
-            calcs.append(c)
+            raise QueryError(
+                "Aggregate(set, expr): the expression contains (or "
+                "references a member whose formula contains) a tuple/"
+                "Aggregate scalar — nested scalar lowerings are not "
+                "supported"
+            )
+        calcs = [c for c in candidates if c.out not in tainted]
+        sub_planner = Planner(self.engine, extra_measures=tuple(calcs))
         base = list(self.cube.measures) + calcs
         sub, sub_cols = sub_planner.aggregate(sub_axes, kept_slicer, base)
         set_outs = {
@@ -700,16 +723,23 @@ class Planner:
 
         needed: dict[str, Measure | CalculatedMember] = {}
 
+        def _code_text(expr: str) -> str:
+            # alias tokens are only meaningful OUTSIDE string literals — a
+            # literal containing another member's alias must not create a
+            # phantom dependency edge (false cycles)
+            return re.sub(r"'(?:[^']|'')*'", " ", expr)
+
         def visit(item: Measure | CalculatedMember) -> None:
             if item.out in needed:
                 return
             needed[item.out] = item
             if isinstance(item, CalculatedMember):
-                for m_ in re.finditer(r"[A-Za-z_][A-Za-z0-9_]*", item.expression):
+                code = _code_text(item.expression)
+                for m_ in re.finditer(r"[A-Za-z_][A-Za-z0-9_]*", code):
                     # a token immediately followed by '(' is a function
                     # call, not a measure alias — a measure named like a
                     # SQL function (sum, count) must not collide
-                    rest = item.expression[m_.end():].lstrip()
+                    rest = code[m_.end():].lstrip()
                     if rest.startswith("("):
                         continue
                     dep = known.get(m_.group(0))
@@ -724,8 +754,9 @@ class Planner:
         deps: dict[str, set[str]] = {}
         for c in calc_items:
             d = set()
-            for m_ in re.finditer(r"[A-Za-z_][A-Za-z0-9_]*", c.expression):
-                rest = c.expression[m_.end():].lstrip()
+            code = _code_text(c.expression)
+            for m_ in re.finditer(r"[A-Za-z_][A-Za-z0-9_]*", code):
+                rest = code[m_.end():].lstrip()
                 if rest.startswith("("):
                     continue
                 t = m_.group(0)

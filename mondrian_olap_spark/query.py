@@ -675,7 +675,10 @@ class Query:
         # a set element may name an EARLIER query-scoped aggregate member
         # ('aggregate calculated aggregate members', mondrian_test.rb:
         # 231-239): expand it to its underlying real member set — entries
-        # store only real refs, so nesting composes to any depth
+        # store only real refs, so nesting composes to any depth.
+        # Referenced members must be defined BEFORE use (the reference test
+        # defines them in that order too); a forward reference raises the
+        # ordinary member-not-found error at resolve time
         refs = []
         for m in members:
             from .members import parse_identifier

@@ -2282,3 +2282,98 @@ def test_accessor_not_exempted_by_other_dimension_member(engine):
             SELECT {[Measures].[x]} ON COLUMNS FROM [Sales]
             """,
         )
+
+
+def test_aggregate_expr_uses_with_override(engine):
+    """Aggregate(set, expr) referencing a calc member uses the QUERY's
+    WITH override, not a same-named cube-level formula (review fix —
+    shadowing must be consistent with the main grid)."""
+    # the tpch cube declares calc members; shadow one with a new formula
+    cube_calc = engine.cube.calculated_members
+    if not cube_calc:
+        pytest.skip("cube declares no calculated members")
+    name = cube_calc[0].name
+    r = execute_mdx(
+        engine,
+        f"""
+        WITH MEMBER [Measures].[{name}] AS '[Measures].[Sum Qty] * 10'
+             MEMBER [Measures].[X] AS
+               'Aggregate({{[Customer].[ASIA]}}, [Measures].[{name}])'
+             MEMBER [Measures].[Y] AS
+               'Aggregate({{[Customer].[ASIA]}}, [Measures].[Sum Qty] * 10)'
+        SELECT {{[Measures].[X], [Measures].[Y]}} ON COLUMNS FROM [Sales]
+        """,
+    )
+    row = r.df.collect()[0]
+    assert row["x"] == pytest.approx(row["y"])
+
+
+def test_aggregate_expr_nested_scalar_refused(engine):
+    """expr containing a tuple scalar (directly or via a referenced member)
+    raises the documented QueryError, never an unresolved-column crash."""
+    from mondrian_olap_spark.query import QueryError
+
+    with pytest.raises(QueryError, match="scalar"):
+        execute_mdx(
+            engine,
+            """
+            WITH MEMBER [Measures].[X] AS
+              'Aggregate({[Customer].[ASIA]}, ([Measures].[Sum Qty], [Time].[1995]))'
+            SELECT [Measures].[X] ON COLUMNS FROM [Sales]
+            """,
+        )
+    with pytest.raises(QueryError, match="scalar"):
+        execute_mdx(
+            engine,
+            """
+            WITH MEMBER [Measures].[T] AS '([Measures].[Sum Qty], [Time].[1995])'
+                 MEMBER [Measures].[U] AS '[Measures].[T] * 2'
+                 MEMBER [Measures].[X] AS 'Aggregate({[Customer].[ASIA]}, [Measures].[U])'
+            SELECT [Measures].[X] ON COLUMNS FROM [Sales]
+            """,
+        )
+
+
+def test_matches_function_call_pattern(engine):
+    """The MATCHES right operand may be a function call (review fix:
+    operand scan absorbs the argument list)."""
+    r = execute_mdx(
+        engine,
+        "WITH MEMBER [Measures].[m] AS '''dummy'' MATCHES Trim('' dummy '')' "
+        "SELECT [Measures].[m] ON COLUMNS FROM [Sales]",
+    )
+    assert r.df.collect()[0]["m"] is True
+
+
+def test_string_literal_alias_no_phantom_cycle(engine):
+    """A string literal containing another member's alias must not create
+    a phantom dependency edge (review fix: closure scans strip literals)."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[M1] AS 'CASE WHEN ''m2'' = ''m2'' THEN 1 ELSE 0 END'
+             MEMBER [Measures].[M2] AS '[Measures].[M1] + 1'
+        SELECT {[Measures].[M1], [Measures].[M2]} ON COLUMNS FROM [Sales]
+        """,
+    )
+    row = r.df.collect()[0]
+    assert (row["m1"], row["m2"]) == (1, 2)
+
+
+def test_aggregate_expr_deduplicates_specs(engine):
+    """Identical Aggregate(set, expr) occurrences share one sub-aggregate
+    spec (review fix — mirrors the tuple-scalar dedupe)."""
+    from mondrian_olap_spark.query import Query
+    from mondrian_olap_spark.mdx import MdxParser
+
+    p = MdxParser(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS FROM [Sales]",
+    )
+    e1 = p.translate_expression_text(
+        "Aggregate({[Customer].[ASIA]}, [Measures].[Sum Qty] * 2)"
+    )
+    e2 = p.translate_expression_text(
+        "Aggregate({[Customer].[ASIA]}, [Measures].[Sum Qty] * 2)"
+    )
+    assert e1 == e2 and len(p.q._agg_scalars) == 1
