@@ -178,6 +178,25 @@ def main() -> int:
         p[:2000],
     )
 
+    # 7d. Aggregate(set, expr) scalars attach the same way: per-member
+    #     sub-aggregate + additive combine rides a BROADCAST join — the
+    #     grid never reshuffles (plan._attach_agg_scalar)
+    df = execute_mdx(
+        eng,
+        "WITH MEMBER [Measures].[AA2] AS "
+        "'Aggregate({[Customer].[ASIA], [Customer].[AFRICA]}, "
+        "[Measures].[Sum Qty] * 2)' "
+        "SELECT {[Measures].[Sum Qty], [Measures].[AA2]} ON COLUMNS, "
+        "[Time].[Year].Members ON ROWS FROM [Sales]",
+    ).df
+    p = plan_str(df)
+    check(
+        "agg_scalar.subagg_broadcast_join",
+        ("BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p)
+        and "SortMergeJoin" not in p,
+        p[:2000],
+    )
+
     # 7. whole-stage codegen covers the aggregation path (inspect the FINAL
     #    adaptive plan — pre-execution AQE plans carry no codegen annotation)
     df = Query(eng).columns("[Measures].[Sum Qty]").rows("[ReturnFlag].children").execute().df
