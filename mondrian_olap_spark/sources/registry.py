@@ -128,6 +128,7 @@ def tables_from_jdbc(
     url: str,
     user: str | None = None,
     password: str | None = None,
+    driver: str | None = None,
     mapping: Mapping[str, str] | None = None,
     partition_options: Mapping[str, Mapping[str, str]] | None = None,
     reader=None,
@@ -153,6 +154,8 @@ def tables_from_jdbc(
             r = r.option("user", user)
         if password is not None:
             r = r.option("password", password)
+        if driver is not None:
+            r = r.option("driver", driver)
         for k, v in options.items():
             r = r.option(k, v)
         return r.load()
