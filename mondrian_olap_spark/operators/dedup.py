@@ -92,36 +92,38 @@ def _drop_hot_shingles(
     ``cap`` — absolute when int, fraction of corpus size when float.  A
     floor of 8 documents keeps tiny corpora exact.
 
-    The stop list stays INSIDE the plan as a broadcast anti-join: the
-    stats sub-plan computes during execution (a blocking broadcast stage),
-    so building the query never runs a driver-side job — on a real cluster
-    a build-time collect would stall the driver on a full shingle
-    explosion before the actual query is even submitted, and the hot list
-    is tiny by construction (shingles in >50% of a corpus are boilerplate)
-    so the broadcast is O(stop-list), never O(corpus).  The shingle table
-    is persisted so the expensive explosion materializes ONCE and every
-    consumer — the stats branch, signatures, verification, sizes — reads
-    the cache instead of re-exploding (ContextCleaner unpersists when the
-    frame is garbage collected).  The fractional cap's corpus count is a
-    1-row aggregate broadcast into the threshold — also in-plan, so even a
-    derived/filtered ``docs`` frame costs no build-time scan."""
+    The hot list is resolved EAGERLY, once: it is tiny by construction
+    (shingles in >50% of a corpus are boilerplate — a bounded stop list),
+    so one stats job + one driver-side list beats re-deriving stats inside
+    every downstream plan branch.  The shingle table is persisted first —
+    the stats job doubles as cache materialization, so the expensive
+    shingle explosion runs ONCE and every downstream branch (signatures,
+    verification, sizes) reads the cache instead of re-exploding
+    (ContextCleaner unpersists when the frame is garbage collected).  Most
+    corpora have NO hot shingles, making the filter itself free — an
+    in-plan anti-join variant was measured in round 4 and REJECTED: it
+    removes the build-time driver sync but makes every downstream branch
+    of every re-execution pay a broadcast anti-join even when the stop
+    list is empty (3× warm regression at sf1), whereas the eager probe's
+    work is needed anyway and buys a zero-cost plan for the common case.
+    Larger stop lists (>1k) fall back to a broadcast anti-join so the plan
+    never embeds an unbounded literal list."""
     from pyspark.storagelevel import StorageLevel
 
+    if isinstance(cap, float):
+        cap = max(8, int(docs.count() * cap))
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     stats = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    if isinstance(cap, float):
-        n = docs.agg(F.count(F.lit(1)).alias("__n"))
-        hot_df = (
-            stats.crossJoin(F.broadcast(n))
-            .filter(
-                F.col("df")
-                > F.greatest(F.lit(8), (F.col("__n") * cap).cast("long"))
-            )
-            .select("shingle")
-        )
-    else:
-        hot_df = stats.filter(F.col("df") > cap).select("shingle")
-    return sh.join(F.broadcast(hot_df), "shingle", "left_anti")
+    hot_df = stats.filter(F.col("df") > cap).select("shingle")
+    # small stop lists inline as an isin() literal (pushdown-friendly and
+    # plan-cacheable); beyond ~1k the embedded literals bloat the plan, so
+    # switch to a broadcast anti-join — same semantics, O(1) plan size
+    hot = [r["shingle"] for r in hot_df.limit(1_001).collect()]
+    if not hot:
+        return sh
+    if len(hot) > 1_000:
+        return sh.join(F.broadcast(hot_df), "shingle", "left_anti")
+    return sh.filter(~F.col("shingle").isin(hot))
 
 
 def jaccard_pairs(
