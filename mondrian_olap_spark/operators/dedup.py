@@ -110,18 +110,32 @@ def _drop_hot_shingles(
     never embeds an unbounded literal list."""
     from pyspark.storagelevel import StorageLevel
 
-    if isinstance(cap, float):
-        cap = max(8, int(docs.count() * cap))
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     stats = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    hot_df = stats.filter(F.col("df") > cap).select("shingle")
+    if isinstance(cap, float):
+        # the fractional threshold's corpus count stays IN the probe plan
+        # (1-row aggregate broadcast into the filter) so the eager resolve
+        # below is ONE blocking job, not a docs re-scan plus the collect
+        n = docs.agg(F.count(F.lit(1)).alias("__n"))
+        hot_df = (
+            stats.crossJoin(F.broadcast(n))
+            .filter(
+                F.col("df")
+                > F.greatest(F.lit(8), (F.col("__n") * cap).cast("long"))
+            )
+            .select("shingle")
+        )
+    else:
+        hot_df = stats.filter(F.col("df") > cap).select("shingle")
     # small stop lists inline as an isin() literal (pushdown-friendly and
     # plan-cacheable); beyond ~1k the embedded literals bloat the plan, so
-    # switch to a broadcast anti-join — same semantics, O(1) plan size
+    # switch to a broadcast anti-join over the PERSISTED list — same
+    # semantics, O(1) plan size, and still a one-time stats cost
     hot = [r["shingle"] for r in hot_df.limit(1_001).collect()]
     if not hot:
         return sh
     if len(hot) > 1_000:
+        hot_df = hot_df.persist(StorageLevel.MEMORY_AND_DISK)
         return sh.join(F.broadcast(hot_df), "shingle", "left_anti")
     return sh.filter(~F.col("shingle").isin(hot))
 

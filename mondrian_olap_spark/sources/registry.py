@@ -128,10 +128,10 @@ def tables_from_jdbc(
     url: str,
     user: str | None = None,
     password: str | None = None,
-    driver: str | None = None,
     mapping: Mapping[str, str] | None = None,
     partition_options: Mapping[str, Mapping[str, str]] | None = None,
     reader=None,
+    driver: str | None = None,
 ) -> dict[str, DataFrame]:
     """Register every cube table over ``spark.read.jdbc`` — the analog of
     the reference's JDBC connection layer (connection.rb:313-457), where
