@@ -121,6 +121,59 @@ def ivf_seeds(
     return base.orderBy("id").limit(n_cells).select("id", "v", "nv").collect()
 
 
+def ivf_train(
+    emb: DataFrame,
+    n_cells: int = 8,
+    iterations: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Lloyd's k-means coarse-quantizer trainer — the "trained centroids"
+    scale knob the seed quantizer leaves open.
+
+    Deterministic init (``ivf_seeds``), then ``iterations`` rounds of
+    assign → per-cell elementwise mean.  Each round is ONE distributed
+    job: assignment is the same zero-shuffle projection as
+    :func:`ivf_index`, the means come from a posexplode + groupBy over
+    (cell, dimension) — k×d tiny rows to the driver per round (model
+    parameters, the legitimate collect).  Empty cells keep their previous
+    centroid (standard Lloyd's degenerate-cell rule).
+
+    Returns centroid entries in the shape :func:`ivf_index` /
+    :func:`ivf_topk` accept via ``centroids=`` — cell labels are the
+    seeding vectors' ids, stable across rounds so a trained index stays
+    comparable with its seed-index ancestor."""
+    import math
+
+    cents: list = [
+        {"id": s["id"], "v": list(s["v"]), "nv": float(s["nv"])}
+        for s in ivf_seeds(emb, n_cells, id_col, vec_col)
+    ]
+    for _ in range(iterations):
+        assigned = ivf_index(emb, n_cells, id_col, vec_col, centroids=cents)
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cell: dict = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        new = []
+        for s in cents:
+            d = by_cell.get(s["id"])
+            if d:
+                v = [float(d[i]) for i in range(len(d))]
+                nv = math.sqrt(sum(x * x for x in v))
+                if nv > 0:
+                    new.append({"id": s["id"], "v": v, "nv": nv})
+                    continue
+            new.append(s)  # empty/degenerate cell keeps its centroid
+        cents = new
+    return cents
+
+
 def ivf_index(
     emb: DataFrame,
     n_cells: int = 8,

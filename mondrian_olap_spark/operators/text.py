@@ -190,6 +190,45 @@ def quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_features(
+    df: DataFrame, text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1 repetition
+    rules): ``dup_token_fraction`` (1 − distinct/total tokens) and
+    ``top_ngram_fraction`` (tokens covered by the single most frequent
+    word n-gram).  Pure expressions — per-row O(d²) over the distinct
+    n-grams of ONE document (documents are short; the corpus axis stays
+    linear), whole-stage codegen, SQL-oracle-checkable.
+
+    Both fractions emit as DOUBLE rounded to 6 (the driver-hash-safe
+    numeric edge)."""
+    toks = _toks(text_col)
+    grams = (
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"transform(sequence(1, size({toks}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n}))) "
+        f"ELSE array(concat_ws(' ', {toks})) END"
+    )
+    out = df.withColumn("__toks", F.expr(toks)).withColumn(
+        "__grams", F.expr(grams)
+    )
+    out = out.withColumn(
+        "dup_token_fraction",
+        F.expr(
+            "cast(round(1.0 - size(array_distinct(__toks)) * 1.0 "
+            "/ greatest(size(__toks), 1), 6) as double)"
+        ),
+    ).withColumn(
+        "top_ngram_fraction",
+        F.expr(
+            f"cast(round(array_max(transform(array_distinct(__grams), "
+            f"g -> size(filter(__grams, x -> x = g)))) * {n} * 1.0 "
+            f"/ greatest(size(__toks), 1), 6) as double)"
+        ),
+    )
+    return out.drop("__toks", "__grams")
+
+
 def rolling_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -245,6 +245,35 @@ def text_stats_by_source(spark, sf_dir):
 
 
 @q(
+    "text_repetition_features",
+    f"""
+    WITH t AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),
+    g AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) >= 2 THEN
+               list_transform(range(1, len(toks)),
+                 i -> toks[i] || ' ' || toks[i + 1])
+             ELSE [array_to_string(toks, ' ')] END AS grams
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(round(1.0 - len(list_distinct(toks)) * 1.0
+                / greatest(len(toks), 1), 6) AS DOUBLE) AS dup_token_fraction,
+           CAST(round(list_max(list_transform(list_distinct(grams),
+                  x -> len(list_filter(grams, y -> y = x)))) * 2 * 1.0
+                / greatest(len(toks), 1), 6) AS DOUBLE) AS top_ngram_fraction
+    FROM g
+    """,
+)
+def text_repetition_features(spark, sf_dir):
+    """Gopher-style repetition signals: duplicate-token fraction and the
+    corpus share of the single most frequent 2-gram — expression-only,
+    per-row O(d²) over one document's distinct grams."""
+    df = text.repetition_features(_docs(spark, sf_dir))
+    return df.select("doc_id", "dup_token_fraction", "top_ngram_fraction")
+
+
+@q(
     "text_winnowing_fingerprints",
     f"""
     WITH t AS (SELECT doc_id, {_DOC_TOKS} AS toks FROM documents),

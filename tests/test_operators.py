@@ -435,3 +435,59 @@ def test_wav_malformed_sizes_raise_cleanly():
     )
     with pytest.raises(ValueError, match="multiple"):
         multimodal.decode_wav(odd)
+
+
+def test_ivf_train_refines_centroids(spark):
+    """Lloyd's training moves seed vectors to the CLUSTER MEANS: with one
+    seed per cluster (ids 0 and 1), the trained centroids converge to the
+    per-cluster averages and one-probe search becomes exact."""
+    rows = [Row(vec_id=0, embedding=[1.0, 0.2, 0.0, 0.0]),
+            Row(vec_id=1, embedding=[0.0, 0.2, 1.0, 0.0])]
+    for i in range(2, 10):  # cluster A along x
+        rows.append(Row(vec_id=i, embedding=[1.0, 0.01 * i, 0.0, 0.0]))
+    for i in range(10):  # cluster B along z
+        rows.append(Row(vec_id=100 + i, embedding=[0.0, 0.01 * i, 1.0, 0.0]))
+    df = spark.createDataFrame(rows).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    trained = similarity.ivf_train(df, n_cells=2, iterations=4)
+    assert len(trained) == 2
+    # the trained centroids separate the clusters: one x-dominant, one
+    # z-dominant — and each is the (normalized-direction) cluster mean
+    doms = sorted(max(range(4), key=lambda i: abs(c["v"][i])) for c in trained)
+    assert doms == [0, 2]
+    for c in trained:
+        dom = max(range(4), key=lambda i: abs(c["v"][i]))
+        assert c["v"][dom] == pytest.approx(1.0, abs=0.05)
+    exact = [r["neighbor_id"] for r in
+             similarity.cosine_topk(df, [104], k=3).collect()]
+    got = [r["neighbor_id"] for r in similarity.ivf_topk(
+        df, [104], k=3, n_cells=2, n_probe=1, centroids=trained
+    ).collect()]
+    assert got == exact  # n_probe=1 finds the true neighbors when trained
+    # the trained quantizer composes with a prebuilt index too
+    idx = similarity.ivf_index(df, n_cells=2, centroids=trained)
+    got2 = [r["neighbor_id"] for r in similarity.ivf_topk(
+        df, [104], k=3, n_cells=2, n_probe=1, index=idx, centroids=trained
+    ).collect()]
+    assert got2 == exact
+
+
+def test_repetition_features_known_values(spark):
+    """Known repetition fractions: 'a a a b' has dup_token 0.5 (2 distinct
+    of 4) and top-2-gram 'a a' covering 4/4 positions... computed per the
+    documented n*count/len formula."""
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a a a b"),
+         Row(doc_id=2, text="w x y z"),
+         Row(doc_id=3, text="solo")],
+    )
+    out = {r["doc_id"]: r for r in text.repetition_features(df).collect()}
+    assert out[1]["dup_token_fraction"] == pytest.approx(0.5)
+    # grams of doc1: [a a, a a, a b] -> top gram 'a a' count 2 -> 2*2/4 = 1.0
+    assert out[1]["top_ngram_fraction"] == pytest.approx(1.0)
+    assert out[2]["dup_token_fraction"] == 0.0
+    # all 2-grams distinct -> 1 * 2 / 4 = 0.5
+    assert out[2]["top_ngram_fraction"] == pytest.approx(0.5)
+    # single-token doc: gram = the token itself, fraction 2*1/1 capped by formula
+    assert out[3]["dup_token_fraction"] == 0.0
