@@ -178,6 +178,45 @@ def engine_from_jdbc(
     return CubeEngine(cube, tables_from_jdbc(spark, cube, url, **kwargs))
 
 
+def tables_from_files(
+    spark: SparkSession,
+    cube: Cube,
+    data_dir: str,
+    format: str = "parquet",
+    mapping: Mapping[str, str] | None = None,
+    options: Mapping[str, str] | None = None,
+    schemas: Mapping[str, str] | None = None,
+) -> dict[str, DataFrame]:
+    """Register every cube table from ``<data_dir>/<table>.<ext>`` in any
+    Spark file format — csv, json, orc, avro (if the package is on the
+    classpath), text.  ``options`` pass through to the reader (csv wants
+    ``header``/``inferSchema`` or better: explicit ``schemas`` per table —
+    schema inference is a full extra pass over the data, the wrong default
+    at scale).  ``mapping`` overrides logical→file names.
+
+    Parquet/ORC keep the scan properties the engine's plans rely on
+    (column pruning + predicate pushdown); CSV/JSON are row-oriented —
+    fine as ingestion sources, wrong as the resident fact format at
+    100 TB (convert once, query forever)."""
+    mapping = dict(mapping or {})
+    opts = dict(options or {})
+    schemas = dict(schemas or {})
+    out: dict[str, DataFrame] = {}
+    for n in _table_names(cube):
+        r = spark.read.format(format).options(**opts)
+        if n in schemas:
+            r = r.schema(schemas[n])
+        out[n] = r.load(f"{data_dir}/{mapping.get(n, n)}.{format}")
+    return out
+
+
+def engine_from_files(
+    spark: SparkSession, schema: Schema, cube_name: str, data_dir: str, **kwargs
+) -> CubeEngine:
+    cube = schema.cube(cube_name)
+    return CubeEngine(cube, tables_from_files(spark, cube, data_dir, **kwargs))
+
+
 def delta_available(spark: SparkSession) -> bool:
     """True when the delta-spark bindings and the Delta SQL extension are
     importable in this session (absent in this environment — the wrappers

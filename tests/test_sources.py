@@ -185,3 +185,37 @@ def test_jdbc_live_derby_end_to_end(spark, tmp_path):
         },
     )
     assert tables["lineitem"].rdd.getNumPartitions() == 4
+
+
+@pytest.mark.parametrize("fmt", ["csv", "json", "orc"])
+def test_engine_from_files_formats(spark, tmp_path, fmt):
+    """CSV/JSON/ORC sources: every cube table converted to the format,
+    registered via tables_from_files, flagship query identical to the
+    parquet engine (CSV with explicit schemas — inference is the wrong
+    default at scale)."""
+    import mondrian_olap_spark as mos
+
+    d = tmp_path / fmt
+    schemas = {}
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"):
+        df = read_parquet_table(spark, f"{SF_DIR}/{t}.parquet")
+        df.write.format(fmt).options(
+            **({"header": "true"} if fmt == "csv" else {})
+        ).save(str(d / f"{t}.{fmt}"))
+        schemas[t] = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                               for f in df.schema.fields)
+    eng = registry.engine_from_files(
+        spark, SCHEMA, "Sales", str(d), format=fmt,
+        options={"header": "true"} if fmt == "csv" else {},
+        schemas=schemas if fmt in ("csv", "json") else {},
+    )
+    r = (
+        mos.Query(eng)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].children")
+        .where("[Time].[1995].[Q1]")
+        .execute()
+    )
+    vals = {x["region_name"]: x["sum_qty"] for x in r.df.collect()}
+    assert vals["AFRICA"] == 1432.0 and len(vals) == 5
