@@ -79,12 +79,9 @@ def real_decoder(kind: str, payload: bytes) -> tuple[int, int, list[float]]:
     )
 
 
-def decode_bmp(payload: bytes) -> tuple[int, int, list[float]]:
-    """Parse an uncompressed 24/32-bpp BMP (BITMAPINFOHEADER) and compute
-    the 8-dim feature vector: per-channel means, luminance mean/stddev/
-    min/max (all in [0,1]) and aspect ratio.  Header layout per the
-    public Windows BMP spec; rows are 4-byte aligned, bottom-up unless
-    height is negative."""
+def _parse_bmp(payload: bytes):
+    """Shared BMP pixel parse: returns a (height, width, channels) uint8
+    array in on-disk BGR(A) order, top-down."""
     import struct
 
     import numpy as np
@@ -115,9 +112,41 @@ def decode_bmp(payload: bytes) -> tuple[int, int, list[float]]:
     raw = np.frombuffer(payload, dtype=np.uint8, count=stride * height,
                         offset=data_offset)
     rows = raw.reshape(height, stride)[:, : width * bytes_pp]
-    px = rows.reshape(height, width, bytes_pp).astype(np.float64) / 255.0
+    px = rows.reshape(height, width, bytes_pp)
     if not top_down:
         px = px[::-1]
+    return px
+
+
+def encode_bmp(px) -> bytes:
+    """Encode a (height, width, 3) uint8 BGR array as an uncompressed
+    24-bpp bottom-up BMP — the inverse of :func:`_parse_bmp`'s 24-bpp
+    case (round-trips bit-exactly)."""
+    import struct
+
+    import numpy as np
+
+    h, w = px.shape[0], px.shape[1]
+    stride = ((w * 3 + 3) // 4) * 4
+    body = bytearray()
+    pad = b"\x00" * (stride - w * 3)
+    for row in px[::-1]:  # bottom-up storage
+        body += np.ascontiguousarray(row[:, :3], dtype=np.uint8).tobytes() + pad
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+    head = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    return head + info + bytes(body)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, list[float]]:
+    """Parse an uncompressed 24/32-bpp BMP (BITMAPINFOHEADER) and compute
+    the 8-dim feature vector: per-channel means, luminance mean/stddev/
+    min/max (all in [0,1]) and aspect ratio.  Header layout per the
+    public Windows BMP spec; rows are 4-byte aligned, bottom-up unless
+    height is negative."""
+    import numpy as np
+
+    px = _parse_bmp(payload).astype(np.float64) / 255.0
+    height, width = px.shape[0], px.shape[1]
     b, g, r = px[..., 0], px[..., 1], px[..., 2]  # BGR(A) order on disk
     lum = 0.299 * r + 0.587 * g + 0.114 * b
     feats = [
@@ -254,6 +283,28 @@ RESIZED_SCHEMA = StructType(
         StructField("height", IntegerType(), True),
     ]
 )
+
+
+def real_resizer(kind: str, payload: bytes, max_side: int) -> tuple[bytes, int, int]:
+    """Real resize for BMP payloads: nearest-neighbor downscale of the
+    parsed pixel grid, re-encoded as 24-bpp BMP (pure numpy index math —
+    no native libs).  Non-BMP payloads raise ``NotImplementedError`` (the
+    PIL/ffmpeg seam, same contract as :func:`real_decoder`)."""
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise NotImplementedError(
+            f"no stdlib resizer for this {kind} payload (magic "
+            f"{payload[:4]!r}); BMP resizes natively"
+        )
+    px = _parse_bmp(payload)[:, :, :3]  # drop alpha if 32-bpp
+    h, w = px.shape[0], px.shape[1]
+    scale = min(1.0, max_side / max(w, h))
+    nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+    ys = (np.arange(nh) * (h / nh)).astype(int).clip(0, h - 1)
+    xs = (np.arange(nw) * (w / nw)).astype(int).clip(0, w - 1)
+    out = px[ys][:, xs]
+    return encode_bmp(out), nw, nh
 
 
 def fake_resizer(kind: str, payload: bytes, max_side: int) -> tuple[bytes, int, int]:

@@ -491,3 +491,31 @@ def test_repetition_features_known_values(spark):
     assert out[2]["top_ngram_fraction"] == pytest.approx(0.5)
     # single-token doc: gram = the token itself, fraction 2*1/1 capped by formula
     assert out[3]["dup_token_fraction"] == 0.0
+
+
+def test_real_resizer_bmp_roundtrip(spark):
+    """real_resizer genuinely downscales BMP pixels: a 4x2 two-tone image
+    resized to max_side=2 keeps the tone layout (nearest-neighbor), the
+    output re-parses as a valid BMP, and an un-resized image round-trips
+    bit-identically through encode_bmp."""
+    left, right = (255, 0, 0), (0, 0, 255)
+    pixels = [[left, left, right, right], [left, left, right, right]]
+    payload = _make_bmp(pixels)
+    out, nw, nh = multimodal.real_resizer("image", payload, max_side=2)
+    assert (nw, nh) == (2, 1)
+    w2, h2, feats = multimodal.decode_bmp(out)
+    assert (w2, h2) == (2, 1)
+    # the resized image keeps one red and one blue pixel: mean R = mean B = 0.5
+    assert feats[0] == pytest.approx(0.5) and feats[2] == pytest.approx(0.5)
+    # no-op resize round-trips bit-exactly
+    same, sw, sh = multimodal.real_resizer("image", payload, max_side=10)
+    assert (sw, sh) == (4, 2) and same == payload
+    with pytest.raises(NotImplementedError):
+        multimodal.real_resizer("image", b"\x89PNG...", 10)
+    # and it rides the same mapInPandas stage as the fake resizer
+    df = spark.createDataFrame(
+        [Row(media_id=1, kind="image", payload=payload, meta={})],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    rows = multimodal.resize_media(df, max_side=2, resizer=multimodal.real_resizer).collect()
+    assert rows[0]["width"] == 2 and rows[0]["height"] == 1
