@@ -519,3 +519,27 @@ def test_real_resizer_bmp_roundtrip(spark):
     )
     rows = multimodal.resize_media(df, max_side=2, resizer=multimodal.real_resizer).collect()
     assert rows[0]["width"] == 2 and rows[0]["height"] == 1
+
+
+def test_ivf_index_partitioned_probe_prunes(spark, tmp_path):
+    """The documented IVF scale path: persist the index PARTITIONED BY
+    cell, and a probe filtered to its cells becomes a partition-pruned
+    scan (PartitionFilters in the plan — only probed cells are read)."""
+    rows = [Row(vec_id=i, embedding=[1.0 + 0.001 * i, 0.0]) for i in range(6)]
+    rows += [Row(vec_id=10 + i, embedding=[0.0, 1.0 + 0.001 * i]) for i in range(6)]
+    df = spark.createDataFrame(rows).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    trained = similarity.ivf_train(df, n_cells=2, iterations=3)
+    idx = similarity.ivf_index(df, n_cells=2, centroids=trained)
+    path = str(tmp_path / "ivf_index")
+    idx.write.partitionBy("cell").parquet(path)
+    stored = spark.read.parquet(path)
+    cells = sorted({r["cell"] for r in idx.select("cell").distinct().collect()})
+    probe = stored.filter(F.col("cell") == cells[0])
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(cell" in plan or "PartitionFilters: [" in plan
+    assert f"cell#" in plan  # partition column participates in pruning
+    # the probed scan returns only that cell's vectors
+    got_cells = {r["cell"] for r in probe.collect()}
+    assert got_cells == {cells[0]}
