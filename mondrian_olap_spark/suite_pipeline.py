@@ -419,6 +419,39 @@ def pipeline_deterministic_sample(spark, sf_dir):
     )
 
 
+@q(
+    "events_sessionization",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_idx
+      FROM e
+    )
+    SELECT user_id, session_idx, count(*) AS n_events,
+           epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+    FROM s GROUP BY 1, 2
+    """,
+)
+def events_sessionization(spark, sf_dir):
+    """Gap-based sessionization of the event log (30-min gap): per-user
+    running break-sum via window functions, exact integer-microsecond
+    durations — the batch counterpart of the streaming session windows."""
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet")
+    from .operators import sessions
+
+    return sessions.session_stats(ev, gap_seconds=1800)
+
+
 _PII_TEXT = (
     "text || CASE WHEN doc_id % 3 = 0 "
     "THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END "

@@ -543,3 +543,35 @@ def test_ivf_index_partitioned_probe_prunes(spark, tmp_path):
     # the probed scan returns only that cell's vectors
     got_cells = {r["cell"] for r in probe.collect()}
     assert got_cells == {cells[0]}
+
+
+def test_sessionize_gap_semantics(spark):
+    """Known session layout: events at 0s/10s/40min/41min for one user
+    split into two sessions at a 30-min gap; session stats carry exact
+    integer-microsecond durations."""
+    from datetime import datetime
+
+    from mondrian_olap_spark.operators import sessions
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(sec):
+        return datetime(2024, 1, 1, 0, 0, 0).fromtimestamp(
+            t0.timestamp() + sec
+        )
+
+    rows = [
+        Row(event_id=1, user_id=7, ts=at(0)),
+        Row(event_id=2, user_id=7, ts=at(10)),
+        Row(event_id=3, user_id=7, ts=at(40 * 60)),
+        Row(event_id=4, user_id=7, ts=at(41 * 60)),
+        Row(event_id=5, user_id=9, ts=at(5)),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {(r["user_id"], r["session_idx"]): r for r in
+           sessions.session_stats(df, gap_seconds=1800).collect()}
+    assert out[(7, 1)]["n_events"] == 2
+    assert out[(7, 1)]["duration_us"] == 10_000_000
+    assert out[(7, 2)]["n_events"] == 2
+    assert out[(7, 2)]["duration_us"] == 60_000_000
+    assert out[(9, 1)]["n_events"] == 1 and out[(9, 1)]["duration_us"] == 0
