@@ -193,6 +193,49 @@ def jaccard_pairs(
     )
 
 
+def contamination_pairs(
+    corpus: DataFrame,
+    heldout: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Train/eval contamination check: exact n-gram Jaccard pairs BETWEEN
+    two corpora (training data vs a held-out set) — the pre-training
+    hygiene step that catches benchmark leakage.
+
+    Same sparse-candidate shape as :func:`jaccard_pairs`, but the shingle
+    join is across the two frames, so candidates are only cross-corpus
+    documents sharing a shingle — never |corpus|×|heldout|.  Returns
+    (corpus_id, heldout_id, jaccard) with jaccard ≥ threshold."""
+    sa = shingles(corpus, id_col, text_col, n)
+    sb = shingles(heldout, id_col, text_col, n)
+    na = sa.groupBy("id").agg(F.count("*").alias("n_a"))
+    nb = sb.groupBy("id").agg(F.count("*").alias("n_b"))
+    common = (
+        sa.alias("a")
+        .join(sb.alias("b"), F.col("a.shingle") == F.col("b.shingle"))
+        .groupBy(
+            F.col("a.id").alias("corpus_id"), F.col("b.id").alias("heldout_id")
+        )
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(na.withColumnRenamed("id", "corpus_id"), "corpus_id")
+        .join(nb.withColumnRenamed("id", "heldout_id"), "heldout_id")
+        .select(
+            "corpus_id",
+            "heldout_id",
+            (
+                F.col("common")
+                / (F.col("n_a") + F.col("n_b") - F.col("common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",

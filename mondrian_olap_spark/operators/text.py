@@ -229,6 +229,49 @@ def repetition_features(
     return out.drop("__toks", "__grams")
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 100,
+    overlap: int = 10,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    context-window preparation step of a pretraining pipeline (each chunk
+    feeds the tokenizer independently; ``overlap`` preserves cross-boundary
+    context).
+
+    Expression-only: window start positions via ``sequence`` with stride
+    ``chunk_tokens - overlap``, chunk text via ``slice`` + explode — one
+    scan, no UDFs, output rows ≈ corpus tokens / stride.  Returns
+    (id, chunk_idx, chunk_n_tokens, chunk_text) with 1-based chunk_idx;
+    a document shorter than one chunk yields exactly one chunk."""
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be smaller than chunk_tokens "
+            f"({chunk_tokens})"
+        )
+    stride = chunk_tokens - overlap
+    starts = (
+        f"CASE WHEN size(__toks) <= {chunk_tokens} THEN array(1) "
+        f"ELSE sequence(1, size(__toks) - {overlap}, {stride}) END"
+    )
+    staged = df.select(
+        F.col(id_col).alias("id"), F.expr(_toks(text_col)).alias("__toks")
+    ).select(
+        "id",
+        "__toks",
+        F.posexplode(F.expr(starts)).alias("__pos", "__start"),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__start"), chunk_tokens)
+    return staged.select(
+        "id",
+        (F.col("__pos") + 1).alias("chunk_idx"),
+        F.size(chunk).alias("chunk_n_tokens"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
 def rolling_fingerprints(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -420,6 +420,87 @@ def pipeline_deterministic_sample(spark, sf_dir):
 
 
 @q(
+    "pipeline_split_contamination",
+    f"""
+    WITH labeled AS (
+      SELECT doc_id, text, {sampling.split_case_sql(_SPLIT_WEIGHTS)} AS split
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, split, unnest({_DOC_TOKS}) AS w,
+             generate_subscripts({_DOC_TOKS}, 1) AS pos
+      FROM labeled
+    ),
+    sh AS (
+      SELECT DISTINCT a.doc_id AS id, a.split,
+             a.w || ' ' || b.w || ' ' || c.w AS shingle
+      FROM toks a
+      JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    ),
+    sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1),
+    common AS (
+      SELECT x.id AS corpus_id, y.id AS heldout_id, count(*) AS c
+      FROM sh x JOIN sh y ON x.shingle = y.shingle
+      WHERE x.split = 'train' AND y.split <> 'train'
+      GROUP BY 1, 2
+    )
+    SELECT corpus_id, heldout_id,
+           round(c * 1.0 / (sa.n_sh + sb.n_sh - c), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.id = corpus_id
+    JOIN sizes sb ON sb.id = heldout_id
+    WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.8
+    """,
+)
+def pipeline_split_contamination(spark, sf_dir):
+    """Eval-contamination check: near-dup pairs BETWEEN the deterministic
+    train split and the held-out (val+test) splits — the benchmark-leakage
+    hygiene pass.  Cross-frame sparse shingle join; candidates are only
+    cross-split documents sharing a shingle, never |train|x|heldout|."""
+    s = sampling.assign_splits(_docs(spark, sf_dir), _SPLIT_WEIGHTS)
+    df = dedup.contamination_pairs(
+        s.filter("split = 'train'"), s.filter("split <> 'train'"),
+        threshold=0.8,
+    )
+    return df.withColumn("jaccard", F.round("jaccard", 6))
+
+
+@q(
+    "text_chunking",
+    f"""
+    WITH t AS (SELECT doc_id AS id, {_DOC_TOKS} AS toks FROM documents),
+    st AS (
+      SELECT id, toks,
+             CASE WHEN len(toks) <= 40 THEN [1]
+                  ELSE range(1, len(toks) - 5 + 1, 35) END AS starts
+      FROM t
+    ),
+    x AS (
+      SELECT id, toks, unnest(starts) AS s,
+             generate_subscripts(starts, 1) AS chunk_idx
+      FROM st
+    )
+    SELECT id, chunk_idx,
+           len(toks[s : s + 39]) AS chunk_n_tokens,
+           md5(array_to_string(toks[s : s + 39], ' ')) AS chunk_fp
+    FROM x
+    """,
+)
+def text_chunking(spark, sf_dir):
+    """Context-window chunking (40-token windows, 5-token overlap): one
+    expression-only pass, every chunk fingerprinted — the pretraining
+    packing prep step."""
+    df = text.chunk_documents(
+        _docs(spark, sf_dir), chunk_tokens=40, overlap=5
+    )
+    return df.select(
+        "id", "chunk_idx", "chunk_n_tokens",
+        F.md5(F.col("chunk_text")).alias("chunk_fp"),
+    )
+
+
+@q(
     "events_sessionization",
     """
     WITH e AS (

@@ -575,3 +575,43 @@ def test_sessionize_gap_semantics(spark):
     assert out[(7, 2)]["n_events"] == 2
     assert out[(7, 2)]["duration_us"] == 60_000_000
     assert out[(9, 1)]["n_events"] == 1 and out[(9, 1)]["duration_us"] == 0
+
+
+def test_chunk_documents_windows(spark):
+    """Chunk layout: 11 tokens, chunk=5, overlap=2 (stride 3) -> starts
+    1,4,7 cover to token 11; short docs yield exactly one chunk."""
+    rows = [
+        Row(doc_id=1, text="t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11"),
+        Row(doc_id=2, text="only three tokens"),
+    ]
+    out = text.chunk_documents(
+        spark.createDataFrame(rows), chunk_tokens=5, overlap=2
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["id"], []).append(r)
+    c1 = sorted(by[1], key=lambda r: r["chunk_idx"])
+    assert [r["chunk_text"] for r in c1] == [
+        "t1 t2 t3 t4 t5", "t4 t5 t6 t7 t8", "t7 t8 t9 t10 t11",
+    ]
+    assert [r["chunk_n_tokens"] for r in c1] == [5, 5, 5]
+    assert len(by[2]) == 1 and by[2][0]["chunk_text"] == "only three tokens"
+    with pytest.raises(ValueError, match="overlap"):
+        text.chunk_documents(spark.createDataFrame(rows), chunk_tokens=5, overlap=5)
+
+
+def test_contamination_pairs_cross_frame(spark):
+    """Cross-frame contamination: a held-out doc near-identical to a
+    training doc is flagged; unrelated docs are not; candidates come only
+    from shared shingles."""
+    train = spark.createDataFrame([
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog today"),
+        Row(doc_id=2, text="completely unrelated training material goes here now"),
+    ])
+    held = spark.createDataFrame([
+        Row(doc_id=100, text="the quick brown fox jumps over the lazy dog today"),
+        Row(doc_id=101, text="novel heldout benchmark question nothing shared"),
+    ])
+    pairs = {(r["corpus_id"], r["heldout_id"]): r["jaccard"]
+             for r in dedup.contamination_pairs(train, held, threshold=0.5).collect()}
+    assert pairs == {(1, 100): 1.0}
