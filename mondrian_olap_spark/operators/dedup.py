@@ -200,6 +200,7 @@ def contamination_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    max_shingle_df: int | float | None = 0.5,
 ) -> DataFrame:
     """Train/eval contamination check: exact n-gram Jaccard pairs BETWEEN
     two corpora (training data vs a held-out set) — the pre-training
@@ -207,10 +208,27 @@ def contamination_pairs(
 
     Same sparse-candidate shape as :func:`jaccard_pairs`, but the shingle
     join is across the two frames, so candidates are only cross-corpus
-    documents sharing a shingle — never |corpus|×|heldout|.  Returns
-    (corpus_id, heldout_id, jaccard) with jaccard ≥ threshold."""
-    sa = shingles(corpus, id_col, text_col, n)
-    sb = shingles(heldout, id_col, text_col, n)
+    documents sharing a shingle — never |corpus|×|heldout| — and the same
+    stop-shingle guard applies (``max_shingle_df`` over the COMBINED
+    corpus: one boilerplate shingle shared by both sides would otherwise
+    make this join quadratic).  Returns (corpus_id, heldout_id, jaccard)
+    with jaccard ≥ threshold."""
+    sa = shingles(corpus, id_col, text_col, n).withColumn(
+        "__side", F.lit("a")
+    )
+    sb = shingles(heldout, id_col, text_col, n).withColumn(
+        "__side", F.lit("b")
+    )
+    both = sa.unionByName(sb)
+    if max_shingle_df is not None:
+        union_ids = corpus.select(F.col(id_col)).unionByName(
+            heldout.select(F.col(id_col))
+        )
+        both = _drop_hot_shingles(both, union_ids, max_shingle_df)
+    # sizes from the CAPPED sets, like jaccard_pairs — intersections and
+    # unions must agree on what a shingle is
+    sa = both.filter(F.col("__side") == "a").drop("__side")
+    sb = both.filter(F.col("__side") == "b").drop("__side")
     na = sa.groupBy("id").agg(F.count("*").alias("n_a"))
     nb = sb.groupBy("id").agg(F.count("*").alias("n_b"))
     common = (

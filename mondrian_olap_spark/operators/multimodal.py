@@ -128,13 +128,16 @@ def encode_bmp(px) -> bytes:
 
     h, w = px.shape[0], px.shape[1]
     stride = ((w * 3 + 3) // 4) * 4
-    body = bytearray()
-    pad = b"\x00" * (stride - w * 3)
-    for row in px[::-1]:  # bottom-up storage
-        body += np.ascontiguousarray(row[:, :3], dtype=np.uint8).tobytes() + pad
+    # one vectorized write into the padded row buffer (a per-row Python
+    # loop would cost O(height) interpreter overhead inside mapInPandas)
+    buf = np.zeros((h, stride), dtype=np.uint8)
+    buf[:, : w * 3] = (
+        np.ascontiguousarray(px[::-1, :, :3], dtype=np.uint8).reshape(h, -1)
+    )
+    body = buf.tobytes()
     info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
     head = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
-    return head + info + bytes(body)
+    return head + info + body
 
 
 def decode_bmp(payload: bytes) -> tuple[int, int, list[float]]:

@@ -17,13 +17,27 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _micros(c: Column) -> Column:
-    """Epoch microseconds for TIMESTAMP or TIMESTAMP_NTZ columns.  NTZ
-    casts through the session timezone; every use here is a DIFFERENCE or
-    an equality-keyed aggregate, so the constant offset cancels (run with
-    ``spark.sql.session.timeZone=UTC`` if absolute epoch values must match
-    an external system)."""
-    return F.unix_micros(c.cast("timestamp"))
+def _micros(c: Column, is_ntz: bool) -> Column:
+    """Epoch microseconds.  TIMESTAMP uses ``unix_micros`` directly.
+    TIMESTAMP_NTZ has no instant — its semantics ARE the wall clock — so
+    it converts via wall-clock component math (date + h/m/s + fractional
+    part), which is timezone-independent by construction; a session-tz
+    cast would silently shift gaps and durations across DST transitions."""
+    if not is_ntz:
+        return F.unix_micros(c.cast("timestamp"))
+    # every term through LONG: minute(c) * 60_000_000 would overflow INT
+    # (59 x 6e7 > 2^31) under ANSI exact arithmetic
+    return (
+        F.unix_date(c.cast("date")).cast("long") * F.lit(86_400_000_000)
+        + F.hour(c).cast("long") * F.lit(3_600_000_000)
+        + F.minute(c).cast("long") * F.lit(60_000_000)
+        + F.second(c).cast("long") * F.lit(1_000_000)
+        + F.date_format(c, "SSSSSS").cast("long")
+    )
+
+
+def _is_ntz(df: DataFrame, ts_col: str) -> bool:
+    return dict(df.dtypes).get(ts_col, "") == "timestamp_ntz"
 
 
 def sessionize(
@@ -37,11 +51,12 @@ def sessionize(
     the first event and whenever the gap since the previous event exceeds
     ``gap_seconds``.  Deterministic: ordering ties break on
     ``order_tiebreak``."""
+    ntz = _is_ntz(df, ts_col)
     w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
     prev = F.lag(F.col(ts_col)).over(w)
     brk = F.when(
         prev.isNull()
-        | (_micros(F.col(ts_col)) - _micros(prev)
+        | (_micros(F.col(ts_col), ntz) - _micros(prev, ntz)
            > gap_seconds * 1_000_000),
         F.lit(1),
     ).otherwise(F.lit(0))
@@ -58,13 +73,15 @@ def session_stats(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_seconds: int = 1800,
+    order_tiebreak: str = "event_id",
 ) -> DataFrame:
     """Per-session aggregates: event count and exact duration in
     microseconds (integer epoch math — engine-portable, no float time)."""
-    s = sessionize(df, user_col, ts_col, gap_seconds)
+    ntz = _is_ntz(df, ts_col)
+    s = sessionize(df, user_col, ts_col, gap_seconds, order_tiebreak)
     return s.groupBy(user_col, "session_idx").agg(
         F.count("*").alias("n_events"),
-        (_micros(F.max(ts_col)) - _micros(F.min(ts_col))).alias(
+        (_micros(F.max(ts_col), ntz) - _micros(F.min(ts_col), ntz)).alias(
             "duration_us"
         ),
     )

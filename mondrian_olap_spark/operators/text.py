@@ -195,21 +195,26 @@ def repetition_features(
 ) -> DataFrame:
     """Gopher-style repetition signals (Rae et al. 2021 §A1.1 repetition
     rules): ``dup_token_fraction`` (1 − distinct/total tokens) and
-    ``top_ngram_fraction`` (tokens covered by the single most frequent
-    word n-gram).  Pure expressions — per-row O(d²) over the distinct
-    n-grams of ONE document (documents are short; the corpus axis stays
-    linear), whole-stage codegen, SQL-oracle-checkable.
+    ``top_ngram_fraction`` — the token share attributable to the single
+    most frequent word n-gram, computed as ``count × n / tokens`` and
+    CLAMPED to [0, 1] (overlapping occurrences double-count positions, so
+    the raw product upper-bounds true coverage; the clamp keeps the value
+    a fraction for threshold rules).  Pure expressions — per-row O(d²)
+    over the distinct n-grams of ONE document (documents are short; the
+    corpus axis stays linear), whole-stage codegen, SQL-oracle-checkable.
 
     Both fractions emit as DOUBLE rounded to 6 (the driver-hash-safe
     numeric edge)."""
-    toks = _toks(text_col)
+    # grams derive from the ALREADY-materialized __toks column — building
+    # them from the raw split expression would re-tokenize per reference
+    # (Catalyst does not guarantee subexpression elimination here)
     grams = (
-        f"CASE WHEN size({toks}) >= {n} THEN "
-        f"transform(sequence(1, size({toks}) - {n - 1}), "
-        f"i -> concat_ws(' ', slice({toks}, i, {n}))) "
-        f"ELSE array(concat_ws(' ', {toks})) END"
+        f"CASE WHEN size(__toks) >= {n} THEN "
+        f"transform(sequence(1, size(__toks) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(__toks, i, {n}))) "
+        f"ELSE array(concat_ws(' ', __toks)) END"
     )
-    out = df.withColumn("__toks", F.expr(toks)).withColumn(
+    out = df.withColumn("__toks", F.expr(_toks(text_col))).withColumn(
         "__grams", F.expr(grams)
     )
     out = out.withColumn(
@@ -221,9 +226,10 @@ def repetition_features(
     ).withColumn(
         "top_ngram_fraction",
         F.expr(
-            f"cast(round(array_max(transform(array_distinct(__grams), "
+            f"cast(round(least(1.0, "
+            f"array_max(transform(array_distinct(__grams), "
             f"g -> size(filter(__grams, x -> x = g)))) * {n} * 1.0 "
-            f"/ greatest(size(__toks), 1), 6) as double)"
+            f"/ greatest(size(__toks), 1)), 6) as double)"
         ),
     )
     return out.drop("__toks", "__grams")

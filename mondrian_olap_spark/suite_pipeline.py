@@ -259,9 +259,11 @@ def text_stats_by_source(spark, sf_dir):
     SELECT doc_id,
            CAST(round(1.0 - len(list_distinct(toks)) * 1.0
                 / greatest(len(toks), 1), 6) AS DOUBLE) AS dup_token_fraction,
-           CAST(round(list_max(list_transform(list_distinct(grams),
-                  x -> len(list_filter(grams, y -> y = x)))) * 2 * 1.0
-                / greatest(len(toks), 1), 6) AS DOUBLE) AS top_ngram_fraction
+           CAST(round(least(1.0,
+                  list_max(list_transform(list_distinct(grams),
+                    x -> len(list_filter(grams, y -> y = x)))) * 2 * 1.0
+                  / greatest(len(toks), 1)), 6) AS DOUBLE)
+             AS top_ngram_fraction
     FROM g
     """,
 )
@@ -426,6 +428,9 @@ def pipeline_deterministic_sample(spark, sf_dir):
       SELECT doc_id, text, {sampling.split_case_sql(_SPLIT_WEIGHTS)} AS split
       FROM documents
     ),
+    -- positional trigram join: like the shared _SHINGLES_SQL, emits no
+    -- shingles for <3-token documents (the synthetic corpus has none;
+    -- Spark's shingles() would emit the whole-text shingle there)
     toks AS (
       SELECT doc_id, split, unnest({_DOC_TOKS}) AS w,
              generate_subscripts({_DOC_TOKS}, 1) AS pos
