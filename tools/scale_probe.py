@@ -67,6 +67,11 @@ QUERIES = [
     "embed_cosine_topk",
     "embed_ivf_topk",
     "pipeline_split_counts",
+    # round-4 additions
+    "events_sessionization",
+    "text_chunking",
+    "text_repetition_features",
+    "pipeline_split_contamination",
 ]
 
 
