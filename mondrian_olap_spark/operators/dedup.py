@@ -213,22 +213,31 @@ def contamination_pairs(
     corpus: one boilerplate shingle shared by both sides would otherwise
     make this join quadratic).  Returns (corpus_id, heldout_id, jaccard)
     with jaccard ≥ threshold."""
-    sa = shingles(corpus, id_col, text_col, n).withColumn(
-        "__side", F.lit("a")
-    )
-    sb = shingles(heldout, id_col, text_col, n).withColumn(
-        "__side", F.lit("b")
-    )
-    both = sa.unionByName(sb)
     if max_shingle_df is not None:
+        # the guard caps COMBINED document frequency, so both sides pass
+        # through one tagged union (persisted inside _drop_hot_shingles —
+        # the dual explosion materializes once for every consumer); sizes
+        # come from the CAPPED sets, like jaccard_pairs — intersections
+        # and unions must agree on what a shingle is
+        sa = shingles(corpus, id_col, text_col, n).withColumn(
+            "__side", F.lit("a")
+        )
+        sb = shingles(heldout, id_col, text_col, n).withColumn(
+            "__side", F.lit("b")
+        )
         union_ids = corpus.select(F.col(id_col)).unionByName(
             heldout.select(F.col(id_col))
         )
-        both = _drop_hot_shingles(both, union_ids, max_shingle_df)
-    # sizes from the CAPPED sets, like jaccard_pairs — intersections and
-    # unions must agree on what a shingle is
-    sa = both.filter(F.col("__side") == "a").drop("__side")
-    sb = both.filter(F.col("__side") == "b").drop("__side")
+        both = _drop_hot_shingles(
+            sa.unionByName(sb), union_ids, max_shingle_df
+        )
+        sa = both.filter(F.col("__side") == "a").drop("__side")
+        sb = both.filter(F.col("__side") == "b").drop("__side")
+    else:
+        # unguarded path: direct per-frame shingles (a tagged union here
+        # would re-explode BOTH corpora for every consumer)
+        sa = shingles(corpus, id_col, text_col, n)
+        sb = shingles(heldout, id_col, text_col, n)
     na = sa.groupBy("id").agg(F.count("*").alias("n_a"))
     nb = sb.groupBy("id").agg(F.count("*").alias("n_b"))
     common = (

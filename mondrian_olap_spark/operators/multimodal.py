@@ -131,9 +131,10 @@ def encode_bmp(px) -> bytes:
     # one vectorized write into the padded row buffer (a per-row Python
     # loop would cost O(height) interpreter overhead inside mapInPandas)
     buf = np.zeros((h, stride), dtype=np.uint8)
-    buf[:, : w * 3] = (
-        np.ascontiguousarray(px[::-1, :, :3], dtype=np.uint8).reshape(h, -1)
-    )
+    if h:  # reshape(h, -1) rejects size-0 arrays; an empty body is valid
+        buf[:, : w * 3] = (
+            np.ascontiguousarray(px[::-1, :, :3], dtype=np.uint8).reshape(h, -1)
+        )
     body = buf.tobytes()
     info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
     head = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)

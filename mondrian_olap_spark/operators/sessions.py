@@ -37,7 +37,14 @@ def _micros(c: Column, is_ntz: bool) -> Column:
 
 
 def _is_ntz(df: DataFrame, ts_col: str) -> bool:
-    return dict(df.dtypes).get(ts_col, "") == "timestamp_ntz"
+    # case-insensitive: Spark resolves column references regardless of case,
+    # so the dtype lookup must too (a missed lookup would silently fall back
+    # to the session-timezone cast this module exists to avoid)
+    want = ts_col.lower()
+    return any(
+        name.lower() == want and dtype == "timestamp_ntz"
+        for name, dtype in df.dtypes
+    )
 
 
 def sessionize(

@@ -464,9 +464,11 @@ def pipeline_split_contamination(spark, sf_dir):
     hygiene pass.  Cross-frame sparse shingle join; candidates are only
     cross-split documents sharing a shingle, never |train|x|heldout|."""
     s = sampling.assign_splits(_docs(spark, sf_dir), _SPLIT_WEIGHTS)
+    # max_shingle_df=None: the oracle models UNGUARDED shingle sets — the
+    # guard's behavior has its own test; this entry pins exact Jaccard
     df = dedup.contamination_pairs(
         s.filter("split = 'train'"), s.filter("split <> 'train'"),
-        threshold=0.8,
+        threshold=0.8, max_shingle_df=None,
     )
     return df.withColumn("jaccard", F.round("jaccard", 6))
 
