@@ -6,7 +6,9 @@ which Catalyst executes as hash aggregations / joins:
 
 * UNION     (jar!mondrian/olap/fun/UnionFunDef)     — dedup by default
 * INTERSECT (jar!...IntersectFunDef)                 — ``df.intersect``
-* EXCEPT    (jar!...ExceptFunDef)                    — ``df.exceptAll`` set form
+* EXCEPT    (jar!...ExceptFunDef)                    — ``df.subtract`` (set
+  difference: a tuple present in BOTH sets is removed entirely, whatever
+  its multiplicity; the ALL variant keeps per-occurrence semantics)
 * EXTRACT   (jar!...ExtractFunDef)                   — project + distinct
 """
 
@@ -25,8 +27,11 @@ def set_intersect(a: DataFrame, b: DataFrame) -> DataFrame:
     return a.intersect(b)
 
 
-def set_except(a: DataFrame, b: DataFrame) -> DataFrame:
-    return a.exceptAll(b).dropDuplicates()
+def set_except(a: DataFrame, b: DataFrame, all: bool = False) -> DataFrame:
+    """EXCEPT(set1, set2[, ALL]).  Default is SET difference — a member of
+    both inputs never survives (``exceptAll().dropDuplicates()`` would keep
+    a tuple whose multiplicity in ``a`` exceeds its count in ``b``)."""
+    return a.exceptAll(b) if all else a.subtract(b)
 
 
 def extract(df: DataFrame, *columns: str) -> DataFrame:

@@ -67,12 +67,19 @@ _DETERMINISTIC_BINARY = {
 
 def _binary_det(name: str, ey: str, ex: str) -> Column:
     y, x = F.expr(ey), F.expr(ex)
-    n = F.count(F.lit(1))
-    sx = F.sum(x).cast("double")
-    sy = F.sum(y).cast("double")
-    sxx = F.sum(x * x).cast("double")
-    syy = F.sum(y * y).cast("double")
-    sxy = F.sum(x * y).cast("double")
+    # PAIRWISE null filtering, like Spark's corr/regr_* natives and
+    # Mondrian's empty-cell skipping: a row contributes to the moments only
+    # when BOTH operands are present — mixing count(*) with null-skipping
+    # sums would produce mathematically inconsistent slopes on sparse grids
+    both = x.isNotNull() & y.isNotNull()
+    px = F.when(both, x)
+    py = F.when(both, y)
+    n = F.count(px)
+    sx = F.sum(px).cast("double")
+    sy = F.sum(py).cast("double")
+    sxx = F.sum(px * px).cast("double")
+    syy = F.sum(py * py).cast("double")
+    sxy = F.sum(px * py).cast("double")
     # fixed op order mirrored verbatim in the SQL oracles
     cov_n = sxy - sx * sy / n  # n * covariance
     var_x_n = sxx - sx * sx / n
@@ -135,8 +142,10 @@ def stat_column(output: str, fn: str, *exprs: str, arg: float | None = None) -> 
         intercept = _binary_det("dlinregintercept", exprs[0], exprs[1])
         return (slope * F.lit(float(arg)) + intercept).alias(output)
     if name == "percentile":
-        if arg is None:
-            raise ValueError("percentile requires arg")
+        if arg is None or not (0.0 <= float(arg) <= 1.0):
+            raise ValueError("percentile requires arg in [0, 1]")
+        if len(exprs) != 1:
+            raise ValueError("percentile takes one expression")
         # jar!...PercentileFunDef — exact continuous percentile
         return F.percentile(F.expr(exprs[0]), F.lit(arg)).alias(output)
     if name in _UNARY:

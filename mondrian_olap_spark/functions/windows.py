@@ -3,8 +3,10 @@ functions (SURVEY.md §2.5).
 
 Inputs are aggregated cell DataFrames (one row per axis position).  ``order``
 / ``partition`` arguments are lists of SQL expression strings (usually level
-output columns); every helper appends the order columns as a deterministic
-tiebreak so results are stable on ties.
+output columns); the row_number-based slicers (HEAD/TAIL/SUBSET) append the
+frame's remaining orderable columns as a deterministic tiebreak so the
+selected rows are stable on ties across runs and shuffle layouts.  RANK
+deliberately does NOT get tiebreaks — rank ties are semantic.
 """
 
 from __future__ import annotations
@@ -22,6 +24,33 @@ def _order_col(spec: str, default_desc: bool):
     if upper.endswith(" ASC"):
         return F.expr(s[:-4]).asc()
     return F.expr(s).desc() if default_desc else F.expr(s).asc()
+
+
+def _invert_spec(spec: str) -> str:
+    """Reverse one order spec: explicit ASC/DESC suffixes swap (a default
+    flip alone would be silently overridden by them)."""
+    s = spec.strip()
+    upper = s.upper()
+    if upper.endswith(" DESC"):
+        return s[:-5] + " ASC"
+    if upper.endswith(" ASC"):
+        return s[:-4] + " DESC"
+    return s  # unsuffixed — the flipped default handles it
+
+
+#: column dtypes that cannot participate in an ORDER BY tiebreak
+_UNORDERABLE = ("array<", "map<", "struct<")
+
+
+def _tiebreaks(df: DataFrame, order: list[str]) -> list[str]:
+    """Deterministic tiebreak columns: every orderable frame column not
+    already referenced in the order specs, in name order."""
+    mentioned = " ".join(order)
+    return sorted(
+        name
+        for name, dtype in df.dtypes
+        if name not in mentioned and not dtype.startswith(_UNORDERABLE)
+    )
 
 
 def _window(order: list[str], partition: list[str] | None, desc: bool = False) -> WindowSpec:
@@ -62,21 +91,23 @@ def row_index(
 def head(df: DataFrame, order: list[str], n: int, desc: bool = False) -> DataFrame:
     """HEAD(set, n) (jar!...HeadTailFunDef; test/query_test.rb:478-482)."""
     return (
-        row_index(df, order, desc=desc, output="__rn")
+        row_index(df, order + _tiebreaks(df, order), desc=desc, output="__rn")
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
 
 
 def tail(df: DataFrame, order: list[str], n: int, desc: bool = False) -> DataFrame:
-    """TAIL(set, n) — last n in set order."""
-    return head(df, order, n, desc=not desc)
+    """TAIL(set, n) — last n in set order.  Explicit ASC/DESC suffixes in
+    the specs invert too (a default flip alone would be overridden by
+    them and silently return HEAD)."""
+    return head(df, [_invert_spec(o) for o in order], n, desc=not desc)
 
 
 def subset(df: DataFrame, order: list[str], start: int, count: int, desc: bool = False) -> DataFrame:
     """SUBSET(set, start[, count]) — 0-based slice (jar!...SubsetFunDef)."""
     return (
-        row_index(df, order, desc=desc, output="__rn")
+        row_index(df, order + _tiebreaks(df, order), desc=desc, output="__rn")
         .filter((F.col("__rn") > start) & (F.col("__rn") <= start + count))
         .drop("__rn")
     )
@@ -130,9 +161,19 @@ def last_periods(
     agg: str = "sum",
 ) -> DataFrame:
     """LastPeriods(n) — trailing-n-period aggregate
-    (jar!...LastPeriodsFunDef): frame rowsBetween(-(n-1), 0)."""
-    w = _window(order, partition).rowsBetween(-(n - 1), Window.currentRow)
+    (jar!...LastPeriodsFunDef): frame rowsBetween(-(n-1), 0).  MDX edge
+    semantics: n == 0 is the EMPTY set (aggregate → NULL); negative n is
+    the |n| periods STARTING at the current one (a forward frame)."""
     fn = getattr(F, agg)
+    if n == 0:
+        # empty set: typed NULL (match the aggregate's natural type)
+        return df.withColumn(
+            output, F.lit(None).cast(df.select(F.expr(expr)).schema[0].dataType)
+        )
+    if n < 0:
+        w = _window(order, partition).rowsBetween(Window.currentRow, -n - 1)
+    else:
+        w = _window(order, partition).rowsBetween(-(n - 1), Window.currentRow)
     return df.withColumn(output, fn(F.expr(expr)).over(w))
 
 
@@ -179,9 +220,34 @@ def generate_concat(
 
     Implemented as ``array_join(array_sort(collect_list(struct(order, expr))))``
     so the concatenation order is deterministic under parallel aggregation.
+    Order specs accept the module's ASC/DESC suffix convention; all specs
+    must share one direction (struct sort is single-direction), mixed
+    directions raise.
     """
-    pairs = F.array_sort(
-        F.collect_list(F.struct(*[F.expr(o) for o in order], F.expr(expr).alias("__v")))
+    keys: list = []
+    dirs: set[bool] = set()
+    for o in order:
+        s = o.strip()
+        upper = s.upper()
+        if upper.endswith(" DESC"):
+            keys.append(s[:-5])
+            dirs.add(True)
+        elif upper.endswith(" ASC"):
+            keys.append(s[:-4])
+            dirs.add(False)
+        else:
+            keys.append(s)
+    if len(dirs) > 1:
+        raise ValueError(
+            "generate_concat: mixed ASC/DESC order directions are not "
+            "supported (struct sort is single-direction)"
+        )
+    descending = dirs == {True}
+    pairs = F.sort_array(
+        F.collect_list(
+            F.struct(*[F.expr(k) for k in keys], F.expr(expr).alias("__v"))
+        ),
+        asc=not descending,
     )
     joined = F.array_join(F.transform(pairs, lambda s: s["__v"]), sep)
     return df.groupBy(*group_cols).agg(joined.alias(output))

@@ -1023,3 +1023,92 @@ def test_subselect_null_member_not_passed_through(spark):
     # the engine excludes NULL members from children; either way the NULL
     # row must NOT additionally bypass the top-count
     assert len(countries) == 1
+
+
+# --------------------------------------------- functions review fixes (r4)
+def test_tail_respects_explicit_suffix(spark):
+    """TAIL with an explicit DESC spec returns the LAST rows of that
+    descending order (review fix: a default flip alone is overridden by
+    explicit suffixes and silently returns HEAD)."""
+    from mondrian_olap_spark.functions import windows as W
+
+    df = spark.createDataFrame(
+        [(n, float(v)) for n, v in [("a", 5), ("b", 4), ("c", 3), ("d", 2)]],
+        "name string, price double",
+    )
+    got = {r["name"] for r in W.tail(df, ["price DESC"], 2).collect()}
+    assert got == {"c", "d"}  # bottom-2 of the descending order
+    # unsuffixed spec: unchanged behavior
+    got2 = {r["name"] for r in W.tail(df, ["price"], 2).collect()}
+    assert got2 == {"a", "b"}
+
+
+def test_head_deterministic_on_ties(spark):
+    """HEAD on a tied measure picks the same rows every run (tiebreak =
+    remaining orderable columns in name order)."""
+    from mondrian_olap_spark.functions import windows as W
+
+    df = spark.createDataFrame(
+        [("z", 1.0), ("y", 1.0), ("x", 1.0), ("w", 1.0)],
+        "name string, price double",
+    ).repartition(4)
+    first = {r["name"] for r in W.head(df, ["price"], 2).collect()}
+    for _ in range(3):
+        assert {r["name"] for r in W.head(df, ["price"], 2).collect()} == first
+    assert first == {"w", "x"}  # name-order tiebreak, ascending
+
+
+def test_set_except_is_set_difference(spark):
+    """EXCEPT removes a tuple present in both sets regardless of
+    multiplicity (review fix: exceptAll+dropDuplicates kept survivors)."""
+    from mondrian_olap_spark.functions import sets as S
+
+    a = spark.createDataFrame([("x",), ("x",), ("y",)], "m string")
+    b = spark.createDataFrame([("x",)], "m string")
+    assert {r["m"] for r in S.set_except(a, b).collect()} == {"y"}
+    # ALL variant keeps per-occurrence semantics
+    assert [r["m"] for r in S.set_except(a, b, all=True).collect()] == ["x", "y"]
+
+
+def test_binary_stats_pairwise_null_filtering(spark):
+    """Deterministic regression stats skip rows where EITHER operand is
+    NULL, exactly like Spark's regr_slope (review fix: count(*) mixed with
+    null-skipping sums produced inconsistent slopes)."""
+    from mondrian_olap_spark.functions.stats import set_aggregate
+
+    df = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, 20.0), (3.0, None), (None, 40.0)],
+        "x double, y double",
+    )
+    out = set_aggregate(df, [], [("slope", "dlinregslope", "y", "x")]).collect()[0]
+    native = df.selectExpr("regr_slope(y, x) AS s").collect()[0]["s"]
+    assert out["slope"] == pytest.approx(native)  # == 10.0
+
+
+def test_last_periods_edge_counts(spark):
+    """LastPeriods(0) = empty set (NULL aggregate); LastPeriods(-n) = the
+    |n| periods STARTING at the current one (review fix: both crashed)."""
+    from mondrian_olap_spark.functions import windows as W
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "p int, v double"
+    )
+    zero = W.last_periods(df, "v", ["p"], 0).collect()
+    assert all(r["moving_value"] is None for r in zero)
+    fwd = {r["p"]: r["moving_value"]
+           for r in W.last_periods(df, "v", ["p"], -2).collect()}
+    assert fwd == {1: 30.0, 2: 50.0, 3: 30.0}
+
+
+def test_generate_concat_desc_order(spark):
+    """generate_concat honors the module's DESC suffix convention (review
+    fix: it crashed at parse time)."""
+    from mondrian_olap_spark.functions import windows as W
+
+    df = spark.createDataFrame(
+        [("g", "a", 1), ("g", "b", 2), ("g", "c", 3)], "grp string, name string, o int"
+    )
+    out = W.generate_concat(df, ["grp"], "name", ["o DESC"], sep=",").collect()
+    assert out[0]["generated"] == "c,b,a"
+    with pytest.raises(ValueError, match="mixed"):
+        W.generate_concat(df, ["grp"], "name", ["o DESC", "name ASC"])
