@@ -130,8 +130,9 @@ class AggregateCache:
                 continue
             if not set(group_cols) <= set(e.group_cols):
                 continue
-            if set(group_cols) == set(e.group_cols):
-                continue  # same grain with a different key ordering — skip
+            # same grain with a different key ORDERING also qualifies:
+            # groupBy is order-insensitive, so re-aggregating the cached
+            # grid is exact and beats a full fact rescan
             if all(out in e.measures for out in measures):
                 return e.df
         return None
@@ -157,6 +158,8 @@ class AggregateCache:
         Unconstrained entries (grand totals, other-dim aggregates) always
         overlap — their cells contain contributions from the region's rows.
         """
+        if not region:
+            return 0  # an empty region overlaps nothing — flush nothing
         by_dim: dict[str, list[MemberSetRef]] = {}
         for ref in region:
             by_dim.setdefault(ref.dimension.name, []).append(ref)

@@ -59,9 +59,15 @@ def closure(
         frontier = frontier.persist()
         n = frontier.count()
         if n == 0:
+            frontier.unpersist()  # nothing downstream reads the empty frame
             break
         result = result.unionByName(frontier)
-        if depth >= max_depth:
+        if depth > max_depth:
+            # the check fires only when a frontier EXTENDS past max_depth —
+            # a cycle-free chain of exactly max_depth levels completes (the
+            # depth == max_depth frontier above was still consumed; its
+            # extension being empty would have ended the loop)
+            frontier.unpersist()
             raise HierarchyCycleError(
                 f"hierarchy still extending after {max_depth} levels — cycle "
                 "or max_depth too small"

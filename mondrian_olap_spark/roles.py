@@ -87,16 +87,22 @@ class Role:
 
     def dimension_predicate(self, dim: Dimension) -> Column | None:
         """Row predicate for one dimension: OR of allow paths minus OR of
-        deny paths; None if the role does not constrain this dimension."""
+        deny paths; None if the role does not constrain this dimension.
+
+        Most-specific-grant-wins (Mondrian's grant resolution): a deny on
+        an ancestor does NOT annihilate an allow on its descendant — the
+        deny region is weakened by every allow strictly deeper under it
+        (allow [USA].[CA] + deny [USA] → CA visible, rest of USA hidden)."""
         allows = [g for g in self.grants if g.dimension.lower() == dim.name.lower() and g.access == "all"]
         denies = [g for g in self.grants if g.dimension.lower() == dim.name.lower() and g.access == "none"]
         if not allows and not denies:
             return None
+        allow_paths = [g.path for g in allows]
         pred = None
         if allows:
-            pred = _or_paths(dim, [g.path for g in allows])
+            pred = _or_paths(dim, allow_paths)
         for g in denies:
-            d = _path_pred(dim, g.path)
+            d = _effective_deny(dim, g.path, allow_paths)
             pred = (~d) if pred is None else (pred & ~d)
         return pred
 
@@ -181,19 +187,75 @@ class Role:
         ]
         if not allows and not denies:
             return None
+        full_allows = [
+            g.path
+            for g in self.grants
+            if g.dimension.lower() == dim.name.lower() and g.access == "all"
+        ]
         pred = _or_paths(dim, allows) if allows else None
         for p in denies:
+            # most-specific-wins here too: an allow strictly deeper under
+            # the deny keeps its subtree listable (truncated to this depth)
+            deeper = [
+                a[: depth + 1]
+                for a in full_allows
+                if len(a) > len(p) and tuple(a[: len(p)]) == tuple(p)
+            ]
             d = _path_pred(dim, p)
+            if deeper:
+                d = d & ~_or_paths(dim, deeper)
             pred = (~d) if pred is None else (pred & ~d)
         return pred
 
 
+@dataclass(frozen=True)
+class _UnionRole(Role):
+    """Role union with PER-CONSTITUENT disjunction semantics: a member is
+    visible when ANY constituent role would show it.  Flattening grants
+    into one Role would be WRONG in two ways: an unconstrained constituent
+    must unconstrain the union (its holder already sees everything), and
+    one role's deny must not subtract from another role's allow."""
+
+    roles: tuple[Role, ...] = ()
+
+    def constrained_dimensions(self, cube: Cube) -> list[Dimension]:
+        # a dimension is constrained only when EVERY constituent constrains
+        # it — one unconstrained role admits all members
+        out = []
+        for d in cube.dimensions:
+            if all(
+                any(g.dimension.lower() == d.name.lower() for g in r.grants)
+                for r in self.roles
+            ) and any(g.dimension.lower() == d.name.lower() for g in self.grants):
+                out.append(d)
+        return out
+
+    def dimension_predicate(self, dim: Dimension) -> Column | None:
+        preds = [r.dimension_predicate(dim) for r in self.roles]
+        if any(p is None for p in preds):
+            return None  # an unconstrained constituent admits everything
+        pred = None
+        for p in preds:
+            pred = p if pred is None else (pred | p)
+        return pred
+
+    def member_visibility_predicate(self, dim: Dimension, depth: int) -> Column | None:
+        preds = [r.member_visibility_predicate(dim, depth) for r in self.roles]
+        if any(p is None for p in preds):
+            return None
+        pred = None
+        for p in preds:
+            pred = p if pred is None else (pred | p)
+        return pred
+
+
 def union_roles(name: str, *roles: Role) -> Role:
-    """Union of roles: any constituent grant admits the member; measures are
-    allowed if any role allows them (None anywhere = all allowed); level
-    bounds widen to the loosest constituent — but only when EVERY
-    constituent bounds the dimension (one unbounded role unbounds the
-    union)."""
+    """Union of roles: any constituent grant admits the member (an
+    unconstrained constituent unconstrains that dimension; denies apply
+    only within their own role); measures are allowed if any role allows
+    them (None anywhere = all allowed); level bounds widen to the loosest
+    constituent — but only when EVERY constituent bounds the dimension
+    (one unbounded role unbounds the union)."""
     grants: list[MemberGrant] = []
     for r in roles:
         grants.extend(r.grants)
@@ -227,16 +289,38 @@ def union_roles(name: str, *roles: Role) -> Role:
     # constituents to 'partial'
     order = {"full": 2, "partial": 1, "hidden": 0}
     policy = max((r.rollup_policy for r in roles), key=lambda p: order[p])
-    return Role(
+    return _UnionRole(
         name=name,
         grants=tuple(grants),
         allowed_measures=measures,
         hierarchy_grants=tuple(hgrants),
         rollup_policy=policy,
+        roles=tuple(roles),
     )
 
 
+def _effective_deny(
+    dim: Dimension, d_path: tuple[str, ...], allow_paths: list[tuple[str, ...]]
+) -> Column:
+    """A deny region minus every allow strictly deeper under it
+    (most-specific-grant-wins)."""
+    d = _path_pred(dim, d_path)
+    deeper = [
+        a
+        for a in allow_paths
+        if len(a) > len(d_path) and tuple(a[: len(d_path)]) == tuple(d_path)
+    ]
+    if deeper:
+        d = d & ~_or_paths(dim, deeper)
+    return d
+
+
 def _path_pred(dim: Dimension, path: tuple[str, ...]) -> Column:
+    if len(path) > len(dim.levels):
+        raise ValueError(
+            f"member grant path {path!r} is deeper than dimension "
+            f"{dim.name!r}'s {len(dim.levels)} level(s)"
+        )
     pred = None
     for i, key in enumerate(path):
         c = F.col(dim.levels[i].out) == key

@@ -43,6 +43,22 @@ class VirtualCube:
     def __init__(self, name: str, usages: list[CubeUsage]):
         if len(usages) < 2:
             raise ValueError("virtual cube needs at least two cube usages")
+        # measure OUTPUT columns must be disjoint across usages: the outer
+        # join keys only on conformed level columns, so a shared measure
+        # output would surface as a duplicate column and fail far from
+        # here with an ambiguous-reference error
+        seen: dict[str, str] = {}
+        for u in usages:
+            for m in u.measures:
+                out = u.engine.cube.measure(m).out
+                if out in seen:
+                    raise ValueError(
+                        f"virtual cube {name!r}: measure output column "
+                        f"{out!r} is exposed by both {seen[out]!r} and "
+                        f"{u.engine.cube.name!r} — rename one measure's "
+                        "output"
+                    )
+                seen[out] = u.engine.cube.name
         self.name = name
         self.usages = usages
 
@@ -82,22 +98,27 @@ class VirtualCube:
             for w in where or []:
                 try:
                     ref = probe._resolve(w)
-                    from .members import MeasureRef
-
-                    if isinstance(ref, MeasureRef):
-                        # a measure in the slicer is a USER error, never a
-                        # missing-dimension gap — raise in phase 1
-                        raise QueryError(
-                            f"measures cannot appear in the slicer: {w!r}"
-                        )
-                    usable_where.append(w)
-                    resolved_where.add(w)
-                except QueryError as e:
-                    if "slicer" in str(e) or not valid_measure:
+                except QueryError:
+                    if not valid_measure:
                         raise
+                    continue
                 except KeyError:
                     if not valid_measure:
                         raise
+                    continue
+                from .members import MeasureRef
+
+                if isinstance(ref, MeasureRef):
+                    # a measure in the slicer is a USER error, never a
+                    # missing-dimension gap — raised OUTSIDE the resolve
+                    # try so ValidMeasure tolerance (or a member name that
+                    # happens to contain the text 'slicer') can never
+                    # swallow or misclassify it
+                    raise QueryError(
+                        f"measures cannot appear in the slicer: {w!r}"
+                    )
+                usable_where.append(w)
+                resolved_where.add(w)
             plans.append((usage, usable_rows, usable_where))
         # ValidMeasure tolerates a dimension missing from SOME cubes — a
         # member (row OR slicer) resolving in NO usage is a typo

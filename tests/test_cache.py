@@ -201,3 +201,46 @@ def test_set_role_name_flushes_cache(spark):
     restricted = Query(eng).columns("[Measures].[Count Order]").execute().df.collect()[0]
     assert restricted["count_order"] < full["count_order"]
     eng.set_role_name()
+
+
+def test_flush_region_empty_is_noop(spark):
+    """flush_region([]) overlaps nothing and must flush nothing (review
+    fix: any([]) made every entry doomed)."""
+    from mondrian_olap_spark.cache import AggregateCache
+
+    cache = AggregateCache()
+    df = spark.range(3)
+    cache.get_or_build(("k",), [], lambda: df)
+    assert len(cache) == 1
+    assert cache.flush_region([]) == 0
+    assert len(cache) == 1
+    cache.flush_all()
+
+
+def test_rollup_reuses_same_grain_different_order(spark, engine):
+    """A cached aggregate at the SAME grain with a different key ordering
+    serves the request via in-memory re-aggregation instead of a fact
+    rescan (review fix)."""
+    from mondrian_olap_spark.query import Query
+
+    eng = engine.with_role(None) if False else engine
+    import copy
+
+    e2 = copy.copy(engine)
+    e2.enable_cache()
+    q1 = (
+        Query(e2).columns("[Measures].[Sum Qty]")
+        .rows("[Customer].children", "[ReturnFlag].children").execute().df
+    )
+    q1.collect()
+    misses = e2.cache.misses
+    q2 = (
+        Query(e2).columns("[Measures].[Sum Qty]")
+        .rows("[ReturnFlag].children", "[Customer].children").execute().df
+    )
+    q2.collect()
+    assert e2.cache.rollups >= 1 and e2.cache.misses == misses
+    a = {(r["region_name"], r["return_flag"]): r["sum_qty"] for r in q1.collect()}
+    b = {(r["region_name"], r["return_flag"]): r["sum_qty"] for r in q2.collect()}
+    assert a == b
+    e2.cache.flush_all()

@@ -66,3 +66,22 @@ def test_dangling_parent_is_root(spark):
     cl = {(r["ancestor"], r["descendant"]) for r in
           closure(spark.createDataFrame(rows), "emp_id", "supervisor_id").collect()}
     assert cl == {(10, 10), (11, 11), (10, 11)}
+
+
+def test_closure_exact_max_depth_completes(spark):
+    """A cycle-free chain of exactly max_depth levels completes (review
+    fix: the cycle check fired one iteration early)."""
+    from mondrian_olap_spark.hierarchy import HierarchyCycleError, closure
+
+    # chain 1 <- 2 <- 3 <- 4: depth 3 (3 edges)
+    df = spark.createDataFrame(
+        [(1, None), (2, 1), (3, 2), (4, 3)], "k int, parent int"
+    )
+    out = closure(df, "k", "parent", max_depth=3)
+    assert out.filter("depth = 3").count() == 1  # (1 -> 4)
+    # a genuine cycle still raises
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], "k int, parent int")
+    import pytest as _pytest
+
+    with _pytest.raises(HierarchyCycleError):
+        closure(cyc, "k", "parent", max_depth=3)

@@ -314,3 +314,91 @@ def test_union_roles_keeps_rollup_policy():
     c = Role("c", grants=(MemberGrant("Customer", ("AFRICA",)),), rollup_policy="full")
     # mixed policies: most permissive wins (union admits what any admits)
     assert union_roles("ac", a, c).rollup_policy == "full"
+
+
+# ------------------------------------------ round-4 grant-semantics fixes
+def test_union_role_unconstrained_constituent_admits_all(engine):
+    """A union with an UNCONSTRAINED constituent must not restrict that
+    dimension (review fix: flattened grants made the union MORE
+    restrictive than its members)."""
+    asia = Role("asia", grants=(MemberGrant("Customer", ("ASIA",)),))
+    open_role = Role("open")  # no grants at all
+    u = union_roles("u", asia, open_role)
+    eng = engine.with_role(u)
+    assert _nations(eng) == {"AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"}
+
+
+def test_union_role_denies_stay_per_constituent(engine):
+    """One role's deny must not subtract from another role's allow: A
+    allows ASIA minus NATION_9, B allows ASIA fully → the union sees all
+    of ASIA."""
+    a = Role(
+        "a",
+        grants=(
+            MemberGrant("Customer", ("ASIA",)),
+            MemberGrant("Customer", ("ASIA", "NATION_2"), access="none"),
+        ),
+    )
+    b = Role("b", grants=(MemberGrant("Customer", ("ASIA",)),))
+    from mondrian_olap_spark.query import Query
+
+    eng = engine.with_role(union_roles("u", a, b))
+    df = (
+        Query(eng)
+        .columns("[Measures].[Sum Price]")
+        .rows("[Customer].[Nation].Members")
+        .execute()
+        .df
+    )
+    nations = {r["nation_name"] for r in df.collect()}
+    assert "NATION_2" in nations  # b's unqualified allow wins in the union
+    # a alone hides it
+    eng_a = engine.with_role(a)
+    df_a = (
+        Query(eng_a)
+        .columns("[Measures].[Sum Price]")
+        .rows("[Customer].[Nation].Members")
+        .execute()
+        .df
+    )
+    assert "NATION_2" not in {r["nation_name"] for r in df_a.collect()}
+
+
+def test_deny_ancestor_allow_descendant(engine):
+    """Most-specific-grant-wins (review fix): allow a NATION under a
+    denied REGION → the nation stays visible, the region's other nations
+    are hidden."""
+    from mondrian_olap_spark.query import Query
+
+    role = Role(
+        "carve",
+        grants=(
+            MemberGrant("Customer", ("ASIA", "NATION_2")),
+            MemberGrant("Customer", ("ASIA",), access="none"),
+        ),
+    )
+    eng = engine.with_role(role)
+    df = (
+        Query(eng)
+        .columns("[Measures].[Sum Price]")
+        .rows("[Customer].[Nation].Members")
+        .execute()
+        .df
+    )
+    nations = {r["nation_name"] for r in df.collect()}
+    assert nations == {"NATION_2"}
+
+
+def test_grant_deeper_than_hierarchy_raises_clearly(engine):
+    role = Role(
+        "deep", grants=(MemberGrant("Customer", ("ASIA", "NATION_2", "X", "Y")),)
+    )
+    from mondrian_olap_spark.query import Query
+
+    with pytest.raises(ValueError, match="deeper than dimension"):
+        (
+            Query(engine.with_role(role))
+            .columns("[Measures].[Sum Price]")
+            .rows("[Customer].children")
+            .execute()
+        )

@@ -100,3 +100,19 @@ def test_valid_measure_rejects_unknown_slicer(vc):
 
     with pytest.raises(QueryError, match="not found in any cube"):
         vc.aggregate(rows=["[Customer].children"], where=["[Tme].[1995]"])
+
+
+def test_virtual_cube_rejects_duplicate_measure_outputs(spark, engine):
+    """Overlapping measure output columns across usages raise a clear
+    configuration error at construction, not an ambiguous-reference
+    failure at collect time (review fix)."""
+    from mondrian_olap_spark.virtual import CubeUsage, VirtualCube
+
+    with pytest.raises(ValueError, match="output column"):
+        VirtualCube(
+            "Dup",
+            [
+                CubeUsage(engine, ("Sum Price",)),
+                CubeUsage(engine, ("Sum Price",)),
+            ],
+        )
