@@ -15,6 +15,7 @@ Python over collected values, never a UDF in the plan.
 from __future__ import annotations
 
 import datetime as _dt
+import decimal as _decimal
 import math
 import re
 
@@ -77,7 +78,7 @@ def format_value(value, fmt: str | None, locale: str | None = None) -> str:
         return _format_date(value, fmt)
     if isinstance(value, bool):
         return str(value)
-    if isinstance(value, (int, float)):
+    if isinstance(value, (int, float, _decimal.Decimal)):
         return _format_number(float(value), fmt, locale)
     return str(value)
 
@@ -89,9 +90,24 @@ _DATE_TOKEN_MAP = dict(_DATE_TOKENS)
 
 
 def _format_date(value, fmt: str) -> str:
+    low = fmt.lower()
+    # VBA context rule (mondrian.util.Format, Vba.format): an 'm' run
+    # adjacent to an hour run (after) or a second run (before) means
+    # MINUTES — rewrite those runs to the unambiguous 'n' token first so
+    # 'hh:mm:ss' renders minutes, not the month
+    low = re.sub(
+        r"(h+)([:.\-/ ]?)(m+)",
+        lambda m: m.group(1) + m.group(2) + "n" * len(m.group(3)),
+        low,
+    )
+    low = re.sub(
+        r"(m+)([:.\-/ ]?)(s+)",
+        lambda m: "n" * len(m.group(1)) + m.group(2) + m.group(3),
+        low,
+    )
     # single-pass token substitution (sequential replace would corrupt
     # earlier expansions: the 'm' in '%m' is itself a VBA token)
-    out = _DATE_TOKEN_RE.sub(lambda m: _DATE_TOKEN_MAP[m.group(0)], fmt.lower())
+    out = _DATE_TOKEN_RE.sub(lambda m: _DATE_TOKEN_MAP[m.group(0)], low)
     return value.strftime(out)
 
 

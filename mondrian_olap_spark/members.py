@@ -63,6 +63,8 @@ def parse_identifier_tagged(s: str) -> list[tuple[str, bool]]:
                 if s[i] != ".":
                     raise MemberParseError(f"expected '.' after ']' in {s!r}")
                 i += 1
+                if i >= n:
+                    raise MemberParseError(f"trailing '.' in identifier {s!r}")
         else:
             j = s.find(".", i)
             if j == -1:
@@ -71,6 +73,8 @@ def parse_identifier_tagged(s: str) -> list[tuple[str, bool]]:
             else:
                 segments.append((s[i:j], False))
                 i = j + 1
+                if i >= n:
+                    raise MemberParseError(f"trailing '.' in identifier {s!r}")
     if not segments or any(seg == "" for seg, _ in segments):
         raise MemberParseError(f"empty segment in identifier {s!r}")
     return segments
@@ -205,6 +209,10 @@ def format_ref(ref: MemberSetRef) -> str:
     if ref.kind == "level_members":
         return f"{format_name([dim.name, dim.levels[ref.depth].name])}.Members"
     if ref.kind == "range":
+        # bounds serialize from the ORDINAL expression values — identical
+        # to the member keys whenever the level's ordinal is its key (the
+        # time/TPC-H case); a display form only, since ':' range syntax is
+        # not part of resolve()'s input grammar
         lo, hi = ref.ordinal_range or ("?", "?")
         prefix = [dim.name, *map(str, ref.path)]
         return (

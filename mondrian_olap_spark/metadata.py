@@ -77,7 +77,12 @@ class MemberMeta:
         path (cube_test.rb:444-455)."""
         if self.depth + 1 >= len(self._dim.levels):
             return False
-        return self.children_count > 0
+        # existence probe: 1-row take, never a full child-level aggregation
+        return bool(
+            self._engine.level_members(
+                self._dim.name, self.depth + 1, self.path
+            ).take(1)
+        )
 
     @property
     def children(self) -> list["MemberMeta"]:
@@ -93,10 +98,32 @@ class MemberMeta:
 
     @property
     def parent(self) -> "MemberMeta | None":
-        """Parent member (one level up; None at the root level)."""
+        """Parent member (one level up; None at the root level).  When the
+        parent LEVEL declares a caption expression, a 1-row lookup fetches
+        it (caption visibility must not depend on the navigation path);
+        caption-less levels stay job-free."""
         if self.depth == 0:
             return None
-        return MemberMeta(self._engine, self._dim, self.depth - 1, self.path[:-1])
+        lv = self._dim.levels[self.depth - 1]
+        cap = None
+        if lv.caption or lv.caption_locales or lv.formatter:
+            from pyspark.sql import functions as F
+
+            df = self._engine.level_members(
+                self._dim.name, self.depth - 1, self.path[:-2],
+                include_properties=True,
+            )
+            rows = (
+                df.filter(F.col(lv.out).cast("string") == str(self.path[-2]))
+                .limit(1)
+                .collect()
+            )
+            col = f"{lv.out}_caption"
+            if rows and col in df.columns:
+                cap = rows[0][col]
+        return MemberMeta(
+            self._engine, self._dim, self.depth - 1, self.path[:-1], caption=cap
+        )
 
     @property
     def siblings(self) -> list["MemberMeta"]:
@@ -363,10 +390,12 @@ class CubeMeta:
         return [DimensionMeta(self._engine, d) for d in self._cube.dimensions]
 
     def dimension(self, name: str) -> DimensionMeta | None:
-        for d in self._cube.dimensions:
-            if d.name.lower() == name.lower():
-                return DimensionMeta(self._engine, d)
-        return None
+        # delegate to Cube.dimension: it carries the secondary-hierarchy
+        # fallback ('Time.Weekly' -> the squashed TimeWeekly sibling)
+        try:
+            return DimensionMeta(self._engine, self._cube.dimension(name))
+        except KeyError:
+            return None
 
     @property
     def measure_names(self) -> list[str]:
@@ -412,6 +441,10 @@ class CubeMeta:
 
 
 def _rows_to_members(engine, dim: Dimension, depth: int, df) -> list[MemberMeta]:
+    # role top_level bounds hide ancestor columns from level_members output
+    # — read only the columns the frame actually carries (hidden ancestors
+    # surface as None path segments, matching their invisibility)
+    available = set(df.columns)
     outs = [lv.out for lv in dim.levels[: depth + 1]]
     cap_col = f"{dim.levels[depth].out}_caption"
     members = []
@@ -421,8 +454,8 @@ def _rows_to_members(engine, dim: Dimension, depth: int, df) -> list[MemberMeta]
                 engine,
                 dim,
                 depth,
-                tuple(row[o] for o in outs),
-                caption=row[cap_col] if cap_col in df.columns else None,
+                tuple(row[o] if o in available else None for o in outs),
+                caption=row[cap_col] if cap_col in available else None,
             )
         )
     return members

@@ -120,3 +120,27 @@ def test_locale_keeps_literal_punctuation():
     from mondrian_olap_spark.formats import format_value
 
     assert format_value(12.3, "0.00 kr.", "de") == "12,30 kr."
+
+
+def test_date_minutes_context_rule():
+    """VBA: an 'm' run adjacent to hours (after) or seconds (before) means
+    MINUTES (review fix: hh:mm:ss rendered the month)."""
+    import datetime
+
+    from mondrian_olap_spark.formats import format_value
+
+    t = datetime.datetime(2026, 8, 14, 9, 5, 7)
+    assert format_value(t, "hh:mm:ss") == "09:05:07"
+    assert format_value(t, "mm:ss") == "05:07"
+    assert format_value(t, "dd.mm.yyyy") == "14.08.2026"  # month keeps mm
+
+
+def test_decimal_values_format_numerically():
+    """decimal.Decimal cells honor numeric format strings (review fix:
+    they fell through to str())."""
+    import decimal
+
+    from mondrian_olap_spark.formats import format_value
+
+    assert format_value(decimal.Decimal("1234.5"), "#,##0.00") == "1,234.50"
+    assert format_value(decimal.Decimal("0.125"), "Percent") == "12.50%"

