@@ -156,7 +156,10 @@ class Result:
             tuple(r[c] for c in row_cols) if len(row_cols) > 1 else r[row_cols[0]]
             for r in rows
         ]
-        return names
+        # one entry per rows-axis POSITION (result.rb row_names): with a
+        # dimension on the columns axis the tidy frame repeats each row
+        # position once per column member — dedup preserving order
+        return list(dict.fromkeys(names))
 
     @property
     def values(self) -> list:
@@ -165,9 +168,10 @@ class Result:
         rows = self._collect()
         if len(self.axis_columns) > 1 and self.axis_columns[1]:
             return [[r[m] for m in self.measure_columns] for r in rows]
-        if rows:
-            return [rows[0][m] for m in self.measure_columns]
-        return []
+        # single-axis: one value per COLUMN position — a dimension on the
+        # columns axis yields several rows, each a position (returning only
+        # rows[0] would silently drop every other position)
+        return [r[m] for r in rows for m in self.measure_columns]
 
     @property
     def formatted_values(self) -> list:
@@ -184,9 +188,7 @@ class Result:
             return format_value(v, f, self.locale)
         if len(self.axis_columns) > 1 and self.axis_columns[1]:
             return [[fmt(m, r[m]) for m in self.measure_columns] for r in rows]
-        if rows:
-            return [fmt(m, rows[0][m]) for m in self.measure_columns]
-        return []
+        return [fmt(m, r[m]) for r in rows for m in self.measure_columns]
 
     @property
     def axes(self) -> list[list[tuple]]:

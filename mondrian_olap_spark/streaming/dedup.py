@@ -132,11 +132,26 @@ def streaming_neardup_filter(
         if batch.isEmpty():
             batch.unpersist()
             return
+        # every persisted frame releases on ANY exit — a mid-batch failure
+        # followed by foreachBatch retries must not accumulate cached
+        # blocks across attempts
+        pinned = [batch]
+        try:
+            _process_pinned(batch, batch_id, pinned)
+        finally:
+            for df in pinned:
+                df.unpersist()
+
+    def _process_pinned(batch, batch_id, pinned):
+        from pyspark.storagelevel import StorageLevel
+
+        spark = batch.sparkSession
         bands_new = minhash_band_keys(
             batch, id_col=id_col, text_col=text_col, n=n,
             num_hashes=num_hashes, bands=bands,
         )  # (id, band, key) — unfiltered: every band participates
         bands_new = bands_new.persist(StorageLevel.MEMORY_AND_DISK)
+        pinned.append(bands_new)
         store_bands = _try_read_parquet(spark, bands_dir)
         batch_ids = batch.select(id_col).dropDuplicates()
         rejected = None
@@ -153,6 +168,11 @@ def streaming_neardup_filter(
                 )
                 .dropDuplicates()
             )
+            # cand feeds isEmpty + four downstream branches: persist it so
+            # the growing band store is scanned/joined once per batch, not
+            # once per consumer (it is small by construction)
+            cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+            pinned.append(cand)
             # a half-written store (bands landed, docs write crashed) must
             # not wedge the query: with no stored text to verify against,
             # candidates cannot be CONFIRMED duplicates, so they pass —
@@ -244,8 +264,6 @@ def streaming_neardup_filter(
         )
         if accept_sink is not None:
             accept_sink(accepted)
-        bands_new.unpersist()
-        batch.unpersist()
 
     return (
         stream.writeStream.foreachBatch(process_batch)

@@ -16,17 +16,51 @@ Per micro-batch (``foreachBatch``):
    those aggregators may live in summary tables (``register_aggregate``);
 3. the engine's aggregate cache flushes so the next query sees fresh data.
 
+Durability model (plain parquet — a lakehouse MERGE INTO replaces all of
+this on Delta/Iceberg): each batch writes a NEW snapshot directory
+``<summary_path>/snap_<batch_id>`` instead of overwriting in place.
+
+* **replay-idempotent**: foreachBatch is at-least-once; a replayed batch
+  finds its complete snapshot (``_SUCCESS`` marker) already present and
+  only re-registers it — deltas are never double-merged;
+* **crash-safe**: a half-written snapshot has no ``_SUCCESS`` marker, is
+  ignored by readers, and is overwritten by the replay;
+* **reader-safe**: the previous snapshot's files are not deleted while the
+  new one is written — queries planned against the previously registered
+  summary keep resolving; older snapshots are pruned (the latest two are
+  kept).
+
 Scale shape: the merge state is grain-sized (axis cardinality), not
-fact-sized; each batch shuffles only its own delta.  On a real lakehouse
-the union-rewrite becomes ``MERGE INTO`` (Delta/Iceberg) with the same
-delta plan; plain parquet here rewrites the (small) summary atomically via
-an eager localCheckpoint before overwrite.
+fact-sized; each batch shuffles only its own delta.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _fs(spark, base: str):
+    jvm = spark.sparkContext._jvm
+    path = jvm.org.apache.hadoop.fs.Path(base)
+    return path.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), jvm
+
+
+def _complete_snapshots(spark, base: str) -> list[str]:
+    """Names of COMPLETE snapshot dirs (``_SUCCESS`` present), sorted by
+    batch id (zero-padded names make lexicographic == numeric order)."""
+    fs, jvm = _fs(spark, base)
+    root = jvm.org.apache.hadoop.fs.Path(base)
+    if not fs.exists(root):
+        return []
+    out = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("snap_") and fs.exists(
+            jvm.org.apache.hadoop.fs.Path(f"{base}/{name}/_SUCCESS")
+        ):
+            out.append(name)
+    return sorted(out)
 
 
 def maintain_aggregate(
@@ -37,12 +71,18 @@ def maintain_aggregate(
     summary_path: str,
     checkpoint_dir: str,
     register: bool = True,
+    available_now: bool = True,
+    processing_time: str | None = None,
 ):
     """Start a streaming query that maintains (and optionally registers for
     routing) a summary table at the grain of ``levels``.
 
     ``stream``: streaming DataFrame of new fact rows (fact schema).
-    Returns the started ``StreamingQuery``.
+    ``available_now=True`` (default) drains the currently-available backlog
+    and terminates — the catch-up / test mode; pass
+    ``available_now=False`` (optionally with ``processing_time='10
+    seconds'``) for a continuously-running maintainer.  Returns the
+    started ``StreamingQuery``.
     """
     from ..members import MemberSetRef, resolve_level
     from ..plan import Planner
@@ -67,6 +107,16 @@ def maintain_aggregate(
             F.sum(c) if agg in ("sum", "count") else (F.min(c) if agg == "min" else F.max(c))
         ).alias(out)
 
+    def register_snapshot(snap: str, group_cols: list[str]) -> None:
+        engine.aggregate_tables = [
+            t
+            for t in engine.aggregate_tables
+            if getattr(t[0], "_maint", None) != summary_path
+        ]
+        df = spark.read.parquet(f"{summary_path}/{snap}")
+        df._maint = summary_path
+        engine.register_aggregate(df, group_cols, {m.out: m.aggregator for m in ms})
+
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -75,42 +125,54 @@ def maintain_aggregate(
             engine.cube, {**dict(engine.tables), engine.cube.fact: batch_df}
         )
         delta, group_cols = Planner(batch_engine).aggregate([refs], [], ms)
-        from pyspark.errors import AnalysisException
-
-        try:
-            current = spark.read.parquet(summary_path)
+        this_snap = f"snap_{batch_id:020d}"
+        snaps = _complete_snapshots(spark, summary_path)
+        if this_snap in snaps:
+            # replayed micro-batch: the merge already committed — only the
+            # post-write side effects re-run (at-least-once safety)
+            if register:
+                register_snapshot(this_snap, group_cols)
+            if engine.cache is not None:
+                engine.flush_schema_cache()
+            return
+        prev = [s for s in snaps if s < this_snap]
+        if prev:
+            current = spark.read.parquet(f"{summary_path}/{prev[-1]}")
             merged = current.unionByName(delta, allowMissingColumns=True)
-        except AnalysisException as e:
-            # ONLY path-not-found means "first batch".  Any other read
-            # failure (corrupt file, permissions, concurrent writer) must
-            # abort the batch — treating it as first-batch would overwrite
-            # the summary with this batch's delta and silently discard
-            # every previously accumulated aggregate.
-            if "PATH_NOT_FOUND" not in str(e) and "Path does not exist" not in str(e):
-                raise
-            merged = delta  # genuine first batch: summary does not exist yet
+        else:
+            merged = delta  # genuine first batch
         merged = merged.groupBy(*group_cols).agg(
             *[merge_fn(m.out, m.aggregator) for m in ms]
         )
-        # break lineage off the files being overwritten before the rewrite
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(summary_path)
+        # a NEW directory per batch: the previous snapshot's files survive
+        # the write, so concurrently planned queries keep resolving;
+        # overwrite handles a half-written dir left by a crashed attempt
+        merged.write.mode("overwrite").parquet(f"{summary_path}/{this_snap}")
         if register:
-            # swap in the fresh summary for routing
-            engine.aggregate_tables = [
-                t for t in engine.aggregate_tables if getattr(t[0], "_maint", None) != summary_path
-            ]
-            df = spark.read.parquet(summary_path)
-            df._maint = summary_path
-            engine.register_aggregate(
-                df, group_cols, {m.out: m.aggregator for m in ms}
-            )
+            register_snapshot(this_snap, group_cols)
         if engine.cache is not None:
             engine.flush_schema_cache()
+        # prune all but the latest two complete snapshots
+        fs, jvm = _fs(spark, summary_path)
+        for old in _complete_snapshots(spark, summary_path)[:-2]:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{summary_path}/{old}"), True)
 
-    return (
+    writer = (
         stream.writeStream.foreachBatch(handle)
         .outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
     )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start()
+
+
+def read_summary(spark, summary_path: str) -> DataFrame:
+    """The latest complete summary snapshot (for readers outside the
+    routing registration)."""
+    snaps = _complete_snapshots(spark, summary_path)
+    if not snaps:
+        raise FileNotFoundError(f"no complete summary snapshot under {summary_path}")
+    return spark.read.parquet(f"{summary_path}/{snaps[-1]}")

@@ -70,6 +70,7 @@ def stateful_running_totals(
     key_col: str,
     value_col: str,
     timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout,
+    timeout_ms: int = 600_000,
 ) -> DataFrame:
     """Cross-batch running totals per key — a custom stateful operator the
     built-in aggregations can't express in append-style output (each
@@ -77,12 +78,21 @@ def stateful_running_totals(
     batch only).
 
     Uses ``applyInPandasWithState``: groups arrive as Arrow batches, state
-    is an explicit (count, sum) tuple per key.
+    is an explicit (count, sum) tuple per key.  With
+    ``ProcessingTimeTimeout``, every update RE-ARMS a ``timeout_ms``
+    timer and a timed-out invocation removes the key's state (bounded
+    state for idle keys) — a timeout configuration without arming would
+    silently behave like NoTimeout.
     """
+    timed = timeout == GroupStateTimeout.ProcessingTimeTimeout
 
     def update(key, pdfs, state: GroupState):
         import pandas as pd
 
+        if timed and state.hasTimedOut:
+            # idle-key finalisation: release the state, emit nothing
+            state.remove()
+            return
         batch_events = 0
         batch_value = 0.0
         for pdf in pdfs:
@@ -95,6 +105,8 @@ def stateful_running_totals(
         total_events += batch_events
         total_value += batch_value
         state.update((total_events, total_value))
+        if timed:
+            state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(
             {
                 "key": [key[0]],

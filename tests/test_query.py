@@ -1112,3 +1112,42 @@ def test_generate_concat_desc_order(spark):
     assert out[0]["generated"] == "c,b,a"
     with pytest.raises(ValueError, match="mixed"):
         W.generate_concat(df, ["grp"], "name", ["o DESC", "name ASC"])
+
+
+def test_values_single_axis_with_dimension_positions(engine):
+    """A single-axis query with dimension members ON COLUMNS returns one
+    value per position (review fix: only the first collected row's
+    measures came back)."""
+    from mondrian_olap_spark.query import Query
+
+    r = (
+        Query(engine)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].children")
+        .execute()
+    )
+    # the 2-axis shape is unchanged
+    assert len(r.values) == 5 and all(len(v) == 1 for v in r.values)
+    # 1-axis: members live on the single axis -> one value per member
+    r1 = (
+        Query(engine)
+        .columns("[Measures].[Sum Qty]", "[Measures].[Count Order]")
+        .execute()
+    )
+    assert len(r1.values) == 2  # two measures, one position each
+    assert len(r1.formatted_values) == 2
+
+
+def test_row_names_one_entry_per_position(engine):
+    """row_names dedups to distinct rows-axis positions when a dimension
+    sits on the columns axis (review fix)."""
+    from mondrian_olap_spark.query import Query
+
+    r = (
+        Query(engine)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].children")
+        .execute()
+    )
+    assert r.row_names == sorted(r.row_names)
+    assert len(r.row_names) == len(set(r.row_names)) == 5

@@ -174,10 +174,12 @@ def test_maintain_aggregate(spark, tmp_path):
     )
     q.awaitTermination(120)
 
+    from mondrian_olap_spark.streaming.maintenance import read_summary
+
     def summary_totals():
         return {
             r["nation_name"]: r["sum_qty"]
-            for r in spark.read.parquet(summary).collect()
+            for r in read_summary(spark, summary).collect()
         }
 
     def expected(df):
