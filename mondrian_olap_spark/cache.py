@@ -40,6 +40,10 @@ def slicer_fingerprint(slicer: list[MemberSetRef]) -> tuple:
                 ref.depth,
                 ref.path,
                 tuple(map(str, ref.ordinal_range)) if ref.ordinal_range else (),
+                # a drilled range constrains the PARENT level's ordinal: the
+                # same bounds at a different range_depth select different
+                # rows and must not share a cache entry
+                ref.range_depth,
             )
             for ref in slicer
         )

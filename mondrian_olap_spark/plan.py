@@ -78,6 +78,11 @@ class _DimUse:
     dim: Dimension
     group_outputs: list[str] = field(default_factory=list)  # ordered level outputs
     predicates: list[Column] = field(default_factory=list)  # OR-ed together
+    #: role grant predicates — ANDed over the query predicates: a role's
+    #: row restriction must intersect whatever the query selects, never
+    #: union with it (OR-ing would let any query that names an ungranted
+    #: member read its rows — a security bypass)
+    role_predicates: list[Column] = field(default_factory=list)
     pred_depth: int = 0  # deepest level referenced by any predicate
     #: ordinal (__ord_*) columns referenced by range predicates — shipped
     #: through the merged dim view alongside the level outputs
@@ -108,11 +113,15 @@ class _DimUse:
 
     @property
     def predicate(self) -> Column | None:
-        if not self.predicates:
+        if not self.predicates and not self.role_predicates:
             return None
-        p = self.predicates[0]
-        for q in self.predicates[1:]:
-            p = p | q
+        p = None
+        if self.predicates:
+            p = self.predicates[0]
+            for q in self.predicates[1:]:
+                p = p | q
+        for r in self.role_predicates:
+            p = r if p is None else (p & r)
         return p
 
 
@@ -373,13 +382,11 @@ class Planner:
         combination, small by construction, so the grid never shuffles)."""
         if not sub_cols:
             return agg.crossJoin(F.broadcast(sub))
-        if totals is None:
-            # null-safe equality: a grid row whose member key is genuinely
-            # NULL in the data must still find its matching NULL-keyed sub
-            # row (same semantics as query._apply_subselect's null-safe
-            # semi-join).  No totals → no rollup-marker NULLs → no
-            # collision risk, so eqNullSafe is always safe here.
-            g, t = agg.alias("__grid"), sub.alias("__tup")
+
+        def null_safe_attach(frame):
+            # one implementation for both branches: a future null-safety
+            # change must not silently miss one of them
+            g, t = agg.alias("__grid"), frame.alias("__tup")
             cond = None
             for c in sub_cols:
                 e = F.col(f"__grid.{c}").eqNullSafe(F.col(f"__tup.{c}"))
@@ -387,6 +394,14 @@ class Planner:
             joined = g.join(F.broadcast(t), on=cond, how="left")
             keep = [F.col(f"__grid.{c}") for c in agg.columns] + [F.col(out)]
             return joined.select(*keep)
+
+        if totals is None:
+            # null-safe equality: a grid row whose member key is genuinely
+            # NULL in the data must still find its matching NULL-keyed sub
+            # row (same semantics as query._apply_subselect's null-safe
+            # semi-join).  No totals → no rollup-marker NULLs → no
+            # collision risk, so eqNullSafe is always safe here.
+            return null_safe_attach(sub)
         # Totals mode: super-aggregate rows carry NULL keys, so the join
         # must be null-safe.  But a GENUINE NULL member key in the data
         # collides with the rollup marker (two sub rows share one key
@@ -407,14 +422,7 @@ class Planner:
         )
         if dup:
             return agg.join(F.broadcast(sub), on=sub_cols, how="left")
-        g, t = agg.alias("__grid"), sub.alias("__tup")
-        cond = None
-        for c in sub_cols:
-            e = F.col(f"__grid.{c}").eqNullSafe(F.col(f"__tup.{c}"))
-            cond = e if cond is None else (cond & e)
-        joined = g.join(F.broadcast(t), on=cond, how="left")
-        keep = [F.col(f"__grid.{c}") for c in agg.columns] + [F.col(out)]
-        return joined.select(*keep)
+        return null_safe_attach(sub)
 
     def _attach_agg_scalar(self, agg, spec, axes, slicer, totals=None):
         """``Aggregate({m1, m2}, expr)`` in a Measures formula
@@ -563,17 +571,27 @@ class Planner:
                 preds = [_path_predicate(r) for r in refs]
                 if all(p is not None for p in preds):
                     members = members.filter(_or_all(preds))
-                # role grants apply to the expanded grid too — non-granted
-                # members must not surface even as NULL cells
-                # (member invisibility is absolute —
-                # connection_role_test.rb:101-184; STATUS.md leak #8)
+                # role grants AND ragged hide_member_if rules apply to the
+                # expanded grid too — a member invisible to listings and
+                # navigation must not surface even as a NULL cell
+                # (connection_role_test.rb:101-184; STATUS.md leak #8);
+                # the shared helper keeps grid/listing/navigation agreeing
+                # about which members exist
+                from .star import _apply_member_visibility
+
                 role = getattr(self.engine, "role", None)
-                if role is not None:
-                    vis = role.member_visibility_predicate(
-                        dim, max(r.depth for r in refs)
-                    )
-                    if vis is not None:
-                        members = members.filter(vis)
+                depth = max(r.depth for r in refs)
+                members = _apply_member_visibility(
+                    members, dim, dim.levels[: depth + 1], role, depth
+                )
+                # the grid's grain must equal the aggregated grain: levels
+                # the aggregate stripped (role top_level-hidden ancestors)
+                # must not ride along — they would leak invisible values
+                # and duplicate cells for keys repeating under different
+                # hidden ancestors
+                outs = [o for o in outs if o in group_cols]
+                if not outs:
+                    continue
                 members = members.select(*outs).dropDuplicates()
                 grid = members if grid is None else grid.crossJoin(members)
         if grid is None:
@@ -599,7 +617,7 @@ class Planner:
             u = use(dim)
             pred = role.dimension_predicate(dim)
             if pred is not None:
-                u.predicates.append(pred)
+                u.role_predicates.append(pred)
                 depth = max(
                     (
                         len(g.path)

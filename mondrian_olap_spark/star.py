@@ -349,6 +349,19 @@ class CubeEngine:
             ]
         else:
             ms = [self.cube.measure(n) for n in measures]
+            # validate BEFORE planning/writing: failing only at the final
+            # register_aggregate would leave a fully-written orphaned
+            # summary on disk (and calc members have no .aggregator at all)
+            bad = [
+                m.name
+                for m in ms
+                if isinstance(m, CalculatedMember)
+                or m.aggregator not in _ROLLUP_SAFE
+            ]
+            if bad:
+                raise ValueError(
+                    f"aggregators not roll-up-safe for a summary table: {bad}"
+                )
         if not ms:
             raise ValueError("no roll-up-safe measures to materialise")
         from .members import MemberSetRef
@@ -571,8 +584,17 @@ class CubeEngine:
             props += [
                 f"{lv.out}_caption" for lv in visible_levels if _has_caption(lv)
             ]
+        # path filter + visibility run BEFORE the visible-columns
+        # projection: under a top_level-bounded role the hidden ancestor
+        # columns are projected away, but the path (and grant predicates)
+        # may legitimately reference them
+        df = self.fact if dim.degenerate else self.dims[dim.name].member_df
+        for i, key in enumerate(path):
+            df = df.filter(F.col(dim.levels[i].out) == key)
+        # role member grants + ragged hiding (shared with the positional
+        # sibling lookups — _apply_member_visibility)
+        df = _apply_member_visibility(df, dim, levels, role, depth)
         if dim.degenerate:
-            df = self.fact
             sel = [F.col(o) for o in outs] + [
                 F.expr(lv.ordinal_expr).alias(_ordinal_out(dim, lv)) for lv in levels
             ]
@@ -584,14 +606,9 @@ class CubeEngine:
                         sel.append(F.expr(pexpr).alias(pname))
             df = df.select(*sel)
         else:
-            df = self.dims[dim.name].member_df.select(
+            df = df.select(
                 *outs, *[_ordinal_out(dim, lv) for lv in levels], *props
             )
-        for i, key in enumerate(path):
-            df = df.filter(F.col(dim.levels[i].out) == key)
-        # role member grants + ragged hiding (shared with the positional
-        # sibling lookups — _apply_member_visibility)
-        df = _apply_member_visibility(df, dim, levels, role, depth)
         # dedupe by member key with min() as the deterministic representative
         # for ordinals/properties: Mondrian assumes properties are
         # functionally dependent on the level key (depends_on_level_value,
@@ -727,6 +744,13 @@ class CubeEngine:
         ``ordinal BETWEEN lo AND hi`` predicate, never an enumerated set."""
         dim = self.cube.dimension(dim_name)
         lv = dim.levels[depth]
+        # range endpoints follow the same visibility rules as every other
+        # lookup path: level-bounded grants are enforced, and a role-hidden
+        # or ragged-hidden member must NOT resolve as a bound (navigation
+        # and range resolution may never disagree about which members exist)
+        role = getattr(self, "role", None)
+        if role is not None:
+            role.check_level(dim, depth)
         if dim.degenerate:
             df = self.fact
             ord_col = F.expr(lv.ordinal_expr)
@@ -735,6 +759,7 @@ class CubeEngine:
             ord_col = F.col(_ordinal_out(dim, lv))
         for i, key in enumerate(path):
             df = df.filter(F.col(dim.levels[i].out) == key)
+        df = _apply_member_visibility(df, dim, dim.levels[: depth + 1], role, depth)
         row = df.agg(F.min(ord_col).alias("o"), F.count(F.lit(1)).alias("n")).collect()[0]
         if row["n"] == 0:
             raise KeyError(

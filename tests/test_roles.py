@@ -5,7 +5,7 @@ denied members, union roles; query_test.rb:1032-1057 drill-through rows)."""
 import pytest
 
 from mondrian_olap_spark.query import Query
-from mondrian_olap_spark.roles import AccessDenied, MemberGrant, Role, union_roles
+from mondrian_olap_spark.roles import AccessDenied, HierarchyGrant, MemberGrant, Role, union_roles
 
 
 def _nations(eng):
@@ -402,3 +402,67 @@ def test_grant_deeper_than_hierarchy_raises_clearly(engine):
             .rows("[Customer].children")
             .execute()
         )
+
+
+def test_role_predicate_not_bypassed_by_query_selection(engine):
+    """SECURITY (review fix): a role's row restriction must INTERSECT the
+    query's own selection, never union with it — naming an ungranted
+    member must yield nothing, on aggregates AND drill-through."""
+    from mondrian_olap_spark.plan import Planner
+    from mondrian_olap_spark.query import Query
+    from mondrian_olap_spark.members import resolve
+
+    eng = engine.with_role(
+        Role("asia", grants=(MemberGrant("Customer", ("ASIA",)),))
+    )
+    df = (
+        Query(eng)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].[EUROPE].children")
+        .execute()
+        .df
+    )
+    assert df.collect() == []  # ungranted selection -> empty, never EUROPE data
+    # granted selection still works
+    ok = (
+        Query(eng)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].[ASIA].children")
+        .execute()
+        .df.collect()
+    )
+    assert len(ok) == 5 and all(r["region_name"] == "ASIA" for r in ok)
+    # drill-through: an ungranted slicer returns zero raw rows
+    ref = resolve(eng.cube, "[Customer].[EUROPE]")
+    drill = Planner(eng).drill_through(
+        [ref], [("region", "[Customer].[Region]")], max_rows=100
+    )
+    assert drill.collect() == []
+
+
+def test_member_lookup_under_top_level_bound(engine):
+    """Path-constrained member lookups work under a top_level-bounded role
+    (review fix: the ancestor-path filter ran after the hidden columns
+    were projected away)."""
+    eng = engine.with_role(
+        Role(
+            "nation_only",
+            hierarchy_grants=(HierarchyGrant("Customer", top_level="Nation"),),
+        )
+    )
+    df = eng.level_members("Customer", 1, ("ASIA",))
+    nations = {r["nation_name"] for r in df.collect()}
+    assert nations == {"NATION_12", "NATION_17", "NATION_2", "NATION_22", "NATION_7"}
+    assert "region_name" not in df.columns  # ancestor stays invisible
+
+
+def test_range_endpoints_respect_member_visibility(engine):
+    """member_ordinal follows the same visibility rules as every other
+    lookup: a role-hidden member cannot resolve as a range endpoint
+    (review fix)."""
+    eng = engine.with_role(
+        Role("asia", grants=(MemberGrant("Customer", ("ASIA",)),))
+    )
+    assert eng.member_ordinal("Customer", 0, ("ASIA",)) is not None
+    with pytest.raises(KeyError):
+        eng.member_ordinal("Customer", 0, ("EUROPE",))
