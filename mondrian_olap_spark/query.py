@@ -317,7 +317,7 @@ class Query:
         if not ax.sets:
             raise QueryError("filter_last needs a set on the current axis")
         ax.mods.append(("filter_last", condition, ax.sets[-1]))
-        ax.display_ops.append(("filter_last", condition))
+        ax.display_ops.append(("filter_last", condition, len(ax.raw_base) - 1))
         return self
 
     def filter_nonempty(self) -> "Query":
@@ -854,13 +854,18 @@ class Query:
 
     # -- execution -------------------------------------------------------
     def execute(self, timeout: float | None = None) -> Result:
-        axes = [self._axes[i] for i in sorted(self._axes)]
+        idxs = sorted(self._axes)
+        if idxs and idxs != list(range(len(idxs))):
+            missing = next(i for i in range(idxs[-1]) if i not in self._axes)
+            # reference shape: olap4j rejects non-contiguous axes
+            raise QueryError(
+                f"Axis #{idxs[-1]} specified but axis #{missing} is not"
+            )
+        axes = [self._axes[i] for i in idxs]
         measures: list[Measure | CalculatedMember] = []
         for ax in axes:
             for name in ax.measure_names:
                 measures.append(self._measure(name))
-        if not measures and not self._with:
-            pass  # pure member query
         tuple_specs = []
         for out, mname, member_strs in self._tuple_scalars:
             # mname None = tuple with no [Measures] component: the Measures
@@ -950,7 +955,11 @@ class Query:
             df = self._union_dimension_member(planner, df, axes, measures, group_cols, dm)
         for ref, limit in self._drilldowns:
             df = self._union_drilldown(planner, df, axes, measures, ref, limit)
-        sort_spec: list = []
+        # each axis's ordering is INDEPENDENT (MDX axes order separately);
+        # the tidy frame's display sort concatenates them in axis order —
+        # a later axis's order() must compose with, not overwrite, an
+        # earlier axis's (columns positions stay stable across row groups)
+        sort_specs: list[list] = []
         measure_outs = [m.out for m in measures]
         for ax in axes:
             other_cols = [
@@ -960,9 +969,11 @@ class Query:
                 for c in self._group_cols_of(other)
                 if c not in self._group_cols_of(ax)
             ]
-            df, sort_spec = self._apply_mods(
-                df, ax, sort_spec, measure_outs, other_cols
+            df, ax_spec = self._apply_mods(
+                df, ax, [], measure_outs, other_cols
             )
+            sort_specs.append(ax_spec)
+        sort_spec = [e for spec in sort_specs for e in spec]
         axis_cols = [
             [lv.out for s in ax.sets for lv in self._visible_levels(s)]
             for ax in axes
@@ -1205,11 +1216,13 @@ class Query:
 
     def _axis_set_mdx(self, ax: _Axis) -> str:
         base = list(ax.raw_base)
-        # filter_last wraps the LAST set element, not the whole expression
-        # (query.rb add_last_set_function) — rewrite base before joining
+        # filter_last wraps the set element that was LAST when it was
+        # CALLED (index captured then) — members added afterwards must not
+        # steal the FILTER wrapper (query.rb add_last_set_function)
         for op in ax.display_ops:
             if op[0] == "filter_last" and base:
-                base[-1] = f"FILTER({base[-1]}, {self._aliases_to_mdx(op[1])})"
+                idx = op[2] if len(op) > 2 else len(base) - 1
+                base[idx] = f"FILTER({base[idx]}, {self._aliases_to_mdx(op[1])})"
         cur = base[0] if len(base) == 1 else "{" + ", ".join(base) + "}"
         for op in ax.display_ops:
             kind = op[0]
@@ -1303,12 +1316,23 @@ class Query:
 
     def _measure(self, name: str) -> Measure | CalculatedMember:
         role = getattr(self.engine, "role", None)
+        for cm in self._with:
+            if cm.name.lower() == name.lower():
+                # a query-scoped WITH member is not itself in the schema
+                # grant list — the role check applies to the BASE measures
+                # its formula references (checking the member's own name
+                # would deny every WITH member under a restrictive role)
+                if role is not None:
+                    import re as _re
+
+                    code = _re.sub(r"'(?:[^']|'')*'", " ", cm.expression)
+                    for m in self.cube.measures:
+                        if _re.search(rf"\b{_re.escape(m.out)}\b", code):
+                            role.check_measure(self.cube, m.name)
+                return cm
         if role is not None:
             # measure invisibility under roles (connection_role_test.rb)
             role.check_measure(self.cube, name)
-        for cm in self._with:
-            if cm.name.lower() == name.lower():
-                return cm
         try:
             return self.cube.measure(name)
         except KeyError:
@@ -1424,7 +1448,12 @@ class Query:
                         c = F.col(ref.dimension.levels[i].out) == key
                         pred = c if pred is None else (pred & c)
                     if pred is not None:
-                        df = df.filter(~pred)
+                        # drop only rows that MATCH: NULL-keyed rows
+                        # (rollup/cube super-aggregates, drilldown parent
+                        # rows) evaluate the predicate to NULL and must
+                        # pass through — the same convention as
+                        # filter_last/_apply_subselect
+                        df = df.filter(~F.coalesce(pred, F.lit(False)))
             elif kind == "distinct":
                 df = df.dropDuplicates()
             elif kind == "order":
