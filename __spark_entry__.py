@@ -30,8 +30,18 @@ def entry(spark: SparkSession) -> DataFrame:
 #: through the gate; the previously-green entries keep full local coverage
 #: via tools/check_oracle.py --exact (the driver-gate mirror).
 _DRIVER_CHECKED = frozenset({
-    # round 3 greens (CORRECTNESS_r03.json; the 3 red rows are excluded —
-    # their typing fixes need a fresh driver hash)
+    # round 4 greens (CORRECTNESS_r04.json: all 50 prefix rows green —
+    # includes the 3 former round-3 hash-fails, the 5 never-checked
+    # entries, and the 7 new round-4 entries; approx_distinct_parts is
+    # rows-only by design and counted as checked)
+    "text_quality_features", "text_stats_by_source",
+    "pipeline_deterministic_sample", "text_pii_redaction",
+    "text_quality_filter", "embed_dedup_keep_list", "text_token_counts",
+    "approx_distinct_parts", "aggregate_crossjoin_set",
+    "aggregate_value_forms", "tuple_item_implicit_measure",
+    "text_repetition_features", "pipeline_split_contamination",
+    "text_chunking", "events_sessionization",
+    # round 3 greens (CORRECTNESS_r03.json)
     "multimodal_decode_features", "tuple_case_contextual",
     "nested_filter_crossjoin", "exists_customers_q1", "mixed_depth_axis",
     "filter_nonempty_grid", "filter_last_regions", "generate_children_drill",
@@ -82,23 +92,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # rows-only ones — a hash-verifiable entry must not lose its prefix
     # slot to a weak-check entry
     unchecked = {k: v for k, v in QUERIES.items() if k not in _DRIVER_CHECKED}
-    # highest-value entries pinned to the very front of the prefix: the 3
-    # round-3 hash-fails (typing fixed this round, need a fresh green), then
-    # the 5 entries that have never been in a driver prefix
-    front = (
-        "text_quality_features", "text_stats_by_source",
-        "pipeline_deterministic_sample", "text_pii_redaction",
-        "text_quality_filter", "embed_dedup_keep_list", "text_token_counts",
-        "approx_distinct_parts",
-    )
     unchecked = dict(
-        sorted(
-            unchecked.items(),
-            key=lambda kv: (
-                front.index(kv[0]) if kv[0] in front else len(front),
-                kv[0] not in ORACLE,
-            ),
-        )
+        sorted(unchecked.items(), key=lambda kv: kv[0] not in ORACLE)
     )
     checked = {k: v for k, v in QUERIES.items() if k in _DRIVER_CHECKED}
     return {**unchecked, **checked}
