@@ -1,0 +1,96 @@
+"""Sequence packing and stratified selection for training-data pipelines.
+
+Both operators are pure window-function plans (JVM-side, whole-stage
+codegen): no UDFs, no collects, one shuffle on the partition key each.
+
+Scale notes (100 TB):
+
+* ``pack_documents`` windows partition by the grouping key (``source``) —
+  one shuffle on that key; pack assignment is a running sum, so within a
+  key the work is a single sequential pass per partition.  A single giant
+  key serializes into one task; for corpora with a dominant source, pre-
+  split the key (e.g. ``source || '/' || pmod(doc_id, N)``) — packing is
+  per-key sequential by definition, so any finer key that preserves the
+  intended order is valid.
+* ``balanced_sample`` ranks by a content hash inside each stratum — the
+  same single shuffle; the hash order makes the sample deterministic and
+  layout-independent (repartitioning the input cannot change the result).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_documents(
+    df: DataFrame,
+    budget: int,
+    by: str = "source",
+    order: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget packs (context-window
+    packing for LLM training batches).
+
+    Documents are taken in ``order`` within each ``by`` group; a document
+    joins the pack in which its cumulative token span starts
+    (``pack_id = floor(tokens_before / budget)``).  The assignment is a
+    running sum, not a bin-packing search — deterministic, one pass, and
+    the convention used by streaming tokenizer pipelines (documents may
+    straddle a boundary; the trainer's sampler handles the tail).
+
+    Adds ``n_tokens`` (whitespace tokens), ``pack_id``, and
+    ``pack_offset`` (token offset of the document inside its group's
+    stream).
+    """
+    out = df.withColumn(
+        "n_tokens", F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    )
+    w = Window.partitionBy(by).orderBy(order)
+    out = out.withColumn(
+        "pack_offset",
+        F.coalesce(F.sum("n_tokens").over(w) - F.col("n_tokens"), F.lit(0)),
+    )
+    return out.withColumn(
+        "pack_id", F.floor(F.col("pack_offset") / F.lit(budget))
+    )
+
+
+def pack_summary(
+    df: DataFrame,
+    budget: int,
+    by: str = "source",
+    order: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-pack roll-up of :func:`pack_documents`: document count and
+    total tokens per (group, pack)."""
+    packed = pack_documents(df, budget, by=by, order=order, text_col=text_col)
+    return packed.groupBy(by, "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+def balanced_sample(
+    df: DataFrame,
+    per_group: int,
+    by: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified downsampling: keep at most ``per_group``
+    rows per ``by`` stratum, chosen by content-hash order (md5 of the id),
+    so the sample is stable across runs, partitionings, and engines.
+
+    The classic "balance the language mix" step before training: dominant
+    strata are capped, small strata pass through whole.
+    """
+    w = Window.partitionBy(by).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= per_group)
+        .drop("__rn")
+    )

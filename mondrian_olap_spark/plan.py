@@ -185,6 +185,12 @@ class Planner:
         #: (mondrian_test.rb:222-228 'aggregate stored members with
         #: expression')
         self.agg_scalars: tuple = ()
+        #: when True, rollup/cube aggregates emit a ``__grain`` column
+        #: (Spark ``grouping_id()``) so callers can tell super-aggregate
+        #: marker NULLs from genuine NULL member keys.  Internal — used by
+        #: the Aggregate-scalar totals lowering; bypasses the aggregate
+        #: cache and summary-table routing (neither carries grain ids).
+        self._emit_grain = False
 
     def aggregate(
         self,
@@ -264,12 +270,15 @@ class Planner:
                 role.check_level(ref.dimension, ref.depth)
 
         def build() -> DataFrame:
-            routed = self._route_aggregate_table(uses, group_cols, base_measures, totals)
-            if routed is not None:
-                return routed
+            if not self._emit_grain:
+                routed = self._route_aggregate_table(
+                    uses, group_cols, base_measures, totals
+                )
+                if routed is not None:
+                    return routed
             return self._aggregate_base(uses, group_cols, base_measures, totals)
 
-        if cache is not None and base_measures:
+        if cache is not None and base_measures and not self._emit_grain:
             from .cache import slicer_fingerprint
 
             # fingerprint only the *constraining* refs (member paths and
@@ -342,6 +351,8 @@ class Planner:
         if role is not None and getattr(role, "rollup_policy", "") == "hidden":
             agg = self._hide_rollups(agg, role, group_cols, measures)
         ordered = group_cols + [m.out for m in measures]
+        if self._emit_grain:
+            ordered.append("__grain")
         return agg.select(*ordered), group_cols
 
     def _attach_tuple_scalar(self, agg, spec, axes, slicer, totals=None):
@@ -434,15 +445,23 @@ class Planner:
         Spark lowering: one sub-aggregate at (grid grain MINUS overridden
         dims) × the set dimension's level over ALL base measures, expr as
         a projection, a second tiny groupBy collapsing the set dimension,
-        broadcast-joined back onto the grid."""
-        out, expr_sql, refs = spec
-        if totals is not None:
-            from .query import QueryError
+        broadcast-joined back onto the grid.
 
-            raise QueryError(
-                "Aggregate(set, expression) formulas cannot be combined "
-                "with totals() in this subset"
-            )
+        Totals mode (rollup/cube): the grid's super-aggregate rows need the
+        scalar recomputed at each coarser grain — expr is not additive, so
+        the detail values cannot simply be re-summed.  One pass still
+        suffices: the sub-aggregate groups the SET dimensions first and
+        mirrors the grid's rollup/cube over the remaining columns, emitting
+        ``grouping_id()`` so marker NULLs are distinguished from genuine
+        NULL member keys.  Rows whose set dimensions are rolled up are
+        dropped (their top grouping bits are set); expr evaluates per
+        (grain, set member) on natively-aggregated base measures — avg /
+        distinct-count are exact at every grain, never re-summed — and the
+        collapse groups by (grain, remaining cols) so a genuine-NULL key
+        row never merges with a marker row (the downstream dup probe in
+        _broadcast_attach then falls back to the plain equality join:
+        totals rows get NULL, never a wrong value)."""
+        out, expr_sql, refs = spec
         overridden = {r.dimension.name for r in refs}
         sub_axes = [
             [s for s in axis if s.dimension.name not in overridden]
@@ -450,8 +469,14 @@ class Planner:
         ]
         # the set dimension groups at its members' level so expr evaluates
         # per member; Aggregate-set context overrides the slicer on every
-        # dimension the set mentions
-        sub_axes.append(list(refs))
+        # dimension the set mentions.  Under totals the set dims go FIRST:
+        # any grid grain projects onto a prefix/subset of the remaining
+        # columns, so rollup/cube over [set…, rem…] covers every grid grain
+        # once the set-rolled rows (top grouping bits) are filtered out.
+        if totals is None:
+            sub_axes.append(list(refs))
+        else:
+            sub_axes.insert(0, list(refs))
         kept_slicer = [
             s for s in slicer if s.dimension.name not in overridden
         ]
@@ -498,15 +523,31 @@ class Planner:
             )
         calcs = [c for c in candidates if c.out not in tainted]
         sub_planner = Planner(self.engine, extra_measures=tuple(calcs))
+        sub_planner._emit_grain = totals is not None
         base = list(self.cube.measures) + calcs
-        sub, sub_cols = sub_planner.aggregate(sub_axes, kept_slicer, base)
+        sub, sub_cols = sub_planner.aggregate(
+            sub_axes, kept_slicer, base, totals=totals
+        )
         set_outs = {
             lv.out for r in refs for lv in r.dimension.levels
         }
         rem_cols = [c for c in sub_cols if c not in set_outs]
         sub = sub.withColumn(out, F.expr(expr_sql))
+        if totals is None:
+            if rem_cols:
+                sub = sub.groupBy(*rem_cols).agg(F.sum(out).alias(out))
+            else:
+                sub = sub.agg(F.sum(out).alias(out))
+            return self._broadcast_attach(agg, sub, rem_cols, out, totals)
+        # drop rows whose SET dims are rolled up: set cols are the first
+        # grouping columns, i.e. the most-significant grouping_id bits
+        sub = sub.filter(F.col("__grain") < F.lit(2 ** len(rem_cols)))
         if rem_cols:
-            sub = sub.groupBy(*rem_cols).agg(F.sum(out).alias(out))
+            sub = (
+                sub.groupBy("__grain", *rem_cols)
+                .agg(F.sum(out).alias(out))
+                .drop("__grain")
+            )
         else:
             sub = sub.agg(F.sum(out).alias(out))
         return self._broadcast_attach(agg, sub, rem_cols, out, totals)
@@ -689,8 +730,24 @@ class Planner:
         measure_cols = [measure_column(m, internal=True) for m in base_measures]
         if not measure_cols:
             if group_cols:
-                # pure member/tuple query — distinct combinations
-                agg = df.select(*group_cols).dropDuplicates(group_cols)
+                # pure member/tuple query — distinct combinations.  Totals
+                # still applies (a query can request only calculated /
+                # scalar members yet roll up): emit the grouping sets via
+                # an aggregate over a dummy column, dropped right after.
+                if totals in ("rollup", "cube"):
+                    dummy = [F.max(F.lit(1)).alias("__pm")]
+                    if self._emit_grain:
+                        dummy.append(F.grouping_id().alias("__grain"))
+                    grouped = (
+                        df.rollup(*group_cols)
+                        if totals == "rollup"
+                        else df.cube(*group_cols)
+                    )
+                    agg = grouped.agg(*dummy).drop("__pm")
+                else:
+                    agg = df.select(*group_cols).dropDuplicates(group_cols)
+                    if self._emit_grain:
+                        agg = agg.withColumn("__grain", F.lit(0))
             else:
                 # no grouping, no base measures (e.g. literal-only
                 # calculated members, mondrian_test.rb:338-358): one
@@ -704,6 +761,15 @@ class Planner:
             # Spark's rollup/cube emit all grouping sets in ONE pass with
             # partial aggregation — exactly the engine-side batching the
             # reference implements by hand.
+            if self._emit_grain:
+                # bit i of grouping_id ⇔ group col i rolled up (first col =
+                # most significant) — the only reliable way to tell a
+                # super-aggregate marker NULL from a genuine NULL member key
+                measure_cols = measure_cols + [
+                    F.grouping_id().alias("__grain")
+                    if totals in ("rollup", "cube")
+                    else F.lit(0).alias("__grain")
+                ]
             if totals == "rollup":
                 agg = df.rollup(*group_cols).agg(*measure_cols)
             elif totals == "cube":
@@ -713,6 +779,8 @@ class Planner:
             else:
                 raise ValueError(f"unknown totals mode {totals!r}")
         else:
+            if self._emit_grain:
+                measure_cols = measure_cols + [F.lit(0).alias("__grain")]
             agg = df.agg(*measure_cols)
         return agg
 
@@ -862,7 +930,18 @@ class Planner:
                     # member display name: the caption source when declared,
                     # else the key column (query_test.rb:962 Name(...))
                     if dim.degenerate:
-                        select_exprs.append((out, lv.caption or lv.column))
+                        # same display pipeline as table dimensions:
+                        # locale-selected caption + member formatter
+                        # (_caption_col), evaluated directly on the fact
+                        # columns — not the raw caption expression
+                        from .star import _caption_col, _has_caption as _hc
+
+                        if _hc(lv):
+                            select_exprs.append(
+                                (out, _caption_col(lv, getattr(self.engine, "locale", None)))
+                            )
+                        else:
+                            select_exprs.append((out, lv.column))
                     else:
                         cap = f"{lv.out}_caption" if _has_caption(lv) else lv.out
                         u.add_levels([l2.out for l2 in dim.levels[: idx + 1]])
@@ -905,7 +984,12 @@ class Planner:
         # aggregate display — query_test.rb:1032-1057 drill row filtering)
         self._apply_role(uses, use, force=True)
         df = self._join(uses)
-        df = df.select(*[F.expr(col).alias(out) for out, col in select_exprs])
+        df = df.select(
+            *[
+                (col if isinstance(col, Column) else F.expr(col)).alias(out)
+                for out, col in select_exprs
+            ]
+        )
         if nonempty_field:
             # nonempty: drop rows where the requested measure field is NULL
             # (result.rb IS NOT NULL injection, :385-407)

@@ -2122,20 +2122,106 @@ def test_aggregate_expression_keeps_row_context(engine, duck):
         assert got[y] == pytest.approx(q * 2)
 
 
-def test_aggregate_expression_with_totals_raises(engine):
-    """The expression form refuses totals() loudly (super-aggregate rows
-    would need their own combine pass) instead of joining wrong cells."""
-    from mondrian_olap_spark.query import Query, QueryError
-
+def test_aggregate_expression_with_rollup_totals(engine, duck):
+    """Aggregate(set, expr) under totals('rollup'): the super-aggregate row
+    recomputes expr at ITS grain per set member (grain-aware one-pass
+    lowering, plan._attach_agg_scalar).  The quadratic expr proves the
+    total is NOT a re-sum of the detail scalar values."""
     q = (
         Query(engine)
-        .columns("[Measures].[Sum Qty]")
-        .rows("[ReturnFlag].children")
+        .with_member("QtySq")
+        .as_("__aggexpr0", output="qty_sq")
+        .columns("[Measures].[Sum Qty]", "[Measures].[QtySq]")
+        .rows("[Time].[Year].Members")
         .totals("rollup")
     )
-    q._agg_scalars.append(("__aggexpr0", "sum_qty * 2", ("[Customer].[ASIA]",)))
-    with pytest.raises(QueryError, match="totals"):
-        q.execute()
+    q._agg_scalars.append(
+        (
+            "__aggexpr0",
+            "sum_qty * sum_qty",
+            ("[Customer].[ASIA]", "[Customer].[AFRICA]"),
+        )
+    )
+    rows = q.execute().df.collect()
+    detail = {r["o_year"]: r["qty_sq"] for r in rows if r["o_year"] is not None}
+    total = [r for r in rows if r["o_year"] is None]
+    base = """
+        SELECT {grain} r_name, sum(l_quantity) q FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name IN ('ASIA', 'AFRICA') GROUP BY ALL
+    """
+    expected_detail = {
+        y: v
+        for y, v in duck.execute(
+            "SELECT yr, sum(q*q) FROM ("
+            + base.format(grain="year(o_orderdate) yr,")
+            + ") GROUP BY yr"
+        ).fetchall()
+    }
+    expected_total = duck.execute(
+        "SELECT sum(q*q) FROM (" + base.format(grain="") + ")"
+    ).fetchone()[0]
+    # every ASIA/AFRICA year is a grid year; grid years with no
+    # ASIA/AFRICA data (if any) carry a NULL scalar by left-join semantics
+    assert set(expected_detail) <= set(detail)
+    for y, v in detail.items():
+        if y in expected_detail:
+            assert v == pytest.approx(expected_detail[y])
+        else:
+            assert v is None
+    assert len(total) == 1
+    assert total[0]["qty_sq"] == pytest.approx(expected_total)
+    # quadratic ⇒ the grand total must differ from the detail re-sum
+    assert total[0]["qty_sq"] != pytest.approx(
+        sum(v for v in detail.values() if v is not None)
+    )
+
+
+def test_aggregate_expression_with_cube_totals(engine, duck):
+    """Aggregate(set, expr) under totals('cube') on two row dimensions:
+    every grouping subset gets its own per-grain recomputation, including
+    the non-prefix subset (year rolled up, flag kept)."""
+    q = (
+        Query(engine)
+        .with_member("QtySq")
+        .as_("__aggexpr0", output="qty_sq")
+        .columns("[Measures].[QtySq]")
+        .rows("[Time].[Year].Members")
+        .rows("[ReturnFlag].children")
+        .totals("cube")
+    )
+    q._agg_scalars.append(
+        ("__aggexpr0", "sum_qty * sum_qty", ("[Customer].[ASIA]",))
+    )
+    rows = q.execute().df.collect()
+    got = {
+        (r["o_year"], r["return_flag"]): r["qty_sq"] for r in rows
+    }
+    expected = {
+        (y, f): q * q
+        for y, f, q in duck.execute(
+            """
+            SELECT year(o_orderdate) yr, l_returnflag fl, sum(l_quantity) q
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA' GROUP BY CUBE (yr, fl)
+            """
+        ).fetchall()
+    }
+    # ASIA cube grains ⊆ grid cube grains; grid cells with no ASIA data
+    # (if any) carry a NULL scalar by left-join semantics
+    assert set(expected) <= set(got)
+    for k, v in got.items():
+        if k in expected:
+            assert v == pytest.approx(expected[k]), k
+        else:
+            assert v is None, k
 
 
 def test_matches_value_operator(engine):

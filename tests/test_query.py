@@ -1151,3 +1151,55 @@ def test_row_names_one_entry_per_position(engine):
     )
     assert r.row_names == sorted(r.row_names)
     assert len(r.row_names) == len(set(r.row_names)) == 5
+
+
+def test_drill_through_degenerate_name_locale_formatter(spark):
+    """Drill-through Name() on a DEGENERATE dimension goes through the same
+    display pipeline as table dimensions (_caption_col): locale-selected
+    caption expression + member formatter — not the raw caption expression
+    (round-4 review pass 11 cosmetic gap, now unified)."""
+    import dataclasses
+
+    from mondrian_olap_spark.star import engine_from_parquet
+    from mondrian_olap_spark.tpch import SCHEMA
+    from .conftest import SF_DIR
+
+    sales = SCHEMA.cube("Sales")
+    rf = sales.dimension("ReturnFlag")
+    lv = dataclasses.replace(
+        rf.levels[0],
+        caption="concat('Flag ', l_returnflag)",
+        caption_locales=(("de", "concat('Kennzeichen ', l_returnflag)"),),
+        formatter=lambda v: f"<{v}>",
+    )
+    rf2 = dataclasses.replace(rf, levels=(lv,))
+    sales2 = dataclasses.replace(
+        sales,
+        dimensions=tuple(
+            rf2 if d.name == "ReturnFlag" else d for d in sales.dimensions
+        ),
+    )
+    schema2 = dataclasses.replace(
+        SCHEMA,
+        cubes=tuple(sales2 if c.name == "Sales" else c for c in SCHEMA.cubes),
+    )
+    eng = engine_from_parquet(spark, schema2, "Sales", SF_DIR).with_locale("de_DE")
+    drill = eng.drill_through(
+        where=["[Time].[1995]"],
+        fields=[("flag_name", "Name([ReturnFlag].[ReturnFlag])")],
+        max_rows=50,
+    )
+    got = {x["flag_name"] for x in drill.collect()}
+    assert got and got <= {"<Kennzeichen A>", "<Kennzeichen N>", "<Kennzeichen R>"}
+
+    # without a locale the declared caption is selected, formatter still runs
+    eng2 = engine_from_parquet(spark, schema2, "Sales", SF_DIR)
+    got2 = {
+        x["flag_name"]
+        for x in eng2.drill_through(
+            where=["[Time].[1995]"],
+            fields=[("flag_name", "Name([ReturnFlag].[ReturnFlag])")],
+            max_rows=50,
+        ).collect()
+    }
+    assert got2 and got2 <= {"<Flag A>", "<Flag N>", "<Flag R>"}
