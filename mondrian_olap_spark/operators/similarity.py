@@ -378,3 +378,27 @@ def lsh_candidate_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def label_norm_stats(
+    emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label embedding statistics: vector count and L2-norm
+    min/max/mean — the standard sanity pass before ANN indexing or
+    cosine-threshold tuning (un-normalized clusters and zero vectors show
+    up here first).
+
+    Expression-only (``aggregate`` fold in double precision, matching the
+    module's sequential-sum convention): one scan, one partial-aggregated
+    shuffle on the label key, no UDFs."""
+    n = norm(_dvec(F.col(vec_col)))
+    return (
+        emb.select(F.col(label_col).alias("label"), n.alias("__norm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.min("__norm"), 6).alias("min_norm"),
+            F.round(F.max("__norm"), 6).alias("max_norm"),
+            F.round(F.avg("__norm"), 6).alias("avg_norm"),
+        )
+    )

@@ -307,3 +307,53 @@ def rolling_fingerprints(
     return staged.select(
         "id", F.explode(F.array_distinct(F.expr(windows))).alias("fingerprint")
     )
+
+
+def tfidf_top_terms(df: DataFrame, n: int = 20, text_col: str = "text") -> DataFrame:
+    """Corpus-level TF-IDF term ranking: for every term, total occurrences
+    (tf), document frequency (df), and ``weight = tf * ln(N/df)``; the top
+    ``n`` terms by weight (term as deterministic tiebreak).
+
+    Plan shape: one explode + two-level aggregation (partial map-side
+    combine on term), corpus size attached by broadcast — no collect, no
+    UDF; top-n is a TakeOrdered, never a full sort at scale.
+    """
+    toks = df.select(
+        F.col("doc_id"), F.explode(F.expr(_toks(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+    stats = toks.groupBy("term").agg(
+        F.count("*").alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    total = df.select(F.count("*").alias("__n"))
+    scored = stats.crossJoin(F.broadcast(total)).withColumn(
+        "weight",
+        F.round(F.col("tf") * F.log(F.col("__n") / F.col("df")), 6),
+    )
+    return (
+        scored.orderBy(F.col("weight").desc(), F.col("term"))
+        .limit(n)
+        .select("term", "tf", "df", "weight")
+    )
+
+
+def select_top_quality(
+    df: DataFrame, k: int, by: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Quality-based selection: keep the ``k`` highest-quality documents
+    per ``by`` group, ranked by the composite ``quality_score`` from
+    :func:`text_features` (doc id as deterministic tiebreak).
+
+    The standard "take the best N per domain/source" curation step — a
+    single ranking window over expression-computed features."""
+    from pyspark.sql import Window
+
+    feats = text_features(df, text_col=text_col)
+    w = Window.partitionBy(by).orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    )
+    return (
+        feats.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

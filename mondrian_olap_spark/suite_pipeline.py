@@ -718,3 +718,109 @@ def multimodal_decode_features(spark, sf_dir):
         "height",
         F.element_at("features", 1).cast("double").alias("feat0"),
     )
+
+
+# ------------------------------------------------- round-5 pipeline ops
+@q(
+    "pipeline_token_packing",
+    f"""
+    WITH t AS (
+      SELECT source, doc_id, len({_DOC_TOKS}) AS tok FROM documents
+    ),
+    c AS (
+      SELECT source, tok,
+             sum(tok) OVER (PARTITION BY source ORDER BY doc_id) - tok AS off
+      FROM t
+    )
+    SELECT source, CAST(floor(off / 512) AS BIGINT) AS pack_id,
+           count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS total_tokens
+    FROM c GROUP BY 1, 2
+    """,
+)
+def pipeline_token_packing(spark, sf_dir):
+    """Context-window packing: documents stream into fixed 512-token packs
+    per source (running-sum assignment, operators/packing.py); per-pack
+    doc count + token totals.  Window + aggregate only — one shuffle."""
+    from .operators import packing
+
+    return packing.pack_summary(_docs(spark, sf_dir), budget=512)
+
+
+@q(
+    "pipeline_quality_topk",
+    f"""
+    SELECT source, doc_id, CAST({_QUALITY_SQL} AS DOUBLE) AS quality_score
+    FROM documents
+    QUALIFY row_number()
+      OVER (PARTITION BY source ORDER BY {_QUALITY_SQL} DESC, doc_id) <= 10
+    """,
+)
+def pipeline_quality_topk(spark, sf_dir):
+    """Quality-based curation: top-10 documents per source by the
+    composite quality score (text.select_top_quality ranking window)."""
+    return text.select_top_quality(_docs(spark, sf_dir), k=10).select(
+        "source", "doc_id", "quality_score"
+    )
+
+
+@q(
+    "pipeline_balanced_sample",
+    """
+    SELECT lang, doc_id FROM documents
+    QUALIFY row_number()
+      OVER (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) <= 30
+    """,
+)
+def pipeline_balanced_sample(spark, sf_dir):
+    """Deterministic stratified downsampling: at most 30 docs per lang,
+    chosen by content-hash order — stable across runs, partitionings, and
+    engines (operators/packing.balanced_sample)."""
+    from .operators import packing
+
+    return packing.balanced_sample(_docs(spark, sf_dir), per_group=30).select(
+        "lang", "doc_id"
+    )
+
+
+@q(
+    "text_tfidf_top_terms",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DOC_TOKS}) AS term FROM documents
+    ),
+    s AS (
+      SELECT term, count(*) AS tf, count(DISTINCT doc_id) AS df
+      FROM toks WHERE term <> '' GROUP BY 1
+    ),
+    n AS (SELECT count(*) AS nn FROM documents)
+    SELECT term, tf, df, round(tf * ln(nn * 1.0 / df), 6) AS weight
+    FROM s, n ORDER BY weight DESC, term LIMIT 20
+    """,
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    """Corpus TF-IDF: top-20 terms by tf·ln(N/df) (text.tfidf_top_terms
+    — explode + combine-aggregated groupBy + broadcast corpus size +
+    TakeOrdered; ln is the natural log on both engines)."""
+    return text.tfidf_top_terms(_docs(spark, sf_dir), n=20)
+
+
+@q(
+    "embed_label_norm_stats",
+    f"""
+    WITH e AS (
+      SELECT label,
+             sqrt(list_dot_product({_EMB_D}, {_EMB_D})) AS nrm
+      FROM embeddings
+    )
+    SELECT label, count(*) AS n_vectors,
+           round(min(nrm), 6) AS min_norm,
+           round(max(nrm), 6) AS max_norm,
+           round(avg(nrm), 6) AS avg_norm
+    FROM e GROUP BY 1
+    """,
+)
+def embed_label_norm_stats(spark, sf_dir):
+    """Per-label embedding L2-norm stats (similarity.label_norm_stats):
+    the pre-indexing sanity pass — sequential double-precision fold,
+    expression-only, one combine-aggregated shuffle on label."""
+    return similarity.label_norm_stats(_emb(spark, sf_dir))

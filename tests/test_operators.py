@@ -675,3 +675,120 @@ def test_contamination_guard_drops_boilerplate(spark):
     # boilerplate-only overlap yields nothing; the genuinely shared body does
     assert (3, 200) in pairs
     assert all(b == 200 for _, b in pairs)
+
+
+def test_pack_documents_assignment(spark):
+    """Running-sum packing: a doc joins the pack where its span STARTS;
+    per-group streams are independent; offsets restart per group."""
+    from mondrian_olap_spark.operators import packing
+
+    rows = [
+        Row(doc_id=1, source="a", text="w " * 6),   # 6 toks → pack 0, off 0
+        Row(doc_id=2, source="a", text="w " * 6),   # off 6 → pack 0 (straddles)
+        Row(doc_id=3, source="a", text="w " * 6),   # off 12 → pack 1
+        Row(doc_id=4, source="b", text="w " * 3),   # off 0 → pack 0
+    ]
+    out = {
+        r["doc_id"]: (r["pack_id"], r["pack_offset"], r["n_tokens"])
+        for r in packing.pack_documents(
+            spark.createDataFrame(rows), budget=10
+        ).collect()
+    }
+    assert out[1] == (0, 0, 6)
+    assert out[2] == (0, 6, 6)
+    assert out[3] == (1, 12, 6)
+    assert out[4] == (0, 0, 3)
+
+
+def test_pack_summary_rollup(spark):
+    from mondrian_olap_spark.operators import packing
+
+    rows = [
+        Row(doc_id=i, source="s", text="w " * 4) for i in range(1, 7)
+    ]  # 6 docs × 4 toks, budget 8 → packs 0..2, 2 docs each
+    out = {
+        r["pack_id"]: (r["n_docs"], r["total_tokens"])
+        for r in packing.pack_summary(
+            spark.createDataFrame(rows), budget=8
+        ).collect()
+    }
+    assert out == {0: (2, 8), 1: (2, 8), 2: (2, 8)}
+
+
+def test_balanced_sample_deterministic_and_capped(spark):
+    from mondrian_olap_spark.operators import packing
+
+    rows = [
+        Row(doc_id=i, lang=("en" if i < 40 else "de"), text="x")
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows)
+    a = packing.balanced_sample(df, per_group=5, by="lang")
+    b = packing.balanced_sample(df.repartition(7), per_group=5, by="lang")
+    ka = sorted((r["lang"], r["doc_id"]) for r in a.collect())
+    kb = sorted((r["lang"], r["doc_id"]) for r in b.collect())
+    assert ka == kb  # layout-independent
+    counts = {}
+    for lang, _ in ka:
+        counts[lang] = counts.get(lang, 0) + 1
+    assert counts == {"en": 5, "de": 5}
+
+
+def test_balanced_sample_small_stratum_passthrough(spark):
+    from mondrian_olap_spark.operators import packing
+
+    rows = [Row(doc_id=i, lang="fr", text="x") for i in range(3)]
+    out = packing.balanced_sample(spark.createDataFrame(rows), per_group=10)
+    assert out.count() == 3
+
+
+def test_tfidf_top_terms_ranking(spark):
+    """A term in every doc has ln(N/df)=0 weight; rarer terms with enough
+    occurrences rank first; term tiebreak is deterministic."""
+    import math
+
+    rows = [
+        Row(doc_id=1, text="common rare rare rare"),
+        Row(doc_id=2, text="common other"),
+        Row(doc_id=3, text="common other"),
+    ]
+    out = text.tfidf_top_terms(spark.createDataFrame(rows), n=3).collect()
+    by_term = {r["term"]: r for r in out}
+    assert by_term["common"]["weight"] == 0.0
+    assert by_term["rare"]["tf"] == 3 and by_term["rare"]["df"] == 1
+    assert by_term["rare"]["weight"] == pytest.approx(
+        round(3 * math.log(3 / 1), 6)
+    )
+    assert out[0]["term"] == "rare"  # highest weight first
+
+
+def test_select_top_quality_per_group(spark):
+    rows = [
+        Row(doc_id=i, source=s, lang="en", text=("the and is " * n).strip())
+        for i, (s, n) in enumerate(
+            [("a", 30), ("a", 2), ("a", 20), ("b", 1), ("b", 25)]
+        )
+    ]
+    out = text.select_top_quality(
+        spark.createDataFrame(rows), k=1, by="source"
+    ).collect()
+    got = {r["source"]: r["doc_id"] for r in out}
+    assert got == {"a": 0, "b": 4}  # longest stopword-dense docs win
+
+
+def test_label_norm_stats_values(spark):
+    from mondrian_olap_spark.operators import similarity
+
+    rows = [
+        Row(vec_id=1, label=0, embedding=[3.0, 4.0]),     # norm 5
+        Row(vec_id=2, label=0, embedding=[0.0, 2.0]),     # norm 2
+        Row(vec_id=3, label=1, embedding=[0.0, 0.0]),     # norm 0
+    ]
+    df = spark.createDataFrame(rows).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    out = {r["label"]: r for r in similarity.label_norm_stats(df).collect()}
+    assert out[0]["n_vectors"] == 2
+    assert out[0]["min_norm"] == 2.0 and out[0]["max_norm"] == 5.0
+    assert out[0]["avg_norm"] == pytest.approx(3.5)
+    assert out[1]["min_norm"] == 0.0 and out[1]["max_norm"] == 0.0
