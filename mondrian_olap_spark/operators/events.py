@@ -1,0 +1,187 @@
+"""Event-log analytics operators: as-of join, ordered funnel, retention
+cohorts.
+
+These cover the "interaction log → training signal" steps of a data
+pipeline (attribute an outcome event to its most recent cause, measure
+step-through conversion, cohort users by first activity) that the
+reference's relational surface expresses with correlated subqueries; here
+each is a shuffle-minimal DataFrame plan.
+
+Design for 100 TB:
+
+* :func:`asof_join` is the union+sort pattern, NOT a range join: tag both
+  sides, union, one window partitioned by the key, carry the last right-
+  side row forward with ``last(..., ignorenulls)``.  One shuffle on the
+  key, sequential scan within each key — a range join would build
+  O(|left|x|right|) candidate pairs per key before filtering, this never
+  materialises any pair.  Skewed keys (one user with millions of events)
+  serialize within the key by definition of as-of ordering; salt by
+  coarse time bucket if a single key exceeds a task (matches must then
+  look back one bucket — duplicate right rows into the next bucket).
+* :func:`funnel_counts` is k passes of filtered aggregate + join for a
+  k-step funnel — each pass shuffles only the users still alive in the
+  funnel (monotonically shrinking), and the per-step event filter is
+  pushed into the scan.  No per-user arrays are ever collected, so a
+  power user with 10^8 events costs the same as anyone else.
+* :func:`retention_cohorts` is two grouped passes (first-activity per
+  user, then cohort x offset distinct users) — both shuffle on user_id
+  first, so AQE coalesces them into adjacent stages over the same
+  partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Backward as-of join: each left row picks the single most recent
+    right row with ``right.ts <= left.ts`` and the same ``key`` (DuckDB /
+    kdb ``ASOF JOIN`` semantics, ties inclusive).  Left rows with no prior
+    right row keep NULLs.
+
+    Implementation: tag + union + one window per key ordered by
+    (ts, side) with the right side sorting first at equal timestamps, then
+    ``last(value, ignorenulls=True)`` carries the latest right-side values
+    onto every subsequent left row.  One shuffle, zero joins, no candidate
+    pairs.
+    """
+    if value_cols is None:
+        value_cols = [
+            c for c in right.columns if c not in (key, right_ts)
+        ]
+    out_cols = [f"{c}{suffix}" for c in value_cols]
+    ts_out = f"{right_ts}{suffix}"
+
+    lhs = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__row"),
+        F.lit(None).cast(
+            right.select(
+                F.struct(
+                    F.col(right_ts).alias("__rts"),
+                    *[F.col(c) for c in value_cols],
+                ).alias("s")
+            ).schema["s"].dataType
+        ).alias("__rvals"),
+    )
+    rhs = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(lhs.schema["__row"].dataType).alias("__row"),
+        F.struct(
+            F.col(right_ts).alias("__rts"),
+            *[F.col(c) for c in value_cols],
+        ).alias("__rvals"),
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = lhs.unionByName(rhs).withColumn(
+        "__last", F.last("__rvals", ignorenulls=True).over(w)
+    )
+    picked = merged.filter(F.col("__side") == 1)
+    sel: list[Column] = [
+        F.col(f"__row.{c}").alias(c) for c in left.columns
+    ]
+    sel.append(F.col("__last.__rts").alias(ts_out))
+    sel.extend(
+        F.col(f"__last.{c}").alias(o) for c, o in zip(value_cols, out_cols)
+    )
+    return picked.select(*sel)
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel: per step, how many users reached it — a user
+    reaches step i when an event of type ``steps[i]`` occurs strictly
+    after their step i-1 completion (earliest-completion semantics:
+    step i's timestamp is the EARLIEST qualifying one, which maximises
+    downstream conversion and is the standard product-analytics
+    definition).
+
+    Returns one row per step: (step_idx, step, n_users) with
+    monotonically non-increasing ``n_users``.
+    """
+    if not steps:
+        raise ValueError("funnel_counts needs at least one step")
+    reached = None  # DataFrame[user, __t] — completion time of prev step
+    counts = []
+    for i, step in enumerate(steps):
+        ev = events.filter(F.col(type_col) == step).select(
+            F.col(user_col).alias("__u"), F.col(ts_col).alias("__ts")
+        )
+        if reached is None:
+            cur = ev.groupBy("__u").agg(F.min("__ts").alias("__t"))
+        else:
+            cur = (
+                ev.join(reached, "__u")
+                .filter(F.col("__ts") > F.col("__t"))
+                .groupBy("__u")
+                .agg(F.min("__ts").alias("__t"))
+            )
+        counts.append((i + 1, step, cur))
+        reached = cur
+    result = None
+    for idx, step, cur in counts:
+        row = cur.agg(
+            F.lit(idx).alias("step_idx"),
+            F.lit(step).alias("step"),
+            F.count("*").alias("n_users"),
+        )
+        result = row if result is None else result.unionByName(row)
+    return result
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention triangle: users are cohorted by the period of
+    their first event; for each (cohort, offset) the count of distinct
+    users active in cohort+offset.
+
+    ``period``: any ``date_trunc`` unit (``week``/``month``/``day``).
+    Offsets are exact period counts for day/week (day arithmetic) and
+    calendar-month differences for month.
+    """
+    act = events.select(
+        F.col(user_col).alias("__u"),
+        F.date_trunc(period, F.col(ts_col)).cast("date").alias("__p"),
+    ).distinct()
+    first = act.groupBy("__u").agg(F.min("__p").alias("cohort"))
+    joined = act.join(first, "__u")
+    if period == "month":
+        offset = (
+            (F.year("__p") - F.year("cohort")) * 12
+            + (F.month("__p") - F.month("cohort"))
+        ).cast("bigint")
+    else:
+        days = {"day": 1, "week": 7}[period]
+        offset = (F.datediff("__p", "cohort") / days).cast("bigint")
+    return (
+        joined.select("__u", "cohort", offset.alias("offset"))
+        .groupBy("cohort", "offset")
+        .agg(F.countDistinct("__u").alias("n_users"))
+    )

@@ -824,3 +824,98 @@ def embed_label_norm_stats(spark, sf_dir):
     the pre-indexing sanity pass — sequential double-precision fold,
     expression-only, one combine-aggregated shuffle on label."""
     return similarity.label_norm_stats(_emb(spark, sf_dir))
+
+
+# ------------------------------------------------------- events analytics
+def _events(spark, sf_dir):
+    return read_parquet_table(spark, f"{sf_dir}/events.parquet")
+
+
+@q(
+    "events_asof_attribution",
+    """
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         c AS (SELECT * FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_us,
+           epoch_us(c.ts) AS click_us, c.value AS click_value,
+           epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def events_asof_attribution(spark, sf_dir):
+    """Backward as-of join (events.asof_join): attribute each purchase to
+    the user's most recent prior click — union + one per-user window
+    carrying the last click forward; never a range-join pair blowup.
+    Oracle is DuckDB's native ASOF LEFT JOIN."""
+    from .operators import events as ev_ops
+    from .operators.sessions import _is_ntz, _micros
+
+    ev = _events(spark, sf_dir)
+    ntz = _is_ntz(ev, "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    joined = ev_ops.asof_join(
+        purchases, clicks, key="user_id", value_cols=["value"],
+        suffix="_click",
+    )
+    p_us = _micros(F.col("ts"), ntz)
+    c_us = _micros(F.col("ts_click"), ntz)
+    return joined.select(
+        "event_id",
+        "user_id",
+        p_us.alias("purchase_us"),
+        c_us.alias("click_us"),
+        F.col("value_click").alias("click_value"),
+        (p_us - c_us).alias("lag_us"),
+    )
+
+
+@q(
+    "events_funnel_steps",
+    """
+    WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+           JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY 1),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+           JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY 1)
+    SELECT 1 AS step_idx, 'view' AS step, count(*) AS n_users FROM s1
+    UNION ALL SELECT 2, 'click', count(*) FROM s2
+    UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+    """,
+)
+def events_funnel_steps(spark, sf_dir):
+    """Ordered funnel view→click→purchase (events.funnel_counts):
+    earliest-completion semantics, k filtered-aggregate passes whose user
+    set shrinks monotonically — no per-user arrays, power-user safe."""
+    from .operators import events as ev_ops
+
+    return ev_ops.funnel_counts(
+        _events(spark, sf_dir), ["view", "click", "purchase"]
+    )
+
+
+@q(
+    "events_retention_weekly",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS p
+      FROM events
+    ),
+    f AS (SELECT user_id, min(p) AS cohort FROM act GROUP BY 1)
+    SELECT cohort, CAST(date_diff('day', cohort, p) / 7 AS BIGINT) AS offset,
+           count(DISTINCT user_id) AS n_users
+    FROM act JOIN f USING (user_id) GROUP BY 1, 2
+    """,
+)
+def events_retention_weekly(spark, sf_dir):
+    """Weekly retention cohort triangle (events.retention_cohorts):
+    first-activity cohort per user, distinct active users per
+    (cohort, offset) — two user-keyed grouped passes, AQE-coalesced."""
+    from .operators import events as ev_ops
+
+    return ev_ops.retention_cohorts(_events(spark, sf_dir), period="week")

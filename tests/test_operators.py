@@ -792,3 +792,112 @@ def test_label_norm_stats_values(spark):
     assert out[0]["min_norm"] == 2.0 and out[0]["max_norm"] == 5.0
     assert out[0]["avg_norm"] == pytest.approx(3.5)
     assert out[1]["min_norm"] == 0.0 and out[1]["max_norm"] == 0.0
+
+
+# ---------------------------------------------------------------- events
+def _ev_rows():
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    mk = lambda m: base + dt.timedelta(minutes=m)
+    return [
+        # user 1: click@0, view@5, click@10, purchase@15, purchase@20
+        Row(event_id=1, user_id=1, event_type="click", ts=mk(0), value=1.0),
+        Row(event_id=2, user_id=1, event_type="view", ts=mk(5), value=2.0),
+        Row(event_id=3, user_id=1, event_type="click", ts=mk(10), value=3.0),
+        Row(event_id=4, user_id=1, event_type="purchase", ts=mk(15), value=4.0),
+        Row(event_id=5, user_id=1, event_type="purchase", ts=mk(20), value=5.0),
+        # user 2: purchase with NO prior click
+        Row(event_id=6, user_id=2, event_type="purchase", ts=mk(7), value=6.0),
+        # user 3: click AFTER its only purchase (must not attribute)
+        Row(event_id=7, user_id=3, event_type="purchase", ts=mk(1), value=7.0),
+        Row(event_id=8, user_id=3, event_type="click", ts=mk(2), value=8.0),
+        # user 4: click at the EXACT purchase instant (inclusive tie)
+        Row(event_id=9, user_id=4, event_type="click", ts=mk(9), value=9.0),
+        Row(event_id=10, user_id=4, event_type="purchase", ts=mk(9), value=10.0),
+    ]
+
+
+def test_asof_join_backward_inclusive(spark):
+    from mondrian_olap_spark.operators import events as ev_ops
+
+    ev = spark.createDataFrame(_ev_rows())
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    out = {
+        r["event_id"]: r
+        for r in ev_ops.asof_join(
+            purchases, clicks, key="user_id", value_cols=["value"],
+            suffix="_click",
+        ).collect()
+    }
+    assert len(out) == 5
+    assert out[4]["value_click"] == 3.0   # latest prior click, not first
+    assert out[5]["value_click"] == 3.0   # carried forward
+    assert out[6]["value_click"] is None  # no prior click at all
+    assert out[6]["ts_click"] is None
+    assert out[7]["value_click"] is None  # later click must not match
+    assert out[10]["value_click"] == 9.0  # equal-instant tie is inclusive
+    # left row count is preserved exactly (left outer semantics)
+    assert sorted(out) == [4, 5, 6, 7, 10]
+
+
+def test_funnel_counts_ordering(spark):
+    from mondrian_olap_spark.operators import events as ev_ops
+
+    ev = spark.createDataFrame(_ev_rows())
+    out = {
+        r["step"]: r["n_users"]
+        for r in ev_ops.funnel_counts(
+            ev, ["click", "purchase"]
+        ).collect()
+    }
+    # click: users 1,3,4; purchase strictly after their first click: 1 only
+    # (user 3 purchased before clicking, user 4 tied — strict > excludes)
+    assert out == {"click": 3, "purchase": 1}
+
+
+def test_funnel_counts_empty_step(spark):
+    from mondrian_olap_spark.operators import events as ev_ops
+
+    ev = spark.createDataFrame(_ev_rows())
+    out = [
+        (r["step_idx"], r["n_users"])
+        for r in ev_ops.funnel_counts(
+            ev, ["signup", "purchase"]
+        ).collect()
+    ]
+    assert sorted(out) == [(1, 0), (2, 0)]
+
+
+def test_retention_cohorts_weekly(spark):
+    import datetime as dt
+
+    from mondrian_olap_spark.operators import events as ev_ops
+
+    rows = [
+        # user 1 first active week of Jan 1 2024 (Mon), returns wk+1, wk+3
+        Row(event_id=1, user_id=1, event_type="view",
+            ts=dt.datetime(2024, 1, 2), value=0.0),
+        Row(event_id=2, user_id=1, event_type="view",
+            ts=dt.datetime(2024, 1, 10), value=0.0),
+        Row(event_id=3, user_id=1, event_type="view",
+            ts=dt.datetime(2024, 1, 24), value=0.0),
+        # user 2 first active wk2, never returns
+        Row(event_id=4, user_id=2, event_type="view",
+            ts=dt.datetime(2024, 1, 9), value=0.0),
+    ]
+    out = {
+        (str(r["cohort"]), r["offset"]): r["n_users"]
+        for r in ev_ops.retention_cohorts(
+            spark.createDataFrame(rows), period="week"
+        ).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 3): 1,
+        ("2024-01-08", 0): 1,
+    }
