@@ -16,7 +16,7 @@ leak-free when the corpus is re-ingested or backfilled.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: hash-space resolution: weights are quantized to 1/10_000ths
@@ -98,3 +98,63 @@ def deterministic_sample(
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
     return df.filter(_bucket(id_col, seed) < int(round(fraction * _BUCKETS)))
+
+
+def mixing_weights(
+    df: DataFrame,
+    targets: dict[str, float],
+    by: str = "source",
+) -> DataFrame:
+    """Per-group downsampling probabilities that reshape the corpus to a
+    target mix (the "domain mixing" step before pretraining: web 60%,
+    books 20%, code 20%, …) while keeping as much data as possible.
+
+    With group counts c_i and target fractions t_i, the kept-total is
+    limited by the scarcest group relative to its target:
+    ``s = min_i (c_i/N) / t_i`` (clamped to ≤1 — never upsample); the
+    sampling probability for group i is then ``p_i = t_i · s · N / c_i``,
+    so expected post-sample fractions equal the targets exactly.
+
+    Groups not named in ``targets`` get probability 0 (dropped).  Pure
+    aggregate arithmetic: one grouped count + a 1-row scale factor joined
+    back by broadcast — no data shuffle beyond the count itself.
+
+    Returns (group, n_docs, frac, target_frac, sample_prob,
+    expected_docs), floats rounded to 6.
+    """
+    if not targets:
+        raise ValueError("mixing_weights needs at least one target")
+    tot = sum(targets.values())
+    t_expr = F.create_map(
+        *[F.lit(x) for kv in targets.items() for x in (kv[0], kv[1] / tot)]
+    )
+    counts = df.groupBy(F.col(by).alias("grp")).agg(
+        F.count("*").alias("n_docs")
+    )
+    counts = counts.withColumn("target_frac", t_expr[F.col("grp")])
+    w = Window.partitionBy()
+    counts = counts.withColumn("__N", F.sum("n_docs").over(w))
+    counts = counts.withColumn(
+        "__s",
+        F.min(
+            F.when(
+                F.col("target_frac").isNotNull(),
+                F.least(
+                    F.lit(1.0),
+                    F.col("n_docs") / F.col("__N") / F.col("target_frac"),
+                ),
+            )
+        ).over(w),
+    )
+    prob = F.coalesce(
+        F.col("target_frac") * F.col("__s") * F.col("__N") / F.col("n_docs"),
+        F.lit(0.0),
+    )
+    return counts.select(
+        F.col("grp").alias(by),
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("__N"), 6).alias("frac"),
+        F.round(F.coalesce("target_frac", F.lit(0.0)), 6).alias("target_frac"),
+        F.round(prob, 6).alias("sample_prob"),
+        F.round(prob * F.col("n_docs"), 6).alias("expected_docs"),
+    )

@@ -10,7 +10,7 @@ plan shape).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: tiny per-language stopword sets for the voting heuristic
@@ -356,4 +356,104 @@ def select_top_quality(
         feats.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
+    )
+
+
+def segment_dedup(
+    df: DataFrame,
+    seg_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide segment-level dedup (the C4 "remove repeated lines"
+    cleaning rule, with fixed ``seg_tokens``-token windows standing in for
+    lines — this corpus has no newlines): every non-overlapping token
+    segment that occurs more than once across the corpus is removed from
+    all but its first occurrence (ordered by (doc, position) —
+    deterministic and layout-independent).
+
+    Returns one row per document: ``n_segments``, ``n_kept``, and
+    ``clean_text`` (the surviving segments re-joined in order; may be
+    empty when every segment was seen earlier).
+
+    Plan: explode → one corpus-wide window on the segment fingerprint
+    (single shuffle; hot boilerplate segments are the skew risk — AQE
+    skew splitting applies because the window partitions by fingerprint)
+    → one grouped re-assembly shuffle on the doc id.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n_segs = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * seg_tokens + 1, seg_tokens)),
+    )
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.posexplode(segs).alias("pos", "seg")
+    )
+    w = Window.partitionBy("seg").orderBy("id", "pos")
+    flagged = exploded.withColumn(
+        "keep", (F.row_number().over(w) == 1).cast("int")
+    )
+    return (
+        flagged.groupBy("id")
+        .agg(
+            F.count("*").alias("n_segments"),
+            F.sum("keep").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep") == 1,
+                                F.struct(F.col("pos"), F.col("seg")),
+                            )
+                        )
+                    ),
+                    lambda s: s["seg"],
+                ),
+            ).alias("clean_text"),
+        )
+    )
+
+
+def unigram_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document unigram (word) entropy in nats — the cheap
+    perplexity-style quality signal: low entropy flags repetitive /
+    boilerplate documents, abnormally high entropy flags word salad.
+
+    H = ln(N) - (Σ c·ln c)/N over per-word counts c.  The Σ term is a
+    sequential fold over the counts sorted by word, so the double-precision
+    result is bit-reproducible across engines and partitionings (a plain
+    SUM aggregate would sum in partition order).
+
+    Returns (id, n_tokens, n_distinct, entropy) with entropy rounded to
+    6 decimals.  Two keyed shuffles ((doc, word) count, then per-doc
+    fold); per-doc distinct-word counts bound the collected list.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    counts = toks.groupBy("id", "w").agg(F.count("*").alias("c"))
+    per_doc = counts.groupBy("id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("w"), F.col("c")))
+        ).alias("__wc"),
+    )
+    acc = F.aggregate(
+        F.col("__wc"),
+        F.lit(0.0),
+        lambda a, s: a + s["c"].cast("double") * F.log(s["c"].cast("double")),
+    )
+    ent = F.log(F.col("n_tokens").cast("double")) - acc / F.col("n_tokens")
+    return per_doc.select(
+        "id",
+        "n_tokens",
+        "n_distinct",
+        F.round(ent, 6).alias("entropy"),
     )

@@ -919,3 +919,184 @@ def events_retention_weekly(spark, sf_dir):
     from .operators import events as ev_ops
 
     return ev_ops.retention_cohorts(_events(spark, sf_dir), period="week")
+
+
+# ------------------------------------------------- round-5 text/pipeline
+@q(
+    "text_segment_dedup",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w,
+             generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+      FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, CAST(floor((pos - 1) / 8) AS INT) AS spos,
+             string_agg(w, ' ' ORDER BY pos) AS seg
+      FROM toks GROUP BY 1, 2
+    ),
+    flagged AS (
+      SELECT doc_id, spos, seg,
+             CASE WHEN row_number() OVER (PARTITION BY seg
+                                          ORDER BY doc_id, spos) = 1
+                  THEN 1 ELSE 0 END AS keep
+      FROM segs
+    )
+    SELECT doc_id AS id, count(*) AS n_segments,
+           CAST(sum(keep) AS BIGINT) AS n_kept,
+           md5(coalesce(string_agg(CASE WHEN keep = 1 THEN seg END,
+                                   ' ' ORDER BY spos), '')) AS clean_md5
+    FROM flagged GROUP BY 1
+    """,
+)
+def text_segment_dedup(spark, sf_dir):
+    """C4-style segment-level dedup (text.segment_dedup, 8-token
+    windows): repeated segments removed from all but the first (doc, pos)
+    occurrence — one corpus-wide fingerprint window + one reassembly
+    shuffle; clean text proven byte-identical via md5."""
+    df = text.segment_dedup(_docs(spark, sf_dir), seg_tokens=8)
+    return df.select(
+        "id", "n_segments", "n_kept",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+    )
+
+
+@q(
+    "text_unigram_entropy",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, w, count(*) AS c FROM toks WHERE w <> '' GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             count(*) AS n_distinct,
+             list(CAST(c AS DOUBLE) ORDER BY w) AS cl
+      FROM c GROUP BY 1
+    )
+    SELECT doc_id AS id, n_tokens, n_distinct,
+           round(ln(CAST(n_tokens AS DOUBLE))
+                 - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                            list_transform(cl, x -> x * ln(x))),
+                               (a, b) -> a + b) / n_tokens,
+                 6) AS entropy
+    FROM d
+    """,
+)
+def text_unigram_entropy(spark, sf_dir):
+    """Per-doc unigram entropy (text.unigram_entropy): the cheap
+    perplexity-style quality signal.  The Σ c·ln c term folds over counts
+    sorted by word on BOTH engines, so the double result is bit-exact and
+    layout-independent."""
+    return text.unigram_entropy(_docs(spark, sf_dir))
+
+
+_MIX_TARGETS = {"src0": 0.2, "src1": 0.2, "src2": 0.1, "src3": 0.5}
+
+
+@q(
+    "pipeline_mix_weights",
+    """
+    WITH c AS (SELECT source AS grp, count(*) AS n_docs
+               FROM documents GROUP BY 1),
+    t(grp, target_frac) AS (VALUES
+      ('src0', CAST(0.2 AS DOUBLE)), ('src1', CAST(0.2 AS DOUBLE)),
+      ('src2', CAST(0.1 AS DOUBLE)), ('src3', CAST(0.5 AS DOUBLE))),
+    j AS (SELECT c.grp, c.n_docs, t.target_frac FROM c LEFT JOIN t USING (grp)),
+    s0 AS (SELECT CAST(sum(n_docs) AS BIGINT) AS N FROM c),
+    s AS (SELECT N,
+                 min(CASE WHEN target_frac IS NOT NULL THEN
+                       least(CAST(1.0 AS DOUBLE),
+                             n_docs / N / target_frac)
+                     END) AS sc
+          FROM j, s0 GROUP BY N)
+    SELECT grp AS source, n_docs,
+           round(n_docs / N, 6) AS frac,
+           round(coalesce(target_frac, 0.0), 6) AS target_frac,
+           round(coalesce(target_frac * sc * N / n_docs, 0.0), 6)
+             AS sample_prob,
+           round(coalesce(target_frac * sc * N / n_docs, 0.0) * n_docs, 6)
+             AS expected_docs
+    FROM j, s
+    """,
+)
+def pipeline_mix_weights(spark, sf_dir):
+    """Domain-mixing sampling probabilities (sampling.mixing_weights):
+    reshape the source mix to target fractions keeping maximal data — the
+    scarcest-group scale factor, pure aggregate arithmetic over the
+    per-source counts."""
+    from .operators import sampling
+
+    return sampling.mixing_weights(
+        _docs(spark, sf_dir), _MIX_TARGETS, by="source"
+    )
+
+
+def _lsh_oracle_sql(planes: int = 24, bands: int = 4, threshold: float = 0.3) -> str:
+    """DuckDB mirror of similarity.lsh_candidate_pairs + cosine verify:
+    the hyperplane components come from the SAME Python generator the
+    Spark plan inlines, so both engines bucket identically by
+    construction."""
+    from .operators.similarity import _hyperplane
+
+    width = planes // bands
+    mask = (1 << width) - 1
+    bit_terms = []
+    for p in range(planes):
+        comps = ", ".join(repr(c) for c in _hyperplane(64, p))
+        bit_terms.append(
+            f"(CASE WHEN list_dot_product(v, [{comps}]) > 0 "
+            f"THEN ({1 << p})::BIGINT ELSE 0::BIGINT END)"
+        )
+    bucket = " + ".join(bit_terms)
+    band_match = " OR ".join(
+        f"((a.bucket >> {ci * width}) & {mask}) = ((b.bucket >> {ci * width}) & {mask})"
+        for ci in range(bands)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, {_EMB_D} AS v FROM embeddings),
+    sig AS (SELECT vec_id AS id, v, {bucket} AS bucket FROM e),
+    cand AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))) AS cos
+      FROM sig a JOIN sig b ON a.id < b.id AND ({band_match})
+    )
+    SELECT id_a, id_b, round(cos, 6) AS cosine
+    FROM cand WHERE cos >= {threshold}
+    """
+
+
+@q("embed_lsh_neardup_pairs", _lsh_oracle_sql())
+def embed_lsh_neardup_pairs(spark, sf_dir):
+    """Hyperplane-LSH near-dup path end-to-end: banded sign-pattern
+    candidates (similarity.lsh_candidate_pairs — bucket equi-join, never
+    O(n²)) verified by exact cosine ≥ 0.3.  The oracle replays the same
+    hyperplanes via a brute-force band-match join, so this checks BOTH
+    bucketing and verification bit-for-bit."""
+    emb = _emb(spark, sf_dir)
+    cand = similarity.lsh_candidate_pairs(emb, dim=64, planes=24, bands=4)
+    e = emb.select(F.col("vec_id"), F.col("embedding"))
+    joined = (
+        cand.join(
+            e.withColumnRenamed("vec_id", "id_a").withColumnRenamed(
+                "embedding", "__va"
+            ),
+            "id_a",
+        )
+        .join(
+            e.withColumnRenamed("vec_id", "id_b").withColumnRenamed(
+                "embedding", "__vb"
+            ),
+            "id_b",
+        )
+    )
+    out = similarity.with_cosine(joined, "__va", "__vb")
+    return (
+        out.filter(F.col("cosine") >= 0.3)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

@@ -901,3 +901,88 @@ def test_retention_cohorts_weekly(spark):
         ("2024-01-01", 3): 1,
         ("2024-01-08", 0): 1,
     }
+
+
+def test_segment_dedup_removes_repeats(spark):
+    rows = [
+        Row(doc_id=1, text="a b c d e f"),       # segs (k=3): "a b c","d e f"
+        Row(doc_id=2, text="a b c x y z"),       # "a b c" repeated → dropped
+        Row(doc_id=3, text="x y z"),             # seen in doc 2 → dropped
+    ]
+    out = {
+        r["id"]: r
+        for r in text.segment_dedup(
+            spark.createDataFrame(rows), seg_tokens=3
+        ).collect()
+    }
+    assert out[1]["n_segments"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["clean_text"] == "a b c d e f"
+    assert out[2]["n_segments"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["clean_text"] == "x y z"
+    assert out[3]["n_segments"] == 1 and out[3]["n_kept"] == 0
+    assert out[3]["clean_text"] == ""            # fully deduplicated
+
+
+def test_segment_dedup_partial_tail_segment(spark):
+    rows = [Row(doc_id=1, text="a b c d")]       # k=3 → "a b c", "d"
+    (r,) = text.segment_dedup(
+        spark.createDataFrame(rows), seg_tokens=3
+    ).collect()
+    assert r["n_segments"] == 2 and r["clean_text"] == "a b c d"
+
+
+def test_unigram_entropy_values(spark):
+    import math
+
+    rows = [
+        Row(doc_id=1, text="a a a a"),        # one word → H = 0
+        Row(doc_id=2, text="a b c d"),        # uniform over 4 → H = ln 4
+        Row(doc_id=3, text="a a b"),          # H = ln3 - (2 ln2)/3
+    ]
+    out = {
+        r["id"]: r
+        for r in text.unigram_entropy(spark.createDataFrame(rows)).collect()
+    }
+    assert out[1]["entropy"] == 0.0 and out[1]["n_distinct"] == 1
+    assert out[2]["entropy"] == pytest.approx(math.log(4), abs=1e-6)
+    assert out[3]["entropy"] == pytest.approx(
+        math.log(3) - 2 * math.log(2) / 3, abs=1e-6
+    )
+    assert out[3]["n_tokens"] == 3
+
+
+def test_mixing_weights_targets(spark):
+    from mondrian_olap_spark.operators import sampling
+
+    rows = (
+        [Row(doc_id=i, source="web") for i in range(60)]
+        + [Row(doc_id=100 + i, source="books") for i in range(20)]
+        + [Row(doc_id=200 + i, source="junk") for i in range(20)]
+    )
+    out = {
+        r["source"]: r
+        for r in sampling.mixing_weights(
+            spark.createDataFrame(rows), {"web": 0.5, "books": 0.5}
+        ).collect()
+    }
+    # books is scarcest vs target: s = (20/100)/0.5 = 0.4 → kept = 40 docs
+    assert out["books"]["sample_prob"] == pytest.approx(1.0)
+    assert out["web"]["sample_prob"] == pytest.approx(20 / 60)
+    assert out["web"]["expected_docs"] == pytest.approx(20.0)
+    assert out["junk"]["sample_prob"] == 0.0      # unnamed group dropped
+    assert out["junk"]["target_frac"] == 0.0
+
+
+def test_mixing_weights_normalizes_targets(spark):
+    from mondrian_olap_spark.operators import sampling
+
+    rows = [Row(doc_id=i, source="a") for i in range(10)] + [
+        Row(doc_id=100 + i, source="b") for i in range(10)
+    ]
+    out = {
+        r["source"]: r["sample_prob"]
+        for r in sampling.mixing_weights(
+            spark.createDataFrame(rows), {"a": 2.0, "b": 2.0}  # unnormalized
+        ).collect()
+    }
+    assert out == {"a": pytest.approx(1.0), "b": pytest.approx(1.0)}
