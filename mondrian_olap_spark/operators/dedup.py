@@ -59,7 +59,14 @@ def shingles(
 
     Pure expression pipeline: split → sliding slices via
     ``transform(sequence(...))`` → ``array_distinct`` → ``explode``.
+    The input is repartitioned up to the default parallelism first when
+    it arrives badly under-partitioned (single-row-group files) — the
+    explosion is the expensive map side of every downstream shuffle, and
+    the guard is a no-op on well-partitioned inputs.
     """
+    from .util import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     t = F.split(F.trim(F.col(text_col)), r"\s+")
     sh = F.when(
         F.size(t) >= n,

@@ -76,7 +76,10 @@ def asof_join(
             ).schema["s"].dataType
         ).alias("__rvals"),
     )
-    rhs = right.select(
+    # a NULL right timestamp can never satisfy "most recent ≤ left.ts"
+    # (ASOF comparison semantics); unfiltered it would sort NULLS FIRST
+    # and leak into every left row of its key
+    rhs = right.filter(F.col(right_ts).isNotNull()).select(
         F.col(key).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),

@@ -42,7 +42,9 @@ def text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     split and lowered a single time per row instead of once per feature
     (Catalyst's subexpression elimination is not guaranteed across
     separate projections; making the sharing explicit is)."""
-    out = df.withColumn("__toks", F.expr(_toks(text_col)))
+    from .util import ensure_min_parallelism
+
+    out = ensure_min_parallelism(df).withColumn("__toks", F.expr(_toks(text_col)))
     out = out.withColumn(
         "__ltoks", F.expr("transform(__toks, t -> lower(t))")
     )
@@ -214,7 +216,9 @@ def repetition_features(
         f"i -> concat_ws(' ', slice(__toks, i, {n}))) "
         f"ELSE array(concat_ws(' ', __toks)) END"
     )
-    out = df.withColumn("__toks", F.expr(_toks(text_col))).withColumn(
+    from .util import ensure_min_parallelism
+
+    out = ensure_min_parallelism(df).withColumn("__toks", F.expr(_toks(text_col))).withColumn(
         "__grams", F.expr(grams)
     )
     out = out.withColumn(
@@ -381,6 +385,9 @@ def segment_dedup(
     skew splitting applies because the window partitions by fingerprint)
     → one grouped re-assembly shuffle on the doc id.
     """
+    from .util import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     n_segs = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
     segs = F.transform(
@@ -433,7 +440,9 @@ def unigram_entropy(
     6 decimals.  Two keyed shuffles ((doc, word) count, then per-doc
     fold); per-doc distinct-word counts bound the collected list.
     """
-    toks = df.select(
+    from .util import ensure_min_parallelism
+
+    toks = ensure_min_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
     ).filter(F.col("w") != "")

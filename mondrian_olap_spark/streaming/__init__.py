@@ -15,9 +15,12 @@ expects on top of that parity surface:
 """
 
 from .dedup import streaming_exact_dedup, streaming_neardup_filter
+from .joins import enrich_with_dimension, interval_join
 from .windows import invalidate_cache_on_update, windowed_aggregate
 
 __all__ = [
+    "enrich_with_dimension",
+    "interval_join",
     "invalidate_cache_on_update",
     "windowed_aggregate",
     "streaming_exact_dedup",

@@ -986,3 +986,29 @@ def test_mixing_weights_normalizes_targets(spark):
         ).collect()
     }
     assert out == {"a": pytest.approx(1.0), "b": pytest.approx(1.0)}
+
+
+def test_asof_join_null_right_ts_never_matches(spark):
+    import datetime as dt
+
+    from mondrian_olap_spark.operators import events as ev_ops
+
+    left = spark.createDataFrame(
+        [Row(k=1, ts=dt.datetime(2024, 1, 1, 12), lv=1.0)]
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, ts=None, value=99.0)],
+        "k long, ts timestamp, value double",
+    )
+    (r,) = ev_ops.asof_join(left, right, key="k").collect()
+    assert r["value_right"] is None and r["ts_right"] is None
+
+
+def test_ensure_min_parallelism_noop_on_wide_input(spark):
+    from mondrian_olap_spark.operators.util import ensure_min_parallelism
+
+    df = spark.range(1000).repartition(64)
+    assert ensure_min_parallelism(df) is df  # already parallel → untouched
+    narrow = spark.range(1000).coalesce(1)
+    out = ensure_min_parallelism(narrow)
+    assert out.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism

@@ -322,3 +322,67 @@ def test_streaming_text_pipeline_operators(spark, tmp_path):
     assert got[2]["drop_reason"] == "too_short"
     assert "<EMAIL>" in got[1]["redacted"]
     assert got[1]["n_tokens_ws"] > got[1]["n_tokens_ws"] * 0 and got[1]["n_tokens_bpe"] >= got[1]["n_tokens_ws"]
+
+
+def test_interval_join_stream_stream(spark, tmp_path):
+    from mondrian_olap_spark.streaming import interval_join
+
+    clicks = [
+        {"event_id": 1, "ts": "2024-01-01 00:00:00", "user_id": 1, "event_type": "click", "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01 00:20:00", "user_id": 1, "event_type": "click", "value": 2.0},
+        {"event_id": 3, "ts": "2024-01-01 00:00:00", "user_id": 2, "event_type": "click", "value": 3.0},
+    ]
+    purchases = [
+        # in lookback of clicks 1 and 2 for user 1
+        {"event_id": 10, "ts": "2024-01-01 00:30:00", "user_id": 1, "event_type": "purchase", "value": 9.0},
+        # user 2's click is 61 min earlier — outside the 30-min lookback
+        {"event_id": 11, "ts": "2024-01-01 01:01:00", "user_id": 2, "event_type": "purchase", "value": 8.0},
+    ]
+    csrc, psrc = tmp_path / "clicks", tmp_path / "purch"
+    _write_events(csrc, clicks)
+    _write_events(psrc, purchases)
+    cs = spark.readStream.schema(EVENTS_SCHEMA).json(str(csrc))
+    ps = spark.readStream.schema(EVENTS_SCHEMA).json(str(psrc))
+    joined = interval_join(
+        ps, cs.select("user_id", "ts", "value"),
+        key="user_id", lookback="30 minutes",
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("ij_test")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from ij_test").collect()
+    # purchase 10 matches clicks at 00:00 and 00:20; purchase 11 matches none
+    got = {(r["event_id"], r["value_right"]) for r in rows}
+    assert got == {(10, 1.0), (10, 2.0)}
+    # every match carries the right-side timestamp for downstream max()
+    assert all(r["ts_right"] is not None for r in rows)
+
+
+def test_enrich_with_dimension_stream_static(spark, tmp_path):
+    from pyspark.sql import Row
+
+    from mondrian_olap_spark.streaming import enrich_with_dimension
+
+    events = [
+        {"event_id": 1, "ts": "2024-01-01 00:00:00", "user_id": 1, "event_type": "click", "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01 00:00:30", "user_id": 2, "event_type": "view", "value": 2.0},
+        {"event_id": 3, "ts": "2024-01-01 00:01:00", "user_id": 9, "event_type": "view", "value": 3.0},
+    ]
+    src = tmp_path / "ev"
+    _write_events(src, events)
+    dim = spark.createDataFrame(
+        [Row(user_id=1, segment="paid"), Row(user_id=2, segment="free")]
+    )
+    stream = spark.readStream.schema(EVENTS_SCHEMA).json(str(src))
+    out = enrich_with_dimension(stream, dim, on="user_id")
+    q = (
+        out.writeStream.format("memory").queryName("enrich_test")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    rows = {r["event_id"]: r["segment"] for r in spark.sql("select * from enrich_test").collect()}
+    assert rows == {1: "paid", 2: "free", 3: None}  # left join keeps unmatched
