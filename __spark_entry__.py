@@ -75,7 +75,10 @@ _DRIVER_CHECKED = frozenset({
     "generate_customer_list", "level_members_metadata", "descendants_of_member",
     "drillthrough_cell", "events_by_type", "count_exclude_empty",
     "events_daily_users", "virtual_sales_orders", "virtual_valid_measure",
-    "role_region_grant", "set_union_nations", "set_intersect_active_nations",
+    # set_intersect_active_nations: removed from the checked set in round 5
+    # (round-4 axis-contiguity validation broke its rows-only query; fixed —
+    # rotate it back through the driver gate)
+    "role_region_grant", "set_union_nations",
     "visual_totals_regions", "scalar_string_math_functions",
     "date_functions_by_year", "member_properties_parts",
     "member_lookup_strtomember", "drilldown_member_region", "parent_child_rollup",

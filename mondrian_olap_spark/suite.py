@@ -1193,8 +1193,12 @@ def set_intersect_active_nations(spark, sf_dir):
     from .functions.sets import set_intersect
 
     def active_in(year):
+        # a columns axis is mandatory (olap4j rejects non-contiguous axes —
+        # the engine now enforces it); the default non-empty grid keeps
+        # "active in year" semantics: only nations with fact rows appear
         return (
             Query(get_engine(spark, sf_dir))
+            .columns("[Measures].[Sum Qty]")
             .rows("[Customer].[Nation].Members")
             .where(f"[Time].[{year}]")
             .execute()

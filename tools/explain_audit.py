@@ -206,6 +206,27 @@ def main() -> int:
     # the final adaptive plan's toString
     check("codegen.wholestage_active", "WholeStageCodegen" in p or "*(1)" in p, p[:1500])
 
+    # 8. as-of join plans as union + ONE window exchange on the key —
+    #    never a join operator (the range-join pair blowup it replaces)
+    from mondrian_olap_spark.operators import events as ev_ops
+    from mondrian_olap_spark.star import read_parquet_table
+
+    ev = read_parquet_table(spark, f"{SF_DIR}/events.parquet")
+    purchases = ev.filter("event_type = 'purchase'")
+    clicks = ev.filter("event_type = 'click'").select("user_id", "ts", "value")
+    df = ev_ops.asof_join(purchases, clicks, key="user_id", value_cols=["value"])
+    p = plan_str(df)
+    n_exchanges = p.count("Exchange hashpartitioning")
+    has_join = any(
+        j in p for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                         "CartesianProduct", "BroadcastNestedLoopJoin")
+    )
+    check(
+        "asof.union_window_single_exchange_no_join",
+        n_exchanges == 1 and not has_join and "Window" in p,
+        f"exchanges={n_exchanges} join_present={has_join}",
+    )
+
     print(f"\n{len(failures)} failed properties" if failures else "\nall plan properties hold")
     return 1 if failures else 0
 
