@@ -232,6 +232,10 @@ class MdxParser:
         #: WITH SET definitions including set-function ops — referenced by
         #: bare name on axes (query_test.rb:706-731 WITH SET clause)
         self.named_sets: dict[str, "_SetBuild"] = {}
+        #: buffered non-Measures WITH MEMBER definitions, applied in
+        #: dependency order once the WITH clause closes (forward
+        #: references between aggregate members are legal in Mondrian)
+        self._dim_member_defs: list[tuple[str, list[str], object]] = []
         self._rewrite_dimensions_calls()
 
     def _dimension_by_index_or_name(self, arg: int | str) -> str:
@@ -406,6 +410,7 @@ class MdxParser:
                     self.parse_with_member()
                 else:
                     self.parse_with_set()
+        self._apply_dim_member_defs()
         self.expect_word("select")
         self.parse_axis()
         while self.at_op(","):
@@ -512,12 +517,14 @@ class MdxParser:
                     "Aggregate sets combine only with * (crossjoin) in "
                     "this subset"
                 )
-            self.q.with_dimension_member(
-                name_segs[-1], *members, dimension=name_segs[0]
-            )
+            # buffered, not applied: WITH entries may reference calc
+            # members defined LATER in the clause (Mondrian resolves the
+            # whole WITH block lazily); _apply_dim_member_defs orders by
+            # the dependency DAG after the clause closes
+            self._dim_member_defs.append(("aggregate", name_segs, members))
         else:
             # arithmetic formula over member cells
-            self.q.with_dimension_member_formula(name_segs[-1], body)
+            self._dim_member_defs.append(("formula", name_segs, body))
         # swallow an optional SOLVE_ORDER clause for syntax parity
         save = self.i
         if self.at_op(","):
@@ -528,6 +535,73 @@ class MdxParser:
                 self.next()
             else:
                 self.i = save
+
+    def _apply_dim_member_defs(self) -> None:
+        """Apply buffered non-Measures WITH MEMBER definitions in
+        dependency order: an Aggregate set may name another calc member
+        defined LATER in the same WITH clause (Mondrian resolves the whole
+        clause lazily — 'aggregate calculated aggregate members',
+        mondrian_test.rb:231-239, works in either definition order).  A
+        reference cycle raises the reference's infinite-loop error."""
+        defs = self._dim_member_defs
+        if not defs:
+            return
+        self._dim_member_defs = []
+
+        def _dim_name(seg: str) -> str | None:
+            try:
+                return self.cube.dimension(seg).name.lower()
+            except KeyError:
+                return None
+
+        keys = []  # (dim_lower | None, name_lower) per definition
+        for _, name_segs, _ in defs:
+            keys.append((_dim_name(name_segs[0]), name_segs[-1].lower()))
+
+        def deps(i: int) -> list[int]:
+            kind, name_segs, payload = defs[i]
+            if kind != "aggregate":
+                return []
+            from .members import parse_identifier
+
+            out = []
+            for m in payload:
+                segs = parse_identifier(m)
+                ref_dim = _dim_name(segs[0]) if len(segs) >= 2 else None
+                for j, (d, n) in enumerate(keys):
+                    # j == i stays: a self-reference is a 1-node cycle
+                    if n != segs[-1].lower():
+                        continue
+                    if len(segs) < 2 or ref_dim is None or ref_dim == d:
+                        out.append(j)
+            return out
+
+        state = [0] * len(defs)  # 0 unvisited, 1 in-stack, 2 applied
+
+        def apply(i: int) -> None:
+            if state[i] == 2:
+                return
+            if state[i] == 1:
+                _, name_segs, _ = defs[i]
+                raise MdxError(
+                    "Infinite loop while evaluating calculated member '"
+                    + ".".join(quote_segment(s) for s in name_segs)
+                    + "'"
+                )
+            state[i] = 1
+            for j in deps(i):
+                apply(j)
+            kind, name_segs, payload = defs[i]
+            if kind == "aggregate":
+                self.q.with_dimension_member(
+                    name_segs[-1], *payload, dimension=name_segs[0]
+                )
+            else:
+                self.q.with_dimension_member_formula(name_segs[-1], payload)
+            state[i] = 2
+
+        for i in range(len(defs)):
+            apply(i)
 
     def parse_with_set(self):
         """WITH SET [Name] AS '{…}' (query.rb:182-186 named sets)."""

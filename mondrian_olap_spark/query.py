@@ -676,9 +676,10 @@ class Query:
         # ('aggregate calculated aggregate members', mondrian_test.rb:
         # 231-239): expand it to its underlying real member set — entries
         # store only real refs, so nesting composes to any depth.
-        # Referenced members must be defined BEFORE use (the reference test
-        # defines them in that order too); a forward reference raises the
-        # ordinary member-not-found error at resolve time
+        # Builder-API calls apply in call order, so references here must be
+        # defined first; the MDX layer lifts that (mdx._apply_dim_member_defs
+        # dependency-sorts the WITH clause, so forward references work and
+        # cycles raise the reference's infinite-loop error)
         refs = []
         for m in members:
             from .members import parse_identifier

@@ -2463,3 +2463,51 @@ def test_aggregate_expr_deduplicates_specs(engine):
         "Aggregate({[Customer].[ASIA]}, [Measures].[Sum Qty] * 2)"
     )
     assert e1 == e2 and len(p.q._agg_scalars) == 1
+
+
+def test_aggregate_member_forward_reference(engine):
+    """WITH entries resolve lazily in Mondrian: an Aggregate set may name a
+    calc member defined LATER in the clause.  Same query as
+    test_aggregate_calculated_aggregate_members with [Both] defined FIRST."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Customer].[Both] AS
+               'Aggregate({[Customer].[Asia calc], [Customer].[Africa calc]})'
+             MEMBER [Customer].[Asia calc] AS 'Aggregate({[Customer].[ASIA]})'
+             MEMBER [Customer].[Africa calc] AS 'Aggregate({[Customer].[AFRICA]})'
+        SELECT [Measures].[Sum Qty] ON COLUMNS,
+               {[Customer].children, [Customer].[Both]} ON ROWS FROM [Sales]
+        """,
+    )
+    vals = {x["region_name"]: x["sum_qty"] for x in r.df.collect()}
+    assert vals["Both"] == pytest.approx(vals["ASIA"] + vals["AFRICA"])
+
+
+def test_aggregate_member_reference_cycle_raises(engine):
+    from mondrian_olap_spark.mdx import MdxError
+
+    with pytest.raises(MdxError, match="Infinite loop"):
+        execute_mdx(
+            engine,
+            """
+            WITH MEMBER [Customer].[A] AS 'Aggregate({[Customer].[B]})'
+                 MEMBER [Customer].[B] AS 'Aggregate({[Customer].[A]})'
+            SELECT [Measures].[Sum Qty] ON COLUMNS,
+                   {[Customer].[A]} ON ROWS FROM [Sales]
+            """,
+        )
+
+
+def test_aggregate_member_self_reference_raises(engine):
+    from mondrian_olap_spark.mdx import MdxError
+
+    with pytest.raises(MdxError, match="Infinite loop"):
+        execute_mdx(
+            engine,
+            """
+            WITH MEMBER [Customer].[Loop] AS 'Aggregate({[Customer].[Loop]})'
+            SELECT [Measures].[Sum Qty] ON COLUMNS,
+                   {[Customer].[Loop]} ON ROWS FROM [Sales]
+            """,
+        )

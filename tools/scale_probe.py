@@ -72,6 +72,16 @@ QUERIES = [
     "text_chunking",
     "text_repetition_features",
     "pipeline_split_contamination",
+    # round-5 additions
+    "events_asof_attribution",
+    "events_funnel_steps",
+    "events_retention_weekly",
+    "text_segment_dedup",
+    "text_unigram_entropy",
+    "pipeline_mix_weights",
+    "embed_lsh_neardup_pairs",
+    "pipeline_token_packing",
+    "text_tfidf_top_terms",
 ]
 
 
