@@ -466,3 +466,43 @@ def unigram_entropy(
         "n_distinct",
         F.round(ent, 6).alias("entropy"),
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    min_df: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Term → posting-list inverted index: one row per term with its
+    document frequency and the sorted posting list (the retrieval-side
+    artifact of a training corpus; also the building block for exact
+    contamination lookups).
+
+    ``min_df`` prunes the long hapax tail (most of the index at corpus
+    scale).  One explode + distinct + term-keyed shuffle; posting lists
+    are sorted arrays, so output is deterministic and layout-independent.
+    A term appearing in most of the corpus makes its posting list a giant
+    single row — cap consumers should treat df/corpus_size as the stop-
+    word signal (same reasoning as the dedup hot-shingle guard).
+    """
+    from .util import ensure_min_parallelism
+
+    pairs = (
+        ensure_min_parallelism(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    return (
+        pairs.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.sort_array(F.collect_list("id")).alias("postings"),
+        )
+        .filter(F.col("df") >= min_df)
+    )

@@ -1100,3 +1100,76 @@ def embed_lsh_neardup_pairs(spark, sf_dir):
         out.filter(F.col("cosine") >= 0.3)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+@q(
+    "text_inverted_index",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents
+    )
+    SELECT term, count(*) AS df,
+           md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)) AS postings_md5
+    FROM pairs WHERE term <> '' GROUP BY term HAVING count(*) >= 5
+    """,
+)
+def text_inverted_index(spark, sf_dir):
+    """Inverted index (text.inverted_index, min_df=5): term-keyed posting
+    lists, sorted and fingerprinted — byte-identical postings proven via
+    md5 of the comma-joined list."""
+    idx = text.inverted_index(_docs(spark, sf_dir), min_df=5)
+    return idx.select(
+        "term",
+        "df",
+        F.md5(
+            F.concat_ws(",", F.transform("postings", lambda x: x.cast("string")))
+        ).alias("postings_md5"),
+    )
+
+
+@q(
+    "pipeline_pack_concat",
+    """
+    WITH t AS (
+      SELECT source, doc_id, text,
+             len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT source, doc_id, text, n_tokens,
+             CAST(floor((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0)
+                  AS BIGINT) AS pack_id
+      FROM t
+    )
+    SELECT source, pack_id, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           md5(string_agg(text, '<|eos|>' ORDER BY doc_id)) AS pack_md5
+    FROM packed GROUP BY 1, 2
+    """,
+)
+def pipeline_pack_concat(spark, sf_dir):
+    """Pack materialization: documents concatenated per (source, pack)
+    with EOS separators in deterministic order — the byte stream a
+    trainer's sampler would read, proven byte-identical via md5.  Built
+    on operators/packing.pack_documents (one keyed shuffle + window, one
+    grouped reassembly)."""
+    from .operators import packing
+
+    packed = packing.pack_documents(_docs(spark, sf_dir), budget=512)
+    return packed.groupBy("source", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.md5(
+            F.concat_ws(
+                "<|eos|>",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("doc_id"), F.col("text")))
+                    ),
+                    lambda s: s["text"],
+                ),
+            )
+        ).alias("pack_md5"),
+    )

@@ -1012,3 +1012,27 @@ def test_ensure_min_parallelism_noop_on_wide_input(spark):
     narrow = spark.range(1000).coalesce(1)
     out = ensure_min_parallelism(narrow)
     assert out.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+
+
+def test_inverted_index_postings_sorted_and_pruned(spark):
+    """Posting lists are sorted by id, df counts distinct docs (a repeated
+    term in one doc counts once), and min_df prunes the hapax tail."""
+    rows = [
+        Row(doc_id=3, text="apple apple banana"),
+        Row(doc_id=1, text="apple cherry"),
+        Row(doc_id=2, text="  apple   banana "),
+    ]
+    idx = {
+        r["term"]: (r["df"], r["postings"])
+        for r in text.inverted_index(spark.createDataFrame(rows)).collect()
+    }
+    assert idx["apple"] == (3, [1, 2, 3])     # sorted despite insert order
+    assert idx["banana"] == (2, [2, 3])
+    assert idx["cherry"] == (1, [1])
+    pruned = {
+        r["term"]
+        for r in text.inverted_index(
+            spark.createDataFrame(rows), min_df=2
+        ).collect()
+    }
+    assert pruned == {"apple", "banana"}
