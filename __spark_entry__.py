@@ -37,7 +37,10 @@ _DRIVER_CHECKED = frozenset({
     "text_quality_features", "text_stats_by_source",
     "pipeline_deterministic_sample", "text_pii_redaction",
     "text_quality_filter", "embed_dedup_keep_list", "text_token_counts",
-    "approx_distinct_parts", "aggregate_crossjoin_set",
+    # approx_distinct_parts: removed from the checked set in round 5 — it
+    # gained a bit-exact oracle (exact count + HLL error-bound assertion)
+    # replacing the old rows-only check; rotate it through the driver gate
+    "aggregate_crossjoin_set",
     "aggregate_value_forms", "tuple_item_implicit_measure",
     "text_repetition_features", "pipeline_split_contamination",
     "text_chunking", "events_sessionization",
