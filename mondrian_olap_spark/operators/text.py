@@ -380,10 +380,15 @@ def segment_dedup(
     ``clean_text`` (the surviving segments re-joined in order; may be
     empty when every segment was seen earlier).
 
-    Plan: explode → one corpus-wide window on the segment fingerprint
-    (single shuffle; hot boilerplate segments are the skew risk — AQE
-    skew splitting applies because the window partitions by fingerprint)
-    → one grouped re-assembly shuffle on the doc id.
+    Plan: explode → per-segment first-occurrence via ``min(struct(id,
+    pos))`` aggregation + an equi-join back on the fingerprint → one
+    grouped re-assembly shuffle on the doc id.  The aggregate (not a
+    window) is the deliberate choice for skew: a hot boilerplate segment
+    partial-aggregates to one row per map task before the shuffle, and
+    the join back is a plain equi-join, so AQE skew-join splitting
+    applies — a ``row_number`` window over the fingerprint would force
+    every occurrence of the hot segment into a single task (window
+    partitions cannot be split).
     """
     from .util import ensure_min_parallelism
 
@@ -397,9 +402,15 @@ def segment_dedup(
     exploded = df.select(
         F.col(id_col).alias("id"), F.posexplode(segs).alias("pos", "seg")
     )
-    w = Window.partitionBy("seg").orderBy("id", "pos")
-    flagged = exploded.withColumn(
-        "keep", (F.row_number().over(w) == 1).cast("int")
+    firsts = exploded.groupBy("seg").agg(
+        F.min(F.struct("id", "pos")).alias("__first")
+    )
+    flagged = exploded.join(firsts, "seg").withColumn(
+        "keep",
+        (
+            (F.col("id") == F.col("__first.id"))
+            & (F.col("pos") == F.col("__first.pos"))
+        ).cast("int"),
     )
     return (
         flagged.groupBy("id")
