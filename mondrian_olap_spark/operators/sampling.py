@@ -158,3 +158,34 @@ def mixing_weights(
         F.round(prob, 6).alias("sample_prob"),
         F.round(prob * F.col("n_docs"), 6).alias("expected_docs"),
     )
+
+
+def apply_mixing(
+    df: DataFrame,
+    targets: dict[str, float],
+    by: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "mix",
+) -> DataFrame:
+    """Materialize the domain mix computed by :func:`mixing_weights`:
+    keep each row iff its content-hash bucket falls under its group's
+    ``sample_prob`` — a deterministic per-group Bernoulli thinning, so
+    the kept SET (not just the counts) is reproducible across runs,
+    partitionings, and engines.  Groups absent from ``targets`` drop
+    entirely (prob 0).
+
+    The per-group probabilities are a tiny frame (one row per group)
+    broadcast onto the corpus — one scan, no data shuffle.  Thresholding
+    uses ``floor(p·10000 + 0.5)`` on the 6-decimal-rounded probability so
+    both engines compute the identical integer cut-off (no double
+    round-half ambiguity).
+    """
+    w = mixing_weights(df, targets, by=by).select(by, "sample_prob")
+    thresh = F.floor(
+        F.col("sample_prob") * _BUCKETS + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        df.join(F.broadcast(w), by, "inner")
+        .filter(_bucket(id_col, seed) < thresh)
+        .drop("sample_prob")
+    )

@@ -1173,3 +1173,59 @@ def pipeline_pack_concat(spark, sf_dir):
             )
         ).alias("pack_md5"),
     )
+
+
+@q(
+    "pipeline_mix_applied",
+    """
+    WITH c AS (SELECT source AS grp, count(*) AS n_docs
+               FROM documents GROUP BY 1),
+    t(grp, target_frac) AS (VALUES
+      ('src0', CAST(0.2 AS DOUBLE)), ('src1', CAST(0.2 AS DOUBLE)),
+      ('src2', CAST(0.1 AS DOUBLE)), ('src3', CAST(0.5 AS DOUBLE))),
+    j AS (SELECT c.grp, c.n_docs, t.target_frac FROM c LEFT JOIN t USING (grp)),
+    s0 AS (SELECT CAST(sum(n_docs) AS BIGINT) AS N FROM c),
+    s AS (SELECT N,
+                 min(CASE WHEN target_frac IS NOT NULL THEN
+                       least(CAST(1.0 AS DOUBLE),
+                             n_docs / N / target_frac)
+                     END) AS sc
+          FROM j, s0 GROUP BY N),
+    p AS (SELECT grp AS source,
+                 round(coalesce(target_frac * sc * N / n_docs, 0.0), 6)
+                   AS prob
+          FROM j, s),
+    kept AS (
+      SELECT d.source, d.doc_id
+      FROM documents d JOIN p USING (source)
+      WHERE (('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             % 10000) < CAST(floor(prob * 10000 + 0.5) AS BIGINT)
+    )
+    SELECT source, count(*) AS n_kept,
+           md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)) AS kept_md5
+    FROM kept GROUP BY 1
+    """,
+)
+def pipeline_mix_applied(spark, sf_dir):
+    """Domain mix APPLIED (sampling.apply_mixing): the deterministic
+    per-group Bernoulli thinning materialized — per source, the kept count
+    and an md5 over the kept doc-id set proves the exact same rows survive
+    on both engines (broadcast per-group probabilities, content-hash
+    threshold, no shuffle beyond the weight aggregation)."""
+    from .operators import sampling
+
+    kept = sampling.apply_mixing(
+        _docs(spark, sf_dir), _MIX_TARGETS, by="source"
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("kept_md5"),
+    )

@@ -1036,3 +1036,39 @@ def test_inverted_index_postings_sorted_and_pruned(spark):
         ).collect()
     }
     assert pruned == {"apple", "banana"}
+
+
+def test_apply_mixing_deterministic_and_drops_untargeted(spark):
+    """The kept SET is layout-independent, untargeted groups vanish, and
+    per-group keep rates track the computed sample_prob."""
+    from mondrian_olap_spark.operators import sampling
+
+    rows = [
+        Row(doc_id=i, source=("web" if i % 4 else "other"))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows)
+    targets = {"web": 1.0}
+    kept = {
+        r["doc_id"]
+        for r in sampling.apply_mixing(df, targets, by="source").collect()
+    }
+    kept_repart = {
+        r["doc_id"]
+        for r in sampling.apply_mixing(
+            df.repartition(13), targets, by="source"
+        ).collect()
+    }
+    assert kept == kept_repart                      # layout-independent
+    assert all(i % 4 for i in kept)                 # 'other' dropped
+    # sole targeted group is the scarcest → scale 1.0 → keep everything
+    assert len(kept) == 300
+    half = sampling.apply_mixing(
+        df.filter(F.col("source") == "web"), {"web": 0.5, "none": 0.5},
+        by="source",
+    ).count()
+    # 'none' has no rows, so scale comes from web alone (c/N/t = 2 → clamp
+    # 1.0) and p_web = t·s·N/c = 0.5: web thins to its target share even
+    # though the mix itself is unachievable.  166 = exact content-hash
+    # keep count at p=0.5 (deterministic by construction).
+    assert half == 166
