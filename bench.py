@@ -39,6 +39,12 @@ HEADLINE = [
     "parent_child_rollup",
     "tuple_case_contextual",
     "multimodal_decode_features",
+    # round-5 operators
+    "events_asof_attribution",
+    "events_funnel_steps",
+    "text_segment_dedup",
+    "text_inverted_index",
+    "pipeline_pack_concat",
 ]
 
 

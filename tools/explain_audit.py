@@ -227,6 +227,33 @@ def main() -> int:
         f"exchanges={n_exchanges} join_present={has_join}",
     )
 
+    # 9. segment dedup computes first-occurrence with a PARTIAL-combined
+    #    aggregate + equi-join, never a window over the fingerprint: hot
+    #    boilerplate segments must shrink map-side and stay AQE-splittable
+    #    (window partitions cannot be split — operators/text.segment_dedup)
+    from mondrian_olap_spark.operators import text as text_ops
+
+    docs = read_parquet_table(spark, f"{SF_DIR}/documents.parquet")
+    p = plan_str(text_ops.segment_dedup(docs))
+    check(
+        "segment_dedup.partial_agg_join_no_fingerprint_window",
+        "Window" not in p and "partial_min" in p,
+        p[:1500],
+    )
+
+    # 10. pack summary rides the packing window's partitioning: grouping by
+    #     (source, pack_id) is satisfied by hashpartitioning(source), so the
+    #     whole pack pipeline shuffles the corpus exactly once
+    from mondrian_olap_spark.operators import packing
+
+    p = plan_str(packing.pack_summary(docs, budget=512))
+    n_exchanges = p.count("Exchange hashpartitioning")
+    check(
+        "packing.summary_reuses_window_partitioning_single_exchange",
+        n_exchanges == 1,
+        f"exchanges={n_exchanges}",
+    )
+
     print(f"\n{len(failures)} failed properties" if failures else "\nall plan properties hold")
     return 1 if failures else 0
 
