@@ -127,6 +127,10 @@ def funnel_counts(
     """
     if not steps:
         raise ValueError("funnel_counts needs at least one step")
+    # a NULL timestamp can never order against the previous step's
+    # completion — unfiltered, an all-NULL-ts user would count as
+    # reaching step 1 at an unknown time
+    events = events.filter(F.col(ts_col).isNotNull())
     reached = None  # DataFrame[user, __t] — completion time of prev step
     counts = []
     for i, step in enumerate(steps):

@@ -115,7 +115,11 @@ def mixing_weights(
     sampling probability for group i is then ``p_i = t_i · s · N / c_i``,
     so expected post-sample fractions equal the targets exactly.
 
-    Groups not named in ``targets`` get probability 0 (dropped).  Pure
+    Groups not named in ``targets`` get probability 0 (dropped).  A
+    TARGET naming a group absent from the data contributes no constraint:
+    the realized mix is then the targets renormalized over the groups
+    that exist (you cannot sample data that isn't there — callers that
+    need hard failure should check ``expected_docs`` vs targets).  Pure
     aggregate arithmetic: one grouped count + a 1-row scale factor joined
     back by broadcast — no data shuffle beyond the count itself.
 

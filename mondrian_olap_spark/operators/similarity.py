@@ -346,14 +346,41 @@ def lsh_signatures(
 def lsh_candidate_pairs(
     emb: DataFrame,
     dim: int,
-    planes: int = 16,
+    planes: int | None = 16,
     bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_bucket: int = 8,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """ANN candidate pairs: band the hyperplane signature (``bands`` bands of
     ``planes/bands`` bits) and join on any agreeing band — the scale path
-    that replaces the O(n²) join."""
+    that replaces the O(n²) join.
+
+    Cost model: per band, expected bucket occupancy is n / 2^width and the
+    candidate count is Σ |bucket|² / 2 ≈ n²/2^(width+1) per band — so a
+    FIXED width turns quadratic again as the corpus grows.  Two knobs keep
+    it linear at any n:
+
+    - ``planes=None`` (auto-width): one count() job sizes
+      width = max(6, ceil(log2(n / target_bucket))), holding expected
+      bucket size at ``target_bucket`` so candidates stay ≈
+      n·target_bucket·bands/2 regardless of n.  Recall per band is
+      p(cos)^width (p = 1 - θ/π), so auto-width trades per-band recall for
+      bounded cost — compensate with more bands, which scales cost
+      linearly, not quadratically.
+    - ``max_bucket`` (skew guard): drop (band, value) buckets larger than
+      the cap via a broadcast anti-join on the (small) hot-bucket list,
+      bounding worst-case candidates at n·max_bucket·bands/2 even under
+      degenerate vector distributions (all-zero embeddings, duplicated
+      rows).  Analogous to the dedup hot-shingle guard.
+    """
+    if planes is None:
+        import math
+
+        n = emb.count()
+        width = max(6, math.ceil(math.log2(max(n, 2) / target_bucket)))
+        planes = width * bands
     width = planes // bands
     sigs = lsh_signatures(emb, dim, planes, id_col, vec_col)
     mask = (1 << width) - 1
@@ -367,6 +394,14 @@ def lsh_candidate_pairs(
     blocks = sigs.select("id", F.explode(F.array(*chunk_cols)).alias("c")).select(
         "id", F.col("c.ci").alias("ci"), F.col("c.cv").alias("cv")
     )
+    if max_bucket is not None:
+        hot = (
+            blocks.groupBy("ci", "cv")
+            .count()
+            .filter(F.col("count") > max_bucket)
+            .select("ci", "cv")
+        )
+        blocks = blocks.join(F.broadcast(hot), ["ci", "cv"], "left_anti")
     a, b = blocks.alias("a"), blocks.alias("b")
     return (
         a.join(

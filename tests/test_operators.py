@@ -168,6 +168,56 @@ def test_lsh_candidates_find_near_duplicates(spark):
         assert (c * 10, c * 10 + 1) in cands  # same-cluster pairs bucket together
 
 
+def test_lsh_auto_width_scales_with_corpus(spark):
+    """planes=None sizes band width from n so expected bucket occupancy is
+    target_bucket; near-identical cluster pairs still collide, and the
+    auto width matches the documented formula."""
+    import math
+
+    rows = []
+    for c in range(8):
+        base = [1.0 if d == c else 0.02 * ((c * d) % 5) for d in range(8)]
+        for i in range(8):
+            v = list(base)
+            v[(c + 1) % 8] += 0.0005 * i
+            rows.append(Row(vec_id=c * 100 + i, embedding=v))
+    df = spark.createDataFrame(rows).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    n = len(rows)
+    want_width = max(6, math.ceil(math.log2(n / 8)))
+    cands = {(r["id_a"], r["id_b"]) for r in
+             similarity.lsh_candidate_pairs(df, dim=8, planes=None, bands=4).collect()}
+    # near-identical vectors agree on every sign bit regardless of width
+    for c in range(8):
+        assert (c * 100, c * 100 + 1) in cands
+    # the auto width follows the documented formula (observable via the
+    # signature width: buckets must fit in width*bands bits)
+    sigs = similarity.lsh_signatures(df, dim=8, planes=want_width * 4)
+    assert sigs.agg(F.max("bucket")).first()[0] < (1 << (want_width * 4))
+
+
+def test_lsh_max_bucket_drops_degenerate_buckets(spark):
+    """A pile of identical vectors lands in one bucket per band; the cap
+    drops those buckets so candidates stay bounded, while distinct small
+    clusters survive."""
+    rows = [Row(vec_id=i, embedding=[1.0, 0.0, 0.0, 0.0]) for i in range(40)]
+    rows += [Row(vec_id=100, embedding=[-1.0, 0.5, 0.0, 0.0]),
+             Row(vec_id=101, embedding=[-1.0, 0.5001, 0.0, 0.0])]
+    df = spark.createDataFrame(rows).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    capped = {(r["id_a"], r["id_b"]) for r in similarity.lsh_candidate_pairs(
+        df, dim=4, planes=16, bands=4, max_bucket=10).collect()}
+    # the 40-way duplicate pile exceeds the cap in every band -> no pairs
+    assert not any(a < 100 and b < 100 for a, b in capped)
+    # the small cluster is untouched
+    assert (100, 101) in capped
+    uncapped = {(r["id_a"], r["id_b"]) for r in similarity.lsh_candidate_pairs(
+        df, dim=4, planes=16, bands=4).collect()}
+    assert any(a < 100 and b < 100 for a, b in uncapped)
+
+
 def test_assign_splits_partitions_everything(docs):
     from mondrian_olap_spark.operators import sampling
 
@@ -870,6 +920,23 @@ def test_funnel_counts_empty_step(spark):
         ).collect()
     ]
     assert sorted(out) == [(1, 0), (2, 0)]
+
+
+def test_funnel_counts_null_ts_excluded(spark):
+    """A NULL-timestamp event can never be ordered against the previous
+    step's completion — it must not count toward any step."""
+    from mondrian_olap_spark.operators import events as ev_ops
+
+    rows = _ev_rows() + [
+        Row(event_id=99, user_id=9, event_type="click", ts=None, value=0.0),
+    ]
+    ev = spark.createDataFrame(rows)
+    out = {
+        r["step"]: r["n_users"]
+        for r in ev_ops.funnel_counts(ev, ["click", "purchase"]).collect()
+    }
+    # identical to test_funnel_counts_ordering: user 9's NULL-ts click is dropped
+    assert out == {"click": 3, "purchase": 1}
 
 
 def test_retention_cohorts_weekly(spark):

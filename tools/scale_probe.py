@@ -36,7 +36,7 @@ KEY_OFFSETS = {
     "l_partkey": 10_000_000,
     "event_id": 100_000_000,
     "doc_id": 10_000_000,
-    "id": 10_000_000,  # embeddings
+    "vec_id": 10_000_000,  # embeddings
 }
 
 #: dims whose cardinality is bounded at any data scale — NOT replicated
@@ -82,6 +82,9 @@ QUERIES = [
     "embed_lsh_neardup_pairs",
     "pipeline_token_packing",
     "text_tfidf_top_terms",
+    "text_inverted_index",
+    "pipeline_pack_concat",
+    "pipeline_mix_applied",
 ]
 
 
@@ -115,6 +118,20 @@ def generate(spark) -> None:
                 rep = rep.withColumn(
                     "text", F.concat(F.col("text"), F.lit(f" replica{i}"))
                 )
+            if t == "embeddings" and i > 0:
+                # same rationale as documents: nudge one component so
+                # replica vectors are near-dups (cosine ≈ 1) rather than
+                # byte-identical — realistic near-dup growth, no degenerate
+                # 10-way exact-dup buckets
+                rep = rep.withColumn(
+                    "embedding",
+                    F.transform(
+                        "embedding",
+                        lambda x, j: F.when(
+                            j == 0, x + F.lit(0.001 * i)
+                        ).otherwise(x).cast("float"),
+                    ),
+                )
             parts.append(rep)
         u = parts[0]
         for p in parts[1:]:
@@ -146,6 +163,10 @@ def main() -> None:
     if "--generate-only" in sys.argv:
         return
 
+    queries = QUERIES
+    if "--only" in sys.argv:
+        queries = sys.argv[sys.argv.index("--only") + 1].split(",")
+
     # per-class split sizing, same rationale as bench.py
     PIPE = ("dedup_", "embed_", "text_", "pipeline_", "multimodal_")
 
@@ -164,7 +185,7 @@ def main() -> None:
 
     Q["flagship_region_quarter"](spark, DST).collect()  # JVM warm-up
     cold, warm = {}, {}
-    for name in QUERIES:
+    for name in queries:
         tune(name)
         flush()
         t0 = time.perf_counter()
