@@ -78,8 +78,15 @@ def asof_join(
     )
     # a NULL right timestamp can never satisfy "most recent ≤ left.ts"
     # (ASOF comparison semantics); unfiltered it would sort NULLS FIRST
-    # and leak into every left row of its key
-    rhs = right.filter(F.col(right_ts).isNotNull()).select(
+    # and leak into every left row of its key.  A NULL right KEY likewise
+    # never equals any left key (SQL join equality, not GROUP BY
+    # semantics) — unfiltered, the window's partitionBy would group NULL
+    # keys together and match NULL-key left rows against NULL-key right
+    # rows.  NULL-key LEFT rows stay (left-outer): their partition holds
+    # no right rows after this filter, so they keep NULLs.
+    rhs = right.filter(
+        F.col(right_ts).isNotNull() & F.col(key).isNotNull()
+    ).select(
         F.col(key).alias("__k"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),

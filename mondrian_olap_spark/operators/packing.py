@@ -44,8 +44,12 @@ def pack_documents(
     ``pack_offset`` (token offset of the document inside its group's
     stream).
     """
+    # NULL text → 0 tokens: size(split(NULL)) is NULL, which would silently
+    # zero the row's pack_offset through the coalesce below while leaving
+    # later offsets computed as if the row were absent
     out = df.withColumn(
-        "n_tokens", F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        "n_tokens",
+        F.size(F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")),
     )
     w = Window.partitionBy(by).orderBy(order)
     out = out.withColumn(

@@ -393,7 +393,9 @@ def segment_dedup(
     from .util import ensure_min_parallelism
 
     df = ensure_min_parallelism(df)
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # NULL text → '' : split(NULL) is NULL, which would make n_segs NULL
+    # and posexplode silently DROP the document from the output
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
     n_segs = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
     segs = F.transform(
         F.sequence(F.lit(0), n_segs - 1),

@@ -922,6 +922,58 @@ def test_funnel_counts_empty_step(spark):
     assert sorted(out) == [(1, 0), (2, 0)]
 
 
+def test_asof_join_null_key_never_matches(spark):
+    """SQL join equality: NULL key ≠ NULL key.  The NULL-key left row
+    survives (left-outer) with NULL right values; the NULL-key right row
+    matches nothing."""
+    import datetime as dt
+
+    from mondrian_olap_spark.operators import events as ev_ops
+
+    t = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [Row(k=None, ts=t, x=1), Row(k=1, ts=t, x=2)]
+    )
+    right = spark.createDataFrame(
+        [Row(k=None, ts=t - dt.timedelta(minutes=1), value=7.0),
+         Row(k=1, ts=t - dt.timedelta(minutes=1), value=9.0)]
+    )
+    out = {r["x"]: r["value_right"]
+           for r in ev_ops.asof_join(left, right, key="k").collect()}
+    assert out == {1: None, 2: 9.0}
+
+
+def test_pack_documents_null_text_behaves_as_empty(spark):
+    """NULL text must not poison the running token sum (size(split(NULL))
+    is NULL): it counts like the empty string and later offsets stay
+    consistent."""
+    from mondrian_olap_spark.operators import packing
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, source="a", text="one two three"),
+        Row(doc_id=2, source="a", text=None),
+        Row(doc_id=3, source="a", text="four five"),
+    ])
+    out = {r["doc_id"]: (r["n_tokens"], r["pack_offset"])
+           for r in packing.pack_documents(df, budget=100).collect()}
+    empty_toks = out[2][0]
+    assert empty_toks is not None  # the NULL-propagation failure mode
+    assert out[1] == (3, 0)
+    assert out[2] == (empty_toks, 3)
+    assert out[3] == (2, 3 + empty_toks)
+
+
+def test_segment_dedup_null_text_doc_not_dropped(spark):
+    from mondrian_olap_spark.operators import text as text_ops
+
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="alpha beta"),
+        Row(doc_id=2, text=None),
+    ])
+    out = text_ops.segment_dedup(df, seg_tokens=2)
+    assert out.count() == 2  # NULL-text doc still has an output row
+
+
 def test_funnel_counts_null_ts_excluded(spark):
     """A NULL-timestamp event can never be ordered against the previous
     step's completion — it must not count toward any step."""
