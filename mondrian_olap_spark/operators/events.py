@@ -166,6 +166,34 @@ def funnel_counts(
     return result
 
 
+def parse_props(
+    events: DataFrame,
+    fields: dict[str, str],
+    props_col: str = "props",
+) -> DataFrame:
+    """Extract typed fields from a JSON properties column (the
+    semi-structured tail every event log carries; reference surfaces it
+    through drill-through property columns).
+
+    ``fields`` maps output column name → Spark DDL type (``{"k": "int"}``).
+    The schema is EXPLICIT and the extraction is one ``from_json`` per row
+    inside whole-stage codegen — never ``schema_of_json`` or
+    ``spark.read.json`` inference, both of which run a driver-side sampling
+    job over the corpus and pin the inferred schema to whatever batch it
+    sampled.  Malformed JSON yields NULL fields (PERMISSIVE), so one bad
+    event cannot fail a 100 TB scan.
+    """
+    if not fields:
+        raise ValueError("parse_props needs at least one field")
+    ddl = ", ".join(f"`{name}` {typ}" for name, typ in fields.items())
+    parsed = events.withColumn("__p", F.from_json(F.col(props_col), ddl))
+    out = parsed.select(
+        *[c for c in events.columns],
+        *[F.col(f"__p.{name}").alias(name) for name in fields],
+    )
+    return out
+
+
 def retention_cohorts(
     events: DataFrame,
     user_col: str = "user_id",

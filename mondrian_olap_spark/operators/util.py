@@ -2,7 +2,80 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def key_skew_profile(
+    df: DataFrame,
+    cols: list[str],
+    top: int = 3,
+    min_count: int = 2,
+) -> DataFrame:
+    """Pre-shuffle skew diagnostic: for each candidate join/group key
+    column, the cardinality, the heaviest key's share, and the top-``top``
+    heaviest keys — the numbers that decide salting / AQE-skew-join /
+    broadcast before a 100 TB shuffle is launched.
+
+    Returns one row per column: (column, n_rows, n_keys, max_count,
+    skew_ratio = max_count / (n_rows/n_keys), top_keys as a
+    ``key:count`` comma list, heaviest first, key string as tiebreak).
+
+    Scale shape: one partial-combined count aggregate per column (the
+    unavoidable shuffle — it IS the key histogram), then stats as a second
+    tiny aggregate.  The top-key ranking window partitions by COLUMN, so
+    its input is bounded by ``min_count``: keys occurring fewer than
+    ``min_count`` times are dropped BEFORE the window (a key that never
+    repeats cannot be skewed), keeping the single-task ranking input at
+    the number of repeated keys, not the column cardinality.
+    """
+    if not cols:
+        raise ValueError("key_skew_profile needs at least one column")
+    per_col = [
+        df.groupBy(F.col(c).cast("string").alias("k"))
+        .agg(F.count("*").alias("c"))
+        .select(F.lit(c).alias("column"), "k", "c")
+        for c in cols
+    ]
+    counts = per_col[0]
+    for p in per_col[1:]:
+        counts = counts.unionByName(p)
+    stats = counts.groupBy("column").agg(
+        F.sum("c").alias("n_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("c").alias("max_count"),
+    )
+    w = Window.partitionBy("column").orderBy(F.col("c").desc(), F.col("k"))
+    tops = (
+        counts.filter(F.col("c") >= min_count)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= top)
+        .groupBy("column")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__rn", "k", "c"))
+                    ),
+                    lambda s: F.concat_ws(":", s["k"], s["c"].cast("string")),
+                ),
+            ).alias("top_keys")
+        )
+    )
+    return (
+        stats.join(tops, "column", "left")
+        .select(
+            "column",
+            "n_rows",
+            "n_keys",
+            "max_count",
+            F.round(
+                F.col("max_count") / (F.col("n_rows") / F.col("n_keys")), 6
+            ).alias("skew_ratio"),
+            F.coalesce("top_keys", F.lit("")).alias("top_keys"),
+        )
+    )
 
 
 def ensure_min_parallelism(df: DataFrame, factor: int = 2) -> DataFrame:

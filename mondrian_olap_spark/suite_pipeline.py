@@ -1229,3 +1229,123 @@ def pipeline_mix_applied(spark, sf_dir):
             )
         ).alias("kept_md5"),
     )
+
+
+# ------------------------------------------- semi-structured + diagnostics
+@q(
+    "events_props_json_stats",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           min(json_extract(props, '$.k')::INT) AS min_k,
+           max(json_extract(props, '$.k')::INT) AS max_k,
+           CAST(sum(json_extract(props, '$.k')::INT) AS BIGINT) AS sum_k,
+           round(avg(json_extract(props, '$.k')::INT), 6) AS avg_k
+    FROM events GROUP BY 1
+    """,
+)
+def events_props_json_stats(spark, sf_dir):
+    """Semi-structured extraction (events.parse_props): typed fields out
+    of the JSON ``props`` column via ``from_json`` with an EXPLICIT schema
+    (codegen row-level parse; never a driver-side schema-inference job),
+    then a plain keyed aggregate.  Malformed JSON → NULL fields, so the
+    scan cannot fail on one bad event."""
+    from .operators import events as ev_ops
+
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet")
+    parsed = ev_ops.parse_props(ev, {"k": "int"})
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.sum("k").alias("sum_k"),
+        F.round(F.avg("k"), 6).alias("avg_k"),
+    )
+
+
+@q(
+    "embed_quantization_report",
+    """
+    WITH e AS (
+      SELECT label, embedding::DOUBLE[] AS v,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127
+               AS scale
+      FROM embeddings
+    ), d AS (
+      SELECT label, v, scale,
+             CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+                  ELSE list_transform(v, x -> floor(x / scale + 0.5) * scale)
+             END AS dq
+      FROM e
+    ), m AS (
+      SELECT label,
+             CASE WHEN scale = 0 THEN 0.0
+                  ELSE list_max(list_transform(
+                         v, x -> abs(x - floor(x / scale + 0.5) * scale)))
+             END AS max_err,
+             CASE WHEN scale = 0 THEN NULL
+                  ELSE list_dot_product(v, dq)
+                       / (sqrt(list_dot_product(v, v))
+                          * sqrt(list_dot_product(dq, dq)))
+             END AS cos
+      FROM d
+    )
+    SELECT label, count(*) AS n_vectors,
+           round(avg(max_err), 6) AS avg_max_err,
+           round(max(max_err), 6) AS worst_max_err,
+           round(avg(cos), 6) AS avg_cosine
+    FROM m GROUP BY 1
+    """,
+)
+def embed_quantization_report(spark, sf_dir):
+    """Int8 quantization go/no-go report (similarity.quantization_error_
+    stats): per label, reconstruction max-abs-error stats and mean
+    original-vs-dequantized cosine.  Quantization is floor(x/scale + 0.5)
+    — half-up via floor, the cross-engine-stable rounding — with
+    scale = max|x|/127 per vector; the whole report is one expression-only
+    scan + one keyed aggregate (the 4x ANN memory cut validated without
+    materializing a quantized copy)."""
+    from .operators import similarity as sim
+
+    return sim.quantization_error_stats(_emb(spark, sf_dir))
+
+
+@q(
+    "pipeline_skew_profile",
+    """
+    WITH cl AS (SELECT lang::VARCHAR AS k, count(*) AS c
+                FROM documents GROUP BY 1),
+    cs AS (SELECT source::VARCHAR AS k, count(*) AS c
+           FROM documents GROUP BY 1),
+    tl AS (SELECT coalesce(string_agg(k || ':' || c, ',' ORDER BY c DESC, k),
+                           '') AS top_keys
+           FROM (SELECT k, c FROM cl WHERE c >= 2
+                 ORDER BY c DESC, k LIMIT 3)),
+    ts AS (SELECT coalesce(string_agg(k || ':' || c, ',' ORDER BY c DESC, k),
+                           '') AS top_keys
+           FROM (SELECT k, c FROM cs WHERE c >= 2
+                 ORDER BY c DESC, k LIMIT 3))
+    SELECT 'lang' AS "column", CAST(sum(c) AS BIGINT) AS n_rows,
+           count(*) AS n_keys, CAST(max(c) AS BIGINT) AS max_count,
+           round(max(c) / (sum(c) * 1.0 / count(*)), 6) AS skew_ratio,
+           (SELECT top_keys FROM tl) AS top_keys
+    FROM cl
+    UNION ALL
+    SELECT 'source', CAST(sum(c) AS BIGINT), count(*),
+           CAST(max(c) AS BIGINT),
+           round(max(c) / (sum(c) * 1.0 / count(*)), 6),
+           (SELECT top_keys FROM ts)
+    FROM cs
+    """,
+)
+def pipeline_skew_profile(spark, sf_dir):
+    """Pre-shuffle key-skew diagnostic (util.key_skew_profile): per
+    candidate key column, cardinality, heaviest-key share, and the top
+    heavy keys — the salting / AQE-skew-join decision input.  The ranking
+    window's input is bounded by min_count (a never-repeating key cannot
+    be skewed), so the profile itself is safe on 100 TB keys."""
+    from .operators.util import key_skew_profile
+
+    return key_skew_profile(
+        _docs(spark, sf_dir), ["lang", "source"], top=3, min_count=2
+    )

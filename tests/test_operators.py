@@ -922,6 +922,81 @@ def test_funnel_counts_empty_step(spark):
     assert sorted(out) == [(1, 0), (2, 0)]
 
 
+def test_parse_props_explicit_schema(spark):
+    from mondrian_olap_spark.operators import events as ev_ops
+
+    df = spark.createDataFrame([
+        Row(event_id=1, props='{"k": 42, "tag": "a"}'),
+        Row(event_id=2, props='{"k": null}'),
+        Row(event_id=3, props='not json'),
+        Row(event_id=4, props=None),
+    ])
+    out = {r["event_id"]: (r["k"], r["tag"]) for r in ev_ops.parse_props(
+        df, {"k": "int", "tag": "string"}).collect()}
+    assert out[1] == (42, "a")
+    assert out[2] == (None, None)
+    assert out[3] == (None, None)  # malformed JSON → NULLs, row survives
+    assert out[4] == (None, None)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ev_ops.parse_props(df, {})
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    from mondrian_olap_spark.operators import similarity as sim
+
+    df = spark.createDataFrame([
+        Row(vec_id=1, embedding=[0.5, -0.25, 0.0, 0.125]),
+        Row(vec_id=2, embedding=[0.0, 0.0, 0.0, 0.0]),  # zero vector
+    ]).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    out = {r["id"]: r for r in sim.quantize_embeddings(df).collect()}
+    r1 = out[1]
+    assert abs(r1["scale"] - 0.5 / 127) < 1e-12
+    assert r1["qvec"] == [127, -63, 0, 32]  # floor(x/scale+0.5): -63.5→-63, 31.75→32
+    assert max(abs(q) for q in r1["qvec"]) <= 127
+    assert out[2]["scale"] == 0.0 and out[2]["qvec"] == [0, 0, 0, 0]
+    # reconstruction error bounded by scale/2 (+ float slack)
+    err = max(abs(q * r1["scale"] - x)
+              for q, x in zip(r1["qvec"], [0.5, -0.25, 0.0, 0.125]))
+    assert err <= r1["scale"] / 2 + 1e-9
+
+
+def test_quantization_error_stats(spark):
+    from mondrian_olap_spark.operators import similarity as sim
+
+    df = spark.createDataFrame([
+        Row(label=1, embedding=[1.0, 0.5, -0.5]),
+        Row(label=1, embedding=[0.2, 0.1, 0.0]),
+        Row(label=2, embedding=[0.0, 0.0, 0.0]),
+    ]).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    out = {r["label"]: r for r in sim.quantization_error_stats(df).collect()}
+    assert out[1]["n_vectors"] == 2
+    assert 0 <= out[1]["avg_max_err"] <= out[1]["worst_max_err"]
+    assert out[1]["worst_max_err"] <= 1.0 / 127 / 2 + 1e-9  # ≤ scale/2
+    assert out[1]["avg_cosine"] > 0.999  # int8 keeps direction
+    assert out[2]["worst_max_err"] == 0.0 and out[2]["avg_cosine"] is None
+
+
+def test_key_skew_profile(spark):
+    from mondrian_olap_spark.operators import util
+
+    rows = [Row(a="hot", b=i) for i in range(6)]
+    rows += [Row(a="warm", b=100), Row(a="warm", b=100), Row(a="x", b=101)]
+    df = spark.createDataFrame(rows)
+    out = {r["column"]: r for r in util.key_skew_profile(
+        df, ["a", "b"], top=2, min_count=2).collect()}
+    ra = out["a"]
+    assert (ra["n_rows"], ra["n_keys"], ra["max_count"]) == (9, 3, 6)
+    assert ra["top_keys"] == "hot:6,warm:2"
+    assert abs(ra["skew_ratio"] - 6 / (9 / 3)) < 1e-9
+    rb = out["b"]
+    assert rb["max_count"] == 2  # b=100 twice
+    assert rb["top_keys"] == "100:2"  # min_count drops all singletons
+    # all-unique column: empty top list, ratio 1
+    out2 = util.key_skew_profile(df.select("b").distinct(), ["b"]).collect()[0]
+    assert out2["top_keys"] == "" and out2["skew_ratio"] == 1.0
+
+
 def test_asof_join_null_key_never_matches(spark):
     """SQL join equality: NULL key ≠ NULL key.  The NULL-key left row
     survives (left-outer) with NULL right values; the NULL-key right row

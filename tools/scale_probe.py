@@ -85,6 +85,9 @@ QUERIES = [
     "text_inverted_index",
     "pipeline_pack_concat",
     "pipeline_mix_applied",
+    "events_props_json_stats",
+    "embed_quantization_report",
+    "pipeline_skew_profile",
 ]
 
 
