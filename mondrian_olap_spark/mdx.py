@@ -136,6 +136,9 @@ _VBA_FN_ALIASES = {
     "atn": "atan",
     "asc": "ascii",
     "cdbl": "double",
+    # DateSerial(y, m, d) → DATE (mondrian_test.rb:526 CoalesceEmpty
+    # fallback; jar!mondrian/olap/fun/vba/Vba dateSerial)
+    "dateserial": "make_date",
 }
 
 
@@ -1579,7 +1582,7 @@ class MdxParser:
         # (jar!mondrian/olap/fun/vba/Vba; SURVEY.md §2.7 — UCase/LCase/
         # InStr/Chr/Space already exist in Spark under their VBA names)
         out = re.sub(
-            r"(?i)\b(sqr|mid|atn|asc|cdbl)\s*\(",
+            r"(?i)\b(sqr|mid|atn|asc|cdbl|dateserial)\s*\(",
             lambda m: _VBA_FN_ALIASES[m.group(1).lower()] + "(",
             out,
         )
@@ -1588,6 +1591,29 @@ class MdxParser:
         # returns double — both need wrapping, not renaming
         out = _rewrite_call(out, "cint", "int(bround(", "))")
         out = _rewrite_call(out, "sgn", "cast(sign(", ") as int)")
+
+        def _val_repl(inner: str) -> str:
+            # VBA Val (query_test.rb:343-358 profit-margin formulas;
+            # Vba.val): numeric input passes through as DOUBLE; a string
+            # parses its leading numeric prefix with embedded whitespace
+            # stripped ('1 000.5x' → 1000.5); anything else → 0.  The
+            # try_cast chain dispatches without knowing the arg's type:
+            # direct double cast first (no lossy string round-trip for
+            # numeric inputs), prefix parse second, 0 last.  Subset: no
+            # &H/&O radix literals (reference Vba.val supports them).
+            stripped = (
+                f"regexp_replace(cast(({inner}) as string), '\\\\s+', '')"
+            )
+            prefix = (
+                f"regexp_extract({stripped}, "
+                f"'^[+-]?(\\\\d+\\\\.?\\\\d*|\\\\.\\\\d+)([eE][+-]?\\\\d+)?', 0)"
+            )
+            return (
+                f"coalesce(try_cast(({inner}) as double), "
+                f"try_cast({prefix} as double), cast(0 as double))"
+            )
+
+        out = _rewrite_paren_call(out, "val", _val_repl)
 
         def repl_case_name(m: re.Match) -> str:
             # CASE … END.Name returns the winning *member's name* as a

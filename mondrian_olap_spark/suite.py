@@ -2434,6 +2434,43 @@ def vba_function_names(spark, sf_dir):
 
 
 @q(
+    "vba_val_round_dateserial",
+    f"""
+    SELECT r_name AS region_name,
+           round(CAST(avg(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE))
+             AS round_avg_price,
+           round((CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                  - sum(l_quantity))
+                 / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE),
+                 6) AS val_margin,
+           DATE '1970-01-01' AS epoch_date
+    FROM {_CUST_STAR} GROUP BY 1
+    """,
+)
+def vba_val_round_dateserial(spark, sf_dir):
+    """Val / Round / DateSerial VBA functions (mondrian_test.rb:264-269
+    Round(measure) == rounded measure; query_test.rb:343-358 Val(profit
+    margin); mondrian_test.rb:520-531 DateSerial inside CoalesceEmpty):
+    Round resolves to Spark's native half-away-from-zero round (the
+    reference pins Ruby Float#round semantics on positive values), Val
+    dispatches numeric-vs-string via a try_cast chain, DateSerial lowers
+    to make_date."""
+    eng = get_engine(spark, sf_dir)
+    return eng.execute(
+        """
+        WITH MEMBER [Measures].[Round Avg Price] AS 'Round(avg_price)'
+             MEMBER [Measures].[Val Margin] AS
+               'round(Val((sum_price - sum_qty) / sum_price), 6)'
+             MEMBER [Measures].[Epoch Date] AS
+               'CoalesceEmpty(DateSerial(1970, 1, 1), DateSerial(2000, 1, 1))'
+        SELECT {[Measures].[Round Avg Price], [Measures].[Val Margin],
+                [Measures].[Epoch Date]} ON COLUMNS,
+               [Customer].[Region].Members ON ROWS FROM [Sales]
+        """
+    ).df
+
+
+@q(
     "ragged_hierarchy_members",
     """
     WITH rn AS (

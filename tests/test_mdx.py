@@ -1884,6 +1884,57 @@ def test_vba_function_name_aliases(engine):
     assert row["d"] == 3 and row["e"] == 2 and row["f"] == -3
 
 
+def test_vba_val_round_dateserial(engine):
+    """Val / Round / DateSerial, pinned to the reference tests that use
+    them: Round(measure) == the measure rounded (mondrian_test.rb:264-269),
+    Val(ratio formula) passes numeric through (query_test.rb:343-358
+    profit margin), Val parses a string's leading numeric prefix with
+    embedded whitespace stripped and yields 0 for garbage (Vba.val),
+    DateSerial(1970,1,1) builds a DATE usable inside CoalesceEmpty
+    (mondrian_test.rb:520-531)."""
+    import datetime as dt
+
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[r] AS 'Round([Measures].[Avg Price])'
+             MEMBER [Measures].[v] AS
+               'Val(([Measures].[Sum Price] - [Measures].[Sum Qty])
+                    / [Measures].[Sum Price])'
+             MEMBER [Measures].[vp] AS 'Val(" 12 3.5abc")'
+             MEMBER [Measures].[vg] AS 'Val("no digits")'
+             MEMBER [Measures].[d] AS 'CoalesceEmpty(DateSerial(1970, 1, 1),
+                                                     DateSerial(2000, 1, 1))'
+        SELECT {[Measures].[Avg Price], [Measures].[Sum Price],
+                [Measures].[Sum Qty], [Measures].[r], [Measures].[v],
+                [Measures].[vp], [Measures].[vg], [Measures].[d]} ON COLUMNS
+        FROM [Sales]
+        """,
+    )
+    row = r.df.collect()[0]
+    assert row["r"] == round(row["avg_price"])
+    expected_v = (row["sum_price"] - row["sum_qty"]) / row["sum_price"]
+    assert abs(row["v"] - expected_v) < 1e-9
+    assert row["vp"] == 123.5  # whitespace stripped, prefix parsed
+    assert row["vg"] == 0.0  # non-numeric → 0 (Vba.val)
+    assert row["d"] == dt.date(1970, 1, 1)
+
+
+def test_order_by_now_constant_expression(engine):
+    """ORDER by Now() (mondrian_test.rb:108-113, MONDRIAN-1050): a
+    constant DateTime order expression must execute and preserve the
+    member set."""
+    r = execute_mdx(
+        engine,
+        """
+        SELECT {[Measures].[Sum Qty]} ON COLUMNS,
+               ORDER([Customer].[Region].Members, Now(), ASC) ON ROWS
+        FROM [Sales]
+        """,
+    )
+    assert r.df.count() == 5
+
+
 def test_vba_nested_same_name_calls(engine):
     """Nested same-name VBA calls rewrite ALL occurrences — Sgn(a + Sgn(b))
     and CInt(CInt(x)) must not leave an inner unresolved sgn()/cint()
