@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .operators import dedup, similarity, text
+from .operators.sampling import split_case_sql as _split_case_sql
 from .star import read_parquet_table
 from .suite import ORACLE, QUERIES, q
 
@@ -1348,4 +1349,57 @@ def pipeline_skew_profile(spark, sf_dir):
 
     return key_skew_profile(
         _docs(spark, sf_dir), ["lang", "source"], top=3, min_count=2
+    )
+
+
+_CURATE_SPLITS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+@q(
+    "pipeline_end_to_end_curation",
+    f"""
+    WITH keep AS (
+      SELECT md5(lower(trim(text))) AS f, min(doc_id) AS keep_id,
+             count(*) AS dup_count
+      FROM documents GROUP BY 1
+    ),
+    surv AS (
+      SELECT d.*, k.dup_count
+      FROM documents d
+      JOIN keep k ON md5(lower(trim(d.text))) = k.f AND d.doc_id = k.keep_id
+    ),
+    kept AS (
+      SELECT doc_id, dup_count, CAST({_QUALITY_SQL} AS DOUBLE) AS q,
+             {{split_case}} AS split
+      FROM surv WHERE ({_REASON_SQL}) IS NULL
+    )
+    SELECT split, count(*) AS n_docs,
+           CAST(sum(dup_count) AS BIGINT) AS n_dups_absorbed,
+           round(avg(q), 6) AS avg_quality,
+           md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)) AS kept_md5
+    FROM kept GROUP BY 1
+    """.replace("{split_case}", _split_case_sql(_CURATE_SPLITS)),
+)
+def pipeline_end_to_end_curation(spark, sf_dir):
+    """The COMPOSED curation pass (operators.pipeline.curate_corpus):
+    exact dedup → Gopher quality rules → deterministic hash splits, one
+    DataFrame plan.  Per split: doc count, absorbed-duplicate count, mean
+    quality, and an md5 over the kept doc-id set — the oracle replays the
+    identical composition, so an exact survivor-set match proves the
+    stages chain deterministically end to end."""
+    from .operators.pipeline import curate_corpus
+
+    out = curate_corpus(_docs(spark, sf_dir), split_weights=_CURATE_SPLITS)
+    return out.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dup_count").alias("n_dups_absorbed"),
+        F.round(F.avg("quality_score"), 6).cast("double").alias("avg_quality"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("kept_md5"),
     )

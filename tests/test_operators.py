@@ -922,6 +922,37 @@ def test_funnel_counts_empty_step(spark):
     assert sorted(out) == [(1, 0), (2, 0)]
 
 
+def test_curate_corpus_end_to_end(spark):
+    """Composed curation: exact dups collapse to the min id, quality
+    rules drop junk, survivors get deterministic splits."""
+    from mondrian_olap_spark.operators.pipeline import curate_corpus
+
+    # passes every rule: 28 tokens, avg token length ≈ 6.4 (≥ 4.0),
+    # stopword ratio 4/28 (≥ 0.02), no punctuation
+    good = ("the quantum computer calculates enormous matrices during "
+            "the evening session while patient researchers monitor "
+            "the thermal sensors recording voltage readings across "
+            "the silicon wafers inside sealed chambers throughout winter")
+    rows = [
+        Row(doc_id=1, text=good),
+        Row(doc_id=2, text=good),          # exact dup of 1 → absorbed
+        Row(doc_id=3, text="  " + good.upper() + "  "),  # normalized dup of 1
+        Row(doc_id=4, text="x y"),          # too_short → dropped
+        Row(doc_id=5, text=good + " extra unique tail words here today"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = curate_corpus(df, split_weights={"train": 0.5, "test": 0.5})
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == {1, 5}            # min-id survivor, junk dropped
+    assert got[1]["dup_count"] == 3      # docs 1, 2, 3 collapsed
+    assert got[5]["dup_count"] == 1
+    assert all(r["split"] in ("train", "test") for r in got.values())
+    assert all(r["quality_score"] is not None for r in got.values())
+    # without splits: no split column, same survivor set
+    out2 = curate_corpus(df)
+    assert "split" not in out2.columns and out2.count() == 2
+
+
 def test_parse_props_explicit_schema(spark):
     from mondrian_olap_spark.operators import events as ev_ops
 

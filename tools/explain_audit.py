@@ -254,6 +254,40 @@ def main() -> int:
         f"exchanges={n_exchanges}",
     )
 
+    # 11. JSON props extraction stays JVM-side: from_json row parse inside
+    #     the scan stage, one keyed-agg exchange, and NO Python evaluator
+    #     (the failure mode would be a per-row UDF parse)
+    from pyspark.sql import functions as F
+
+    parsed = ev_ops.parse_props(ev, {"k": "int"})
+    p = plan_str(
+        parsed.groupBy("event_type").agg(F.sum("k").alias("sum_k"))
+    )
+    n_exchanges = p.count("Exchange hashpartitioning")
+    py_eval = "EvalPython" in p  # Batch/ArrowEvalPython
+    check(
+        "props.from_json_codegen_single_exchange_no_python",
+        "from_json" in p and n_exchanges == 1 and not py_eval,
+        f"exchanges={n_exchanges} python={py_eval}",
+    )
+
+    # 12. quantization report is one expression-only scan + one keyed agg:
+    #     a single exchange, no join (no materialized quantized copy), no
+    #     Python evaluator
+    from mondrian_olap_spark.operators import similarity as sim
+
+    emb = read_parquet_table(spark, f"{SF_DIR}/embeddings.parquet")
+    p = plan_str(sim.quantization_error_stats(emb))
+    n_exchanges = p.count("Exchange hashpartitioning")
+    has_join = any(
+        j in p for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    )
+    check(
+        "quantization.single_scan_single_exchange_no_join_no_python",
+        n_exchanges == 1 and not has_join and "EvalPython" not in p,
+        f"exchanges={n_exchanges} join={has_join}",
+    )
+
     print(f"\n{len(failures)} failed properties" if failures else "\nall plan properties hold")
     return 1 if failures else 0
 

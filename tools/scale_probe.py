@@ -88,6 +88,7 @@ QUERIES = [
     "events_props_json_stats",
     "embed_quantization_report",
     "pipeline_skew_profile",
+    "pipeline_end_to_end_curation",
 ]
 
 
