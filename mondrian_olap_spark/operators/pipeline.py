@@ -61,3 +61,38 @@ def curate_corpus(
     if split_weights:
         out = sp.assign_splits(out, split_weights, id_col=id_col, seed=seed)
     return out
+
+
+def write_curated(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    order_by: str = "doc_id",
+    max_records_per_file: int = 1_000_000,
+) -> None:
+    """Materialize a curated corpus as partitioned parquet with a
+    reproducible file layout — the hand-off artifact to the trainer.
+
+    * ``partition_by`` (default ``["split"]`` when present) becomes
+      directory partitioning, so the trainer's split/lang selection is
+      partition PRUNING, never a scan-and-filter;
+    * rows are sorted by ``order_by`` within each task
+      (``sortWithinPartitions`` — a local sort, NO global shuffle), so
+      file contents are deterministic given the same partitioning and
+      re-ingests diff cleanly;
+    * ``maxRecordsPerFile`` bounds file sizes without an extra
+      repartition job (the writer splits as it goes).
+    """
+    if partition_by is None:
+        partition_by = ["split"] if "split" in df.columns else []
+    missing = [c for c in partition_by if c not in df.columns]
+    if missing:
+        raise ValueError(f"partition columns not in frame: {missing}")
+    writer = (
+        df.sortWithinPartitions(*(partition_by + [order_by]))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -1920,6 +1920,31 @@ def test_vba_val_round_dateserial(engine):
     assert row["d"] == dt.date(1970, 1, 1)
 
 
+def test_vba_val_edge_strings(engine):
+    """Val string-parsing edges (Vba.val): exponent suffix, signed
+    fraction, whitespace inside the number, bare dot, empty-ish text."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[a] AS 'Val("1e3")'
+             MEMBER [Measures].[b] AS 'Val("+.5")'
+             MEMBER [Measures].[c] AS 'Val("-2.5e-1x")'
+             MEMBER [Measures].[d] AS 'Val(" 1 2 . 5 rest")'
+             MEMBER [Measures].[e] AS 'Val(".")'
+             MEMBER [Measures].[f] AS 'Val("  ")'
+        SELECT {[Measures].[a], [Measures].[b], [Measures].[c],
+                [Measures].[d], [Measures].[e], [Measures].[f]} ON COLUMNS
+        FROM [Sales]
+        """,
+    )
+    row = r.df.collect()[0]
+    assert row["a"] == 1000.0
+    assert row["b"] == 0.5
+    assert row["c"] == -0.25
+    assert row["d"] == 12.5  # embedded whitespace stripped before parse
+    assert row["e"] == 0.0 and row["f"] == 0.0
+
+
 def test_order_by_now_constant_expression(engine):
     """ORDER by Now() (mondrian_test.rb:108-113, MONDRIAN-1050): a
     constant DateTime order expression must execute and preserve the

@@ -1297,3 +1297,30 @@ def test_apply_mixing_deterministic_and_drops_untargeted(spark):
     # though the mix itself is unachievable.  166 = exact content-hash
     # keep count at p=0.5 (deterministic by construction).
     assert half == 166
+
+
+def test_write_curated_partitioned_layout(spark, tmp_path):
+    """write_curated materializes directory partitioning (trainer-side
+    selection = partition pruning) with deterministic in-file order."""
+    import os
+
+    from mondrian_olap_spark.operators.pipeline import write_curated
+
+    df = spark.createDataFrame([
+        Row(doc_id=i, split=("train" if i % 2 else "test"), text=f"doc {i}")
+        for i in range(10)
+    ])
+    dst = str(tmp_path / "curated")
+    write_curated(df, dst)
+    dirs = sorted(d for d in os.listdir(dst) if d.startswith("split="))
+    assert dirs == ["split=test", "split=train"]
+    back = spark.read.parquet(dst)
+    assert back.count() == 10
+    assert {r["split"] for r in back.select("split").distinct().collect()} == {
+        "test", "train"
+    }
+    # partition filter prunes to one directory's rows
+    assert back.filter("split = 'train'").count() == 5
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        write_curated(df, dst, partition_by=["nope"])

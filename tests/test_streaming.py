@@ -386,3 +386,38 @@ def test_enrich_with_dimension_stream_static(spark, tmp_path):
     q.awaitTermination(120)
     rows = {r["event_id"]: r["segment"] for r in spark.sql("select * from enrich_test").collect()}
     assert rows == {1: "paid", 2: "free", 3: None}  # left join keeps unmatched
+
+
+def test_parse_props_composes_with_streams(spark, tmp_path):
+    """parse_props is a pure projection (explicit-schema from_json), so it
+    composes with readStream → windowed aggregation unchanged."""
+    from mondrian_olap_spark.operators.events import parse_props
+
+    rows = [
+        {"event_id": 1, "ts": "2024-01-01 00:00:10", "user_id": 1,
+         "event_type": "click", "value": 1.0, "props": '{"k": 10}'},
+        {"event_id": 2, "ts": "2024-01-01 00:00:20", "user_id": 2,
+         "event_type": "click", "value": 2.0, "props": '{"k": 32}'},
+        {"event_id": 3, "ts": "2024-01-01 00:00:30", "user_id": 3,
+         "event_type": "view", "value": 3.0, "props": "garbage"},
+    ]
+    src = tmp_path / "src"
+    _write_events(src, rows)
+    stream = spark.readStream.schema(EVENTS_SCHEMA + ", props STRING").json(str(src))
+    parsed = parse_props(stream, {"k": "int"})
+    assert parsed.isStreaming
+    agg = parsed.groupBy("event_type").agg(
+        F.sum("k").alias("sum_k"), F.count("*").alias("n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("props_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_props"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    out = {r["event_type"]: (r["sum_k"], r["n"])
+           for r in spark.sql("SELECT * FROM props_test").collect()}
+    assert out == {"click": (42, 2), "view": (None, 1)}  # garbage → NULL k
