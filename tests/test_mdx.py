@@ -1860,6 +1860,51 @@ def test_subselect_keeps_qualifying_null_member(spark):
     assert len(rows) == 1 and rows[0]["cat"] is None and rows[0]["v_sum"] == 99.0
 
 
+def test_agg_scalar_totals_genuine_null_key_collision_fallback(spark):
+    """A GENUINE NULL member key colliding with the rollup marker NULL in
+    an Aggregate-scalar sub-frame: the dup probe in _broadcast_attach must
+    fall back to the plain equality join — detail rows keep exact values
+    and BOTH NULL-keyed grid rows get a NULL scalar, never a
+    cross-assigned wrong value."""
+    from mondrian_olap_spark.model import Cube, Dimension, Level, Measure
+    from mondrian_olap_spark.star import CubeEngine
+
+    fact = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 3.0),
+         (None, "x", 5.0), (None, "y", 7.0)],
+        "grp string, seg string, v double",
+    )
+    cube = Cube(
+        name="N",
+        fact="fact",
+        dimensions=(
+            Dimension(name="Grp", levels=(Level("Grp", "grp", output="grp"),)),
+            Dimension(name="Seg", levels=(Level("Seg", "seg", output="seg"),)),
+        ),
+        measures=(Measure("V", "v", "sum", output="v_sum"),),
+    )
+    eng = CubeEngine(cube, {"fact": fact})
+    q = (
+        Query(eng)
+        .with_member("VSq")
+        .as_("__aggexpr0", output="v_sq")
+        .columns("[Measures].[V]", "[Measures].[VSq]")
+        .rows("[Grp].children")
+        .totals("rollup")
+    )
+    q._agg_scalars.append(
+        ("__aggexpr0", "v_sum * v_sum", ("[Seg].[x]", "[Seg].[y]"))
+    )
+    rows = q.execute().df.collect()
+    got = {(r["grp"], r["v_sum"]): r["v_sq"] for r in rows}
+    assert got[("a", 3.0)] == pytest.approx(5.0)   # 1² + 2²
+    assert got[("b", 3.0)] == pytest.approx(9.0)   # 3²
+    # genuine NULL group (v=12) and marker total (v=18) both present,
+    # both NULL scalar — the conservative fallback, never 74/162 swapped
+    assert got[(None, 12.0)] is None
+    assert got[(None, 18.0)] is None
+
+
 def test_vba_function_name_aliases(engine):
     """VBA names without a same-named Spark builtin alias at translation
     time (vba/Vba): Sqr/Mid/Sgn/Atn/Asc/CDbl/CInt."""
