@@ -44,8 +44,13 @@ _UNORDERABLE = ("array<", "map<", "struct<")
 
 def _tiebreaks(df: DataFrame, order: list[str]) -> list[str]:
     """Deterministic tiebreak columns: every orderable frame column not
-    already referenced in the order specs, in name order."""
-    mentioned = " ".join(order)
+    already referenced in the order specs, in name order.  Referenced-ness
+    is by whole identifier — a bare substring test would silently drop a
+    column like ``price`` from the tiebreaks whenever an order spec
+    mentions ``price_total``, reintroducing tie nondeterminism."""
+    import re
+
+    mentioned = set(re.findall(r"[A-Za-z_][A-Za-z0-9_]*", " ".join(order)))
     return sorted(
         name
         for name, dtype in df.dtypes
