@@ -1578,6 +1578,35 @@ class MdxParser:
 
         out = re.sub(r"'(?:[^']|'')*'|\"[^\"]*\"", _mask, out)
 
+        # SetToStr / TupleToStr over a registered set UDF
+        # (schema_definition_test.rb:1111-1138 'user defined functions with
+        # a member set / tuple result'): the registered function resolves at
+        # translation time (it receives the engine, not row context), so
+        # the result is a string CONSTANT — rendered and masked immediately
+        # so the member identifiers inside it are never re-resolved by the
+        # reference passes below.  Zero-arg form only: context-dependent
+        # sets (CurrentMember arguments) are per-row and out of this subset.
+        def _set_to_str(m: re.Match) -> str:
+            from .udf import set_function
+
+            fn = set_function(m.group(2))
+            if fn is None:
+                return m.group(0)
+            body = ", ".join(fn(self.engine))
+            rendered = (
+                "{" + body + "}"
+                if m.group(1).lower() == "settostr"
+                else "(" + body + ")"
+            )
+            _masked.append("'" + rendered.replace("'", "''") + "'")
+            return f"\x00{len(_masked) - 1}\x00"
+
+        out = re.sub(
+            r"(?i)\b(settostr|tupletostr)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\(\s*\)\s*\)",
+            _set_to_str,
+            out,
+        )
+
         # VBA function names without a same-named Spark builtin
         # (jar!mondrian/olap/fun/vba/Vba; SURVEY.md §2.7 — UCase/LCase/
         # InStr/Chr/Space already exist in Spark under their VBA names)

@@ -140,6 +140,28 @@ def test_set_valued_udf_mdx(engine):
     assert {x["region_name"] for x in r.df.collect()} == {"ASIA", "EUROPE"}
 
 
+def test_set_udf_stringified_in_formula(engine):
+    """SetToStr / TupleToStr over a registered set UDF as a MEASURE value
+    (schema_definition_test.rb:1111-1138): the set resolves at translation
+    time into a string constant; member identifiers inside it are never
+    re-resolved as references."""
+    from mondrian_olap_spark.udf import register_set_function
+
+    register_set_function(
+        "PairRegions", lambda eng: ["[Customer].[ASIA]", "[Customer].[EUROPE]"]
+    )
+    r = engine.execute(
+        """
+        WITH MEMBER [Measures].[s] AS 'SetToStr(PairRegions())'
+             MEMBER [Measures].[t] AS 'TupleToStr(PairRegions())'
+        SELECT {[Measures].[s], [Measures].[t]} ON COLUMNS FROM [Sales]
+        """
+    )
+    row = r.df.collect()[0]
+    assert row["s"] == "{[Customer].[ASIA], [Customer].[EUROPE]}"
+    assert row["t"] == "([Customer].[ASIA], [Customer].[EUROPE])"
+
+
 def test_member_formatter_callable(spark):
     """Python MEMBER FORMATTER on a level (schema_udf.rb:241-249): applied
     to the caption column as an Arrow-batched pandas UDF."""
