@@ -413,6 +413,22 @@ class CubeEngine:
         refs = [resolve(self.cube, m) for m in members]
         return self.cache.flush_region(refs)
 
+    def flush_region_cache_with_full_names(self, *full_names: str) -> int:
+        """Reference-named entry point (``cube.rb:533-536``): each region
+        member as a full ``[Dim].[A].[B]`` identifier."""
+        return self.flush_region_cache(list(full_names))
+
+    def flush_region_cache_with_segments(self, *segment_names) -> int:
+        """Reference-named entry point (``cube.rb:528-531``): each region
+        member as an ordered path-segment sequence, e.g.
+        ``("Time", "2010", "Q1")``.  Segments are bracket-quoted (with
+        ``]`` doubled) and joined into the full identifier."""
+        names = [
+            ".".join("[" + str(s).replace("]", "]]") + "]" for s in segs)
+            for segs in segment_names
+        ]
+        return self.flush_region_cache(names)
+
     def parameter(self, name: str):
         """Schema parameter definition lookup (``mondrian_parameter`` —
         connection.rb; None for unknown names)."""

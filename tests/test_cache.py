@@ -75,6 +75,19 @@ def test_region_flush_is_targeted(cached_engine):
     assert len(cached_engine.cache) == 1
 
 
+def test_flush_region_reference_named_entry_points(cached_engine):
+    """cube.rb:528-536 parity: the segments form quotes/joins paths, the
+    full-names form passes through — both hit the same region flush."""
+    _q(cached_engine, where=("[Customer].[ASIA]",)).collect()
+    assert cached_engine.flush_region_cache_with_segments(
+        ("Customer", "ASIA")
+    ) == 1
+    _q(cached_engine, where=("[Customer].[ASIA]",)).collect()
+    assert cached_engine.flush_region_cache_with_full_names(
+        "[Customer].[ASIA]"
+    ) == 1
+
+
 def test_unconstrained_entries_overlap_every_region(cached_engine):
     _q(cached_engine).collect()  # grand aggregate, no slicer
     flushed = cached_engine.flush_region_cache(["[Customer].[ASIA]"])
