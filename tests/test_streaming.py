@@ -421,3 +421,46 @@ def test_parse_props_composes_with_streams(spark, tmp_path):
     out = {r["event_type"]: (r["sum_k"], r["n"])
            for r in spark.sql("SELECT * FROM props_test").collect()}
     assert out == {"click": (42, 2), "view": (None, 1)}  # garbage → NULL k
+
+
+def test_streaming_curation_composition(spark, tmp_path):
+    """The curation stages compose on a STREAM: quality filter (stateless
+    expression projection) + exact dedup (watermark-free bounded-backfill
+    variant) in one streaming plan — the ingest-side counterpart of
+    pipeline.curate_corpus."""
+    import json as _json
+
+    from mondrian_olap_spark.operators.text import quality_filter
+    from mondrian_olap_spark.streaming.dedup import streaming_exact_dedup
+
+    good = ("the quantum computer calculates enormous matrices during "
+            "the evening session while patient researchers monitor "
+            "the thermal sensors recording voltage readings across "
+            "the silicon wafers inside sealed chambers throughout winter")
+    rows = [
+        {"doc_id": 1, "text": good},
+        {"doc_id": 2, "text": good},        # exact dup → dropped by dedup
+        {"doc_id": 3, "text": "x y"},       # too_short → dropped by rules
+        {"doc_id": 4, "text": good + " with unique additional closing material"},
+    ]
+    src = tmp_path / "docs_src"
+    src.mkdir(parents=True)
+    with open(src / "p1.json", "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    stream = spark.readStream.schema("doc_id LONG, text STRING").json(str(src))
+    curated = streaming_exact_dedup(quality_filter(stream).filter("keep"))
+    assert curated.isStreaming
+    q = (
+        curated.select("doc_id", "quality_score")
+        .writeStream.format("memory")
+        .queryName("stream_curation")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cur"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    out = spark.sql("SELECT * FROM stream_curation").collect()
+    assert {r["doc_id"] for r in out} == {1, 4}
+    assert all(r["quality_score"] is not None for r in out)
