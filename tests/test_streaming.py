@@ -464,3 +464,50 @@ def test_streaming_curation_composition(spark, tmp_path):
     out = spark.sql("SELECT * FROM stream_curation").collect()
     assert {r["doc_id"] for r in out} == {1, 4}
     assert all(r["quality_score"] is not None for r in out)
+
+
+def test_streaming_curated_partitioned_parquet_sink(spark, tmp_path):
+    """End-to-end streaming ingest artifact: curated stream → native
+    partitioned parquet sink (writeStream.partitionBy + checkpoint), the
+    streaming counterpart of pipeline.write_curated."""
+    import json as _json
+    import os
+
+    from mondrian_olap_spark.operators.sampling import assign_splits
+    from mondrian_olap_spark.operators.text import quality_filter
+    from mondrian_olap_spark.streaming.dedup import streaming_exact_dedup
+
+    good = ("the quantum computer calculates enormous matrices during "
+            "the evening session while patient researchers monitor "
+            "the thermal sensors recording voltage readings across "
+            "the silicon wafers inside sealed chambers throughout winter")
+    src = tmp_path / "sink_src"
+    src.mkdir(parents=True)
+    with open(src / "p1.json", "w") as f:
+        for i in range(6):
+            f.write(_json.dumps(
+                {"doc_id": i, "text": f"{good} closing variant {i}"}) + "\n")
+    stream = spark.readStream.schema("doc_id LONG, text STRING").json(str(src))
+    curated = assign_splits(
+        streaming_exact_dedup(quality_filter(stream).filter("keep")),
+        {"train": 0.5, "test": 0.5},
+    ).select("doc_id", "text", "split")
+    dst = tmp_path / "sink_out"
+    q = (
+        curated.writeStream.format("parquet")
+        .partitionBy("split")
+        .option("path", str(dst))
+        .option("checkpointLocation", str(tmp_path / "ckpt_sink"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    dirs = {d for d in os.listdir(dst) if d.startswith("split=")}
+    assert dirs  # at least one split materialized as a directory
+    back = spark.read.parquet(str(dst))
+    assert back.count() == 6
+    # hash splits are layout-independent: the batch assignment agrees
+    batch = {r["doc_id"]: r["split"] for r in assign_splits(
+        spark.read.schema("doc_id LONG, text STRING").json(str(src)),
+        {"train": 0.5, "test": 0.5}).collect()}
+    assert {r["doc_id"]: r["split"] for r in back.collect()} == batch
