@@ -306,6 +306,62 @@ def ivf_topk(
     )
 
 
+def write_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    centroids: list | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Materialize the IVF index PARTITIONED BY cell — the on-disk ANN
+    artifact: a probe that filters on its ``n_probe`` cells reads only
+    those cells' directories (static partition pruning when the cells are
+    literals; dynamic partition pruning under the broadcast probe join),
+    so query cost tracks ``n_probe / n_cells`` of the corpus at any scale.
+
+    The centroids are part of the artifact — probing MUST use the
+    centroids the index was assigned with — so they are persisted next to
+    the data under ``_centroids`` (the ``_`` prefix hides the directory
+    from parquet data discovery).  Returns the centroid list it wrote.
+    """
+    seeds = (
+        centroids
+        if centroids is not None
+        else ivf_seeds(emb, n_cells, id_col, vec_col)
+    )
+    idx = ivf_index(emb, n_cells, id_col, vec_col, centroids=seeds)
+    idx.write.mode("overwrite").partitionBy("cell").parquet(path)
+    cent_rows = [
+        (int(s["id"]), [float(x) for x in s["v"]], float(s["nv"]))
+        for s in seeds
+    ]
+    (
+        emb.sparkSession.createDataFrame(
+            cent_rows, "id long, v array<double>, nv double"
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path + "/_centroids")
+    )
+    return seeds
+
+
+def read_ivf_index(spark, path: str) -> tuple[DataFrame, list]:
+    """Load an index written by :func:`write_ivf_index`: returns
+    ``(index_df, centroids)`` in exactly the shape
+    ``ivf_topk(index=..., centroids=...)`` takes.  The centroid read is a
+    k-row collect (model parameters, the legitimate collect)."""
+    idx = spark.read.parquet(path)
+    cents = [
+        {"id": r["id"], "v": list(r["v"]), "nv": r["nv"]}
+        for r in spark.read.parquet(path + "/_centroids")
+        .orderBy("id")
+        .collect()
+    ]
+    return idx, cents
+
+
 def _hyperplane(dim: int, plane: int) -> list[float]:
     """Deterministic pseudo-random hyperplane components in [-1, 1): derived
     from md5 of (plane, component) so any engine can reproduce them."""

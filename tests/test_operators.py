@@ -150,6 +150,27 @@ def test_ivf_probe_subsets_candidates(spark):
     assert cosines == sorted(cosines, reverse=True)
 
 
+def test_ivf_index_roundtrip_and_pruning(vectors, spark, tmp_path):
+    """write_ivf_index / read_ivf_index: the persisted index reproduces
+    the in-memory topk exactly, and a literal cell filter prunes to the
+    probed cells' directories (PartitionFilters in the scan)."""
+    path = str(tmp_path / "ivf")
+    written = similarity.write_ivf_index(vectors, path, n_cells=2)
+    idx, cents = similarity.read_ivf_index(spark, path)
+    assert [c["id"] for c in cents] == [c["id"] for c in written]
+    mem = similarity.ivf_topk(vectors, [1], k=3, n_cells=2, n_probe=2).collect()
+    disk = similarity.ivf_topk(
+        vectors, [1], k=3, n_probe=2, index=idx, centroids=cents
+    ).collect()
+    assert [(r["neighbor_id"], round(r["cosine"], 9)) for r in disk] == [
+        (r["neighbor_id"], round(r["cosine"], 9)) for r in mem
+    ]
+    # literal probe-cell filter reaches the scan as a partition filter
+    plan = idx.filter(F.col("cell") == cents[0]["id"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
+
+
 def test_lsh_candidates_find_near_duplicates(spark):
     # clusters of near-identical vectors -> band collision probability ~1
     rows = []
