@@ -9,4 +9,15 @@ expressions (whole-stage codegen, no Python row loops); Pandas UDFs appear
 only where Python is genuinely required (multimodal decode).
 """
 
-from . import dedup, similarity, text  # noqa: F401
+from . import (  # noqa: F401
+    dedup,
+    events,
+    multimodal,
+    packing,
+    pipeline,
+    sampling,
+    sessions,
+    similarity,
+    text,
+    util,
+)
