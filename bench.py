@@ -45,6 +45,10 @@ HEADLINE = [
     "text_segment_dedup",
     "text_inverted_index",
     "pipeline_pack_concat",
+    "events_props_json_stats",
+    "embed_quantization_report",
+    "pipeline_skew_profile",
+    "pipeline_end_to_end_curation",
 ]
 
 
