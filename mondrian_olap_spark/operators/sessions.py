@@ -58,6 +58,10 @@ def sessionize(
     the first event and whenever the gap since the previous event exceeds
     ``gap_seconds``.  Deterministic: ordering ties break on
     ``order_tiebreak``."""
+    # a NULL timestamp cannot be ordered into any session: unfiltered it
+    # sorts NULLS FIRST and silently joins the user's first session (same
+    # rule as events.funnel_counts)
+    df = df.filter(F.col(ts_col).isNotNull())
     ntz = _is_ntz(df, ts_col)
     w = Window.partitionBy(user_col).orderBy(ts_col, order_tiebreak)
     prev = F.lag(F.col(ts_col)).over(w)

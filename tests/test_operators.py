@@ -692,6 +692,24 @@ def test_contamination_pairs_cross_frame(spark):
     assert pairs == {(1, 100): 1.0}
 
 
+def test_sessionize_null_ts_excluded(spark):
+    """A NULL-timestamp event cannot be ordered into any session — it must
+    be dropped, not silently merged into the user's first session (same
+    rule as funnel_counts)."""
+    from datetime import datetime
+
+    from mondrian_olap_spark.operators import sessions
+
+    rows = [
+        Row(event_id=1, user_id=7, ts=datetime(2024, 1, 1, 0, 0, 0)),
+        Row(event_id=2, user_id=7, ts=datetime(2024, 1, 1, 0, 0, 10)),
+        Row(event_id=3, user_id=7, ts=None),
+    ]
+    out = sessions.sessionize(spark.createDataFrame(rows)).collect()
+    assert {r["event_id"] for r in out} == {1, 2}
+    assert all(r["session_idx"] == 1 for r in out)
+
+
 def test_sessionize_ntz_wall_clock_semantics(spark):
     """TIMESTAMP_NTZ gaps compute from wall-clock component math — a
     non-UTC session timezone (including a DST-transition morning) must
