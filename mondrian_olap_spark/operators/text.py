@@ -481,6 +481,59 @@ def unigram_entropy(
     )
 
 
+def bigram_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document bigram (adjacent word-pair) entropy in nats — the
+    repeated-PHRASE detector :func:`unigram_entropy` cannot see: a
+    document cycling one sentence has near-normal unigram entropy but
+    collapsed bigram entropy.
+
+    Same deterministic shape as the unigram variant: counts fold
+    sequentially sorted by bigram, so the double result is bit-exact
+    across engines and partitionings.  Documents with fewer than two
+    tokens have no bigrams and drop from the output (both engines).
+
+    Returns (id, n_bigrams, n_distinct_bigrams, bigram_entropy) with the
+    entropy rounded to 6 decimals.
+    """
+    from .util import ensure_min_parallelism
+
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("id"), F.explode(grams).alias("g")
+    )
+    counts = pairs.groupBy("id", "g").agg(F.count("*").alias("c"))
+    per_doc = counts.groupBy("id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.count("*").alias("n_distinct_bigrams"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("g"), F.col("c")))
+        ).alias("__gc"),
+    )
+    acc = F.aggregate(
+        F.col("__gc"),
+        F.lit(0.0),
+        lambda a, s: a + s["c"].cast("double") * F.log(s["c"].cast("double")),
+    )
+    ent = F.log(F.col("n_bigrams").cast("double")) - acc / F.col("n_bigrams")
+    return per_doc.select(
+        "id",
+        "n_bigrams",
+        "n_distinct_bigrams",
+        F.round(ent, 6).alias("bigram_entropy"),
+    )
+
+
 def inverted_index(
     df: DataFrame,
     min_df: int = 1,

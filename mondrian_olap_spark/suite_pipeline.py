@@ -1403,3 +1403,40 @@ def pipeline_end_to_end_curation(spark, sf_dir):
             )
         ).alias("kept_md5"),
     )
+
+
+@q(
+    "text_bigram_entropy",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w,
+             generate_subscripts(string_split_regex(trim(text), '\\s+'), 1)
+               AS pos
+      FROM documents
+    ),
+    bg AS (
+      SELECT a.doc_id, a.w || ' ' || b.w AS g
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    c AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+    d AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+             count(*) AS n_distinct_bigrams,
+             list(CAST(c AS DOUBLE) ORDER BY g) AS cl
+      FROM c GROUP BY 1
+    )
+    SELECT doc_id AS id, n_bigrams, n_distinct_bigrams,
+           round(ln(CAST(n_bigrams AS DOUBLE))
+                 - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                            list_transform(cl, x -> x * ln(x))),
+                               (a, b) -> a + b) / n_bigrams,
+                 6) AS bigram_entropy
+    FROM d
+    """,
+)
+def text_bigram_entropy(spark, sf_dir):
+    """Per-doc bigram entropy (text.bigram_entropy): the repeated-phrase
+    detector unigram entropy misses — same deterministic sorted-fold, so
+    the double result is bit-exact on both engines."""
+    return text.bigram_entropy(_docs(spark, sf_dir))

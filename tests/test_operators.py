@@ -961,6 +961,28 @@ def test_funnel_counts_empty_step(spark):
     assert sorted(out) == [(1, 0), (2, 0)]
 
 
+def test_bigram_entropy_detects_repeated_phrases(spark):
+    """A document cycling one phrase has near-normal unigram variety but
+    collapsed bigram entropy; short docs (<2 tokens) drop from output."""
+    import math
+
+    from mondrian_olap_spark.operators import text as text_ops
+
+    rows = [
+        Row(doc_id=1, text="alpha beta alpha beta alpha beta alpha beta"),
+        Row(doc_id=2, text="alpha beta gamma delta epsilon zeta eta theta"),
+        Row(doc_id=3, text="single"),
+    ]
+    out = {r["id"]: r for r in text_ops.bigram_entropy(
+        spark.createDataFrame(rows)).collect()}
+    assert set(out) == {1, 2}  # one-token doc has no bigrams
+    assert out[1]["n_bigrams"] == 7 and out[1]["n_distinct_bigrams"] == 2
+    assert out[2]["n_distinct_bigrams"] == 7
+    # doc 2: all 7 bigrams distinct → entropy = ln(7); doc 1 collapsed
+    assert out[2]["bigram_entropy"] == round(math.log(7), 6)
+    assert out[1]["bigram_entropy"] < out[2]["bigram_entropy"]
+
+
 def test_curate_corpus_end_to_end(spark):
     """Composed curation: exact dups collapse to the min id, quality
     rules drop junk, survivors get deterministic splits."""
