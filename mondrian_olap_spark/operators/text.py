@@ -534,6 +534,63 @@ def bigram_entropy(
     )
 
 
+def kl_from_corpus(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document KL divergence from the CORPUS unigram distribution —
+    the distribution-shift signal: boilerplate and off-domain outliers
+    have word distributions far from the corpus average, near-average
+    documents score ≈ 0.  ``KL(doc ‖ corpus) = Σ_w p_d(w)·ln(p_d(w) /
+    p_c(w))``, always finite (every doc word is in the corpus by
+    construction).
+
+    Scale shape: one (doc, word) count aggregate, one word-keyed corpus
+    count aggregate (vocabulary-sized — partial-combined, never
+    collected), an equi-join on the word, and a per-doc sequential fold
+    over counts sorted by word (module convention: bit-reproducible
+    doubles).  The corpus total is a 1-row broadcast.
+
+    Returns (id, n_tokens, kl) with kl rounded to 6 decimals.
+    """
+    from .util import ensure_min_parallelism
+
+    toks = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+        ).alias("w"),
+    ).filter(F.col("w") != "")
+    counts = toks.groupBy("id", "w").agg(F.count("*").alias("c"))
+    corpus = counts.groupBy("w").agg(F.sum("c").alias("cw"))
+    total = corpus.agg(F.sum("cw").alias("__N"))
+    joined = counts.join(corpus, "w").crossJoin(F.broadcast(total))
+    per_doc = joined.groupBy("id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.first("__N").alias("__N"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("w"), F.col("c"), F.col("cw")))
+        ).alias("__wc"),
+    )
+    # fixed op order, mirrored verbatim in the SQL oracle:
+    # term = c · ln((c · N) / (n_d · cw)); KL = Σ term / n_d
+    nd = F.col("n_tokens").cast("double")
+    big_n = F.col("__N").cast("double")
+    acc = F.aggregate(
+        F.col("__wc"),
+        F.lit(0.0),
+        lambda a, s: a
+        + s["c"].cast("double")
+        * F.log(
+            (s["c"].cast("double") * big_n) / (nd * s["cw"].cast("double"))
+        ),
+    )
+    return per_doc.select(
+        "id",
+        "n_tokens",
+        F.round(acc / nd, 6).alias("kl"),
+    )
+
+
 def inverted_index(
     df: DataFrame,
     min_df: int = 1,

@@ -1440,3 +1440,43 @@ def text_bigram_entropy(spark, sf_dir):
     detector unigram entropy misses — same deterministic sorted-fold, so
     the double result is bit-exact on both engines."""
     return text.bigram_entropy(_docs(spark, sf_dir))
+
+
+@q(
+    "text_kl_from_corpus",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, w, count(*) AS c FROM toks WHERE w <> '' GROUP BY 1, 2
+    ),
+    corpus AS (SELECT w, CAST(sum(c) AS BIGINT) AS cw FROM c GROUP BY 1),
+    tot AS (SELECT CAST(sum(cw) AS BIGINT) AS N FROM corpus),
+    j AS (
+      SELECT c.doc_id, c.w, c.c, corpus.cw, tot.N
+      FROM c JOIN corpus USING (w) CROSS JOIN tot
+    ),
+    d AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, any_value(N) AS N,
+             list(struct_pack(c := CAST(c AS DOUBLE),
+                              cw := CAST(cw AS DOUBLE)) ORDER BY w) AS cl
+      FROM j GROUP BY 1
+    )
+    SELECT doc_id AS id, n_tokens,
+           round(list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(cl, s ->
+                       s.c * ln((s.c * CAST(N AS DOUBLE))
+                                / (CAST(n_tokens AS DOUBLE) * s.cw)))),
+                   (a, b) -> a + b)
+                 / CAST(n_tokens AS DOUBLE), 6) AS kl
+    FROM d
+    """,
+)
+def text_kl_from_corpus(spark, sf_dir):
+    """Per-doc KL divergence from the corpus unigram distribution
+    (text.kl_from_corpus): distribution-shift / boilerplate signal.
+    Terms fold sorted by word on both engines — bit-exact doubles."""
+    return text.kl_from_corpus(_docs(spark, sf_dir))

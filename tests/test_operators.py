@@ -983,6 +983,27 @@ def test_bigram_entropy_detects_repeated_phrases(spark):
     assert out[1]["bigram_entropy"] < out[2]["bigram_entropy"]
 
 
+def test_kl_from_corpus_hand_computed(spark):
+    """Hand-checkable KL: corpus = {a:2, b:2, c:2}, N=6.  Docs 'a b' score
+    ln(1.5) each; the concentrated doc 'c c' scores ln(3) — farther from
+    the corpus distribution."""
+    import math
+
+    from mondrian_olap_spark.operators import text as text_ops
+
+    rows = [
+        Row(doc_id=1, text="a b"),
+        Row(doc_id=2, text="a b"),
+        Row(doc_id=3, text="c c"),
+    ]
+    out = {r["id"]: r for r in text_ops.kl_from_corpus(
+        spark.createDataFrame(rows)).collect()}
+    assert out[1]["kl"] == round(math.log(1.5), 6)
+    assert out[2]["kl"] == out[1]["kl"]
+    assert out[3]["kl"] == round(math.log(3.0), 6)
+    assert all(r["kl"] >= 0 for r in out.values())
+
+
 def test_curate_corpus_end_to_end(spark):
     """Composed curation: exact dups collapse to the min id, quality
     rules drop junk, survivors get deterministic splits."""
