@@ -89,6 +89,8 @@ QUERIES = [
     "embed_quantization_report",
     "pipeline_skew_profile",
     "pipeline_end_to_end_curation",
+    "text_bigram_entropy",
+    "text_kl_from_corpus",
 ]
 
 
