@@ -423,6 +423,7 @@ def dedup_clusters(
         .dropDuplicates()
     )
     labels = ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("cluster"))
+    changed = 1
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["node"])
@@ -446,6 +447,20 @@ def dedup_clusters(
         labels = updated.drop("__changed")
         if changed == 0:
             break
+    if changed != 0:
+        # labels are still moving: a component's diameter exceeds the
+        # round budget (min-label propagation advances one hop per round).
+        # Returning silently would emit WRONG cluster ids — two documents
+        # of one component with different labels — and a dedup keep-list
+        # built on them would keep duplicates.  Raise loudly; raise
+        # max_iterations for long near-dup chains (or switch to a
+        # pointer-doubling/star-contraction variant, the documented
+        # upgrade when diameters grow with the corpus).
+        raise RuntimeError(
+            f"dedup_clusters did not converge within {max_iterations} "
+            "rounds — a near-dup component's diameter exceeds the budget; "
+            "raise max_iterations"
+        )
     return labels.select(
         F.col("node").alias("id"),
         "cluster",

@@ -961,6 +961,21 @@ def test_funnel_counts_empty_step(spark):
     assert sorted(out) == [(1, 0), (2, 0)]
 
 
+def test_dedup_clusters_raises_on_non_convergence(spark):
+    """A chain component longer than max_iterations must FAIL loudly —
+    silently returning split labels would keep duplicates downstream."""
+    n = 8
+    ids = spark.createDataFrame([Row(id=i) for i in range(n)])
+    chain = spark.createDataFrame(
+        [Row(id_a=i, id_b=i + 1) for i in range(n - 1)]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dedup_clusters(ids, chain, max_iterations=2)
+    # with budget ≥ diameter the same graph converges to one cluster
+    ok = dedup.dedup_clusters(ids, chain, max_iterations=n).collect()
+    assert {r["cluster"] for r in ok} == {0}
+
+
 def test_bigram_entropy_detects_repeated_phrases(spark):
     """A document cycling one phrase has near-normal unigram variety but
     collapsed bigram entropy; short docs (<2 tokens) drop from output."""
