@@ -1421,3 +1421,19 @@ def test_write_curated_partitioned_layout(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError):
         write_curated(df, dst, partition_by=["nope"])
+
+
+def test_text_operators_agree_on_tokenization(spark):
+    """unigram_entropy, kl_from_corpus, and text_features must count the
+    same tokens per document — tokenizer drift between operators would
+    silently decorrelate the quality signals."""
+    from mondrian_olap_spark.operators import text as text_ops
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ue = text_ops.unigram_entropy(docs).select("id", "n_tokens")
+    kl = text_ops.kl_from_corpus(docs).select(
+        "id", F.col("n_tokens").alias("n2")
+    )
+    joined = ue.join(kl, "id")
+    assert joined.filter("n_tokens <> n2").count() == 0
+    assert joined.count() == docs.count()
