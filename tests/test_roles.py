@@ -466,3 +466,34 @@ def test_range_endpoints_respect_member_visibility(engine):
     assert eng.member_ordinal("Customer", 0, ("ASIA",)) is not None
     with pytest.raises(KeyError):
         eng.member_ordinal("Customer", 0, ("EUROPE",))
+
+
+def test_agg_scalar_subplan_respects_role(engine):
+    """SECURITY pin: the Aggregate(set, expr) sub-plan runs through a
+    fresh Planner over the SAME engine — the role's row restriction must
+    reach it.  A set naming only ungranted members yields NULL scalars,
+    never the denied members' true values."""
+    from mondrian_olap_spark.query import Query
+
+    eng = engine.with_role(
+        Role("asia", grants=(MemberGrant("Customer", ("ASIA",)),))
+    )
+
+    def run(e):
+        q = (
+            Query(e)
+            .with_member("QtySq")
+            .as_("__aggexpr0", output="qty_sq")
+            .columns("[Measures].[Sum Qty]", "[Measures].[QtySq]")
+            .rows("[Time].[Year].Members")
+        )
+        q._agg_scalars.append(
+            ("__aggexpr0", "sum_qty * sum_qty", ("[Customer].[EUROPE]",))
+        )
+        return {r["o_year"]: r["qty_sq"] for r in q.execute().df.collect()}
+
+    restricted = run(eng)
+    assert restricted  # grid rows exist (ASIA data)
+    assert all(v is None for v in restricted.values())  # EUROPE denied
+    unrestricted = run(engine)
+    assert any(v is not None for v in unrestricted.values())
