@@ -270,6 +270,67 @@ def contamination_pairs(
     )
 
 
+def source_overlap(
+    df: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Dataset-level duplication map: for every pair of ``by`` groups
+    (sources/domains/snapshots), the number of DISTINCT n-gram shingles
+    they share and the Jaccard of their shingle SETS — the corpus-curation
+    view that shows which sources mirror each other before any per-doc
+    dedup runs.
+
+    Plan shape: one explode to distinct (group, shingle) pairs (shuffle on
+    the shingle — partial-combined distinct), a self-equi-join on the
+    shingle, and a pair-keyed count.  Per-shingle join fan-out is bounded
+    by the number of GROUPS carrying it (groups are bounded — tens to
+    hundreds at any corpus size — so the join never approaches doc-level
+    quadratics; the per-doc operators keep the hot-shingle guard for the
+    unbounded case).
+
+    Returns (source_a, source_b, shared_shingles, n_a, n_b, jaccard) for
+    pairs sharing at least one shingle, jaccard rounded to 6.
+    """
+    ss = shingles(df, id_col=by, text_col=text_col, n=n).dropDuplicates()
+    sizes = ss.groupBy(F.col("id").alias("g")).agg(F.count("*").alias("c"))
+    pairs = (
+        ss.alias("a")
+        .join(
+            ss.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("source_a"), F.col("b.id").alias("source_b")
+        )
+        .agg(F.count("*").alias("shared_shingles"))
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("g").alias("source_a"), F.col("c").alias("n_a")),
+            "source_a",
+        )
+        .join(
+            sizes.select(F.col("g").alias("source_b"), F.col("c").alias("n_b")),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "shared_shingles",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("shared_shingles")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared_shingles")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",

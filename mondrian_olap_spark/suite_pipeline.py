@@ -1480,3 +1480,35 @@ def text_kl_from_corpus(spark, sf_dir):
     (text.kl_from_corpus): distribution-shift / boilerplate signal.
     Terms fold sorted by word on both engines — bit-exact doubles."""
     return text.kl_from_corpus(_docs(spark, sf_dir))
+
+
+@q(
+    "dedup_source_overlap",
+    f"""
+    WITH {_SHINGLES_SQL},
+    ss AS (
+      SELECT DISTINCT d.source, sh.shingle
+      FROM sh JOIN documents d ON d.doc_id = sh.id
+    ),
+    gsizes AS (SELECT source, count(*) AS c FROM ss GROUP BY 1),
+    p AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS shared
+      FROM ss a JOIN ss b
+        ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, CAST(shared AS BIGINT) AS shared_shingles,
+           CAST(sa.c AS BIGINT) AS n_a, CAST(sb.c AS BIGINT) AS n_b,
+           round(shared * 1.0 / (sa.c + sb.c - shared), 6) AS jaccard
+    FROM p
+    JOIN gsizes sa ON sa.source = source_a
+    JOIN gsizes sb ON sb.source = source_b
+    """,
+)
+def dedup_source_overlap(spark, sf_dir):
+    """Cross-source shingle-overlap matrix (dedup.source_overlap): which
+    sources mirror each other — the dataset-level duplication map run
+    before per-doc dedup.  Group-keyed distinct shingles + a self-join
+    whose fan-out is bounded by the (bounded) group count."""
+    return dedup.source_overlap(_docs(spark, sf_dir))

@@ -1437,3 +1437,20 @@ def test_text_operators_agree_on_tokenization(spark):
     joined = ue.join(kl, "id")
     assert joined.filter("n_tokens <> n2").count() == 0
     assert joined.count() == docs.count()
+
+
+def test_source_overlap_matrix(spark):
+    """Two mirroring sources share shingles; a disjoint source pairs with
+    nothing; jaccard=1 for identical shingle sets."""
+    base = "alpha beta gamma delta epsilon zeta"
+    rows = [
+        Row(doc_id=1, source="s1", text=base),
+        Row(doc_id=2, source="s2", text=base),  # s2 mirrors s1
+        Row(doc_id=3, source="s3", text="one two three four five six"),
+    ]
+    out = {(r["source_a"], r["source_b"]): r for r in dedup.source_overlap(
+        spark.createDataFrame(rows)).collect()}
+    assert set(out) == {("s1", "s2")}  # s3 shares nothing
+    r = out[("s1", "s2")]
+    assert r["n_a"] == r["n_b"] == r["shared_shingles"] == 4  # 6 toks → 4 trigrams
+    assert r["jaccard"] == 1.0
