@@ -91,6 +91,7 @@ QUERIES = [
     "pipeline_end_to_end_curation",
     "text_bigram_entropy",
     "text_kl_from_corpus",
+    "dedup_source_overlap",
 ]
 
 
