@@ -1512,3 +1512,109 @@ def dedup_source_overlap(spark, sf_dir):
     before per-doc dedup.  Group-keyed distinct shingles + a self-join
     whose fan-out is bounded by the (bounded) group count."""
     return dedup.source_overlap(_docs(spark, sf_dir))
+
+
+@q(
+    "streaming_sessionization_gate",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts,
+             CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_idx
+      FROM e
+    )
+    SELECT user_id, session_idx, count(*) AS n_events,
+           epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+    FROM s GROUP BY 1, 2
+    """,
+)
+def streaming_sessionization_gate(spark, sf_dir):
+    """STREAMING sessionization through Spark's native ``session_window``,
+    hash-compared against the BATCH gap-sessionization oracle: on a
+    bounded stream the merged session windows are exactly the batch
+    gap-islands, so (n_events, duration) per session must match
+    bit-for-bit.  Update output mode — a single availableNow batch emits
+    every final session without needing the append-mode watermark to
+    advance past the data.  The only streaming entry in the driver gate:
+    proves the §2.9 surface against the same DuckDB oracle as batch."""
+    import tempfile
+
+    from .operators.sessions import _is_ntz, _micros
+
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_id"
+    )
+    # watermarks require TIMESTAMP; the corpus carries TIMESTAMP_NTZ
+    # (nanos handling).  Convert via wall-clock micros + timestamp_micros —
+    # the as-if-UTC instant, timezone- and DST-independent, so gaps and
+    # durations are identical to the NTZ wall-clock math the oracle uses
+    if _is_ntz(ev, "ts"):
+        ev = ev.withColumn(
+            "ts", F.timestamp_micros(_micros(F.col("ts"), True))
+        )
+    work = tempfile.mkdtemp(prefix="stream_sess_")
+    staging = f"{work}/staging"
+    # sentinel event far past every real session: session windows support
+    # only APPEND output, which emits a session once its END passes the
+    # watermark — the sentinel pushes the final no-data batch's watermark
+    # beyond every real session end (its own session never flushes, and
+    # it is filtered out below)
+    sentinel = ev.agg(
+        F.lit(-1).cast("long").alias("user_id"),
+        (F.max("ts") + F.expr("INTERVAL 10 DAYS")).alias("ts"),
+        F.lit(-1).cast("long").alias("event_id"),
+    )
+    ev.unionByName(sentinel).write.mode("overwrite").parquet(staging)
+    stream = spark.readStream.schema(ev.schema).parquet(staging)
+    agg = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("__w"),
+            "user_id",
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("__w.start").alias("__start"),
+            F.col("__w.end").alias("__end"),
+            "n_events",
+        )
+    )
+    name = "stream_sess_gate"
+    spark.catalog.dropTempView(name)
+    q_ = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination(300)
+    from pyspark.sql import Window
+
+    out = spark.table(name).filter(F.col("user_id") >= 0)
+    w = Window.partitionBy("user_id").orderBy("__start")
+    return (
+        out.withColumn("session_idx", F.row_number().over(w).cast("long"))
+        .select(
+            "user_id",
+            "session_idx",
+            "n_events",
+            # session_window end = last event + gap → duration = end-start-gap
+            (
+                F.unix_micros("__end")
+                - F.unix_micros("__start")
+                - F.lit(1800 * 1_000_000)
+            ).alias("duration_us"),
+        )
+    )
