@@ -1618,3 +1618,58 @@ def streaming_sessionization_gate(spark, sf_dir):
             ).alias("duration_us"),
         )
     )
+
+
+@q(
+    "streaming_windowed_counts_gate",
+    """
+    SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 6) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_windowed_counts_gate(spark, sf_dir):
+    """STREAMING tumbling-window aggregation hash-compared against the
+    batch GROUP-BY-hour oracle: 1-hour windows over a bounded stream in
+    COMPLETE output mode (windowed aggregates support it — every window
+    emits, no watermark choreography needed).  Window starts surface as
+    epoch microseconds, timezone-free on both engines."""
+    import tempfile
+
+    from .operators.sessions import _is_ntz, _micros
+
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet").select(
+        "ts", "event_type", "value"
+    )
+    if _is_ntz(ev, "ts"):
+        ev = ev.withColumn("ts", F.timestamp_micros(_micros(F.col("ts"), True)))
+    work = tempfile.mkdtemp(prefix="stream_win_")
+    staging = f"{work}/staging"
+    ev.write.mode("overwrite").parquet(staging)
+    stream = spark.readStream.schema(ev.schema).parquet(staging)
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("__w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+    )
+    name = "stream_win_gate"
+    spark.catalog.dropTempView(name)
+    q_ = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination(300)
+    return spark.table(name).select(
+        F.unix_micros(F.col("__w.start")).alias("window_start_us"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
