@@ -629,3 +629,125 @@ def inverted_index(
         )
         .filter(F.col("df") >= min_df)
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int | None = None,
+) -> DataFrame:
+    """Adjacent-symbol pair frequencies over BPE pre-tokens — the counting
+    kernel of one byte-pair-encoding merge round (Sennrich et al. 2016):
+    the most frequent pair is the next merge a BPE trainer would learn.
+
+    Pre-segments with :data:`BPE_SPLIT_PATTERN` (pairs never span
+    pre-token boundaries, the GPT-2 convention), then explodes each
+    token's adjacent character pairs via ``transform(sequence(...))`` —
+    pure expression pipeline, whole-stage codegen, no UDFs.  The
+    aggregation is a plain pair-keyed count: partial (map-side) combine
+    collapses the explosion before the shuffle, so shuffled bytes are
+    bounded by |distinct pairs| per partition (~alphabet², thousands),
+    not corpus size — the property that makes one merge round a cheap
+    full-corpus pass at 100 TB.
+
+    With ``top_n``, appends a deterministic ``rank`` (count desc, pair
+    asc — the BPE merge-priority order) and keeps the top ``top_n``
+    pairs; the ranking window runs over the already-tiny aggregate.
+    """
+    from .util import ensure_min_parallelism
+
+    toks = ensure_min_parallelism(df).select(
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_PATTERN), F.lit(0))
+        ).alias("t")
+    )
+    pairs = toks.filter(F.length("t") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")
+        ).alias("pair")
+    )
+    out = pairs.groupBy("pair").agg(F.count("*").alias("n_pairs"))
+    if top_n is None:
+        return out
+    w = Window.orderBy(F.col("n_pairs").desc(), F.col("pair"))
+    return (
+        out.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_n)
+    )
+
+
+def token_length_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Power-of-two histogram of per-document whitespace token counts —
+    the sequence-length profile that sizes packing budgets, context
+    windows, and shuffle partition targets before a training run.
+
+    Buckets are exact integer arithmetic (``2^(bitlength(n)-1)`` via
+    ``length(bin(n))`` + ``shiftleft``), never float ``log2`` — the same
+    value on every engine, no boundary misrounding at exact powers of
+    two.  One projection + one tiny aggregation (≤ ~60 buckets), so the
+    full-corpus pass is scan-bound at any scale.
+
+    Returns ``bucket_lo`` (inclusive power-of-two lower bound; empty
+    documents count into bucket 1), ``n_docs``, ``total_tokens``,
+    ``min_tokens``/``max_tokens`` within the bucket.
+    """
+    n = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    # SQL-form shiftleft: the Python wrapper wants a literal shift amount,
+    # the engine itself takes any integer expression
+    lo = F.expr("CAST(shiftleft(1, length(bin(greatest(__n, 1))) - 1) AS BIGINT)")
+    return (
+        df.select(n.alias("__n"))
+        .withColumn("bucket_lo", lo)
+        .groupBy("bucket_lo")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__n").alias("total_tokens"),
+            F.min("__n").alias("min_tokens"),
+            F.max("__n").alias("max_tokens"),
+        )
+    )
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    top_k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-wide most frequent word n-grams — the boilerplate /
+    template detector run before dedup tuning (frequent n-grams reveal
+    navigation chrome, license headers, and generator templates worth a
+    targeted strip pass).
+
+    Counts ALL occurrences (not per-doc-distinct like the dedup
+    shingles) plus document frequency in one aggregation; documents
+    shorter than ``n`` tokens contribute nothing.  The n-gram explosion
+    collapses through map-side partial aggregation; the final top-k
+    ranking window runs over the n-gram aggregate only after a count
+    pre-filter could be applied by the caller — here the aggregate is
+    already the small side.  ``rank`` is deterministic (occurrences
+    desc, ngram asc).
+    """
+    from .util import ensure_min_parallelism
+
+    t = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("id"), F.explode(grams).alias("ngram")
+    )
+    agg = exploded.groupBy("ngram").agg(
+        F.count("*").alias("occurrences"),
+        F.countDistinct("id").alias("n_docs"),
+    )
+    w = Window.orderBy(F.col("occurrences").desc(), F.col("ngram"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_k)
+    )

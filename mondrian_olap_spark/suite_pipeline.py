@@ -1673,3 +1673,133 @@ def streaming_windowed_counts_gate(spark, sf_dir):
         "n_events",
         "sum_value",
     )
+
+
+@q(
+    "text_bpe_pair_counts",
+    f"""
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(text,
+                 '{text.BPE_SPLIT_PATTERN.replace("'", "''")}')) AS t
+      FROM documents
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, length(t)),
+                                   i -> substr(t, i, 2))) AS pair
+      FROM toks WHERE length(t) >= 2
+    ),
+    agg AS (SELECT pair, count(*) AS n_pairs FROM pairs GROUP BY 1)
+    SELECT pair, n_pairs, rank FROM (
+      SELECT pair, n_pairs,
+             row_number() OVER (ORDER BY n_pairs DESC, pair) AS rank
+      FROM agg
+    ) WHERE rank <= 200
+    """,
+)
+def text_bpe_pair_counts(spark, sf_dir):
+    """One BPE merge round's pair statistics (Sennrich et al. 2016): the
+    adjacent-character-pair counts over GPT-2-style pre-tokens whose
+    argmax is the next merge a BPE trainer learns.  Map-side combine
+    collapses the pair explosion before the shuffle; the top-200 ranking
+    window runs over the ~alphabet²-sized aggregate."""
+    return text.bpe_pair_counts(_docs(spark, sf_dir), top_n=200)
+
+
+@q(
+    "pipeline_length_histogram",
+    f"""
+    WITH t AS (SELECT len({_DOC_TOKS}) AS n FROM documents)
+    SELECT CAST(1 << (length(bin(greatest(n, 1))) - 1) AS BIGINT) AS bucket_lo,
+           count(*) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           CAST(min(n) AS BIGINT) AS min_tokens,
+           CAST(max(n) AS BIGINT) AS max_tokens
+    FROM t GROUP BY 1
+    """,
+)
+def pipeline_length_histogram(spark, sf_dir):
+    """Power-of-two sequence-length histogram (packing/context-window
+    sizing diagnostic).  Exact integer bucketing via bit-length — no
+    float log2, so both engines bucket identically at exact powers of
+    two."""
+    return text.token_length_histogram(_docs(spark, sf_dir))
+
+
+@q(
+    "text_top_ngrams",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DOC_TOKS}) AS w,
+             generate_subscripts({_DOC_TOKS}, 1) AS pos
+      FROM documents
+    ),
+    ng AS (
+      SELECT a.doc_id AS id, a.w || ' ' || b.w || ' ' || c.w AS ngram
+      FROM toks a
+      JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    ),
+    agg AS (
+      SELECT ngram, count(*) AS occurrences, count(DISTINCT id) AS n_docs
+      FROM ng GROUP BY 1
+    )
+    SELECT ngram, occurrences, n_docs, rank FROM (
+      SELECT ngram, occurrences, n_docs,
+             row_number() OVER (ORDER BY occurrences DESC, ngram) AS rank
+      FROM agg
+    ) WHERE rank <= 50
+    """,
+)
+def text_top_ngrams(spark, sf_dir):
+    """Corpus-wide most frequent word 3-grams with document frequency —
+    the boilerplate/template detector (navigation chrome, license
+    headers) run before tuning dedup.  ALL occurrences, not the dedup
+    path's per-doc-distinct shingles; deterministic rank tiebreak."""
+    return text.top_ngrams(_docs(spark, sf_dir), n=3, top_k=50)
+
+
+@q(
+    "streaming_dedup_gate",
+    """
+    SELECT md5(lower(trim(text))) AS fingerprint,
+           CAST(1 AS BIGINT) AS n_kept
+    FROM documents GROUP BY 1
+    """,
+)
+def streaming_dedup_gate(spark, sf_dir):
+    """STREAMING exact dedup hash-compared against the batch fingerprint
+    oracle: documents flow through ``streaming_exact_dedup`` (global
+    ``dropDuplicates`` — the bounded-backfill variant) on a bounded
+    stream, and the surviving rows must cover each distinct fingerprint
+    EXACTLY once: no fingerprint missing, none emitted twice.  Which
+    physical row survives a duplicate group is engine-scheduling
+    dependent, so the gate pins the deterministic invariant (the
+    fingerprint set + per-fingerprint survivor count), not the arbitrary
+    survivor ids.  Third §2.9 entry in the driver gate."""
+    import tempfile
+
+    from .streaming.dedup import streaming_exact_dedup
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="stream_dedup_")
+    staging = f"{work}/staging"
+    docs.write.mode("overwrite").parquet(staging)
+    stream = spark.readStream.schema(docs.schema).parquet(staging)
+    deduped = streaming_exact_dedup(stream)
+    name = "stream_dedup_gate"
+    spark.catalog.dropTempView(name)
+    q_ = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination(300)
+    return (
+        spark.table(name)
+        .select(F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_kept"))
+    )

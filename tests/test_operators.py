@@ -1454,3 +1454,51 @@ def test_source_overlap_matrix(spark):
     r = out[("s1", "s2")]
     assert r["n_a"] == r["n_b"] == r["shared_shingles"] == 4  # 6 toks → 4 trigrams
     assert r["jaccard"] == 1.0
+
+
+def test_bpe_pair_counts_hand_computed(spark):
+    # "ab ab" pre-tokenizes to ['ab', ' ab']; pairs: 'ab' -> ab;
+    # ' ab' -> ' a', 'ab'
+    rows = [Row(doc_id=1, text="ab ab")]
+    out = {r["pair"]: r["n_pairs"] for r in
+           text.bpe_pair_counts(spark.createDataFrame(rows)).collect()}
+    assert out == {"ab": 2, " a": 1}
+
+
+def test_bpe_pair_counts_contraction_and_rank(spark):
+    # "it's" splits into ['it', "'s"]: pairs it, 's — contractions are
+    # their own pre-token (pairs never span the apostrophe boundary)
+    rows = [Row(doc_id=1, text="it's it's zz")]
+    out = text.bpe_pair_counts(spark.createDataFrame(rows), top_n=2).collect()
+    ranked = {r["rank"]: (r["pair"], r["n_pairs"]) for r in out}
+    assert len(ranked) == 2
+    # count desc, pair asc: "'s" (2) sorts before "it" (2)
+    assert ranked[1] == ("'s", 2) and ranked[2] == ("it", 2)
+
+
+def test_token_length_histogram_buckets(spark):
+    rows = [
+        Row(doc_id=1, text="w"),                      # 1 token  → bucket 1
+        Row(doc_id=2, text="a b c"),                  # 3 tokens → bucket 2
+        Row(doc_id=3, text="a b c d"),                # 4 tokens → bucket 4
+        Row(doc_id=4, text=" ".join(["t"] * 9)),      # 9 tokens → bucket 8
+    ]
+    out = {r["bucket_lo"]: r for r in
+           text.token_length_histogram(spark.createDataFrame(rows)).collect()}
+    assert set(out) == {1, 2, 4, 8}
+    assert out[2]["n_docs"] == 1 and out[2]["total_tokens"] == 3
+    assert out[8]["min_tokens"] == 9 and out[8]["max_tokens"] == 9
+
+
+def test_top_ngrams_counts_all_occurrences(spark):
+    rows = [
+        Row(doc_id=1, text="x y z x y z"),   # 'x y z' twice in ONE doc
+        Row(doc_id=2, text="x y z only"),
+        Row(doc_id=3, text="too short"),     # < 3 tokens → contributes nothing
+    ]
+    out = text.top_ngrams(spark.createDataFrame(rows), n=3, top_k=10).collect()
+    byg = {r["ngram"]: r for r in out}
+    # occurrences counts every sliding window; n_docs is distinct
+    assert byg["x y z"]["occurrences"] == 3 and byg["x y z"]["n_docs"] == 2
+    assert byg["x y z"]["rank"] == 1
+    assert "too short" not in byg
