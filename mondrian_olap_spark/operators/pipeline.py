@@ -7,8 +7,12 @@ Every stage is an already-verified operator (:mod:`.dedup` exact
 fingerprint, :mod:`.text` quality rules, :mod:`.sampling` hash splits);
 the composition proves they chain without materialization barriers:
 
-* one fingerprint shuffle for the dedup join (equi-join on the md5, so
-  AQE skew splitting applies to boilerplate-heavy corpora);
+* ONE corpus scan and one fingerprint shuffle for dedup (min-struct
+  first-occurrence aggregate — map-side combine ships at most one
+  candidate row per distinct fingerprint per task, and the md5 key is
+  uniform so the shuffle cannot skew) — or ZERO shuffles on a corpus
+  laid out by :func:`write_fingerprinted` (bucketed+sorted on the
+  precomputed fingerprint, the repeated-curation physical design);
 * the quality features and split assignment are pure projections on the
   survivors — no further shuffle;
 * everything is content-addressed (md5 of text / id), so the curated
@@ -29,6 +33,7 @@ def curate_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: str = "split",
+    fingerprint_col: str | None = None,
 ) -> DataFrame:
     """Exact-dedup → quality-filter → split-assign in one plan.
 
@@ -38,25 +43,48 @@ def curate_corpus(
     ``split_weights`` is given.  Documents failing a quality rule are
     dropped (rule order and reasons as in :func:`..text.quality_filter`);
     among exact duplicates the minimum id survives (deterministic).
+
+    ``fingerprint_col`` names a PRECOMPUTED content fingerprint (see
+    :func:`write_fingerprinted`).  On a corpus stored bucketed+sorted on
+    that column the first-occurrence aggregate reads co-located buckets,
+    so the whole curation plan runs with ZERO Exchange: the 100 TB
+    physical-design lever (dedup becomes scan-bound instead of
+    shuffle-bound, and re-runs amortize the one-time bucketed write).
     """
-    from . import dedup as dd
     from . import sampling as sp
     from . import text as tx
 
-    fp = F.md5(F.lower(F.trim(F.col(text_col))))
-    keep = dd.exact_dedup(docs, id_col=id_col, text_col=text_col)
-    surv = (
-        docs.withColumn("__fp", fp)
-        .join(
-            keep,
-            (F.col("__fp") == F.col("fingerprint"))
-            & (F.col(id_col) == F.col("keep_id")),
+    in_cols = list(docs.columns)
+    if fingerprint_col is None:
+        fpc = "__fp"
+        docs = docs.withColumn(
+            fpc, F.md5(F.lower(F.trim(F.col(text_col))))
         )
-        .drop("fingerprint", "keep_id", "__fp")
+    else:
+        fpc = fingerprint_col
+    # first-occurrence via min-struct aggregate with the id leading, so
+    # the lexicographic min IS the min-id row (the segment_dedup
+    # pattern): ONE corpus scan and ONE shuffle, no join back — and the
+    # map-side partial combine ships at most one candidate row per
+    # distinct fingerprint per task, so shuffled bytes are bounded by
+    # the deduplicated corpus, not the raw one.  (A join-back design
+    # can't stay co-located anyway: the survivor equality id==keep_id
+    # gets folded into the join keys by the optimizer, defeating
+    # fingerprint bucketing.)  NULL text groups under a NULL
+    # fingerprint and is dropped by the quality rules downstream.
+    row = F.struct(
+        *([F.col(id_col)] + [F.col(c) for c in in_cols if c != id_col])
+    )
+    surv = (
+        docs.groupBy(F.col(fpc).alias("__keep_fp"))
+        .agg(F.min(row).alias("__row"), F.count("*").alias("dup_count"))
+        .select(
+            *[F.col(f"__row.{c}").alias(c) for c in in_cols], "dup_count"
+        )
     )
     filtered = tx.quality_filter(surv, text_col=text_col).filter(F.col("keep"))
     out = filtered.select(
-        *docs.columns, "dup_count", "quality_score", "lang_guess"
+        *in_cols, "dup_count", "quality_score", "lang_guess"
     )
     if split_weights:
         out = sp.assign_splits(out, split_weights, id_col=id_col, seed=seed)
@@ -96,3 +124,51 @@ def write_curated(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_fingerprinted(
+    spark,
+    docs: DataFrame,
+    table: str = "molap_corpus.documents_fp",
+    buckets: int = 64,
+    text_col: str = "text",
+) -> DataFrame:
+    """One-time physical design for repeated curation: materialize the
+    corpus with its content fingerprint PRECOMPUTED, bucketed+sorted on
+    it.
+
+    Every subsequent :func:`curate_corpus` call with
+    ``fingerprint_col="fingerprint"`` then plans with zero Exchange (the
+    first-occurrence aggregate and the survivor join both read co-located
+    buckets) — the corpus-dedup analog of the star schema's bucketed
+    fact⋈bridge layout (:mod:`..sources.bucketing`).  Size ``buckets`` so
+    one bucket ≈ one executor-core's worth of documents at the target
+    scale; the md5 key is uniform by construction, so buckets cannot
+    skew.
+
+    Returns the catalog-backed DataFrame (bucket metadata attached —
+    reading the path directly would lose it).
+    """
+    import shutil
+    from urllib.parse import urlparse
+
+    fp = F.md5(F.lower(F.trim(F.col(text_col)))).alias("fingerprint")
+    if "." in table:
+        database = table.rsplit(".", 1)[0]
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+        # the default in-memory catalog forgets tables across sessions but
+        # their warehouse locations persist — clear both
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        loc = f"{wh}/{database}.db/{table.rsplit('.', 1)[-1]}"
+        shutil.rmtree(loc, ignore_errors=True)
+    else:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        docs.select("*", fp)
+        .write.bucketBy(buckets, "fingerprint")
+        .sortBy("fingerprint")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    return spark.table(table)

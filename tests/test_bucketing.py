@@ -75,3 +75,48 @@ def test_bucketed_engine_matches_parquet_engine(spark, bucketed_engine, engine):
         assert ra[0] == rb[0]
         # bucketed read sums in a different partition order → last-ulp drift
         assert math.isclose(ra[1], rb[1], rel_tol=1e-9)
+
+
+def test_fingerprinted_corpus_curation_is_shuffle_free(spark):
+    """A corpus laid out by write_fingerprinted (bucketed+sorted on the
+    precomputed fingerprint) curates with ZERO Exchange — the dedup
+    aggregate reads co-located buckets — and yields exactly the rows the
+    unbucketed path yields."""
+    import re
+
+    from mondrian_olap_spark.operators import pipeline as pl
+    from mondrian_olap_spark.star import read_parquet_table
+
+    from .conftest import SF_DIR
+
+    docs = read_parquet_table(spark, f"{SF_DIR}/documents.parquet")
+    base = pl.curate_corpus(docs, split_weights={"train": 0.9, "val": 0.1})
+    want = sorted(
+        (r.doc_id, r.dup_count, r.split)
+        for r in base.select("doc_id", "dup_count", "split").collect()
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # buckets ≥ defaultParallelism, as a real deployment would size
+        # them — otherwise the explode-guard repartition fires on the
+        # (deliberately) under-parallel bucketed scan
+        fpd = pl.write_fingerprinted(
+            spark, docs, table="molap_corpus_test.documents_fp", buckets=64
+        )
+        cur = pl.curate_corpus(
+            fpd,
+            split_weights={"train": 0.9, "val": 0.1},
+            fingerprint_col="fingerprint",
+        )
+        plan = cur._jdf.queryExecution().executedPlan().toString()
+        assert re.findall(r"Exchange \w+[Pp]artitioning", plan) == []
+        assert "SelectedBucketsCount" in plan
+        got = sorted(
+            (r.doc_id, r.dup_count, r.split)
+            for r in cur.select("doc_id", "dup_count", "split").collect()
+        )
+        assert got == want and len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

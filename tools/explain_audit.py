@@ -288,6 +288,24 @@ def main() -> int:
         f"exchanges={n_exchanges} join={has_join}",
     )
 
+    # 13. composed curation (dedup → quality → splits) is ONE corpus scan
+    #     + ONE fingerprint shuffle: min-struct first-occurrence aggregate,
+    #     never a join back, no Python evaluator anywhere in the plan
+    from mondrian_olap_spark.operators import pipeline as pl
+
+    docs = read_parquet_table(spark, f"{SF_DIR}/documents.parquet")
+    p = plan_str(pl.curate_corpus(docs, split_weights={"train": 0.9, "val": 0.1}))
+    n_exchanges = p.count("Exchange hashpartitioning")
+    n_scans = p.count("FileScan parquet")
+    has_join = any(
+        j in p for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    )
+    check(
+        "curation.single_scan_single_shuffle_no_join",
+        n_exchanges == 1 and n_scans == 1 and not has_join and "EvalPython" not in p,
+        f"exchanges={n_exchanges} scans={n_scans} join={has_join}",
+    )
+
     print(f"\n{len(failures)} failed properties" if failures else "\nall plan properties hold")
     return 1 if failures else 0
 
