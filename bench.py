@@ -49,6 +49,11 @@ HEADLINE = [
     "embed_quantization_report",
     "pipeline_skew_profile",
     "pipeline_end_to_end_curation",
+    # late round-5 operators
+    "text_bpe_pair_counts",
+    "text_top_ngrams",
+    "pipeline_length_histogram",
+    "pipeline_decontamination_report",
 ]
 
 

@@ -615,3 +615,72 @@ def simhash_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def decontamination_report(
+    corpus: DataFrame,
+    heldout: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Per-eval-document n-gram overlap against the training corpus — the
+    GPT-3-style decontamination measurement (Brown et al. 2020 appx. C
+    uses 13-grams): for every held-out document, the fraction of its
+    distinct word n-grams that occur ANYWHERE in the training corpus.
+
+    Complements :func:`contamination_pairs` (which names the specific
+    leaking training documents): this is the benchmark-side summary that
+    decides whether an eval is compromised at all, and it is cheaper —
+    the corpus side collapses to its distinct n-gram SET first, so every
+    n-gram carries df=1 into the join and no stop-shingle guard is
+    needed (the join fan-out per n-gram is the number of eval documents
+    containing it, never corpus×eval).
+
+    Returns one row per held-out document: ``n_grams`` (distinct
+    n-grams, 0 for documents shorter than ``n`` tokens), ``n_hit``
+    (how many occur in the corpus), ``hit_fraction`` (NULL when the
+    document has no n-grams).
+    """
+    from .util import ensure_min_parallelism
+
+    def sh(df: DataFrame) -> DataFrame:
+        t = F.split(F.trim(F.col(text_col)), r"\s+")
+        grams = F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return ensure_min_parallelism(df).select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(grams)).alias("g"),
+        )
+
+    corpus_set = sh(corpus).select("g").distinct()
+    hits = (
+        sh(heldout)
+        .join(corpus_set.withColumn("__hit", F.lit(1)), "g", "left")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"),
+        )
+    )
+    return (
+        heldout.select(F.col(id_col).alias("id"))
+        .join(hits, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+        )
+        .withColumn(
+            "hit_fraction",
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(F.col("n_hit") / F.col("n_grams"), 6),
+            ),
+        )
+    )

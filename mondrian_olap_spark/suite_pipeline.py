@@ -1803,3 +1803,47 @@ def streaming_dedup_gate(spark, sf_dir):
         .groupBy("fingerprint")
         .agg(F.count("*").alias("n_kept"))
     )
+
+
+@q(
+    "pipeline_decontamination_report",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_DOC_TOKS} AS t FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t) - 11),
+                                   i -> array_to_string(t[i:i+12], ' '))) AS g
+      FROM toks WHERE len(t) >= 13
+    ),
+    corpus_set AS (SELECT DISTINCT g FROM sh WHERE doc_id % 10 <> 0),
+    eval_sh AS (SELECT DISTINCT doc_id, g FROM sh WHERE doc_id % 10 = 0),
+    per AS (
+      SELECT e.doc_id,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN c.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hit
+      FROM eval_sh e LEFT JOIN corpus_set c ON e.g = c.g
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+           coalesce(per.n_grams, 0) AS n_grams,
+           coalesce(per.n_hit, 0) AS n_hit,
+           CASE WHEN coalesce(per.n_grams, 0) > 0
+                THEN round(per.n_hit * 1.0 / per.n_grams, 6) END
+             AS hit_fraction
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+    LEFT JOIN per ON d.doc_id = per.doc_id
+    """,
+)
+def pipeline_decontamination_report(spark, sf_dir):
+    """GPT-3-style 13-gram decontamination report: every 10th document
+    plays the held-out benchmark, the rest the training corpus; per
+    eval doc, the fraction of its distinct 13-grams found anywhere in
+    the corpus.  Corpus side collapses to its distinct n-gram set before
+    the join (df=1 per n-gram — no stop-shingle guard needed)."""
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    heldout = docs.filter(F.col("doc_id") % 10 == 0)
+    return dedup.decontamination_report(corpus, heldout, n=13)

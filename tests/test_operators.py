@@ -1502,3 +1502,23 @@ def test_top_ngrams_counts_all_occurrences(spark):
     assert byg["x y z"]["occurrences"] == 3 and byg["x y z"]["n_docs"] == 2
     assert byg["x y z"]["rank"] == 1
     assert "too short" not in byg
+
+
+def test_decontamination_report_hand_computed(spark):
+    corpus = spark.createDataFrame([
+        Row(doc_id=1, text="alpha beta gamma delta epsilon"),
+        Row(doc_id=2, text="one two three four"),
+    ])
+    heldout = spark.createDataFrame([
+        # 3 distinct 3-grams; 'beta gamma delta' + 'gamma delta epsilon'
+        # appear in corpus doc 1 → 2/3
+        Row(doc_id=10, text="beta gamma delta epsilon zeta"),
+        Row(doc_id=11, text="totally novel words nothing shared"),
+        Row(doc_id=12, text="too short"),      # < n tokens → 0 n-grams
+    ])
+    out = {r["doc_id"]: r for r in
+           dedup.decontamination_report(corpus, heldout, n=3).collect()}
+    assert out[10]["n_grams"] == 3 and out[10]["n_hit"] == 2
+    assert out[10]["hit_fraction"] == pytest.approx(0.666667)
+    assert out[11]["n_hit"] == 0 and out[11]["hit_fraction"] == 0.0
+    assert out[12]["n_grams"] == 0 and out[12]["hit_fraction"] is None
