@@ -54,6 +54,7 @@ HEADLINE = [
     "text_top_ngrams",
     "pipeline_length_histogram",
     "pipeline_decontamination_report",
+    "pipeline_temperature_mix",
 ]
 
 

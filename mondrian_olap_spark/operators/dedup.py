@@ -653,9 +653,18 @@ def decontamination_report(
                 lambda i: F.concat_ws(" ", F.slice(t, i, n)),
             ),
         ).otherwise(F.array().cast("array<string>"))
-        return ensure_min_parallelism(df).select(
-            F.col(id_col).alias("id"),
-            F.explode(F.array_distinct(grams)).alias("g"),
+        # distinct/join on a 60-bit md5-derived hash, not the ~100-byte
+        # n-gram string: 6-12× less shuffle payload.  The same hash is
+        # computable bit-for-bit in SQL oracles (_h); collisions
+        # (~(n_grams)²/2⁶¹) only ever overcount hits, matching the
+        # bloom-filter practice of GPT-3-style decontamination
+        return (
+            ensure_min_parallelism(df)
+            .select(
+                F.col(id_col).alias("id"),
+                F.explode(F.array_distinct(grams)).alias("__g"),
+            )
+            .select("id", F.expr(_h("__g")).alias("g"))
         )
 
     corpus_set = sh(corpus).select("g").distinct()

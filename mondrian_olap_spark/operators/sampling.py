@@ -193,3 +193,55 @@ def apply_mixing(
         .filter(_bucket(id_col, seed) < thresh)
         .drop("sample_prob")
     )
+
+
+def temperature_targets(
+    df: DataFrame,
+    by: str = "source",
+    alpha: float = 0.7,
+) -> DataFrame:
+    """Temperature-scaled domain targets: ``t_i ∝ (c_i/N)^alpha`` — the
+    multilingual/domain rebalancing convention (Conneau & Lample 2019;
+    mC4 uses alpha≈0.3–0.7): ``alpha=1`` keeps the natural mix,
+    ``alpha→0`` approaches uniform, in between boosts rare domains
+    without letting any single one dominate.
+
+    Pure aggregate arithmetic — one grouped count over the corpus, then
+    the per-domain math runs on the (tiny, one-row-per-domain)
+    aggregate; the normalizing sum of ``frac^alpha`` folds over domains
+    SORTED by group (module convention: bit-reproducible doubles — an
+    unordered window sum of doubles would be partition-order dependent).
+    Chain into :func:`mixing_weights` / :func:`apply_mixing` by
+    collecting the returned frame to a targets dict (bounded by the
+    domain count, never corpus-sized).
+
+    Returns (group, n_docs, frac, target_frac), floats rounded to 6.
+    """
+    counts = df.groupBy(F.col(by).alias("grp")).agg(
+        F.count("*").alias("n_docs")
+    )
+    packed = counts.agg(
+        F.array_sort(
+            F.collect_list(F.struct("grp", "n_docs"))
+        ).alias("gs"),
+        F.sum("n_docs").alias("__N"),  # integer sum — order-free
+    )
+    big_n = F.col("__N").cast("double")
+    sum_p = F.aggregate(
+        F.col("gs"),
+        F.lit(0.0),
+        lambda a, s: a
+        + F.pow(s["n_docs"].cast("double") / big_n, F.lit(alpha)),
+    )
+    ex = packed.withColumn("__sum_p", sum_p).select(
+        F.explode("gs").alias("s"), "__N", "__sum_p"
+    )
+    frac = F.col("s.n_docs").cast("double") / F.col("__N").cast("double")
+    return ex.select(
+        F.col("s.grp").alias(by),
+        F.col("s.n_docs").alias("n_docs"),
+        F.round(frac, 6).alias("frac"),
+        F.round(
+            F.pow(frac, F.lit(alpha)) / F.col("__sum_p"), 6
+        ).alias("target_frac"),
+    )

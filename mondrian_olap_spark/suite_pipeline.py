@@ -1812,10 +1812,12 @@ def streaming_dedup_gate(spark, sf_dir):
       SELECT doc_id, {_DOC_TOKS} AS t FROM documents
     ),
     sh AS (
-      SELECT doc_id,
-             unnest(list_transform(range(1, len(t) - 11),
-                                   i -> array_to_string(t[i:i+12], ' '))) AS g
-      FROM toks WHERE len(t) >= 13
+      SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT AS g FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t) - 11),
+                                     i -> array_to_string(t[i:i+12], ' '))) AS g
+        FROM toks WHERE len(t) >= 13
+      )
     ),
     corpus_set AS (SELECT DISTINCT g FROM sh WHERE doc_id % 10 <> 0),
     eval_sh AS (SELECT DISTINCT doc_id, g FROM sh WHERE doc_id % 10 = 0),
@@ -1847,3 +1849,39 @@ def pipeline_decontamination_report(spark, sf_dir):
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     heldout = docs.filter(F.col("doc_id") % 10 == 0)
     return dedup.decontamination_report(corpus, heldout, n=13)
+
+
+@q(
+    "pipeline_temperature_mix",
+    """
+    WITH c AS (
+      SELECT source AS grp, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY 1
+    ),
+    d AS (
+      SELECT list(struct_pack(grp := grp, n_docs := n_docs)
+                  ORDER BY grp) AS gs,
+             CAST(sum(n_docs) AS BIGINT) AS N
+      FROM c
+    ),
+    e AS (
+      SELECT gs, N,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(gs, s -> pow(s.n_docs * 1.0 / N, 0.7))),
+               (a, b) -> a + b) AS sum_p
+      FROM d
+    )
+    SELECT s.grp AS source, s.n_docs AS n_docs,
+           round(s.n_docs * 1.0 / N, 6) AS frac,
+           round(pow(s.n_docs * 1.0 / N, 0.7) / sum_p, 6) AS target_frac
+    FROM (SELECT unnest(gs) AS s, N, sum_p FROM e)
+    """,
+)
+def pipeline_temperature_mix(spark, sf_dir):
+    """Temperature-scaled domain targets (Conneau & Lample 2019 / mC4
+    alpha convention): t_i ∝ (c_i/N)^0.7 — boosts rare domains toward
+    uniform without flattening the mix.  The frac^alpha normalizer
+    folds over domains sorted by group on both engines."""
+    from .operators import sampling
+
+    return sampling.temperature_targets(_docs(spark, sf_dir), alpha=0.7)

@@ -1522,3 +1522,30 @@ def test_decontamination_report_hand_computed(spark):
     assert out[10]["hit_fraction"] == pytest.approx(0.666667)
     assert out[11]["n_hit"] == 0 and out[11]["hit_fraction"] == 0.0
     assert out[12]["n_grams"] == 0 and out[12]["hit_fraction"] is None
+
+
+def test_temperature_targets_limits(spark):
+    from mondrian_olap_spark.operators import sampling
+
+    rows = ([Row(doc_id=i, source="web") for i in range(90)]
+            + [Row(doc_id=100 + i, source="rare") for i in range(10)])
+    df = spark.createDataFrame(rows)
+    # alpha=1 keeps the natural mix
+    nat = {r["source"]: r for r in
+           sampling.temperature_targets(df, alpha=1.0).collect()}
+    assert nat["web"]["target_frac"] == pytest.approx(0.9)
+    assert nat["rare"]["target_frac"] == pytest.approx(0.1)
+    # alpha=0 flattens to uniform
+    uni = {r["source"]: r["target_frac"] for r in
+           sampling.temperature_targets(df, alpha=0.0).collect()}
+    assert uni["web"] == pytest.approx(0.5) and uni["rare"] == pytest.approx(0.5)
+    # alpha=0.5 boosts the rare domain, keeps ordering
+    mid = {r["source"]: r["target_frac"] for r in
+           sampling.temperature_targets(df, alpha=0.5).collect()}
+    assert 0.1 < mid["rare"] < 0.5 < mid["web"] < 0.9
+    assert mid["rare"] + mid["web"] == pytest.approx(1.0)
+    # chains into apply_mixing via a collected targets dict
+    targets = {r["source"]: r["target_frac"] for r in
+               sampling.temperature_targets(df, alpha=0.5).collect()}
+    kept = sampling.apply_mixing(df, targets).groupBy("source").count().collect()
+    assert {r["source"] for r in kept} == {"web", "rare"}
