@@ -55,6 +55,7 @@ HEADLINE = [
     "pipeline_length_histogram",
     "pipeline_decontamination_report",
     "pipeline_temperature_mix",
+    "pipeline_corpus_diff",
 ]
 
 

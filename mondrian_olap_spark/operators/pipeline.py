@@ -139,7 +139,7 @@ def write_fingerprinted(
 
     Every subsequent :func:`curate_corpus` call with
     ``fingerprint_col="fingerprint"`` then plans with zero Exchange (the
-    first-occurrence aggregate and the survivor join both read co-located
+    first-occurrence min-struct aggregate reads co-located
     buckets) — the corpus-dedup analog of the star schema's bucketed
     fact⋈bridge layout (:mod:`..sources.bucketing`).  Size ``buckets`` so
     one bucket ≈ one executor-core's worth of documents at the target
@@ -172,3 +172,52 @@ def write_fingerprinted(
         .saveAsTable(table)
     )
     return spark.table(table)
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Version-to-version corpus audit: classify every document id as
+    ``added`` / ``removed`` / ``changed`` / ``unchanged`` between two
+    corpus snapshots, comparing CONTENT fingerprints (md5 of
+    lower+trim — the same normalization as exact dedup, so a re-crawl
+    that only reflows whitespace/case reads as unchanged).
+
+    The re-ingest hygiene check: a refreshed 100 TB crawl should mostly
+    diff as ``unchanged``; an unexpected ``changed``/``removed`` surge
+    means the upstream extractor drifted and train/test membership
+    downstream is about to churn.  One full-outer equi-join on the id —
+    a single id-keyed shuffle, no text comparison beyond the hash.
+
+    Returns (id, old_fingerprint, new_fingerprint, status); NULL text
+    hashes to a NULL fingerprint, which compares null-safely (two NULL
+    texts are ``unchanged``).
+    """
+    def fp(df: DataFrame, out: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"__{out}_id"),
+            F.md5(F.lower(F.trim(F.col(text_col)))).alias(f"{out}_fingerprint"),
+        )
+
+    o, n = fp(old, "old"), fp(new, "new")
+    status = (
+        F.when(F.col("__old_id").isNull(), "added")
+        .when(F.col("__new_id").isNull(), "removed")
+        .when(
+            ~F.col("old_fingerprint").eqNullSafe(F.col("new_fingerprint")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        o.join(n, F.col("__old_id") == F.col("__new_id"), "full_outer")
+        .select(
+            F.coalesce("__old_id", "__new_id").alias(id_col),
+            "old_fingerprint",
+            "new_fingerprint",
+            status.alias("status"),
+        )
+    )

@@ -1885,3 +1885,51 @@ def pipeline_temperature_mix(spark, sf_dir):
     from .operators import sampling
 
     return sampling.temperature_targets(_docs(spark, sf_dir), alpha=0.7)
+
+
+@q(
+    "pipeline_corpus_diff",
+    """
+    WITH o AS (
+      SELECT doc_id, md5(lower(trim(text))) AS f FROM documents
+    ),
+    nv AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' edited' ELSE text END
+               AS text
+      FROM documents WHERE doc_id % 10 <> 3
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text
+      FROM documents WHERE doc_id % 13 = 0
+    ),
+    n AS (SELECT doc_id, md5(lower(trim(text))) AS f FROM nv)
+    SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           o.f AS old_fingerprint,
+           n.f AS new_fingerprint,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.f IS DISTINCT FROM n.f THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM o FULL JOIN n ON o.doc_id = n.doc_id
+    """,
+)
+def pipeline_corpus_diff(spark, sf_dir):
+    """Re-ingest audit (pipeline.corpus_diff): the synthetic v2 drops
+    every 10th doc, appends ' edited' to every 7th (content change —
+    the fingerprint normalization would mask a pure case change), and
+    adds shifted-id copies of every 13th; every id must classify as
+    added/removed/changed/unchanged identically on both engines."""
+    from .operators import pipeline as pl
+
+    docs = _docs(spark, sf_dir)
+    new = docs.filter(F.col("doc_id") % 10 != 3).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" edited"))
+        ).otherwise(F.col("text")),
+    )
+    added = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    new = new.select("doc_id", "text").unionByName(added)
+    return pl.corpus_diff(docs, new)

@@ -1549,3 +1549,26 @@ def test_temperature_targets_limits(spark):
                sampling.temperature_targets(df, alpha=0.5).collect()}
     kept = sampling.apply_mixing(df, targets).groupBy("source").count().collect()
     assert {r["source"] for r in kept} == {"web", "rare"}
+
+
+def test_corpus_diff_statuses(spark):
+    from mondrian_olap_spark.operators.pipeline import corpus_diff
+
+    old = spark.createDataFrame([
+        Row(doc_id=1, text="same text"),
+        Row(doc_id=2, text="Gone Soon"),
+        Row(doc_id=3, text="  Mixed CASE  "),
+        Row(doc_id=4, text="will change"),
+        Row(doc_id=5, text=None),
+    ])
+    new = spark.createDataFrame([
+        Row(doc_id=1, text="same text"),
+        # 2 removed
+        Row(doc_id=3, text="mixed case"),       # normalization → unchanged
+        Row(doc_id=4, text="has changed"),
+        Row(doc_id=5, text=None),               # NULL vs NULL → unchanged
+        Row(doc_id=6, text="brand new"),
+    ])
+    out = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert out == {1: "unchanged", 2: "removed", 3: "unchanged",
+                   4: "changed", 5: "unchanged", 6: "added"}
