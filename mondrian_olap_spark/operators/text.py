@@ -180,7 +180,11 @@ def quality_filter(df: DataFrame, text_col: str = "text") -> DataFrame:
     feats = text_features(df, text_col)
     r = QUALITY_RULES
     reason = (
-        F.when(F.col("n_tokens") < r["min_tokens"], "too_short")
+        # explicit NULL-text rule first: every threshold comparison below
+        # is NULL (hence no-opinion) on NULL text, which would otherwise
+        # fall through to keep=true
+        F.when(F.col(text_col).isNull(), "null_text")
+        .when(F.col("n_tokens") < r["min_tokens"], "too_short")
         .when(F.col("n_tokens") > r["max_tokens"], "too_long")
         .when(F.col("avg_token_len") < r["min_avg_token_len"], "tokens_too_short")
         .when(F.col("avg_token_len") > r["max_avg_token_len"], "tokens_too_long")
@@ -687,11 +691,14 @@ def token_length_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
     two.  One projection + one tiny aggregation (≤ ~60 buckets), so the
     full-corpus pass is scan-bound at any scale.
 
-    Returns ``bucket_lo`` (inclusive power-of-two lower bound; empty
-    documents count into bucket 1), ``n_docs``, ``total_tokens``,
+    Returns ``bucket_lo`` (inclusive power-of-two lower bound; empty or
+    NULL documents count into bucket 1 as a single empty token — the
+    whitespace-split convention), ``n_docs``, ``total_tokens``,
     ``min_tokens``/``max_tokens`` within the bucket.
     """
-    n = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    n = F.size(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    ).cast("long")
     # SQL-form shiftleft: the Python wrapper wants a literal shift amount,
     # the engine itself takes any integer expression
     lo = F.expr("CAST(shiftleft(1, length(bin(greatest(__n, 1))) - 1) AS BIGINT)")

@@ -596,6 +596,7 @@ _FEAT_SQL = {
 }
 _R = text.QUALITY_RULES
 _REASON_SQL = f"""CASE
+    WHEN text IS NULL THEN 'null_text'
     WHEN {_FEAT_SQL['n_tokens']} < {_R['min_tokens']} THEN 'too_short'
     WHEN {_FEAT_SQL['n_tokens']} > {_R['max_tokens']} THEN 'too_long'
     WHEN {_FEAT_SQL['avg_token_len']} < {_R['min_avg_token_len']} THEN 'tokens_too_short'
@@ -1708,7 +1709,10 @@ def text_bpe_pair_counts(spark, sf_dir):
 @q(
     "pipeline_length_histogram",
     f"""
-    WITH t AS (SELECT len({_DOC_TOKS}) AS n FROM documents)
+    WITH t AS (
+      SELECT len(string_split_regex(trim(coalesce(text, '')), '\\s+')) AS n
+      FROM documents
+    )
     SELECT CAST(1 << (length(bin(greatest(n, 1))) - 1) AS BIGINT) AS bucket_lo,
            count(*) AS n_docs,
            CAST(sum(n) AS BIGINT) AS total_tokens,

@@ -1572,3 +1572,29 @@ def test_corpus_diff_statuses(spark):
     out = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
     assert out == {1: "unchanged", 2: "removed", 3: "unchanged",
                    4: "changed", 5: "unchanged", 6: "added"}
+
+
+def test_null_text_dropped_by_quality_filter_and_curation(spark):
+    """NULL text must never survive curation: every threshold comparison
+    is NULL (no-opinion) on NULL text, so without the explicit rule the
+    CASE chain would fall through to keep=true."""
+    from mondrian_olap_spark.operators.pipeline import curate_corpus
+
+    good = ("the quantum computer calculates enormous matrices during "
+            "the evening session while patient researchers monitor "
+            "the thermal sensors recording voltage readings across "
+            "the silicon wafers inside sealed chambers throughout winter")
+    df = spark.createDataFrame([
+        Row(doc_id=1, text=good),
+        Row(doc_id=2, text=None),
+        Row(doc_id=3, text=None),
+    ])
+    qf = {r["doc_id"]: r for r in
+          text.quality_filter(df).select("doc_id", "keep", "drop_reason").collect()}
+    assert qf[2]["keep"] is False and qf[2]["drop_reason"] == "null_text"
+    assert qf[1]["keep"] is True
+    assert [r.doc_id for r in curate_corpus(df).collect()] == [1]
+    # histogram: NULL counts as an empty doc in bucket 1, no NULL totals
+    hist = {r["bucket_lo"]: r for r in
+            text.token_length_histogram(df).collect()}
+    assert hist[1]["n_docs"] == 2 and hist[1]["total_tokens"] == 2
