@@ -43,18 +43,30 @@ def asof_join(
     right_ts: str = "ts",
     value_cols: list[str] | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
+    tolerance: str | int | float | None = None,
 ) -> DataFrame:
-    """Backward as-of join: each left row picks the single most recent
-    right row with ``right.ts <= left.ts`` and the same ``key`` (DuckDB /
-    kdb ``ASOF JOIN`` semantics, ties inclusive).  Left rows with no prior
-    right row keep NULLs.
+    """As-of join: each left row picks the single nearest right row with
+    the same ``key`` — ``direction="backward"`` (default) takes the most
+    recent ``right.ts <= left.ts`` (DuckDB / kdb ``ASOF JOIN``
+    semantics), ``"forward"`` the earliest ``right.ts >= left.ts``; ties
+    inclusive either way.  Left rows with no qualifying right row keep
+    NULLs.
+
+    ``tolerance`` bounds the match horizon (pandas ``merge_asof``
+    parity): a SQL expression string (``"INTERVAL 30 MINUTES"`` for
+    timestamps) or a number (numeric ts columns).  A match farther than
+    the horizon reads as no-match (NULLs) — applied as a projection on
+    the carried values, no extra shuffle.
 
     Implementation: tag + union + one window per key ordered by
-    (ts, side) with the right side sorting first at equal timestamps, then
-    ``last(value, ignorenulls=True)`` carries the latest right-side values
-    onto every subsequent left row.  One shuffle, zero joins, no candidate
-    pairs.
+    (ts, side) — descending for forward — with the right side sorting
+    first at equal timestamps, then ``last(value, ignorenulls=True)``
+    carries the nearest right-side values onto every left row.  One
+    shuffle, zero joins, no candidate pairs.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
     if value_cols is None:
         value_cols = [
             c for c in right.columns if c not in (key, right_ts)
@@ -96,15 +108,30 @@ def asof_join(
             *[F.col(c) for c in value_cols],
         ).alias("__rvals"),
     )
+    order = (
+        [F.col("__ts"), F.col("__side")]
+        if direction == "backward"
+        else [F.col("__ts").desc(), F.col("__side")]
+    )
     w = (
         Window.partitionBy("__k")
-        .orderBy("__ts", "__side")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = lhs.unionByName(rhs).withColumn(
         "__last", F.last("__rvals", ignorenulls=True).over(w)
     )
     picked = merged.filter(F.col("__side") == 1)
+    if tolerance is not None:
+        delta = (
+            F.expr(tolerance) if isinstance(tolerance, str) else F.lit(tolerance)
+        )
+        ok = (
+            F.col("__last.__rts") >= (F.col("__ts") - delta)
+            if direction == "backward"
+            else F.col("__last.__rts") <= (F.col("__ts") + delta)
+        )
+        picked = picked.withColumn("__last", F.when(ok, F.col("__last")))
     sel: list[Column] = [
         F.col(f"__row.{c}").alias(c) for c in left.columns
     ]

@@ -156,14 +156,14 @@ def write_fingerprinted(
     if "." in table:
         database = table.rsplit(".", 1)[0]
         spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
-        # the default in-memory catalog forgets tables across sessions but
-        # their warehouse locations persist — clear both
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        loc = f"{wh}/{database}.db/{table.rsplit('.', 1)[-1]}"
-        shutil.rmtree(loc, ignore_errors=True)
+        subdir = f"{database}.db/{table.rsplit('.', 1)[-1]}"
     else:
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        subdir = table
+    # the default in-memory catalog forgets tables across sessions but
+    # their warehouse locations persist — clear both
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/{subdir}", ignore_errors=True)
     (
         docs.select("*", fp)
         .write.bucketBy(buckets, "fingerprint")

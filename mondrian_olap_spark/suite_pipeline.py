@@ -1937,3 +1937,51 @@ def pipeline_corpus_diff(spark, sf_dir):
     )
     new = new.select("doc_id", "text").unionByName(added)
     return pl.corpus_diff(docs, new)
+
+
+@q(
+    "events_asof_forward_tolerance",
+    """
+    WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+         p AS (SELECT * FROM events WHERE event_type = 'purchase')
+    SELECT c.event_id, c.user_id, epoch_us(c.ts) AS click_us,
+           CASE WHEN p.ts <= c.ts + INTERVAL 2 HOUR
+                THEN epoch_us(p.ts) END AS purchase_us,
+           CASE WHEN p.ts <= c.ts + INTERVAL 2 HOUR
+                THEN p.value END AS purchase_value,
+           CASE WHEN p.ts <= c.ts + INTERVAL 2 HOUR
+                THEN epoch_us(p.ts) - epoch_us(c.ts) END AS gap_us
+    FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts <= p.ts
+    """,
+)
+def events_asof_forward_tolerance(spark, sf_dir):
+    """FORWARD as-of join with a match horizon (pandas merge_asof
+    parity): each click looks AHEAD to the user's next purchase, and a
+    purchase more than 2 hours out reads as no conversion — the
+    click-to-conversion attribution window.  Same union+window plan as
+    backward (ordered descending), horizon applied as a projection;
+    oracle is DuckDB's native ASOF with the inequality flipped plus a
+    CASE horizon."""
+    from .operators import events as ev_ops
+    from .operators.sessions import _is_ntz, _micros
+
+    ev = _events(spark, sf_dir)
+    ntz = _is_ntz(ev, "ts")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = ev_ops.asof_join(
+        clicks, purchases, key="user_id", value_cols=["value"],
+        suffix="_p", direction="forward", tolerance="INTERVAL 2 HOURS",
+    )
+    c_us = _micros(F.col("ts"), ntz)
+    p_us = _micros(F.col("ts_p"), ntz)
+    return joined.select(
+        "event_id",
+        "user_id",
+        c_us.alias("click_us"),
+        p_us.alias("purchase_us"),
+        F.col("value_p").alias("purchase_value"),
+        (p_us - c_us).alias("gap_us"),
+    )

@@ -1598,3 +1598,44 @@ def test_null_text_dropped_by_quality_filter_and_curation(spark):
     hist = {r["bucket_lo"]: r for r in
             text.token_length_histogram(df).collect()}
     assert hist[1]["n_docs"] == 2 and hist[1]["total_tokens"] == 2
+
+
+def test_asof_join_forward_and_tolerance(spark):
+    import datetime as dt
+
+    from mondrian_olap_spark.operators import events as ev_ops
+
+    t0 = dt.datetime(2001, 1, 1, 12, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    left = spark.createDataFrame([
+        Row(event_id=1, user_id=1, ts=ts(0)),
+        Row(event_id=2, user_id=1, ts=ts(50)),
+        Row(event_id=3, user_id=2, ts=ts(0)),     # no purchase at all
+    ])
+    right = spark.createDataFrame([
+        Row(user_id=1, ts=ts(10), value=1.0),     # 10 min after event 1
+        Row(user_id=1, ts=ts(300), value=2.0),    # 250 min after event 2
+    ])
+    fwd = {r["event_id"]: r for r in ev_ops.asof_join(
+        left, right, key="user_id", value_cols=["value"],
+        direction="forward").collect()}
+    assert fwd[1]["value_right"] == 1.0           # nearest FOLLOWING row
+    assert fwd[2]["value_right"] == 2.0
+    assert fwd[3]["value_right"] is None
+    tol = {r["event_id"]: r for r in ev_ops.asof_join(
+        left, right, key="user_id", value_cols=["value"],
+        direction="forward", tolerance="INTERVAL 1 HOUR").collect()}
+    assert tol[1]["value_right"] == 1.0           # within the horizon
+    assert tol[2]["value_right"] is None          # 250 min > 1 h → no match
+    assert tol[2]["ts_right"] is None
+    # backward tolerance: event 2 is 40 min after the ts(10) purchase
+    back = {r["event_id"]: r for r in ev_ops.asof_join(
+        left, right, key="user_id", value_cols=["value"],
+        tolerance="INTERVAL 20 MINUTES").collect()}
+    assert back[1]["value_right"] is None         # nearest prior is ahead
+    assert back[2]["value_right"] is None         # 40 min > 20 min horizon
+    with pytest.raises(ValueError):
+        ev_ops.asof_join(left, right, key="user_id", direction="nearest")
