@@ -1985,3 +1985,55 @@ def events_asof_forward_tolerance(spark, sf_dir):
         F.col("value_p").alias("purchase_value"),
         (p_us - c_us).alias("gap_us"),
     )
+
+
+@q(
+    "streaming_maintenance_gate",
+    """
+    SELECT r_name AS region_name, n_name AS nation_name,
+           sum(l_quantity) AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+def streaming_maintenance_gate(spark, sf_dir):
+    """STREAMING summary maintenance hash-compared against the batch star
+    aggregate: lineitem arrives in two micro-batch waves (orderkey
+    parity), each maintained into a nation-grain summary through the
+    cube's own star planner, and the FINAL summary must equal the batch
+    GROUP BY over the whole fact bit-for-bit (quantities are
+    integer-valued doubles — merge order cannot perturb the sums).
+    Fourth §2.9 driver-gate entry: proves the delta-merge loop, not just
+    single-pass streaming aggregation."""
+    import tempfile
+
+    from .star import engine_from_parquet
+    from .streaming.maintenance import maintain_aggregate, read_summary
+    from .tpch import SCHEMA
+
+    eng = engine_from_parquet(spark, SCHEMA, "Sales", sf_dir)
+    fact = read_parquet_table(spark, f"{sf_dir}/lineitem.parquet")
+    work = tempfile.mkdtemp(prefix="stream_maint_")
+    src, summary, ckpt = f"{work}/src", f"{work}/summary", f"{work}/ckpt"
+    half1 = fact.filter(F.col("l_orderkey") % 2 == 0)
+    half2 = fact.filter(F.col("l_orderkey") % 2 == 1)
+    half1.write.parquet(src, mode="overwrite")
+    q1 = maintain_aggregate(
+        eng, spark.readStream.schema(fact.schema).parquet(src),
+        ["[Customer].[Nation]"], ["Sum Qty"], summary, ckpt,
+        register=False,
+    )
+    q1.awaitTermination(300)
+    half2.write.parquet(src, mode="append")
+    q2 = maintain_aggregate(
+        eng, spark.readStream.schema(fact.schema).parquet(src),
+        ["[Customer].[Nation]"], ["Sum Qty"], summary, ckpt,
+        register=False,
+    )
+    q2.awaitTermination(300)
+    return read_summary(spark, summary).select(
+        "region_name", "nation_name", "sum_qty"
+    )

@@ -1639,3 +1639,33 @@ def test_asof_join_forward_and_tolerance(spark):
     assert back[2]["value_right"] is None         # 40 min > 20 min horizon
     with pytest.raises(ValueError):
         ev_ops.asof_join(left, right, key="user_id", direction="nearest")
+
+
+def test_bpe_pair_counts_matches_python_reference(spark):
+    """Differential check of the regex/pair plumbing against a plain
+    Python implementation over adversarial inputs (contractions,
+    unicode, whitespace runs, punctuation runs, digits)."""
+    import re
+    from collections import Counter
+
+    texts = [
+        "it's can't won't o'clock",
+        "a  b\tc\nd",
+        "héllo wörld — naïve café",
+        "123abc!!!   456def???",
+        "x",
+        "",
+        "    ",
+        "don't....stop---now",
+        "MixedCASE and lower and UPPER",
+    ]
+    want = Counter()
+    for t in texts:
+        for tok in re.findall(text.BPE_SPLIT_PATTERN, t):
+            for i in range(len(tok) - 1):
+                want[tok[i:i + 2]] += 1
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    got = {r["pair"]: r["n_pairs"] for r in text.bpe_pair_counts(df).collect()}
+    assert got == dict(want)
