@@ -2037,3 +2037,58 @@ def streaming_maintenance_gate(spark, sf_dir):
     return read_summary(spark, summary).select(
         "region_name", "nation_name", "sum_qty"
     )
+
+
+@q(
+    "events_approx_quantiles",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50_value,
+           quantile_cont(value, 0.95) AS p95_value,
+           TRUE AS approx_within_rank_bound
+    FROM events GROUP BY 1
+    """,
+)
+def events_approx_quantiles(spark, sf_dir):
+    """Approximate quantiles as the scale path with a LIVE error-bound
+    assertion (the approx_distinct_parts contract): the raw
+    approx_percentile output is engine-specific, so the hash-comparable
+    row is the exact quantile plus a boolean asserting the approx value
+    sits between the exact quantiles at p±2ε (ε = 1/accuracy — the
+    documented rank-error guarantee of Greenwald-Khanna at
+    accuracy=1000).  A drifting sketch implementation turns the row red
+    instead of hiding."""
+    ev = _events(spark, sf_dir)
+    g = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, array(0.5, 0.95))").alias("ex"),
+        F.expr("approx_percentile(value, array(0.5, 0.95), 1000)").alias("ap"),
+    )
+    # verify the RANK of the returned element directly (the actual
+    # Greenwald-Khanna contract): the value's rank window
+    # [count(<v), count(<=v)] must intersect [p−ε, p+ε]·n, ε = 1/1000
+    # (+1 element of slack for the window endpoints at small n)
+    j = ev.join(F.broadcast(g), "event_type")
+    r = j.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.sum((F.col("value") < F.col("ap")[0]).cast("long")).alias("lt50"),
+        F.sum((F.col("value") <= F.col("ap")[0]).cast("long")).alias("le50"),
+        F.sum((F.col("value") < F.col("ap")[1]).cast("long")).alias("lt95"),
+        F.sum((F.col("value") <= F.col("ap")[1]).cast("long")).alias("le95"),
+        F.first("ex").alias("ex"),
+    )
+    eps = F.lit(0.001)
+    n = F.col("n").cast("double")
+
+    def ok(lt, le, p):
+        return (F.col(lt) <= (F.lit(p) + eps) * n + F.lit(1.0)) & (
+            F.col(le) >= (F.lit(p) - eps) * n - F.lit(1.0)
+        )
+
+    return r.select(
+        "event_type",
+        F.col("ex")[0].alias("p50_value"),
+        F.col("ex")[1].alias("p95_value"),
+        (ok("lt50", "le50", 0.5) & ok("lt95", "le95", 0.95)).alias(
+            "approx_within_rank_bound"
+        ),
+    )
