@@ -108,10 +108,14 @@ def asof_join(
             *[F.col(c) for c in value_cols],
         ).alias("__rvals"),
     )
+    # NULL left timestamps must see NO right rows: ascending (backward)
+    # puts NULLS FIRST by default; descending (forward) defaults to
+    # NULLS LAST, which would carry the smallest right ts onto every
+    # NULL-ts left row — order them first explicitly
     order = (
         [F.col("__ts"), F.col("__side")]
         if direction == "backward"
-        else [F.col("__ts").desc(), F.col("__side")]
+        else [F.col("__ts").desc_nulls_first(), F.col("__side")]
     )
     w = (
         Window.partitionBy("__k")

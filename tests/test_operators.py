@@ -1669,3 +1669,26 @@ def test_bpe_pair_counts_matches_python_reference(spark):
     )
     got = {r["pair"]: r["n_pairs"] for r in text.bpe_pair_counts(df).collect()}
     assert got == dict(want)
+
+
+def test_asof_join_forward_null_left_ts_never_matches(spark):
+    """Forward ordering is descending, where Spark defaults NULLS LAST —
+    unguarded, a NULL-ts left row would sort after every right row and
+    'match' the smallest right timestamp."""
+    import datetime as dt
+
+    from mondrian_olap_spark.operators import events as ev_ops
+
+    t0 = dt.datetime(2001, 1, 1)
+    left = spark.createDataFrame([
+        Row(event_id=1, user_id=1, ts=None),
+        Row(event_id=2, user_id=1, ts=t0),
+    ])
+    right = spark.createDataFrame([
+        Row(user_id=1, ts=t0 + dt.timedelta(minutes=5), value=1.0),
+    ])
+    out = {r["event_id"]: r for r in ev_ops.asof_join(
+        left, right, key="user_id", value_cols=["value"],
+        direction="forward").collect()}
+    assert out[1]["value_right"] is None and out[1]["ts_right"] is None
+    assert out[2]["value_right"] == 1.0
