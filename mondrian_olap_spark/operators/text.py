@@ -454,35 +454,25 @@ def unigram_entropy(
     SUM aggregate would sum in partition order).
 
     Returns (id, n_tokens, n_distinct, entropy) with entropy rounded to
-    6 decimals.  Two keyed shuffles ((doc, word) count, then per-doc
-    fold); per-doc distinct-word counts bound the collected list.
+    6 decimals.  ZERO shuffles: the per-word counts are run lengths of
+    the per-document SORTED token array, so the whole computation is a
+    single projection (array_sort + one expression fold per row) — the
+    Σ terms accumulate in the same sorted-word order as the previous
+    explode→count→collect shape, so results are bit-identical while the
+    two corpus-wide shuffles disappear.
     """
     from .util import ensure_min_parallelism
 
-    toks = ensure_min_parallelism(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("w"),
-    ).filter(F.col("w") != "")
-    counts = toks.groupBy("id", "w").agg(F.count("*").alias("c"))
-    per_doc = counts.groupBy("id").agg(
-        F.sum("c").alias("n_tokens"),
-        F.count("*").alias("n_distinct"),
+    arr = F.filter(
         F.array_sort(
-            F.collect_list(F.struct(F.col("w"), F.col("c")))
-        ).alias("__wc"),
+            F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+        ),
+        lambda x: x != "",
     )
-    acc = F.aggregate(
-        F.col("__wc"),
-        F.lit(0.0),
-        lambda a, s: a + s["c"].cast("double") * F.log(s["c"].cast("double")),
+    out = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("id"), arr.alias("__arr")
     )
-    ent = F.log(F.col("n_tokens").cast("double")) - acc / F.col("n_tokens")
-    return per_doc.select(
-        "id",
-        "n_tokens",
-        "n_distinct",
-        F.round(ent, 6).alias("entropy"),
-    )
+    return _runlength_entropy(out, "n_tokens", "n_distinct", "entropy")
 
 
 def bigram_entropy(
@@ -499,7 +489,9 @@ def bigram_entropy(
     tokens have no bigrams and drop from the output (both engines).
 
     Returns (id, n_bigrams, n_distinct_bigrams, bigram_entropy) with the
-    entropy rounded to 6 decimals.
+    entropy rounded to 6 decimals.  ZERO shuffles (see
+    :func:`unigram_entropy` — run-length fold over the sorted per-doc
+    bigram array).
     """
     from .util import ensure_min_parallelism
 
@@ -513,28 +505,74 @@ def bigram_entropy(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    pairs = ensure_min_parallelism(df).select(
-        F.col(id_col).alias("id"), F.explode(grams).alias("g")
+    out = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("id"), F.array_sort(grams).alias("__arr")
     )
-    counts = pairs.groupBy("id", "g").agg(F.count("*").alias("c"))
-    per_doc = counts.groupBy("id").agg(
-        F.sum("c").alias("n_bigrams"),
-        F.count("*").alias("n_distinct_bigrams"),
-        F.array_sort(
-            F.collect_list(F.struct(F.col("g"), F.col("c")))
-        ).alias("__gc"),
+    return _runlength_entropy(
+        out, "n_bigrams", "n_distinct_bigrams", "bigram_entropy"
     )
-    acc = F.aggregate(
-        F.col("__gc"),
-        F.lit(0.0),
-        lambda a, s: a + s["c"].cast("double") * F.log(s["c"].cast("double")),
+
+
+def _runlength_entropy(
+    df: DataFrame, n_col: str, distinct_col: str, ent_col: str
+) -> DataFrame:
+    """Shared per-row entropy kernel over a SORTED string array column
+    ``__arr``: one expression fold tracks (previous element, current run
+    length, distinct count, Σ c·ln c), closing each run's term in sorted
+    order — the exact term sequence of a sorted (element, count) fold,
+    so results are bit-identical to the explode→count→collect shape
+    while needing no shuffle at all.  Rows with empty arrays drop (no
+    tokens → no distribution)."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("distinct"),
+        F.lit(0.0).alias("acc"),
     )
-    ent = F.log(F.col("n_bigrams").cast("double")) - acc / F.col("n_bigrams")
-    return per_doc.select(
+    term = lambda run: run.cast("double") * F.log(run.cast("double"))  # noqa: E731
+
+    def step(st, x):
+        closing = F.when(
+            st["run"] > 0, st["acc"] + term(st["run"])
+        ).otherwise(st["acc"])
+        return F.when(
+            x.eqNullSafe(st["prev"]),
+            F.struct(
+                st["prev"].alias("prev"),
+                (st["run"] + 1).alias("run"),
+                st["distinct"].alias("distinct"),
+                st["acc"].alias("acc"),
+            ),
+        ).otherwise(
+            F.struct(
+                x.alias("prev"),
+                F.lit(1).cast("long").alias("run"),
+                (st["distinct"] + 1).alias("distinct"),
+                closing.alias("acc"),
+            )
+        )
+
+    folded = F.aggregate(
+        F.col("__arr"),
+        init,
+        step,
+        lambda st: F.struct(
+            st["distinct"].alias("distinct"),
+            F.when(st["run"] > 0, st["acc"] + term(st["run"]))
+            .otherwise(st["acc"])
+            .alias("acc"),
+        ),
+    )
+    n = F.size("__arr").cast("long")
+    out = df.select(
+        "id", n.alias(n_col), folded.alias("__f")
+    ).filter(F.col(n_col) > 0)
+    ent = F.log(F.col(n_col).cast("double")) - F.col("__f.acc") / F.col(n_col)
+    return out.select(
         "id",
-        "n_bigrams",
-        "n_distinct_bigrams",
-        F.round(ent, 6).alias("bigram_entropy"),
+        n_col,
+        F.col("__f.distinct").alias(distinct_col),
+        F.round(ent, 6).alias(ent_col),
     )
 
 
