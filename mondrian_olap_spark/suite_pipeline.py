@@ -2092,3 +2092,44 @@ def events_approx_quantiles(spark, sf_dir):
             "approx_within_rank_bound"
         ),
     )
+
+
+@q(
+    "bucketed_star_gate",
+    """
+    SELECT year(o_orderdate) AS o_year,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1
+    """,
+)
+def bucketed_star_gate(spark, sf_dir):
+    """Bucketed/co-located storage (§2.1) through the driver gate: the
+    fact and its bridge are materialized bucketed+sorted on the join
+    key, the query plans through the catalog engine over the bucketed
+    tables (shuffle-free fact⋈bridge — plan property asserted in
+    tests/test_bucketing.py), and the result must equal the plain-scan
+    oracle bit-for-bit: physical design must never change answers."""
+    from .query import Query
+    from .sources import engine_from_catalog
+    from .sources.bucketing import BucketSpec, materialize_bucketed
+    from .tpch import SCHEMA
+
+    mapping = materialize_bucketed(
+        spark,
+        sf_dir,
+        [
+            BucketSpec("lineitem", "l_orderkey", 8),
+            BucketSpec("orders", "o_orderkey", 8),
+        ],
+        database="molap_bucketed_gate",
+        plain_tables=["customer", "nation", "region", "supplier", "part"],
+    )
+    eng = engine_from_catalog(spark, SCHEMA, "Sales", mapping)
+    return (
+        Query(eng)
+        .columns("[Measures].[Sum Price]")
+        .rows("[Time].[Year].Members")
+        .execute()
+        .df
+    )
