@@ -588,3 +588,75 @@ def label_norm_stats(
             F.round(F.avg("__norm"), 6).alias("avg_norm"),
         )
     )
+
+
+def cosine_topk_vectorized(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """NumPy/Arrow variant of :func:`cosine_topk` — the documented
+    Pandas-UDF escape hatch for when per-element expression folds become
+    the bottleneck on wide vectors: each Arrow batch computes ALL
+    query similarities as one BLAS matrix product (``C @ Q.T``) and
+    emits only its per-batch top-k per query, so the final exact top-k
+    window sees ≤ k·|queries| rows per partition.
+
+    Same contract and schema as :func:`cosine_topk` (self-matches and
+    zero-norm vectors excluded, neighbor-id tiebreak).  NumPy sums
+    pairwise rather than sequentially, so cosines can differ from the
+    fold path in the last ulps — this path is parity-tested against the
+    expression baseline, while the expression path remains the
+    oracle-gated one.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = (
+        emb.filter(F.col(id_col).isin(query_ids))
+        .select(id_col, vec_col)
+        .collect()  # bounded by the query set, same contract as query_ids
+    )
+    qids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(Q, axis=1)
+    schema = "query_id long, neighbor_id long, cosine double"
+
+    def part(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            C = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            cn = np.linalg.norm(C, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (C @ Q.T) / (cn[:, None] * qn[None, :])
+            out = []
+            for j in range(len(qids)):
+                col = sims[:, j]
+                mask = (ids != qids[j]) & np.isfinite(col)
+                mids, mcos = ids[mask], col[mask]
+                take = np.lexsort((mids, -mcos))[:k]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qids[j],
+                            "neighbor_id": mids[take],
+                            "cosine": mcos[take],
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    partial = emb.select(id_col, vec_col).mapInPandas(part, schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        partial.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", "cosine")
+    )

@@ -1692,3 +1692,17 @@ def test_asof_join_forward_null_left_ts_never_matches(spark):
         direction="forward").collect()}
     assert out[1]["value_right"] is None and out[1]["ts_right"] is None
     assert out[2]["value_right"] == 1.0
+
+
+def test_cosine_topk_vectorized_matches_expression_path(spark):
+    from mondrian_olap_spark.operators import similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qids = [r["vec_id"] for r in emb.select("vec_id").limit(3).collect()]
+    a = sim.cosine_topk(emb, qids, k=5).collect()
+    b = sim.cosine_topk_vectorized(emb, qids, k=5).collect()
+    pa = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in a}
+    pb = {(r["query_id"], r["neighbor_id"]): r["cosine"] for r in b}
+    assert set(pa) == set(pb)
+    for key in pa:
+        assert pa[key] == pytest.approx(pb[key], abs=1e-9)
