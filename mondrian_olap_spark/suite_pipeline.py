@@ -2133,3 +2133,88 @@ def bucketed_star_gate(spark, sf_dir):
         .execute()
         .df
     )
+
+
+@q(
+    "embed_ivf_recall_gate",
+    f"""
+    WITH en AS (
+      SELECT vec_id, {_EMB_D} AS v,
+             sqrt(list_dot_product({_EMB_D}, {_EMB_D})) AS nv
+      FROM embeddings
+      WHERE list_dot_product({_EMB_D}, {_EMB_D}) > 0
+    ),
+    c AS (SELECT vec_id AS cid, v AS cv, nv AS cn FROM en ORDER BY vec_id LIMIT 8),
+    a AS (
+      SELECT en.vec_id, c.cid,
+             row_number() OVER (
+               PARTITION BY en.vec_id
+               ORDER BY list_dot_product(en.v, c.cv) / (en.nv * c.cn) DESC, c.cid
+             ) AS rn
+      FROM en CROSS JOIN c
+    ),
+    cell AS (SELECT vec_id, cid AS cell FROM a WHERE rn = 1),
+    probe AS (
+      SELECT vec_id AS query_id, cid AS cell FROM a
+      WHERE rn <= 2 AND vec_id IN (0, 100, 200, 300, 400)
+    ),
+    ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, ce.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY list_dot_product(q.v, n.v) / (q.nv * n.nv) DESC,
+                          ce.vec_id
+               ) AS rn
+        FROM probe p
+        JOIN cell ce ON ce.cell = p.cell AND ce.vec_id <> p.query_id
+        JOIN en q ON q.vec_id = p.query_id
+        JOIN en n ON n.vec_id = ce.vec_id
+      ) WHERE rn <= 10
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_dot_product(q.v, n.v) / (q.nv * n.nv) DESC,
+                          n.vec_id
+               ) AS rn
+        FROM en q JOIN en n ON n.vec_id <> q.vec_id
+        WHERE q.vec_id IN (0, 100, 200, 300, 400)
+      ) WHERE rn <= 10
+    )
+    SELECT e.query_id,
+           CAST(count(i.neighbor_id) AS BIGINT) AS n_overlap,
+           round(count(i.neighbor_id) / 10.0, 6) AS recall_at_10
+    FROM exact e
+    LEFT JOIN ivf i ON i.query_id = e.query_id
+                   AND i.neighbor_id = e.neighbor_id
+    GROUP BY 1
+    """,
+)
+def embed_ivf_recall_gate(spark, sf_dir):
+    """ANN quality through the driver gate: per-query recall@10 of the
+    IVF path (n_probe=2 of 8 cells) against the exact brute-force
+    top-10.  Both sides are deterministic (seed centroids, id
+    tiebreaks), so the recall itself is hash-comparable — the oracle
+    recomputes the ENTIRE IVF pipeline and the exact ranking in SQL.
+    This is the measured number behind the n_probe recall-knob claim."""
+    emb = _emb(spark, sf_dir)
+    qids = [0, 100, 200, 300, 400]
+    exact = similarity.cosine_topk(emb, qids, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = similarity.ivf_topk(
+        emb, qids, k=10, n_cells=8, n_probe=2
+    ).select("query_id", "neighbor_id").withColumn("__hit", F.lit(1))
+    return (
+        exact.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("__hit").alias("n_overlap"))
+        .select(
+            "query_id",
+            "n_overlap",
+            F.round(F.col("n_overlap") / 10.0, 6).alias("recall_at_10"),
+        )
+    )
