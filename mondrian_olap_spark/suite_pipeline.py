@@ -2218,3 +2218,69 @@ def embed_ivf_recall_gate(spark, sf_dir):
             F.round(F.col("n_overlap") / 10.0, 6).alias("recall_at_10"),
         )
     )
+
+
+@q(
+    "multimodal_real_bmp_gate",
+    """
+    WITH g AS (
+      SELECT doc_id, t1.y, t2.x,
+             ((doc_id + 7*t1.y + 13*t2.x) % 256) / 255.0 AS b,
+             ((doc_id + 7*t1.y + 13*t2.x + 29) % 256) / 255.0 AS gg,
+             ((doc_id + 7*t1.y + 13*t2.x + 58) % 256) / 255.0 AS r
+      FROM documents, range(0, 4) t1(y), range(0, 4) t2(x)
+    )
+    SELECT doc_id AS media_id, 4 AS width, 4 AS height,
+           round(CAST(CAST(avg(r) AS REAL) AS DOUBLE), 6) AS r_mean,
+           round(CAST(CAST(avg(gg) AS REAL) AS DOUBLE), 6) AS g_mean,
+           round(CAST(CAST(avg(b) AS REAL) AS DOUBLE), 6) AS b_mean,
+           round(CAST(CAST(min(0.299*r + 0.587*gg + 0.114*b) AS REAL) AS DOUBLE), 6)
+             AS lum_min,
+           round(CAST(CAST(max(0.299*r + 0.587*gg + 0.114*b) AS REAL) AS DOUBLE), 6)
+             AS lum_max
+    FROM g GROUP BY 1
+    """,
+)
+def multimodal_real_bmp_gate(spark, sf_dir):
+    """The REAL stdlib BMP codec through the driver gate (the fake-decoder
+    entry proves plumbing; this proves the codec): deterministic 4×4
+    BGR pixels are synthesized from each doc_id, encoded to genuine
+    24-bpp BMP bytes (encode_bmp), decoded back through
+    decode_media(real_decoder) — struct header parse + pixel math — and
+    the per-channel means and luminance extrema must match the oracle's
+    closed-form pixel arithmetic.  Payload bytes never leave the
+    executors (mapInPandas both directions)."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators import multimodal as mm
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                y, x, c = np.meshgrid(
+                    range(4), range(4), range(3), indexing="ij"
+                )
+                px = ((did + 7 * y + 13 * x + 29 * c) % 256).astype(np.uint8)
+                rows.append((did, "image", mm.encode_bmp(px)))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+
+    media = docs.mapInPandas(
+        gen, schema="media_id long, kind string, payload binary"
+    )
+    dec = mm.decode_media(media, decoder=mm.real_decoder)
+    f = F.col("features")
+    return dec.select(
+        "media_id",
+        "width",
+        "height",
+        F.round(f[0].cast("double"), 6).alias("r_mean"),
+        F.round(f[1].cast("double"), 6).alias("g_mean"),
+        F.round(f[2].cast("double"), 6).alias("b_mean"),
+        F.round(f[5].cast("double"), 6).alias("lum_min"),
+        F.round(f[6].cast("double"), 6).alias("lum_max"),
+    )
