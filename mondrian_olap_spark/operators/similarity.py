@@ -619,10 +619,12 @@ def cosine_topk_vectorized(
         .select(id_col, vec_col)
         .collect()  # bounded by the query set, same contract as query_ids
     )
+    schema = "query_id long, neighbor_id long, cosine double"
+    if not q_rows:
+        return emb.sparkSession.createDataFrame([], schema)
     qids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
     Q = np.array([list(r[vec_col]) for r in q_rows], dtype=np.float64)
     qn = np.linalg.norm(Q, axis=1)
-    schema = "query_id long, neighbor_id long, cosine double"
 
     def part(batches):
         for pdf in batches:
