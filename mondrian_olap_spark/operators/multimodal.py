@@ -162,6 +162,32 @@ def decode_bmp(payload: bytes) -> tuple[int, int, list[float]]:
     return int(width), int(height), feats
 
 
+def encode_wav(samples, sample_rate: int = 8000, channels: int = 1) -> bytes:
+    """Encode int16 PCM samples (frame-interleaved if multi-channel) as a
+    canonical RIFF/WAVE payload — the inverse of :func:`decode_wav`'s
+    16-bit case (round-trips bit-exactly).  Chunk layout per the public
+    RIFF spec: ``fmt `` then ``data``, no extension chunks."""
+    import struct
+
+    import numpy as np
+
+    x = np.asarray(samples, dtype="<i2")
+    if x.size % channels:
+        raise ValueError(
+            f"{x.size} samples do not form whole {channels}-channel frames"
+        )
+    data = x.tobytes()
+    block_align = channels * 2
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, channels, sample_rate,
+        sample_rate * block_align, block_align, 16,
+    )
+    dat = b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:  # chunks are word-aligned
+        dat += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(fmt) + len(dat)) + b"WAVE" + fmt + dat
+
+
 def decode_wav(payload: bytes) -> tuple[int, int, list[float]]:
     """Parse a PCM RIFF/WAVE payload (8/16/32-bit int or 32-bit float) and
     compute the 8-dim feature vector: mean/RMS/peak amplitude (normalized

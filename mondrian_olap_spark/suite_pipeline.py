@@ -2284,3 +2284,73 @@ def multimodal_real_bmp_gate(spark, sf_dir):
         F.round(f[5].cast("double"), 6).alias("lum_min"),
         F.round(f[6].cast("double"), 6).alias("lum_max"),
     )
+
+
+@q(
+    "multimodal_real_wav_gate",
+    """
+    WITH s AS (
+      SELECT doc_id, t.i,
+             (((doc_id*31 + t.i*17) % 2001) - 1000) / 32768.0 AS v
+      FROM documents, range(0, 32) t(i)
+    ),
+    d AS (
+      SELECT doc_id, v,
+             CASE WHEN v < 0 THEN 1 ELSE 0 END
+               - lag(CASE WHEN v < 0 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY i) AS flip
+      FROM s
+    )
+    SELECT doc_id AS media_id, 32 AS n_samples, 1 AS channels,
+           round(CAST(CAST(avg(v) AS REAL) AS DOUBLE), 6) AS mean_amp,
+           round(CAST(CAST(sqrt(avg(v*v)) AS REAL) AS DOUBLE), 6) AS rms_amp,
+           round(CAST(CAST(max(abs(v)) AS REAL) AS DOUBLE), 6) AS peak_amp,
+           round(CAST(CAST(avg(CAST(abs(flip) AS DOUBLE))
+                             FILTER (flip IS NOT NULL) AS REAL) AS DOUBLE), 6)
+             AS zcr,
+           round(CAST(CAST(count(*) / 8000.0 AS REAL) AS DOUBLE), 6)
+             AS duration_s
+    FROM d GROUP BY 1
+    """,
+)
+def multimodal_real_wav_gate(spark, sf_dir):
+    """The REAL stdlib WAV codec through the driver gate (companion to
+    multimodal_real_bmp_gate): a deterministic 32-sample 16-bit PCM
+    waveform is synthesized per doc_id, serialized to genuine RIFF/WAVE
+    bytes (encode_wav), decoded back through decode_media(real_decoder)
+    — RIFF chunk walk + numpy sample math — and the amplitude statistics
+    (mean/RMS/peak), zero-crossing rate and duration must match the
+    oracle's closed-form sample arithmetic.  Payload bytes never leave
+    the executors (mapInPandas both directions)."""
+    import numpy as np
+    import pandas as pd
+
+    from .operators import multimodal as mm
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+
+    def gen(it):
+        idx = np.arange(32, dtype=np.int64)
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                smp = ((did * 31 + idx * 17) % 2001 - 1000).astype("<i2")
+                rows.append((did, "audio", mm.encode_wav(smp, sample_rate=8000)))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+
+    media = docs.mapInPandas(
+        gen, schema="media_id long, kind string, payload binary"
+    )
+    dec = mm.decode_media(media, decoder=mm.real_decoder)
+    f = F.col("features")
+    return dec.select(
+        "media_id",
+        F.col("width").alias("n_samples"),
+        F.col("height").alias("channels"),
+        F.round(f[0].cast("double"), 6).alias("mean_amp"),
+        F.round(f[1].cast("double"), 6).alias("rms_amp"),
+        F.round(f[2].cast("double"), 6).alias("peak_amp"),
+        F.round(f[3].cast("double"), 6).alias("zcr"),
+        F.round(f[4].cast("double"), 6).alias("duration_s"),
+    )

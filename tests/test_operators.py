@@ -486,6 +486,26 @@ def test_ivf_external_index_with_centroids_matches(vectors):
     assert [r["neighbor_id"] for r in ext] == [r["neighbor_id"] for r in internal]
 
 
+def test_encode_wav_roundtrip():
+    """encode_wav is the exact inverse of decode_wav's 16-bit case: the
+    canonical layout matches _make_wav byte-for-byte (even sample count),
+    odd byte counts get the RIFF word-alignment pad, and whole-frame
+    validation rejects ragged multi-channel input."""
+    samples = [0, 16384, -16384, 123, -1, 0]
+    assert multimodal.encode_wav(samples, sample_rate=8000) == _make_wav(
+        samples, rate=8000
+    )
+    w, h, feats = multimodal.decode_wav(
+        multimodal.encode_wav([500, -500, 7], sample_rate=4000)
+    )
+    assert (w, h) == (3, 1)
+    assert feats[5] == pytest.approx(4.0)  # kHz
+    stereo = multimodal.encode_wav([1, 2, 3, 4], sample_rate=8000, channels=2)
+    assert multimodal.decode_wav(stereo)[:2] == (2, 2)
+    with pytest.raises(ValueError, match="frames"):
+        multimodal.encode_wav([1, 2, 3], channels=2)
+
+
 def test_wav_malformed_sizes_raise_cleanly():
     """decode_wav validates the declared data size and sample alignment
     (review fix): truncated and misaligned chunks raise ValueError, not
