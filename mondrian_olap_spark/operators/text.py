@@ -796,3 +796,83 @@ def top_ngrams(
         agg.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= top_k)
     )
+
+
+def cms_sketch(
+    df: DataFrame,
+    text_col: str = "text",
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-min sketch of token frequencies: a ``(depth, idx, n)`` table
+    with at most ``depth * width`` rows REGARDLESS of corpus size — the
+    bounded-memory frequency summary for a 100 TB token stream.
+
+    Each token increments one counter per hash row; a token's estimated
+    count is the MIN of its ``depth`` counters (:func:`cms_estimate`) and
+    never underestimates (overestimate probability falls exponentially in
+    ``depth``, magnitude ~ total_tokens / width per row).  The hash is the
+    portable md5-prefix bigint (same convention as dedup fingerprints), so
+    the sketch is bit-reproducible across engines and partitionings.
+
+    Scale shape: one explode + ONE shuffle of ``depth * width`` cells with
+    map-side partial aggregation; sketches from different corpus shards
+    merge by summing cells (associative), so incremental maintenance is a
+    union + re-aggregate, never a rescan.
+    """
+    from .util import ensure_min_parallelism
+
+    toks = (
+        ensure_min_parallelism(df)
+        .select(F.explode(F.expr(_toks(text_col))).alias("token"))
+        .where(F.col("token") != "")
+    )
+    cells = toks.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {depth - 1}), d -> struct("
+                f"cast(d as int) as depth, "
+                f"cast(conv(substr(md5(concat(cast(d as string), ':', token)),"
+                f" 1, 15), 16, 10) as bigint) % {width} as idx))"
+            )
+        ).alias("cell")
+    )
+    return cells.groupBy(
+        F.col("cell.depth").alias("depth"), F.col("cell.idx").alias("idx")
+    ).agg(F.count("*").alias("n"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    queries: DataFrame,
+    token_col: str = "token",
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Point-lookup of token frequencies from a :func:`cms_sketch`:
+    ``(token, cms_n)`` where ``cms_n = min`` over the token's ``depth``
+    counters (0 if any cell is absent — the token was never seen).
+
+    ``width``/``depth`` must match the sketch they indexed.  The sketch is
+    broadcast (≤ depth×width rows by construction), so estimation is a
+    map-side join — no shuffle of the query set."""
+    cells = queries.select(
+        F.col(token_col).alias("token"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {depth - 1}), d -> struct("
+                f"cast(d as int) as depth, "
+                f"cast(conv(substr(md5(concat(cast(d as string), ':', "
+                f"{token_col})), 1, 15), 16, 10) as bigint) % {width} as idx))"
+            )
+        ).alias("cell"),
+    )
+    joined = cells.join(
+        F.broadcast(sketch),
+        (F.col("cell.depth") == F.col("depth"))
+        & (F.col("cell.idx") == F.col("idx")),
+        "left",
+    )
+    return joined.groupBy("token").agg(
+        F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_n")
+    )

@@ -2354,3 +2354,62 @@ def multimodal_real_wav_gate(spark, sf_dir):
         F.round(f[3].cast("double"), 6).alias("zcr"),
         F.round(f[4].cast("double"), 6).alias("duration_s"),
     )
+
+
+@q(
+    "text_cms_frequency_gate",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents
+    ),
+    t AS (SELECT w FROM tok WHERE w <> ''),
+    exact AS (SELECT w AS token, count(*) AS exact_n FROM t GROUP BY 1),
+    cells AS (
+      SELECT d.d AS depth,
+             ('0x' || substr(md5(d.d::VARCHAR || ':' || w), 1, 15))::BIGINT
+               % 16 AS idx,
+             count(*) AS n
+      FROM t, range(0, 4) d(d)
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT e.token, min(c.n) AS cms_n
+      FROM exact e
+      CROSS JOIN range(0, 4) d(d)
+      JOIN cells c
+        ON c.depth = d.d
+       AND c.idx = ('0x' || substr(md5(d.d::VARCHAR || ':' || e.token), 1, 15))
+                     ::BIGINT % 16
+      GROUP BY 1
+    )
+    SELECT e.token, e.exact_n, s.cms_n, s.cms_n - e.exact_n AS over_n
+    FROM exact e JOIN est s USING (token)
+    """,
+)
+def text_cms_frequency_gate(spark, sf_dir):
+    """Count-min sketch through the driver gate: build a 4x16 sketch of
+    the whole corpus token stream (text.cms_sketch — bounded memory at
+    any corpus size), estimate every distinct token's frequency from it
+    (text.cms_estimate — broadcast lookup), and join back the exact
+    counts.  The oracle replays the identical md5-prefix hash rows in
+    SQL, so the per-token estimates — including every collision
+    overestimate at this deliberately tight width — must match
+    bit-for-bit.  over_n >= 0 always (the min-property)."""
+    docs = _docs(spark, sf_dir)
+    toks = (
+        docs.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token"))
+        .where(F.col("token") != "")
+    )
+    exact = toks.groupBy("token").agg(F.count("*").alias("exact_n"))
+    sketch = text.cms_sketch(docs, width=16, depth=4)
+    est = text.cms_estimate(sketch, exact.select("token"), width=16, depth=4)
+    return (
+        exact.join(est, "token")
+        .select(
+            "token",
+            "exact_n",
+            "cms_n",
+            (F.col("cms_n") - F.col("exact_n")).alias("over_n"),
+        )
+    )

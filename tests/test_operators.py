@@ -1726,3 +1726,45 @@ def test_cosine_topk_vectorized_matches_expression_path(spark):
     assert set(pa) == set(pb)
     for key in pa:
         assert pa[key] == pytest.approx(pb[key], abs=1e-9)
+
+
+def test_cms_sketch_properties(spark):
+    """Count-min invariants on a corpus with forced collisions (width 2):
+    estimates NEVER underestimate, a wide sketch with no collisions is
+    exact, unseen tokens estimate 0, the sketch row count is bounded by
+    depth*width, and shard sketches merge by cell-sum to the full-corpus
+    sketch."""
+    docs = spark.createDataFrame(
+        [(i, "alpha beta " + ("gamma " * (i % 3))) for i in range(8)],
+        ["doc_id", "text"],
+    )
+    exact = {"alpha": 8, "beta": 8, "gamma": sum(i % 3 for i in range(8))}
+    queries = spark.createDataFrame([(t,) for t in exact] + [("missing",)], ["token"])
+
+    tight = text.cms_sketch(docs, width=2, depth=2)
+    assert tight.count() <= 2 * 2
+    est = {
+        r["token"]: r["cms_n"]
+        for r in text.cms_estimate(tight, queries, width=2, depth=2).collect()
+    }
+    assert all(est[t] >= n for t, n in exact.items())
+    assert est["missing"] >= 0  # may collide at width 2, never negative
+
+    wide = text.cms_sketch(docs, width=4096, depth=4)
+    est_w = {
+        r["token"]: r["cms_n"]
+        for r in text.cms_estimate(wide, queries, width=4096, depth=4).collect()
+    }
+    assert est_w == {**exact, "missing": 0}
+
+    # merge = union shards + re-aggregate cells
+    a, b = docs.where("doc_id < 4"), docs.where("doc_id >= 4")
+    merged = (
+        text.cms_sketch(a, width=2, depth=2)
+        .unionByName(text.cms_sketch(b, width=2, depth=2))
+        .groupBy("depth", "idx")
+        .agg(F.sum("n").alias("n"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, tight.collect())
+    )
