@@ -221,3 +221,63 @@ def corpus_diff(
             status.alias("status"),
         )
     )
+
+
+def apply_changes(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    id_col: str = "doc_id",
+    op_col: str = "op",
+    seq_col: str = "change_seq",
+) -> DataFrame:
+    """Apply a CDC change feed to a corpus snapshot — the MERGE INTO
+    analog for an engine without a table format: ``upsert`` rows replace
+    (or insert) the snapshot row with the same id, ``delete`` rows
+    tombstone it, and multiple changes to one id resolve LAST-WINS by
+    ``seq_col``.  Returns the next snapshot with exactly the snapshot's
+    schema.
+
+    Scale shape: one aggregation collapses the feed to its final change
+    per id (max-of-struct with the sequence leading — map-side combine,
+    deterministic even on seq ties because the struct comparison totals
+    the order over the payload), then ONE full-outer id-keyed join
+    against the snapshot.  The feed is typically a daily crawl delta —
+    orders of magnitude smaller than the snapshot — so the join's
+    snapshot side never rescans more than once, and a snapshot bucketed
+    on the id makes it co-located.
+    """
+    payload = [c for c in snapshot.columns if c != id_col]
+    missing = [c for c in payload + [op_col, seq_col] if c not in changes.columns]
+    if missing:
+        raise ValueError(f"change feed lacks columns {missing}")
+    latest = (
+        changes.groupBy(F.col(id_col).alias("__chg_id"))
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(seq_col).alias("__seq"),
+                    F.col(op_col).alias("__op"),
+                    *[F.col(c).alias(c) for c in payload],
+                )
+            ).alias("__last")
+        )
+        .select("__chg_id", "__last.*")
+    )
+    # an op outside the vocabulary must fail loudly, not act as a delete
+    latest = latest.withColumn(
+        "__op",
+        F.when(F.col("__op").isin("upsert", "delete"), F.col("__op")).otherwise(
+            F.raise_error(F.concat(F.lit("apply_changes: unknown op "), F.col("__op")))
+        ),
+    )
+    keep = F.col("__chg_id").isNull() | (F.col("__op") == "upsert")
+    merged = snapshot.alias("snapshot").join(
+        latest.alias("latest"), F.col(id_col) == F.col("__chg_id"), "full_outer"
+    )
+    cols = [F.coalesce(F.col(id_col), F.col("__chg_id")).alias(id_col)] + [
+        F.when(F.col("__chg_id").isNull(), F.col(f"snapshot.{c}"))
+        .otherwise(F.col(f"latest.{c}"))
+        .alias(c)
+        for c in payload
+    ]
+    return merged.where(keep).select(*cols)

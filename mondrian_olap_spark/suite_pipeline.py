@@ -2413,3 +2413,86 @@ def text_cms_frequency_gate(spark, sf_dir):
             (F.col("cms_n") - F.col("exact_n")).alias("over_n"),
         )
     )
+
+
+@q(
+    "pipeline_apply_changes",
+    """
+    WITH changes AS (
+      SELECT doc_id, 1 AS change_seq, 'delete' AS op,
+             CAST(NULL AS VARCHAR) AS text, CAST(NULL AS VARCHAR) AS lang,
+             CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BIGINT) AS n_chars
+      FROM documents WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id, 1, 'upsert', text || ' v2', lang, source, n_chars
+      FROM documents WHERE doc_id % 7 = 1
+      UNION ALL
+      SELECT doc_id + 1000000, 1, 'upsert',
+             'fresh crawl document number ' || doc_id, lang, source, n_chars
+      FROM documents WHERE doc_id % 7 = 2
+      UNION ALL
+      SELECT doc_id, 2, 'delete', NULL, NULL, NULL, NULL
+      FROM documents WHERE doc_id % 14 = 1
+    ),
+    latest AS (
+      SELECT * FROM (
+        SELECT c.*, row_number() OVER (
+          PARTITION BY doc_id ORDER BY change_seq DESC
+        ) AS rn FROM changes c
+      ) WHERE rn = 1
+    ),
+    merged AS (
+      SELECT coalesce(s.doc_id, l.doc_id) AS doc_id,
+             CASE WHEN l.doc_id IS NULL THEN s.text ELSE l.text END AS text,
+             CASE WHEN l.doc_id IS NULL THEN s.source ELSE l.source END
+               AS source,
+             l.op AS op
+      FROM documents s FULL OUTER JOIN latest l ON s.doc_id = l.doc_id
+    )
+    SELECT doc_id, md5(coalesce(text, '')) AS fp, source
+    FROM merged WHERE op IS NULL OR op = 'upsert'
+    """,
+)
+def pipeline_apply_changes(spark, sf_dir):
+    """CDC merge through the driver gate: a deterministic change feed
+    (deletes for doc_id%7=0, in-place updates for %7=1, brand-new ids
+    for %7=2, plus a SECOND later delete for %14=1 so last-wins
+    resolution is exercised, not just assumed) is applied to the
+    documents snapshot with pipeline.apply_changes — one feed-collapse
+    aggregation + one full-outer id join — and the resulting next
+    snapshot must match the oracle's windowed replay row-for-row."""
+    from .operators import pipeline as pl
+
+    docs = _docs(spark, sf_dir)
+    nul_s, nul_l = F.lit(None).cast("string"), F.lit(None).cast("long")
+    deletes = docs.where("doc_id % 7 = 0").select(
+        "doc_id", F.lit(1).alias("change_seq"), F.lit("delete").alias("op"),
+        nul_s.alias("text"), nul_s.alias("lang"), nul_s.alias("source"),
+        nul_l.alias("n_chars"),
+    )
+    updates = docs.where("doc_id % 7 = 1").select(
+        "doc_id", F.lit(1).alias("change_seq"), F.lit("upsert").alias("op"),
+        F.concat("text", F.lit(" v2")).alias("text"), "lang", "source",
+        "n_chars",
+    )
+    inserts = docs.where("doc_id % 7 = 2").select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.lit(1).alias("change_seq"), F.lit("upsert").alias("op"),
+        F.concat(F.lit("fresh crawl document number "), F.col("doc_id"))
+          .alias("text"),
+        "lang", "source", "n_chars",
+    )
+    late_deletes = docs.where("doc_id % 14 = 1").select(
+        "doc_id", F.lit(2).alias("change_seq"), F.lit("delete").alias("op"),
+        nul_s.alias("text"), nul_s.alias("lang"), nul_s.alias("source"),
+        nul_l.alias("n_chars"),
+    )
+    feed = deletes.unionByName(updates).unionByName(inserts).unionByName(
+        late_deletes
+    )
+    nxt = pl.apply_changes(docs, feed)
+    return nxt.select(
+        "doc_id",
+        F.md5(F.coalesce("text", F.lit(""))).alias("fp"),
+        "source",
+    )

@@ -1768,3 +1768,41 @@ def test_cms_sketch_properties(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, tight.collect())
     )
+
+
+def test_apply_changes_merge_semantics(spark):
+    """CDC merge invariants: untouched rows pass through, upserts replace
+    or insert, deletes tombstone, the LAST change per id wins by
+    sequence, seq ties resolve deterministically via the struct order,
+    and an op outside {upsert, delete} fails loudly instead of acting as
+    a delete."""
+    from mondrian_olap_spark.operators.pipeline import apply_changes
+
+    snap = spark.createDataFrame(
+        [(1, "one", "s"), (2, "two", "s"), (3, "three", "s")],
+        ["doc_id", "text", "source"],
+    )
+    feed = spark.createDataFrame(
+        [
+            (2, 1, "upsert", "two v2", "s"),     # update
+            (3, 1, "delete", None, None),         # tombstone
+            (4, 1, "upsert", "four", "s"),        # insert
+            (4, 2, "delete", None, None),         # ...then deleted: last wins
+            (5, 1, "upsert", "five a", "s"),      # seq tie: struct order
+            (5, 1, "upsert", "five b", "s"),      #   picks the max payload
+        ],
+        ["doc_id", "change_seq", "op", "text", "source"],
+    )
+    out = {r["doc_id"]: (r["text"], r["source"])
+           for r in apply_changes(snap, feed).collect()}
+    assert out == {1: ("one", "s"), 2: ("two v2", "s"), 5: ("five b", "s")}
+
+    bad = spark.createDataFrame(
+        [(1, 1, "truncate", None, None)],
+        "doc_id long, change_seq long, op string, text string, source string",
+    )
+    with pytest.raises(Exception, match="unknown op"):
+        apply_changes(snap, bad).collect()
+
+    with pytest.raises(ValueError, match="lacks columns"):
+        apply_changes(snap, feed.drop("source"))
