@@ -102,3 +102,69 @@ def ensure_min_parallelism(df: DataFrame, factor: int = 2) -> DataFrame:
     if df.rdd.getNumPartitions() * factor < target:
         return df.repartition(target)
     return df
+
+
+def zorder_key(*int_cols, bits: int = 8):
+    """Interleaved-bit (Morton / z-order) key over 2+ integer dimensions —
+    the multi-dimensional clustering key for parquet data skipping: sort a
+    100 TB table by this ONE column and min/max file statistics prune
+    range predicates on EVERY constituent dimension at once (each file
+    covers ~2^-(bits/ndim) of each dim's range, instead of one perfectly
+    clustered dim and the rest unclustered).
+
+    Each input column must already be an integer expression in
+    ``[0, 2**bits)`` — bucket/clamp upstream (values outside the range
+    would interleave into a DIFFERENT cell's bit pattern, silently
+    breaking locality, so bucket explicitly: ``col % 256``, a histogram
+    rank, epoch-day & 255, ...).  The key is closed-form bit arithmetic
+    (unrolled shift/mask/or — whole-stage codegen, no UDF) and therefore
+    bit-reproducible across engines and partitionings.
+    """
+    if len(int_cols) < 2:
+        raise ValueError("zorder_key needs at least 2 dimensions")
+    nd = len(int_cols)
+    out = None
+    for i, c in enumerate(int_cols):
+        col = F.col(c) if isinstance(c, str) else c
+        for b in range(bits):
+            term = F.shiftleft(
+                F.shiftright(col, b).bitwiseAND(F.lit(1)), b * nd + i
+            )
+            out = term if out is None else out.bitwiseOR(term)
+    return out.cast("long")
+
+
+def zorder_sql(cols: list[str], bits: int = 8) -> str:
+    """The ANSI-SQL rendering of :func:`zorder_key` (same bit layout),
+    for oracles and engines without the DataFrame API."""
+    nd = len(cols)
+    # every term fully parenthesized: PostgreSQL-grammar engines (DuckDB)
+    # give <<, >>, &, | ONE shared precedence level, left-associative, so
+    # a bare "a << 1 | b << 3" folds the OR into the next shift
+    terms = [
+        f"(((({c}) >> {b}) & 1) << {b * nd + i})"
+        for i, c in enumerate(cols)
+        for b in range(bits)
+    ]
+    return "(" + " | ".join(terms) + ")"
+
+
+def zorder_repartition(
+    df: DataFrame,
+    int_cols: list[str],
+    bits: int = 8,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Cluster a DataFrame along the z-curve for writing: range-partition
+    on the Morton key (contiguous z-ranges per output file — this is what
+    makes the min/max statistics tight), then sort within partitions.
+    Feed the result straight to ``.write`` — every output file covers a
+    compact box in every z-ordered dimension."""
+    z = zorder_key(*int_cols, bits=bits)
+    out = df.withColumn("__zkey", z)
+    out = (
+        out.repartitionByRange(num_partitions, "__zkey")
+        if num_partitions
+        else out.repartitionByRange("__zkey")
+    )
+    return out.sortWithinPartitions("__zkey").drop("__zkey")

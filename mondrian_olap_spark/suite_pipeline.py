@@ -2496,3 +2496,44 @@ def pipeline_apply_changes(spark, sf_dir):
         F.md5(F.coalesce("text", F.lit(""))).alias("fp"),
         "source",
     )
+
+
+from .operators import util as _util  # noqa: E402  (module-level for oracle SQL)
+
+_ZORDER_DIMS_SQL = "user_id % 256", "event_id % 256"
+
+
+@q(
+    "events_zorder_cells",
+    f"""
+    WITH z AS (
+      SELECT event_id,
+             {_util.zorder_sql(list(_ZORDER_DIMS_SQL), bits=8)} AS zval
+      FROM events
+    )
+    SELECT zval >> 8 AS zcell, count(*) AS n_events,
+           min(zval) AS z_min, max(zval) AS z_max
+    FROM z GROUP BY 1
+    """,
+)
+def events_zorder_cells(spark, sf_dir):
+    """Morton-key parity gate: the interleaved-bit z-order key
+    (util.zorder_key — unrolled shift/mask/or, whole-stage codegen) over
+    two bucketed event dimensions must match the oracle's closed-form
+    bit arithmetic on every row; rows are then grouped into coarse
+    z-cells (top 8 bits) so the output also pins the key's ORDERING
+    structure (cell min/max) rather than only its values.  This is the
+    clustering key zorder_repartition sorts by for multi-dimensional
+    parquet data skipping."""
+    ev = _events(spark, sf_dir)
+    z = ev.select(
+        "event_id",
+        _util.zorder_key(
+            F.col("user_id") % 256, F.col("event_id") % 256, bits=8
+        ).alias("zval"),
+    )
+    return z.groupBy(F.shiftright("zval", 8).alias("zcell")).agg(
+        F.count("*").alias("n_events"),
+        F.min("zval").alias("z_min"),
+        F.max("zval").alias("z_max"),
+    )

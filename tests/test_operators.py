@@ -1806,3 +1806,52 @@ def test_apply_changes_merge_semantics(spark):
 
     with pytest.raises(ValueError, match="lacks columns"):
         apply_changes(snap, feed.drop("source"))
+
+
+def test_zorder_key_and_layout_locality(spark):
+    """Morton key: hand-computed interleavings match; the SQL rendering
+    (zorder_sql) equals the DataFrame expression on every input; and
+    zorder_repartition actually buys multi-dim locality — each output
+    partition covers a compact box in BOTH dimensions, whereas a
+    single-column sort leaves the other dimension unclustered."""
+    from mondrian_olap_spark.operators import util
+
+    # x=3 (bits at z-pos 0,2) and y=1 (bit at z-pos 1) interleave to 7
+    one = spark.range(1).select(
+        util.zorder_key(F.lit(3), F.lit(1), bits=2).alias("z")
+    )
+    assert one.collect()[0]["z"] == 7
+
+    grid = spark.sql(
+        "SELECT x.id AS x, y.id AS y FROM range(64) x CROSS JOIN range(64) y"
+    )
+    parity = grid.select(
+        (
+            util.zorder_key("x", "y", bits=6)
+            == F.expr(util.zorder_sql(["x", "y"], bits=6))
+        ).alias("ok")
+    )
+    assert parity.where("NOT ok").count() == 0
+
+    def ranges(df):
+        part = df.withColumn("p", F.spark_partition_id())
+        rows = (
+            part.groupBy("p")
+            .agg(
+                (F.max("x") - F.min("x")).alias("rx"),
+                (F.max("y") - F.min("y")).alias("ry"),
+            )
+            .collect()
+        )
+        n = len(rows)
+        return sum(r["rx"] for r in rows) / n, sum(r["ry"] for r in rows) / n
+
+    zx, zy = ranges(util.zorder_repartition(grid, ["x", "y"], bits=6, num_partitions=16))
+    lx, ly = ranges(grid.repartitionByRange(16, "x").sortWithinPartitions("x"))
+    # z-order: both dims compact (16 partitions of a 64x64 grid -> ~16-wide boxes)
+    assert zx < 32 and zy < 32
+    # x-only sort: x is perfectly clustered but y spans the full grid
+    assert lx < 8 and ly > 55
+
+    with pytest.raises(ValueError, match="at least 2"):
+        util.zorder_key("x")
