@@ -168,3 +168,50 @@ def zorder_repartition(
         else out.repartitionByRange("__zkey")
     )
     return out.sortWithinPartitions("__zkey").drop("__zkey")
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    buckets: int = 16,
+    salt_cols: list[str] | None = None,
+) -> DataFrame:
+    """Skew-safe shuffle equi-join: when join keys are hot (head event
+    types, null-ish ids, top domains), a plain shuffle join sends every
+    row of the hot key to ONE task; this spreads each key over
+    ``buckets`` tasks by salting the skewed side (a deterministic
+    xxhash64 of ``salt_cols``, default all non-key columns) and
+    REPLICATING the other side once per salt value, then joining on
+    ``keys + salt``.  The result is row-identical to the plain join —
+    salting changes the shuffle distribution, never the answer.
+
+    Use when the other side is too big to broadcast but small enough to
+    replicate ``buckets``× (the classic mid-size dim), and when AQE's
+    skew-join can't kick in (it only splits post-shuffle sort-merge
+    partitions, and not under every join/distribution shape).  For
+    aggregation skew plain groupBy already suffices — Spark's partial
+    aggregation combines hot-key rows map-side; joins are where skew
+    genuinely concentrates.
+
+    ``how`` supports inner / left (the skewed side must be the one whose
+    rows are all kept — a right/full join would need the REPLICATED side
+    preserved, which double-counts unmatched replicas).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    overlap = [c for c in other.columns if c in skewed.columns and c not in on]
+    if overlap:
+        raise ValueError(f"ambiguous non-key columns on both sides: {overlap}")
+    salt_src = salt_cols or [c for c in skewed.columns if c not in on]
+    if not salt_src:
+        raise ValueError("no columns to derive the salt from")
+    left = skewed.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in salt_src]), F.lit(buckets)),
+    )
+    right = other.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("long"))
+    return left.join(right, [*on, "__salt"], how).drop("__salt")

@@ -2537,3 +2537,40 @@ def events_zorder_cells(spark, sf_dir):
         F.min("zval").alias("z_min"),
         F.max("zval").alias("z_max"),
     )
+
+
+@q(
+    "events_salted_join",
+    """
+    WITH dim AS (
+      SELECT DISTINCT event_type,
+             CAST(length(event_type) AS INT) AS weight
+      FROM events
+    )
+    SELECT e.event_type, count(*) AS n_events,
+           CAST(min(e.event_id) AS BIGINT) AS min_event,
+           min(d.weight) AS weight
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY 1
+    """,
+)
+def events_salted_join(spark, sf_dir):
+    """Skew-safe join through the driver gate: events' event_type column
+    is the textbook hot key (a handful of values over the whole fact),
+    so the dim join runs as util.salted_join — the fact side salted into
+    8 deterministic shards, the dim replicated per shard, the join keyed
+    on (event_type, salt) so no task ever receives a whole hot key.  The
+    oracle runs the PLAIN join: salting must change the shuffle
+    distribution and nothing else."""
+    ev = _events(spark, sf_dir)
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn("weight", F.length("event_type").cast("int"))
+    )
+    joined = _util.salted_join(ev, dim, on=["event_type"], buckets=8)
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("min_event"),
+        F.min("weight").alias("weight"),
+    )

@@ -1855,3 +1855,33 @@ def test_zorder_key_and_layout_locality(spark):
 
     with pytest.raises(ValueError, match="at least 2"):
         util.zorder_key("x")
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join is distribution-only: inner and left results equal the
+    plain join row-for-row (including NULL keys never matching and
+    unmatched left rows surviving a left join); guard rails reject
+    unsupported join types and ambiguous column overlaps."""
+    from mondrian_olap_spark.operators import util
+
+    skewed = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold", float(i)) for i in range(200)]
+        + [(900, None, 0.0)],
+        "id long, k string, v double",
+    )
+    dim = spark.createDataFrame(
+        [("hot", 1), ("cold", 2), ("absent", 3)], "k string, w int"
+    )
+
+    def key(r):
+        return (r["id"], r["k"], r["v"], r["w"])
+
+    for how in ("inner", "left"):
+        got = sorted(map(key, util.salted_join(skewed, dim, ["k"], how=how, buckets=4).collect()))
+        want = sorted(map(key, skewed.join(dim, ["k"], how).collect()))
+        assert got == want, how
+
+    with pytest.raises(ValueError, match="inner/left"):
+        util.salted_join(skewed, dim, ["k"], how="right")
+    with pytest.raises(ValueError, match="ambiguous"):
+        util.salted_join(skewed, dim.withColumnRenamed("w", "v"), ["k"])

@@ -306,6 +306,53 @@ def main() -> int:
         f"exchanges={n_exchanges} scans={n_scans} join={has_join}",
     )
 
+    # 14. count-min sketch: the whole corpus token stream collapses through
+    #     ONE partial-combined exchange into the bounded depth*width cell
+    #     table — no join, no Python, nothing proportional to corpus size
+    #     crosses the wire beyond the cells
+    from mondrian_olap_spark.operators import text as textops
+
+    p = plan_str(textops.cms_sketch(docs, width=1024, depth=4))
+    n_exchanges = p.count("Exchange hashpartitioning")
+    has_join = any(
+        j in p for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+    )
+    has_partial = "partial_count" in p or "partial" in p.lower()
+    check(
+        "cms_sketch.single_partial_exchange_no_join",
+        n_exchanges == 1 and not has_join and "EvalPython" not in p and has_partial,
+        f"exchanges={n_exchanges} join={has_join}",
+    )
+
+    # 15. salted join: every shuffle that feeds the join is keyed by
+    #     (join key, salt) — the hot key genuinely spreads over the salt
+    #     shards instead of landing on one task
+    from mondrian_olap_spark.operators import util as utilops
+
+    ev = read_parquet_table(spark, f"{SF_DIR}/events.parquet")
+    dim = ev.select("event_type").distinct().withColumn("w", F.length("event_type"))
+    #     (hint forces the shuffle-join shape salting exists for — a dim
+    #     small enough to broadcast wouldn't be salted in the first place)
+    p = plan_str(
+        utilops.salted_join(ev, dim.hint("shuffle_hash"), ["event_type"], buckets=8)
+    )
+    join_lines = [
+        l for l in p.splitlines()
+        if any(j in l for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+    ]
+    fact_exchanges = [
+        l for l in p.splitlines()
+        if "Exchange hashpartitioning" in l
+        and "event_type" in l and "__salt" in l
+    ]
+    check(
+        "salted_join.join_keyed_by_key_plus_salt",
+        bool(join_lines)
+        and all("__salt" in l for l in join_lines)
+        and bool(fact_exchanges),
+        f"join lines: {[l.strip()[:90] for l in join_lines]}",
+    )
+
     print(f"\n{len(failures)} failed properties" if failures else "\nall plan properties hold")
     return 1 if failures else 0
 
