@@ -56,6 +56,12 @@ HEADLINE = [
     "pipeline_decontamination_report",
     "pipeline_temperature_mix",
     "pipeline_corpus_diff",
+    # round-5 continuation operators
+    "multimodal_real_wav_gate",
+    "text_cms_frequency_gate",
+    "pipeline_apply_changes",
+    "events_zorder_cells",
+    "events_salted_join",
 ]
 
 
