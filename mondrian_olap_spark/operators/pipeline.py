@@ -240,7 +240,9 @@ def apply_changes(
     Scale shape: one aggregation collapses the feed to its final change
     per id (max-of-struct with the sequence leading — map-side combine,
     deterministic even on seq ties because the struct comparison totals
-    the order over the payload), then ONE full-outer id-keyed join
+    the order over the payload; a NULL sequence sorts LOWEST, so a
+    NULL-seq change never beats a sequenced one), then ONE full-outer
+    id-keyed join
     against the snapshot.  The feed is typically a daily crawl delta —
     orders of magnitude smaller than the snapshot — so the join's
     snapshot side never rescans more than once, and a snapshot bucketed

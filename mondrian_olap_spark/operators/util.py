@@ -123,6 +123,11 @@ def zorder_key(*int_cols, bits: int = 8):
     if len(int_cols) < 2:
         raise ValueError("zorder_key needs at least 2 dimensions")
     nd = len(int_cols)
+    if nd * bits > 63:
+        raise ValueError(
+            f"{nd} dims x {bits} bits = {nd * bits} key bits overflows a "
+            "signed 64-bit key (max 63) — lower bits or drop a dimension"
+        )
     out = None
     for i, c in enumerate(int_cols):
         col = F.col(c) if isinstance(c, str) else c

@@ -1885,3 +1885,12 @@ def test_salted_join_equals_plain_join(spark):
         util.salted_join(skewed, dim, ["k"], how="right")
     with pytest.raises(ValueError, match="ambiguous"):
         util.salted_join(skewed, dim.withColumnRenamed("w", "v"), ["k"])
+
+
+def test_zorder_key_rejects_bit_overflow():
+    """dims x bits beyond 63 would interleave into the sign bit —
+    rejected up front instead of producing negative keys."""
+    from mondrian_olap_spark.operators import util
+
+    with pytest.raises(ValueError, match="overflows"):
+        util.zorder_key("a", "b", bits=32)
