@@ -2574,3 +2574,53 @@ def events_salted_join(spark, sf_dir):
         F.min("event_id").alias("min_event"),
         F.min("weight").alias("weight"),
     )
+
+
+@q(
+    "streaming_cms_gate",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents
+    ),
+    t AS (SELECT w FROM tok WHERE w <> '')
+    SELECT CAST(d.d AS INT) AS depth,
+           ('0x' || substr(md5(d.d::VARCHAR || ':' || w), 1, 15))::BIGINT
+             % 64 AS idx,
+           count(*) AS n
+    FROM t, range(0, 4) d(d)
+    GROUP BY 1, 2
+    """,
+)
+def streaming_cms_gate(spark, sf_dir):
+    """STREAMING count-min maintenance hash-compared against the batch
+    SQL oracle: the corpus arrives as 4 files with maxFilesPerTrigger=1,
+    so the 4x64 sketch accumulates across at least four micro-batches —
+    the incremental cell-sum merge actually runs, it isn't one big
+    batch in disguise.  cms_sketch is applied UNCHANGED to the streaming
+    frame (bounded state = the cell table), and the complete-mode result
+    must equal the closed-form oracle bit-for-bit."""
+    import tempfile
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    work = tempfile.mkdtemp(prefix="stream_cms_")
+    staging = f"{work}/staging"
+    docs.repartition(4).write.mode("overwrite").parquet(staging)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    sketch = text.cms_sketch(stream, width=64, depth=4)
+    name = "stream_cms_gate_view"
+    spark.catalog.dropTempView(name)
+    q_ = (
+        sketch.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination(300)
+    return spark.table(name)

@@ -511,3 +511,37 @@ def test_streaming_curated_partitioned_parquet_sink(spark, tmp_path):
         spark.read.schema("doc_id LONG, text STRING").json(str(src)),
         {"train": 0.5, "test": 0.5}).collect()}
     assert {r["doc_id"]: r["split"] for r in back.collect()} == batch
+
+
+def test_streaming_cms_accumulates_across_microbatches(spark, tmp_path):
+    """The streaming count-min sketch genuinely maintains state across
+    micro-batches (maxFilesPerTrigger=1 over 4 files -> >= 4 batches,
+    asserted from query progress) and the complete-mode result equals
+    the batch sketch cell-for-cell."""
+    from mondrian_olap_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma{i % 5} delta") for i in range(400)],
+        "doc_id long, text string",
+    )
+    staging = str(tmp_path / "staging")
+    docs.repartition(4).write.parquet(staging)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staging)
+    )
+    q = (
+        text.cms_sketch(stream, width=32, depth=3)
+        .writeStream.format("memory")
+        .queryName("cms_stream_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert len(q.recentProgress) >= 4, "expected one micro-batch per file"
+    got = sorted(map(tuple, spark.table("cms_stream_test").collect()))
+    want = sorted(map(tuple, text.cms_sketch(docs, width=32, depth=3).collect()))
+    assert got == want
