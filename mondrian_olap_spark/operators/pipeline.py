@@ -283,3 +283,30 @@ def apply_changes(
         for c in payload
     ]
     return merged.where(keep).select(*cols)
+
+
+def shuffle_order(
+    docs: DataFrame,
+    seed: str = "epoch0",
+    id_col: str = "doc_id",
+    rank_col: str = "shuffle_rank",
+) -> DataFrame:
+    """Reproducible global training-shuffle order: every document gets a
+    pseudo-random but DETERMINISTIC position (the md5-prefix bigint of
+    ``seed:id`` — content-addressed, so the epoch order survives
+    re-partitioning, re-ingest and engine changes; a new ``seed`` string
+    is a fresh permutation for the next epoch).  The exact global rank
+    comes from :func:`~.util.distributed_rank` — no single-task global
+    window — so the order can be computed, joined, or written
+    (``orderBy`` the rank, or range-write directly) at any corpus size.
+    """
+    from .util import distributed_rank
+
+    key = F.expr(
+        "cast(conv(substr(md5(concat('"
+        + seed.replace("'", "''")
+        + f":', cast({id_col} as string))), 1, 15), 16, 10) as bigint)"
+    )
+    with_key = docs.withColumn("__skey", key)
+    ranked = distributed_rank(with_key, ["__skey", id_col], rank_col=rank_col)
+    return ranked.drop("__skey")

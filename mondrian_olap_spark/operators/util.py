@@ -220,3 +220,49 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
     ).withColumn("__salt", F.col("__salt").cast("long"))
     return left.join(right, [*on, "__salt"], how).drop("__salt")
+
+
+def distributed_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "rank",
+    pin: bool = True,
+) -> DataFrame:
+    """Exact global 1-based rank over a total order WITHOUT the
+    single-task global window (``row_number() OVER (ORDER BY ...)`` with
+    no PARTITION BY funnels the entire table through one task — the
+    classic scale cliff).  Classic two-phase distributed ranking:
+
+    1. range-partition on the order columns (partition boundaries are
+       order-aligned, so every row in partition i sorts before every row
+       in partition i+1);
+    2. per-partition ``row_number`` (window PARTITIONED by the physical
+       partition id — parallel);
+    3. per-partition counts roll into prefix offsets (a window over
+       n_partitions rows — trivially small) and broadcast back;
+       global rank = offset + local rank.
+
+    ``order_cols`` must define a TOTAL order (add a unique id as the
+    final tiebreak) — with duplicate sort keys the rank of tied rows
+    would depend on partition internals.  ``pin=True`` lazily
+    localCheckpoints the shuffled frame so the count branch and the rank
+    branch see identical partitions by construction (one materialization
+    of the shuffled data — the cost class of the sort itself); ``False``
+    relies on the range partitioner's deterministic sampling instead.
+    """
+    work = df.repartitionByRange(*order_cols)
+    if pin:
+        work = work.localCheckpoint(eager=False)
+    with_pid = work.withColumn("__pid", F.spark_partition_id())
+    counts = with_pid.groupBy("__pid").agg(F.count("*").alias("__n"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__n").over(w_off), F.lit(0))
+    ).drop("__n")
+    w_local = Window.partitionBy("__pid").orderBy(*[F.col(c) for c in order_cols])
+    ranked = with_pid.withColumn("__local", F.row_number().over(w_local))
+    return (
+        ranked.join(F.broadcast(offsets), "__pid")
+        .withColumn(rank_col, (F.col("__off") + F.col("__local")).cast("long"))
+        .drop("__pid", "__local", "__off")
+    )

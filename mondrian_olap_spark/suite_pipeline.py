@@ -2624,3 +2624,30 @@ def streaming_cms_gate(spark, sf_dir):
     )
     q_.awaitTermination(300)
     return spark.table(name)
+
+
+@q(
+    "pipeline_shuffle_order",
+    """
+    SELECT doc_id,
+           CAST(row_number() OVER (
+             ORDER BY ('0x' || substr(md5('epoch0:' || doc_id), 1, 15))::BIGINT,
+                      doc_id
+           ) AS BIGINT) AS shuffle_rank
+    FROM documents
+    """,
+)
+def pipeline_shuffle_order(spark, sf_dir):
+    """Reproducible epoch-shuffle order through the driver gate: every
+    doc's position under pipeline.shuffle_order (content-addressed
+    md5(seed:id) sort key) must equal the oracle's global ROW_NUMBER —
+    but the engine computes it via util.distributed_rank (range
+    partition + per-partition window + broadcast prefix offsets), never
+    a single-task global window.  Same seed → same permutation on any
+    partitioning; next epoch = next seed string."""
+    from .operators import pipeline as pl
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return pl.shuffle_order(docs, seed="epoch0").select(
+        "doc_id", "shuffle_rank"
+    )

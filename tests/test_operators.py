@@ -1894,3 +1894,40 @@ def test_zorder_key_rejects_bit_overflow():
 
     with pytest.raises(ValueError, match="overflows"):
         util.zorder_key("a", "b", bits=32)
+
+
+def test_distributed_rank_matches_global_row_number(spark):
+    """Two-phase distributed ranking equals the single-task global
+    ROW_NUMBER on a frame spread over many partitions, shuffle_order is
+    invariant to the input partitioning, and the rank window in the plan
+    is partitioned (never a global one-task window)."""
+    from pyspark.sql import Window as W
+
+    from mondrian_olap_spark.operators import util
+    from mondrian_olap_spark.operators.pipeline import shuffle_order
+
+    df = spark.range(0, 5000).select(
+        F.col("id"), (F.xxhash64("id")).alias("key")
+    ).repartition(13)
+    got = util.distributed_rank(df, ["key", "id"], rank_col="r")
+    want = df.withColumn("r", F.row_number().over(W.orderBy("key", "id")).cast("long"))
+    assert got.select("id", "r").exceptAll(want.select("id", "r")).count() == 0
+    assert got.count() == 5000
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line and "row_number" in line:
+            assert "__pid" in line, f"global window found: {line.strip()[:120]}"
+
+    docs = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    a = shuffle_order(docs.repartition(3), seed="e1")
+    b = shuffle_order(docs.repartition(17), seed="e1")
+    assert a.exceptAll(b).count() == 0
+    c = shuffle_order(docs, seed="e2")
+    moved = (
+        a.alias("a")
+        .join(c.alias("c"), "doc_id")
+        .where("a.shuffle_rank <> c.shuffle_rank")
+        .count()
+    )
+    assert moved > 900  # a new seed is a genuinely different permutation

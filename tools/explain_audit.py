@@ -353,6 +353,24 @@ def main() -> int:
         f"join lines: {[l.strip()[:90] for l in join_lines]}",
     )
 
+    # 16. distributed rank: the ranking window is PARTITIONED (by the
+    #     physical partition id) — the global-order rank never plans as a
+    #     single-task global window
+    p = plan_str(
+        utilops.distributed_rank(
+            docs.select("doc_id"), ["doc_id"], rank_col="r"
+        )
+    )
+    bad_windows = [
+        l for l in p.splitlines()
+        if "Window" in l and "row_number" in l and "__pid" not in l
+    ]
+    check(
+        "distributed_rank.no_global_single_task_window",
+        not bad_windows,
+        f"global windows: {[l.strip()[:90] for l in bad_windows]}",
+    )
+
     print(f"\n{len(failures)} failed properties" if failures else "\nall plan properties hold")
     return 1 if failures else 0
 
