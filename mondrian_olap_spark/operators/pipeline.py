@@ -97,6 +97,8 @@ def write_curated(
     partition_by: list[str] | None = None,
     order_by: str = "doc_id",
     max_records_per_file: int = 1_000_000,
+    zorder_by: list[str] | None = None,
+    zorder_bits: int = 8,
 ) -> None:
     """Materialize a curated corpus as partitioned parquet with a
     reproducible file layout — the hand-off artifact to the trainer.
@@ -109,16 +111,35 @@ def write_curated(
       file contents are deterministic given the same partitioning and
       re-ingests diff cleanly;
     * ``maxRecordsPerFile`` bounds file sizes without an extra
-      repartition job (the writer splits as it goes).
+      repartition job (the writer splits as it goes);
+    * ``zorder_by`` (2+ bounded-integer expressions, see
+      :func:`~.util.zorder_key`) clusters rows along the Morton curve
+      BEFORE the local sort — every output file then covers a compact
+      box in each listed dimension, so the trainer's range predicates
+      (length bucket × quality bucket, date × domain, ...) prune on
+      parquet min/max statistics instead of scanning.
     """
     if partition_by is None:
         partition_by = ["split"] if "split" in df.columns else []
     missing = [c for c in partition_by if c not in df.columns]
     if missing:
         raise ValueError(f"partition columns not in frame: {missing}")
+    if zorder_by:
+        from .util import zorder_key
+
+        # range-partition on the Morton key, then sort by (directory
+        # partition, z-key) in ONE within-task pass — the z-run stays
+        # contiguous inside each output directory's files
+        df = (
+            df.withColumn("__zkey", zorder_key(*zorder_by, bits=zorder_bits))
+            .repartitionByRange("__zkey")
+            .sortWithinPartitions(*(partition_by + ["__zkey"]))
+            .drop("__zkey")
+        )
+    else:
+        df = df.sortWithinPartitions(*(partition_by + [order_by]))
     writer = (
-        df.sortWithinPartitions(*(partition_by + [order_by]))
-        .write.mode("overwrite")
+        df.write.mode("overwrite")
         .option("maxRecordsPerFile", max_records_per_file)
     )
     if partition_by:

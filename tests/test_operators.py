@@ -1931,3 +1931,44 @@ def test_distributed_rank_matches_global_row_number(spark):
         .count()
     )
     assert moved > 900  # a new seed is a genuinely different permutation
+
+
+def test_write_curated_zorder_clustering(spark, tmp_path):
+    """write_curated(zorder_by=...) produces files whose parquet min/max
+    footprint is compact in BOTH z-ordered dimensions (data-skipping
+    actually possible), still honors directory partitioning, and keeps
+    every row."""
+    import glob
+
+    from mondrian_olap_spark.operators.pipeline import write_curated
+
+    docs = spark.sql(
+        "SELECT id AS doc_id, id % 64 AS len_bucket, "
+        "(id * 7) % 64 AS qual_bucket, "
+        "CASE WHEN id % 2 = 0 THEN 'train' ELSE 'val' END AS split "
+        "FROM range(4096)"
+    )
+    path = str(tmp_path / "zout")
+    write_curated(
+        docs, path, partition_by=["split"],
+        zorder_by=["len_bucket", "qual_bucket"], zorder_bits=6,
+        max_records_per_file=256,
+    )
+    back = spark.read.parquet(path)
+    assert back.count() == 4096
+    assert sorted(d.rsplit("=", 1)[-1] for d in glob.glob(f"{path}/split=*")) == [
+        "train", "val"
+    ]
+    files = glob.glob(f"{path}/split=*/*.parquet")
+    assert len(files) > 4
+    spans = []
+    for f in files:
+        s = spark.read.parquet(f).agg(
+            (F.max("len_bucket") - F.min("len_bucket")).alias("dl"),
+            (F.max("qual_bucket") - F.min("qual_bucket")).alias("dq"),
+        ).collect()[0]
+        spans.append((s["dl"], s["dq"]))
+    avg_l = sum(s[0] for s in spans) / len(spans)
+    avg_q = sum(s[1] for s in spans) / len(spans)
+    # both dims compact per file (full range is 63)
+    assert avg_l < 40 and avg_q < 40, (avg_l, avg_q)
