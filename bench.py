@@ -62,6 +62,7 @@ HEADLINE = [
     "pipeline_apply_changes",
     "events_zorder_cells",
     "events_salted_join",
+    "pipeline_shuffle_order",
 ]
 
 
