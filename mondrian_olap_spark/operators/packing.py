@@ -98,3 +98,49 @@ def balanced_sample(
         .filter(F.col("__rn") <= per_group)
         .drop("__rn")
     )
+
+
+def padding_efficiency(
+    df: DataFrame,
+    seq_len: int,
+    text_col: str = "text",
+) -> DataFrame:
+    """Batching-cost report for a candidate context window: per
+    power-of-two length bucket, what one-document-per-sequence batching
+    would cost at ``seq_len`` versus the token-budget packing path —
+    ``pad_waste`` (tokens of padding for docs that fit) and
+    ``trunc_loss`` (tokens cut from docs that don't), plus the bucket's
+    padding ratio.  The whole-corpus read that decides "pack, pad, or
+    re-chunk, and at which seq_len" before a training run.
+
+    Pure integer arithmetic until the single final division (same bucket
+    convention as :func:`~.text.token_length_histogram` — exact
+    ``2^(bitlength-1)`` buckets, no float log2), one projection + one
+    ≤ ~60-row aggregate: scan-bound at any corpus size.
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    n = F.size(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    ).cast("long")
+    lo = F.expr("CAST(shiftleft(1, length(bin(greatest(__n, 1))) - 1) AS BIGINT)")
+    s = F.lit(seq_len).cast("long")
+    return (
+        df.select(n.alias("__n"))
+        .withColumn("bucket_lo", lo)
+        .groupBy("bucket_lo")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__n").alias("total_tokens"),
+            F.sum(
+                F.when(F.col("__n") <= s, s - F.col("__n")).otherwise(F.lit(0))
+            ).alias("pad_waste"),
+            F.sum(
+                F.when(F.col("__n") > s, F.col("__n") - s).otherwise(F.lit(0))
+            ).alias("trunc_loss"),
+        )
+        .withColumn(
+            "pad_ratio",
+            F.round(F.col("pad_waste") / (F.col("n_docs") * s), 6),
+        )
+    )

@@ -2651,3 +2651,34 @@ def pipeline_shuffle_order(spark, sf_dir):
     return pl.shuffle_order(docs, seed="epoch0").select(
         "doc_id", "shuffle_rank"
     )
+
+
+@q(
+    "pipeline_padding_efficiency",
+    """
+    WITH t AS (
+      SELECT len(string_split_regex(trim(coalesce(text, '')), '\\s+')) AS n
+      FROM documents
+    )
+    SELECT CAST(1 << (length(bin(greatest(n, 1))) - 1) AS BIGINT) AS bucket_lo,
+           count(*) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN n <= 128 THEN 128 - n ELSE 0 END) AS BIGINT)
+             AS pad_waste,
+           CAST(sum(CASE WHEN n > 128 THEN n - 128 ELSE 0 END) AS BIGINT)
+             AS trunc_loss,
+           round(CAST(sum(CASE WHEN n <= 128 THEN 128 - n ELSE 0 END)
+                        AS DOUBLE) / (count(*) * 128), 6) AS pad_ratio
+    FROM t GROUP BY 1
+    """,
+)
+def pipeline_padding_efficiency(spark, sf_dir):
+    """Context-window cost report through the driver gate: per
+    power-of-two length bucket, the padding tokens a one-doc-per-sequence
+    batch at seq_len=128 would burn and the tokens truncation would lose
+    (packing.padding_efficiency — pure integer arithmetic until the one
+    final ratio division, so bit-exact across engines)."""
+    from .operators import packing
+
+    docs = _docs(spark, sf_dir)
+    return packing.padding_efficiency(docs, seq_len=128)

@@ -1972,3 +1972,26 @@ def test_write_curated_zorder_clustering(spark, tmp_path):
     avg_q = sum(s[1] for s in spans) / len(spans)
     # both dims compact per file (full range is 63)
     assert avg_l < 40 and avg_q < 40, (avg_l, avg_q)
+
+
+def test_padding_efficiency_accounting(spark):
+    """Hand-checked padding/truncation accounting at seq_len=4: a 2-token
+    doc wastes 2, a 4-token doc wastes 0, a 7-token doc loses 3; NULL
+    text counts as the single-empty-token convention (bucket 1, waste 3);
+    seq_len must be positive."""
+    from mondrian_olap_spark.operators import packing
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c d"), (3, "a b c d e f g"), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["bucket_lo"]: r
+        for r in packing.padding_efficiency(docs, seq_len=4).collect()
+    }
+    assert rows[2]["pad_waste"] == 2 and rows[2]["trunc_loss"] == 0
+    assert rows[4]["pad_waste"] == 0 and rows[4]["trunc_loss"] == 3
+    assert rows[1]["n_docs"] == 1 and rows[1]["pad_waste"] == 3
+    assert rows[2]["pad_ratio"] == 0.5
+    with pytest.raises(ValueError, match="positive"):
+        packing.padding_efficiency(docs, seq_len=0)
