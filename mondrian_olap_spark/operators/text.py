@@ -876,3 +876,84 @@ def cms_estimate(
     return joined.groupBy("token").agg(
         F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_n")
     )
+
+
+def bigram_perplexity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 1.0,
+) -> DataFrame:
+    """Per-document perplexity under an add-k-smoothed bigram language
+    model trained on the corpus itself — the CCNet-style fluency signal:
+    machine-generated gibberish, keyword stuffing and wrong-language text
+    score high (improbable word transitions), ordinary prose scores low.
+
+    ``P(w2|w1) = (c(w1,w2) + k) / (c(w1,·) + k·V)`` with ``V`` the
+    unigram vocabulary size; a document's score is the mean negative log
+    probability of its bigrams, ``ppl = exp(-mean ln P)``.
+
+    Scale shape: doc-bigram counts (one keyed aggregate), corpus bigram
+    and context tables derived by further partial-combined aggregates
+    (vocabulary-sized, never collected), equi-joins on the bigram/context
+    keys, a 1-row vocabulary broadcast, and the module's deterministic
+    sorted-fold for the per-doc sum — bit-reproducible doubles.
+    Documents with fewer than two tokens have no bigrams and are absent
+    from the result.
+    """
+    from .util import ensure_min_parallelism
+
+    t = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    pairs = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.struct(
+                F.element_at(t, i).alias("w1"),
+                F.element_at(t, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    base = ensure_min_parallelism(df)
+    bg = base.select(
+        F.col(id_col).alias("id"), F.explode(pairs).alias("p")
+    ).select("id", "p.w1", "p.w2")
+    c = bg.groupBy("id", "w1", "w2").agg(F.count("*").alias("c"))
+    cb = c.groupBy("w1", "w2").agg(F.sum("c").alias("cb"))
+    cx = cb.groupBy("w1").agg(F.sum("cb").alias("cx"))
+    vocab = (
+        base.select(F.explode(t).alias("w"))
+        .where(F.col("w") != "")
+        .agg(F.countDistinct("w").alias("__V"))
+    )
+    joined = (
+        c.join(cb, ["w1", "w2"])
+        .join(cx, "w1")
+        .crossJoin(F.broadcast(vocab))
+    )
+    per_doc = joined.groupBy("id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.first("__V").alias("__V"),
+        F.array_sort(
+            F.collect_list(F.struct("w1", "w2", "c", "cb", "cx"))
+        ).alias("__bc"),
+    )
+    kk = F.lit(float(k))
+    v = F.col("__V").cast("double")
+    acc = F.aggregate(
+        F.col("__bc"),
+        F.lit(0.0),
+        lambda a, s: a
+        + s["c"].cast("double")
+        * F.log(
+            (s["cb"].cast("double") + kk)
+            / (s["cx"].cast("double") + kk * v)
+        ),
+    )
+    nb = F.col("n_bigrams").cast("double")
+    return per_doc.select(
+        "id",
+        "n_bigrams",
+        F.round(-acc / nb, 6).alias("neg_logprob"),
+        F.round(F.exp(-acc / nb), 6).alias("ppl"),
+    )

@@ -2682,3 +2682,58 @@ def pipeline_padding_efficiency(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     return packing.padding_efficiency(docs, seq_len=128)
+
+
+@q(
+    "text_bigram_perplexity",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(coalesce(text, '')), '\\s+')) AS w,
+             generate_subscripts(string_split_regex(trim(coalesce(text, '')), '\\s+'), 1) AS pos
+      FROM documents
+    ),
+    bg AS (
+      SELECT a.doc_id AS id, a.w AS w1, b.w AS w2
+      FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    c AS (SELECT id, w1, w2, count(*) AS c FROM bg GROUP BY 1, 2, 3),
+    cb AS (SELECT w1, w2, CAST(sum(c) AS BIGINT) AS cb FROM c GROUP BY 1, 2),
+    cx AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS cx FROM cb GROUP BY 1),
+    vv AS (SELECT count(DISTINCT w) AS V FROM toks WHERE w <> ''),
+    j AS (
+      SELECT c.id, c.w1, c.w2, c.c, cb.cb, cx.cx, vv.V
+      FROM c JOIN cb USING (w1, w2) JOIN cx USING (w1) CROSS JOIN vv
+    ),
+    d AS (
+      SELECT id, CAST(sum(c) AS BIGINT) AS n_bigrams, any_value(V) AS V,
+             list(struct_pack(c := CAST(c AS DOUBLE),
+                              cb := CAST(cb AS DOUBLE),
+                              cx := CAST(cx AS DOUBLE))
+                  ORDER BY w1, w2) AS bl
+      FROM j GROUP BY 1
+    )
+    SELECT id, n_bigrams,
+           round(-list_reduce(
+                    list_prepend(CAST(0.0 AS DOUBLE),
+                      list_transform(bl, s ->
+                        s.c * ln((s.cb + 1.0)
+                                 / (s.cx + 1.0 * CAST(V AS DOUBLE))))),
+                    (a, b) -> a + b)
+                  / CAST(n_bigrams AS DOUBLE), 6) AS neg_logprob,
+           round(exp(-(list_reduce(
+                    list_prepend(CAST(0.0 AS DOUBLE),
+                      list_transform(bl, s ->
+                        s.c * ln((s.cb + 1.0)
+                                 / (s.cx + 1.0 * CAST(V AS DOUBLE))))),
+                    (a, b) -> a + b)
+                  / CAST(n_bigrams AS DOUBLE))), 6) AS ppl
+    FROM d
+    """,
+)
+def text_bigram_perplexity(spark, sf_dir):
+    """CCNet-style fluency scoring through the driver gate: per-doc
+    perplexity under the corpus's own add-1-smoothed bigram LM
+    (text.bigram_perplexity).  The oracle replays the identical counts,
+    smoothing arithmetic and SORTED sequential log-fold, so the doubles
+    must agree bit-for-bit before the 6-decimal rounding."""
+    return text.bigram_perplexity(_docs(spark, sf_dir))

@@ -1995,3 +1995,22 @@ def test_padding_efficiency_accounting(spark):
     assert rows[2]["pad_ratio"] == 0.5
     with pytest.raises(ValueError, match="positive"):
         packing.padding_efficiency(docs, seq_len=0)
+
+
+def test_bigram_perplexity_hand_computed(spark):
+    """Add-1 bigram LM on a 3-doc corpus, checked by hand: V=5;
+    'x y' has one bigram with P=(1+1)/(1+5) -> ppl exactly 3.0;
+    'a b a b' mixes P(ab)=3/7 and P(ba)=1/3; a single-token doc has no
+    bigrams and is absent."""
+    import math
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "x y"), (3, "z")], "doc_id long, text string"
+    )
+    rows = {r["id"]: r for r in text.bigram_perplexity(docs).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[2]["n_bigrams"] == 1
+    assert rows[2]["ppl"] == pytest.approx(3.0, abs=1e-6)
+    expect1 = math.exp(-(2 * math.log(3 / 7) + math.log(1 / 3)) / 3)
+    assert rows[1]["n_bigrams"] == 3
+    assert rows[1]["ppl"] == pytest.approx(expect1, abs=1e-6)
