@@ -63,6 +63,8 @@ HEADLINE = [
     "events_zorder_cells",
     "events_salted_join",
     "pipeline_shuffle_order",
+    "pipeline_padding_efficiency",
+    "text_bigram_perplexity",
 ]
 
 
