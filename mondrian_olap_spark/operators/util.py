@@ -130,7 +130,9 @@ def zorder_key(*int_cols, bits: int = 8):
         )
     out = None
     for i, c in enumerate(int_cols):
-        col = F.col(c) if isinstance(c, str) else c
+        col = (F.col(c) if isinstance(c, str) else c).cast("long")
+        # the cast matters: shiftleft on a 32-bit INT wraps at position 31,
+        # silently corrupting every key with nd*bits > 31
         for b in range(bits):
             term = F.shiftleft(
                 F.shiftright(col, b).bitwiseAND(F.lit(1)), b * nd + i

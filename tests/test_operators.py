@@ -2014,3 +2014,20 @@ def test_bigram_perplexity_hand_computed(spark):
     expect1 = math.exp(-(2 * math.log(3 / 7) + math.log(1 / 3)) / 3)
     assert rows[1]["n_bigrams"] == 3
     assert rows[1]["ppl"] == pytest.approx(expect1, abs=1e-6)
+
+
+def test_zorder_key_int_columns_high_bits(spark):
+    """32-bit INT input columns must interleave correctly past bit
+    position 31 (shiftleft on INT wraps at 31 — the key is computed in
+    LONG): an int column's top bit at 3 dims x 11 bits lands at z-bit 31+
+    and must survive."""
+    from mondrian_olap_spark.operators import util
+
+    df = spark.sql(
+        "SELECT CAST(2047 AS INT) AS a, CAST(2047 AS INT) AS b, "
+        "CAST(2047 AS INT) AS c"
+    )
+    z = df.select(util.zorder_key("a", "b", "c", bits=11).alias("z")).collect()[0]["z"]
+    # all 33 z-bits set: positions 31 and 32 exceed the 32-bit shift range,
+    # so an INT-typed computation would wrap negative instead
+    assert z == (1 << 33) - 1
