@@ -323,11 +323,17 @@ def shuffle_order(
     """
     from .util import distributed_rank
 
-    key = F.expr(
-        "cast(conv(substr(md5(concat('"
-        + seed.replace("'", "''")
-        + f":', cast({id_col} as string))), 1, 15), 16, 10) as bigint)"
-    )
+    # pure column expressions — the seed is a literal, never spliced into
+    # SQL text (quotes/backslashes in a seed string cannot change the plan)
+    key = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
     with_key = docs.withColumn("__skey", key)
     ranked = distributed_rank(with_key, ["__skey", id_col], rank_col=rank_col)
     return ranked.drop("__skey")
