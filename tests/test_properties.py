@@ -312,3 +312,65 @@ def test_wav_roundtrip_property(samples, channels, rate):
     assert feats[1] == pytest.approx(float(np.sqrt(np.mean(x * x))), abs=1e-12)
     assert feats[2] == pytest.approx(float(np.abs(x).max()), abs=1e-12)
     assert feats[4] == pytest.approx(per / rate)
+
+
+@given(
+    samples=st.lists(st.integers(-32768, 32767), min_size=2, max_size=200),
+    channels=st.integers(1, 2),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=40, deadline=None)
+def test_encode_wav_is_decode_inverse_property(samples, channels, rate):
+    """encode_wav -> decode_wav recovers frame geometry and the exact
+    sample statistics for ANY int16 content, channel count and rate —
+    the writer and parser agree on the RIFF layout byte-for-byte."""
+    import numpy as np
+
+    from mondrian_olap_spark.operators import multimodal
+
+    n = (len(samples) // channels) * channels
+    samples = samples[:n] if n else samples + samples[: channels - len(samples) % channels]
+    if not samples:
+        samples = [0] * channels
+    payload = multimodal.encode_wav(samples, sample_rate=rate, channels=channels)
+    per, ch, feats = multimodal.decode_wav(payload)
+    assert (per, ch) == (len(samples) // channels, channels)
+    x = (
+        np.array(samples, dtype=np.float64).reshape(-1, channels).mean(axis=1)
+        / 32768.0
+    )
+    assert feats[0] == pytest.approx(x.mean(), abs=1e-12)
+    assert feats[2] == pytest.approx(float(np.abs(x).max()), abs=1e-12)
+    assert feats[5] == pytest.approx(rate / 1000.0)
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
+        min_size=1,
+        max_size=64,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_zorder_key_matches_python_reference(spark, pairs):
+    """The Spark Morton key equals a direct Python bit-interleave for
+    arbitrary in-range inputs (one batched job per example), and is
+    injective on distinct inputs."""
+    from mondrian_olap_spark.operators import util
+
+    def ref(x, y, bits=8):
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    df = spark.createDataFrame(pairs, "x long, y long")
+    got = [
+        r["z"]
+        for r in df.select(util.zorder_key("x", "y", bits=8).alias("z"))
+        .collect()
+    ]
+    want = [ref(x, y) for x, y in pairs]
+    assert sorted(got) == sorted(want)
+    assert len(set(want)) == len(set(pairs))
