@@ -2737,3 +2737,64 @@ def text_bigram_perplexity(spark, sf_dir):
     smoothing arithmetic and SORTED sequential log-fold, so the doubles
     must agree bit-for-bit before the 6-decimal rounding."""
     return text.bigram_perplexity(_docs(spark, sf_dir))
+
+
+@q(
+    "dedup_incremental_bloom",
+    """
+    WITH corpus_fp AS (
+      SELECT DISTINCT md5(lower(trim(text))) AS fp FROM documents
+    ),
+    newdocs AS (
+      SELECT doc_id + 1000000 AS doc_id,
+             md5(lower(trim(CASE WHEN doc_id % 3 = 0 THEN text
+                                 ELSE text || ' fresh suffix' END))) AS fingerprint
+      FROM documents
+    ),
+    ks AS (SELECT unnest([0, 1, 2, 3]) AS i),
+    pos AS (
+      SELECT (('0x' || substr(md5('bloom' || i || ':' || fp), 1, 15))::BIGINT
+              % 2046) AS p
+      FROM corpus_fp CROSS JOIN ks
+    ),
+    words AS (
+      SELECT (p // 62) AS w,
+             bit_or(1::BIGINT << ((p % 62)::INT)) AS bits
+      FROM pos GROUP BY 1
+    ),
+    probes AS (
+      SELECT n.doc_id, n.fingerprint,
+             (('0x' || substr(md5('bloom' || ks.i || ':' || n.fingerprint),
+                              1, 15))::BIGINT % 2046) AS p
+      FROM newdocs n CROSS JOIN ks
+    ),
+    hit AS (
+      SELECT pr.doc_id, pr.fingerprint,
+             bool_and(coalesce(
+               (w.bits & (1::BIGINT << ((pr.p % 62)::INT))) <> 0,
+               FALSE)) AS bloom_hit
+      FROM probes pr LEFT JOIN words w ON (pr.p // 62) = w.w
+      GROUP BY 1, 2
+    )
+    SELECT h.doc_id, h.fingerprint, h.bloom_hit,
+           (h.bloom_hit AND cf.fp IS NOT NULL) AS is_dup
+    FROM hit h LEFT JOIN corpus_fp cf ON h.fingerprint = cf.fp
+    """,
+)
+def dedup_incremental_bloom(spark, sf_dir):
+    """Incremental exact-dedup of a synthetic ingest batch (one third exact
+    copies of the corpus, two thirds modified) against the existing corpus:
+    Bloom-bitmap prefilter + exact verification of the hits ONLY
+    (dedup.incremental_dedup).  The 2046-bit/4-hash bitmap is deliberately
+    tight (~17% fp at sf0.01), so dozens of FALSE POSITIVES must reproduce
+    bit-for-bit in the oracle's replay of the bitmap arithmetic — while
+    is_dup must stay exact (a Bloom filter has no false negatives, and only
+    hits reach the verification join)."""
+    docs = _docs(spark, sf_dir)
+    new = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" fresh suffix")))
+        .alias("text"),
+    )
+    return dedup.incremental_dedup(new, docs, m_bits=2046, k=4)

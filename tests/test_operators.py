@@ -2031,3 +2031,74 @@ def test_zorder_key_int_columns_high_bits(spark):
     # all 33 z-bits set: positions 31 and 32 exceed the 32-bit shift range,
     # so an INT-typed computation would wrap negative instead
     assert z == (1 << 33) - 1
+
+
+def test_bloom_parameters_textbook_sizing():
+    m, k = dedup.bloom_parameters(1_000_000, 0.01)
+    # ~9.59 bits/item and 7 hashes at 1% (Bloom 1970), word-aligned
+    assert 9_500_000 < m < 9_700_000 and k == 7
+    assert m % dedup.BLOOM_WORD_BITS == 0
+    with pytest.raises(ValueError):
+        dedup.bloom_parameters(0)
+    with pytest.raises(ValueError):
+        dedup.bloom_parameters(10, 1.5)
+
+
+def test_bloom_no_false_negatives_and_strategies_agree(docs):
+    """Every corpus member must probe TRUE (no false negatives — the Bloom
+    guarantee), and the inline-literal and broadcast-join probe strategies
+    must return identical verdicts for every document."""
+    m, k = 62 * 4, 3  # deliberately tiny: forces collisions
+    bloom = dedup.bloom_build(docs, m_bits=m, k=k)
+    self_probe = dedup.bloom_probe(docs, bloom, m, k)
+    assert all(r["bloom_hit"] for r in self_probe.collect())
+    inline = dedup.bloom_probe(docs, bloom, m, k).collect()
+    joined = dedup.bloom_probe(docs, bloom, m, k, inline_max_bits=0).collect()
+    assert sorted(map(tuple, inline)) == sorted(map(tuple, joined))
+
+
+def test_bloom_build_word_bounds(docs):
+    words = dedup.bloom_build(docs, m_bits=62 * 8, k=4).collect()
+    assert len(words) <= 8
+    for r in words:
+        assert 0 <= r["word"] < 8
+        assert r["bits"] > 0  # bit 62/63 never set → always positive
+
+
+def test_incremental_dedup_flags(spark, docs):
+    new = spark.createDataFrame([
+        Row(doc_id=100, text="the quick brown fox jumps over the lazy dog"),  # dup of 1
+        Row(doc_id=101, text="an entirely novel document about fresh subject matter"),
+    ])
+    out = {r["doc_id"]: r for r in
+           dedup.incremental_dedup(new, docs, m_bits=62 * 33, k=4).collect()}
+    assert out[100]["is_dup"] and out[100]["bloom_hit"]
+    assert not out[101]["is_dup"]
+    # is_dup ⇒ bloom_hit must hold for every row
+    for r in out.values():
+        assert (not r["is_dup"]) or r["bloom_hit"]
+    # unverified mode takes the bitmap verdict as-is
+    raw = {r["doc_id"]: r for r in
+           dedup.incremental_dedup(new, docs, m_bits=62 * 33, k=4,
+                                   verify=False).collect()}
+    assert raw[100]["is_dup"] == raw[100]["bloom_hit"]
+
+
+def test_bloom_bitmap_or_merge(spark, docs):
+    """Bloom bitmaps compose under bitwise OR: the bitmap of a union equals
+    the OR-merge of the parts' bitmaps (the incremental maintenance path)."""
+    a = docs.filter("doc_id <= 2")
+    b = docs.filter("doc_id > 2")
+    m, k = 62 * 8, 4
+    merged = (
+        dedup.bloom_build(a, m_bits=m, k=k)
+        .unionByName(dedup.bloom_build(b, m_bits=m, k=k))
+        .groupBy("word").agg(F.expr("bit_or(bits)").alias("bits"))
+    )
+    whole = dedup.bloom_build(docs, m_bits=m, k=k)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_bloom_rejects_unaligned_m():
+    with pytest.raises(ValueError):
+        dedup.bloom_build(None, m_bits=1000, k=3)
