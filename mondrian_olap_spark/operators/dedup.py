@@ -926,3 +926,136 @@ def incremental_dedup(
         "is_dup", F.lit(False)
     )
     return hits.unionByName(misses)
+
+
+# ------------------------------------------- persisted MinHash LSH index
+
+def write_minhash_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Materialize the corpus's LSH band-bucket table — the on-disk
+    near-dup artifact for INCREMENTAL ingestion (the MinHash analog of
+    :func:`..similarity.write_ivf_index`): ``(id, band, key)`` rows,
+    partitioned by band, so each new batch probes the index instead of
+    re-fingerprinting the corpus.
+
+    The banding parameters are part of the artifact — a probe MUST band
+    its signatures identically — so they persist next to the data under
+    ``_params`` (the ``_`` prefix hides the file from parquet data
+    discovery).  Band keys compose incrementally: append the accepted
+    batch's keys to the index (same parquet layout) and the next batch
+    probes the union.  Returns the band-key DataFrame it wrote.
+    """
+    keys = minhash_band_keys(docs, id_col, text_col, n, num_hashes, bands)
+    keys.write.mode("overwrite").partitionBy("band").parquet(path)
+    (
+        docs.sparkSession.createDataFrame(
+            [(n, num_hashes, bands)], "n int, num_hashes int, bands int"
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path + "/_params")
+    )
+    return keys
+
+
+def read_minhash_index(spark, path: str) -> tuple[DataFrame, dict]:
+    """Load an index written by :func:`write_minhash_index`: returns
+    ``(band_keys_df, params)`` in the shape
+    :func:`incremental_neardup_pairs` takes (the params read is a 1-row
+    collect — model parameters, the legitimate collect)."""
+    row = spark.read.parquet(path + "/_params").collect()[0]
+    params = {
+        "n": int(row["n"]),
+        "num_hashes": int(row["num_hashes"]),
+        "bands": int(row["bands"]),
+    }
+    return spark.read.parquet(path), params
+
+
+def incremental_neardup_pairs(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    index: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup detection of a NEW ingest batch against an EXISTING corpus:
+    band the batch's MinHash signatures, join them against the corpus's
+    band-bucket ``index`` (from :func:`write_minhash_index`; derived from
+    ``corpus`` when None), and exact-verify the candidate pairs ONLY.
+
+    Returns ``(new_id, corpus_id, jaccard)`` for verified pairs ≥
+    ``threshold``.  Scale shape: the corpus text is touched ONLY for
+    candidate documents (a semi-join restricts the shingle explosion to
+    them before verification), so per-batch cost tracks the batch size
+    plus its collisions — never the corpus size.  Banding parameters must
+    match the index's (:func:`read_minhash_index` returns them).
+    """
+    if index is None:
+        index = minhash_band_keys(corpus, id_col, text_col, n, num_hashes, bands)
+    new_keys = minhash_band_keys(new_docs, id_col, text_col, n, num_hashes, bands)
+    cand = (
+        new_keys.select(
+            F.col("id").alias("new_id"), "band", "key"
+        )
+        .join(
+            index.select(F.col("id").alias("corpus_id"), "band", "key"),
+            ["band", "key"],
+        )
+        .select("new_id", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    # verification shingles ONLY for documents that appear in a candidate
+    # pair — the corpus-side semi-join is what keeps a 100 TB corpus out
+    # of the verification plan
+    new_cand = new_docs.join(
+        cand.select(F.col("new_id").alias(id_col)).distinct(), id_col, "semi"
+    )
+    corpus_cand = corpus.join(
+        cand.select(F.col("corpus_id").alias(id_col)).distinct(), id_col, "semi"
+    )
+    sh_new = shingles(new_cand, id_col, text_col, n)
+    sh_corpus = shingles(corpus_cand, id_col, text_col, n)
+    sizes_new = sh_new.groupBy("id").agg(F.count("*").alias("n_new"))
+    sizes_corpus = sh_corpus.groupBy("id").agg(F.count("*").alias("n_corpus"))
+    a = sh_new.alias("sha")
+    b = sh_corpus.alias("shb")
+    common = (
+        cand.join(a, F.col("new_id") == F.col("sha.id"))
+        .join(
+            b,
+            (F.col("corpus_id") == F.col("shb.id"))
+            & (F.col("sha.shingle") == F.col("shb.shingle")),
+        )
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(
+            sizes_new.withColumnRenamed("id", "__ni"), F.col("new_id") == F.col("__ni")
+        )
+        .join(
+            sizes_corpus.withColumnRenamed("id", "__ci"),
+            F.col("corpus_id") == F.col("__ci"),
+        )
+        .select(
+            "new_id",
+            "corpus_id",
+            (
+                F.col("common")
+                / (F.col("n_new") + F.col("n_corpus") - F.col("common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -2102,3 +2102,38 @@ def test_bloom_bitmap_or_merge(spark, docs):
 def test_bloom_rejects_unaligned_m():
     with pytest.raises(ValueError):
         dedup.bloom_build(None, m_bits=1000, k=3)
+
+
+def test_minhash_index_roundtrip_and_incremental_probe(spark, docs, tmp_path):
+    """write_minhash_index persists band keys + params; a probe through the
+    loaded index finds the same pairs as the direct (corpus-derived) path,
+    and verification matches exact Jaccard."""
+    path = str(tmp_path / "mh_idx")
+    dedup.write_minhash_index(docs, path)
+    idx, params = dedup.read_minhash_index(spark, path)
+    assert params == {"n": 3, "num_hashes": 16, "bands": 8}
+    new = spark.createDataFrame([
+        # near-dup of doc 1 (one word appended: 7 of 8 trigrams shared)
+        Row(doc_id=200, text="the quick brown fox jumps over the lazy dog tonight"),
+        Row(doc_id=201, text="nothing here resembles any existing corpus document text"),
+    ])
+    direct = dedup.incremental_neardup_pairs(new, docs, threshold=0.8)
+    via_index = dedup.incremental_neardup_pairs(
+        new, docs, index=idx, threshold=0.8, **params
+    )
+    d, v = sorted(map(tuple, direct.collect())), sorted(map(tuple, via_index.collect()))
+    assert d == v
+    matched = {(r[0], r[1]) for r in d}
+    assert (200, 1) in matched and (200, 4) in matched  # 4 is 1's exact dup
+    assert all(nid != 201 for nid, _ in matched)
+
+
+def test_incremental_neardup_only_cross_pairs(docs):
+    """The probe reports (new, corpus) pairs only — corpus-internal dups
+    (docs 1 and 4 are identical) must not appear."""
+    new = docs.filter("doc_id = 3").select(
+        (F.col("doc_id") + 100).alias("doc_id"), "text"
+    )
+    pairs = dedup.incremental_neardup_pairs(new, docs, threshold=0.8).collect()
+    assert {(r["new_id"], r["corpus_id"]) for r in pairs} == {(103, 3)}
+    assert all(r["jaccard"] == 1.0 for r in pairs)
