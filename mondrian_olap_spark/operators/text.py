@@ -957,3 +957,52 @@ def bigram_perplexity(
         F.round(-acc / nb, 6).alias("neg_logprob"),
         F.round(F.exp(-acc / nb), 6).alias("ppl"),
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    output: str | None = None,
+    form: str = "NFC",
+    lowercase: bool = False,
+) -> DataFrame:
+    """Unicode-normalize a text column — the canonicalization pass a crawl
+    corpus needs BEFORE any fingerprint/dedup step (the same logical text
+    arrives from the web as composed or decomposed codepoints, and md5
+    fingerprints treat them as different documents):
+
+    1. Unicode normalization to ``form`` (NFC default; NFKC folds
+       compatibility glyphs too) — the one step Spark has no builtin for,
+       done in an Arrow-batched pandas UDF over ``unicodedata`` (the
+       stdlib implements the full Unicode algorithm; per-batch transfer,
+       never per-row Python);
+    2. control characters (C0 + DEL) replaced by spaces — JVM-side regex;
+    3. whitespace runs collapsed to single spaces, ends trimmed;
+    4. optional lowercasing.
+
+    Steps 2-4 stay in whole-stage codegen; only the normalization itself
+    pays the Arrow hop.  Output replaces ``text_col`` unless ``output``
+    names a new column.  NULL text stays NULL.
+    """
+    import unicodedata
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    # NOTE: unannotated Series-in/Series-out callable — annotations would
+    # make pandas_udf try (and fail) to resolve pd.Series from this scope
+    def _norm_series(s):
+        return s.map(
+            lambda x: unicodedata.normalize(form, x) if x is not None else None
+        )
+
+    _unicode_norm = F.pandas_udf(_norm_series, returnType="string")
+
+    out = output or text_col
+    col = _unicode_norm(F.col(text_col))
+    col = F.regexp_replace(col, r"[\x00-\x1F\x7F]", " ")
+    col = F.trim(F.regexp_replace(col, r"\s+", " "))
+    if lowercase:
+        col = F.lower(col)
+    # preserve NULL: regexp_replace of NULL is NULL already, trim too
+    return df.withColumn(out, col)

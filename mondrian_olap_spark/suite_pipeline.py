@@ -2877,3 +2877,56 @@ def dedup_incremental_neardup(spark, sf_dir):
     )
     pairs = dedup.incremental_neardup_pairs(new, docs, threshold=0.8)
     return pairs.withColumn("jaccard", F.round("jaccard", 6))
+
+
+@q(
+    "text_normalize_gate",
+    r"""
+    WITH messy AS (
+      SELECT doc_id,
+             '  caf' || 'e' || chr(769) || chr(9) || 'vs caf' || chr(233)
+             || ' ' || text || ' A' || chr(778) || ' ' || chr(7) || 'end  '
+             AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           trim(regexp_replace(
+                  regexp_replace(nfc_normalize(text),
+                                 '[\x00-\x1F\x7F]', ' ', 'g'),
+                  '\s+', ' ', 'g')) AS norm_text,
+           length(trim(regexp_replace(
+                  regexp_replace(nfc_normalize(text),
+                                 '[\x00-\x1F\x7F]', ' ', 'g'),
+                  '\s+', ' ', 'g'))) AS n_chars
+    FROM messy
+    """,
+)
+def text_normalize_gate(spark, sf_dir):
+    """Unicode canonicalization through the gate: every document is wrapped
+    in deliberately messy affixes - a DECOMPOSED e+combining-acute (must
+    NFC-fold to the composed e-acute and become equal to the composed
+    spelling beside it), A+combining-ring, a tab, a BEL control byte, and
+    stray space runs - built codepoint-by-codepoint in BOTH engines, then
+    normalized by text.normalize_text (Arrow-batched unicodedata NFC +
+    codegen control-strip/whitespace-collapse).  The oracle replays it
+    with DuckDB's independent nfc_normalize implementation, so the two
+    engines' Unicode tables must agree on every document."""
+    docs = _docs(spark, sf_dir)
+    messy = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("  caf"),
+            F.lit("e\u0301"),
+            F.lit("\t"),
+            F.lit("vs caf\u00e9 "),
+            F.col("text"),
+            F.lit(" A\u030a "),
+            F.lit("\u0007end  "),
+        ).alias("text"),
+    )
+    out = text.normalize_text(messy)
+    return out.select(
+        "doc_id",
+        F.col("text").alias("norm_text"),
+        F.length("text").alias("n_chars"),
+    )

@@ -2137,3 +2137,44 @@ def test_incremental_neardup_only_cross_pairs(docs):
     pairs = dedup.incremental_neardup_pairs(new, docs, threshold=0.8).collect()
     assert {(r["new_id"], r["corpus_id"]) for r in pairs} == {(103, 3)}
     assert all(r["jaccard"] == 1.0 for r in pairs)
+
+
+def test_normalize_text_unicode_forms(spark):
+    """NFC composes decomposed sequences (the dedup-critical property:
+    composed and decomposed spellings fingerprint identically after
+    normalization); control chars strip; whitespace collapses; NULL rides
+    through; NFKC folds compatibility glyphs."""
+    rows = [
+        Row(doc_id=1, text="caf" + "e\u0301" + "  x"),     # decomposed
+        Row(doc_id=2, text="caf\u00e9 x"),                  # composed
+        Row(doc_id=3, text="a\u0007b\tc\nd"),              # controls
+        Row(doc_id=4, text=None),
+        Row(doc_id=5, text="\ufb01ne"),                     # fi ligature
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r["doc_id"]: r["text"] for r in text.normalize_text(df).collect()}
+    assert out[1] == out[2] == "caf\u00e9 x"
+    assert out[3] == "a b c d"
+    assert out[4] is None
+    assert out[5] == "\ufb01ne"  # NFC keeps compatibility chars
+    k = {r["doc_id"]: r["text"]
+         for r in text.normalize_text(df, form="NFKC").collect()}
+    assert k[5] == "fine"  # NFKC folds the ligature
+    low = {r["doc_id"]: r["text"]
+           for r in text.normalize_text(df, lowercase=True).collect()}
+    assert low[1] == "caf\u00e9 x"
+    with pytest.raises(ValueError):
+        text.normalize_text(df, form="NFX")
+
+
+def test_normalize_then_fingerprint_unifies_spellings(spark):
+    """End-to-end motivation: exact dedup AFTER normalization collapses the
+    composed/decomposed spellings of the same document into one group."""
+    from mondrian_olap_spark.operators import dedup as dd
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="Caf" + "e\u0301 au lait"),
+        Row(doc_id=2, text="Caf\u00e9 au lait"),
+    ])
+    raw = dd.exact_dedup(df).count()
+    normed = dd.exact_dedup(text.normalize_text(df)).count()
+    assert raw == 2 and normed == 1
