@@ -268,3 +268,55 @@ def distributed_rank(
         .withColumn(rank_col, (F.col("__off") + F.col("__local")).cast("long"))
         .drop("__pid", "__local", "__off")
     )
+
+
+def profile_columns(df, cols: list[str] | None = None):
+    """One-pass data-quality profile: per column, the row count, NULL
+    count, exact distinct count, and min/max (stringified) — the ingest
+    sanity check a pipeline runs on every new batch before it spends
+    compute on it (a lang column whose distinct count exploded, or an id
+    column that suddenly has NULLs, is an upstream extractor bug caught
+    here, not three stages later).
+
+    Returns the profile in long form:
+    ``(col_name, n_rows, n_nulls, n_distinct, min_value, max_value)``,
+    one row per profiled column.
+
+    Scale shape: ONE aggregation job over the input for every metric of
+    every column — the multiple exact ``count_distinct`` aggregates plan
+    as a single scan with an Expand (one pass over the data, widened
+    ×columns in-memory, map-side partial aggregation throughout); the
+    wide one-row result is then unpivoted driver-free with ``stack``.
+    For quick-look profiles over very wide tables, pass the column subset
+    instead — Expand cost is linear in the profiled column count.
+    """
+    from pyspark.sql import functions as F
+
+    cols = list(cols) if cols is not None else list(df.columns)
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in frame: {missing}")
+    if not cols:
+        raise ValueError("no columns to profile")
+    aggs = [F.count("*").alias("__n")]
+    for i, c in enumerate(cols):
+        aggs += [
+            F.count(F.col(c)).alias(f"__cnt{i}"),
+            F.count_distinct(F.col(c)).alias(f"__dist{i}"),
+            F.min(F.col(c)).cast("string").alias(f"__min{i}"),
+            F.max(F.col(c)).cast("string").alias(f"__max{i}"),
+        ]
+    wide = df.agg(*aggs)
+    parts = []
+    for i, c in enumerate(cols):
+        name = c.replace("'", "''")
+        parts.append(
+            f"'{name}', __n, __n - __cnt{i}, __dist{i}, __min{i}, __max{i}"
+        )
+    stacked = ", ".join(parts)
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stacked}) AS "
+            "(col_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
+        )
+    )

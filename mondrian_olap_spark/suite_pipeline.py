@@ -2930,3 +2930,43 @@ def text_normalize_gate(spark, sf_dir):
         F.col("text").alias("norm_text"),
         F.length("text").alias("n_chars"),
     )
+
+
+@q(
+    "pipeline_column_profile",
+    """
+    SELECT 'doc_id' AS col_name, count(*) AS n_rows,
+           count(*) - count(doc_id) AS n_nulls,
+           count(DISTINCT doc_id) AS n_distinct,
+           CAST(min(doc_id) AS VARCHAR) AS min_value,
+           CAST(max(doc_id) AS VARCHAR) AS max_value
+    FROM documents
+    UNION ALL
+    SELECT 'text', count(*), count(*) - count(text), count(DISTINCT text),
+           CAST(min(text) AS VARCHAR), CAST(max(text) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'lang', count(*), count(*) - count(lang), count(DISTINCT lang),
+           CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'source', count(*), count(*) - count(source),
+           count(DISTINCT source),
+           CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', count(*), count(*) - count(n_chars),
+           count(DISTINCT n_chars),
+           CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+    FROM documents
+    """,
+)
+def pipeline_column_profile(spark, sf_dir):
+    """Ingest-batch data profiling through the gate: util.profile_columns
+    computes rows/NULLs/exact-distinct/min/max for every documents column
+    in ONE aggregation job (multi-distinct plans as a single scan with an
+    Expand; stack unpivots the one-row result driver-free).  The oracle is
+    the straightforward per-column UNION ALL."""
+    from .operators.util import profile_columns
+
+    return profile_columns(_docs(spark, sf_dir))

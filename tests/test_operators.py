@@ -2178,3 +2178,26 @@ def test_normalize_then_fingerprint_unifies_spellings(spark):
     raw = dd.exact_dedup(df).count()
     normed = dd.exact_dedup(text.normalize_text(df)).count()
     assert raw == 2 and normed == 1
+
+
+def test_profile_columns_metrics_and_single_scan(spark):
+    from mondrian_olap_spark.operators.util import profile_columns
+    df = spark.createDataFrame([
+        Row(k=1, v="a"), Row(k=2, v="b"), Row(k=2, v=None), Row(k=None, v="a"),
+    ])
+    out = {r["col_name"]: r for r in profile_columns(df).collect()}
+    assert out["k"]["n_rows"] == 4 and out["k"]["n_nulls"] == 1
+    assert out["k"]["n_distinct"] == 2
+    assert out["k"]["min_value"] == "1" and out["k"]["max_value"] == "2"
+    assert out["v"]["n_nulls"] == 1 and out["v"]["n_distinct"] == 2
+    assert out["v"]["min_value"] == "a" and out["v"]["max_value"] == "b"
+    # subset + errors
+    sub = profile_columns(df, ["k"]).collect()
+    assert len(sub) == 1 and sub[0]["col_name"] == "k"
+    with pytest.raises(ValueError):
+        profile_columns(df, ["nope"])
+    with pytest.raises(ValueError):
+        profile_columns(df, [])
+    # the multi-distinct profile must stay ONE scan (Expand strategy)
+    plan = profile_columns(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") + plan.count("Scan parquet") <= 1
