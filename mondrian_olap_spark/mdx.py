@@ -1628,8 +1628,11 @@ class MdxParser:
             # stripped ('1 000.5x' → 1000.5); anything else → 0.  The
             # try_cast chain dispatches without knowing the arg's type:
             # direct double cast first (no lossy string round-trip for
-            # numeric inputs), prefix parse second, 0 last.  Subset: no
-            # &H/&O radix literals (reference Vba.val supports them).
+            # numeric inputs), &H/&O radix literals next (reference
+            # Vba.val parses them; conv() does the base conversion, and
+            # nullif keeps a non-match falling through instead of
+            # conv('') = '0' short-circuiting the chain), decimal prefix
+            # parse after, 0 last.
             stripped = (
                 f"regexp_replace(cast(({inner}) as string), '\\\\s+', '')"
             )
@@ -1637,8 +1640,17 @@ class MdxParser:
                 f"regexp_extract({stripped}, "
                 f"'^[+-]?(\\\\d+\\\\.?\\\\d*|\\\\.\\\\d+)([eE][+-]?\\\\d+)?', 0)"
             )
+            hexp = (
+                f"try_cast(conv(nullif(regexp_extract({stripped}, "
+                f"'^&[hH]([0-9a-fA-F]+)', 1), ''), 16, 10) as double)"
+            )
+            octp = (
+                f"try_cast(conv(nullif(regexp_extract({stripped}, "
+                f"'^&[oO]([0-7]+)', 1), ''), 8, 10) as double)"
+            )
             return (
                 f"coalesce(try_cast(({inner}) as double), "
+                f"{hexp}, {octp}, "
                 f"try_cast({prefix} as double), cast(0 as double))"
             )
 

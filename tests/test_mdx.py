@@ -2632,3 +2632,28 @@ def test_aggregate_member_self_reference_raises(engine):
                    {[Customer].[Loop]} ON ROWS FROM [Sales]
             """,
         )
+
+
+def test_vba_val_radix_literals(engine):
+    """Val &H/&O radix literals (Vba.val parses hexadecimal and octal
+    prefixes): trailing junk stops the parse; out-of-alphabet digits make
+    the radix branch fall through to the 0 default."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[h] AS 'Val("&H1F")'
+             MEMBER [Measures].[h2] AS 'Val(" &h10zz")'
+             MEMBER [Measures].[o] AS 'Val("&O17")'
+             MEMBER [Measures].[o2] AS 'Val("&o9")'
+             MEMBER [Measures].[n] AS 'Val("&Hxyz")'
+        SELECT {[Measures].[h], [Measures].[h2], [Measures].[o],
+                [Measures].[o2], [Measures].[n]} ON COLUMNS
+        FROM [Sales]
+        """,
+    )
+    row = r.df.collect()[0]
+    assert row["h"] == 31.0
+    assert row["h2"] == 16.0  # whitespace stripped, junk suffix ignored
+    assert row["o"] == 15.0
+    assert row["o2"] == 0.0   # 9 is not an octal digit
+    assert row["n"] == 0.0
