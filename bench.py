@@ -65,6 +65,13 @@ HEADLINE = [
     "pipeline_shuffle_order",
     "pipeline_padding_efficiency",
     "text_bigram_perplexity",
+    # incremental-ingestion + profiling operators
+    "dedup_incremental_bloom",
+    "dedup_incremental_neardup",
+    "text_normalize_gate",
+    "pipeline_column_profile",
+    "events_daily_anomaly",
+    "events_user_sequences",
 ]
 
 

@@ -258,3 +258,110 @@ def retention_cohorts(
         .groupBy("cohort", "offset")
         .agg(F.countDistinct("__u").alias("n_users"))
     )
+
+
+def daily_anomaly(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    window_days: int = 7,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Volume-anomaly detection over the event feed: per key and day, the
+    z-score of today's event count against the TRAILING ``window_days``
+    baseline — the ingest-monitoring primitive that catches an upstream
+    collector dying (count collapses) or a crawler loop (count explodes)
+    before the corrupted day reaches training data.
+
+    Returns ``(key, day, n_events, baseline_days, baseline_mean, z_score,
+    is_anomaly)``.  The first days of a key have a short (or empty)
+    baseline: z_score is NULL until two baseline days exist and while the
+    baseline variance is 0, and ``is_anomaly`` is false for NULL z.
+
+    Determinism across engines: mean and variance come from INTEGER sums
+    over the window (``Σx``, ``Σx²``, ``n`` — sample variance
+    ``(Σx² − (Σx)²/n)/(n−1)``), so the only floating-point steps are two
+    final divisions and a sqrt — bit-identical in Spark and DuckDB, which
+    disagree on incremental stddev algorithms but not on this.  Scale
+    shape: one groupBy (key, day) — counts collapse map-side — then
+    windows over the tiny daily series; a RANGE frame on the epoch-day
+    index keeps gap days out of the baseline correctly.
+    """
+    day = F.to_date(F.col(ts_col))
+    daily = (
+        events.where(F.col(ts_col).isNotNull())
+        .groupBy(F.col(key_col).alias("key"), day.alias("day"))
+        .agg(F.count("*").alias("n_events"))
+        .withColumn("__di", F.datediff(F.col("day"), F.lit("1970-01-01")))
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("__di")
+        .rangeBetween(-window_days, -1)
+    )
+    s1 = F.sum("n_events").over(w)
+    s2 = F.sum(F.col("n_events") * F.col("n_events")).over(w)
+    n = F.count("n_events").over(w)
+    mean = s1.cast("double") / n.cast("double")
+    var = (
+        (s2.cast("double") - s1.cast("double") * s1.cast("double") / n.cast("double"))
+        / (n.cast("double") - 1.0)
+    )
+    z = (F.col("n_events").cast("double") - mean) / F.sqrt(var)
+    out = daily.select(
+        "key",
+        "day",
+        "n_events",
+        F.coalesce(n, F.lit(0)).alias("baseline_days"),
+        F.round(mean, 6).alias("baseline_mean"),
+        F.when((n >= 2) & (var > 0), F.round(z, 6)).alias("z_score"),
+    ).withColumn(
+        "is_anomaly",
+        F.coalesce(F.abs(F.col("z_score")) > z_threshold, F.lit(False)),
+    )
+    return out
+
+
+def user_sequences(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    token_col: str = "event_type",
+    max_len: int = 64,
+) -> DataFrame:
+    """Per-user ordered event sequences — the behavioral-sequence export a
+    sequence model trains on: every user's events sorted by time (ties
+    broken by event_id, so the order is total and reproducible), truncated
+    to the FIRST ``max_len`` events, joined into one token string.
+
+    Returns ``(user_id, n_events, seq, seq_hash)`` where ``seq`` is the
+    '->'-joined token string of the first ``max_len`` events and
+    ``seq_hash`` its md5 (the compact equality handle for downstream
+    dedup/splits — hash-stable across engines by construction).
+
+    Scale shape: ONE user-keyed aggregation; ordering happens inside the
+    aggregated array (``sort_array`` on (ts, tiebreak, token) structs),
+    never as a global sort.  Users with pathological event counts bound
+    the per-group array — cap upstream with a window filter if a single
+    user can exceed executor memory (the key_skew_profile diagnostic
+    names such keys).
+    """
+    tiebreak = "event_id" if "event_id" in events.columns else token_col
+    evs = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).alias("t"),
+                F.col(tiebreak).alias("tb"),
+                F.col(token_col).alias("tok"),
+            )
+        )
+    )
+    seq = F.concat_ws(
+        "->", F.transform(F.slice(evs, 1, max_len), lambda x: x["tok"])
+    )
+    return (
+        events.where(F.col(ts_col).isNotNull())
+        .groupBy(F.col(user_col).alias("user_id"))
+        .agg(F.count("*").alias("n_events"), seq.alias("seq"))
+        .select("user_id", "n_events", "seq", F.md5("seq").alias("seq_hash"))
+    )

@@ -2970,3 +2970,75 @@ def pipeline_column_profile(spark, sf_dir):
     from .operators.util import profile_columns
 
     return profile_columns(_docs(spark, sf_dir))
+
+
+@q(
+    "events_daily_anomaly",
+    """
+    WITH daily AS (
+      SELECT event_type AS key, CAST(ts AS DATE) AS day, count(*) AS n_events,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS di
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 4
+    ),
+    win AS (
+      SELECT key, day, n_events,
+             sum(n_events) OVER w AS s1,
+             sum(n_events * n_events) OVER w AS s2,
+             count(n_events) OVER w AS n
+      FROM daily
+      WINDOW w AS (PARTITION BY key ORDER BY di
+                   RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    ),
+    scored AS (
+      SELECT key, day, n_events, coalesce(n, 0) AS baseline_days,
+             round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS baseline_mean,
+             CASE WHEN n >= 2 AND
+                  (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                   / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) > 0
+             THEN round(
+               (CAST(n_events AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+               / sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                       / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)), 6)
+             END AS z_score
+      FROM win
+    )
+    SELECT key, day, n_events, baseline_days, baseline_mean, z_score,
+           coalesce(abs(z_score) > 3.0, FALSE) AS is_anomaly
+    FROM scored
+    """,
+)
+def events_daily_anomaly(spark, sf_dir):
+    """Ingest-volume anomaly detection (events.daily_anomaly): per
+    event-type daily counts z-scored against a trailing 7-day RANGE
+    window.  Mean/variance come from integer window sums (two final
+    divisions + sqrt are the only float steps), so both engines compute
+    identical doubles — stddev aggregates would not.  GROUP BY includes
+    the derived day index so the oracle's window frame is on the same
+    integer axis as Spark's rangeBetween."""
+    from .operators import events as ev_ops
+
+    return ev_ops.daily_anomaly(_events(spark, sf_dir))
+
+
+@q(
+    "events_user_sequences",
+    """
+    WITH seqs AS (
+      SELECT user_id, count(*) AS n_events,
+             array_to_string(
+               (list(event_type ORDER BY ts, event_id))[1:64], '->'
+             ) AS seq
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    )
+    SELECT user_id, n_events, seq, md5(seq) AS seq_hash FROM seqs
+    """,
+)
+def events_user_sequences(spark, sf_dir):
+    """Behavioral-sequence export (events.user_sequences): each user's
+    events in total (ts, event_id) order, first 64 tokens joined — the
+    ordering lives inside the aggregated array (sort_array over structs),
+    never as a global sort; md5 gives the engine-portable equality handle
+    the driver hash leans on."""
+    from .operators import events as ev_ops
+
+    return ev_ops.user_sequences(_events(spark, sf_dir))

@@ -2201,3 +2201,61 @@ def test_profile_columns_metrics_and_single_scan(spark):
     # the multi-distinct profile must stay ONE scan (Expand strategy)
     plan = profile_columns(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ExistingRDD") + plan.count("Scan parquet") <= 1
+
+
+def test_daily_anomaly_hand_computed(spark):
+    from datetime import datetime
+    from mondrian_olap_spark.operators import events as ev_ops
+    rows = []
+    # key "a": 7 quiet days of 10 events, then a 100-event spike
+    eid = 0
+    for d in range(1, 8):
+        for _ in range(10):
+            rows.append(Row(event_id=eid, ts=datetime(2024, 1, d, 12), user_id=1,
+                            event_type="a")); eid += 1
+    for _ in range(100):
+        rows.append(Row(event_id=eid, ts=datetime(2024, 1, 8, 12), user_id=1,
+                        event_type="a")); eid += 1
+    df = spark.createDataFrame(rows)
+    out = {str(r["day"]): r for r in ev_ops.daily_anomaly(df).collect()}
+    spike = out["2024-01-08"]
+    # baseline: seven 10s -> mean 10, var 0 is wrong: var of identical
+    # counts IS 0 -> z undefined -> NULL, not an anomaly flag
+    assert spike["baseline_days"] == 7 and spike["baseline_mean"] == 10.0
+    assert spike["z_score"] is None and not spike["is_anomaly"]
+    # make the baseline non-degenerate: vary one quiet day
+    rows.append(Row(event_id=eid, ts=datetime(2024, 1, 2, 13), user_id=1,
+                    event_type="a"))
+    out2 = {str(r["day"]): r for r in
+            ev_ops.daily_anomaly(spark.createDataFrame(rows)).collect()}
+    spike2 = out2["2024-01-08"]
+    # baseline 10,11,10,10,10,10,10: mean=71/7, var=(Σx²−(Σx)²/n)/(n−1)
+    import math
+    mean = 71 / 7
+    var = (721 - 71 * 71 / 7) / 6
+    z = (100 - mean) / math.sqrt(var)
+    assert spike2["z_score"] == round(z, 6) and spike2["is_anomaly"]
+    # first day has no baseline at all
+    first = out2["2024-01-01"]
+    assert first["baseline_days"] == 0 and first["z_score"] is None
+
+
+def test_user_sequences_order_truncation_nulls(spark):
+    from datetime import datetime
+    from mondrian_olap_spark.operators import events as ev_ops
+    rows = [
+        Row(event_id=3, ts=datetime(2024, 1, 1, 10, 0, 2), user_id=1, event_type="c"),
+        Row(event_id=1, ts=datetime(2024, 1, 1, 10, 0, 0), user_id=1, event_type="a"),
+        # same timestamp as event 1: event_id breaks the tie
+        Row(event_id=2, ts=datetime(2024, 1, 1, 10, 0, 0), user_id=1, event_type="b"),
+        Row(event_id=4, ts=None, user_id=1, event_type="x"),  # dropped
+        Row(event_id=5, ts=datetime(2024, 1, 1), user_id=2, event_type="z"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r["user_id"]: r for r in ev_ops.user_sequences(df).collect()}
+    assert out[1]["seq"] == "a->b->c" and out[1]["n_events"] == 3
+    assert out[2]["seq"] == "z"
+    # truncation: max_len bounds the token string, not the count
+    t = {r["user_id"]: r for r in
+         ev_ops.user_sequences(df, max_len=2).collect()}
+    assert t[1]["seq"] == "a->b" and t[1]["n_events"] == 3

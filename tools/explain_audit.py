@@ -371,6 +371,48 @@ def main() -> int:
         f"global windows: {[l.strip()[:90] for l in bad_windows]}",
     )
 
+    # 17. bloom probe (inline bitmap): a PURE PROJECTION — the probe plan
+    #     contains no Exchange and no join; membership tests run entirely
+    #     inside the scan's codegen stage
+    from mondrian_olap_spark.operators import dedup as dedupops
+
+    bloom = dedupops.bloom_build(docs, m_bits=62 * 33, k=4)
+    p = plan_str(dedupops.bloom_probe(docs, bloom, 62 * 33, 4))
+    probe_exchanges = [l for l in p.splitlines() if "Exchange" in l]
+    probe_joins = [l for l in p.splitlines() if "Join" in l]
+    check(
+        "bloom_probe.inline_bitmap_zero_shuffle_zero_join",
+        not probe_exchanges and not probe_joins,
+        f"exchanges/joins: {[l.strip()[:90] for l in probe_exchanges + probe_joins]}",
+    )
+
+    # 18. column profiler: every metric of every column from ONE scan —
+    #     the multi-distinct aggregate plans as a single Expand pass, never
+    #     one scan per column
+    p = plan_str(utilops.profile_columns(docs))
+    n_scans = len([l for l in p.splitlines() if "Scan parquet" in l])
+    n_expand = len([l for l in p.splitlines() if re.search(r"\bExpand\b", l)])
+    check(
+        "profile_columns.single_scan_expand",
+        n_scans == 1 and n_expand == 1,
+        f"scans={n_scans} expands={n_expand}",
+    )
+
+    # 19. incremental near-dup probe: the corpus enters verification only
+    #     through LEFT-SEMI candidate restriction — the expensive shingle
+    #     explosion never runs over the full corpus side
+    new_docs = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    ).limit(50)
+    p = plan_str(dedupops.incremental_neardup_pairs(new_docs, docs))
+    semis = [l for l in p.splitlines() if "LeftSemi" in l]
+    cart = [l for l in p.splitlines() if "CartesianProduct" in l]
+    check(
+        "incremental_neardup.corpus_semi_joined_no_cartesian",
+        len(semis) >= 2 and not cart,
+        f"semi={len(semis)} cartesian={len(cart)}",
+    )
+
     print(f"\n{len(failures)} failed properties" if failures else "\nall plan properties hold")
     return 1 if failures else 0
 

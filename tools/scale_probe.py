@@ -92,6 +92,16 @@ QUERIES = [
     "text_bigram_entropy",
     "text_kl_from_corpus",
     "dedup_source_overlap",
+    # incremental-ingestion + profiling operators (NOTE: the two gate
+    # entries keep their oracle-replayable fixed knobs — at sf1 the
+    # 2046-bit bloom is saturated by design; production sizing comes from
+    # bloom_parameters(n, fp) and is probed separately in SCALE.md)
+    "dedup_incremental_bloom",
+    "dedup_incremental_neardup",
+    "text_normalize_gate",
+    "pipeline_column_profile",
+    "events_daily_anomaly",
+    "events_user_sequences",
 ]
 
 
