@@ -1006,3 +1006,126 @@ def normalize_text(
         col = F.lower(col)
     # preserve NULL: regexp_replace of NULL is NULL already, trim too
     return df.withColumn(out, col)
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    divisor: int = 8,
+) -> DataFrame:
+    """Content-defined chunking: split each document at token positions
+    where the rolling hash of the trailing ``k``-gram ≡ 0 (mod
+    ``divisor``) — the FastCDC/rsync boundary rule applied to token
+    streams.  Because boundaries depend only on LOCAL content, inserting
+    or deleting a prefix shifts positions but not boundary CONTENT: all
+    chunks after the first re-synchronized boundary hash identically,
+    which is what makes chunk-level dedup robust to edits (fixed-size
+    chunking loses alignment at the first insertion).  Expected chunk
+    length ≈ ``divisor`` tokens.
+
+    Returns ``(id_col, chunk_id, first_pos, n_tokens, chunk_hash)`` —
+    chunk_hash is the md5 of the space-joined chunk tokens (the dedup
+    key).  Scale shape: grams/boundaries are array expressions inside the
+    scan projection; ONE doc-keyed shuffle drives the running boundary
+    sum and the chunk regroup (same window partitioning reused — the
+    exchange happens once).  Hashing is the portable md5-derived 60-bit
+    scheme, so a SQL oracle replays boundaries bit-for-bit.
+    """
+    if k < 1 or divisor < 1:
+        raise ValueError("k and divisor must be >= 1")
+    from pyspark.sql import Window
+
+    t = F.split(F.trim(F.col(text_col)), r"\s+")
+    gram = lambda i: F.concat_ws(" ", F.slice(t, i - (k - 1), k))  # noqa: E731
+    h = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")  # noqa: E731
+    entries = F.transform(
+        F.sequence(F.lit(1), F.size(t)),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.element_at(t, i).alias("tok"),
+            F.when(i >= k, (h(gram(i)) % divisor) == 0)
+            .otherwise(F.lit(False))
+            .alias("boundary"),
+        ),
+    )
+    rows = df.select(
+        F.col(id_col).alias("id"), F.explode(entries).alias("e")
+    ).select("id", "e.pos", "e.tok", "e.boundary")
+    w = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chunked = rows.withColumn(
+        "chunk_id",
+        F.coalesce(F.sum(F.col("boundary").cast("long")).over(w), F.lit(0)),
+    )
+    seq = F.sort_array(
+        F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+    )
+    return (
+        chunked.groupBy(F.col("id").alias(id_col), "chunk_id")
+        .agg(
+            F.min("pos").alias("first_pos"),
+            F.count("*").alias("n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ", F.transform(seq, lambda s: s["tok"])
+                )
+            ).alias("chunk_hash"),
+        )
+    )
+
+
+#: script character classes — BMP codepoint ranges written in the
+#: \\x{...} syntax both Java regex and RE2 (DuckDB) accept, so the SQL
+#: oracle uses the IDENTICAL pattern text.  BMP-only keeps Spark's
+#: UTF-16 length() and DuckDB's codepoint length() in agreement.
+SCRIPT_CLASSES = {
+    "latin": "[A-Za-z\\x{00C0}-\\x{024F}]",
+    "cyrillic": "[\\x{0400}-\\x{04FF}]",
+    "cjk": "[\\x{3040}-\\x{30FF}\\x{4E00}-\\x{9FFF}]",
+    "arabic": "[\\x{0600}-\\x{06FF}]",
+    "digit": "[0-9]",
+}
+
+
+def script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document writing-script profile: the fraction of non-space
+    characters in each major script class (Latin, Cyrillic, CJK, Arabic,
+    digits) plus the dominant script — the routing signal a multilingual
+    corpus needs BEFORE language ID (stopword/n-gram language models are
+    per-script; a Cyrillic document scored by a Latin model is noise).
+
+    Counts are ``length(text) − length(regexp_replace(text, class, ''))``
+    — pure codegen projections, one pass, no explode.  Ratios divide by
+    the non-space character count (0-ratio on empty docs, never a
+    division error); ``dominant_script`` is the argmax with a fixed
+    preference order on ties, ``'other'`` when nothing matches.
+    """
+    c = F.col(text_col)
+    nonspace = F.length(F.regexp_replace(c, r"\s", ""))
+    counts = {
+        name: F.length(c) - F.length(F.regexp_replace(c, pat, ""))
+        for name, pat in SCRIPT_CLASSES.items()
+    }
+    out = df.withColumn("n_chars_sig", nonspace)
+    denom = F.greatest(F.col("n_chars_sig"), F.lit(1))
+    for name in SCRIPT_CLASSES:
+        out = out.withColumn(f"{name}_count", counts[name])
+        out = out.withColumn(
+            f"{name}_ratio",
+            F.round(F.col(f"{name}_count").cast("double") / denom, 6),
+        )
+    best = F.greatest(*[F.col(f"{n}_count") for n in SCRIPT_CLASSES])
+    dom = F.lit("other")
+    # reversed: earlier names win ties (fixed preference order)
+    for name in reversed(list(SCRIPT_CLASSES)):
+        dom = F.when(
+            (F.col(f"{name}_count") == best) & (best > 0), name
+        ).otherwise(dom)
+    return out.withColumn("dominant_script", dom).drop(
+        *[f"{n}_count" for n in SCRIPT_CLASSES]
+    )

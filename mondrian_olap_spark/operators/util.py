@@ -320,3 +320,35 @@ def profile_columns(df, cols: list[str] | None = None):
             "(col_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
         )
     )
+
+
+def rank_buckets(
+    df: DataFrame,
+    order_cols: list[str],
+    n_buckets: int = 10,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Exact quantile bucketing (deciles/percentiles/…) over a total
+    order, at any scale — the curriculum/mix primitive ("train on the top
+    quality decile first", "cap the longest 1%"): bucket ``i`` of
+    ``n_buckets`` holds rows with global rank in ``[i·n/B, (i+1)·n/B)``,
+    0-indexed, sizes differing by at most one row.
+
+    ``NTILE(B) OVER (ORDER BY …)`` computes the same thing but funnels
+    the whole table through ONE task (global window) — this instead rides
+    :func:`distributed_rank` (range partition + per-partition windows +
+    broadcast offsets) and one broadcast row count, so the plan has no
+    single-task stage.  ``order_cols`` must be a total order (append a
+    unique id as tiebreak); the assignment is then deterministic across
+    runs and engines — ``floor((rank-1)·B / n)``, pure integer math.
+    """
+    if n_buckets <= 0:
+        raise ValueError("n_buckets must be positive")
+    ranked = distributed_rank(df, order_cols, rank_col="__rank")
+    total = df.count()  # one lightweight count job (scan-only, no shuffle)
+    bucket = (
+        F.expr(f"(__rank - 1L) * {int(n_buckets)}L div {int(total)}L")
+        if total
+        else F.lit(0).cast("long")
+    )
+    return ranked.withColumn(bucket_col, bucket).drop("__rank")

@@ -3042,3 +3042,156 @@ def events_user_sequences(spark, sf_dir):
     from .operators import events as ev_ops
 
     return ev_ops.user_sequences(_events(spark, sf_dir))
+
+
+@q(
+    "pipeline_length_deciles",
+    """
+    WITH ranked AS (
+      SELECT doc_id, n_chars,
+             row_number() OVER (ORDER BY n_chars, doc_id) AS r,
+             count(*) OVER () AS n
+      FROM documents
+    )
+    SELECT doc_id, n_chars, ((r - 1) * 10) // n AS bucket
+    FROM ranked
+    """,
+)
+def pipeline_length_deciles(spark, sf_dir):
+    """Exact decile bucketing over (n_chars, doc_id) via util.rank_buckets
+    — distributed_rank underneath, so the plan never has NTILE's
+    single-task global window; assignment is floor((rank−1)·10/n), pure
+    integer math the oracle replays with a plain ROW_NUMBER (small data —
+    the oracle may use the single-task form; the engine may not)."""
+    from .operators.util import rank_buckets
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return rank_buckets(docs, ["n_chars", "doc_id"], n_buckets=10)
+
+
+@q(
+    "text_cdc_chunks",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DOC_TOKS}) AS w,
+             generate_subscripts({_DOC_TOKS}, 1) AS pos
+      FROM documents
+    ),
+    grams AS (
+      SELECT a.doc_id, c.pos AS pos,
+             a.w || ' ' || b.w || ' ' || c.w AS g
+      FROM toks a
+      JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    ),
+    flags AS (
+      SELECT t.doc_id, t.pos, t.w,
+             coalesce(
+               ((('0x' || substr(md5(g.g), 1, 15))::BIGINT % 8) = 0),
+               FALSE) AS boundary
+      FROM toks t
+      LEFT JOIN grams g ON t.doc_id = g.doc_id AND t.pos = g.pos
+    ),
+    chunked AS (
+      SELECT doc_id, pos, w,
+             CAST(coalesce(sum(CASE WHEN boundary THEN 1 ELSE 0 END) OVER
+               (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS chunk_id
+      FROM flags
+    )
+    SELECT doc_id, chunk_id, CAST(min(pos) AS BIGINT) AS first_pos,
+           count(*) AS n_tokens,
+           md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_hash
+    FROM chunked GROUP BY 1, 2
+    """,
+)
+def text_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking through the gate (text.cdc_chunks, k=3,
+    divisor=8 → ~8-token chunks): boundaries wherever the trailing
+    3-gram's portable hash ≡ 0 (mod 8).  The oracle rebuilds grams with
+    positional self-joins, replays the identical boundary hash and running
+    chunk sum, and must agree on every chunk's (first_pos, n_tokens, md5)
+    — the chunk-level dedup keys."""
+    out = text.cdc_chunks(_docs(spark, sf_dir), k=3, divisor=8)
+    return out.withColumn("first_pos", F.col("first_pos").cast("long"))
+
+
+@q(
+    "text_script_profile",
+    r"""
+    WITH messy AS (
+      SELECT doc_id, text || ' ' ||
+        CASE WHEN doc_id % 3 = 0
+             THEN chr(1055)||chr(1088)||chr(1080)||chr(1074)||chr(1077)||chr(1090)
+             WHEN doc_id % 3 = 1
+             THEN chr(20320)||chr(22909)||chr(12354)
+             ELSE '12345' END AS text
+      FROM documents
+    ),
+    counted AS (
+      SELECT doc_id,
+        length(regexp_replace(text, '\s', '', 'g')) AS n_chars_sig,
+        length(text) - length(regexp_replace(text,
+          '[A-Za-z\x{00C0}-\x{024F}]', '', 'g')) AS latin_count,
+        length(text) - length(regexp_replace(text,
+          '[\x{0400}-\x{04FF}]', '', 'g')) AS cyrillic_count,
+        length(text) - length(regexp_replace(text,
+          '[\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}]', '', 'g')) AS cjk_count,
+        length(text) - length(regexp_replace(text,
+          '[\x{0600}-\x{06FF}]', '', 'g')) AS arabic_count,
+        length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+          AS digit_count
+      FROM messy
+    )
+    SELECT doc_id, n_chars_sig,
+      round(CAST(latin_count AS DOUBLE) / greatest(n_chars_sig, 1), 6)
+        AS latin_ratio,
+      round(CAST(cyrillic_count AS DOUBLE) / greatest(n_chars_sig, 1), 6)
+        AS cyrillic_ratio,
+      round(CAST(cjk_count AS DOUBLE) / greatest(n_chars_sig, 1), 6)
+        AS cjk_ratio,
+      round(CAST(arabic_count AS DOUBLE) / greatest(n_chars_sig, 1), 6)
+        AS arabic_ratio,
+      round(CAST(digit_count AS DOUBLE) / greatest(n_chars_sig, 1), 6)
+        AS digit_ratio,
+      CASE WHEN latin_count >= greatest(cyrillic_count, cjk_count,
+                arabic_count, digit_count) AND latin_count > 0 THEN 'latin'
+           WHEN cyrillic_count >= greatest(cjk_count, arabic_count,
+                digit_count) AND cyrillic_count > 0 THEN 'cyrillic'
+           WHEN cjk_count >= greatest(arabic_count, digit_count)
+                AND cjk_count > 0 THEN 'cjk'
+           WHEN arabic_count >= digit_count AND arabic_count > 0
+                THEN 'arabic'
+           WHEN digit_count > 0 THEN 'digit'
+           ELSE 'other' END AS dominant_script
+    FROM counted
+    """,
+)
+def text_script_profile(spark, sf_dir):
+    """Writing-script routing profile (text.script_profile): per-doc
+    fractions of Latin/Cyrillic/CJK/Arabic/digit characters + dominant
+    script, over documents wearing script-mixed suffixes built
+    codepoint-by-codepoint in BOTH engines.  The \\x{...} class ranges
+    are the IDENTICAL pattern text in Java regex and RE2, and counting is
+    length-difference arithmetic — no tokenization, no explode."""
+    docs = _docs(spark, sf_dir)
+    cy = "".join(chr(x) for x in [1055, 1088, 1080, 1074, 1077, 1090])
+    cjk = "".join(chr(x) for x in [20320, 22909, 12354])
+    messy = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" "),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(cy))
+            .when(F.col("doc_id") % 3 == 1, F.lit(cjk))
+            .otherwise(F.lit("12345")),
+        ).alias("text"),
+    )
+    out = text.script_profile(messy)
+    return out.select(
+        "doc_id",
+        F.col("n_chars_sig").cast("long").alias("n_chars_sig"),
+        "latin_ratio", "cyrillic_ratio", "cjk_ratio", "arabic_ratio",
+        "digit_ratio", "dominant_script",
+    )

@@ -2259,3 +2259,69 @@ def test_user_sequences_order_truncation_nulls(spark):
     t = {r["user_id"]: r for r in
          ev_ops.user_sequences(df, max_len=2).collect()}
     assert t[1]["seq"] == "a->b" and t[1]["n_events"] == 3
+
+
+def test_rank_buckets_deciles_and_determinism(spark):
+    from mondrian_olap_spark.operators.util import rank_buckets
+    df = spark.range(100).withColumnRenamed("id", "k")
+    out = rank_buckets(df, ["k"], n_buckets=10)
+    got = {r["k"]: r["bucket"] for r in out.collect()}
+    assert all(got[i] == i // 10 for i in range(100))
+    # uneven split: sizes differ by at most one
+    out7 = rank_buckets(df, ["k"], n_buckets=7)
+    sizes = sorted(
+        r["c"] for r in out7.groupBy("bucket").agg(F.count("*").alias("c")).collect()
+    )
+    assert len(sizes) == 7 and sizes[-1] - sizes[0] <= 1
+    with pytest.raises(ValueError):
+        rank_buckets(df, ["k"], n_buckets=0)
+    # no single-task global window in the plan (the NTILE scale cliff)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+    bad = [l for l in plan.splitlines()
+           if "Window" in l and "row_number" in l and "__pid" not in l]
+    assert not bad
+
+
+def test_cdc_chunks_shift_resistance(spark):
+    """The CDC property: inserting a prefix shifts positions but not
+    boundary content — chunk hashes after the first re-synchronized
+    boundary are identical, where fixed-size chunking would lose all
+    alignment."""
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango uniform victor whiskey xray yankee zulu")
+    df = spark.createDataFrame([
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text="inserted prefix words here " + base),
+    ])
+    out = text.cdc_chunks(df, k=3, divisor=4)
+    h1 = {r["chunk_hash"] for r in out.filter("doc_id = 1").collect()}
+    h2 = {r["chunk_hash"] for r in out.filter("doc_id = 2").collect()}
+    shared = h1 & h2
+    # all but the first (prefix-contaminated) chunk re-synchronize
+    assert len(shared) >= len(h1) - 1 >= 1
+    # every token lands in exactly one chunk
+    n_toks = sum(r["n_tokens"] for r in out.filter("doc_id = 1").collect())
+    assert n_toks == len(base.split())
+    with pytest.raises(ValueError):
+        text.cdc_chunks(df, k=0)
+
+
+def test_script_profile_classification(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="hello world"),
+        Row(doc_id=2, text="Привет мир"),   # Russian
+        Row(doc_id=3, text="你好世界"),                                   # CJK
+        Row(doc_id=4, text="123 456"),
+        Row(doc_id=5, text="...!!!"),
+        Row(doc_id=6, text="café résumé"),                                 # accented Latin
+    ])
+    out = {r["doc_id"]: r for r in text.script_profile(df).collect()}
+    assert out[1]["dominant_script"] == "latin" and out[1]["latin_ratio"] == 1.0
+    assert out[2]["dominant_script"] == "cyrillic" and out[2]["cyrillic_ratio"] == 1.0
+    assert out[3]["dominant_script"] == "cjk"
+    assert out[4]["dominant_script"] == "digit" and out[4]["digit_ratio"] == 1.0
+    assert out[5]["dominant_script"] == "other"
+    assert out[6]["latin_ratio"] == 1.0  # accents are Latin-script
+    assert out[2]["n_chars_sig"] == 9

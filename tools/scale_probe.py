@@ -102,6 +102,9 @@ QUERIES = [
     "pipeline_column_profile",
     "events_daily_anomaly",
     "events_user_sequences",
+    "pipeline_length_deciles",
+    "text_cdc_chunks",
+    "text_script_profile",
 ]
 
 
