@@ -337,3 +337,81 @@ def shuffle_order(
     with_key = docs.withColumn("__skey", key)
     ranked = distributed_rank(with_key, ["__skey", id_col], rank_col=rank_col)
     return ranked.drop("__skey")
+
+
+def output_summary(spark, path: str) -> dict:
+    """File-level audit of a written dataset: file count, total bytes,
+    row count, and size distribution (min/median/max file bytes) — read
+    from parquet FOOTERS via the directory listing, no data scan.  The
+    number a compaction decision (:func:`compact_files`) and a writer
+    regression test both need.
+    """
+    import glob
+    import os as _os
+    import statistics
+
+    import pyarrow.parquet as pq
+
+    files = sorted(
+        f
+        for f in glob.glob(f"{path}/**/*.parquet", recursive=True)
+        if not _os.path.basename(f).startswith("_")
+    )
+    if not files:
+        return {"n_files": 0, "total_bytes": 0, "n_rows": 0}
+    sizes = [_os.path.getsize(f) for f in files]
+    rows = sum(pq.read_metadata(f).num_rows for f in files)
+    return {
+        "n_files": len(files),
+        "total_bytes": sum(sizes),
+        "n_rows": rows,
+        "min_file_bytes": min(sizes),
+        "median_file_bytes": int(statistics.median(sizes)),
+        "max_file_bytes": max(sizes),
+    }
+
+
+def compact_files(
+    spark,
+    path: str,
+    out_path: str | None = None,
+    target_file_bytes: int = 128 << 20,
+    order_by: list[str] | None = None,
+) -> dict:
+    """Small-files compaction — the table-maintenance pass every
+    long-lived ingest directory needs (streaming sinks and per-batch
+    appends leave thousands of KB-scale files; at 100 TB the file LISTING
+    becomes a bottleneck before the data does, and every reader pays a
+    task per file).
+
+    Rewrites ``path`` into ``out_path`` (default: ``path + '.compacted'``)
+    with partition count = ceil(total_bytes / target_file_bytes), sized
+    from the actual on-disk footprint (:func:`output_summary` — footer
+    metadata, no data scan).  ``order_by`` optionally re-sorts rows within
+    output tasks (restores clustering that append order destroyed).
+    Returns the after-summary plus the before/after file counts.
+
+    The rewrite is one job: scan → repartition → write; content is
+    preserved exactly (tested by fingerprint multiset).  Compact-in-place
+    is deliberately NOT offered — atomic swap semantics belong to a table
+    format (Delta/Iceberg); on raw directories the caller swaps after
+    validating the output.
+    """
+    before = output_summary(spark, path)
+    if not before["n_files"]:
+        raise ValueError(f"nothing to compact under {path}")
+    dst = out_path or (path.rstrip("/") + ".compacted")
+    parts = max(1, -(-before["total_bytes"] // target_file_bytes))
+    df = spark.read.parquet(path)
+    if order_by:
+        df = df.repartition(parts).sortWithinPartitions(*order_by)
+    else:
+        df = df.coalesce(parts) if parts < df.rdd.getNumPartitions() else df.repartition(parts)
+    df.write.mode("overwrite").parquet(dst)
+    after = output_summary(spark, dst)
+    return {
+        "out_path": dst,
+        "before_files": before["n_files"],
+        "after_files": after["n_files"],
+        **{f"after_{k}": v for k, v in after.items()},
+    }

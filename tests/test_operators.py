@@ -2325,3 +2325,56 @@ def test_script_profile_classification(spark):
     assert out[5]["dominant_script"] == "other"
     assert out[6]["latin_ratio"] == 1.0  # accents are Latin-script
     assert out[2]["n_chars_sig"] == 9
+
+
+def test_output_summary_and_compact_files(spark, tmp_path):
+    from mondrian_olap_spark.operators.pipeline import compact_files, output_summary
+    src = str(tmp_path / "fragmented")
+    df = spark.range(10_000).withColumn("v", F.md5(F.col("id").cast("string")))
+    df.repartition(40).write.parquet(src)
+    before = output_summary(spark, src)
+    assert before["n_files"] == 40 and before["n_rows"] == 10_000
+    report = compact_files(spark, src, target_file_bytes=1 << 30)
+    assert report["before_files"] == 40 and report["after_files"] == 1
+    assert report["after_n_rows"] == 10_000
+    # content preserved exactly: fingerprint multiset identical
+    a = spark.read.parquet(src).select("id", "v")
+    b = spark.read.parquet(report["out_path"]).select("id", "v")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    # re-clustering restores order within the compacted output
+    report2 = compact_files(
+        spark, src, out_path=str(tmp_path / "ordered"),
+        target_file_bytes=1 << 30, order_by=["id"],
+    )
+    ordered = spark.read.parquet(report2["out_path"]).collect()
+    ids = [r["id"] for r in ordered]
+    assert ids == sorted(ids)
+    with pytest.raises(ValueError):
+        compact_files(spark, str(tmp_path / "empty_dir"))
+
+
+def test_bloom_probe_composes_with_streaming(spark, tmp_path):
+    """The inline bloom probe is a pure projection, so it drops into a
+    streaming pipeline unchanged: a rate-less file stream of new docs is
+    probed against a static corpus bitmap batch-by-batch."""
+    corpus = spark.createDataFrame([
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=2, text="completely different corpus document content here"),
+    ])
+    m, k = 62 * 8, 4
+    bloom = dedup.bloom_build(corpus, m_bits=m, k=k)
+    staging = str(tmp_path / "stream_in")
+    spark.createDataFrame([
+        Row(doc_id=10, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=11, text="an entirely new never seen document body"),
+    ]).write.json(staging)
+    stream = spark.readStream.schema("doc_id long, text string").json(staging)
+    probed = dedup.bloom_probe(stream, bloom, m, k)
+    out = str(tmp_path / "stream_out")
+    q = (probed.writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r["bloom_hit"] for r in spark.read.parquet(out).collect()}
+    assert got[10] is True and got[11] is False
