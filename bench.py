@@ -75,6 +75,7 @@ HEADLINE = [
     "pipeline_length_deciles",
     "text_cdc_chunks",
     "text_script_profile",
+    "sketch_distinct_rollup",
 ]
 
 

@@ -3195,3 +3195,45 @@ def text_script_profile(spark, sf_dir):
         "latin_ratio", "cyrillic_ratio", "cjk_ratio", "arabic_ratio",
         "digit_ratio", "dominant_script",
     )
+
+
+@q(
+    "sketch_distinct_rollup",
+    """
+    SELECT event_type AS key, count(DISTINCT user_id) AS exact_count,
+           TRUE AS within_bound
+    FROM events GROUP BY ROLLUP (event_type)
+    """,
+)
+def sketch_distinct_rollup(spark, sf_dir):
+    """Mergeable distinct-count rollup (operators.sketches): per-event-type
+    HLL sketches of distinct users, with the grand total computed by
+    UNIONING the per-type sketches — never rescanning the events table
+    (the aggregate-table answer to COUNT(DISTINCT) non-additivity).  The
+    hashable claim is the live error-bound assertion: every estimate must
+    sit within 3 RSE of the exact count (computed in the same query via
+    ROLLUP), and the oracle pins the exact counts + the bound being TRUE.
+    """
+    from .operators import sketches as sk
+
+    ev = _events(spark, sf_dir)
+    roll = sk.distinct_rollup(ev, ["event_type"], "user_id", lg_k=12)
+    exact = ev.rollup("event_type").agg(
+        F.count_distinct("user_id").alias("exact_count")
+    )
+    bound = 3.0 * sk.rse(12)
+    return (
+        roll.join(
+            exact,
+            roll["event_type"].eqNullSafe(exact["event_type"]),
+        )
+        .select(
+            roll["event_type"].alias("key"),
+            "exact_count",
+            (
+                F.abs(F.col("estimate") - F.col("exact_count"))
+                / F.col("exact_count")
+                <= bound
+            ).alias("within_bound"),
+        )
+    )

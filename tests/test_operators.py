@@ -2378,3 +2378,42 @@ def test_bloom_probe_composes_with_streaming(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["doc_id"]: r["bloom_hit"] for r in spark.read.parquet(out).collect()}
     assert got[10] is True and got[11] is False
+
+
+def test_hll_sketch_mergeability_and_persistence(spark, tmp_path):
+    """The mergeable-rollup property: unioning per-part sketches lands on
+    the SAME registers as sketching the whole — estimates are exactly
+    equal, not merely close.  Sketches survive a parquet round-trip (the
+    persisted aggregate-table artifact)."""
+    from mondrian_olap_spark.operators import sketches as sk
+    df = spark.range(20_000).withColumn("part", F.col("id") % 4)
+    parts = sk.distinct_sketches(df, ["part"], "id")
+    merged_est = sk.merge_sketches(parts, []).select(
+        sk.estimate().alias("e")).collect()[0]["e"]
+    whole_est = sk.distinct_sketches(
+        df.withColumn("g", F.lit(1)), ["g"], "id"
+    ).select(sk.estimate().alias("e")).collect()[0]["e"]
+    assert merged_est == whole_est
+    # persistence: binary sketch column round-trips through parquet
+    path = str(tmp_path / "sketches")
+    parts.write.parquet(path)
+    reread = spark.read.parquet(path)
+    est2 = sk.merge_sketches(reread, []).select(
+        sk.estimate().alias("e")).collect()[0]["e"]
+    assert est2 == merged_est
+    # error bound holds at a cardinality well past sparse mode
+    err = abs(whole_est - 20_000) / 20_000
+    assert err <= 3 * sk.rse(12)
+
+
+def test_hll_distinct_rollup_total_row(spark):
+    from mondrian_olap_spark.operators import sketches as sk
+    df = spark.createDataFrame(
+        [Row(g="a", v=i) for i in range(50)]
+        + [Row(g="b", v=i) for i in range(25, 75)]
+    )
+    out = sk.distinct_rollup(df, ["g"], "v")
+    rows = {r["g"]: r["estimate"] for r in out.collect()}
+    # tiny cardinalities stay in sparse mode: estimates are exact
+    assert rows["a"] == 50 and rows["b"] == 50
+    assert rows[None] == 75  # union dedups the 25-element overlap

@@ -105,6 +105,7 @@ QUERIES = [
     "pipeline_length_deciles",
     "text_cdc_chunks",
     "text_script_profile",
+    "sketch_distinct_rollup",
 ]
 
 
