@@ -47,13 +47,32 @@ def engine_from_catalog(
 
 
 #: generic-form drivers (connection.rb:338-368 jdbc_uri_generic +
-#: aliases): value = (default_port, default_properties)
-_JDBC_GENERIC: dict[str, tuple[int | None, dict]] = {
-    "mysql": (3306, {"useUnicode": "true", "characterEncoding": "UTF-8"}),
-    "mariadb": (3306, {}),
-    "postgresql": (5432, {}),
-    "vertica": (5433, {}),
+#: aliases): value = default_properties.  Like the reference, NO default
+#: port — the port appears in the URI only when given (the JDBC driver
+#: applies its own default).
+_JDBC_GENERIC: dict[str, dict] = {
+    "mysql": {"useUnicode": "true", "characterEncoding": "UTF-8"},
+    "mariadb": {},
+    "postgresql": {},
+    "vertica": {},
 }
+
+#: sqlserver named-parameter → URI property mapping, in the reference's
+#: emission order (connection.rb:386-392 JDBC_SQLSERVER_PARAM_PROPERTIES)
+_SQLSERVER_PARAMS = (
+    ("database", "databaseName"),
+    ("integrated_security", "integratedSecurity"),
+    ("application_name", "applicationName"),
+    ("instance_name", "instanceName"),
+    ("instance", "instanceName"),
+)
+
+#: snowflake mapping (connection.rb:411-415)
+_SNOWFLAKE_PARAMS = (
+    ("database", "db"),
+    ("database_schema", "schema"),
+    ("warehouse", "warehouse"),
+)
 
 
 def _props_string(
@@ -73,50 +92,97 @@ def _props_string(
 
 def jdbc_uri(
     driver: str,
-    host: str,
+    host: str | None = None,
     port: int | None = None,
     database: str | None = None,
     properties: Mapping[str, str] | None = None,
+    **params,
 ) -> str:
-    """Build the per-driver JDBC URI like the reference's
-    ``jdbc_uri_<driver>`` methods (connection.rb:313-457): the generic
-    ``jdbc:<driver>://host[:port][/database][?k=v&…]`` form for
-    mysql/mariadb/postgresql/vertica, plus the driver-specific shapes —
-    Oracle thin SID (``jdbc:oracle:thin:@h:1521:SID``; a database starting
-    with ``/`` or ``:`` passes through as a service name), SQL Server
-    (``;databaseName=…`` with ``;``-separated properties, never a path
-    database), Snowflake (``/?db=…``), ClickHouse (``jdbc:ch://``).
-    Property values are URL-quoted."""
+    """Build the per-driver JDBC URI exactly like the reference's
+    ``jdbc_uri_<driver>`` methods (connection.rb:313-457, pinned by
+    test/connection_test.rb:100-126):
+
+    * generic ``jdbc:<driver>://host[:port][/database][?k=v&…]`` for
+      mysql/mariadb/postgresql/vertica — the port appears ONLY when
+      given (the JDBC driver applies its own default);
+    * Oracle thin: TNS-alias form ``jdbc:oracle:thin:@<database>`` when
+      only a database is given and ``$TNS_ADMIN`` is set; explicit
+      ``url=`` passes through; else host (default ``localhost``) + port
+      (default 1521) + SID rule (a bare database name is a SID; one
+      starting with ``/`` or ``:`` passes through as a service name);
+    * SQL Server ``;``-separated properties, never a path database —
+      named params ``database/integrated_security/application_name/
+      instance_name/instance`` map to ``databaseName/integratedSecurity/
+      applicationName/instanceName`` in the reference's order;
+    * Snowflake ``/?db=…&schema=…&warehouse=…`` from
+      ``database/database_schema/warehouse``;
+    * ClickHouse ``jdbc:ch[:protocol]://`` (``protocol=`` validated as a
+      word, like the reference);
+    * ``driver='jdbc'`` returns the explicit ``jdbc_url=`` verbatim.
+
+    Deviation (documented): property VALUES are URL-quoted here — the
+    reference joins them raw, leaving escaping to the caller; a password
+    containing ``&``/``;`` corrupts a raw URI.
+    """
     props = dict(properties or {})
+
+    def mapped(mapping) -> dict:
+        out = {}
+        if database is not None:
+            params_all = {"database": database, **params}
+        else:
+            params_all = params
+        for key, prop in mapping:
+            if params_all.get(key) is not None:
+                out.setdefault(prop, params_all[key])
+        return out
+
+    if driver == "jdbc":
+        url = params.get("jdbc_url")
+        if not url:
+            raise ValueError("missing jdbc_url parameter")
+        return url
     if driver == "oracle":
+        import os
+
+        if database and not host and not params.get("url") and os.environ.get("TNS_ADMIN"):
+            return f"jdbc:oracle:thin:@{database}"
+        if params.get("url"):
+            return params["url"]
         db = database or ""
         if db and db[0] not in ":/":
             db = f":{db}"  # bare name = SID (reference back-compat rule)
-        return f"jdbc:oracle:thin:@{host}:{port or 1521}{db}"
+        return f"jdbc:oracle:thin:@{host or 'localhost'}:{port or 1521}{db}"
     if driver == "sqlserver":
-        uri = f"jdbc:sqlserver://{host}:{port or 1433}"
-        merged = ({"databaseName": database} if database else {}) | props
-        return uri + _props_string(merged, ";", ";")
+        uri = f"jdbc:sqlserver://{host}" + (f":{port}" if port else "")
+        return uri + _props_string(mapped(_SQLSERVER_PARAMS) | props, ";", ";")
     if driver == "snowflake":
         uri = f"jdbc:snowflake://{host}" + (f":{port}" if port else "")
-        merged = ({"db": database} if database else {}) | props
-        return uri + _props_string(merged, "&", "/?")
+        return uri + _props_string(mapped(_SNOWFLAKE_PARAMS) | props, "&", "/?")
     if driver == "clickhouse":
-        uri = f"jdbc:ch://{host}:{port or 8123}"
+        protocol = params.get("protocol")
+        if protocol is not None:
+            import re as _re
+
+            if not _re.fullmatch(r"\w+", protocol):
+                raise ValueError(f"invalid protocol {protocol}")
+            prefix = f"jdbc:ch:{protocol}://"
+        else:
+            prefix = "jdbc:ch://"
+        uri = f"{prefix}{host}" + (f":{port}" if port else "")
         if database:
             uri += f"/{database}"
         return uri + _props_string(props, "&", "?")
     try:
-        default_port, default_props = _JDBC_GENERIC[driver]
+        default_props = _JDBC_GENERIC[driver]
     except KeyError:
         raise ValueError(
             f"unknown JDBC driver {driver!r} (known: "
-            f"{sorted(_JDBC_GENERIC) + ['oracle', 'sqlserver', 'snowflake', 'clickhouse']})"
+            f"{sorted(_JDBC_GENERIC) + ['oracle', 'sqlserver', 'snowflake', 'clickhouse', 'jdbc']})"
         ) from None
     uri = f"jdbc:{driver}://{host}"
-    p = port or default_port
-    if p:
-        uri += f":{p}"
+    if port:
+        uri += f":{port}"
     if database:
         uri += f"/{database}"
     return uri + _props_string({**default_props, **props}, "&", "?")

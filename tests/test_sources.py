@@ -17,10 +17,15 @@ from .conftest import SF_DIR
 
 
 def test_jdbc_uri_generic_and_driver_shapes():
-    """URI shapes mirror the reference's jdbc_uri_<driver> family."""
+    """URI shapes mirror the reference's jdbc_uri_<driver> family — like
+    the reference, generic drivers emit a port ONLY when one is given."""
     assert (
         registry.jdbc_uri("postgresql", "db.example", database="tpch")
-        == "jdbc:postgresql://db.example:5432/tpch"
+        == "jdbc:postgresql://db.example/tpch"
+    )
+    assert (
+        registry.jdbc_uri("postgresql", "db.example", port=5433, database="t")
+        == "jdbc:postgresql://db.example:5433/t"
     )
     # mysql adds its default properties (connection.rb jdbc_uri_mysql)
     uri = registry.jdbc_uri("mysql", "h", port=3307, database="d")
@@ -38,24 +43,62 @@ def test_jdbc_uri_generic_and_driver_shapes():
     assert registry.jdbc_uri("oracle", "h", database="/service") == (
         "jdbc:oracle:thin:@h:1521/service"
     )
-    # SQL Server: ;databaseName= with ;-separated properties, no path db
-    assert registry.jdbc_uri(
-        "sqlserver", "h", database="d", properties={"instanceName": "i"}
-    ) == "jdbc:sqlserver://h:1433;databaseName=d;instanceName=i"
+    # oracle host defaults to localhost; explicit url passes through
+    assert registry.jdbc_uri("oracle", database="XE") == (
+        "jdbc:oracle:thin:@localhost:1521:XE"
+    )
+    assert registry.jdbc_uri("oracle", url="jdbc:oracle:thin:@x") == (
+        "jdbc:oracle:thin:@x"
+    )
     # Snowflake: /?db=…&…  (connection.rb jdbc_uri_snowflake)
     assert registry.jdbc_uri(
         "snowflake", "acct.snowflakecomputing.com", database="d"
     ) == "jdbc:snowflake://acct.snowflakecomputing.com/?db=d"
-    # ClickHouse prefix is jdbc:ch://
+    assert registry.jdbc_uri(
+        "snowflake", "a", database="d", database_schema="s", warehouse="w"
+    ) == "jdbc:snowflake://a/?db=d&schema=s&warehouse=w"
+    # ClickHouse prefix is jdbc:ch:// — port only when given; protocol
+    # variant is validated (connection.rb jdbc_uri_clickhouse)
     assert registry.jdbc_uri("clickhouse", "h", database="d") == (
-        "jdbc:ch://h:8123/d"
+        "jdbc:ch://h/d"
     )
-    # property values URL-quote (a password with & must not split the URI)
+    assert registry.jdbc_uri(
+        "clickhouse", "h", port=8443, database="d", protocol="https"
+    ) == "jdbc:ch:https://h:8443/d"
+    with pytest.raises(ValueError, match="invalid protocol"):
+        registry.jdbc_uri("clickhouse", "h", protocol="no/pe")
+    # explicit 'jdbc' driver passes the url through (jdbc_uri_jdbc)
+    assert registry.jdbc_uri("jdbc", jdbc_url="jdbc:foo:bar") == "jdbc:foo:bar"
+    with pytest.raises(ValueError, match="missing jdbc_url"):
+        registry.jdbc_uri("jdbc")
+    # property values URL-quote (a password with & must not split the URI;
+    # documented deviation — the reference joins values raw)
     assert "p%26q" in registry.jdbc_uri(
         "postgresql", "h", database="d", properties={"password": "p&q"}
     )
     with pytest.raises(ValueError, match="unknown JDBC driver"):
         registry.jdbc_uri("nosuchdb", "h")
+
+
+def test_jdbc_uri_sqlserver_reference_pinned():
+    """The three SQL Server URI specs from test/connection_test.rb:104-126,
+    byte-for-byte."""
+    assert registry.jdbc_uri(
+        "sqlserver", "example.com", port=1234,
+        instance="MSSQLSERVER", database="example_db",
+    ) == ("jdbc:sqlserver://example.com:1234;databaseName=example_db;"
+          "instanceName=MSSQLSERVER")
+    assert registry.jdbc_uri(
+        "sqlserver", "example.com", properties={"instanceName": "MSSQLSERVER"}
+    ) == "jdbc:sqlserver://example.com;instanceName=MSSQLSERVER"
+    assert registry.jdbc_uri(
+        "sqlserver", "example.com", integrated_security="true"
+    ) == "jdbc:sqlserver://example.com;integratedSecurity=true"
+    # instance_name synonym + application_name, reference emission order
+    assert registry.jdbc_uri(
+        "sqlserver", "h", database="d", application_name="app",
+        instance_name="i",
+    ) == "jdbc:sqlserver://h;databaseName=d;applicationName=app;instanceName=i"
 
 
 def test_tables_from_jdbc_plumbing(spark):
