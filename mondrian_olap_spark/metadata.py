@@ -255,8 +255,35 @@ class LevelMeta:
             return None
         return LevelMeta(self._engine, self._dim, idx)
 
+    #: Java Integer.MIN_VALUE — the reference's "cardinality not set"
+    #: sentinel (cube_test.rb:258-266; olap4j Level.getCardinality)
+    CARDINALITY_UNSET = -(1 << 31)
+
+    @property
+    def cardinality(self) -> int:
+        """Settable cardinality HINT (the approxRowCount analog,
+        cube_test.rb:258-266): returns the stored hint, or the
+        Integer.MIN_VALUE sentinel when none was set.  Assigning ``None``
+        clears the hint.  Like the reference, the hint is trusted without
+        verification — it exists so the engine can skip a member-count
+        job (``members_count`` short-circuits on it)."""
+        store = getattr(self._engine, "_level_cardinality", {})
+        return store.get((self._dim.name, self.depth), self.CARDINALITY_UNSET)
+
+    @cardinality.setter
+    def cardinality(self, value: int | None) -> None:
+        store = self._engine.__dict__.setdefault("_level_cardinality", {})
+        key = (self._dim.name, self.depth)
+        if value is None:
+            store.pop(key, None)
+        else:
+            store[key] = int(value)
+
     @property
     def members_count(self) -> int:
+        hint = self.cardinality
+        if hint != self.CARDINALITY_UNSET:
+            return hint
         return self._engine.level_members(self._dim.name, self.depth).count()
 
     @property

@@ -256,3 +256,23 @@ def test_parent_carries_caption(engine):
     # Nation level has no caption expression -> job-free None is fine;
     # the SUPPLIER level's caption came through on the member itself
     assert "Supplier#000000003" in m.caption
+
+
+def test_level_cardinality_hint(engine):
+    """cube_test.rb:258-266: level cardinality is a settable hint — the
+    Integer.MIN_VALUE sentinel when unset, round-trips through set/clear,
+    and (the approxRowCount role) short-circuits members_count."""
+    from mondrian_olap_spark.metadata import CubeMeta
+    cube = CubeMeta(engine)
+    level = cube.dimension("Customer").hierarchy.levels[-1]
+    assert level.cardinality == level.CARDINALITY_UNSET
+    real = level.members_count
+    assert real > 0
+    level.cardinality = 2
+    # a fresh metadata handle over the same engine sees the hint
+    fresh = CubeMeta(engine).dimension("Customer").hierarchy.levels[-1]
+    assert fresh.cardinality == 2
+    assert fresh.members_count == 2  # hint trusted, no count job
+    level.cardinality = None
+    assert fresh.cardinality == fresh.CARDINALITY_UNSET
+    assert fresh.members_count == real
