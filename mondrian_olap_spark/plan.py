@@ -885,7 +885,7 @@ class Planner:
         slicer: list[MemberSetRef],
         fields: list[tuple[str, str]],
         max_rows: int | None = None,
-        nonempty_field: str | None = None,
+        nonempty: str | list[str] | None = None,
         group_by: bool = False,
     ) -> DataFrame:
         """Drill-through: the underlying fact rows for one cell context
@@ -963,6 +963,13 @@ class Planner:
                         select_exprs.append((out, prop_m.group(2)))
                 continue
             if spec.startswith("["):
+                segs = [p.strip(" []") for p in spec.split("].")]
+                if len(segs) == 2 and segs[0].lower() == "measures":
+                    # [Measures].[X] RETURN field → the measure's fact
+                    # expression (result.rb:283-419; the MDX statement path
+                    # does the same conversion at parse time)
+                    select_exprs.append((out, self.cube.measure(segs[1]).expression))
+                    continue
                 dim, idx = resolve_level(self.cube, spec)
                 u = use(dim)
                 level_out = dim.levels[idx].out
@@ -990,10 +997,38 @@ class Planner:
                 for out, col in select_exprs
             ]
         )
-        if nonempty_field:
-            # nonempty: drop rows where the requested measure field is NULL
-            # (result.rb IS NOT NULL injection, :385-407)
-            df = df.filter(F.col(nonempty_field).isNotNull())
+        if nonempty:
+            # nonempty: drop rows where the named measure fields are NULL
+            # (result.rb IS NOT NULL injection :385-407;
+            # query_test.rb:948-958 `nonempty:` drill option).  Items are
+            # `[Measures].[X]` references (comma-separable, like the
+            # reference) or bare RETURN output names; every named field
+            # must be among the RETURN fields.
+            from .query import QueryError
+
+            items: list[str] = []
+            specs = (
+                [s.strip() for s in nonempty.split(",")]
+                if isinstance(nonempty, str)
+                else list(nonempty)
+            )
+            outs = {out for out, _ in select_exprs}
+            for spec in specs:
+                s = spec.strip()
+                if s.startswith("["):
+                    segs = [p.strip(" []") for p in s.split("].")]
+                    if len(segs) != 2 or segs[0].lower() != "measures":
+                        raise QueryError(
+                            f"nonempty expects measure references, got {spec!r}"
+                        )
+                    s = self.cube.measure(segs[1]).out
+                if s not in outs:
+                    raise QueryError(
+                        f"nonempty field {spec!r} is not among the RETURN fields"
+                    )
+                items.append(s)
+            for out in items:
+                df = df.filter(F.col(out).isNotNull())
         if group_by:
             # aggregated drill (result.rb group_by option,
             # query_test.rb:999-1029): measure fields aggregate with their

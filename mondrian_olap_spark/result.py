@@ -319,6 +319,7 @@ class Cell:
         fields: list[tuple[str, str]] | None = None,
         max_rows: int | None = None,
         group_by: bool = False,
+        nonempty: str | list[str] | None = None,
     ):
         """Fact rows underlying this cell (result.rb:140-157 ``Cell.
         drill_through(row:, column:, …)`` sugar).  Default RETURN fields are
@@ -340,7 +341,8 @@ class Cell:
             for m in getattr(self._result, "_base_measures", ()) or ():
                 fields.append((m.out, m.expression))
         return Planner(engine).drill_through(
-            refs, fields, max_rows=max_rows, group_by=group_by
+            refs, fields, max_rows=max_rows, group_by=group_by,
+            nonempty=nonempty,
         )
 
 

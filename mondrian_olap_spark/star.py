@@ -836,18 +836,21 @@ class CubeEngine:
         fields: list[tuple[str, str]],
         max_rows: int | None = None,
         group_by: bool = False,
+        nonempty: str | list[str] | None = None,
     ) -> DataFrame:
         """Cell drill-through: underlying fact rows for a cell context
         (``lib/mondrian/olap/result.rb:145-157``; RETURN-field SQL rewriting
         :283-419 collapses to DataFrame composition — SURVEY.md §3 D).
         ``group_by=True`` aggregates measures over the non-measure RETURN
-        fields (result.rb group_by option)."""
+        fields (result.rb group_by option); ``nonempty`` drops rows where
+        the named RETURN measures are NULL (query_test.rb:948-958)."""
         from .members import resolve
         from .plan import Planner
 
         slicer = [resolve(self.cube, m) for m in where]
         return Planner(self).drill_through(
-            slicer, fields, max_rows=max_rows, group_by=group_by
+            slicer, fields, max_rows=max_rows, group_by=group_by,
+            nonempty=nonempty,
         )
 
 

@@ -1203,3 +1203,36 @@ def test_drill_through_degenerate_name_locale_formatter(spark):
         ).collect()
     }
     assert got2 and got2 <= {"<Flag A>", "<Flag N>", "<Flag R>"}
+
+
+def test_drillthrough_nonempty_measures(engine):
+    """query_test.rb:948-958 `nonempty:` drill option: rows whose named
+    RETURN measure is NULL are dropped; both the [Measures].[X] reference
+    form and the bare output-name form work; a field outside RETURN is a
+    typed error."""
+    from mondrian_olap_spark.query import QueryError
+
+    fields = [
+        ("region_name", "[Customer].[Region]"),
+        ("sum_qty", "[Measures].[Sum Qty]"),
+        ("maybe", "nullif(l_linenumber, 1)"),
+    ]
+    where = ["[Time].[1995].[Q1]"]
+    raw = engine.drill_through(where, fields)
+    n_all = raw.count()
+    n_null = raw.filter("maybe IS NULL").count()
+    assert n_null > 0  # the filter must have something to bite on
+    kept = engine.drill_through(where, fields, nonempty="maybe")
+    assert kept.count() == n_all - n_null
+    assert kept.filter("maybe IS NULL").count() == 0
+    # measure-reference form (comma-separable like the reference)
+    ref = engine.drill_through(
+        where, fields, nonempty="[Measures].[Sum Qty], maybe"
+    )
+    assert ref.count() == n_all - n_null  # sum_qty itself is never NULL
+    with pytest.raises(QueryError, match="not among the RETURN fields"):
+        engine.drill_through(where, fields, nonempty="nope").count()
+    with pytest.raises(QueryError, match="measure references"):
+        engine.drill_through(
+            where, fields, nonempty="[Customer].[Region]"
+        ).count()
