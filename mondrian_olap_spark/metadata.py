@@ -204,6 +204,28 @@ class MeasureMeta:
     def visible(self) -> bool:
         return True
 
+    @property
+    def format_string(self) -> str | None:
+        """schema_definition_test.rb:1252-1258: the measure's declared
+        format string, None when unspecified."""
+        return getattr(self._measure, "format_string", None) or None
+
+    @property
+    def cell_formatter(self):
+        """schema_definition_test.rb:1243-1250: the declared cell-formatter
+        callable (the CellFormatter-UDF analog), None when unspecified."""
+        return getattr(self._measure, "cell_formatter", None)
+
+    @property
+    def cell_formatter_name(self) -> str | None:
+        """schema_definition_test.rb:1235-1241: the formatter's declared
+        name, defaulting to the callable's ``__name__``."""
+        explicit = getattr(self._measure, "cell_formatter_name", None)
+        if explicit:
+            return explicit
+        f = self.cell_formatter
+        return getattr(f, "__name__", None) if f is not None else None
+
 
 @dataclass
 class LevelMeta:

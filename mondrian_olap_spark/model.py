@@ -247,6 +247,13 @@ class Measure:
     description: str | None = None
     caption: str | None = None
     annotations: tuple[tuple[str, str], ...] = ()
+    #: schema-declared cell formatter: a Python callable value→str applied
+    #: driver-side in ``formatted_values`` (the CellFormatter-UDF analog,
+    #: schema_definition_test.rb:1235-1250; schema_udf.rb:220-239).  The
+    #: name surfaces via metadata (``cell_formatter_name``), defaulting to
+    #: the callable's ``__name__``.
+    cell_formatter: object = None
+    cell_formatter_name: str | None = None
 
     def __post_init__(self) -> None:
         if self.aggregator not in AGGREGATORS:

@@ -980,6 +980,16 @@ class Query:
             for ax in axes
         ]
         formats: dict = {m.out: m.format_string for m in measures if m.format_string}
+        # schema-declared cell formatters (model.Measure.cell_formatter,
+        # schema_definition_test.rb:1235-1250): callables win over format
+        # strings; per-query formatters (below) win over schema ones
+        formats.update(
+            {
+                m.out: m.cell_formatter
+                for m in measures
+                if getattr(m, "cell_formatter", None) is not None
+            }
+        )
         formats.update(self._cell_formatters)  # callables win over strings
         res = Result(
             df, axis_cols, [m.out for m in measures], sort_spec, formats,

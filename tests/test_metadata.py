@@ -276,3 +276,47 @@ def test_level_cardinality_hint(engine):
     level.cardinality = None
     assert fresh.cardinality == fresh.CARDINALITY_UNSET
     assert fresh.members_count == real
+
+
+def test_measure_cell_formatter_metadata_and_formatting(spark):
+    """schema_definition_test.rb:1235-1258: measure metadata exposes
+    cell_formatter_name / cell_formatter / format_string (None when
+    unspecified), and a schema-declared cell formatter drives
+    formatted_values like the reference's CellFormatter UDF."""
+    import dataclasses
+
+    from mondrian_olap_spark import Query
+    from mondrian_olap_spark.metadata import CubeMeta
+    from mondrian_olap_spark.star import engine_from_parquet
+    from mondrian_olap_spark.tpch import SCHEMA
+
+    from .conftest import SF_DIR
+
+    def integer20digits(v):
+        return f"{int(v):020d}"
+
+    sales = SCHEMA.cube("Sales")
+    m0 = sales.measures[0]
+    m0f = dataclasses.replace(m0, cell_formatter=integer20digits,
+                              format_string=None)
+    sales2 = dataclasses.replace(
+        sales,
+        measures=tuple(m0f if m.name == m0.name else m for m in sales.measures),
+    )
+    schema2 = dataclasses.replace(
+        SCHEMA, cubes=tuple(sales2 if c.name == "Sales" else c for c in SCHEMA.cubes)
+    )
+    eng = engine_from_parquet(spark, schema2, "Sales", SF_DIR)
+    meta = CubeMeta(eng).member(f"[Measures].[{m0.name}]")
+    assert meta.cell_formatter_name == "integer20digits"
+    assert meta.cell_formatter is integer20digits
+    assert meta.format_string is None
+    # a measure without a formatter reads None everywhere
+    other = CubeMeta(eng).member(f"[Measures].[{sales.measures[1].name}]")
+    assert other.cell_formatter is None and other.cell_formatter_name is None
+    # the declared formatter drives formatted_values
+    r = Query(eng).columns(f"[Measures].[{m0.name}]").execute()
+    fv = r.formatted_values
+    while isinstance(fv, list):
+        fv = fv[0]
+    assert len(fv) == 20 and fv.isdigit()
