@@ -863,10 +863,31 @@ class Query:
                 f"Axis #{idxs[-1]} specified but axis #{missing} is not"
             )
         axes = [self._axes[i] for i in idxs]
+        # [Dim].CurrentMember.<Prop>[(args)] in calc-member formulas: the
+        # current row's member of an axis dimension — .Name/.Caption
+        # builtins, or a registered scalar UDF applied to the member name
+        # (the reference's Ruby member-property/method UDFs,
+        # schema_definition_test.rb:1055-1071).  Rewritten per query
+        # because the binding depends on which level of the dimension the
+        # axes project; to_mdx keeps the original text (self._with is
+        # never mutated).
+        import dataclasses as _dc
+
+        rewritten: dict[str, CalculatedMember] = {}
+        for cm in self._with:
+            if "currentmember" in cm.expression.lower():
+                rewritten[cm.name] = _dc.replace(
+                    cm,
+                    expression=self._rewrite_current_member(cm.expression, axes),
+                )
+        with_list = tuple(rewritten.get(cm.name, cm) for cm in self._with)
         measures: list[Measure | CalculatedMember] = []
         for ax in axes:
             for name in ax.measure_names:
-                measures.append(self._measure(name))
+                m = self._measure(name)
+                if isinstance(m, CalculatedMember):
+                    m = rewritten.get(m.name, m)
+                measures.append(m)
         tuple_specs = []
         for out, mname, member_strs in self._tuple_scalars:
             # mname None = tuple with no [Measures] component: the Measures
@@ -902,7 +923,7 @@ class Query:
             agg_specs.append((out, expr_sql, tuple(refs)))
         planner = Planner(
             self.engine,
-            extra_measures=tuple(self._with),
+            extra_measures=with_list,
             tuple_scalars=tuple(tuple_specs),
         )
         planner.agg_scalars = tuple(agg_specs)
@@ -1354,6 +1375,67 @@ class Query:
                 f"MDX object '[Measures].{quote_segment(name)}' not found "
                 f"in cube '{self.cube.name}'"
             ) from None
+
+    def _rewrite_current_member(self, expr: str, axes) -> str:
+        """Rewrite ``[Dim].CurrentMember.<Prop>[(args)]`` in a calc-member
+        formula to an expression over the current row's member column:
+        the DEEPEST level of ``Dim`` projected on any axis.  ``Name`` is
+        the member key as a string, ``Caption`` its caption column when
+        one is declared; any other property must be a registered scalar
+        UDF (:func:`..udf.register_scalar`) and is applied to the member
+        name — the reference's Ruby member-property/method UDF surface
+        (schema_definition_test.rb:1055-1071)."""
+        import re as _re
+
+        from .star import _has_caption
+        from .udf import registered_functions
+
+        udfs = {
+            n.lower()
+            for n in registered_functions(self.engine.fact.sparkSession)
+        }
+
+        def level_of(dim_name: str):
+            best = None
+            for ax in axes:
+                for s in ax.sets:
+                    if s.dimension.name.lower() != dim_name.lower():
+                        continue
+                    levels = self._visible_levels(s)
+                    if levels and (best is None or len(levels) > best[1]):
+                        best = (levels[-1], len(levels))
+            return best[0] if best else None
+
+        def repl(m: _re.Match) -> str:
+            dim_name = m.group(1).replace("]]", "]")
+            prop = m.group(2)
+            args = m.group(4)
+            lv = level_of(dim_name)
+            if lv is None:
+                raise QueryError(
+                    f"CurrentMember of [{dim_name}] needs the dimension on an axis"
+                )
+            name_col = f"cast({lv.out} as string)"
+            p = prop.lower()
+            if p == "name":
+                return name_col
+            if p == "caption":
+                return f"{lv.out}_caption" if _has_caption(lv) else name_col
+            if p in udfs:
+                extra = f", {args}" if args and args.strip() else ""
+                return f"{prop}({name_col}{extra})"
+            raise QueryError(
+                f"unknown member property {prop!r} — Name, Caption, or a "
+                "UDF registered with register_scalar"
+            )
+
+        return _re.sub(
+            r"\[((?:[^\]]|\]\])+)\]\s*\.\s*CurrentMember\s*\.\s*"
+            r"([A-Za-z_][A-Za-z0-9_]*)\s*(\(([^)]*)\))?",
+            repl,
+            expr,
+            flags=_re.IGNORECASE,
+        )
 
     def _visible_levels(self, s) -> list:
         """A set's grouping levels minus any hidden by a level-bounded

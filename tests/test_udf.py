@@ -242,3 +242,59 @@ def test_default_path_delivers_python_natives(spark, engine):
         "SELECT py_int_guard2(a, b) AS y FROM native_probe2"
     ).collect()
     assert [r["y"] for r in rows2] == [1.0]
+
+
+def test_current_member_property_and_method_udfs(spark, engine):
+    """schema_definition_test.rb:1055-1071 member-property/method UDFs:
+    [Dim].CurrentMember.Name builtin, a registered UDF as a property, and
+    the method form with arguments — each cell evaluates on the row's own
+    member; unknown properties and off-axis dimensions raise typed
+    errors."""
+    import pytest
+
+    from mondrian_olap_spark.mdx import execute_mdx
+    from mondrian_olap_spark.query import QueryError
+
+    register_scalar(
+        spark, "UpperName",
+        lambda s: s.upper() if s is not None else None, returns="string",
+    )
+    register_scalar(
+        spark, "SuffixName",
+        lambda s, suf: (s or "") + suf, returns="string",
+    )
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[nm] AS '[Customer].CurrentMember.Name'
+             MEMBER [Measures].[un] AS '[Customer].CurrentMember.UpperName'
+             MEMBER [Measures].[um] AS
+               '[Customer].CurrentMember.SuffixName(''!'')'
+        SELECT {[Measures].[nm], [Measures].[un], [Measures].[um]} ON COLUMNS,
+               [Customer].Children ON ROWS FROM [Sales]
+        """,
+    )
+    for row in r.df.collect():
+        assert row["nm"] == row["region_name"]
+        assert row["un"] == row["region_name"].upper()
+        assert row["um"] == row["region_name"] + "!"
+    # deepest projected level binds CurrentMember (nation under region)
+    r2 = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[un] AS '[Customer].CurrentMember.UpperName'
+        SELECT {[Measures].[un]} ON COLUMNS,
+               [Customer].[Nation].Members ON ROWS FROM [Sales]
+        """,
+    )
+    row = r2.df.collect()[0]
+    assert row["un"] == row["nation_name"].upper()
+    from mondrian_olap_spark import Query
+    with pytest.raises(QueryError, match="unknown member property"):
+        (Query(engine).with_member("x")
+         .as_("[Customer].CurrentMember.NoSuchProp", output="x")
+         .columns("[Measures].[x]").rows("[Customer].children").execute())
+    with pytest.raises(QueryError, match="needs the dimension on an axis"):
+        (Query(engine).with_member("x")
+         .as_("[Part].CurrentMember.UpperName", output="x")
+         .columns("[Measures].[x]").rows("[Customer].children").execute())
