@@ -462,6 +462,7 @@ class MdxParser:
         finally:
             self._defining_measure = None
         solve_order = 0
+        format_string = None
         while self.at_op(","):
             save = self.i
             self.next()
@@ -469,10 +470,22 @@ class MdxParser:
                 self.next()
                 self.expect_op("=")
                 solve_order = int(self.next().text)
+            elif self.at_word("format_string"):
+                # `, FORMAT_STRING = '…'` member option (Mondrian WITH
+                # MEMBER property list; mondrian_test.rb:161-166 formats a
+                # date property with dd.mm.yyyy)
+                self.next()
+                self.expect_op("=")
+                t = self.next()
+                if t.kind != "string":
+                    raise MdxError("FORMAT_STRING takes a quoted string")
+                format_string = _unquote(t.text)
             else:
                 self.i = save
                 break
-        self.q.with_member(name_segs[1]).as_(expr_sql, solve_order=solve_order)
+        self.q.with_member(name_segs[1]).as_(
+            expr_sql, solve_order=solve_order, format_string=format_string
+        )
 
     def parse_dimension_member(self, name_segs: list[str]):
         """``WITH MEMBER [Dim].[Name] AS '…'`` on a non-Measures dimension —
@@ -1834,6 +1847,59 @@ class MdxParser:
             r"(?:(Dimension|Hierarchy|Level)\s*\.\s*)?"
             r"(Name|UniqueName|Caption|Ordinal)\b",
             repl_accessor,
+            out,
+            flags=re.IGNORECASE,
+        )
+
+        def repl_member_property(m: re.Match) -> str:
+            # <pinned member>.Properties('X') as a VALUE
+            # (mondrian_test.rb:157-190: date/datetime property values feed
+            # format strings): the member is fixed, so the property value
+            # is ONE scalar — fetched via a memoized 1-row lookup and
+            # inlined as a TYPED literal (DATE/TIMESTAMP literals keep
+            # date-format strings working on the result)
+            from .members import parse_identifier
+
+            ident = m.group(1)
+            pname = _unquote(_masked[int(m.group(2))])
+            try:
+                segs = parse_identifier(ident)
+                dim = self.cube.dimension(segs[0])
+            except Exception:
+                return m.group(0)
+            path = segs[1:]
+            if not path or len(path) > len(dim.levels):
+                return m.group(0)
+            # a bare level reference has no single property value
+            if len(path) == 1 and dim.level_index(path[0]) is not None:
+                return m.group(0)
+            try:
+                v = self.engine.member_property_value(
+                    dim.name, len(path) - 1, tuple(path), pname
+                )
+            except KeyError as e:
+                raise MdxError(str(e)) from None
+            import datetime as _dt
+            from decimal import Decimal as _Dec
+
+            if v is None:
+                lit = "null"
+            elif isinstance(v, bool):
+                lit = "true" if v else "false"
+            elif isinstance(v, _dt.datetime):
+                lit = f"TIMESTAMP '{v.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+            elif isinstance(v, _dt.date):
+                lit = f"DATE '{v.isoformat()}'"
+            elif isinstance(v, (int, float, _Dec)):
+                lit = str(v)
+            else:
+                lit = "'" + str(v).replace("'", "''") + "'"
+            _masked.append(lit)
+            return f"\x00{len(_masked) - 1}\x00"
+
+        out = re.sub(
+            r"(" + _id_pat + r")\s*\.\s*Properties\s*\(\s*\x00(\d+)\x00\s*\)",
+            repl_member_property,
             out,
             flags=re.IGNORECASE,
         )

@@ -733,6 +733,43 @@ class CubeEngine:
             memo[key] = df.filter(F.col("k") == F.lit(path[-1])).limit(1).count() > 0
         return memo[key]
 
+    def member_property_value(
+        self, dim_name: str, depth: int, path: tuple, prop: str
+    ):
+        """The VALUE of a level property for one pinned member — the
+        evaluation behind ``<member>.Properties('X')`` in a formula
+        (mondrian_test.rb:157-190: date/datetime property values feed
+        format strings).  A memoized 1-row lookup (the bounded-collect
+        class of :meth:`member_exists`); raises ``KeyError`` for an
+        unknown property or member.  Values keep their column type —
+        a DATE property arrives as ``datetime.date``, not a string."""
+        dim = self.cube.dimension(dim_name)
+        lv = dim.levels[depth]
+        by_name = {n.lower(): n for n, _ in lv.properties}
+        if prop.lower() not in by_name:
+            raise KeyError(
+                f"level {dim.name}.{lv.name} declares no property {prop!r}"
+            )
+        pname = by_name[prop.lower()]
+        memo = self.__dict__.setdefault("_prop_memo", {})
+        key = (dim_name, depth, tuple(path), pname)
+        if key not in memo:
+            if dim.degenerate:
+                pexpr = dict(lv.properties)[pname]
+                df = self.fact
+                for i, k in enumerate(path):
+                    df = df.filter(F.expr(dim.levels[i].column) == F.lit(k))
+                rows = df.select(F.expr(pexpr).alias("v")).limit(1).collect()
+            else:
+                df = self.dims[dim.name].member_df
+                for i, k in enumerate(path):
+                    df = df.filter(F.col(dim.levels[i].out) == F.lit(k))
+                rows = df.select(F.col(pname).alias("v")).limit(1).collect()
+            if not rows:
+                raise KeyError(f"member {path!r} not found in {dim.name}")
+            memo[key] = rows[0]["v"]
+        return memo[key]
+
     def member_at_position(
         self, dim_name: str, depth: int, parent_path: tuple, position: int
     ):

@@ -2657,3 +2657,79 @@ def test_vba_val_radix_literals(engine):
     assert row["o"] == 15.0
     assert row["o2"] == 0.0   # 9 is not an octal digit
     assert row["n"] == 0.0
+
+
+def test_member_properties_value_expression(spark, engine):
+    """mondrian_test.rb:157-190: <member>.Properties('X') as a VALUE —
+    a pinned member's property is one scalar, inlined as a TYPED literal:
+    numerics compose with arithmetic, a DATE property keeps its type so
+    format strings like dd.mm.yyyy apply, and unknown properties raise."""
+    import datetime
+    import dataclasses
+
+    from mondrian_olap_spark.metadata import CubeMeta
+    from mondrian_olap_spark.star import engine_from_parquet
+    from mondrian_olap_spark.tpch import SCHEMA
+
+    from .conftest import SF_DIR
+
+    part = CubeMeta(engine).dimension("Part").hierarchy.levels[1].members[0]
+    r = execute_mdx(
+        engine,
+        f"""
+        WITH MEMBER [Measures].[sz] AS '{part.full_name}.Properties(''part_size'')'
+             MEMBER [Measures].[szx] AS
+               '{part.full_name}.Properties(''part_size'') * 2'
+        SELECT {{[Measures].[sz], [Measures].[szx]}} ON COLUMNS FROM [Sales]
+        """,
+    )
+    row = r.df.collect()[0]
+    assert row["szx"] == row["sz"] * 2 and row["sz"] > 0
+    with pytest.raises(MdxError, match="declares no property"):
+        execute_mdx(
+            engine,
+            f"""
+            WITH MEMBER [Measures].[bad] AS '{part.full_name}.Properties(''nope'')'
+            SELECT {{[Measures].[bad]}} ON COLUMNS FROM [Sales]
+            """,
+        )
+    # date-typed property + date format string (mondrian_test.rb:157-167):
+    # degenerate Time month gains a month_start DATE property
+    sales = SCHEMA.cube("Sales")
+    time_dim = sales.dimension("Time")
+    lv_m = dataclasses.replace(
+        time_dim.levels[2],
+        properties=(
+            ("month_start", "make_date(year(o_orderdate), month(o_orderdate), 1)"),
+        ),
+    )
+    time2 = dataclasses.replace(
+        time_dim, levels=time_dim.levels[:2] + (lv_m,)
+    )
+    sales2 = dataclasses.replace(
+        sales,
+        dimensions=tuple(
+            time2 if d.name == "Time" else d for d in sales.dimensions
+        ),
+    )
+    schema2 = dataclasses.replace(
+        SCHEMA, cubes=tuple(sales2 if c.name == "Sales" else c for c in SCHEMA.cubes)
+    )
+    eng2 = engine_from_parquet(spark, schema2, "Sales", SF_DIR)
+    r2 = execute_mdx(
+        eng2,
+        """
+        WITH MEMBER [Measures].[date] AS
+          '[Time].[1995].[Q1].[2].Properties(''month_start'')',
+          FORMAT_STRING = 'dd.mm.yyyy'
+        SELECT {[Measures].[date]} ON COLUMNS FROM [Sales]
+        """,
+    )
+    v = r2.values
+    while isinstance(v, list):
+        v = v[0]
+    assert isinstance(v, datetime.date)
+    fv = r2.formatted_values
+    while isinstance(fv, list):
+        fv = fv[0]
+    assert fv == "01.02.1995"
