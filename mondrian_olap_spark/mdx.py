@@ -1308,6 +1308,19 @@ class MdxParser:
 
     def parse_member_string(self) -> str:
         segs = self.parse_identifier_segments_tagged()
+        # [Measures].DefaultMember (HierarchyDefaultMemberFunDef;
+        # mondrian_test.rb:313 NonEmptyCrossJoin([Measures].DefaultMember,
+        # …)) resolves to the cube's default measure here; a DIMENSION's
+        # DefaultMember falls through to the member-resolution path (first
+        # member in hierarchy order — test_default_member).
+        if (
+            len(segs) == 2
+            and not segs[-1][1]
+            and segs[-1][0].lower() == "defaultmember"
+            and segs[0][0].lower() == "measures"
+        ):
+            dm = self.cube.default_measure_obj()
+            return f"[Measures].{quote_segment(dm.name)}"
         return ".".join(
             s
             if not bracketed and s.lower() in self._NAV_WORDS

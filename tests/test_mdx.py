@@ -2733,3 +2733,35 @@ def test_member_properties_value_expression(spark, engine):
     while isinstance(fv, list):
         fv = fv[0]
     assert fv == "01.02.1995"
+
+
+def test_instr_of_null_returns_empty(engine):
+    """mondrian_test.rb:782-789: Instr over a function returning NULL
+    yields an empty cell, not an error or 0."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[Instr Result] AS 'Instr(Trim(NULL), "Done")'
+        SELECT {[Measures].[Instr Result]} ON COLUMNS FROM [Sales]
+        """,
+    )
+    assert r.values == [None]
+
+
+def test_measures_default_member_in_nonempty_crossjoin(engine):
+    """mondrian_test.rb:313-321: [Measures].DefaultMember resolves to the
+    cube's default measure, so NonEmptyCrossJoin with it keeps only
+    members carrying data; a dimension's DefaultMember raises the
+    documented All-member gap."""
+    r = execute_mdx(
+        engine,
+        """
+        SELECT Generate(
+          NonEmptyCrossJoin({[Measures].DefaultMember},
+                            [Customer].[Nation].Members),
+          [Customer].CurrentMember) ON COLUMNS
+        FROM [Sales] WHERE [Time].[1995].[Q1]
+        """,
+    )
+    assert r.df.count() > 0
+    assert "sum_qty" in r.df.columns  # the default measure
