@@ -1376,6 +1376,68 @@ class Query:
                 f"in cube '{self.cube.name}'"
             ) from None
 
+    def _attach_member_properties(
+        self, df, cond: str
+    ) -> tuple:
+        """``[Dim].CurrentMember.Properties('P')`` inside a FILTER
+        condition (mondrian_test.rb:125-131 filtering members by a
+        property): join the dimension's member frame onto the grid keyed
+        by the dimension's level columns already present, rewrite the
+        reference to the property column, and report the joined columns
+        for post-filter drop.  Properties are per-member, so the join is
+        1:1 on the member key; the member frame is dimension-sized —
+        Catalyst broadcasts it."""
+        import re as _re
+
+        from pyspark.sql import functions as F
+
+        pat = _re.compile(
+            r"\[((?:[^\]]|\]\])+)\]\s*\.\s*CurrentMember\s*\.\s*"
+            r"Properties\s*\(\s*'([^']*)'\s*\)",
+            _re.IGNORECASE,
+        )
+        drops: list[str] = []
+        joined_dims: set[str] = set()
+
+        def repl(m: _re.Match) -> str:
+            nonlocal df
+            dim_name = m.group(1).replace("]]", "]")
+            pname = m.group(2)
+            dim = self.cube.dimension(dim_name)
+            present = [lv for lv in dim.levels if lv.out in df.columns]
+            if not present:
+                raise QueryError(
+                    f"Properties filter on [{dim.name}] needs the "
+                    "dimension on the axis"
+                )
+            lv = present[-1]
+            by_name = {n.lower(): n for n, _ in lv.properties}
+            if pname.lower() not in by_name:
+                raise QueryError(
+                    f"level {dim.name}.{lv.name} declares no property "
+                    f"{pname!r}"
+                )
+            col = by_name[pname.lower()]
+            if dim.degenerate:
+                # degenerate property expressions live on fact columns —
+                # not recoverable from the aggregated grid
+                raise QueryError(
+                    "Properties filters on degenerate dimensions are not "
+                    "supported — project the expression as a level instead"
+                )
+            if dim.name not in joined_dims:
+                keys = [lv2.out for lv2 in present]
+                props = self.engine.dims[dim.name].member_df.select(
+                    *keys, *[n for n, _ in lv.properties]
+                ).dropDuplicates(keys)
+                df = df.join(F.broadcast(props), keys, "left")
+                joined_dims.add(dim.name)
+                drops.extend(n for n, _ in lv.properties)
+            return f"`{col}`"
+
+        new_cond = pat.sub(repl, cond)
+        return df, new_cond, [c for c in drops if c in df.columns]
+
     def _rewrite_current_member(self, expr: str, axes) -> str:
         """Rewrite ``[Dim].CurrentMember.<Prop>[(args)]`` in a calc-member
         formula to an expression over the current row's member column:
@@ -1499,13 +1561,16 @@ class Query:
                             "axes — the window would rank cells, not the "
                             "set's members"
                         )
+                df, cond0, prop_drops = self._attach_member_properties(
+                    df, mod[1]
+                )
                 df, cond, drops = self._rewrite_current(
-                    df, mod[1], alias, local_sort or list(tiebreak),
+                    df, cond0, alias, local_sort or list(tiebreak),
                     group_cols, measure_outs or [],
                 )
                 df = df.filter(F.expr(cond))
-                if drops:
-                    df = df.drop(*drops)
+                if drops or prop_drops:
+                    df = df.drop(*drops, *prop_drops)
             elif kind == "filter_last":
                 # condition applies only to rows of the LAST set; other
                 # sets' rows pass through (query.rb:86-91)

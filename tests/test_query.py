@@ -1236,3 +1236,51 @@ def test_drillthrough_nonempty_measures(engine):
         engine.drill_through(
             where, fields, nonempty="[Customer].[Region]"
         ).count()
+
+
+def test_filter_by_member_property(engine, duck):
+    """mondrian_test.rb:125-131 (Filter by CurrentMember.Properties):
+    members filter on a declared level property; the property column is
+    joined for the filter and dropped from the output; errors are typed
+    for off-axis dimensions and unknown properties."""
+    from mondrian_olap_spark.mdx import execute_mdx
+    from mondrian_olap_spark.query import QueryError
+
+    r = (
+        Query(engine)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Part].[Part].Members")
+        .filter("[Part].CurrentMember.Properties('part_size') >= 40")
+        .execute()
+    )
+    rows = r.df.collect()
+    assert "part_size" not in r.df.columns
+    expect = {
+        t[0]
+        for t in duck.execute(
+            "SELECT DISTINCT p_name FROM part WHERE p_size >= 40"
+        ).fetchall()
+    }
+    got = {row["part_name"] for row in rows}
+    # members with fact data and size >= 40 (grid is non-empty by default)
+    assert got and got <= expect
+    # MDX surface drives the same path
+    mdx = execute_mdx(
+        engine,
+        """
+        SELECT [Measures].[Sum Qty] ON COLUMNS,
+               FILTER([Part].[Part].Members,
+                      [Part].CurrentMember.Properties('part_size') >= 40)
+               ON ROWS FROM [Sales]
+        """,
+    )
+    assert {row["part_name"] for row in mdx.df.collect()} == got
+    with pytest.raises(QueryError, match="declares no property"):
+        (Query(engine).columns("[Measures].[Sum Qty]")
+         .rows("[Part].[Part].Members")
+         .filter("[Part].CurrentMember.Properties('nope') = 1").execute())
+    with pytest.raises(QueryError, match="needs the dimension on the axis"):
+        (Query(engine).columns("[Measures].[Sum Qty]")
+         .rows("[Customer].children")
+         .filter("[Part].CurrentMember.Properties('part_size') > 1")
+         .execute())
