@@ -1427,9 +1427,21 @@ class Query:
                 )
             if dim.name not in joined_dims:
                 keys = [lv2.out for lv2 in present]
-                props = self.engine.dims[dim.name].member_df.select(
-                    *keys, *[n for n, _ in lv.properties]
-                ).dropDuplicates(keys)
+                # one property value per MEMBER: min() makes the pick
+                # deterministic when the source rows disagree (Mondrian
+                # assumes functional dependency and reads an arbitrary
+                # row; an arbitrary pick would make results partitioning-
+                # dependent here)
+                props = (
+                    self.engine.dims[dim.name]
+                    .member_df.groupBy(*keys)
+                    .agg(
+                        *[
+                            F.min(n).alias(n)
+                            for n, _ in lv.properties
+                        ]
+                    )
+                )
                 df = df.join(F.broadcast(props), keys, "left")
                 joined_dims.add(dim.name)
                 drops.extend(n for n, _ in lv.properties)

@@ -754,18 +754,23 @@ class CubeEngine:
         memo = self.__dict__.setdefault("_prop_memo", {})
         key = (dim_name, depth, tuple(path), pname)
         if key not in memo:
+            # min() instead of limit(1): a deterministic value when source
+            # rows disagree on a property (Mondrian assumes functional
+            # dependency; an arbitrary row read would vary run-to-run)
             if dim.degenerate:
                 pexpr = dict(lv.properties)[pname]
                 df = self.fact
                 for i, k in enumerate(path):
                     df = df.filter(F.expr(dim.levels[i].column) == F.lit(k))
-                rows = df.select(F.expr(pexpr).alias("v")).limit(1).collect()
+                rows = df.agg(F.min(F.expr(pexpr)).alias("v")).collect()
+                n = df.limit(1).count()
             else:
                 df = self.dims[dim.name].member_df
                 for i, k in enumerate(path):
                     df = df.filter(F.col(dim.levels[i].out) == F.lit(k))
-                rows = df.select(F.col(pname).alias("v")).limit(1).collect()
-            if not rows:
+                rows = df.agg(F.min(F.col(pname)).alias("v")).collect()
+                n = df.limit(1).count()
+            if not n:
                 raise KeyError(f"member {path!r} not found in {dim.name}")
             memo[key] = rows[0]["v"]
         return memo[key]

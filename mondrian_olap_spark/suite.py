@@ -2608,3 +2608,36 @@ def aggregate_routing_gate(spark, sf_dir):
     plan = routed._jdf.queryExecution().executedPlan().toString()
     assert "lineitem" not in plan, "query was not served from the summary"
     return routed
+
+
+@q(
+    "filter_member_property_gate",
+    """
+    WITH members AS (
+      SELECT p_brand AS brand, p_name AS part_name, min(p_size) AS sz
+      FROM part GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT p_brand AS brand, p_name AS part_name,
+             sum(l_quantity) AS sum_qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2
+    )
+    SELECT g.brand, g.part_name, g.sum_qty
+    FROM grid g JOIN members m USING (brand, part_name)
+    WHERE m.sz >= 40
+    """,
+)
+def filter_member_property_gate(spark, sf_dir):
+    """FILTER by a member PROPERTY (mondrian_test.rb:125-131 filter on
+    CurrentMember.Properties): part members whose declared part_size
+    property passes the threshold — the property column joins onto the
+    grid for the filter and never reaches the output."""
+    return (
+        Query(get_engine(spark, sf_dir))
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Part].[Part].Members")
+        .filter("[Part].CurrentMember.Properties('part_size') >= 40")
+        .execute()
+        .df
+    )
