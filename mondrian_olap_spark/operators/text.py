@@ -1129,3 +1129,42 @@ def script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("dominant_script", dom).drop(
         *[f"{n}_count" for n in SCRIPT_CLASSES]
     )
+
+
+def remove_repeated_segments(
+    df: DataFrame,
+    text_col: str = "text",
+    sep: str = ". ",
+    output: str | None = None,
+) -> DataFrame:
+    """Drop REPEATED segments inside each document, keeping first
+    occurrences in order — the within-document cousin of
+    :func:`segment_dedup` (which dedups across documents): concatenated
+    crawl dumps repeat headers/footers/navigation between merged pages,
+    and Gopher-style repetition METRICS only flag such documents; this
+    operator repairs them.
+
+    Pure array expressions: split on ``sep``, keep element *i* iff its
+    first occurrence index is *i* (``array_position`` inside an indexed
+    ``filter`` lambda — whole-stage codegen, no explode, no shuffle),
+    re-join.  Adds ``n_segments_in`` / ``n_segments_out`` so the drop
+    rate is observable; output replaces ``text_col`` unless ``output``
+    names a new column.  NULL text passes through NULL.
+    """
+    out = output or text_col
+    segs = F.split(F.col(text_col), _re_escape(sep))
+    kept = F.filter(
+        segs, lambda x, i: F.array_position(segs, x) == (i + F.lit(1)).cast("bigint")
+    )
+    return (
+        df.withColumn("n_segments_in", F.size(segs))
+        .withColumn("n_segments_out", F.size(kept))
+        .withColumn(out, F.array_join(kept, sep))
+    )
+
+
+def _re_escape(s: str) -> str:
+    """Escape a literal separator for Spark's regex-based split."""
+    import re
+
+    return re.escape(s)

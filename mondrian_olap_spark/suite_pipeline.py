@@ -3237,3 +3237,53 @@ def sketch_distinct_rollup(spark, sf_dir):
             ).alias("within_bound"),
         )
     )
+
+
+@q(
+    "text_repeated_segments_removed",
+    """
+    WITH messy AS (
+      SELECT doc_id,
+             substr(text, 1, 40) || '. ' || text || '. ' || substr(text, 1, 40)
+               AS text
+      FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, seg, pos,
+             row_number() OVER (PARTITION BY doc_id, seg ORDER BY pos) AS occ
+      FROM (
+        SELECT doc_id, unnest(string_split(text, '. ')) AS seg,
+               generate_subscripts(string_split(text, '. '), 1) AS pos
+        FROM messy
+      )
+    )
+    SELECT doc_id,
+           count(*) AS n_segments_in,
+           count(*) FILTER (occ = 1) AS n_segments_out,
+           string_agg(seg, '. ' ORDER BY pos) FILTER (occ = 1) AS text
+    FROM segs GROUP BY 1
+    """,
+)
+def text_repeated_segments_removed(spark, sf_dir):
+    """Within-document boilerplate repair (text.remove_repeated_segments):
+    each document wears its own first 40 chars as a duplicated leading AND
+    trailing segment — the operator must keep exactly the first
+    occurrence of every segment in order, as pure array expressions (no
+    explode/shuffle); the oracle replays it with a per-(doc, segment)
+    occurrence window."""
+    docs = _docs(spark, sf_dir)
+    messy = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring(F.col("text"), 1, 40), F.lit(". "),
+            F.col("text"), F.lit(". "),
+            F.substring(F.col("text"), 1, 40),
+        ).alias("text"),
+    )
+    out = text.remove_repeated_segments(messy)
+    return out.select(
+        "doc_id",
+        F.col("n_segments_in").cast("long").alias("n_segments_in"),
+        F.col("n_segments_out").cast("long").alias("n_segments_out"),
+        "text",
+    )

@@ -2417,3 +2417,24 @@ def test_hll_distinct_rollup_total_row(spark):
     # tiny cardinalities stay in sparse mode: estimates are exact
     assert rows["a"] == 50 and rows["b"] == 50
     assert rows[None] == 75  # union dedups the 25-element overlap
+
+
+def test_remove_repeated_segments(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="alpha one. beta two. alpha one. gamma three. beta two"),
+        Row(doc_id=2, text="no repeats here"),
+        Row(doc_id=3, text=None),
+    ])
+    out = {r["doc_id"]: r for r in text.remove_repeated_segments(df).collect()}
+    assert out[1]["text"] == "alpha one. beta two. gamma three"
+    assert out[1]["n_segments_in"] == 5 and out[1]["n_segments_out"] == 3
+    assert out[2]["text"] == "no repeats here" and out[2]["n_segments_out"] == 1
+    assert out[3]["text"] is None
+    # custom separator + new output column leaves the original intact
+    df2 = spark.createDataFrame([Row(doc_id=1, text="a|b|a|c")])
+    r = text.remove_repeated_segments(df2, sep="|", output="clean").collect()[0]
+    assert r["clean"] == "a|b|c" and r["text"] == "a|b|a|c"
+    # the plan is expression-only: no shuffle, no explode-generate
+    plan = (text.remove_repeated_segments(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "Generate" not in plan
