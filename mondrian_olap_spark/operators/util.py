@@ -352,3 +352,98 @@ def rank_buckets(
         else F.lit(0).cast("long")
     )
     return ranked.withColumn(bucket_col, bucket).drop("__rank")
+
+
+def explain_report(df) -> dict:
+    """Structured summary of a DataFrame's PHYSICAL plan — the
+    would-this-survive-100× checklist as a library call (the same
+    properties tools/explain_audit.py asserts for the suite, exposed for
+    user plans):
+
+    * ``scans``: one entry per file scan — source, pushed filters,
+      ``ReadSchema`` width (a scan reading all columns for a narrow
+      projection is a pruning failure);
+    * ``exchanges`` / ``exchange_keys``: every shuffle and what it
+      partitions by;
+    * ``joins``: join strategies in plan order (broadcast vs shuffle vs
+      the red-flag CartesianProduct / BroadcastNestedLoop);
+    * ``python_evals``: Python-boundary operators (row UDFs vs Arrow);
+    * ``codegen_stages``: whole-stage-codegen span count;
+    * ``warnings``: the red flags distilled (cartesian joins,
+      row-at-a-time Python, unfiltered wide scans under a Filter).
+    """
+    import re
+
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    scans = []
+    for line in lines:
+        m = re.search(r"Scan (\w[\w.]*)\s+([^\s\[]*)", line)
+        if "Scan" not in line or "FileScan" not in line and "Scan " not in line:
+            continue
+        if "Scan parquet" in line or "FileScan" in line or "Scan ExistingRDD" in line or re.search(r"Scan (json|csv|orc|text)", line):
+            pf = re.search(r"PushedFilters: \[([^\]]*)\]", line)
+            rs = re.search(r"ReadSchema: struct<([^>]*)>", line)
+            n_cols = len([c for c in (rs.group(1) if rs else "").split(",") if c.strip()])
+            scans.append(
+                {
+                    "line": line.strip()[:120],
+                    "pushed_filters": (
+                        [f.strip() for f in pf.group(1).split(",") if f.strip()]
+                        if pf
+                        else []
+                    ),
+                    "read_columns": n_cols,
+                }
+            )
+    exchange_keys = []
+    for line in lines:
+        m = re.search(r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)(\(([^)]*)\))?", line)
+        if m:
+            exchange_keys.append(
+                m.group(1)
+                + ("(" + ",".join(
+                    k.split("#")[0].strip()
+                    for k in (m.group(3) or "").split(",")
+                    if k.strip() and not k.strip().isdigit()
+                ) + ")" if m.group(3) else "")
+            )
+    joins = [
+        m.group(1)
+        for line in lines
+        for m in [re.search(
+            r"\b(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|"
+            r"BroadcastNestedLoopJoin|CartesianProduct)\b", line)]
+        if m
+    ]
+    python_evals = [
+        m.group(1)
+        for line in lines
+        for m in [re.search(
+            r"\b(BatchEvalPython|ArrowEvalPython|MapInPandas|"
+            r"FlatMapGroupsInPandas|AggregateInPandas)\b", line)]
+        if m
+    ]
+    # executedPlan().toString() renders whole-stage codegen spans as
+    # "*(N) Operator"; an AQE plan hides them until it finalizes (run the
+    # query once and re-report to see them) — None, not 0, in that case
+    codegen: int | None = len(
+        set(re.findall(r"\*\((\d+)\)", plan))
+        | set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
+    )
+    if codegen == 0 and "AdaptiveSparkPlan isFinalPlan=false" in plan:
+        codegen = None
+    warnings = []
+    if any(j in ("CartesianProduct", "BroadcastNestedLoopJoin") for j in joins):
+        warnings.append("cartesian/nested-loop join in plan")
+    if "BatchEvalPython" in python_evals:
+        warnings.append("row-at-a-time Python UDF (prefer Arrow/pandas UDFs)")
+    return {
+        "scans": scans,
+        "exchanges": len(exchange_keys),
+        "exchange_keys": exchange_keys,
+        "joins": joins,
+        "python_evals": python_evals,
+        "codegen_stages": codegen,
+        "warnings": warnings,
+    }

@@ -2438,3 +2438,33 @@ def test_remove_repeated_segments(spark):
     plan = (text.remove_repeated_segments(df)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan and "Generate" not in plan
+
+
+def test_explain_report_structure_and_warnings(spark):
+    from mondrian_olap_spark.operators.util import explain_report
+    from .conftest import SF_DIR
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet")
+    df = (li.filter("l_quantity > 10")
+          .join(part, li.l_partkey == part.p_partkey)
+          .groupBy("p_brand").agg(F.sum("l_quantity").alias("q")))
+    rep = explain_report(df)
+    assert rep["joins"] == ["BroadcastHashJoin"]
+    assert rep["exchanges"] == 1 and "hashpartitioning(p_brand)" in rep["exchange_keys"]
+    assert any(f for s in rep["scans"] for f in s["pushed_filters"]
+               if "l_quantity" in f)
+    # column pruning visible: the lineitem scan reads few columns
+    assert min(s["read_columns"] for s in rep["scans"]) <= 3
+    # AQE hides codegen spans until the plan finalizes: None then, or >=1
+    # after execution
+    assert rep["codegen_stages"] is None or rep["codegen_stages"] >= 1
+    df.collect()
+    rep_final = explain_report(df)
+    assert rep_final["codegen_stages"] >= 1
+    assert rep["warnings"] == []
+    # red flags surface
+    cart = li.limit(2).crossJoin(part.limit(2))
+    assert "cartesian/nested-loop join in plan" in explain_report(cart)["warnings"]
+    from pyspark.sql.functions import udf
+    slow = li.limit(2).select(udf(lambda x: x)("l_returnflag"))
+    assert any("row-at-a-time" in w for w in explain_report(slow)["warnings"])
