@@ -1,0 +1,171 @@
+"""Aggregate-table advisor: recommend which grains to materialize from an
+observed query log — the design-automation step in front of
+:meth:`star.CubeEngine.materialize_aggregate` / ``register_aggregate``
+(the reference expects agg tables to be DECLARED, schema.rb:374-414;
+Mondrian's own docs describe choosing them by hand from query patterns —
+this computes the choice).
+
+Model: a materialized grain C answers a query grain Q when every
+(dimension, level) Q groups by appears in C at the same or deeper level
+(the planner's routing rule — grouping ⊆ the summary's outputs, which
+include ancestor level columns).  The benefit of C is the fact-scan work
+it absorbs: ``freq(Q) × (1 − |C|/fact_rows)`` summed over the queries it
+covers; its cost is its estimated row count.  Greedy selection by
+benefit-per-row under a row budget — the classic knapsack heuristic for
+view selection (Harinarayan/Rajaraman/Ullman, SIGMOD '96).
+
+Grain cardinalities are estimated in ONE pass over the star-joined frame:
+an ``approx_count_distinct`` of each grain's level-column struct, all as
+aggregates of a single scan (HLL sketches — ±2-3%, exactly the precision
+a sizing decision needs and nothing more).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import functions as F
+
+
+def _normalize(engine, grain: list[str]) -> tuple[tuple[str, int], ...]:
+    """Grain → canonical ((dim_name, depth), …), dimension-name sorted."""
+    from .members import resolve_level
+
+    out = {}
+    for ref in grain:
+        dim, idx = resolve_level(engine.cube, ref)
+        out[dim.name] = max(out.get(dim.name, -1), idx)
+    return tuple(sorted(out.items()))
+
+
+def _covers(c: tuple, q: tuple) -> bool:
+    """C answers Q iff every dim of Q appears in C at depth >= Q's."""
+    cd = dict(c)
+    return all(d in cd and cd[d] >= depth for d, depth in q)
+
+
+def grain_cardinalities(
+    engine, grains: list[tuple[tuple[str, int], ...]]
+) -> tuple[dict, int]:
+    """Estimated distinct-combination count per grain plus the fact row
+    count — ONE aggregation job over the star-joined frame carrying the
+    union of needed level columns (approx_count_distinct per grain)."""
+    from .plan import Planner, _DimUse
+
+    needed: dict[str, int] = {}
+    for g in grains:
+        for d, depth in g:
+            needed[d] = max(needed.get(d, -1), depth)
+    planner = Planner(engine)
+    uses: dict[str, _DimUse] = {}
+    for dname, depth in needed.items():
+        dim = engine.cube.dimension(dname)
+        u = uses.setdefault(dim.name, _DimUse(dim))
+        if not dim.degenerate:
+            u.add_levels([lv.out for lv in dim.levels[: depth + 1]])
+    df = planner._join(uses)
+
+    def outs(g) -> list[str]:
+        cols = []
+        for dname, depth in g:
+            dim = engine.cube.dimension(dname)
+            for lv in dim.levels[: depth + 1]:
+                cols.append(
+                    lv.out if not dim.degenerate else f"({lv.column})"
+                )
+        return cols
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, g in enumerate(grains):
+        cols = [
+            F.expr(c[1:-1]) if c.startswith("(") else F.col(c)
+            for c in outs(g)
+        ]
+        aggs.append(
+            F.approx_count_distinct(F.struct(*cols)).alias(f"__g{i}")
+        )
+    row = df.agg(*aggs).collect()[0]
+    return (
+        {g: int(row[f"__g{i}"]) for i, g in enumerate(grains)},
+        int(row["__n"]),
+    )
+
+
+@dataclass
+class Recommendation:
+    levels: list[str]          #: materialize_aggregate-ready level refs
+    est_rows: int              #: estimated summary cardinality
+    queries_covered: int       #: log entries this grain answers
+    benefit: float             #: fact-scan work absorbed (query-weighted)
+
+
+def recommend_aggregates(
+    engine,
+    query_log: list[list[str]],
+    max_total_rows: int | None = None,
+    top: int = 5,
+    min_compression: float = 2.0,
+) -> list[Recommendation]:
+    """Pick materialization grains for ``query_log`` (each entry the level
+    refs a query grouped by, e.g. ``["[Customer].[Nation]",
+    "[Time].[Quarter]"]``).
+
+    Candidates are the distinct logged grains; greedy selection by
+    benefit-per-row, re-scoring after each pick (a chosen grain also
+    covers every coarser logged grain, so their weight must not be
+    double-counted).  ``max_total_rows`` bounds the summed summary sizes;
+    grains compressing the fact by less than ``min_compression``× are
+    dropped (a summary nearly as big as the fact just doubles storage).
+    Returns at most ``top`` recommendations, ready to feed to
+    :meth:`..star.CubeEngine.materialize_aggregate`.
+    """
+    if not query_log:
+        return []
+    norm = [_normalize(engine, g) for g in query_log]
+    freq: dict = {}
+    for g in norm:
+        freq[g] = freq.get(g, 0) + 1
+    candidates = list(freq)
+    cards, fact_rows = grain_cardinalities(engine, candidates)
+    budget = max_total_rows if max_total_rows is not None else float("inf")
+    uncovered = dict(freq)
+    picks: list[Recommendation] = []
+    while len(picks) < top and uncovered:
+        best, best_score = None, 0.0
+        for c in candidates:
+            rows = max(cards[c], 1)
+            if rows > budget or fact_rows / rows < min_compression:
+                continue
+            benefit = sum(
+                f * (1.0 - rows / max(fact_rows, 1))
+                for q, f in uncovered.items()
+                if _covers(c, q)
+            )
+            score = benefit / rows
+            if score > best_score:
+                best, best_score = c, score
+        if best is None:
+            break
+        covered = [q for q in uncovered if _covers(best, q)]
+        picks.append(
+            Recommendation(
+                levels=[
+                    f"[{d}].[{engine.cube.dimension(d).levels[depth].name}]"
+                    for d, depth in best
+                ],
+                est_rows=cards[best],
+                queries_covered=sum(freq[q] for q in covered),
+                benefit=round(
+                    sum(
+                        uncovered[q] * (1.0 - cards[best] / max(fact_rows, 1))
+                        for q in covered
+                    ),
+                    3,
+                ),
+            )
+        )
+        budget -= cards[best]
+        for q in covered:
+            del uncovered[q]
+        candidates = [c for c in candidates if c != best]
+    return picks

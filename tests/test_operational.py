@@ -626,3 +626,55 @@ def test_pattern_register_then_role_switch_then_query(spark, tmp_path):
     restricted = _region_totals(eng)
     assert set(restricted) == {"ASIA"}
     assert restricted["ASIA"] == pytest.approx(full["ASIA"])
+
+
+def test_aggregate_advisor_recommendations(engine):
+    """View-selection advisor: candidates score by benefit-per-row, a
+    deeper grain covers coarser logged queries, budgets and the
+    compression floor prune, and the top pick plugs straight into
+    materialize_aggregate."""
+    from mondrian_olap_spark.advisor import recommend_aggregates
+
+    log = (
+        [["[Customer].[Region]"]] * 5
+        + [["[Customer].[Nation]", "[Time].[Quarter]"]] * 3
+        + [["[Part].[Part]"]] * 1
+    )
+    recs = recommend_aggregates(engine, log)
+    # region wins on benefit-per-row; the other two follow in
+    # cardinality-dependent order
+    assert recs[0].levels == ["[Customer].[Region]"]
+    assert {tuple(r.levels) for r in recs} == {
+        ("[Customer].[Region]",),
+        ("[Customer].[Nation]", "[Time].[Quarter]"),
+        ("[Part].[Part]",),
+    }
+    assert recs[0].est_rows == 5 and recs[0].queries_covered == 5
+    # tiny-grain candidates excluded by budget: the deeper grain then
+    # covers the coarser region queries too (rollup routing)
+    budgeted = recommend_aggregates(engine, log, max_total_rows=4)
+    assert budgeted == []
+    nq_only = recommend_aggregates(
+        engine,
+        [["[Customer].[Nation]", "[Time].[Quarter]"]] * 3
+        + [["[Customer].[Region]"]] * 5,
+        top=1,
+        max_total_rows=1000,
+    )
+    # region (5 rows) wins on benefit-per-row even here
+    assert nq_only[0].levels == ["[Customer].[Region]"]
+    assert recommend_aggregates(engine, []) == []
+    # end-to-end: materialize the top pick and the routed query matches
+    # the direct fact aggregation
+    import dataclasses  # noqa: F401
+    eng2 = engine.clone() if hasattr(engine, "clone") else engine
+    direct = (
+        Query(eng2).columns("[Measures].[Sum Qty]")
+        .rows("[Customer].children").execute().df.collect()
+    )
+    eng2.materialize_aggregate(recs[0].levels)
+    routed = (
+        Query(eng2).columns("[Measures].[Sum Qty]")
+        .rows("[Customer].children").execute().df.collect()
+    )
+    assert sorted(map(tuple, routed)) == sorted(map(tuple, direct))
