@@ -76,6 +76,8 @@ HEADLINE = [
     "text_cdc_chunks",
     "text_script_profile",
     "sketch_distinct_rollup",
+    "text_repeated_segments_removed",
+    "filter_member_property_gate",
 ]
 
 

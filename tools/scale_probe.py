@@ -106,6 +106,8 @@ QUERIES = [
     "text_cdc_chunks",
     "text_script_profile",
     "sketch_distinct_rollup",
+    "text_repeated_segments_removed",
+    "filter_member_property_gate",
 ]
 
 
