@@ -415,3 +415,52 @@ def compact_files(
         "after_files": after["n_files"],
         **{f"after_{k}": v for k, v in after.items()},
     }
+
+
+def curate_increment(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    split_weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "split",
+    m_bits: int | None = None,
+    k: int = 5,
+    fingerprint_col: str | None = None,
+) -> DataFrame:
+    """The INCREMENTAL counterpart of :func:`curate_corpus`: curate a new
+    ingest batch against an existing corpus — batch-internal exact dedup →
+    quality rules → Bloom-prefiltered exact dedup AGAINST THE CORPUS →
+    split assignment, composed.
+
+    Returns the accepted documents (the rows to append to the corpus):
+    the batch survivors' columns from :func:`curate_corpus` (dup_count,
+    quality_score, lang_guess) plus ``bloom_hit`` (the prefilter verdict —
+    observable fp accounting) and ``split`` when weights are given.
+
+    Scale shape: the corpus contributes ONE Bloom bitmap build — or none,
+    when a maintained bitmap exists (:func:`..dedup.bloom_build` outputs
+    OR-merge) — plus an exact verification join whose left side is only
+    the Bloom HITS among quality survivors.  The batch is never joined to
+    the corpus wholesale; content-addressed hashing keeps the accepted
+    SET reproducible across runs and engines, so repeated ingests cannot
+    silently churn train/test membership.
+    """
+    from . import sampling as sp
+    from .dedup import BLOOM_WORD_BITS, incremental_dedup
+
+    if m_bits is None:
+        m_bits = BLOOM_WORD_BITS << 14
+    batch = curate_corpus(
+        new_docs, split_weights=None, id_col=id_col, text_col=text_col,
+        fingerprint_col=fingerprint_col,
+    )
+    flags = incremental_dedup(
+        batch, corpus, m_bits=m_bits, k=k, id_col=id_col, text_col=text_col,
+    )
+    out = batch.join(
+        flags.select(id_col, "bloom_hit", "is_dup"), id_col
+    ).filter(~F.col("is_dup")).drop("is_dup")
+    if split_weights:
+        out = sp.assign_splits(out, split_weights, id_col=id_col, seed=seed)
+    return out

@@ -3287,3 +3287,79 @@ def text_repeated_segments_removed(spark, sf_dir):
         F.col("n_segments_out").cast("long").alias("n_segments_out"),
         "text",
     )
+
+
+@q(
+    "pipeline_incremental_curation",
+    f"""
+    WITH newdocs AS (
+      SELECT doc_id + 1000000 AS doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN text
+                  ELSE text || ' fresh suffix' END AS text
+      FROM documents
+    ),
+    batchkeep AS (
+      SELECT md5(lower(trim(text))) AS f, min(doc_id) AS keep_id,
+             count(*) AS dup_count
+      FROM newdocs GROUP BY 1
+    ),
+    surv AS (
+      SELECT d.*, k.f, k.dup_count
+      FROM newdocs d
+      JOIN batchkeep k
+        ON md5(lower(trim(d.text))) = k.f AND d.doc_id = k.keep_id
+    ),
+    quality AS (
+      SELECT doc_id, f, dup_count, CAST({{q}} AS DOUBLE) AS q
+      FROM surv WHERE ({{reason}}) IS NULL
+    ),
+    corpus_fp AS (
+      SELECT DISTINCT md5(lower(trim(text))) AS cf FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, dup_count, q, {{split_case}} AS split
+      FROM quality
+      WHERE NOT EXISTS (SELECT 1 FROM corpus_fp WHERE cf = f)
+    )
+    SELECT split, count(*) AS n_docs,
+           CAST(sum(dup_count) AS BIGINT) AS n_dups_absorbed,
+           round(avg(q), 6) AS avg_quality,
+           md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)) AS kept_md5
+    FROM kept GROUP BY 1
+    """.replace("{q}", _QUALITY_SQL).replace("{reason}", _REASON_SQL)
+       .replace("{split_case}", _split_case_sql(_CURATE_SPLITS)),
+)
+def pipeline_incremental_curation(spark, sf_dir):
+    """The COMPOSED incremental ingest (pipeline.curate_increment):
+    batch-internal exact dedup -> quality rules -> Bloom-prefiltered exact
+    dedup against the EXISTING corpus -> hash splits, one plan.  The batch
+    is one-third exact corpus copies (must all be rejected, regardless of
+    Bloom false positives - verification is exact) and two-thirds fresh
+    text; the oracle replays the identical composition with a plain
+    NOT EXISTS, so the accepted SET md5 proves the Bloom path changes
+    physical strategy only, never membership."""
+    from .operators.pipeline import curate_increment
+
+    docs = _docs(spark, sf_dir)
+    new = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" fresh suffix")))
+        .alias("text"),
+    )
+    out = curate_increment(new, docs, split_weights=_CURATE_SPLITS,
+                           m_bits=2046, k=4)
+    return out.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dup_count").alias("n_dups_absorbed"),
+        F.round(F.avg("quality_score"), 6).cast("double").alias("avg_quality"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("kept_md5"),
+    )

@@ -2468,3 +2468,33 @@ def test_explain_report_structure_and_warnings(spark):
     from pyspark.sql.functions import udf
     slow = li.limit(2).select(udf(lambda x: x)("l_returnflag"))
     assert any("row-at-a-time" in w for w in explain_report(slow)["warnings"])
+
+
+def test_curate_increment_semantics(spark):
+    """Incremental curation: batch-internal dups collapse to one survivor,
+    exact corpus duplicates are rejected (bloom prefilter + exact verify),
+    quality failures drop, and fresh quality docs are accepted with
+    splits assigned."""
+    from mondrian_olap_spark.operators.pipeline import curate_increment
+
+    prose = ("the substantial meaningful documentation of elaborate "
+             "procedures and numerous detailed sections carefully "
+             "explaining every nuance within the comprehensive reference "
+             "material across multiple elaborate chapters")
+    corpus = spark.createDataFrame([
+        Row(doc_id=1, text=prose + " corpus original first"),
+        Row(doc_id=2, text=prose + " corpus original second"),
+    ])
+    new = spark.createDataFrame([
+        Row(doc_id=10, text=prose + " corpus original first"),   # corpus dup
+        Row(doc_id=11, text=prose + " genuinely fresh addition"),
+        Row(doc_id=12, text=prose + " genuinely fresh addition"),  # batch dup of 11
+        Row(doc_id=13, text="too short"),                          # quality fail
+    ])
+    out = curate_increment(new, corpus, split_weights={"train": 1.0},
+                           m_bits=62 * 8, k=4)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert set(rows) == {11}
+    assert rows[11]["dup_count"] == 2      # absorbed the batch twin
+    assert rows[11]["split"] == "train"
+    assert "bloom_hit" in out.columns      # fp accounting observable
