@@ -78,6 +78,7 @@ HEADLINE = [
     "sketch_distinct_rollup",
     "text_repeated_segments_removed",
     "filter_member_property_gate",
+    "pipeline_incremental_curation",
 ]
 
 

@@ -108,6 +108,7 @@ QUERIES = [
     "sketch_distinct_rollup",
     "text_repeated_segments_removed",
     "filter_member_property_gate",
+    "pipeline_incremental_curation",
 ]
 
 
