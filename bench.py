@@ -79,6 +79,7 @@ HEADLINE = [
     "text_repeated_segments_removed",
     "filter_member_property_gate",
     "pipeline_incremental_curation",
+    "text_tokens_to_ids",
 ]
 
 

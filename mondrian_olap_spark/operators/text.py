@@ -1168,3 +1168,106 @@ def _re_escape(s: str) -> str:
     import re
 
     return re.escape(s)
+
+
+def build_vocab(
+    df: DataFrame,
+    vocab_size: int = 1 << 15,
+    text_col: str = "text",
+    reserved: tuple[str, ...] = ("<unk>",),
+) -> DataFrame:
+    """Frequency-ranked token vocabulary: the top ``vocab_size`` corpus
+    tokens get ids after the ``reserved`` specials (id 0 = ``<unk>`` by
+    default) — deterministic (count desc, token asc tiebreak), so two
+    engines and two runs agree on every id.
+
+    One token-keyed count shuffle (map-side combined); the ranking window
+    runs over the vocab-sized count table, not the corpus.  Returns
+    ``(token, token_id, n_occurrences)``.
+    """
+    counts = (
+        df.select(
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token")
+        )
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token"))
+    ranked = (
+        counts.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= vocab_size)
+        .select(
+            "token",
+            (F.col("__r") - 1 + len(reserved)).alias("token_id"),
+            "n_occurrences",
+        )
+    )
+    spark = df.sparkSession
+    spec = spark.createDataFrame(
+        [(t, i, 0) for i, t in enumerate(reserved)],
+        "token string, token_id bigint, n_occurrences bigint",
+    )
+    return spec.unionByName(ranked)
+
+
+def tokens_to_ids(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    output: str = "token_ids",
+    unk_id: int = 0,
+    broadcast_threshold: int = 1 << 20,
+) -> DataFrame:
+    """Apply a vocabulary to a text column → ``array<bigint>`` token ids,
+    out-of-vocabulary tokens mapping to ``unk_id`` — the tokenize-to-ids
+    export step in front of sequence packing.
+
+    Physical strategy by vocabulary size: a vocab within
+    ``broadcast_threshold`` entries is collected once and inlined as a
+    MAP literal, so the whole encode is a pure projection
+    (``transform`` + ``element_at`` — zero joins, zero shuffles, codegen).
+    Larger vocabularies take the explode → broadcast-join → regroup path:
+    ids re-assemble in original token order via the position index, ONE
+    doc-keyed shuffle.  Both paths produce identical arrays.
+    """
+    n = vocab.count()
+    if n <= broadcast_threshold:
+        mapping = {
+            r["token"]: int(r["token_id"]) for r in vocab.collect()
+        }
+        pairs = [x for kv in mapping.items() for x in kv]
+        m = F.create_map(*[F.lit(x) for x in pairs]) if pairs else None
+        toks = F.split(F.trim(F.col(text_col)), r"\s+")
+        ids = F.transform(
+            toks,
+            lambda t: (
+                F.coalesce(F.element_at(m, t), F.lit(unk_id)).cast("long")
+                if m is not None
+                else F.lit(unk_id).cast("long")
+            ),
+        )
+        return df.withColumn(output, ids)
+    doc_cols = df.columns
+    pos = df.select(
+        *doc_cols,
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+            "__pos", "__tok"
+        ),
+    )
+    joined = pos.join(
+        F.broadcast(vocab.select(F.col("token").alias("__tok"), "token_id")),
+        "__tok",
+        "left",
+    ).withColumn(
+        "__id", F.coalesce(F.col("token_id"), F.lit(unk_id)).cast("long")
+    )
+    regrouped = joined.groupBy(*doc_cols).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__pos", "__id"))),
+            lambda s: s["__id"],
+        ).alias(output)
+    )
+    return regrouped

@@ -3363,3 +3363,51 @@ def pipeline_incremental_curation(spark, sf_dir):
             )
         ).alias("kept_md5"),
     )
+
+
+@q(
+    "text_tokens_to_ids",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DOC_TOKS}) AS w,
+             generate_subscripts({_DOC_TOKS}, 1) AS pos
+      FROM documents
+    ),
+    counts AS (
+      SELECT w AS token, count(*) AS n FROM toks GROUP BY 1
+    ),
+    vocab AS (
+      SELECT token,
+             row_number() OVER (ORDER BY n DESC, token) AS rid
+      FROM counts QUALIFY rid <= 100
+    ),
+    encoded AS (
+      SELECT t.doc_id,
+             count(*) AS n_tokens,
+             string_agg(CAST(coalesce(v.rid, 0) AS VARCHAR), ','
+                        ORDER BY t.pos) AS ids
+      FROM toks t LEFT JOIN vocab v ON t.w = v.token
+      GROUP BY 1
+    )
+    SELECT doc_id, n_tokens, md5(ids) AS ids_md5 FROM encoded
+    """,
+)
+def text_tokens_to_ids(spark, sf_dir):
+    """Vocabulary application (text.build_vocab + tokens_to_ids): the top
+    100 corpus tokens get frequency-ranked ids (count desc, token asc —
+    deterministic), OOV maps to <unk>=0, and every document encodes to its
+    id sequence via the inlined-map pure projection.  The oracle replays
+    ranking and encoding with a join + ordered string_agg; md5 of the
+    joined id list is the cross-engine equality handle."""
+    docs = _docs(spark, sf_dir)
+    vocab = text.build_vocab(docs, vocab_size=100)
+    enc = text.tokens_to_ids(docs, vocab)
+    return enc.select(
+        "doc_id",
+        F.size("token_ids").cast("long").alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                ",", F.transform("token_ids", lambda x: x.cast("string"))
+            )
+        ).alias("ids_md5"),
+    )

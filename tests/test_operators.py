@@ -2498,3 +2498,63 @@ def test_curate_increment_semantics(spark):
     assert rows[11]["dup_count"] == 2      # absorbed the batch twin
     assert rows[11]["split"] == "train"
     assert "bloom_hit" in out.columns      # fp accounting observable
+
+
+def test_build_vocab_and_tokens_to_ids(spark):
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="a b a c"), Row(doc_id=2, text="b b d"),
+    ])
+    v = text.build_vocab(docs, vocab_size=3)
+    got = {r["token"]: r["token_id"] for r in v.collect()}
+    # frequency rank with token tiebreak, specials first
+    assert got == {"<unk>": 0, "b": 1, "a": 2, "c": 3}
+    inline = text.tokens_to_ids(docs, v).orderBy("doc_id").collect()
+    joined = text.tokens_to_ids(docs, v, broadcast_threshold=0).orderBy(
+        "doc_id").collect()
+    assert [list(r["token_ids"]) for r in inline] == [[2, 1, 2, 3], [1, 1, 0]]
+    # both physical strategies produce identical arrays
+    assert [list(r["token_ids"]) for r in joined] ==         [list(r["token_ids"]) for r in inline]
+    # the inline path is a pure projection
+    plan = (text.tokens_to_ids(docs, v)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Join" not in plan
+
+
+def test_streaming_bloom_bitmap_maintenance(spark, tmp_path):
+    """Incremental bitmap maintenance under Structured Streaming:
+    foreachBatch OR-merges each micro-batch's bitmap into a running store;
+    after the stream drains, the merged bitmap is IDENTICAL to the batch
+    bitmap of the full corpus (Bloom bitmaps compose under bitwise OR)."""
+    m, k = 62 * 8, 4
+    all_docs = [
+        Row(doc_id=i, text=f"streaming corpus document number {i} body")
+        for i in range(20)
+    ]
+    staging = str(tmp_path / "in")
+    spark.createDataFrame(all_docs[:10]).write.json(staging)
+    spark.createDataFrame(all_docs[10:]).write.mode("append").json(staging)
+    store = str(tmp_path / "bloom_store")
+
+    def merge(batch_df, batch_id):
+        import os
+        bm = dedup.bloom_build(batch_df, m_bits=m, k=k)
+        if os.path.exists(store):
+            prev = batch_df.sparkSession.read.parquet(store)
+            bm = (prev.unionByName(bm).groupBy("word")
+                  .agg(F.expr("bit_or(bits)").alias("bits")))
+        bm.write.mode("overwrite").parquet(store + ".next")
+        merged = batch_df.sparkSession.read.parquet(store + ".next")
+        merged.write.mode("overwrite").parquet(store)
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).json(staging))
+    q = (stream.writeStream.foreachBatch(merge)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    streamed = {(r["word"], r["bits"])
+                for r in spark.read.parquet(store).collect()}
+    whole = {(r["word"], r["bits"]) for r in
+             dedup.bloom_build(spark.createDataFrame(all_docs),
+                               m_bits=m, k=k).collect()}
+    assert streamed == whole

@@ -109,6 +109,7 @@ QUERIES = [
     "text_repeated_segments_removed",
     "filter_member_property_gate",
     "pipeline_incremental_curation",
+    "text_tokens_to_ids",
 ]
 
 
