@@ -662,3 +662,173 @@ def cosine_topk_vectorized(
         .filter(F.col("__rn") <= k)
         .select("query_id", "neighbor_id", "cosine")
     )
+
+
+# ----------------------------------------------------- product quantization
+
+def _sub_slice(col: Column, j: int, sub: int) -> Column:
+    """1-based subvector slice j of width ``sub`` (as double array)."""
+    return F.slice(_dvec(col), j * sub + 1, sub)
+
+
+def pq_seeds(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Deterministic seed codebooks for product quantization: subspace
+    ``j``'s ``k`` centroids are the k lowest-id non-zero vectors' j-th
+    subvector slices (the :func:`ivf_seeds` convention, per subspace).
+    Returns ``codebooks[m][k] = list[float]`` plus the subvector width on
+    the side: ``(codebooks, sub_dim)``."""
+    rows = (
+        emb.select(F.col(id_col).alias("id"), _dvec(F.col(vec_col)).alias("v"))
+        .withColumn("nv", norm(F.col("v")))
+        .filter(F.col("nv") > 0)
+        .orderBy("id")
+        .limit(k)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("no non-zero vectors to seed from")
+    d = len(rows[0]["v"])
+    if d % m:
+        raise ValueError(f"vector dim {d} is not divisible by m={m}")
+    sub = d // m
+    codebooks = [
+        [[float(x) for x in r["v"][j * sub : (j + 1) * sub]] for r in rows]
+        for j in range(m)
+    ]
+    return codebooks, sub
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Lloyd's k-means PER SUBSPACE — the product-quantizer trainer
+    (Jégou et al. 2011).  Deterministic seed (:func:`pq_seeds`), then each
+    round assigns every subvector to its nearest codeword (the same
+    zero-shuffle projection as :func:`pq_encode`) and recomputes codewords
+    as per-code elementwise means (ONE posexplode + groupBy job per round
+    covering ALL subspaces; m·k·sub values to the driver — model
+    parameters).  Empty codes keep their previous codeword.  Returns
+    ``(codebooks, sub_dim)`` in :func:`pq_encode` shape."""
+    import math  # noqa: F401
+
+    codebooks, sub = pq_seeds(emb, m, k, id_col, vec_col)
+    base = emb.select(
+        F.col(id_col).alias("id"), _dvec(F.col(vec_col)).alias("v")
+    )
+    for _ in range(iterations):
+        enc = _pq_codes_df(base, codebooks, sub)
+        means = (
+            enc.select(
+                F.posexplode("codes").alias("subspace", "code"),
+                F.col("v"),
+            )
+            .select(
+                "subspace",
+                "code",
+                F.posexplode(
+                    F.expr("slice(v, subspace * {s} + 1, {s})".format(s=sub))
+                ).alias("pos", "x"),
+            )
+            .groupBy("subspace", "code", "pos")
+            .agg(F.avg("x").alias("mu"))
+            .collect()
+        )
+        acc: dict = {}
+        for r in means:
+            acc.setdefault((r["subspace"], r["code"]), {})[r["pos"]] = r["mu"]
+        new = []
+        for j in range(m):
+            book = []
+            for c in range(k):
+                d = acc.get((j, c))
+                if d and len(d) == sub:
+                    book.append([float(d[i]) for i in range(sub)])
+                else:
+                    book.append(codebooks[j][c])  # empty code keeps codeword
+            new.append(book)
+        codebooks = new
+    return codebooks, sub
+
+
+def _pq_dist(vcol: Column, centroid: list[float], j: int, sub: int) -> Column:
+    """Squared L2 distance of subvector j to one codeword, decomposed as
+    |x|² − 2·x·c + |c|² — every term a SEQUENTIAL fold or a Python-side
+    constant, so the doubles are bit-reproducible across engines."""
+    x = _sub_slice(vcol, j, sub)
+    cl = F.lit([float(v) for v in centroid])
+    xx = F.aggregate(x, F.lit(0.0), lambda a, b: a + b * b)
+    xc = dot(x, cl)
+    cc = float(sum(v * v for v in centroid))
+    return xx - 2.0 * xc + F.lit(cc)
+
+
+def _pq_codes_df(base: DataFrame, codebooks: list, sub: int) -> DataFrame:
+    m = len(codebooks)
+    code_cols = []
+    for j in range(m):
+        cands = F.array(
+            *[
+                F.struct(
+                    _pq_dist(F.col("v"), codebooks[j][c], j, sub).alias("d"),
+                    F.lit(c).alias("i"),
+                )
+                for c in range(len(codebooks[j]))
+            ]
+        )
+        code_cols.append(F.array_min(cands)["i"])
+    return base.withColumn("codes", F.array(*code_cols))
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list,
+    sub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    with_error: bool = True,
+) -> DataFrame:
+    """Encode every vector as ``m`` codeword indices — d floats become m
+    small ints (d/m·32× compression at k≤256): the ANN memory-budget
+    lever beyond int8 (:func:`quantize_embeddings`).
+
+    The entire encode is a PURE PROJECTION: codebooks inline as literals
+    (m·k·sub doubles — kilobytes), every subspace's argmin is an
+    ``array_min`` over (distance, index) structs (deterministic ties by
+    index), no joins, no shuffles.  With ``with_error`` the squared
+    reconstruction error rides along (Σ over subspaces of the chosen
+    codeword's distance) — the quality number a compression decision
+    needs, computed in the same pass.
+    """
+    base = emb.select(
+        F.col(id_col), _dvec(F.col(vec_col)).alias("v")
+    )
+    out = _pq_codes_df(base.withColumnRenamed(id_col, "id"), codebooks, sub)
+    out = out.withColumnRenamed("id", id_col)
+    if with_error:
+        m = len(codebooks)
+        err = None
+        for j in range(m):
+            cands = F.array(
+                *[
+                    F.struct(
+                        _pq_dist(F.col("v"), codebooks[j][c], j, sub).alias("d"),
+                        F.lit(c).alias("i"),
+                    )
+                    for c in range(len(codebooks[j]))
+                ]
+            )
+            dj = F.array_min(cands)["d"]
+            err = dj if err is None else err + dj
+        out = out.withColumn("sq_error", err)
+    return out.drop("v")

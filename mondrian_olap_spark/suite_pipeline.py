@@ -3411,3 +3411,62 @@ def text_tokens_to_ids(spark, sf_dir):
             )
         ).alias("ids_md5"),
     )
+
+
+@q(
+    "embed_pq_codes",
+    f"""
+    WITH en AS (
+      SELECT vec_id, {_EMB_D} AS v FROM embeddings
+    ),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+      FROM en
+      WHERE list_dot_product(v, v) > 0
+      ORDER BY vec_id LIMIT 8
+    ),
+    subspace AS (SELECT unnest(range(0, 4)) AS j),
+    dists AS (
+      SELECT e.vec_id, s.j, c.code,
+             list_dot_product(e.v[s.j * 16 + 1 : s.j * 16 + 16],
+                              e.v[s.j * 16 + 1 : s.j * 16 + 16])
+             - 2 * list_dot_product(e.v[s.j * 16 + 1 : s.j * 16 + 16],
+                                    c.v[s.j * 16 + 1 : s.j * 16 + 16])
+             + list_dot_product(c.v[s.j * 16 + 1 : s.j * 16 + 16],
+                                c.v[s.j * 16 + 1 : s.j * 16 + 16]) AS d
+      FROM en e CROSS JOIN subspace s CROSS JOIN seeds c
+    ),
+    best AS (
+      SELECT vec_id, j, code, d,
+             row_number() OVER (PARTITION BY vec_id, j
+                                ORDER BY d, code) AS rn
+      FROM dists
+    )
+    SELECT vec_id,
+           string_agg(CAST(code AS VARCHAR), ',' ORDER BY j) AS codes,
+           round(sum(d), 6) AS sq_error
+    FROM best WHERE rn = 1
+    GROUP BY 1
+    """,
+)
+def embed_pq_codes(spark, sf_dir):
+    """Product quantization (similarity.pq_encode, m=4 x k=8 seed
+    codebooks — the deterministic ivf_seeds convention per subspace): 64
+    doubles become 4 codeword indices, encoded as a PURE projection with
+    the squared reconstruction error in the same pass.  Distances
+    decompose as |x|^2 - 2 x.c + |c|^2 with sequential-fold dot products,
+    so the oracle's replay (cross join over subspaces x codewords,
+    argmin by (distance, code)) matches bit-for-bit before rounding.
+    pq_train (Lloyd per subspace) is pytest-verified separately — trained
+    codewords are per-cell MEANS, which no cross-engine bit guarantee
+    survives."""
+    emb = _emb(spark, sf_dir)
+    cb, sub = similarity.pq_seeds(emb, m=4, k=8)
+    enc = similarity.pq_encode(emb, cb, sub)
+    return enc.select(
+        "vec_id",
+        F.concat_ws(
+            ",", F.transform("codes", lambda x: x.cast("string"))
+        ).alias("codes"),
+        F.round("sq_error", 6).alias("sq_error"),
+    )

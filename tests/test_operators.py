@@ -2558,3 +2558,31 @@ def test_streaming_bloom_bitmap_maintenance(spark, tmp_path):
              dedup.bloom_build(spark.createDataFrame(all_docs),
                                m_bits=m, k=k).collect()}
     assert streamed == whole
+
+
+def test_pq_encode_and_train(spark):
+    """Product quantization: seed vectors encode to themselves with zero
+    error; codes are within [0, k); Lloyd training strictly reduces mean
+    reconstruction error on real data; dims must divide into subspaces."""
+    from mondrian_olap_spark.operators import similarity as sim
+    from .conftest import SF_DIR
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cb, sub = sim.pq_seeds(emb, m=4, k=8)
+    assert len(cb) == 4 and len(cb[0]) == 8 and sub == 16
+    enc = sim.pq_encode(emb, cb, sub).cache()
+    seeds = {r["vec_id"] for r in emb.orderBy("vec_id").limit(8).collect()}
+    for r in enc.collect():
+        assert all(0 <= c < 8 for c in r["codes"])
+        if r["vec_id"] in seeds:
+            assert abs(r["sq_error"]) < 1e-9
+    seed_err = enc.agg(F.avg("sq_error")).collect()[0][0]
+    cbt, _ = sim.pq_train(emb, m=4, k=8, iterations=2)
+    tr_err = (sim.pq_encode(emb, cbt, sub)
+              .agg(F.avg("sq_error")).collect()[0][0])
+    assert tr_err < seed_err
+    # encode is a pure projection
+    plan = (sim.pq_encode(emb, cb, sub)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "Join" not in plan
+    with pytest.raises(ValueError, match="not divisible"):
+        sim.pq_seeds(emb, m=7, k=4)

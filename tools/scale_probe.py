@@ -110,6 +110,7 @@ QUERIES = [
     "filter_member_property_gate",
     "pipeline_incremental_curation",
     "text_tokens_to_ids",
+    "embed_pq_codes",
 ]
 
 
