@@ -81,6 +81,7 @@ HEADLINE = [
     "pipeline_incremental_curation",
     "text_tokens_to_ids",
     "embed_pq_codes",
+    "embed_pq_topk",
 ]
 
 

@@ -832,3 +832,92 @@ def pq_encode(
             err = dj if err is None else err + dj
         out = out.withColumn("sq_error", err)
     return out.drop("v")
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    codebooks: list,
+    sub: int,
+    n: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Approximate top-k by ASYMMETRIC distance computation over PQ codes
+    (Jégou et al. 2011 ADC): the query stays full-precision, every
+    database vector is its m codeword indices, and the approximate
+    squared L2 distance is m TABLE LOOKUPS — the per-query distance
+    tables (m×k doubles) are computed driver-side from the bounded query
+    set and broadcast, so scoring a 100 TB code table is a projection
+    plus one small join, never touching the original vectors.
+
+    ``codes`` accepts a pre-encoded frame (``pq_encode`` output —
+    the persisted artifact); otherwise vectors encode on the fly.
+    Returns ``(query_id, neighbor_id, approx_sq_dist)`` — n rows per
+    query ascending, neighbor id tiebreak, self-matches excluded.
+
+    Float discipline: table entries use the same |x|² − 2x·c + |c|²
+    sequential-fold decomposition as :func:`pq_encode`, so a SQL oracle
+    reproduces every lookup bit-for-bit.
+    """
+    if codes is None:
+        codes = pq_encode(
+            emb, codebooks, sub, id_col=id_col, vec_col=vec_col,
+            with_error=False,
+        )
+    m = len(codebooks)
+    qrows = (
+        emb.filter(F.col(id_col).isin(list(query_ids)))
+        .select(F.col(id_col).alias("qid"), _dvec(F.col(vec_col)).alias("v"))
+        .collect()
+    )
+
+    def table(qv) -> list[list[float]]:
+        out = []
+        for j in range(m):
+            x = [float(t) for t in qv[j * sub : (j + 1) * sub]]
+            xx = 0.0
+            for t in x:
+                xx = xx + t * t
+            row = []
+            for c in codebooks[j]:
+                xc = 0.0
+                for a, b in zip(x, c):
+                    xc = xc + a * b
+                cc = 0.0
+                for b in c:
+                    cc = cc + b * b
+                row.append(xx - 2.0 * xc + cc)
+            out.append(row)
+        return out
+
+    spark = emb.sparkSession
+    tdf = spark.createDataFrame(
+        [(int(r["qid"]), table(r["v"])) for r in qrows],
+        "query_id long, t array<array<double>>",
+    )
+    joined = codes.join(
+        F.broadcast(tdf), F.col(id_col) != F.col("query_id")
+    )
+    score = None
+    for j in range(m):
+        term = F.element_at(
+            F.element_at("t", j + 1), F.element_at("codes", j + 1) + 1
+        )
+        score = term if score is None else score + term
+    from pyspark.sql import Window
+
+    scored = joined.withColumn("approx_sq_dist", score)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sq_dist").asc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            "approx_sq_dist",
+        )
+    )

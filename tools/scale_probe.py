@@ -111,6 +111,7 @@ QUERIES = [
     "pipeline_incremental_curation",
     "text_tokens_to_ids",
     "embed_pq_codes",
+    "embed_pq_topk",
 ]
 
 
