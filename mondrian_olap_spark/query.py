@@ -1503,8 +1503,12 @@ class Query:
                 "UDF registered with register_scalar"
             )
 
+        # the singleton-set sugar `{[Dim].CurrentMember}.prop` (reference
+        # set-property UDFs over a current-member set,
+        # schema_definition_test.rb:1073-1089) is the member form in
+        # braces — same rewrite
         return _re.sub(
-            r"\[((?:[^\]]|\]\])+)\]\s*\.\s*CurrentMember\s*\.\s*"
+            r"\{?\s*\[((?:[^\]]|\]\])+)\]\s*\.\s*CurrentMember\s*\}?\s*\.\s*"
             r"([A-Za-z_][A-Za-z0-9_]*)\s*(\(([^)]*)\))?",
             repl,
             expr,

@@ -289,6 +289,18 @@ def test_current_member_property_and_method_udfs(spark, engine):
     )
     row = r2.df.collect()[0]
     assert row["un"] == row["nation_name"].upper()
+    # singleton-set sugar: {[Dim].CurrentMember}.prop is the member form
+    # (schema_definition_test.rb:1073-1089 set-property UDFs)
+    r3 = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[un] AS '{[Customer].CurrentMember}.UpperName'
+        SELECT {[Measures].[un]} ON COLUMNS,
+               [Customer].Children ON ROWS FROM [Sales]
+        """,
+    )
+    for rr in r3.df.collect():
+        assert rr["un"] == rr["region_name"].upper()
     from mondrian_olap_spark import Query
     with pytest.raises(QueryError, match="unknown member property"):
         (Query(engine).with_member("x")
