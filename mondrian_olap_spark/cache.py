@@ -67,13 +67,27 @@ class _Entry:
 
 
 class AggregateCache:
-    def __init__(self, storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK):
-        self._entries: dict[tuple, _Entry] = {}
+    def __init__(
+        self,
+        storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+        max_entries: int = 256,
+    ):
+        from collections import OrderedDict
+
+        #: LRU-ordered: hits move an entry to the end, inserts beyond
+        #: ``max_entries`` evict (and UNPERSIST) the least-recently-used —
+        #: cached aggregates pin executor memory/disk, so an unbounded
+        #: cache in a long-lived session is a slow leak (the segment-cache
+        #: analog of Mondrian's bounded SegmentCacheManager)
+        self._entries: "OrderedDict[tuple, _Entry]" = OrderedDict()
         self._storage_level = storage_level
+        self.max_entries = int(max_entries)
         self.hits = 0
         self.misses = 0
         #: coarser requests served by re-aggregating a finer cached entry
         self.rollups = 0
+        #: entries dropped by the LRU bound (observability)
+        self.evictions = 0
 
     def __len__(self) -> int:
         return len(self._entries)
@@ -90,6 +104,7 @@ class AggregateCache:
         entry = self._entries.get(key)
         if entry is not None:
             self.hits += 1
+            self._entries.move_to_end(key)  # LRU touch
             return entry.df
         df = None
         if rollup_fn is not None and measures:
@@ -115,6 +130,10 @@ class AggregateCache:
             group_cols=tuple(group_cols or ()),
             measures=dict(measures or {}),
         )
+        while len(self._entries) > self.max_entries:
+            _, old = self._entries.popitem(last=False)
+            old.df.unpersist()
+            self.evictions += 1
         return df
 
     def _rollup_source(

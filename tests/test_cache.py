@@ -257,3 +257,33 @@ def test_rollup_reuses_same_grain_different_order(spark, engine):
     b = {(r["region_name"], r["return_flag"]): r["sum_qty"] for r in q2.collect()}
     assert a == b
     e2.cache.flush_all()
+
+
+def test_aggregate_cache_lru_eviction(spark):
+    """The aggregate cache is a BOUNDED LRU: inserts beyond max_entries
+    evict (and unpersist) the least-recently-used entry; a hit refreshes
+    recency so hot entries survive."""
+    from mondrian_olap_spark.cache import AggregateCache
+
+    cache = AggregateCache(max_entries=2)
+    built = []
+
+    def builder_for(i):
+        def b():
+            built.append(i)
+            return spark.range(i + 1).toDF("v")
+        return b
+
+    k = lambda i: ("cube", ("g",), (), ("m",), None if i else None) + (i,)  # noqa: E731
+    cache.get_or_build(k(0), [], builder_for(0))
+    cache.get_or_build(k(1), [], builder_for(1))
+    # touch k0 so k1 is the LRU victim when k2 arrives
+    cache.get_or_build(k(0), [], builder_for(0))
+    cache.get_or_build(k(2), [], builder_for(2))
+    assert len(cache) == 2 and cache.evictions == 1
+    # k0 still cached (no rebuild); k1 was evicted (rebuilds)
+    n_built = len(built)
+    cache.get_or_build(k(0), [], builder_for(0))
+    assert len(built) == n_built
+    cache.get_or_build(k(1), [], builder_for(1))
+    assert len(built) == n_built + 1
