@@ -82,6 +82,7 @@ HEADLINE = [
     "text_tokens_to_ids",
     "embed_pq_codes",
     "embed_pq_topk",
+    "text_mojibake_gate",
 ]
 
 

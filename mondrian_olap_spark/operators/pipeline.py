@@ -464,3 +464,54 @@ def curate_increment(
     if split_weights:
         out = sp.assign_splits(out, split_weights, id_col=id_col, seed=seed)
     return out
+
+
+def write_manifest(spark, path: str, id_col: str = "doc_id") -> dict:
+    """Write the reproducibility manifest next to a curated dataset: file
+    layout stats (:func:`output_summary` — footer metadata, no data scan)
+    plus per-partition-directory row counts and a CONTENT fingerprint (md5
+    over the sorted id list, computed distributed and combined
+    order-independently per split).  Re-running a 100 TB curation and
+    diffing two `_manifest.json` files answers "did membership change?"
+    without reading either dataset's text.
+
+    Returns the manifest dict; writes ``_manifest.json`` under ``path``
+    (the ``_`` prefix keeps it out of parquet data discovery).
+    """
+    import json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    summary = output_summary(spark, path)
+    split_col = "split" if "split" in df.columns else None
+    keys = [split_col] if split_col else []
+    per = (
+        df.groupBy(*keys).agg(
+            F.count("*").alias("n_rows"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.col(id_col))),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("ids_md5"),
+        )
+    ).collect()
+    manifest = {
+        "path": path,
+        **summary,
+        "partitions": {
+            (r[split_col] if split_col else "__all__"): {
+                "n_rows": r["n_rows"],
+                "ids_md5": r["ids_md5"],
+            }
+            for r in per
+        },
+    }
+    with open(_os.path.join(path, "_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest

@@ -1271,3 +1271,51 @@ def tokens_to_ids(
         ).alias(output)
     )
     return regrouped
+
+
+#: the classic UTF-8-as-Latin-1 mojibake signatures: a double-encoded
+#: lead byte renders as one of these anchor characters followed by a
+#: continuation-range character.  Written as \x{...} codepoint classes —
+#: identical pattern text in Java regex and RE2 (DuckDB).
+MOJIBAKE_PATTERN = (
+    "[\\x{00C2}\\x{00C3}\\x{00C4}\\x{00C5}][\\x{0080}-\\x{00BF}]"
+)
+
+
+def mojibake_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Encoding-damage signals per document — the crawl-hygiene check for
+    text that went through a wrong-charset decode:
+
+    * ``n_mojibake``: occurrences of the UTF-8-as-Latin-1 double-encoding
+      signature (Ã/Â/Ä/Å followed by a continuation-range character —
+      'café' mangled to 'cafÃ©');
+    * ``n_replacement``: U+FFFD replacement characters (a decoder already
+      gave up there);
+    * ``mojibake_ratio``: damaged characters per non-space character.
+
+    Pure length-difference regex counting (the :func:`script_profile`
+    technique) — one codegen pass, no tokenization.
+    """
+    c = F.col(text_col)
+    moji = (
+        F.length(c)
+        - F.length(F.regexp_replace(c, MOJIBAKE_PATTERN, ""))
+    ) / 2  # each hit is 2 chars
+    repl = F.length(c) - F.length(
+        F.regexp_replace(c, "[\\x{FFFD}]", "")
+    )
+    nonspace = F.greatest(
+        F.length(F.regexp_replace(c, r"\s", "")), F.lit(1)
+    )
+    return (
+        df.withColumn("n_mojibake", moji.cast("long"))
+        .withColumn("n_replacement", repl.cast("long"))
+        .withColumn(
+            "mojibake_ratio",
+            F.round(
+                (F.col("n_mojibake") + F.col("n_replacement")).cast("double")
+                / nonspace,
+                6,
+            ),
+        )
+    )

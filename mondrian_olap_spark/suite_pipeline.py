@@ -3537,3 +3537,53 @@ def embed_pq_topk(spark, sf_dir):
     cb, sub = similarity.pq_seeds(emb, m=4, k=8)
     out = similarity.pq_topk(emb, [0, 100, 200, 300, 400], cb, sub, n=10)
     return out.withColumn("approx_sq_dist", F.round("approx_sq_dist", 6))
+
+
+@q(
+    "text_mojibake_gate",
+    r"""
+    WITH messy AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0
+                  THEN 'caf' || chr(195) || chr(169) || ' ' || text
+                  WHEN doc_id % 4 = 1
+                  THEN text || ' ' || chr(65533) || chr(65533)
+                  ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST((length(text) - length(regexp_replace(text,
+                 '[\x{00C2}\x{00C3}\x{00C4}\x{00C5}][\x{0080}-\x{00BF}]',
+                 '', 'g'))) / 2 AS BIGINT) AS n_mojibake,
+           CAST(length(text) - length(regexp_replace(text,
+                 '[\x{FFFD}]', '', 'g')) AS BIGINT) AS n_replacement,
+           round(
+             CAST((length(text) - length(regexp_replace(text,
+                   '[\x{00C2}\x{00C3}\x{00C4}\x{00C5}][\x{0080}-\x{00BF}]',
+                   '', 'g'))) / 2
+                  + length(text) - length(regexp_replace(text,
+                    '[\x{FFFD}]', '', 'g')) AS DOUBLE)
+             / greatest(length(regexp_replace(text, '\s', '', 'g')), 1),
+             6) AS mojibake_ratio
+    FROM messy
+    """,
+)
+def text_mojibake_gate(spark, sf_dir):
+    """Encoding-damage detection (text.mojibake_features): a quarter of
+    the corpus wears the UTF-8-as-Latin-1 double-encoding signature
+    ('cafA-tilde-copyright...' built codepoint-by-codepoint in BOTH
+    engines), another quarter carries U+FFFD replacement chars; counts and
+    ratio must match the oracle's identical codepoint-class length
+    arithmetic."""
+    docs = _docs(spark, sf_dir)
+    moji = "caf" + chr(195) + chr(169) + " "
+    repl = " " + chr(65533) + chr(65533)
+    messy = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit(moji), F.col("text")))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.col("text"), F.lit(repl)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = text.mojibake_features(messy)
+    return out.select("doc_id", "n_mojibake", "n_replacement", "mojibake_ratio")

@@ -2609,3 +2609,44 @@ def test_pq_topk_adc(spark):
     codes = sim.pq_encode(emb, cb, sub, with_error=False)
     pre = sim.pq_topk(emb, [0, 100], cb, sub, n=5, codes=codes).collect()
     assert sorted(map(tuple, pre)) == sorted(map(tuple, out))
+
+
+def test_mojibake_features(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="caf" + chr(195) + chr(169) + " normal words"),
+        Row(doc_id=2, text="clean text entirely"),
+        Row(doc_id=3, text="broken " + chr(65533) + " decode"),
+    ])
+    out = {r["doc_id"]: r for r in text.mojibake_features(df).collect()}
+    assert out[1]["n_mojibake"] == 1 and out[1]["n_replacement"] == 0
+    assert out[2]["n_mojibake"] == 0 and out[2]["mojibake_ratio"] == 0.0
+    assert out[3]["n_replacement"] == 1 and out[3]["mojibake_ratio"] > 0
+
+
+def test_write_manifest_roundtrip(spark, tmp_path):
+    """The manifest answers "did membership change?" without a data read:
+    identical datasets produce identical partition fingerprints; a dropped
+    row changes them."""
+    import json
+    from mondrian_olap_spark.operators.pipeline import write_curated, write_manifest
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 8, "train").otherwise("val").alias("split"),
+    )
+    p1 = str(tmp_path / "v1")
+    write_curated(df, p1)
+    m1 = write_manifest(spark, p1)
+    assert m1["n_rows"] == 100 and set(m1["partitions"]) == {"train", "val"}
+    on_disk = json.load(open(p1 + "/_manifest.json"))
+    assert on_disk["partitions"] == m1["partitions"]
+    # same content, different write → identical fingerprints
+    p2 = str(tmp_path / "v2")
+    write_curated(df.repartition(7), p2)
+    m2 = write_manifest(spark, p2)
+    assert m2["partitions"] == m1["partitions"]
+    # membership change is visible
+    p3 = str(tmp_path / "v3")
+    write_curated(df.filter("doc_id <> 42"), p3)
+    m3 = write_manifest(spark, p3)
+    assert m3["partitions"]["train"]["ids_md5"] != m1["partitions"]["train"]["ids_md5"]
+    assert m3["partitions"]["val"] == m1["partitions"]["val"]

@@ -112,6 +112,7 @@ QUERIES = [
     "text_tokens_to_ids",
     "embed_pq_codes",
     "embed_pq_topk",
+    "text_mojibake_gate",
 ]
 
 
