@@ -921,3 +921,61 @@ def pq_topk(
             "approx_sq_dist",
         )
     )
+
+
+def write_pq_index(
+    emb: DataFrame,
+    path: str,
+    m: int = 4,
+    k: int = 8,
+    codebooks: list | None = None,
+    sub: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Materialize the PQ index — the on-disk ANN-compression artifact
+    (the :func:`write_ivf_index` convention): the code table as parquet
+    plus the codebooks under ``_codebooks`` (the ``_`` prefix hides them
+    from parquet data discovery; a probe MUST use the codebooks the codes
+    were produced with).  Pass trained ``codebooks`` from
+    :func:`pq_train`; defaults to the deterministic seeds.  Returns
+    ``(codebooks, sub)``."""
+    if codebooks is None:
+        codebooks, sub = pq_seeds(emb, m, k, id_col, vec_col)
+    assert sub is not None, "sub is required with explicit codebooks"
+    codes = pq_encode(
+        emb, codebooks, sub, id_col=id_col, vec_col=vec_col, with_error=False
+    )
+    codes.write.mode("overwrite").parquet(path)
+    rows = [
+        (j, c, [float(x) for x in codebooks[j][c]])
+        for j in range(len(codebooks))
+        for c in range(len(codebooks[j]))
+    ]
+    (
+        emb.sparkSession.createDataFrame(
+            rows, "subspace int, code int, v array<double>"
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path + "/_codebooks")
+    )
+    return codebooks, sub
+
+
+def read_pq_index(spark, path: str):
+    """Load an index written by :func:`write_pq_index`: returns
+    ``(codes_df, codebooks, sub)`` in exactly the shape
+    ``pq_topk(codes=..., codebooks=..., sub=...)`` takes (the codebook
+    read is an m·k-row collect — model parameters, the legitimate
+    collect)."""
+    codes = spark.read.parquet(path)
+    rows = spark.read.parquet(path + "/_codebooks").collect()
+    m = max(r["subspace"] for r in rows) + 1
+    k = max(r["code"] for r in rows) + 1
+    books: list = [[None] * k for _ in range(m)]
+    sub = None
+    for r in rows:
+        books[r["subspace"]][r["code"]] = [float(x) for x in r["v"]]
+        sub = len(r["v"])
+    return codes, books, sub

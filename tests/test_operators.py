@@ -2650,3 +2650,19 @@ def test_write_manifest_roundtrip(spark, tmp_path):
     m3 = write_manifest(spark, p3)
     assert m3["partitions"]["train"]["ids_md5"] != m1["partitions"]["train"]["ids_md5"]
     assert m3["partitions"]["val"] == m1["partitions"]["val"]
+
+
+def test_pq_index_roundtrip(spark, tmp_path):
+    """write_pq_index persists codes + codebooks; a probe through the
+    loaded artifact returns exactly what the in-memory path returns."""
+    from mondrian_olap_spark.operators import similarity as sim
+    from .conftest import SF_DIR
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "pq_idx")
+    cb, sub = sim.write_pq_index(emb, path, m=4, k=8)
+    codes, books, sub2 = sim.read_pq_index(spark, path)
+    assert sub2 == sub and books == cb
+    via_index = sim.pq_topk(emb, [0, 100], books, sub2, n=5,
+                            codes=codes).collect()
+    direct = sim.pq_topk(emb, [0, 100], cb, sub, n=5).collect()
+    assert sorted(map(tuple, via_index)) == sorted(map(tuple, direct))
