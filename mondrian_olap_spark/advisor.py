@@ -169,3 +169,33 @@ def recommend_aggregates(
             del uncovered[q]
         candidates = [c for c in candidates if c != best]
     return picks
+
+
+def recommend_from_engine(
+    engine,
+    max_total_rows: int | None = None,
+    top: int = 5,
+    min_compression: float = 2.0,
+) -> list[Recommendation]:
+    """Advise from the engine's OWN query log: every executed query
+    records its grain into a bounded ring buffer on the engine
+    (``engine._query_log``), so after a warm-up period the advisor needs
+    no external log at all — call this, feed the picks to
+    ``materialize_aggregate``, and the routing layer serves the observed
+    workload from summaries."""
+    log = list(getattr(engine, "_query_log", ()))
+    if not log:
+        return []
+    # _query_log entries are already normalized ((dim, depth), …) tuples —
+    # shortcut _normalize by reconstructing level refs
+    refs = [
+        [
+            f"[{d}].[{engine.cube.dimension(d).levels[depth].name}]"
+            for d, depth in g
+        ]
+        for g in log
+    ]
+    return recommend_aggregates(
+        engine, refs, max_total_rows=max_total_rows, top=top,
+        min_compression=min_compression,
+    )

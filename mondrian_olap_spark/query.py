@@ -1030,6 +1030,25 @@ class Query:
             if lv.out in {v.out for v in self._visible_levels(s)}
         }
         res._base_measures = [m for m in measures if isinstance(m, Measure)]
+        # grain log for the aggregate-table advisor: record which
+        # (dimension, depth) combinations queries actually group by —
+        # bounded ring buffer on the engine (advisor.recommend_from_engine
+        # reads it; a dropped tail only ages the log, never breaks it)
+        grain: dict[str, int] = {}
+        for ax in axes:
+            for s in ax.sets:
+                if s.group_levels:
+                    depth = len(s.group_levels) - 1
+                    grain[s.dimension.name] = max(
+                        grain.get(s.dimension.name, -1), depth
+                    )
+        if grain:
+            from collections import deque
+
+            log = self.engine.__dict__.setdefault(
+                "_query_log", deque(maxlen=10_000)
+            )
+            log.append(tuple(sorted(grain.items())))
         return res
 
     def _split_mixed_depth(self, axes_sets):

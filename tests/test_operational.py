@@ -678,3 +678,25 @@ def test_aggregate_advisor_recommendations(engine):
         .rows("[Customer].children").execute().df.collect()
     )
     assert sorted(map(tuple, routed)) == sorted(map(tuple, direct))
+
+
+def test_advisor_from_engine_query_log(engine):
+    """Queries self-record their grains; recommend_from_engine advises
+    from the engine's own ring buffer with no external log."""
+    from mondrian_olap_spark.advisor import recommend_from_engine
+
+    eng = engine
+    eng.__dict__.pop("_query_log", None)
+    assert recommend_from_engine(eng) == []
+    for _ in range(4):
+        (Query(eng).columns("[Measures].[Sum Qty]")
+         .rows("[Customer].children").execute().df.collect())
+    (Query(eng).columns("[Measures].[Sum Qty]")
+     .rows("[Customer].[Nation].Members")
+     .crossjoin("[Time].[Quarter].Members").execute().df.collect())
+    recs = recommend_from_engine(eng)
+    assert recs and recs[0].levels == ["[Customer].[Region]"]
+    assert recs[0].queries_covered == 4
+    grains = {tuple(r.levels) for r in recs}
+    assert ("[Customer].[Nation]", "[Time].[Quarter]") in grains
+    eng.__dict__.pop("_query_log", None)  # leave the shared engine clean
