@@ -83,6 +83,7 @@ HEADLINE = [
     "embed_pq_codes",
     "embed_pq_topk",
     "text_mojibake_gate",
+    "events_inter_event_stats",
 ]
 
 

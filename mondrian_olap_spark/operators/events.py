@@ -365,3 +365,68 @@ def user_sequences(
         .agg(F.count("*").alias("n_events"), seq.alias("seq"))
         .select("user_id", "n_events", "seq", F.md5("seq").alias("seq_hash"))
     )
+
+
+def inter_event_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user inter-event gap distribution — the engagement/dwell
+    profile (and the empirical input to a sessionization gap threshold:
+    pick the knee of these quantiles instead of guessing 30 minutes).
+
+    Returns ``(user_id, n_events, n_gaps, median_gap_s, p90_gap_s,
+    max_gap_s)`` with gaps in integer microsecond-exact seconds
+    (``DOUBLE`` after the division).  Quantiles are TYPE-1 (inverse
+    ECDF): an actual element of the sorted gap list picked by pure
+    INTEGER index arithmetic (``ceil(p·n)`` as ``(p_num·n + p_den − 1)
+    div p_den``) — no interpolation, because a float index product like
+    ``0.9·n`` can land a last-ulp apart across engines and flip the
+    picked element at exact decile boundaries.  One user-keyed shuffle
+    total (the lag window and the aggregation share the partitioning);
+    per-user event counts bound the array, the :func:`user_sequences`
+    contract.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gaps = (
+        events.where(F.col(ts_col).isNotNull())
+        .withColumn("__us", micros)
+        .withColumn("__prev", F.lag("__us").over(w))
+        .withColumn(
+            "__gap_s",
+            F.when(
+                F.col("__prev").isNotNull(),
+                (F.col("__us") - F.col("__prev")).cast("double") / 1e6,
+            ),
+        )
+    )
+
+    def q(sorted_col, p_num: int, p_den: int):
+        # type-1 quantile: element at 1-based index ceil(p·n), computed
+        # as an integer ceil-division — no float index arithmetic
+        n = F.size(sorted_col)
+        idx = F.expr(
+            f"cast(({p_num} * size(__gaps) + {p_den} - 1) "
+            f"div {p_den} as int)"
+        )
+        return F.element_at(sorted_col, F.greatest(idx, F.lit(1)))
+
+    agg = gaps.groupBy(F.col(user_col).alias("user_id")).agg(
+        F.count("*").alias("n_events"),
+        F.sort_array(
+            F.collect_list("__gap_s")
+        ).alias("__gaps"),
+    )
+    has = F.size("__gaps") > 0
+    return agg.select(
+        "user_id",
+        "n_events",
+        F.size("__gaps").cast("long").alias("n_gaps"),
+        F.when(has, q(F.col("__gaps"), 1, 2)).alias("median_gap_s"),
+        F.when(has, q(F.col("__gaps"), 9, 10)).alias("p90_gap_s"),
+        F.when(has, F.element_at("__gaps", -1)).alias("max_gap_s"),
+    )

@@ -3587,3 +3587,46 @@ def text_mojibake_gate(spark, sf_dir):
     )
     out = text.mojibake_features(messy)
     return out.select("doc_id", "n_mojibake", "n_replacement", "mojibake_ratio")
+
+
+@q(
+    "events_inter_event_stats",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS us FROM events WHERE ts IS NOT NULL
+    ),
+    g AS (
+      SELECT user_id, us,
+             CAST(us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                  AS DOUBLE) / 1e6 AS gap_s
+      FROM e
+    ),
+    agg AS (
+      SELECT user_id, count(*) AS n_events,
+             list(gap_s ORDER BY gap_s)
+               FILTER (gap_s IS NOT NULL) AS l
+      FROM g GROUP BY 1
+    )
+    SELECT user_id, n_events,
+           CAST(len(l) AS BIGINT) AS n_gaps,
+           CASE WHEN len(l) > 0
+                THEN l[greatest((1 * len(l) + 1) // 2, 1)] END
+             AS median_gap_s,
+           CASE WHEN len(l) > 0
+                THEN l[greatest((9 * len(l) + 9) // 10, 1)] END
+             AS p90_gap_s,
+           CASE WHEN len(l) > 0 THEN l[len(l)] END AS max_gap_s
+    FROM agg
+    """,
+)
+def events_inter_event_stats(spark, sf_dir):
+    """Per-user inter-event gap distribution (events.inter_event_stats):
+    TYPE-1 median/p90 — an actual element of the sorted per-user gap
+    list, picked by pure integer ceil-division index arithmetic (a float
+    index product can land a last-ulp apart across engines at exact
+    decile boundaries and flip the element; this cannot).  Gap VALUES are
+    diffs of a sorted timestamp multiset — deterministic even when
+    timestamps tie."""
+    from .operators import events as ev_ops
+
+    return ev_ops.inter_event_stats(_events(spark, sf_dir))

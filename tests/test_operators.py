@@ -2666,3 +2666,28 @@ def test_pq_index_roundtrip(spark, tmp_path):
                             codes=codes).collect()
     direct = sim.pq_topk(emb, [0, 100], cb, sub, n=5).collect()
     assert sorted(map(tuple, via_index)) == sorted(map(tuple, direct))
+
+
+def test_inter_event_stats_hand_computed(spark):
+    from datetime import datetime
+    from mondrian_olap_spark.operators import events as ev_ops
+    rows = [
+        # user 1: gaps of 10s, 20s, 30s, 40s (5 events)
+        Row(event_id=i, user_id=1, ts=datetime(2024, 1, 1, 0, 0, s), event_type="x")
+        for i, s in enumerate([0, 10, 30])
+    ] + [
+        Row(event_id=10, user_id=1, ts=datetime(2024, 1, 1, 0, 1, 0), event_type="x"),
+        Row(event_id=11, user_id=1, ts=datetime(2024, 1, 1, 0, 1, 40), event_type="x"),
+        Row(event_id=20, user_id=2, ts=datetime(2024, 1, 1), event_type="y"),  # no gaps
+        Row(event_id=21, user_id=3, ts=None, event_type="z"),  # dropped
+    ]
+    out = {r["user_id"]: r for r in
+           ev_ops.inter_event_stats(spark.createDataFrame(rows)).collect()}
+    u1 = out[1]
+    # sorted gaps [10, 20, 30, 40]: type-1 median = ceil(0.5*4)=2nd -> 20,
+    # p90 = ceil(0.9*4)=4th -> 40; max 40
+    assert u1["n_events"] == 5 and u1["n_gaps"] == 4
+    assert u1["median_gap_s"] == 20.0
+    assert u1["p90_gap_s"] == 40.0 and u1["max_gap_s"] == 40.0
+    assert out[2]["n_gaps"] == 0 and out[2]["median_gap_s"] is None
+    assert 3 not in out

@@ -113,6 +113,7 @@ QUERIES = [
     "embed_pq_codes",
     "embed_pq_topk",
     "text_mojibake_gate",
+    "events_inter_event_stats",
 ]
 
 
