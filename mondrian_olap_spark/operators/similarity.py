@@ -979,3 +979,183 @@ def read_pq_index(spark, path: str):
         books[r["subspace"]][r["code"]] = [float(x) for x in r["v"]]
         sub = len(r["v"])
     return codes, books, sub
+
+
+# ------------------------------------------------------------------ IVF-PQ
+
+def ivfpq_build(
+    emb: DataFrame,
+    n_cells: int = 8,
+    m: int = 4,
+    k: int = 8,
+    centroids: list | None = None,
+    codebooks: list | None = None,
+    sub: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """The composite large-scale ANN index (FAISS IVFPQ shape, Jégou et
+    al. 2011): coarse-quantize every vector to its IVF cell, then
+    PQ-encode the RESIDUAL (vector − cell centroid) — residuals are
+    smaller and more isotropic than raw vectors, so the same codebook
+    budget quantizes them with far less error.
+
+    Returns ``(index_df, centroids, codebooks, sub)`` where ``index_df``
+    is ``(id, cell, codes)`` — the artifact to persist partitioned by
+    cell (probes then prune to n_probe cells AND never touch raw
+    vectors).  ``centroids``/``codebooks`` default to the deterministic
+    seeds; pass :func:`ivf_train` / :func:`pq_train` outputs for trained
+    quality.  The residual subtraction is a per-cell ``zip_with`` branch
+    over inlined centroid literals — the whole build is one projection
+    over the scan, zero joins.
+    """
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_seeds(emb, n_cells, id_col, vec_col)
+    )
+    assigned = ivf_index(emb, n_cells, id_col, vec_col, centroids=cents)
+    resid = _with_residual(assigned, cents)
+    if codebooks is None:
+        # seed PQ codebooks FROM RESIDUALS (k lowest-id rows' residuals)
+        rows = resid.orderBy("id").limit(k).collect()
+        if not rows:
+            raise ValueError("no vectors to seed from")
+        d = len(rows[0]["res"])
+        if d % m:
+            raise ValueError(f"vector dim {d} is not divisible by m={m}")
+        sub = d // m
+        codebooks = [
+            [
+                [float(x) for x in r["res"][j * sub : (j + 1) * sub]]
+                for r in rows
+            ]
+            for j in range(m)
+        ]
+    assert sub is not None
+    coded = _pq_codes_df(
+        resid.select("id", "cell", F.col("res").alias("v")), codebooks, sub
+    )
+    return (
+        coded.select("id", "cell", "codes"),
+        cents,
+        codebooks,
+        sub,
+    )
+
+
+def _with_residual(assigned: DataFrame, cents: list) -> DataFrame:
+    """``res = v − centroid(cell)`` via chained per-cell branches over
+    inlined centroid literals (n_cells branches — a projection, no join)."""
+    res = None
+    for s in cents:
+        cv = F.lit([float(x) for x in s["v"]])
+        branch = F.zip_with(F.col("v"), cv, lambda a, b: a - b)
+        res = (
+            F.when(F.col("cell") == int(s["id"]), branch)
+            if res is None
+            else res.when(F.col("cell") == int(s["id"]), branch)
+        )
+    return assigned.withColumn("res", res)
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    index: DataFrame,
+    centroids: list,
+    codebooks: list,
+    sub: int,
+    n: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC search over an IVF-PQ index: each query probes its ``n_probe``
+    nearest cells (by cosine to the centroids, the :func:`ivf_topk`
+    convention) and scores ONLY those cells' codes with per-(query, cell)
+    distance tables built from the query's RESIDUAL against that cell —
+    m lookups per candidate, raw vectors untouched, candidate volume
+    ≈ n_probe/n_cells of the corpus.
+
+    Returns ``(query_id, neighbor_id, approx_sq_dist)`` — n ascending per
+    query, neighbor id tiebreak, self-matches excluded.  Table entries
+    use the sequential-fold |x|²−2x·c+|c|² decomposition (oracle-exact).
+    """
+    m = len(codebooks)
+    qrows = (
+        emb.filter(F.col(id_col).isin(list(query_ids)))
+        .select(F.col(id_col).alias("qid"), _dvec(F.col(vec_col)).alias("v"))
+        .collect()
+    )
+    import math
+
+    def cos(a, b):
+        num = 0.0
+        for x, y in zip(a, b):
+            num += x * y
+        na = math.sqrt(sum(x * x for x in a)) or 1.0
+        nb = math.sqrt(sum(y * y for y in b)) or 1.0
+        return num / (na * nb)
+
+    rows = []
+    for r in qrows:
+        qv = [float(x) for x in r["v"]]
+        ranked = sorted(
+            cents_iter(centroids),
+            key=lambda s: (-cos(qv, s["v"]), s["id"]),
+        )[: max(1, n_probe)]
+        for s in ranked:
+            resid = [a - b for a, b in zip(qv, s["v"])]
+            table = []
+            for j in range(m):
+                x = resid[j * sub : (j + 1) * sub]
+                xx = 0.0
+                for t in x:
+                    xx = xx + t * t
+                trow = []
+                for c in codebooks[j]:
+                    xc = 0.0
+                    for a, b in zip(x, c):
+                        xc = xc + a * b
+                    cc = 0.0
+                    for b in c:
+                        cc = cc + b * b
+                    trow.append(xx - 2.0 * xc + cc)
+                table.append(trow)
+            rows.append((int(r["qid"]), int(s["id"]), table))
+    spark = emb.sparkSession
+    tdf = spark.createDataFrame(
+        rows, "query_id long, __qcell long, t array<array<double>>"
+    )
+    joined = index.join(
+        F.broadcast(tdf),
+        (F.col("cell") == F.col("__qcell"))
+        & (F.col("id") != F.col("query_id")),
+    )
+    score = None
+    for j in range(m):
+        term = F.element_at(
+            F.element_at("t", j + 1), F.element_at("codes", j + 1) + 1
+        )
+        score = term if score is None else score + term
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_sq_dist").asc(), F.col("id")
+    )
+    return (
+        joined.withColumn("approx_sq_dist", score)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .select(
+            "query_id", F.col("id").alias("neighbor_id"), "approx_sq_dist"
+        )
+    )
+
+
+def cents_iter(centroids: list):
+    """Normalize centroid entries (Row or dict) to dicts."""
+    return [
+        {"id": s["id"], "v": [float(x) for x in s["v"]]} for s in centroids
+    ]

@@ -2691,3 +2691,41 @@ def test_inter_event_stats_hand_computed(spark):
     assert u1["p90_gap_s"] == 40.0 and u1["max_gap_s"] == 40.0
     assert out[2]["n_gaps"] == 0 and out[2]["median_gap_s"] is None
     assert 3 not in out
+
+
+def test_ivfpq_build_and_neardup_retrieval(spark):
+    """IVF-PQ composite: the index is (id, cell, codes) with codes in
+    range; a PLANTED near-duplicate of the query ranks first under ADC
+    (the near-dup retrieval contract — on near-uniform synthetic vectors
+    exact-rank recall is not meaningful, quantization error dominates);
+    results are n-per-query ascending with self excluded."""
+    from mondrian_olap_spark.operators import similarity as sim
+    from .conftest import SF_DIR
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    # plant a near-duplicate of vector 0
+    v0 = emb.filter("vec_id = 0").collect()[0]["embedding"]
+    near = spark.createDataFrame(
+        [(99999, [float(x) + (0.001 if i == 0 else 0.0)
+                  for i, x in enumerate(v0)], 0)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    world = emb.withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    ).unionByName(near)
+    idx, cents, cb, sub = sim.ivfpq_build(world, n_cells=8, m=4, k=8)
+    assert idx.columns == ["id", "cell", "codes"]
+    assert idx.count() == world.count()
+    out = sim.ivfpq_topk(world, [0], idx, cents, cb, sub, n=5, n_probe=8)
+    rows = out.collect()
+    assert len(rows) == 5
+    assert all(r["neighbor_id"] != 0 for r in rows)
+    scores = [r["approx_sq_dist"] for r in rows]
+    assert scores == sorted(scores)
+    # ADC resolves at CODE granularity: the planted near-dup shares the
+    # query's codes, so its score attains the minimum (ties on the
+    # zero-quantization-error tier break by id — top-1 by id is not a
+    # guarantee ADC makes)
+    full = {r["neighbor_id"]: r["approx_sq_dist"]
+            for r in sim.ivfpq_topk(world, [0], idx, cents, cb, sub,
+                                    n=world.count(), n_probe=8).collect()}
+    assert abs(full[99999] - min(full.values())) < 1e-9
