@@ -413,6 +413,33 @@ def main() -> int:
         f"semi={len(semis)} cartesian={len(cart)}",
     )
 
+    # 20. vocabulary encode (inline map): a pure projection — no join,
+    #     no exchange; the id arrays come straight out of the scan stage
+    from mondrian_olap_spark.operators import text as textops
+
+    vocab = textops.build_vocab(docs, vocab_size=50)
+    p = plan_str(textops.tokens_to_ids(docs, vocab))
+    bad = [l for l in p.splitlines() if "Join" in l or "Exchange" in l]
+    check(
+        "tokens_to_ids.inline_map_pure_projection",
+        not bad,
+        f"join/exchange lines: {[l.strip()[:90] for l in bad]}",
+    )
+
+    # 21. PQ encode: codebooks inlined — zero joins, zero exchanges
+    from mondrian_olap_spark.operators import similarity as simops
+    from mondrian_olap_spark.star import read_parquet_table as _rpt
+
+    embdf = _rpt(spark, f"{SF_DIR}/embeddings.parquet")
+    cb, subw = simops.pq_seeds(embdf, m=4, k=8)
+    p = plan_str(simops.pq_encode(embdf, cb, subw))
+    bad = [l for l in p.splitlines() if "Join" in l or "Exchange" in l]
+    check(
+        "pq_encode.inlined_codebooks_zero_shuffle_zero_join",
+        not bad,
+        f"join/exchange lines: {[l.strip()[:90] for l in bad]}",
+    )
+
     print(f"\n{len(failures)} failed properties" if failures else "\nall plan properties hold")
     return 1 if failures else 0
 
