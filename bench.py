@@ -84,6 +84,7 @@ HEADLINE = [
     "embed_pq_topk",
     "text_mojibake_gate",
     "events_inter_event_stats",
+    "pipeline_negative_samples",
 ]
 
 

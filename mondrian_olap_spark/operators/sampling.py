@@ -245,3 +245,76 @@ def temperature_targets(
             F.pow(frac, F.lit(alpha)) / F.col("__sum_p"), 6
         ).alias("target_frac"),
     )
+
+
+def negative_samples(
+    df,
+    k: int = 4,
+    id_col: str = "doc_id",
+    seed: str = "neg",
+):
+    """Deterministic negative sampling for contrastive training: every
+    anchor row gets ``k`` pseudo-random OTHER rows, chosen by
+    content-addressed hashing — the same (seed, anchor, slot) always
+    picks the same negative, across runs, partitionings and engines, so
+    a resumed or re-sharded training job sees identical pairs (the
+    property random() sampling cannot give).
+
+    Mechanism: ranks 1..N from :func:`..util.distributed_rank` over the
+    id order (no single-task window), target rank =
+    ``H(seed:slot:anchor) % N + 1``; a self-collision shifts one rank
+    forward (wrapping), so anchors never pair with themselves and every
+    anchor yields exactly ``k`` negatives.  One hash-join from the
+    exploded (anchor, target-rank) pairs to the rank table — at 100 TB
+    both sides shuffle on the rank key once; the rank table is two
+    columns.
+
+    Returns ``(anchor_id, slot, negative_id)``.
+    """
+    from pyspark.sql import functions as F
+
+    from .util import distributed_rank
+
+    n = df.count()
+    if n < 2:
+        raise ValueError("negative sampling needs at least 2 rows")
+    ranked = distributed_rank(
+        df.select(F.col(id_col)), [id_col], rank_col="__r"
+    ).select(F.col(id_col).alias("negative_id"), "__r")
+    slots = F.explode(
+        F.array(*[F.lit(i) for i in range(k)])
+    ).alias("slot")
+    anchors = df.select(F.col(id_col).alias("anchor_id")).select(
+        "anchor_id", slots
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(seed),
+                    F.col("slot").cast("string"),
+                    F.col("anchor_id").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    targeted = anchors.withColumn("__t", h % n + 1)
+    # the anchor's own rank (one extra join column avoids a second pass)
+    own = ranked.select(
+        F.col("negative_id").alias("anchor_id"), F.col("__r").alias("__own")
+    )
+    targeted = targeted.join(own, "anchor_id").withColumn(
+        "__t",
+        F.when(
+            F.col("__t") == F.col("__own"), F.col("__t") % n + 1
+        ).otherwise(F.col("__t")),
+    )
+    return (
+        targeted.join(ranked, targeted["__t"] == ranked["__r"])
+        .select("anchor_id", "slot", "negative_id")
+    )

@@ -3630,3 +3630,42 @@ def events_inter_event_stats(spark, sf_dir):
     from .operators import events as ev_ops
 
     return ev_ops.inter_event_stats(_events(spark, sf_dir))
+
+
+@q(
+    "pipeline_negative_samples",
+    """
+    WITH ranked AS (
+      SELECT doc_id AS negative_id,
+             row_number() OVER (ORDER BY doc_id) AS r
+      FROM documents
+    ),
+    n AS (SELECT count(*) AS c FROM documents),
+    anchors AS (
+      SELECT doc_id AS anchor_id, unnest(range(0, 4)) AS slot FROM documents
+    ),
+    t0 AS (
+      SELECT anchor_id, slot,
+             ('0x' || substr(md5('neg:' || slot || ':' || anchor_id),
+                             1, 15))::BIGINT % (SELECT c FROM n) + 1 AS t
+      FROM anchors
+    ),
+    t1 AS (
+      SELECT t0.anchor_id, t0.slot,
+             CASE WHEN t = own.r THEN t % (SELECT c FROM n) + 1
+                  ELSE t END AS t
+      FROM t0 JOIN ranked own ON own.negative_id = t0.anchor_id
+    )
+    SELECT anchor_id, slot, negative_id
+    FROM t1 JOIN ranked ON t1.t = ranked.r
+    """,
+)
+def pipeline_negative_samples(spark, sf_dir):
+    """Deterministic contrastive negatives (sampling.negative_samples,
+    k=4): target ranks from the portable hash of (seed, slot, anchor),
+    self-collisions shift one rank forward wrapping — the oracle replays
+    rank assignment, hashing and the shift, so every (anchor, slot) must
+    map to the identical negative id on both engines."""
+    from .operators.sampling import negative_samples
+
+    return negative_samples(_docs(spark, sf_dir), k=4)

@@ -2729,3 +2729,20 @@ def test_ivfpq_build_and_neardup_retrieval(spark):
             for r in sim.ivfpq_topk(world, [0], idx, cents, cb, sub,
                                     n=world.count(), n_probe=8).collect()}
     assert abs(full[99999] - min(full.values())) < 1e-9
+
+
+def test_negative_samples_determinism_and_exclusion(spark):
+    from mondrian_olap_spark.operators.sampling import negative_samples
+    df = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    out = negative_samples(df, k=3).collect()
+    assert len(out) == 60  # every anchor yields exactly k negatives
+    assert all(r["negative_id"] != r["anchor_id"] for r in out)
+    assert all(0 <= r["negative_id"] < 20 for r in out)
+    # content-addressed: a re-run and a re-partitioned run agree exactly
+    again = negative_samples(df.repartition(7), k=3).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    # a different seed is a different pairing
+    other = negative_samples(df, k=3, seed="neg2").collect()
+    assert sorted(map(tuple, other)) != sorted(map(tuple, out))
+    with pytest.raises(ValueError):
+        negative_samples(df.limit(1), k=2)

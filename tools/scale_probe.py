@@ -114,6 +114,7 @@ QUERIES = [
     "embed_pq_topk",
     "text_mojibake_gate",
     "events_inter_event_stats",
+    "pipeline_negative_samples",
 ]
 
 
