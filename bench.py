@@ -85,6 +85,7 @@ HEADLINE = [
     "text_mojibake_gate",
     "events_inter_event_stats",
     "pipeline_negative_samples",
+    "text_blocklist_filter",
 ]
 
 

@@ -1319,3 +1319,36 @@ def mojibake_features(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         )
     )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    terms: tuple[str, ...] | list[str],
+    text_col: str = "text",
+    max_hits: int = 0,
+) -> DataFrame:
+    """Term-blocklist filtering — the C4-style "bad words" pass: count
+    blocklisted tokens per document (case-insensitive whole-token match,
+    never substring — 'class' must not trip a 'ass' entry) and keep
+    documents with at most ``max_hits`` of them.
+
+    Adds ``n_blocked`` and ``keep``.  Pure array expression (tokenize →
+    lowercase → membership count) — one codegen pass; the list inlines as
+    literals, the right shape for the few-hundred-entry blocklists these
+    passes actually use (a million-entry list would become a broadcast
+    join against exploded tokens instead).
+    """
+    if not terms:
+        raise ValueError("blocklist_filter needs at least one term")
+    lowered = [t.lower() for t in terms]
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    blocked = F.size(
+        F.filter(
+            F.transform(toks, lambda t: F.lower(t)),
+            lambda t: t.isin(lowered),
+        )
+    )
+    return (
+        df.withColumn("n_blocked", blocked)
+        .withColumn("keep", F.col("n_blocked") <= max_hits)
+    )

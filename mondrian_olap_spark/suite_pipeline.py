@@ -3669,3 +3669,29 @@ def pipeline_negative_samples(spark, sf_dir):
     from .operators.sampling import negative_samples
 
     return negative_samples(_docs(spark, sf_dir), k=4)
+
+
+@q(
+    "text_blocklist_filter",
+    """
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                t -> lower(t) IN ('window', 'metric', 'quantile')))
+                AS INT) AS n_blocked,
+           len(list_filter(string_split_regex(trim(text), '\\s+'),
+                t -> lower(t) IN ('window', 'metric', 'quantile'))) <= 1
+             AS keep
+    FROM documents
+    """,
+)
+def text_blocklist_filter(spark, sf_dir):
+    """C4-style term-blocklist pass (text.blocklist_filter): whole-token
+    case-insensitive membership counts against an inlined list, keep at
+    most max_hits=1 — the oracle replays tokenize → lower → membership
+    with list_filter.  Blocklist terms chosen to actually occur in the
+    synthetic corpus so both branches of keep are exercised."""
+    docs = _docs(spark, sf_dir)
+    out = text.blocklist_filter(
+        docs, ("window", "metric", "quantile"), max_hits=1
+    )
+    return out.select("doc_id", "n_blocked", "keep")

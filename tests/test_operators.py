@@ -2746,3 +2746,24 @@ def test_negative_samples_determinism_and_exclusion(spark):
     assert sorted(map(tuple, other)) != sorted(map(tuple, out))
     with pytest.raises(ValueError):
         negative_samples(df.limit(1), k=2)
+
+
+def test_blocklist_filter_whole_token(spark):
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="the Bad word appears"),
+        Row(doc_id=2, text="badge and badminton are fine"),  # substrings don't trip
+        Row(doc_id=3, text="bad bad bad everywhere"),
+        Row(doc_id=4, text="totally clean"),
+    ])
+    out = {r["doc_id"]: r for r in
+           text.blocklist_filter(df, ("bad",), max_hits=0).collect()}
+    assert out[1]["n_blocked"] == 1 and not out[1]["keep"]  # case-insensitive
+    assert out[2]["n_blocked"] == 0 and out[2]["keep"]
+    assert out[3]["n_blocked"] == 3 and not out[3]["keep"]
+    assert out[4]["keep"]
+    # max_hits tolerance
+    tol = {r["doc_id"]: r["keep"] for r in
+           text.blocklist_filter(df, ("bad",), max_hits=1).collect()}
+    assert tol[1] and not tol[3]
+    with pytest.raises(ValueError):
+        text.blocklist_filter(df, ())

@@ -115,6 +115,7 @@ QUERIES = [
     "text_mojibake_gate",
     "events_inter_event_stats",
     "pipeline_negative_samples",
+    "text_blocklist_filter",
 ]
 
 
