@@ -837,6 +837,11 @@ def bloom_probe(
         hit = checks[0]
         for c in checks[1:]:
             hit = hit & c
+        # a NULL fingerprint (NULL text) is definitionally not a member —
+        # without the coalesce it would propagate NULL and the row would
+        # satisfy NEITHER filter(bloom_hit) NOR filter(~bloom_hit)
+        # downstream, silently vanishing from incremental_dedup
+        hit = F.coalesce(hit, F.lit(False))
         return (
             probed.withColumn("__arr", arr)
             .select(

@@ -2767,3 +2767,24 @@ def test_blocklist_filter_whole_token(spark):
     assert tol[1] and not tol[3]
     with pytest.raises(ValueError):
         text.blocklist_filter(df, ())
+
+
+def test_bloom_probe_null_text_never_vanishes(spark, docs):
+    """A NULL-text row has a NULL fingerprint — definitionally not a
+    member: bloom_hit must be FALSE (not NULL, which would satisfy
+    neither downstream filter and silently drop the row), on BOTH probe
+    strategies, and the row survives incremental_dedup as a non-dup."""
+    new = spark.createDataFrame(
+        [Row(doc_id=500, text=None),
+         Row(doc_id=501, text="a perfectly ordinary novel document")],
+    )
+    m, k = 62 * 8, 4
+    bloom = dedup.bloom_build(docs, m_bits=m, k=k)
+    for thresh in (1 << 22, 0):  # inline and join strategies
+        probed = {r["doc_id"]: r for r in dedup.bloom_probe(
+            new, bloom, m, k, inline_max_bits=thresh).collect()}
+        assert probed[500]["bloom_hit"] is False
+    out = {r["doc_id"]: r for r in
+           dedup.incremental_dedup(new, docs, m_bits=m, k=k).collect()}
+    assert set(out) == {500, 501}
+    assert out[500]["is_dup"] is False and out[500]["bloom_hit"] is False
