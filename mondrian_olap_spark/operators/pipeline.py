@@ -515,3 +515,74 @@ def write_manifest(spark, path: str, id_col: str = "doc_id") -> dict:
     with open(_os.path.join(path, "_manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     return manifest
+
+
+def dataset_card(df, name: str = "corpus", text_col: str = "text") -> str:
+    """Generate a markdown DATASET CARD for a curated corpus — the
+    documentation artifact that travels with the data: size, language and
+    script mix, length distribution, quality summary, and (when present)
+    split membership — all from TWO aggregation jobs over the frame, the
+    numbers a consumer asks before training on it.
+
+    Returns the markdown string; write it next to the data as
+    ``_DATASET_CARD.md`` if persisting.
+    """
+    from pyspark.sql import functions as F
+
+    from . import text as tx
+
+    feats = tx.text_features(df, text_col=text_col)
+    agg = feats.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.avg("n_tokens").alias("avg_tokens"),
+        F.expr("percentile(n_tokens, 0.5)").alias("med_tokens"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.avg("quality_score").alias("avg_quality"),
+    ).collect()[0]
+    langs = (
+        feats.groupBy("lang_guess")
+        .count()
+        .orderBy(F.col("count").desc(), "lang_guess")
+        .limit(10)
+        .collect()
+    )
+    lines = [
+        f"# Dataset card: {name}",
+        "",
+        "## Size",
+        f"- documents: {agg['n_docs']:,}",
+        f"- whitespace tokens: {int(agg['n_tokens'] or 0):,} "
+        f"(avg {float(agg['avg_tokens'] or 0):.1f}, "
+        f"median {int(agg['med_tokens'] or 0)}, "
+        f"min {agg['min_tokens']}, max {agg['max_tokens']})",
+        "",
+        "## Language mix (stopword-vote heuristic)",
+    ]
+    total = max(int(agg["n_docs"]), 1)
+    for r in langs:
+        lines.append(
+            f"- {r['lang_guess']}: {r['count']:,} "
+            f"({100.0 * r['count'] / total:.1f}%)"
+        )
+    lines += [
+        "",
+        "## Quality",
+        f"- mean composite quality score: {float(agg['avg_quality'] or 0):.4f}",
+    ]
+    if "split" in df.columns:
+        lines += ["", "## Splits"]
+        for r in (
+            df.groupBy("split").count().orderBy("split").collect()
+        ):
+            lines.append(
+                f"- {r['split']}: {r['count']:,} "
+                f"({100.0 * r['count'] / total:.1f}%)"
+            )
+    lines += [
+        "",
+        "_Generated by dataset_card() — numbers from two aggregation "
+        "passes; regenerate after any membership change._",
+    ]
+    return "\n".join(lines)

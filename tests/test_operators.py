@@ -2788,3 +2788,19 @@ def test_bloom_probe_null_text_never_vanishes(spark, docs):
            dedup.incremental_dedup(new, docs, m_bits=m, k=k).collect()}
     assert set(out) == {500, 501}
     assert out[500]["is_dup"] is False and out[500]["bloom_hit"] is False
+
+
+def test_dataset_card(spark):
+    from mondrian_olap_spark.operators.pipeline import dataset_card
+    from .conftest import SF_DIR
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").withColumn(
+        "split", F.when(F.col("doc_id") % 10 < 9, "train").otherwise("val")
+    )
+    card = dataset_card(docs, name="sf-docs")
+    assert card.startswith("# Dataset card: sf-docs")
+    for section in ("## Size", "## Language mix", "## Quality", "## Splits"):
+        assert section in card
+    assert "- documents: " in card and "- train: " in card
+    # no split column → no Splits section
+    card2 = dataset_card(docs.drop("split"))
+    assert "## Splits" not in card2
