@@ -99,6 +99,9 @@ def write_curated(
     max_records_per_file: int = 1_000_000,
     zorder_by: list[str] | None = None,
     zorder_bits: int = 8,
+    manifest: bool = False,
+    card: bool = False,
+    card_name: str = "corpus",
 ) -> None:
     """Materialize a curated corpus as partitioned parquet with a
     reproducible file layout — the hand-off artifact to the trainer.
@@ -145,6 +148,17 @@ def write_curated(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+    # documentation artifacts travel WITH the data (both `_`-prefixed, so
+    # parquet discovery ignores them): the manifest answers "did
+    # membership change" without a data read; the card answers "what is
+    # this" without a notebook
+    if manifest:
+        write_manifest(df.sparkSession, path, id_col=order_by)
+    if card and "text" in df.columns:
+        import os as _os
+
+        with open(_os.path.join(path, "_DATASET_CARD.md"), "w") as f:
+            f.write(dataset_card(df, name=card_name))
 
 
 def write_fingerprinted(

@@ -2804,3 +2804,20 @@ def test_dataset_card(spark):
     # no split column → no Splits section
     card2 = dataset_card(docs.drop("split"))
     assert "## Splits" not in card2
+
+
+def test_write_curated_artifacts(spark, tmp_path):
+    """manifest=True / card=True ride along with the write — both
+    artifacts land under the dataset path with the `_` prefix."""
+    import os
+    from mondrian_olap_spark.operators.pipeline import write_curated
+    df = spark.createDataFrame(
+        [(i, f"the document number {i} of the curated corpus", "train")
+         for i in range(30)],
+        "doc_id long, text string, split string",
+    )
+    p = str(tmp_path / "with_artifacts")
+    write_curated(df, p, manifest=True, card=True, card_name="mini")
+    assert os.path.exists(p + "/_manifest.json")
+    card = open(p + "/_DATASET_CARD.md").read()
+    assert card.startswith("# Dataset card: mini") and "## Splits" in card
