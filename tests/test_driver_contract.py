@@ -1,0 +1,50 @@
+"""Meta-tests over the driver contract in __spark_entry__.py — cheap
+insurance that future registrations keep the gate's invariants."""
+
+import importlib.util
+import os
+import sys
+
+
+def _entry_module():
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry", os.path.join(root, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules.setdefault("spark_entry", mod)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_every_query_has_an_oracle_and_names_are_sane():
+    se = _entry_module()
+    qs, oracles = se.queries(), se.oracle_sql()
+    assert set(oracles) <= set(qs), "oracle without a query"
+    missing = sorted(set(qs) - set(oracles))
+    # the suite's standing invariant: EVERY entry is oracle-backed
+    assert not missing, f"queries without oracles: {missing}"
+    for name in qs:
+        assert name == name.lower() and " " not in name, name
+
+
+def test_driver_prefix_leads_with_never_checked_entries():
+    """The driver hashes a 50-entry prefix of queries(): entries that have
+    never appeared in a CORRECTNESS file must come first so they rotate
+    through the gate."""
+    se = _entry_module()
+    names = list(se.queries())
+    checked = se._DRIVER_CHECKED
+    unchecked_positions = [i for i, n in enumerate(names) if n not in checked]
+    checked_positions = [i for i, n in enumerate(names) if n in checked]
+    if unchecked_positions and checked_positions:
+        assert max(unchecked_positions) < min(checked_positions)
+
+
+def test_driver_checked_names_still_exist():
+    """A renamed/removed suite entry must not linger in _DRIVER_CHECKED —
+    it would silently shrink the rotation budget."""
+    se = _entry_module()
+    qs = set(se.queries())
+    stale = sorted(se._DRIVER_CHECKED - qs)
+    assert not stale, f"stale _DRIVER_CHECKED names: {stale}"
