@@ -86,6 +86,7 @@ HEADLINE = [
     "events_inter_event_stats",
     "pipeline_negative_samples",
     "text_blocklist_filter",
+    "text_doc_keywords",
 ]
 
 

@@ -1352,3 +1352,46 @@ def blocklist_filter(
         df.withColumn("n_blocked", blocked)
         .withColumn("keep", F.col("n_blocked") <= max_hits)
     )
+
+
+def doc_keywords(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document keyword extraction: the ``k`` most distinctive terms
+    of each document by ``tf / df`` (term frequency over document
+    frequency — the rare-and-repeated signal; ties by term).  The
+    ratio-of-integers score is ONE IEEE division, bit-identical across
+    engines — a log-idf variant would hang top-k membership on the last
+    ulp of two engines' ``ln`` at score ties.
+
+    Returns ``(id_col, rank, term, tf, df, score)`` — the doc-tagging
+    pass for retrieval labels and mixture diagnostics.  Two term-keyed
+    aggregations (per-doc tf, corpus df) + one join on the term and a
+    per-doc top-k window; df is computed once over distinct (doc, term),
+    so a term repeated in one document counts once.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term"),
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(dfreq, "term").withColumn(
+        "score", F.col("tf").cast("double") / F.col("df").cast("double")
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("score").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id").alias(id_col), "rank", "term", "tf", "df",
+            F.round("score", 6).alias("score"),
+        )
+    )

@@ -3695,3 +3695,35 @@ def text_blocklist_filter(spark, sf_dir):
         docs, ("window", "metric", "quantile"), max_hits=1
     )
     return out.select("doc_id", "n_blocked", "keep")
+
+
+@q(
+    "text_doc_keywords",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DOC_TOKS}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM toks WHERE term <> '' GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+             CAST(tf.tf AS DOUBLE) / CAST(dfreq.df AS DOUBLE) AS score
+      FROM tf JOIN dfreq USING (term)
+    )
+    SELECT doc_id, rank, term, tf, df, round(score, 6) AS score
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def text_doc_keywords(spark, sf_dir):
+    """Per-document keywords (text.doc_keywords, k=3): tf/df scoring —
+    one IEEE integer division, bit-identical across engines where a
+    log-idf score would hang top-k membership on ln()'s last ulp at
+    ties; ranking breaks ties by term."""
+    return text.doc_keywords(_docs(spark, sf_dir), k=3)

@@ -2821,3 +2821,20 @@ def test_write_curated_artifacts(spark, tmp_path):
     assert os.path.exists(p + "/_manifest.json")
     card = open(p + "/_DATASET_CARD.md").read()
     assert card.startswith("# Dataset card: mini") and "## Splits" in card
+
+
+def test_doc_keywords(spark):
+    from .conftest import SF_DIR  # noqa: F401
+    df = spark.createDataFrame([
+        Row(doc_id=1, text="zebra zebra zebra common common filler"),
+        Row(doc_id=2, text="common filler words only here"),
+    ])
+    out = text.doc_keywords(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    d1 = sorted(by_doc[1], key=lambda r: r["rank"])
+    # zebra: tf=3 df=1 -> 3.0 beats common: tf=2 df=2 -> 1.0
+    assert d1[0]["term"] == "zebra" and d1[0]["score"] == 3.0
+    assert d1[0]["tf"] == 3 and d1[0]["df"] == 1
+    assert len(by_doc[1]) == 2 and len(by_doc[2]) == 2

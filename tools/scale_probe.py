@@ -116,6 +116,7 @@ QUERIES = [
     "events_inter_event_stats",
     "pipeline_negative_samples",
     "text_blocklist_filter",
+    "text_doc_keywords",
 ]
 
 
