@@ -30,6 +30,37 @@ def entry(spark: SparkSession) -> DataFrame:
 #: through the gate; the previously-green entries keep full local coverage
 #: via tools/check_oracle.py --exact (the driver-gate mirror).
 _DRIVER_CHECKED = frozenset({
+    # round 5 greens (CORRECTNESS_r05.json: all 50 prefix rows green,
+    # hash-exact — includes approx_distinct_parts with its new bit-exact
+    # oracle and the re-rotated set_intersect_active_nations).  After this
+    # round the unchecked remainder is exactly the 20 entries that have
+    # never appeared in any CORRECTNESS_r*.json; they fill the front of
+    # the 50-row prefix, and 30 previously-green entries rotate behind
+    # them for re-verification.
+    "approx_distinct_parts", "bucketed_star_gate", "dedup_source_overlap",
+    "embed_ivf_recall_gate", "embed_label_norm_stats",
+    "embed_lsh_neardup_pairs", "embed_quantization_report",
+    "events_approx_quantiles", "events_asof_attribution",
+    "events_asof_forward_tolerance", "events_funnel_steps",
+    "events_props_json_stats", "events_retention_weekly",
+    "events_salted_join", "events_zorder_cells",
+    "filter_member_property_gate", "multimodal_real_bmp_gate",
+    "multimodal_real_wav_gate", "pipeline_apply_changes",
+    "pipeline_balanced_sample", "pipeline_corpus_diff",
+    "pipeline_decontamination_report", "pipeline_end_to_end_curation",
+    "pipeline_length_histogram", "pipeline_mix_applied",
+    "pipeline_mix_weights", "pipeline_pack_concat",
+    "pipeline_padding_efficiency", "pipeline_quality_topk",
+    "pipeline_shuffle_order", "pipeline_skew_profile",
+    "pipeline_temperature_mix", "pipeline_token_packing",
+    "set_intersect_active_nations", "streaming_cms_gate",
+    "streaming_dedup_gate", "streaming_maintenance_gate",
+    "streaming_sessionization_gate", "streaming_windowed_counts_gate",
+    "text_bigram_entropy", "text_bigram_perplexity",
+    "text_bpe_pair_counts", "text_cms_frequency_gate",
+    "text_inverted_index", "text_kl_from_corpus", "text_segment_dedup",
+    "text_tfidf_top_terms", "text_top_ngrams", "text_unigram_entropy",
+    "vba_val_round_dateserial",
     # round 4 greens (CORRECTNESS_r04.json: all 50 prefix rows green —
     # includes the 3 former round-3 hash-fails, the 5 never-checked
     # entries, and the 7 new round-4 entries; approx_distinct_parts is
