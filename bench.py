@@ -150,22 +150,52 @@ def main() -> None:
     # with data volume).  Passes 2-3 — WARM: per-query min with caches on,
     # the reference's measurement convention (Mondrian's warm repeat query
     # does 0 SQL — BASELINE.md).
+    # Noise-robust per-query signals alongside wall time: whole-JVM GC ms
+    # (MX beans — the sequential one-JVM sweep inflates tails 20-30% under
+    # GC pressure, so a flat-vs-regressed call needs the GC share visible)
+    # and total task time (status store executor summary — wall time minus
+    # task time is driver/plan overhead).  Both are cumulative counters;
+    # per-query values are before/after deltas.
+    def _jvm_gc_ms() -> int:
+        beans = (
+            spark._jvm.java.lang.management.ManagementFactory
+            .getGarbageCollectorMXBeans()
+        )
+        it, total = beans.iterator(), 0
+        while it.hasNext():
+            total += it.next().getCollectionTime()
+        return total
+
+    def _task_time_ms() -> int:
+        execs = spark._jsc.sc().statusStore().executorList(False)
+        return sum(execs.apply(i).totalDuration() for i in range(execs.size()))
+
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
+    cold_gc: dict[str, int] = {}
+    cold_task: dict[str, int] = {}
+    warm_gc: dict[str, int] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         _tune_splits(name)
         _flush_caches()
+        gc0, task0 = _jvm_gc_ms(), _task_time_ms()
         t0 = time.perf_counter()
         fn(spark, SF_DIR).collect()
         cold[name] = round(time.perf_counter() - t0, 3)
+        cold_gc[name] = _jvm_gc_ms() - gc0
+        cold_task[name] = _task_time_ms() - task0
     for _ in range(2):
         for name in HEADLINE:
             fn = QUERIES[name]
             _tune_splits(name)
+            gc0 = _jvm_gc_ms()
             t0 = time.perf_counter()
             fn(spark, SF_DIR).collect()
             dt = round(time.perf_counter() - t0, 3)
+            if dt <= warm.get(name, float("inf")):
+                # GC ms of the run that set the reported minimum
+                warm_gc[name] = _jvm_gc_ms() - gc0
             warm[name] = min(warm.get(name, dt), dt)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -185,6 +215,9 @@ def main() -> None:
                 "queries": warm,
                 "cold_value": round(sum(cold.values()), 3),
                 "cold_queries": cold,
+                "cold_gc_ms": cold_gc,
+                "cold_task_ms": cold_task,
+                "warm_gc_ms": warm_gc,
                 "sf": sf_val,
             }
         )

@@ -97,6 +97,7 @@ class Recommendation:
     est_rows: int              #: estimated summary cardinality
     queries_covered: int       #: log entries this grain answers
     benefit: float             #: fact-scan work absorbed (query-weighted)
+    path: str | None = None    #: parquet location once auto-materialized
 
 
 def recommend_aggregates(
@@ -199,3 +200,129 @@ def recommend_from_engine(
         engine, refs, max_total_rows=max_total_rows, top=top,
         min_compression=min_compression,
     )
+
+
+def auto_materialize(
+    engine,
+    query_log: list[list[str]] | None = None,
+    max_total_rows: int | None = None,
+    top: int = 5,
+    min_compression: float = 2.0,
+    path_prefix: str | None = None,
+    measures: list[str] | None = None,
+) -> list[Recommendation]:
+    """Close the advisor → materialize → route loop in ONE call: advise
+    from ``query_log`` (or the engine's own ring buffer when omitted),
+    build each recommended summary via
+    :meth:`..star.CubeEngine.materialize_aggregate`, and register it with
+    the planner's routing layer — after this returns, every covered query
+    is served from summaries with zero fact scans.
+
+    ``path_prefix`` persists each summary as parquet under
+    ``{path_prefix}/agg_<i>_<grain>`` so a NEW session can re-register
+    them (``spark.read.parquet`` + ``register_aggregate``) without
+    re-aggregating the fact — the cross-session half of the loop; omitted,
+    summaries live as lineage-truncated checkpoints for this session only.
+    ``measures`` restricts the carried measures (default: every
+    roll-up-safe base measure).  Returns the recommendations actually
+    materialized, each carrying its storage ``path`` (None = in-session).
+    """
+    import re
+
+    if query_log is None:
+        recs = recommend_from_engine(
+            engine, max_total_rows=max_total_rows, top=top,
+            min_compression=min_compression,
+        )
+    else:
+        recs = recommend_aggregates(
+            engine, query_log, max_total_rows=max_total_rows, top=top,
+            min_compression=min_compression,
+        )
+    for i, rec in enumerate(recs):
+        if path_prefix is not None:
+            slug = "_".join(
+                re.sub(r"[^A-Za-z0-9]+", "", ref).lower() for ref in rec.levels
+            )
+            rec.path = f"{path_prefix.rstrip('/')}/agg_{i:02d}_{slug}"
+        engine.materialize_aggregate(
+            rec.levels, measures=measures, path=rec.path
+        )
+    if path_prefix is not None and recs:
+        _write_agg_manifest(engine, recs, path_prefix, measures)
+    return recs
+
+
+def _write_agg_manifest(
+    engine, recs: list[Recommendation], path_prefix: str,
+    measures: list[str] | None,
+) -> None:
+    """Persist the registration recipe next to the summaries
+    (``_agg_manifest.json`` — the ``_`` prefix keeps it out of parquet
+    data discovery) so :func:`load_materialized` can re-register them in
+    a fresh session without re-deriving anything from the cube."""
+    import json
+    import os
+
+    from .model import CalculatedMember
+    from .star import _ROLLUP_SAFE
+
+    if measures is None:
+        ms = [
+            m for m in engine.cube.measures
+            if not isinstance(m, CalculatedMember)
+            and m.aggregator in _ROLLUP_SAFE
+        ]
+    else:
+        ms = [engine.cube.measure(n) for n in measures]
+    entries = []
+    for rec in recs:
+        from .members import resolve_level
+
+        group_outputs: list[str] = []
+        for ident in rec.levels:
+            dim, idx = resolve_level(engine.cube, ident)
+            for lv in dim.levels[: idx + 1]:
+                if lv.out not in group_outputs:
+                    group_outputs.append(lv.out)
+        entries.append(
+            {
+                "path": rec.path,
+                "levels": rec.levels,
+                "group_outputs": group_outputs,
+                "measures": {m.out: m.aggregator for m in ms},
+                "est_rows": rec.est_rows,
+            }
+        )
+    os.makedirs(path_prefix, exist_ok=True)
+    with open(os.path.join(path_prefix, "_agg_manifest.json"), "w") as f:
+        json.dump({"cube": engine.cube.name, "aggregates": entries}, f,
+                  indent=2)
+
+
+def load_materialized(engine, path_prefix: str) -> int:
+    """Re-register summaries persisted by a previous session's
+    :func:`auto_materialize` (the cross-session half of the loop): read
+    ``_agg_manifest.json`` under ``path_prefix`` and
+    ``register_aggregate`` each summary parquet — no fact scan, no
+    re-aggregation.  Returns the number of summaries registered."""
+    import json
+    import os
+
+    manifest_path = os.path.join(path_prefix, "_agg_manifest.json")
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    if manifest.get("cube") != engine.cube.name:
+        raise ValueError(
+            f"manifest at {manifest_path} was written for cube "
+            f"{manifest.get('cube')!r}, not {engine.cube.name!r}"
+        )
+    spark = engine.fact.sparkSession
+    n = 0
+    for entry in manifest["aggregates"]:
+        df = spark.read.parquet(entry["path"])
+        engine.register_aggregate(
+            df, entry["group_outputs"], entry["measures"]
+        )
+        n += 1
+    return n

@@ -489,7 +489,38 @@ class CubeMeta:
         return MemberMeta(self._engine, dim, depth, typed_path, caption=cap)
 
 
+#: default driver-side member-materialization bound; override per engine
+#: via ``engine.members_fetch_limit``
+MEMBERS_FETCH_LIMIT = 100_000
+
+
+class MembersTooLarge(ValueError):
+    """Raised when ``.members`` would materialize more rows to the driver
+    than ``engine.members_fetch_limit`` allows.  Mirrors the reference's
+    cardinality-hint discipline (schema.rb:100-101 high_cardinality,
+    cube_test.rb:258-266 approxRowCount): a browsing UI never needs a
+    customer-grain member ARRAY, and collecting one at 100 TB OOMs the
+    driver — use ``engine.level_members()`` (a distributed DataFrame) or
+    raise the limit explicitly."""
+
+
 def _rows_to_members(engine, dim: Dimension, depth: int, df) -> list[MemberMeta]:
+    limit = getattr(engine, "members_fetch_limit", MEMBERS_FETCH_LIMIT)
+    if getattr(dim, "high_cardinality", False):
+        raise MembersTooLarge(
+            f"dimension {dim.name!r} is flagged high_cardinality "
+            "(schema.rb:100-101): member arrays are not materialized to "
+            "the driver; use engine.level_members() for a distributed frame"
+        )
+    # trust the cardinality hint first (the whole point of the hint is to
+    # skip the job — cube_test.rb:258-266); fall back to a limit+1 probe
+    hint = getattr(engine, "_level_cardinality", {}).get((dim.name, depth))
+    if hint is not None and hint > limit:
+        raise MembersTooLarge(
+            f"level {dim.name!r}[{depth}] declares cardinality {hint} > "
+            f"members_fetch_limit {limit}; use engine.level_members() for "
+            "a distributed frame, or raise engine.members_fetch_limit"
+        )
     # role top_level bounds hide ancestor columns from level_members output
     # — read only the columns the frame actually carries (hidden ancestors
     # surface as None path segments, matching their invisibility)
@@ -497,7 +528,15 @@ def _rows_to_members(engine, dim: Dimension, depth: int, df) -> list[MemberMeta]
     outs = [lv.out for lv in dim.levels[: depth + 1]]
     cap_col = f"{dim.levels[depth].out}_caption"
     members = []
-    for row in df.collect():
+    rows = df.limit(limit + 1).collect()
+    if len(rows) > limit:
+        raise MembersTooLarge(
+            f"level {dim.name!r}[{depth}] has more than "
+            f"members_fetch_limit={limit} members; use "
+            "engine.level_members() for a distributed frame, or raise "
+            "engine.members_fetch_limit"
+        )
+    for row in rows:
         members.append(
             MemberMeta(
                 engine,

@@ -161,6 +161,11 @@ class Dimension:
     primary_key: str | None = None
     joins: tuple[JoinLink, ...] = ()
     guaranteed_small: bool = False
+    #: flag a dimension as high-cardinality (schema.rb:100-101): the
+    #: engine refuses to materialize its member ARRAYS to the driver
+    #: (metadata ``.members``) — query planning is unaffected (members
+    #: stay distributed there)
+    high_cardinality: bool = False
     #: synthetic "(All)" member exists (hierarchy hasAll — schema.rb:132-167)
     has_all: bool = True
     #: display metadata (schema.rb:88-130 description/caption/Annotations)

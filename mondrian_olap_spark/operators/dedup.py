@@ -803,13 +803,19 @@ def bloom_probe(
 
     Two physical strategies, chosen by bitmap size:
 
-    * ``m_bits ≤ inline_max_bits`` (default 4M bits ≈ 64k-long literal):
+    * ``m_bits ≤ inline_max_bits`` (default 4M bits ≈ 67k-long literal):
       the bitmap is collected once and inlined as an array literal, so the
       probe is a PURE PROJECTION — zero joins, zero shuffles, whole-stage
-      codegen (the IVF inlined-centroid pattern).  This is the hot path: a
-      daily batch probes a 1%-fp bitmap of a billion-document corpus
-      (~1.4 GB) via the join strategy, but per-source or per-shard bitmaps
-      stay comfortably inline.
+      codegen (the IVF inlined-centroid pattern).  The literal ships as
+      ONE packed string that a foldable ``split``/``cast`` unpacks at
+      optimize time, so driver/plan cost is O(1) in bitmap size; codegen
+      holds the folded array as a single object REFERENCE in the
+      generated class (verified at the full 67,651-word default — the
+      Janino 64KB method limit applies to generated source, which stays
+      constant-size, not to referenced constants).  This is the hot
+      path: a daily batch probes a 1%-fp bitmap of a billion-document
+      corpus (~1.4 GB) via the join strategy, but per-source or
+      per-shard bitmaps stay comfortably inline.
     * larger bitmaps: explode the k (word, mask) probes, broadcast-join
       the bitmap on the word index, and ``bool_and`` the bit tests back
       per document — one id-keyed aggregation, corpus never touched.
@@ -823,8 +829,13 @@ def bloom_probe(
     positions = _bloom_positions(F.col("fingerprint"), m_bits, k)
     if m_bits <= inline_max_bits:
         words = {r["word"]: r["bits"] for r in bloom.collect()}
-        arr = F.lit(
-            [int(words.get(w, 0)) for w in range(m_bits // BLOOM_WORD_BITS)]
+        dense = [int(words.get(w, 0)) for w in range(m_bits // BLOOM_WORD_BITS)]
+        # one packed-string literal + foldable split/cast (constant-folds
+        # to a single array literal) — per-element F.lit would cost one
+        # py4j round-trip per word (~30s at the 67k default) and 67k
+        # pre-fold expression nodes
+        arr = F.split(F.lit(",".join(map(str, dense))), ",", -1).cast(
+            "array<long>"
         )
         checks = [
             F.expr(

@@ -469,8 +469,13 @@ def curate_increment(
         new_docs, split_weights=None, id_col=id_col, text_col=text_col,
         fingerprint_col=fingerprint_col,
     )
+    # forward fingerprint_col so the corpus membership check is keyed the
+    # SAME way as batch-internal dedup (and so a write_fingerprinted
+    # corpus keeps its precomputed/bucketed fingerprint instead of
+    # silently recomputing md5(lower(trim(text))))
     flags = incremental_dedup(
         batch, corpus, m_bits=m_bits, k=k, id_col=id_col, text_col=text_col,
+        fingerprint_col=fingerprint_col,
     )
     out = batch.join(
         flags.select(id_col, "bloom_hit", "is_dup"), id_col

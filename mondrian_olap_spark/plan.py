@@ -1021,7 +1021,20 @@ class Planner:
                         raise QueryError(
                             f"nonempty expects measure references, got {spec!r}"
                         )
-                    s = self.cube.measure(segs[1]).out
+                    m = self.cube.measure(segs[1])
+                    # the measure may be RETURNed under a CUSTOM alias
+                    # (fields=[('qty2', '[Measures].[Sum Qty]')]): match
+                    # the select entry carrying its fact expression, then
+                    # fall back to the default out name
+                    aliased = [
+                        o
+                        for o, colspec in select_exprs
+                        if isinstance(colspec, str)
+                        and colspec == m.expression
+                    ]
+                    s = m.out if m.out in {o for o, _ in select_exprs} else (
+                        aliased[0] if aliased else m.out
+                    )
                 if s not in outs:
                     raise QueryError(
                         f"nonempty field {spec!r} is not among the RETURN fields"

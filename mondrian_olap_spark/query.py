@@ -874,20 +874,44 @@ class Query:
         import dataclasses as _dc
 
         rewritten: dict[str, CalculatedMember] = {}
+        rewrite_errors: dict[str, QueryError] = {}
         for cm in self._with:
             if "currentmember" in cm.expression.lower():
-                rewritten[cm.name] = _dc.replace(
-                    cm,
-                    expression=self._rewrite_current_member(cm.expression, axes),
-                )
-        with_list = tuple(rewritten.get(cm.name, cm) for cm in self._with)
+                # a WITH member the query never evaluates must not fail it
+                # (Mondrian computes calc members lazily): defer the
+                # "needs the dimension on an axis" raise until the member
+                # is actually selected
+                try:
+                    rewritten[cm.name] = _dc.replace(
+                        cm,
+                        expression=self._rewrite_current_member(
+                            cm.expression, axes
+                        ),
+                    )
+                except QueryError as e:
+                    rewrite_errors[cm.name] = e
+        with_list = tuple(
+            rewritten.get(cm.name, cm)
+            for cm in self._with
+            if cm.name not in rewrite_errors
+        )
         measures: list[Measure | CalculatedMember] = []
         for ax in axes:
             for name in ax.measure_names:
                 m = self._measure(name)
                 if isinstance(m, CalculatedMember):
+                    if m.name in rewrite_errors:
+                        raise rewrite_errors[m.name]
                     m = rewritten.get(m.name, m)
                 measures.append(m)
+        # a used calc member may reference an unrewritable one by name
+        # (solve-order chaining) — surface the underlying error, not a
+        # downstream name-not-found
+        for used in measures:
+            if isinstance(used, CalculatedMember):
+                for bad, err in rewrite_errors.items():
+                    if bad in used.expression:
+                        raise err
         tuple_specs = []
         for out, mname, member_strs in self._tuple_scalars:
             # mname None = tuple with no [Measures] component: the Measures

@@ -278,6 +278,72 @@ def test_level_cardinality_hint(engine):
     assert fresh.members_count == real
 
 
+def test_members_fetch_limit_guard(engine):
+    """Driver-OOM guard on member materialization: a level whose declared
+    cardinality (or actual count) exceeds engine.members_fetch_limit
+    refuses `.members` with a typed error pointing at level_members();
+    bounded levels are unaffected; the hint path runs NO Spark job."""
+    import pytest
+
+    from mondrian_olap_spark.metadata import CubeMeta, MembersTooLarge
+
+    cube = CubeMeta(engine)
+    level = cube.dimension("Customer").hierarchy.levels[-1]
+    # declared-cardinality short-circuit (no job)
+    level.cardinality = 10_000_000
+    with pytest.raises(MembersTooLarge, match="declares cardinality"):
+        level.members
+    level.cardinality = None
+    # actual-count probe: shrink the limit below the real member count
+    real = level.members_count
+    engine.members_fetch_limit = max(1, real - 1)
+    try:
+        with pytest.raises(MembersTooLarge, match="more than"):
+            level.members
+        # bounded level under the same limit still materializes
+        nation = cube.dimension("Customer").hierarchy.levels[1]
+        assert len(nation.members) == 25
+    finally:
+        del engine.members_fetch_limit
+    assert len(level.members) == real  # default limit restored
+
+
+def test_high_cardinality_dimension_refuses_member_arrays(spark):
+    """A dimension flagged high_cardinality (schema.rb:100-101) never
+    materializes member arrays to the driver, regardless of actual size;
+    query planning over the same dimension still works (stays
+    distributed)."""
+    import dataclasses
+
+    import pytest
+
+    from mondrian_olap_spark.metadata import CubeMeta, MembersTooLarge
+    from mondrian_olap_spark.query import Query
+    from mondrian_olap_spark.star import engine_from_parquet
+    from mondrian_olap_spark.tpch import SCHEMA
+
+    from .conftest import SF_DIR
+
+    sales = SCHEMA.cube("Sales")
+    dims = tuple(
+        dataclasses.replace(d, high_cardinality=True)
+        if d.name == "Customer" else d
+        for d in sales.dimensions
+    )
+    sales2 = dataclasses.replace(sales, dimensions=dims)
+    schema2 = dataclasses.replace(
+        SCHEMA,
+        cubes=tuple(sales2 if c.name == "Sales" else c for c in SCHEMA.cubes),
+    )
+    eng = engine_from_parquet(spark, schema2, "Sales", SF_DIR)
+    level = CubeMeta(eng).dimension("Customer").hierarchy.levels[1]
+    with pytest.raises(MembersTooLarge, match="high_cardinality"):
+        level.members
+    r = (Query(eng).columns("[Measures].[Sum Qty]")
+         .rows("[Customer].children").execute())
+    assert r.df.count() == 5
+
+
 def test_measure_cell_formatter_metadata_and_formatting(spark):
     """schema_definition_test.rb:1235-1258: measure metadata exposes
     cell_formatter_name / cell_formatter / format_string (None when

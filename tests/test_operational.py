@@ -87,6 +87,60 @@ def test_materialize_aggregate_checkpoint_default(spark):
     assert "lineitem" not in plan
 
 
+def test_auto_materialize_closes_advisor_loop(spark, tmp_path):
+    """advisor.auto_materialize in ONE call: observed query log in →
+    recommended summaries built + registered → the covered warm query
+    routes with ZERO fact scans; with path_prefix the summaries persist
+    as parquet a fresh session can re-register (cross-session half)."""
+    from mondrian_olap_spark.advisor import auto_materialize
+
+    eng = engine_from_parquet(spark, SCHEMA, "Sales", SF_DIR)
+    eng.__dict__.pop("_query_log", None)
+    # warm-up workload recorded by the engine's own ring buffer
+    for _ in range(4):
+        (Query(eng).columns("[Measures].[Sum Qty]")
+         .rows("[Customer].children").execute().df.collect())
+    recs = auto_materialize(
+        eng, path_prefix=str(tmp_path / "aggs"), measures=["Sum Qty"]
+    )
+    assert recs and recs[0].levels == ["[Customer].[Region]"]
+    assert recs[0].path and recs[0].path.startswith(str(tmp_path))
+    routed = (Query(eng).columns("[Measures].[Sum Qty]")
+              .rows("[Customer].children").execute().df)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem" not in plan  # zero fact scans
+    # values identical to a fresh unrouted engine
+    fresh = engine_from_parquet(spark, SCHEMA, "Sales", SF_DIR)
+    expected = {r["region_name"]: r["sum_qty"] for r in
+                Query(fresh).columns("[Measures].[Sum Qty]")
+                .rows("[Customer].children").execute().df.collect()}
+    got = {r["region_name"]: r["sum_qty"] for r in routed.collect()}
+    assert got == expected
+    # cross-session: a NEW engine re-registers the persisted summaries
+    # from the manifest in one call — no fact scan, no re-aggregation
+    from mondrian_olap_spark.advisor import load_materialized
+
+    eng2 = engine_from_parquet(spark, SCHEMA, "Sales", SF_DIR)
+    assert load_materialized(eng2, str(tmp_path / "aggs")) == len(recs)
+    routed2 = (Query(eng2).columns("[Measures].[Sum Qty]")
+               .rows("[Customer].children").execute().df)
+    plan2 = routed2._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem" not in plan2
+    assert {r["region_name"]: r["sum_qty"]
+            for r in routed2.collect()} == expected
+    # explicit-log form bypasses the ring buffer
+    eng3 = engine_from_parquet(spark, SCHEMA, "Sales", SF_DIR)
+    recs3 = auto_materialize(
+        eng3, query_log=[["[Customer].[Nation]"]] * 2, measures=["Sum Qty"]
+    )
+    assert recs3[0].levels == ["[Customer].[Nation]"]
+    assert recs3[0].path is None  # in-session checkpoint
+    plan3 = (Query(eng3).columns("[Measures].[Sum Qty]")
+             .rows("[Customer].[Nation].Members").execute()
+             .df._jdf.queryExecution().executedPlan().toString())
+    assert "lineitem" not in plan3
+
+
 def test_materialize_aggregate_rejects_unrollable(spark):
     eng = engine_from_parquet(spark, SCHEMA, "Sales", SF_DIR)
     with pytest.raises(ValueError):

@@ -2500,6 +2500,29 @@ def test_curate_increment_semantics(spark):
     assert "bloom_hit" in out.columns      # fp accounting observable
 
 
+def test_curate_increment_fingerprint_col_forwarded(spark):
+    """curate_increment must key the CORPUS membership check on the
+    caller's fingerprint_col, not silently recompute md5(lower(trim)):
+    a new doc whose precomputed fingerprint collides with a corpus row is
+    a duplicate even though its raw text differs."""
+    from mondrian_olap_spark.operators.pipeline import curate_increment
+
+    good = ("this is a genuinely long enough quality document body with "
+            "plenty of distinct words to pass every default rule ")
+    corpus = spark.createDataFrame([
+        Row(doc_id=1, text=good + "alpha", fp="shared-key"),
+    ])
+    new = spark.createDataFrame([
+        # different text, SAME precomputed fingerprint -> corpus dup
+        Row(doc_id=11, text=good + "beta", fp="shared-key"),
+        # fresh fingerprint -> accepted
+        Row(doc_id=12, text=good + "gamma", fp="fresh-key"),
+    ])
+    out = curate_increment(new, corpus, fingerprint_col="fp",
+                           m_bits=62 * 8, k=4)
+    assert {r["doc_id"] for r in out.collect()} == {12}
+
+
 def test_build_vocab_and_tokens_to_ids(spark):
     docs = spark.createDataFrame([
         Row(doc_id=1, text="a b a c"), Row(doc_id=2, text="b b d"),
@@ -2518,6 +2541,66 @@ def test_build_vocab_and_tokens_to_ids(spark):
     plan = (text.tokens_to_ids(docs, v)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Join" not in plan
+
+
+def test_build_vocab_reserved_token_in_corpus(spark):
+    """A literal reserved token in the corpus must NOT earn a second
+    ranked vocab row — the special owns its id unconditionally."""
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="<unk> <unk> <unk> a b"),
+        Row(doc_id=2, text="a <unk>"),
+    ])
+    v = text.build_vocab(docs, vocab_size=5)
+    rows = v.collect()
+    toks = [r["token"] for r in rows]
+    assert toks.count("<unk>") == 1
+    got = {r["token"]: r["token_id"] for r in rows}
+    assert got == {"<unk>": 0, "a": 1, "b": 2}
+    # encode: corpus '<unk>' literals map to the special's id, stably
+    out = text.tokens_to_ids(docs, v).orderBy("doc_id").collect()
+    assert [list(r["token_ids"]) for r in out] == [[0, 0, 0, 1, 2], [1, 0]]
+
+
+def test_tokens_to_ids_duplicate_vocab_rows(spark):
+    """A hand-built vocab with duplicate tokens must not crash the inline
+    map literal; the smallest id wins deterministically on both paths."""
+    docs = spark.createDataFrame([Row(doc_id=1, text="x y z")])
+    dup = spark.createDataFrame(
+        [("x", 1), ("x", 7), ("y", 2)],
+        "token string, token_id bigint",
+    )
+    inline = text.tokens_to_ids(docs, dup).collect()
+    assert list(inline[0]["token_ids"]) == [1, 2, 0]
+
+
+def test_tokens_to_ids_plan_size_constant_in_vocab(spark):
+    """The inline MAP literal is built from TWO array literals
+    (map_from_arrays), so Catalyst plan size is O(1) in vocabulary size:
+    a 50k-entry vocab must analyze fast and produce a plan string no
+    larger than a 10-entry vocab's (plus the literal payload itself held
+    in two nodes).  Guards against the per-entry create_map regression
+    (2N lit nodes -> driver-side analysis/codegen bomb at BPE scale)."""
+    import time
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="tok00001 zz")])
+    big = spark.createDataFrame(
+        [(f"tok{i:05d}", i + 1) for i in range(50_000)],
+        "token string, token_id bigint",
+    )
+    t0 = time.time()
+    out = text.tokens_to_ids(docs, big)
+    qe = out._jdf.queryExecution()
+    n_nodes = qe.analyzed().numberedTreeString().count("\n") + 1
+    opt = qe.optimizedPlan().toString()
+    elapsed = time.time() - t0
+    # two packed-string literals -> a handful of plan nodes at any size
+    assert n_nodes < 50, n_nodes
+    # the packed-string unpack constant-folds into a map literal: no
+    # per-row map_from_arrays/unpack survives optimization (the one
+    # split left in the plan is the text tokenizer's)
+    assert "map_from_arrays" not in opt
+    assert elapsed < 20, f"build+optimize took {elapsed:.1f}s at 50k vocab"
+    assert list(out.collect()[0]["token_ids"]) == [2, 0]
 
 
 def test_streaming_bloom_bitmap_maintenance(spark, tmp_path):

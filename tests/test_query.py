@@ -1238,6 +1238,24 @@ def test_drillthrough_nonempty_measures(engine):
         ).count()
 
 
+def test_drillthrough_nonempty_measure_under_custom_alias(engine):
+    """A measure RETURNed under a custom alias still satisfies its own
+    [Measures].[X] nonempty reference — the reference resolves to the
+    RETURN entry carrying the measure's expression, not to a hardcoded
+    default output name."""
+    fields = [
+        ("region_name", "[Customer].[Region]"),
+        ("qty2", "[Measures].[Sum Qty]"),
+    ]
+    where = ["[Time].[1995].[Q1]"]
+    out = engine.drill_through(
+        where, fields, nonempty="[Measures].[Sum Qty]"
+    )
+    assert out.columns == ["region_name", "qty2"]
+    assert out.count() > 0
+    assert out.filter("qty2 IS NULL").count() == 0
+
+
 def test_filter_by_member_property(engine, duck):
     """mondrian_test.rb:125-131 (Filter by CurrentMember.Properties):
     members filter on a declared level property; the property column is

@@ -310,3 +310,28 @@ def test_current_member_property_and_method_udfs(spark, engine):
         (Query(engine).with_member("x")
          .as_("[Part].CurrentMember.UpperName", output="x")
          .columns("[Measures].[x]").rows("[Customer].children").execute())
+
+
+def test_unused_currentmember_calc_member_is_lazy(spark, engine):
+    """A WITH member whose CurrentMember cannot bind (its dimension is on
+    no axis) must NOT fail a query that never selects it — Mondrian
+    evaluates calc members lazily.  Selecting it still raises."""
+    import pytest
+
+    register_scalar(spark, "UpperName2", lambda s: s.upper() if s else None)
+    q = (
+        Query(engine)
+        .with_member("Unused")
+        .as_("[Part].CurrentMember.UpperName2", output="unused")
+        .columns("[Measures].[Sum Price]")
+        .rows("[Customer].children")
+    )
+    r = q.execute()
+    assert r.df.count() > 0
+    assert "unused" not in r.df.columns
+    from mondrian_olap_spark.query import QueryError
+    with pytest.raises(QueryError, match="needs the dimension on an axis"):
+        (Query(engine).with_member("Unused")
+         .as_("[Part].CurrentMember.UpperName2", output="unused")
+         .columns("[Measures].[Unused]").rows("[Customer].children")
+         .execute())

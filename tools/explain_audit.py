@@ -426,6 +426,21 @@ def main() -> int:
         f"join/exchange lines: {[l.strip()[:90] for l in bad]}",
     )
 
+    # 20b. vocabulary encode plan size is O(1) in vocab size: the packed
+    #      string literals keep a 50k-entry vocab to a handful of plan
+    #      nodes (the per-entry create_map form would be ~100k nodes)
+    big_vocab = spark.createDataFrame(
+        [(f"tok{i:05d}", i + 1) for i in range(50_000)],
+        "token string, token_id bigint",
+    )
+    qe = textops.tokens_to_ids(docs, big_vocab)._jdf.queryExecution()
+    n_nodes = qe.analyzed().numberedTreeString().count("\n") + 1
+    check(
+        "tokens_to_ids.plan_nodes_constant_at_50k_vocab",
+        n_nodes < 50,
+        f"analyzed plan nodes at 50k vocab: {n_nodes}",
+    )
+
     # 21. PQ encode: codebooks inlined — zero joins, zero exchanges
     from mondrian_olap_spark.operators import similarity as simops
     from mondrian_olap_spark.star import read_parquet_table as _rpt
