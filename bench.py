@@ -150,12 +150,13 @@ def main() -> None:
     # with data volume).  Passes 2-3 — WARM: per-query min with caches on,
     # the reference's measurement convention (Mondrian's warm repeat query
     # does 0 SQL — BASELINE.md).
-    # Noise-robust per-query signals alongside wall time: whole-JVM GC ms
-    # (MX beans — the sequential one-JVM sweep inflates tails 20-30% under
-    # GC pressure, so a flat-vs-regressed call needs the GC share visible)
-    # and total task time (status store executor summary — wall time minus
-    # task time is driver/plan overhead).  Both are cumulative counters;
-    # per-query values are before/after deltas.
+    # Noise-robust per-query signal alongside wall time: whole-JVM GC ms
+    # (MX beans, exact cumulative counter — the sequential one-JVM sweep
+    # inflates tails 20-30% under GC pressure, so a flat-vs-regressed call
+    # needs the GC share visible).  Per-query values are before/after
+    # deltas.  (The status store's executor totalDuration was evaluated
+    # and rejected: it lags the listener bus and under-reports parallel
+    # task time in local mode even after waitUntilEmpty.)
     def _jvm_gc_ms() -> int:
         beans = (
             spark._jvm.java.lang.management.ManagementFactory
@@ -166,25 +167,19 @@ def main() -> None:
             total += it.next().getCollectionTime()
         return total
 
-    def _task_time_ms() -> int:
-        execs = spark._jsc.sc().statusStore().executorList(False)
-        return sum(execs.apply(i).totalDuration() for i in range(execs.size()))
-
     cold: dict[str, float] = {}
     warm: dict[str, float] = {}
     cold_gc: dict[str, int] = {}
-    cold_task: dict[str, int] = {}
     warm_gc: dict[str, int] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         _tune_splits(name)
         _flush_caches()
-        gc0, task0 = _jvm_gc_ms(), _task_time_ms()
+        gc0 = _jvm_gc_ms()
         t0 = time.perf_counter()
         fn(spark, SF_DIR).collect()
         cold[name] = round(time.perf_counter() - t0, 3)
         cold_gc[name] = _jvm_gc_ms() - gc0
-        cold_task[name] = _task_time_ms() - task0
     for _ in range(2):
         for name in HEADLINE:
             fn = QUERIES[name]
@@ -216,7 +211,6 @@ def main() -> None:
                 "cold_value": round(sum(cold.values()), 3),
                 "cold_queries": cold,
                 "cold_gc_ms": cold_gc,
-                "cold_task_ms": cold_task,
                 "warm_gc_ms": warm_gc,
                 "sf": sf_val,
             }
