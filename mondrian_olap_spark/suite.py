@@ -2611,6 +2611,43 @@ def aggregate_routing_gate(spark, sf_dir):
 
 
 @q(
+    "advisor_auto_materialize_gate",
+    f"""
+    SELECT r_name AS region_name, sum(l_quantity) AS sum_qty
+    FROM {_CUST_STAR} GROUP BY 1
+    """,
+)
+def advisor_auto_materialize_gate(spark, sf_dir):
+    """The CLOSED advisor loop in the driver gate (view-selection
+    automation on top of the AggName surface, schema.rb:374-414 +
+    Harinarayan/Rajaraman/Ullman '96 greedy selection): an observed query
+    log goes into advisor.auto_materialize, which recommends the region
+    grain, materializes the summary (lineage-truncated checkpoint) and
+    registers it — in one call.  The covered query must then be served
+    ENTIRELY from the summary (asserted: no fact scan in the executed
+    plan) and still hash-match the fact-derived oracle."""
+    from .advisor import auto_materialize
+    from .star import engine_from_parquet
+    from .tpch import SCHEMA
+
+    eng = engine_from_parquet(spark, SCHEMA, "Sales", sf_dir)
+    recs = auto_materialize(
+        eng, query_log=[["[Customer].[Region]"]] * 3, measures=["Sum Qty"]
+    )
+    assert recs and recs[0].levels == ["[Customer].[Region]"]
+    routed = (
+        Query(eng)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].[Region].Members")
+        .execute()
+        .df
+    )
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem" not in plan, "query was not served from the summary"
+    return routed
+
+
+@q(
     "filter_member_property_gate",
     """
     WITH members AS (
