@@ -389,6 +389,95 @@ class CubeEngine:
         self.register_aggregate(df, group_cols, {m.out: m.aggregator for m in ms})
         return df
 
+    def refresh_aggregates(
+        self, delta_fact: DataFrame, path_prefix: str | None = None
+    ) -> int:
+        """Incrementally maintain every registered summary under a fact
+        APPEND: aggregate ONLY the delta at each summary's grain (through
+        a delta-scoped engine sharing this engine's dimension tables),
+        merge into the registered summary by grain keys, and re-register.
+        The merge is exactly why only roll-up-safe aggregators may
+        register (:meth:`register_aggregate`): sum⊎sum=sum, count⊎count
+        adds, min/min and max/max fold — so the refreshed summary is
+        IDENTICAL to re-materializing over the appended fact, without
+        ever rescanning it.  At 100 TB this turns summary maintenance
+        from a full-corpus job into one delta-sized aggregation plus a
+        summary-sized merge per grain.
+
+        ``delta_fact`` is the raw new fact rows (same shape as the fact
+        table; the cube's fact_filter and degenerate level columns are
+        re-applied here).  ``path_prefix`` persists each refreshed
+        summary as parquet (``{path_prefix}/refresh_<i>``); omitted,
+        refreshed summaries are lineage-truncated checkpoints.  Returns
+        the number of summaries refreshed.
+        """
+        if not self.aggregate_tables:
+            return 0
+        from .members import MemberSetRef
+        from .plan import Planner
+
+        delta_engine = CubeEngine(
+            self.cube, {**self.tables, self.cube.fact: delta_fact},
+            parameters=self.parameters, roles=self.available_roles,
+        )
+        by_out = {m.out: m for m in self.cube.measures}
+        # locate each level-out column's (dimension, depth) once
+        level_of: dict[str, tuple] = {}
+        for dim in self.cube.dimensions:
+            for i, lv in enumerate(dim.levels):
+                level_of[lv.out] = (dim, i)
+        spark = self.fact.sparkSession
+        refreshed = []
+        for idx, (old, group_outputs, measures) in enumerate(
+            self.aggregate_tables
+        ):
+            grain: dict[str, int] = {}
+            for out in group_outputs:
+                if out not in level_of:
+                    raise ValueError(
+                        f"summary group output {out!r} is not a level "
+                        "column of this cube; cannot re-derive its grain"
+                    )
+                dim, depth = level_of[out]
+                grain[dim.name] = max(grain.get(dim.name, -1), depth)
+            refs = [
+                MemberSetRef(
+                    self.cube.dimension(d), depth=depth, kind="level_members"
+                )
+                for d, depth in grain.items()
+            ]
+            ms = [by_out[out] for out in measures]
+            delta_sum, _ = Planner(delta_engine).aggregate([refs], [], ms)
+            merges = []
+            for out, agg in measures.items():
+                c = F.col(out)
+                fold = (
+                    F.sum(c) if agg in ("sum", "count")
+                    else F.min(c) if agg == "min"
+                    else F.max(c)
+                )
+                m = by_out[out]
+                if m.dtype:
+                    fold = fold.cast(m.dtype)
+                merges.append(fold.alias(out))
+            cols = list(group_outputs) + list(measures)
+            merged = (
+                old.select(*cols)
+                .unionByName(delta_sum.select(*cols))
+                .groupBy(*group_outputs)
+                .agg(*merges)
+                .select(*cols)
+            )
+            if path_prefix is not None:
+                p = f"{path_prefix.rstrip('/')}/refresh_{idx:02d}"
+                merged.write.mode("overwrite").parquet(p)
+                merged = spark.read.parquet(p)
+            else:
+                merged = merged.localCheckpoint(eager=True)
+            refreshed.append((merged, group_outputs, measures))
+        self.aggregate_tables[:] = refreshed
+        return len(refreshed)
+
     def enable_cache(self, storage_level=None):
         """Turn on the aggregate cache (CACHE fun-def analog + segment
         cache; ``jar!mondrian/olap/fun/CacheFunDef``)."""

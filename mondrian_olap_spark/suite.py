@@ -2648,6 +2648,50 @@ def advisor_auto_materialize_gate(spark, sf_dir):
 
 
 @q(
+    "aggregate_refresh_gate",
+    f"""
+    SELECT r_name AS region_name, sum(l_quantity) AS sum_qty,
+           count(l_orderkey) AS count_order
+    FROM {_CUST_STAR} GROUP BY 1
+    """,
+)
+def aggregate_refresh_gate(spark, sf_dir):
+    """Incremental summary MAINTENANCE in the driver gate: the summary is
+    materialized from a BASE fact (90% of rows), then
+    engine.refresh_aggregates folds in only the held-out delta (one
+    delta-sized aggregation + a summary-sized merge — never a full
+    rescan), and the routed query must hash-match the oracle computed
+    over the FULL fact.  Roll-up-safe merges (sum⊎sum, count adds) make
+    the refreshed summary identical to re-materializing from scratch —
+    the 100 TB maintenance path."""
+    from .star import engine_from_parquet, read_parquet_table
+    from .tpch import SCHEMA
+
+    full = read_parquet_table(spark, f"{sf_dir}/lineitem.parquet")
+    base = full.filter("l_orderkey % 10 != 0")
+    delta = full.filter("l_orderkey % 10 = 0")
+    eng = engine_from_parquet(spark, SCHEMA, "Sales", sf_dir)
+    eng.__init__(
+        eng.cube, {**eng.tables, "lineitem": base},
+        eng.parameters, eng.available_roles,
+    )
+    eng.materialize_aggregate(
+        ["[Customer].[Nation]"], measures=["Sum Qty", "Count Order"]
+    )
+    assert eng.refresh_aggregates(delta) == 1
+    routed = (
+        Query(eng)
+        .columns("[Measures].[Sum Qty]", "[Measures].[Count Order]")
+        .rows("[Customer].[Region].Members")
+        .execute()
+        .df
+    )
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem" not in plan, "refresh must not rescan the fact"
+    return routed
+
+
+@q(
     "filter_member_property_gate",
     """
     WITH members AS (

@@ -141,6 +141,58 @@ def test_auto_materialize_closes_advisor_loop(spark, tmp_path):
     assert "lineitem" not in plan3
 
 
+def test_refresh_aggregates_incremental_maintenance(spark, tmp_path):
+    """Summary maintenance under fact APPEND: materialize from a base
+    fact, refresh with only the delta rows, and the routed query must
+    equal a full-fact re-materialization — grain keys new in the delta
+    included — without the refresh ever scanning the appended fact.
+    Both storage forms (checkpoint and parquet path_prefix) round-trip."""
+    from mondrian_olap_spark.star import read_parquet_table
+
+    full = read_parquet_table(spark, f"{SF_DIR}/lineitem.parquet")
+    base = full.filter("l_orderkey % 10 != 0")
+    delta = full.filter("l_orderkey % 10 = 0")
+    assert delta.count() > 0
+
+    eng = engine_from_parquet(spark, SCHEMA, "Sales", SF_DIR)
+    eng.tables = {**eng.tables, "lineitem": base}
+    eng.__init__(eng.cube, eng.tables, eng.parameters, eng.available_roles)
+    eng.materialize_aggregate(
+        ["[Customer].[Nation]"], measures=["Sum Qty", "Count Order"]
+    )
+    assert eng.refresh_aggregates(delta) == 1
+    routed = (Query(eng)
+              .columns("[Measures].[Sum Qty]", "[Measures].[Count Order]")
+              .rows("[Customer].children").execute().df)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem" not in plan
+    fresh = engine_from_parquet(spark, SCHEMA, "Sales", SF_DIR)
+    expected = {r["region_name"]: (r["sum_qty"], r["count_order"]) for r in
+                Query(fresh)
+                .columns("[Measures].[Sum Qty]", "[Measures].[Count Order]")
+                .rows("[Customer].children").execute().df.collect()}
+    got = {r["region_name"]: (r["sum_qty"], r["count_order"])
+           for r in routed.collect()}
+    assert got == expected
+    # parquet-persisted refresh form
+    eng2 = engine_from_parquet(spark, SCHEMA, "Sales", SF_DIR)
+    eng2.tables = {**eng2.tables, "lineitem": base}
+    eng2.__init__(eng2.cube, eng2.tables, eng2.parameters,
+                  eng2.available_roles)
+    eng2.materialize_aggregate(["[Customer].[Nation]"],
+                               measures=["Sum Qty", "Count Order"])
+    assert eng2.refresh_aggregates(
+        delta, path_prefix=str(tmp_path / "refreshed")) == 1
+    got2 = {r["region_name"]: (r["sum_qty"], r["count_order"]) for r in
+            Query(eng2)
+            .columns("[Measures].[Sum Qty]", "[Measures].[Count Order]")
+            .rows("[Customer].children").execute().df.collect()}
+    assert got2 == expected
+    # no registered summaries -> no-op
+    assert engine_from_parquet(
+        spark, SCHEMA, "Sales", SF_DIR).refresh_aggregates(delta) == 0
+
+
 def test_materialize_aggregate_rejects_unrollable(spark):
     eng = engine_from_parquet(spark, SCHEMA, "Sales", SF_DIR)
     with pytest.raises(ValueError):
