@@ -347,6 +347,38 @@ def write_ivf_index(
     return seeds
 
 
+def ivf_append(
+    new_emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Append new vectors to a persisted IVF index WITHOUT rebuilding it:
+    load the artifact's own centroids (``_centroids`` — probing and
+    appending must both use the centroids the index was assigned with),
+    assign ONLY the new vectors (the same inlined-centroid zero-shuffle
+    projection as the build), and append-write them into the cell
+    partitions.
+
+    Because assignment is per-vector, probes over the appended index are
+    IDENTICAL to probes over a from-scratch build of the full corpus with
+    the same centroids — so at 100 TB index maintenance is one
+    delta-sized projection plus a partitioned append, never a corpus
+    rescan (the ANN analog of ``CubeEngine.refresh_aggregates``).  Cell
+    balance degrades only as far as the data drifts from the quantizer;
+    re-train + rebuild remains the periodic heavy path.  Returns the
+    centroids read from the artifact.
+    """
+    spark = new_emb.sparkSession
+    _, cents = read_ivf_index(spark, path)
+    idx = ivf_index(
+        new_emb, n_cells=len(cents), id_col=id_col, vec_col=vec_col,
+        centroids=cents,
+    )
+    idx.write.mode("append").partitionBy("cell").parquet(path)
+    return cents
+
+
 def read_ivf_index(spark, path: str) -> tuple[DataFrame, list]:
     """Load an index written by :func:`write_ivf_index`: returns
     ``(index_df, centroids)`` in exactly the shape

@@ -382,6 +382,72 @@ def embed_ivf_topk(spark, sf_dir):
     return df.withColumn("cosine", F.round("cosine", 6))
 
 
+@q(
+    "embed_ivf_append_gate",
+    f"""
+    WITH en AS (
+      SELECT vec_id, {_EMB_D} AS v,
+             sqrt(list_dot_product({_EMB_D}, {_EMB_D})) AS nv
+      FROM embeddings
+      WHERE list_dot_product({_EMB_D}, {_EMB_D}) > 0
+    ),
+    -- centroids come from the BASE build only (the artifact's quantizer);
+    -- appended vectors are assigned against them, never re-seeded
+    c AS (
+      SELECT vec_id AS cid, v AS cv, nv AS cn FROM en
+      WHERE vec_id % 10 != 0 ORDER BY vec_id LIMIT 8
+    ),
+    a AS (
+      SELECT en.vec_id, c.cid,
+             row_number() OVER (
+               PARTITION BY en.vec_id
+               ORDER BY list_dot_product(en.v, c.cv) / (en.nv * c.cn) DESC, c.cid
+             ) AS rn
+      FROM en CROSS JOIN c
+    ),
+    cell AS (SELECT vec_id, cid AS cell FROM a WHERE rn = 1),
+    probe AS (
+      SELECT vec_id AS query_id, cid AS cell FROM a
+      WHERE rn <= 2 AND vec_id IN (0, 100, 200, 300, 400)
+    ),
+    scored AS (
+      SELECT p.query_id, ce.vec_id AS neighbor_id,
+             list_dot_product(q.v, n.v) / (q.nv * n.nv) AS cos
+      FROM probe p
+      JOIN cell ce ON ce.cell = p.cell AND ce.vec_id <> p.query_id
+      JOIN en q ON q.vec_id = p.query_id
+      JOIN en n ON n.vec_id = ce.vec_id
+    )
+    SELECT query_id, neighbor_id, round(cos, 6) AS cosine
+    FROM scored
+    QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 10
+    """,
+)
+def embed_ivf_append_gate(spark, sf_dir):
+    """Incremental ANN index MAINTENANCE in the driver gate: the IVF index
+    is built and persisted from a BASE corpus (90% of vectors), then
+    ivf_append folds in the held-out delta — one delta-sized
+    inlined-centroid projection + a partitioned append, never a corpus
+    rescan — and a probe over the updated artifact must hash-match the
+    oracle's from-scratch assignment of the FULL corpus against the
+    base-derived centroids.  The probe queries are all DELTA vectors, so
+    appended rows are proven both query-able and retrievable."""
+    import tempfile
+
+    emb = _emb(spark, sf_dir)
+    base = emb.filter("vec_id % 10 != 0")
+    delta = emb.filter("vec_id % 10 = 0")
+    work = tempfile.mkdtemp(prefix="ivf_append_") + "/index"
+    similarity.write_ivf_index(base, work, n_cells=8)
+    similarity.ivf_append(delta, work)
+    idx, cents = similarity.read_ivf_index(spark, work)
+    df = similarity.ivf_topk(
+        emb, [0, 100, 200, 300, 400], k=10, n_probe=2,
+        index=idx, centroids=cents,
+    )
+    return df.withColumn("cosine", F.round("cosine", 6))
+
+
 # ------------------------------------------------- training-set plumbing
 from .operators import sampling  # noqa: E402  (module-level for oracle SQL)
 

@@ -171,6 +171,33 @@ def test_ivf_index_roundtrip_and_pruning(vectors, spark, tmp_path):
     assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
 
 
+def test_ivf_append_matches_full_rebuild(vectors, spark, tmp_path):
+    """ivf_append: appending a delta to a persisted index yields probes
+    IDENTICAL to a from-scratch build of the full corpus with the same
+    (base-derived) centroids — and the append assigns only the delta,
+    reusing the artifact's quantizer."""
+    path = str(tmp_path / "ivf_app")
+    base = vectors.filter("vec_id <= 3")
+    delta = vectors.filter("vec_id > 3")
+    written = similarity.write_ivf_index(base, path, n_cells=2)
+    cents_back = similarity.ivf_append(delta, path)
+    assert [c["id"] for c in cents_back] == [c["id"] for c in written]
+    idx, cents = similarity.read_ivf_index(spark, path)
+    # all 5 vectors present once, in base-derived cells
+    assert sorted(r["id"] for r in idx.collect()) == [1, 2, 3, 4, 5]
+    appended = similarity.ivf_topk(
+        vectors, [5], k=3, n_probe=2, index=idx, centroids=cents
+    ).collect()
+    scratch = similarity.ivf_topk(
+        vectors, [5], k=3, n_probe=2,
+        index=similarity.ivf_index(vectors, centroids=written),
+        centroids=written,
+    ).collect()
+    assert [(r["neighbor_id"], round(r["cosine"], 9)) for r in appended] == [
+        (r["neighbor_id"], round(r["cosine"], 9)) for r in scratch
+    ]
+
+
 def test_lsh_candidates_find_near_duplicates(spark):
     # clusters of near-identical vectors -> band collision probability ~1
     rows = []
