@@ -981,6 +981,35 @@ def write_minhash_index(
     return keys
 
 
+def minhash_index_append(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Append an ACCEPTED batch's band keys to a persisted MinHash index
+    WITHOUT re-fingerprinting the corpus: load the artifact's own banding
+    parameters (``_params`` — probes and appends must band identically),
+    band only the new documents (the same shingle→minhash→band
+    projection as the build), and append-write into the band partitions.
+
+    Because band keys are per-document, probes against the appended index
+    are IDENTICAL to probes against a from-scratch index of the full
+    corpus — so at 100 TB near-dup index maintenance is one batch-sized
+    banding job plus a partitioned append (the MinHash analog of
+    :func:`..similarity.ivf_append` / ``CubeEngine.refresh_aggregates``).
+    Returns the band-key DataFrame appended.
+    """
+    spark = new_docs.sparkSession
+    _, params = read_minhash_index(spark, path)
+    keys = minhash_band_keys(
+        new_docs, id_col, text_col,
+        params["n"], params["num_hashes"], params["bands"],
+    )
+    keys.write.mode("append").partitionBy("band").parquet(path)
+    return keys
+
+
 def read_minhash_index(spark, path: str) -> tuple[DataFrame, dict]:
     """Load an index written by :func:`write_minhash_index`: returns
     ``(band_keys_df, params)`` in the shape

@@ -2946,6 +2946,103 @@ def dedup_incremental_neardup(spark, sf_dir):
 
 
 @q(
+    "dedup_index_append_gate",
+    f"""
+    WITH b1 AS (
+      SELECT doc_id + 1000000 AS doc_id, replace(text, ' ', 'q ') AS text
+      FROM documents
+    ),
+    b2 AS (
+      SELECT doc_id + 2000000 AS doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN replace(text, ' ', 'q ') || ' tail marker tokens'
+                  ELSE 'novel document ' || doc_id || ' unrelated content entirely'
+             END AS text
+      FROM documents
+    ),
+    uc AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM b1),
+    tok_c AS (
+      SELECT doc_id, unnest({_DOC_TOKS}) AS w,
+             generate_subscripts({_DOC_TOKS}, 1) AS pos
+      FROM uc
+    ),
+    tok_n AS (
+      SELECT doc_id, unnest({_DOC_TOKS}) AS w,
+             generate_subscripts({_DOC_TOKS}, 1) AS pos
+      FROM b2
+    ),
+    sh_c AS (
+      SELECT DISTINCT a.doc_id AS id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+      FROM tok_c a JOIN tok_c b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                   JOIN tok_c c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    ),
+    sh_n AS (
+      SELECT DISTINCT a.doc_id AS id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+      FROM tok_n a JOIN tok_n b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                   JOIN tok_n c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    ),
+    szc AS (SELECT id, count(*) AS n FROM sh_c GROUP BY 1),
+    szn AS (SELECT id, count(*) AS n FROM sh_n GROUP BY 1),
+    common AS (
+      SELECT x.id AS new_id, y.id AS corpus_id, count(*) AS c
+      FROM sh_n x JOIN sh_c y ON x.shingle = y.shingle GROUP BY 1, 2
+    )
+    SELECT new_id, corpus_id,
+           round(c * 1.0 / (szn.n + szc.n - c), 6) AS jaccard
+    FROM common
+    JOIN szn ON szn.id = new_id
+    JOIN szc ON szc.id = corpus_id
+    WHERE c * 1.0 / (szn.n + szc.n - c) >= 0.8
+    """,
+)
+def dedup_index_append_gate(spark, sf_dir):
+    """Incremental NEAR-DUP index maintenance in the driver gate (the
+    MinHash analog of embed_ivf_append_gate): the LSH band-key index is
+    persisted from the base corpus, an accepted batch (token-mangled so
+    it shares nothing with the base) is folded in via
+    dedup.minhash_index_append — one batch-sized banding job + a
+    partitioned append, never a corpus re-fingerprint — and a SECOND
+    batch's probe over the updated artifact must find exactly the pairs
+    the exact all-pairs Jaccard oracle computes against corpus ∪ batch1.
+    Every expected pair matches a batch-1 document that lives in the
+    index ONLY via the append, so a broken append yields zero pairs."""
+    import tempfile
+
+    corpus = _docs(spark, sf_dir)
+    b1 = corpus.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("replace(text, ' ', 'q ')").alias("text"),
+    )
+    b2 = corpus.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.expr("replace(text, ' ', 'q ')"),
+                F.lit(" tail marker tokens"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("novel document "),
+                F.col("doc_id").cast("string"),
+                F.lit(" unrelated content entirely"),
+            )
+        )
+        .alias("text"),
+    )
+    work = tempfile.mkdtemp(prefix="mh_append_") + "/index"
+    dedup.write_minhash_index(corpus, work)
+    dedup.minhash_index_append(b1, work)
+    idx, params = dedup.read_minhash_index(spark, work)
+    pairs = dedup.incremental_neardup_pairs(
+        b2, corpus.select("doc_id", "text").unionByName(b1),
+        index=idx, threshold=0.8, **params
+    )
+    return pairs.withColumn("jaccard", F.round("jaccard", 6))
+
+
+@q(
     "text_normalize_gate",
     r"""
     WITH messy AS (

@@ -2155,6 +2155,38 @@ def test_minhash_index_roundtrip_and_incremental_probe(spark, docs, tmp_path):
     assert all(nid != 201 for nid, _ in matched)
 
 
+def test_minhash_index_append_matches_full_rebuild(spark, docs, tmp_path):
+    """minhash_index_append: appending an accepted batch's band keys to a
+    persisted index yields probe results IDENTICAL to a from-scratch
+    index over corpus ∪ batch — using the artifact's own banding params,
+    never re-fingerprinting the corpus."""
+    path = str(tmp_path / "mh_app")
+    dedup.write_minhash_index(docs, path)
+    batch1 = spark.createDataFrame([
+        Row(doc_id=300, text="completely new accepted batch document about rivers and stars"),
+    ])
+    appended = dedup.minhash_index_append(batch1, path)
+    assert appended.count() > 0
+    idx, params = dedup.read_minhash_index(spark, path)
+    assert sorted({r["id"] for r in idx.select("id").distinct().collect()}) \
+        == sorted({r["doc_id"] for r in docs.collect()} | {300})
+    union_corpus = docs.select("doc_id", "text").unionByName(batch1)
+    probe = spark.createDataFrame([
+        # near-dup of the APPENDED doc only
+        Row(doc_id=400, text="completely new accepted batch document about rivers and stars tonight"),
+    ])
+    via_appended = dedup.incremental_neardup_pairs(
+        probe, union_corpus, index=idx, threshold=0.8, **params
+    )
+    scratch = dedup.incremental_neardup_pairs(
+        probe, union_corpus, threshold=0.8, **params
+    )
+    a = sorted(map(tuple, via_appended.collect()))
+    s = sorted(map(tuple, scratch.collect()))
+    assert a == s
+    assert {(r[0], r[1]) for r in a} == {(400, 300)}
+
+
 def test_incremental_neardup_only_cross_pairs(docs):
     """The probe reports (new, corpus) pairs only — corpus-internal dups
     (docs 1 and 4 are identical) must not appear."""
