@@ -786,6 +786,80 @@ def bloom_build(
     )
 
 
+def bloom_merge(*bitmaps: DataFrame) -> DataFrame:
+    """OR-merge Bloom bitmaps built with the SAME (m_bits, k): bitwise OR
+    per word index — Bloom bitmaps compose exactly under OR, so the merge
+    of per-batch bitmaps is bit-identical to one build over the union
+    (pinned by the write/append round-trip tests).  One word-keyed
+    aggregation over ≤ m/62 rows per input — bitmap-sized, never
+    corpus-sized."""
+    if not bitmaps:
+        raise ValueError("bloom_merge needs at least one bitmap")
+    out = bitmaps[0]
+    for b in bitmaps[1:]:
+        out = out.unionByName(b)
+    return out.groupBy("word").agg(F.expr("bit_or(bits)").alias("bits"))
+
+
+def write_bloom(
+    bitmap: DataFrame, path: str, m_bits: int, k: int
+) -> DataFrame:
+    """Persist a Bloom membership bitmap as the on-disk dedup artifact
+    (the exact-dup analog of :func:`write_minhash_index` /
+    :func:`..similarity.write_ivf_index`): the ``(word, bits)`` rows plus
+    the sizing parameters under ``_params`` — a probe MUST hash with the
+    (m_bits, k) the bitmap was built with, so they are part of the
+    artifact.  A bitmap is a few MB at any corpus size (m/62 longs), so
+    the artifact is one small parquet."""
+    bitmap.coalesce(1).write.mode("overwrite").parquet(path)
+    (
+        bitmap.sparkSession.createDataFrame(
+            [(int(m_bits), int(k))], "m_bits long, k int"
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path + "/_params")
+    )
+    return bitmap
+
+
+def read_bloom(spark, path: str) -> tuple[DataFrame, int, int]:
+    """Load an artifact written by :func:`write_bloom`: returns
+    ``(bitmap, m_bits, k)`` in exactly the shape :func:`bloom_probe`
+    takes (the params read is a 1-row collect — model parameters, the
+    legitimate collect)."""
+    row = spark.read.parquet(path + "/_params").collect()[0]
+    return spark.read.parquet(path), int(row["m_bits"]), int(row["k"])
+
+
+def bloom_append(
+    new_docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    fingerprint_col: str | None = None,
+) -> DataFrame:
+    """Fold an ACCEPTED batch into a persisted Bloom artifact WITHOUT
+    rebuilding over the corpus: build the batch's bitmap with the
+    artifact's own (m_bits, k), OR-merge into the stored bitmap, and
+    rewrite — bit-identical to one build over corpus ∪ batch (Bloom
+    bitmaps compose under OR).  Cost is one batch-sized build plus a
+    bitmap-sized merge; the corpus is never rescanned (the exact-dup
+    member of the maintenance trio: ``refresh_aggregates`` /
+    ``ivf_append`` / ``minhash_index_append``).  Returns the merged
+    bitmap."""
+    spark = new_docs.sparkSession
+    old, m_bits, k = read_bloom(spark, path)
+    delta = bloom_build(
+        new_docs, m_bits=m_bits, k=k, text_col=text_col,
+        fingerprint_col=fingerprint_col,
+    )
+    # materialize the merge BEFORE overwriting (eager checkpoint cuts the
+    # lineage to the old files — distributed, never a driver collect):
+    # a lazy plan would still read the artifact while overwriting it
+    merged = bloom_merge(old, delta).localCheckpoint(eager=True)
+    return write_bloom(merged, path, m_bits, k)
+
+
 def bloom_probe(
     df: DataFrame,
     bloom: DataFrame,

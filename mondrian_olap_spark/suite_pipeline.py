@@ -2866,6 +2866,82 @@ def dedup_incremental_bloom(spark, sf_dir):
     return dedup.incremental_dedup(new, docs, m_bits=2046, k=4)
 
 
+@q(
+    "dedup_bloom_append_gate",
+    """
+    WITH all_fp AS (
+      SELECT DISTINCT md5(lower(trim(text))) AS fp FROM documents
+      UNION
+      SELECT DISTINCT md5(lower(trim(text || ' batch one suffix')))
+      FROM documents
+    ),
+    ks AS (SELECT unnest([0, 1, 2, 3]) AS i),
+    pos AS (
+      SELECT (('0x' || substr(md5('bloom' || i || ':' || fp), 1, 15))::BIGINT
+              % 2046) AS p
+      FROM all_fp CROSS JOIN ks
+    ),
+    words AS (
+      SELECT (p // 62) AS w,
+             bit_or(1::BIGINT << ((p % 62)::INT)) AS bits
+      FROM pos GROUP BY 1
+    ),
+    newdocs AS (
+      SELECT doc_id + 2000000 AS doc_id,
+             md5(lower(trim(CASE WHEN doc_id % 3 = 0
+                                 THEN text || ' batch one suffix'
+                                 ELSE text || ' never seen' END)))
+               AS fingerprint
+      FROM documents
+    ),
+    probes AS (
+      SELECT n.doc_id, n.fingerprint,
+             (('0x' || substr(md5('bloom' || ks.i || ':' || n.fingerprint),
+                              1, 15))::BIGINT % 2046) AS p
+      FROM newdocs n CROSS JOIN ks
+    )
+    SELECT pr.doc_id, pr.fingerprint,
+           bool_and(coalesce(
+             (w.bits & (1::BIGINT << ((pr.p % 62)::INT))) <> 0,
+             FALSE)) AS bloom_hit
+    FROM probes pr LEFT JOIN words w ON (pr.p // 62) = w.w
+    GROUP BY 1, 2
+    """,
+)
+def dedup_bloom_append_gate(spark, sf_dir):
+    """Persisted Bloom ARTIFACT maintenance in the driver gate (the
+    exact-dup member of the maintenance trio beside ivf_append and
+    minhash_index_append): the corpus bitmap is persisted with its
+    (m_bits, k) params, an accepted batch is folded in via
+    dedup.bloom_append — one batch-sized build + a bitmap-sized OR-merge,
+    never a corpus rescan — and a second batch's probe over the merged
+    artifact must reproduce the oracle's one-shot bitmap of
+    corpus ∪ batch1 bit-for-bit (Bloom bitmaps compose exactly under OR;
+    the tight 2046-bit sizing makes even the false positives replay)."""
+    import tempfile
+
+    corpus = _docs(spark, sf_dir)
+    b1 = corpus.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" batch one suffix")).alias("text"),
+    )
+    work = tempfile.mkdtemp(prefix="bloom_append_") + "/bloom"
+    bm = dedup.bloom_build(corpus, m_bits=2046, k=4)
+    dedup.write_bloom(bm, work, m_bits=2046, k=4)
+    dedup.bloom_append(b1, work)
+    bitmap, m_bits, k = dedup.read_bloom(spark, work)
+    b2 = corpus.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" batch one suffix")),
+        )
+        .otherwise(F.concat(F.col("text"), F.lit(" never seen")))
+        .alias("text"),
+    )
+    return dedup.bloom_probe(b2, bitmap, m_bits=m_bits, k=k)
+
+
 _INCR_SHINGLE_SQL = f"""
 newdocs AS (
   SELECT doc_id + 1000000 AS doc_id,

@@ -2662,6 +2662,44 @@ def test_tokens_to_ids_plan_size_constant_in_vocab(spark):
     assert list(out.collect()[0]["token_ids"]) == [2, 0]
 
 
+def test_bloom_artifact_roundtrip_and_append(spark, tmp_path):
+    """write_bloom/read_bloom/bloom_append: the persisted artifact carries
+    its sizing params; appending a batch OR-merges bit-identically to one
+    build over the union; probes over the merged artifact find every
+    member of both generations with zero false negatives."""
+    m, k = 62 * 8, 4
+    base = spark.createDataFrame(
+        [Row(doc_id=i, text=f"base corpus document number {i}") for i in range(10)]
+    )
+    batch = spark.createDataFrame(
+        [Row(doc_id=100 + i, text=f"appended batch document number {i}") for i in range(5)]
+    )
+    path = str(tmp_path / "bloom")
+    dedup.write_bloom(dedup.bloom_build(base, m_bits=m, k=k), path, m, k)
+    merged = dedup.bloom_append(batch, path)
+    bitmap, m2, k2 = dedup.read_bloom(spark, path)
+    assert (m2, k2) == (m, k)
+    # bit-identical to a one-shot build over the union
+    union_bm = dedup.bloom_build(base.unionByName(batch), m_bits=m, k=k)
+    assert sorted(map(tuple, bitmap.collect())) == \
+        sorted(map(tuple, union_bm.collect()))
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, union_bm.collect()))
+    # no false negatives across both generations
+    probed = dedup.bloom_probe(
+        base.unionByName(batch), bitmap, m_bits=m2, k=k2
+    )
+    assert probed.filter("NOT bloom_hit").count() == 0
+    # bloom_merge is variadic and bitmap-sized
+    a = dedup.bloom_build(base, m_bits=m, k=k)
+    b = dedup.bloom_build(batch, m_bits=m, k=k)
+    assert sorted(map(tuple, dedup.bloom_merge(a, b).collect())) == \
+        sorted(map(tuple, union_bm.collect()))
+    import pytest
+    with pytest.raises(ValueError):
+        dedup.bloom_merge()
+
+
 def test_streaming_bloom_bitmap_maintenance(spark, tmp_path):
     """Incremental bitmap maintenance under Structured Streaming:
     foreachBatch OR-merges each micro-batch's bitmap into a running store;
