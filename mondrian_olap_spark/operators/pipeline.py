@@ -605,3 +605,110 @@ def dataset_card(df, name: str = "corpus", text_col: str = "text") -> str:
         "passes; regenerate after any membership change._",
     ]
     return "\n".join(lines)
+
+
+def init_ingest_state(
+    corpus: DataFrame,
+    state_dir: str,
+    fp_rate: float = 0.01,
+    text_col: str = "text",
+    fingerprint_col: str | None = None,
+) -> dict:
+    """One-time setup for STATEFUL multi-batch ingestion: persist the
+    corpus's exact-membership state under ``state_dir`` —
+
+    * ``bloom/`` — the membership bitmap, sized by
+      :func:`..dedup.bloom_parameters` for the corpus cardinality at
+      ``fp_rate`` (a few MB at any corpus size);
+    * ``fingerprints/`` — one content fingerprint per corpus document
+      (16 bytes/doc; the EXACT verification store, so membership checks
+      never need the corpus text again).
+
+    After this, :func:`ingest_batch` curates each arriving batch against
+    the state and folds its acceptances back in — the corpus itself is
+    never rescanned per batch.  Returns ``{"n_items", "m_bits", "k"}``.
+    """
+    from .dedup import bloom_build, bloom_parameters, write_bloom
+
+    fp = (
+        F.col(fingerprint_col)
+        if fingerprint_col
+        else F.md5(F.lower(F.trim(F.col(text_col))))
+    )
+    fps = corpus.select(fp.alias("fingerprint")).where(
+        F.col("fingerprint").isNotNull()
+    ).distinct()
+    n = fps.count()
+    m_bits, k = bloom_parameters(max(n, 1), fp_rate)
+    fps.write.mode("overwrite").parquet(f"{state_dir.rstrip('/')}/fingerprints")
+    bm = bloom_build(
+        corpus, m_bits=m_bits, k=k, text_col=text_col,
+        fingerprint_col=fingerprint_col,
+    )
+    write_bloom(bm, f"{state_dir.rstrip('/')}/bloom", m_bits, k)
+    return {"n_items": n, "m_bits": m_bits, "k": k}
+
+
+def ingest_batch(
+    new_docs: DataFrame,
+    state_dir: str,
+    split_weights: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "split",
+) -> DataFrame:
+    """Curate ONE arriving batch against the persisted ingest state and
+    fold its acceptances back in — the stateful, multi-batch form of
+    :func:`curate_increment` (which re-derives corpus state per call):
+
+    1. batch-internal exact dedup + quality rules (:func:`curate_corpus`);
+    2. Bloom prefilter against the ``state_dir`` bitmap (pure projection);
+    3. EXACT verification of the hits only, against the fingerprint
+       store — never the corpus text (`bloom_hit ∧ stored` ⇒ duplicate;
+       a Bloom filter has no false negatives, so misses skip the join);
+    4. accepted documents' fingerprints append to the store and OR-merge
+       into the bitmap (:func:`..dedup.bloom_append`), so the NEXT batch
+       sees this one's acceptances as corpus members.
+
+    Per-batch cost: batch-sized work + a bitmap-sized merge + a
+    hits-only join against the store — independent of accumulated corpus
+    size except through the (few-MB) bitmap and the fingerprint store's
+    join side, which the Bloom prefilter keeps restricted to true dups +
+    the designed fp rate.  Returns the accepted rows (curate_corpus
+    columns + ``bloom_hit`` + optional ``split``), eagerly materialized
+    (the state update has already happened when this returns).
+    """
+    from .dedup import bloom_append, bloom_probe, read_bloom
+
+    spark = new_docs.sparkSession
+    root = state_dir.rstrip("/")
+    bitmap, m_bits, k = read_bloom(spark, f"{root}/bloom")
+    store_path = f"{root}/fingerprints"
+    batch = curate_corpus(
+        new_docs, split_weights=None, id_col=id_col, text_col=text_col
+    )
+    probed = bloom_probe(batch, bitmap, m_bits=m_bits, k=k, id_col=id_col,
+                         text_col=text_col)
+    flagged = batch.join(probed.select(id_col, "fingerprint", "bloom_hit"),
+                         id_col)
+    store = spark.read.parquet(store_path)
+    hits = flagged.filter(F.col("bloom_hit"))
+    verified_dups = hits.join(store, "fingerprint", "semi").select(id_col)
+    accepted = flagged.join(verified_dups, id_col, "anti")
+    if split_weights:
+        from . import sampling as sp
+
+        accepted = sp.assign_splits(
+            accepted, split_weights, id_col=id_col, seed=seed
+        )
+    # materialize BEFORE mutating state: the accepted plan reads the
+    # store/bitmap being rewritten below
+    accepted = accepted.localCheckpoint(eager=True)
+    accepted.select("fingerprint").distinct().write.mode("append").parquet(
+        store_path
+    )
+    bloom_append(
+        accepted.select("fingerprint"), f"{root}/bloom",
+        fingerprint_col="fingerprint",
+    )
+    return accepted

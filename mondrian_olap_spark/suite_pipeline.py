@@ -2867,6 +2867,121 @@ def dedup_incremental_bloom(spark, sf_dir):
 
 
 @q(
+    "pipeline_stateful_ingest_gate",
+    """
+    WITH b1 AS (
+      SELECT doc_id + 1000000 AS doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN text
+                  ELSE text || ' fresh suffix' END AS text
+      FROM documents
+    ),
+    b2 AS (
+      SELECT doc_id + 2000000 AS doc_id,
+             CASE WHEN doc_id % 2 = 0 THEN text || ' fresh suffix'
+                  ELSE text || ' second wave' END AS text
+      FROM documents
+    ),
+    corpus_fp AS (
+      SELECT DISTINCT md5(lower(trim(text))) AS cf FROM documents
+    ),
+    k1 AS (
+      SELECT md5(lower(trim(text))) AS f, min(doc_id) AS keep_id,
+             count(*) AS dup_count
+      FROM b1 GROUP BY 1
+    ),
+    s1 AS (
+      SELECT d.doc_id, d.text, k.f, k.dup_count
+      FROM b1 d JOIN k1 k
+        ON md5(lower(trim(d.text))) = k.f AND d.doc_id = k.keep_id
+    ),
+    q1 AS (SELECT doc_id, f, dup_count FROM s1 WHERE ({reason}) IS NULL),
+    kept1 AS (
+      SELECT doc_id, f, dup_count FROM q1
+      WHERE NOT EXISTS (SELECT 1 FROM corpus_fp WHERE cf = f)
+    ),
+    k2 AS (
+      SELECT md5(lower(trim(text))) AS f, min(doc_id) AS keep_id,
+             count(*) AS dup_count
+      FROM b2 GROUP BY 1
+    ),
+    s2 AS (
+      SELECT d.doc_id, d.text, k.f, k.dup_count
+      FROM b2 d JOIN k2 k
+        ON md5(lower(trim(d.text))) = k.f AND d.doc_id = k.keep_id
+    ),
+    q2 AS (SELECT doc_id, f, dup_count FROM s2 WHERE ({reason}) IS NULL),
+    kept2 AS (
+      SELECT doc_id, f, dup_count FROM q2
+      WHERE NOT EXISTS (SELECT 1 FROM corpus_fp WHERE cf = f)
+        AND NOT EXISTS (SELECT 1 FROM kept1 WHERE kept1.f = q2.f)
+    ),
+    u AS (
+      SELECT 1 AS batch, doc_id, dup_count FROM kept1
+      UNION ALL
+      SELECT 2 AS batch, doc_id, dup_count FROM kept2
+    )
+    SELECT batch, count(*) AS n_docs,
+           CAST(sum(dup_count) AS BIGINT) AS n_dups_absorbed,
+           md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)) AS kept_md5
+    FROM u GROUP BY 1
+    """.replace("{reason}", _REASON_SQL),
+)
+def pipeline_stateful_ingest_gate(spark, sf_dir):
+    """STATEFUL multi-batch ingestion in the driver gate — the composed
+    production path over the persisted membership artifacts
+    (pipeline.init_ingest_state + ingest_batch): batch 1 curates against
+    the corpus state (bloom prefilter → exact fingerprint-store verify,
+    never the corpus text) and folds its acceptances back in; batch 2's
+    duplicates of batch-1 ACCEPTANCES must then reject purely via the
+    carried state.  The oracle replays both batches with plain
+    NOT EXISTS chains (corpus, then corpus ∪ kept1), so the accepted-set
+    md5s prove the bitmap + store machinery changes physical strategy
+    only, never membership."""
+    import tempfile
+
+    from .operators.pipeline import ingest_batch, init_ingest_state
+
+    docs = _docs(spark, sf_dir)
+    state = tempfile.mkdtemp(prefix="ingest_state_") + "/state"
+    init_ingest_state(docs, state)
+    b1 = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), F.lit(" fresh suffix")))
+        .alias("text"),
+    )
+    b2 = docs.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.col("text"), F.lit(" fresh suffix")),
+        )
+        .otherwise(F.concat(F.col("text"), F.lit(" second wave")))
+        .alias("text"),
+    )
+    a1 = ingest_batch(b1, state).withColumn("batch", F.lit(1))
+    a2 = ingest_batch(b2, state).withColumn("batch", F.lit(2))
+    return (
+        a1.select("batch", "doc_id", "dup_count")
+        .unionByName(a2.select("batch", "doc_id", "dup_count"))
+        .groupBy("batch")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("dup_count").alias("n_dups_absorbed"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list("doc_id")),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("kept_md5"),
+        )
+    )
+
+
+@q(
     "dedup_bloom_append_gate",
     """
     WITH all_fp AS (

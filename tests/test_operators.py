@@ -2582,6 +2582,49 @@ def test_curate_increment_fingerprint_col_forwarded(spark):
     assert {r["doc_id"] for r in out.collect()} == {12}
 
 
+def test_stateful_ingest_batches_carry_membership(spark, tmp_path):
+    """init_ingest_state + ingest_batch: batch 2's duplicate of a batch-1
+    ACCEPTANCE is rejected — membership state (bloom + fingerprint store)
+    carries across batches without ever rescanning the corpus — while
+    corpus dups, batch-internal dups and quality failures reject as in
+    curate_increment; fresh quality docs land with splits."""
+    from mondrian_olap_spark.operators.pipeline import (
+        ingest_batch, init_ingest_state,
+    )
+
+    good = ("this is a genuinely long enough quality document body with "
+            "plenty of distinct words to pass every default rule ")
+    corpus = spark.createDataFrame([
+        Row(doc_id=1, text=good + "original alpha"),
+        Row(doc_id=2, text=good + "original beta"),
+    ])
+    state = str(tmp_path / "state")
+    info = init_ingest_state(corpus, state)
+    assert info["n_items"] == 2 and info["m_bits"] % 62 == 0
+
+    b1 = spark.createDataFrame([
+        Row(doc_id=11, text=good + "original alpha"),   # corpus dup
+        Row(doc_id=12, text=good + "fresh gamma"),      # accept
+        Row(doc_id=13, text=good + "fresh gamma"),      # batch dup of 12
+        Row(doc_id=14, text="too short"),               # quality fail
+    ])
+    a1 = ingest_batch(b1, state, split_weights={"train": 1.0})
+    rows1 = {r["doc_id"]: r for r in a1.collect()}
+    assert set(rows1) == {12}
+    assert rows1[12]["dup_count"] == 2 and rows1[12]["split"] == "train"
+
+    b2 = spark.createDataFrame([
+        Row(doc_id=21, text=good + "fresh gamma"),      # dup of batch-1 ACCEPT
+        Row(doc_id=22, text=good + "original beta"),    # corpus dup
+        Row(doc_id=23, text=good + "fresh delta"),      # accept
+    ])
+    a2 = ingest_batch(b2, state)
+    assert {r["doc_id"] for r in a2.collect()} == {23}
+    # the store now holds all four distinct fingerprints exactly once
+    store = spark.read.parquet(f"{state}/fingerprints")
+    assert store.count() == store.distinct().count() == 4
+
+
 def test_build_vocab_and_tokens_to_ids(spark):
     docs = spark.createDataFrame([
         Row(doc_id=1, text="a b a c"), Row(doc_id=2, text="b b d"),
