@@ -87,6 +87,13 @@ HEADLINE = [
     "pipeline_negative_samples",
     "text_blocklist_filter",
     "text_doc_keywords",
+    # round-6 maintenance operators (artifact build + delta fold + probe)
+    "aggregate_refresh_gate",
+    "embed_ivf_append_gate",
+    "dedup_index_append_gate",
+    "dedup_bloom_append_gate",
+    "pipeline_stateful_ingest_gate",
+    "advisor_auto_materialize_gate",
 ]
 
 
