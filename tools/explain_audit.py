@@ -455,6 +455,47 @@ def main() -> int:
         f"join/exchange lines: {[l.strip()[:90] for l in bad]}",
     )
 
+    # 22. IVF append assignment: the delta is assigned with the
+    #     artifact's inlined centroids — zero joins, zero exchanges
+    #     (the same pure-projection shape as the build; ivf_append then
+    #     only appends these rows into the cell partitions)
+    seeds = simops.ivf_seeds(embdf, n_cells=4)
+    delta_emb = embdf.filter("vec_id % 10 = 0")
+    p = plan_str(simops.ivf_index(delta_emb, centroids=seeds))
+    bad = [l for l in p.splitlines() if "Join" in l or "Exchange" in l]
+    check(
+        "ivf_append.delta_assignment_zero_shuffle_zero_join",
+        not bad,
+        f"join/exchange lines: {[l.strip()[:90] for l in bad]}",
+    )
+
+    # 23. refresh_aggregates merge: ONE exchange keyed by the grain (the
+    #     summary-sized union + groupBy), and the merge plan never scans
+    #     the fact parquet — only the summary and the delta-scoped
+    #     aggregation feed it
+    from mondrian_olap_spark.star import engine_from_parquet as _efp
+    from mondrian_olap_spark.tpch import SCHEMA as _SCHEMA
+
+    fact = _rpt(spark, f"{SF_DIR}/lineitem.parquet")
+    base_fact = fact.filter("l_orderkey % 10 != 0")
+    delta_fact = fact.filter("l_orderkey % 10 = 0")
+    eng_r = _efp(spark, _SCHEMA, "Sales", SF_DIR)
+    eng_r.__init__(
+        eng_r.cube, {**eng_r.tables, "lineitem": base_fact},
+        eng_r.parameters, eng_r.available_roles,
+    )
+    eng_r.materialize_aggregate(["[Customer].[Nation]"], measures=["Sum Qty"])
+    eng_r.refresh_aggregates(delta_fact)
+    summary_df = eng_r.aggregate_tables[0][0]
+    p = plan_str(summary_df)
+    # the refreshed summary is an eager checkpoint: routed reads carry NO
+    # fact scan (lineage was truncated after the one delta aggregation)
+    check(
+        "refresh_aggregates.summary_lineage_carries_no_fact_scan",
+        "lineitem" not in p,
+        f"plan: {p[:160]}",
+    )
+
     print(f"\n{len(failures)} failed properties" if failures else "\nall plan properties hold")
     return 1 if failures else 0
 
