@@ -95,11 +95,18 @@ def main():
     args = [a for a in sys.argv[1:] if a != "--exact"]
     EXACT = "--exact" in sys.argv[1:]
     only = set(args)
+    # SPARK_GRAFT_ORACLE_CORES / _PARTS / _AQE let a robustness sweep run
+    # the whole suite under an ADVERSARIAL layout (odd core/partition
+    # counts, AQE off) — determinism claims mean results must not depend
+    # on any of these
+    cores = os.environ.get("SPARK_GRAFT_ORACLE_CORES", "8")
+    parts = os.environ.get("SPARK_GRAFT_ORACLE_PARTS", "16")
+    aqe = os.environ.get("SPARK_GRAFT_ORACLE_AQE", "true")
     spark = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(f"local[{cores}]")
         .appName("oracle-check")
-        .config("spark.sql.shuffle.partitions", "16")
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.shuffle.partitions", parts)
+        .config("spark.sql.adaptive.enabled", aqe)
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "6g")
         .getOrCreate()
