@@ -2439,6 +2439,53 @@ def test_bloom_probe_composes_with_streaming(spark, tmp_path):
     assert got[10] is True and got[11] is False
 
 
+def test_stateful_ingest_composes_with_streaming(spark, tmp_path):
+    """ingest_batch drops into Structured Streaming unchanged: a file
+    stream of arriving batches drained through foreachBatch(ingest_batch)
+    accepts EXACTLY the documents sequential batch ingestion accepts —
+    including rejecting a later micro-batch's duplicate of an earlier
+    micro-batch's acceptance (state carried through the artifacts, not
+    through streaming state)."""
+    from mondrian_olap_spark.operators.pipeline import (
+        ingest_batch, init_ingest_state,
+    )
+
+    good = ("this is a genuinely long enough quality document body with "
+            "plenty of distinct words to pass every default rule ")
+    corpus = spark.createDataFrame(
+        [Row(doc_id=1, text=good + "original alpha")]
+    )
+    state = str(tmp_path / "state")
+    init_ingest_state(corpus, state)
+    staging = str(tmp_path / "in")
+    # two files -> (with maxFilesPerTrigger=1) two ordered micro-batches
+    spark.createDataFrame([
+        Row(doc_id=11, text=good + "original alpha"),   # corpus dup
+        Row(doc_id=12, text=good + "fresh gamma"),      # accept in batch 1
+    ]).coalesce(1).write.json(staging)
+    spark.createDataFrame([
+        Row(doc_id=21, text=good + "fresh gamma"),      # dup of batch-1 accept
+        Row(doc_id=22, text=good + "fresh delta"),      # accept in batch 2
+    ]).coalesce(1).write.mode("append").json(staging)
+    accepted_ids = []
+
+    def drain(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        out = ingest_batch(batch_df, state)
+        accepted_ids.extend(r["doc_id"] for r in out.collect())
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).json(staging))
+    q = (stream.writeStream.foreachBatch(drain)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    assert sorted(accepted_ids) == [12, 22]
+    store = spark.read.parquet(f"{state}/fingerprints")
+    assert store.count() == store.distinct().count() == 3
+
+
 def test_hll_sketch_mergeability_and_persistence(spark, tmp_path):
     """The mergeable-rollup property: unioning per-part sketches lands on
     the SAME registers as sketching the whole — estimates are exactly
