@@ -611,8 +611,13 @@ def init_ingest_state(
     corpus: DataFrame,
     state_dir: str,
     fp_rate: float = 0.01,
+    id_col: str = "doc_id",
     text_col: str = "text",
     fingerprint_col: str | None = None,
+    near_dup: bool = False,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
 ) -> dict:
     """One-time setup for STATEFUL multi-batch ingestion: persist the
     corpus's exact-membership state under ``state_dir`` —
@@ -622,13 +627,21 @@ def init_ingest_state(
       ``fp_rate`` (a few MB at any corpus size);
     * ``fingerprints/`` — one content fingerprint per corpus document
       (16 bytes/doc; the EXACT verification store, so membership checks
-      never need the corpus text again).
+      never need the corpus text again);
+    * with ``near_dup=True``: ``minhash/`` — the LSH band-key index
+      (:func:`..dedup.write_minhash_index`) — and ``signatures/`` — the
+      full MinHash signatures (``num_hashes`` longs/doc), the compact
+      sketch that lets near-dup candidates be VERIFIED by estimated
+      Jaccard (matching-component fraction) without keeping corpus text.
 
     After this, :func:`ingest_batch` curates each arriving batch against
     the state and folds its acceptances back in — the corpus itself is
     never rescanned per batch.  Returns ``{"n_items", "m_bits", "k"}``.
     """
-    from .dedup import bloom_build, bloom_parameters, write_bloom
+    from .dedup import (
+        bloom_build, bloom_parameters, minhash_signatures,
+        write_bloom, write_minhash_index,
+    )
 
     fp = (
         F.col(fingerprint_col)
@@ -638,15 +651,25 @@ def init_ingest_state(
     fps = corpus.select(fp.alias("fingerprint")).where(
         F.col("fingerprint").isNotNull()
     ).distinct()
-    n = fps.count()
-    m_bits, k = bloom_parameters(max(n, 1), fp_rate)
-    fps.write.mode("overwrite").parquet(f"{state_dir.rstrip('/')}/fingerprints")
+    n_items = fps.count()
+    m_bits, k = bloom_parameters(max(n_items, 1), fp_rate)
+    root = state_dir.rstrip("/")
+    fps.write.mode("overwrite").parquet(f"{root}/fingerprints")
     bm = bloom_build(
         corpus, m_bits=m_bits, k=k, text_col=text_col,
         fingerprint_col=fingerprint_col,
     )
-    write_bloom(bm, f"{state_dir.rstrip('/')}/bloom", m_bits, k)
-    return {"n_items": n, "m_bits": m_bits, "k": k}
+    write_bloom(bm, f"{root}/bloom", m_bits, k)
+    if near_dup:
+        write_minhash_index(
+            corpus, f"{root}/minhash", id_col=id_col, text_col=text_col,
+            n=n, num_hashes=num_hashes, bands=bands,
+        )
+        minhash_signatures(
+            corpus, id_col=id_col, text_col=text_col,
+            n=n, num_hashes=num_hashes,
+        ).write.mode("overwrite").parquet(f"{root}/signatures")
+    return {"n_items": n_items, "m_bits": m_bits, "k": k}
 
 
 def ingest_batch(
@@ -656,6 +679,7 @@ def ingest_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: str = "split",
+    near_dup_threshold: float | None = None,
 ) -> DataFrame:
     """Curate ONE arriving batch against the persisted ingest state and
     fold its acceptances back in — the stateful, multi-batch form of
@@ -670,15 +694,32 @@ def ingest_batch(
        into the bitmap (:func:`..dedup.bloom_append`), so the NEXT batch
        sees this one's acceptances as corpus members.
 
+    With ``near_dup_threshold`` set (requires a state initialized with
+    ``near_dup=True``), exact-dup survivors additionally probe the LSH
+    band-key index; candidates are VERIFIED by estimated Jaccard over the
+    stored MinHash signatures (matching-component fraction — granularity
+    1/num_hashes, the standard signature-only estimator; corpus text is
+    never needed), and near-duplicates of the corpus OR of earlier
+    acceptances reject.  Accepted documents' band keys + signatures fold
+    back into the index alongside the exact-membership artifacts.
+    (Batch-INTERNAL near-dups are not collapsed here — exact batch dedup
+    already ran; collapse them upstream with ``minhash_dedup_pairs`` if
+    the ingest source produces them.)
+
     Per-batch cost: batch-sized work + a bitmap-sized merge + a
     hits-only join against the store — independent of accumulated corpus
     size except through the (few-MB) bitmap and the fingerprint store's
     join side, which the Bloom prefilter keeps restricted to true dups +
-    the designed fp rate.  Returns the accepted rows (curate_corpus
-    columns + ``bloom_hit`` + optional ``split``), eagerly materialized
-    (the state update has already happened when this returns).
+    the designed fp rate (near-dup adds a band-bucket join whose volume
+    is collision-bound, never corpus×batch).  Returns the accepted rows
+    (curate_corpus columns + ``bloom_hit`` + optional ``split``), eagerly
+    materialized (the state update has already happened when this
+    returns).
     """
-    from .dedup import bloom_append, bloom_probe, read_bloom
+    from .dedup import (
+        _band_buckets, bloom_append, bloom_probe, minhash_signatures,
+        read_bloom, read_minhash_index,
+    )
 
     spark = new_docs.sparkSession
     root = state_dir.rstrip("/")
@@ -695,6 +736,41 @@ def ingest_batch(
     hits = flagged.filter(F.col("bloom_hit"))
     verified_dups = hits.join(store, "fingerprint", "semi").select(id_col)
     accepted = flagged.join(verified_dups, id_col, "anti")
+    sigs = None
+    if near_dup_threshold is not None:
+        index, params = read_minhash_index(spark, f"{root}/minhash")
+        nh = params["num_hashes"]
+        sigs = minhash_signatures(
+            accepted, id_col=id_col, text_col=text_col,
+            n=params["n"], num_hashes=nh,
+        )
+        keys = _band_buckets(sigs, nh, params["bands"])
+        cand = (
+            keys.select(F.col("id").alias("__new_id"), "band", "key")
+            .join(index.select(F.col("id").alias("__old_id"), "band", "key"),
+                  ["band", "key"])
+            .select("__new_id", "__old_id")
+            .dropDuplicates(["__new_id", "__old_id"])
+        )
+        old_sigs = spark.read.parquet(f"{root}/signatures")
+        matches = sum(
+            F.when(F.col(f"a.m{i}") == F.col(f"b.m{i}"), 1).otherwise(0)
+            for i in range(nh)
+        )
+        est = (
+            cand.join(sigs.alias("a"), cand["__new_id"] == F.col("a.id"))
+            .join(old_sigs.alias("b"), cand["__old_id"] == F.col("b.id"))
+            .select(
+                "__new_id",
+                (matches.cast("double") / F.lit(float(nh))).alias("__est"),
+            )
+        )
+        near = (
+            est.filter(F.col("__est") >= near_dup_threshold)
+            .select(F.col("__new_id").alias(id_col))
+            .distinct()
+        )
+        accepted = accepted.join(near, id_col, "anti")
     if split_weights:
         from . import sampling as sp
 
@@ -702,7 +778,7 @@ def ingest_batch(
             accepted, split_weights, id_col=id_col, seed=seed
         )
     # materialize BEFORE mutating state: the accepted plan reads the
-    # store/bitmap being rewritten below
+    # store/bitmap/index being rewritten below
     accepted = accepted.localCheckpoint(eager=True)
     accepted.select("fingerprint").distinct().write.mode("append").parquet(
         store_path
@@ -711,4 +787,15 @@ def ingest_batch(
         accepted.select("fingerprint"), f"{root}/bloom",
         fingerprint_col="fingerprint",
     )
+    if near_dup_threshold is not None:
+        from .dedup import minhash_index_append
+
+        minhash_index_append(
+            accepted, f"{root}/minhash", id_col=id_col, text_col=text_col
+        )
+        index, params = read_minhash_index(spark, f"{root}/minhash")
+        minhash_signatures(
+            accepted, id_col=id_col, text_col=text_col,
+            n=params["n"], num_hashes=params["num_hashes"],
+        ).write.mode("append").parquet(f"{root}/signatures")
     return accepted

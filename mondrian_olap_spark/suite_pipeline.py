@@ -2895,7 +2895,7 @@ def dedup_incremental_bloom(spark, sf_dir):
         ON md5(lower(trim(d.text))) = k.f AND d.doc_id = k.keep_id
     ),
     q1 AS (SELECT doc_id, f, dup_count FROM s1 WHERE ({reason}) IS NULL),
-    kept1 AS (
+    kept1 AS MATERIALIZED (
       SELECT doc_id, f, dup_count FROM q1
       WHERE NOT EXISTS (SELECT 1 FROM corpus_fp WHERE cf = f)
     ),
@@ -2968,6 +2968,219 @@ def pipeline_stateful_ingest_gate(spark, sf_dir):
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("dup_count").alias("n_dups_absorbed"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list("doc_id")),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("kept_md5"),
+        )
+    )
+
+
+
+
+def _neardup_state_oracle() -> str:
+    """Generate the DuckDB replay of the near-dup stateful ingest: MinHash
+    signatures (16 md5-derived universal hashes over positional
+    3-shingles), 8×2 banding, candidate generation by band collision,
+    signature-estimated Jaccard (matching-component fraction ≥ 0.8), and
+    the two-batch NOT-EXISTS state chain — the same arithmetic
+    operators/dedup.py inlines into its Spark expressions, so the kept
+    sets must agree exactly (the estimator's variance is irrelevant: both
+    engines compute the SAME estimate)."""
+    from .operators.dedup import MINHASH_PRIME, minhash_coefficients
+
+    nh, bands, rows = 16, 8, 2
+    p = MINHASH_PRIME
+    min_aggs = ",\n             ".join(
+        f"min(({a}::BIGINT * h + {b}::BIGINT) % {p}) AS m{i}"
+        for i, (a, b) in enumerate(minhash_coefficients(nh))
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN a.m{i} = b.m{i} THEN 1 ELSE 0 END" for i in range(nh)
+    )
+
+    def sig(name, src):
+        band_sel = "\n      UNION ALL\n".join(
+            f"      SELECT id, {bi} AS band, "
+            f"md5(m{bi*rows}::VARCHAR || ',' || m{bi*rows+1}::VARCHAR) AS key "
+            f"FROM sig_{name}"
+            for bi in range(bands)
+        )
+        return f"""
+    tok_{name} AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w,
+             generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+      FROM {src}
+    ),
+    sh_{name} AS (
+      SELECT DISTINCT a.doc_id AS id, a.w || ' ' || b.w || ' ' || c.w AS shingle
+      FROM tok_{name} a
+      JOIN tok_{name} b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      JOIN tok_{name} c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+    ),
+    hs_{name} AS (
+      SELECT id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % {p} AS h
+      FROM sh_{name}
+    ),
+    sig_{name} AS MATERIALIZED (
+      SELECT id, {min_aggs}
+      FROM hs_{name} GROUP BY id
+    ),
+    bk_{name} AS MATERIALIZED (
+{band_sel}
+    )"""
+
+    return f"""
+    WITH b1 AS (
+      SELECT doc_id + 1000000 AS doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN text || ' tail marker tokens'
+                  ELSE replace(text, ' ', 'q ') END AS text
+      FROM documents
+    ),
+    b2 AS (
+      SELECT doc_id + 2000000 AS doc_id,
+             CASE WHEN doc_id % 5 = 0
+                  THEN replace(text, ' ', 'q ') || ' tail marker tokens'
+                  ELSE replace(text, ' ', 'z ') END AS text
+      FROM documents
+    ),
+    corpus_fp AS (
+      SELECT DISTINCT md5(lower(trim(text))) AS cf FROM documents
+    ),
+    k1 AS (
+      SELECT md5(lower(trim(text))) AS f, min(doc_id) AS keep_id
+      FROM b1 GROUP BY 1
+    ),
+    s1 AS (
+      SELECT d.doc_id, d.text, k.f FROM b1 d
+      JOIN k1 k ON md5(lower(trim(d.text))) = k.f AND d.doc_id = k.keep_id
+    ),
+    q1 AS (SELECT doc_id, text, f FROM s1 WHERE ({{reason}}) IS NULL),
+    e1 AS MATERIALIZED (
+      SELECT doc_id, text, f FROM q1
+      WHERE NOT EXISTS (SELECT 1 FROM corpus_fp WHERE cf = f)
+    ),{sig('c', 'documents')},{sig('e1', 'e1')},
+    cand1 AS (
+      SELECT DISTINCT n.id AS new_id, o.id AS old_id
+      FROM bk_e1 n JOIN bk_c o ON n.band = o.band AND n.key = o.key
+    ),
+    nd1 AS (
+      SELECT DISTINCT c.new_id FROM cand1 c
+      JOIN sig_e1 a ON a.id = c.new_id
+      JOIN sig_c b ON b.id = c.old_id
+      WHERE CAST({match_sum} AS DOUBLE) / {float(nh)} >= 0.8
+    ),
+    kept1 AS (
+      SELECT doc_id, text, f FROM e1
+      WHERE doc_id NOT IN (SELECT new_id FROM nd1)
+    ),
+    k2 AS (
+      SELECT md5(lower(trim(text))) AS f, min(doc_id) AS keep_id
+      FROM b2 GROUP BY 1
+    ),
+    s2 AS (
+      SELECT d.doc_id, d.text, k.f FROM b2 d
+      JOIN k2 k ON md5(lower(trim(d.text))) = k.f AND d.doc_id = k.keep_id
+    ),
+    q2 AS (SELECT doc_id, text, f FROM s2 WHERE ({{reason}}) IS NULL),
+    e2 AS MATERIALIZED (
+      SELECT doc_id, text, f FROM q2
+      WHERE NOT EXISTS (SELECT 1 FROM corpus_fp WHERE cf = f)
+        AND NOT EXISTS (SELECT 1 FROM kept1 WHERE kept1.f = q2.f)
+    ),{sig('e2', 'e2')},
+    sig_state AS (
+      SELECT * FROM sig_c
+      UNION ALL
+      SELECT * FROM sig_e1 WHERE id IN (SELECT doc_id FROM kept1)
+    ),
+    bk_state AS (
+      SELECT * FROM bk_c
+      UNION ALL
+      SELECT * FROM bk_e1 WHERE id IN (SELECT doc_id FROM kept1)
+    ),
+    cand2 AS (
+      SELECT DISTINCT n.id AS new_id, o.id AS old_id
+      FROM bk_e2 n JOIN bk_state o ON n.band = o.band AND n.key = o.key
+    ),
+    nd2 AS (
+      SELECT DISTINCT c.new_id FROM cand2 c
+      JOIN sig_e2 a ON a.id = c.new_id
+      JOIN sig_state b ON b.id = c.old_id
+      WHERE CAST({match_sum} AS DOUBLE) / {float(nh)} >= 0.8
+    ),
+    kept2 AS (
+      SELECT doc_id FROM e2
+      WHERE doc_id NOT IN (SELECT new_id FROM nd2)
+    ),
+    u AS (
+      SELECT 1 AS batch, doc_id FROM kept1
+      UNION ALL
+      SELECT 2 AS batch, doc_id FROM kept2
+    )
+    SELECT batch, count(*) AS n_docs,
+           md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)) AS kept_md5
+    FROM u GROUP BY 1
+    """.replace("{reason}", _REASON_SQL)
+
+
+@q("pipeline_stateful_neardup_gate", _neardup_state_oracle())
+def pipeline_stateful_neardup_gate(spark, sf_dir):
+    """The near-dup ARM of stateful ingestion in the driver gate
+    (pipeline.init_ingest_state(near_dup=True) + ingest_batch
+    near_dup_threshold): exact-dup survivors probe the persisted LSH
+    band-key index, candidates verify by signature-estimated Jaccard
+    (matching-component fraction over the stored MinHash signatures —
+    corpus text never read), and acceptances fold band keys + signatures
+    back.  Batch 1 plants corpus near-dups (3-token tails) among
+    token-mangled novel docs; batch 2 plants near-dups of batch-1
+    ACCEPTANCES — which must reject purely via the carried index state.
+    The oracle replays the exact signature/banding/estimator arithmetic,
+    so the kept-set md5s must agree regardless of estimator variance."""
+    import tempfile
+
+    from .operators.pipeline import ingest_batch, init_ingest_state
+
+    docs = _docs(spark, sf_dir)
+    state = tempfile.mkdtemp(prefix="neardup_state_") + "/state"
+    init_ingest_state(docs, state, near_dup=True)
+    b1 = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" tail marker tokens")),
+        )
+        .otherwise(F.expr("replace(text, ' ', 'q ')"))
+        .alias("text"),
+    )
+    b2 = docs.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.expr("replace(text, ' ', 'q ')"),
+                F.lit(" tail marker tokens"),
+            ),
+        )
+        .otherwise(F.expr("replace(text, ' ', 'z ')"))
+        .alias("text"),
+    )
+    a1 = ingest_batch(b1, state, near_dup_threshold=0.8).withColumn(
+        "batch", F.lit(1)
+    )
+    a2 = ingest_batch(b2, state, near_dup_threshold=0.8).withColumn(
+        "batch", F.lit(2)
+    )
+    return (
+        a1.select("batch", "doc_id")
+        .unionByName(a2.select("batch", "doc_id"))
+        .groupBy("batch")
+        .agg(
+            F.count("*").alias("n_docs"),
             F.md5(
                 F.concat_ws(
                     ",",

@@ -2672,6 +2672,50 @@ def test_stateful_ingest_batches_carry_membership(spark, tmp_path):
     assert store.count() == store.distinct().count() == 4
 
 
+def test_stateful_ingest_near_dup_arm(spark, tmp_path):
+    """ingest_batch(near_dup_threshold=…): exact-dup survivors that are
+    NEAR-duplicates of the corpus — or of an EARLIER batch's acceptance —
+    reject via the persisted band-key index + signature-estimated Jaccard
+    (corpus text never read); genuinely novel docs still land, and the
+    index/signature state grows only by acceptances."""
+    from mondrian_olap_spark.operators.pipeline import (
+        ingest_batch, init_ingest_state,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog while several "
+            "other animals watch quietly from undergrowth nearby today")
+    other = ("entirely different content about distributed query engines "
+             "that are processing analytical workloads across many cluster "
+             "nodes while the scheduler keeps every machine busy with work")
+    corpus = spark.createDataFrame([Row(doc_id=1, text=base)])
+    state = str(tmp_path / "state")
+    init_ingest_state(corpus, state, near_dup=True)
+
+    b1 = spark.createDataFrame([
+        # near-dup of the corpus doc (one appended word)
+        Row(doc_id=11, text=base + " tonight"),
+        # novel -> accept
+        Row(doc_id=12, text=other),
+    ])
+    a1 = ingest_batch(b1, state, near_dup_threshold=0.8)
+    assert {r["doc_id"] for r in a1.collect()} == {12}
+
+    b2 = spark.createDataFrame([
+        # near-dup of batch-1's ACCEPTANCE -> reject purely via carried state
+        Row(doc_id=21, text=other + " tonight"),
+        # novel -> accept
+        Row(doc_id=22, text="a third completely unrelated document about "
+                            "gardening techniques for arid mountain climates "
+                            "where the careful watering schedule matters more "
+                            "than any fertilizer choice a grower could make"),
+    ])
+    a2 = ingest_batch(b2, state, near_dup_threshold=0.8)
+    assert {r["doc_id"] for r in a2.collect()} == {22}
+    # signatures state holds corpus + the two acceptances, once each
+    sigs = spark.read.parquet(f"{state}/signatures")
+    assert sorted(r["id"] for r in sigs.select("id").collect()) == [1, 12, 22]
+
+
 def test_build_vocab_and_tokens_to_ids(spark):
     docs = spark.createDataFrame([
         Row(doc_id=1, text="a b a c"), Row(doc_id=2, text="b b d"),
