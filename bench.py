@@ -93,6 +93,7 @@ HEADLINE = [
     "dedup_index_append_gate",
     "dedup_bloom_append_gate",
     "pipeline_stateful_ingest_gate",
+    "pipeline_stateful_neardup_gate",
     "advisor_auto_materialize_gate",
 ]
 

@@ -680,7 +680,8 @@ def ingest_batch(
     text_col: str = "text",
     seed: str = "split",
     near_dup_threshold: float | None = None,
-) -> DataFrame:
+    with_rejects: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Curate ONE arriving batch against the persisted ingest state and
     fold its acceptances back in — the stateful, multi-batch form of
     :func:`curate_increment` (which re-derives corpus state per call):
@@ -714,7 +715,13 @@ def ingest_batch(
     is collision-bound, never corpus×batch).  Returns the accepted rows
     (curate_corpus columns + ``bloom_hit`` + optional ``split``), eagerly
     materialized (the state update has already happened when this
-    returns).
+    returns).  With ``with_rejects=True`` returns
+    ``(accepted, rejects)`` where rejects is ``(id_col, reject_reason)``
+    for every non-accepted input row — ``corpus_exact_dup``,
+    ``corpus_near_dup``, or ``batch_dup_or_quality`` (collapsed
+    batch-internal copies and quality drops happen inside curate_corpus
+    and are accounted together) — the per-batch drop audit a production
+    ingest dashboard needs.
     """
     from .dedup import (
         _band_buckets, bloom_append, bloom_probe, minhash_signatures,
@@ -780,6 +787,30 @@ def ingest_batch(
     # materialize BEFORE mutating state: the accepted plan reads the
     # store/bitmap/index being rewritten below
     accepted = accepted.localCheckpoint(eager=True)
+    rejects = None
+    if with_rejects:
+        r_exact = verified_dups.withColumn(
+            "reject_reason", F.lit("corpus_exact_dup")
+        )
+        parts = [r_exact]
+        if near_dup_threshold is not None:
+            parts.append(
+                near.withColumn("reject_reason", F.lit("corpus_near_dup"))
+            )
+        explained = parts[0]
+        for p in parts[1:]:
+            explained = explained.unionByName(p)
+        accounted = accepted.select(id_col).unionByName(
+            explained.select(id_col)
+        )
+        r_other = (
+            new_docs.select(id_col)
+            .join(accounted, id_col, "anti")
+            .withColumn("reject_reason", F.lit("batch_dup_or_quality"))
+        )
+        # materialize alongside accepted: these plans also read the
+        # pre-mutation state files
+        rejects = explained.unionByName(r_other).localCheckpoint(eager=True)
     accepted.select("fingerprint").distinct().write.mode("append").parquet(
         store_path
     )
@@ -798,4 +829,6 @@ def ingest_batch(
             accepted, id_col=id_col, text_col=text_col,
             n=params["n"], num_hashes=params["num_hashes"],
         ).write.mode("append").parquet(f"{root}/signatures")
+    if with_rejects:
+        return accepted, rejects
     return accepted

@@ -2655,9 +2655,15 @@ def test_stateful_ingest_batches_carry_membership(spark, tmp_path):
         Row(doc_id=13, text=good + "fresh gamma"),      # batch dup of 12
         Row(doc_id=14, text="too short"),               # quality fail
     ])
-    a1 = ingest_batch(b1, state, split_weights={"train": 1.0})
+    a1, rej1 = ingest_batch(b1, state, split_weights={"train": 1.0},
+                            with_rejects=True)
     rows1 = {r["doc_id"]: r for r in a1.collect()}
     assert set(rows1) == {12}
+    assert {(r["doc_id"], r["reject_reason"]) for r in rej1.collect()} == {
+        (11, "corpus_exact_dup"),
+        (13, "batch_dup_or_quality"),
+        (14, "batch_dup_or_quality"),
+    }
     assert rows1[12]["dup_count"] == 2 and rows1[12]["split"] == "train"
 
     b2 = spark.createDataFrame([
@@ -2697,8 +2703,12 @@ def test_stateful_ingest_near_dup_arm(spark, tmp_path):
         # novel -> accept
         Row(doc_id=12, text=other),
     ])
-    a1 = ingest_batch(b1, state, near_dup_threshold=0.8)
+    a1, rej1 = ingest_batch(b1, state, near_dup_threshold=0.8,
+                            with_rejects=True)
     assert {r["doc_id"] for r in a1.collect()} == {12}
+    assert {(r["doc_id"], r["reject_reason"]) for r in rej1.collect()} == {
+        (11, "corpus_near_dup"),
+    }
 
     b2 = spark.createDataFrame([
         # near-dup of batch-1's ACCEPTANCE -> reject purely via carried state
