@@ -744,13 +744,18 @@ def ingest_batch(
     verified_dups = hits.join(store, "fingerprint", "semi").select(id_col)
     accepted = flagged.join(verified_dups, id_col, "anti")
     sigs = None
+    params = None
     if near_dup_threshold is not None:
         index, params = read_minhash_index(spark, f"{root}/minhash")
         nh = params["num_hashes"]
+        # ONE signature computation per batch: the eager checkpoint
+        # materializes the shingle→minhash work once, and candidate
+        # generation, the index append and the signature append all read
+        # the (id × num_hashes longs) result instead of re-deriving it
         sigs = minhash_signatures(
             accepted, id_col=id_col, text_col=text_col,
             n=params["n"], num_hashes=nh,
-        )
+        ).localCheckpoint(eager=True)
         keys = _band_buckets(sigs, nh, params["bands"])
         cand = (
             keys.select(F.col("id").alias("__new_id"), "band", "key")
@@ -819,16 +824,16 @@ def ingest_batch(
         fingerprint_col="fingerprint",
     )
     if near_dup_threshold is not None:
-        from .dedup import minhash_index_append
-
-        minhash_index_append(
-            accepted, f"{root}/minhash", id_col=id_col, text_col=text_col
+        # fold back from the CHECKPOINTED signatures (no re-shingling):
+        # filter to the final acceptances, append their band keys into
+        # the index partitions and their signatures into the store
+        acc_sigs = sigs.join(
+            accepted.select(F.col(id_col).alias("id")), "id", "semi"
         )
-        index, params = read_minhash_index(spark, f"{root}/minhash")
-        minhash_signatures(
-            accepted, id_col=id_col, text_col=text_col,
-            n=params["n"], num_hashes=params["num_hashes"],
-        ).write.mode("append").parquet(f"{root}/signatures")
+        _band_buckets(
+            acc_sigs, params["num_hashes"], params["bands"]
+        ).write.mode("append").partitionBy("band").parquet(f"{root}/minhash")
+        acc_sigs.write.mode("append").parquet(f"{root}/signatures")
     if with_rejects:
         return accepted, rejects
     return accepted
