@@ -112,3 +112,35 @@ def test_error_message_and_root_cause_are_both_present(engine):
         Query(engine).columns("[Measures].[Dummy]").execute()
     assert str(ei.value)  # wrapper message
     assert ei.value.root_cause_message  # precise diagnostic
+
+
+def test_mdx_parser_fuzz_never_crashes(engine):
+    """Robustness: arbitrary malformed MDX must surface as a TYPED error
+    (MdxError/QueryError/ValueError/KeyError), never an unhandled crash
+    (AttributeError/TypeError/IndexError/RecursionError) or a hang —
+    the error-shape contract holds on garbage, not just on the curated
+    negative cases above."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    tokens = st.sampled_from([
+        "SELECT", "FROM", "WHERE", "WITH", "MEMBER", "SET", "AS", "ON",
+        "COLUMNS", "ROWS", "NON", "EMPTY", "[Sales]", "[Measures].[Sum Qty]",
+        "[Customer].[Region]", "{", "}", "(", ")", ",", ".", "'", '"',
+        "Children", "Members", "CROSSJOIN", "FILTER", "ORDER", "0", "1.5",
+        "+", "-", "*", "/", "]]", "[", "]", ";", "¤", "\\", "DRILLTHROUGH",
+    ])
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(tokens, min_size=1, max_size=12).map(" ".join))
+    def fuzz(text):
+        try:
+            r = execute_mdx(engine, text)
+            # a parse that accidentally forms a valid query is fine —
+            # force execution so lazy failures surface here too
+            if hasattr(r, "df"):
+                r.df.limit(1).collect()
+        except (MdxError, QueryError, ValueError, KeyError):
+            pass  # typed rejection — the contract
+
+    fuzz()
