@@ -837,3 +837,59 @@ def ingest_batch(
     if with_rejects:
         return accepted, rejects
     return accepted
+
+
+def ingest_state_info(spark, state_dir: str) -> dict:
+    """Inspect a persisted ingest state — the operational dashboard for
+    the silent hazard in any long-running Bloom-gated loop: the bitmap
+    was SIZED at init for the then-current corpus, and every appended
+    batch raises its fill ratio, degrading the false-positive rate
+    without any error.  Returns:
+
+    * ``n_fingerprints`` — exact members in the verification store;
+    * ``m_bits`` / ``k`` / ``fill_ratio`` — bitmap geometry and the
+      fraction of bits set (one bitmap-sized aggregation);
+    * ``est_fp_rate`` — the textbook fill-based estimate ``fill^k`` of
+      the CURRENT probe false-positive rate (what a probe of a random
+      non-member hits now, not what the filter was designed for);
+    * ``resize_recommended`` — True when ``est_fp_rate`` exceeds ~10×
+      the canonical 1% design point; re-run
+      :func:`init_ingest_state` over corpus ∪ acceptances to re-size
+      (the fingerprint store already holds every member, so the rebuild
+      needs no corpus text);
+    * with a near-dup arm: ``n_signatures`` and the banding params.
+
+    False positives only cost extra verification work (the exact store
+    check keeps membership EXACT at any fill), so degradation is a
+    throughput problem — but at fill→1 every probe hits and the
+    prefilter stops filtering, which is exactly what this surfaces.
+    """
+    from .dedup import read_bloom
+
+    root = state_dir.rstrip("/")
+    bitmap, m_bits, k = read_bloom(spark, f"{root}/bloom")
+    set_bits = bitmap.agg(
+        F.sum(F.bit_count(F.col("bits"))).alias("s")
+    ).collect()[0]["s"] or 0
+    n_fp = spark.read.parquet(f"{root}/fingerprints").count()
+    fill = float(set_bits) / float(m_bits)
+    est_fp = fill ** k
+    info = {
+        "n_fingerprints": int(n_fp),
+        "m_bits": int(m_bits),
+        "k": int(k),
+        "fill_ratio": fill,
+        "est_fp_rate": est_fp,
+        "resize_recommended": est_fp > 0.10,
+    }
+    import os
+
+    if os.path.isdir(f"{root}/minhash"):
+        from .dedup import read_minhash_index
+
+        _, params = read_minhash_index(spark, f"{root}/minhash")
+        info["near_dup_params"] = params
+        info["n_signatures"] = spark.read.parquet(
+            f"{root}/signatures"
+        ).count()
+    return info

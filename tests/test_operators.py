@@ -2678,6 +2678,48 @@ def test_stateful_ingest_batches_carry_membership(spark, tmp_path):
     assert store.count() == store.distinct().count() == 4
 
 
+def test_ingest_state_info_tracks_fill_and_fp_drift(spark, tmp_path):
+    """ingest_state_info: fill ratio and estimated fp rate GROW as batches
+    fold in (the silent Bloom-degradation hazard made observable); the
+    fill-based fp estimate tracks the theoretical value for a known
+    member count; near-dup state surfaces its params and signature count."""
+    import math
+
+    from mondrian_olap_spark.operators.pipeline import (
+        ingest_batch, ingest_state_info, init_ingest_state,
+    )
+
+    good = ("this is a genuinely long enough quality document body with "
+            "plenty of distinct words to pass every default rule ")
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, text=good + f"variant {i}") for i in range(5)]
+    )
+    state = str(tmp_path / "state")
+    init_ingest_state(corpus, state, near_dup=True)
+    info0 = ingest_state_info(spark, state)
+    assert info0["n_fingerprints"] == 5
+    assert info0["n_signatures"] == 5
+    assert info0["near_dup_params"] == {"n": 3, "num_hashes": 16, "bands": 8}
+    assert 0 < info0["fill_ratio"] < 1
+    # theoretical fill for n members, k hashes, m bits: 1-(1-1/m)^(kn)
+    m, k, n = info0["m_bits"], info0["k"], 5
+    theo = 1.0 - (1.0 - 1.0 / m) ** (k * n)
+    assert math.isclose(info0["fill_ratio"], theo, rel_tol=0.5)
+    assert not info0["resize_recommended"]  # sized for this corpus at 1%
+    # fold in a large batch -> fill and est fp strictly grow
+    batch = spark.createDataFrame(
+        [Row(doc_id=100 + i, text=good + f"novel addition {i}")
+         for i in range(50)]
+    )
+    ingest_batch(batch, state, near_dup_threshold=0.8)
+    info1 = ingest_state_info(spark, state)
+    assert info1["n_fingerprints"] > info0["n_fingerprints"]
+    assert info1["fill_ratio"] > info0["fill_ratio"]
+    assert info1["est_fp_rate"] > info0["est_fp_rate"]
+    # a bitmap sized for 5 now holding ~55 is past the resize line
+    assert info1["resize_recommended"]
+
+
 def test_stateful_ingest_near_dup_arm(spark, tmp_path):
     """ingest_batch(near_dup_threshold=…): exact-dup survivors that are
     NEAR-duplicates of the corpus — or of an EARLIER batch's acceptance —
