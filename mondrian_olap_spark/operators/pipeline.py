@@ -893,3 +893,27 @@ def ingest_state_info(spark, state_dir: str) -> dict:
             f"{root}/signatures"
         ).count()
     return info
+
+
+def resize_ingest_state(spark, state_dir: str, fp_rate: float = 0.01) -> dict:
+    """Re-size a drifted ingest bitmap IN PLACE, from the fingerprint
+    store alone — no corpus text, no corpus rescan: the store is the
+    exact membership set, so the new bitmap
+    (:func:`..dedup.bloom_parameters`-sized for the CURRENT member count
+    at ``fp_rate``) is rebuilt with one store-sized job.  Run when
+    :func:`ingest_state_info` sets ``resize_recommended``; membership
+    semantics are unchanged before/after (the bitmap is only ever a
+    prefilter — the store verify keeps results exact at any fill).
+    Near-dup artifacts need no resize (band-key partitions and the
+    signature store grow naturally).  Returns the new geometry."""
+    from .dedup import bloom_build, bloom_parameters, write_bloom
+
+    root = state_dir.rstrip("/")
+    store = spark.read.parquet(f"{root}/fingerprints")
+    n = store.count()
+    m_bits, k = bloom_parameters(max(n, 1), fp_rate)
+    bm = bloom_build(
+        store, m_bits=m_bits, k=k, fingerprint_col="fingerprint"
+    ).localCheckpoint(eager=True)
+    write_bloom(bm, f"{root}/bloom", m_bits, k)
+    return {"n_items": n, "m_bits": m_bits, "k": k}

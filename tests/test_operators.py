@@ -2718,6 +2718,24 @@ def test_ingest_state_info_tracks_fill_and_fp_drift(spark, tmp_path):
     assert info1["est_fp_rate"] > info0["est_fp_rate"]
     # a bitmap sized for 5 now holding ~55 is past the resize line
     assert info1["resize_recommended"]
+    # resize rebuilds from the STORE alone; drift returns to design point
+    # and membership semantics are unchanged (a known member still dups)
+    from mondrian_olap_spark.operators.pipeline import resize_ingest_state
+
+    geo = resize_ingest_state(spark, state)
+    assert geo["n_items"] == info1["n_fingerprints"]
+    info2 = ingest_state_info(spark, state)
+    assert info2["est_fp_rate"] < 0.05
+    assert not info2["resize_recommended"]
+    redo = spark.createDataFrame(
+        [Row(doc_id=999, text=good + "novel addition 7"),   # known member
+         Row(doc_id=998, text="entirely unrelated writing about mountain "
+                              "weather patterns where the afternoon storms "
+                              "gather slowly over the ridgeline before any "
+                              "hiker can reach shelter below the treeline")]
+    )
+    a = ingest_batch(redo, state, near_dup_threshold=0.8)
+    assert {r["doc_id"] for r in a.collect()} == {998}
 
 
 def test_stateful_ingest_near_dup_arm(spark, tmp_path):
