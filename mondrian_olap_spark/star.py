@@ -468,15 +468,46 @@ class CubeEngine:
                 .agg(*merges)
                 .select(*cols)
             )
+            # materialize BEFORE any write: a repeated refresh with the
+            # same path_prefix would otherwise overwrite the very files
+            # the merge plan is still reading (`old` may be last
+            # generation's refresh output at the same path)
+            merged = merged.localCheckpoint(eager=True)
+            new_path = None
             if path_prefix is not None:
-                p = f"{path_prefix.rstrip('/')}/refresh_{idx:02d}"
-                merged.write.mode("overwrite").parquet(p)
-                merged = spark.read.parquet(p)
-            else:
-                merged = merged.localCheckpoint(eager=True)
-            refreshed.append((merged, group_outputs, measures))
-        self.aggregate_tables[:] = refreshed
+                new_path = f"{path_prefix.rstrip('/')}/refresh_{idx:02d}"
+                merged.write.mode("overwrite").parquet(new_path)
+                merged = spark.read.parquet(new_path)
+            refreshed.append((merged, group_outputs, measures, new_path))
+        self.aggregate_tables[:] = [r[:3] for r in refreshed]
+        if path_prefix is not None:
+            self._update_agg_manifest(path_prefix, refreshed)
         return len(refreshed)
+
+    def _update_agg_manifest(self, path_prefix: str, refreshed) -> None:
+        """Keep ``_agg_manifest.json`` (written by
+        :func:`..advisor.auto_materialize`) coherent after a refresh: a
+        fresh session's :func:`..advisor.load_materialized` must load the
+        REFRESHED summaries, never the stale pre-refresh parquet.
+        Entries match by group-output set; unmatched manifest entries are
+        left alone."""
+        import json
+        import os
+
+        manifest_path = os.path.join(path_prefix, "_agg_manifest.json")
+        if not os.path.exists(manifest_path):
+            return
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+        by_grain = {
+            frozenset(go): p for _, go, _, p in refreshed if p is not None
+        }
+        for entry in manifest.get("aggregates", ()):
+            p = by_grain.get(frozenset(entry["group_outputs"]))
+            if p is not None:
+                entry["path"] = p
+        with open(manifest_path, "w") as f:
+            json.dump(manifest, f, indent=2)
 
     def enable_cache(self, storage_level=None):
         """Turn on the aggregate cache (CACHE fun-def analog + segment

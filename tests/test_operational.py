@@ -193,6 +193,43 @@ def test_refresh_aggregates_incremental_maintenance(spark, tmp_path):
         spark, SCHEMA, "Sales", SF_DIR).refresh_aggregates(delta) == 0
 
 
+def test_refresh_updates_manifest_and_repeats_safely(spark, tmp_path):
+    """auto_materialize(path_prefix) → refresh_aggregates(same prefix)
+    must (a) survive REPEATED refreshes at the same paths (the merge is
+    materialized before overwriting the files it reads) and (b) update
+    _agg_manifest.json so a fresh session's load_materialized serves the
+    REFRESHED values, never stale pre-refresh parquet."""
+    from mondrian_olap_spark.advisor import auto_materialize, load_materialized
+    from mondrian_olap_spark.star import read_parquet_table
+
+    full = read_parquet_table(spark, f"{SF_DIR}/lineitem.parquet")
+    base = full.filter("l_orderkey % 10 > 1")
+    d1 = full.filter("l_orderkey % 10 = 0")
+    d2 = full.filter("l_orderkey % 10 = 1")
+    prefix = str(tmp_path / "aggs")
+    eng = engine_from_parquet(spark, SCHEMA, "Sales", SF_DIR)
+    eng.__init__(eng.cube, {**eng.tables, "lineitem": base},
+                 eng.parameters, eng.available_roles)
+    (Query(eng).columns("[Measures].[Sum Qty]")
+     .rows("[Customer].children").execute().df.collect())
+    auto_materialize(eng, path_prefix=prefix, measures=["Sum Qty"])
+    assert eng.refresh_aggregates(d1, path_prefix=prefix) == 1
+    assert eng.refresh_aggregates(d2, path_prefix=prefix) == 1  # repeat OK
+    # fresh session: manifest points at the refreshed summary
+    eng2 = engine_from_parquet(spark, SCHEMA, "Sales", SF_DIR)
+    assert load_materialized(eng2, prefix) == 1
+    routed = (Query(eng2).columns("[Measures].[Sum Qty]")
+              .rows("[Customer].children").execute().df)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem" not in plan
+    expected = {r["region_name"]: r["sum_qty"] for r in
+                Query(engine_from_parquet(spark, SCHEMA, "Sales", SF_DIR))
+                .columns("[Measures].[Sum Qty]")
+                .rows("[Customer].children").execute().df.collect()}
+    assert {r["region_name"]: r["sum_qty"]
+            for r in routed.collect()} == expected
+
+
 def test_materialize_aggregate_rejects_unrollable(spark):
     eng = engine_from_parquet(spark, SCHEMA, "Sales", SF_DIR)
     with pytest.raises(ValueError):
