@@ -680,6 +680,7 @@ def ingest_batch(
     text_col: str = "text",
     seed: str = "split",
     near_dup_threshold: float | None = None,
+    collapse_batch_near_dups: bool = False,
     with_rejects: bool = False,
 ) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Curate ONE arriving batch against the persisted ingest state and
@@ -703,9 +704,13 @@ def ingest_batch(
     never needed), and near-duplicates of the corpus OR of earlier
     acceptances reject.  Accepted documents' band keys + signatures fold
     back into the index alongside the exact-membership artifacts.
-    (Batch-INTERNAL near-dups are not collapsed here — exact batch dedup
-    already ran; collapse them upstream with ``minhash_dedup_pairs`` if
-    the ingest source produces them.)
+    Batch-INTERNAL near-dups are kept by default (exact batch dedup
+    already ran); ``collapse_batch_near_dups=True`` additionally collapses
+    them — a signature self-join over the batch's band keys, estimated-
+    Jaccard verification, connected components
+    (:func:`..dedup.dedup_clusters`), min-id survivor per component —
+    before the corpus check, so one canonical copy of each within-batch
+    near-dup family is considered for acceptance.
 
     Per-batch cost: batch-sized work + a bitmap-sized merge + a
     hits-only join against the store — independent of accumulated corpus
@@ -718,10 +723,11 @@ def ingest_batch(
     returns).  With ``with_rejects=True`` returns
     ``(accepted, rejects)`` where rejects is ``(id_col, reject_reason)``
     for every non-accepted input row — ``corpus_exact_dup``,
-    ``corpus_near_dup``, or ``batch_dup_or_quality`` (collapsed
-    batch-internal copies and quality drops happen inside curate_corpus
-    and are accounted together) — the per-batch drop audit a production
-    ingest dashboard needs.
+    ``corpus_near_dup``, ``batch_near_dup`` (only with
+    ``collapse_batch_near_dups``), or ``batch_dup_or_quality``
+    (collapsed batch-internal exact copies and quality drops happen
+    inside curate_corpus and are accounted together) — the per-batch
+    drop audit a production ingest dashboard needs.
     """
     from .dedup import (
         _band_buckets, bloom_append, bloom_probe, minhash_signatures,
@@ -757,6 +763,44 @@ def ingest_batch(
             n=params["n"], num_hashes=nh,
         ).localCheckpoint(eager=True)
         keys = _band_buckets(sigs, nh, params["bands"])
+        matches = sum(
+            F.when(F.col(f"a.m{i}") == F.col(f"b.m{i}"), 1).otherwise(0)
+            for i in range(nh)
+        )
+        batch_nd = None
+        if collapse_batch_near_dups:
+            from .dedup import dedup_clusters
+
+            self_cand = (
+                keys.select(F.col("id").alias("id_a"), "band", "key")
+                .join(
+                    keys.select(F.col("id").alias("id_b"), "band", "key"),
+                    ["band", "key"],
+                )
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b")
+                .dropDuplicates(["id_a", "id_b"])
+            )
+            self_pairs = (
+                self_cand
+                .join(sigs.alias("a"), F.col("id_a") == F.col("a.id"))
+                .join(sigs.alias("b"), F.col("id_b") == F.col("b.id"))
+                .filter(
+                    matches.cast("double") / F.lit(float(nh))
+                    >= near_dup_threshold
+                )
+                .select("id_a", "id_b")
+            )
+            clusters = dedup_clusters(sigs.select("id"), self_pairs)
+            batch_nd = (
+                clusters.filter(~F.col("keep"))
+                .select(F.col("id").alias(id_col))
+                .localCheckpoint(eager=True)
+            )
+            accepted = accepted.join(batch_nd, id_col, "anti")
+            drop_ids = batch_nd.select(F.col(id_col).alias("id"))
+            sigs = sigs.join(drop_ids, "id", "anti")
+            keys = keys.join(drop_ids, "id", "anti")
         cand = (
             keys.select(F.col("id").alias("__new_id"), "band", "key")
             .join(index.select(F.col("id").alias("__old_id"), "band", "key"),
@@ -765,10 +809,6 @@ def ingest_batch(
             .dropDuplicates(["__new_id", "__old_id"])
         )
         old_sigs = spark.read.parquet(f"{root}/signatures")
-        matches = sum(
-            F.when(F.col(f"a.m{i}") == F.col(f"b.m{i}"), 1).otherwise(0)
-            for i in range(nh)
-        )
         est = (
             cand.join(sigs.alias("a"), cand["__new_id"] == F.col("a.id"))
             .join(old_sigs.alias("b"), cand["__old_id"] == F.col("b.id"))
@@ -802,6 +842,12 @@ def ingest_batch(
             parts.append(
                 near.withColumn("reject_reason", F.lit("corpus_near_dup"))
             )
+            if batch_nd is not None:
+                parts.append(
+                    batch_nd.withColumn(
+                        "reject_reason", F.lit("batch_near_dup")
+                    )
+                )
         explained = parts[0]
         for p in parts[1:]:
             explained = explained.unionByName(p)

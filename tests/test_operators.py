@@ -2785,6 +2785,36 @@ def test_stateful_ingest_near_dup_arm(spark, tmp_path):
     sigs = spark.read.parquet(f"{state}/signatures")
     assert sorted(r["id"] for r in sigs.select("id").collect()) == [1, 12, 22]
 
+    # batch-INTERNAL near-dup collapse: two near-identical novel docs in
+    # one batch -> min-id survivor accepted, twin rejected with its own
+    # reason; without the flag both land
+    b3 = spark.createDataFrame([
+        Row(doc_id=31, text=other + " morning edition"),
+        Row(doc_id=32, text=other + " morning edition extra"),
+    ])
+    a3, rej3 = ingest_batch(b3, state, near_dup_threshold=0.8,
+                            collapse_batch_near_dups=True, with_rejects=True)
+    # both are near-dups of batch-1's acceptance (doc 12 = `other`): the
+    # collapse keeps 31, and the corpus check then rejects it — reasons
+    # distinguish the two paths
+    assert a3.count() == 0
+    assert {(r["doc_id"], r["reject_reason"]) for r in rej3.collect()} == {
+        (31, "corpus_near_dup"), (32, "batch_near_dup"),
+    }
+    fresh = ("completely standalone narrative describing ancient harbor "
+             "towns where fishing boats returned each evening before the "
+             "lighthouse keeper lit the great lamp above the cliffs")
+    b4 = spark.createDataFrame([
+        Row(doc_id=41, text=fresh + " first printing"),
+        Row(doc_id=42, text=fresh + " first printing revised"),
+    ])
+    a4, rej4 = ingest_batch(b4, state, near_dup_threshold=0.8,
+                            collapse_batch_near_dups=True, with_rejects=True)
+    assert {r["doc_id"] for r in a4.collect()} == {41}
+    assert {(r["doc_id"], r["reject_reason"]) for r in rej4.collect()} == {
+        (42, "batch_near_dup"),
+    }
+
 
 def test_build_vocab_and_tokens_to_ids(spark):
     docs = spark.createDataFrame([
