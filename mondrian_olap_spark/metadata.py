@@ -313,7 +313,9 @@ class LevelMeta:
         df = self._engine.level_members(
             self._dim.name, self.depth, include_properties=True
         )
-        return _rows_to_members(self._engine, self._dim, self.depth, df)
+        return _rows_to_members(
+            self._engine, self._dim, self.depth, df, whole_level=True
+        )
 
 
 @dataclass
@@ -381,7 +383,9 @@ class DimensionMeta:
     @property
     def root_members(self) -> list[MemberMeta]:
         df = self._engine.level_members(self._dim.name, 0, include_properties=True)
-        return _rows_to_members(self._engine, self._dim, 0, df)
+        return _rows_to_members(
+            self._engine, self._dim, 0, df, whole_level=True
+        )
 
     @property
     def root_member_names(self) -> list[str]:
@@ -504,18 +508,26 @@ class MembersTooLarge(ValueError):
     raise the limit explicitly."""
 
 
-def _rows_to_members(engine, dim: Dimension, depth: int, df) -> list[MemberMeta]:
+def _rows_to_members(
+    engine, dim: Dimension, depth: int, df, whole_level: bool = False
+) -> list[MemberMeta]:
     limit = getattr(engine, "members_fetch_limit", MEMBERS_FETCH_LIMIT)
-    if getattr(dim, "high_cardinality", False):
+    # the declared hint and the high_cardinality flag describe the WHOLE
+    # level — filtered navigation (children of one parent, siblings,
+    # descendants under a member) materializes a small slice and must not
+    # trip on them; the limit+1 probe below still guards every call
+    if whole_level and depth > 0 and getattr(dim, "high_cardinality", False):
         raise MembersTooLarge(
             f"dimension {dim.name!r} is flagged high_cardinality "
-            "(schema.rb:100-101): member arrays are not materialized to "
-            "the driver; use engine.level_members() for a distributed frame"
+            "(schema.rb:100-101): whole-level member arrays are not "
+            "materialized to the driver; navigate via children/"
+            "root_members, or use engine.level_members() for a "
+            "distributed frame"
         )
-    # trust the cardinality hint first (the whole point of the hint is to
-    # skip the job — cube_test.rb:258-266); fall back to a limit+1 probe
+    # trust the cardinality hint (the whole point of the hint is to skip
+    # the job — cube_test.rb:258-266); fall back to a limit+1 probe
     hint = getattr(engine, "_level_cardinality", {}).get((dim.name, depth))
-    if hint is not None and hint > limit:
+    if whole_level and hint is not None and hint > limit:
         raise MembersTooLarge(
             f"level {dim.name!r}[{depth}] declares cardinality {hint} > "
             f"members_fetch_limit {limit}; use engine.level_members() for "

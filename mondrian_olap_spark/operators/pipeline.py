@@ -679,6 +679,7 @@ def ingest_batch(
     id_col: str = "doc_id",
     text_col: str = "text",
     seed: str = "split",
+    fingerprint_col: str | None = None,
     near_dup_threshold: float | None = None,
     collapse_batch_near_dups: bool = False,
     with_rejects: bool = False,
@@ -736,15 +737,29 @@ def ingest_batch(
 
     spark = new_docs.sparkSession
     root = state_dir.rstrip("/")
+    if collapse_batch_near_dups and near_dup_threshold is None:
+        raise ValueError(
+            "collapse_batch_near_dups requires near_dup_threshold — "
+            "without it no near-dup machinery runs and the flag would be "
+            "silently ignored"
+        )
     bitmap, m_bits, k = read_bloom(spark, f"{root}/bloom")
     store_path = f"{root}/fingerprints"
+    # the membership key must match the STATE's: a state initialized with
+    # fingerprint_col=... is keyed on that column, and probing with the
+    # md5(text) default would silently admit every duplicate
     batch = curate_corpus(
-        new_docs, split_weights=None, id_col=id_col, text_col=text_col
+        new_docs, split_weights=None, id_col=id_col, text_col=text_col,
+        fingerprint_col=fingerprint_col,
     )
     probed = bloom_probe(batch, bitmap, m_bits=m_bits, k=k, id_col=id_col,
-                         text_col=text_col)
-    flagged = batch.join(probed.select(id_col, "fingerprint", "bloom_hit"),
-                         id_col)
+                         text_col=text_col, fingerprint_col=fingerprint_col)
+    probe_cols = (
+        [id_col, "bloom_hit"]
+        if fingerprint_col == "fingerprint"  # batch already carries it
+        else [id_col, "fingerprint", "bloom_hit"]
+    )
+    flagged = batch.join(probed.select(*probe_cols), id_col)
     store = spark.read.parquet(store_path)
     hits = flagged.filter(F.col("bloom_hit"))
     verified_dups = hits.join(store, "fingerprint", "semi").select(id_col)

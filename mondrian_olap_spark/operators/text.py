@@ -1290,8 +1290,16 @@ def tokens_to_ids(
             "__pos", "__tok"
         ),
     )
+    # the SAME smallest-id-wins dedup as the inline path — a duplicated
+    # vocab token would otherwise match twice in the join and grow every
+    # occurrence's array, diverging from the inline result
+    vocab_unique = vocab.groupBy("token").agg(
+        F.min("token_id").alias("token_id")
+    )
     joined = pos.join(
-        F.broadcast(vocab.select(F.col("token").alias("__tok"), "token_id")),
+        F.broadcast(
+            vocab_unique.select(F.col("token").alias("__tok"), "token_id")
+        ),
         "__tok",
         "left",
     ).withColumn(

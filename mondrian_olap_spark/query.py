@@ -904,13 +904,27 @@ class Query:
                         raise rewrite_errors[m.name]
                     m = rewritten.get(m.name, m)
                 measures.append(m)
-        # a used calc member may reference an unrewritable one by name
-        # (solve-order chaining) — surface the underlying error, not a
-        # downstream name-not-found
+        # a used calc member may reference an unrewritable one
+        # (solve-order chaining references the OUTPUT alias; MDX-style
+        # text may carry the bracketed name) — surface the underlying
+        # error, not a downstream name-not-found.  Word-boundary /
+        # bracketed matching only: a plain substring test would raise for
+        # a member named 'Max' whenever any used expression mentions
+        # '[Measures].[Max Price]'.
+        import re as _re
+
+        bad_refs = {}
+        for bad, err in rewrite_errors.items():
+            bad_cm = next(c for c in self._with if c.name == bad)
+            pat = _re.compile(
+                rf"\b{_re.escape(bad_cm.out)}\b"
+                rf"|\[\s*{_re.escape(bad)}\s*\]",
+            )
+            bad_refs[pat] = err
         for used in measures:
             if isinstance(used, CalculatedMember):
-                for bad, err in rewrite_errors.items():
-                    if bad in used.expression:
+                for pat, err in bad_refs.items():
+                    if pat.search(used.expression):
                         raise err
         tuple_specs = []
         for out, mname, member_strs in self._tuple_scalars:

@@ -427,19 +427,29 @@ class CubeEngine:
             for i, lv in enumerate(dim.levels):
                 level_of[lv.out] = (dim, i)
         spark = self.fact.sparkSession
-        refreshed = []
-        for idx, (old, group_outputs, measures) in enumerate(
-            self.aggregate_tables
-        ):
+        # pre-flight: validate EVERY summary's grain before touching
+        # anything — a mid-loop failure would otherwise leave some
+        # summaries refreshed (and parquet written) and others stale,
+        # with no error until the unknown output was reached
+        grains: list[dict[str, int]] = []
+        for old, group_outputs, measures in self.aggregate_tables:
             grain: dict[str, int] = {}
             for out in group_outputs:
                 if out not in level_of:
                     raise ValueError(
                         f"summary group output {out!r} is not a level "
-                        "column of this cube; cannot re-derive its grain"
+                        "column of this cube; cannot re-derive its grain "
+                        "— nothing was refreshed (de-register the "
+                        "hand-built summary or refresh it yourself)"
                     )
                 dim, depth = level_of[out]
                 grain[dim.name] = max(grain.get(dim.name, -1), depth)
+            grains.append(grain)
+        refreshed = []
+        for idx, (old, group_outputs, measures) in enumerate(
+            self.aggregate_tables
+        ):
+            grain = grains[idx]
             refs = [
                 MemberSetRef(
                     self.cube.dimension(d), depth=depth, kind="level_members"

@@ -293,6 +293,10 @@ def test_members_fetch_limit_guard(engine):
     level.cardinality = 10_000_000
     with pytest.raises(MembersTooLarge, match="declares cardinality"):
         level.members
+    # the hint describes the WHOLE level: filtered navigation (children
+    # of one parent) must not trip on it
+    region = cube.dimension("Customer").hierarchy.root_members[0]
+    assert len(region.children[0].children) > 0  # customers of one nation
     level.cardinality = None
     # actual-count probe: shrink the limit below the real member count
     real = level.members_count
@@ -336,9 +340,16 @@ def test_high_cardinality_dimension_refuses_member_arrays(spark):
         cubes=tuple(sales2 if c.name == "Sales" else c for c in SCHEMA.cubes),
     )
     eng = engine_from_parquet(spark, schema2, "Sales", SF_DIR)
-    level = CubeMeta(eng).dimension("Customer").hierarchy.levels[1]
+    dim = CubeMeta(eng).dimension("Customer")
     with pytest.raises(MembersTooLarge, match="high_cardinality"):
-        level.members
+        dim.hierarchy.levels[1].members
+    # the flag scopes to WHOLE-LEVEL arrays below the root: a browsing UI
+    # still enters via root_members and drills via children/siblings
+    roots = dim.hierarchy.root_members
+    assert len(roots) == 5
+    kids = roots[0].children
+    assert kids and len(kids) == 5  # nations under one region
+    assert len(kids[0].siblings) == 5
     r = (Query(eng).columns("[Measures].[Sum Qty]")
          .rows("[Customer].children").execute())
     assert r.df.count() == 5

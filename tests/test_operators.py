@@ -2678,6 +2678,56 @@ def test_stateful_ingest_batches_carry_membership(spark, tmp_path):
     assert store.count() == store.distinct().count() == 4
 
 
+def test_stateful_ingest_fingerprint_col_keys_the_state(spark, tmp_path):
+    """A state initialized with fingerprint_col must be PROBED with it:
+    a batch doc whose precomputed fingerprint collides with a corpus
+    member is a duplicate even though its raw text differs (and without
+    forwarding, every duplicate would silently pass)."""
+    from mondrian_olap_spark.operators.pipeline import (
+        ingest_batch, init_ingest_state,
+    )
+
+    good = ("this is a genuinely long enough quality document body with "
+            "plenty of distinct words to pass every default rule ")
+    corpus = spark.createDataFrame(
+        [Row(doc_id=1, text=good + "alpha", fp="shared-key")]
+    )
+    state = str(tmp_path / "state")
+    init_ingest_state(corpus, state, fingerprint_col="fp")
+    batch = spark.createDataFrame([
+        # different text, SAME precomputed fingerprint -> duplicate
+        Row(doc_id=11, text=good + "beta", fp="shared-key"),
+        Row(doc_id=12, text=good + "gamma", fp="fresh-key"),
+    ])
+    a = ingest_batch(batch, state, fingerprint_col="fp")
+    assert {r["doc_id"] for r in a.collect()} == {12}
+    # the accepted fingerprint entered the store under the fp keying
+    store = spark.read.parquet(f"{state}/fingerprints")
+    assert {r["fingerprint"] for r in store.collect()} == {
+        "shared-key", "fresh-key",
+    }
+
+
+def test_ingest_collapse_flag_requires_threshold(spark, tmp_path):
+    """collapse_batch_near_dups without near_dup_threshold must raise —
+    silently ignoring it would admit every within-batch near-dup family
+    the caller believes was collapsed."""
+    import pytest
+
+    from mondrian_olap_spark.operators.pipeline import (
+        ingest_batch, init_ingest_state,
+    )
+
+    good = ("this is a genuinely long enough quality document body with "
+            "plenty of distinct words to pass every default rule ")
+    corpus = spark.createDataFrame([Row(doc_id=1, text=good + "alpha")])
+    state = str(tmp_path / "state")
+    init_ingest_state(corpus, state)
+    batch = spark.createDataFrame([Row(doc_id=11, text=good + "beta")])
+    with pytest.raises(ValueError, match="requires near_dup_threshold"):
+        ingest_batch(batch, state, collapse_batch_near_dups=True)
+
+
 def test_ingest_state_info_tracks_fill_and_fp_drift(spark, tmp_path):
     """ingest_state_info: fill ratio and estimated fp rate GROW as batches
     fold in (the silent Bloom-degradation hazard made observable); the
@@ -2864,6 +2914,10 @@ def test_tokens_to_ids_duplicate_vocab_rows(spark):
     )
     inline = text.tokens_to_ids(docs, dup).collect()
     assert list(inline[0]["token_ids"]) == [1, 2, 0]
+    # the broadcast-join path applies the SAME smallest-id dedup — array
+    # length must not grow from double matches
+    joined = text.tokens_to_ids(docs, dup, broadcast_threshold=0).collect()
+    assert list(joined[0]["token_ids"]) == [1, 2, 0]
 
 
 def test_tokens_to_ids_plan_size_constant_in_vocab(spark):
