@@ -24,115 +24,229 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["flagship_region_quarter"](spark, "/root/testdata/sf0.001")
 
 
-#: entries already hash-verified GREEN by the driver in rounds 1-3.  The
-#: driver checks a 50-entry prefix of this dict, so never-yet-checked (or
-#: previously-red, now fixed) entries are listed FIRST to rotate them
-#: through the gate; the previously-green entries keep full local coverage
-#: via tools/check_oracle.py --exact (the driver-gate mirror).
-_DRIVER_CHECKED = frozenset({
-    # round 5 greens (CORRECTNESS_r05.json: all 50 prefix rows green,
-    # hash-exact — includes approx_distinct_parts with its new bit-exact
-    # oracle and the re-rotated set_intersect_active_nations).  After this
-    # round the unchecked remainder is exactly the 20 entries that have
-    # never appeared in any CORRECTNESS_r*.json; they fill the front of
-    # the 50-row prefix, and 30 previously-green entries rotate behind
-    # them for re-verification.
-    "approx_distinct_parts", "bucketed_star_gate", "dedup_source_overlap",
-    "embed_ivf_recall_gate", "embed_label_norm_stats",
-    "embed_lsh_neardup_pairs", "embed_quantization_report",
-    "events_approx_quantiles", "events_asof_attribution",
-    "events_asof_forward_tolerance", "events_funnel_steps",
-    "events_props_json_stats", "events_retention_weekly",
-    "events_salted_join", "events_zorder_cells",
-    "filter_member_property_gate", "multimodal_real_bmp_gate",
-    "multimodal_real_wav_gate", "pipeline_apply_changes",
-    "pipeline_balanced_sample", "pipeline_corpus_diff",
-    "pipeline_decontamination_report", "pipeline_end_to_end_curation",
-    "pipeline_length_histogram", "pipeline_mix_applied",
-    "pipeline_mix_weights", "pipeline_pack_concat",
-    "pipeline_padding_efficiency", "pipeline_quality_topk",
-    "pipeline_shuffle_order", "pipeline_skew_profile",
-    "pipeline_temperature_mix", "pipeline_token_packing",
-    "set_intersect_active_nations", "streaming_cms_gate",
-    "streaming_dedup_gate", "streaming_maintenance_gate",
-    "streaming_sessionization_gate", "streaming_windowed_counts_gate",
-    "text_bigram_entropy", "text_bigram_perplexity",
-    "text_bpe_pair_counts", "text_cms_frequency_gate",
-    "text_inverted_index", "text_kl_from_corpus", "text_segment_dedup",
-    "text_tfidf_top_terms", "text_top_ngrams", "text_unigram_entropy",
-    "vba_val_round_dateserial",
-    # round 4 greens (CORRECTNESS_r04.json: all 50 prefix rows green —
-    # includes the 3 former round-3 hash-fails, the 5 never-checked
-    # entries, and the 7 new round-4 entries; approx_distinct_parts is
-    # rows-only by design and counted as checked)
-    "text_quality_features", "text_stats_by_source",
-    "pipeline_deterministic_sample", "text_pii_redaction",
-    "text_quality_filter", "embed_dedup_keep_list", "text_token_counts",
-    # approx_distinct_parts: removed from the checked set in round 5 — it
-    # gained a bit-exact oracle (exact count + HLL error-bound assertion)
-    # replacing the old rows-only check; rotate it through the driver gate
-    "aggregate_crossjoin_set",
-    "aggregate_value_forms", "tuple_item_implicit_measure",
-    "text_repetition_features", "pipeline_split_contamination",
-    "text_chunking", "events_sessionization",
-    # round 3 greens (CORRECTNESS_r03.json)
-    "multimodal_decode_features", "tuple_case_contextual",
-    "nested_filter_crossjoin", "exists_customers_q1", "mixed_depth_axis",
-    "filter_nonempty_grid", "filter_last_regions", "generate_children_drill",
-    "pages_axis_3d", "weekly_hierarchy_totals", "currentdate_member",
-    "dimension_calc_member_mdx", "drilldown_level_top",
-    "dimension_formula_member", "member_range_years",
-    "drilldown_operator_month", "member_captions_suppliers",
-    "namedset_rank_filter", "toggle_drill_state_year", "drillthrough_grouped",
-    "linreg_variance_point", "matches_regex_filter", "extract_hierarchy",
-    "sql_view_fact", "descendants_months_mdx", "object_accessor_metadata",
-    "strtotuple_slicer", "locale_caption_members",
-    "family_navigation_firstchild", "parameter_scaled_measure",
-    "tuple_item_name", "measures_allmembers", "vba_function_names",
-    "ragged_hierarchy_members", "format_strings_gate",
-    "aggregate_routing_gate", "dedup_exact_fingerprint",
-    "dedup_ngram_jaccard_pairs", "dedup_minhash_lsh_pairs",
-    "dedup_simhash_pairs", "embed_cosine_topk", "embed_neardup_pairs",
-    "text_langid_distribution", "text_winnowing_fingerprints",
-    "dedup_keep_list", "embed_ivf_topk", "pipeline_split_counts",
-    # rounds 1-2 greens
-    "flagship_region_quarter", "pricing_summary_flags", "slicer_multi_member_in",
-    "slicer_cross_dim_tuple", "crossjoin_nation_priority",
-    "nonempty_crossjoin_nation_brand", "rollup_region_nation", "cube_flags_totals",
-    "distinct_count_by_region", "aggregate_member_set", "median_percentile_price",
-    "dispersion_stats", "corr_linreg_stats", "case_coalesce_measures",
-    "calc_member_chain", "topcount_nations", "bottomcount_nations",
-    "toppercent_nations", "topsum_nations", "rank_nations",
-    "head_nations_hierarchized", "subset_nations_by_price", "ytd_monthly",
-    "prev_member_month", "parallel_period_month", "last_periods_moving_3m",
-    "opening_closing_period", "except_regions", "filter_order_nations",
-    "generate_customer_list", "level_members_metadata", "descendants_of_member",
-    "drillthrough_cell", "events_by_type", "count_exclude_empty",
-    "events_daily_users", "virtual_sales_orders", "virtual_valid_measure",
-    # set_intersect_active_nations: removed from the checked set in round 5
-    # (round-4 axis-contiguity validation broke its rows-only query; fixed —
-    # rotate it back through the driver gate)
-    "role_region_grant", "set_union_nations",
-    "visual_totals_regions", "scalar_string_math_functions",
-    "date_functions_by_year", "member_properties_parts",
-    "member_lookup_strtomember", "drilldown_member_region", "parent_child_rollup",
-    "udf_scaled_revenue", "empty_cells_grid",
-})
+#: round in which each entry was most recently hash-verified GREEN by the
+#: driver (``CORRECTNESS_r{N}.json``).  The driver checks a 50-entry prefix
+#: of ``queries()``, so ordering is a rotation policy:
+#:
+#: 1. never-driver-checked entries first (new this round), bit-exact-oracle
+#:    entries before rows-only ones — a hash-verifiable entry must not lose
+#:    its prefix slot to a weak-check entry;
+#: 2. then previously-green entries, OLDEST last-hashed round first, so each
+#:    round re-verifies the most stale hashes on current code (round 7
+#:    re-hashes the r2/r3-era entries, which last passed 4-5 rounds of
+#:    engine churn ago).
+#:
+#: After each round, fold the new CORRECTNESS_r{N}.json greens back into
+#: this map.  Full local coverage of every entry regardless of prefix
+#: position comes from ``tools/check_oracle.py --exact`` (the gate mirror).
+_LAST_HASHED: dict[str, int] = {
+    # last hash-verified green in CORRECTNESS_r02.json
+    "date_functions_by_year": 2,
+    "drilldown_member_region": 2,
+    "empty_cells_grid": 2,
+    "events_daily_users": 2,
+    "member_lookup_strtomember": 2,
+    "member_properties_parts": 2,
+    "parent_child_rollup": 2,
+    "role_region_grant": 2,
+    "scalar_string_math_functions": 2,
+    "set_union_nations": 2,
+    "udf_scaled_revenue": 2,
+    "virtual_sales_orders": 2,
+    "virtual_valid_measure": 2,
+    "visual_totals_regions": 2,
+    # last hash-verified green in CORRECTNESS_r03.json
+    "aggregate_routing_gate": 3,
+    "currentdate_member": 3,
+    "dedup_exact_fingerprint": 3,
+    "dedup_keep_list": 3,
+    "dedup_minhash_lsh_pairs": 3,
+    "dedup_ngram_jaccard_pairs": 3,
+    "dedup_simhash_pairs": 3,
+    "descendants_months_mdx": 3,
+    "dimension_calc_member_mdx": 3,
+    "dimension_formula_member": 3,
+    "drilldown_level_top": 3,
+    "drilldown_operator_month": 3,
+    "drillthrough_grouped": 3,
+    "embed_cosine_topk": 3,
+    "embed_ivf_topk": 3,
+    "embed_neardup_pairs": 3,
+    "exists_customers_q1": 3,
+    "extract_hierarchy": 3,
+    "family_navigation_firstchild": 3,
+    "filter_last_regions": 3,
+    "filter_nonempty_grid": 3,
+    "format_strings_gate": 3,
+    "generate_children_drill": 3,
+    "linreg_variance_point": 3,
+    "locale_caption_members": 3,
+    "matches_regex_filter": 3,
+    "measures_allmembers": 3,
+    "member_captions_suppliers": 3,
+    "member_range_years": 3,
+    "mixed_depth_axis": 3,
+    "multimodal_decode_features": 3,
+    "namedset_rank_filter": 3,
+    "nested_filter_crossjoin": 3,
+    "object_accessor_metadata": 3,
+    "pages_axis_3d": 3,
+    "parameter_scaled_measure": 3,
+    "pipeline_split_counts": 3,
+    "ragged_hierarchy_members": 3,
+    "sql_view_fact": 3,
+    "strtotuple_slicer": 3,
+    "text_langid_distribution": 3,
+    "text_winnowing_fingerprints": 3,
+    "toggle_drill_state_year": 3,
+    "tuple_case_contextual": 3,
+    "tuple_item_name": 3,
+    "vba_function_names": 3,
+    "weekly_hierarchy_totals": 3,
+    # last hash-verified green in CORRECTNESS_r04.json
+    "count_exclude_empty": 4,
+    "descendants_of_member": 4,
+    "drillthrough_cell": 4,
+    "embed_dedup_keep_list": 4,
+    "events_by_type": 4,
+    "events_sessionization": 4,
+    "except_regions": 4,
+    "filter_order_nations": 4,
+    "generate_customer_list": 4,
+    "last_periods_moving_3m": 4,
+    "level_members_metadata": 4,
+    "opening_closing_period": 4,
+    "parallel_period_month": 4,
+    "pipeline_deterministic_sample": 4,
+    "pipeline_split_contamination": 4,
+    "prev_member_month": 4,
+    "subset_nations_by_price": 4,
+    "text_chunking": 4,
+    "text_pii_redaction": 4,
+    "text_quality_features": 4,
+    "text_quality_filter": 4,
+    "text_repetition_features": 4,
+    "text_stats_by_source": 4,
+    "text_token_counts": 4,
+    "tuple_item_implicit_measure": 4,
+    "ytd_monthly": 4,
+    # last hash-verified green in CORRECTNESS_r05.json
+    "approx_distinct_parts": 5,
+    "bucketed_star_gate": 5,
+    "dedup_source_overlap": 5,
+    "embed_ivf_recall_gate": 5,
+    "embed_label_norm_stats": 5,
+    "embed_lsh_neardup_pairs": 5,
+    "embed_quantization_report": 5,
+    "events_approx_quantiles": 5,
+    "events_asof_attribution": 5,
+    "events_asof_forward_tolerance": 5,
+    "events_funnel_steps": 5,
+    "events_props_json_stats": 5,
+    "events_retention_weekly": 5,
+    "events_salted_join": 5,
+    "events_zorder_cells": 5,
+    "filter_member_property_gate": 5,
+    "multimodal_real_bmp_gate": 5,
+    "multimodal_real_wav_gate": 5,
+    "pipeline_apply_changes": 5,
+    "pipeline_balanced_sample": 5,
+    "pipeline_corpus_diff": 5,
+    "pipeline_decontamination_report": 5,
+    "pipeline_end_to_end_curation": 5,
+    "pipeline_length_histogram": 5,
+    "pipeline_mix_applied": 5,
+    "pipeline_mix_weights": 5,
+    "pipeline_pack_concat": 5,
+    "pipeline_padding_efficiency": 5,
+    "pipeline_quality_topk": 5,
+    "pipeline_shuffle_order": 5,
+    "pipeline_skew_profile": 5,
+    "pipeline_temperature_mix": 5,
+    "pipeline_token_packing": 5,
+    "set_intersect_active_nations": 5,
+    "streaming_cms_gate": 5,
+    "streaming_dedup_gate": 5,
+    "streaming_maintenance_gate": 5,
+    "streaming_sessionization_gate": 5,
+    "streaming_windowed_counts_gate": 5,
+    "text_bigram_entropy": 5,
+    "text_bigram_perplexity": 5,
+    "text_bpe_pair_counts": 5,
+    "text_cms_frequency_gate": 5,
+    "text_inverted_index": 5,
+    "text_kl_from_corpus": 5,
+    "text_segment_dedup": 5,
+    "text_tfidf_top_terms": 5,
+    "text_top_ngrams": 5,
+    "text_unigram_entropy": 5,
+    "vba_val_round_dateserial": 5,
+    # last hash-verified green in CORRECTNESS_r06.json
+    "advisor_auto_materialize_gate": 6,
+    "aggregate_crossjoin_set": 6,
+    "aggregate_member_set": 6,
+    "aggregate_refresh_gate": 6,
+    "aggregate_value_forms": 6,
+    "bottomcount_nations": 6,
+    "calc_member_chain": 6,
+    "case_coalesce_measures": 6,
+    "corr_linreg_stats": 6,
+    "crossjoin_nation_priority": 6,
+    "cube_flags_totals": 6,
+    "dedup_bloom_append_gate": 6,
+    "dedup_incremental_bloom": 6,
+    "dedup_incremental_neardup": 6,
+    "dedup_index_append_gate": 6,
+    "dispersion_stats": 6,
+    "distinct_count_by_region": 6,
+    "embed_ivf_append_gate": 6,
+    "embed_pq_codes": 6,
+    "embed_pq_topk": 6,
+    "events_daily_anomaly": 6,
+    "events_inter_event_stats": 6,
+    "events_user_sequences": 6,
+    "flagship_region_quarter": 6,
+    "head_nations_hierarchized": 6,
+    "median_percentile_price": 6,
+    "nonempty_crossjoin_nation_brand": 6,
+    "pipeline_column_profile": 6,
+    "pipeline_incremental_curation": 6,
+    "pipeline_length_deciles": 6,
+    "pipeline_negative_samples": 6,
+    "pipeline_stateful_ingest_gate": 6,
+    "pipeline_stateful_neardup_gate": 6,
+    "pricing_summary_flags": 6,
+    "rank_nations": 6,
+    "rollup_region_nation": 6,
+    "sketch_distinct_rollup": 6,
+    "slicer_cross_dim_tuple": 6,
+    "slicer_multi_member_in": 6,
+    "text_blocklist_filter": 6,
+    "text_cdc_chunks": 6,
+    "text_doc_keywords": 6,
+    "text_mojibake_gate": 6,
+    "text_normalize_gate": 6,
+    "text_repeated_segments_removed": 6,
+    "text_script_profile": 6,
+    "text_tokens_to_ids": 6,
+    "topcount_nations": 6,
+    "toppercent_nations": 6,
+    "topsum_nations": 6,
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import mondrian_olap_spark.suite_pipeline  # noqa: F401 — registers entries
     from mondrian_olap_spark.suite import ORACLE, QUERIES
 
-    # never-driver-checked entries first (the driver hashes a 50-entry
-    # prefix); among those, entries WITH a bit-exact oracle precede
-    # rows-only ones — a hash-verifiable entry must not lose its prefix
-    # slot to a weak-check entry
-    unchecked = {k: v for k, v in QUERIES.items() if k not in _DRIVER_CHECKED}
+    unchecked = {k: v for k, v in QUERIES.items() if k not in _LAST_HASHED}
     unchecked = dict(
         sorted(unchecked.items(), key=lambda kv: kv[0] not in ORACLE)
     )
-    checked = {k: v for k, v in QUERIES.items() if k in _DRIVER_CHECKED}
+    checked = {k: v for k, v in QUERIES.items() if k in _LAST_HASHED}
+    checked = dict(
+        sorted(checked.items(), key=lambda kv: (_LAST_HASHED[kv[0]], kv[0]))
+    )
     return {**unchecked, **checked}
 
 
