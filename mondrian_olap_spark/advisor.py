@@ -239,18 +239,52 @@ def auto_materialize(
             engine, query_log, max_total_rows=max_total_rows, top=top,
             min_compression=min_compression,
         )
+    # derive the path index from any EXISTING manifest so a second
+    # auto_materialize run against the same prefix (periodic re-advising
+    # with a changed workload) extends it instead of colliding with —
+    # and then dropping — the first run's summaries
+    next_idx = _next_agg_index(_read_agg_manifest(path_prefix)) \
+        if path_prefix is not None else 0
     for i, rec in enumerate(recs):
         if path_prefix is not None:
             slug = "_".join(
                 re.sub(r"[^A-Za-z0-9]+", "", ref).lower() for ref in rec.levels
             )
-            rec.path = f"{path_prefix.rstrip('/')}/agg_{i:02d}_{slug}"
+            rec.path = (
+                f"{path_prefix.rstrip('/')}/agg_{next_idx + i:02d}_{slug}"
+            )
         engine.materialize_aggregate(
             rec.levels, measures=measures, path=rec.path
         )
     if path_prefix is not None and recs:
         _write_agg_manifest(engine, recs, path_prefix, measures)
     return recs
+
+
+def _read_agg_manifest(path_prefix: str) -> dict | None:
+    import json
+    import os
+
+    p = os.path.join(path_prefix, "_agg_manifest.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _next_agg_index(manifest: dict | None) -> int:
+    """First unused ``agg_<i>_`` path index in an existing manifest (0
+    for none) — path slugs depend only on level names, so two runs that
+    recommend different grains with colliding slugs must diverge on the
+    index."""
+    import re
+
+    idx = -1
+    for e in (manifest or {}).get("aggregates", ()):
+        m = re.search(r"(?:^|/)agg_(\d+)_", e.get("path") or "")
+        if m:
+            idx = max(idx, int(m.group(1)))
+    return idx + 1
 
 
 def _write_agg_manifest(
@@ -260,7 +294,14 @@ def _write_agg_manifest(
     """Persist the registration recipe next to the summaries
     (``_agg_manifest.json`` — the ``_`` prefix keeps it out of parquet
     data discovery) so :func:`load_materialized` can re-register them in
-    a fresh session without re-deriving anything from the cube."""
+    a fresh session without re-deriving anything from the cube.
+
+    MERGES into any existing manifest, keyed by group-output set (the
+    same key :meth:`..star.CubeEngine._update_agg_manifest` uses): a
+    later run's entry for the same grain replaces the earlier one (its
+    path points at the newer parquet); grains only the earlier run
+    produced are preserved, so periodic re-advising never drops
+    previously persisted summaries from ``load_materialized``'s view."""
     import json
     import os
 
@@ -294,6 +335,14 @@ def _write_agg_manifest(
                 "est_rows": rec.est_rows,
             }
         )
+    existing = _read_agg_manifest(path_prefix)
+    if existing is not None and existing.get("cube") == engine.cube.name:
+        new_grains = {frozenset(e["group_outputs"]) for e in entries}
+        kept = [
+            e for e in existing.get("aggregates", ())
+            if frozenset(e["group_outputs"]) not in new_grains
+        ]
+        entries = kept + entries
     os.makedirs(path_prefix, exist_ok=True)
     with open(os.path.join(path_prefix, "_agg_manifest.json"), "w") as f:
         json.dump({"cube": engine.cube.name, "aggregates": entries}, f,

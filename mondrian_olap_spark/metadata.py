@@ -515,8 +515,16 @@ def _rows_to_members(
     # the declared hint and the high_cardinality flag describe the WHOLE
     # level — filtered navigation (children of one parent, siblings,
     # descendants under a member) materializes a small slice and must not
-    # trip on them; the limit+1 probe below still guards every call
-    if whole_level and depth > 0 and getattr(dim, "high_cardinality", False):
+    # trip on them; the limit+1 probe below still guards every call.
+    # Depth 0 of a MULTI-level dimension is exempt (roots are the coarse
+    # grain a browsing UI legitimately enumerates; the fine grain below
+    # carries the cardinality) — but a single-level dimension's depth 0
+    # IS its whole fine grain, so the flag refuses it outright too
+    if (
+        whole_level
+        and (depth > 0 or len(dim.levels) == 1)
+        and getattr(dim, "high_cardinality", False)
+    ):
         raise MembersTooLarge(
             f"dimension {dim.name!r} is flagged high_cardinality "
             "(schema.rb:100-101): whole-level member arrays are not "

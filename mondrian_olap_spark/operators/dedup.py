@@ -810,16 +810,52 @@ def write_bloom(
     the sizing parameters under ``_params`` — a probe MUST hash with the
     (m_bits, k) the bitmap was built with, so they are part of the
     artifact.  A bitmap is a few MB at any corpus size (m/62 longs), so
-    the artifact is one small parquet."""
-    bitmap.coalesce(1).write.mode("overwrite").parquet(path)
-    (
-        bitmap.sparkSession.createDataFrame(
-            [(int(m_bits), int(k))], "m_bits long, k int"
+    the artifact is one small parquet.
+
+    The overwrite of an EXISTING artifact is crash-safe: the new bitmap
+    is fully written to a sibling ``<path>.__tmp__`` directory first,
+    then swapped in with two filesystem renames (via the Hadoop
+    FileSystem API, so the swap works on any supported store — local,
+    HDFS, object stores).  A failure at any point leaves a complete copy
+    of the bitmap on disk: before the swap the old artifact is untouched;
+    between the renames the old artifact survives at ``<path>.__old__``
+    (restore by renaming it back, or rebuild from the fingerprint store
+    via :func:`..pipeline.resize_ingest_state`); stale ``__tmp__`` /
+    ``__old__`` directories are cleaned up by the next write."""
+    spark = bitmap.sparkSession
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    HPath = jvm.org.apache.hadoop.fs.Path
+    dest = HPath(path)
+    fs = dest.getFileSystem(hconf)
+
+    def _write_to(target: str) -> None:
+        bitmap.coalesce(1).write.mode("overwrite").parquet(target)
+        (
+            spark.createDataFrame(
+                [(int(m_bits), int(k))], "m_bits long, k int"
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(target + "/_params")
         )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .parquet(path + "/_params")
-    )
+
+    if not fs.exists(dest):
+        _write_to(path)
+        return bitmap
+    base = path.rstrip("/")
+    tmp, old = HPath(base + ".__tmp__"), HPath(base + ".__old__")
+    for stale in (tmp, old):
+        if fs.exists(stale):
+            fs.delete(stale, True)
+    _write_to(base + ".__tmp__")
+    if not fs.rename(dest, old):
+        raise IOError(f"write_bloom: could not move aside {path}")
+    if not fs.rename(tmp, dest):
+        # restore the old artifact so the store is never left bitmap-less
+        fs.rename(old, dest)
+        raise IOError(f"write_bloom: could not swap in new bitmap at {path}")
+    fs.delete(old, True)
     return bitmap
 
 

@@ -877,12 +877,22 @@ def ingest_batch(
         # materialize alongside accepted: these plans also read the
         # pre-mutation state files
         rejects = explained.unionByName(r_other).localCheckpoint(eager=True)
-    accepted.select("fingerprint").distinct().write.mode("append").parquet(
-        store_path
-    )
+    # State-mutation ORDER is a durability decision: the Bloom bitmap is
+    # folded FIRST (crash-safely — write_bloom swaps via temp dir + rename,
+    # never destroying the only copy), the fingerprint store second.  A
+    # crash between the two leaves bits set for fingerprints the store
+    # does not hold, which only costs extra verification on a future
+    # probe hit (verify misses → doc admitted, correctly).  The reverse
+    # order would leave store rows the prefilter cannot see — later exact
+    # duplicates would be SILENTLY accepted, since verification only runs
+    # on bloom hits.  Full crash recovery: resize_ingest_state rebuilds
+    # the bitmap from the store alone.
     bloom_append(
         accepted.select("fingerprint"), f"{root}/bloom",
         fingerprint_col="fingerprint",
+    )
+    accepted.select("fingerprint").distinct().write.mode("append").parquet(
+        store_path
     )
     if near_dup_threshold is not None:
         # fold back from the CHECKPOINTED signatures (no re-shingling):
@@ -966,7 +976,13 @@ def resize_ingest_state(spark, state_dir: str, fp_rate: float = 0.01) -> dict:
     semantics are unchanged before/after (the bitmap is only ever a
     prefilter — the store verify keeps results exact at any fill).
     Near-dup artifacts need no resize (band-key partitions and the
-    signature store grow naturally).  Returns the new geometry."""
+    signature store grow naturally).  Returns the new geometry.
+
+    This is also the CRASH-RECOVERY path for the bitmap: if a failure
+    mid-ingest ever leaves the bloom artifact lost or suspect (write_bloom
+    itself swaps atomically, but e.g. an interrupted manual copy), one
+    call here reconstructs it exactly from the fingerprint store — the
+    store is the authoritative membership set and is append-only."""
     from .dedup import bloom_build, bloom_parameters, write_bloom
 
     root = state_dir.rstrip("/")

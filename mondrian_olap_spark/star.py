@@ -444,6 +444,14 @@ class CubeEngine:
                     )
                 dim, depth = level_of[out]
                 grain[dim.name] = max(grain.get(dim.name, -1), depth)
+            for out in measures:
+                if out not in by_out:
+                    raise ValueError(
+                        f"summary measure output {out!r} matches no cube "
+                        "measure; cannot re-aggregate its delta — nothing "
+                        "was refreshed (de-register the hand-built "
+                        "summary or refresh it yourself)"
+                    )
             grains.append(grain)
         refreshed = []
         for idx, (old, group_outputs, measures) in enumerate(

@@ -397,3 +397,40 @@ def test_measure_cell_formatter_metadata_and_formatting(spark):
     while isinstance(fv, list):
         fv = fv[0]
     assert len(fv) == 20 and fv.isdigit()
+
+
+def test_single_level_high_cardinality_refuses_root_members(spark):
+    """A SINGLE-level dimension's depth 0 IS its whole fine grain, so the
+    high_cardinality flag refuses root-level member arrays too (a
+    multi-level dimension's roots stay enumerable — that exemption is
+    what the previous test pins); level_members stays available as the
+    distributed escape hatch."""
+    import dataclasses
+
+    import pytest
+
+    from mondrian_olap_spark.metadata import CubeMeta, MembersTooLarge
+    from mondrian_olap_spark.star import engine_from_parquet
+    from mondrian_olap_spark.tpch import SCHEMA
+
+    from .conftest import SF_DIR
+
+    sales = SCHEMA.cube("Sales")
+    dims = tuple(
+        dataclasses.replace(d, high_cardinality=True)
+        if d.name == "Priority" else d
+        for d in sales.dimensions
+    )
+    sales2 = dataclasses.replace(sales, dimensions=dims)
+    schema2 = dataclasses.replace(
+        SCHEMA,
+        cubes=tuple(sales2 if c.name == "Sales" else c for c in SCHEMA.cubes),
+    )
+    eng = engine_from_parquet(spark, schema2, "Sales", SF_DIR)
+    dim = CubeMeta(eng).dimension("Priority")
+    with pytest.raises(MembersTooLarge, match="high_cardinality"):
+        dim.hierarchy.root_members
+    with pytest.raises(MembersTooLarge, match="high_cardinality"):
+        dim.hierarchy.levels[0].members
+    # the distributed frame is always available
+    assert eng.level_members("Priority", 0).count() == 5

@@ -843,3 +843,72 @@ def test_advisor_from_engine_query_log(engine):
     grains = {tuple(r.levels) for r in recs}
     assert ("[Customer].[Nation]", "[Time].[Quarter]") in grains
     eng.__dict__.pop("_query_log", None)  # leave the shared engine clean
+
+
+def test_refresh_preflight_validates_measure_outputs(spark, tmp_path):
+    """refresh_aggregates is all-or-nothing: a hand-registered summary
+    whose measure output matches no cube measure fails the PRE-FLIGHT
+    (descriptive ValueError, not a mid-loop KeyError), before any other
+    summary is refreshed or any parquet written."""
+    from mondrian_olap_spark.star import read_parquet_table
+
+    eng = engine_from_parquet(spark, SCHEMA, "Sales", SF_DIR)
+    eng.materialize_aggregate(["[Customer].[Nation]"], measures=["Sum Qty"])
+    bogus = spark.createDataFrame(
+        [("AFRICA", 1.0)], "region_name string, bogus_total double"
+    )
+    eng.register_aggregate(bogus, ["region_name"], {"bogus_total": "sum"})
+    delta = read_parquet_table(
+        spark, f"{SF_DIR}/lineitem.parquet"
+    ).limit(10)
+    prefix = tmp_path / "refreshed"
+    with pytest.raises(ValueError, match="summary measure output"):
+        eng.refresh_aggregates(delta, path_prefix=str(prefix))
+    # nothing was refreshed: no parquet written anywhere under the prefix
+    assert not prefix.exists()
+
+
+def test_auto_materialize_merges_manifest_across_runs(spark, tmp_path):
+    """Periodic re-advising against the SAME path_prefix extends the
+    manifest instead of replacing it: both runs' summaries register in a
+    fresh session, path indexes never collide, and re-recommending an
+    already-materialized grain replaces its entry rather than
+    duplicating it."""
+    import json
+
+    from mondrian_olap_spark.advisor import (
+        auto_materialize, load_materialized,
+    )
+
+    prefix = str(tmp_path / "aggs")
+    eng = engine_from_parquet(spark, SCHEMA, "Sales", SF_DIR)
+    r1 = auto_materialize(
+        eng, query_log=[["[Customer].[Region]"]] * 2,
+        path_prefix=prefix, measures=["Sum Qty"],
+    )
+    r2 = auto_materialize(
+        eng, query_log=[["[Customer].[Nation]"]] * 2,
+        path_prefix=prefix, measures=["Sum Qty"],
+    )
+    assert r1[0].path != r2[0].path
+    manifest_path = tmp_path / "aggs" / "_agg_manifest.json"
+    manifest = json.loads(manifest_path.read_text())
+    assert len(manifest["aggregates"]) == 2
+    assert len({e["path"] for e in manifest["aggregates"]}) == 2
+    # fresh session registers BOTH runs' summaries
+    eng2 = engine_from_parquet(spark, SCHEMA, "Sales", SF_DIR)
+    assert load_materialized(eng2, prefix) == 2
+    routed = (Query(eng2).columns("[Measures].[Sum Qty]")
+              .rows("[Customer].[Nation].Members").execute().df)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem" not in plan
+    # re-advising the SAME grain replaces its entry (no duplicates), at
+    # a fresh non-colliding path index
+    r3 = auto_materialize(
+        eng, query_log=[["[Customer].[Region]"]] * 2,
+        path_prefix=prefix, measures=["Sum Qty"],
+    )
+    manifest = json.loads(manifest_path.read_text())
+    assert len(manifest["aggregates"]) == 2
+    assert r3[0].path in {e["path"] for e in manifest["aggregates"]}
+    assert r3[0].path != r1[0].path

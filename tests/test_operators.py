@@ -3306,3 +3306,93 @@ def test_doc_keywords(spark):
     assert d1[0]["term"] == "zebra" and d1[0]["score"] == 3.0
     assert d1[0]["tf"] == 3 and d1[0]["df"] == 1
     assert len(by_doc[1]) == 2 and len(by_doc[2]) == 2
+
+
+def test_write_bloom_overwrite_is_crash_safe(spark, tmp_path):
+    """Overwriting an EXISTING bloom artifact goes through a sibling
+    temp dir + rename swap: the new bitmap lands complete, no
+    __tmp__/__old__ residue survives a clean write, and stale residue
+    from an interrupted earlier write is cleaned up rather than
+    corrupting the swap."""
+    import os
+
+    m, k = 62 * 4, 3
+    d1 = spark.createDataFrame(
+        [Row(doc_id=i, text=f"first generation doc {i}") for i in range(5)]
+    )
+    d2 = spark.createDataFrame(
+        [Row(doc_id=100 + i, text=f"second generation doc {i}") for i in range(5)]
+    )
+    path = str(tmp_path / "bloom")
+    dedup.write_bloom(dedup.bloom_build(d1, m_bits=m, k=k), path, m, k)
+    # plant the residue an interrupted write would leave
+    os.makedirs(path + ".__tmp__/junk", exist_ok=True)
+    os.makedirs(path + ".__old__/junk", exist_ok=True)
+    bm2 = dedup.bloom_build(d1.unionByName(d2), m_bits=m, k=k)
+    dedup.write_bloom(bm2, path, m, k)
+    got, m2, k2 = dedup.read_bloom(spark, path)
+    assert (m2, k2) == (m, k)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, bm2.collect()))
+    assert not os.path.exists(path + ".__tmp__")
+    assert not os.path.exists(path + ".__old__")
+
+
+def test_ingest_state_mutation_order_is_crash_safe(spark, tmp_path,
+                                                   monkeypatch):
+    """ingest_batch folds the Bloom bitmap BEFORE appending the
+    fingerprint store, so every partial-failure state is recoverable by
+    plain retry: (a) a crash AT the bitmap fold leaves the store without
+    the batch (no store rows the prefilter cannot see — the order that
+    would silently admit future duplicates); (b) the worst-case state —
+    bits set for fingerprints the store lacks — only costs an extra
+    verification miss and the document is correctly admitted."""
+    import hashlib
+
+    import pytest
+
+    from mondrian_olap_spark.operators import dedup as dedup_mod
+    from mondrian_olap_spark.operators.pipeline import (
+        ingest_batch, init_ingest_state,
+    )
+
+    good = ("this is a genuinely long enough quality document body with "
+            "plenty of distinct words to pass every default rule ")
+    corpus = spark.createDataFrame([Row(doc_id=1, text=good + "alpha")])
+    state = str(tmp_path / "state")
+    init_ingest_state(corpus, state)
+
+    b1 = spark.createDataFrame([Row(doc_id=11, text=good + "gamma")])
+    real_append = dedup_mod.bloom_append
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash at the bitmap fold")
+
+    monkeypatch.setattr(dedup_mod, "bloom_append", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ingest_batch(b1, state)
+    # the store must NOT have been appended yet (bloom folds first)
+    assert spark.read.parquet(f"{state}/fingerprints").count() == 1
+    monkeypatch.setattr(dedup_mod, "bloom_append", real_append)
+    # plain retry recovers the crashed batch exactly once
+    a1 = ingest_batch(b1, state)
+    assert {r["doc_id"] for r in a1.collect()} == {11}
+    assert spark.read.parquet(f"{state}/fingerprints").count() == 2
+
+    # worst-case mid-crash state: fingerprint in the bitmap, not the
+    # store (as a crash between the fold and the append leaves it)
+    orphan_text = good + "delta"
+    orphan_fp = hashlib.md5(
+        orphan_text.strip().lower().encode()
+    ).hexdigest()
+    dedup_mod.bloom_append(
+        spark.createDataFrame([Row(fingerprint=orphan_fp)]),
+        f"{state}/bloom", fingerprint_col="fingerprint",
+    )
+    a2 = ingest_batch(
+        spark.createDataFrame([Row(doc_id=21, text=orphan_text)]), state
+    )
+    rows = a2.collect()
+    # bloom hit -> exact verify miss -> admitted (extra work, no loss)
+    assert {r["doc_id"] for r in rows} == {21}
+    assert all(r["bloom_hit"] for r in rows)
