@@ -1038,12 +1038,20 @@ class MdxParser:
             base = format_name(segs) if len(segs) > 1 else quote_segment(segs[0])
             return _SetBuild(base=[f"{base}.Children"])
         if low.endswith(".[defaultmember]"):
-            # [Dim].DefaultMember → first member of the top level in
-            # hierarchy (ordinal) order
-            # (jar!mondrian/olap/fun/DimensionDefaultMemberFunDef)
+            # [Dim].DefaultMember (jar!mondrian/olap/fun/
+            # DimensionDefaultMemberFunDef): a hierarchy WITH an All
+            # member defaults to it (the grand-total member); only
+            # all-less hierarchies default to the first member of the top
+            # level in hierarchy (ordinal) order
             segs = _strip_segments(first, 1)
-            from .members import MemberParseError
-
+            try:
+                dim = self.cube.dimension(segs[0])
+            except KeyError as e:
+                raise MdxError(str(e)) from None
+            if dim.has_all:
+                return _SetBuild(
+                    base=[f"{format_name([dim.name])}.DefaultMember"]
+                )
             try:
                 key = self.engine.edge_member(segs[0], 0, ())
             except KeyError as e:

@@ -110,7 +110,12 @@ class MemberSetRef:
       ``'children'`` (children of path), ``'level_members'`` (all members of
       a named level), ``'range'`` (members whose level ordinal falls in
       ``ordinal_range``, under ancestor ``path`` — the ``a:b`` MDX range,
-      planned as a BETWEEN predicate so the member set is never enumerated).
+      planned as a BETWEEN predicate so the member set is never enumerated),
+      ``'all'`` (the hierarchy's synthetic "(All)" member — ``depth`` is
+      ``-1`` so ``group_levels`` is empty: the member contributes NO
+      grouping columns and NO predicate, i.e. the dimension grand total;
+      its display column is the top level, NULL-valued, matching the
+      ``totals()`` super-aggregate convention).
     """
 
     dimension: Dimension
@@ -159,6 +164,27 @@ def resolve(cube: Cube, identifier: str) -> MeasureRef | MemberSetRef:
         rest = rest[:-1]
         rest_tags = rest_tags[:-1]
 
+    if rest and not rest_tags[-1][1] and rest[-1].lower() == "defaultmember":
+        # [Dim].DefaultMember (jar!mondrian/olap/fun/
+        # DimensionDefaultMemberFunDef): a hierarchy WITH an All member
+        # defaults to it (the grand total); only all-less hierarchies
+        # default to the first member in hierarchy order — that needs the
+        # engine's ordinal-ordered lookup, so it resolves one layer up
+        # (Query._resolve / the MDX parser), not here
+        if len(rest) != 1:
+            raise MemberParseError(
+                f"{identifier!r}: DefaultMember applies to a dimension, "
+                "not a member path, in this subset"
+            )
+        if dim.has_all:
+            return MemberSetRef(dim, depth=-1, kind="all")
+        raise MemberParseError(
+            f"{identifier!r}: dimension {dim.name!r} has no All member "
+            "(has_all=False) — its DefaultMember is the first member in "
+            "hierarchy order, which needs engine access; resolve through "
+            "Query or MDX"
+        )
+
     if suffix in ("members", "allmembers"):
         # [Dim].[LevelName].Members — level addressed by name
         if len(rest) == 1 and dim.level_index(rest[0]) is not None:
@@ -188,6 +214,11 @@ def resolve(cube: Cube, identifier: str) -> MeasureRef | MemberSetRef:
     # plain member path: key values from level 0 down
     if not rest:
         raise MemberParseError(f"{identifier!r}: dimension reference needs a path or suffix")
+    if len(rest) == 1 and rest[0].lower() == "all" and dim.has_all:
+        # [Dim].[All] — the synthetic All member (hierarchy hasAll,
+        # schema.rb:132-167); shadows any genuine level-0 key "All", as
+        # in the reference
+        return MemberSetRef(dim, depth=-1, kind="all")
     if len(rest) > len(dim.levels):
         raise MemberParseError(f"{identifier!r}: path deeper than hierarchy")
     return MemberSetRef(dim, depth=len(rest) - 1, path=tuple(rest), kind="member")
@@ -208,6 +239,8 @@ def format_ref(ref: MemberSetRef) -> str:
         return base + ".children" * (ref.depth - len(ref.path) + 1)
     if ref.kind == "level_members":
         return f"{format_name([dim.name, dim.levels[ref.depth].name])}.Members"
+    if ref.kind == "all":
+        return f"{format_name([dim.name])}.DefaultMember"
     if ref.kind == "range":
         # bounds serialize from the ORDINAL expression values — identical
         # to the member keys whenever the level's ordinal is its key (the

@@ -218,6 +218,13 @@ class Planner:
             for ref in axis:
                 by_dim.setdefault(ref.dimension.name, []).append(ref)
             for dim_name, refs in by_dim.items():
+                if all(r.kind == "all" for r in refs):
+                    # the All member alone: no grouping columns, no
+                    # predicate — and NO dimension join at all (the grand
+                    # total is the plain fact aggregate; an unconstrained
+                    # semi-join would only add a shuffle and, under broken
+                    # referential integrity, silently drop fact rows)
+                    continue
                 u = use(refs[0].dimension)
                 outs = []
                 for ref in refs:
@@ -251,10 +258,13 @@ class Planner:
         for ref in slicer:
             slicer_by_dim.setdefault(ref.dimension.name, []).append(ref)
         for dim_name, refs in slicer_by_dim.items():
-            u = use(refs[0].dimension)
             preds = [_path_predicate(r) for r in refs]
             if any(p is None for p in preds):
-                continue  # slicing by the All member = no constraint
+                # slicing by the All member = no constraint (and no use:
+                # an empty use would add a pointless unconstrained
+                # semi-join of the fact against the dimension)
+                continue
+            u = use(refs[0].dimension)
             u.predicates.append(_or_all(preds))
             u.note_refs(refs)
 

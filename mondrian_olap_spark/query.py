@@ -37,7 +37,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .members import MeasureRef, MemberSetRef, resolve
+from .members import MeasureRef, MemberParseError, MemberSetRef, resolve
 from .model import CalculatedMember, Measure
 from .plan import Planner
 from .result import Result
@@ -977,6 +977,22 @@ class Query:
         df, group_cols = planner.aggregate(
             main_axes, self._slicer, measures, totals=self._totals
         )
+        # an axis whose only set for a dimension is the All member
+        # ([Dim].DefaultMember / [Dim].[All]) grouped by NOTHING for that
+        # dimension — add its NULL-valued display column (typed from the
+        # member view; schema-only, no job) so the grid and sort specs
+        # see it.  When the All member shares the axis with deeper sets,
+        # _split_mixed_depth already routed it through the shallow-union
+        # NULL-padding path and the column exists.
+        for axis in main_axes:
+            for s in axis:
+                if s.kind == "all":
+                    out0 = s.dimension.levels[0].out
+                    if out0 not in df.columns:
+                        dtype = self.engine.level_members(
+                            s.dimension.name, 0
+                        ).schema[out0].dataType
+                        df = df.withColumn(out0, F.lit(None).cast(dtype))
         if self._include_empty:
             if self._totals is not None and group_cols:
                 # rollup/cube super-aggregate rows carry NULL grouping keys
@@ -1402,6 +1418,19 @@ class Query:
                 f"MDX object '{member}' not found in cube "
                 f"'{self.cube.name}'"
             ) from None
+        except MemberParseError as e:
+            # all-less hierarchy DefaultMember: first member in hierarchy
+            # (ordinal) order — needs the engine's single-row edge lookup,
+            # which cube-only members.resolve cannot do
+            if "has no All member" in str(e):
+                from .members import format_name, parse_identifier
+
+                dim_name = parse_identifier(member)[0]
+                key = self.engine.edge_member(dim_name, 0, ())
+                return resolve(
+                    self.cube, format_name([dim_name, str(key)])
+                )
+            raise
 
     def _measure(self, name: str) -> Measure | CalculatedMember:
         role = getattr(self.engine, "role", None)
@@ -1578,6 +1607,10 @@ class Query:
         mirrors plan.aggregate's grid columns)."""
         role = getattr(self.engine, "role", None)
         levels = s.group_levels
+        if s.kind == "all":
+            # the All member displays in the TOP level's column (NULL-
+            # valued — the totals() super-aggregate convention)
+            levels = s.dimension.levels[:1]
         if role is not None:
             b = role.level_bounds(s.dimension)
             if b is not None and b[0] > 0:

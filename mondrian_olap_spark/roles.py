@@ -161,9 +161,13 @@ class Role:
         role's level bounds for this dimension."""
         b = self.level_bounds(dim)
         if b is not None and not (b[0] <= depth <= b[1]):
+            # depth -1 = the synthetic All member (above every level): a
+            # level-bounded grant with top_level > 0 denies it, exactly as
+            # it denies the levels above top_level
+            name = "(All)" if depth < 0 else dim.levels[depth].name
             raise AccessDenied(
                 f"role {self.name!r} does not grant level "
-                f"{dim.levels[depth].name!r} of dimension {dim.name!r} "
+                f"{name!r} of dimension {dim.name!r} "
                 f"(granted levels {dim.levels[b[0]].name!r}.."
                 f"{dim.levels[b[1]].name!r})"
             )

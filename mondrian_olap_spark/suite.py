@@ -2722,3 +2722,34 @@ def filter_member_property_gate(spark, sf_dir):
         .execute()
         .df
     )
+
+
+@q(
+    "default_member_all_gate",
+    f"""
+    SELECT CAST(NULL AS VARCHAR) AS region_name,
+           sum(l_quantity) AS sum_qty, count(l_orderkey) AS count_order
+    FROM lineitem
+    UNION ALL
+    SELECT r_name AS region_name,
+           sum(l_quantity) AS sum_qty, count(l_orderkey) AS count_order
+    FROM {_CUST_STAR}
+    GROUP BY r_name
+    """,
+)
+def default_member_all_gate(spark, sf_dir):
+    """A hierarchy WITH an All member resolves ``.DefaultMember`` to it
+    (jar!mondrian/olap/fun/DimensionDefaultMemberFunDef; hasAll —
+    schema.rb:132-167): on an axis it is ONE grand-total row with NULL in
+    the top level's display column, computed as the PLAIN fact aggregate
+    (no dimension join — plan-asserted in test_mdx.py), here unioned with
+    ``.children`` through the mixed-depth grouping-sets machinery.
+    First-member resolution survives only for all-less hierarchies
+    (test_default_member_all_less_hierarchy)."""
+    return (
+        Query(get_engine(spark, sf_dir))
+        .columns("[Measures].[Sum Qty]", "[Measures].[Count Order]")
+        .rows("[Customer].DefaultMember", "[Customer].children")
+        .execute()
+        .df
+    )

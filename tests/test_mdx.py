@@ -769,14 +769,78 @@ def test_with_set_function_form(engine):
 
 
 def test_default_member(engine):
-    """[Dim].DefaultMember → first member in hierarchy order."""
+    """[Dim].DefaultMember on a hierarchy WITH an All member → the All
+    member: ONE grand-total row, NULL in the top level's display column
+    (jar!mondrian/olap/fun/DimensionDefaultMemberFunDef — hasAll
+    hierarchies default to the All member)."""
     r = execute_mdx(
         engine,
         "SELECT [Measures].[Sum Qty] ON COLUMNS, "
         "[Customer].DefaultMember ON ROWS FROM [Sales]",
     )
     rows = r.df.collect()
+    assert len(rows) == 1 and rows[0]["region_name"] is None
+    total = engine.fact.selectExpr("sum(l_quantity) s").collect()[0]["s"]
+    assert rows[0]["sum_qty"] == total
+    # and the plan is the plain fact aggregate — no dimension join (the
+    # only "region" mention is the NULL display-column alias)
+    plan = r.df._jdf.queryExecution().executedPlan().toString()
+    assert "customer.parquet" not in plan and "region.parquet" not in plan
+    assert "Join" not in plan
+
+
+def test_default_member_all_less_hierarchy(spark):
+    """Only an all-LESS hierarchy (has_all=False) keeps the
+    first-member-in-hierarchy-order DefaultMember."""
+    import dataclasses
+
+    from mondrian_olap_spark.star import engine_from_parquet
+    from mondrian_olap_spark.tpch import SCHEMA
+
+    from .conftest import SF_DIR
+
+    sales = SCHEMA.cube("Sales")
+    dims = tuple(
+        dataclasses.replace(d, has_all=False) if d.name == "Customer" else d
+        for d in sales.dimensions
+    )
+    sales2 = dataclasses.replace(sales, dimensions=dims)
+    schema2 = dataclasses.replace(
+        SCHEMA,
+        cubes=tuple(sales2 if c.name == "Sales" else c for c in SCHEMA.cubes),
+    )
+    eng = engine_from_parquet(spark, schema2, "Sales", SF_DIR)
+    r = execute_mdx(
+        eng,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "[Customer].DefaultMember ON ROWS FROM [Sales]",
+    )
+    rows = r.df.collect()
     assert len(rows) == 1 and rows[0]["region_name"] == "AFRICA"
+    # builder form takes the same engine-backed first-member path
+    from mondrian_olap_spark.query import Query
+
+    rb = (Query(eng).columns("[Measures].[Sum Qty]")
+          .rows("[Customer].DefaultMember").execute().df.collect())
+    assert len(rb) == 1 and rb[0]["region_name"] == "AFRICA"
+
+
+def test_default_member_mixed_with_children(engine):
+    """{[Dim].DefaultMember, [Dim].children}: the All row unions onto the
+    children grid NULL-padded — the grouping-sets shape (the All member
+    routes through the mixed-depth shallow-union machinery)."""
+    from mondrian_olap_spark.query import Query
+
+    r = (Query(engine).columns("[Measures].[Sum Qty]")
+         .rows("[Customer].DefaultMember", "[Customer].children")
+         .execute().df)
+    rows = {r_["region_name"]: r_["sum_qty"] for r_ in r.collect()}
+    assert len(rows) == 6 and None in rows
+    assert rows[None] == sum(v for k, v in rows.items() if k is not None)
+    # slicing by the All member constrains nothing
+    sliced = (Query(engine).columns("[Measures].[Sum Qty]")
+              .where("[Customer].DefaultMember").execute().df.collect())
+    assert sliced[0]["sum_qty"] == rows[None]
 
 
 def test_with_set_itemset(engine):
