@@ -135,11 +135,142 @@ _VBA_FN_ALIASES = {
     "mid": "substring",
     "atn": "atan",
     "asc": "ascii",
+    "ascb": "ascii",
+    "ascw": "ascii",
+    "chrb": "chr",
+    "chrw": "chr",
     "cdbl": "double",
     # DateSerial(y, m, d) → DATE (mondrian_test.rb:526 CoalesceEmpty
     # fallback; jar!mondrian/olap/fun/vba/Vba dateSerial)
     "dateserial": "make_date",
+    # breadth pass (jar!mondrian/olap/fun/vba/Vba method list):
+    "strreverse": "reverse",
+    # VBA Weekday default (vbSunday): 1=Sunday..7=Saturday — exactly
+    # Spark's dayofweek numbering
+    "weekday": "dayofweek",
+    "datevalue": "to_date",
+    "cdate": "to_timestamp",
+    "formatnumber": "format_number",
 }
+
+#: VBA DatePart/DateAdd/DateDiff interval literals → Spark extract
+#: function / timestampadd-timestampdiff unit (Vba.datePart/dateAdd/
+#: dateDiff interval grammar: yyyy q m y d w ww h n s)
+_VBA_DATEPART_FN = {
+    "yyyy": "year", "q": "quarter", "m": "month", "y": "dayofyear",
+    "d": "day", "w": "dayofweek", "ww": "weekofyear",
+    "h": "hour", "n": "minute", "s": "second",
+}
+_VBA_DATE_UNIT = {
+    "yyyy": "YEAR", "q": "QUARTER", "m": "MONTH", "y": "DAY", "d": "DAY",
+    "w": "DAY", "ww": "WEEK", "h": "HOUR", "n": "MINUTE", "s": "SECOND",
+}
+
+
+def _split_top_args(inner: str) -> list[str]:
+    """Split a call's argument text on TOP-LEVEL commas (paren-aware).
+    Safe against commas inside string literals because callers run after
+    the literal-masking pass."""
+    args: list[str] = []
+    depth, start = 0, 0
+    for i, ch in enumerate(inner):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            args.append(inner[start:i])
+            start = i + 1
+    args.append(inner[start:])
+    return [a.strip() for a in args]
+
+
+def _vba_strcomp(inner: str):
+    """StrComp(a, b) → -1/0/1 (Vba.strComp, binary compare; the optional
+    third compare-mode argument is accepted and ignored — binary is the
+    VBA default)."""
+    args = _split_top_args(inner)
+    if len(args) not in (2, 3):
+        return None
+    a, b = args[0], args[1]
+    return (
+        f"(case when ({a}) < ({b}) then -1 "
+        f"when ({a}) = ({b}) then 0 else 1 end)"
+    )
+
+
+def _vba_string(inner: str):
+    """String(n, char) — char repeated n times (Vba.string; only the
+    first character of a longer string counts, per VBA)."""
+    args = _split_top_args(inner)
+    if len(args) != 2:
+        return None
+    return f"repeat(substring(({args[1]}), 1, 1), cast(({args[0]}) as int))"
+
+
+def _excel_mod(inner: str):
+    """Excel MOD(n, d): FLOORED modulo — the result takes the DIVISOR's
+    sign (Excel.mod; MOD(-3, 2) = 1), unlike Spark's %/mod (dividend's
+    sign)."""
+    args = _split_top_args(inner)
+    if len(args) != 2:
+        return None
+    n, d = args
+    return f"(({n}) - ({d}) * floor(({n}) / ({d})))"
+
+
+def _excel_atan2(inner: str):
+    """Excel ATAN2(x, y) takes (x, y) — the REVERSE of the Java/Spark
+    atan2(y, x) convention (Excel.atan2 swaps before delegating).  Emits
+    a sentinel name so the recursive rewriter terminates (the output
+    would otherwise re-match and re-swap forever); the caller restores
+    the real name after the pass."""
+    args = _split_top_args(inner)
+    if len(args) != 2:
+        return None
+    return f"__atan2_swapped__(({args[1]}), ({args[0]}))"
+
+
+def _vba_sln(inner: str):
+    """SLN(cost, salvage, life) — straight-line depreciation (Vba.sLN)."""
+    args = _split_top_args(inner)
+    if len(args) != 3:
+        return None
+    c, s, life = args
+    return f"((({c}) - ({s})) / ({life}))"
+
+
+def _vba_syd(inner: str):
+    """SYD(cost, salvage, life, period) — sum-of-years'-digits
+    depreciation (Vba.sYD)."""
+    args = _split_top_args(inner)
+    if len(args) != 4:
+        return None
+    c, s, life, p = args
+    return (
+        f"((({c}) - ({s})) * (({life}) - ({p}) + 1) * 2 "
+        f"/ (({life}) * (({life}) + 1)))"
+    )
+
+
+def _vba_format_percent(inner: str):
+    """FormatPercent(x[, digits]) (Vba.formatPercent; digits default 2,
+    the common locale default for the VBA -1 sentinel)."""
+    args = _split_top_args(inner)
+    if len(args) not in (1, 2):
+        return None
+    d = args[1] if len(args) == 2 else "2"
+    return f"concat(format_number(({args[0]}) * 100, {d}), '%')"
+
+
+def _vba_format_currency(inner: str):
+    """FormatCurrency(x[, digits]) (Vba.formatCurrency; '$' + grouped
+    number, digits default 2)."""
+    args = _split_top_args(inner)
+    if len(args) not in (1, 2):
+        return None
+    d = args[1] if len(args) == 2 else "2"
+    return f"concat('$', format_number(({args[0]}), {d}))"
 
 
 def _rewrite_paren_call(text: str, name: str, repl) -> str:
@@ -1643,17 +1774,104 @@ class MdxParser:
 
         # VBA function names without a same-named Spark builtin
         # (jar!mondrian/olap/fun/vba/Vba; SURVEY.md §2.7 — UCase/LCase/
-        # InStr/Chr/Space already exist in Spark under their VBA names)
+        # InStr/Chr/Space/Left/Right/Replace/Trim and the trig/log family
+        # already exist in Spark under their VBA names)
         out = re.sub(
-            r"(?i)\b(sqr|mid|atn|asc|cdbl|dateserial)\s*\(",
+            r"(?i)\b(" + "|".join(_VBA_FN_ALIASES) + r")\s*\(",
             lambda m: _VBA_FN_ALIASES[m.group(1).lower()] + "(",
             out,
         )
+        # VBA Int FLOORS (Int(-8.4) = -9 — Vba.int_); Fix truncates
+        # toward zero.  Int must rewrite BEFORE CInt below, whose
+        # expansion emits a literal Spark int( cast that this pass must
+        # not touch.
+        out = _rewrite_call(out, "int", "floor(", ")")
+        out = _rewrite_call(out, "fix", "cast((", ") as bigint)")
         # CInt ROUNDS (half-to-even, per the reference Vba.cInt) — a bare
         # int() cast would truncate; Sgn returns Integer, Spark sign()
         # returns double — both need wrapping, not renaming
         out = _rewrite_call(out, "cint", "int(bround(", "))")
         out = _rewrite_call(out, "sgn", "cast(sign(", ") as int)")
+        # breadth pass over the remaining Vba.class / Excel.class names
+        # a same-named builtin can't cover (single-argument wraps):
+        out = _rewrite_call(out, "cbool", "cast((", ") as boolean)")
+        out = _rewrite_call(out, "cbyte", "cast(bround(", ") as tinyint)")
+        # Hex/Oct round their argument first (Vba.hex/oct on Double)
+        out = _rewrite_call(out, "hex", "hex(cast(bround(", ") as bigint))")
+        out = _rewrite_call(
+            out, "oct", "conv(cast(bround(", ") as bigint), 10, 8)"
+        )
+        # Excel.sqrtPi(x) = sqrt(x * pi)
+        out = _rewrite_call(out, "sqrtpi", "sqrt((", ") * pi())")
+        # MonthName(m) / WeekdayName(n) — English names, n=1=Sunday (the
+        # VBA firstdayofweek default); 2000-01-02 is a Sunday anchor
+        out = _rewrite_call(
+            out, "monthname",
+            "date_format(make_date(2000, cast((", ") as int), 1), 'MMMM')",
+        )
+        out = _rewrite_call(
+            out, "weekdayname",
+            "date_format(date_add(DATE'2000-01-02', cast((",
+            ") as int) - 1), 'EEEE')",
+        )
+        # IsDate: parseable as a timestamp/date (numbers and junk → false)
+        out = _rewrite_call(
+            out, "isdate",
+            "(try_cast(cast((", ") as string) as timestamp) is not null)",
+        )
+        out = _rewrite_paren_call(out, "strcomp", _vba_strcomp)
+        out = _rewrite_paren_call(out, "string", _vba_string)
+        out = _rewrite_paren_call(out, "mod", _excel_mod)
+        out = _rewrite_paren_call(out, "atan2", _excel_atan2)
+        out = out.replace("__atan2_swapped__", "atan2")
+        out = _rewrite_paren_call(out, "sln", _vba_sln)
+        out = _rewrite_paren_call(out, "syd", _vba_syd)
+        out = _rewrite_paren_call(out, "formatpercent", _vba_format_percent)
+        out = _rewrite_paren_call(out, "formatcurrency", _vba_format_currency)
+
+        def _interval_of(arg: str, where: str) -> str:
+            mm = re.fullmatch(r"\x00(\d+)\x00", arg.strip())
+            if not mm:
+                raise MdxError(
+                    f"{where}: the interval argument must be a string "
+                    f"literal ('yyyy', 'q', 'm', 'y', 'd', 'w', 'ww', "
+                    f"'h', 'n', 's'), got {arg!r}"
+                )
+            iv = _masked[int(mm.group(1))].strip("'\"").lower()
+            if iv not in _VBA_DATEPART_FN:
+                raise MdxError(f"{where}: unknown interval {iv!r}")
+            return iv
+
+        def _date_part(inner: str) -> str:
+            args = _split_top_args(inner)
+            if len(args) != 2:
+                return None
+            iv = _interval_of(args[0], "DatePart")
+            return f"{_VBA_DATEPART_FN[iv]}(({args[1]}))"
+
+        def _date_add(inner: str) -> str:
+            args = _split_top_args(inner)
+            if len(args) != 3:
+                return None
+            iv = _interval_of(args[0], "DateAdd")
+            return (
+                f"timestampadd({_VBA_DATE_UNIT[iv]}, "
+                f"cast(({args[1]}) as int), ({args[2]}))"
+            )
+
+        def _date_diff(inner: str) -> str:
+            args = _split_top_args(inner)
+            if len(args) != 3:
+                return None
+            iv = _interval_of(args[0], "DateDiff")
+            return (
+                f"timestampdiff({_VBA_DATE_UNIT[iv]}, ({args[1]}), "
+                f"({args[2]}))"
+            )
+
+        out = _rewrite_paren_call(out, "datepart", _date_part)
+        out = _rewrite_paren_call(out, "dateadd", _date_add)
+        out = _rewrite_paren_call(out, "datediff", _date_diff)
 
         def _val_repl(inner: str) -> str:
             # VBA Val (query_test.rb:343-358 profit-margin formulas;

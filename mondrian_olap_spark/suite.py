@@ -2753,3 +2753,95 @@ def default_member_all_gate(spark, sf_dir):
         .execute()
         .df
     )
+
+
+@q(
+    "vba_excel_breadth_gate",
+    f"""
+    WITH g AS (
+      SELECT r_name AS region_name, sum(l_quantity) AS sum_qty,
+             count(l_orderkey) AS count_order
+      FROM {_CUST_STAR} GROUP BY 1
+    )
+    SELECT region_name,
+           upper(format('{{:x}}', CAST(round(sum_qty) AS BIGINT))) AS hex_qty,
+           format('{{:o}}', CAST(round(sum_qty) AS BIGINT)) AS oct_qty,
+           CAST(floor(0 - sum_qty / 7) AS BIGINT) AS int_div,
+           CAST(trunc(0 - sum_qty / 7) AS BIGINT) AS fix_div,
+           strftime(make_date(2000,
+             CAST(count_order - 12 * floor(count_order / 12.0) AS INT) + 1,
+             1), '%B') AS month_nm,
+           strftime(DATE '2000-01-02' +
+             CAST(count_order - 7 * floor(count_order / 7.0) AS INT),
+             '%A') AS weekday_nm,
+           month(make_date(1995, 1, 15) + to_months(
+             CAST(count_order - 12 * floor(count_order / 12.0) AS INT)))
+             AS shifted_month,
+           datediff('day', DATE '1995-07-01',
+             DATE '1995-07-01' +
+             CAST(count_order - 28 * floor(count_order / 28.0) AS INT))
+             AS day_span,
+           reverse(region_name) AS rev_name,
+           (CASE WHEN region_name < 'EUROPE' THEN -1
+                 WHEN region_name = 'EUROPE' THEN 0 ELSE 1 END) AS cmp_eur,
+           repeat(substring(region_name, 1, 1), 3) AS first3,
+           round(atan2(count_order, sum_qty), 6) AS at2,
+           (sum_qty - count_order) / 9 AS sln_dep,
+           (sum_qty - count_order) * (4 - 1 + 1) * 2 / (4 * (4 + 1))
+             AS syd_dep,
+           round(sqrt(count_order * pi()), 6) AS sqrtpi_cnt,
+           power(2, CAST(count_order - 10 * floor(count_order / 10.0)
+             AS INT)) AS pow_ord
+    FROM g
+    """,
+)
+def vba_excel_breadth_gate(spark, sf_dir):
+    """Round-7 VBA/Excel function breadth (jar!mondrian/olap/fun/vba/
+    Vba.class + Excel.class method inventories), per-region so every
+    value is data-dependent: Hex/Oct (round-first), Int-floors vs
+    Fix-truncates, MonthName/WeekdayName, DateAdd+DatePart month
+    arithmetic, DateDiff day spans, StrReverse/StrComp/String, Excel
+    ATAN2 in (x, y) order, SLN/SYD depreciation, SqrtPi, Power, with
+    Excel floored MOD feeding the date/name indices."""
+    eng = get_engine(spark, sf_dir)
+    return eng.execute(
+        """
+        WITH MEMBER [Measures].[Hex Qty] AS 'Hex(sum_qty)'
+             MEMBER [Measures].[Oct Qty] AS 'Oct(sum_qty)'
+             MEMBER [Measures].[Int Div] AS 'Int(0 - sum_qty / 7)'
+             MEMBER [Measures].[Fix Div] AS 'Fix(0 - sum_qty / 7)'
+             MEMBER [Measures].[Month Nm] AS
+               'MonthName(CInt(Mod(count_order, 12)) + 1)'
+             MEMBER [Measures].[Weekday Nm] AS
+               'WeekdayName(CInt(Mod(count_order, 7)) + 1)'
+             MEMBER [Measures].[Shifted Month] AS
+               'DatePart("m", DateAdd("m", CInt(Mod(count_order, 12)),
+                                      DateSerial(1995, 1, 15)))'
+             MEMBER [Measures].[Day Span] AS
+               'DateDiff("d", DateSerial(1995, 7, 1),
+                         DateAdd("d", CInt(Mod(count_order, 28)),
+                                 DateSerial(1995, 7, 1)))'
+             MEMBER [Measures].[Rev Name] AS 'StrReverse(region_name)'
+             MEMBER [Measures].[Cmp Eur] AS 'StrComp(region_name, "EUROPE")'
+             MEMBER [Measures].[First3] AS 'String(3, region_name)'
+             MEMBER [Measures].[At2] AS
+               'round(Atan2(sum_qty, count_order), 6)'
+             MEMBER [Measures].[Sln Dep] AS 'SLN(sum_qty, count_order, 9)'
+             MEMBER [Measures].[Syd Dep] AS
+               'SYD(sum_qty, count_order, 4, 1)'
+             MEMBER [Measures].[Sqrtpi Cnt] AS
+               'round(SqrtPi(count_order), 6)'
+             MEMBER [Measures].[Pow Ord] AS
+               'Power(2, CInt(Mod(count_order, 10)))'
+        SELECT {[Measures].[Hex Qty], [Measures].[Oct Qty],
+                [Measures].[Int Div], [Measures].[Fix Div],
+                [Measures].[Month Nm], [Measures].[Weekday Nm],
+                [Measures].[Shifted Month], [Measures].[Day Span],
+                [Measures].[Rev Name], [Measures].[Cmp Eur],
+                [Measures].[First3], [Measures].[At2],
+                [Measures].[Sln Dep], [Measures].[Syd Dep],
+                [Measures].[Sqrtpi Cnt], [Measures].[Pow Ord]}
+               ON COLUMNS,
+               [Customer].[Region].Members ON ROWS FROM [Sales]
+        """
+    ).df

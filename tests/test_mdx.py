@@ -2829,3 +2829,82 @@ def test_measures_default_member_in_nonempty_crossjoin(engine):
     )
     assert r.df.count() > 0
     assert "sum_qty" in r.df.columns  # the default measure
+
+
+def test_vba_excel_breadth(engine):
+    """Round-7 VBA/Excel breadth pass (jar!mondrian/olap/fun/vba/Vba +
+    Excel method lists): Hex/Oct round first; Int FLOORS while Fix
+    truncates toward zero; Weekday matches the vbSunday numbering;
+    Month/WeekdayName return English names; DatePart/DateAdd/DateDiff
+    take the VBA interval grammar; StrReverse/StrComp/String, Excel
+    floored MOD, ATAN2 in EXCEL argument order (x, y), SqrtPi, SLN/SYD
+    depreciation, FormatPercent/FormatCurrency, IsDate."""
+    import math
+
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[Hex V] AS 'Hex(255.4)'
+             MEMBER [Measures].[Oct V] AS 'Oct(64)'
+             MEMBER [Measures].[Int V] AS 'Int(0 - 8.4)'
+             MEMBER [Measures].[Fix V] AS 'Fix(0 - 8.4)'
+             MEMBER [Measures].[Wk D] AS 'Weekday(DateSerial(1995, 7, 14))'
+             MEMBER [Measures].[Wk DN] AS 'WeekdayName(6)'
+             MEMBER [Measures].[Mo N] AS 'MonthName(7)'
+             MEMBER [Measures].[D P] AS 'DatePart("q", DateSerial(1995, 7, 14))'
+             MEMBER [Measures].[D A] AS
+               'DatePart("m", DateAdd("m", 3, DateSerial(1995, 11, 14)))'
+             MEMBER [Measures].[D D] AS
+               'DateDiff("d", DateSerial(1995, 7, 1), DateSerial(1995, 7, 14))'
+             MEMBER [Measures].[S R] AS 'StrReverse("abc")'
+             MEMBER [Measures].[S C] AS 'StrComp("a", "b")'
+             MEMBER [Measures].[S T] AS 'String(3, "xy")'
+             MEMBER [Measures].[M D] AS 'Mod(0 - 3, 2)'
+             MEMBER [Measures].[M D2] AS 'Mod(3, 0 - 2)'
+             MEMBER [Measures].[AT 2] AS 'round(Atan2(0, 1), 6)'
+             MEMBER [Measures].[SLN V] AS 'SLN(1000, 100, 9)'
+             MEMBER [Measures].[SYD V] AS 'SYD(1000, 100, 4, 1)'
+             MEMBER [Measures].[SPI V] AS 'round(SqrtPi(1), 6)'
+             MEMBER [Measures].[F P] AS 'FormatPercent(0.125)'
+             MEMBER [Measures].[F C] AS 'FormatCurrency(1234.5, 2)'
+             MEMBER [Measures].[ISD V] AS 'IIF(IsDate("1995-07-14"), 1, 0)'
+             MEMBER [Measures].[ISD N] AS 'IIF(IsDate("nope"), 1, 0)'
+             MEMBER [Measures].[PWR V] AS 'Power(2, 10)'
+             MEMBER [Measures].[CB V] AS 'CByte(7.6)'
+        SELECT {[Measures].[Hex V], [Measures].[Oct V], [Measures].[Int V],
+                [Measures].[Fix V], [Measures].[Wk D], [Measures].[Wk DN],
+                [Measures].[Mo N], [Measures].[D P], [Measures].[D A],
+                [Measures].[D D], [Measures].[S R], [Measures].[S C],
+                [Measures].[S T], [Measures].[M D], [Measures].[M D2],
+                [Measures].[AT 2], [Measures].[SLN V], [Measures].[SYD V],
+                [Measures].[SPI V], [Measures].[F P], [Measures].[F C],
+                [Measures].[ISD V], [Measures].[ISD N], [Measures].[PWR V],
+                [Measures].[CB V]} ON COLUMNS
+        FROM [Sales]
+        """,
+    )
+    row = r.df.collect()[0].asDict()
+    assert row["hex_v"] == "FF"          # rounds, then uppercase hex
+    assert row["oct_v"] == "100"
+    assert row["int_v"] == -9            # Int floors
+    assert row["fix_v"] == -8            # Fix truncates toward zero
+    assert row["wk_d"] == 6              # 1995-07-14 is a Friday, 1=Sunday
+    assert row["wk_dn"] == "Friday"
+    assert row["mo_n"] == "July"
+    assert row["d_p"] == 3               # Q3
+    assert row["d_a"] == 2               # Nov + 3 months = Feb (wraps year)
+    assert row["d_d"] == 13
+    assert row["s_r"] == "cba"
+    assert row["s_c"] == -1
+    assert row["s_t"] == "xxx"           # first char of "xy", 3 times
+    assert row["m_d"] == 1               # Excel MOD: divisor's sign
+    assert row["m_d2"] == -1
+    assert row["at_2"] == round(math.pi / 2, 6)  # Excel ATAN2(x=0, y=1)
+    assert row["sln_v"] == 100.0
+    assert row["syd_v"] == 360.0
+    assert row["spi_v"] == round(math.sqrt(math.pi), 6)
+    assert row["f_p"] == "12.50%"
+    assert row["f_c"] == "$1,234.50"
+    assert row["isd_v"] == 1 and row["isd_n"] == 0
+    assert row["pwr_v"] == 1024.0
+    assert row["cb_v"] == 8
