@@ -72,6 +72,7 @@ class AggregateCache:
         storage_level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
         max_entries: int = 256,
     ):
+        import threading
         from collections import OrderedDict
 
         #: LRU-ordered: hits move an entry to the end, inserts beyond
@@ -80,6 +81,13 @@ class AggregateCache:
         #: cache in a long-lived session is a slow leak (the segment-cache
         #: analog of Mondrian's bounded SegmentCacheManager)
         self._entries: "OrderedDict[tuple, _Entry]" = OrderedDict()
+        #: guards _entries and the stat counters: the reference serves
+        #: CONCURRENT connections against one shared schema's segment
+        #: cache (connection.rb:157-181), so lookup/insert/flush must be
+        #: safe from multiple Python threads.  Builds run OUTSIDE the
+        #: lock (a Spark job must not serialize unrelated queries); a
+        #: losing duplicate build is unpersisted and the winner returned.
+        self._lock = threading.RLock()
         self._storage_level = storage_level
         self.max_entries = int(max_entries)
         self.hits = 0
@@ -101,39 +109,55 @@ class AggregateCache:
         measures: dict[str, str] | None = None,
         rollup_fn=None,
     ) -> DataFrame:
-        entry = self._entries.get(key)
-        if entry is not None:
-            self.hits += 1
-            self._entries.move_to_end(key)  # LRU touch
-            return entry.df
-        df = None
-        if rollup_fn is not None and measures:
-            src = self._rollup_source(key, group_cols or [], measures)
-            if src is not None:
-                # in-memory rollup: re-aggregate the finer cached grid
-                # instead of rescanning the fact
-                # (mondrian.rolap.EnableInMemoryRollup — SURVEY.md §4;
-                # distinct-count/avg never roll up)
-                self.rollups += 1
-                df = rollup_fn(src)
-        if df is None:
-            self.misses += 1
+        src = None
+        with self._lock:
+            entry = self._entries.get(key)
+            if entry is not None:
+                self.hits += 1
+                self._entries.move_to_end(key)  # LRU touch
+                return entry.df
+            if rollup_fn is not None and measures:
+                src = self._rollup_source(key, group_cols or [], measures)
+        # build OUTSIDE the lock: a Spark job here must never serialize
+        # the other threads' unrelated cache lookups
+        if src is not None:
+            # in-memory rollup: re-aggregate the finer cached grid
+            # instead of rescanning the fact
+            # (mondrian.rolap.EnableInMemoryRollup — SURVEY.md §4;
+            # distinct-count/avg never roll up).  The source df stays
+            # computable even if concurrently evicted (unpersist only
+            # drops the storage, not the plan).
+            df = rollup_fn(src)
+        else:
             df = builder()
         df = df.persist(self._storage_level)
         paths: dict[str, set[tuple]] = {}
         for ref in slicer:
             if ref.path:
                 paths.setdefault(ref.dimension.name, set()).add(ref.path)
-        self._entries[key] = _Entry(
-            df=df,
-            slicer_paths=paths,
-            group_cols=tuple(group_cols or ()),
-            measures=dict(measures or {}),
-        )
-        while len(self._entries) > self.max_entries:
-            _, old = self._entries.popitem(last=False)
-            old.df.unpersist()
-            self.evictions += 1
+        with self._lock:
+            raced = self._entries.get(key)
+            if raced is not None:
+                # a concurrent build of the same key won the insert — keep
+                # the winner, drop our duplicate's storage
+                df.unpersist()
+                self.hits += 1
+                self._entries.move_to_end(key)
+                return raced.df
+            if src is not None:
+                self.rollups += 1
+            else:
+                self.misses += 1
+            self._entries[key] = _Entry(
+                df=df,
+                slicer_paths=paths,
+                group_cols=tuple(group_cols or ()),
+                measures=dict(measures or {}),
+            )
+            while len(self._entries) > self.max_entries:
+                _, old = self._entries.popitem(last=False)
+                old.df.unpersist()
+                self.evictions += 1
         return df
 
     def _rollup_source(
@@ -162,11 +186,12 @@ class AggregateCache:
 
     def flush_all(self) -> int:
         """Whole-schema flush (``connection.rb:153-181`` flush_schema_cache)."""
-        n = len(self._entries)
-        for e in self._entries.values():
-            e.df.unpersist()
-        self._entries.clear()
-        return n
+        with self._lock:
+            n = len(self._entries)
+            for e in self._entries.values():
+                e.df.unpersist()
+            self._entries.clear()
+            return n
 
     def flush_region(self, region: list[MemberSetRef]) -> int:
         """Drop cached aggregates overlapping a member region.
@@ -186,18 +211,19 @@ class AggregateCache:
         by_dim: dict[str, list[MemberSetRef]] = {}
         for ref in region:
             by_dim.setdefault(ref.dimension.name, []).append(ref)
-        doomed = []
-        for key, entry in self._entries.items():
-            if any(
-                all(self._excludes(entry, ref) for ref in refs)
-                for refs in by_dim.values()
-            ):
-                continue
-            doomed.append(key)
-        for key in doomed:
-            self._entries[key].df.unpersist()
-            del self._entries[key]
-        return len(doomed)
+        with self._lock:
+            doomed = []
+            for key, entry in self._entries.items():
+                if any(
+                    all(self._excludes(entry, ref) for ref in refs)
+                    for refs in by_dim.values()
+                ):
+                    continue
+                doomed.append(key)
+            for key in doomed:
+                self._entries[key].df.unpersist()
+                del self._entries[key]
+            return len(doomed)
 
     @staticmethod
     def _excludes(entry: _Entry, ref: MemberSetRef) -> bool:

@@ -167,6 +167,18 @@ class CubeEngine:
     (``lib/mondrian/olap/connection.rb``, ``lib/mondrian/olap/cube.rb``):
     holds the fact view (degenerate level columns materialised as named
     expressions) and one :class:`DimView` per table dimension.
+
+    **Concurrency contract** (the reference pools concurrent connections
+    against one shared schema — connection.rb:157-181): concurrent query
+    EXECUTION through a shared engine is supported — the query path only
+    reads the model, and the shared aggregate cache
+    (:class:`..cache.AggregateCache`) locks its own lookup/insert/flush.
+    Schema-MUTATING operations (``register_aggregate`` /
+    ``materialize_aggregate`` / ``refresh_aggregates``,
+    ``enable_cache``/``flush_*``, role switches, parameter edits) are
+    administrative: run them from one thread, or synchronize externally —
+    they are not internally locked against each other (matching the
+    reference, where schema changes also require a coordinated flush).
     """
 
     def __init__(

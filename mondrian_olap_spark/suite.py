@@ -14,6 +14,7 @@ hashing).
 
 from __future__ import annotations
 
+import threading
 from collections import OrderedDict
 from collections.abc import Callable
 
@@ -54,6 +55,11 @@ _SUPP_STAR = (
 #: creating many sessions cannot leak sessions or plans.
 _STATEMENTS: "OrderedDict[tuple, tuple]" = OrderedDict()
 _STATEMENTS_MAX = 256
+#: the cache is process-global and suite entries may run from multiple
+#: threads (the reference pools concurrent connections —
+#: connection.rb:157-181): guard the LRU sequences (get + move_to_end,
+#: insert + evict) so interleavings cannot corrupt the OrderedDict
+_STATEMENTS_LOCK = threading.Lock()
 
 
 def q(name: str, oracle: str | None = None):
@@ -64,18 +70,24 @@ def q(name: str, oracle: str | None = None):
             # while the entry lives (and sibling sessions of one
             # application never share plans)
             key = (name, id(spark), sf_dir)
-            hit = _STATEMENTS.get(key)
-            if hit is not None:
-                if hit[0] is spark:
-                    _STATEMENTS.move_to_end(key)
-                    return hit[1]
-                # a dead session's plan: drop it so the session object is
-                # released instead of pinned for the process lifetime
-                del _STATEMENTS[key]
+            with _STATEMENTS_LOCK:
+                hit = _STATEMENTS.get(key)
+                if hit is not None:
+                    if hit[0] is spark:
+                        _STATEMENTS.move_to_end(key)
+                        return hit[1]
+                    # a dead session's plan: drop it so the session object
+                    # is released instead of pinned for the process
+                    # lifetime
+                    del _STATEMENTS[key]
+            # build outside the lock (plan analysis can take a second);
+            # a concurrent duplicate build just overwrites with an
+            # equivalent plan
             df = fn(spark, sf_dir)
-            _STATEMENTS[key] = (spark, df)
-            while len(_STATEMENTS) > _STATEMENTS_MAX:
-                _STATEMENTS.popitem(last=False)
+            with _STATEMENTS_LOCK:
+                _STATEMENTS[key] = (spark, df)
+                while len(_STATEMENTS) > _STATEMENTS_MAX:
+                    _STATEMENTS.popitem(last=False)
             return df
 
         cached.__name__ = fn.__name__

@@ -16,6 +16,8 @@ size-based broadcast + AQE.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import SparkSession
 
 from .model import Cube, Dimension, JoinLink, Level, Measure, CalculatedMember, Schema
@@ -369,18 +371,28 @@ EVENTS_CUBE = Cube(
 SCHEMA = Schema(name="TPCH", cubes=(SALES_CUBE, ORDERS_CUBE, EVENTS_CUBE))
 
 _ENGINES: dict[tuple, CubeEngine] = {}
+#: concurrent sessions share one engine per (session, sf_dir, cube) — the
+#: reference's shared-schema connection pool (connection.rb:157-181); the
+#: lock makes the check-then-build race yield ONE engine, not two engines
+#: with independent caches
+_ENGINES_LOCK = threading.Lock()
 
 
 def get_engine(spark: SparkSession, sf_dir: str, cube: str = "Sales") -> CubeEngine:
     # keyed by session identity too: DataFrames bound to a stopped/replaced
     # SparkSession must not be served to a new one
     key = (id(spark), sf_dir, cube)
-    if key not in _ENGINES:
-        eng = engine_from_parquet(spark, SCHEMA, cube, sf_dir)
-        # Mondrian's default: the segment cache is ON — a warm repeat query
-        # does 0 SQL until flushed (test/query_test.rb:1162-1213).  The
-        # aggregate cache is the Spark analog; role switches flush it and
-        # with_role clones drop it, so sharing the engine is safe.
-        eng.enable_cache()
-        _ENGINES[key] = eng
+    eng = _ENGINES.get(key)
+    if eng is not None:
+        return eng
+    with _ENGINES_LOCK:
+        if key not in _ENGINES:
+            eng = engine_from_parquet(spark, SCHEMA, cube, sf_dir)
+            # Mondrian's default: the segment cache is ON — a warm repeat
+            # query does 0 SQL until flushed (test/query_test.rb:1162-1213).
+            # The aggregate cache is the Spark analog; role switches flush
+            # it and with_role clones drop it, so sharing the engine is
+            # safe.
+            eng.enable_cache()
+            _ENGINES[key] = eng
     return _ENGINES[key]

@@ -912,3 +912,67 @@ def test_auto_materialize_merges_manifest_across_runs(spark, tmp_path):
     assert len(manifest["aggregates"]) == 2
     assert r3[0].path in {e["path"] for e in manifest["aggregates"]}
     assert r3[0].path != r1[0].path
+
+
+def test_concurrent_queries_through_shared_engine(spark):
+    """Concurrent-session safety (the reference pools concurrent
+    connections against one shared schema — connection.rb:157-181): two
+    threads drive 50 queries each through ONE cached engine; every
+    result is correct, the shared aggregate cache serves both threads
+    without corruption, and the cache's stats remain coherent (hits +
+    misses + rollups == lookups)."""
+    import threading
+
+    from mondrian_olap_spark.tpch import get_engine
+
+    eng = get_engine(spark, SF_DIR)
+    eng.cache.flush_all()
+    expected_nations = {
+        r["nation_name"]: r["sum_qty"] for r in
+        Query(eng).columns("[Measures].[Sum Qty]")
+        .rows("[Customer].[Nation].Members").execute().df.collect()
+    }
+    expected_regions = {
+        r["region_name"]: r["sum_qty"] for r in
+        Query(eng).columns("[Measures].[Sum Qty]")
+        .rows("[Customer].children").execute().df.collect()
+    }
+    slicers = ["[Customer].[AFRICA]", "[Customer].[ASIA]",
+               "[Customer].[EUROPE]", "[Customer].[AMERICA]",
+               "[Customer].[MIDDLE EAST]"]
+    errors: list = []
+
+    def worker(tid: int) -> None:
+        try:
+            for i in range(50):
+                kind = (tid + i) % 3
+                if kind == 0:
+                    got = {r["nation_name"]: r["sum_qty"] for r in
+                           Query(eng).columns("[Measures].[Sum Qty]")
+                           .rows("[Customer].[Nation].Members")
+                           .execute().df.collect()}
+                    assert got == expected_nations
+                elif kind == 1:
+                    got = {r["region_name"]: r["sum_qty"] for r in
+                           Query(eng).columns("[Measures].[Sum Qty]")
+                           .rows("[Customer].children")
+                           .execute().df.collect()}
+                    assert got == expected_regions
+                else:
+                    region = slicers[i % len(slicers)]
+                    got = (Query(eng).columns("[Measures].[Sum Qty]")
+                           .where(region).execute().df.collect())
+                    key = region.split("[")[-1].rstrip("]")
+                    assert got[0]["sum_qty"] == expected_regions[key]
+        except Exception as e:  # surfaced below — thread exceptions
+            errors.append((tid, repr(e)))
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in (0, 1)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, errors
+    c = eng.cache
+    assert c.hits + c.misses + c.rollups >= 100  # every query hit the cache layer
+    assert len(c) <= c.max_entries
