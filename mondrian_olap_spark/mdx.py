@@ -2442,11 +2442,18 @@ class MdxParser:
             out = _rewrite_matches(out)
         out = out.replace("<>", "!=")
         # COALESCEEMPTY → coalesce (first non-empty; CoalesceEmptyFunDef).
-        # Mixed numeric/string arguments (mondrian_test.rb:532-543): a Spark
-        # column is monotyped, so when a string literal mixes with non-string
-        # args every arg casts to string — the one lossless common type (the
-        # reference keeps per-branch types; a cross-typed numeric cell
-        # surfaces as its string form here, documented deviation)
+        # Type discipline for the mondrian_test.rb:532-543 mixed-type
+        # matrix: a LITERAL argument (number or string) is provably
+        # non-empty, so every later branch is DEAD — truncate there.  This
+        # reproduces the reference's per-branch typing exactly for the
+        # matrix: CoalesceEmpty(123, 'dummy') = 123 AS A NUMBER (single
+        # live branch, no coalesce emitted, native type kept) and
+        # CoalesceEmpty(CASE WHEN 1=2 THEN 1 END, 'dummy') = 'dummy'.
+        # Residual deviation (documented, pinned by test): when a
+        # NON-constant numeric branch mixes with a string branch and both
+        # can win on different rows, a Spark column is monotyped — the
+        # args unify as strings (the one lossless common type), where the
+        # reference keeps the winning branch's own type per cell.
         def repl_coalesceempty(inner: str) -> str:
             args, depth, start = [], 0, 0
             for i, ch in enumerate(inner):
@@ -2458,6 +2465,22 @@ class MdxParser:
                     args.append(inner[start:i])
                     start = i + 1
             args.append(inner[start:])
+
+            def _literal(a: str) -> bool:
+                s = a.strip()
+                return bool(
+                    re.fullmatch(r"\x00\d+\x00", s)  # masked string literal
+                    or re.fullmatch(
+                        r"[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?", s
+                    )
+                )
+
+            for i, a in enumerate(args):
+                if _literal(a):
+                    args = args[: i + 1]  # later branches are dead
+                    break
+            if len(args) == 1:
+                return args[0].strip()  # single live branch: native type
             is_str = [
                 bool(re.fullmatch(r"\s*\x00\d+\x00\s*", a)) for a in args
             ]
