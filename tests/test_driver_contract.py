@@ -34,17 +34,21 @@ def test_driver_prefix_leads_with_never_checked_entries():
     through the gate."""
     se = _entry_module()
     names = list(se.queries())
-    checked = se._DRIVER_CHECKED
+    checked = se._LAST_HASHED
     unchecked_positions = [i for i, n in enumerate(names) if n not in checked]
     checked_positions = [i for i, n in enumerate(names) if n in checked]
     if unchecked_positions and checked_positions:
         assert max(unchecked_positions) < min(checked_positions)
+    # within the checked section, the most STALE hashes come first so
+    # each round's 50-row prefix re-verifies them on current code
+    checked_rounds = [checked[n] for n in names if n in checked]
+    assert checked_rounds == sorted(checked_rounds)
 
 
 def test_driver_checked_names_still_exist():
-    """A renamed/removed suite entry must not linger in _DRIVER_CHECKED —
+    """A renamed/removed suite entry must not linger in _LAST_HASHED —
     it would silently shrink the rotation budget."""
     se = _entry_module()
     qs = set(se.queries())
-    stale = sorted(se._DRIVER_CHECKED - qs)
-    assert not stale, f"stale _DRIVER_CHECKED names: {stale}"
+    stale = sorted(set(se._LAST_HASHED) - qs)
+    assert not stale, f"stale _LAST_HASHED names: {stale}"

@@ -496,6 +496,33 @@ def main() -> int:
         f"plan: {p[:160]}",
     )
 
+    # 24. the All member ([Dim].DefaultMember on a hasAll hierarchy) is
+    #     the PLAIN fact aggregate: no dimension join, no dim-table scan
+    #     (an unconstrained semi-join would add a fact-sized shuffle and,
+    #     under broken referential integrity, drop rows) — round-7
+    #     DefaultMember-as-All wiring.  Checked COLD: with a warm cache
+    #     the grand total is legitimately served by rolling up a cached
+    #     finer grid (InMemoryTableScan over 5 rows), whose lineage text
+    #     would spuriously contain the original star joins.
+    if eng.cache is not None:
+        eng.cache.flush_all()
+    df = (
+        Query(eng)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].DefaultMember")
+        .execute()
+        .df
+    )
+    p = plan_str(df)
+    check(
+        "all_member.grand_total_is_plain_fact_aggregate",
+        "Join" not in p and "customer" not in p.lower().replace(
+            "region_name", ""
+        )
+        and "orders" not in p,
+        f"plan: {p[:400]}",
+    )
+
     print(f"\n{len(failures)} failed properties" if failures else "\nall plan properties hold")
     return 1 if failures else 0
 
