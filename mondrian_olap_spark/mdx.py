@@ -253,6 +253,71 @@ def _vba_syd(inner: str):
     )
 
 
+def _vba_annuity(name: str):
+    """VBA annuity functions (Vba.pmt/fV/pV/nPer — standard
+    time-value-of-money closed forms with the VBA sign convention:
+    outgoing payments are negative).  Optional trailing args default to
+    fv/pv = 0 and type = 0 (payments at period END); rate = 0 falls back
+    to the linear form via CASE.  Rate/IRR/MIRR/NPV/DDB and the
+    per-period IPmt/PPmt stay unimplemented (iteration or array inputs —
+    no scalar SQL closed form); they raise at translation time via the
+    normal unknown-function path."""
+
+    def repl(inner: str):
+        args = [f"({a})" for a in _split_top_args(inner)]
+        if name == "pmt":
+            if len(args) not in (3, 4, 5):
+                return None
+            rate, nper, pv = args[:3]
+            fv = args[3] if len(args) > 3 else "(0)"
+            typ = args[4] if len(args) > 4 else "(0)"
+            t = f"power(1 + {rate}, {nper})"
+            return (
+                f"(case when {rate} = 0 then -({pv} + {fv}) / {nper} "
+                f"else -({fv} + {pv} * {t}) * {rate} "
+                f"/ ((1 + {rate} * {typ}) * ({t} - 1)) end)"
+            )
+        if name == "fv":
+            if len(args) not in (3, 4, 5):
+                return None
+            rate, nper, pmt = args[:3]
+            pv = args[3] if len(args) > 3 else "(0)"
+            typ = args[4] if len(args) > 4 else "(0)"
+            t = f"power(1 + {rate}, {nper})"
+            return (
+                f"(case when {rate} = 0 then -({pv} + {pmt} * {nper}) "
+                f"else -({pv} * {t} + {pmt} * (1 + {rate} * {typ}) "
+                f"* ({t} - 1) / {rate}) end)"
+            )
+        if name == "pv":
+            if len(args) not in (3, 4, 5):
+                return None
+            rate, nper, pmt = args[:3]
+            fv = args[3] if len(args) > 3 else "(0)"
+            typ = args[4] if len(args) > 4 else "(0)"
+            t = f"power(1 + {rate}, {nper})"
+            return (
+                f"(case when {rate} = 0 then -({fv} + {pmt} * {nper}) "
+                f"else -({fv} + {pmt} * (1 + {rate} * {typ}) "
+                f"* ({t} - 1) / {rate}) / {t} end)"
+            )
+        if name == "nper":
+            if len(args) not in (3, 4, 5):
+                return None
+            rate, pmt, pv = args[:3]
+            fv = args[3] if len(args) > 3 else "(0)"
+            typ = args[4] if len(args) > 4 else "(0)"
+            adj = f"({pmt} * (1 + {rate} * {typ}))"
+            return (
+                f"(case when {rate} = 0 then -({pv} + {fv}) / {pmt} "
+                f"else ln(({adj} - {fv} * {rate}) "
+                f"/ ({adj} + {pv} * {rate})) / ln(1 + {rate}) end)"
+            )
+        return None
+
+    return repl
+
+
 def _vba_format_percent(inner: str):
     """FormatPercent(x[, digits]) (Vba.formatPercent; digits default 2,
     the common locale default for the VBA -1 sentinel)."""
@@ -1826,6 +1891,8 @@ class MdxParser:
         out = out.replace("__atan2_swapped__", "atan2")
         out = _rewrite_paren_call(out, "sln", _vba_sln)
         out = _rewrite_paren_call(out, "syd", _vba_syd)
+        for _ann in ("pmt", "fv", "pv", "nper"):
+            out = _rewrite_paren_call(out, _ann, _vba_annuity(_ann))
         out = _rewrite_paren_call(out, "formatpercent", _vba_format_percent)
         out = _rewrite_paren_call(out, "formatcurrency", _vba_format_currency)
 

@@ -2920,3 +2920,45 @@ def test_vba_excel_breadth(engine):
     assert row["isd_v"] == 1 and row["isd_n"] == 0
     assert row["pwr_v"] == 1024.0
     assert row["cb_v"] == 8
+
+
+def test_vba_annuity_functions(engine):
+    """Pmt/FV/PV/NPer (Vba.pmt/fV/pV/nPer): standard time-value-of-money
+    closed forms, VBA sign convention (outgoing negative), rate = 0
+    linear fallback, optional fv/type args defaulted."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[Pmt V] AS
+               'round(Pmt(0.005, 120, 10000), 6)'
+             MEMBER [Measures].[Pmt Z] AS 'Pmt(0, 10, 1000)'
+             MEMBER [Measures].[Fv V] AS
+               'round(FV(0.005, 120, 0 - 100), 6)'
+             MEMBER [Measures].[Pv V] AS
+               'round(PV(0.005, 120, 0 - 100), 6)'
+             MEMBER [Measures].[Nper V] AS
+               'round(NPer(0.005, 0 - 100, 10000), 6)'
+             MEMBER [Measures].[Nper Z] AS 'NPer(0, 0 - 100, 1000)'
+        SELECT {[Measures].[Pmt V], [Measures].[Pmt Z], [Measures].[Fv V],
+                [Measures].[Pv V], [Measures].[Nper V], [Measures].[Nper Z]}
+               ON COLUMNS FROM [Sales]
+        """,
+    )
+    row = r.df.collect()[0]
+    # closed-form references (same formulas as numpy-financial's
+    # pmt/fv/pv/nper at type=0).  Rates chosen decimal-exact: Spark
+    # parses bare numeric literals as DECIMAL, so an in-formula division
+    # like 0.08/12 would run at decimal scale, not double.
+    rate, nper, pv = 0.005, 120, 10000.0
+    t = (1 + rate) ** nper
+    assert row["pmt_v"] == round(-(pv * t) * rate / (t - 1), 6)
+    assert row["pmt_z"] == -100.0          # rate=0 → -(pv+fv)/nper
+    rate2, n2, pmt2 = 0.005, 120, -100.0
+    t2 = (1 + rate2) ** n2
+    assert row["fv_v"] == round(-(pmt2 * (t2 - 1) / rate2), 6)
+    assert row["pv_v"] == round(-(pmt2 * (t2 - 1) / rate2) / t2, 6)
+    import math
+
+    expect_nper = math.log((-100.0) / (-100.0 + 10000 * 0.005)) / math.log(1.005)
+    assert row["nper_v"] == round(expect_nper, 6)
+    assert row["nper_z"] == 10.0           # rate=0 → -(pv+fv)/pmt
