@@ -95,6 +95,9 @@ HEADLINE = [
     "pipeline_stateful_ingest_gate",
     "pipeline_stateful_neardup_gate",
     "advisor_auto_materialize_gate",
+    # round-7 operators
+    "default_member_all_gate",
+    "vba_excel_breadth_gate",
 ]
 
 

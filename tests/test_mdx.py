@@ -773,6 +773,11 @@ def test_default_member(engine):
     member: ONE grand-total row, NULL in the top level's display column
     (jar!mondrian/olap/fun/DimensionDefaultMemberFunDef — hasAll
     hierarchies default to the All member)."""
+    # cold plan: with a warm cache the grand total is legitimately served
+    # by rolling up a cached finer grid, whose lineage text contains the
+    # original star joins (the audit checks the same property cold)
+    if engine.cache is not None:
+        engine.cache.flush_all()
     r = execute_mdx(
         engine,
         "SELECT [Measures].[Sum Qty] ON COLUMNS, "
