@@ -318,6 +318,30 @@ def _vba_annuity(name: str):
     return repl
 
 
+def _vba_format_datetime(inner: str):
+    """FormatDateTime(date[, namedformat]) (Vba.formatDateTime): named
+    formats 1 = long date, 2 = short date, 3 = long time, 4 = short
+    time, 0/default = general (short date + time).  US-English
+    patterns, matching the reference's default-locale Java DateFormat."""
+    args = _split_top_args(inner)
+    if len(args) not in (1, 2):
+        return None
+    fmt = args[1].strip() if len(args) == 2 else "0"
+    pattern = {
+        "0": "M/d/yyyy h:mm:ss a",
+        "1": "EEEE, MMMM d, yyyy",
+        "2": "M/d/yyyy",
+        "3": "h:mm:ss a",
+        "4": "HH:mm",
+    }.get(fmt)
+    if pattern is None:
+        raise MdxError(
+            f"FormatDateTime: named format must be a literal 0-4, "
+            f"got {fmt!r}"
+        )
+    return f"date_format(({args[0]}), '{pattern}')"
+
+
 def _vba_format_percent(inner: str):
     """FormatPercent(x[, digits]) (Vba.formatPercent; digits default 2,
     the common locale default for the VBA -1 sentinel)."""
@@ -1895,6 +1919,7 @@ class MdxParser:
             out = _rewrite_paren_call(out, _ann, _vba_annuity(_ann))
         out = _rewrite_paren_call(out, "formatpercent", _vba_format_percent)
         out = _rewrite_paren_call(out, "formatcurrency", _vba_format_currency)
+        out = _rewrite_paren_call(out, "formatdatetime", _vba_format_datetime)
 
         def _interval_of(arg: str, where: str) -> str:
             mm = re.fullmatch(r"\x00(\d+)\x00", arg.strip())

@@ -2967,3 +2967,29 @@ def test_vba_annuity_functions(engine):
     expect_nper = math.log((-100.0) / (-100.0 + 10000 * 0.005)) / math.log(1.005)
     assert row["nper_v"] == round(expect_nper, 6)
     assert row["nper_z"] == 10.0           # rate=0 → -(pv+fv)/pmt
+
+
+def test_vba_format_datetime(engine):
+    """FormatDateTime named formats (Vba.formatDateTime): 1 long date,
+    2 short date, 3 long time, 4 short time; non-literal format errors."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[F1] AS 'FormatDateTime(DateSerial(1995, 7, 14), 1)'
+             MEMBER [Measures].[F2] AS 'FormatDateTime(DateSerial(1995, 7, 14), 2)'
+             MEMBER [Measures].[F4] AS 'FormatDateTime(DateSerial(1995, 7, 14), 4)'
+        SELECT {[Measures].[F1], [Measures].[F2], [Measures].[F4]} ON COLUMNS
+        FROM [Sales]
+        """,
+    )
+    row = r.df.collect()[0]
+    assert row["f1"] == "Friday, July 14, 1995"
+    assert row["f2"] == "7/14/1995"
+    assert row["f4"] == "00:00"
+    with pytest.raises(MdxError, match="named format"):
+        execute_mdx(
+            engine,
+            "WITH MEMBER [Measures].[F] AS "
+            "'FormatDateTime(DateSerial(1995, 7, 14), 9)' "
+            "SELECT [Measures].[F] ON COLUMNS FROM [Sales]",
+        )
