@@ -729,6 +729,12 @@ def ingest_batch(
     (collapsed batch-internal exact copies and quality drops happen
     inside curate_corpus and are accounted together) — the per-batch
     drop audit a production ingest dashboard needs.
+
+    ONE WRITER per ``state_dir``: batches must be ingested sequentially
+    (the whole point is that batch N+1 sees batch N's acceptances as
+    members).  The bitmap swap in :func:`..dedup.write_bloom` is
+    crash-safe but not concurrent-reader-safe — there is a moment
+    between the two renames when the path is absent.
     """
     from .dedup import (
         _band_buckets, bloom_append, bloom_probe, minhash_signatures,
