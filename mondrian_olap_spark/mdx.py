@@ -254,14 +254,15 @@ def _vba_syd(inner: str):
 
 
 def _vba_annuity(name: str):
-    """VBA annuity functions (Vba.pmt/fV/pV/nPer — standard
-    time-value-of-money closed forms with the VBA sign convention:
-    outgoing payments are negative).  Optional trailing args default to
-    fv/pv = 0 and type = 0 (payments at period END); rate = 0 falls back
-    to the linear form via CASE.  Rate/IRR/MIRR/NPV/DDB and the
-    per-period IPmt/PPmt stay unimplemented (iteration or array inputs —
-    no scalar SQL closed form); they raise at translation time via the
-    normal unknown-function path."""
+    """VBA financial functions (Vba.pmt/fV/pV/nPer/iPmt/pPmt/dDB —
+    standard time-value-of-money closed forms with the VBA sign
+    convention: outgoing payments are negative).  Optional trailing args
+    default to fv/pv = 0, type = 0 (payments at period END), DDB factor
+    = 2; rate = 0 falls back to the linear form via CASE.  IPmt composes
+    the Pmt and FV forms (balance after per-1 payments × rate); PPmt =
+    Pmt − IPmt.  Rate/IRR/MIRR/NPV stay unimplemented (iteration or
+    array inputs — no scalar SQL closed form); they raise at translation
+    time via the normal unknown-function path."""
 
     def repl(inner: str):
         args = [f"({a})" for a in _split_top_args(inner)]
@@ -312,6 +313,56 @@ def _vba_annuity(name: str):
                 f"(case when {rate} = 0 then -({pv} + {fv}) / {pmt} "
                 f"else ln(({adj} - {fv} * {rate}) "
                 f"/ ({adj} + {pv} * {rate})) / ln(1 + {rate}) end)"
+            )
+        if name == "ipmt":
+            # IPmt(rate, per, nper, pv[, fv[, type]]): interest share of
+            # period `per`'s payment = the balance after per-1 payments
+            # (an FV) times the rate; a begin-of-period payment (type=1)
+            # accrues no interest in period 1 and discounts one period
+            # otherwise (Vba.iPmt composes pmt+fv exactly this way)
+            if len(args) not in (4, 5, 6):
+                return None
+            rate, per, nper, pv = args[:4]
+            fv = args[4] if len(args) > 4 else "(0)"
+            typ = args[5] if len(args) > 5 else "(0)"
+            pmt_txt = _vba_annuity("pmt")(
+                f"{rate}, {nper}, {pv}, {fv}, {typ}"
+            )
+            bal = _vba_annuity("fv")(
+                f"{rate}, ({per}) - 1, {pmt_txt}, {pv}, {typ}"
+            )
+            return (
+                f"(case when {typ} = 1 and {per} = 1 then 0.0 "
+                f"when {typ} = 1 then {bal} * {rate} / (1 + {rate}) "
+                f"else {bal} * {rate} end)"
+            )
+        if name == "ppmt":
+            # PPmt = Pmt − IPmt (Vba.pPmt)
+            if len(args) not in (4, 5, 6):
+                return None
+            rate, per, nper, pv = args[:4]
+            fv = args[4] if len(args) > 4 else "(0)"
+            typ = args[5] if len(args) > 5 else "(0)"
+            pmt_txt = _vba_annuity("pmt")(
+                f"{rate}, {nper}, {pv}, {fv}, {typ}"
+            )
+            ipmt_txt = _vba_annuity("ipmt")(
+                f"{rate}, {per}, {nper}, {pv}, {fv}, {typ}"
+            )
+            return f"({pmt_txt} - {ipmt_txt})"
+        if name == "ddb":
+            # DDB(cost, salvage, life, period[, factor=2]): declining-
+            # balance depreciation for ONE period, floored so the book
+            # value never depreciates below salvage (Vba.dDB closed form)
+            if len(args) not in (4, 5):
+                return None
+            c, s, life, p = args[:4]
+            factor = args[4] if len(args) > 4 else "(2)"
+            r = f"({factor} / {life})"
+            book = f"({c} * power(1 - {r}, ({p}) - 1))"
+            return (
+                f"(least({book} * {r}, "
+                f"greatest({book} - ({s}), 0.0)))"
             )
         return None
 
@@ -1915,7 +1966,9 @@ class MdxParser:
         out = out.replace("__atan2_swapped__", "atan2")
         out = _rewrite_paren_call(out, "sln", _vba_sln)
         out = _rewrite_paren_call(out, "syd", _vba_syd)
-        for _ann in ("pmt", "fv", "pv", "nper"):
+        # ipmt/ppmt/ddb FIRST: their expansions embed pmt/fv text that
+        # must not be re-expanded (it is already final SQL)
+        for _ann in ("ipmt", "ppmt", "ddb", "pmt", "fv", "pv", "nper"):
             out = _rewrite_paren_call(out, _ann, _vba_annuity(_ann))
         out = _rewrite_paren_call(out, "formatpercent", _vba_format_percent)
         out = _rewrite_paren_call(out, "formatcurrency", _vba_format_currency)

@@ -2993,3 +2993,35 @@ def test_vba_format_datetime(engine):
             "'FormatDateTime(DateSerial(1995, 7, 14), 9)' "
             "SELECT [Measures].[F] ON COLUMNS FROM [Sales]",
         )
+
+
+def test_vba_ipmt_ppmt_ddb(engine):
+    """IPmt/PPmt/DDB (Vba.iPmt/pPmt/dDB): IPmt is the balance after
+    per-1 payments times the rate; PPmt complements it to the full
+    payment; DDB is single-period declining-balance floored at salvage."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[Ip1] AS 'round(IPmt(0.005, 1, 120, 10000), 6)'
+             MEMBER [Measures].[Ip2] AS 'round(IPmt(0.005, 2, 120, 10000), 6)'
+             MEMBER [Measures].[Pp1] AS 'round(PPmt(0.005, 1, 120, 10000), 6)'
+             MEMBER [Measures].[Pmt Full] AS 'round(Pmt(0.005, 120, 10000), 6)'
+             MEMBER [Measures].[Ddb1] AS 'round(DDB(2400, 300, 10, 1), 6)'
+             MEMBER [Measures].[Ddb10] AS 'round(DDB(2400, 300, 10, 10), 6)'
+        SELECT {[Measures].[Ip1], [Measures].[Ip2], [Measures].[Pp1],
+                [Measures].[Pmt Full], [Measures].[Ddb1], [Measures].[Ddb10]}
+               ON COLUMNS FROM [Sales]
+        """,
+    )
+    row = r.df.collect()[0]
+    # period 1 interest = -pv * rate (balance is the full principal)
+    assert row["ip1"] == round(-10000 * 0.005, 6) == -50.0
+    # PPmt + IPmt = Pmt exactly
+    assert round(row["pp1"] + row["ip1"], 6) == row["pmt_full"]
+    # period-2 interest is smaller in magnitude (principal amortizes)
+    assert abs(row["ip2"]) < abs(row["ip1"])
+    # DDB: first period is cost * factor/life
+    assert row["ddb1"] == round(2400 * 0.2, 6) == 480.0
+    # late-period DDB floors at the salvage boundary, never below
+    book10 = 2400 * (1 - 0.2) ** 9
+    assert row["ddb10"] == round(max(0.0, min(book10 * 0.2, book10 - 300)), 6)
