@@ -2857,3 +2857,89 @@ def vba_excel_breadth_gate(spark, sf_dir):
                [Customer].[Region].Members ON ROWS FROM [Sales]
         """
     ).df
+
+
+@q(
+    "vba_financial_gate",
+    f"""
+    WITH g AS (
+      SELECT r_name AS region_name, sum(l_quantity) AS sum_qty,
+             count(l_orderkey) AS count_order
+      FROM {_CUST_STAR} GROUP BY 1
+    ),
+    p AS (
+      SELECT region_name, sum_qty, count_order,
+             CAST(count_order - 24 * floor(count_order / 24.0) AS INT) + 12
+               AS nper,
+             CAST(count_order - 5 * floor(count_order / 5.0) AS INT) + 1
+               AS per
+      FROM g
+    ),
+    f AS (
+      SELECT *,
+             -(sum_qty * power(1.005, nper)) * 0.005
+               / (power(1.005, nper) - 1) AS pmt_full,
+             power(1.005, per - 1) AS t_per
+      FROM p
+    )
+    SELECT region_name,
+           round(pmt_full, 6) AS pmt_v,
+           round(-(-100 * (power(1.005, nper) - 1) / 0.005), 6) AS fv_v,
+           round(-(-100 * (power(1.005, nper) - 1) / 0.005)
+                 / power(1.005, nper), 6) AS pv_v,
+           round(ln((-(sum_qty * 0.01 + count_order))
+                    / (-(sum_qty * 0.01 + count_order) + sum_qty * 0.005))
+                 / ln(1.005), 6) AS nper_v,
+           round(-(sum_qty * t_per
+                   + pmt_full * (t_per - 1) / 0.005) * 0.005, 6) AS ipmt_v,
+           round(pmt_full
+                 - (-(sum_qty * t_per
+                      + pmt_full * (t_per - 1) / 0.005) * 0.005), 6)
+             AS ppmt_v,
+           round(least(sum_qty * power(0.6, per - 1) * 0.4,
+                       greatest(sum_qty * power(0.6, per - 1)
+                                - sum_qty * 0.1, 0.0)), 6) AS ddb_v,
+           round((sum_qty - count_order) / 9, 6) AS sln_v
+    FROM f
+    """,
+)
+def vba_financial_gate(spark, sf_dir):
+    """Round-7 VBA financial family under the driver gate
+    (Vba.pmt/fV/pV/nPer/iPmt/pPmt/dDB/sLN closed forms, VBA sign
+    convention), per-region so every value is data-dependent: nper and
+    the DDB/IPmt period derive from count_order via Excel floored MOD;
+    principal is the region's quantity sum.
+
+    IPmt oracle: the balance after per-1 END-of-period payments is
+    FV(rate, per-1, pmt, pv) = -(pv*(1+r)^(per-1) + pmt*((1+r)^(per-1)-1)/r);
+    IPmt = that balance times the rate — the same composition the engine
+    emits, reproduced arithmetically in the SQL."""
+    eng = get_engine(spark, sf_dir)
+    return eng.execute(
+        """
+        WITH MEMBER [Measures].[Nper I] AS
+               'CInt(Mod(count_order, 24)) + 12'
+             MEMBER [Measures].[Per I] AS 'CInt(Mod(count_order, 5)) + 1'
+             MEMBER [Measures].[Pmt V] AS
+               'round(Pmt(0.005, [Measures].[Nper I], sum_qty), 6)'
+             MEMBER [Measures].[Fv V] AS
+               'round(FV(0.005, [Measures].[Nper I], 0 - 100), 6)'
+             MEMBER [Measures].[Pv V] AS
+               'round(PV(0.005, [Measures].[Nper I], 0 - 100), 6)'
+             MEMBER [Measures].[Nper V] AS
+               'round(NPer(0.005, 0 - (sum_qty * 0.01 + count_order), sum_qty), 6)'
+             MEMBER [Measures].[Ipmt V] AS
+               'round(IPmt(0.005, [Measures].[Per I], [Measures].[Nper I], sum_qty), 6)'
+             MEMBER [Measures].[Ppmt V] AS
+               'round(PPmt(0.005, [Measures].[Per I], [Measures].[Nper I], sum_qty), 6)'
+             MEMBER [Measures].[Ddb V] AS
+               'round(DDB(sum_qty, sum_qty * 0.1, 5, [Measures].[Per I]), 6)'
+             MEMBER [Measures].[Sln V] AS
+               'round(SLN(sum_qty, count_order, 9), 6)'
+        SELECT {[Measures].[Pmt V], [Measures].[Fv V], [Measures].[Pv V],
+                [Measures].[Nper V], [Measures].[Ipmt V],
+                [Measures].[Ppmt V], [Measures].[Ddb V], [Measures].[Sln V]}
+               ON COLUMNS,
+               [Customer].[Region].Members ON ROWS FROM [Sales]
+        """
+    ).df
