@@ -98,6 +98,7 @@ HEADLINE = [
     # round-7 operators
     "default_member_all_gate",
     "vba_excel_breadth_gate",
+    "vba_financial_gate",
 ]
 
 
