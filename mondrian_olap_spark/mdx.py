@@ -260,9 +260,10 @@ def _vba_annuity(name: str):
     default to fv/pv = 0, type = 0 (payments at period END), DDB factor
     = 2; rate = 0 falls back to the linear form via CASE.  IPmt composes
     the Pmt and FV forms (balance after per-1 payments × rate); PPmt =
-    Pmt − IPmt.  Rate/IRR/MIRR/NPV stay unimplemented (iteration or
-    array inputs — no scalar SQL closed form); they raise at translation
-    time via the normal unknown-function path."""
+    Pmt − IPmt; Rate solves f(r)=0 by a 40-step Newton fold (see its
+    branch).  IRR/MIRR/NPV stay unimplemented (array cashflow inputs —
+    the MDX scalar surface has no natural encoding); they raise at
+    translation time via the normal unknown-function path."""
 
     def repl(inner: str):
         args = [f"({a})" for a in _split_top_args(inner)]
@@ -350,6 +351,37 @@ def _vba_annuity(name: str):
                 f"{rate}, {per}, {nper}, {pv}, {fv}, {typ}"
             )
             return f"({pmt_txt} - {ipmt_txt})"
+        if name == "rate":
+            # Rate(nper, pmt, pv[, fv[, type[, guess]]]) (Vba.rate): the
+            # annuity rate has no closed form — solve f(r)=0 by 40 Newton
+            # steps expressed as ONE fold over a constant sequence
+            # (Spark's `aggregate` higher-order function), so the
+            # iteration stays a scalar expression inside codegen: no UDF,
+            # no driver loop.  f(r) = pv*t + pmt*(1+r*type)*(t-1)/r + fv
+            # with t=(1+r)^nper; 40 steps from the VBA default guess 0.1
+            # converge to double precision for any realistic annuity.
+            if len(args) not in (3, 4, 5, 6):
+                return None
+            nper, pmt, pv = args[:3]
+            fv = args[3] if len(args) > 3 else "(0)"
+            typ = args[4] if len(args) > 4 else "(0)"
+            guess = args[5] if len(args) > 5 else "(0.1)"
+            t = f"power(1 + nr, {nper})"
+            t1 = f"power(1 + nr, ({nper}) - 1)"
+            f_r = (
+                f"({pv} * {t} + {pmt} * (1 + nr * {typ}) "
+                f"* ({t} - 1) / nr + {fv})"
+            )
+            fp_r = (
+                f"(({nper}) * {pv} * {t1} "
+                f"+ {pmt} * {typ} * ({t} - 1) / nr "
+                f"+ {pmt} * (1 + nr * {typ}) "
+                f"* (({nper}) * {t1} * nr - ({t} - 1)) / (nr * nr))"
+            )
+            return (
+                f"aggregate(sequence(1, 40), cast({guess} as double), "
+                f"(nr, ii) -> nr - {f_r} / {fp_r})"
+            )
         if name == "ddb":
             # DDB(cost, salvage, life, period[, factor=2]): declining-
             # balance depreciation for ONE period, floored so the book
@@ -1966,9 +1998,10 @@ class MdxParser:
         out = out.replace("__atan2_swapped__", "atan2")
         out = _rewrite_paren_call(out, "sln", _vba_sln)
         out = _rewrite_paren_call(out, "syd", _vba_syd)
-        # ipmt/ppmt/ddb FIRST: their expansions embed pmt/fv text that
-        # must not be re-expanded (it is already final SQL)
-        for _ann in ("ipmt", "ppmt", "ddb", "pmt", "fv", "pv", "nper"):
+        # ipmt/ppmt/ddb/rate FIRST: their expansions embed pmt/fv text
+        # that must not be re-expanded (it is already final SQL)
+        for _ann in ("ipmt", "ppmt", "ddb", "rate", "pmt", "fv", "pv",
+                     "nper"):
             out = _rewrite_paren_call(out, _ann, _vba_annuity(_ann))
         out = _rewrite_paren_call(out, "formatpercent", _vba_format_percent)
         out = _rewrite_paren_call(out, "formatcurrency", _vba_format_currency)

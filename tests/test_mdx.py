@@ -3025,3 +3025,34 @@ def test_vba_ipmt_ppmt_ddb(engine):
     # late-period DDB floors at the salvage boundary, never below
     book10 = 2400 * (1 - 0.2) ** 9
     assert row["ddb10"] == round(max(0.0, min(book10 * 0.2, book10 - 300)), 6)
+
+
+def test_vba_rate_newton_fold(engine):
+    """Rate (Vba.rate) has no closed form: it lowers to 40 Newton steps
+    expressed as ONE Spark `aggregate` higher-order-function fold over a
+    constant sequence — a scalar expression inside codegen, no UDF, no
+    driver loop.  Round-trips its own Pmt and matches an independent
+    bisection."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[R1] AS
+               'round(Rate(120, Pmt(0.005, 120, 10000), 10000), 9)'
+             MEMBER [Measures].[R2] AS 'round(Rate(36, 0 - 300, 9000), 9)'
+        SELECT {[Measures].[R1], [Measures].[R2]} ON COLUMNS FROM [Sales]
+        """,
+    )
+    row = r.df.collect()[0]
+    assert row["r1"] == 0.005  # recovers the rate its own Pmt was built at
+
+    def f(rate):
+        return 9000 * (1 + rate) ** 36 - 300 * ((1 + rate) ** 36 - 1) / rate
+
+    lo, hi = 1e-9, 1.0
+    for _ in range(200):
+        mid = (lo + hi) / 2
+        if f(lo) * f(mid) <= 0:
+            hi = mid
+        else:
+            lo = mid
+    assert row["r2"] == round((lo + hi) / 2, 9)
