@@ -223,6 +223,86 @@ def ivf_index(
     return base.withColumn("cell", -best["ncid"])
 
 
+def cluster_balanced_sample(
+    emb: DataFrame,
+    per_cluster: int,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list | None = None,
+    by: str = "center",
+) -> DataFrame:
+    """Diversity-preserving corpus sampling by embedding cluster (the
+    SemDeDup-family curation move: cap how much of any one semantic
+    region enters the training mix, instead of letting dense regions
+    dominate a uniform sample).  Assign every vector to its nearest
+    coarse cell, keep at most ``per_cluster`` per cell:
+
+    * ``by="center"`` — the most REPRESENTATIVE members (highest cosine
+      to the assigned centroid; ties → lowest id): prototype selection.
+    * ``by="edge"`` — the most MARGINAL members (lowest cosine):
+      hard-example / boundary mining.
+    * ``by="hash"`` — an unbiased deterministic per-cell sample (ordered
+      by md5 of the id, reproducible on any engine, no RNG state).
+
+    Scale shape: assignment is the inlined-centroid pure projection
+    (:func:`ivf_index` — one scan, zero shuffles); the per-cell cap is
+    ONE window shuffle keyed by cell.  Size ``n_cells`` to the
+    parallelism you need — the window's skew is bounded by the largest
+    cluster, so at 100 TB use thousands of cells (trained via
+    :func:`ivf_train`), not the 8-cell gate default.
+
+    Returns ``(id_col, cell, centroid_cosine, sample_rank)`` with
+    ``sample_rank <= per_cluster``.
+    """
+    if by not in ("center", "edge", "hash"):
+        raise ValueError(f"by must be center|edge|hash, got {by!r}")
+    from pyspark.sql import Window
+
+    base = (
+        emb.select(
+            F.col(id_col).alias("id"), _dvec(F.col(vec_col)).alias("v")
+        )
+        .withColumn("nv", norm(F.col("v")))
+        .filter(F.col("nv") > 0)
+    )
+    seeds = centroids if centroids is not None else ivf_seeds(
+        emb, n_cells, id_col, vec_col
+    )
+    entries = [
+        F.struct(
+            cosine(
+                F.col("v"),
+                F.array(*[F.lit(float(x)) for x in s["v"]]),
+                F.col("nv"),
+                F.lit(float(s["nv"])),
+            ).alias("cos"),
+            F.lit(-s["id"]).alias("ncid"),
+        )
+        for s in seeds
+    ]
+    best = F.sort_array(F.array(*entries), asc=False)[0]
+    assigned = base.select(
+        F.col("id"),
+        (-best["ncid"]).alias("cell"),
+        best["cos"].alias("centroid_cosine"),
+    )
+    order = {
+        "center": [F.col("centroid_cosine").desc(), F.col("id")],
+        "edge": [F.col("centroid_cosine").asc(), F.col("id")],
+        "hash": [F.md5(F.col("id").cast("string")), F.col("id")],
+    }[by]
+    w = Window.partitionBy("cell").orderBy(*order)
+    return (
+        assigned.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= int(per_cluster))
+        .select(
+            F.col("id").alias(id_col), "cell", "centroid_cosine",
+            "sample_rank",
+        )
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     query_ids: list[int],

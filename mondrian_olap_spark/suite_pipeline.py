@@ -4294,3 +4294,48 @@ def text_doc_keywords(spark, sf_dir):
     log-idf score would hang top-k membership on ln()'s last ulp at
     ties; ranking breaks ties by term."""
     return text.doc_keywords(_docs(spark, sf_dir), k=3)
+
+
+@q(
+    "embed_cluster_balanced_sample",
+    f"""
+    WITH en AS (
+      SELECT vec_id, {_EMB_D} AS v,
+             sqrt(list_dot_product({_EMB_D}, {_EMB_D})) AS nv
+      FROM embeddings
+      WHERE list_dot_product({_EMB_D}, {_EMB_D}) > 0
+    ),
+    c AS (SELECT vec_id AS cid, v AS cv, nv AS cn FROM en ORDER BY vec_id LIMIT 8),
+    a AS (
+      SELECT en.vec_id, c.cid,
+             list_dot_product(en.v, c.cv) / (en.nv * c.cn) AS cos,
+             row_number() OVER (
+               PARTITION BY en.vec_id
+               ORDER BY list_dot_product(en.v, c.cv) / (en.nv * c.cn) DESC, c.cid
+             ) AS rn
+      FROM en CROSS JOIN c
+    ),
+    assigned AS (SELECT vec_id, cid AS cell, cos FROM a WHERE rn = 1),
+    ranked AS (
+      SELECT vec_id, cell, cos,
+             row_number() OVER (
+               PARTITION BY cell ORDER BY cos DESC, vec_id
+             ) AS sample_rank
+      FROM assigned
+    )
+    SELECT vec_id, cell, round(cos, 6) AS centroid_cosine, sample_rank
+    FROM ranked WHERE sample_rank <= 20
+    """,
+)
+def embed_cluster_balanced_sample(spark, sf_dir):
+    """Cluster-balanced (diversity-preserving) corpus sampling
+    (similarity.cluster_balanced_sample, by="center"): cap how much of
+    any one semantic region enters the training mix — assignment is the
+    zero-shuffle inlined-centroid projection, the per-cell cap is one
+    window shuffle keyed by cell.  Ranking is on the RAW cosine (both
+    engines compute the identical IEEE value: same sequential dot-product
+    order), rounded only for display."""
+    df = similarity.cluster_balanced_sample(
+        _emb(spark, sf_dir), per_cluster=20, n_cells=8
+    )
+    return df.withColumn("centroid_cosine", F.round("centroid_cosine", 6))

@@ -3396,3 +3396,55 @@ def test_ingest_state_mutation_order_is_crash_safe(spark, tmp_path,
     # bloom hit -> exact verify miss -> admitted (extra work, no loss)
     assert {r["doc_id"] for r in rows} == {21}
     assert all(r["bloom_hit"] for r in rows)
+
+
+def test_cluster_balanced_sample_modes(spark):
+    """cluster_balanced_sample: per-cell cap holds in all three modes;
+    'center' keeps the highest centroid-cosines, 'edge' the lowest,
+    'hash' is deterministic across invocations; assignment is the
+    inlined-centroid projection (no join before the single cap window)."""
+    from mondrian_olap_spark.operators import similarity as sim
+    from mondrian_olap_spark.star import read_parquet_table
+
+    emb = read_parquet_table(
+        spark, "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    center = sim.cluster_balanced_sample(emb, per_cluster=5, n_cells=4)
+    rows = center.collect()
+    by_cell: dict = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+    assert by_cell and all(len(v) <= 5 for v in by_cell.values())
+    # center mode keeps each cell's TOP cosines: every kept row beats
+    # every dropped row of its cell
+    full = sim.cluster_balanced_sample(
+        emb, per_cluster=10**9, n_cells=4
+    ).collect()
+    best: dict = {}
+    for r in full:
+        best.setdefault(r["cell"], []).append(r["centroid_cosine"])
+    for cell, kept in by_cell.items():
+        dropped = sorted(best[cell], reverse=True)[len(kept):]
+        if dropped:
+            assert min(k["centroid_cosine"] for k in kept) >= max(dropped)
+    edge = sim.cluster_balanced_sample(
+        emb, per_cluster=5, n_cells=4, by="edge"
+    ).collect()
+    for r in edge:
+        cell_all = sorted(best[r["cell"]])
+        assert r["centroid_cosine"] <= cell_all[min(5, len(cell_all)) - 1]
+    h1 = sim.cluster_balanced_sample(
+        emb, per_cluster=5, n_cells=4, by="hash"
+    ).collect()
+    h2 = sim.cluster_balanced_sample(
+        emb, per_cluster=5, n_cells=4, by="hash"
+    ).collect()
+    assert sorted(map(tuple, h1)) == sorted(map(tuple, h2))
+    import pytest
+
+    with pytest.raises(ValueError, match="center|edge|hash"):
+        sim.cluster_balanced_sample(emb, 5, by="random")
+    # plan: no join feeds the cap window (assignment is a projection)
+    plan = (sim.cluster_balanced_sample(emb, per_cluster=5, n_cells=4)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Join" not in plan
