@@ -99,6 +99,9 @@ HEADLINE = [
     "default_member_all_gate",
     "vba_excel_breadth_gate",
     "vba_financial_gate",
+    "embed_cluster_balanced_sample",
+    "text_importance_weights",
+    "text_importance_sample_gate",
 ]
 
 

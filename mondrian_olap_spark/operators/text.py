@@ -1436,3 +1436,142 @@ def doc_keywords(
             F.round("score", 6).alias("score"),
         )
     )
+
+
+def importance_weights(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_text_col: str | None = None,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """DSIR-style data-selection weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling" — the
+    bag-of-words form): score every source document by its average
+    per-token log-likelihood ratio under the TARGET domain's unigram
+    model vs the SOURCE corpus's own,
+
+        log_ratio(d) = Σ_w c_d(w) · ln(p_t(w) / p_s(w)) / n_d ,
+
+    with add-``smoothing`` estimates over the UNION vocabulary so both
+    models cover every word:  p(w) = (c_w + s) / (N + s·V).  Documents
+    that look like the target domain score high; boilerplate far from it
+    scores low.  Feed the result to :func:`importance_sample` (or any
+    top-k) to build a target-shaped training mix.
+
+    Scale shape: one (doc, word) count aggregate; two vocabulary-sized
+    word-count aggregates (partial-combined, never collected) outer-
+    merged on the word so union-vocab smoothing is exact; an equi-join
+    from doc-word counts to the merged model; and a per-doc sequential
+    fold over counts sorted by word (module convention:
+    bit-reproducible doubles).  Totals and V are a 1-row broadcast.
+
+    Returns ``(id_col, n_tokens, log_ratio)`` (log_ratio rounded to 6
+    decimals).
+    """
+    from .util import ensure_min_parallelism
+
+    tcol = target_text_col or text_col
+
+    def toks(frame, col, idc=None):
+        sel = [F.explode(
+            F.split(F.trim(F.coalesce(F.col(col), F.lit(""))), r"\s+")
+        ).alias("w")]
+        if idc:
+            sel.insert(0, F.col(idc).alias("id"))
+        return (
+            ensure_min_parallelism(frame).select(*sel)
+            .filter(F.col("w") != "")
+        )
+
+    counts = toks(df, text_col, id_col).groupBy("id", "w").agg(
+        F.count("*").alias("c")
+    )
+    src_m = counts.groupBy("w").agg(F.sum("c").alias("cs"))
+    tgt_m = toks(target, tcol).groupBy("w").agg(
+        F.count("*").alias("ct")
+    )
+    model = (
+        src_m.join(tgt_m, "w", "full_outer")
+        .select(
+            "w",
+            F.coalesce(F.col("cs"), F.lit(0)).alias("cs"),
+            F.coalesce(F.col("ct"), F.lit(0)).alias("ct"),
+        )
+    )
+    totals = model.agg(
+        F.sum("cs").alias("__Ns"), F.sum("ct").alias("__Nt"),
+        F.count("*").alias("__V"),
+    )
+    joined = counts.join(model, "w").crossJoin(F.broadcast(totals))
+    per_doc = joined.groupBy("id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.first("__Ns").alias("__Ns"),
+        F.first("__Nt").alias("__Nt"),
+        F.first("__V").alias("__V"),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("w"), F.col("c"), F.col("cs"),
+                                    F.col("ct")))
+        ).alias("__wc"),
+    )
+    s = float(smoothing)
+    ns = F.col("__Ns").cast("double") + F.lit(s) * F.col("__V").cast("double")
+    nt = F.col("__Nt").cast("double") + F.lit(s) * F.col("__V").cast("double")
+    # fixed op order, mirrored verbatim in the SQL oracle:
+    # term = c · ln(((ct + s) · (Ns + s·V)) / ((cs + s) · (Nt + s·V)))
+    acc = F.aggregate(
+        F.col("__wc"),
+        F.lit(0.0),
+        lambda a, t: a
+        + t["c"].cast("double")
+        * F.log(
+            ((t["ct"].cast("double") + F.lit(s)) * ns)
+            / ((t["cs"].cast("double") + F.lit(s)) * nt)
+        ),
+    )
+    return per_doc.select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        F.round(acc / F.col("n_tokens").cast("double"), 6).alias(
+            "log_ratio"
+        ),
+    )
+
+
+def importance_sample(
+    weights: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    weight_col: str = "log_ratio",
+    temperature: float = 1.0,
+    seed: str = "dsir",
+) -> DataFrame:
+    """Deterministic Gumbel-top-k importance sampling over
+    :func:`importance_weights` output: keep the ``k`` documents with the
+    largest ``weight/temperature + Gumbel(u)`` keys, where the uniform
+    ``u`` derives from ``md5(seed ‖ id)`` — sampling without replacement
+    with inclusion odds ∝ exp(weight/temperature), yet fully
+    reproducible on any engine (no RNG state; the Gumbel-max trick).
+    ``temperature → ∞`` approaches uniform sampling; small temperatures
+    approach plain top-k by weight.  One global top-k (distributed
+    TakeOrdered — no single-task global sort).  Returns the kept rows
+    plus ``gumbel_key``."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed + "|"),
+                               F.col(id_col).cast("string"))), 1, 8
+            ), 16, 10
+        ).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967298.0)  # (hash32 + 1) / (2^32 + 2) ∈ (0, 1) strictly
+    key = (
+        F.col(weight_col).cast("double") / F.lit(float(temperature))
+        - F.log(-F.log(u))
+    )
+    out = weights.withColumn("gumbel_key", key)
+    return (
+        out.orderBy(F.col("gumbel_key").desc(), F.col(id_col))
+        .limit(int(k))
+    )

@@ -4339,3 +4339,104 @@ def embed_cluster_balanced_sample(spark, sf_dir):
         _emb(spark, sf_dir), per_cluster=20, n_cells=8
     )
     return df.withColumn("centroid_cosine", F.round("centroid_cosine", 6))
+
+
+_DSIR_WEIGHTS_SQL = """
+    src AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+    tgt AS (SELECT text FROM documents WHERE source = 'src0'),
+    stoks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM src
+    ),
+    sc AS (
+      SELECT doc_id, w, count(*) AS c FROM stoks WHERE w <> '' GROUP BY 1, 2
+    ),
+    sm AS (SELECT w, CAST(sum(c) AS BIGINT) AS cs FROM sc GROUP BY 1),
+    ttoks AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w FROM tgt
+    ),
+    tm AS (SELECT w, count(*) AS ct FROM ttoks WHERE w <> '' GROUP BY 1),
+    model AS (
+      SELECT coalesce(sm.w, tm.w) AS w,
+             coalesce(cs, 0) AS cs, coalesce(ct, 0) AS ct
+      FROM sm FULL OUTER JOIN tm ON sm.w = tm.w
+    ),
+    tot AS (
+      SELECT CAST(sum(cs) AS DOUBLE) + 1.0 * CAST(count(*) AS DOUBLE) AS ns,
+             CAST(sum(ct) AS DOUBLE) + 1.0 * CAST(count(*) AS DOUBLE) AS nt
+      FROM model
+    ),
+    j AS (
+      SELECT sc.doc_id, sc.w, sc.c, model.cs, model.ct
+      FROM sc JOIN model USING (w)
+    ),
+    d AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             list(struct_pack(c := CAST(c AS DOUBLE),
+                              cs := CAST(cs AS DOUBLE),
+                              ct := CAST(ct AS DOUBLE)) ORDER BY w) AS cl
+      FROM j GROUP BY 1
+    ),
+    wts AS (
+      SELECT doc_id, n_tokens,
+             round(list_reduce(
+                     list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(cl, t ->
+                         t.c * ln(((t.ct + 1.0) * tot.ns)
+                                  / ((t.cs + 1.0) * tot.nt)))),
+                     (a, b) -> a + b)
+                   / CAST(n_tokens AS DOUBLE), 6) AS log_ratio
+      FROM d CROSS JOIN tot
+    )
+"""
+
+
+@q(
+    "text_importance_weights",
+    f"""
+    WITH {_DSIR_WEIGHTS_SQL}
+    SELECT doc_id, n_tokens, log_ratio FROM wts
+    """,
+)
+def text_importance_weights(spark, sf_dir):
+    """DSIR-style data-selection weights (text.importance_weights):
+    average per-token log-likelihood ratio of the target domain's
+    add-one-smoothed unigram model (docs with source='src0') vs the
+    source corpus's own (everything else), union-vocabulary smoothing.
+    Terms fold sorted by word on both engines — bit-exact doubles."""
+    docs = _docs(spark, sf_dir)
+    return text.importance_weights(
+        docs.filter("source <> 'src0'"), docs.filter("source = 'src0'")
+    )
+
+
+@q(
+    "text_importance_sample_gate",
+    f"""
+    WITH {_DSIR_WEIGHTS_SQL},
+    keyed AS (
+      SELECT doc_id, n_tokens, log_ratio,
+             log_ratio / 1.0
+               - ln(0.0 - ln(
+                   (('0x' || substr(md5('dsir|' || CAST(doc_id AS VARCHAR)),
+                               1, 8))::BIGINT + 1.0) / 4294967298.0))
+               AS gumbel_key
+      FROM wts
+    )
+    SELECT doc_id, n_tokens, log_ratio, round(gumbel_key, 6) AS gumbel_key
+    FROM keyed
+    ORDER BY keyed.gumbel_key DESC, doc_id LIMIT 40
+    """,
+)
+def text_importance_sample_gate(spark, sf_dir):
+    """Deterministic Gumbel-top-k importance resampling over the DSIR
+    weights (text.importance_sample): inclusion odds ∝ exp(weight/T)
+    with the uniform derived from md5(seed|id) — reproducible on any
+    engine, no RNG state; one distributed TakeOrdered, no single-task
+    global sort."""
+    docs = _docs(spark, sf_dir)
+    w = text.importance_weights(
+        docs.filter("source <> 'src0'"), docs.filter("source = 'src0'")
+    )
+    out = text.importance_sample(w, k=40)
+    return out.withColumn("gumbel_key", F.round("gumbel_key", 6))

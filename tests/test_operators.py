@@ -3448,3 +3448,42 @@ def test_cluster_balanced_sample_modes(spark):
     plan = (sim.cluster_balanced_sample(emb, per_cluster=5, n_cells=4)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Join" not in plan
+
+
+def test_importance_weights_and_sample(spark):
+    """DSIR importance weights: documents that share the target domain's
+    vocabulary outscore off-domain ones; smoothing keeps every weight
+    finite even for words unseen in the target; Gumbel-top-k sampling is
+    deterministic, keeps exactly k, and at tiny temperature degenerates
+    to plain top-k by weight."""
+    from mondrian_olap_spark.operators import text
+
+    target = spark.createDataFrame(
+        [Row(text="quantum physics entanglement qubit decoherence "
+                  "quantum qubit physics")] * 3
+    )
+    src = spark.createDataFrame([
+        Row(doc_id=1, text="quantum qubit physics entanglement lab"),
+        Row(doc_id=2, text="soccer match goal referee stadium crowd"),
+        Row(doc_id=3, text="quantum soccer physics goal qubit match"),
+    ])
+    w = text.importance_weights(src, target)
+    rows = {r["doc_id"]: r for r in w.collect()}
+    assert set(rows) == {1, 2, 3}
+    # on-domain > mixed > off-domain
+    assert rows[1]["log_ratio"] > rows[3]["log_ratio"] > rows[2]["log_ratio"]
+    assert all(r["n_tokens"] > 0 for r in rows.values())
+    # sampling: deterministic, k rows, near-top-k at small temperature
+    s1 = text.importance_sample(w, k=2).collect()
+    s2 = text.importance_sample(w, k=2).collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
+    assert len(s1) == 2
+    cold = text.importance_sample(w, k=1, temperature=1e-9).collect()
+    assert cold[0]["doc_id"] == 1  # T→0: argmax weight wins
+    # a different seed reshuffles the Gumbel keys (may or may not change
+    # the kept set, but the keys themselves must differ)
+    k_a = {r["doc_id"]: r["gumbel_key"]
+           for r in text.importance_sample(w, k=3, seed="a").collect()}
+    k_b = {r["doc_id"]: r["gumbel_key"]
+           for r in text.importance_sample(w, k=3, seed="b").collect()}
+    assert any(k_a[d] != k_b[d] for d in k_a)
