@@ -102,6 +102,7 @@ HEADLINE = [
     "embed_cluster_balanced_sample",
     "text_importance_weights",
     "text_importance_sample_gate",
+    "embed_semantic_dedup_gate",
 ]
 
 

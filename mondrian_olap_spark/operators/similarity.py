@@ -303,6 +303,110 @@ def cluster_balanced_sample(
     )
 
 
+def cell_blocked_pairs(
+    emb: DataFrame,
+    threshold: float,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list | None = None,
+) -> DataFrame:
+    """Cosine near-dup candidate pairs via IVF-cell BLOCKING — the scale
+    path :func:`cosine_pairs_threshold` is the exact baseline for: each
+    vector joins only vectors sharing one of its ``n_probe`` nearest
+    coarse cells, so candidate volume is Σ|cell|² instead of n².
+    Multi-probe assignment (``n_probe`` ≥ 2) recovers boundary pairs a
+    single-cell blocking would miss; recall is governed by (n_cells,
+    n_probe) exactly as in :func:`ivf_topk`.
+
+    Scale shape: assignment is the inlined-centroid pure projection, one
+    explode to (cell, vector), ONE cell-keyed self-join shuffle, and a
+    pair-distinct (a pair can share several probe cells).  Size
+    ``n_cells`` so the largest cell's square fits a task — thousands of
+    trained cells at corpus scale.
+
+    Returns ``(id_a, id_b, cosine)`` with ``id_a < id_b``.
+    """
+    base = (
+        emb.select(
+            F.col(id_col).alias("id"), _dvec(F.col(vec_col)).alias("v")
+        )
+        .withColumn("nv", norm(F.col("v")))
+        .filter(F.col("nv") > 0)
+    )
+    seeds = centroids if centroids is not None else ivf_seeds(
+        emb, n_cells, id_col, vec_col
+    )
+    entries = [
+        F.struct(
+            cosine(
+                F.col("v"),
+                F.array(*[F.lit(float(x)) for x in s["v"]]),
+                F.col("nv"),
+                F.lit(float(s["nv"])),
+            ).alias("cos"),
+            F.lit(-s["id"]).alias("ncid"),
+        )
+        for s in seeds
+    ]
+    probes = F.slice(F.sort_array(F.array(*entries), asc=False), 1,
+                     int(n_probe))
+    assigned = base.select(
+        "id", "v", "nv",
+        F.explode(probes).alias("__p"),
+    ).select("id", "v", "nv", (-F.col("__p")["ncid"]).alias("cell"))
+    a = assigned.select(
+        F.col("cell"), F.col("id").alias("id_a"),
+        F.col("v").alias("va"), F.col("nv").alias("na"),
+    )
+    b = assigned.select(
+        F.col("cell"), F.col("id").alias("id_b"),
+        F.col("v").alias("vb"), F.col("nv").alias("nb"),
+    )
+    return (
+        a.join(b, ["cell"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            cosine(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")),
+        )
+        .filter(F.col("cosine") >= float(threshold))
+        .select("id_a", "id_b", "cosine")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication at scale: IVF-cell-blocked
+    cosine pairs (:func:`cell_blocked_pairs`) → connected components →
+    one canonical survivor per semantic family — the embedding-space
+    pass a training pipeline runs after text-level dedup, with the
+    candidate stage blocked instead of O(n²).  Returns ``(id, cluster,
+    keep)`` for every nonzero vector (``keep`` = min-id survivor)."""
+    from .dedup import dedup_clusters
+
+    pairs = cell_blocked_pairs(
+        emb, threshold, n_cells=n_cells, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col, centroids=centroids,
+    ).select("id_a", "id_b")
+    nonzero = (
+        emb.select(F.col(id_col).alias("id"),
+                   _dvec(F.col(vec_col)).alias("v"))
+        .filter(norm(F.col("v")) > 0)
+        .select("id")
+    )
+    return dedup_clusters(nonzero, pairs)
+
+
 def ivf_topk(
     emb: DataFrame,
     query_ids: list[int],

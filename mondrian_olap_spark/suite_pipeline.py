@@ -4440,3 +4440,54 @@ def text_importance_sample_gate(spark, sf_dir):
     )
     out = text.importance_sample(w, k=40)
     return out.withColumn("gumbel_key", F.round("gumbel_key", 6))
+
+
+@q(
+    "embed_semantic_dedup_gate",
+    f"""
+    WITH RECURSIVE en AS (
+      SELECT vec_id, {_EMB_D} AS v,
+             sqrt(list_dot_product({_EMB_D}, {_EMB_D})) AS nv
+      FROM embeddings
+      WHERE list_dot_product({_EMB_D}, {_EMB_D}) > 0
+    ),
+    c AS (SELECT vec_id AS cid, v AS cv, nv AS cn FROM en ORDER BY vec_id LIMIT 8),
+    a AS (
+      SELECT en.vec_id, en.v, en.nv, c.cid,
+             row_number() OVER (
+               PARTITION BY en.vec_id
+               ORDER BY list_dot_product(en.v, c.cv) / (en.nv * c.cn) DESC, c.cid
+             ) AS rn
+      FROM en CROSS JOIN c
+    ),
+    probe AS (SELECT vec_id, v, nv, cid AS cell FROM a WHERE rn <= 2),
+    pairs AS (
+      SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM probe x JOIN probe y ON x.cell = y.cell AND x.vec_id < y.vec_id
+      WHERE list_dot_product(x.v, y.v) / (x.nv * y.nv) >= 0.45
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, target) AS (
+      SELECT vec_id, vec_id FROM en
+      UNION
+      SELECT reach.node, edges.dst FROM reach JOIN edges ON edges.src = reach.target
+    )
+    SELECT node AS id, min(target) AS cluster,
+           (node = min(target)) AS keep
+    FROM reach GROUP BY 1
+    """,
+)
+def embed_semantic_dedup_gate(spark, sf_dir):
+    """SemDeDup at scale (similarity.semantic_dedup): IVF-cell-BLOCKED
+    cosine candidate pairs (top-2 multi-probe assignment recovers
+    boundary pairs; candidate volume Σ|cell|², never n²) → connected
+    components → min-id survivor per semantic family.  The oracle
+    reproduces the SAME blocking, so this pins the blocked pipeline
+    end-to-end; embed_dedup_keep_list remains the exact-pairs baseline
+    the blocked recall is judged against."""
+    return similarity.semantic_dedup(
+        _emb(spark, sf_dir), threshold=0.45, n_cells=8, n_probe=2
+    )

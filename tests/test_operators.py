@@ -3487,3 +3487,42 @@ def test_importance_weights_and_sample(spark):
     k_b = {r["doc_id"]: r["gumbel_key"]
            for r in text.importance_sample(w, k=3, seed="b").collect()}
     assert any(k_a[d] != k_b[d] for d in k_a)
+
+
+def test_cell_blocked_pairs_and_semantic_dedup(spark):
+    """cell_blocked_pairs ⊆ exact pairs (blocking never invents a pair,
+    and every reported cosine matches the exact scan); multi-probe
+    blocking recovers a solid share of the exact pair set at the gate
+    knobs; semantic_dedup's components are consistent (one min-id
+    survivor per cluster, every vector labeled)."""
+    from mondrian_olap_spark.operators import similarity as sim
+    from mondrian_olap_spark.star import read_parquet_table
+
+    emb = read_parquet_table(
+        spark, "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in sim.cosine_pairs_threshold(emb, 0.45).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in sim.cell_blocked_pairs(
+            emb, 0.45, n_cells=8, n_probe=2
+        ).collect()
+    }
+    assert set(blocked) <= set(exact)
+    assert all(abs(blocked[k] - exact[k]) < 1e-12 for k in blocked)
+    recall = len(blocked) / max(1, len(exact))
+    assert recall >= 0.5, f"blocked recall {recall:.2f} of {len(exact)} pairs"
+    # wider probing improves recall monotonically
+    blocked4 = sim.cell_blocked_pairs(emb, 0.45, n_cells=8, n_probe=4)
+    assert blocked4.count() >= len(blocked)
+    keep = sim.semantic_dedup(emb, 0.45, n_cells=8, n_probe=2).collect()
+    by_cluster: dict = {}
+    for r in keep:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for cl, members in by_cluster.items():
+        assert min(m["id"] for m in members) == cl
+        assert sum(1 for m in members if m["keep"]) == 1
+        assert next(m for m in members if m["keep"])["id"] == cl
