@@ -103,6 +103,7 @@ HEADLINE = [
     "text_importance_weights",
     "text_importance_sample_gate",
     "embed_semantic_dedup_gate",
+    "text_importance_hashed_gate",
 ]
 
 

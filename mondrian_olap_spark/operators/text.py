@@ -1445,6 +1445,8 @@ def importance_weights(
     text_col: str = "text",
     target_text_col: str | None = None,
     smoothing: float = 1.0,
+    ngram: int = 1,
+    hashed_buckets: int | None = None,
 ) -> DataFrame:
     """DSIR-style data-selection weights (Xie et al. 2023, "Data
     Selection for Language Models via Importance Resampling" — the
@@ -1460,30 +1462,61 @@ def importance_weights(
     scores low.  Feed the result to :func:`importance_sample` (or any
     top-k) to build a target-shaped training mix.
 
-    Scale shape: one (doc, word) count aggregate; two vocabulary-sized
-    word-count aggregates (partial-combined, never collected) outer-
-    merged on the word so union-vocab smoothing is exact; an equi-join
-    from doc-word counts to the merged model; and a per-doc sequential
-    fold over counts sorted by word (module convention:
-    bit-reproducible doubles).  Totals and V are a 1-row broadcast.
+    ``ngram`` > 1 scores token n-grams instead of single words (bigrams
+    capture domain phrasing unigrams miss — the feature DSIR actually
+    uses); ``hashed_buckets`` hashes each feature to
+    ``md5(feature) mod buckets`` first, making the model a FIXED-size
+    vector regardless of vocabulary — the 100 TB form: a few-thousand-row
+    model broadcasts to the doc-feature join instead of shuffling a
+    vocabulary-sized table, and smoothing runs over exactly ``buckets``
+    cells.  Hash collisions only blur the estimate (both corpora collide
+    identically), the standard hashing-trick trade.
+
+    Scale shape: one (doc, feature) count aggregate; two model-sized
+    feature-count aggregates (partial-combined, never collected) outer-
+    merged on the feature so union smoothing is exact; an equi-join from
+    doc-feature counts to the merged model (broadcast when hashed); and
+    a per-doc sequential fold over counts sorted by feature (module
+    convention: bit-reproducible doubles).  Totals and V are a 1-row
+    broadcast.
 
     Returns ``(id_col, n_tokens, log_ratio)`` (log_ratio rounded to 6
-    decimals).
+    decimals; n_tokens counts features, i.e. n-grams).
     """
     from .util import ensure_min_parallelism
 
     tcol = target_text_col or text_col
+    if ngram < 1:
+        raise ValueError(f"ngram must be >= 1, got {ngram}")
 
     def toks(frame, col, idc=None):
-        sel = [F.explode(
-            F.split(F.trim(F.coalesce(F.col(col), F.lit(""))), r"\s+")
-        ).alias("w")]
-        if idc:
-            sel.insert(0, F.col(idc).alias("id"))
-        return (
-            ensure_min_parallelism(frame).select(*sel)
-            .filter(F.col("w") != "")
+        arr = F.filter(
+            F.split(F.trim(F.coalesce(F.col(col), F.lit(""))), r"\s+"),
+            lambda w: w != "",
         )
+        if ngram > 1:
+            # guard short docs: sequence(ngram, size) would DESCEND when
+            # size < ngram and fabricate features
+            idx = F.when(
+                F.size(arr) >= ngram,
+                F.sequence(F.lit(ngram), F.size(arr)),
+            ).otherwise(F.expr("array()").cast("array<int>"))
+            arr = F.transform(
+                idx,
+                lambda i: F.array_join(
+                    F.slice(arr, i - F.lit(ngram - 1), ngram), " "
+                ),
+            )
+        feat = F.explode(arr).alias("w")
+        sel = [feat] if idc is None else [F.col(idc).alias("id"), feat]
+        out = ensure_min_parallelism(frame).select(*sel)
+        if hashed_buckets is not None:
+            out = out.withColumn(
+                "w",
+                F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10)
+                .cast("long") % int(hashed_buckets),
+            )
+        return out
 
     counts = toks(df, text_col, id_col).groupBy("id", "w").agg(
         F.count("*").alias("c")

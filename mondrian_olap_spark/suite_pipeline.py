@@ -4491,3 +4491,86 @@ def embed_semantic_dedup_gate(spark, sf_dir):
     return similarity.semantic_dedup(
         _emb(spark, sf_dir), threshold=0.45, n_cells=8, n_probe=2
     )
+
+
+@q(
+    "text_importance_hashed_gate",
+    """
+    WITH src AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+    tgt AS (SELECT text FROM documents WHERE source = 'src0'),
+    sarr AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         w -> w <> '') AS a
+      FROM src
+    ),
+    sfeat AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(unnest(
+                CASE WHEN len(a) >= 2 THEN
+                  list_transform(range(2, len(a) + 1),
+                                 i -> a[i - 1] || ' ' || a[i])
+                ELSE [] END)), 1, 15))::BIGINT % 4096 AS w
+      FROM sarr
+    ),
+    sc AS (SELECT doc_id, w, count(*) AS c FROM sfeat GROUP BY 1, 2),
+    sm AS (SELECT w, CAST(sum(c) AS BIGINT) AS cs FROM sc GROUP BY 1),
+    tarr AS (
+      SELECT list_filter(string_split_regex(trim(text), '\\s+'),
+                         w -> w <> '') AS a
+      FROM tgt
+    ),
+    tfeat AS (
+      SELECT ('0x' || substr(md5(unnest(
+                CASE WHEN len(a) >= 2 THEN
+                  list_transform(range(2, len(a) + 1),
+                                 i -> a[i - 1] || ' ' || a[i])
+                ELSE [] END)), 1, 15))::BIGINT % 4096 AS w
+      FROM tarr
+    ),
+    tm AS (SELECT w, count(*) AS ct FROM tfeat GROUP BY 1),
+    model AS (
+      SELECT coalesce(sm.w, tm.w) AS w,
+             coalesce(cs, 0) AS cs, coalesce(ct, 0) AS ct
+      FROM sm FULL OUTER JOIN tm ON sm.w = tm.w
+    ),
+    tot AS (
+      SELECT CAST(sum(cs) AS DOUBLE) + 1.0 * CAST(count(*) AS DOUBLE) AS ns,
+             CAST(sum(ct) AS DOUBLE) + 1.0 * CAST(count(*) AS DOUBLE) AS nt
+      FROM model
+    ),
+    j AS (
+      SELECT sc.doc_id, sc.w, sc.c, model.cs, model.ct
+      FROM sc JOIN model USING (w)
+    ),
+    d AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             list(struct_pack(c := CAST(c AS DOUBLE),
+                              cs := CAST(cs AS DOUBLE),
+                              ct := CAST(ct AS DOUBLE)) ORDER BY w) AS cl
+      FROM j GROUP BY 1
+    )
+    SELECT doc_id, n_tokens,
+           round(list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(cl, t ->
+                       t.c * ln(((t.ct + 1.0) * tot.ns)
+                                / ((t.cs + 1.0) * tot.nt)))),
+                   (a, b) -> a + b)
+                 / CAST(n_tokens AS DOUBLE), 6) AS log_ratio
+    FROM d CROSS JOIN tot
+    """,
+)
+def text_importance_hashed_gate(spark, sf_dir):
+    """The production DSIR form: HASHED-BIGRAM importance weights
+    (text.importance_weights with ngram=2, hashed_buckets=4096) — the
+    model is a fixed 4096-cell vector regardless of vocabulary, so it
+    BROADCASTS to the doc-feature join at any corpus size; bigrams
+    capture domain phrasing unigrams miss.  Both engines hash features
+    with the same md5-prefix-mod rule, so collisions — the hashing-trick
+    trade — are identical."""
+    docs = _docs(spark, sf_dir)
+    return text.importance_weights(
+        docs.filter("source <> 'src0'"), docs.filter("source = 'src0'"),
+        ngram=2, hashed_buckets=4096,
+    )

@@ -3526,3 +3526,34 @@ def test_cell_blocked_pairs_and_semantic_dedup(spark):
         assert min(m["id"] for m in members) == cl
         assert sum(1 for m in members if m["keep"]) == 1
         assert next(m for m in members if m["keep"])["id"] == cl
+
+
+def test_importance_weights_hashed_bigrams(spark):
+    """Hashed-bigram DSIR weights (the production form): domain ordering
+    still holds; a sub-ngram-length doc contributes no fabricated
+    features; the fixed-size model BROADCASTS to the doc-feature join."""
+    from mondrian_olap_spark.operators import text
+
+    target = spark.createDataFrame(
+        [Row(text="quantum physics entanglement qubit decoherence "
+                  "quantum qubit physics")] * 3
+    )
+    src = spark.createDataFrame([
+        Row(doc_id=1, text="quantum physics entanglement qubit lab"),
+        Row(doc_id=2, text="soccer match goal referee stadium crowd"),
+        Row(doc_id=3, text="short"),  # 1 token < ngram: no bigrams
+    ])
+    w = text.importance_weights(
+        src, target, ngram=2, hashed_buckets=256
+    )
+    rows = {r["doc_id"]: r for r in w.collect()}
+    # the 1-token doc has no bigram features -> absent from the output
+    assert set(rows) == {1, 2}
+    assert rows[1]["log_ratio"] > rows[2]["log_ratio"]
+    assert rows[1]["n_tokens"] == 4 and rows[2]["n_tokens"] == 5
+    plan = w._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # fixed-size model broadcasts
+    import pytest
+
+    with pytest.raises(ValueError, match="ngram"):
+        text.importance_weights(src, target, ngram=0)
