@@ -3056,3 +3056,44 @@ def test_vba_rate_newton_fold(engine):
         else:
             lo = mid
     assert row["r2"] == round((lo + hi) / 2, 9)
+
+
+def test_excel_trig_log_passthrough(engine):
+    """The Excel.class trig/log family passes through to same-named Spark
+    builtins (acos/acosh/asin/asinh/atanh/cosh/sinh/tanh/degrees/radians/
+    log10/pi) — pinned so a future rewrite pass cannot break them."""
+    import math
+
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[T1] AS 'round(Acos(0.5), 6)'
+             MEMBER [Measures].[T2] AS 'round(Acosh(2), 6)'
+             MEMBER [Measures].[T3] AS 'round(Asin(0.5), 6)'
+             MEMBER [Measures].[T4] AS 'round(Asinh(1), 6)'
+             MEMBER [Measures].[T5] AS 'round(Atanh(0.5), 6)'
+             MEMBER [Measures].[T6] AS 'round(Cosh(1), 6)'
+             MEMBER [Measures].[T7] AS 'round(Sinh(1), 6)'
+             MEMBER [Measures].[T8] AS 'round(Tanh(1), 6)'
+             MEMBER [Measures].[T9] AS 'round(Degrees(Pi()), 6)'
+             MEMBER [Measures].[T10] AS 'round(Radians(180), 6)'
+             MEMBER [Measures].[T11] AS 'round(Log10(1000), 6)'
+        SELECT {[Measures].[T1], [Measures].[T2], [Measures].[T3],
+                [Measures].[T4], [Measures].[T5], [Measures].[T6],
+                [Measures].[T7], [Measures].[T8], [Measures].[T9],
+                [Measures].[T10], [Measures].[T11]} ON COLUMNS
+        FROM [Sales]
+        """,
+    )
+    row = r.df.collect()[0]
+    assert row["t1"] == round(math.acos(0.5), 6)
+    assert row["t2"] == round(math.acosh(2), 6)
+    assert row["t3"] == round(math.asin(0.5), 6)
+    assert row["t4"] == round(math.asinh(1), 6)
+    assert row["t5"] == round(math.atanh(0.5), 6)
+    assert row["t6"] == round(math.cosh(1), 6)
+    assert row["t7"] == round(math.sinh(1), 6)
+    assert row["t8"] == round(math.tanh(1), 6)
+    assert row["t9"] == 180.0
+    assert row["t10"] == round(math.pi, 6)
+    assert row["t11"] == 3.0
