@@ -243,8 +243,9 @@ def auto_materialize(
     # auto_materialize run against the same prefix (periodic re-advising
     # with a changed workload) extends it instead of colliding with —
     # and then dropping — the first run's summaries
-    next_idx = _next_agg_index(_read_agg_manifest(path_prefix)) \
-        if path_prefix is not None else 0
+    next_idx = _next_agg_index(
+        _read_agg_manifest(engine.fact.sparkSession, path_prefix)
+    ) if path_prefix is not None else 0
     for i, rec in enumerate(recs):
         if path_prefix is not None:
             slug = "_".join(
@@ -261,15 +262,22 @@ def auto_materialize(
     return recs
 
 
-def _read_agg_manifest(path_prefix: str) -> dict | None:
-    import json
-    import os
+def _manifest_path(path_prefix: str) -> str:
+    return f"{path_prefix.rstrip('/')}/_agg_manifest.json"
 
-    p = os.path.join(path_prefix, "_agg_manifest.json")
-    if not os.path.exists(p):
+
+def _read_agg_manifest(spark, path_prefix: str) -> dict | None:
+    """Read the manifest through the Hadoop FileSystem API (fsio) so a
+    path_prefix on HDFS/object storage works exactly like a local one —
+    sidecar artifacts must live where the summary parquet lives."""
+    import json
+
+    from . import fsio
+
+    p = _manifest_path(path_prefix)
+    if not fsio.exists(spark, p):
         return None
-    with open(p) as f:
-        return json.load(f)
+    return json.loads(fsio.read_text(spark, p))
 
 
 def _next_agg_index(manifest: dict | None) -> int:
@@ -303,7 +311,6 @@ def _write_agg_manifest(
     produced are preserved, so periodic re-advising never drops
     previously persisted summaries from ``load_materialized``'s view."""
     import json
-    import os
 
     from .model import CalculatedMember
     from .star import _ROLLUP_SAFE
@@ -335,7 +342,7 @@ def _write_agg_manifest(
                 "est_rows": rec.est_rows,
             }
         )
-    existing = _read_agg_manifest(path_prefix)
+    existing = _read_agg_manifest(engine.fact.sparkSession, path_prefix)
     if existing is not None and existing.get("cube") == engine.cube.name:
         new_grains = {frozenset(e["group_outputs"]) for e in entries}
         kept = [
@@ -343,10 +350,13 @@ def _write_agg_manifest(
             if frozenset(e["group_outputs"]) not in new_grains
         ]
         entries = kept + entries
-    os.makedirs(path_prefix, exist_ok=True)
-    with open(os.path.join(path_prefix, "_agg_manifest.json"), "w") as f:
-        json.dump({"cube": engine.cube.name, "aggregates": entries}, f,
-                  indent=2)
+    from . import fsio
+
+    fsio.write_text(
+        engine.fact.sparkSession, _manifest_path(path_prefix),
+        json.dumps({"cube": engine.cube.name, "aggregates": entries},
+                   indent=2),
+    )
 
 
 def load_materialized(engine, path_prefix: str) -> int:
@@ -356,17 +366,19 @@ def load_materialized(engine, path_prefix: str) -> int:
     ``register_aggregate`` each summary parquet — no fact scan, no
     re-aggregation.  Returns the number of summaries registered."""
     import json
-    import os
 
-    manifest_path = os.path.join(path_prefix, "_agg_manifest.json")
-    with open(manifest_path) as f:
-        manifest = json.load(f)
+    from . import fsio
+
+    spark = engine.fact.sparkSession
+    manifest_path = _manifest_path(path_prefix)
+    if not fsio.exists(spark, manifest_path):
+        raise FileNotFoundError(manifest_path)
+    manifest = json.loads(fsio.read_text(spark, manifest_path))
     if manifest.get("cube") != engine.cube.name:
         raise ValueError(
             f"manifest at {manifest_path} was written for cube "
             f"{manifest.get('cube')!r}, not {engine.cube.name!r}"
         )
-    spark = engine.fact.sparkSession
     n = 0
     for entry in manifest["aggregates"]:
         df = spark.read.parquet(entry["path"])

@@ -522,13 +522,14 @@ class CubeEngine:
         Entries match by group-output set; unmatched manifest entries are
         left alone."""
         import json
-        import os
 
-        manifest_path = os.path.join(path_prefix, "_agg_manifest.json")
-        if not os.path.exists(manifest_path):
+        from . import fsio
+
+        spark = self.fact.sparkSession
+        manifest_path = f"{path_prefix.rstrip('/')}/_agg_manifest.json"
+        if not fsio.exists(spark, manifest_path):
             return
-        with open(manifest_path) as f:
-            manifest = json.load(f)
+        manifest = json.loads(fsio.read_text(spark, manifest_path))
         by_grain = {
             frozenset(go): p for _, go, _, p in refreshed if p is not None
         }
@@ -536,8 +537,7 @@ class CubeEngine:
             p = by_grain.get(frozenset(entry["group_outputs"]))
             if p is not None:
                 entry["path"] = p
-        with open(manifest_path, "w") as f:
-            json.dump(manifest, f, indent=2)
+        fsio.write_text(spark, manifest_path, json.dumps(manifest, indent=2))
 
     def enable_cache(self, storage_level=None):
         """Turn on the aggregate cache (CACHE fun-def analog + segment
