@@ -155,10 +155,12 @@ def write_curated(
     if manifest:
         write_manifest(df.sparkSession, path, id_col=order_by)
     if card and "text" in df.columns:
-        import os as _os
+        from .. import fsio
 
-        with open(_os.path.join(path, "_DATASET_CARD.md"), "w") as f:
-            f.write(dataset_card(df, name=card_name))
+        fsio.write_text(
+            df.sparkSession, f"{path.rstrip('/')}/_DATASET_CARD.md",
+            dataset_card(df, name=card_name),
+        )
 
 
 def write_fingerprinted(
@@ -184,9 +186,6 @@ def write_fingerprinted(
     Returns the catalog-backed DataFrame (bucket metadata attached —
     reading the path directly would lose it).
     """
-    import shutil
-    from urllib.parse import urlparse
-
     fp = F.md5(F.lower(F.trim(F.col(text_col)))).alias("fingerprint")
     if "." in table:
         database = table.rsplit(".", 1)[0]
@@ -197,8 +196,9 @@ def write_fingerprinted(
     # the default in-memory catalog forgets tables across sessions but
     # their warehouse locations persist — clear both
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    shutil.rmtree(f"{wh}/{subdir}", ignore_errors=True)
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    loc = spark._jvm.org.apache.hadoop.fs.Path(f"{wh.rstrip('/')}/{subdir}")
+    loc.getFileSystem(spark._jsc.hadoopConfiguration()).delete(loc, True)
     (
         docs.select("*", fp)
         .write.bucketBy(buckets, "fingerprint")
@@ -360,21 +360,38 @@ def output_summary(spark, path: str) -> dict:
     number a compaction decision (:func:`compact_files`) and a writer
     regression test both need.
     """
-    import glob
-    import os as _os
     import statistics
+    from urllib.parse import urlparse
 
-    import pyarrow.parquet as pq
-
-    files = sorted(
-        f
-        for f in glob.glob(f"{path}/**/*.parquet", recursive=True)
-        if not _os.path.basename(f).startswith("_")
-    )
+    # listing via the Hadoop FileSystem API, so the audit works on the
+    # store the data actually lives on (local, HDFS, object stores)
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    files: list[tuple[str, int]] = []
+    if fs.exists(hpath):
+        it = fs.listFiles(hpath, True)
+        while it.hasNext():
+            st = it.next()
+            name = st.getPath().getName()
+            if name.endswith(".parquet") and not name.startswith("_"):
+                files.append(
+                    (str(st.getPath().toUri().getPath()), int(st.getLen()))
+                )
+    files.sort()
     if not files:
         return {"n_files": 0, "total_bytes": 0, "n_rows": 0}
-    sizes = [_os.path.getsize(f) for f in files]
-    rows = sum(pq.read_metadata(f).num_rows for f in files)
+    sizes = [sz for _, sz in files]
+    scheme = urlparse(path).scheme
+    if scheme in ("", "file"):
+        # local fast path: row counts straight from the parquet footers
+        import pyarrow.parquet as pq
+
+        rows = sum(pq.read_metadata(f).num_rows for f, _ in files)
+    else:
+        # remote stores: one Spark count — projects no columns, so the
+        # scan iterates row-group batch counts, not data pages
+        rows = spark.read.parquet(path).count()
     return {
         "n_files": len(files),
         "total_bytes": sum(sizes),
@@ -498,7 +515,6 @@ def write_manifest(spark, path: str, id_col: str = "doc_id") -> dict:
     (the ``_`` prefix keeps it out of parquet data discovery).
     """
     import json
-    import os as _os
 
     from pyspark.sql import functions as F
 
@@ -531,8 +547,12 @@ def write_manifest(spark, path: str, id_col: str = "doc_id") -> dict:
             for r in per
         },
     }
-    with open(_os.path.join(path, "_manifest.json"), "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
+    from .. import fsio
+
+    fsio.write_text(
+        spark, f"{path.rstrip('/')}/_manifest.json",
+        json.dumps(manifest, indent=1, sort_keys=True),
+    )
     return manifest
 
 
@@ -959,9 +979,9 @@ def ingest_state_info(spark, state_dir: str) -> dict:
         "est_fp_rate": est_fp,
         "resize_recommended": est_fp > 0.10,
     }
-    import os
+    from .. import fsio
 
-    if os.path.isdir(f"{root}/minhash"):
+    if fsio.exists(spark, f"{root}/minhash"):
         from .dedup import read_minhash_index
 
         _, params = read_minhash_index(spark, f"{root}/minhash")

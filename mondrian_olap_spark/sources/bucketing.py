@@ -47,14 +47,14 @@ def materialize_bucketed(
 
     def _drop(table: str) -> None:
         # the default in-memory catalog forgets tables across sessions but
-        # their warehouse locations persist — clear both
+        # their warehouse locations persist — clear both (via the Hadoop
+        # FileSystem API, so a non-local warehouse dir works too)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
-        import shutil
-        from urllib.parse import urlparse
-
-        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-        loc = f"{wh}/{database}.db/{table.split('.')[-1]}"
-        shutil.rmtree(loc, ignore_errors=True)
+        wh = spark.conf.get("spark.sql.warehouse.dir")
+        loc = spark._jvm.org.apache.hadoop.fs.Path(
+            f"{wh.rstrip('/')}/{database}.db/{table.split('.')[-1]}"
+        )
+        loc.getFileSystem(spark._jsc.hadoopConfiguration()).delete(loc, True)
 
     for spec in specs:
         df = read_parquet_table(spark, f"{data_dir}/{spec.table}.parquet")
