@@ -104,6 +104,7 @@ HEADLINE = [
     "text_importance_sample_gate",
     "embed_semantic_dedup_gate",
     "text_importance_hashed_gate",
+    "streaming_importance_gate",
 ]
 
 

@@ -1438,6 +1438,37 @@ def doc_keywords(
     )
 
 
+def _feature_array(col, ngram: int, hashed_buckets: int | None):
+    """Per-row DSIR feature array: whitespace tokens → optional n-grams →
+    optional md5-mod bucket ids.  A pure column expression shared by
+    :func:`importance_weights` (exploded) and :func:`score_with_model`
+    (folded in place — the streaming-safe form)."""
+    arr = F.filter(
+        F.split(F.trim(F.coalesce(col, F.lit(""))), r"\s+"),
+        lambda w: w != "",
+    )
+    if ngram > 1:
+        # guard short docs: sequence(ngram, size) would DESCEND when
+        # size < ngram and fabricate features
+        idx = F.when(
+            F.size(arr) >= ngram,
+            F.sequence(F.lit(ngram), F.size(arr)),
+        ).otherwise(F.expr("array()").cast("array<int>"))
+        arr = F.transform(
+            idx,
+            lambda i: F.array_join(
+                F.slice(arr, i - F.lit(ngram - 1), ngram), " "
+            ),
+        )
+    if hashed_buckets is not None:
+        arr = F.transform(
+            arr,
+            lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10)
+            .cast("long") % int(hashed_buckets),
+        )
+    return arr
+
+
 def importance_weights(
     df: DataFrame,
     target: DataFrame,
@@ -1490,33 +1521,11 @@ def importance_weights(
         raise ValueError(f"ngram must be >= 1, got {ngram}")
 
     def toks(frame, col, idc=None):
-        arr = F.filter(
-            F.split(F.trim(F.coalesce(F.col(col), F.lit(""))), r"\s+"),
-            lambda w: w != "",
-        )
-        if ngram > 1:
-            # guard short docs: sequence(ngram, size) would DESCEND when
-            # size < ngram and fabricate features
-            idx = F.when(
-                F.size(arr) >= ngram,
-                F.sequence(F.lit(ngram), F.size(arr)),
-            ).otherwise(F.expr("array()").cast("array<int>"))
-            arr = F.transform(
-                idx,
-                lambda i: F.array_join(
-                    F.slice(arr, i - F.lit(ngram - 1), ngram), " "
-                ),
-            )
-        feat = F.explode(arr).alias("w")
+        feat = F.explode(
+            _feature_array(F.col(col), ngram, hashed_buckets)
+        ).alias("w")
         sel = [feat] if idc is None else [F.col(idc).alias("id"), feat]
-        out = ensure_min_parallelism(frame).select(*sel)
-        if hashed_buckets is not None:
-            out = out.withColumn(
-                "w",
-                F.conv(F.substring(F.md5(F.col("w")), 1, 15), 16, 10)
-                .cast("long") % int(hashed_buckets),
-            )
-        return out
+        return ensure_min_parallelism(frame).select(*sel)
 
     counts = toks(df, text_col, id_col).groupBy("id", "w").agg(
         F.count("*").alias("c")
@@ -1567,6 +1576,120 @@ def importance_weights(
         F.col("id").alias(id_col),
         "n_tokens",
         F.round(acc / F.col("n_tokens").cast("double"), 6).alias(
+            "log_ratio"
+        ),
+    )
+
+
+def importance_model(
+    source: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    target_text_col: str | None = None,
+    smoothing: float = 1.0,
+    ngram: int = 2,
+    hashed_buckets: int = 4096,
+) -> dict:
+    """Collect the HASHED DSIR model as plain data — ``hashed_buckets``
+    source/target counts plus the smoothed totals.  The model is
+    fixed-size (buckets, not vocabulary), so collecting it to the driver
+    is the legitimate model-parameter collect (the IVF-centroid /
+    codebook pattern), and :func:`score_with_model` can inline it as a
+    packed literal: scoring becomes a PURE PROJECTION that runs
+    identically on batch and STREAMING frames.
+
+    Returns ``{"cs", "ct"`` (dense per-bucket count lists)``, "ns", "nt"``
+    (smoothed totals, V = observed union buckets — matching
+    :func:`importance_weights`'s smoothing exactly)``, "smoothing",
+    "ngram", "buckets"}``.
+    """
+    from .util import ensure_min_parallelism
+
+    b = int(hashed_buckets)
+    tcol = target_text_col or text_col
+
+    def bucket_counts(frame, col):
+        return {
+            int(r["w"]): int(r["c"])
+            for r in (
+                ensure_min_parallelism(frame)
+                .select(
+                    F.explode(
+                        _feature_array(F.col(col), ngram, b)
+                    ).alias("w")
+                )
+                .groupBy("w").agg(F.count("*").alias("c"))
+                .collect()  # ≤ hashed_buckets rows — model parameters
+            )
+        }
+
+    cs_map = bucket_counts(source, text_col)
+    ct_map = bucket_counts(target, tcol)
+    v = len(set(cs_map) | set(ct_map))
+    s = float(smoothing)
+    return {
+        "cs": [cs_map.get(i, 0) for i in range(b)],
+        "ct": [ct_map.get(i, 0) for i in range(b)],
+        "ns": float(sum(cs_map.values())) + s * float(v),
+        "nt": float(sum(ct_map.values())) + s * float(v),
+        "smoothing": s,
+        "ngram": int(ngram),
+        "buckets": b,
+    }
+
+
+def score_with_model(
+    df: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents against a collected :func:`importance_model` as a
+    PURE PROJECTION: the per-bucket counts ship as two packed-string
+    literals (the tokens_to_ids / bloom pattern — O(1) plan nodes,
+    constant-folded to array literals), and each row folds its own
+    feature array through the smoothed log-ratio — no join, no shuffle,
+    no aggregation state.  That makes it the STREAMING form of DSIR
+    scoring (append-mode safe inside readStream → writeStream) and the
+    batch form for a model trained once and reused across corpora.
+
+    Output matches :func:`importance_weights` semantics on the same
+    corpora up to summation order (occurrence-order fold here vs
+    count-weighted sorted fold there — equal to float round-off):
+    ``(id_col, n_tokens, log_ratio)`` rounded to 6 decimals; documents
+    with no features are dropped, as there.
+    """
+    s = float(model["smoothing"])
+    ns, nt = float(model["ns"]), float(model["nt"])
+    cs_arr = F.split(
+        F.lit(",".join(map(str, model["cs"]))), ",", -1
+    ).cast("array<double>")
+    ct_arr = F.split(
+        F.lit(",".join(map(str, model["ct"]))), ",", -1
+    ).cast("array<double>")
+    feats = _feature_array(
+        F.col(text_col), int(model["ngram"]), int(model["buckets"])
+    )
+    out = df.withColumn("__feats", feats).filter(F.size("__feats") > 0)
+    acc = F.aggregate(
+        F.col("__feats"),
+        F.lit(0.0),
+        lambda a, bkt: a
+        + F.log(
+            (
+                (F.element_at(ct_arr, bkt.cast("int") + 1) + F.lit(s))
+                * F.lit(ns)
+            )
+            / (
+                (F.element_at(cs_arr, bkt.cast("int") + 1) + F.lit(s))
+                * F.lit(nt)
+            )
+        ),
+    )
+    return out.select(
+        F.col(id_col),
+        F.size("__feats").cast("long").alias("n_tokens"),
+        F.round(acc / F.size("__feats").cast("double"), 6).alias(
             "log_ratio"
         ),
     )

@@ -4574,3 +4574,105 @@ def text_importance_hashed_gate(spark, sf_dir):
         docs.filter("source <> 'src0'"), docs.filter("source = 'src0'"),
         ngram=2, hashed_buckets=4096,
     )
+
+
+@q(
+    "streaming_importance_gate",
+    """
+    WITH src AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'),
+    tgt AS (SELECT text FROM documents WHERE source = 'src0'),
+    sfeat AS (
+      SELECT ('0x' || substr(md5(unnest(
+                CASE WHEN len(a) >= 2 THEN
+                  list_transform(range(2, len(a) + 1),
+                                 i -> a[i - 1] || ' ' || a[i])
+                ELSE [] END)), 1, 15))::BIGINT % 4096 AS w
+      FROM (SELECT list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x <> '') AS a FROM src)
+    ),
+    sm AS (SELECT w, count(*) AS cs FROM sfeat GROUP BY 1),
+    tfeat AS (
+      SELECT ('0x' || substr(md5(unnest(
+                CASE WHEN len(a) >= 2 THEN
+                  list_transform(range(2, len(a) + 1),
+                                 i -> a[i - 1] || ' ' || a[i])
+                ELSE [] END)), 1, 15))::BIGINT % 4096 AS w
+      FROM (SELECT list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x <> '') AS a FROM tgt)
+    ),
+    tm AS (SELECT w, count(*) AS ct FROM tfeat GROUP BY 1),
+    obs AS (
+      SELECT coalesce(sm.w, tm.w) AS w,
+             coalesce(cs, 0) AS cs, coalesce(ct, 0) AS ct
+      FROM sm FULL OUTER JOIN tm ON sm.w = tm.w
+    ),
+    tot AS (
+      SELECT CAST(sum(cs) AS DOUBLE) + 1.0 * CAST(count(*) AS DOUBLE) AS ns,
+             CAST(sum(ct) AS DOUBLE) + 1.0 * CAST(count(*) AS DOUBLE) AS nt
+      FROM obs
+    ),
+    dense AS (
+      SELECT b.b,
+             ln(((coalesce(o.ct, 0) + 1.0) * tot.ns)
+                / ((coalesce(o.cs, 0) + 1.0) * tot.nt)) AS lr
+      FROM (SELECT unnest(range(0, 4096)) AS b) b
+      LEFT JOIN obs o ON o.w = b.b CROSS JOIN tot
+    ),
+    lrl AS (SELECT list(lr ORDER BY b) AS l FROM dense),
+    feats AS (
+      SELECT doc_id,
+             CASE WHEN len(a) >= 2 THEN
+               list_transform(range(2, len(a) + 1),
+                 i -> ('0x' || substr(md5(a[i - 1] || ' ' || a[i]), 1, 15))
+                        ::BIGINT % 4096)
+             ELSE [] END AS bg
+      FROM (SELECT doc_id,
+                   list_filter(string_split_regex(trim(text), '\\s+'),
+                               x -> x <> '') AS a
+            FROM documents)
+    )
+    SELECT doc_id, CAST(len(bg) AS BIGINT) AS n_tokens,
+           round(list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(bg, f -> lrl.l[CAST(f AS INT) + 1])),
+                   (x, y) -> x + y) / CAST(len(bg) AS DOUBLE), 6)
+             AS log_ratio
+    FROM feats CROSS JOIN lrl
+    WHERE len(bg) > 0
+    """,
+)
+def streaming_importance_gate(spark, sf_dir):
+    """DSIR scoring IN MOTION: train the hashed-bigram model once
+    (text.importance_model — a fixed 4096-bucket collect, the
+    model-parameter pattern), then score a STREAM of documents with
+    text.score_with_model — the packed-literal inline-model projection
+    is append-mode safe (no join, no aggregation state), so the same
+    expression curates batch corpora and live feeds.  The oracle
+    recomputes the full model + per-doc occurrence-order fold in SQL;
+    the streamed scores must be bit-exact against it."""
+    import tempfile
+
+    docs = _docs(spark, sf_dir)
+    model = text.importance_model(
+        docs.filter("source <> 'src0'"), docs.filter("source = 'src0'"),
+        ngram=2, hashed_buckets=4096,
+    )
+    work = tempfile.mkdtemp(prefix="stream_dsir_")
+    staging = f"{work}/staging"
+    docs.select("doc_id", "text").write.mode("overwrite").parquet(staging)
+    stream = spark.readStream.schema(
+        docs.select("doc_id", "text").schema
+    ).parquet(staging)
+    scored = text.score_with_model(stream, model)
+    name = "stream_dsir_gate"
+    spark.catalog.dropTempView(name)
+    q_ = (
+        scored.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination(300)
+    return spark.table(name)

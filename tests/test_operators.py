@@ -3557,3 +3557,61 @@ def test_importance_weights_hashed_bigrams(spark):
 
     with pytest.raises(ValueError, match="ngram"):
         text.importance_weights(src, target, ngram=0)
+
+
+def test_importance_model_scorer_batch_equals_weights(spark):
+    """score_with_model (the inline-model pure projection) matches
+    importance_weights on the same corpora to float round-off (the only
+    difference is summation order), scores the SAME values on a batch
+    frame and the identical data streamed (append-safe: no join, no
+    aggregation state), and its plan carries no join."""
+    import math
+    import tempfile
+
+    from mondrian_olap_spark.operators import text
+    from mondrian_olap_spark.star import read_parquet_table
+
+    docs = read_parquet_table(
+        spark, "/root/testdata/sf0.001/documents.parquet"
+    )
+    src = docs.filter("source <> 'src0'")
+    tgt = docs.filter("source = 'src0'")
+    model = text.importance_model(src, tgt, ngram=2, hashed_buckets=512)
+    ref = {
+        r["doc_id"]: r["log_ratio"]
+        for r in text.importance_weights(
+            src, tgt, ngram=2, hashed_buckets=512
+        ).collect()
+    }
+    got = {
+        r["doc_id"]: r["log_ratio"]
+        for r in text.score_with_model(src, model).collect()
+    }
+    assert set(got) == set(ref)
+    assert all(math.isclose(got[d], ref[d], abs_tol=2e-6) for d in got)
+    plan = (text.score_with_model(src, model)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Join" not in plan
+    # streamed scores == batch scores, bit for bit
+    work = tempfile.mkdtemp(prefix="dsir_stream_test_")
+    sel = docs.select("doc_id", "text")
+    sel.write.mode("overwrite").parquet(f"{work}/staging")
+    stream = spark.readStream.schema(sel.schema).parquet(f"{work}/staging")
+    spark.catalog.dropTempView("dsir_stream_test")
+    q_ = (
+        text.score_with_model(stream, model)
+        .writeStream.format("memory").queryName("dsir_stream_test")
+        .outputMode("append")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True).start()
+    )
+    q_.awaitTermination(120)
+    streamed = {
+        r["doc_id"]: r["log_ratio"]
+        for r in spark.table("dsir_stream_test").collect()
+    }
+    batch = {
+        r["doc_id"]: r["log_ratio"]
+        for r in text.score_with_model(sel, model).collect()
+    }
+    assert streamed == batch
