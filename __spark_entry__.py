@@ -41,48 +41,48 @@ def entry(spark: SparkSession) -> DataFrame:
 #: position comes from ``tools/check_oracle.py --exact`` (the gate mirror).
 _LAST_HASHED: dict[str, int] = {
     # last hash-verified green in CORRECTNESS_r02.json
-    "date_functions_by_year": 2,
-    "drilldown_member_region": 2,
-    "empty_cells_grid": 2,
-    "events_daily_users": 2,
-    "member_lookup_strtomember": 2,
-    "member_properties_parts": 2,
-    "parent_child_rollup": 2,
-    "role_region_grant": 2,
-    "scalar_string_math_functions": 2,
-    "set_union_nations": 2,
-    "udf_scaled_revenue": 2,
-    "virtual_sales_orders": 2,
-    "virtual_valid_measure": 2,
-    "visual_totals_regions": 2,
+    "date_functions_by_year": 7,
+    "drilldown_member_region": 7,
+    "empty_cells_grid": 7,
+    "events_daily_users": 7,
+    "member_lookup_strtomember": 7,
+    "member_properties_parts": 7,
+    "parent_child_rollup": 7,
+    "role_region_grant": 7,
+    "scalar_string_math_functions": 7,
+    "set_union_nations": 7,
+    "udf_scaled_revenue": 7,
+    "virtual_sales_orders": 7,
+    "virtual_valid_measure": 7,
+    "visual_totals_regions": 7,
     # last hash-verified green in CORRECTNESS_r03.json
-    "aggregate_routing_gate": 3,
-    "currentdate_member": 3,
-    "dedup_exact_fingerprint": 3,
-    "dedup_keep_list": 3,
-    "dedup_minhash_lsh_pairs": 3,
-    "dedup_ngram_jaccard_pairs": 3,
-    "dedup_simhash_pairs": 3,
-    "descendants_months_mdx": 3,
-    "dimension_calc_member_mdx": 3,
-    "dimension_formula_member": 3,
-    "drilldown_level_top": 3,
-    "drilldown_operator_month": 3,
-    "drillthrough_grouped": 3,
-    "embed_cosine_topk": 3,
-    "embed_ivf_topk": 3,
-    "embed_neardup_pairs": 3,
-    "exists_customers_q1": 3,
-    "extract_hierarchy": 3,
-    "family_navigation_firstchild": 3,
-    "filter_last_regions": 3,
-    "filter_nonempty_grid": 3,
-    "format_strings_gate": 3,
-    "generate_children_drill": 3,
-    "linreg_variance_point": 3,
-    "locale_caption_members": 3,
-    "matches_regex_filter": 3,
-    "measures_allmembers": 3,
+    "aggregate_routing_gate": 7,
+    "currentdate_member": 7,
+    "dedup_exact_fingerprint": 7,
+    "dedup_keep_list": 7,
+    "dedup_minhash_lsh_pairs": 7,
+    "dedup_ngram_jaccard_pairs": 7,
+    "dedup_simhash_pairs": 7,
+    "descendants_months_mdx": 7,
+    "dimension_calc_member_mdx": 7,
+    "dimension_formula_member": 7,
+    "drilldown_level_top": 7,
+    "drilldown_operator_month": 7,
+    "drillthrough_grouped": 7,
+    "embed_cosine_topk": 7,
+    "embed_ivf_topk": 7,
+    "embed_neardup_pairs": 7,
+    "exists_customers_q1": 7,
+    "extract_hierarchy": 7,
+    "family_navigation_firstchild": 7,
+    "filter_last_regions": 7,
+    "filter_nonempty_grid": 7,
+    "format_strings_gate": 7,
+    "generate_children_drill": 7,
+    "linreg_variance_point": 7,
+    "locale_caption_members": 7,
+    "matches_regex_filter": 7,
+    "measures_allmembers": 7,
     "member_captions_suppliers": 3,
     "member_range_years": 3,
     "mixed_depth_axis": 3,
@@ -232,6 +232,16 @@ _LAST_HASHED: dict[str, int] = {
     "topcount_nations": 6,
     "toppercent_nations": 6,
     "topsum_nations": 6,
+    # last hash-verified green in CORRECTNESS_r07.json (round-7 gates)
+    "default_member_all_gate": 7,
+    "embed_cluster_balanced_sample": 7,
+    "embed_semantic_dedup_gate": 7,
+    "streaming_importance_gate": 7,
+    "text_importance_hashed_gate": 7,
+    "text_importance_sample_gate": 7,
+    "text_importance_weights": 7,
+    "vba_excel_breadth_gate": 7,
+    "vba_financial_gate": 7,
 }
 
 

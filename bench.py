@@ -216,24 +216,47 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    "headline-query wall time (warm-cache steady state; "
-                    "cold = fresh plans + flushed caches, warm JVM)"
-                ),
-                "value": round(sum(warm.values()), 3),
-                "unit": "sec",
-                "queries": warm,
-                "cold_value": round(sum(cold.values()), 3),
-                "cold_queries": cold,
-                "cold_gc_ms": cold_gc,
-                "warm_gc_ms": warm_gc,
-                "sf": sf_val,
-            }
-        )
+    # Full per-query detail (warm + cold + GC) goes to BENCH_DETAIL.json —
+    # the stdout contract is ONE short JSON line.  The driver keeps only
+    # the final ~2000 chars of stdout, so the printed line must stay well
+    # under that or it records parsed=null (this silently ate the bench
+    # numbers for rounds 5-7 once the suite passed ~45 entries).
+    detail = {
+        "metric": (
+            "headline-query wall time (warm-cache steady state; "
+            "cold = fresh plans + flushed caches, warm JVM)"
+        ),
+        "value": round(sum(warm.values()), 3),
+        "unit": "sec",
+        "queries": warm,
+        "cold_value": round(sum(cold.values()), 3),
+        "cold_queries": cold,
+        "cold_gc_ms": cold_gc,
+        "warm_gc_ms": warm_gc,
+        "sf": sf_val,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+
+    line = {
+        "metric": "headline warm wall time (full detail: BENCH_DETAIL.json)",
+        "value": detail["value"],
+        "unit": "sec",
+        "cold_value": detail["cold_value"],
+        "queries_n": len(HEADLINE),
+        "sf": sf_val,
+        "queries": {},
+    }
+    # fill `queries` slowest-warm-first until the line nears the budget
+    for name in sorted(warm, key=lambda n: warm[n], reverse=True):
+        line["queries"][name] = warm[name]
+        if len(json.dumps(line, separators=(",", ":"))) > 1700:
+            del line["queries"][name]
+            break
+    print(json.dumps(line, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -145,9 +145,6 @@ _VBA_FN_ALIASES = {
     "dateserial": "make_date",
     # breadth pass (jar!mondrian/olap/fun/vba/Vba method list):
     "strreverse": "reverse",
-    # VBA Weekday default (vbSunday): 1=Sunday..7=Saturday — exactly
-    # Spark's dayofweek numbering
-    "weekday": "dayofweek",
     "datevalue": "to_date",
     "cdate": "to_timestamp",
     "formatnumber": "format_number",
@@ -401,6 +398,24 @@ def _vba_annuity(name: str):
     return repl
 
 
+def _vba_weekday(inner: str):
+    """Weekday(date[, firstdayofweek]) (Vba.weekday): 1-arg form is the
+    vbSunday default — exactly Spark's dayofweek numbering (1=Sunday..
+    7=Saturday).  The 2-arg form rotates so the result is 1 when the day
+    IS firstdayofweek: ``pmod(dayofweek(d) - fdw, 7) + 1``.  The
+    vbUseSystemDayOfWeek sentinel (literal 0) resolves to vbSunday, the
+    reference's default locale."""
+    args = _split_top_args(inner)
+    if len(args) not in (1, 2):
+        return None
+    if len(args) == 1:
+        return f"dayofweek({args[0]})"
+    fdw = args[1].strip()
+    if fdw == "0":  # vbUseSystemDayOfWeek → default-locale Sunday
+        fdw = "1"
+    return f"(pmod(dayofweek({args[0]}) - ({fdw}), 7) + 1)"
+
+
 def _vba_format_datetime(inner: str):
     """FormatDateTime(date[, namedformat]) (Vba.formatDateTime): named
     formats 1 = long date, 2 = short date, 3 = long time, 4 = short
@@ -421,6 +436,17 @@ def _vba_format_datetime(inner: str):
         raise MdxError(
             f"FormatDateTime: named format must be a literal 0-4, "
             f"got {fmt!r}"
+        )
+    if fmt == "0":
+        # VBA general date omits the time portion when it is midnight
+        # (the common DateSerial case) — Java DateFormat.getDateTime
+        # renders it, VBA does not; match VBA
+        a = args[0]
+        return (
+            f"(CASE WHEN cast(({a}) as timestamp) = "
+            f"cast(cast(({a}) as date) as timestamp) "
+            f"THEN date_format(({a}), 'M/d/yyyy') "
+            f"ELSE date_format(({a}), '{pattern}') END)"
         )
     return f"date_format(({args[0]}), '{pattern}')"
 
@@ -1967,7 +1993,11 @@ class MdxParser:
         # breadth pass over the remaining Vba.class / Excel.class names
         # a same-named builtin can't cover (single-argument wraps):
         out = _rewrite_call(out, "cbool", "cast((", ") as boolean)")
-        out = _rewrite_call(out, "cbyte", "cast(bround(", ") as tinyint)")
+        # VBA Byte is UNSIGNED 0..255 — a tinyint cast would wrap
+        # CByte(200) to -56 under Spark's non-ANSI cast; smallint holds
+        # the whole Byte range (values above 255 overflow in VBA; here
+        # they pass through, documented deviation)
+        out = _rewrite_call(out, "cbyte", "cast(bround(", ") as smallint)")
         # Hex/Oct round their argument first (Vba.hex/oct on Double)
         out = _rewrite_call(out, "hex", "hex(cast(bround(", ") as bigint))")
         out = _rewrite_call(
@@ -1991,6 +2021,7 @@ class MdxParser:
             out, "isdate",
             "(try_cast(cast((", ") as string) as timestamp) is not null)",
         )
+        out = _rewrite_paren_call(out, "weekday", _vba_weekday)
         out = _rewrite_paren_call(out, "strcomp", _vba_strcomp)
         out = _rewrite_paren_call(out, "string", _vba_string)
         out = _rewrite_paren_call(out, "mod", _excel_mod)

@@ -160,10 +160,14 @@ class Role:
         """Raise :class:`AccessDenied` when ``depth`` lies outside the
         role's level bounds for this dimension."""
         b = self.level_bounds(dim)
+        if b is not None and depth < 0 and b[0] == 0:
+            # depth -1 = the synthetic All member (above every level).  An
+            # unset topLevel defaults to the hierarchy top (schema.rb
+            # HierarchyGrant), so a bottom-only grant keeps the All member
+            # (and [Dim].DefaultMember) accessible; only a grant whose
+            # loosest top_level sits BELOW the first level denies it.
+            return
         if b is not None and not (b[0] <= depth <= b[1]):
-            # depth -1 = the synthetic All member (above every level): a
-            # level-bounded grant with top_level > 0 denies it, exactly as
-            # it denies the levels above top_level
             name = "(All)" if depth < 0 else dim.levels[depth].name
             raise AccessDenied(
                 f"role {self.name!r} does not grant level "

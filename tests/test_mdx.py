@@ -2927,6 +2927,35 @@ def test_vba_excel_breadth(engine):
     assert row["cb_v"] == 8
 
 
+def test_vba_cbyte_unsigned_and_weekday_firstdayofweek(engine):
+    """Round-8 advisories: CByte is UNSIGNED 0..255 (a tinyint cast
+    wrapped CByte(200) to -56); Weekday's optional firstdayofweek
+    rotates the numbering so firstdayofweek itself maps to 1
+    (Vba.weekday), with the vbUseSystemDayOfWeek sentinel (0) resolving
+    to the vbSunday default."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[CB Hi] AS 'CByte(200)'
+             MEMBER [Measures].[Wk Mon] AS
+               'Weekday(DateSerial(1995, 7, 14), 2)'
+             MEMBER [Measures].[Wk Sys] AS
+               'Weekday(DateSerial(1995, 7, 14), 0)'
+             MEMBER [Measures].[Wk Fri] AS
+               'Weekday(DateSerial(1995, 7, 14), 6)'
+        SELECT {[Measures].[CB Hi], [Measures].[Wk Mon],
+                [Measures].[Wk Sys], [Measures].[Wk Fri]} ON COLUMNS
+        FROM [Sales]
+        """,
+    )
+    row = r.df.collect()[0]
+    assert row["cb_hi"] == 200            # not -56
+    # 1995-07-14 is a Friday: vbMonday start → Mon=1..Fri=5
+    assert row["wk_mon"] == 5
+    assert row["wk_sys"] == 6             # sentinel 0 = vbSunday default
+    assert row["wk_fri"] == 1             # week starting Friday
+
+
 def test_vba_annuity_functions(engine):
     """Pmt/FV/PV/NPer (Vba.pmt/fV/pV/nPer): standard time-value-of-money
     closed forms, VBA sign convention (outgoing negative), rate = 0
@@ -2986,6 +3015,25 @@ def test_vba_format_datetime(engine):
     assert row["f1"] == "Friday, July 14, 1995"
     assert row["f2"] == "7/14/1995"
     assert row["f4"] == "00:00"
+    # general date (format 0, the default): VBA drops the time portion
+    # when it is midnight — the common DateSerial case (round-8 advisory)
+    r0 = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[G Mid] AS
+               'FormatDateTime(DateSerial(1995, 7, 14), 0)'
+             MEMBER [Measures].[G Dflt] AS
+               'FormatDateTime(DateSerial(1995, 7, 14))'
+             MEMBER [Measures].[G Time] AS
+               'FormatDateTime(CDate("1995-07-14 13:05:07"), 0)'
+        SELECT {[Measures].[G Mid], [Measures].[G Dflt],
+                [Measures].[G Time]} ON COLUMNS FROM [Sales]
+        """,
+    )
+    row0 = r0.df.collect()[0]
+    assert row0["g_mid"] == "7/14/1995"
+    assert row0["g_dflt"] == "7/14/1995"
+    assert row0["g_time"] == "7/14/1995 1:05:07 PM"
     with pytest.raises(MdxError, match="named format"):
         execute_mdx(
             engine,

@@ -190,6 +190,39 @@ def test_include_empty_honors_grants(engine):
     assert {r["region_name"] for r in df.collect()} == {"ASIA"}
 
 
+def test_bottom_only_grant_keeps_all_member(engine):
+    """A hierarchy grant that sets only bottom_level leaves topLevel at
+    the hierarchy top (schema.rb HierarchyGrant default), so the
+    synthetic All member — and [Dim].DefaultMember — stays accessible;
+    only an explicit top_level BELOW the first level denies it."""
+    from mondrian_olap_spark.roles import HierarchyGrant
+
+    bottom_only = Role(
+        "bottom_only",
+        hierarchy_grants=(HierarchyGrant("Customer", bottom_level="Nation"),),
+    )
+    eng = engine.with_role(bottom_only)
+    df = (
+        Query(eng)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].DefaultMember")
+        .execute()
+        .df
+    )
+    assert df.count() == 1  # the grand-total All row
+    # an explicit top_level below the first level still denies All
+    nation_top = Role(
+        "nation_top",
+        hierarchy_grants=(
+            HierarchyGrant("Customer", top_level="Nation", bottom_level="Nation"),
+        ),
+    )
+    with pytest.raises(AccessDenied, match=r"\(All\)"):
+        Query(engine.with_role(nation_top)).columns(
+            "[Measures].[Sum Qty]"
+        ).rows("[Customer].DefaultMember").execute()
+
+
 def test_hierarchy_grant_level_bounds(engine):
     """top_level/bottom_level grants (schema.rb:440-466): querying or
     listing levels outside the bounds is denied."""
