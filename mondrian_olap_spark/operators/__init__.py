@@ -12,6 +12,7 @@ only where Python is genuinely required (multimodal decode).
 from . import (  # noqa: F401
     dedup,
     events,
+    finance,
     multimodal,
     packing,
     pipeline,

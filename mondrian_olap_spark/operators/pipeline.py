@@ -353,6 +353,97 @@ def shuffle_order(
     return ranked.drop("__skey")
 
 
+def plan_shards(
+    docs: DataFrame,
+    num_shards: int | None = None,
+    target_tokens: int | None = None,
+    token_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "shards0",
+    shard_col: str = "shard_id",
+) -> DataFrame:
+    """Plan token-BALANCED output shards: every document is assigned a
+    ``shard_col`` so that consecutive shards carry ~equal token mass —
+    the layout a training job wants (each data-loader worker streams one
+    shard; a size-skewed shard is a straggler for the whole epoch).
+    Pass ``num_shards`` (balance the whole corpus into N) or
+    ``target_tokens`` (open a new shard every ~T tokens).
+
+    Documents are first placed in the content-addressed pseudo-random
+    order of :func:`shuffle_order` (md5(seed:id) — deterministic under
+    any partitioning, and a fresh ``seed`` re-deals the shards), then cut
+    into contiguous token-budget runs via an exact distributed prefix sum
+    (:func:`~.util.distributed_cumsum` — two-phase, never a single-task
+    global window).  A document always lands wholly in the shard where
+    its run begins, so a shard can exceed the target by at most one
+    document's tokens.
+
+    All integer arithmetic — reproducible bit-for-bit on any engine.
+    Returns ``(id_col, n_tokens, cum_tokens, shard_col)``.
+    """
+    from .util import distributed_cumsum
+
+    if (num_shards is None) == (target_tokens is None):
+        raise ValueError("pass exactly one of num_shards / target_tokens")
+    if token_col is None:
+        n_tok = F.size(F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"))
+    else:
+        n_tok = F.col(token_col)
+    skey = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    base = docs.select(
+        F.col(id_col),
+        n_tok.cast("long").alias("n_tokens"),
+        skey.alias("__skey"),
+    )
+    cum = distributed_cumsum(
+        base, ["__skey", id_col], "n_tokens", cumsum_col="cum_tokens"
+    )
+    # `div` = exact integer division (all quantities are non-negative
+    # longs) — no double quotient to misround at 100 TB token counts
+    if target_tokens is not None:
+        shard = F.expr(
+            f"(cum_tokens - n_tokens) div {int(target_tokens)}"
+        )
+        out = cum.withColumn(shard_col, shard.cast("long"))
+    else:
+        # target = ceil(total/num_shards), computed plan-side: the 1-row
+        # total broadcast-crossjoins back (no driver round-trip)
+        total = base.agg(F.sum("n_tokens").alias("__total"))
+        cum = cum.crossJoin(F.broadcast(total))
+        shard = F.least(
+            F.expr(
+                "(cum_tokens - n_tokens) div "
+                f"((__total + {int(num_shards)} - 1) div {int(num_shards)})"
+            ),
+            F.lit(int(num_shards) - 1),
+        )
+        out = cum.withColumn(shard_col, shard.cast("long")).drop("__total")
+    return out.drop("__skey")
+
+
+def shard_summary(
+    planned: DataFrame, shard_col: str = "shard_id"
+) -> DataFrame:
+    """Per-shard audit of a :func:`plan_shards` assignment: document
+    count, token mass, and the min/max doc size in the shard — the
+    balance report a writer checks before burning I/O on the layout."""
+    return planned.groupBy(shard_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("n_tokens").alias("min_doc_tokens"),
+        F.max("n_tokens").alias("max_doc_tokens"),
+    )
+
+
 def output_summary(spark, path: str) -> dict:
     """File-level audit of a written dataset: file count, total bytes,
     row count, and size distribution (min/median/max file bytes) — read

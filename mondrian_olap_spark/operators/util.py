@@ -270,6 +270,45 @@ def distributed_rank(
     )
 
 
+def distributed_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    cumsum_col: str = "cumsum",
+    pin: bool = True,
+) -> DataFrame:
+    """Exact INCLUSIVE prefix sum of ``value_col`` over a total order,
+    without the single-task global window — the same two-phase shape as
+    :func:`distributed_rank`: range-partition on the order columns,
+    per-partition window cumsum (parallel), per-partition totals rolled
+    into broadcast prefix offsets.  ``order_cols`` must define a total
+    order (append a unique id as the final tiebreak)."""
+    work = df.repartitionByRange(*order_cols)
+    if pin:
+        work = work.localCheckpoint(eager=False)
+    with_pid = work.withColumn("__pid", F.spark_partition_id())
+    totals = with_pid.groupBy("__pid").agg(
+        F.sum(F.col(value_col)).alias("__t")
+    )
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "__off", F.coalesce(F.sum("__t").over(w_off), F.lit(0))
+    ).drop("__t")
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    summed = with_pid.withColumn(
+        "__local", F.sum(F.col(value_col)).over(w_local)
+    )
+    return (
+        summed.join(F.broadcast(offsets), "__pid")
+        .withColumn(cumsum_col, (F.col("__off") + F.col("__local")).cast("long"))
+        .drop("__pid", "__local", "__off")
+    )
+
+
 def profile_columns(df, cols: list[str] | None = None):
     """One-pass data-quality profile: per column, the row count, NULL
     count, exact distinct count, and min/max (stringified) — the ingest

@@ -4676,3 +4676,178 @@ def streaming_importance_gate(spark, sf_dir):
     )
     q_.awaitTermination(300)
     return spark.table(name)
+
+
+# ------------------------------------------------------------- finance
+
+@q(
+    "finance_npv_irr_by_nation",
+    """
+    WITH RECURSIVE cf AS (
+      SELECT nation_name AS grp, list(cf ORDER BY yr) AS cfs FROM (
+        SELECT n_name AS nation_name, yr,
+               CASE WHEN yr = 1995 THEN -2.0 * rev ELSE rev END AS cf
+        FROM (
+          SELECT n_name, year(o_orderdate) AS yr,
+                 CAST(sum(o_totalprice) AS DOUBLE) AS rev
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          GROUP BY 1, 2
+        )
+      ) GROUP BY 1 HAVING count(*) = 7
+    ),
+    np AS (
+      SELECT grp, 0 AS pos, CAST(1.08 AS DOUBLE) AS df,
+             CAST(0.0 AS DOUBLE) AS v
+      FROM cf
+      UNION ALL
+      SELECT np.grp, pos + 1, df * (1.0 + CAST(0.08 AS DOUBLE)),
+             v + list_extract(cfs, pos + 1) / df
+      FROM np JOIN cf USING (grp)
+      WHERE pos < len(cfs)
+    ),
+    it AS (
+      SELECT grp, 0 AS n, 0 AS pos,
+             CAST(1.0 AS DOUBLE) AS df, CAST(0.0 AS DOUBLE) AS f,
+             CAST(0.0 AS DOUBLE) AS fp, CAST(0.1 AS DOUBLE) AS r
+      FROM cf
+      UNION ALL
+      SELECT it.grp,
+             CASE WHEN pos < len(cfs) THEN n ELSE n + 1 END AS n,
+             CASE WHEN pos < len(cfs) THEN pos + 1 ELSE 0 END AS pos,
+             CASE WHEN pos < len(cfs) THEN df * (1.0 + r)
+                  ELSE CAST(1.0 AS DOUBLE) END AS df,
+             CASE WHEN pos < len(cfs) THEN f + list_extract(cfs, pos + 1) / df
+                  ELSE CAST(0.0 AS DOUBLE) END AS f,
+             CASE WHEN pos < len(cfs)
+                  THEN fp - CAST(pos AS DOUBLE) * list_extract(cfs, pos + 1)
+                       / (df * (1.0 + r))
+                  ELSE CAST(0.0 AS DOUBLE) END AS fp,
+             CASE WHEN pos < len(cfs) THEN r ELSE r - f / fp END AS r
+      FROM it JOIN cf USING (grp)
+      WHERE n * (len(cfs) + 1) + pos < 40 * (len(cfs) + 1)
+    )
+    SELECT cf.grp AS nation_name, np.v AS npv, it.r AS irr
+    FROM cf
+    JOIN np ON np.grp = cf.grp AND np.pos = len(cf.cfs)
+    JOIN it ON it.grp = cf.grp AND it.n = 40 AND it.pos = 0
+    """,
+)
+def finance_npv_irr_by_nation(spark, sf_dir):
+    """Per-nation investment appraisal straight off the fact table: the
+    1995 order revenue (doubled) is the outlay, 1996-2001 revenues the
+    inflows; NPV at 8% and IRR per VBA semantics (Vba.nPV/iRR — the
+    reference exposes these only to host code because MDX cannot build
+    double[] arrays; here they are grouped-cashflow aggregates).  The
+    Newton iteration runs as ONE Spark `aggregate` fold inside codegen
+    with multiplication-advanced discount factors, and the oracle
+    replays the identical + * / sequence as a recursive-CTE state
+    machine (DuckDB's list_reduce struct-state is broken in 1.0) —
+    bit-exact across all 40 steps including the converged last-ulp
+    oscillation."""
+    from .operators import finance
+
+    orders = read_parquet_table(spark, f"{sf_dir}/orders.parquet")
+    customer = read_parquet_table(spark, f"{sf_dir}/customer.parquet")
+    nation = read_parquet_table(spark, f"{sf_dir}/nation.parquet")
+    rev = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.year("o_orderdate").alias("yr"),
+        )
+        .agg(F.sum("o_totalprice").cast("double").alias("rev"))
+    )
+    cfrows = rev.withColumn(
+        "cf",
+        F.when(F.col("yr") == 1995, F.lit(-2.0) * F.col("rev")).otherwise(
+            F.col("rev")
+        ),
+    )
+    series = finance.cashflows(cfrows, ["nation_name"], "yr", "cf").filter(
+        F.size("cfs") == 7
+    )
+    out = finance.with_irr(finance.with_npv(series, 0.08))
+    return out.select("nation_name", "npv", "irr")
+
+
+@q(
+    "pipeline_plan_shards",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(coalesce(text, '')), '\s+'))
+                  AS BIGINT) AS n_tokens,
+             ('0x' || substr(md5('shards0:' || doc_id), 1, 15))::BIGINT AS skey
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               ORDER BY skey, doc_id ROWS UNBOUNDED PRECEDING
+             ) AS BIGINT) AS cum_tokens,
+             CAST(sum(n_tokens) OVER () AS BIGINT) AS total
+      FROM t
+    )
+    SELECT doc_id, n_tokens, cum_tokens,
+           CAST(least((cum_tokens - n_tokens) // ((total + 7) // 8), 7)
+                AS BIGINT) AS shard_id
+    FROM c
+    """,
+)
+def pipeline_plan_shards(spark, sf_dir):
+    """Token-balanced shard planning through the driver gate: documents
+    in the content-addressed epoch order are cut into 8 contiguous
+    token-budget runs — pipeline.plan_shards computes the INCLUSIVE
+    prefix sum via util.distributed_cumsum (range partition +
+    per-partition window + broadcast prefix offsets, never a single-task
+    global window) and assigns shards by exact integer division; the
+    oracle is the plain SQL window.  Pure integer arithmetic — bit-exact
+    at any corpus size."""
+    from .operators import pipeline as pl
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return pl.plan_shards(docs, num_shards=8, seed="shards0")
+
+
+@q(
+    "pipeline_shard_summary",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(coalesce(text, '')), '\s+'))
+                  AS BIGINT) AS n_tokens,
+             ('0x' || substr(md5('shards0:' || doc_id), 1, 15))::BIGINT AS skey
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               ORDER BY skey, doc_id ROWS UNBOUNDED PRECEDING
+             ) AS BIGINT) AS cum_tokens,
+             CAST(sum(n_tokens) OVER () AS BIGINT) AS total
+      FROM t
+    ),
+    s AS (
+      SELECT n_tokens,
+             CAST(least((cum_tokens - n_tokens) // ((total + 7) // 8), 7)
+                  AS BIGINT) AS shard_id
+      FROM c
+    )
+    SELECT shard_id, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(min(n_tokens) AS BIGINT) AS min_doc_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_doc_tokens
+    FROM s GROUP BY 1
+    """,
+)
+def pipeline_shard_summary(spark, sf_dir):
+    """The per-shard balance audit of the same plan (doc count, token
+    mass, min/max doc size) — the report a writer checks for stragglers
+    before burning I/O on the physical layout."""
+    from .operators import pipeline as pl
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return pl.shard_summary(pl.plan_shards(docs, num_shards=8, seed="shards0"))

@@ -3615,3 +3615,145 @@ def test_importance_model_scorer_batch_equals_weights(spark):
         for r in text.score_with_model(sel, model).collect()
     }
     assert streamed == batch
+
+
+# ------------------------------------------------------------- finance
+
+
+def test_finance_npv_irr_mirr(spark):
+    """NPV/IRR/MIRR over grouped ordered cashflows (Vba.nPV/iRR/mIRR
+    semantics): NPV discounts the first value one period; IRR solves
+    f(r)=0 from time-0 flows; MIRR compounds positives at the reinvest
+    rate and discounts negatives at the finance rate.  Pinned against
+    independent Python arithmetic."""
+    from mondrian_olap_spark.operators import finance
+
+    rows = [
+        Row(grp="a", t=i, v=float(v))
+        for i, v in enumerate([-1000.0, 300.0, 420.0, 680.0])
+    ] + [
+        Row(grp="b", t=i, v=float(v))
+        for i, v in enumerate([-5000.0, 1500.0, 1500.0, 1500.0, 1500.0])
+    ]
+    df = spark.createDataFrame(rows)
+    series = finance.cashflows(df, ["grp"], "t", "v")
+    out = {
+        r["grp"]: r
+        for r in finance.with_mirr(
+            finance.with_irr(finance.with_npv(series, 0.08)),
+            finance_rate=0.1,
+            reinvest_rate=0.12,
+        ).collect()
+    }
+
+    import math
+
+    def ref_npv(rate, cfs):
+        return sum(c / (1 + rate) ** (i + 1) for i, c in enumerate(cfs))
+
+    def ref_irr(cfs, guess=0.1, steps=200):
+        r = guess
+        for _ in range(steps):
+            f = sum(c / (1 + r) ** i for i, c in enumerate(cfs))
+            fp = sum(-i * c / (1 + r) ** (i + 1) for i, c in enumerate(cfs))
+            r2 = r - f / fp
+            if r2 == r:
+                break
+            r = r2
+        return r
+
+    def ref_mirr(cfs, frate, rrate):
+        n = len(cfs)
+        npv_pos = ref_npv(rrate, [max(c, 0.0) for c in cfs])
+        npv_neg = ref_npv(frate, [min(c, 0.0) for c in cfs])
+        return (
+            (-npv_pos * (1 + rrate) ** n) / (npv_neg * (1 + frate))
+        ) ** (1 / (n - 1)) - 1
+
+    cfs_a = [-1000.0, 300.0, 420.0, 680.0]
+    cfs_b = [-5000.0, 1500.0, 1500.0, 1500.0, 1500.0]
+    assert out["a"]["npv"] == pytest.approx(ref_npv(0.08, cfs_a), rel=1e-12)
+    assert out["b"]["npv"] == pytest.approx(ref_npv(0.08, cfs_b), rel=1e-12)
+    # IRR: npv at the solved rate is ~0 and matches the Python Newton
+    assert out["a"]["irr"] == pytest.approx(ref_irr(cfs_a), rel=1e-9)
+    assert out["b"]["irr"] == pytest.approx(ref_irr(cfs_b), rel=1e-9)
+    for g, cfs in (("a", cfs_a), ("b", cfs_b)):
+        r = out[g]["irr"]
+        assert abs(sum(c / (1 + r) ** i for i, c in enumerate(cfs))) < 1e-6
+    assert out["a"]["mirr"] == pytest.approx(
+        ref_mirr(cfs_a, 0.1, 0.12), rel=1e-12
+    )
+    assert out["b"]["mirr"] == pytest.approx(
+        ref_mirr(cfs_b, 0.1, 0.12), rel=1e-12
+    )
+
+
+def test_finance_cashflows_order_independent(spark):
+    """cashflows() sorts by the order column inside the aggregation —
+    the array (and thus IRR) is identical under any input partitioning
+    or row order."""
+    from mondrian_olap_spark.operators import finance
+
+    rows = [Row(grp="a", t=t, v=float(v)) for t, v in
+            [(3, 680.0), (0, -1000.0), (2, 420.0), (1, 300.0)]]
+    df = spark.createDataFrame(rows).repartition(7)
+    got = finance.cashflows(df, ["grp"], "t", "v").collect()[0]["cfs"]
+    assert got == [-1000.0, 300.0, 420.0, 680.0]
+
+
+def test_plan_shards_balance_and_modes(spark):
+    """plan_shards: shards are contiguous token-budget runs in the
+    deterministic epoch order; num_shards mode balances within one
+    document's tokens; target_tokens mode opens a shard every ~T;
+    assignment is invariant to input partitioning."""
+    from mondrian_olap_spark.operators import pipeline as pl
+
+    rows = [Row(doc_id=i, text=" ".join(["w"] * (5 + (i * 7) % 23)))
+            for i in range(100)]
+    docs = spark.createDataFrame(rows)
+    planned = pl.plan_shards(docs, num_shards=4).collect()
+    by_shard = {}
+    for r in planned:
+        by_shard.setdefault(r["shard_id"], []).append(r)
+    assert set(by_shard) == {0, 1, 2, 3}
+    total = sum(r["n_tokens"] for r in planned)
+    target = -(-total // 4)
+    max_doc = max(r["n_tokens"] for r in planned)
+    for sid, rs in by_shard.items():
+        mass = sum(r["n_tokens"] for r in rs)
+        if sid < 3:  # the last shard takes the remainder
+            assert mass <= target + max_doc
+    # shards are contiguous in cum_tokens order
+    for r in planned:
+        assert r["shard_id"] == min((r["cum_tokens"] - r["n_tokens"]) // target, 3)
+
+    # partitioning invariance
+    p2 = {r["doc_id"]: r["shard_id"]
+          for r in pl.plan_shards(docs.repartition(13), num_shards=4).collect()}
+    assert p2 == {r["doc_id"]: r["shard_id"] for r in planned}
+
+    # target_tokens mode
+    t = pl.plan_shards(docs, target_tokens=100).collect()
+    for r in t:
+        assert r["shard_id"] == (r["cum_tokens"] - r["n_tokens"]) // 100
+
+    with pytest.raises(ValueError, match="exactly one"):
+        pl.plan_shards(docs)
+    with pytest.raises(ValueError, match="exactly one"):
+        pl.plan_shards(docs, num_shards=4, target_tokens=10)
+
+
+def test_distributed_cumsum_exact(spark):
+    """distributed_cumsum equals the single-task window cumsum on any
+    partitioning (inclusive prefix sum, total order by (key, id))."""
+    from mondrian_olap_spark.operators.util import distributed_cumsum
+
+    rows = [Row(id=i, k=(i * 37) % 11, v=(i % 7) + 1) for i in range(200)]
+    df = spark.createDataFrame(rows).repartition(9)
+    got = {r["id"]: r["cs"] for r in
+           distributed_cumsum(df, ["k", "id"], "v", cumsum_col="cs").collect()}
+    ordered = sorted(rows, key=lambda r: (r.k, r.id))
+    run = 0
+    for r in ordered:
+        run += r.v
+        assert got[r.id] == run
