@@ -105,6 +105,12 @@ HEADLINE = [
     "embed_semantic_dedup_gate",
     "text_importance_hashed_gate",
     "streaming_importance_gate",
+    # round-8 operators
+    "finance_npv_irr_by_nation",
+    "pipeline_plan_shards",
+    "pipeline_shard_summary",
+    "embed_ann_recall_gate",
+    "documents_quality_cube",
 ]
 
 

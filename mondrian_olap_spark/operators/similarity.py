@@ -490,6 +490,40 @@ def ivf_topk(
     )
 
 
+def recall_report(
+    exact: DataFrame,
+    approx: DataFrame,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Measured recall@k of ANY approximate top-k result against the
+    exact baseline — the "measure, don't guess" report that turns an
+    IVF/PQ/LSH knob choice (n_probe, planes, cells) into a number before
+    the index ships.  Per query: the true-neighbor count, how many the
+    approximate path found, and the recall fraction.
+
+    Both inputs are (query, neighbor) lists — queries × k rows, tiny
+    regardless of corpus size, so the comparison join costs nothing next
+    to the searches themselves.  Queries whose approximate list found no
+    true neighbor still appear (recall 0.0)."""
+    ex = exact.select(query_col, neighbor_col)
+    ap = approx.select(query_col, neighbor_col)
+    truth = ex.groupBy(query_col).agg(F.count("*").alias("n_true"))
+    hits = (
+        ex.join(ap, [query_col, neighbor_col])
+        .groupBy(query_col)
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        truth.join(hits, query_col, "left")
+        .na.fill(0, ["n_hit"])
+        .withColumn(
+            "recall",
+            F.col("n_hit").cast("double") / F.col("n_true").cast("double"),
+        )
+    )
+
+
 def write_ivf_index(
     emb: DataFrame,
     path: str,

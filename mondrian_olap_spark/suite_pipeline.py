@@ -4851,3 +4851,139 @@ def pipeline_shard_summary(spark, sf_dir):
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     return pl.shard_summary(pl.plan_shards(docs, num_shards=8, seed="shards0"))
+
+
+@q(
+    "embed_ann_recall_gate",
+    f"""
+    WITH en AS (
+      SELECT vec_id, {_EMB_D} AS v,
+             sqrt(list_dot_product({_EMB_D}, {_EMB_D})) AS nv
+      FROM embeddings
+      WHERE list_dot_product({_EMB_D}, {_EMB_D}) > 0
+    ),
+    qv AS (
+      SELECT vec_id AS query_id, v AS qvec, nv AS qn FROM en
+      WHERE vec_id IN (0, 100, 200, 300, 400)
+    ),
+    exact AS (
+      SELECT query_id, en.vec_id AS neighbor_id
+      FROM qv JOIN en ON en.vec_id <> qv.query_id
+      QUALIFY row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY list_dot_product(qvec, v) / (qn * nv) DESC, neighbor_id
+      ) <= 10
+    ),
+    c AS (SELECT vec_id AS cid, v AS cv, nv AS cn FROM en ORDER BY vec_id LIMIT 8),
+    a AS (
+      SELECT en.vec_id, c.cid,
+             row_number() OVER (
+               PARTITION BY en.vec_id
+               ORDER BY list_dot_product(en.v, c.cv) / (en.nv * c.cn) DESC, c.cid
+             ) AS rn
+      FROM en CROSS JOIN c
+    ),
+    cell AS (SELECT vec_id, cid AS cell FROM a WHERE rn = 1),
+    probe AS (
+      SELECT vec_id AS query_id, cid AS cell FROM a
+      WHERE rn <= 2 AND vec_id IN (0, 100, 200, 300, 400)
+    ),
+    approx AS (
+      SELECT p.query_id, ce.vec_id AS neighbor_id
+      FROM probe p
+      JOIN cell ce ON ce.cell = p.cell AND ce.vec_id <> p.query_id
+      JOIN en q ON q.vec_id = p.query_id
+      JOIN en n ON n.vec_id = ce.vec_id
+      QUALIFY row_number() OVER (
+        PARTITION BY p.query_id
+        ORDER BY list_dot_product(q.v, n.v) / (q.nv * n.nv) DESC, ce.vec_id
+      ) <= 10
+    ),
+    truth AS (SELECT query_id, count(*) AS n_true FROM exact GROUP BY 1),
+    hits AS (
+      SELECT e.query_id, count(*) AS n_hit
+      FROM exact e JOIN approx x
+        ON x.query_id = e.query_id AND x.neighbor_id = e.neighbor_id
+      GROUP BY 1
+    )
+    SELECT truth.query_id, CAST(n_true AS BIGINT) AS n_true,
+           CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+           CAST(coalesce(n_hit, 0) AS DOUBLE) / CAST(n_true AS DOUBLE)
+             AS recall
+    FROM truth LEFT JOIN hits ON hits.query_id = truth.query_id
+    """,
+)
+def embed_ann_recall_gate(spark, sf_dir):
+    """Measured recall@10 of the IVF probe path (n_cells=8, n_probe=2)
+    against the exact brute-force baseline — similarity.recall_report
+    turns the ANN knob choice into a number BEFORE the index ships.
+    Both arms are the already-gated operators; the comparison join is
+    queries x k rows, so the report costs nothing next to the searches.
+    Pure id-set arithmetic (no float hashing) — bit-exact."""
+    emb = _emb(spark, sf_dir)
+    qids = [0, 100, 200, 300, 400]
+    exact = similarity.cosine_topk(emb, qids, k=10)
+    approx = similarity.ivf_topk(emb, qids, k=10, n_cells=8, n_probe=2)
+    return similarity.recall_report(exact, approx)
+
+
+@q(
+    "documents_quality_cube",
+    r"""
+    SELECT lang, source,
+           count(doc_id) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(len(string_split_regex(trim(coalesce(text, '')), '\s+')))
+                AS BIGINT) AS sum_tokens
+    FROM documents GROUP BY CUBE (lang, source)
+    """,
+)
+def documents_quality_cube(spark, sf_dir):
+    """The OLAP half of the engine pointed at the PIPELINE's corpus
+    table: a cube declared over `documents` with degenerate lang/source
+    dimensions and a computed token-count measure, queried through the
+    same Query/MDX surface as the TPC-H star — corpus curation metrics
+    (docs, chars, tokens by language x source with CUBE super-aggregate
+    rows) come out of the exact engine path a BI user drives, not a
+    side report.  Shows any table registers as a cube in one
+    declaration; the plan is the same single-Expand grouping-sets
+    aggregate the plan audit pins for the star rollups."""
+    from .model import Cube, Dimension, Level, Measure
+    from .query import Query
+    from .star import CubeEngine
+
+    cube = Cube(
+        name="Corpus",
+        fact="documents",
+        dimensions=(
+            Dimension(name="Lang", levels=(Level("Lang", "lang", output="lang"),)),
+            Dimension(
+                name="Source",
+                levels=(Level("Source", "source", output="source"),),
+            ),
+        ),
+        measures=(
+            Measure("N Docs", "doc_id", "count", output="n_docs"),
+            Measure("Sum Chars", "n_chars", "sum", output="sum_chars"),
+            Measure(
+                "Sum Tokens",
+                r"size(split(trim(coalesce(text, '')), '\\s+'))",
+                "sum",
+                output="sum_tokens",
+            ),
+        ),
+    )
+    eng = CubeEngine(cube, {"documents": _docs(spark, sf_dir)})
+    return (
+        Query(eng)
+        .columns(
+            "[Measures].[N Docs]",
+            "[Measures].[Sum Chars]",
+            "[Measures].[Sum Tokens]",
+        )
+        .rows("[Lang].children")
+        .crossjoin("[Source].children")
+        .totals("cube")
+        .execute()
+        .df
+    )

@@ -3757,3 +3757,23 @@ def test_distributed_cumsum_exact(spark):
     for r in ordered:
         run += r.v
         assert got[r.id] == run
+
+
+def test_recall_report_generic(spark):
+    """recall_report: per-query hit fraction vs the exact list; queries
+    the approximate arm missed entirely still appear with recall 0."""
+    from mondrian_olap_spark.operators import similarity
+
+    exact = spark.createDataFrame(
+        [Row(query_id=q, neighbor_id=n) for q in (1, 2) for n in range(4)]
+    )
+    approx = spark.createDataFrame(
+        [Row(query_id=1, neighbor_id=0), Row(query_id=1, neighbor_id=2),
+         Row(query_id=1, neighbor_id=99),  # false neighbor, not counted
+         Row(query_id=2, neighbor_id=77)]  # all misses
+    )
+    rep = {r["query_id"]: r for r in
+           similarity.recall_report(exact, approx).collect()}
+    assert rep[1]["n_true"] == 4 and rep[1]["n_hit"] == 2
+    assert rep[1]["recall"] == 0.5
+    assert rep[2]["n_hit"] == 0 and rep[2]["recall"] == 0.0
