@@ -111,6 +111,7 @@ HEADLINE = [
     "pipeline_shard_summary",
     "embed_ann_recall_gate",
     "documents_quality_cube",
+    "vba_breadth2_gate",
 ]
 
 

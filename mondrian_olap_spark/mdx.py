@@ -148,6 +148,12 @@ _VBA_FN_ALIASES = {
     "datevalue": "to_date",
     "cdate": "to_timestamp",
     "formatnumber": "format_number",
+    # round-8 breadth (Vba.uCase/lCase, Excel.fact — Space/LTrim/RTrim/
+    # Replace/Degrees/Radians/Acosh/Asinh/Atanh need no alias: the Spark
+    # builtin already carries the VBA/Excel name)
+    "ucase": "upper",
+    "lcase": "lower",
+    "fact": "factorial",
 }
 
 #: VBA DatePart/DateAdd/DateDiff interval literals → Spark extract
@@ -396,6 +402,78 @@ def _vba_annuity(name: str):
         return None
 
     return repl
+
+
+def _vba_choose(inner: str):
+    """Choose(index, v1, v2, ...) (Vba.choose): 1-based selection, NULL
+    out of range.  The index coerces the VBA way (CInt — banker's
+    rounding); Spark ``elt`` already returns NULL past either end."""
+    args = _split_top_args(inner)
+    if len(args) < 2:
+        return None
+    rest = ", ".join(args[1:])
+    # get() is 0-based and NULL out of range on either side — elt()
+    # throws under Spark 4's ANSI default, which is not the VBA contract
+    return f"get(array({rest}), int(bround({args[0]})) - 1)"
+
+
+def _vba_switch(inner: str):
+    """Switch(cond1, v1[, cond2, v2, ...]) (Vba.switch): first true
+    condition wins; NULL when none match — a CASE chain."""
+    args = _split_top_args(inner)
+    if len(args) < 2 or len(args) % 2 != 0:
+        return None
+    whens = " ".join(
+        f"WHEN ({args[i]}) THEN ({args[i + 1]})"
+        for i in range(0, len(args), 2)
+    )
+    return f"(CASE {whens} END)"
+
+
+def _vba_instr(inner: str):
+    """InStr([start, ]haystack, needle) (Vba.inStr): 1-based position,
+    0 when absent.  The 3-arg form maps to Spark ``locate(needle,
+    haystack, start)`` — note VBA's argument order differs from both
+    Spark builtins."""
+    args = _split_top_args(inner)
+    # 2-arg form: Spark's own instr(haystack, needle) IS the VBA
+    # semantics — leave untouched (None also keeps the rewrite recursion
+    # convergent: the output may not contain a bare instr( call)
+    if len(args) == 3:
+        return f"locate({args[2]}, {args[1]}, cast(({args[0]}) as int))"
+    return None
+
+
+def _vba_instrrev(inner: str):
+    """InStrRev(haystack, needle) (Vba.inStrRev, default start): the
+    position of the LAST occurrence, 0 when absent — found via the
+    reversed-string instr, re-based to the forward 1-index."""
+    args = _split_top_args(inner)
+    if len(args) != 2:
+        return None
+    h, n = args
+    return (
+        f"(CASE WHEN instr(({h}), ({n})) = 0 THEN 0 "
+        f"ELSE length(({h})) - length(({n})) + 2 "
+        f"- instr(reverse(({h})), reverse(({n}))) END)"
+    )
+
+
+def _vba_strconv(inner: str):
+    """StrConv(s, conversion) (Vba.strConv): 1 = vbUpperCase,
+    2 = vbLowerCase, 3 = vbProperCase; other modes (unicode/byte
+    conversions) are charset operations with no analytic meaning here."""
+    args = _split_top_args(inner)
+    if len(args) != 2:
+        return None
+    mode = args[1].strip()
+    fn = {"1": "upper", "2": "lower", "3": "initcap"}.get(mode)
+    if fn is None:
+        raise MdxError(
+            f"StrConv: conversion must be a literal 1 (upper), 2 (lower) "
+            f"or 3 (proper case), got {mode!r}"
+        )
+    return f"{fn}({args[0]})"
 
 
 def _vba_weekday(inner: str):
@@ -2022,6 +2100,13 @@ class MdxParser:
             "(try_cast(cast((", ") as string) as timestamp) is not null)",
         )
         out = _rewrite_paren_call(out, "weekday", _vba_weekday)
+        out = _rewrite_paren_call(out, "choose", _vba_choose)
+        out = _rewrite_paren_call(out, "switch", _vba_switch)
+        # InStrRev before InStr: `\binstr\s*\(` cannot match "instrrev("
+        # (the 'rev' intervenes), but keep the more specific name first
+        out = _rewrite_paren_call(out, "instrrev", _vba_instrrev)
+        out = _rewrite_paren_call(out, "instr", _vba_instr)
+        out = _rewrite_paren_call(out, "strconv", _vba_strconv)
         out = _rewrite_paren_call(out, "strcomp", _vba_strcomp)
         out = _rewrite_paren_call(out, "string", _vba_string)
         out = _rewrite_paren_call(out, "mod", _excel_mod)

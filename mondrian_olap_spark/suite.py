@@ -2943,3 +2943,82 @@ def vba_financial_gate(spark, sf_dir):
                [Customer].[Region].Members ON ROWS FROM [Sales]
         """
     ).df
+
+
+@q(
+    "vba_breadth2_gate",
+    f"""
+    WITH g AS (
+      SELECT r_name AS region_name, sum(l_quantity) AS sum_qty,
+             count(l_orderkey) AS count_order
+      FROM {_CUST_STAR} GROUP BY 1
+    )
+    SELECT region_name,
+           (CASE CAST(count_order % 3 AS INT) + 1
+                 WHEN 1 THEN 'alpha' WHEN 2 THEN 'beta'
+                 WHEN 3 THEN 'gamma' END) AS choose_cls,
+           (CASE WHEN sum_qty > 300000 THEN 'XL'
+                 WHEN sum_qty > 150000 THEN 'L'
+                 WHEN sum_qty > 0 THEN 'S' END) AS switch_cls,
+           CAST(CASE WHEN strpos(substr('MISSISSIPPI',
+                            CAST(count_order % 3 AS INT) + 1), 'SS') = 0
+                 THEN 0
+                 ELSE strpos(substr('MISSISSIPPI',
+                        CAST(count_order % 3 AS INT) + 1), 'SS')
+                      + CAST(count_order % 3 AS INT) + 1 - 1
+            END AS INT) AS instr3_pos,
+           CAST(CASE WHEN strpos(region_name, 'I') = 0 THEN 0
+                 ELSE length(region_name) + 1
+                      - strpos(reverse(region_name), 'I')
+            END AS INT) AS instrrev_pos,
+           array_to_string(list_transform(
+             string_split(lower(region_name), ' '),
+             w -> upper(w[1]) || w[2:]), ' ') AS proper_nm,
+           lower(region_name) AS lc_nm,
+           CAST(factorial(CAST(count_order % 6 AS INT)) AS BIGINT) AS fact_n,
+           CAST(count_order % 5 + 1 AS INT) AS space_len,
+           replace(region_name, 'A', '@') AS repl_nm,
+           radians(CAST(count_order AS DOUBLE)) AS rad_cnt
+    FROM g
+    """,
+)
+def vba_breadth2_gate(spark, sf_dir):
+    """Round-8 VBA/Excel breadth (jar!mondrian/olap/fun/vba/Vba.class +
+    Excel.class continuation): Choose (1-based, CInt-rounded index),
+    Switch (first-true CASE chain), 3-arg InStr (VBA argument order →
+    Spark locate), InStrRev (last occurrence via reversed instr),
+    StrConv proper case, LCase, Excel Fact, Space/Len round-trip,
+    Replace, Excel Radians — all data-dependent per region, bit-exact
+    vs DuckDB equivalents."""
+    eng = get_engine(spark, sf_dir)
+    return eng.execute(
+        """
+        WITH MEMBER [Measures].[Choose Cls] AS
+               'Choose(CInt(Mod(count_order, 3)) + 1,
+                       "alpha", "beta", "gamma")'
+             MEMBER [Measures].[Switch Cls] AS
+               'Switch(sum_qty > 300000, "XL", sum_qty > 150000, "L",
+                       sum_qty > 0, "S")'
+             MEMBER [Measures].[Instr3 Pos] AS
+               'InStr(CInt(Mod(count_order, 3)) + 1, "MISSISSIPPI", "SS")'
+             MEMBER [Measures].[Instrrev Pos] AS
+               'InStrRev([Customer].CurrentMember.Name, "I")'
+             MEMBER [Measures].[Proper Nm] AS
+               'StrConv(LCase([Customer].CurrentMember.Name), 3)'
+             MEMBER [Measures].[Lc Nm] AS
+               'LCase([Customer].CurrentMember.Name)'
+             MEMBER [Measures].[Fact N] AS 'Fact(CInt(Mod(count_order, 6)))'
+             MEMBER [Measures].[Space Len] AS
+               'Len(Space(CInt(Mod(count_order, 5)) + 1))'
+             MEMBER [Measures].[Repl Nm] AS
+               'Replace([Customer].CurrentMember.Name, "A", "@")'
+             MEMBER [Measures].[Rad Cnt] AS 'Radians(count_order)'
+        SELECT {[Measures].[Choose Cls], [Measures].[Switch Cls],
+                [Measures].[Instr3 Pos], [Measures].[Instrrev Pos],
+                [Measures].[Proper Nm], [Measures].[Lc Nm],
+                [Measures].[Fact N], [Measures].[Space Len],
+                [Measures].[Repl Nm], [Measures].[Rad Cnt]}
+               ON COLUMNS,
+               [Customer].[Region].Members ON ROWS FROM [Sales]
+        """
+    ).df

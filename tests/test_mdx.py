@@ -3145,3 +3145,50 @@ def test_excel_trig_log_passthrough(engine):
     assert row["t9"] == 180.0
     assert row["t10"] == round(math.pi, 6)
     assert row["t11"] == 3.0
+
+
+def test_vba_breadth2_edges(engine):
+    """Round-8 VBA batch edges: Choose is 1-based and NULL out of range;
+    Switch returns NULL when no condition matches; 3-arg InStr uses the
+    VBA (start, haystack, needle) order; InStrRev finds the LAST
+    occurrence and 0 when absent; StrConv 1/2/3 = upper/lower/proper;
+    Fact(0) = 1; Space/Len round-trip."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[Ch In] AS 'Choose(2, "a", "b", "c")'
+             MEMBER [Measures].[Ch Out] AS
+               'CoalesceEmpty(Choose(9, "a", "b"), "none")'
+             MEMBER [Measures].[Sw None] AS
+               'CoalesceEmpty(Switch(1 > 2, "x", 3 > 4, "y"), "none")'
+             MEMBER [Measures].[In3] AS 'InStr(4, "MISSISSIPPI", "SS")'
+             MEMBER [Measures].[Irev] AS 'InStrRev("MISSISSIPPI", "SS")'
+             MEMBER [Measures].[Irev0] AS 'InStrRev("AMERICA", "Z")'
+             MEMBER [Measures].[Sc U] AS 'StrConv("mid east", 1)'
+             MEMBER [Measures].[Sc P] AS 'StrConv("mid east", 3)'
+             MEMBER [Measures].[F0] AS 'Fact(0)'
+             MEMBER [Measures].[Sp] AS 'Len(Space(4))'
+        SELECT {[Measures].[Ch In], [Measures].[Ch Out],
+                [Measures].[Sw None], [Measures].[In3], [Measures].[Irev],
+                [Measures].[Irev0], [Measures].[Sc U], [Measures].[Sc P],
+                [Measures].[F0], [Measures].[Sp]} ON COLUMNS
+        FROM [Sales]
+        """,
+    )
+    row = r.df.collect()[0]
+    assert row["ch_in"] == "b"
+    assert row["ch_out"] == "none"     # out-of-range Choose is NULL
+    assert row["sw_none"] == "none"    # no-match Switch is NULL
+    assert row["in3"] == 6             # next SS at 6 when starting at 4
+    assert row["irev"] == 6            # LAST SS occurrence
+    assert row["irev0"] == 0
+    assert row["sc_u"] == "MID EAST"
+    assert row["sc_p"] == "Mid East"
+    assert row["f0"] == 1
+    assert row["sp"] == 4
+    with pytest.raises(MdxError, match="StrConv"):
+        execute_mdx(
+            engine,
+            "WITH MEMBER [Measures].[X] AS 'StrConv(\"a\", 7)' "
+            "SELECT [Measures].[X] ON COLUMNS FROM [Sales]",
+        )

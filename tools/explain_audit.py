@@ -523,6 +523,59 @@ def main() -> int:
         f"plan: {p[:400]}",
     )
 
+    # 25. plan_shards: the prefix-sum window is PARTITIONED by the
+    #     physical partition id (two-phase distributed cumsum) — token
+    #     sharding never plans a single-task global window
+    from mondrian_olap_spark.operators import pipeline as plops
+
+    p = plan_str(plops.plan_shards(docs, num_shards=8))
+    bad_windows = [
+        l for l in p.splitlines()
+        if "Window" in l and "sum(" in l and "__pid" not in l
+    ]
+    check(
+        "plan_shards.no_global_single_task_window",
+        not bad_windows,
+        f"global windows: {[l.strip()[:90] for l in bad_windows]}",
+    )
+
+    # 26. IRR Newton fold: a scalar codegen expression — no Python
+    #     evaluation node anywhere, and the only exchange is the
+    #     group-by-series aggregation itself (the 40 iterations add ZERO
+    #     plan operators)
+    from mondrian_olap_spark.operators import finance as finops
+
+    series = finops.cashflows(
+        docs.selectExpr(
+            "doc_id % 5 AS grp",
+            "doc_id AS t",
+            "CAST(CASE WHEN doc_id % 7 = 0 THEN -n_chars ELSE n_chars END AS DOUBLE) AS v",
+        ),
+        ["grp"], "t", "v",
+    )
+    p = plan_str(finops.with_irr(finops.with_npv(series, 0.08)))
+    n_exchanges = len([l for l in p.splitlines() if "Exchange" in l])
+    check(
+        "finance_irr.newton_fold_scalar_no_python_one_exchange",
+        "EvalPython" not in p and n_exchanges <= 1 and "Join" not in p,
+        f"exchanges={n_exchanges} python={'EvalPython' in p}",
+    )
+
+    # 27. documents cube: the CUBE totals over the corpus table plan as
+    #     ONE Expand pass over ONE scan — the same single-pass
+    #     grouping-sets shape the star rollups pin, on a non-star table
+    import mondrian_olap_spark.suite_pipeline  # noqa: F401
+    from mondrian_olap_spark.suite import QUERIES
+
+    p = plan_str(QUERIES["documents_quality_cube"](spark, SF_DIR))
+    n_scans = len([l for l in p.splitlines() if "Scan parquet" in l])
+    n_expand = len([l for l in p.splitlines() if re.search(r"\bExpand\b", l)])
+    check(
+        "documents_cube.single_scan_single_expand",
+        n_scans == 1 and n_expand == 1,
+        f"scans={n_scans} expands={n_expand}",
+    )
+
     print(f"\n{len(failures)} failed properties" if failures else "\nall plan properties hold")
     return 1 if failures else 0
 
