@@ -476,6 +476,34 @@ def _vba_strconv(inner: str):
     return f"{fn}({args[0]})"
 
 
+def _vba_str(inner: str):
+    """Str(number) (Vba.str_): stringify with VBA's sign slot — a
+    leading space for non-negative values, the minus sign otherwise."""
+    args = _split_top_args(inner)
+    if len(args) != 1:
+        return None
+    x = args[0]
+    return (
+        f"(CASE WHEN ({x}) < 0 THEN cast(({x}) as string) "
+        f"ELSE concat(' ', cast(({x}) as string)) END)"
+    )
+
+
+def _vba_timeserial(inner: str):
+    """TimeSerial(hour, minute, second) (Vba.timeSerial): a time-of-day
+    timestamp on the VBA zero date (1899-12-30), with out-of-range parts
+    carrying over exactly as VBA does (TimeSerial(0, 90, 0) = 01:30)."""
+    args = _split_top_args(inner)
+    if len(args) != 3:
+        return None
+    h, m, s = args
+    return (
+        f"timestampadd(SECOND, cast(({h}) as int) * 3600 + "
+        f"cast(({m}) as int) * 60 + cast(({s}) as int), "
+        f"TIMESTAMP'1899-12-30 00:00:00')"
+    )
+
+
 def _vba_weekday(inner: str):
     """Weekday(date[, firstdayofweek]) (Vba.weekday): 1-arg form is the
     vbSunday default — exactly Spark's dayofweek numbering (1=Sunday..
@@ -2098,6 +2126,25 @@ class MdxParser:
         out = _rewrite_call(
             out, "isdate",
             "(try_cast(cast((", ") as string) as timestamp) is not null)",
+        )
+        # round-8 continuation of the Vba.class inventory:
+        # IsNumeric / IsNull tests; CStr / CSng / CCur coercions (VBA
+        # Currency is a fixed-point DECIMAL(19,4)); Str prefixes
+        # non-negative numbers with a space (Vba.str_); TimeSerial /
+        # TimeValue build time-of-day timestamps on the VBA zero date
+        out = _rewrite_call(
+            out, "isnumeric",
+            "(try_cast(cast((", ") as string) as double) is not null)",
+        )
+        out = _rewrite_call(out, "isnull", "((", ") is null)")
+        out = _rewrite_call(out, "cstr", "cast((", ") as string)")
+        out = _rewrite_call(out, "csng", "cast((", ") as float)")
+        out = _rewrite_call(out, "ccur", "cast((", ") as decimal(19,4))")
+        out = _rewrite_paren_call(out, "str", _vba_str)
+        out = _rewrite_paren_call(out, "timeserial", _vba_timeserial)
+        out = _rewrite_call(
+            out, "timevalue",
+            "to_timestamp(concat('1899-12-30 ', cast((", ") as string)))",
         )
         out = _rewrite_paren_call(out, "weekday", _vba_weekday)
         out = _rewrite_paren_call(out, "choose", _vba_choose)

@@ -3192,3 +3192,41 @@ def test_vba_breadth2_edges(engine):
             "WITH MEMBER [Measures].[X] AS 'StrConv(\"a\", 7)' "
             "SELECT [Measures].[X] ON COLUMNS FROM [Sales]",
         )
+
+
+def test_vba_breadth3_coercions(engine):
+    """Round-8 Vba.class inventory continuation: IsNumeric/IsNull tests,
+    CStr/CSng/CCur coercions, Str's leading sign slot, TimeSerial
+    minute carry-over and TimeValue parsing (both on the VBA zero
+    date), with Hour/Minute/Second reading them back."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[Isn Y] AS 'IIF(IsNumeric("12.5"), 1, 0)'
+             MEMBER [Measures].[Isn N] AS 'IIF(IsNumeric("12x"), 1, 0)'
+             MEMBER [Measures].[Inl N] AS 'IIF(IsNull("x"), 1, 0)'
+             MEMBER [Measures].[Cstr V] AS 'CStr(42)'
+             MEMBER [Measures].[Csng V] AS 'CSng(1.5)'
+             MEMBER [Measures].[Ccur V] AS 'CStr(CCur(1.23456))'
+             MEMBER [Measures].[Str P] AS 'Str(3.5)'
+             MEMBER [Measures].[Str N] AS 'Str(0 - 3.5)'
+             MEMBER [Measures].[Ts H] AS 'Hour(TimeSerial(1, 90, 0))'
+             MEMBER [Measures].[Ts M] AS 'Minute(TimeSerial(1, 90, 0))'
+             MEMBER [Measures].[Tv S] AS 'Second(TimeValue("13:05:07"))'
+        SELECT {[Measures].[Isn Y], [Measures].[Isn N], [Measures].[Inl N],
+                [Measures].[Cstr V], [Measures].[Csng V],
+                [Measures].[Ccur V], [Measures].[Str P], [Measures].[Str N],
+                [Measures].[Ts H], [Measures].[Ts M], [Measures].[Tv S]}
+               ON COLUMNS FROM [Sales]
+        """,
+    )
+    row = r.df.collect()[0]
+    assert row["isn_y"] == 1 and row["isn_n"] == 0
+    assert row["inl_n"] == 0
+    assert row["cstr_v"] == "42"
+    assert row["csng_v"] == 1.5
+    assert row["ccur_v"] == "1.2346"   # Currency = DECIMAL(19,4)
+    assert row["str_p"] == " 3.5"      # sign slot
+    assert row["str_n"] == "-3.5"
+    assert row["ts_h"] == 2 and row["ts_m"] == 30  # 1h + 90min carries
+    assert row["tv_s"] == 7
