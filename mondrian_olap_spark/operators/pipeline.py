@@ -380,7 +380,8 @@ def plan_shards(
     document's tokens.
 
     All integer arithmetic — reproducible bit-for-bit on any engine.
-    Returns ``(id_col, n_tokens, cum_tokens, shard_col)``.
+    Returns the input columns plus ``(n_tokens, cum_tokens, shard_col)``
+    (the input must not already carry those names).
     """
     from .util import distributed_cumsum
 
@@ -399,10 +400,8 @@ def plan_shards(
         16,
         10,
     ).cast("long")
-    base = docs.select(
-        F.col(id_col),
-        n_tok.cast("long").alias("n_tokens"),
-        skey.alias("__skey"),
+    base = docs.withColumn("n_tokens", n_tok.cast("long")).withColumn(
+        "__skey", skey
     )
     cum = distributed_cumsum(
         base, ["__skey", id_col], "n_tokens", cumsum_col="cum_tokens"
@@ -428,6 +427,36 @@ def plan_shards(
         )
         out = cum.withColumn(shard_col, shard.cast("long")).drop("__total")
     return out.drop("__skey")
+
+
+def write_shards(
+    docs: DataFrame,
+    path: str,
+    num_shards: int | None = None,
+    target_tokens: int | None = None,
+    mode: str = "overwrite",
+    shard_col: str = "shard_id",
+    **plan_kwargs,
+) -> DataFrame:
+    """Materialize a :func:`plan_shards` layout: the corpus is written
+    as ``{path}/shard_id=N/`` parquet partitions carrying every input
+    column plus ``n_tokens`` — the physical training-shard layout a
+    data-loader streams per worker.  The plan keeps all columns through
+    the prefix sum, so the write needs NO join back to the corpus (one
+    range-partition pass, then the partitioned write).  Returns the
+    per-shard balance audit (:func:`shard_summary`) of what was written.
+    """
+    planned = plan_shards(
+        docs,
+        num_shards=num_shards,
+        target_tokens=target_tokens,
+        shard_col=shard_col,
+        **plan_kwargs,
+    )
+    planned.drop("cum_tokens").write.partitionBy(shard_col).mode(
+        mode
+    ).parquet(path)
+    return shard_summary(planned, shard_col=shard_col)
 
 
 def shard_summary(

@@ -1314,6 +1314,66 @@ def tokens_to_ids(
     return regrouped
 
 
+def ids_to_tokens(
+    df: DataFrame,
+    vocab: DataFrame,
+    ids_col: str = "token_ids",
+    output: str = "tokens",
+    unk_token: str = "<unk>",
+    broadcast_threshold: int = 1 << 20,
+) -> DataFrame:
+    """The inverse of :func:`tokens_to_ids`: decode an ``array<bigint>``
+    id column back to tokens — the debugging/inspection step every
+    tokenized corpus needs (spot-check a packed sequence, render a
+    sample, diff two vocab versions).  Same physical idiom as the
+    encoder: the id→token map inlines as TWO packed-string literals
+    (comma-joined ids, NUL-joined tokens), constant-folded once, so the
+    decode is a pure projection — zero joins, zero shuffles, O(1) plan
+    nodes at any vocabulary size.  Ids with several tokens (a hand-built
+    vocab) decode to the lexicographically smallest token, mirroring the
+    encoder's smallest-id-wins dedup; unknown ids yield ``unk_token``.
+    Vocabularies above ``broadcast_threshold`` raise — a decode that big
+    should go through an explode + broadcast join the caller controls.
+    """
+    n = vocab.count()
+    if n > broadcast_threshold:
+        raise ValueError(
+            f"vocabulary has {n} entries (> {broadcast_threshold}); "
+            "decode via explode + broadcast join instead of the inline map"
+        )
+    mapping: dict[int, str] = {}
+    for r in vocab.collect():
+        tid = int(r["token_id"])
+        tok = r["token"]
+        if tid not in mapping or tok < mapping[tid]:
+            mapping[tid] = tok
+    ids = list(mapping)
+    toks = [mapping[i] for i in ids]
+    sep = "\x00"
+    if not ids:
+        m = None
+    elif any(sep in t for t in toks):
+        m = F.map_from_arrays(
+            F.lit(ids).cast("array<long>"), F.lit(toks)
+        )
+    else:
+        m = F.map_from_arrays(
+            F.split(F.lit(",".join(map(str, ids))), ",", -1).cast(
+                "array<long>"
+            ),
+            F.split(F.lit(sep.join(toks)), sep, -1),
+        )
+    decoded = F.transform(
+        F.col(ids_col),
+        lambda i: (
+            F.coalesce(F.element_at(m, i.cast("long")), F.lit(unk_token))
+            if m is not None
+            else F.lit(unk_token)
+        ),
+    )
+    return df.withColumn(output, decoded)
+
+
 #: the classic UTF-8-as-Latin-1 mojibake signatures: a double-encoded
 #: lead byte renders as one of these anchor characters followed by a
 #: continuation-range character.  Written as \x{...} codepoint classes —

@@ -4809,7 +4809,9 @@ def pipeline_plan_shards(spark, sf_dir):
     from .operators import pipeline as pl
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    return pl.plan_shards(docs, num_shards=8, seed="shards0")
+    return pl.plan_shards(docs, num_shards=8, seed="shards0").select(
+        "doc_id", "n_tokens", "cum_tokens", "shard_id"
+    )
 
 
 @q(

@@ -3777,3 +3777,45 @@ def test_recall_report_generic(spark):
     assert rep[1]["n_true"] == 4 and rep[1]["n_hit"] == 2
     assert rep[1]["recall"] == 0.5
     assert rep[2]["n_hit"] == 0 and rep[2]["recall"] == 0.0
+
+
+def test_write_shards_layout(spark, tmp_path):
+    """write_shards materializes the planned layout as shard_id=N
+    parquet partitions with every input column, no join back to the
+    corpus; the returned audit matches what landed on disk."""
+    from mondrian_olap_spark.operators import pipeline as pl
+
+    rows = [Row(doc_id=i, text=" ".join(["w"] * (5 + i % 11)), lang="en")
+            for i in range(80)]
+    docs = spark.createDataFrame(rows)
+    dest = str(tmp_path / "shards")
+    audit = {r["shard_id"]: r for r in
+             pl.write_shards(docs, dest, num_shards=4).collect()}
+    back = spark.read.parquet(dest)
+    assert set(back.columns) == {"doc_id", "text", "lang", "n_tokens",
+                                 "shard_id"}
+    on_disk = {r["shard_id"]: r["n"] for r in
+               back.groupBy("shard_id").agg(F.count("*").alias("n")).collect()}
+    assert on_disk == {s: a["n_docs"] for s, a in audit.items()}
+    assert set(on_disk) == {0, 1, 2, 3}
+
+
+def test_ids_to_tokens_roundtrip(spark):
+    """ids_to_tokens inverts tokens_to_ids on in-vocab text; unknown ids
+    decode to the unk token; oversized vocabs refuse the inline path."""
+    from mondrian_olap_spark.operators import text as t
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c a"), Row(doc_id=2, text="c b zz")]
+    )
+    vocab = spark.createDataFrame(
+        [Row(token="a", token_id=1), Row(token="b", token_id=2),
+         Row(token="c", token_id=3)]
+    )
+    enc = t.tokens_to_ids(docs, vocab, unk_id=0)
+    dec = {r["doc_id"]: r["tokens"]
+           for r in t.ids_to_tokens(enc, vocab, unk_token="<unk>").collect()}
+    assert dec[1] == ["a", "b", "c", "a"]
+    assert dec[2] == ["c", "b", "<unk>"]   # zz was OOV on encode
+    with pytest.raises(ValueError, match="inline map"):
+        t.ids_to_tokens(enc, vocab, broadcast_threshold=2)
