@@ -112,6 +112,7 @@ HEADLINE = [
     "embed_ann_recall_gate",
     "documents_quality_cube",
     "vba_breadth2_gate",
+    "pipeline_shard_append_gate",
 ]
 
 

@@ -459,6 +459,67 @@ def write_shards(
     return shard_summary(planned, shard_col=shard_col)
 
 
+def shard_plan_state(planned: DataFrame, target_tokens: int) -> dict:
+    """The carry-over state of a ``target_tokens`` shard plan — what
+    :func:`plan_shards_append` needs to CONTINUE the layout for the next
+    batch without replanning the corpus: the running token total and the
+    target.  One tiny aggregate (two longs), store it in any manifest."""
+    row = planned.agg(
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t")
+    ).collect()[0]
+    return {"total_tokens": int(row["t"]), "target_tokens": int(target_tokens)}
+
+
+def plan_shards_append(
+    docs: DataFrame,
+    state: dict,
+    token_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "shards0",
+    shard_col: str = "shard_id",
+) -> tuple[DataFrame, dict]:
+    """Incremental shard maintenance: assign a NEW batch so it CONTINUES
+    an existing ``target_tokens`` layout — the batch's prefix sum starts
+    at the stored running total, so the current tail shard fills up
+    before a new one opens and earlier shards are never touched.  The
+    per-batch cost is batch-sized (one range-partition of the batch);
+    nothing rescans the corpus — the same maintenance contract as
+    ``bloom_append`` / ``ivf_append`` / ``minhash_index_append``.
+
+    Returns ``(assignment, new_state)``; feeding batches through
+    repeatedly yields exactly the shard boundaries a from-scratch plan
+    over the concatenated stream (in arrival order) would produce.
+    """
+    target = int(state["target_tokens"])
+    offset = int(state["total_tokens"])
+    planned = plan_shards(
+        docs,
+        target_tokens=target,
+        token_col=token_col,
+        text_col=text_col,
+        id_col=id_col,
+        seed=seed,
+        shard_col=shard_col,
+    )
+    out = (
+        planned.withColumn(
+            "cum_tokens", (F.col("cum_tokens") + F.lit(offset)).cast("long")
+        )
+        .withColumn(
+            shard_col,
+            F.expr(f"(cum_tokens - n_tokens) div {target}").cast("long"),
+        )
+    )
+    batch_tokens = planned.agg(
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("t")
+    ).collect()[0]["t"]
+    return out, {
+        "total_tokens": offset + int(batch_tokens),
+        "target_tokens": target,
+    }
+
+
 def shard_summary(
     planned: DataFrame, shard_col: str = "shard_id"
 ) -> DataFrame:

@@ -4989,3 +4989,51 @@ def documents_quality_cube(spark, sf_dir):
         .execute()
         .df
     )
+
+
+@q(
+    "pipeline_shard_append_gate",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(coalesce(text, '')), '\s+'))
+                  AS BIGINT) AS n_tokens,
+             ('0x' || substr(md5('shards0:' || doc_id), 1, 15))::BIGINT AS skey,
+             CASE WHEN source = 'src0' THEN 0 ELSE 1 END AS b
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens, b,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY b ORDER BY skey, doc_id ROWS UNBOUNDED PRECEDING
+             ) AS BIGINT) AS bcum
+      FROM t
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t0 FROM t WHERE b = 0)
+    SELECT doc_id, n_tokens,
+           CAST(bcum + CASE WHEN b = 1 THEN t0 ELSE 0 END AS BIGINT)
+             AS cum_tokens,
+           CAST((bcum + CASE WHEN b = 1 THEN t0 ELSE 0 END - n_tokens)
+                // 2000 AS BIGINT) AS shard_id
+    FROM c CROSS JOIN tot
+    """,
+)
+def pipeline_shard_append_gate(spark, sf_dir):
+    """Incremental shard maintenance through the driver gate: batch 1
+    (source src0) is planned at target_tokens=2000, its carry-over state
+    (two longs) is stored, and batch 2 (the rest) CONTINUES the layout
+    via plan_shards_append — the tail shard fills before a new one
+    opens, earlier shards untouched, per-batch cost batch-sized (the
+    same maintenance contract as bloom/ivf/minhash-index append).  The
+    oracle replays both prefix sums with the batch-2 window offset by
+    batch 1's total.  Pure integer arithmetic — bit-exact."""
+    from .operators import pipeline as pl
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    b1 = docs.filter("source = 'src0'").drop("source")
+    b2 = docs.filter("source <> 'src0'").drop("source")
+    p1 = pl.plan_shards(b1, target_tokens=2000, seed="shards0")
+    state = pl.shard_plan_state(p1, target_tokens=2000)
+    p2, _ = pl.plan_shards_append(b2, state, seed="shards0")
+    cols = ["doc_id", "n_tokens", "cum_tokens", "shard_id"]
+    return p1.select(*cols).unionByName(p2.select(*cols))

@@ -3819,3 +3819,44 @@ def test_ids_to_tokens_roundtrip(spark):
     assert dec[2] == ["c", "b", "<unk>"]   # zz was OOV on encode
     with pytest.raises(ValueError, match="inline map"):
         t.ids_to_tokens(enc, vocab, broadcast_threshold=2)
+
+
+def test_plan_shards_append_continues_layout(spark):
+    """plan_shards_append: repeated batches produce exactly the shard
+    boundaries a from-scratch target_tokens plan over the concatenated
+    stream would — the tail shard fills before a new one opens, and
+    state carries only two longs."""
+    from mondrian_olap_spark.operators import pipeline as pl
+
+    rows = [Row(doc_id=i, text=" ".join(["w"] * (4 + i % 9)))
+            for i in range(120)]
+    docs = spark.createDataFrame(rows)
+    b1 = docs.filter("doc_id < 40")
+    b2 = docs.filter("doc_id >= 40 AND doc_id < 80")
+    b3 = docs.filter("doc_id >= 80")
+
+    p1 = pl.plan_shards(b1, target_tokens=100)
+    st = pl.shard_plan_state(p1, target_tokens=100)
+    p2, st = pl.plan_shards_append(b2, st)
+    p3, st = pl.plan_shards_append(b3, st)
+    cols = ["doc_id", "n_tokens", "cum_tokens", "shard_id"]
+    got = {r["doc_id"]: r for df in (p1.select(*cols), p2.select(*cols),
+                                     p3.select(*cols))
+           for r in df.collect()}
+
+    # reference: sequential walk in (batch, skey, doc_id) order
+    import hashlib
+
+    def skey(i):
+        return int(hashlib.md5(f"shards0:{i}".encode()).hexdigest()[:15], 16)
+
+    order = (sorted(range(0, 40), key=lambda i: (skey(i), i))
+             + sorted(range(40, 80), key=lambda i: (skey(i), i))
+             + sorted(range(80, 120), key=lambda i: (skey(i), i)))
+    cum = 0
+    for i in order:
+        n = 4 + i % 9
+        assert got[i]["shard_id"] == cum // 100
+        cum += n
+        assert got[i]["cum_tokens"] == cum
+    assert st["total_tokens"] == cum
