@@ -3860,3 +3860,80 @@ def test_plan_shards_append_continues_layout(spark):
         cum += n
         assert got[i]["cum_tokens"] == cum
     assert st["total_tokens"] == cum
+
+
+def test_documents_cube_mdx_and_aggregate_routing(spark):
+    """The corpus cube composes with the rest of the engine: MDX
+    executes against it (calc members over corpus measures), and
+    register_aggregate routes corpus rollups to a summary with ZERO
+    documents scans — the OLAP-half features are not star-schema-only."""
+    from mondrian_olap_spark.mdx import execute_mdx
+    from mondrian_olap_spark.model import Cube, Dimension, Level, Measure
+    from mondrian_olap_spark.star import CubeEngine, read_parquet_table
+
+    from .conftest import SF_DIR
+
+    docs = read_parquet_table(spark, f"{SF_DIR}/documents.parquet")
+    cube = Cube(
+        name="Corpus",
+        fact="documents",
+        dimensions=(
+            Dimension(name="Lang", levels=(Level("Lang", "lang", output="lang"),)),
+            Dimension(
+                name="Source",
+                levels=(Level("Source", "source", output="source"),),
+            ),
+        ),
+        measures=(
+            Measure("N Docs", "doc_id", "count", output="n_docs"),
+            Measure("Sum Chars", "n_chars", "sum", output="sum_chars"),
+        ),
+    )
+    eng = CubeEngine(cube, {"documents": docs})
+
+    # MDX with a calc member over corpus measures
+    r = execute_mdx(
+        eng,
+        """
+        WITH MEMBER [Measures].[Chars Per Doc] AS
+               'sum_chars / n_docs'
+        SELECT {[Measures].[N Docs], [Measures].[Chars Per Doc]} ON COLUMNS,
+               [Lang].Members ON ROWS FROM [Corpus]
+        """,
+    )
+    rows = {x["lang"]: x for x in r.df.collect()}
+    assert len(rows) >= 2
+    ref = {x["lang"]: x for x in
+           docs.groupBy("lang").agg(
+               F.count("doc_id").alias("n"),
+               F.sum("n_chars").alias("s")).collect()}
+    for lang, x in rows.items():
+        assert x["n_docs"] == ref[lang]["n"]
+        assert x["chars_per_doc"] == pytest.approx(
+            ref[lang]["s"] / ref[lang]["n"]
+        )
+
+    # aggregate routing: register a lang-grain summary, the routed plan
+    # must not scan documents
+    summary = docs.groupBy("lang").agg(
+        F.count("doc_id").alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+    eng.register_aggregate(summary, ["lang"], {"n_docs": "count",
+                                               "sum_chars": "sum"})
+    from mondrian_olap_spark.query import Query
+
+    df = (
+        Query(eng)
+        .columns("[Measures].[N Docs]", "[Measures].[Sum Chars]")
+        .rows("[Lang].Members")
+        .execute()
+        .df
+    )
+    base = {x["lang"]: x for x in
+            docs.groupBy("lang").agg(
+                F.count("doc_id").alias("n"),
+                F.sum("n_chars").alias("s")).collect()}
+    got = {x["lang"]: x for x in df.collect()}
+    assert {k: (v["n_docs"], v["sum_chars"]) for k, v in got.items()} == {
+        k: (v["n"], v["s"]) for k, v in base.items()
+    }
