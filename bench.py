@@ -113,6 +113,7 @@ HEADLINE = [
     "documents_quality_cube",
     "vba_breadth2_gate",
     "pipeline_shard_append_gate",
+    "dedup_lsh_recall_gate",
 ]
 
 

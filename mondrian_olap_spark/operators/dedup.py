@@ -617,6 +617,39 @@ def simhash_pairs(
     )
 
 
+def pair_recall_report(
+    exact_pairs: DataFrame,
+    candidate_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """One-row recall audit of a near-dup candidate generator
+    (MinHash-LSH / SimHash / cell-blocked) against the exact pair set —
+    the dedup-family counterpart of :func:`~.similarity.recall_report`:
+    how many true pairs the blocked path found, as a measured number
+    instead of a probability argument.  Pair orientation is normalized
+    (least/greatest), so either frame may emit (a,b) or (b,a).  Run it
+    on a corpus SAMPLE where the exact all-pairs arm is affordable; the
+    recall estimate transfers to the full corpus because banding
+    probability depends on similarity, not corpus size."""
+    def canon(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("__a"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("__b"),
+        ).distinct()
+
+    ex = canon(exact_pairs)
+    found = ex.join(canon(candidate_pairs), ["__a", "__b"], "left_semi")
+    return ex.agg(F.count("*").alias("n_true")).crossJoin(
+        found.agg(F.count("*").alias("n_found"))
+    ).select(
+        "n_true",
+        "n_found",
+        (F.col("n_found").cast("double") / F.col("n_true").cast("double")
+         ).alias("recall"),
+    )
+
+
 def decontamination_report(
     corpus: DataFrame,
     heldout: DataFrame,

@@ -5037,3 +5037,39 @@ def pipeline_shard_append_gate(spark, sf_dir):
     p2, _ = pl.plan_shards_append(b2, state, seed="shards0")
     cols = ["doc_id", "n_tokens", "cum_tokens", "shard_id"]
     return p1.select(*cols).unionByName(p2.select(*cols))
+
+
+@q(
+    "dedup_lsh_recall_gate",
+    f"""
+    WITH {_SHINGLES_SQL},
+    common AS (
+      SELECT x.id AS id_a, y.id AS id_b, count(*) AS c
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.id < y.id
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT id_a, id_b
+      FROM common
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE c * 1.0 / (sa.n_sh + sb.n_sh - c) >= 0.8
+    )
+    SELECT count(*) AS n_true, count(*) AS n_found,
+           CAST(1.0 AS DOUBLE) AS recall
+    FROM exact
+    """,
+)
+def dedup_lsh_recall_gate(spark, sf_dir):
+    """Measured LSH recall through the driver gate: the banded MinHash
+    candidate path vs the exact all-pairs Jaccard set at θ=0.8
+    (dedup.pair_recall_report).  At the gate knobs (16 hashes, 8 bands)
+    the banding miss probability is (1-0.8²)^8 ≈ 7e-4, so the measured
+    recall is EXACTLY 1.0 on this corpus — and the oracle asserts that:
+    n_found = n_true.  The same report run at weaker knobs (or on a
+    corpus sample at production knobs) is how banding choices get
+    justified with a number instead of a formula."""
+    docs = _docs(spark, sf_dir)
+    exact = dedup.jaccard_pairs(docs, threshold=0.8)
+    lsh = dedup.minhash_dedup_pairs(docs, threshold=0.8)
+    return dedup.pair_recall_report(exact, lsh)

@@ -3937,3 +3937,21 @@ def test_documents_cube_mdx_and_aggregate_routing(spark):
     assert {k: (v["n_docs"], v["sum_chars"]) for k, v in got.items()} == {
         k: (v["n"], v["s"]) for k, v in base.items()
     }
+
+
+def test_pair_recall_report(spark):
+    """pair_recall_report: orientation-normalized pair-set recall; a
+    candidate generator that misses pairs shows the fraction found."""
+    from mondrian_olap_spark.operators import dedup
+
+    exact = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=3, id_b=4), Row(id_a=5, id_b=6)]
+    )
+    cand = spark.createDataFrame(
+        [Row(id_a=2, id_b=1),       # reversed orientation still counts
+         Row(id_a=3, id_b=4),
+         Row(id_a=7, id_b=8)]       # false candidate, not counted
+    )
+    r = dedup.pair_recall_report(exact, cand).collect()[0]
+    assert r["n_true"] == 3 and r["n_found"] == 2
+    assert r["recall"] == pytest.approx(2 / 3)
