@@ -40,7 +40,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: this map.  Full local coverage of every entry regardless of prefix
 #: position comes from ``tools/check_oracle.py --exact`` (the gate mirror).
 _LAST_HASHED: dict[str, int] = {
-    # last hash-verified green in CORRECTNESS_r02.json
+    # VALUES are authoritative: entry -> the latest round whose
+    # CORRECTNESS_r{N}.json hashed it green (bumped in place each round).
+    # Section comments below record which round FIRST hashed the block,
+    # for provenance only.
+    # first hashed green in CORRECTNESS_r02.json
     "date_functions_by_year": 7,
     "drilldown_member_region": 7,
     "empty_cells_grid": 7,
@@ -55,7 +59,7 @@ _LAST_HASHED: dict[str, int] = {
     "virtual_sales_orders": 7,
     "virtual_valid_measure": 7,
     "visual_totals_regions": 7,
-    # last hash-verified green in CORRECTNESS_r03.json
+    # first hashed green in CORRECTNESS_r03.json
     "aggregate_routing_gate": 7,
     "currentdate_member": 7,
     "dedup_exact_fingerprint": 7,
@@ -103,7 +107,7 @@ _LAST_HASHED: dict[str, int] = {
     "tuple_item_name": 3,
     "vba_function_names": 3,
     "weekly_hierarchy_totals": 3,
-    # last hash-verified green in CORRECTNESS_r04.json
+    # first hashed green in CORRECTNESS_r04.json
     "count_exclude_empty": 4,
     "descendants_of_member": 4,
     "drillthrough_cell": 4,
@@ -130,7 +134,7 @@ _LAST_HASHED: dict[str, int] = {
     "text_token_counts": 4,
     "tuple_item_implicit_measure": 4,
     "ytd_monthly": 4,
-    # last hash-verified green in CORRECTNESS_r05.json
+    # first hashed green in CORRECTNESS_r05.json
     "approx_distinct_parts": 5,
     "bucketed_star_gate": 5,
     "dedup_source_overlap": 5,
@@ -181,7 +185,7 @@ _LAST_HASHED: dict[str, int] = {
     "text_top_ngrams": 5,
     "text_unigram_entropy": 5,
     "vba_val_round_dateserial": 5,
-    # last hash-verified green in CORRECTNESS_r06.json
+    # first hashed green in CORRECTNESS_r06.json
     "advisor_auto_materialize_gate": 6,
     "aggregate_crossjoin_set": 6,
     "aggregate_member_set": 6,
@@ -232,7 +236,7 @@ _LAST_HASHED: dict[str, int] = {
     "topcount_nations": 6,
     "toppercent_nations": 6,
     "topsum_nations": 6,
-    # last hash-verified green in CORRECTNESS_r07.json (round-7 gates)
+    # first hashed green in CORRECTNESS_r07.json (round-7 gates)
     "default_member_all_gate": 7,
     "embed_cluster_balanced_sample": 7,
     "embed_semantic_dedup_gate": 7,

@@ -438,20 +438,32 @@ def _vba_instr(inner: str):
     args = _split_top_args(inner)
     # 2-arg form: Spark's own instr(haystack, needle) IS the VBA
     # semantics — leave untouched (None also keeps the rewrite recursion
-    # convergent: the output may not contain a bare instr( call)
-    if len(args) == 3:
+    # convergent: the output may not contain a bare instr( call).
+    # The 4-arg compare argument is accepted and ignored (binary
+    # compare — the _vba_strcomp precedent); rejecting it would turn a
+    # legal VBA call into an opaque Spark arity error.
+    if len(args) in (3, 4):
         return f"locate({args[2]}, {args[1]}, cast(({args[0]}) as int))"
     return None
 
 
 def _vba_instrrev(inner: str):
-    """InStrRev(haystack, needle) (Vba.inStrRev, default start): the
-    position of the LAST occurrence, 0 when absent — found via the
-    reversed-string instr, re-based to the forward 1-index."""
+    """InStrRev(haystack, needle[, start[, compare]]) (Vba.inStrRev):
+    the position of the LAST occurrence, 0 when absent — found via the
+    reversed-string instr, re-based to the forward 1-index.  ``start``
+    bounds the backward search (the match must END at or before it; the
+    VBA -1 sentinel means the whole string); ``compare`` is accepted
+    and ignored (binary compare, the _vba_strcomp precedent)."""
     args = _split_top_args(inner)
-    if len(args) != 2:
+    if len(args) not in (2, 3, 4):
         return None
-    h, n = args
+    h, n = args[0], args[1]
+    if len(args) >= 3:
+        s = args[2]
+        h = (
+            f"(CASE WHEN ({s}) = -1 THEN ({h}) "
+            f"ELSE substring(({h}), 1, cast(({s}) as int)) END)"
+        )
     return (
         f"(CASE WHEN instr(({h}), ({n})) = 0 THEN 0 "
         f"ELSE length(({h})) - length(({n})) + 2 "

@@ -89,9 +89,15 @@ def irr_expr(cfs_col: str, guess: float = 0.1, steps: int = 40) -> str:
         f"'f', s.f + c / s.df, "
         f"'fp', s.fp - s.i * c / (s.df * (1.0D + nr))))"
     )
+    # bind the inner fold's result struct ONCE per Newton step via a
+    # single-element aggregate (Spark does no CSE inside HOF lambdas —
+    # writing ({inner}).f / ({inner}).fp would run the fold twice per
+    # step, doubling both runtime and codegen size); arithmetic is
+    # identical: acc - st.f / st.fp == nr - f/fp
     return (
         f"aggregate(sequence(1, {int(steps)}), {_dlit(guess)}, "
-        f"(nr, ii) -> nr - ({inner}).f / ({inner}).fp)"
+        f"(nr, ii) -> aggregate(array({inner}), nr, "
+        f"(acc, st) -> acc - st.f / st.fp))"
     )
 
 

@@ -415,8 +415,11 @@ def plan_shards(
         out = cum.withColumn(shard_col, shard.cast("long"))
     else:
         # target = ceil(total/num_shards), computed plan-side: the 1-row
-        # total broadcast-crossjoins back (no driver round-trip)
-        total = base.agg(F.sum("n_tokens").alias("__total"))
+        # total broadcast-crossjoins back (no driver round-trip).
+        # Aggregate over `cum` — its lineage is the localCheckpoint-PINNED
+        # shuffled frame, so the total reuses those partitions instead of
+        # re-scanning and re-tokenizing the source a second time
+        total = cum.agg(F.sum("n_tokens").alias("__total"))
         cum = cum.crossJoin(F.broadcast(total))
         shard = F.least(
             F.expr(
@@ -487,9 +490,15 @@ def plan_shards_append(
     nothing rescans the corpus — the same maintenance contract as
     ``bloom_append`` / ``ivf_append`` / ``minhash_index_append``.
 
-    Returns ``(assignment, new_state)``; feeding batches through
-    repeatedly yields exactly the shard boundaries a from-scratch plan
-    over the concatenated stream (in arrival order) would produce.
+    Returns ``(assignment, new_state)``.  Feeding batches through
+    repeatedly cuts shard boundaries every ``target_tokens`` along the
+    stream ordered batch-by-batch (each batch internally in its
+    content-addressed order) — the sequential-walk invariant the unit
+    test pins.  Note this is NOT the same assignment as re-running
+    :func:`plan_shards` over the union: a replan re-deals ALL documents
+    into one global pseudo-random order, interleaving the batches —
+    that is the rebuild path; this is the append path (ids and token
+    masses conserved, earlier shards untouched).
     """
     target = int(state["target_tokens"])
     offset = int(state["total_tokens"])

@@ -505,9 +505,11 @@ def recall_report(
     Both inputs are (query, neighbor) lists — queries × k rows, tiny
     regardless of corpus size, so the comparison join costs nothing next
     to the searches themselves.  Queries whose approximate list found no
-    true neighbor still appear (recall 0.0)."""
-    ex = exact.select(query_col, neighbor_col)
-    ap = approx.select(query_col, neighbor_col)
+    true neighbor still appear (recall 0.0).  Inputs are deduplicated
+    (a multi-probe generator emitting a neighbor twice must not inflate
+    n_hit past n_true)."""
+    ex = exact.select(query_col, neighbor_col).distinct()
+    ap = approx.select(query_col, neighbor_col).distinct()
     truth = ex.groupBy(query_col).agg(F.count("*").alias("n_true"))
     hits = (
         ex.join(ap, [query_col, neighbor_col])

@@ -160,13 +160,19 @@ class Role:
         """Raise :class:`AccessDenied` when ``depth`` lies outside the
         role's level bounds for this dimension."""
         b = self.level_bounds(dim)
-        if b is not None and depth < 0 and b[0] == 0:
+        if b is not None and depth < 0:
             # depth -1 = the synthetic All member (above every level).  An
-            # unset topLevel defaults to the hierarchy top (schema.rb
+            # UNSET topLevel defaults to the hierarchy top (schema.rb
             # HierarchyGrant), so a bottom-only grant keeps the All member
-            # (and [Dim].DefaultMember) accessible; only a grant whose
-            # loosest top_level sits BELOW the first level denies it.
-            return
+            # (and [Dim].DefaultMember) accessible; any EXPLICIT topLevel
+            # — even the first level — denies members above it, All
+            # included (loosest-bounds union: one unset top suffices)
+            if any(
+                hg.top_level is None
+                for hg in self.hierarchy_grants
+                if hg.dimension.lower() == dim.name.lower()
+            ):
+                return
         if b is not None and not (b[0] <= depth <= b[1]):
             name = "(All)" if depth < 0 else dim.levels[depth].name
             raise AccessDenied(

@@ -3230,3 +3230,29 @@ def test_vba_breadth3_coercions(engine):
     assert row["str_n"] == "-3.5"
     assert row["ts_h"] == 2 and row["ts_m"] == 30  # 1h + 90min carries
     assert row["tv_s"] == 7
+
+
+def test_vba_instr_compare_and_instrrev_start(engine):
+    """Review follow-up: the 4-arg InStr compare argument is accepted
+    and ignored (binary compare); InStrRev honors the start bound (the
+    match must end at or before it; -1 = whole string)."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[I4] AS
+               'InStr(1, "MISSISSIPPI", "SS", 1)'
+             MEMBER [Measures].[IrS] AS
+               'InStrRev("MISSISSIPPI", "SS", 5)'
+             MEMBER [Measures].[IrA] AS
+               'InStrRev("MISSISSIPPI", "SS", 0 - 1)'
+             MEMBER [Measures].[IrC] AS
+               'InStrRev("MISSISSIPPI", "SS", 0 - 1, 1)'
+        SELECT {[Measures].[I4], [Measures].[IrS], [Measures].[IrA],
+                [Measures].[IrC]} ON COLUMNS FROM [Sales]
+        """,
+    )
+    row = r.df.collect()[0]
+    assert row["i4"] == 3
+    assert row["ir_s"] == 3    # within the first 5 chars only SS@3 fits
+    assert row["ir_a"] == 6    # whole string: last occurrence
+    assert row["ir_c"] == 6    # compare arg ignored

@@ -3913,11 +3913,17 @@ def test_documents_cube_mdx_and_aggregate_routing(spark):
             ref[lang]["s"] / ref[lang]["n"]
         )
 
-    # aggregate routing: register a lang-grain summary, the routed plan
-    # must not scan documents
-    summary = docs.groupBy("lang").agg(
+    # aggregate routing: register a MATERIALIZED lang-grain summary (a
+    # lazy groupBy frame would carry the documents scan in its own
+    # lineage and defeat the plan assertion below), the routed plan must
+    # not scan documents
+    import tempfile
+
+    agg_path = tempfile.mkdtemp(prefix="docs_cube_agg_") + "/summary"
+    docs.groupBy("lang").agg(
         F.count("doc_id").alias("n_docs"), F.sum("n_chars").alias("sum_chars")
-    )
+    ).write.mode("overwrite").parquet(agg_path)
+    summary = spark.read.parquet(agg_path)
     eng.register_aggregate(summary, ["lang"], {"n_docs": "count",
                                                "sum_chars": "sum"})
     from mondrian_olap_spark.query import Query
@@ -3929,6 +3935,9 @@ def test_documents_cube_mdx_and_aggregate_routing(spark):
         .execute()
         .df
     )
+    # the routed plan must serve from the summary — no documents scan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "documents.parquet" not in plan
     base = {x["lang"]: x for x in
             docs.groupBy("lang").agg(
                 F.count("doc_id").alias("n"),

@@ -210,17 +210,35 @@ def test_bottom_only_grant_keeps_all_member(engine):
         .df
     )
     assert df.count() == 1  # the grand-total All row
-    # an explicit top_level below the first level still denies All
-    nation_top = Role(
-        "nation_top",
+    # an EXPLICIT top_level denies All even at the first level — only an
+    # unset topLevel defaults to the hierarchy top (Mondrian semantics)
+    for top in ("Region", "Nation"):
+        explicit = Role(
+            f"{top.lower()}_top",
+            hierarchy_grants=(
+                HierarchyGrant("Customer", top_level=top, bottom_level="Nation"),
+            ),
+        )
+        with pytest.raises(AccessDenied, match=r"\(All\)"):
+            Query(engine.with_role(explicit)).columns(
+                "[Measures].[Sum Qty]"
+            ).rows("[Customer].DefaultMember").execute()
+    # role-union loosest bounds: one unset-top grant re-admits All
+    union_role = Role(
+        "union",
         hierarchy_grants=(
-            HierarchyGrant("Customer", top_level="Nation", bottom_level="Nation"),
+            HierarchyGrant("Customer", top_level="Region", bottom_level="Nation"),
+            HierarchyGrant("Customer", bottom_level="Region"),
         ),
     )
-    with pytest.raises(AccessDenied, match=r"\(All\)"):
-        Query(engine.with_role(nation_top)).columns(
-            "[Measures].[Sum Qty]"
-        ).rows("[Customer].DefaultMember").execute()
+    assert (
+        Query(engine.with_role(union_role))
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].DefaultMember")
+        .execute()
+        .df.count()
+        == 1
+    )
 
 
 def test_hierarchy_grant_level_bounds(engine):
