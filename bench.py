@@ -114,6 +114,7 @@ HEADLINE = [
     "vba_breadth2_gate",
     "pipeline_shard_append_gate",
     "dedup_lsh_recall_gate",
+    "text_bpe_train_merges",
 ]
 
 

@@ -718,6 +718,137 @@ def bpe_pair_counts(
     )
 
 
+def train_bpe(
+    df: DataFrame,
+    num_merges: int,
+    text_col: str = "text",
+    min_freq: int = 2,
+    max_words: int = 1_000_000,
+) -> list[tuple[str, str]]:
+    """Train a byte-pair-encoding merge list (Sennrich et al. 2016) from
+    the corpus.  The CORPUS-SIZED work is one Spark aggregation: BPE
+    pre-token frequencies (:data:`BPE_SPLIT_PATTERN` segmentation,
+    map-side partial combine — the same kernel as
+    :func:`bpe_pair_counts`).  The merge loop then runs on the collected
+    word-frequency TABLE, which is bounded by the distinct pre-token
+    count and capped at the ``max_words`` most frequent (count desc,
+    word asc) — the standard practice: every real BPE trainer iterates
+    over the word-count dictionary, never the corpus, so a 100 TB train
+    costs one corpus pass + an in-memory loop over ≤ max_words entries.
+
+    Deterministic end to end: the word table's cap uses a total order,
+    and each round's best pair breaks count ties lexicographically.
+    Merging is the classic greedy left-to-right non-overlapping pass.
+    Stops early when the best pair's frequency drops below ``min_freq``.
+    Returns the ordered merge list ``[(left, right), ...]``.
+    """
+    words = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.coalesce(F.col(text_col), F.lit("")),
+                    F.lit(BPE_SPLIT_PATTERN),
+                    F.lit(0),
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("f"))
+        .orderBy(F.col("f").desc(), F.col("w"))
+        .limit(int(max_words))
+        .collect()
+    )
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(r["w"]): int(r["f"]) for r in words if r["w"]
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(num_merges)):
+        counts: dict[tuple[str, str], int] = {}
+        for sym, f in vocab.items():
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_freq:
+            break
+        a, b = best[0]
+        merged = a + b
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for sym, f in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            t = tuple(out)
+            new_vocab[t] = new_vocab.get(t, 0) + f
+        vocab = new_vocab
+        merges.append((a, b))
+    return merges
+
+
+def apply_bpe(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    output: str = "bpe_tokens",
+) -> DataFrame:
+    """Segment text with a trained merge list: GPT-2-style application —
+    per pre-token, repeatedly merge the pair with the LOWEST merge rank
+    until none applies.  The per-word loop is data-dependent, so this is
+    the documented Python seam: an Arrow-batched pandas UDF (never
+    row-at-a-time), with a per-batch word cache so each distinct word
+    segments once per batch regardless of frequency — on natural text
+    the cache hit rate makes the pass scan-bound.  Deterministic for a
+    fixed merge list.  Returns ``array<string>`` subword tokens whose
+    concatenation per pre-token is lossless."""
+    import re as _re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    rank = {tuple(m): i for i, m in enumerate(merges)}
+    pat = _re.compile(BPE_SPLIT_PATTERN)
+
+    def _encode_word(w: str, cache: dict) -> list[str]:
+        hit = cache.get(w)
+        if hit is not None:
+            return hit
+        sym = list(w)
+        while len(sym) > 1:
+            best_i, best_r = -1, None
+            for i in range(len(sym) - 1):
+                r = rank.get((sym[i], sym[i + 1]))
+                if r is not None and (best_r is None or r < best_r):
+                    best_i, best_r = i, r
+            if best_r is None:
+                break
+            sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+        cache[w] = sym
+        return sym
+
+    # UNannotated on purpose: with `from __future__ import annotations`
+    # the pd.Series hints stringify and pandas_udf rejects the signature
+    @pandas_udf("array<string>")
+    def _bpe(texts):
+        cache: dict = {}
+        out = []
+        for t in texts:
+            toks: list[str] = []
+            for w in pat.findall(t or ""):
+                toks.extend(_encode_word(w, cache))
+            out.append(toks)
+        return pd.Series(out)
+
+    return df.withColumn(output, _bpe(F.col(text_col)))
+
+
 def token_length_histogram(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Power-of-two histogram of per-document whitespace token counts —
     the sequence-length profile that sizes packing budgets, context

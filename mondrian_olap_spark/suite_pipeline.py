@@ -5073,3 +5073,69 @@ def dedup_lsh_recall_gate(spark, sf_dir):
     exact = dedup.jaccard_pairs(docs, threshold=0.8)
     lsh = dedup.minhash_dedup_pairs(docs, threshold=0.8)
     return dedup.pair_recall_report(exact, lsh)
+
+
+def _bpe_train_oracle_sql(num_merges: int) -> str:
+    """Generated DuckDB replay of text.train_bpe: the merge loop
+    UNROLLED as one CTE chain per round.  Words are encoded with each
+    symbol wrapped as chr(1)||sym||chr(2), so the round's best-pair
+    merge is a plain string replace whose non-overlapping left-to-right
+    semantics equal the trainer's greedy symbol walk, and multi-char
+    symbols can never false-match across boundaries.  Tie-breaks match
+    the trainer exactly (count desc, then pair lexicographic)."""
+    wrap = "chr(1)||'\\1'||chr(2)"
+    sep_trim = "chr(1)||chr(2)"
+    sep_mid = "chr(2)||chr(1)"
+    pat = text.BPE_SPLIT_PATTERN.replace("'", "''")
+    parts = [f"""
+w0 AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
+    SELECT unnest(regexp_extract_all(coalesce(text, ''), '{pat}')) AS w
+    FROM documents
+  ) WHERE w <> '' GROUP BY 1
+),
+s0 AS (SELECT w, f, regexp_replace(w, '(.)', {wrap}, 'g') AS s FROM w0)"""]
+    for k in range(1, num_merges + 1):
+        j = k - 1
+        parts.append(f"""
+sy{k} AS (SELECT w, f, string_split(trim(s, {sep_trim}), {sep_mid}) AS sy
+          FROM s{j}),
+px{k} AS MATERIALIZED (
+  SELECT w, f, unnest(sy) AS sym, generate_subscripts(sy, 1) AS pos
+  FROM sy{k}),
+p{k} AS (SELECT a.sym AS sa, b.sym AS sb, sum(a.f) AS c
+         FROM px{k} a JOIN px{k} b ON a.w = b.w AND b.pos = a.pos + 1
+         GROUP BY 1, 2),
+b{k} AS (SELECT sa, sb FROM p{k} ORDER BY c DESC, sa, sb LIMIT 1),
+s{k} AS MATERIALIZED (SELECT s{j}.w, s{j}.f,
+                replace(s, chr(1)||b.sa||chr(2)||chr(1)||b.sb||chr(2),
+                        chr(1)||b.sa||b.sb||chr(2)) AS s
+         FROM s{j}, b{k} b)""")
+    finals = "\nUNION ALL\n".join(
+        f"SELECT CAST({k - 1} AS INT) AS rank, sa AS left, sb AS right, "
+        f"sa || sb AS merged FROM b{k}"
+        for k in range(1, num_merges + 1)
+    )
+    return "WITH " + ",".join(parts) + "\n" + finals
+
+
+@q("text_bpe_train_merges", _bpe_train_oracle_sql(20))
+def text_bpe_train_merges(spark, sf_dir):
+    """BPE tokenizer training through the driver gate: one corpus-sized
+    Spark aggregation builds the pre-token frequency table, the Sennrich
+    merge loop runs over that bounded table (<= max_words entries — the
+    standard trainer shape: every real BPE trainer iterates the
+    word-count dictionary, never the corpus), deterministic end to end
+    (count-desc/lexicographic tie-breaks).  The oracle replays the loop
+    UNROLLED as 20 generated SQL stages over delimiter-wrapped symbol
+    strings — bit-exact merge-for-merge.  apply_bpe (unit-tested, Arrow
+    pandas UDF with a per-batch word cache) segments with the result."""
+    from .operators import text as t
+
+    merges = t.train_bpe(
+        _docs(spark, sf_dir), num_merges=20, min_freq=1, max_words=100_000
+    )
+    return spark.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "rank INT, left STRING, right STRING, merged STRING",
+    )

@@ -3964,3 +3964,59 @@ def test_pair_recall_report(spark):
     r = dedup.pair_recall_report(exact, cand).collect()[0]
     assert r["n_true"] == 3 and r["n_found"] == 2
     assert r["recall"] == pytest.approx(2 / 3)
+
+
+def test_train_bpe_and_apply(spark):
+    """BPE training vs an independent in-test reference (Sennrich
+    pair-count/merge loop), then GPT-2-style application: lowest-rank
+    pair first, lossless per-pre-token concatenation."""
+    from mondrian_olap_spark.operators import text as t
+    import re
+
+    corpus = ["low low low low low",
+              "lower lower newest newest newest",
+              "newest newest newest widest"]
+    docs = spark.createDataFrame([Row(doc_id=i, text=s)
+                                  for i, s in enumerate(corpus)])
+    merges = t.train_bpe(docs, num_merges=6, min_freq=2, max_words=100)
+
+    # independent reference on the same pre-token counts
+    pat = re.compile(t.BPE_SPLIT_PATTERN)
+    freq = {}
+    for s in corpus:
+        for w in pat.findall(s):
+            freq[w] = freq.get(w, 0) + 1
+    vocab = {tuple(w): f for w, f in freq.items()}
+    ref = []
+    for _ in range(6):
+        counts = {}
+        for sym, f in vocab.items():
+            for i in range(len(sym) - 1):
+                counts[(sym[i], sym[i + 1])] = counts.get(
+                    (sym[i], sym[i + 1]), 0) + f
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < 2:
+            break
+        nv = {}
+        for sym, f in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b); i += 2
+                else:
+                    out.append(sym[i]); i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + f
+        vocab = nv
+        ref.append((a, b))
+    assert merges == ref and len(merges) > 0
+
+    seg = {r["doc_id"]: r["bpe_tokens"]
+           for r in t.apply_bpe(docs, merges).collect()}
+    # lossless: concatenating subwords reproduces the pre-tokens
+    for i, s in enumerate(corpus):
+        assert "".join(seg[i]) == "".join(pat.findall(s))
+    # the most frequent word ends fully merged after enough rounds
+    assert any(tok.endswith("est") or "newest" in tok
+               for tok in seg[1] + seg[2])
