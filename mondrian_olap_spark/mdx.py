@@ -488,6 +488,46 @@ def _vba_strconv(inner: str):
     return f"{fn}({args[0]})"
 
 
+def _vba_partition(inner: str):
+    """Partition(number, start, stop, interval) (Vba.partition): the
+    "lower:upper" range label the number falls into, both sides
+    right-aligned to ``len(str(stop)) + 1`` characters (the VBA layout
+    rule, so labels sort and columnate).  Below start the lower side is
+    blank and the upper is ``start-1``; above stop the lower is
+    ``stop+1`` and the upper side is blank.  start/stop/interval must
+    be integer literals — the label WIDTH is a formatting constant the
+    rewrite must fold."""
+    args = _split_top_args(inner)
+    if len(args) != 4:
+        return None
+    num = args[0]
+    try:
+        start = int(args[1].strip())
+        stop = int(args[2].strip())
+        interval = int(args[3].strip())
+    except ValueError:
+        raise MdxError(
+            "Partition: start, stop and interval must be integer literals"
+        ) from None
+    if interval < 1 or stop < start:
+        raise MdxError("Partition: requires interval >= 1 and stop >= start")
+    w = len(str(stop)) + 1
+    pad = lambda e: f"lpad(cast({e} as string), {w}, ' ')"  # noqa: E731
+    blank = f"repeat(' ', {w})"
+    lo = (
+        f"({start} + (cast(floor((cast(({num}) as double) - {start}) "
+        f"/ {interval}) as bigint)) * {interval})"
+    )
+    return (
+        f"(CASE WHEN ({num}) < {start} THEN "
+        f"concat({blank}, ':', {pad(start - 1)}) "
+        f"WHEN ({num}) > {stop} THEN "
+        f"concat({pad(stop + 1)}, ':', {blank}) "
+        f"ELSE concat({pad(lo)}, ':', "
+        f"{pad(f'least({lo} + {interval} - 1, {stop})')}) END)"
+    )
+
+
 def _vba_str(inner: str):
     """Str(number) (Vba.str_): stringify with VBA's sign slot — a
     leading space for non-negative values, the minus sign otherwise."""
@@ -2152,6 +2192,7 @@ class MdxParser:
         out = _rewrite_call(out, "cstr", "cast((", ") as string)")
         out = _rewrite_call(out, "csng", "cast((", ") as float)")
         out = _rewrite_call(out, "ccur", "cast((", ") as decimal(19,4))")
+        out = _rewrite_paren_call(out, "partition", _vba_partition)
         out = _rewrite_paren_call(out, "str", _vba_str)
         out = _rewrite_paren_call(out, "timeserial", _vba_timeserial)
         out = _rewrite_call(

@@ -3256,3 +3256,33 @@ def test_vba_instr_compare_and_instrrev_start(engine):
     assert row["ir_s"] == 3    # within the first 5 chars only SS@3 fits
     assert row["ir_a"] == 6    # whole string: last occurrence
     assert row["ir_c"] == 6    # compare arg ignored
+
+
+def test_vba_partition(engine):
+    """Partition(number, start, stop, interval) (Vba.partition): MS-doc
+    examples — width is len(str(stop)) + 1 on BOTH sides of the colon;
+    below-start and above-stop ranges blank one side; the last in-range
+    bucket clips at stop."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[P In] AS 'Partition(20, 0, 98, 5)'
+             MEMBER [Measures].[P Lo] AS 'Partition(0 - 5, 0, 98, 5)'
+             MEMBER [Measures].[P Hi] AS 'Partition(120, 0, 98, 5)'
+             MEMBER [Measures].[P Clip] AS 'Partition(97, 0, 98, 5)'
+        SELECT {[Measures].[P In], [Measures].[P Lo], [Measures].[P Hi],
+                [Measures].[P Clip]} ON COLUMNS FROM [Sales]
+        """,
+    )
+    row = r.df.collect()[0]
+    assert row["p_in"] == " 20: 24"
+    assert row["p_lo"] == "   : -1"
+    assert row["p_hi"] == " 99:   "
+    assert row["p_clip"] == " 95: 98"   # clipped at stop
+    with pytest.raises(MdxError, match="Partition"):
+        execute_mdx(
+            engine,
+            "WITH MEMBER [Measures].[X] AS "
+            "'Partition(20, 0, 98, count_order)' "
+            "SELECT [Measures].[X] ON COLUMNS FROM [Sales]",
+        )

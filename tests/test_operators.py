@@ -4020,3 +4020,49 @@ def test_train_bpe_and_apply(spark):
     # the most frequent word ends fully merged after enough rounds
     assert any(tok.endswith("est") or "newest" in tok
                for tok in seg[1] + seg[2])
+
+
+def test_apply_bpe_on_stream_matches_batch(spark, tmp_path):
+    """apply_bpe is a pure projection once the merge list is fixed, so
+    the SAME call segments a streaming frame — streamed output equals
+    the batch output row for row."""
+    from mondrian_olap_spark.operators import text as t
+
+    rows = [Row(doc_id=i, text=s) for i, s in enumerate(
+        ["low low lower", "newest newest widest", "low newest"])]
+    docs = spark.createDataFrame(rows)
+    merges = t.train_bpe(docs, num_merges=5, min_freq=1, max_words=100)
+    batch = {r["doc_id"]: r["bpe_tokens"]
+             for r in t.apply_bpe(docs, merges).collect()}
+
+    staging = str(tmp_path / "staging")
+    docs.write.mode("overwrite").parquet(staging)
+    stream = spark.readStream.schema(docs.schema).parquet(staging)
+    seg = t.apply_bpe(stream, merges)
+    spark.catalog.dropTempView("bpe_stream_view") if \
+        "bpe_stream_view" in [v.name for v in spark.catalog.listTables()] \
+        else None
+    q_ = (seg.writeStream.format("memory").queryName("bpe_stream_view")
+          .outputMode("append")
+          .option("checkpointLocation", str(tmp_path / "ckpt"))
+          .trigger(availableNow=True).start())
+    q_.awaitTermination(120)
+    streamed = {r["doc_id"]: r["bpe_tokens"]
+                for r in spark.table("bpe_stream_view").collect()}
+    assert streamed == batch
+
+
+def test_write_shards_partition_pruning(spark, tmp_path):
+    """Reading one shard back prunes to that partition — the layout is
+    not just balanced, it is skippable (PartitionFilters on shard_id)."""
+    from mondrian_olap_spark.operators import pipeline as pl
+
+    rows = [Row(doc_id=i, text=" ".join(["w"] * (3 + i % 5)))
+            for i in range(60)]
+    dest = str(tmp_path / "shards")
+    pl.write_shards(spark.createDataFrame(rows), dest, num_shards=4)
+    one = spark.read.parquet(dest).filter("shard_id = 2")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "shard_id" in plan.split(
+        "PartitionFilters")[1][:120]
+    assert one.count() > 0
