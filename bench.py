@@ -115,6 +115,7 @@ HEADLINE = [
     "pipeline_shard_append_gate",
     "dedup_lsh_recall_gate",
     "text_bpe_train_merges",
+    "vba_breadth3_gate",
 ]
 
 

@@ -3022,3 +3022,64 @@ def vba_breadth2_gate(spark, sf_dir):
                [Customer].[Region].Members ON ROWS FROM [Sales]
         """
     ).df
+
+
+@q(
+    "vba_breadth3_gate",
+    f"""
+    WITH g AS (
+      SELECT r_name AS region_name, sum(l_quantity) AS sum_qty,
+             count(l_orderkey) AS count_order
+      FROM {_CUST_STAR} GROUP BY 1
+    )
+    SELECT region_name,
+           (CASE WHEN CAST(count_order % 120 AS INT) < 10
+                 THEN repeat(' ', 3) || ':' || lpad('9', 3, ' ')
+                 WHEN CAST(count_order % 120 AS INT) > 98
+                 THEN lpad('99', 3, ' ') || ':' || repeat(' ', 3)
+                 ELSE lpad(CAST((CAST(count_order % 120 AS INT) // 5) * 5
+                                AS VARCHAR), 3, ' ')
+                      || ':' ||
+                      lpad(CAST(least((CAST(count_order % 120 AS INT) // 5)
+                                      * 5 + 4, 98) AS VARCHAR), 3, ' ')
+            END) AS part_lbl,
+           (CASE WHEN try_cast(region_name AS DOUBLE) IS NOT NULL
+                 THEN 1 ELSE 0 END) AS isnum_name,
+           (CASE WHEN sum_qty >= 0
+                 THEN ' ' || CAST(sum_qty AS VARCHAR)
+                 ELSE CAST(sum_qty AS VARCHAR) END) AS str_qty,
+           CAST(CAST(sum_qty AS DECIMAL(19,4)) AS VARCHAR) AS cur_qty,
+           hour(TIMESTAMP '1899-12-30 00:00:00'
+                + to_seconds(CAST(count_order % 20 AS INT) * 3600
+                             + 90 * 60)) AS ts_hour,
+           CAST(CAST(count_order % 7 AS INT) + 1 AS VARCHAR) AS cstr_day
+    FROM g
+    """,
+)
+def vba_breadth3_gate(spark, sf_dir):
+    """Round-8 VBA batch 3 through the driver gate, data-dependent per
+    region: Partition (below/in/above-range labels with the
+    len(str(stop))+1 layout rule — start=10 so small residues exercise
+    the blank-lower branch), IsNumeric, Str's sign slot, CCur's
+    DECIMAL(19,4) rendering, TimeSerial hour carry-over, CStr — each
+    replayed in DuckDB arithmetic, bit-exact."""
+    eng = get_engine(spark, sf_dir)
+    return eng.execute(
+        """
+        WITH MEMBER [Measures].[Part Lbl] AS
+               'Partition(CInt(Mod(count_order, 120)), 10, 98, 5)'
+             MEMBER [Measures].[Isnum Name] AS
+               'IIF(IsNumeric([Customer].CurrentMember.Name), 1, 0)'
+             MEMBER [Measures].[Str Qty] AS 'Str(sum_qty)'
+             MEMBER [Measures].[Cur Qty] AS 'CStr(CCur(sum_qty))'
+             MEMBER [Measures].[Ts Hour] AS
+               'Hour(TimeSerial(CInt(Mod(count_order, 20)), 90, 0))'
+             MEMBER [Measures].[Cstr Day] AS
+               'CStr(CInt(Mod(count_order, 7)) + 1)'
+        SELECT {[Measures].[Part Lbl], [Measures].[Isnum Name],
+                [Measures].[Str Qty], [Measures].[Cur Qty],
+                [Measures].[Ts Hour], [Measures].[Cstr Day]}
+               ON COLUMNS,
+               [Customer].[Region].Members ON ROWS FROM [Sales]
+        """
+    ).df
