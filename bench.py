@@ -116,6 +116,7 @@ HEADLINE = [
     "dedup_lsh_recall_gate",
     "text_bpe_train_merges",
     "vba_breadth3_gate",
+    "embed_scatter_covariance",
 ]
 
 

@@ -490,6 +490,127 @@ def ivf_topk(
     )
 
 
+def embedding_scatter(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    exact_cols: bool = False,
+) -> DataFrame:
+    """Upper-triangle scatter statistics of an embedding column — the
+    input PCA/whitening needs: per component pair (i, j ≥ i), the exact
+    sums ``sum_prod = Σ x_i·x_j``, ``sum_i``, ``sum_j`` and the count,
+    plus the derived covariance ``(sum_prod − sum_i·sum_j/n)/n``.
+
+    Determinism at scale: components round once to DECIMAL(18,10) and
+    every product/sum is EXACT decimal arithmetic — order-independent
+    under any partitioning, engine-identical (the stats-family
+    decimal-moment idiom).  The explode emits d(d+1)/2 rows per vector
+    but the pair-keyed aggregation map-side combines to d(d+1)/2 rows
+    per partition, so the shuffle is constant-size regardless of corpus
+    size.  The result is d(d+1)/2 rows — bounded, collectable."""
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            raise ValueError("empty frame: cannot infer embedding dim")
+        dim = int(first["d"])
+    # quantize once to 1e-10 integer units via the portable half-up
+    # idiom floor(x*1e10 + 0.5): the double multiply/floor are IEEE
+    # identical on every engine, unlike a double->DECIMAL cast (engines
+    # disagree in the last ulp of the scaled rounding).  All sums and
+    # products are then EXACT integer-decimal arithmetic.
+    dv = (
+        f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) "
+        f"* 10000000000.0D + 0.5D) AS DECIMAL(18,0)))"
+    )
+    pairs = df.selectExpr(
+        f"""explode(flatten(transform(sequence(1, {dim}), i ->
+             transform(sequence(i, {dim}), j -> struct(
+               i AS i, j AS j,
+               element_at({dv}, i) AS xi,
+               element_at({dv}, j) AS xj)))))  AS p"""
+    ).select("p.i", "p.j", "p.xi", "p.xj")
+    agg = pairs.groupBy("i", "j").agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("xi * xj")).alias("__sp"),
+        F.sum("xi").alias("__si"),
+        F.sum("xj").alias("__sj"),
+    )
+    if exact_cols:
+        # keep the raw integer-unit DECIMAL sums alongside (units of
+        # 1e-10 for __si/__sj, 1e-20 for __sp) — exact integers whose
+        # string rendering a bit-exact oracle compares
+        return agg.select(
+            "i", "j", "n", "__sp", "__si", "__sj",
+        )
+    sp = F.col("__sp").cast("double") / F.lit(1e20)
+    si = F.col("__si").cast("double") / F.lit(1e10)
+    sj = F.col("__sj").cast("double") / F.lit(1e10)
+    return agg.select(
+        "i",
+        "j",
+        "n",
+        sp.alias("sum_prod"),
+        si.alias("sum_i"),
+        sj.alias("sum_j"),
+        # fixed op order for bit-determinism: (sp - si*sj/n) / n
+        (
+            (sp - si * sj / F.col("n").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("cov"),
+    )
+
+
+def pca_components(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> list[list[float]]:
+    """Top-k principal components of the embedding column: the scatter
+    matrix comes back as d(d+1)/2 BOUNDED rows (:func:`embedding_scatter`
+    — the corpus-sized work), the d×d eigendecomposition runs driver-side
+    in numpy (d is the embedding width, never the corpus).  Component
+    signs are normalized (largest-|.| coordinate positive) so the basis
+    is deterministic.  Feed the result to :func:`project_embeddings`."""
+    import numpy as np
+
+    rows = embedding_scatter(df, vec_col=vec_col, dim=dim).collect()
+    d = max(r["j"] for r in rows)
+    cov = np.zeros((d, d))
+    for r in rows:
+        cov[r["i"] - 1, r["j"] - 1] = r["cov"]
+        cov[r["j"] - 1, r["i"] - 1] = r["cov"]
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][: int(k)]
+    comps = []
+    for idx in order:
+        v = vecs[:, idx]
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+    return comps
+
+
+def project_embeddings(
+    df: DataFrame,
+    components: list[list[float]],
+    vec_col: str = "embedding",
+    output: str = "projected",
+) -> DataFrame:
+    """Project embeddings onto a component basis (PCA reduce / whitening
+    rotation): components inline as array literals, each coordinate is a
+    sequential-fold dot product — a pure zero-shuffle projection that
+    runs identically on batch and streaming frames."""
+    coords = []
+    for c in components:
+        lit = "array(" + ", ".join(f"{x!r}D" for x in c) + ")"
+        coords.append(
+            f"aggregate(zip_with({vec_col}, {lit}, (a, b) -> "
+            f"CAST(a AS DOUBLE) * b), 0.0D, (s, x) -> s + x)"
+        )
+    return df.withColumn(output, F.expr("array(" + ", ".join(coords) + ")"))
+
+
 def recall_report(
     exact: DataFrame,
     approx: DataFrame,

@@ -5139,3 +5139,55 @@ def text_bpe_train_merges(spark, sf_dir):
         [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
         "rank INT, left STRING, right STRING, merged STRING",
     )
+
+
+@q(
+    "embed_scatter_covariance",
+    f"""
+    WITH e AS (
+      SELECT vec_id, unnest({_EMB_D}) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    d AS (SELECT vec_id, i,
+                 CAST(floor(x * 10000000000.0 + 0.5) AS DECIMAL(18,0)) AS x
+          FROM e),
+    p AS (
+      SELECT a.i AS i, b.i AS j, count(*) AS n,
+             sum(CAST(a.x AS DECIMAL(19,0)) * b.x) AS sp,
+             sum(a.x) AS si, sum(b.x) AS sj
+      FROM d a JOIN d b ON a.vec_id = b.vec_id AND b.i >= a.i
+      GROUP BY 1, 2
+    )
+    SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j, CAST(n AS BIGINT) AS n,
+           CAST(sp AS VARCHAR) AS sum_prod_s,
+           CAST(si AS VARCHAR) AS sum_i_s,
+           CAST(sj AS VARCHAR) AS sum_j_s
+    FROM p
+    """,
+)
+def embed_scatter_covariance(spark, sf_dir):
+    """Embedding scatter/covariance through the driver gate — the PCA /
+    whitening input: per component pair (upper triangle, 64x65/2 = 2080
+    rows), exact decimal-moment sums (components rounded once to
+    DECIMAL(18,10); every product/sum exact decimal arithmetic —
+    order-independent under any partitioning).  The gate pins the EXACT
+    sums as INTEGER-UNIT DECIMAL STRINGS (components quantized once via
+    the portable floor(x*1e10 + 0.5) half-up idiom — double->DECIMAL
+    casts disagree across engines in the scaled last ulp, IEEE
+    multiply/floor do not); the derived covariance double is a
+    fixed-order expression on them, unit-tested vs numpy.
+    The corpus-sized work map-side combines to a
+    constant-size shuffle; the d x d eigendecomposition
+    (similarity.pca_components) then runs on BOUNDED data driver-side,
+    and project_embeddings applies the basis as a zero-shuffle
+    projection."""
+    sc = similarity.embedding_scatter(_emb(spark, sf_dir), exact_cols=True)
+    return sc.select(
+        F.col("i").cast("int").alias("i"),
+        F.col("j").cast("int").alias("j"),
+        "n",
+        F.col("__sp").cast("string").alias("sum_prod_s"),
+        F.col("__si").cast("string").alias("sum_i_s"),
+        F.col("__sj").cast("string").alias("sum_j_s"),
+    )

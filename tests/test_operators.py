@@ -4066,3 +4066,40 @@ def test_write_shards_partition_pruning(spark, tmp_path):
     assert "PartitionFilters" in plan and "shard_id" in plan.split(
         "PartitionFilters")[1][:120]
     assert one.count() > 0
+
+
+def test_embedding_scatter_pca_project(spark):
+    """embedding_scatter matches numpy covariance to decimal-rounding
+    tolerance; pca_components recovers the dominant planted direction;
+    project_embeddings is the plain dot product."""
+    import numpy as np
+    from mondrian_olap_spark.operators import similarity as sim
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(200, 1) @ np.array([[3.0, 1.0, 0.2, 0.0]])
+    noise = rng.randn(200, 4) * 0.1
+    X = base + noise
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(v) for v in X[i]])
+         for i in range(200)]
+    )
+    sc = {(r["i"], r["j"]): r for r in
+          sim.embedding_scatter(df, dim=4).collect()}
+    assert len(sc) == 10  # 4*5/2 upper triangle
+    ref = np.cov(X, rowvar=False, bias=True)
+    for (i, j), r in sc.items():
+        assert r["cov"] == pytest.approx(ref[i - 1, j - 1], abs=1e-6)
+
+    comps = sim.pca_components(df, k=2)
+    v0 = np.array(comps[0])
+    planted = np.array([3.0, 1.0, 0.2, 0.0])
+    planted /= np.linalg.norm(planted)
+    assert abs(float(v0 @ planted)) > 0.99
+    # sign convention: largest-|.| coordinate positive
+    assert v0[int(np.argmax(np.abs(v0)))] > 0
+
+    proj = sim.project_embeddings(df, comps).collect()
+    for r in proj[:5]:
+        x = np.array(r["embedding"])
+        want = [float(x @ np.array(c)) for c in comps]
+        assert r["projected"] == pytest.approx(want, rel=1e-9)
