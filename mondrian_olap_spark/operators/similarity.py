@@ -591,21 +591,40 @@ def pca_components(
     return comps
 
 
+def embedding_mean(
+    df: DataFrame, vec_col: str = "embedding", dim: int | None = None
+) -> list[float]:
+    """Per-component mean vector, from the same exact integer-unit sums
+    as :func:`embedding_scatter` (the diagonal rows carry every
+    component's sum) — bounded output, partition-order independent."""
+    rows = embedding_scatter(df, vec_col=vec_col, dim=dim).collect()
+    out = {r["i"]: r["sum_i"] / r["n"] for r in rows if r["i"] == r["j"]}
+    return [out[i] for i in sorted(out)]
+
+
 def project_embeddings(
     df: DataFrame,
     components: list[list[float]],
     vec_col: str = "embedding",
     output: str = "projected",
+    mean: list[float] | None = None,
 ) -> DataFrame:
     """Project embeddings onto a component basis (PCA reduce / whitening
     rotation): components inline as array literals, each coordinate is a
     sequential-fold dot product — a pure zero-shuffle projection that
-    runs identically on batch and streaming frames."""
+    runs identically on batch and streaming frames.  Pass ``mean``
+    (:func:`embedding_mean`) to center first — PCA coordinates are
+    conventionally of the centered data; the subtraction stays inside
+    the same projection (still zero-shuffle)."""
+    src = vec_col
+    if mean is not None:
+        mlit = "array(" + ", ".join(f"{float(x)!r}D" for x in mean) + ")"
+        src = f"zip_with({vec_col}, {mlit}, (a, b) -> CAST(a AS DOUBLE) - b)"
     coords = []
     for c in components:
         lit = "array(" + ", ".join(f"{x!r}D" for x in c) + ")"
         coords.append(
-            f"aggregate(zip_with({vec_col}, {lit}, (a, b) -> "
+            f"aggregate(zip_with({src}, {lit}, (a, b) -> "
             f"CAST(a AS DOUBLE) * b), 0.0D, (s, x) -> s + x)"
         )
     return df.withColumn(output, F.expr("array(" + ", ".join(coords) + ")"))

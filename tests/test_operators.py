@@ -4103,3 +4103,27 @@ def test_embedding_scatter_pca_project(spark):
         x = np.array(r["embedding"])
         want = [float(x @ np.array(c)) for c in comps]
         assert r["projected"] == pytest.approx(want, rel=1e-9)
+
+
+def test_embedding_mean_and_centered_projection(spark):
+    """embedding_mean matches numpy; centered projection equals
+    (x - mu) @ C and has ~zero mean per coordinate."""
+    import numpy as np
+    from mondrian_olap_spark.operators import similarity as sim
+
+    rng = np.random.RandomState(3)
+    X = rng.randn(150, 4) + np.array([5.0, -2.0, 0.5, 0.0])
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(v) for v in X[i]])
+         for i in range(150)]
+    )
+    mu = sim.embedding_mean(df, dim=4)
+    assert mu == pytest.approx(list(X.mean(axis=0)), abs=1e-9)
+    comps = sim.pca_components(df, k=2, dim=4)
+    proj = sim.project_embeddings(df, comps, mean=mu).collect()
+    C = np.array(comps).T
+    got = np.array([r["projected"] for r in
+                    sorted(proj, key=lambda r: r["vec_id"])])
+    want = (X - X.mean(axis=0)) @ C
+    assert np.allclose(got, want, atol=1e-6)
+    assert np.allclose(got.mean(axis=0), 0.0, atol=1e-6)
