@@ -576,6 +576,24 @@ def main() -> int:
         f"scans={n_scans} expands={n_expand}",
     )
 
+    # 28. PCA basis projection: a pure zero-shuffle projection — no
+    #     Exchange, no Join, no Python eval; centering stays inside it
+    from mondrian_olap_spark.operators import similarity as simops
+    from mondrian_olap_spark.star import read_parquet_table
+
+    emb = read_parquet_table(spark, f"{SF_DIR}/embeddings.parquet")
+    comps = [[1.0 / 8.0] * 64, [0.5] + [0.0] * 63]
+    p = plan_str(
+        simops.project_embeddings(emb, comps, mean=[0.01] * 64)
+    )
+    bad = [l for l in p.splitlines()
+           if "Exchange" in l or "Join" in l or "EvalPython" in l]
+    check(
+        "project_embeddings.zero_shuffle_projection",
+        not bad,
+        f"nodes: {[l.strip()[:80] for l in bad]}",
+    )
+
     print(f"\n{len(failures)} failed properties" if failures else "\nall plan properties hold")
     return 1 if failures else 0
 
