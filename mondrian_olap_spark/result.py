@@ -97,20 +97,38 @@ class Result:
                     except Exception as e:  # pragma: no cover - racing cancel
                         box["err"] = e
 
-                worker = threading.Thread(target=run, daemon=True)
-                worker.start()
-                worker.join(self.timeout)
-                if worker.is_alive():
-                    # one immediate best-effort cancel; a task that ignores
-                    # the cancel flag finishes in the background (delayed
-                    # cancel sweeps would shoot down *later* queries)
-                    sc.cancelAllJobs()
-                    raise QueryTimeoutError(
-                        f"query exceeded timeout of {self.timeout}s"
-                    )
-                if "err" in box:
-                    raise box["err"]
-                self._rows_cache = box["rows"]
+                deadline = time.perf_counter() + self.timeout
+                attempts = 2
+                while True:
+                    box.clear()
+                    worker = threading.Thread(target=run, daemon=True)
+                    worker.start()
+                    worker.join(max(deadline - time.perf_counter(), 0.001))
+                    if worker.is_alive():
+                        # one immediate best-effort cancel; a task that
+                        # ignores the cancel flag finishes in the background
+                        # (delayed cancel sweeps would shoot down *later*
+                        # queries)
+                        sc.cancelAllJobs()
+                        raise QueryTimeoutError(
+                            f"query exceeded timeout of {self.timeout}s"
+                        )
+                    if "err" in box:
+                        # cancelAllJobs from a PRIOR timed-out query is
+                        # processed asynchronously by the DAG scheduler and
+                        # can reap this query's freshly-submitted job.  A
+                        # cancellation that arrives while our own deadline
+                        # has not elapsed is friendly fire — retry once.
+                        attempts -= 1
+                        if (
+                            attempts > 0
+                            and time.perf_counter() < deadline
+                            and "cancel" in str(box["err"]).lower()
+                        ):
+                            continue
+                        raise box["err"]
+                    self._rows_cache = box["rows"]
+                    break
             else:
                 self._rows_cache = df.collect()
             self.total_duration = (time.perf_counter() - t0) * 1000.0

@@ -144,3 +144,39 @@ def test_mdx_parser_fuzz_never_crashes(engine):
             pass  # typed rejection — the contract
 
     fuzz()
+
+def test_cancelled_by_prior_timeout_sweep_retries(engine, monkeypatch):
+    """A cancelAllJobs sweep from a PRIOR timed-out query is processed
+    asynchronously and can reap the NEXT query's job.  A cancellation
+    arriving before this query's own deadline is friendly fire — the
+    watchdog retries the collect once instead of leaking a raw Spark
+    cancellation error."""
+    DataFrame = type(engine.fact)  # the concrete (classic) DataFrame class
+
+    real_collect = DataFrame.collect
+    calls = {"n": 0}
+
+    def flaky_collect(self):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("Job 42 cancelled as part of cancellation of all jobs")
+        return real_collect(self)
+
+    monkeypatch.setattr(DataFrame, "collect", flaky_collect)
+    res = Query(engine).columns("[Measures].[Sum Qty]").execute(timeout=60)
+    v = res.values
+    while isinstance(v, list):
+        v = v[0]
+    assert v > 0 and calls["n"] == 2
+
+    # a NON-cancellation error still surfaces immediately (no blind retry)
+    calls["n"] = 0
+
+    def broken_collect(self):
+        calls["n"] += 1
+        raise RuntimeError("executor lost")
+
+    monkeypatch.setattr(DataFrame, "collect", broken_collect)
+    with pytest.raises(RuntimeError, match="executor lost"):
+        Query(engine).columns("[Measures].[Sum Qty]").execute(timeout=60).values
+    assert calls["n"] == 1
