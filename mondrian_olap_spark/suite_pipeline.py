@@ -5191,3 +5191,190 @@ def embed_scatter_covariance(spark, sf_dir):
         F.col("__si").cast("string").alias("sum_i_s"),
         F.col("__sj").cast("string").alias("sum_j_s"),
     )
+
+
+# ------------------------------------------------------------------ web
+# Shared URL synthesis for the web-curation gates: deterministic per
+# doc_id, covering every canonicalization rule (case, default/explicit
+# ports, userinfo, slash runs, trailing slash, tracking params, unsorted
+# params, fragments, unparseable passthrough).
+_URLS_SPARK = """
+CASE CAST(doc_id % 6 AS INT)
+ WHEN 0 THEN 'HTTP://WWW.Example.COM:80//a//' || CAST(doc_id % 5 AS STRING)
+          || '/?utm_source=x&b=2&a=1#frag'
+ WHEN 1 THEN 'https://news.example.co.uk:443/path/'
+          || CAST(doc_id % 7 AS STRING) || '/?gclid=abc'
+ WHEN 2 THEN 'https://Blog.Example.com/post/' || CAST(doc_id % 11 AS STRING)
+          || '?z=9&a=1&utm_campaign=c&q=' || lang
+ WHEN 3 THEN 'http://u:p@example.com'
+ WHEN 4 THEN 'HTTPS://Media.example.ORG:8443/x//y/?fbclid=1&q='
+          || CAST(doc_id % 3 AS STRING)
+ ELSE 'doc:' || CAST(doc_id AS STRING)
+END
+"""
+
+_URLS_DUCK = """
+CASE CAST(doc_id % 6 AS INT)
+ WHEN 0 THEN 'HTTP://WWW.Example.COM:80//a//' || CAST(doc_id % 5 AS VARCHAR)
+          || '/?utm_source=x&b=2&a=1#frag'
+ WHEN 1 THEN 'https://news.example.co.uk:443/path/'
+          || CAST(doc_id % 7 AS VARCHAR) || '/?gclid=abc'
+ WHEN 2 THEN 'https://Blog.Example.com/post/' || CAST(doc_id % 11 AS VARCHAR)
+          || '?z=9&a=1&utm_campaign=c&q=' || lang
+ WHEN 3 THEN 'http://u:p@example.com'
+ WHEN 4 THEN 'HTTPS://Media.example.ORG:8443/x//y/?fbclid=1&q='
+          || CAST(doc_id % 3 AS VARCHAR)
+ ELSE 'doc:' || CAST(doc_id AS VARCHAR)
+END
+"""
+
+
+def _duck_canon(u: str) -> str:
+    """DuckDB replay of web.canonical_url_expr(strip_www=False).
+
+    Dialect deltas vs the Spark expression (semantics identical):
+    regexp_replace needs the explicit 'g' flag for the slash-run
+    collapse (DuckDB replaces first-only by default; Spark replaces
+    all), and array_to_string([]) is NULL where Spark's array_join
+    returns '' — hence the coalesce."""
+    from .operators.web import TRACKING_PARAM_PATTERN, URL_PATTERN
+
+    scheme = f"lower(regexp_extract({u}, '{URL_PATTERN}', 1))"
+    auth = f"regexp_replace(regexp_extract({u}, '{URL_PATTERN}', 2), '^[^@]*@', '')"
+    hostname = f"lower(regexp_replace({auth}, ':[0-9]+$', ''))"
+    port = f"regexp_extract({auth}, ':([0-9]+)$', 1)"
+    port_part = (
+        f"CASE WHEN {port} = '' THEN '' "
+        f"WHEN {scheme} = 'http' AND {port} = '80' THEN '' "
+        f"WHEN {scheme} = 'https' AND {port} = '443' THEN '' "
+        f"ELSE ':' || {port} END"
+    )
+    path = (
+        f"regexp_replace(regexp_replace(regexp_extract({u}, '{URL_PATTERN}', 3),"
+        f" '/{{2,}}', '/', 'g'), '/+$', '')"
+    )
+    query = (
+        f"coalesce(array_to_string(list_sort(list_filter(string_split("
+        f"regexp_extract({u}, '{URL_PATTERN}', 4), '&'), "
+        f"p -> p != '' AND NOT regexp_matches(p, '{TRACKING_PARAM_PATTERN}'))), '&'), '')"
+    )
+    qp = f"CASE WHEN {query} = '' THEN '' ELSE '?' || {query} END"
+    return (
+        f"CASE WHEN {scheme} = '' THEN trim({u}) ELSE "
+        f"{scheme} || '://' || {hostname} || {port_part} || {path} || {qp} END"
+    )
+
+
+def _duck_host(u: str) -> str:
+    from .operators.web import URL_PATTERN
+
+    auth = f"regexp_replace(regexp_extract({u}, '{URL_PATTERN}', 2), '^[^@]*@', '')"
+    return f"lower(regexp_replace({auth}, ':[0-9]+$', ''))"
+
+
+def _duck_domain(host: str) -> str:
+    from .operators.web import MULTIPART_SUFFIXES
+
+    in_list = ", ".join("'" + s + "'" for s in MULTIPART_SUFFIXES)
+    parts = f"string_split({host}, '.')"
+    n = f"len({parts})"
+    last2 = f"array_to_string(list_slice({parts}, {n} - 1, {n}), '.')"
+    last3 = f"array_to_string(list_slice({parts}, {n} - 2, {n}), '.')"
+    return (
+        f"CASE WHEN {n} < 2 THEN {host} "
+        f"WHEN {n} >= 3 AND {last2} IN ({in_list}) THEN {last3} "
+        f"ELSE {last2} END"
+    )
+
+
+@q(
+    "web_canonical_urls",
+    f"""
+    WITH u AS (SELECT doc_id, {_URLS_DUCK} AS url FROM documents),
+    c AS (SELECT doc_id, {_duck_canon('trim(url)')} AS canonical_url,
+                 {_duck_host('trim(url)')} AS host
+          FROM u)
+    SELECT doc_id, canonical_url, host, {_duck_domain('host')} AS domain
+    FROM c
+    """,
+)
+def web_canonical_urls(spark, sf_dir):
+    """URL canonicalization through the driver gate (the dedup-key step of
+    CCNet/C4-style web curation): every document gets a deterministic
+    synthetic URL exercising case folding, default-port and userinfo
+    stripping, slash-run collapse, trailing-slash removal, tracking-param
+    drop + residual-param SORT, fragment drop, and the unparseable-input
+    passthrough.  web.canonical_url_expr runs it all as ONE codegen
+    projection (zero shuffles, zero UDFs); the oracle replays the same
+    regex pipeline in DuckDB (RE2) — the two engines' regex and string
+    semantics must agree byte-for-byte on every URL."""
+    from .operators import web
+
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id", f"({_URLS_SPARK}) AS url"
+    )
+    out = web.with_host(web.canonicalize_urls(docs), "url")
+    return out.select("doc_id", "canonical_url", "host", "domain")
+
+
+@q(
+    "web_host_cap_gate",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, host,
+             row_number() OVER (
+               PARTITION BY host
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS host_rank
+      FROM u
+    )
+    SELECT doc_id, host, host_rank FROM ranked WHERE host_rank <= 3
+    """,
+)
+def web_host_cap_gate(spark, sf_dir):
+    """Per-host contribution caps (RefinedWeb-style): 500 documents hash
+    into 7 hosts; web.cap_per_host keeps exactly 3 per host, ranked by the
+    content-addressed md5-of-id — a reproducible pseudo-random sample
+    that is provably independent of partitioning/layout (the adversarial-
+    layout sweep re-checks this entry).  One host-keyed shuffle + a
+    per-host row_number; the oracle is the plain SQL window."""
+    from .operators import web
+
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "'https://H' || CAST(doc_id % 7 AS STRING) || '.Example.COM/p/'"
+        " || CAST(doc_id AS STRING) AS url",
+    )
+    capped = web.cap_per_host(docs, 3, "url")
+    return capped.select("doc_id", "host", "host_rank")
+
+
+@q(
+    "web_host_profile",
+    f"""
+    WITH u AS (SELECT doc_id, text, {_URLS_DUCK} AS url FROM documents),
+    c AS (SELECT doc_id, text, {_duck_host('trim(url)')} AS host,
+                 {_duck_canon('trim(url)')} AS curl
+          FROM u)
+    SELECT host, count(*) AS n_docs, count(DISTINCT curl) AS n_urls,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
+    FROM c GROUP BY host
+    """,
+)
+def web_host_profile(spark, sf_dir):
+    """Host-level corpus observability: per-host document count, distinct
+    CANONICAL urls (so tracking-param noise never inflates the URL count)
+    and total characters — the aggregate behind host-cap and blocklist
+    decisions.  One aggregation shuffle over the canonicalization
+    projection."""
+    from .operators import web
+
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id", "text", f"({_URLS_SPARK}) AS url"
+    )
+    return web.host_profile(docs, "url")

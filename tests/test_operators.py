@@ -4127,3 +4127,118 @@ def test_embedding_mean_and_centered_projection(spark):
     want = (X - X.mean(axis=0)) @ C
     assert np.allclose(got, want, atol=1e-6)
     assert np.allclose(got.mean(axis=0), 0.0, atol=1e-6)
+
+
+# ------------------------------------------------------------------ web
+def test_canonical_url_rules(spark):
+    from mondrian_olap_spark.operators import web
+
+    cases = [
+        # case folding + default port + slash run + trailing slash +
+        # tracking drop + param sort + fragment drop
+        ("HTTP://WWW.Example.COM:80//a//b/?utm_source=x&b=2&a=1#f",
+         "http://www.example.com/a/b?a=1&b=2"),
+        # https default port; tracking-only query vanishes (no '?')
+        ("https://news.example.co.uk:443/path/3/?gclid=abc",
+         "https://news.example.co.uk/path/3"),
+        # non-default port kept; userinfo dropped
+        ("HTTPS://USER:pw@Media.Example.ORG:8443/x/?fbclid=1&q=2",
+         "https://media.example.org:8443/x?q=2"),
+        # bare host, no path/query
+        ("http://example.com", "http://example.com"),
+        # bare ref param is a tracker; ref_src too; keep= survives
+        ("https://a.b/p?ref&keep=1&ref_src=tw", "https://a.b/p?keep=1"),
+        # unparseable input passes through trimmed
+        ("  not a url  ", "not a url"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, url string"
+    )
+    got = {
+        r.i: r.canonical_url
+        for r in web.canonicalize_urls(df).collect()
+    }
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, f"{u!r}: {got[i]!r} != {want!r}"
+
+
+def test_canonical_url_strip_www_and_host(spark):
+    from mondrian_olap_spark.operators import web
+
+    df = spark.createDataFrame(
+        [(1, "http://WWW.Example.com/a"), (2, "http://www2.example.com/b")],
+        "i long, url string",
+    )
+    rows = {
+        r.i: (r.canonical_url, r.host)
+        for r in web.with_host(
+            web.canonicalize_urls(df, strip_www=True),
+            "url",
+            strip_www=True,
+        ).collect()
+    }
+    assert rows[1] == ("http://example.com/a", "example.com")
+    # www2 is NOT www — must survive
+    assert rows[2] == ("http://www2.example.com/b", "www2.example.com")
+
+
+def test_registered_domain_heuristic(spark):
+    from mondrian_olap_spark.operators import web
+
+    df = spark.createDataFrame(
+        [
+            (1, "a.b.example.co.uk"),
+            (2, "deep.blog.example.com"),
+            (3, "example.com"),
+            (4, "localhost"),
+            (5, "x.custom.tld"),
+        ],
+        "i long, host string",
+    )
+    out = df.withColumn(
+        "d", web.registered_domain_expr("host", extra_suffixes=("custom.tld",))
+    )
+    got = {r.i: r.d for r in out.collect()}
+    assert got == {
+        1: "example.co.uk",
+        2: "example.com",
+        3: "example.com",
+        4: "localhost",
+        5: "x.custom.tld",
+    }
+
+
+def test_cap_per_host_deterministic_and_ordered(spark):
+    from mondrian_olap_spark.operators import web
+
+    rows = [(i, f"https://h{i % 3}.ex.com/{i}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    a = web.cap_per_host(df, 2, "url")
+    kept_a = sorted(r.doc_id for r in a.collect())
+    # layout independence: different partitioning, same kept set
+    b = web.cap_per_host(df.repartition(7), 2, "url")
+    assert sorted(r.doc_id for r in b.collect()) == kept_a
+    assert len(kept_a) == 6
+    # explicit order_by overrides the hash order: keep the LOWEST ids
+    c = web.cap_per_host(df, 2, "url", order_by=["doc_id"])
+    assert sorted(r.doc_id for r in c.collect()) == [0, 1, 2, 3, 4, 5]
+    with pytest.raises(ValueError):
+        web.cap_per_host(df, 0, "url")
+
+
+def test_host_profile_counts_canonical_urls(spark):
+    from mondrian_olap_spark.operators import web
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://h.ex.com/a?utm_source=x", "aaaa"),
+            (2, "https://h.ex.com/a?utm_source=y", "bb"),
+            (3, "https://h.ex.com/b", "c"),
+        ],
+        "doc_id long, url string, text string",
+    )
+    row = web.host_profile(df, "url").collect()[0]
+    # two tracking variants of /a collapse into ONE canonical url
+    assert (row.host, row.n_docs, row.n_urls, row.total_chars) == (
+        "h.ex.com", 3, 2, 7,
+    )
