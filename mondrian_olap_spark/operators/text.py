@@ -1922,3 +1922,249 @@ def importance_sample(
         out.orderBy(F.col("gumbel_key").desc(), F.col(id_col))
         .limit(int(k))
     )
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    min_docs: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str = "\n",
+) -> DataFrame:
+    """The corpus' boilerplate-line table: every distinct line (text split
+    on ``delimiter``) with its document frequency, filtered to lines that
+    appear in at least ``min_docs`` DISTINCT documents — nav menus, cookie
+    banners, share widgets (the CCNet/RefinedWeb cross-document line
+    statistic).  Returns ``line``, ``doc_freq``.
+
+    One explode + one line-keyed aggregation shuffle; the per-line
+    distinct count partial-aggregates map-side (count_distinct over the
+    grouping collapses to one row per (line, map task) before the
+    exchange), so a hot boilerplate line never concentrates its raw
+    occurrences into one reducer.
+    """
+    if min_docs < 1:
+        raise ValueError("min_docs must be >= 1")
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), _re_escape(delimiter))
+        ).alias("line"),
+    )
+    return (
+        lines.groupBy("line")
+        .agg(F.countDistinct("id").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_docs)
+    )
+
+
+def line_dedup(
+    df: DataFrame,
+    min_docs: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str = "\n",
+) -> DataFrame:
+    """Cross-document boilerplate-line removal (the CCNet / RefinedWeb
+    cleaning rule): any line occurring in at least ``min_docs`` distinct
+    documents is boilerplate and is removed from EVERY document
+    (:func:`segment_dedup` is the keep-first variant for exact content
+    duplication; this one is frequency-thresholded and keeps no copy).
+
+    Returns one row per input document: ``id_col``, ``clean_text`` (the
+    surviving lines re-joined by ``delimiter``, in original order; ''
+    when every line was boilerplate), ``n_lines``, ``n_removed``.
+
+    Plan: explode → line-keyed doc-frequency aggregate →
+    equi-join back on the line → one doc-keyed re-assembly shuffle.
+    The frequency table is the AGGREGATED side of the join (one row per
+    distinct line), so AQE broadcasts it when small — the common case,
+    since only lines crossing the threshold matter and the join is
+    against the filtered table via a left anti-style mark.  The
+    aggregate-then-join shape (never a row_number window over the line)
+    keeps hot boilerplate lines splittable, exactly as in
+    :func:`segment_dedup`.
+    """
+    from .util import ensure_min_parallelism
+
+    if min_docs < 1:
+        raise ValueError("min_docs must be >= 1")
+    df = ensure_min_parallelism(df)
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), _re_escape(delimiter))
+        ).alias("pos", "line"),
+    )
+    flagged = boilerplate_lines(
+        df, min_docs, id_col=id_col, text_col=text_col, delimiter=delimiter
+    ).select("line", F.lit(1).alias("__bp"))
+    marked = exploded.join(flagged, "line", "left")
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(F.col("__bp").isNotNull(), 1).otherwise(0)).alias(
+                "n_removed"
+            ),
+            F.concat_ws(
+                delimiter,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__bp").isNull(),
+                                F.struct(F.col("pos"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+            ).alias("clean_text"),
+        )
+        .withColumnRenamed("id", id_col)
+    )
+
+
+def train_quality_perceptron(
+    df: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    ngram: int = 1,
+    hashed_buckets: int = 1024,
+    iterations: int = 10,
+    lr: int = 1,
+) -> dict:
+    """Train a binary quality classifier as a batch PERCEPTRON over hashed
+    token n-gram counts — the trainable analog of the fastText-style
+    quality filters used to curate web corpora, built so that distributed
+    training is BIT-REPRODUCIBLE under any partitioning:
+
+    every quantity is an INTEGER.  Features are occurrence counts of
+    ``md5(feature) mod hashed_buckets`` (the :func:`importance_model`
+    hashing trick), weights start at zero, and each full-batch iteration
+    applies the classic update
+
+        w += lr · Σ_d (y_d − 1[z_d > 0]) · x_d ,   b += lr · Σ_d err_d
+
+    whose gradient is an integer SUM — commutative and associative, so
+    the result is independent of partitioning, core count, and AQE (the
+    float-order problem that makes distributed SGD non-reproducible
+    simply never arises).
+
+    Per iteration: ONE scan of the training frame — margins fold each
+    row's feature array through the previous weights shipped as a packed
+    literal (O(1) plan nodes at any bucket count; zero join), and the
+    per-bucket error sums aggregate to at most ``hashed_buckets + 1``
+    rows (the legitimate model-parameter collect, as with IVF centroids).
+    Train on a bounded sample at corpus scale; score the full corpus with
+    :func:`score_with_perceptron` (a pure projection).
+
+    Returns ``{"bias", "weights" (dense int list), "ngram", "buckets",
+    "lr", "iterations", "history" (misclassified count per iteration)}``.
+    """
+    from .util import ensure_min_parallelism
+
+    b = int(hashed_buckets)
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    train = ensure_min_parallelism(df).select(
+        F.col(label_col).cast("long").alias("__y"),
+        _feature_array(F.col(text_col), int(ngram), b).alias("__feats"),
+    )
+    train = train.persist()
+    try:
+        weights = [0] * b
+        bias = 0
+        history: list[int] = []
+        for _ in range(int(iterations)):
+            w_arr = F.split(
+                F.lit(",".join(map(str, weights))), ",", -1
+            ).cast("array<long>")
+            margin = F.lit(bias) + F.aggregate(
+                F.col("__feats"),
+                F.lit(0).cast("long"),
+                lambda acc, bkt: acc
+                + F.element_at(w_arr, bkt.cast("int") + 1),
+            )
+            err = (
+                F.col("__y") - (margin > 0).cast("long")
+            ).alias("__err")
+            grad_rows = (
+                train.select(
+                    err,
+                    F.explode(
+                        # bucket -1 carries the bias gradient so ONE
+                        # aggregation job updates bias and weights both
+                        F.concat(
+                            F.array(F.lit(-1).cast("long")),
+                            F.col("__feats").cast("array<long>"),
+                        )
+                    ).alias("__bkt"),
+                )
+                .groupBy("__bkt")
+                .agg(
+                    F.sum("__err").alias("g"),
+                    F.sum(F.when(F.col("__bkt") == -1, F.abs("__err"))).alias(
+                        "miss"
+                    ),
+                )
+                .collect()  # <= hashed_buckets + 1 rows — model parameters
+            )
+            miss = 0
+            for r in grad_rows:
+                g = int(r["g"] or 0)
+                if int(r["__bkt"]) == -1:
+                    bias += int(lr) * g
+                    miss = int(r["miss"] or 0)
+                else:
+                    weights[int(r["__bkt"])] += int(lr) * g
+            history.append(miss)
+            if miss == 0:
+                break
+    finally:
+        train.unpersist()
+    return {
+        "bias": bias,
+        "weights": weights,
+        "ngram": int(ngram),
+        "buckets": b,
+        "lr": int(lr),
+        "iterations": int(iterations),
+        "history": history,
+    }
+
+
+def score_with_perceptron(
+    df: DataFrame,
+    model: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents with a trained :func:`train_quality_perceptron`
+    model as a PURE PROJECTION: the integer weights ship as one packed
+    string literal (the tokens_to_ids / bloom idiom — O(1) plan nodes at
+    any bucket count), each row folds its own feature array through
+    them, and there is no join, shuffle, or aggregation state — so the
+    same expression scores batch frames and STREAMING frames
+    (append-mode safe).  Output: ``(id_col, margin, prediction)``; the
+    margin is the exact integer ``bias + Σ w[bucket]`` over feature
+    occurrences."""
+    w_arr = F.split(
+        F.lit(",".join(map(str, model["weights"]))), ",", -1
+    ).cast("array<long>")
+    feats = _feature_array(
+        F.col(text_col), int(model["ngram"]), int(model["buckets"])
+    )
+    margin = F.lit(int(model["bias"])) + F.aggregate(
+        feats,
+        F.lit(0).cast("long"),
+        lambda acc, bkt: acc + F.element_at(w_arr, bkt.cast("int") + 1),
+    )
+    # project the margin ONCE, derive the prediction from the projected
+    # column — the packed weights literal appears a single time in the
+    # plan (Spark does no CSE across select-list expressions)
+    return (
+        df.select(F.col(id_col), margin.alias("margin"))
+        .withColumn("prediction", (F.col("margin") > 0).cast("int"))
+    )

@@ -5378,3 +5378,155 @@ def web_host_profile(spark, sf_dir):
         "doc_id", "text", f"({_URLS_SPARK}) AS url"
     )
     return web.host_profile(docs, "url")
+
+
+@q(
+    "text_line_dedup_gate",
+    """
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    ),
+    words AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws) + 1),
+                    i -> struct_pack(pos := i, w := ws[i]))) AS u
+      FROM docs
+    ),
+    lines AS (
+      SELECT doc_id, (u.pos - 1) // 6 AS ln,
+             string_agg(u.w, ' ' ORDER BY u.pos) AS line
+      FROM words GROUP BY 1, 2
+    ),
+    bp AS (
+      SELECT line FROM lines GROUP BY line
+      HAVING count(DISTINCT doc_id) >= 3
+    ),
+    marked AS (
+      SELECT l.doc_id, l.ln, l.line, b.line IS NOT NULL AS is_bp
+      FROM lines l LEFT JOIN bp b ON l.line = b.line
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN NOT is_bp THEN line END,
+                               chr(10) ORDER BY ln), '') AS clean_text,
+           count(*) AS n_lines,
+           CAST(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+    FROM marked GROUP BY doc_id
+    """,
+)
+def text_line_dedup_gate(spark, sf_dir):
+    """Cross-document boilerplate-line removal through the gate (the
+    CCNet / RefinedWeb rule; the corpus has no newlines, so each document
+    is first regrouped into 6-word lines IDENTICALLY in both engines —
+    6-word phrases genuinely repeat across this corpus).  Lines appearing
+    in >= 3 distinct documents are removed from EVERY document;
+    text.line_dedup reassembles the survivors in order (one explode + one
+    line-keyed doc-frequency aggregate + an equi-join + one doc-keyed
+    regroup — aggregate-then-join, never a window over the line key, so
+    hot boilerplate stays splittable).  The oracle replays line grouping,
+    frequency, and reassembly in plain SQL."""
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        """
+        array_join(transform(
+          sequence(0, CAST(ceil(size(split(trim(text), '\\\\s+')) / 6.0) AS INT) - 1),
+          i -> array_join(slice(split(trim(text), '\\\\s+'), i * 6 + 1, 6), ' ')
+        ), '\n') AS text
+        """,
+    )
+    return text.line_dedup(docs, min_docs=3)
+
+
+def _perceptron_oracle(iters: int, buckets: int) -> str:
+    """DuckDB replay of train_quality_perceptron + score_with_perceptron:
+    the training iterations UNROLLED as CTE stages (all-integer
+    arithmetic, so every stage is exact).  Early exit needs no special
+    casing — a converged perceptron has all-zero errors, so further
+    unrolled iterations add zero gradient and the final weights match the
+    early-exited trainer bit-for-bit."""
+    label = "CASE WHEN ' ' || trim(text) || ' ' LIKE '% window %' THEN 1 ELSE 0 END"
+    parts = [
+        f"""
+    feats AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(w), 1, 15))::BIGINT % {buckets}) AS bucket
+      FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+            FROM documents WHERE doc_id % 3 = 0) t
+      WHERE w != ''
+    ),
+    labels AS (
+      SELECT doc_id, {label} AS y FROM documents WHERE doc_id % 3 = 0
+    ),
+    e1 AS (SELECT doc_id, y AS err FROM labels),
+    w1 AS (SELECT f.bucket, sum(e.err) AS w
+           FROM feats f JOIN e1 e USING (doc_id) GROUP BY 1),
+    b1 AS (SELECT coalesce(sum(err), 0) AS bias FROM e1)"""
+    ]
+    for t in range(2, iters + 1):
+        p = t - 1
+        parts.append(f"""
+    m{t} AS (
+      SELECT l.doc_id, l.y,
+             (SELECT bias FROM b{p}) + coalesce(sum(w{p}.w), 0) AS z
+      FROM labels l
+      LEFT JOIN feats f ON f.doc_id = l.doc_id
+      LEFT JOIN w{p} ON w{p}.bucket = f.bucket
+      GROUP BY 1, 2
+    ),
+    e{t} AS (SELECT doc_id, y - (CASE WHEN z > 0 THEN 1 ELSE 0 END) AS err
+             FROM m{t}),
+    d{t} AS (SELECT f.bucket, sum(e.err) AS g
+             FROM feats f JOIN e{t} e USING (doc_id) GROUP BY 1),
+    w{t} AS (SELECT coalesce(w{p}.bucket, d{t}.bucket) AS bucket,
+                    coalesce(w{p}.w, 0) + coalesce(d{t}.g, 0) AS w
+             FROM w{p} FULL OUTER JOIN d{t} ON w{p}.bucket = d{t}.bucket),
+    b{t} AS (SELECT (SELECT bias FROM b{p}) + coalesce(sum(err), 0) AS bias
+             FROM e{t})""")
+    parts.append(f"""
+    allfeats AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(w), 1, 15))::BIGINT % {buckets}) AS bucket
+      FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+            FROM documents) t
+      WHERE w != ''
+    ),
+    scored AS (
+      SELECT d.doc_id,
+             (SELECT bias FROM b{iters}) + coalesce(sum(w{iters}.w), 0) AS margin
+      FROM documents d
+      LEFT JOIN allfeats f ON f.doc_id = d.doc_id
+      LEFT JOIN w{iters} ON w{iters}.bucket = f.bucket
+      GROUP BY 1
+    )
+    SELECT doc_id, CAST(margin AS BIGINT) AS margin,
+           CAST(CASE WHEN margin > 0 THEN 1 ELSE 0 END AS INT) AS prediction
+    FROM scored""")
+    return "WITH " + ",".join(parts)
+
+
+@q("text_perceptron_gate", _perceptron_oracle(iters=3, buckets=64))
+def text_perceptron_gate(spark, sf_dir):
+    """Trainable quality classifier through the gate: a batch perceptron
+    over hashed unigram counts (64 buckets, 3 full-batch iterations,
+    labels = 'document mentions window') trained on the doc_id%3==0
+    subset, then scoring ALL documents.  Training is all-INTEGER — the
+    gradient is a plain integer sum, so the trained weights are provably
+    independent of partitioning/cores/AQE (the distributed-SGD
+    reproducibility problem never arises), and the oracle can replay the
+    exact iterations as unrolled SQL stages.  Per iteration: one scan
+    (margins fold through packed-literal weights — zero join) + one
+    bounded (<= buckets+1 row) gradient collect; scoring is a pure
+    zero-shuffle projection that also runs on streaming frames."""
+    docs = _docs(spark, sf_dir)
+    train = docs.filter(F.col("doc_id") % 3 == 0).select(
+        "doc_id",
+        "text",
+        F.expr(
+            "CASE WHEN ' ' || trim(text) || ' ' LIKE '% window %' "
+            "THEN 1 ELSE 0 END"
+        ).alias("label"),
+    )
+    model = text.train_quality_perceptron(
+        train, hashed_buckets=64, iterations=3
+    )
+    return text.score_with_perceptron(docs, model)

@@ -4242,3 +4242,107 @@ def test_host_profile_counts_canonical_urls(spark):
     assert (row.host, row.n_docs, row.n_urls, row.total_chars) == (
         "h.ex.com", 3, 2, 7,
     )
+
+
+def test_line_dedup_rules(spark):
+    from mondrian_olap_spark.operators.text import boilerplate_lines, line_dedup
+
+    rows = [
+        (1, "cookie banner\nunique one\nfooter"),
+        (2, "cookie banner\nunique two\nfooter"),
+        (3, "cookie banner\nunique three"),
+        (4, "cookie banner\ncookie banner"),  # within-doc dup: ONE doc
+        (5, None),  # NULL text must survive as one empty line
+        (6, "footer"),  # entirely boilerplate at min_docs=3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bp = {r.line: r.doc_freq for r in boilerplate_lines(df, 3).collect()}
+    # 'cookie banner' in docs 1,2,3,4 (doc 4 counts ONCE); 'footer' in 1,2,6
+    assert bp == {"cookie banner": 4, "footer": 3}
+    out = {r.doc_id: r for r in line_dedup(df, 3).collect()}
+    assert len(out) == 6  # every input doc comes back
+    assert out[1].clean_text == "unique one"
+    assert (out[1].n_lines, out[1].n_removed) == (3, 2)
+    assert out[4].clean_text == "" and out[4].n_removed == 2
+    assert out[5].clean_text == "" and out[5].n_lines == 1
+    assert out[6].clean_text == "" and out[6].n_removed == 1
+    # order preserved around a removed middle line
+    df2 = spark.createDataFrame(
+        [(1, "a\nZZ\nb"), (2, "ZZ"), (3, "ZZ")], "doc_id long, text string"
+    )
+    assert {r.doc_id: r.clean_text for r in line_dedup(df2, 3).collect()}[1] == "a\nb"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        line_dedup(df, 0)
+
+
+def test_perceptron_learns_and_is_layout_independent(spark):
+    from mondrian_olap_spark.operators.text import (
+        score_with_perceptron,
+        train_quality_perceptron,
+    )
+
+    rows = []
+    for i in range(40):
+        if i % 2 == 0:
+            rows.append((i, 1, "excellent wonderful prose with excellent structure"))
+        else:
+            rows.append((i, 0, "zzz spam garbage zzz click here spam"))
+    df = spark.createDataFrame(rows, "doc_id long, label int, text string")
+    m = train_quality_perceptron(df, hashed_buckets=64, iterations=10)
+    # separable data converges (early exit) and classifies perfectly
+    assert m["history"][-1] == 0
+    scored = score_with_perceptron(df, m)
+    assert (
+        scored.filter(
+            (F.col("prediction") == 1) != (F.col("doc_id") % 2 == 0)
+        ).count()
+        == 0
+    )
+    # all-integer training: bit-identical model under any layout
+    m2 = train_quality_perceptron(
+        df.repartition(7), hashed_buckets=64, iterations=10
+    )
+    assert m2 == m
+    with pytest.raises(ValueError):
+        train_quality_perceptron(df, iterations=0)
+
+
+def test_perceptron_streaming_scoring_matches_batch(spark, tmp_path):
+    """score_with_perceptron is a pure projection — the SAME call scores a
+    readStream frame, and the streamed results equal the batch results."""
+    from mondrian_olap_spark.operators.text import (
+        score_with_perceptron,
+        train_quality_perceptron,
+    )
+
+    rows = [
+        (i, i % 3 == 0 and 1 or 0, f"alpha beta w{i % 5} gamma delta")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, label int, text string")
+    model = train_quality_perceptron(df, hashed_buckets=32, iterations=3)
+    batch = {
+        r.doc_id: (r.margin, r.prediction)
+        for r in score_with_perceptron(df, model).collect()
+    }
+    src = tmp_path / "docs_stream"
+    df.write.json(str(src))
+    stream = spark.readStream.schema(df.schema).json(str(src))
+    q = (
+        score_with_perceptron(stream, model)
+        .writeStream.format("memory")
+        .queryName("perceptron_scores")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {
+            r.doc_id: (r.margin, r.prediction)
+            for r in spark.sql("select * from perceptron_scores").collect()
+        }
+    finally:
+        q.stop()
+    assert streamed == batch and len(streamed) == 30

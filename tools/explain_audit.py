@@ -594,6 +594,63 @@ def main() -> int:
         f"nodes: {[l.strip()[:80] for l in bad]}",
     )
 
+    # 29. URL canonicalization: one codegen projection — zero Exchange,
+    #     zero Join, zero Python eval, whole-stage codegen active (the
+    #     web dedup-key step must cost a map pass at any corpus size)
+    from mondrian_olap_spark.operators import web as webops
+
+    urls = docs.selectExpr(
+        "doc_id",
+        "'https://H' || CAST(doc_id % 7 AS STRING) || '.Example.COM:443//p//'"
+        " || CAST(doc_id AS STRING) || '/?utm_source=x&b=2&a=1#f' AS url",
+    )
+    p = plan_str(webops.with_host(webops.canonicalize_urls(urls), "url"))
+    bad = [l for l in p.splitlines()
+           if "Exchange" in l or "Join" in l or "EvalPython" in l]
+    check(
+        "web_canonicalize.zero_shuffle_codegen_projection",
+        not bad and ("WholeStageCodegen" in p or "*(1)" in p),
+        f"nodes: {[l.strip()[:80] for l in bad]}",
+    )
+
+    # 30. Perceptron scoring: packed-literal weights — O(1) plan nodes at
+    #     4096 buckets (plan text must not inline per-bucket literals),
+    #     zero Exchange / Join / Python eval
+    from mondrian_olap_spark.operators import text as textops
+
+    model = {
+        "bias": 3,
+        "weights": list(range(4096)),
+        "ngram": 1,
+        "buckets": 4096,
+    }
+    p = plan_str(textops.score_with_perceptron(docs, model))
+    bad = [l for l in p.splitlines()
+           if "Exchange" in l or "Join" in l or "EvalPython" in l]
+    # O(1) plan NODES: the 4096 weights ride inside ONE packed string
+    # literal (plan text contains it, but the operator tree stays tiny
+    # and the literal appears exactly once — margin is projected once
+    # and prediction derives from the projected column)
+    n_lines = len(p.splitlines())
+    n_packed = p.count("4090,4091")
+    check(
+        "perceptron_score.zero_shuffle_packed_literal_plan",
+        not bad and n_lines < 40 and n_packed == 1,
+        f"lines={n_lines} packed_occurrences={n_packed} "
+        f"bad={[l.strip()[:60] for l in bad]}",
+    )
+
+    # 31. line_dedup: the boilerplate-frequency side must reach the doc
+    #     regroup as an AGGREGATE-then-join (no Window over the line key
+    #     anywhere — hot boilerplate lines stay splittable)
+    p = plan_str(textops.line_dedup(docs, 3))
+    has_window = any("Window" in l for l in p.splitlines())
+    check(
+        "line_dedup.aggregate_then_join_no_line_window",
+        not has_window,
+        "Window node found in line_dedup plan",
+    )
+
     print(f"\n{len(failures)} failed properties" if failures else "\nall plan properties hold")
     return 1 if failures else 0
 
