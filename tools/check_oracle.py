@@ -101,7 +101,15 @@ def main():
     # on any of these
     cores = os.environ.get("SPARK_GRAFT_ORACLE_CORES", "8")
     parts = os.environ.get("SPARK_GRAFT_ORACLE_PARTS", "16")
-    aqe = os.environ.get("SPARK_GRAFT_ORACLE_AQE", "true")
+    aqe = os.environ.get("SPARK_GRAFT_ORACLE_AQE", "true").lower()
+    # Spark 4 parses this config lazily; an invalid boolean ("off", "no")
+    # throws inside the DAG scheduler event loop and the job HANGS forever
+    # instead of failing.  Normalize the obvious spellings so the sweep
+    # can never silently wedge.
+    aqe = {"off": "false", "no": "false", "0": "false",
+           "on": "true", "yes": "true", "1": "true"}.get(aqe, aqe)
+    if aqe not in ("true", "false"):
+        raise SystemExit(f"SPARK_GRAFT_ORACLE_AQE must be true/false, got {aqe!r}")
     spark = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName("oracle-check")
