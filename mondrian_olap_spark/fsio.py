@@ -54,3 +54,40 @@ def write_text(spark, path: str, text: str) -> None:
         stream.write(bytearray(text.encode("utf-8")))
     finally:
         stream.close()
+
+
+def atomic_overwrite_dir(spark, path: str, write_fn) -> None:
+    """Crash-safe overwrite of a directory artifact: ``write_fn(target)``
+    writes a COMPLETE copy to ``<path>.__tmp__``, which is then swapped
+    in with two renames.  A failure at any point leaves a complete copy
+    on disk — before the swap the old artifact is untouched; between the
+    renames it survives at ``<path>.__old__`` (restore by renaming
+    back).  Stale ``__tmp__`` / ``__old__`` directories from an earlier
+    crash are cleaned up first.  When ``path`` does not exist yet,
+    ``write_fn`` writes it directly (nothing to protect).
+
+    This is the shared swap behind every persisted-artifact overwrite
+    (Bloom bitmaps, histograms, …); the renames go through the Hadoop
+    FileSystem API, so it works on any supported store.
+    """
+    fs, dest = _fs(spark, path)
+    if not fs.exists(dest):
+        write_fn(path)
+        return
+    base = path.rstrip("/")
+    jvm = spark._jvm
+    HPath = jvm.org.apache.hadoop.fs.Path
+    tmp, old = HPath(base + ".__tmp__"), HPath(base + ".__old__")
+    for stale in (tmp, old):
+        if fs.exists(stale):
+            fs.delete(stale, True)
+    write_fn(base + ".__tmp__")
+    if not fs.rename(dest, old):
+        raise IOError(f"atomic_overwrite_dir: could not move aside {path}")
+    if not fs.rename(tmp, dest):
+        # restore the old artifact so the store is never left empty
+        fs.rename(old, dest)
+        raise IOError(
+            f"atomic_overwrite_dir: could not swap in new artifact at {path}"
+        )
+    fs.delete(old, True)

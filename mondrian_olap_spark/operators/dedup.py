@@ -855,12 +855,9 @@ def write_bloom(
     (restore by renaming it back, or rebuild from the fingerprint store
     via :func:`..pipeline.resize_ingest_state`); stale ``__tmp__`` /
     ``__old__`` directories are cleaned up by the next write."""
+    from .. import fsio
+
     spark = bitmap.sparkSession
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    HPath = jvm.org.apache.hadoop.fs.Path
-    dest = HPath(path)
-    fs = dest.getFileSystem(hconf)
 
     def _write_to(target: str) -> None:
         bitmap.coalesce(1).write.mode("overwrite").parquet(target)
@@ -873,22 +870,7 @@ def write_bloom(
             .parquet(target + "/_params")
         )
 
-    if not fs.exists(dest):
-        _write_to(path)
-        return bitmap
-    base = path.rstrip("/")
-    tmp, old = HPath(base + ".__tmp__"), HPath(base + ".__old__")
-    for stale in (tmp, old):
-        if fs.exists(stale):
-            fs.delete(stale, True)
-    _write_to(base + ".__tmp__")
-    if not fs.rename(dest, old):
-        raise IOError(f"write_bloom: could not move aside {path}")
-    if not fs.rename(tmp, dest):
-        # restore the old artifact so the store is never left bitmap-less
-        fs.rename(old, dest)
-        raise IOError(f"write_bloom: could not swap in new bitmap at {path}")
-    fs.delete(old, True)
+    fsio.atomic_overwrite_dir(spark, path, _write_to)
     return bitmap
 
 
@@ -1246,4 +1228,99 @@ def incremental_neardup_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_collision_report(
+    corpus: DataFrame,
+    heldout: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Eval-set decontamination by EXACT n-gram collision — the GPT-3 /
+    open-LM "13-gram overlap" rule (:func:`contamination_pairs` is the
+    Jaccard-threshold near-dup variant; this one flags ANY shared exact
+    n-gram, the stricter pre-training hygiene check).
+
+    Returns one row per CONTAMINATED training document: ``(id_col,
+    n_grams`` — the document's distinct n-gram count, ``n_shared`` —
+    distinct n-grams it shares with the held-out set, ``n_heldout_docs``
+    — distinct held-out documents it collides with``)``.  Documents
+    shorter than ``n`` tokens have NO n-grams and can never collide
+    (deliberately stricter than :func:`shingles`' whole-doc fallback,
+    which would flag short near-empty docs against each other).
+
+    Scale shape: n-grams are hashed to the portable md5-prefix BIGINT
+    before the cross-corpus equi-join, so the shuffle carries 8-byte
+    keys instead of 13-word strings and the join is only over grams
+    PRESENT ON BOTH SIDES (hash collisions ~2⁻⁶⁰ — the repo's standard
+    fingerprint convention).  ``max_shingle_df`` optionally drops grams
+    whose COMBINED document frequency exceeds the cap before joining —
+    the stop-shingle guard against a boilerplate gram making the join
+    quadratic (13-gram boilerplate is real: licence headers, templated
+    disclaimers).
+    """
+    from .util import ensure_min_parallelism
+
+    def grams(frame: DataFrame, out_id: str) -> DataFrame:
+        t = F.split(F.trim(F.col(text_col)), r"\s+")
+        arr = F.when(
+            F.size(t) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+            ),
+        ).otherwise(F.expr("array()").cast("array<string>"))
+        return (
+            ensure_min_parallelism(frame)
+            .select(
+                F.col(id_col).alias(out_id),
+                F.explode(F.array_distinct(arr)).alias("__g"),
+            )
+            .withColumn(
+                "__h",
+                F.conv(F.substring(F.md5("__g"), 1, 15), 16, 10).cast(
+                    "long"
+                ),
+            )
+            .drop("__g")
+            # distinct at HASH granularity so gram counts and shared
+            # counts live in the same space (a within-doc hash collision
+            # would otherwise split them)
+            .distinct()
+        )
+
+    cg = grams(corpus, "__cid")
+    hg = grams(heldout, "__hid")
+    if max_shingle_df is not None:
+        combined = cg.select(F.col("__cid").alias("__id"), "__h").unionByName(
+            hg.select(F.col("__hid").alias("__id"), "__h")
+        )
+        hot = (
+            combined.groupBy("__h")
+            .agg(F.countDistinct("__id").alias("__df"))
+            .filter(F.col("__df") > int(max_shingle_df))
+            .select("__h")
+        )
+        cg = cg.join(hot, "__h", "left_anti")
+        hg = hg.join(hot, "__h", "left_anti")
+    totals = cg.groupBy("__cid").agg(F.count("*").alias("n_grams"))
+    hits = (
+        cg.join(hg, "__h")
+        .groupBy("__cid")
+        .agg(
+            F.countDistinct("__h").alias("n_shared"),
+            F.countDistinct("__hid").alias("n_heldout_docs"),
+        )
+    )
+    return (
+        hits.join(totals, "__cid")
+        .select(
+            F.col("__cid").alias(id_col),
+            "n_grams",
+            "n_shared",
+            "n_heldout_docs",
+        )
     )

@@ -84,3 +84,180 @@ def distinct_rollup(
         estimate().alias("estimate"),
     )
     return per_group.unionByName(total)
+
+
+# ---------------------------------------------------------------- histograms
+def value_histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 64,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Fixed-bin value histogram — the MERGEABLE quantile/distribution
+    summary for a 100 TB column: at most ``groups × bins`` rows
+    regardless of input size, composable by summing counts (so shard
+    histograms union + re-aggregate instead of rescanning — the same
+    maintenance contract as the HLL/CMS/Bloom artifacts, see
+    :func:`histogram_append`).
+
+    Binning is the fixed-order IEEE expression
+    ``floor((x - lo) / (hi - lo) * bins)`` clamped into ``[0, bins-1]``
+    (values at/beyond the edges land in the end bins; NULLs are
+    dropped), so two engines computing it agree bit-for-bit and the
+    artifact is layout-independent.  Returns ``(group…, bin, n)``.
+
+    One aggregation shuffle of at most groups × bins cells with map-side
+    partial combine.  Quantiles derive from the histogram with error
+    bounded by one bin width (:func:`histogram_quantiles`) — the
+    deterministic, mergeable alternative to ``percentile_approx`` whose
+    sketch is neither engine-portable nor hash-reproducible.
+    """
+    if not (hi > lo) or bins < 1:
+        raise ValueError("need hi > lo and bins >= 1")
+    gcols = list(group_cols or [])
+    x = F.col(value_col).cast("double")
+    raw = F.floor((x - F.lit(float(lo))) / F.lit(float(hi) - float(lo)) * F.lit(int(bins)))
+    b = F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw.cast("int")))
+    return (
+        df.filter(x.isNotNull())
+        .select(*gcols, b.alias("bin"))
+        .groupBy(*gcols, "bin")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    lo: float,
+    hi: float,
+    bins: int,
+    percents: list[int],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Quantiles from a :func:`value_histogram`: for each group and each
+    integer percent ``p``, the bin containing the ``ceil(p·n/100)``-th
+    value (type-1 target — INTEGER arithmetic, so the bin choice can
+    never flip on a float rounding boundary, the cross-engine quantile
+    trap) and its ``[lower_edge, upper_edge)`` — the true quantile lies
+    inside, error at most one bin width.  Input is bounded
+    (groups × bins), so the per-group window is cheap by construction.
+    Returns ``(group…, percent, bin, lower_edge, upper_edge, n_total)``.
+    """
+    from pyspark.sql.window import Window
+
+    for p in percents:
+        if not (isinstance(p, int) and 1 <= p <= 100):
+            raise ValueError("percents must be integers in 1..100")
+    gcols = list(group_cols or [])
+    w = Window.partitionBy(*[F.col(c) for c in gcols]) if gcols else Window.partitionBy()
+    cum = hist.select(
+        *gcols,
+        "bin",
+        F.sum("n").over(w.orderBy("bin")).alias("cum"),
+        F.sum("n").over(w).alias("n_total"),
+    )
+    pcts = F.explode(
+        F.array(*[F.lit(int(p)) for p in percents])
+    ).alias("percent")
+    width = (float(hi) - float(lo)) / int(bins)
+    ranked = (
+        cum.select(*gcols, "bin", "cum", "n_total", pcts)
+        # integer type-1 target: cum >= ceil(p*n/100) <=> 100*cum >= p*n
+        # (pure integer comparison — Spark's '/' is double division, and
+        # a float target is exactly the cross-engine rounding trap the
+        # docstring promises away)
+        .filter(F.col("cum") * 100 >= F.col("percent") * F.col("n_total"))
+        .groupBy(*gcols, "percent")
+        .agg(
+            F.min("bin").alias("bin"),
+            F.first("n_total").alias("n_total"),
+        )
+    )
+    return ranked.select(
+        *gcols,
+        "percent",
+        "bin",
+        (F.lit(float(lo)) + F.col("bin") * F.lit(width)).alias("lower_edge"),
+        (F.lit(float(lo)) + (F.col("bin") + 1) * F.lit(width)).alias(
+            "upper_edge"
+        ),
+        "n_total",
+    )
+
+
+def write_histogram(
+    hist: DataFrame,
+    path: str,
+    lo: float,
+    hi: float,
+    bins: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Persist a histogram as an on-disk artifact (counts parquet +
+    ``_params`` sidecar carrying the binning — an append MUST bin with
+    the (lo, hi, bins) the artifact was built with).  Overwrites are
+    crash-safe via :func:`..fsio.atomic_overwrite_dir`."""
+    from .. import fsio
+
+    spark = hist.sparkSession
+
+    def _write_to(target: str) -> None:
+        hist.write.mode("overwrite").parquet(target)
+        (
+            spark.createDataFrame(
+                [(float(lo), float(hi), int(bins),
+                  ",".join(group_cols or []))],
+                "lo double, hi double, bins int, group_cols string",
+            )
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(target + "/_params")
+        )
+
+    fsio.atomic_overwrite_dir(spark, path, _write_to)
+    return hist
+
+
+def read_histogram(spark, path: str) -> tuple[DataFrame, dict]:
+    """Load a :func:`write_histogram` artifact: ``(hist, params)`` with
+    params ``{"lo", "hi", "bins", "group_cols"}`` (1-row sidecar
+    collect — model parameters, the legitimate collect)."""
+    row = spark.read.parquet(path + "/_params").collect()[0]
+    params = {
+        "lo": float(row["lo"]),
+        "hi": float(row["hi"]),
+        "bins": int(row["bins"]),
+        "group_cols": [c for c in row["group_cols"].split(",") if c],
+    }
+    return spark.read.parquet(path), params
+
+
+def histogram_append(
+    new_df: DataFrame, path: str, value_col: str
+) -> DataFrame:
+    """Fold a new batch into a persisted histogram artifact WITHOUT
+    rescanning the corpus: bin the batch with the artifact's own
+    parameters, union with the stored counts, re-aggregate (counts sum —
+    histograms are trivially mergeable), and swap — identical to one
+    build over corpus ∪ batch.  Cost: one batch-sized aggregation plus
+    an artifact-sized merge (the histogram member of the maintenance
+    family: ``bloom_append`` / ``ivf_append`` / ``minhash_index_append``
+    / ``refresh_aggregates``).  Returns the merged histogram."""
+    spark = new_df.sparkSession
+    old, p = read_histogram(spark, path)
+    delta = value_histogram(
+        new_df, value_col, p["lo"], p["hi"], p["bins"],
+        group_cols=p["group_cols"],
+    )
+    merged = (
+        old.unionByName(delta)
+        .groupBy(*p["group_cols"], "bin")
+        .agg(F.sum("n").alias("n"))
+        # materialize BEFORE overwriting — a lazy plan would still read
+        # the artifact while the swap replaces it
+        .localCheckpoint(eager=True)
+    )
+    write_histogram(merged, path, p["lo"], p["hi"], p["bins"], p["group_cols"])
+    return merged

@@ -5530,3 +5530,165 @@ def text_perceptron_gate(spark, sf_dir):
         train, hashed_buckets=64, iterations=3
     )
     return text.score_with_perceptron(docs, model)
+
+
+@q(
+    "dedup_ngram_collision_gate",
+    """
+    WITH corp AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    ),
+    held AS (
+      SELECT doc_id + 1000000 AS doc_id, ws
+      FROM corp WHERE doc_id % 10 = 0
+    ),
+    cg AS (
+      SELECT DISTINCT c.doc_id AS cid,
+             ('0x' || substr(md5(array_to_string(
+                list_slice(c.ws, i, i + 7), ' ')), 1, 15))::BIGINT AS h
+      FROM corp c, unnest(range(1, greatest(len(c.ws) - 7, 0) + 1)) AS t(i)
+    ),
+    hg AS (
+      SELECT DISTINCT hd.doc_id AS hid,
+             ('0x' || substr(md5(array_to_string(
+                list_slice(hd.ws, i, i + 7), ' ')), 1, 15))::BIGINT AS h
+      FROM held hd, unnest(range(1, greatest(len(hd.ws) - 7, 0) + 1)) AS t(i)
+    ),
+    totals AS (SELECT cid, count(*) AS n_grams FROM cg GROUP BY 1),
+    hits AS (
+      SELECT cg.cid, count(DISTINCT cg.h) AS n_shared,
+             count(DISTINCT hg.hid) AS n_heldout_docs
+      FROM cg JOIN hg ON cg.h = hg.h GROUP BY 1
+    )
+    SELECT h.cid AS doc_id, t.n_grams, h.n_shared, h.n_heldout_docs
+    FROM hits h JOIN totals t ON t.cid = h.cid
+    """,
+)
+def dedup_ngram_collision_gate(spark, sf_dir):
+    """Eval-set decontamination by EXACT n-gram collision (the GPT-3-style
+    '13-gram rule', here n=8): the held-out set is every 10th document
+    verbatim, so each of those training documents must be flagged with
+    ALL its 8-grams shared — plus any organic cross-document 8-gram
+    collisions the corpus happens to contain (the oracle computes the
+    same truth independently).  dedup.ngram_collision_report hashes every
+    gram to the portable md5-prefix BIGINT before the cross-corpus join
+    (8-byte shuffle keys, join only over grams present on both sides);
+    documents shorter than n have no grams and can never collide."""
+    corpus = _docs(spark, sf_dir)
+    heldout = corpus.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return dedup.ngram_collision_report(corpus, heldout, n=8)
+
+
+@q(
+    "sketch_histogram_quantiles",
+    """
+    WITH h AS (
+      SELECT l_returnflag,
+             least(31, greatest(0, CAST(floor(
+               (CAST(l_extendedprice AS DOUBLE) - 900.0)
+               / (105000.0 - 900.0) * 32) AS INT))) AS bin,
+             count(*) AS n
+      FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT l_returnflag, bin, n,
+             sum(n) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+             sum(n) OVER (PARTITION BY l_returnflag) AS n_total
+      FROM h
+    ),
+    r AS (
+      SELECT l_returnflag, p.percent, min(bin) AS bin,
+             min(n_total) AS n_total
+      FROM c, (SELECT unnest([25, 50, 90, 99]) AS percent) p
+      WHERE cum * 100 >= p.percent * n_total
+      GROUP BY 1, 2
+    )
+    SELECT l_returnflag, CAST(percent AS INT) AS percent, CAST(bin AS INT) AS bin,
+           900.0 + bin * ((105000.0 - 900.0) / 32) AS lower_edge,
+           900.0 + (bin + 1) * ((105000.0 - 900.0) / 32) AS upper_edge,
+           CAST(n_total AS BIGINT) AS n_total
+    FROM r
+    """,
+)
+def sketch_histogram_quantiles(spark, sf_dir):
+    """Mergeable fixed-bin histogram + quantiles through the gate: the
+    deterministic, engine-portable alternative to percentile_approx —
+    l_extendedprice binned into 32 buckets per return flag (one bounded
+    aggregation, map-side combined), then p25/p50/p90/p99 located by the
+    PURE-INTEGER type-1 target (100·cum ≥ p·n — a bin choice that can
+    never flip on a float rounding boundary).  Error is bounded by one
+    bin width; the summary is groups × bins rows at ANY fact size and
+    merges by summing counts, which is what makes it maintainable
+    (:func:`sketch_histogram_append_gate` pins the append path)."""
+    from .operators import sketches
+
+    fact = read_parquet_table(spark, f"{sf_dir}/lineitem.parquet")
+    hist = sketches.value_histogram(
+        fact, "l_extendedprice", 900.0, 105000.0, 32,
+        group_cols=["l_returnflag"],
+    )
+    return sketches.histogram_quantiles(
+        hist, 900.0, 105000.0, 32, [25, 50, 90, 99],
+        group_cols=["l_returnflag"],
+    )
+
+
+@q(
+    "sketch_histogram_append_gate",
+    """
+    WITH h AS (
+      SELECT lang,
+             least(15, greatest(0, CAST(floor(
+               (CAST(n_chars AS DOUBLE) - 0.0) / (600.0 - 0.0) * 16)
+               AS INT))) AS bin,
+             count(*) AS n
+      FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT lang, bin, n,
+             sum(n) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+             sum(n) OVER (PARTITION BY lang) AS n_total
+      FROM h
+    ),
+    r AS (
+      SELECT lang, p.percent, min(bin) AS bin, min(n_total) AS n_total
+      FROM c, (SELECT unnest([50, 95]) AS percent) p
+      WHERE cum * 100 >= p.percent * n_total
+      GROUP BY 1, 2
+    )
+    SELECT lang, CAST(percent AS INT) AS percent, CAST(bin AS INT) AS bin,
+           0.0 + bin * ((600.0 - 0.0) / 16) AS lower_edge,
+           0.0 + (bin + 1) * ((600.0 - 0.0) / 16) AS upper_edge,
+           CAST(n_total AS BIGINT) AS n_total
+    FROM r
+    """,
+)
+def sketch_histogram_append_gate(spark, sf_dir):
+    """Histogram-artifact MAINTENANCE through the gate (the quantile
+    member of the bloom/ivf/minhash/refresh append family): the
+    doc_id%2==0 half of the corpus is persisted as a histogram artifact,
+    the other half folds in via sketches.histogram_append — one
+    batch-sized aggregation + an artifact-sized merge, never a corpus
+    rescan, binned with the ARTIFACT's own parameters — and the
+    quantiles served from the maintained artifact must equal the oracle
+    computed over the WHOLE corpus in one pass (merge ≡ rebuild,
+    bit-exact, including the crash-safe swap rewrite)."""
+    import tempfile
+
+    from .operators import sketches
+
+    docs = _docs(spark, sf_dir)
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 == 1)
+    path = tempfile.mkdtemp(prefix="hist_append_") + "/hist"
+    ha = sketches.value_histogram(a, "n_chars", 0.0, 600.0, 16, ["lang"])
+    sketches.write_histogram(ha, path, 0.0, 600.0, 16, ["lang"])
+    sketches.histogram_append(b, path, "n_chars")
+    hist, p = sketches.read_histogram(spark, path)
+    return sketches.histogram_quantiles(
+        hist, p["lo"], p["hi"], p["bins"], [50, 95],
+        group_cols=p["group_cols"],
+    )

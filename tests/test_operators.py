@@ -4346,3 +4346,91 @@ def test_perceptron_streaming_scoring_matches_batch(spark, tmp_path):
     finally:
         q.stop()
     assert streamed == batch and len(streamed) == 30
+
+
+def test_ngram_collision_report(spark):
+    from mondrian_olap_spark.operators.dedup import ngram_collision_report
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "one two three four five six seven eight nine ten"),
+            (2, "totally different words with no overlap at all here"),
+            (3, "short doc"),  # < n tokens: no grams, never collides
+        ],
+        "doc_id long, text string",
+    )
+    heldout = spark.createDataFrame(
+        [
+            (100, "zzz one two three four five six seven eight yyy"),
+            (101, "short doc"),  # also < n: must NOT match doc 3
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in ngram_collision_report(corpus, heldout, n=8).collect()}
+    # doc 1 has 3 distinct 8-grams; exactly ONE ("one..eight") appears in heldout
+    assert list(out) == [1]
+    assert (out[1].n_grams, out[1].n_shared, out[1].n_heldout_docs) == (3, 1, 1)
+
+    # stop-gram guard: a gram in EVERY doc on both sides gets dropped
+    boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    corpus2 = spark.createDataFrame(
+        [(i, boiler) for i in range(10)], "doc_id long, text string"
+    )
+    heldout2 = spark.createDataFrame(
+        [(100 + i, boiler) for i in range(10)], "doc_id long, text string"
+    )
+    from mondrian_olap_spark.operators.dedup import ngram_collision_report as r
+
+    assert r(corpus2, heldout2, n=8).count() == 10  # unguarded: all collide
+    assert r(corpus2, heldout2, n=8, max_shingle_df=5).count() == 0
+
+
+def test_value_histogram_and_quantiles(spark, tmp_path):
+    from mondrian_olap_spark.operators import sketches
+
+    # 100 values 0..99, 10 bins of width 10; out-of-range clamps to ends
+    rows = [(i, float(i)) for i in range(100)] + [(900, -5.0), (901, 999.0)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    hist = sketches.value_histogram(df, "v", 0.0, 100.0, 10)
+    counts = {r.bin: r.n for r in hist.collect()}
+    assert counts[0] == 11 and counts[9] == 11  # clamped extremes
+    assert all(counts[b] == 10 for b in range(1, 9))
+    q = {
+        r.percent: (r.bin, r.lower_edge, r.upper_edge, r.n_total)
+        for r in sketches.histogram_quantiles(
+            hist, 0.0, 100.0, 10, [1, 50, 100]
+        ).collect()
+    }
+    assert q[1][0] == 0 and q[100][0] == 9
+    # p50 of 102 values: target=51 -> cum reaches 51 in bin 4 (11+10*4=51)
+    assert q[50][0] == 4 and q[50][1] == 40.0 and q[50][3] == 102
+    with pytest.raises(ValueError):
+        sketches.value_histogram(df, "v", 5.0, 5.0, 10)
+    with pytest.raises(ValueError):
+        sketches.histogram_quantiles(hist, 0.0, 100.0, 10, [0])
+
+
+def test_histogram_append_equals_rebuild(spark, tmp_path):
+    from mondrian_olap_spark.operators import sketches
+
+    full = spark.createDataFrame(
+        [(i, "g%d" % (i % 2), float(i % 37)) for i in range(200)],
+        "id long, g string, v double",
+    )
+    a = full.filter("id < 120")
+    b = full.filter("id >= 120")
+    path = str(tmp_path / "hist")
+    sketches.write_histogram(
+        sketches.value_histogram(a, "v", 0.0, 40.0, 8, ["g"]),
+        path, 0.0, 40.0, 8, ["g"],
+    )
+    sketches.histogram_append(b, path, "v")
+    got = {
+        (r.g, r.bin): r.n
+        for r in sketches.read_histogram(spark, path)[0].collect()
+    }
+    want = {
+        (r.g, r.bin): r.n
+        for r in sketches.value_histogram(full, "v", 0.0, 40.0, 8, ["g"]).collect()
+    }
+    assert got == want  # merge == one-pass rebuild, exactly
