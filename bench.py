@@ -117,6 +117,14 @@ HEADLINE = [
     "text_bpe_train_merges",
     "vba_breadth3_gate",
     "embed_scatter_covariance",
+    # round-8 late-session operators
+    "web_canonical_urls",
+    "web_host_cap_gate",
+    "text_line_dedup_gate",
+    "text_perceptron_gate",
+    "dedup_ngram_collision_gate",
+    "sketch_histogram_quantiles",
+    "sketch_histogram_append_gate",
 ]
 
 

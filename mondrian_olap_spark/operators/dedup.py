@@ -1286,13 +1286,16 @@ def ngram_collision_report(
                 ),
             )
             .drop("__g")
-            # distinct at HASH granularity so gram counts and shared
-            # counts live in the same space (a within-doc hash collision
-            # would otherwise split them)
-            .distinct()
         )
 
-    cg = grams(corpus, "__cid")
+    from pyspark.storagelevel import StorageLevel
+
+    # the corpus gram table feeds BOTH the per-doc totals and the
+    # cross-corpus join — persist so the explode+md5 map pass runs once
+    # (ContextCleaner unpersists when the frame is collected away);
+    # counts below are DISTINCT at HASH granularity on both sides so
+    # gram totals and shared counts live in the same space
+    cg = grams(corpus, "__cid").persist(StorageLevel.MEMORY_AND_DISK)
     hg = grams(heldout, "__hid")
     if max_shingle_df is not None:
         combined = cg.select(F.col("__cid").alias("__id"), "__h").unionByName(
@@ -1306,7 +1309,9 @@ def ngram_collision_report(
         )
         cg = cg.join(hot, "__h", "left_anti")
         hg = hg.join(hot, "__h", "left_anti")
-    totals = cg.groupBy("__cid").agg(F.count("*").alias("n_grams"))
+    totals = cg.groupBy("__cid").agg(
+        F.countDistinct("__h").alias("n_grams")
+    )
     hits = (
         cg.join(hg, "__h")
         .groupBy("__cid")
