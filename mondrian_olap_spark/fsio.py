@@ -91,3 +91,7 @@ def atomic_overwrite_dir(spark, path: str, write_fn) -> None:
             f"atomic_overwrite_dir: could not swap in new artifact at {path}"
         )
     fs.delete(old, True)
+    # the swap changes file names under an unchanged directory path —
+    # drop Spark's cached file listing or the next read of this path
+    # fails with FAILED_READ_FILE.FILE_NOT_EXIST
+    spark.catalog.refreshByPath(path)

@@ -430,3 +430,54 @@ def inter_event_stats(
         F.when(has, q(F.col("__gaps"), 9, 10)).alias("p90_gap_s"),
         F.when(has, F.element_at("__gaps", -1)).alias("max_gap_s"),
     )
+
+
+def scd2_enrich(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    fact_ts: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    value_cols: list[str] | None = None,
+    suffix: str = "_dim",
+) -> DataFrame:
+    """Point-in-time enrichment against a slowly-changing (SCD Type-2)
+    dimension: each fact row picks the dimension VERSION in effect at its
+    timestamp — the version with the latest ``valid_from <= ts`` whose
+    ``valid_to`` (EXCLUSIVE; NULL = current open version) has not yet
+    passed.  Facts falling in a coverage gap (between one version's end
+    and the next version's start) or before the first version read NULL
+    attributes — never the stale neighbor, the classic SCD2 join bug.
+
+    Implementation: :func:`asof_join` on ``valid_from`` (tag + union +
+    ONE window per key — one shuffle, zero join operators, so a hot
+    dimension key never builds candidate pairs), with the version's
+    ``valid_to`` carried alongside and the expiry check applied as a
+    projection.  This is the scalable alternative to the non-equi
+    ``BETWEEN`` join, which Spark can only execute as a broadcast
+    nested loop (fine for broadcastable dims, quadratic pain otherwise).
+    """
+    vc = value_cols or [
+        c for c in dim.columns if c not in (key, valid_from, valid_to)
+    ]
+    joined = asof_join(
+        facts,
+        dim.select(key, F.col(valid_from).alias("__vf"),
+                   F.col(valid_to).alias("__vto"), *vc),
+        key=key,
+        left_ts=fact_ts,
+        right_ts="__vf",
+        value_cols=["__vto", *vc],
+        suffix=suffix,
+    )
+    expired = F.col(f"__vto{suffix}").isNotNull() & (
+        F.col(fact_ts) >= F.col(f"__vto{suffix}")
+    )
+    out = joined
+    for c in vc:
+        out = out.withColumn(
+            f"{c}{suffix}",
+            F.when(expired, F.lit(None)).otherwise(F.col(f"{c}{suffix}")),
+        )
+    return out.drop(f"__vto{suffix}", f"__vf{suffix}")

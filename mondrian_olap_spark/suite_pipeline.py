@@ -5692,3 +5692,81 @@ def sketch_histogram_append_gate(spark, sf_dir):
         hist, p["lo"], p["hi"], p["bins"], [50, 95],
         group_cols=p["group_cols"],
     )
+
+
+@q(
+    "events_scd2_enrich",
+    """
+    WITH segs AS (SELECT unnest(range(0, 50)) AS seg),
+    dim AS (
+      SELECT seg, 1 AS v, TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+             TIMESTAMP '2024-01-10 00:00:00' AS valid_to,
+             seg * 100 + 1 AS tier
+      FROM segs
+      UNION ALL
+      SELECT seg, 2, TIMESTAMP '2024-01-10 00:00:00',
+             CASE WHEN seg % 7 = 0 THEN TIMESTAMP '2024-01-15 00:00:00'
+                  ELSE TIMESTAMP '2024-01-20 00:00:00' END,
+             seg * 100 + 2
+      FROM segs
+      UNION ALL
+      SELECT seg, 3, TIMESTAMP '2024-01-20 00:00:00', NULL, seg * 100 + 3
+      FROM segs
+    ),
+    cand AS (
+      SELECT e.event_id, e.user_id % 50 AS seg, e.ts, d.tier, d.valid_to,
+             row_number() OVER (
+               PARTITION BY e.event_id ORDER BY d.valid_from DESC
+             ) AS rn
+      FROM events e
+      JOIN dim d ON d.seg = e.user_id % 50 AND d.valid_from <= e.ts
+      WHERE e.ts IS NOT NULL
+    )
+    SELECT event_id, seg,
+           CASE WHEN valid_to IS NOT NULL AND ts >= valid_to THEN NULL
+                ELSE tier END AS tier_dim
+    FROM cand WHERE rn = 1
+    """,
+)
+def events_scd2_enrich(spark, sf_dir):
+    """SCD Type-2 point-in-time enrichment through the gate: a versioned
+    dimension (3 versions per segment; every 7th segment's v2 ends early,
+    leaving a 5-day COVERAGE GAP before v3) joined to the events fact at
+    event time.  events.scd2_enrich resolves the version via the
+    union+window as-of (ONE shuffle, zero join operators — the scalable
+    alternative to Spark's broadcast-nested-loop BETWEEN join) and nulls
+    attributes whose version had already expired — gap events must read
+    NULL, never the stale v2 (the classic SCD2 join bug the oracle's
+    explicit BETWEEN replay would catch)."""
+    from .operators.events import scd2_enrich
+
+    events = read_parquet_table(spark, f"{sf_dir}/events.parquet").filter(
+        F.col("ts").isNotNull()
+    )
+    facts = events.select(
+        "event_id", (F.col("user_id") % 50).alias("seg"), "ts"
+    )
+    segs = spark.range(0, 50).select(F.col("id").cast("long").alias("seg"))
+    dim = (
+        segs.selectExpr(
+            "seg", "1 AS v", "TIMESTAMP '2024-01-01 00:00:00' AS valid_from",
+            "TIMESTAMP '2024-01-10 00:00:00' AS valid_to",
+            "seg * 100 + 1 AS tier",
+        )
+        .unionByName(segs.selectExpr(
+            "seg", "2 AS v",
+            "TIMESTAMP '2024-01-10 00:00:00' AS valid_from",
+            "CASE WHEN seg % 7 = 0 THEN TIMESTAMP '2024-01-15 00:00:00' "
+            "ELSE TIMESTAMP '2024-01-20 00:00:00' END AS valid_to",
+            "seg * 100 + 2 AS tier",
+        ))
+        .unionByName(segs.selectExpr(
+            "seg", "3 AS v",
+            "TIMESTAMP '2024-01-20 00:00:00' AS valid_from",
+            "CAST(NULL AS TIMESTAMP) AS valid_to", "seg * 100 + 3 AS tier",
+        ))
+    )
+    out = scd2_enrich(
+        facts, dim, key="seg", fact_ts="ts", value_cols=["tier"]
+    )
+    return out.select("event_id", "seg", "tier_dim")

@@ -4434,3 +4434,77 @@ def test_histogram_append_equals_rebuild(spark, tmp_path):
         for r in sketches.value_histogram(full, "v", 0.0, 40.0, 8, ["g"]).collect()
     }
     assert got == want  # merge == one-pass rebuild, exactly
+
+
+def test_scd2_enrich_versions_and_gaps(spark):
+    from datetime import datetime
+
+    from mondrian_olap_spark.operators.events import scd2_enrich
+
+    dim = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1), datetime(2024, 1, 10), "v1"),
+            (1, datetime(2024, 1, 10), datetime(2024, 1, 15), "v2"),  # gap after
+            (1, datetime(2024, 1, 20), None, "v3"),  # open-ended current
+        ],
+        "k long, valid_from timestamp, valid_to timestamp, name string",
+    )
+    facts = spark.createDataFrame(
+        [
+            (1, 1, datetime(2023, 12, 31)),  # before first version -> NULL
+            (2, 1, datetime(2024, 1, 1)),    # inclusive start boundary -> v1
+            (3, 1, datetime(2024, 1, 9, 23)),
+            (4, 1, datetime(2024, 1, 10)),   # exclusive end boundary -> v2
+            (5, 1, datetime(2024, 1, 17)),   # coverage gap -> NULL, not stale v2
+            (6, 1, datetime(2024, 2, 1)),    # open version -> v3
+            (7, 99, datetime(2024, 1, 5)),   # unknown key -> NULL
+        ],
+        "event_id long, k long, ts timestamp",
+    )
+    got = {
+        r.event_id: r.name_dim
+        for r in scd2_enrich(facts, dim, key="k").collect()
+    }
+    assert got == {1: None, 2: "v1", 3: "v1", 4: "v2", 5: None, 6: "v3", 7: None}
+
+
+def test_streaming_histogram_maintenance(spark, tmp_path):
+    """Histogram artifact maintenance under Structured Streaming:
+    foreachBatch folds each micro-batch into the persisted artifact via
+    histogram_append; after the stream drains, the artifact is IDENTICAL
+    to the one-pass histogram of the full input (counts compose by
+    summation)."""
+    from mondrian_olap_spark.operators import sketches
+
+    rows = [Row(id=i, g="g%d" % (i % 3), v=float(i % 53)) for i in range(60)]
+    staging = str(tmp_path / "hin")
+    # one file per chunk -> exactly three micro-batches (an unbounded
+    # file count here would outlive awaitTermination on a busy machine)
+    spark.createDataFrame(rows[:20]).coalesce(1).write.json(staging)
+    spark.createDataFrame(rows[20:40]).coalesce(1).write.mode("append").json(staging)
+    spark.createDataFrame(rows[40:]).coalesce(1).write.mode("append").json(staging)
+    store = str(tmp_path / "hist_store")
+
+    def fold(batch_df, batch_id):
+        import os
+        if not os.path.exists(store):
+            sketches.write_histogram(
+                sketches.value_histogram(batch_df, "v", 0.0, 60.0, 12, ["g"]),
+                store, 0.0, 60.0, 12, ["g"],
+            )
+        else:
+            sketches.histogram_append(batch_df, store, "v")
+
+    stream = (spark.readStream.schema("id long, g string, v double")
+              .option("maxFilesPerTrigger", 1).json(staging))
+    q = (stream.writeStream.foreachBatch(fold)
+         .option("checkpointLocation", str(tmp_path / "hckpt"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(300), "stream did not drain in time"
+    got = {(r.g, r.bin): r.n
+           for r in sketches.read_histogram(spark, store)[0].collect()}
+    want = {(r.g, r.bin): r.n
+            for r in sketches.value_histogram(
+                spark.createDataFrame(rows), "v", 0.0, 60.0, 12, ["g"]
+            ).collect()}
+    assert got == want
