@@ -651,6 +651,43 @@ def main() -> int:
         "Window node found in line_dedup plan",
     )
 
+    # 32. value_histogram: ONE exchange (the bounded cell aggregation,
+    #     map-side combined) — corpus size only moves the scan
+    from mondrian_olap_spark.operators import sketches as skops
+
+    li = read_parquet_table(spark, f"{SF_DIR}/lineitem.parquet")
+    p = plan_str(skops.value_histogram(
+        li, "l_extendedprice", 900.0, 105000.0, 32, ["l_returnflag"]))
+    n_ex = len([l for l in p.splitlines() if "Exchange" in l])
+    has_partial = "partial_count" in p or "partial" in p.lower()
+    check(
+        "value_histogram.single_exchange_partial_combine",
+        n_ex == 1 and has_partial,
+        f"exchanges={n_ex} partial={has_partial}",
+    )
+
+    # 33. scd2_enrich: the as-of version resolution carries ZERO join
+    #     operators — tag+union+window only (the docstring's scalability
+    #     claim vs the broadcast-nested-loop BETWEEN join)
+    from mondrian_olap_spark.operators.events import scd2_enrich as scd2
+
+    ev = read_parquet_table(spark, f"{SF_DIR}/events.parquet")
+    facts = ev.selectExpr("event_id", "user_id % 50 AS seg", "ts")
+    segs = spark.range(0, 50).selectExpr(
+        "id AS seg",
+        "TIMESTAMP '2024-01-01' AS valid_from",
+        "TIMESTAMP '2024-01-10' AS valid_to",
+        "id * 100 AS tier",
+    )
+    p = plan_str(scd2(facts, segs, key="seg", value_cols=["tier"]))
+    joins = [l.strip()[:60] for l in p.splitlines()
+             if "Join" in l or "CartesianProduct" in l]
+    check(
+        "scd2_enrich.zero_join_operators",
+        not joins,
+        f"joins: {joins}",
+    )
+
     print(f"\n{len(failures)} failed properties" if failures else "\nall plan properties hold")
     return 1 if failures else 0
 
