@@ -39,6 +39,8 @@ __all__ = [
     "with_host",
     "cap_per_host",
     "host_profile",
+    "url_dedup",
+    "curate_web_corpus",
 ]
 
 #: query parameters stripped during canonicalization — click/campaign
@@ -217,3 +219,59 @@ def host_profile(
     if text_col is not None:
         aggs.append(F.sum(F.length(F.col(text_col))).alias("total_chars"))
     return out.groupBy("host").agg(*aggs)
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    strip_www: bool = False,
+) -> DataFrame:
+    """Exact-URL dedup on the CANONICAL form (the first, cheapest dedup
+    stage of a web-corpus pipeline — tracking-param and case variants of
+    one page collapse before any content hashing): keeps the minimum-id
+    row per canonical URL, appends ``canonical_url`` and ``url_copies``.
+    Aggregate + equi-join back (the :func:`..dedup.exact_dedup` shape) —
+    one URL-keyed shuffle, hot URLs stay splittable."""
+    out = canonicalize_urls(df, url_col, strip_www=strip_www)
+    keep = (
+        out.groupBy("canonical_url")
+        .agg(
+            F.min(F.col(id_col)).alias("__keep"),
+            F.count("*").alias("url_copies"),
+        )
+    )
+    return (
+        out.join(keep, "canonical_url")
+        .filter(F.col(id_col) == F.col("__keep"))
+        .drop("__keep")
+    )
+
+
+def curate_web_corpus(
+    docs: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_per_host: int | None = None,
+    strip_www: bool = False,
+    split_weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """The composed web-curation pipeline (RefinedWeb staging order):
+    canonical-URL dedup (cheapest first — no content ever hashed for a
+    re-crawled tracking variant) → content curation
+    (:func:`..pipeline.curate_corpus`: exact content dedup → quality
+    rules → split assignment) → per-host contribution cap.  One plan per
+    stage; every stage is individually gate-verified, and each keeps the
+    minimum-id survivor so the composition is deterministic end to end."""
+    from .pipeline import curate_corpus
+
+    staged = url_dedup(docs, url_col, id_col, strip_www=strip_www)
+    curated = curate_corpus(
+        staged, split_weights=split_weights, id_col=id_col, text_col=text_col
+    )
+    if max_per_host is not None:
+        curated = cap_per_host(
+            curated, max_per_host, url_col=url_col, id_col=id_col
+        )
+    return curated

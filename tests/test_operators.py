@@ -4508,3 +4508,26 @@ def test_streaming_histogram_maintenance(spark, tmp_path):
                 spark.createDataFrame(rows), "v", 0.0, 60.0, 12, ["g"]
             ).collect()}
     assert got == want
+
+
+def test_url_dedup_and_web_curation_chain(spark):
+    from mondrian_olap_spark.operators import web
+
+    body = "the wonderful excellent documentation and paragraphs with onward text " * 5
+    rows = [
+        # three tracking variants of ONE page -> one survivor (min id)
+        (1, "https://a.ex.com/page?utm_source=x", body + "alpha"),
+        (2, "https://A.EX.COM/page?utm_medium=y", body + "alpha"),
+        (3, "https://a.ex.com/page/", body + "alpha"),
+        # distinct page, same host
+        (4, "https://a.ex.com/other", body + "beta"),
+        # different host
+        (5, "https://b.ex.com/p", body + "gamma"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    dd = {r.doc_id: r.url_copies for r in web.url_dedup(df).collect()}
+    assert dd == {1: 3, 4: 1, 5: 1}
+    out = web.curate_web_corpus(df, max_per_host=1)
+    kept = sorted(r.doc_id for r in out.collect())
+    # host cap 1 keeps one doc per host from the deduped survivors
+    assert len(kept) == 2 and 5 in kept and kept[0] in (1, 4)
