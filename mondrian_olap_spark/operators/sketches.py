@@ -118,8 +118,12 @@ def value_histogram(
         raise ValueError("need hi > lo and bins >= 1")
     gcols = list(group_cols or [])
     x = F.col(value_col).cast("double")
-    raw = F.floor((x - F.lit(float(lo))) / F.lit(float(hi) - float(lo)) * F.lit(int(bins)))
-    b = F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw.cast("int")))
+    scaled = (x - F.lit(float(lo))) / F.lit(float(hi) - float(lo)) * F.lit(int(bins))
+    # clamp in DOUBLE before floor/cast: an extreme outlier (1e20) would
+    # otherwise overflow the integer cast, which THROWS under ANSI mode;
+    # for any in-range value the result is identical to floor-then-clamp
+    clamped = F.least(F.lit(float(bins)), F.greatest(F.lit(0.0), scaled))
+    b = F.least(F.lit(bins - 1), F.floor(clamped).cast("int"))
     return (
         df.filter(x.isNotNull())
         .select(*gcols, b.alias("bin"))
@@ -172,7 +176,7 @@ def histogram_quantiles(
         .groupBy(*gcols, "percent")
         .agg(
             F.min("bin").alias("bin"),
-            F.first("n_total").alias("n_total"),
+            F.min("n_total").alias("n_total"),
         )
     )
     return ranked.select(

@@ -1990,15 +1990,23 @@ def line_dedup(
     if min_docs < 1:
         raise ValueError("min_docs must be >= 1")
     df = ensure_min_parallelism(df)
+    from pyspark.storagelevel import StorageLevel
+
     exploded = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(
             F.split(F.coalesce(F.col(text_col), F.lit("")), _re_escape(delimiter))
         ).alias("pos", "line"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # frequency table from the SAME exploded frame (persisted: the line
+    # explosion is the expensive map pass and feeds both the frequency
+    # aggregate and the regroup; ContextCleaner unpersists on GC)
+    flagged = (
+        exploded.groupBy("line")
+        .agg(F.countDistinct("id").alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_docs)
+        .select("line", F.lit(1).alias("__bp"))
     )
-    flagged = boilerplate_lines(
-        df, min_docs, id_col=id_col, text_col=text_col, delimiter=delimiter
-    ).select("line", F.lit(1).alias("__bp"))
     marked = exploded.join(flagged, "line", "left")
     return (
         marked.groupBy("id")

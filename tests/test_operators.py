@@ -4531,3 +4531,17 @@ def test_url_dedup_and_web_curation_chain(spark):
     kept = sorted(r.doc_id for r in out.collect())
     # host cap 1 keeps one doc per host from the deduped survivors
     assert len(kept) == 2 and 5 in kept and kept[0] in (1, 4)
+
+
+def test_value_histogram_extreme_outliers_no_overflow(spark):
+    """An extreme outlier (1e20) must clamp into the end bin, not blow up
+    the integer cast under ANSI mode."""
+    from mondrian_olap_spark.operators import sketches
+
+    df = spark.createDataFrame(
+        [(1, 1e20), (2, -1e20), (3, 5.0), (4, float("nan"))],
+        "id long, v double",
+    )
+    counts = {r.bin: r.n for r in sketches.value_histogram(df, "v", 0.0, 10.0, 4).collect()}
+    # 1e20 and NaN land in the top bin, -1e20 in bin 0, 5.0 in bin 2
+    assert counts == {3: 2, 0: 1, 2: 1}
