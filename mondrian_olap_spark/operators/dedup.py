@@ -1329,3 +1329,54 @@ def ngram_collision_report(
             "n_heldout_docs",
         )
     )
+
+
+def lsh_parameters(
+    threshold: float,
+    max_hashes: int = 128,
+    fn_weight: float = 1.0,
+) -> dict:
+    """Choose MinHash-LSH ``(num_hashes, bands)`` for a target Jaccard
+    ``threshold`` — the standard banding analysis (Mining of Massive
+    Datasets §3.4): with b bands of r rows the candidate probability at
+    similarity s is ``1 - (1 - s^r)^b``, an S-curve whose inflection sits
+    near ``(1/b)^(1/r)``.  The search minimizes the integrated error
+
+        ∫₀ᵗ P(s) ds  (false positives)  +  fn_weight · ∫ₜ¹ (1 - P(s)) ds
+
+    over all (b, r) with b·r ≤ max_hashes — weight false negatives
+    higher (``fn_weight > 1``) when missing a near-dup costs more than
+    verifying a spurious candidate (verification is cheap here: the
+    banded join only creates candidates, exact similarity still decides).
+
+    Driver-side closed-form arithmetic (no Spark job); returns
+    ``{"num_hashes", "bands", "rows", "inflection", "fp_area",
+    "fn_area"}`` ready to splat into :func:`minhash_lsh_pairs` /
+    :func:`write_minhash_index`.
+    """
+    if not (0.0 < threshold < 1.0):
+        raise ValueError("threshold must be in (0, 1)")
+    best = None
+    steps = 1000
+    for b in range(1, max_hashes + 1):
+        for r in range(1, max_hashes // b + 1):
+            fp = fn = 0.0
+            for i in range(steps):
+                s = (i + 0.5) / steps
+                p = 1.0 - (1.0 - s**r) ** b
+                if s < threshold:
+                    fp += p / steps
+                else:
+                    fn += (1.0 - p) / steps
+            err = fp + float(fn_weight) * fn
+            if best is None or err < best[0]:
+                best = (err, b, r, fp, fn)
+    _, b, r, fp, fn = best
+    return {
+        "num_hashes": b * r,
+        "bands": b,
+        "rows": r,
+        "inflection": (1.0 / b) ** (1.0 / r),
+        "fp_area": fp,
+        "fn_area": fn,
+    }

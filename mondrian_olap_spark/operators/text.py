@@ -2176,3 +2176,144 @@ def score_with_perceptron(
         df.select(F.col(id_col), margin.alias("margin"))
         .withColumn("prediction", (F.col("margin") > 0).cast("int"))
     )
+
+
+def _line_counts(
+    df: DataFrame, id_col: str, text_col: str, delimiter: str
+) -> DataFrame:
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), _re_escape(delimiter))
+        ).alias("line"),
+    )
+    return lines.groupBy("line").agg(F.countDistinct("id").alias("doc_freq"))
+
+
+def write_line_stats(
+    df: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    delimiter: str = "\n",
+) -> DataFrame:
+    """Persist the corpus line-frequency table as an on-disk artifact —
+    the stateful form of :func:`boilerplate_lines`, so arriving batches
+    can be cleaned against corpus-wide line statistics WITHOUT rescanning
+    the corpus (the line-dedup member of the maintenance family).  The
+    artifact stores FULL counts, unthresholded: ``min_docs`` is chosen at
+    use time and appends stay exact.  Crash-safe overwrite via
+    :func:`..fsio.atomic_overwrite_dir`."""
+    from .. import fsio
+
+    spark = df.sparkSession
+    stats = _line_counts(df, id_col, text_col, delimiter)
+
+    def _write_to(target: str) -> None:
+        stats.write.mode("overwrite").parquet(target)
+        (
+            spark.createDataFrame([(delimiter,)], "delimiter string")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(target + "/_params")
+        )
+
+    fsio.atomic_overwrite_dir(spark, path, _write_to)
+    return stats
+
+
+def line_stats_append(
+    new_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fold an accepted batch into a persisted line-stats artifact: the
+    batch's line document-frequencies (batch-sized aggregation) union
+    with the stored table and re-sum — identical to one build over
+    corpus ∪ batch PROVIDED batches carry disjoint document sets (the
+    same single-writer/disjoint-batch contract as the Bloom ingest
+    state; a re-folded batch would double-count its documents).  Cost:
+    batch-sized work + an artifact-sized merge."""
+    from .. import fsio
+
+    spark = new_docs.sparkSession
+    row = spark.read.parquet(path + "/_params").collect()[0]
+    delimiter = row["delimiter"]
+    old = spark.read.parquet(path)
+    delta = _line_counts(new_docs, id_col, text_col, delimiter)
+    merged = (
+        old.unionByName(delta)
+        .groupBy("line")
+        .agg(F.sum("doc_freq").alias("doc_freq"))
+        .localCheckpoint(eager=True)
+    )
+
+    def _write_to(target: str) -> None:
+        merged.write.mode("overwrite").parquet(target)
+        (
+            spark.createDataFrame([(delimiter,)], "delimiter string")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(target + "/_params")
+        )
+
+    fsio.atomic_overwrite_dir(spark, path, _write_to)
+    return merged
+
+
+def line_dedup_with_stats(
+    df: DataFrame,
+    path: str,
+    min_docs: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Clean a batch against a PERSISTED line-stats artifact: lines whose
+    corpus-wide document frequency (as maintained by
+    :func:`line_stats_append`) reaches ``min_docs`` are removed from
+    every batch document — same output shape as :func:`line_dedup`
+    (``id_col, clean_text, n_lines, n_removed``), but the cost is
+    batch-sized plus an equi-join against the flagged subset of the
+    artifact; the corpus is never rescanned."""
+    if min_docs < 1:
+        raise ValueError("min_docs must be >= 1")
+    spark = df.sparkSession
+    row = spark.read.parquet(path + "/_params").collect()[0]
+    delimiter = row["delimiter"]
+    flagged = (
+        spark.read.parquet(path)
+        .filter(F.col("doc_freq") >= min_docs)
+        .select("line", F.lit(1).alias("__bp"))
+    )
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), _re_escape(delimiter))
+        ).alias("pos", "line"),
+    )
+    marked = exploded.join(flagged, "line", "left")
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(F.col("__bp").isNotNull(), 1).otherwise(0)).alias(
+                "n_removed"
+            ),
+            F.concat_ws(
+                delimiter,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__bp").isNull(),
+                                F.struct(F.col("pos"), F.col("line")),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+            ).alias("clean_text"),
+        )
+        .withColumnRenamed("id", id_col)
+    )

@@ -5770,3 +5770,67 @@ def events_scd2_enrich(spark, sf_dir):
         facts, dim, key="seg", fact_ts="ts", value_cols=["tier"]
     )
     return out.select("event_id", "seg", "tier_dim")
+
+
+@q(
+    "text_line_stats_append_gate",
+    """
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    ),
+    words AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ws) + 1),
+                    i -> struct_pack(pos := i, w := ws[i]))) AS u
+      FROM docs
+    ),
+    lines AS (
+      SELECT doc_id, (u.pos - 1) // 6 AS ln,
+             string_agg(u.w, ' ' ORDER BY u.pos) AS line
+      FROM words GROUP BY 1, 2
+    ),
+    bp AS (
+      SELECT line FROM lines GROUP BY line
+      HAVING count(DISTINCT doc_id) >= 3
+    ),
+    probe AS (SELECT * FROM lines WHERE doc_id % 5 = 0),
+    marked AS (
+      SELECT p.doc_id, p.ln, p.line, b.line IS NOT NULL AS is_bp
+      FROM probe p LEFT JOIN bp b ON p.line = b.line
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN NOT is_bp THEN line END,
+                               chr(10) ORDER BY ln), '') AS clean_text,
+           count(*) AS n_lines,
+           CAST(sum(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+    FROM marked GROUP BY doc_id
+    """,
+)
+def text_line_stats_append_gate(spark, sf_dir):
+    """Line-dedup MAINTENANCE through the gate: the corpus line-frequency
+    table is persisted from the doc_id%2==0 half, the other half folds in
+    via text.line_stats_append (batch-sized count aggregation +
+    artifact-sized merge — exact because batches carry disjoint document
+    sets), and a probe batch (every 5th document) is then cleaned against
+    the MAINTAINED artifact with line_dedup_with_stats.  The oracle
+    computes corpus-wide boilerplate in one pass over the WHOLE corpus —
+    so a broken append (double count, lost line) changes which lines
+    cross the min_docs=3 threshold and the probe's cleaned text
+    diverges."""
+    import tempfile
+
+    lined = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        """
+        array_join(transform(
+          sequence(0, CAST(ceil(size(split(trim(text), '\\\\s+')) / 6.0) AS INT) - 1),
+          i -> array_join(slice(split(trim(text), '\\\\s+'), i * 6 + 1, 6), ' ')
+        ), '\n') AS text
+        """,
+    )
+    path = tempfile.mkdtemp(prefix="linestats_") + "/ls"
+    text.write_line_stats(lined.filter(F.col("doc_id") % 2 == 0), path)
+    text.line_stats_append(lined.filter(F.col("doc_id") % 2 == 1), path)
+    probe = lined.filter(F.col("doc_id") % 5 == 0)
+    return text.line_dedup_with_stats(probe, path, min_docs=3)

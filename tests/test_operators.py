@@ -4545,3 +4545,56 @@ def test_value_histogram_extreme_outliers_no_overflow(spark):
     counts = {r.bin: r.n for r in sketches.value_histogram(df, "v", 0.0, 10.0, 4).collect()}
     # 1e20 and NaN land in the top bin, -1e20 in bin 0, 5.0 in bin 2
     assert counts == {3: 2, 0: 1, 2: 1}
+
+
+def test_lsh_parameters_tuning(spark):
+    from mondrian_olap_spark.operators.dedup import lsh_parameters
+
+    p = lsh_parameters(0.8, max_hashes=64)
+    # the chosen S-curve inflects near the target threshold
+    assert abs(p["inflection"] - 0.8) < 0.15
+    assert p["num_hashes"] == p["bands"] * p["rows"] <= 64
+    # a lower threshold moves the inflection down
+    p5 = lsh_parameters(0.5, max_hashes=64)
+    assert p5["inflection"] < p["inflection"]
+    # weighting false negatives shifts the curve left (earlier catch)
+    pfn = lsh_parameters(0.8, max_hashes=64, fn_weight=10.0)
+    assert pfn["inflection"] <= p["inflection"] + 1e-9
+    assert pfn["fn_area"] <= p["fn_area"] + 1e-12
+    import pytest as _p
+    with _p.raises(ValueError):
+        lsh_parameters(1.5)
+
+
+def test_line_stats_append_equals_rebuild(spark, tmp_path):
+    from mondrian_olap_spark.operators.text import (
+        line_dedup,
+        line_dedup_with_stats,
+        line_stats_append,
+        write_line_stats,
+    )
+
+    rows = [
+        (i, "cookie banner\nunique %d\nfooter" % i) for i in range(10)
+    ]
+    full = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "ls")
+    write_line_stats(full.filter("doc_id < 6"), path)
+    line_stats_append(full.filter("doc_id >= 6"), path)
+    # artifact counts == one-pass counts
+    stats = {r.line: r.doc_freq for r in spark.read.parquet(path).collect()}
+    assert stats["cookie banner"] == 10 and stats["footer"] == 10
+    # cleaning a probe against the artifact == direct line_dedup truth
+    probe = full.filter("doc_id % 3 = 0")
+    got = {
+        r.doc_id: (r.clean_text, r.n_lines, r.n_removed)
+        for r in line_dedup_with_stats(probe, path, 3).collect()
+    }
+    want = {
+        r.doc_id: (r.clean_text, r.n_lines, r.n_removed)
+        for r in line_dedup(full, 3).collect()
+        if r.doc_id % 3 == 0
+    }
+    assert got == want
+    with pytest.raises(ValueError):
+        line_dedup_with_stats(probe, path, 0)
