@@ -481,3 +481,42 @@ def scd2_enrich(
             F.when(expired, F.lit(None)).otherwise(F.col(f"{c}{suffix}")),
         )
     return out.drop(f"__vto{suffix}", f"__vf{suffix}")
+
+
+def scd2_enrich_stream(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    fact_ts: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    value_cols: list[str] | None = None,
+    suffix: str = "_dim",
+) -> DataFrame:
+    """STREAMING form of :func:`scd2_enrich`: the union+window as-of is
+    not expressible on an append stream (no unbounded windows), so the
+    version is resolved with a stream-static LEFT join against the
+    BROADCAST dimension on ``key AND valid_from <= ts AND (valid_to IS
+    NULL OR ts < valid_to)`` — stateless, append-safe, and the right
+    tool precisely because an SCD dimension is bounded (it broadcasts;
+    at-most-one version matches per fact row by construction when
+    versions don't overlap, so the join cannot fan out).  Same output
+    columns and NULL-gap semantics as the batch form; the batch/stream
+    pair is unit-pinned equal."""
+    vc = value_cols or [
+        c for c in dim.columns if c not in (key, valid_from, valid_to)
+    ]
+    d = F.broadcast(
+        dim.select(
+            F.col(key).alias("__k"),
+            F.col(valid_from).alias("__vf"),
+            F.col(valid_to).alias("__vto"),
+            *[F.col(c).alias(f"{c}{suffix}") for c in vc],
+        )
+    )
+    cond = (
+        (facts[key] == d["__k"])
+        & (d["__vf"] <= facts[fact_ts])
+        & (d["__vto"].isNull() | (facts[fact_ts] < d["__vto"]))
+    )
+    return facts.join(d, cond, "left").drop("__k", "__vf", "__vto")

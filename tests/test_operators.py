@@ -4598,3 +4598,57 @@ def test_line_stats_append_equals_rebuild(spark, tmp_path):
     assert got == want
     with pytest.raises(ValueError):
         line_dedup_with_stats(probe, path, 0)
+
+
+def test_scd2_enrich_stream_matches_batch(spark, tmp_path):
+    from datetime import datetime
+
+    from mondrian_olap_spark.operators.events import (
+        scd2_enrich,
+        scd2_enrich_stream,
+    )
+
+    dim = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1), datetime(2024, 1, 10), 11),
+            (1, datetime(2024, 1, 10), datetime(2024, 1, 15), 12),
+            (1, datetime(2024, 1, 20), None, 13),
+            (2, datetime(2024, 1, 5), None, 21),
+        ],
+        "k long, valid_from timestamp, valid_to timestamp, tier int",
+    )
+    facts = spark.createDataFrame(
+        [
+            (1, 1, datetime(2024, 1, 2)),
+            (2, 1, datetime(2024, 1, 12)),
+            (3, 1, datetime(2024, 1, 17)),  # gap
+            (4, 1, datetime(2024, 2, 1)),
+            (5, 2, datetime(2024, 1, 6)),
+            (6, 3, datetime(2024, 1, 6)),  # unknown key
+        ],
+        "event_id long, k long, ts timestamp",
+    )
+    batch = {
+        r.event_id: r.tier_dim
+        for r in scd2_enrich(facts, dim, key="k", value_cols=["tier"]).collect()
+    }
+    src = tmp_path / "scd2_stream"
+    facts.write.json(str(src))
+    stream = spark.readStream.schema(facts.schema).json(str(src))
+    q = (
+        scd2_enrich_stream(stream, dim, key="k", value_cols=["tier"])
+        .select("event_id", "tier_dim")
+        .writeStream.format("memory")
+        .queryName("scd2_stream_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        streamed = {
+            r.event_id: r.tier_dim
+            for r in spark.sql("select * from scd2_stream_out").collect()
+        }
+    finally:
+        q.stop()
+    assert streamed == batch == {1: 11, 2: 12, 3: None, 4: 13, 5: 21, 6: None}
