@@ -4652,3 +4652,29 @@ def test_scd2_enrich_stream_matches_batch(spark, tmp_path):
     finally:
         q.stop()
     assert streamed == batch == {1: 11, 2: 12, 3: None, 4: 13, 5: 21, 6: None}
+
+
+def test_canonical_url_idempotent_over_url_matrix(spark):
+    """canon(canon(x)) == canon(x) — THE canonicalization invariant —
+    over a combinatorial matrix of scheme/case/userinfo/port/path/query/
+    fragment variants plus unparseable garbage."""
+    from itertools import product
+
+    from mondrian_olap_spark.operators import web
+
+    schemes = ["http", "HTTPS", "ftp"]
+    auths = ["Ex.COM", "user:pw@a.b.Example.co.uk:443", "h9.ex.com:8080", "EX.com:80"]
+    paths = ["", "/", "//a//b/", "/p/q", "/p/"]
+    queries = ["", "?utm_source=1", "?b=2&a=1&gclid=x", "?ref&z=1&z=0"]
+    frags = ["", "#frag"]
+    urls = [
+        f"{s}://{a}{p}{q}{f}"
+        for s, a, p, q, f in product(schemes, auths, paths, queries, frags)
+    ] + ["", "   ", "not a url", "x:y", "http:/half", "://nohost", "a b c"]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i long, url string"
+    )
+    once = web.canonicalize_urls(df, "url", output="c1")
+    twice = web.canonicalize_urls(once, "c1", output="c2")
+    bad = twice.filter("c1 IS DISTINCT FROM c2").collect()
+    assert not bad, [(r.url, r.c1, r.c2) for r in bad[:5]]
