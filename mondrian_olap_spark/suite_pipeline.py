@@ -5834,3 +5834,73 @@ def text_line_stats_append_gate(spark, sf_dir):
     text.line_stats_append(lined.filter(F.col("doc_id") % 2 == 1), path)
     probe = lined.filter(F.col("doc_id") % 5 == 0)
     return text.line_dedup_with_stats(probe, path, min_docs=3)
+
+
+@q(
+    "web_curation_chain_gate",
+    f"""
+    WITH u AS (SELECT doc_id, text, {_URLS_DUCK} AS url FROM documents),
+    c AS (SELECT doc_id, text, {_duck_canon('trim(url)')} AS curl,
+                 {_duck_host('trim(url)')} AS host
+          FROM u),
+    keepurl AS (
+      SELECT curl, min(doc_id) AS keep_id, count(*) AS url_copies
+      FROM c GROUP BY 1
+    ),
+    survu AS (
+      SELECT c.* FROM c JOIN keepurl k
+      ON c.curl = k.curl AND c.doc_id = k.keep_id
+    ),
+    keepfp AS (
+      SELECT md5(lower(trim(text))) AS f, min(doc_id) AS keep_id
+      FROM survu GROUP BY 1
+    ),
+    survc AS (
+      SELECT s.* FROM survu s JOIN keepfp k
+      ON md5(lower(trim(s.text))) = k.f AND s.doc_id = k.keep_id
+    ),
+    quality AS (
+      SELECT doc_id, host FROM survc WHERE ({{reason}}) IS NULL
+    ),
+    capped AS (
+      SELECT doc_id, host,
+             row_number() OVER (
+               PARTITION BY host
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS host_rank
+      FROM quality
+    )
+    SELECT host, count(*) AS n_kept,
+           md5(string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)) AS kept_md5
+    FROM capped WHERE host_rank <= 5 GROUP BY host
+    """.replace("{reason}", _REASON_SQL),
+)
+def web_curation_chain_gate(spark, sf_dir):
+    """The COMPOSED web-curation pipeline through the gate
+    (web.curate_web_corpus): canonical-URL dedup (tracking/case/port
+    variants of one page collapse BEFORE any content hashing; the
+    synthetic URL matrix maps many documents onto shared canonical
+    forms) → content curation (exact dedup → Gopher quality rules) →
+    per-host cap of 5.  Per host: survivor count + an md5 over the kept
+    doc-id set — the oracle replays the identical four-stage
+    composition, so an exact match proves the stages chain
+    deterministically end to end (stage order matters: a min-id survivor
+    dropped by URL dedup must never reappear via content dedup)."""
+    from .operators import web
+
+    docs = _docs(spark, sf_dir).selectExpr(
+        "doc_id", "text", f"({_URLS_SPARK}) AS url"
+    )
+    out = web.curate_web_corpus(docs, max_per_host=5)
+    return out.groupBy("host").agg(
+        F.count("*").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+            )
+        ).alias("kept_md5"),
+    )
