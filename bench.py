@@ -125,6 +125,8 @@ HEADLINE = [
     "dedup_ngram_collision_gate",
     "sketch_histogram_quantiles",
     "sketch_histogram_append_gate",
+    "events_scd2_enrich",
+    "web_curation_chain_gate",
 ]
 
 
