@@ -1351,7 +1351,8 @@ def lsh_parameters(
 
     Driver-side closed-form arithmetic (no Spark job); returns
     ``{"num_hashes", "bands", "rows", "inflection", "fp_area",
-    "fn_area"}`` ready to splat into :func:`minhash_lsh_pairs` /
+    "fn_area", "kwargs"}`` — pass ``**result["kwargs"]`` (exactly
+    ``num_hashes`` and ``bands``) to :func:`minhash_lsh_pairs` /
     :func:`write_minhash_index`.
     """
     if not (0.0 < threshold < 1.0):
@@ -1379,4 +1380,5 @@ def lsh_parameters(
         "inflection": (1.0 / b) ** (1.0 / r),
         "fp_area": fp,
         "fn_area": fn,
+        "kwargs": {"num_hashes": b * r, "bands": b},
     }

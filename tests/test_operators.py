@@ -4553,6 +4553,7 @@ def test_lsh_parameters_tuning(spark):
     p = lsh_parameters(0.8, max_hashes=64)
     # the chosen S-curve inflects near the target threshold
     assert abs(p["inflection"] - 0.8) < 0.15
+    assert p["kwargs"] == {"num_hashes": p["num_hashes"], "bands": p["bands"]}
     assert p["num_hashes"] == p["bands"] * p["rows"] <= 64
     # a lower threshold moves the inflection down
     p5 = lsh_parameters(0.5, max_hashes=64)
