@@ -130,6 +130,31 @@ HEADLINE = [
 ]
 
 
+
+def compact_line(detail: dict, queries_n: int, budget: int = 1700) -> str:
+    """The ONE stdout JSON line the driver parses.  The driver keeps only
+    a ~2000-char tail of bench stdout, and rounds 5-7 silently recorded
+    parsed=null when the per-query map outgrew it — so the emitted line
+    is filled slowest-warm-first and HARD-capped at ``budget`` chars
+    (full per-query detail lives in BENCH_DETAIL.json).  Unit-pinned."""
+    line = {
+        "metric": "headline warm wall time (full detail: BENCH_DETAIL.json)",
+        "value": detail["value"],
+        "unit": "sec",
+        "cold_value": detail["cold_value"],
+        "queries_n": queries_n,
+        "sf": detail["sf"],
+        "queries": {},
+    }
+    warm = detail["queries"]
+    for name in sorted(warm, key=lambda n: warm[n], reverse=True):
+        line["queries"][name] = warm[name]
+        if len(json.dumps(line, separators=(",", ":"))) > budget:
+            del line["queries"][name]
+            break
+    return json.dumps(line, separators=(",", ":"))
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -263,22 +288,7 @@ def main() -> None:
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
 
-    line = {
-        "metric": "headline warm wall time (full detail: BENCH_DETAIL.json)",
-        "value": detail["value"],
-        "unit": "sec",
-        "cold_value": detail["cold_value"],
-        "queries_n": len(HEADLINE),
-        "sf": sf_val,
-        "queries": {},
-    }
-    # fill `queries` slowest-warm-first until the line nears the budget
-    for name in sorted(warm, key=lambda n: warm[n], reverse=True):
-        line["queries"][name] = warm[name]
-        if len(json.dumps(line, separators=(",", ":"))) > 1700:
-            del line["queries"][name]
-            break
-    print(json.dumps(line, separators=(",", ":")))
+    print(compact_line(detail, len(HEADLINE)))
 
 
 if __name__ == "__main__":

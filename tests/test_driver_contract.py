@@ -52,3 +52,29 @@ def test_driver_checked_names_still_exist():
     qs = set(se.queries())
     stale = sorted(set(se._LAST_HASHED) - qs)
     assert not stale, f"stale _LAST_HASHED names: {stale}"
+
+
+def test_bench_stdout_line_stays_under_budget():
+    """The driver parses only a ~2000-char tail of bench stdout; the
+    emitted line must stay under the 1700-char budget no matter how many
+    headline entries exist (rounds 5-7 silently recorded parsed=null
+    when the line outgrew the tail)."""
+    import json
+
+    from bench import compact_line
+
+    detail = {
+        "value": 12.345,
+        "cold_value": 300.1,
+        "sf": 0.1,
+        "queries": {
+            f"very_long_operator_entry_name_number_{i:04d}": i * 0.013
+            for i in range(500)
+        },
+    }
+    line = compact_line(detail, 500)
+    assert len(line) <= 1700
+    parsed = json.loads(line)
+    assert parsed["queries_n"] == 500 and parsed["value"] == 12.345
+    # slowest entries survive the truncation
+    assert "very_long_operator_entry_name_number_0499" in parsed["queries"]
