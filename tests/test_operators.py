@@ -4679,3 +4679,27 @@ def test_canonical_url_idempotent_over_url_matrix(spark):
     twice = web.canonicalize_urls(once, "c1", output="c2")
     bad = twice.filter("c1 IS DISTINCT FROM c2").collect()
     assert not bad, [(r.url, r.c1, r.c2) for r in bad[:5]]
+
+
+def test_perceptron_empty_and_degenerate_training(spark):
+    """Empty or single-class training frames converge immediately to a
+    sane model instead of erroring (the guard matters for sampled
+    training pipelines where a stratum can come up empty)."""
+    from mondrian_olap_spark.operators.text import (
+        score_with_perceptron,
+        train_quality_perceptron,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, label int, text string")
+    m = train_quality_perceptron(empty, hashed_buckets=16, iterations=3)
+    assert m["bias"] == 0 and all(w == 0 for w in m["weights"])
+    assert m["history"] == [0]  # converged on the spot
+    # all-negative labels: zero-weight model already classifies them
+    neg = spark.createDataFrame(
+        [(i, 0, "some words here") for i in range(5)],
+        "doc_id long, label int, text string",
+    )
+    m2 = train_quality_perceptron(neg, hashed_buckets=16, iterations=5)
+    assert m2["history"][-1] == 0
+    scored = score_with_perceptron(neg, m2)
+    assert scored.filter("prediction = 1").count() == 0
