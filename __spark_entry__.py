@@ -87,35 +87,35 @@ _LAST_HASHED: dict[str, int] = {
     "locale_caption_members": 7,
     "matches_regex_filter": 7,
     "measures_allmembers": 7,
-    "member_captions_suppliers": 3,
-    "member_range_years": 3,
-    "mixed_depth_axis": 3,
-    "multimodal_decode_features": 3,
-    "namedset_rank_filter": 3,
-    "nested_filter_crossjoin": 3,
-    "object_accessor_metadata": 3,
-    "pages_axis_3d": 3,
-    "parameter_scaled_measure": 3,
-    "pipeline_split_counts": 3,
-    "ragged_hierarchy_members": 3,
-    "sql_view_fact": 3,
-    "strtotuple_slicer": 3,
-    "text_langid_distribution": 3,
-    "text_winnowing_fingerprints": 3,
-    "toggle_drill_state_year": 3,
-    "tuple_case_contextual": 3,
-    "tuple_item_name": 3,
-    "vba_function_names": 3,
-    "weekly_hierarchy_totals": 3,
+    "member_captions_suppliers": 8,
+    "member_range_years": 8,
+    "mixed_depth_axis": 8,
+    "multimodal_decode_features": 8,
+    "namedset_rank_filter": 8,
+    "nested_filter_crossjoin": 8,
+    "object_accessor_metadata": 8,
+    "pages_axis_3d": 8,
+    "parameter_scaled_measure": 8,
+    "pipeline_split_counts": 8,
+    "ragged_hierarchy_members": 8,
+    "sql_view_fact": 8,
+    "strtotuple_slicer": 8,
+    "text_langid_distribution": 8,
+    "text_winnowing_fingerprints": 8,
+    "toggle_drill_state_year": 8,
+    "tuple_case_contextual": 8,
+    "tuple_item_name": 8,
+    "vba_function_names": 8,
+    "weekly_hierarchy_totals": 8,
     # first hashed green in CORRECTNESS_r04.json
-    "count_exclude_empty": 4,
-    "descendants_of_member": 4,
-    "drillthrough_cell": 4,
-    "embed_dedup_keep_list": 4,
-    "events_by_type": 4,
-    "events_sessionization": 4,
-    "except_regions": 4,
-    "filter_order_nations": 4,
+    "count_exclude_empty": 8,
+    "descendants_of_member": 8,
+    "drillthrough_cell": 8,
+    "embed_dedup_keep_list": 8,
+    "events_by_type": 8,
+    "events_sessionization": 8,
+    "except_regions": 8,
+    "filter_order_nations": 8,
     "generate_customer_list": 4,
     "last_periods_moving_3m": 4,
     "level_members_metadata": 4,
@@ -236,6 +236,29 @@ _LAST_HASHED: dict[str, int] = {
     "topcount_nations": 6,
     "toppercent_nations": 6,
     "topsum_nations": 6,
+    # first hashed green in CORRECTNESS_r08.json (round-8 gates)
+    "vba_breadth2_gate": 8,
+    "vba_breadth3_gate": 8,
+    "finance_npv_irr_by_nation": 8,
+    "pipeline_plan_shards": 8,
+    "pipeline_shard_summary": 8,
+    "embed_ann_recall_gate": 8,
+    "documents_quality_cube": 8,
+    "pipeline_shard_append_gate": 8,
+    "dedup_lsh_recall_gate": 8,
+    "text_bpe_train_merges": 8,
+    "embed_scatter_covariance": 8,
+    "web_canonical_urls": 8,
+    "web_host_cap_gate": 8,
+    "web_host_profile": 8,
+    "text_line_dedup_gate": 8,
+    "text_perceptron_gate": 8,
+    "dedup_ngram_collision_gate": 8,
+    "sketch_histogram_quantiles": 8,
+    "sketch_histogram_append_gate": 8,
+    "events_scd2_enrich": 8,
+    "text_line_stats_append_gate": 8,
+    "web_curation_chain_gate": 8,
     # first hashed green in CORRECTNESS_r07.json (round-7 gates)
     "default_member_all_gate": 7,
     "embed_cluster_balanced_sample": 7,
