@@ -58,6 +58,7 @@ _DETERMINISTIC_DISPERSION = {"dstdev", "dstdevp", "dvar", "dvarp"}
 _DETERMINISTIC_BINARY = {
     "dcorrelation",
     "dcovariance",
+    "dcovariancen",
     "dlinregslope",
     "dlinregintercept",
     "dlinregr2",
@@ -86,6 +87,8 @@ def _binary_det(name: str, ey: str, ex: str) -> Column:
     var_y_n = syy - sy * sy / n
     if name == "dcovariance":  # population covariance (MDX Covariance)
         return cov_n / n
+    if name == "dcovariancen":  # sample covariance (MDX CovarianceN)
+        return cov_n / (n - F.lit(1))
     if name == "dcorrelation":
         return cov_n / F.sqrt(var_x_n * var_y_n)
     if name == "dlinregslope":  # regression of y on x

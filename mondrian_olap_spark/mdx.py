@@ -169,6 +169,80 @@ _VBA_DATE_UNIT = {
     "w": "DAY", "ww": "WEEK", "h": "HOUR", "n": "MINUTE", "s": "SECOND",
 }
 
+#: set-statistic VALUE functions in formula text → functions.stats name
+#: (jar!mondrian/olap/fun/{Median,Percentile,Stdev,Var,Correlation,
+#: Covariance,LinReg$*}FunDef; formula-text behavior tests
+#: /root/reference/test/mondrian_test.rb:608-778).  The dispersion and
+#: two-expression families lower onto the DETERMINISTIC decimal-moment
+#: variants (functions/stats.py) so results are shuffle-order-stable and
+#: oracle-replicable; with exact-typed inputs they are bit-deterministic.
+_SETSTAT_FN = {
+    "sum": "sum", "avg": "avg", "min": "min", "max": "max", "count": "count",
+    "median": "median", "percentile": "percentile",
+    "stdev": "dstdev", "stddev": "dstdev",
+    "stdevp": "dstdevp", "stddevp": "dstdevp",
+    "var": "dvar", "variance": "dvar",
+    "varp": "dvarp", "variancep": "dvarp",
+    "correlation": "dcorrelation",
+    "covariance": "dcovariance", "covariancen": "dcovariancen",
+    "linregslope": "dlinregslope", "linregintercept": "dlinregintercept",
+    "linregr2": "dlinregr2", "linregvariance": "dlinregvariance",
+    "linregpoint": "linregpoint",
+}
+#: single-expression forms (set, expr); the rest take (set, y[, x])
+_SETSTAT_UNARY = {
+    "sum", "avg", "min", "max", "median", "percentile",
+    "stdev", "stddev", "stdevp", "stddevp",
+    "var", "variance", "varp", "variancep",
+}
+#: NaN (not NULL) when the statistic cannot be computed — the reference's
+#: NaN matrix for the two-expression family (mondrian_test.rb:673-686,
+#: 765-778)
+_SETSTAT_NAN = {
+    "correlation", "covariance", "covariancen",
+    "linregslope", "linregintercept", "linregr2", "linregvariance",
+    "linregpoint",
+}
+#: names distinct enough to be unambiguously MDX set statistics: a non-set
+#: first argument is a user error worth a clear message.  The generic
+#: names (sum/min/max/count/var…) pass through untouched instead — they may
+#: be legitimate SQL in a formula.
+_SETSTAT_STRICT = {
+    "median", "percentile", "stdev", "stddev", "stdevp", "stddevp",
+    "correlation", "covariance", "covariancen",
+    "linregslope", "linregintercept", "linregr2", "linregvariance",
+    "linregpoint",
+}
+
+
+def _split_set_args(inner: str) -> list[str]:
+    """Split on TOP-LEVEL commas, aware of (), {} nesting AND []-quoted
+    identifier spans (member names may legally contain commas)."""
+    args: list[str] = []
+    buf: list[str] = []
+    depth, inbr = 0, False
+    for ch in inner:
+        if inbr:
+            buf.append(ch)
+            if ch == "]":
+                inbr = False
+            continue
+        if ch == "[":
+            inbr = True
+            buf.append(ch)
+            continue
+        if ch in "{(":
+            depth += 1
+        elif ch in "})":
+            depth -= 1
+        if ch == "," and depth == 0:
+            args.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    args.append("".join(buf))
+    return [a.strip() for a in args]
+
 
 def _split_top_args(inner: str) -> list[str]:
     """Split a call's argument text on TOP-LEVEL commas (paren-aware).
@@ -2653,6 +2727,192 @@ class MdxParser:
             return out_name
 
         out = _rewrite_paren_call(out, "aggregate", repl_aggregate_value)
+
+        # ---- set statistics as VALUE expressions ----------------------
+        # Median/Stdev/Var/…(set, expr), Correlation/Covariance/LinReg*
+        # (set, y[, x]), LinRegPoint(x0, set, y, x), Percentile(set, expr,
+        # p), Count(set[, EXCLUDEEMPTY]) — lowered to a per-member
+        # sub-aggregate + a statistic collapse (plan._attach_stat_scalar),
+        # the non-additive sibling of the Aggregate expression form above.
+        # Reference WITH MEMBER texts (mondrian_test.rb:608-778) parse
+        # verbatim, including Rank(<dim>.CurrentMember, <set>) arguments.
+        def _canon_frag(s: str) -> str:
+            return re.sub(r"\s", "", s).lower()
+
+        def _parse_set_arg(s: str):
+            """→ member identifier strings, or None when not set-shaped."""
+            s = s.strip()
+            if s.startswith("{") and s.endswith("}"):
+                inner = s[1:-1]
+                ids = re.findall(_id_pat, inner)
+                if not ids or re.sub(
+                    r"[\s,]", "", re.sub(_id_pat, "", inner)
+                ):
+                    return None
+                return tuple(ids)
+            if re.fullmatch(
+                rf"{_id_pat}\s*\.\s*(Members|AllMembers|Children)",
+                s,
+                re.IGNORECASE,
+            ):
+                return (re.sub(r"\s", "", s),)
+            return None
+
+        def _register_stat(fn, exprs, member_strs, arg, nan_wrap):
+            key = (
+                fn,
+                tuple(_canon_frag(e) for e in exprs),
+                tuple(_canon_frag(m) for m in member_strs),
+                arg,
+            )
+            for prior in self.q._stat_scalars:
+                pkey = (
+                    prior[1],
+                    tuple(_canon_frag(e) for e in prior[2]),
+                    tuple(_canon_frag(m) for m in prior[3]),
+                    prior[4],
+                )
+                if pkey == key:
+                    return prior[0]
+            out_name = f"__setstat{len(self.q._stat_scalars)}"
+            self.q._stat_scalars.append(
+                (out_name, fn, tuple(exprs), tuple(member_strs), arg, nan_wrap)
+            )
+            return out_name
+
+        def _translate_stat_expr(raw: str, set_canon: str) -> str:
+            # Rank(<dim>.CurrentMember, <this set>) → __setrank, the
+            # member's 1-based hierarchy-order position (data-independent;
+            # the planner joins it from the member list)
+            def repl_rank(inner):
+                ps = _split_set_args(inner)
+                if len(ps) != 2:
+                    return None
+                if not re.fullmatch(
+                    rf"{_id_pat}\s*\.\s*CurrentMember", ps[0], re.IGNORECASE
+                ):
+                    return None
+                if _canon_frag(ps[1]) != set_canon:
+                    return None
+                return " __setrank "
+
+            raw = _rewrite_paren_call(raw, "rank", repl_rank)
+            if re.search(r"(?i)\brank\s*\(", raw):
+                raise MdxError(
+                    "Rank() inside a set statistic is supported only as "
+                    "Rank(<dim>.CurrentMember, <the statistic's own set>)"
+                )
+            # restore the outer pass's literal masks before recursing —
+            # the recursive call owns its own mask list
+            raw = re.sub(
+                r"\x00(\d+)\x00", lambda mm: _masked[int(mm.group(1))], raw
+            )
+            return self.translate_expression_text(raw)
+
+        def _set_member_count(member_strs) -> int:
+            from .members import resolve as _resolve_ref
+
+            total = 0
+            for mstr in member_strs:
+                if re.search(r"(?i)\.(members|allmembers|children)$", mstr):
+                    ref = _resolve_ref(self.cube, mstr)
+                    total += self.engine.level_members(
+                        ref.dimension.name, ref.depth, path=ref.path
+                    ).count()
+                else:
+                    total += 1
+            return total
+
+        def _setstat_handler(mdx_name: str):
+            fn = _SETSTAT_FN[mdx_name]
+            nan_wrap = mdx_name in _SETSTAT_NAN
+
+            def repl(inner: str):
+                parts = _split_set_args(inner)
+                arg = None
+                if mdx_name == "linregpoint":
+                    # LinRegPoint(x0, set, y, x) = slope·x0 + intercept
+                    if len(parts) != 4:
+                        raise MdxError("LinRegPoint takes (x0, set, y, x)")
+                    try:
+                        arg = float(parts[0])
+                    except ValueError:
+                        raise MdxError(
+                            "LinRegPoint x0 must be a numeric literal in "
+                            "this subset"
+                        ) from None
+                    parts = parts[1:]
+                member_strs = _parse_set_arg(parts[0])
+                if member_strs is None:
+                    if mdx_name in _SETSTAT_STRICT:
+                        raise MdxError(
+                            f"{mdx_name}: first argument must be a set "
+                            "({…} or <level>.Members)"
+                        )
+                    return None  # plausible plain SQL — leave untouched
+                set_canon = _canon_frag(parts[0])
+                args = parts[1:]
+                if mdx_name == "count":
+                    flag = args[0].strip().lower() if args else "includeempty"
+                    if flag == "excludeempty":
+                        # non-empty cells of the cube's DEFAULT measure
+                        # (documented deviation: Mondrian counts wrt the
+                        # evaluation-context measure, which a WITH MEMBER
+                        # formula cannot pin statically)
+                        expr = self.cube.default_measure_obj().out
+                        return _register_stat(
+                            "count", (expr,), member_strs, None, False
+                        )
+                    if args and flag != "includeempty":
+                        # Count(set, expr): count of non-NULL expr values
+                        e = _translate_stat_expr(args[0], set_canon)
+                        return _register_stat(
+                            "count", (e,), member_strs, None, False
+                        )
+                    # IncludeEmpty (the MDX default): a metadata count —
+                    # members exist whether or not fact rows do, so the
+                    # count folds to a literal at translation time
+                    return str(_set_member_count(member_strs))
+                if mdx_name in _SETSTAT_UNARY:
+                    if mdx_name == "percentile":
+                        if len(args) != 2:
+                            raise MdxError(
+                                "Percentile takes (set, expr, p) with p "
+                                "in 0..100"
+                            )
+                        try:
+                            # Mondrian's Percentile takes 0..100
+                            arg = float(args[1]) / 100.0
+                        except ValueError:
+                            raise MdxError(
+                                "Percentile p must be a numeric literal"
+                            ) from None
+                        args = args[:1]
+                    if len(args) != 1:
+                        raise MdxError(
+                            f"{mdx_name}(set) needs an explicit expression "
+                            "argument in this subset — Aggregate(set) "
+                            "covers the implicit-current-measure form"
+                        )
+                    e = _translate_stat_expr(args[0], set_canon)
+                    return _register_stat(fn, (e,), member_strs, arg, nan_wrap)
+                # two-expression family (set, y[, x]); x defaults to the
+                # member's set position (the LinReg* single-expression form)
+                if len(args) not in (1, 2):
+                    raise MdxError(f"{mdx_name} takes (set, y[, x])")
+                y = _translate_stat_expr(args[0], set_canon)
+                x = (
+                    _translate_stat_expr(args[1], set_canon)
+                    if len(args) == 2
+                    else "__setrank"
+                )
+                return _register_stat(fn, (y, x), member_strs, arg, nan_wrap)
+
+            return repl
+
+        if re.search(rf"(?i)\b({'|'.join(_SETSTAT_FN)})\s*\(", out):
+            for _name in _SETSTAT_FN:
+                out = _rewrite_paren_call(out, _name, _setstat_handler(_name))
 
         def repl_tuple(m: re.Match) -> str:
             # tuple scalar ([Measures].[X], [Dim].[M], …): the cell value

@@ -185,6 +185,10 @@ class Planner:
         #: (mondrian_test.rb:222-228 'aggregate stored members with
         #: expression')
         self.agg_scalars: tuple = ()
+        #: set-statistic scalar references — (out, fn, expr_sqls, member
+        #: refs, arg, nan_wrap): Median/Stdev/Correlation/LinReg*… over a
+        #: set (mondrian_test.rb:608-778)
+        self.stat_scalars: tuple = ()
         #: when True, rollup/cube aggregates emit a ``__grain`` column
         #: (Spark ``grouping_id()``) so callers can tell super-aggregate
         #: marker NULLs from genuine NULL member keys.  Internal — used by
@@ -340,6 +344,19 @@ class Planner:
             agg = self._attach_tuple_scalar(agg, spec, axes, slicer, totals)
         for spec in self.agg_scalars:
             agg = self._attach_agg_scalar(agg, spec, axes, slicer, totals)
+        # set statistics over the SAME set share one sub-aggregate, one
+        # collapse, and one broadcast attach — a formula block computing
+        # Median+Stdev+Correlation over one level costs one sub-plan
+        stat_groups: dict = {}
+        for spec in self.stat_scalars:
+            key = tuple(
+                (r.dimension.name, r.depth, r.path, r.kind,
+                 r.ordinal_range, r.range_depth)
+                for r in spec[3]
+            )
+            stat_groups.setdefault(key, []).append(spec)
+        for specs in stat_groups.values():
+            agg = self._attach_stat_scalar(agg, specs, axes, slicer, totals)
 
         # calculated members in solve_order (schema.rb:314-341): formulas
         # over measure aliases, may reference earlier calculated members
@@ -398,9 +415,11 @@ class Planner:
 
     def _broadcast_attach(self, agg, sub, sub_cols, out, totals):
         """Attach a grid-grain scalar sub-frame onto the grid by broadcast
-        left join (shared tail of the tuple-scalar and Aggregate-scalar
-        lowerings — the sub-frame is one row per remaining-grain
-        combination, small by construction, so the grid never shuffles)."""
+        left join (shared tail of the tuple-scalar / Aggregate-scalar /
+        set-statistic lowerings — the sub-frame is one row per
+        remaining-grain combination, small by construction, so the grid
+        never shuffles).  ``out`` is one attached column name or a list."""
+        outs = [out] if isinstance(out, str) else list(out)
         if not sub_cols:
             return agg.crossJoin(F.broadcast(sub))
 
@@ -413,7 +432,9 @@ class Planner:
                 e = F.col(f"__grid.{c}").eqNullSafe(F.col(f"__tup.{c}"))
                 cond = e if cond is None else (cond & e)
             joined = g.join(F.broadcast(t), on=cond, how="left")
-            keep = [F.col(f"__grid.{c}") for c in agg.columns] + [F.col(out)]
+            keep = [F.col(f"__grid.{c}") for c in agg.columns] + [
+                F.col(o) for o in outs
+            ]
             return joined.select(*keep)
 
         if totals is None:
@@ -490,48 +511,7 @@ class Planner:
         kept_slicer = [
             s for s in slicer if s.dimension.name not in overridden
         ]
-        # expr may reference calculated members (WITH or cube-level), so
-        # the sub-aggregate computes them too.  Query-scoped WITH members
-        # SHADOW same-named cube members (query._measure resolution order),
-        # so they are listed first and win the closure's first-per-out
-        # rule.  Members whose formulas lower to tuple/Aggregate scalars —
-        # directly or through any transitive reference — cannot attach
-        # inside this sub-plan (it would recurse); the expression must not
-        # reach one, and tainted members stay out of the sub-plan entirely.
-        candidates: list = []
-        seen_outs: set[str] = set()
-        for c in (*self.extra_measures, *self.cube.calculated_members):
-            if c.out not in seen_outs:
-                seen_outs.add(c.out)
-                candidates.append(c)
-        tainted = {
-            c.out
-            for c in candidates
-            if re.search(r"__tuple\d|__aggexpr\d", c.expression)
-        }
-        changed = True
-        while changed:  # transitive closure of scalar taint
-            changed = False
-            for c in candidates:
-                if c.out in tainted:
-                    continue
-                if any(
-                    re.search(rf"\b{re.escape(t)}\b", c.expression)
-                    for t in tainted
-                ):
-                    tainted.add(c.out)
-                    changed = True
-        bad = [t for t in tainted if re.search(rf"\b{re.escape(t)}\b", expr_sql)]
-        if bad or re.search(r"__tuple\d|__aggexpr\d", expr_sql):
-            from .query import QueryError
-
-            raise QueryError(
-                "Aggregate(set, expr): the expression contains (or "
-                "references a member whose formula contains) a tuple/"
-                "Aggregate scalar — nested scalar lowerings are not "
-                "supported"
-            )
-        calcs = [c for c in candidates if c.out not in tainted]
+        calcs = self._scalar_safe_calcs((expr_sql,), "Aggregate(set, expr)")
         sub_planner = Planner(self.engine, extra_measures=tuple(calcs))
         sub_planner._emit_grain = totals is not None
         base = list(self.cube.measures) + calcs
@@ -561,6 +541,161 @@ class Planner:
         else:
             sub = sub.agg(F.sum(out).alias(out))
         return self._broadcast_attach(agg, sub, rem_cols, out, totals)
+
+    def _scalar_safe_calcs(self, expr_sqls: tuple, what: str) -> list:
+        """Calculated members safe to compute inside a scalar sub-plan.
+
+        An expression may reference calculated members (WITH or cube-level),
+        so the sub-aggregate computes them too.  Query-scoped WITH members
+        SHADOW same-named cube members (query._measure resolution order), so
+        they are listed first and win the closure's first-per-out rule.
+        Members whose formulas lower to tuple/Aggregate/set-stat scalars —
+        directly or through any transitive reference — cannot attach inside
+        a sub-plan (it would recurse); the expressions must not reach one,
+        and tainted members stay out of the sub-plan entirely."""
+        candidates: list = []
+        seen_outs: set[str] = set()
+        for c in (*self.extra_measures, *self.cube.calculated_members):
+            if c.out not in seen_outs:
+                seen_outs.add(c.out)
+                candidates.append(c)
+        scalar_tok = r"__tuple\d|__aggexpr\d|__setstat\d"
+        tainted = {
+            c.out
+            for c in candidates
+            if re.search(scalar_tok, c.expression)
+        }
+        changed = True
+        while changed:  # transitive closure of scalar taint
+            changed = False
+            for c in candidates:
+                if c.out in tainted:
+                    continue
+                if any(
+                    re.search(rf"\b{re.escape(t)}\b", c.expression)
+                    for t in tainted
+                ):
+                    tainted.add(c.out)
+                    changed = True
+        bad = any(
+            re.search(rf"\b{re.escape(t)}\b", e)
+            for t in tainted
+            for e in expr_sqls
+        )
+        if bad or any(re.search(scalar_tok, e) for e in expr_sqls):
+            from .query import QueryError
+
+            raise QueryError(
+                f"{what}: the expression contains (or references a member "
+                "whose formula contains) a tuple/Aggregate/set-statistic "
+                "scalar — nested scalar lowerings are not supported"
+            )
+        return [c for c in candidates if c.out not in tainted]
+
+    def _attach_stat_scalar(self, agg, specs, axes, slicer, totals=None):
+        """Set-statistic values in Measures formulas —
+        ``Median/Stdev/Var/…(set, expr)``, ``Correlation/Covariance/
+        LinReg*(set, y[, x])``, ``LinRegPoint(x0, set, y, x)``
+        (jar!mondrian/olap/fun/MedianFunDef, StdevFunDef, CorrelationFunDef,
+        LinReg$*FunDef; formula-text behavior tests
+        /root/reference/test/mondrian_test.rb:608-778).
+
+        ``specs`` is the GROUP of stat scalars sharing one set: they share
+        one sub-aggregate, one collapse and one broadcast attach.  Same
+        lowering shape as ``_attach_agg_scalar`` (sub-aggregate at the
+        remaining grain × the set level, broadcast-attached back), except
+        the collapse is the statistics themselves (``functions.stats``
+        deterministic variants) instead of Mondrian's additive combine, and
+        a ``__setrank`` column — the member's 1-based hierarchy-order
+        position, from the member list so it is data-independent — is
+        broadcast-joined in when the expressions use MDX
+        ``Rank(<dim>.CurrentMember, <set>)``.
+
+        NaN parity: the two-expression family returns NaN (not NULL) when
+        the statistic cannot be computed — all-NULL operands, a single
+        point — matching the reference's NaN matrix (mondrian_test.rb:
+        673-686, 765-778).  Set members with no fact rows at the evaluation
+        grain do not contribute (non-empty evaluation, the engine default);
+        expressions that never touch a measure still see every member that
+        has ANY fact row at the grain."""
+        from .functions.stats import stat_column
+
+        refs = specs[0][3]
+        all_exprs = tuple(e for sp in specs for e in sp[2])
+        overridden = {r.dimension.name for r in refs}
+        sub_axes = [
+            [s for s in axis if s.dimension.name not in overridden]
+            for axis in axes
+        ]
+        if totals is None:
+            sub_axes.append(list(refs))
+        else:
+            sub_axes.insert(0, list(refs))
+        kept_slicer = [
+            s for s in slicer if s.dimension.name not in overridden
+        ]
+        calcs = self._scalar_safe_calcs(all_exprs, "set statistic (set, …)")
+        sub_planner = Planner(self.engine, extra_measures=tuple(calcs))
+        sub_planner._emit_grain = totals is not None
+        base = list(self.cube.measures) + calcs
+        sub, sub_cols = sub_planner.aggregate(
+            sub_axes, kept_slicer, base, totals=totals
+        )
+        set_outs = {lv.out for r in refs for lv in r.dimension.levels}
+        rem_cols = [c for c in sub_cols if c not in set_outs]
+        if any("__setrank" in e for e in all_exprs):
+            from .query import QueryError
+
+            if len(refs) != 1:
+                raise QueryError(
+                    "Rank(CurrentMember, set) inside a set statistic needs "
+                    "a single-dimension set"
+                )
+            r = refs[0]
+            ranks = self.engine.level_members(
+                r.dimension.name, r.depth, path=r.path, _with_rank=True
+            )
+            keys = [
+                lv.out
+                for lv in r.group_levels
+                if lv.out in ranks.columns and lv.out in sub.columns
+            ]
+            sub = sub.join(
+                F.broadcast(ranks.select(*keys, "__setrank")),
+                on=keys,
+                how="left",
+            )
+        stat_cols = [
+            stat_column(out, fn, *exprs, arg=arg)
+            for out, fn, exprs, _refs, arg, _nan in specs
+        ]
+        if totals is None:
+            sub = (
+                sub.groupBy(*rem_cols).agg(*stat_cols)
+                if rem_cols
+                else sub.agg(*stat_cols)
+            )
+        else:
+            # drop rows whose SET dims are rolled up (top grouping bits)
+            sub = sub.filter(F.col("__grain") < F.lit(2 ** len(rem_cols)))
+            if rem_cols:
+                sub = (
+                    sub.groupBy("__grain", *rem_cols)
+                    .agg(*stat_cols)
+                    .drop("__grain")
+                )
+            else:
+                sub = sub.agg(*stat_cols)
+        for out, _fn, _exprs, _refs, _arg, nan_wrap in specs:
+            if nan_wrap:
+                sub = sub.withColumn(
+                    out,
+                    F.coalesce(
+                        F.col(out).cast("double"), F.lit(float("nan"))
+                    ),
+                )
+        outs = [sp[0] for sp in specs]
+        return self._broadcast_attach(agg, sub, rem_cols, outs, totals)
 
     def _hide_rollups(self, agg, role, group_cols, measures):
         """rollup_policy='hidden' (schema.rb:468-489): a cell whose value

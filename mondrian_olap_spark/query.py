@@ -91,6 +91,9 @@ class Query:
         #: Aggregate(set, expr) scalar references from formula translation:
         #: (out, expr_sql, member identifier strings)
         self._agg_scalars: list[tuple[str, str, tuple[str, ...]]] = []
+        #: set-statistic scalar references from formula translation:
+        #: (out, fn, expr_sqls, member identifier strings, arg, nan_wrap)
+        self._stat_scalars: list[tuple] = []
 
     # -- axes ----------------------------------------------------------
     def axis(self, i: int, *members) -> "Query":
@@ -959,12 +962,25 @@ class Query:
                     )
                 refs.append(ref)
             agg_specs.append((out, expr_sql, tuple(refs)))
+        stat_specs = []
+        for out, fn, exprs, member_strs, arg, nan_wrap in self._stat_scalars:
+            refs = []
+            for mstr in member_strs:
+                ref = self._resolve(mstr)
+                if isinstance(ref, MeasureRef):
+                    raise QueryError(
+                        f"set-statistic set member {mstr!r}: measures "
+                        "belong in the expression arguments, not the set"
+                    )
+                refs.append(ref)
+            stat_specs.append((out, fn, exprs, tuple(refs), arg, nan_wrap))
         planner = Planner(
             self.engine,
             extra_measures=with_list,
             tuple_scalars=tuple(tuple_specs),
         )
         planner.agg_scalars = tuple(agg_specs)
+        planner.stat_scalars = tuple(stat_specs)
         main_axes, shallow_groups = self._split_mixed_depth([ax.sets for ax in axes])
         if shallow_groups and (self._totals is not None or self._include_empty):
             # the shallow unions run outside the totals / empty-expansion

@@ -721,6 +721,7 @@ class CubeEngine:
         depth: int,
         path: tuple[str, ...] = (),
         include_properties: bool = False,
+        _with_rank: bool = False,
     ) -> DataFrame:
         """Distinct members at ``depth`` (optionally under ancestor ``path``),
         hierarchy-ordered by ordinal expressions.
@@ -783,6 +784,22 @@ class CubeEngine:
         ord_cols = [_ordinal_out(dim, lv) for lv in levels]
         agg_cols = [F.min(c).alias(c) for c in (*ord_cols, *props)]
         df = df.groupBy(*outs).agg(*agg_cols)
+        if _with_rank:
+            # ``__setrank``: the member's 1-based position in hierarchy
+            # order (MDX ``Rank(member, <level>.Members)`` — jar!mondrian/
+            # olap/fun/RankFunDef).  Data-independent: rank comes from the
+            # member list, so an empty member still occupies its position.
+            # Unpartitioned window = single task, which is fine here: the
+            # frame is one row per member of ONE level, the same bounded
+            # frame every broadcast-attach consumes; the rank of a
+            # billion-member level is not a meaningful set statistic.
+            from pyspark.sql import Window
+
+            w = Window.orderBy(
+                *[F.col(c) for c in ord_cols], *[F.col(o) for o in outs]
+            )
+            df = df.withColumn("__setrank", F.row_number().over(w))
+            return df.orderBy(*ord_cols).select(*outs, *props, "__setrank")
         return df.orderBy(*ord_cols).select(*outs, *props)
 
     def edge_member(

@@ -512,6 +512,197 @@ def corr_linreg_stats(spark, sf_dir):
 
 
 @q(
+    "linreg_formula_text_gate",
+    """
+    WITH ranks AS (
+      SELECT CAST(row_number() OVER (ORDER BY r_name) AS INT) AS rk
+      FROM (SELECT DISTINCT r_name FROM region)
+    ),
+    pts AS (
+      SELECT rk,
+             CASE rk WHEN 1 THEN 10 WHEN 2 THEN 30 WHEN 3 THEN 10 END AS yf,
+             CASE rk WHEN 1 THEN 10 WHEN 2 THEN 30 WHEN 3 THEN 25 END AS ym,
+             rk * 10 AS yp
+      FROM ranks
+    ),
+    m AS (
+      SELECT
+        count(CASE WHEN yf IS NOT NULL THEN rk END) AS nf,
+        CAST(sum(CASE WHEN yf IS NOT NULL THEN rk END) AS DOUBLE) AS sxf,
+        CAST(sum(yf) AS DOUBLE) AS syf,
+        CAST(sum(CASE WHEN yf IS NOT NULL THEN rk * rk END) AS DOUBLE) AS sxxf,
+        CAST(sum(yf * yf) AS DOUBLE) AS syyf,
+        CAST(sum(rk * yf) AS DOUBLE) AS sxyf,
+        count(CASE WHEN ym IS NOT NULL THEN rk END) AS nm,
+        CAST(sum(CASE WHEN ym IS NOT NULL THEN rk END) AS DOUBLE) AS sxm,
+        CAST(sum(ym) AS DOUBLE) AS sym,
+        CAST(sum(CASE WHEN ym IS NOT NULL THEN rk * rk END) AS DOUBLE) AS sxxm,
+        CAST(sum(ym * ym) AS DOUBLE) AS syym,
+        CAST(sum(rk * ym) AS DOUBLE) AS sxym,
+        count(rk) AS np,
+        CAST(sum(rk) AS DOUBLE) AS sxp,
+        CAST(sum(yp) AS DOUBLE) AS syp,
+        CAST(sum(rk * rk) AS DOUBLE) AS sxxp,
+        CAST(sum(yp * yp) AS DOUBLE) AS syyp,
+        CAST(sum(rk * yp) AS DOUBLE) AS sxyp
+      FROM pts
+    )
+    SELECT
+      (sxyf - sxf*syf/nf) * (sxyf - sxf*syf/nf)
+        / ((sxxf - sxf*sxf/nf) * (syyf - syf*syf/nf)) AS r2_flat,
+      round((sxym - sxm*sym/nm) * (sxym - sxm*sym/nm)
+        / ((sxxm - sxm*sxm/nm) * (syym - sym*sym/nm)), 2) AS r2_moderate,
+      (sxyp - sxp*syp/np) * (sxyp - sxp*syp/np)
+        / ((sxxp - sxp*sxp/np) * (syyp - syp*syp/np)) AS r2_perfect,
+      CAST('nan' AS DOUBLE) AS r2_null,
+      round((syyf - syf*syf/nf)
+        - (sxyf - sxf*syf/nf) * (sxyf - sxf*syf/nf) / (sxxf - sxf*sxf/nf),
+        2) AS var_flat,
+      (syyp - syp*syp/np)
+        - (sxyp - sxp*syp/np) * (sxyp - sxp*syp/np) / (sxxp - sxp*sxp/np)
+        AS var_perfect,
+      (sxyp - sxp*syp/np) / (sxxp - sxp*sxp/np) AS slope_perfect,
+      syp/np - (sxyp - sxp*syp/np) / (sxxp - sxp*sxp/np) * (sxp/np)
+        AS intercept_perfect,
+      (sxyp - sxp*syp/np) / (sxxp - sxp*sxp/np) * 4.0
+        + (syp/np - (sxyp - sxp*syp/np) / (sxxp - sxp*sxp/np) * (sxp/np))
+        AS point_perfect
+    FROM m
+    """,
+)
+def linreg_formula_text_gate(spark, sf_dir):
+    """LinRegR2/LinRegVariance/LinRegSlope/LinRegIntercept/LinRegPoint as
+    WITH MEMBER formula TEXT, lifted verbatim (modulo cube names) from the
+    reference's behavior tests — including Rank(CurrentMember, set)
+    arguments, CASE-over-rank expressions, and the NaN-on-NULL matrix
+    (/root/reference/test/mondrian_test.rb:608-778;
+    jar!mondrian/olap/fun/LinReg$*FunDef, RankFunDef).  The oracle replays
+    the deterministic decimal-moment formulas over the same rank points."""
+    eng = get_engine(spark, sf_dir)
+    rank = "Rank([Customer].CurrentMember, [Customer].[Region].Members)"
+    case_flat = f"CASE {rank} WHEN 1 THEN 10 WHEN 2 THEN 30 WHEN 3 THEN 10 END"
+    case_mod = f"CASE {rank} WHEN 1 THEN 10 WHEN 2 THEN 30 WHEN 3 THEN 25 END"
+    regions = "[Customer].[Region].Members"
+    return eng.execute(
+        f"""
+        WITH MEMBER [Measures].[R2 Flat] AS
+          'LinRegR2({regions}, {rank}, {case_flat})'
+        MEMBER [Measures].[R2 Moderate] AS
+          'Round(LinRegR2({regions}, {rank}, {case_mod}), 2)'
+        MEMBER [Measures].[R2 Perfect] AS
+          'LinRegR2({regions}, {rank}, {rank} * 10)'
+        MEMBER [Measures].[R2 Null] AS
+          'LinRegR2({regions}, NULL, {rank})'
+        MEMBER [Measures].[Var Flat] AS
+          'Round(LinRegVariance({regions}, {case_flat}, {rank}), 2)'
+        MEMBER [Measures].[Var Perfect] AS
+          'LinRegVariance({regions}, {rank} * 10, {rank})'
+        MEMBER [Measures].[Slope Perfect] AS
+          'LinRegSlope({regions}, {rank} * 10, {rank})'
+        MEMBER [Measures].[Intercept Perfect] AS
+          'LinRegIntercept({regions}, {rank} * 10, {rank})'
+        MEMBER [Measures].[Point Perfect] AS
+          'LinRegPoint(4, {regions}, {rank} * 10, {rank})'
+        SELECT {{[Measures].[R2 Flat], [Measures].[R2 Moderate],
+                [Measures].[R2 Perfect], [Measures].[R2 Null],
+                [Measures].[Var Flat], [Measures].[Var Perfect],
+                [Measures].[Slope Perfect], [Measures].[Intercept Perfect],
+                [Measures].[Point Perfect]}} ON COLUMNS
+        FROM [Sales]
+        """
+    ).df
+
+
+@q(
+    "setstat_formula_text_gate",
+    f"""
+    WITH star AS (
+      SELECT year(o_orderdate) AS y, r_name, l_quantity,
+             CAST(l_extendedprice AS DECIMAL(12,2)) AS price
+      FROM {_CUST_STAR}
+    ),
+    cells AS (
+      SELECT y, r_name, sum(l_quantity) AS sq
+      FROM star GROUP BY 1, 2
+    ),
+    ranks AS (
+      SELECT r_name, CAST(row_number() OVER (ORDER BY r_name) AS INT) AS rk
+      FROM (SELECT DISTINCT r_name FROM region)
+    ),
+    base AS (SELECT y AS o_year, sum(l_quantity) AS sum_qty FROM star GROUP BY 1),
+    stats AS (
+      SELECT c.y AS o_year,
+             median(c.sq) AS median_region_qty,
+             max(c.sq) AS max_region_qty,
+             min(c.sq) AS min_region_qty,
+             avg(c.sq) AS avg_region_qty,
+             sum(c.sq) AS sum_region_qty,
+             count(c.sq) AS nonempty_region_qty,
+             sqrt((CAST(sum(c.sq * c.sq) AS DOUBLE)
+                   - CAST(sum(c.sq) AS DOUBLE) * CAST(sum(c.sq) AS DOUBLE) / count(c.sq))
+                  / (count(c.sq) - 1)) AS stdev_region_qty,
+             (CAST(sum(c.sq * c.sq) AS DOUBLE)
+              - CAST(sum(c.sq) AS DOUBLE) * CAST(sum(c.sq) AS DOUBLE) / count(c.sq))
+             / count(c.sq) AS var_p_region_qty,
+             (CAST(sum(r.rk * c.sq) AS DOUBLE)
+              - CAST(sum(r.rk) AS DOUBLE) * CAST(sum(c.sq) AS DOUBLE) / count(c.sq))
+             / sqrt((CAST(sum(r.rk * r.rk) AS DOUBLE)
+                     - CAST(sum(r.rk) AS DOUBLE) * CAST(sum(r.rk) AS DOUBLE) / count(c.sq))
+                    * (CAST(sum(c.sq * c.sq) AS DOUBLE)
+                       - CAST(sum(c.sq) AS DOUBLE) * CAST(sum(c.sq) AS DOUBLE) / count(c.sq)))
+               AS corr_qty_rank,
+             (CAST(sum(r.rk * c.sq) AS DOUBLE)
+              - CAST(sum(r.rk) AS DOUBLE) * CAST(sum(c.sq) AS DOUBLE) / count(c.sq))
+             / count(c.sq) AS cov_qty_rank
+      FROM cells c JOIN ranks r USING (r_name) GROUP BY 1
+    )
+    SELECT b.o_year, b.sum_qty, s.median_region_qty, s.max_region_qty,
+           s.min_region_qty, s.avg_region_qty, s.sum_region_qty,
+           s.nonempty_region_qty, s.stdev_region_qty, s.var_p_region_qty,
+           s.corr_qty_rank, s.cov_qty_rank,
+           5 AS region_count
+    FROM base b JOIN stats s USING (o_year)
+    """,
+)
+def setstat_formula_text_gate(spark, sf_dir):
+    """Median/Max/Min/Avg/Sum/Count/Stdev/VarP/Correlation/Covariance over
+    an explicit set, as WITH MEMBER formula TEXT per Time-year row
+    (jar!mondrian/olap/fun/{Median,Stdev,Var,Correlation,Covariance}FunDef;
+    SURVEY.md §2.4).  Each statistic re-aggregates the (year × region)
+    cell grid and broadcast-attaches back onto the year rows; Correlation/
+    Covariance use the omitted-x form (x defaults to the member's set
+    position).  Count(set) folds to a metadata literal; Count(set, expr)
+    counts non-empty cells.  All inputs are integer-valued, so the
+    deterministic moment formulas are bit-stable and oracle-replayable."""
+    eng = get_engine(spark, sf_dir)
+    regions = "[Customer].[Region].Members"
+    qty = "[Measures].[Sum Qty]"
+    return eng.execute(
+        f"""
+        WITH MEMBER [Measures].[Median Region Qty] AS 'Median({regions}, {qty})'
+        MEMBER [Measures].[Max Region Qty] AS 'Max({regions}, {qty})'
+        MEMBER [Measures].[Min Region Qty] AS 'Min({regions}, {qty})'
+        MEMBER [Measures].[Avg Region Qty] AS 'Avg({regions}, {qty})'
+        MEMBER [Measures].[Sum Region Qty] AS 'Sum({regions}, {qty})'
+        MEMBER [Measures].[Nonempty Region Qty] AS 'Count({regions}, {qty})'
+        MEMBER [Measures].[Stdev Region Qty] AS 'Stdev({regions}, {qty})'
+        MEMBER [Measures].[VarP Region Qty] AS 'VarP({regions}, {qty})'
+        MEMBER [Measures].[Corr Qty Rank] AS 'Correlation({regions}, {qty})'
+        MEMBER [Measures].[Cov Qty Rank] AS 'Covariance({regions}, {qty})'
+        MEMBER [Measures].[Region Count] AS 'Count({regions})'
+        SELECT {{[Measures].[Sum Qty], [Measures].[Median Region Qty],
+                [Measures].[Max Region Qty], [Measures].[Min Region Qty],
+                [Measures].[Avg Region Qty], [Measures].[Sum Region Qty],
+                [Measures].[Nonempty Region Qty], [Measures].[Stdev Region Qty],
+                [Measures].[VarP Region Qty], [Measures].[Corr Qty Rank],
+                [Measures].[Cov Qty Rank], [Measures].[Region Count]}}
+          ON COLUMNS,
+        [Time].[Year].Members ON ROWS FROM [Sales]
+        """
+    ).df
+
+
+@q(
     "case_coalesce_measures",
     f"""
     SELECT r_name AS region_name,

@@ -1,0 +1,242 @@
+"""Set-statistic functions in WITH MEMBER formula text.
+
+Mirrors the reference's LinRegR2/LinRegVariance behavior matrix
+(/root/reference/test/mondrian_test.rb:608-778, including NaN on NULL
+input, 673-686/765-778) plus Median/Stdev/Correlation parity between the
+formula-text path (mdx set-stat lowering → plan._attach_stat_scalar) and
+the engine-API path (functions.stats.set_aggregate)."""
+
+import math
+
+import pytest
+
+from mondrian_olap_spark.mdx import MdxError, MdxParser, execute_mdx
+from mondrian_olap_spark.query import Query, QueryError
+
+RANK = "Rank([Customer].CurrentMember, [Customer].[Region].Members)"
+REGIONS = "[Customer].[Region].Members"
+
+
+def one_row(engine, *members):
+    cols = ", ".join(f"[Measures].[{m}]" for m in members)
+    formulas = {
+        "R2 Flat": f"LinRegR2({REGIONS}, {RANK}, CASE {RANK} WHEN 1 THEN 10 WHEN 2 THEN 30 WHEN 3 THEN 10 END)",
+        "R2 Moderate": f"Round(LinRegR2({REGIONS}, {RANK}, CASE {RANK} WHEN 1 THEN 10 WHEN 2 THEN 30 WHEN 3 THEN 25 END), 2)",
+        "R2 Perfect": f"LinRegR2({REGIONS}, {RANK}, {RANK} * 10)",
+        "R2 Null": f"LinRegR2({REGIONS}, NULL, {RANK})",
+        "Var Flat": f"Round(LinRegVariance({REGIONS}, CASE {RANK} WHEN 1 THEN 10 WHEN 2 THEN 30 WHEN 3 THEN 10 END, {RANK}), 2)",
+        "Var Null": f"LinRegVariance({REGIONS}, NULL, {RANK})",
+        "Slope Perfect": f"LinRegSlope({REGIONS}, {RANK} * 10, {RANK})",
+        "Intercept Perfect": f"LinRegIntercept({REGIONS}, {RANK} * 10, {RANK})",
+        "Point Perfect": f"LinRegPoint(4, {REGIONS}, {RANK} * 10, {RANK})",
+    }
+    with_txt = "WITH " + " ".join(
+        f"MEMBER [Measures].[{m}] AS '{formulas[m]}'" for m in members
+    )
+    r = execute_mdx(
+        engine, f"{with_txt} SELECT {{{cols}}} ON COLUMNS FROM [Sales]"
+    )
+    return r.df.collect()[0]
+
+
+# ------------------------------------------------- reference NaN matrix
+def test_linregr2_reference_matrix(engine):
+    row = one_row(engine, "R2 Flat", "R2 Moderate", "R2 Perfect", "R2 Null")
+    # mondrian_test.rb:609-686 expected values, verbatim
+    assert row["r2_flat"] == 0.0
+    assert row["r2_moderate"] == 0.52
+    assert row["r2_perfect"] == 1.0
+    assert math.isnan(row["r2_null"])
+
+
+def test_linregvariance_reference_matrix(engine):
+    row = one_row(engine, "Var Flat", "Var Null")
+    # mondrian_test.rb:689-778: flat line → 266.67; NULL input → NaN
+    assert row["var_flat"] == 266.67
+    assert math.isnan(row["var_null"])
+
+
+def test_linreg_slope_intercept_point(engine):
+    row = one_row(
+        engine, "Slope Perfect", "Intercept Perfect", "Point Perfect"
+    )
+    assert row["slope_perfect"] == 10.0
+    assert row["intercept_perfect"] == 0.0
+    assert row["point_perfect"] == 40.0  # 10·4 + 0
+
+
+# --------------------------------------- parity vs the engine-API path
+def test_median_stdev_formula_vs_api(engine, spark):
+    from pyspark.sql import functions as F
+
+    from mondrian_olap_spark.functions.stats import set_aggregate
+
+    r = execute_mdx(
+        engine,
+        f"""
+        WITH MEMBER [Measures].[Med] AS 'Median({REGIONS}, [Measures].[Sum Qty])'
+        MEMBER [Measures].[Sd] AS 'Stdev({REGIONS}, [Measures].[Sum Qty])'
+        SELECT {{[Measures].[Med], [Measures].[Sd]}} ON COLUMNS,
+               [Time].[Year].Members ON ROWS FROM [Sales]
+        """,
+    )
+    got = {row["o_year"]: (row["med"], row["sd"]) for row in r.df.collect()}
+    cells = (
+        Query(engine)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Time].[Year].Members", "[Customer].[Region].Members")
+        .execute()
+        .df
+    )
+    api = set_aggregate(
+        cells,
+        ["o_year"],
+        [("med", "median", "sum_qty"), ("sd", "dstdev", "sum_qty")],
+    )
+    want = {row["o_year"]: (row["med"], row["sd"]) for row in api.collect()}
+    assert set(got) == set(want)
+    for y in want:
+        assert got[y][0] == pytest.approx(want[y][0])
+        assert got[y][1] == pytest.approx(want[y][1])
+
+
+def test_count_set_folds_to_metadata_literal(engine):
+    # Count(set) with IncludeEmpty (the MDX default) folds to a metadata
+    # literal at translation time — no stat sub-plan at all
+    q, _ = MdxParser(
+        engine,
+        f"""
+        WITH MEMBER [Measures].[N] AS 'Count({REGIONS})'
+        SELECT {{[Measures].[N]}} ON COLUMNS FROM [Sales]
+        """,
+    ).parse_statement()
+    assert not q._stat_scalars
+    row = q.execute().df.collect()[0]
+    assert row["n"] == 5  # members exist whether or not fact rows do
+
+
+def test_count_set_expr_counts_nonempty(engine):
+    r = execute_mdx(
+        engine,
+        f"""
+        WITH MEMBER [Measures].[N] AS 'Count({REGIONS}, [Measures].[Sum Qty])'
+        SELECT {{[Measures].[N]}} ON COLUMNS FROM [Sales]
+        """,
+    )
+    assert r.df.collect()[0]["n"] == 5
+
+
+def test_literal_member_set_stat(engine):
+    # {…} literal sets work too — stat over an enumerated member set
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[MaxTwo] AS
+          'Max({[Customer].[ASIA], [Customer].[AFRICA]}, [Measures].[Sum Qty])'
+        SELECT {[Measures].[MaxTwo]} ON COLUMNS FROM [Sales]
+        """,
+    )
+    cells = (
+        Query(engine)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].children")
+        .execute()
+        .df.collect()
+    )
+    want = max(
+        r["sum_qty"] for r in cells if r["region_name"] in ("ASIA", "AFRICA")
+    )
+    assert r.df.collect()[0]["max_two"] == want
+
+
+def test_stat_scalar_under_totals(engine):
+    # rollup totals rows recompute the statistic at the coarser grain
+    q, _ = MdxParser(
+        engine,
+        f"""
+        WITH MEMBER [Measures].[Med] AS 'Median({REGIONS}, [Measures].[Sum Qty])'
+        SELECT {{[Measures].[Med]}} ON COLUMNS,
+               [Time].[Year].Members ON ROWS FROM [Sales]
+        """,
+    ).parse_statement()
+    rows = q.totals("rollup").execute().df.collect()
+    by_year = {r["o_year"]: r["med"] for r in rows}
+    assert None in by_year  # grand-total row present
+    # the total row's median is over region sums across ALL years —
+    # not a re-aggregate of the per-year medians
+    detail = [v for k, v in by_year.items() if k is not None]
+    assert by_year[None] is not None
+    assert by_year[None] != pytest.approx(sum(detail) / len(detail))
+
+
+# ----------------------------------------------------------- error paths
+def test_sum_without_expr_is_an_error(engine):
+    with pytest.raises(MdxError, match="Aggregate"):
+        execute_mdx(
+            engine,
+            f"""
+            WITH MEMBER [Measures].[S] AS 'Sum({REGIONS})'
+            SELECT {{[Measures].[S]}} ON COLUMNS FROM [Sales]
+            """,
+        )
+
+
+def test_strict_stat_requires_set(engine):
+    with pytest.raises(MdxError, match="must be a set"):
+        execute_mdx(
+            engine,
+            """
+            WITH MEMBER [Measures].[S] AS 'Median([Measures].[Sum Qty], 2)'
+            SELECT {[Measures].[S]} ON COLUMNS FROM [Sales]
+            """,
+        )
+
+
+def test_foreign_rank_rejected(engine):
+    with pytest.raises(MdxError, match="Rank"):
+        execute_mdx(
+            engine,
+            f"""
+            WITH MEMBER [Measures].[S] AS
+              'Median({REGIONS}, Rank([Time].CurrentMember, [Time].[Year].Members))'
+            SELECT {{[Measures].[S]}} ON COLUMNS FROM [Sales]
+            """,
+        )
+
+
+def test_nested_scalar_taint_rejected(engine):
+    # a stat expr referencing a member whose formula is itself a
+    # tuple/Aggregate/stat scalar cannot lower (it would recurse)
+    with pytest.raises(QueryError, match="nested scalar"):
+        execute_mdx(
+            engine,
+            f"""
+            WITH MEMBER [Measures].[Inner] AS 'Median({REGIONS}, [Measures].[Sum Qty])'
+            MEMBER [Measures].[Outer] AS 'Median({REGIONS}, [Measures].[Inner])'
+            SELECT {{[Measures].[Outer]}} ON COLUMNS FROM [Sales]
+            """,
+        )
+
+
+def test_shared_set_shares_one_subaggregate(engine):
+    # stats over the same set group into ONE sub-plan: the grid plan
+    # contains exactly one broadcast-attach for the pair
+    q, _ = MdxParser(
+        engine,
+        f"""
+        WITH MEMBER [Measures].[A] AS 'Median({REGIONS}, [Measures].[Sum Qty])'
+        MEMBER [Measures].[B] AS 'Stdev({REGIONS}, [Measures].[Sum Qty])'
+        SELECT {{[Measures].[A], [Measures].[B]}} ON COLUMNS FROM [Sales]
+        """,
+    ).parse_statement()
+    df = q.execute().df
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # one shared sub-aggregate → the per-measure stats appear in a single
+    # Aggregate node, not two independent join branches
+    import re as _re
+
+    joins = len(_re.findall(r"(?i)\bjoin\b", plan))
+    row = df.collect()[0]
+    assert row["a"] is not None and row["b"] is not None
+    # sanity: two independent attaches would need ≥2 joins/cross products
+    assert joins <= 1, plan
