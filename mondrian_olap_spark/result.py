@@ -80,55 +80,45 @@ class Result:
             t0 = time.perf_counter()
             if self.timeout is not None:
                 # Driver-side watchdog (the Spark analog of Mondrian's
-                # statement timeout, connection.rb:513-515).  Job-group/tag
-                # cancellation is not reliable from Python's unpinned
-                # threads, so the deadline is enforced on the driver: the
-                # collect runs in a worker thread, the caller gets
-                # QueryTimeoutError at the deadline, and best-effort
-                # cancelAllJobs sweeps reap the runaway job in the
-                # background (caveat: cancels other concurrent jobs on this
-                # SparkContext — one interactive query per session assumed).
+                # statement timeout, connection.rb:513-515).  The collect
+                # runs in an InheritableThread that TAGS its jobs (job tags
+                # are thread-local on the driver; pinned-thread mode maps
+                # Python threads 1:1 onto JVM threads, so the tag scopes
+                # exactly this query's jobs).  At the deadline the caller
+                # gets QueryTimeoutError and ``cancelJobsWithTag`` reaps
+                # only the tagged jobs — concurrent queries on the same
+                # SparkContext are untouched, and no async cancel sweep can
+                # shoot down a later query's freshly-submitted job.
+                import uuid
+
+                from pyspark import InheritableThread
+
                 sc = df.sparkSession.sparkContext
                 box: dict = {}
+                tag = f"mos-timeout-{uuid.uuid4().hex}"
 
                 def run() -> None:
+                    sc.addJobTag(tag)
                     try:
                         box["rows"] = df.collect()
                     except Exception as e:  # pragma: no cover - racing cancel
                         box["err"] = e
+                    finally:
+                        sc.removeJobTag(tag)
 
-                deadline = time.perf_counter() + self.timeout
-                attempts = 2
-                while True:
-                    box.clear()
-                    worker = threading.Thread(target=run, daemon=True)
-                    worker.start()
-                    worker.join(max(deadline - time.perf_counter(), 0.001))
-                    if worker.is_alive():
-                        # one immediate best-effort cancel; a task that
-                        # ignores the cancel flag finishes in the background
-                        # (delayed cancel sweeps would shoot down *later*
-                        # queries)
-                        sc.cancelAllJobs()
-                        raise QueryTimeoutError(
-                            f"query exceeded timeout of {self.timeout}s"
-                        )
-                    if "err" in box:
-                        # cancelAllJobs from a PRIOR timed-out query is
-                        # processed asynchronously by the DAG scheduler and
-                        # can reap this query's freshly-submitted job.  A
-                        # cancellation that arrives while our own deadline
-                        # has not elapsed is friendly fire — retry once.
-                        attempts -= 1
-                        if (
-                            attempts > 0
-                            and time.perf_counter() < deadline
-                            and "cancel" in str(box["err"]).lower()
-                        ):
-                            continue
-                        raise box["err"]
-                    self._rows_cache = box["rows"]
-                    break
+                worker = InheritableThread(target=run, daemon=True)
+                worker.start()
+                worker.join(self.timeout)
+                if worker.is_alive():
+                    # a task that ignores the cancel flag finishes in the
+                    # background; its jobs stay scoped under this tag
+                    sc.cancelJobsWithTag(tag)
+                    raise QueryTimeoutError(
+                        f"query exceeded timeout of {self.timeout}s"
+                    )
+                if "err" in box:
+                    raise box["err"]
+                self._rows_cache = box["rows"]
             else:
                 self._rows_cache = df.collect()
             self.total_duration = (time.perf_counter() - t0) * 1000.0

@@ -145,32 +145,58 @@ def test_mdx_parser_fuzz_never_crashes(engine):
 
     fuzz()
 
-def test_cancelled_by_prior_timeout_sweep_retries(engine, monkeypatch):
-    """A cancelAllJobs sweep from a PRIOR timed-out query is processed
-    asynchronously and can reap the NEXT query's job.  A cancellation
-    arriving before this query's own deadline is friendly fire — the
-    watchdog retries the collect once instead of leaking a raw Spark
-    cancellation error."""
+def test_timeout_cancel_is_tag_scoped(engine, monkeypatch):
+    """The watchdog cancels ONLY the timed-out query's own (tagged) jobs —
+    ``cancelJobsWithTag`` replaces the old ``cancelAllJobs`` sweep, whose
+    async processing could reap a LATER query's freshly-submitted job.
+    Regression: a timed-out query immediately followed by ≥2 untimed
+    queries in one session must leave them untouched."""
+    import time
+
+    from mondrian_olap_spark.udf import register_scalar
+
+    spark = engine.fact.sparkSession
+    sc = spark.sparkContext
+    seen = {}
+    real_cancel = sc.cancelJobsWithTag
+
+    def spy(tag):
+        seen["tag"] = tag
+        return real_cancel(tag)
+
+    def forbidden():
+        raise AssertionError("cancelAllJobs must not be used by the watchdog")
+
+    monkeypatch.setattr(sc, "cancelJobsWithTag", spy)
+    monkeypatch.setattr(sc, "cancelAllJobs", forbidden)
+
+    register_scalar(
+        spark, "py_sleepy_tag", lambda x: (time.sleep(2.0), float(x))[1]
+    )
+    q = (
+        Query(engine)
+        .with_member("Sleepy")
+        .as_("py_sleepy_tag(sum_qty)", output="sleepy")
+        .columns("[Measures].[Sleepy]")
+        .rows("[Customer].children")
+    )
+    with pytest.raises(QueryTimeoutError, match="timeout of 0.2"):
+        q.execute(timeout=0.2).values
+    assert seen["tag"].startswith("mos-timeout-")
+    # subsequent untimed queries run clean in the same session — the old
+    # async cancelAllJobs sweep used to shoot these down
+    for _ in range(2):
+        v = Query(engine).columns("[Measures].[Sum Qty]").execute().values
+        while isinstance(v, list):
+            v = v[0]
+        assert v > 0
+
+
+def test_collect_error_surfaces_unretried(engine, monkeypatch):
+    """An error in the watched collect surfaces immediately — with
+    tag-scoped cancellation there is no friendly fire to retry around."""
     DataFrame = type(engine.fact)  # the concrete (classic) DataFrame class
-
-    real_collect = DataFrame.collect
     calls = {"n": 0}
-
-    def flaky_collect(self):
-        calls["n"] += 1
-        if calls["n"] == 1:
-            raise RuntimeError("Job 42 cancelled as part of cancellation of all jobs")
-        return real_collect(self)
-
-    monkeypatch.setattr(DataFrame, "collect", flaky_collect)
-    res = Query(engine).columns("[Measures].[Sum Qty]").execute(timeout=60)
-    v = res.values
-    while isinstance(v, list):
-        v = v[0]
-    assert v > 0 and calls["n"] == 2
-
-    # a NON-cancellation error still surfaces immediately (no blind retry)
-    calls["n"] = 0
 
     def broken_collect(self):
         calls["n"] += 1
