@@ -1018,9 +1018,23 @@ def test_dedup_clusters_raises_on_non_convergence(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.dedup_clusters(ids, chain, max_iterations=2)
-    # with budget ≥ diameter the same graph converges to one cluster
+    # with a sufficient budget the same graph converges to one cluster
     ok = dedup.dedup_clusters(ids, chain, max_iterations=n).collect()
     assert {r["cluster"] for r in ok} == {0}
+
+
+def test_dedup_clusters_pointer_doubling_long_chain(spark):
+    """A planted 1000-node chain converges within a LOGARITHMIC round
+    budget — pointer doubling compounds label reach to ~2^k hops after k
+    rounds, where one-hop label propagation would need 1000 rounds."""
+    n = 1000
+    ids = spark.createDataFrame([Row(id=i) for i in range(n)])
+    chain = spark.createDataFrame(
+        [Row(id_a=i, id_b=i + 1) for i in range(n - 1)]
+    )
+    out = dedup.dedup_clusters(ids, chain, max_iterations=12).collect()
+    assert {r["cluster"] for r in out} == {0}
+    assert sum(r["keep"] for r in out) == 1
 
 
 def test_bigram_entropy_detects_repeated_phrases(spark):
