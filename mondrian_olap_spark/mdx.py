@@ -124,6 +124,11 @@ _SET_FUNCTIONS = {
     "drilldownleveltop",
     "drilldownlevelbottom",
     "exists",
+    "ytd",
+    "qtd",
+    "mtd",
+    "wtd",
+    "periodstodate",
 }
 
 _AXIS_NAMES = {"columns": 0, "rows": 1, "pages": 2, "chapters": 3, "sections": 4}
@@ -1232,6 +1237,10 @@ class MdxParser:
             q.generate(*d[1], all=d[2])
         elif k == "range":
             q.member_range(d[1], d[2])
+        elif k == "xtd":
+            q.xtd(d[1], d[2])
+        elif k == "ptd":
+            q.periods_to_date(d[1], d[2])
         elif k == "drilldown_member":
             for m in d[1]:
                 q.drilldown(m)
@@ -1643,6 +1652,21 @@ class MdxParser:
     def parse_set_function(self) -> "_SetBuild":
         fname = self.next().text.lower()
         self.expect_op("(")
+        # period-to-date sets take a MEMBER (not a set) argument
+        # (jar!mondrian/olap/fun/XtdFunDef, PeriodsToDateFunDef): the
+        # periods at the member's level from its period-parent's start
+        # through the member — lowered as an ordinal range, never
+        # enumerated (query.periods_to_date)
+        if fname in ("ytd", "qtd", "mtd", "wtd"):
+            member = self.parse_member_string()
+            self.expect_op(")")
+            return _SetBuild(base=[], ops=[("xtd", fname, member)])
+        if fname == "periodstodate":
+            level = self.parse_member_string()
+            self.expect_op(",")
+            member = self.parse_member_string()
+            self.expect_op(")")
+            return _SetBuild(base=[], ops=[("ptd", level, member)])
         inner = self.parse_set()
         if fname in ("crossjoin", "nonemptycrossjoin"):
             self.expect_op(",")

@@ -32,6 +32,8 @@ formulas over ``[Measures].[X]``.
 
 from __future__ import annotations
 
+import re
+
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Window
@@ -54,6 +56,14 @@ class _Axis:
     raw_base: list[str] = field(default_factory=list)
     display_ops: list[tuple] = field(default_factory=list)
     nonempty_flag: bool = False
+
+
+#: time-intelligence function names whose VALUE forms lower to window SQL
+#: at execute() time (query._rewrite_time_intel)
+_TIME_INTEL_RE = re.compile(
+    r"(?i)\b(ytd|qtd|mtd|wtd|periodstodate|lastperiods|parallelperiod|"
+    r"openingperiod|closingperiod)\s*\("
+)
 
 
 class QueryError(ValueError):
@@ -252,6 +262,76 @@ class Query:
         )
         ax.raw_base.append(f"{from_member}:{to_member}")
         return self
+
+    def periods_to_date(self, level: str, member: str) -> "Query":
+        """``PeriodsToDate(level, member)`` as an axis set — the periods at
+        ``member``'s level from the start of its ``level`` ancestor through
+        ``member`` (jar!mondrian/olap/fun/PeriodsToDateFunDef).
+
+        Planned exactly like a member range: two single-scalar ordinal
+        lookups (the ancestor's FIRST period and ``member`` itself), then an
+        ``ordinal BETWEEN lo AND hi`` predicate under the ancestor path —
+        the set is never enumerated, so a to-date range over a
+        high-cardinality time level stays a pushed-down scan predicate."""
+        from .members import parse_identifier
+
+        ref = self._resolve(member)
+        if isinstance(ref, MeasureRef) or not ref.path:
+            raise QueryError("PeriodsToDate takes a full member path")
+        segs = parse_identifier(level)
+        dim = ref.dimension
+        if segs[0].lower() != dim.name.lower() or len(segs) != 2:
+            raise QueryError(
+                f"PeriodsToDate level {level!r} must name a level of "
+                f"dimension {dim.name!r}"
+            )
+        scope = dim.level_index(segs[1])
+        if scope is None or scope >= ref.depth:
+            raise QueryError(
+                f"PeriodsToDate level {level!r} must be an ancestor level "
+                f"of member {member!r}"
+            )
+        prefix = ref.path[: scope + 1]
+        try:
+            lo = self.engine.edge_ordinal(dim.name, ref.depth, prefix)
+            hi = self.engine.member_ordinal(dim.name, ref.depth, ref.path)
+        except KeyError as e:
+            raise QueryError(str(e)) from None
+        ax = self._axis()
+        ax.sets.append(
+            MemberSetRef(
+                dim, depth=ref.depth, path=tuple(prefix), kind="range",
+                ordinal_range=(lo, hi),
+            )
+        )
+        ax.raw_base.append(f"PeriodsToDate({level}, {member})")
+        return self
+
+    def xtd(self, kind: str, member: str) -> "Query":
+        """``Ytd/Qtd/Mtd/Wtd(member)`` as an axis set (jar!...XtdFunDef):
+        PeriodsToDate at the dimension's TimeYears/TimeQuarters/TimeMonths/
+        TimeWeeks level."""
+        ref = self._resolve(member)
+        if isinstance(ref, MeasureRef):
+            raise QueryError(f"{kind} takes a time member")
+        want = {
+            "ytd": "TimeYears", "qtd": "TimeQuarters",
+            "mtd": "TimeMonths", "wtd": "TimeWeeks",
+        }[kind.lower()]
+        dim = ref.dimension
+        idx = next(
+            (i for i, lv in enumerate(dim.levels) if lv.level_type == want),
+            None,
+        )
+        if idx is None:
+            raise QueryError(
+                f"{kind}: dimension {dim.name!r} has no {want} level"
+            )
+        from .members import format_name
+
+        return self.periods_to_date(
+            format_name([dim.name, dim.levels[idx].name]), member
+        )
 
     def nonempty_crossjoin(self, *members: str) -> "Query":
         # NonEmptyCrossJoin ≡ crossjoin here: groupBy over the fact yields
@@ -889,6 +969,24 @@ class Query:
                         cm,
                         expression=self._rewrite_current_member(
                             cm.expression, axes
+                        ),
+                    )
+                except QueryError as e:
+                    rewrite_errors[cm.name] = e
+        # time-intelligence value forms — Sum(Ytd(), m), ParallelPeriod
+        # tuples, … — lower to window SQL over the grid's time columns,
+        # which are only known once the axes are (same per-query timing
+        # as the CurrentMember rewrite above)
+        for cm in self._with:
+            base = rewritten.get(cm.name, cm)
+            if cm.name not in rewrite_errors and _TIME_INTEL_RE.search(
+                base.expression
+            ):
+                try:
+                    rewritten[cm.name] = _dc.replace(
+                        base,
+                        expression=self._rewrite_time_intel(
+                            base.expression, axes
                         ),
                     )
                 except QueryError as e:
@@ -1551,6 +1649,279 @@ class Query:
 
         new_cond = pat.sub(repl, cond)
         return df, new_cond, [c for c in drops if c in df.columns]
+
+    def _rewrite_time_intel(self, expr: str, axes) -> str:
+        """Time-intelligence VALUE forms in calc-member formulas → window
+        SQL over the grid's time columns (SURVEY.md §2.5; jar!mondrian/
+        olap/fun/{XtdFunDef,PeriodsToDateFunDef,LastPeriodsFunDef,
+        ParallelPeriodFunDef,OpeningClosingPeriodFunDef}).  Supported:
+
+        * ``Sum|Avg|Min|Max|Count(Ytd|Qtd|Mtd|Wtd(), <measure>)`` —
+          running aggregate from the period start, partitioned by the
+          period parent (functions/windows.cumulative semantics);
+        * ``Agg(PeriodsToDate([T].[Level]), <measure>)`` — explicit
+          to-date level;
+        * ``Agg(LastPeriods(n), <measure>)`` — trailing window
+          (n < 0 → forward frame, n = 0 → empty set → NULL);
+        * ``(<measure>, ParallelPeriod([T].[Level][, n]))`` — lag over
+          the level order partitioned by the deeper time columns (top
+          time level only: deeper levels need position-within-parent
+          ordinals, out of this subset);
+        * ``(<measure>, OpeningPeriod|ClosingPeriod([T].[Level]))`` —
+          first/last value of the level's periods within the current
+          parent.
+
+        Runs at execute() time — like the CurrentMember rewrite, the
+        lowering depends on which time columns the axes project.  Member
+        references are relative (the current row); absolute-member set
+        forms belong on axes (:meth:`periods_to_date` / :meth:`xtd`)."""
+        from .mdx import _rewrite_paren_call, _split_set_args
+        from .members import parse_identifier
+
+        def grid_levels(dim):
+            best: list = []
+            for ax in axes:
+                for s in ax.sets:
+                    if s.dimension.name.lower() != dim.name.lower():
+                        continue
+                    levels = self._visible_levels(s)
+                    if len(levels) > len(best):
+                        best = list(levels)
+            return [lv.out for lv in best]
+
+        def other_cols(dim):
+            cols: list[str] = []
+            for ax in axes:
+                for s in ax.sets:
+                    if s.dimension.name.lower() == dim.name.lower():
+                        continue
+                    for lv in self._visible_levels(s):
+                        if lv.out not in cols:
+                            cols.append(lv.out)
+            return cols
+
+        def time_dim(level_id: str | None = None):
+            if level_id:
+                segs = parse_identifier(level_id)
+                try:
+                    dim = self.cube.dimension(segs[0])
+                except KeyError as e:
+                    raise QueryError(str(e)) from None
+                idx = dim.level_index(segs[1]) if len(segs) == 2 else None
+                if idx is None:
+                    raise QueryError(
+                        f"{level_id!r} does not name a dimension level"
+                    )
+                return dim, idx
+            cands = []
+            for ax in axes:
+                for s in ax.sets:
+                    d = s.dimension
+                    if d.name in {c.name for c in cands}:
+                        continue
+                    if any(
+                        (lv.level_type or "").startswith("Time")
+                        for lv in d.levels
+                    ):
+                        cands.append(d)
+            if len(cands) != 1:
+                raise QueryError(
+                    "time-intelligence needs exactly one time-typed "
+                    "dimension on the axes (or an explicit level argument "
+                    "— PeriodsToDate([Dim].[Level]))"
+                )
+            return cands[0], None
+
+        def measure_out(txt: str) -> str:
+            txt = txt.strip()
+            if txt.startswith("["):
+                segs = parse_identifier(txt)
+                if segs[0].lower() == "measures" and len(segs) == 2:
+                    return self._measure(segs[1]).out
+                raise QueryError(
+                    f"time-intelligence expects a measure, got {txt!r}"
+                )
+            if re.fullmatch(r"\w+", txt):
+                return txt  # an already-lowered output alias
+            raise QueryError(
+                f"time-intelligence expects a measure, got {txt!r}"
+            )
+
+        out = expr
+
+        def make_agg_repl(aggname: str):
+            def repl(inner: str):
+                parts = _split_set_args(inner)
+                if len(parts) != 2:
+                    return None
+                m_xtd = re.fullmatch(
+                    r"(?i)(ytd|qtd|mtd|wtd)\s*\(\s*\)", parts[0]
+                )
+                m_ptd = re.fullmatch(
+                    r"(?i)periodstodate\s*\(([^()]*)\)", parts[0]
+                )
+                m_lp = re.fullmatch(
+                    r"(?i)lastperiods\s*\(\s*(-?\d+)\s*\)", parts[0]
+                )
+                if not (m_xtd or m_ptd or m_lp):
+                    return None
+                mout = measure_out(parts[1])
+                if m_lp:
+                    n = int(m_lp.group(1))
+                    dim, _ = time_dim()
+                    tcols = grid_levels(dim)
+                    if not tcols:
+                        raise QueryError(
+                            f"LastPeriods: the axes do not project "
+                            f"{dim.name}"
+                        )
+                    part = other_cols(dim)
+                    partition = (
+                        f"PARTITION BY {', '.join(part)} " if part else ""
+                    )
+                    order = ", ".join(tcols)
+                    if n == 0:  # MDX: LastPeriods(0) is the empty set
+                        return "CAST(NULL AS DOUBLE)"
+                    if n < 0:
+                        frame = (
+                            f"ROWS BETWEEN CURRENT ROW AND {-n - 1} FOLLOWING"
+                        )
+                    else:
+                        frame = (
+                            f"ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW"
+                        )
+                    return (
+                        f"{aggname}({mout}) OVER ({partition}"
+                        f"ORDER BY {order} {frame})"
+                    )
+                if m_xtd:
+                    kind = m_xtd.group(1).lower()
+                    want = {
+                        "ytd": "TimeYears", "qtd": "TimeQuarters",
+                        "mtd": "TimeMonths", "wtd": "TimeWeeks",
+                    }[kind]
+                    dim, _ = time_dim()
+                    scope = next(
+                        (
+                            i
+                            for i, lv in enumerate(dim.levels)
+                            if lv.level_type == want
+                        ),
+                        None,
+                    )
+                    if scope is None:
+                        raise QueryError(
+                            f"{kind}: dimension {dim.name!r} has no "
+                            f"{want} level"
+                        )
+                else:
+                    arg = m_ptd.group(1).strip()
+                    if not arg or "," in arg:
+                        raise QueryError(
+                            "PeriodsToDate in a formula takes exactly a "
+                            "level argument (the member is the current row)"
+                        )
+                    dim, scope = time_dim(arg)
+                tcols = grid_levels(dim)
+                if len(tcols) <= scope:
+                    raise QueryError(
+                        f"the axes do not project {dim.name} below the "
+                        "to-date level"
+                    )
+                part = other_cols(dim) + tcols[: scope + 1]
+                partition = (
+                    f"PARTITION BY {', '.join(part)} " if part else ""
+                )
+                order = ", ".join(tcols[scope + 1 :])
+                return (
+                    f"{aggname}({mout}) OVER ({partition}ORDER BY {order} "
+                    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+                )
+
+            return repl
+
+        for _agg in ("sum", "avg", "min", "max", "count"):
+            out = _rewrite_paren_call(out, _agg, make_agg_repl(_agg))
+
+        # tuple forms: (measure, ParallelPeriod(...)) either order,
+        # likewise OpeningPeriod/ClosingPeriod
+        tup = re.compile(
+            r"(?i)\(\s*(?:(?P<m1>\[[^()]+?\]|\w+)\s*,\s*)?"
+            r"(?P<fn>parallelperiod|openingperiod|closingperiod)"
+            r"\s*\(\s*(?P<args>[^()]*)\)\s*(?:,\s*(?P<m2>\[[^()]+?\]|\w+)\s*)?\)"
+        )
+
+        def tup_repl(mo: re.Match) -> str:
+            fn = mo.group("fn").lower()
+            if bool(mo.group("m1")) == bool(mo.group("m2")):
+                raise QueryError(
+                    f"{fn} is supported as a 2-tuple with exactly one "
+                    "measure in this subset"
+                )
+            mout = measure_out(mo.group("m1") or mo.group("m2"))
+            args = (
+                [a.strip() for a in _split_set_args(mo.group("args"))]
+                if mo.group("args").strip()
+                else []
+            )
+            if not args:
+                raise QueryError(
+                    f"{fn} needs an explicit level argument in this subset"
+                )
+            dim, idx = time_dim(args[0])
+            tcols = grid_levels(dim)
+            if len(tcols) <= idx:
+                raise QueryError(
+                    f"the axes do not project {dim.name} at the "
+                    f"{fn} level"
+                )
+            if fn == "parallelperiod":
+                n = int(args[1]) if len(args) > 1 else 1
+                if len(args) > 2:
+                    raise QueryError(
+                        "ParallelPeriod member argument is not supported "
+                        "in this subset (the member is the current row)"
+                    )
+                if idx != 0:
+                    # deeper levels need position-within-parent ordinals
+                    # (month 5 one quarter back is month 2, not month 5 of
+                    # an earlier year) — lag over raw columns would silently
+                    # compute the wrong cousin
+                    raise QueryError(
+                        "ParallelPeriod below the top time level is not "
+                        "supported in this subset"
+                    )
+                part = other_cols(dim) + tcols[idx + 1 :]
+                partition = (
+                    f"PARTITION BY {', '.join(part)} " if part else ""
+                )
+                order = ", ".join(tcols[: idx + 1])
+                return f"lag({mout}, {n}) OVER ({partition}ORDER BY {order})"
+            if len(args) > 1:
+                raise QueryError(
+                    f"{fn} member argument is not supported in this "
+                    "subset (the scope is the current row's parent)"
+                )
+            wfn = "first_value" if fn == "openingperiod" else "last_value"
+            part = other_cols(dim) + tcols[:idx]
+            partition = f"PARTITION BY {', '.join(part)} " if part else ""
+            order = ", ".join(tcols[idx:])
+            return (
+                f"{wfn}({mout}) OVER ({partition}ORDER BY {order} "
+                "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+            )
+
+        out = tup.sub(tup_repl, out)
+        leftover = _TIME_INTEL_RE.search(out)
+        if leftover:
+            raise QueryError(
+                f"unsupported time-intelligence form at "
+                f"{leftover.group(0)!r}: supported are Sum/Avg/Min/Max/"
+                "Count over Ytd()/Qtd()/Mtd()/Wtd()/PeriodsToDate(level)/"
+                "LastPeriods(n), and 2-tuples with ParallelPeriod/"
+                "OpeningPeriod/ClosingPeriod(level[, n])"
+            )
+        return out
 
     def _rewrite_current_member(self, expr: str, axes) -> str:
         """Rewrite ``[Dim].CurrentMember.<Prop>[(args)]`` in a calc-member

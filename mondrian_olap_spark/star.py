@@ -992,6 +992,36 @@ class CubeEngine:
             )
         return row["o"]
 
+    def edge_ordinal(
+        self, dim_name: str, depth: int, path: tuple = (), last: bool = False
+    ):
+        """Min (or max) ORDINAL value at ``depth`` under ``path`` — the
+        single-scalar lookup backing period-to-date range resolution
+        (``Ytd(member)`` = range from the period parent's FIRST ``depth``
+        member to ``member``, jar!mondrian/olap/fun/XtdFunDef).  Same
+        visibility discipline as :meth:`member_ordinal`."""
+        dim = self.cube.dimension(dim_name)
+        lv = dim.levels[depth]
+        role = getattr(self, "role", None)
+        if role is not None:
+            role.check_level(dim, depth)
+        if dim.degenerate:
+            df = self.fact
+            ord_col = F.expr(lv.ordinal_expr)
+        else:
+            df = self.dims[dim.name].member_df
+            ord_col = F.col(_ordinal_out(dim, lv))
+        for i, key in enumerate(path):
+            df = df.filter(F.col(dim.levels[i].out) == key)
+        df = _apply_member_visibility(df, dim, dim.levels[: depth + 1], role, depth)
+        agg = F.max(ord_col) if last else F.min(ord_col)
+        row = df.agg(agg.alias("o"), F.count(F.lit(1)).alias("n")).collect()[0]
+        if row["n"] == 0:
+            raise KeyError(
+                f"no members at {dim.name}.{lv.name} under {path!r}"
+            )
+        return row["o"]
+
     def merged_dim_view(
         self, dims: list[Dimension], needed: Mapping[str, list[str]]
     ) -> DataFrame:

@@ -1043,6 +1043,111 @@ def opening_closing_period(spark, sf_dir):
     return fx.closing_period(df, "sum_price", ["o_month"], ["o_year"], output="closing_value")
 
 
+_MONTHLY_AGG_Q = f"""
+    SELECT year(o_orderdate) AS o_year,
+           concat('Q', quarter(o_orderdate)) AS o_quarter,
+           month(o_orderdate) AS o_month,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+           sum(l_quantity) AS sum_qty
+    FROM {_ORD_STAR} GROUP BY 1, 2, 3
+"""
+
+
+@q(
+    "ytd_mdx_gate",
+    f"""
+    WITH agg AS ({_MONTHLY_AGG_Q})
+    SELECT o_year, o_quarter, o_month, sum_price,
+           sum(sum_price) OVER (PARTITION BY o_year ORDER BY o_quarter, o_month
+                                ROWS UNBOUNDED PRECEDING) AS ytd_price,
+           sum(sum_price) OVER (ORDER BY o_year, o_quarter, o_month
+                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_3
+    FROM agg
+    """,
+)
+def ytd_mdx_gate(spark, sf_dir):
+    """Ytd() / LastPeriods(n) as WITH MEMBER formula TEXT
+    (jar!mondrian/olap/fun/XtdFunDef, LastPeriodsFunDef; SURVEY.md §2.5):
+    ``Sum(Ytd(), m)`` lowers to a running window partitioned by the
+    TimeYears level, ``Sum(LastPeriods(3), m)`` to a trailing frame over
+    the full time order — both resolved per query from the axis's
+    projected time columns (query._rewrite_time_intel)."""
+    eng = get_engine(spark, sf_dir)
+    return eng.execute(
+        """
+        WITH MEMBER [Measures].[YTD Price] AS 'Sum(Ytd(), [Measures].[Sum Price])'
+        MEMBER [Measures].[Moving 3] AS 'Sum(LastPeriods(3), [Measures].[Sum Price])'
+        SELECT {[Measures].[Sum Price], [Measures].[YTD Price],
+                [Measures].[Moving 3]} ON COLUMNS,
+               [Time].[Month].Members ON ROWS FROM [Sales]
+        """
+    ).df
+
+
+@q(
+    "parallelperiod_mdx_gate",
+    f"""
+    WITH agg AS ({_MONTHLY_AGG_Q})
+    SELECT o_year, o_quarter, o_month, sum_price,
+           lag(sum_price, 1) OVER (PARTITION BY o_quarter, o_month
+                                   ORDER BY o_year) AS py_price,
+           first_value(sum_price) OVER (PARTITION BY o_year, o_quarter
+             ORDER BY o_month
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS opening_price,
+           last_value(sum_price) OVER (PARTITION BY o_year, o_quarter
+             ORDER BY o_month
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS closing_price
+    FROM agg
+    """,
+)
+def parallelperiod_mdx_gate(spark, sf_dir):
+    """ParallelPeriod / OpeningPeriod / ClosingPeriod in WITH MEMBER tuple
+    TEXT (jar!...ParallelPeriodFunDef, OpeningClosingPeriodFunDef):
+    ``(m, ParallelPeriod([Time].[Year], 1))`` → same-period-previous-year
+    lag; Opening/Closing → first/last period value within the current
+    parent — all lowered to window SQL at execute time.  Both tuple
+    orders parse."""
+    eng = get_engine(spark, sf_dir)
+    return eng.execute(
+        """
+        WITH MEMBER [Measures].[PY Price] AS
+          '([Measures].[Sum Price], ParallelPeriod([Time].[Year], 1))'
+        MEMBER [Measures].[Opening Price] AS
+          '([Measures].[Sum Price], OpeningPeriod([Time].[Month]))'
+        MEMBER [Measures].[Closing Price] AS
+          '(ClosingPeriod([Time].[Month]), [Measures].[Sum Price])'
+        SELECT {[Measures].[Sum Price], [Measures].[PY Price],
+                [Measures].[Opening Price], [Measures].[Closing Price]}
+          ON COLUMNS,
+        [Time].[Month].Members ON ROWS FROM [Sales]
+        """
+    ).df
+
+
+@q(
+    "ytd_axis_gate",
+    f"""
+    WITH agg AS ({_MONTHLY_AGG_Q})
+    SELECT o_year, o_quarter, o_month, sum_qty
+    FROM agg WHERE o_year = 1995 AND o_month BETWEEN 1 AND 5
+    """,
+)
+def ytd_axis_gate(spark, sf_dir):
+    """Ytd(member) as an AXIS set (jar!...XtdFunDef): the months of 1995
+    through May — resolved as an ordinal range under the year ancestor
+    (two single-scalar lookups, then a BETWEEN predicate; the set crosses
+    quarter parents and is never enumerated)."""
+    eng = get_engine(spark, sf_dir)
+    return eng.execute(
+        """
+        SELECT {[Measures].[Sum Qty]} ON COLUMNS,
+               Ytd([Time].[1995].[Q2].[5]) ON ROWS FROM [Sales]
+        """
+    ).df
+
+
 # =====================================================================
 # §2.6 — set operations & generators
 # =====================================================================

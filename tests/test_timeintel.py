@@ -1,0 +1,150 @@
+"""Time-intelligence functions in MDX text (SURVEY.md §2.5;
+jar!mondrian/olap/fun/{XtdFunDef,PeriodsToDateFunDef,LastPeriodsFunDef,
+ParallelPeriodFunDef,OpeningClosingPeriodFunDef}).
+
+Covers the WITH MEMBER value forms (window lowering at execute time), the
+axis set forms (ordinal-range lowering), and the error paths."""
+
+import pytest
+
+from mondrian_olap_spark.functions import windows as fx
+from mondrian_olap_spark.mdx import execute_mdx
+from mondrian_olap_spark.query import Query, QueryError
+
+
+def test_ytd_formula_matches_engine_api(engine):
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[YTD Price] AS 'Sum(Ytd(), [Measures].[Sum Price])'
+        SELECT {[Measures].[Sum Price], [Measures].[YTD Price]} ON COLUMNS,
+               [Time].[Month].Members ON ROWS FROM [Sales]
+        """,
+    )
+    got = {
+        (row["o_year"], row["o_month"]): row["ytd_price"]
+        for row in r.df.collect()
+    }
+    base = (
+        Query(engine)
+        .columns("[Measures].[Sum Price]")
+        .rows("[Time].[Month].Members")
+        .execute()
+        .df.drop("o_quarter")
+    )
+    api = fx.cumulative(
+        base, "sum_price", ["o_month"], partition=["o_year"], output="ytd"
+    )
+    want = {
+        (row["o_year"], row["o_month"]): row["ytd"] for row in api.collect()
+    }
+    assert got == want
+
+
+def test_parallelperiod_tuple_both_orders(engine):
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[A] AS
+          '([Measures].[Sum Price], ParallelPeriod([Time].[Year], 1))'
+        MEMBER [Measures].[B] AS
+          '(ParallelPeriod([Time].[Year], 1), [Measures].[Sum Price])'
+        SELECT {[Measures].[Sum Price], [Measures].[A], [Measures].[B]}
+          ON COLUMNS, [Time].[Month].Members ON ROWS FROM [Sales]
+        """,
+    )
+    rows = r.df.collect()
+    # both orders produce the same lag column
+    assert all(row["a"] == row["b"] for row in rows)
+    by_key = {(row["o_year"], row["o_month"]): row for row in rows}
+    years = sorted({k[0] for k in by_key})
+    y0, y1 = years[0], years[1]
+    # first year has no previous-year value; later years echo it
+    assert by_key[(y0, 1)]["a"] is None
+    assert by_key[(y1, 1)]["a"] == by_key[(y0, 1)]["sum_price"]
+
+
+def test_ytd_axis_set_crosses_quarters(engine):
+    r = execute_mdx(
+        engine,
+        """
+        SELECT {[Measures].[Sum Qty]} ON COLUMNS,
+               Ytd([Time].[1995].[Q2].[5]) ON ROWS FROM [Sales]
+        """,
+    )
+    rows = r.df.collect()
+    assert sorted(row["o_month"] for row in rows) == [1, 2, 3, 4, 5]
+    assert {row["o_quarter"] for row in rows} == {"Q1", "Q2"}
+
+
+def test_periodstodate_axis_set(engine):
+    r = execute_mdx(
+        engine,
+        """
+        SELECT {[Measures].[Sum Qty]} ON COLUMNS,
+               PeriodsToDate([Time].[Year], [Time].[1995].[Q2]) ON ROWS
+        FROM [Sales]
+        """,
+    )
+    assert sorted(row["o_quarter"] for row in r.df.collect()) == ["Q1", "Q2"]
+
+
+def test_qtd_axis_equals_range(engine):
+    qtd = execute_mdx(
+        engine,
+        """
+        SELECT {[Measures].[Sum Qty]} ON COLUMNS,
+               Qtd([Time].[1995].[Q2].[5]) ON ROWS FROM [Sales]
+        """,
+    ).df.collect()
+    assert sorted(row["o_month"] for row in qtd) == [4, 5]
+
+
+def test_parallelperiod_below_top_level_rejected(engine):
+    with pytest.raises(QueryError, match="top time level"):
+        execute_mdx(
+            engine,
+            """
+            WITH MEMBER [Measures].[A] AS
+              '([Measures].[Sum Price], ParallelPeriod([Time].[Quarter], 1))'
+            SELECT {[Measures].[A]} ON COLUMNS,
+                   [Time].[Month].Members ON ROWS FROM [Sales]
+            """,
+        )
+
+
+def test_time_intel_needs_time_on_axis(engine):
+    # Ytd() with no time dimension projected → clear error, not wrong math
+    with pytest.raises(QueryError, match="time-typed dimension"):
+        execute_mdx(
+            engine,
+            """
+            WITH MEMBER [Measures].[Y] AS 'Sum(Ytd(), [Measures].[Sum Qty])'
+            SELECT {[Measures].[Y]} ON COLUMNS,
+                   [Customer].children ON ROWS FROM [Sales]
+            """,
+        )
+
+
+def test_unsupported_time_intel_form_is_loud(engine):
+    with pytest.raises(QueryError, match="unsupported time-intelligence"):
+        execute_mdx(
+            engine,
+            """
+            WITH MEMBER [Measures].[Y] AS 'Ytd()'
+            SELECT {[Measures].[Y]} ON COLUMNS,
+                   [Time].[Month].Members ON ROWS FROM [Sales]
+            """,
+        )
+
+
+def test_lastperiods_zero_is_empty_set(engine):
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[Z] AS 'Sum(LastPeriods(0), [Measures].[Sum Price])'
+        SELECT {[Measures].[Z]} ON COLUMNS,
+               [Time].[Year].Members ON ROWS FROM [Sales]
+        """,
+    )
+    assert all(row["z"] is None for row in r.df.collect())
