@@ -129,6 +129,9 @@ _SET_FUNCTIONS = {
     "mtd",
     "wtd",
     "periodstodate",
+    "visualtotals",
+    "union",
+    "intersect",
 }
 
 _AXIS_NAMES = {"columns": 0, "rows": 1, "pages": 2, "chapters": 3, "sections": 4}
@@ -1241,6 +1244,8 @@ class MdxParser:
             q.xtd(d[1], d[2])
         elif k == "ptd":
             q.periods_to_date(d[1], d[2])
+        elif k == "visual_totals":
+            q.visual_totals(d[1])
         elif k == "drilldown_member":
             for m in d[1]:
                 q.drilldown(m)
@@ -1683,6 +1688,68 @@ class MdxParser:
                 else:
                     inner.set_ops.append((tuple(right.base), op))
             inner.set_ops.extend(right.set_ops)
+            return inner
+        if fname in ("union", "intersect"):
+            # UNION(s1, s2[, ALL]) / INTERSECT(s1, s2)
+            # (jar!mondrian/olap/fun/UnionFunDef, IntersectFunDef): the
+            # function spellings of what {s1, s2} / set arithmetic already
+            # cover.  Member identity is the canonicalized written form
+            # (whitespace/case-insensitive); both arguments must be plain
+            # member lists — computed-set arguments would need deferred
+            # evaluation (functions/sets.py covers the DataFrame forms).
+            self.expect_op(",")
+            right = self.parse_set()
+            all_flag = False
+            if self.at_op(","):
+                self.next()
+                if not self.at_word("all"):
+                    raise MdxError(
+                        f"{fname.upper()}: third argument must be ALL"
+                    )
+                self.next()
+                all_flag = True
+            self.expect_op(")")
+            left_m = self._plain_members(inner, fname.upper())
+            right_m = self._plain_members(right, fname.upper())
+
+            def canon(s: str) -> str:
+                return re.sub(r"\s", "", s).lower()
+
+            if fname == "intersect":
+                if all_flag:
+                    raise MdxError(
+                        "INTERSECT ALL is not supported in this subset"
+                    )
+                rset = {canon(m) for m in right_m}
+                picked = [m for m in left_m if canon(m) in rset]
+            else:
+                if all_flag:
+                    # ALL keeps duplicates; the cell grid dedups rows, so
+                    # duplicate members collapse on display (documented)
+                    return _SetBuild(base=left_m + right_m)
+                picked = left_m + right_m
+            seen: set = set()
+            out_members: list[str] = []
+            for m in picked:
+                if canon(m) not in seen:
+                    seen.add(canon(m))
+                    out_members.append(m)
+            return _SetBuild(base=out_members)
+        if fname == "visualtotals":
+            # VISUALTOTALS(set[, 'pattern']) (jar!mondrian/olap/fun/
+            # VisualTotalsFunDef): parent totals from visible children
+            # only; pattern renders the parent caption ('*' = member name)
+            pattern = None
+            if self.at_op(","):
+                self.next()
+                t = self.next()
+                if t.kind != "string":
+                    raise MdxError(
+                        "VISUALTOTALS pattern must be a quoted string"
+                    )
+                pattern = _unquote(t.text)
+            self.expect_op(")")
+            inner.ops.append(("visual_totals", pattern))
             return inner
         if fname == "filter":
             # FILTER(set AS S, cond) names the set for self-reference

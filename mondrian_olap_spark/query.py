@@ -333,6 +333,25 @@ class Query:
             format_name([dim.name, dim.levels[idx].name]), member
         )
 
+    def visual_totals(self, pattern: str | None = None) -> "Query":
+        """``VisualTotals(set[, pattern])`` (jar!mondrian/olap/fun/
+        VisualTotalsFunDef): append parent rows whose totals are
+        re-aggregated from only the VISIBLE child rows of this axis —
+        apply after ``filter``/``topcount`` so the totals reflect what
+        survived.  ``pattern`` renders the parent caption into the child
+        level column with ``*`` replaced by the parent member name
+        (``'*subtotal - *'`` convention); without it parent rows carry
+        NULL in the child column (the drilldown/totals grid shape).
+
+        Deviations from the reference, documented: the parent rows are
+        synthesized one level above the set's deepest level (the
+        reference requires parents enumerated in the set), and measures
+        whose aggregator cannot re-aggregate from child cells
+        (avg, distinct-count) raise instead of silently re-summing."""
+        self._axis().mods.append(("visual_totals", pattern))
+        self._axis().display_ops.append(("visual_totals", pattern))
+        return self
+
     def nonempty_crossjoin(self, *members: str) -> "Query":
         # NonEmptyCrossJoin ≡ crossjoin here: groupBy over the fact yields
         # only combinations with data (SURVEY.md §2.3)
@@ -1489,6 +1508,13 @@ class Query:
                     cur = f"{kind}({cur}, {n}, {self._aliases_to_mdx(expr)})"
                 else:
                     cur = f"{kind}({cur}, {n})"
+            elif kind == "visual_totals":
+                pat = op[1]
+                cur = (
+                    f"VISUALTOTALS({cur}, '{pat}')"
+                    if pat is not None
+                    else f"VISUALTOTALS({cur})"
+                )
         if ax.nonempty_flag:
             cur = f"NON EMPTY {cur}"
         return cur
@@ -2135,6 +2161,66 @@ class Query:
                 else:
                     sort_spec = [F.col(c) for c in grid_cols]  # level-path order
                 local_sort = list(sort_spec)
+            elif kind == "visual_totals":
+                # VisualTotals (jar!...VisualTotalsFunDef): parent rows
+                # re-aggregated from the VISIBLE child rows only — runs in
+                # mod order, so filters/topcounts applied before it shape
+                # what the totals see.  In-memory rollup of the grid: no
+                # fact rescan (SURVEY.md §4 EnableInMemoryRollup).
+                pattern = mod[1]
+                if not group_cols:
+                    raise QueryError(
+                        "visual_totals needs a member set on this axis"
+                    )
+                child_col = group_cols[-1]
+                parent_cols = list(group_cols[:-1])
+                dtypes = dict(df.dtypes)
+                aggs, recompute = self._visual_total_aggs(
+                    measure_outs or [], dtypes
+                )
+                keys = parent_cols + [
+                    c for c in (other_cols or []) if c in df.columns
+                ]
+                leftover = [
+                    c
+                    for c in df.columns
+                    if c not in keys
+                    and c != child_col
+                    and c not in (measure_outs or [])
+                ]
+                # only deepest-grain rows feed the totals (drilldown
+                # parents / totals rows carry NULL in the child column)
+                src = df.filter(F.col(child_col).isNotNull())
+                parents = src.groupBy(*keys).agg(*aggs) if keys else src.agg(*aggs)
+                for out_name, expr_sql in recompute:
+                    parents = parents.withColumn(out_name, F.expr(expr_sql))
+                for c in leftover:
+                    parents = parents.withColumn(
+                        c, F.lit(None).cast(dtypes[c])
+                    )
+                if pattern is not None:
+                    if dtypes[child_col] != "string":
+                        raise QueryError(
+                            "visual_totals pattern needs a string-typed "
+                            f"child level column ({child_col} is "
+                            f"{dtypes[child_col]})"
+                        )
+                    name_src = (
+                        F.col(parent_cols[-1]).cast("string")
+                        if parent_cols
+                        else F.lit(ax.sets[0].dimension.name)
+                    )
+                    parents = parents.withColumn(
+                        child_col,
+                        F.replace(
+                            F.lit(pattern), F.lit("*"), name_src
+                        ),
+                    )
+                else:
+                    parents = parents.withColumn(
+                        child_col, F.lit(None).cast(dtypes[child_col])
+                    )
+                df = df.unionByName(parents.select(*df.columns))
             elif kind == "subselect":
                 _, refs, desc = mod
                 df = self._apply_subselect(df, refs, desc)
@@ -2182,6 +2268,58 @@ class Query:
                 prior_semantic = True
         return df, sort_spec
 
+
+    def _visual_total_aggs(self, measure_outs: list[str], dtypes: dict):
+        """Re-aggregation columns for a visual-totals rollup of the grid.
+
+        Base measures re-aggregate by their own aggregator (sum of a
+        count is the parent count; sums re-widen to exact decimals so the
+        visible total is bit-identical across shuffle orders, the
+        visual_totals_regions discipline).  Calculated members recompute
+        their formula on the re-aggregated parent row.  avg /
+        distinct-count cells cannot re-aggregate exactly — raise instead
+        of silently re-summing."""
+        base_by_out = {m.out: m for m in self.cube.measures}
+        calc_by_out: dict = {}
+        for c in (*self._with, *self.cube.calculated_members):
+            calc_by_out.setdefault(c.out, c)
+        aggs, recompute = [], []
+        for out in measure_outs:
+            if out in base_by_out:
+                how = base_by_out[out].aggregator
+                if how == "sum":
+                    aggs.append(
+                        F.sum(F.col(out).cast("decimal(27,6)"))
+                        .cast(dtypes[out])
+                        .alias(out)
+                    )
+                elif how == "count":
+                    aggs.append(F.sum(out).cast(dtypes[out]).alias(out))
+                elif how == "min":
+                    aggs.append(F.min(out).alias(out))
+                elif how == "max":
+                    aggs.append(F.max(out).alias(out))
+                elif how == "avg":
+                    # reference parity: VisualTotals evaluates the parent
+                    # as Aggregate(children), which for an avg measure is
+                    # the average OF the child cell averages (not the
+                    # fact-grain average)
+                    aggs.append(F.avg(out).cast(dtypes[out]).alias(out))
+                else:
+                    raise QueryError(
+                        f"visual_totals cannot re-aggregate measure "
+                        f"{out!r} ({how}) from child cells — "
+                        "distinct-count totals need the fact grain"
+                    )
+            elif out in calc_by_out:
+                recompute.append((out, calc_by_out[out].expression))
+            else:
+                raise QueryError(
+                    f"visual_totals: unknown measure column {out!r}"
+                )
+        # recomputed formulas may reference base outs — they apply after
+        # the groupBy, in declaration order (solve-order approximation)
+        return aggs, recompute
 
     def _rewrite_current(self, df: DataFrame, cond: str, alias: str | None,
                          order: list, group_cols: list[str],

@@ -1152,6 +1152,33 @@ def ytd_axis_gate(spark, sf_dir):
 # §2.6 — set operations & generators
 # =====================================================================
 @q(
+    "union_intersect_mdx_gate",
+    f"""
+    SELECT r_name AS region_name, sum(l_quantity) AS sum_qty
+    FROM {_CUST_STAR}
+    WHERE r_name IN ('AFRICA', 'EUROPE') GROUP BY 1
+    """,
+)
+def union_intersect_mdx_gate(spark, sf_dir):
+    """UNION / INTERSECT function spellings in MDX text, nested
+    (jar!mondrian/olap/fun/UnionFunDef, IntersectFunDef):
+    INTERSECT(UNION({ASIA, AFRICA}, {AFRICA, EUROPE}), {AFRICA, EUROPE,
+    AMERICA}) = {AFRICA, EUROPE}."""
+    eng = get_engine(spark, sf_dir)
+    return eng.execute(
+        """
+        SELECT {[Measures].[Sum Qty]} ON COLUMNS,
+               INTERSECT(
+                 UNION({[Customer].[ASIA], [Customer].[AFRICA]},
+                       {[Customer].[AFRICA], [Customer].[EUROPE]}),
+                 {[Customer].[AFRICA], [Customer].[EUROPE],
+                  [Customer].[AMERICA]}) ON ROWS
+        FROM [Sales]
+        """
+    ).df
+
+
+@q(
     "except_regions",
     f"""
     SELECT r_name AS region_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
@@ -1530,24 +1557,60 @@ def set_intersect_active_nations(spark, sf_dir):
     """,
 )
 def visual_totals_regions(spark, sf_dir):
-    """VisualTotals: parent totals recomputed from *visible* children only
-    (jar!...VisualTotalsFunDef) — also demonstrates in-memory rollup of a
+    """VisualTotals through the public API: parent totals recomputed from
+    *visible* children only (jar!...VisualTotalsFunDef;
+    ``query.visual_totals()``) — also demonstrates in-memory rollup of a
     finer aggregate to a coarser one without rescanning the fact
-    (SURVEY.md §4 EnableInMemoryRollup)."""
-    nations = (
+    (SURVEY.md §4 EnableInMemoryRollup).  The visible-total re-aggregation
+    re-widens child cells to exact decimals, so the total is bit-identical
+    across shuffle orders (and engines)."""
+    grid = (
         Query(get_engine(spark, sf_dir))
         .columns("[Measures].[Sum Price]", "[Measures].[Avg Qty]")
         .rows("[Customer].[Nation].Members")
         .filter("avg_qty > 25.5")
+        .visual_totals()
         .execute()
         .df
     )
-    # re-widen the child cells to exact decimals for the visible-total
-    # re-aggregation: decimal addition is order-insensitive, so the visual
-    # total is bit-identical across shuffle orders (and engines)
-    return nations.groupBy("region_name").agg(
-        F.sum(F.col("sum_price").cast("decimal(18,2)")).cast("double").alias("visual_total")
+    return grid.filter(F.col("nation_name").isNull()).select(
+        "region_name", F.col("sum_price").alias("visual_total")
     )
+
+
+@q(
+    "visualtotals_mdx_gate",
+    f"""
+    WITH cells AS (
+      SELECT r_name AS region_name, n_name AS nation_name,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS sum_price
+      FROM {_CUST_STAR} GROUP BY 1, 2
+    ),
+    vis AS (SELECT * FROM cells WHERE sum_price > 90000000)
+    SELECT region_name, nation_name, sum_price FROM vis
+    UNION ALL
+    SELECT region_name, 'Total ' || region_name,
+           CAST(sum(CAST(sum_price AS DECIMAL(27,6))) AS DOUBLE)
+    FROM vis GROUP BY 1
+    """,
+)
+def visualtotals_mdx_gate(spark, sf_dir):
+    """VISUALTOTALS(set, 'pattern') as MDX TEXT
+    (jar!mondrian/olap/fun/VisualTotalsFunDef): parent totals from only
+    the filter-surviving children, with the parent caption rendered into
+    the child column ('*' = the parent member name)."""
+    eng = get_engine(spark, sf_dir)
+    return eng.execute(
+        """
+        SELECT {[Measures].[Sum Price]} ON COLUMNS,
+               VISUALTOTALS(
+                 FILTER([Customer].[Nation].Members,
+                        [Measures].[Sum Price] > 90000000),
+                 'Total *') ON ROWS
+        FROM [Sales]
+        """
+    ).df
 
 
 @q(
