@@ -71,16 +71,24 @@ def atomic_overwrite_dir(spark, path: str, write_fn) -> None:
     FileSystem API, so it works on any supported store.
     """
     fs, dest = _fs(spark, path)
-    if not fs.exists(dest):
-        write_fn(path)
-        return
     base = path.rstrip("/")
     jvm = spark._jvm
     HPath = jvm.org.apache.hadoop.fs.Path
     tmp, old = HPath(base + ".__tmp__"), HPath(base + ".__old__")
+    # crash between the two renames leaves dest missing with the last
+    # good copy in .__old__ — finish the interrupted swap by restoring it
+    # (the rebuild then runs through the protected path below, so a crash
+    # mid-rebuild still leaves a complete copy on disk)
+    if not fs.exists(dest) and fs.exists(old):
+        fs.rename(old, dest)
+    # stale cleanup runs BEFORE the dest-missing fast path so orphan
+    # .__tmp__/.__old__ directories from an earlier crash never persist
     for stale in (tmp, old):
         if fs.exists(stale):
             fs.delete(stale, True)
+    if not fs.exists(dest):
+        write_fn(path)
+        return
     write_fn(base + ".__tmp__")
     if not fs.rename(dest, old):
         raise IOError(f"atomic_overwrite_dir: could not move aside {path}")

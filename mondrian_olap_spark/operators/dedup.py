@@ -1318,21 +1318,33 @@ def ngram_collision_report(
     # gram totals and shared counts live in the same space
     cg = grams(corpus, "__cid").persist(StorageLevel.MEMORY_AND_DISK)
     hg = grams(heldout, "__hid")
+    # per-document distinct gram totals come from the UNFILTERED corpus
+    # table: n_grams is the document's real n-gram count whether or not
+    # the stop-shingle cap below drops hot grams from the join (otherwise
+    # the cap would silently inflate n_shared/n_grams ratios)
+    totals = cg.groupBy("__cid").agg(
+        F.countDistinct("__h").alias("n_grams")
+    )
     if max_shingle_df is not None:
-        combined = cg.select(F.col("__cid").alias("__id"), "__h").unionByName(
-            hg.select(F.col("__hid").alias("__id"), "__h")
+        # combined document frequency counts (side, id) pairs — corpus
+        # and held-out id spaces may overlap (an independent eval set
+        # often reuses small integer ids), and an id collision must not
+        # collapse two documents into one
+        combined = cg.select(
+            F.lit(0).alias("__side"), F.col("__cid").alias("__id"), "__h"
+        ).unionByName(
+            hg.select(
+                F.lit(1).alias("__side"), F.col("__hid").alias("__id"), "__h"
+            )
         )
         hot = (
             combined.groupBy("__h")
-            .agg(F.countDistinct("__id").alias("__df"))
+            .agg(F.countDistinct("__side", "__id").alias("__df"))
             .filter(F.col("__df") > int(max_shingle_df))
             .select("__h")
         )
         cg = cg.join(hot, "__h", "left_anti")
         hg = hg.join(hot, "__h", "left_anti")
-    totals = cg.groupBy("__cid").agg(
-        F.countDistinct("__h").alias("n_grams")
-    )
     hits = (
         cg.join(hg, "__h")
         .groupBy("__cid")

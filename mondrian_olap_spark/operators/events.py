@@ -498,11 +498,15 @@ def scd2_enrich_stream(
     version is resolved with a stream-static LEFT join against the
     BROADCAST dimension on ``key AND valid_from <= ts AND (valid_to IS
     NULL OR ts < valid_to)`` — stateless, append-safe, and the right
-    tool precisely because an SCD dimension is bounded (it broadcasts;
-    at-most-one version matches per fact row by construction when
-    versions don't overlap, so the join cannot fan out).  Same output
-    columns and NULL-gap semantics as the batch form; the batch/stream
-    pair is unit-pinned equal."""
+    tool precisely because an SCD dimension is bounded (it broadcasts).
+
+    PRECONDITION: version validity ranges must not overlap per key.
+    Then at most one version matches per fact row, the join cannot fan
+    out, and the output matches :func:`scd2_enrich` row-for-row (the
+    unit suite pins the pair equal on such dimensions).  On a DIRTY
+    dimension with overlapping ranges this range join emits one row per
+    matching version while the batch as-of picks exactly one — run
+    :func:`scd2_validate_dim` first when provenance is uncertain."""
     vc = value_cols or [
         c for c in dim.columns if c not in (key, valid_from, valid_to)
     ]
@@ -520,3 +524,38 @@ def scd2_enrich_stream(
         & (d["__vto"].isNull() | (facts[fact_ts] < d["__vto"]))
     )
     return facts.join(d, cond, "left").drop("__k", "__vf", "__vto")
+
+
+def scd2_validate_dim(
+    dim: DataFrame,
+    key: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Overlapping-version check for an SCD2 dimension — the
+    :func:`scd2_enrich_stream` precondition made checkable: per key in
+    ``valid_from`` order, a version that starts before its predecessor
+    ends (or before an open-ended ``valid_to IS NULL`` predecessor)
+    overlaps.  Returns the offending rows
+    ``(key, valid_from, valid_to, prev_valid_to)`` — empty means clean.
+    One window over the dimension (bounded by definition), so the check
+    costs nothing at any fact scale."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(valid_from)
+    prev_to = F.lag(F.col(valid_to)).over(w)
+    prev_from = F.lag(F.col(valid_from)).over(w)
+    overlap = prev_from.isNotNull() & (
+        prev_to.isNull() | (F.col(valid_from) < prev_to)
+    )
+    return (
+        dim.withColumn("__prev_to", prev_to)
+        .withColumn("__overlap", overlap)
+        .filter(F.col("__overlap"))
+        .select(
+            key,
+            valid_from,
+            valid_to,
+            F.col("__prev_to").alias("prev_valid_to"),
+        )
+    )

@@ -104,9 +104,12 @@ def value_histogram(
 
     Binning is the fixed-order IEEE expression
     ``floor((x - lo) / (hi - lo) * bins)`` clamped into ``[0, bins-1]``
-    (values at/beyond the edges land in the end bins; NULLs are
-    dropped), so two engines computing it agree bit-for-bit and the
-    artifact is layout-independent.  Returns ``(group…, bin, n)``.
+    (values at/beyond the edges land in the end bins; NULLs AND NaNs are
+    dropped — a NaN is not a value in the range, and under Spark's
+    greatest/least NaN ordering it would otherwise silently inflate the
+    top bin and skew high quantiles), so two engines computing it agree
+    bit-for-bit and the artifact is layout-independent.  Returns
+    ``(group…, bin, n)``.
 
     One aggregation shuffle of at most groups × bins cells with map-side
     partial combine.  Quantiles derive from the histogram with error
@@ -125,7 +128,7 @@ def value_histogram(
     clamped = F.least(F.lit(float(bins)), F.greatest(F.lit(0.0), scaled))
     b = F.least(F.lit(bins - 1), F.floor(clamped).cast("int"))
     return (
-        df.filter(x.isNotNull())
+        df.filter(x.isNotNull() & ~F.isnan(x))
         .select(*gcols, b.alias("bin"))
         .groupBy(*gcols, "bin")
         .agg(F.count("*").alias("n"))

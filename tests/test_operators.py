@@ -3352,6 +3352,37 @@ def test_write_bloom_overwrite_is_crash_safe(spark, tmp_path):
     assert not os.path.exists(path + ".__old__")
 
 
+def test_overwrite_restores_orphaned_old_copy(spark, tmp_path):
+    """Crash BETWEEN the two swap renames leaves dest missing and the
+    last good copy at .__old__ — the next write must restore it (finish
+    the interrupted swap) and leave no orphan directories, instead of
+    rebuilding blind while the orphans persist forever."""
+    import os
+    import shutil
+
+    m, k = 62 * 4, 3
+    d1 = spark.createDataFrame(
+        [Row(doc_id=i, text=f"gen one doc {i}") for i in range(5)]
+    )
+    path = str(tmp_path / "bloom")
+    bm1 = dedup.bloom_build(d1, m_bits=m, k=k)
+    dedup.write_bloom(bm1, path, m, k)
+    # simulate the crash window: dest moved aside, replacement never landed
+    shutil.move(path, path + ".__old__")
+    assert not os.path.exists(path)
+    d2 = spark.createDataFrame(
+        [Row(doc_id=100 + i, text=f"gen two doc {i}") for i in range(5)]
+    )
+    bm2 = dedup.bloom_build(d1.unionByName(d2), m_bits=m, k=k)
+    dedup.write_bloom(bm2, path, m, k)
+    got, m2, k2 = dedup.read_bloom(spark, path)
+    assert (m2, k2) == (m, k)
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, bm2.collect()))
+    assert not os.path.exists(path + ".__tmp__")
+    assert not os.path.exists(path + ".__old__")
+
+
 def test_ingest_state_mutation_order_is_crash_safe(spark, tmp_path,
                                                    monkeypatch):
     """ingest_batch folds the Bloom bitmap BEFORE appending the
@@ -4399,6 +4430,25 @@ def test_ngram_collision_report(spark):
     assert r(corpus2, heldout2, n=8, max_shingle_df=5).count() == 0
 
 
+def test_ngram_collision_overlapping_id_spaces(spark):
+    """Corpus and held-out id spaces may overlap (independent eval sets
+    reuse small integer ids): the combined document frequency must count
+    (side, id) pairs, so identical ids on the two sides stay distinct
+    documents for the stop-shingle cap."""
+    from mondrian_olap_spark.operators.dedup import ngram_collision_report as r
+
+    boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    corpus = spark.createDataFrame(
+        [(i, boiler) for i in range(10)], "doc_id long, text string"
+    )
+    heldout = spark.createDataFrame(  # SAME ids as the corpus
+        [(i, boiler) for i in range(10)], "doc_id long, text string"
+    )
+    # 20 distinct (side, id) pairs > cap 15 → the gram is dropped, even
+    # though each side alone has only 10 distinct raw ids
+    assert r(corpus, heldout, n=8, max_shingle_df=15).count() == 0
+
+
 def test_value_histogram_and_quantiles(spark, tmp_path):
     from mondrian_olap_spark.operators import sketches
 
@@ -4482,6 +4532,40 @@ def test_scd2_enrich_versions_and_gaps(spark):
     assert got == {1: None, 2: "v1", 3: "v1", 4: "v2", 5: None, 6: "v3", 7: None}
 
 
+def test_scd2_validate_dim_flags_overlaps(spark):
+    """scd2_validate_dim: the scd2_enrich_stream non-overlap precondition
+    made checkable — overlapping and open-ended-shadowed versions are
+    flagged, clean dimensions return empty."""
+    from datetime import datetime
+
+    from mondrian_olap_spark.operators.events import scd2_validate_dim
+
+    clean = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1), datetime(2024, 1, 10), "v1"),
+            (1, datetime(2024, 1, 10), None, "v2"),
+        ],
+        "k long, valid_from timestamp, valid_to timestamp, name string",
+    )
+    assert scd2_validate_dim(clean, key="k").count() == 0
+    dirty = spark.createDataFrame(
+        [
+            # v2 starts before v1 ends → overlap
+            (1, datetime(2024, 1, 1), datetime(2024, 1, 10), "v1"),
+            (1, datetime(2024, 1, 5), datetime(2024, 1, 15), "v2"),
+            # open-ended v1 shadows everything after it
+            (2, datetime(2024, 1, 1), None, "v1"),
+            (2, datetime(2024, 2, 1), None, "v2"),
+        ],
+        "k long, valid_from timestamp, valid_to timestamp, name string",
+    )
+    bad = scd2_validate_dim(dirty, key="k").collect()
+    assert {(r.k, r.valid_from) for r in bad} == {
+        (1, datetime(2024, 1, 5)),
+        (2, datetime(2024, 2, 1)),
+    }
+
+
 def test_streaming_histogram_maintenance(spark, tmp_path):
     """Histogram artifact maintenance under Structured Streaming:
     foreachBatch folds each micro-batch into the persisted artifact via
@@ -4557,8 +4641,10 @@ def test_value_histogram_extreme_outliers_no_overflow(spark):
         "id long, v double",
     )
     counts = {r.bin: r.n for r in sketches.value_histogram(df, "v", 0.0, 10.0, 4).collect()}
-    # 1e20 and NaN land in the top bin, -1e20 in bin 0, 5.0 in bin 2
-    assert counts == {3: 2, 0: 1, 2: 1}
+    # 1e20 clamps into the top bin, -1e20 into bin 0, 5.0 in bin 2;
+    # NaN is dropped like NULL (not a value in the range — counting it
+    # in the top bin would silently skew high quantiles)
+    assert counts == {3: 1, 0: 1, 2: 1}
 
 
 def test_lsh_parameters_tuning(spark):
