@@ -1152,6 +1152,81 @@ def ytd_axis_gate(spark, sf_dir):
 # §2.6 — set operations & generators
 # =====================================================================
 @q(
+    "catalog_xml_import_gate",
+    f"""
+    SELECT r_name AS region, n_name AS nation,
+           sum(l_quantity) AS sum_qty,
+           count(l_orderkey) AS order_count,
+           sum(l_quantity) / count(l_orderkey) AS qty_per_order
+    FROM {_CUST_STAR} GROUP BY 1, 2
+    """,
+)
+def catalog_xml_import_gate(spark, sf_dir):
+    """Mondrian XML catalog importer end-to-end (catalog_xml.
+    from_mondrian_xml; schema.rb:53-489 element inventory, fixture
+    test/fixtures/MondrianTest.xml): a cube declared in Mondrian XML —
+    nested snowflake <Join>s, <DimensionUsage>, <Measure>s, a
+    <CalculatedMember> whose [Measures].[X] formula refs rewrite to
+    output aliases — builds a live engine whose star-join answers are
+    oracle-exact."""
+    from .catalog_xml import from_mondrian_xml
+    from .star import CubeEngine, read_parquet_table
+
+    schema, _ = from_mondrian_xml(
+        '''<?xml version="1.0"?>
+        <Schema name="TpchXml">
+          <Dimension name="Customer">
+            <Hierarchy hasAll="true" primaryKey="o_orderkey">
+              <Join leftKey="o_custkey" rightKey="c_custkey">
+                <Table name="orders"/>
+                <Join leftKey="c_nationkey" rightKey="n_nationkey">
+                  <Table name="customer"/>
+                  <Join leftKey="n_regionkey" rightKey="r_regionkey">
+                    <Table name="nation"/>
+                    <Table name="region"/>
+                  </Join>
+                </Join>
+              </Join>
+              <Level name="Region" column="r_name"/>
+              <Level name="Nation" column="n_name"/>
+            </Hierarchy>
+          </Dimension>
+          <Cube name="Sales">
+            <Table name="lineitem"/>
+            <DimensionUsage name="Customer" source="Customer"
+                foreignKey="l_orderkey"/>
+            <Measure name="Sum Qty" column="l_quantity" aggregator="sum"/>
+            <Measure name="Order Count" column="l_orderkey"
+                aggregator="count"/>
+            <CalculatedMember name="Qty Per Order" dimension="Measures"
+                formula="[Measures].[Sum Qty] / [Measures].[Order Count]"/>
+          </Cube>
+        </Schema>'''
+    )
+    cube = schema.cube("Sales")
+    names = {cube.fact} | {
+        t
+        for d in cube.dimensions
+        for t in [d.table, *[j.table for j in d.joins]]
+        if t
+    }
+    tables = {
+        n: read_parquet_table(spark, f"{sf_dir}/{n}.parquet") for n in names
+    }
+    eng = CubeEngine(cube, tables)
+    return (
+        Query(eng)
+        .columns(
+            "[Measures].[Sum Qty]", "[Measures].[Order Count]",
+            "[Measures].[Qty Per Order]",
+        )
+        .rows("[Customer].[Nation].Members")
+        .execute()
+        .df
+    )
+
+
+@q(
     "union_intersect_mdx_gate",
     f"""
     SELECT r_name AS region_name, sum(l_quantity) AS sum_qty

@@ -1,0 +1,186 @@
+"""Mondrian XML catalog importer (catalog_xml.from_mondrian_xml;
+lib/mondrian/olap/schema.rb:53-489 element inventory, golden fixture
+/root/reference/test/fixtures/MondrianTest.xml)."""
+
+import pytest
+
+from mondrian_olap_spark.catalog_xml import (
+    build_virtual_cube,
+    from_mondrian_xml,
+)
+from mondrian_olap_spark.query import Query
+from mondrian_olap_spark.star import CubeEngine, read_parquet_table
+
+FIXTURE = "/root/reference/test/fixtures/MondrianTest.xml"
+
+
+@pytest.fixture(scope="module")
+def fixture_schema():
+    return from_mondrian_xml(FIXTURE)
+
+
+def test_fixture_schema_structure(fixture_schema):
+    schema, virtuals = fixture_schema
+    assert schema.name == "MondrianTest"
+    # Time's second hierarchy becomes its own dimension (Time.Weekly)
+    assert [d.name for d in schema.dimensions] == [
+        "Time", "Time.Weekly", "Product", "Customers",
+    ]
+    weekly = schema.dimension("Time.Weekly")
+    assert [lv.name for lv in weekly.levels] == ["Year", "Week", "Day"]
+    assert weekly.has_all is True
+    time = schema.dimension("Time")
+    assert time.has_all is False
+    assert [lv.level_type for lv in time.levels] == [
+        "TimeYears", "TimeQuarters", "TimeMonths",
+    ]
+    # snowflake Join → base table + link chain
+    product = schema.dimension("Product")
+    assert product.table == "products"
+    assert [(j.left_key, j.table, j.right_key) for j in product.joins] == [
+        ("product_class_id", "product_classes", "id")
+    ]
+    # expressions pick the GENERIC dialect SQL
+    cust = schema.dimension("Customers")
+    name_level = cust.levels[-1]
+    assert name_level.caption == "fullname"
+    assert name_level.ordinal == "fullname"
+    assert dict(name_level.properties) == {
+        "Gender": "gender", "Description": "description",
+    }
+    assert schema.cube_names == ["Sales", "Warehouse"]
+    assert [v.name for v in virtuals] == ["Sales and Warehouse"]
+
+
+def test_fixture_sales_cube(fixture_schema):
+    schema, _ = fixture_schema
+    sales = schema.cube("Sales")
+    assert sales.fact == "sales"
+    assert sales.default_measure == "Unit Sales"
+    dim_names = [d.name for d in sales.dimensions]
+    # DimensionUsage binds every hierarchy of the shared dimension
+    assert dim_names == [
+        "Time", "Time.Weekly", "Product", "Customers", "Gender",
+    ]
+    assert schema.cube("Sales").dimension("Time").foreign_key == "time_id"
+    gender = sales.dimension("Gender")
+    assert gender.foreign_key == "customer_id" and gender.table == "customers"
+    assert [m.name for m in sales.measures] == [
+        "Unit Sales", "Store Cost", "Store Sales", "Sales Count",
+        "Customer Count",
+    ]
+    assert sales.measure("Customer Count").aggregator == "distinct-count"
+    # calc member formulas rewrite [Measures].[X] to output aliases
+    calcs = {c.name: c for c in sales.calculated_members}
+    assert calcs["Profit"].expression == "store_sales - store_cost"
+    assert calcs["Profit"].format_string == "$#,##0.00"
+    # later members reference earlier ones by alias
+    assert "profit_last_period" in calcs["Profit Growth"].expression
+    # the PrevMember tuple cannot lower statically — passes through
+    assert "PREVMEMBER" in calcs["Profit last Period"].expression
+
+
+def test_fixture_warehouse_measure_expression(fixture_schema):
+    schema, _ = fixture_schema
+    wh = schema.cube("Warehouse")
+    m = wh.measure("Products with units shipped")
+    assert m.aggregator == "distinct-count"
+    assert "CASE WHEN units_shipped IS NOT NULL" in m.expression
+
+
+def test_fixture_virtual_cube_and_role(fixture_schema):
+    schema, virtuals = fixture_schema
+    v = virtuals[0]
+    assert ("Sales", "Unit Sales") in v.measures
+    assert ("Warehouse", "Units Shipped") in v.measures
+    assert ("Gender", "Sales") in v.dimensions
+    role = schema.role("Mexico manager")
+    g = role.grants[0]
+    assert (g.dimension, g.path, g.access) == ("Customers", ("Mexico",), "all")
+
+
+TPCH_XML = """<?xml version="1.0"?>
+<Schema name="TpchXml">
+  <Dimension name="Customer">
+    <Hierarchy hasAll="true" primaryKey="o_orderkey">
+      <Join leftKey="o_custkey" rightKey="c_custkey">
+        <Table name="orders"/>
+        <Join leftKey="c_nationkey" rightKey="n_nationkey">
+          <Table name="customer"/>
+          <Join leftKey="n_regionkey" rightKey="r_regionkey">
+            <Table name="nation"/>
+            <Table name="region"/>
+          </Join>
+        </Join>
+      </Join>
+      <Level name="Region" column="r_name"/>
+      <Level name="Nation" column="n_name"/>
+    </Hierarchy>
+  </Dimension>
+  <Cube name="Sales">
+    <Table name="lineitem"/>
+    <DimensionUsage name="Customer" source="Customer" foreignKey="l_orderkey"/>
+    <Measure name="Sum Qty" column="l_quantity" aggregator="sum"/>
+    <Measure name="Order Count" column="l_orderkey" aggregator="count"/>
+    <CalculatedMember name="Qty Per Order" dimension="Measures"
+        formula="[Measures].[Sum Qty] / [Measures].[Order Count]"/>
+  </Cube>
+</Schema>
+"""
+
+
+def test_imported_model_matches_dsl_engine(spark, engine):
+    """An engine built from the XML-imported model answers the flagship
+    star join bit-for-bit like the DSL-built engine (the VERDICT's
+    done-criterion for the importer)."""
+    import os
+
+    schema, _ = from_mondrian_xml(TPCH_XML)
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    cube = schema.cube("Sales")
+    names = {cube.fact} | {
+        t
+        for d in cube.dimensions
+        for t in [d.table, *[j.table for j in d.joins]]
+        if t
+    }
+    tables = {
+        n: read_parquet_table(spark, f"{sf_dir}/{n}.parquet") for n in names
+    }
+    xml_eng = CubeEngine(cube, tables)
+    got = (
+        Query(xml_eng)
+        .columns(
+            "[Measures].[Sum Qty]", "[Measures].[Order Count]",
+            "[Measures].[Qty Per Order]",
+        )
+        .rows("[Customer].[Nation].Members")
+        .execute()
+        .df.collect()
+    )
+    want = (
+        Query(engine)
+        .columns("[Measures].[Sum Qty]", "[Measures].[Count Order]")
+        .rows("[Customer].[Nation].Members")
+        .execute()
+        .df.collect()
+    )
+    got_m = {
+        (r["region"], r["nation"]): (r["sum_qty"], r["order_count"])
+        for r in got
+    }
+    want_m = {
+        (r["region_name"], r["nation_name"]): (r["sum_qty"], r["count_order"])
+        for r in want
+    }
+    assert got_m == want_m  # bit-for-bit (exact equality, no tolerance)
+    for r in got:
+        assert r["qty_per_order"] == r["sum_qty"] / r["order_count"]
+
+
+def test_virtual_cube_binding_requires_engines():
+    _, virtuals = from_mondrian_xml(FIXTURE)
+    with pytest.raises(KeyError, match="needs an engine"):
+        build_virtual_cube(virtuals[0], engines={})
