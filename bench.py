@@ -127,6 +127,15 @@ HEADLINE = [
     "sketch_histogram_append_gate",
     "events_scd2_enrich",
     "web_curation_chain_gate",
+    # round-9 operators
+    "linreg_formula_text_gate",
+    "setstat_formula_text_gate",
+    "ytd_mdx_gate",
+    "parallelperiod_mdx_gate",
+    "ytd_axis_gate",
+    "visualtotals_mdx_gate",
+    "union_intersect_mdx_gate",
+    "catalog_xml_import_gate",
 ]
 
 
