@@ -2188,6 +2188,13 @@ class Query:
                     and c != child_col
                     and c not in (measure_outs or [])
                 ]
+                # the visible grid feeds BOTH union branches (child rows
+                # verbatim + the parent re-aggregation) — eagerly
+                # materialize the axis-sized frame once, or each branch
+                # re-runs the whole fact scan (localCheckpoint blocks are
+                # released by the ContextCleaner, the repo's standard
+                # self-reuse discipline)
+                df = df.localCheckpoint(eager=True)
                 # only deepest-grain rows feed the totals (drilldown
                 # parents / totals rows carry NULL in the child column)
                 src = df.filter(F.col(child_col).isNotNull())

@@ -688,6 +688,77 @@ def main() -> int:
         f"joins: {joins}",
     )
 
+    # 37. Ytd(member) axis set plans as an ordinal-BETWEEN predicate —
+    #     the to-date range reaches the scan as a filter, never an
+    #     enumerated member IN-list (query.periods_to_date lowering)
+    from mondrian_olap_spark.mdx import execute_mdx
+
+    r = execute_mdx(
+        eng,
+        """
+        SELECT {[Measures].[Sum Qty]} ON COLUMNS,
+               Ytd([Time].[1995].[Q2].[5]) ON ROWS FROM [Sales]
+        """,
+    )
+    p = plan_str(r.df)
+    has_between = bool(
+        re.search(r"month\(.*\)\s*(>=|<=)|\(month.*>= 1\b", p)
+    ) or (">= 1" in p and "<= 5" in p)
+    check(
+        "timeintel.ytd_axis_plans_as_ordinal_between",
+        has_between and "o_orderdate" in p,
+        p[:1500],
+    )
+
+    # 38. a formula block of set statistics over ONE set shares a single
+    #     sub-aggregate: exactly one extra lineitem scan beyond the grid's
+    #     own, not one per statistic
+    r = execute_mdx(
+        eng,
+        """
+        WITH MEMBER [Measures].[A] AS 'Median([Customer].[Region].Members, [Measures].[Sum Qty])'
+        MEMBER [Measures].[B] AS 'Stdev([Customer].[Region].Members, [Measures].[Sum Qty])'
+        MEMBER [Measures].[C] AS 'Max([Customer].[Region].Members, [Measures].[Sum Qty])'
+        SELECT {[Measures].[A], [Measures].[B], [Measures].[C]} ON COLUMNS,
+               [Time].[Year].Members ON ROWS FROM [Sales]
+        """,
+    )
+    p = plan_str(r.df)
+    n_fact_scans = len(fact_scan_lines(p, "lineitem"))
+    check(
+        "setstat.shared_set_shares_one_subaggregate",
+        n_fact_scans == 2,
+        f"{n_fact_scans} lineitem scans (want grid + ONE shared sub-plan)",
+    )
+
+    # 39. visual_totals re-aggregates the grid in memory — adding it must
+    #     not add a fact scan (parent totals come from visible child rows)
+    base = (
+        Query(eng)
+        .columns("[Measures].[Sum Price]")
+        .rows("[Customer].[Nation].Members")
+        .filter("sum_price > 1000")
+    )
+    p_plain = plan_str(base.execute().df)
+    base_vt = (
+        Query(eng)
+        .columns("[Measures].[Sum Price]")
+        .rows("[Customer].[Nation].Members")
+        .filter("sum_price > 1000")
+        .visual_totals()
+    )
+    p_vt = plan_str(base_vt.execute().df)
+    # the checkpointed grid feeds both union branches, so the VT plan
+    # shows ≤ the plain plan's fact scans (0 = reads the materialized
+    # grid; >1 would mean the parent branch re-ran the fact scan)
+    check(
+        "visualtotals.no_extra_fact_scan",
+        len(fact_scan_lines(p_vt, "lineitem"))
+        <= len(fact_scan_lines(p_plain, "lineitem")),
+        f"{len(fact_scan_lines(p_vt, 'lineitem'))} vs "
+        f"{len(fact_scan_lines(p_plain, 'lineitem'))} lineitem scans",
+    )
+
     print(f"\n{len(failures)} failed properties" if failures else "\nall plan properties hold")
     return 1 if failures else 0
 
