@@ -2832,6 +2832,8 @@ class MdxParser:
 
         def _parse_set_arg(s: str):
             """→ member identifier strings, or None when not set-shaped."""
+            from .members import parse_identifier
+
             s = s.strip()
             if s.startswith("{") and s.endswith("}"):
                 inner = s[1:-1]
@@ -2847,6 +2849,18 @@ class MdxParser:
                 re.IGNORECASE,
             ):
                 return (re.sub(r"\s", "", s),)
+            # a WITH SET name splices its member list (plain-list sets
+            # only — a computed set would need deferred evaluation)
+            if re.fullmatch(_id_pat, s):
+                segs = parse_identifier(s)
+                ns = getattr(self, "named_sets", {}).get(segs[0].lower())
+                if (
+                    len(segs) == 1
+                    and ns is not None
+                    and not ns.ops
+                    and not ns.set_ops
+                ):
+                    return tuple(ns.base)
             return None
 
         def _register_stat(fn, exprs, member_strs, arg, nan_wrap):

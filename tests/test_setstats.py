@@ -169,6 +169,27 @@ def test_stat_scalar_under_totals(engine):
     assert by_year[None] != pytest.approx(sum(detail) / len(detail))
 
 
+def test_named_set_as_stat_argument(engine):
+    # WITH SET names splice their member lists into stat set arguments
+    r = execute_mdx(
+        engine,
+        """
+        WITH SET [TwoRegions] AS '{[Customer].[ASIA], [Customer].[AFRICA]}'
+        MEMBER [Measures].[MaxTwo] AS 'Max([TwoRegions], [Measures].[Sum Qty])'
+        SELECT {[Measures].[MaxTwo]} ON COLUMNS FROM [Sales]
+        """,
+    )
+    lit = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[MaxTwo] AS
+          'Max({[Customer].[ASIA], [Customer].[AFRICA]}, [Measures].[Sum Qty])'
+        SELECT {[Measures].[MaxTwo]} ON COLUMNS FROM [Sales]
+        """,
+    )
+    assert r.df.collect()[0]["max_two"] == lit.df.collect()[0]["max_two"]
+
+
 # ----------------------------------------------------------- error paths
 def test_sum_without_expr_is_an_error(engine):
     with pytest.raises(MdxError, match="Aggregate"):
