@@ -151,6 +151,28 @@ def stat_column(output: str, fn: str, *exprs: str, arg: float | None = None) -> 
             raise ValueError("percentile takes one expression")
         # jar!...PercentileFunDef — exact continuous percentile
         return F.percentile(F.expr(exprs[0]), F.lit(arg)).alias(output)
+    if name == "dpercentile":
+        # TYPE-1 percentile: an ACTUAL element (the ceil(p·n)-th value in
+        # order), integer index arithmetic — interpolated (type-7)
+        # percentiles differ in the last ulp between engines whenever the
+        # float index product lands on a rounding boundary (the
+        # cross-engine quantile trap), so hash-gated paths use this
+        if arg is None or not (0.0 < float(arg) <= 1.0):
+            raise ValueError("dpercentile requires arg in (0, 1]")
+        if len(exprs) != 1:
+            raise ValueError("dpercentile takes one expression")
+        e = F.expr(exprs[0])
+        # index = ceil(p·n) over non-null values, via pure-integer
+        # arithmetic on per-mille units: idx = ceil(pm·n / 1000)
+        pm = int(round(float(arg) * 1000))
+        if abs(pm - float(arg) * 1000) > 1e-9:
+            raise ValueError("dpercentile supports per-mille p only")
+        n = F.count(e)
+        idx = (F.lit(pm) * n + F.lit(999)) / F.lit(1000)
+        return F.get(
+            F.array_sort(F.collect_list(e)),
+            F.floor(idx).cast("int") - F.lit(1),
+        ).alias(output)
     if name in _UNARY:
         if len(exprs) != 1:
             raise ValueError(f"{fn} takes one expression")
@@ -176,7 +198,7 @@ def set_aggregate(
     cols = []
     for st in stats:
         name = st[1].lower()
-        if name == "percentile":
+        if name in ("percentile", "dpercentile"):
             cols.append(stat_column(st[0], st[1], st[2], arg=st[3]))
         elif name == "linregpoint":
             cols.append(stat_column(st[0], st[1], st[2], st[3], arg=st[4]))

@@ -633,6 +633,7 @@ def linreg_formula_text_gate(spark, sf_dir):
     stats AS (
       SELECT c.y AS o_year,
              median(c.sq) AS median_region_qty,
+             quantile_cont(c.sq, 0.75) AS p75_region_qty,
              max(c.sq) AS max_region_qty,
              min(c.sq) AS min_region_qty,
              avg(c.sq) AS avg_region_qty,
@@ -656,7 +657,8 @@ def linreg_formula_text_gate(spark, sf_dir):
              / count(c.sq) AS cov_qty_rank
       FROM cells c JOIN ranks r USING (r_name) GROUP BY 1
     )
-    SELECT b.o_year, b.sum_qty, s.median_region_qty, s.max_region_qty,
+    SELECT b.o_year, b.sum_qty, s.median_region_qty, s.p75_region_qty,
+           s.max_region_qty,
            s.min_region_qty, s.avg_region_qty, s.sum_region_qty,
            s.nonempty_region_qty, s.stdev_region_qty, s.var_p_region_qty,
            s.corr_qty_rank, s.cov_qty_rank,
@@ -680,6 +682,7 @@ def setstat_formula_text_gate(spark, sf_dir):
     return eng.execute(
         f"""
         WITH MEMBER [Measures].[Median Region Qty] AS 'Median({regions}, {qty})'
+        MEMBER [Measures].[P75 Region Qty] AS 'Percentile({regions}, {qty}, 75)'
         MEMBER [Measures].[Max Region Qty] AS 'Max({regions}, {qty})'
         MEMBER [Measures].[Min Region Qty] AS 'Min({regions}, {qty})'
         MEMBER [Measures].[Avg Region Qty] AS 'Avg({regions}, {qty})'
@@ -691,6 +694,7 @@ def setstat_formula_text_gate(spark, sf_dir):
         MEMBER [Measures].[Cov Qty Rank] AS 'Covariance({regions}, {qty})'
         MEMBER [Measures].[Region Count] AS 'Count({regions})'
         SELECT {{[Measures].[Sum Qty], [Measures].[Median Region Qty],
+                [Measures].[P75 Region Qty],
                 [Measures].[Max Region Qty], [Measures].[Min Region Qty],
                 [Measures].[Avg Region Qty], [Measures].[Sum Region Qty],
                 [Measures].[Nonempty Region Qty], [Measures].[Stdev Region Qty],

@@ -169,6 +169,24 @@ def test_stat_scalar_under_totals(engine):
     assert by_year[None] != pytest.approx(sum(detail) / len(detail))
 
 
+def test_dpercentile_is_type1_element(spark):
+    """dpercentile returns an ACTUAL element (ceil(p·n)-th in order) via
+    pure-integer index arithmetic — the hash-gateable alternative to the
+    interpolated type-7 percentile (cross-engine quantile trap)."""
+    from mondrian_olap_spark.functions.stats import set_aggregate
+
+    df = spark.createDataFrame(
+        [(1, float(v)) for v in [10, 20, 30, 40]], "g int, v double"
+    )
+    row = set_aggregate(
+        df, ["g"],
+        [("p50", "dpercentile", "v", 0.5), ("p90", "dpercentile", "v", 0.9)],
+    ).collect()[0]
+    # ceil(0.5·4)=2nd element, ceil(0.9·4)=4th element — elements, never
+    # interpolations
+    assert (row["p50"], row["p90"]) == (20.0, 40.0)
+
+
 def test_named_set_as_stat_argument(engine):
     # WITH SET names splice their member lists into stat set arguments
     r = execute_mdx(
