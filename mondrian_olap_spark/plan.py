@@ -342,19 +342,25 @@ class Planner:
         # formulas can reference it like any measure alias
         for spec in self.tuple_scalars:
             agg = self._attach_tuple_scalar(agg, spec, axes, slicer, totals)
-        for spec in self.agg_scalars:
-            agg = self._attach_agg_scalar(agg, spec, axes, slicer, totals)
-        # set statistics over the SAME set share one sub-aggregate, one
-        # collapse, and one broadcast attach — a formula block computing
-        # Median+Stdev+Correlation over one level costs one sub-plan
-        stat_groups: dict = {}
-        for spec in self.stat_scalars:
-            key = tuple(
+        # scalar attachments over the SAME set share one sub-aggregate,
+        # one collapse, and one broadcast attach — a formula block
+        # computing several Aggregate()/Median/Stdev/… scalars over one
+        # level costs one sub-plan per distinct set, not one per scalar
+        def _refs_key(refs):
+            return tuple(
                 (r.dimension.name, r.depth, r.path, r.kind,
                  r.ordinal_range, r.range_depth)
-                for r in spec[3]
+                for r in refs
             )
-            stat_groups.setdefault(key, []).append(spec)
+
+        agg_groups: dict = {}
+        for spec in self.agg_scalars:
+            agg_groups.setdefault(_refs_key(spec[2]), []).append(spec)
+        for specs in agg_groups.values():
+            agg = self._attach_agg_scalar(agg, specs, axes, slicer, totals)
+        stat_groups: dict = {}
+        for spec in self.stat_scalars:
+            stat_groups.setdefault(_refs_key(spec[3]), []).append(spec)
         for specs in stat_groups.values():
             agg = self._attach_stat_scalar(agg, specs, axes, slicer, totals)
 
@@ -466,12 +472,14 @@ class Planner:
             return agg.join(F.broadcast(sub), on=sub_cols, how="left")
         return null_safe_attach(sub)
 
-    def _attach_agg_scalar(self, agg, spec, axes, slicer, totals=None):
+    def _attach_agg_scalar(self, agg, specs, axes, slicer, totals=None):
         """``Aggregate({m1, m2}, expr)`` in a Measures formula
         (mondrian_test.rb:222-228; jar!mondrian/olap/fun/AggregateFunDef
         expression form): ``expr`` evaluated per set member — each member's
         cells recomputed exactly at the remaining grain — then summed over
         the set (Mondrian's additive combine for the expression form).
+        ``specs`` is the GROUP of Aggregate scalars sharing one set; they
+        share the sub-aggregate, the collapse, and the broadcast attach.
 
         Spark lowering: one sub-aggregate at (grid grain MINUS overridden
         dims) × the set dimension's level over ALL base measures, expr as
@@ -492,7 +500,8 @@ class Planner:
         row never merges with a marker row (the downstream dup probe in
         _broadcast_attach then falls back to the plain equality join:
         totals rows get NULL, never a wrong value)."""
-        out, expr_sql, refs = spec
+        refs = specs[0][2]
+        all_exprs = tuple(sp[1] for sp in specs)
         overridden = {r.dimension.name for r in refs}
         sub_axes = [
             [s for s in axis if s.dimension.name not in overridden]
@@ -511,7 +520,7 @@ class Planner:
         kept_slicer = [
             s for s in slicer if s.dimension.name not in overridden
         ]
-        calcs = self._scalar_safe_calcs((expr_sql,), "Aggregate(set, expr)")
+        calcs = self._scalar_safe_calcs(all_exprs, "Aggregate(set, expr)")
         sub_planner = Planner(self.engine, extra_measures=tuple(calcs))
         sub_planner._emit_grain = totals is not None
         base = list(self.cube.measures) + calcs
@@ -522,25 +531,23 @@ class Planner:
             lv.out for r in refs for lv in r.dimension.levels
         }
         rem_cols = [c for c in sub_cols if c not in set_outs]
-        sub = sub.withColumn(out, F.expr(expr_sql))
+        for out, expr_sql, _refs in specs:
+            sub = sub.withColumn(out, F.expr(expr_sql))
+        outs = [sp[0] for sp in specs]
+        sums = [F.sum(o).alias(o) for o in outs]
         if totals is None:
-            if rem_cols:
-                sub = sub.groupBy(*rem_cols).agg(F.sum(out).alias(out))
-            else:
-                sub = sub.agg(F.sum(out).alias(out))
-            return self._broadcast_attach(agg, sub, rem_cols, out, totals)
+            sub = sub.groupBy(*rem_cols).agg(*sums) if rem_cols else sub.agg(*sums)
+            return self._broadcast_attach(agg, sub, rem_cols, outs, totals)
         # drop rows whose SET dims are rolled up: set cols are the first
         # grouping columns, i.e. the most-significant grouping_id bits
         sub = sub.filter(F.col("__grain") < F.lit(2 ** len(rem_cols)))
         if rem_cols:
             sub = (
-                sub.groupBy("__grain", *rem_cols)
-                .agg(F.sum(out).alias(out))
-                .drop("__grain")
+                sub.groupBy("__grain", *rem_cols).agg(*sums).drop("__grain")
             )
         else:
-            sub = sub.agg(F.sum(out).alias(out))
-        return self._broadcast_attach(agg, sub, rem_cols, out, totals)
+            sub = sub.agg(*sums)
+        return self._broadcast_attach(agg, sub, rem_cols, outs, totals)
 
     def _scalar_safe_calcs(self, expr_sqls: tuple, what: str) -> list:
         """Calculated members safe to compute inside a scalar sub-plan.
