@@ -108,6 +108,9 @@ def _parse_level(el: ET.Element) -> Level:
     return Level(
         el.get("name"),
         key,
+        # lossless extension written by to_mondrian_xml (Mondrian
+        # ignores unknown attributes)
+        output=el.get("output"),
         ordinal=_sql_text(el, "OrdinalExpression") or el.get("ordinalColumn"),
         caption=_sql_text(el, "NameExpression")
         or _sql_text(el, "CaptionExpression")
@@ -239,6 +242,7 @@ def _parse_measure(el: ET.Element) -> Measure:
         el.get("name"),
         expr,
         aggregator=el.get("aggregator", "sum"),
+        output=el.get("output"),
         format_string=el.get("formatString"),
         description=el.get("description"),
         caption=el.get("caption"),
@@ -425,6 +429,187 @@ def from_mondrian_xml(source: str):
         _parse_virtual_cube(v) for v in root.findall("VirtualCube")
     )
     return schema, virtuals
+
+
+def _level_to_xml(lv: Level, parent: ET.Element) -> None:
+    el = ET.SubElement(parent, "Level", name=lv.name)
+    if re.fullmatch(r"\w+", lv.column):
+        el.set("column", lv.column)
+    else:
+        k = ET.SubElement(el, "KeyExpression")
+        ET.SubElement(k, "SQL", dialect="generic").text = lv.column
+    if lv.level_type:
+        el.set("levelType", lv.level_type)
+    if lv.hide_member_if:
+        el.set("hideMemberIf", lv.hide_member_if)
+    if lv.output:
+        # lossless extension (unknown attributes are ignored by Mondrian;
+        # read back by from_mondrian_xml so round-trips keep the engine's
+        # output column names)
+        el.set("output", lv.output)
+    if lv.ordinal:
+        o = ET.SubElement(el, "OrdinalExpression")
+        ET.SubElement(o, "SQL", dialect="generic").text = lv.ordinal
+    if lv.caption:
+        n = ET.SubElement(el, "NameExpression")
+        ET.SubElement(n, "SQL", dialect="generic").text = lv.caption
+    for pname, pcol in lv.properties:
+        ET.SubElement(el, "Property", name=pname, column=pcol)
+
+
+def _hierarchy_to_xml(d: Dimension, parent: ET.Element) -> None:
+    h = ET.SubElement(
+        parent, "Hierarchy", hasAll="true" if d.has_all else "false"
+    )
+    if "." in d.name:
+        h.set("name", d.name.split(".", 1)[1])
+    if d.primary_key:
+        h.set("primaryKey", d.primary_key)
+    if d.joins:
+        # rebuild the nested <Join> chain right-deep, mirroring the parse
+        def nest(base: str, links: tuple) -> ET.Element:
+            j = ET.Element(
+                "Join", leftKey=links[0].left_key, rightKey=links[0].right_key
+            )
+            ET.SubElement(j, "Table", name=base)
+            if len(links) == 1:
+                t = ET.SubElement(j, "Table", name=links[0].table)
+                if links[0].alias:
+                    t.set("alias", links[0].alias)
+            else:
+                j.append(nest(links[0].table, links[1:]))
+            return j
+
+        h.append(nest(d.table, d.joins))
+    elif d.table:
+        ET.SubElement(h, "Table", name=d.table)
+    for lv in d.levels:
+        _level_to_xml(lv, h)
+
+
+def _outs_to_measure_refs(expr: str, names_by_out: dict[str, str]) -> str:
+    """Inverse of :func:`_measure_refs_to_outs` for export: output aliases
+    back to ``[Measures].[Name]`` references."""
+    if not names_by_out:
+        return expr
+    pat = re.compile(
+        r"\b(" + "|".join(re.escape(o) for o in names_by_out) + r")\b"
+    )
+    return pat.sub(lambda m: f"[Measures].[{names_by_out[m.group(1)]}]", expr)
+
+
+def to_mondrian_xml(
+    schema: Schema, virtual_cubes: tuple = ()
+) -> str:
+    """Render a :class:`~.model.Schema` as Mondrian XML — the inverse of
+    :func:`from_mondrian_xml` and the Spark analog of the reference's
+    ``schema_element.rb:111-116 to_xml``.  Round-trip contract:
+    ``from_mondrian_xml(to_mondrian_xml(s))`` rebuilds an equivalent
+    schema (engine answers match bit-for-bit; non-default output aliases
+    ride a lossless ``output=`` extension attribute Mondrian ignores).
+
+    Model features with no XML element — deterministic-decimal ``dtype``
+    casts, cell formatters, locales, annotations — are deliberately not
+    rendered; cube dimensions are emitted inline (the model does not
+    record which were DimensionUsage bindings)."""
+    root = ET.Element("Schema", name=schema.name)
+    # group Dim.Hier siblings back into one <Dimension> element
+    grouped: dict[str, list[Dimension]] = {}
+    for d in schema.dimensions:
+        grouped.setdefault(d.name.split(".", 1)[0], []).append(d)
+    for base_name, ds in grouped.items():
+        el = ET.SubElement(root, "Dimension", name=base_name)
+        for d in ds:
+            _hierarchy_to_xml(d, el)
+    for p in schema.parameters:
+        pe = ET.SubElement(
+            root, "Parameter", name=p.name, type=p.type,
+            modifiable="true" if p.modifiable else "false",
+        )
+        if p.default_value is not None:
+            pe.set("defaultValue", str(p.default_value))
+    for cube in schema.cubes:
+        ce = ET.SubElement(root, "Cube", name=cube.name)
+        if cube.default_measure:
+            ce.set("defaultMeasure", cube.default_measure)
+        ET.SubElement(ce, "Table", name=cube.fact)
+        cube_grouped: dict[str, list[Dimension]] = {}
+        for d in cube.dimensions:
+            cube_grouped.setdefault(d.name.split(".", 1)[0], []).append(d)
+        for base_name, ds in cube_grouped.items():
+            el = ET.SubElement(ce, "Dimension", name=base_name)
+            if ds[0].foreign_key:
+                el.set("foreignKey", ds[0].foreign_key)
+            for d in ds:
+                _hierarchy_to_xml(d, el)
+        for m in cube.measures:
+            me = ET.SubElement(
+                ce, "Measure", name=m.name, aggregator=m.aggregator
+            )
+            if re.fullmatch(r"\w+", m.expression):
+                me.set("column", m.expression)
+            else:
+                x = ET.SubElement(me, "MeasureExpression")
+                ET.SubElement(x, "SQL", dialect="generic").text = m.expression
+            if m.format_string:
+                me.set("formatString", m.format_string)
+            if m.output:
+                me.set("output", m.output)
+        names_by_out = {m.out: m.name for m in cube.measures}
+        for c in cube.calculated_members:
+            cme = ET.SubElement(
+                ce, "CalculatedMember", name=c.name, dimension="Measures"
+            )
+            f = ET.SubElement(cme, "Formula")
+            f.text = _outs_to_measure_refs(c.expression, names_by_out)
+            names_by_out[c.out] = c.name
+            if c.format_string:
+                ET.SubElement(
+                    cme, "CalculatedMemberProperty",
+                    name="FORMAT_STRING", value=c.format_string,
+                )
+    for v in virtual_cubes:
+        ve = ET.SubElement(root, "VirtualCube", name=v.name)
+        for dname, cname in v.dimensions:
+            de = ET.SubElement(ve, "VirtualCubeDimension", name=dname)
+            if cname:
+                de.set("cubeName", cname)
+        for cname, mname in v.measures:
+            ET.SubElement(
+                ve, "VirtualCubeMeasure", cubeName=cname,
+                name=f"[Measures].[{mname}]",
+            )
+    for r in schema.roles:
+        re_ = ET.SubElement(root, "Role", name=r.name)
+        sg = ET.SubElement(re_, "SchemaGrant", access="none")
+        by_dim: dict[str, list] = {}
+        for g in r.grants:
+            by_dim.setdefault(g.dimension, []).append(g)
+        for hg in r.hierarchy_grants:
+            by_dim.setdefault(hg.dimension, [])
+        cg = ET.SubElement(sg, "CubeGrant", access="all", cube="*")
+        hbounds = {h.dimension: h for h in r.hierarchy_grants}
+        for dim, gs in by_dim.items():
+            he = ET.SubElement(
+                cg, "HierarchyGrant", access="custom", hierarchy=f"[{dim}]"
+            )
+            if r.rollup_policy != "partial":
+                he.set("rollupPolicy", r.rollup_policy)
+            hb = hbounds.get(dim)
+            if hb is not None:
+                if hb.top_level:
+                    he.set("topLevel", hb.top_level)
+                if hb.bottom_level:
+                    he.set("bottomLevel", hb.bottom_level)
+            for g in gs:
+                member = ".".join(f"[{s}]" for s in (g.dimension, *g.path))
+                ET.SubElement(
+                    he, "MemberGrant", access=g.access, member=member
+                )
+    ET.indent(root)
+    return '<?xml version="1.0"?>\n' + ET.tostring(
+        root, encoding="unicode"
+    )
 
 
 def build_virtual_cube(vdef: VirtualCubeDef, engines: dict):

@@ -180,6 +180,79 @@ def test_imported_model_matches_dsl_engine(spark, engine):
         assert r["qty_per_order"] == r["sum_qty"] / r["order_count"]
 
 
+def test_export_import_round_trip_fixture():
+    """to_mondrian_xml ∘ from_mondrian_xml is stable on the reference
+    fixture: one round trip reaches a fixed point (schema_element.rb
+    to_xml parity)."""
+    from mondrian_olap_spark.catalog_xml import to_mondrian_xml
+
+    s1, v1 = from_mondrian_xml(FIXTURE)
+    xml = to_mondrian_xml(s1, v1)
+    s2, v2 = from_mondrian_xml(xml)
+    assert to_mondrian_xml(s2, v2) == xml  # fixed point
+    assert [d.name for d in s2.dimensions] == [d.name for d in s1.dimensions]
+    assert s2.cube_names == s1.cube_names
+    for c1 in s1.cubes:
+        c2 = s2.cube(c1.name)
+        assert [m.name for m in c2.measures] == [m.name for m in c1.measures]
+        assert [cm.name for cm in c2.calculated_members] == [
+            cm.name for cm in c1.calculated_members
+        ]
+    assert [v.name for v in v2] == [v.name for v in v1]
+    assert s2.role_names == s1.role_names
+
+
+def test_exported_tpch_schema_answers_match(spark, engine):
+    """Exporting the repo's own Sales cube to Mondrian XML and importing
+    it back yields an engine whose star-join answers are bit-for-bit the
+    DSL engine's (output aliases survive via the lossless extension)."""
+    import os
+
+    from mondrian_olap_spark.catalog_xml import to_mondrian_xml
+    from mondrian_olap_spark.model import Schema
+    from mondrian_olap_spark.tpch import SALES_CUBE
+
+    # restrict to the XML-expressible subset: drop measures whose dtype /
+    # formatter metadata has no XML element (documented exporter scope)
+    import dataclasses as dc
+
+    slim = dc.replace(
+        SALES_CUBE,
+        measures=tuple(
+            m for m in SALES_CUBE.measures
+            if m.name in ("Sum Qty", "Count Order")
+        ),
+        calculated_members=(),
+        default_measure=None,
+    )
+    xml = to_mondrian_xml(Schema(name="T", cubes=(slim,)))
+    schema2, _ = from_mondrian_xml(xml)
+    cube2 = schema2.cube("Sales")
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001"
+    )
+    names = {cube2.fact} | {
+        t
+        for d in cube2.dimensions
+        for t in [d.table, *[j.table for j in d.joins]]
+        if t
+    }
+    tables = {
+        n: read_parquet_table(spark, f"{sf_dir}/{n}.parquet") for n in names
+    }
+    eng2 = CubeEngine(cube2, tables)
+    q = lambda e: sorted(
+        tuple(r)
+        for r in Query(e)
+        .columns("[Measures].[Sum Qty]", "[Measures].[Count Order]")
+        .rows("[Customer].[Nation].Members")
+        .where("[Time].[1995]")
+        .execute()
+        .df.collect()
+    )
+    assert q(eng2) == q(engine)
+
+
 def test_virtual_cube_binding_requires_engines():
     _, virtuals = from_mondrian_xml(FIXTURE)
     with pytest.raises(KeyError, match="needs an engine"):
