@@ -521,11 +521,11 @@ class Planner:
             s for s in slicer if s.dimension.name not in overridden
         ]
         calcs = self._scalar_safe_calcs(all_exprs, "Aggregate(set, expr)")
+        base, calcs = self._scalar_sub_measures(all_exprs, calcs)
         sub_planner = Planner(self.engine, extra_measures=tuple(calcs))
         sub_planner._emit_grain = totals is not None
-        base = list(self.cube.measures) + calcs
         sub, sub_cols = sub_planner.aggregate(
-            sub_axes, kept_slicer, base, totals=totals
+            sub_axes, kept_slicer, base + calcs, totals=totals
         )
         set_outs = {
             lv.out for r in refs for lv in r.dimension.levels
@@ -548,6 +548,42 @@ class Planner:
         else:
             sub = sub.agg(*sums)
         return self._broadcast_attach(agg, sub, rem_cols, outs, totals)
+
+    def _scalar_sub_measures(self, exprs: tuple, calcs: list):
+        """Prune the scalar sub-plan to the measures the expressions
+        actually read: base measures and calc members referenced
+        (transitively, via calc formulas) by ``exprs``.  A LinReg formula
+        over Rank() positions needs ZERO measure aggregations — computing
+        the cube's whole measure list at the sub-grain was pure waste.
+        Always keeps ≥1 base measure (the aggregate path needs one)."""
+        needed_calcs: list = []
+        kept: set = set()
+        frontier = list(exprs)
+        changed = True
+        while changed:
+            changed = False
+            for c in calcs:
+                if c.out in kept:
+                    continue
+                if any(
+                    re.search(rf"\b{re.escape(c.out)}\b", e)
+                    for e in frontier
+                ):
+                    kept.add(c.out)
+                    needed_calcs.append(c)
+                    frontier.append(c.expression)
+                    changed = True
+        base = [
+            m
+            for m in self.cube.measures
+            if any(
+                re.search(rf"\b{re.escape(m.out)}\b", e) for e in frontier
+            )
+        ]
+        if not base:
+            base = [self.cube.measures[0]]
+        needed_calcs.sort(key=lambda c: calcs.index(c))  # solve order
+        return base, needed_calcs
 
     def _scalar_safe_calcs(self, expr_sqls: tuple, what: str) -> list:
         """Calculated members safe to compute inside a scalar sub-plan.
@@ -642,11 +678,11 @@ class Planner:
             s for s in slicer if s.dimension.name not in overridden
         ]
         calcs = self._scalar_safe_calcs(all_exprs, "set statistic (set, …)")
+        base, calcs = self._scalar_sub_measures(all_exprs, calcs)
         sub_planner = Planner(self.engine, extra_measures=tuple(calcs))
         sub_planner._emit_grain = totals is not None
-        base = list(self.cube.measures) + calcs
         sub, sub_cols = sub_planner.aggregate(
-            sub_axes, kept_slicer, base, totals=totals
+            sub_axes, kept_slicer, base + calcs, totals=totals
         )
         set_outs = {lv.out for r in refs for lv in r.dimension.levels}
         rem_cols = [c for c in sub_cols if c not in set_outs]
