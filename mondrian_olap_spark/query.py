@@ -1688,7 +1688,11 @@ class Query:
         * ``Agg(PeriodsToDate([T].[Level]), <measure>)`` — explicit
           to-date level;
         * ``Agg(LastPeriods(n), <measure>)`` — trailing window
-          (n < 0 → forward frame, n = 0 → empty set → NULL);
+          (n < 0 → forward frame, n = 0 → empty set → NULL).  Row-frame
+          over the PRESENT grid rows: when a period has no fact rows at
+          all it does not occupy a frame slot (the reference counts
+          empty calendar periods; on gap-free time data the two agree —
+          use ``include_empty()`` to expand the grid when gaps matter);
         * ``(<measure>, ParallelPeriod([T].[Level][, n]))`` — lag over
           the level order partitioned by the deeper time columns (top
           time level only: deeper levels need position-within-parent
