@@ -129,6 +129,10 @@ def test_mdx_parser_fuzz_never_crashes(engine):
         "[Customer].[Region]", "{", "}", "(", ")", ",", ".", "'", '"',
         "Children", "Members", "CROSSJOIN", "FILTER", "ORDER", "0", "1.5",
         "+", "-", "*", "/", "]]", "[", "]", ";", "¤", "\\", "DRILLTHROUGH",
+        # round-9 surface: set stats, time intelligence, set spellings
+        "Median", "LinRegR2", "Percentile", "Rank", "CurrentMember",
+        "Ytd", "PeriodsToDate", "LastPeriods", "ParallelPeriod",
+        "VISUALTOTALS", "UNION", "INTERSECT", "ALL", "[Time].[Year]",
     ])
 
     @settings(max_examples=150, deadline=None)
