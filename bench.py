@@ -136,6 +136,7 @@ HEADLINE = [
     "visualtotals_mdx_gate",
     "union_intersect_mdx_gate",
     "catalog_xml_import_gate",
+    "prevmember_formula_gate",
 ]
 
 

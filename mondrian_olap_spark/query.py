@@ -61,8 +61,10 @@ class _Axis:
 #: time-intelligence function names whose VALUE forms lower to window SQL
 #: at execute() time (query._rewrite_time_intel)
 _TIME_INTEL_RE = re.compile(
-    r"(?i)\b(ytd|qtd|mtd|wtd|periodstodate|lastperiods|parallelperiod|"
+    r"(?i)(\b(ytd|qtd|mtd|wtd|periodstodate|lastperiods|parallelperiod|"
     r"openingperiod|closingperiod)\s*\("
+    r"|\.\s*(prevmember|nextmember)\b"
+    r"|\.\s*(lag|lead)\s*\()"
 )
 
 
@@ -1872,6 +1874,55 @@ class Query:
 
         for _agg in ("sum", "avg", "min", "max", "count"):
             out = _rewrite_paren_call(out, _agg, make_agg_repl(_agg))
+
+        # (measure, [Dim].PrevMember/NextMember/Lag(n)/Lead(n)) tuples —
+        # the reference fixture's own "Profit last Period" idiom
+        # (MondrianTest.xml:116 COALESCEEMPTY((Measures.[Profit],
+        # [Time].[Time].PREVMEMBER), …); jar!...LeadLagFunDef).  Lowered
+        # to lag/lead over the dimension's grid columns in level order.
+        nav = re.compile(
+            r"(?i)\(\s*(?:(?P<m1>\[[^()]+?\]|\w+)\s*,\s*)?"
+            r"(?P<dim>\[[^\]()]+\](?:\s*\.\s*\[[^\]()]+\])*)\s*\.\s*"
+            r"(?P<fn>prevmember|nextmember|lag|lead)"
+            r"(?:\s*\(\s*(?P<n>-?\d+)\s*\))?"
+            r"\s*(?:,\s*(?P<m2>\[[^()]+?\]|\w+)\s*)?\)"
+        )
+
+        def nav_repl(mo: re.Match) -> str:
+            fn = mo.group("fn").lower()
+            if bool(mo.group("m1")) == bool(mo.group("m2")):
+                return mo.group(0)  # not a 2-tuple — leave untouched
+            if fn in ("lag", "lead") and mo.group("n") is None:
+                return mo.group(0)
+            mtxt = mo.group("m1") or mo.group("m2")
+            if not mtxt.startswith("[") and not re.fullmatch(r"\w+", mtxt):
+                return mo.group(0)
+            segs = parse_identifier(mo.group("dim"))
+            # [Time].[Time].PrevMember (dim.hierarchy form) and
+            # [Time].PrevMember both address the dimension
+            try:
+                dim = self.cube.dimension(segs[0])
+            except KeyError:
+                return mo.group(0)
+            if len(segs) > 1 and segs[1].lower() not in (
+                segs[0].lower(),
+                dim.name.lower(),
+            ):
+                return mo.group(0)  # a member path, not a bare hierarchy
+            tcols = grid_levels(dim)
+            if not tcols:
+                raise QueryError(
+                    f"{fn}: the axes do not project {dim.name}"
+                )
+            n = int(mo.group("n") or 1)
+            wfn = "lag" if fn in ("prevmember", "lag") else "lead"
+            mout = measure_out(mtxt)
+            part = other_cols(dim)
+            partition = f"PARTITION BY {', '.join(part)} " if part else ""
+            order = ", ".join(tcols)
+            return f"{wfn}({mout}, {n}) OVER ({partition}ORDER BY {order})"
+
+        out = nav.sub(nav_repl, out)
 
         # tuple forms: (measure, ParallelPeriod(...)) either order,
         # likewise OpeningPeriod/ClosingPeriod

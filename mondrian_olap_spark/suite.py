@@ -1131,6 +1131,43 @@ def parallelperiod_mdx_gate(spark, sf_dir):
 
 
 @q(
+    "prevmember_formula_gate",
+    f"""
+    WITH agg AS ({_MONTHLY_AGG_Q})
+    SELECT o_year, o_quarter, o_month, sum_price,
+           lag(sum_price, 1) OVER (ORDER BY o_year, o_quarter, o_month)
+             AS prev_price,
+           sum_price
+             - lag(sum_price, 1) OVER (ORDER BY o_year, o_quarter, o_month)
+             AS mo_m_delta,
+           lead(sum_price, 2) OVER (ORDER BY o_year, o_quarter, o_month)
+             AS in_two_months
+    FROM agg
+    """,
+)
+def prevmember_formula_gate(spark, sf_dir):
+    """(measure, [Time].PrevMember) / .Lead(n) tuples in WITH MEMBER
+    formula TEXT — the reference fixture's 'Profit last Period' idiom
+    (MondrianTest.xml:116; jar!...LeadLagFunDef), lowered to lag/lead
+    windows over the grid's time columns, composing inside arithmetic."""
+    eng = get_engine(spark, sf_dir)
+    return eng.execute(
+        """
+        WITH MEMBER [Measures].[Prev Price] AS
+          '([Measures].[Sum Price], [Time].PrevMember)'
+        MEMBER [Measures].[MoM Delta] AS
+          '[Measures].[Sum Price] - ([Measures].[Sum Price], [Time].PrevMember)'
+        MEMBER [Measures].[In Two Months] AS
+          '([Time].Lead(2), [Measures].[Sum Price])'
+        SELECT {[Measures].[Sum Price], [Measures].[Prev Price],
+                [Measures].[MoM Delta], [Measures].[In Two Months]}
+          ON COLUMNS,
+        [Time].[Month].Members ON ROWS FROM [Sales]
+        """
+    ).df
+
+
+@q(
     "ytd_axis_gate",
     f"""
     WITH agg AS ({_MONTHLY_AGG_Q})

@@ -100,6 +100,45 @@ def test_qtd_axis_equals_range(engine):
     assert sorted(row["o_month"] for row in qtd) == [4, 5]
 
 
+def test_prevmember_tuple_and_hier_form(engine):
+    # [Time].PrevMember and the dim.hierarchy form [Time].[Time].PrevMember
+    # both lower to the same lag window; NextMember leads
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[A] AS '([Measures].[Sum Price], [Time].PrevMember)'
+        MEMBER [Measures].[B] AS '([Measures].[Sum Price], [Time].[Time].PrevMember)'
+        MEMBER [Measures].[C] AS '([Measures].[Sum Price], [Time].NextMember)'
+        SELECT {[Measures].[Sum Price], [Measures].[A], [Measures].[B],
+                [Measures].[C]} ON COLUMNS,
+               [Time].[Year].Members ON ROWS FROM [Sales]
+        """,
+    )
+    rows = sorted(r.df.collect(), key=lambda row: row["o_year"])
+    assert all(row["a"] == row["b"] for row in rows)
+    assert rows[0]["a"] is None and rows[-1]["c"] is None
+    assert rows[1]["a"] == rows[0]["sum_price"]
+    assert rows[0]["c"] == rows[1]["sum_price"]
+
+
+def test_member_path_prevmember_not_swallowed(engine):
+    # ([Measures].[X], [Time].[1995].PrevMember) names a MEMBER path —
+    # the bare-hierarchy lag rewrite must leave it alone (it then fails
+    # loudly as unsupported rather than silently computing a lag)
+    from mondrian_olap_spark.query import QueryError
+
+    with pytest.raises(Exception):
+        execute_mdx(
+            engine,
+            """
+            WITH MEMBER [Measures].[A] AS
+              '([Measures].[Sum Price], [Time].[1995].PrevMember)'
+            SELECT {[Measures].[A]} ON COLUMNS,
+                   [Time].[Year].Members ON ROWS FROM [Sales]
+            """,
+        )
+
+
 def test_parallelperiod_below_top_level_rejected(engine):
     with pytest.raises(QueryError, match="top time level"):
         execute_mdx(
