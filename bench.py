@@ -137,6 +137,7 @@ HEADLINE = [
     "union_intersect_mdx_gate",
     "catalog_xml_import_gate",
     "prevmember_formula_gate",
+    "dedup_substring_spans_gate",
 ]
 
 

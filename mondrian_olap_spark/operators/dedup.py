@@ -1415,3 +1415,167 @@ def lsh_parameters(
         "fn_area": fn,
         "kwargs": {"num_hashes": b * r, "bands": b},
     }
+
+
+def duplicated_spans(
+    df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: str = "first",
+) -> DataFrame:
+    """Exact duplicated-substring spans across the corpus — the
+    ExactSubstr rule of "Deduplicating Training Data Makes Language
+    Models Better" (Lee et al. 2022), shingle-approximated: a token span
+    is duplicated when every rolling ``n``-token window inside it occurs
+    more than once in the corpus.  Unlike :func:`..text.segment_dedup`'s
+    NON-overlapping fixed windows, rolling shingles catch duplicated
+    passages at ANY alignment (a copied paragraph offset by three tokens
+    still matches).
+
+    ``keep='first'`` exempts each shingle's first occurrence in
+    ``(doc_id, position)`` order — one copy of every duplicated passage
+    survives, deterministically and layout-independently;
+    ``keep='none'`` flags every occurrence (the scrub-everything form
+    for eval-set leakage).
+
+    Returns merged maximal spans ``(id_col, start_tok, end_tok,
+    n_shingles)`` with 1-based inclusive token bounds.
+
+    Scale shape: shingles hash to the md5-prefix BIGINT (8-byte shuffle
+    keys); duplicate detection is ONE fingerprint aggregation whose hot
+    keys partial-aggregate map-side (no window over the fingerprint —
+    the same skew discipline as segment_dedup); the flag join back is a
+    plain equi-join (AQE skew-splittable); span merging is a per-document
+    window (bounded by document length).  Documents shorter than ``n``
+    tokens have no shingles and are never flagged.
+    """
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    from pyspark.sql import Window
+
+    from .util import ensure_min_parallelism
+
+    t = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = (
+        ensure_min_parallelism(df)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(
+                F.when(
+                    F.size(t) >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+                    ),
+                ).otherwise(F.expr("array()").cast("array<string>"))
+            ).alias("__p0", "__g"),
+        )
+        .select(
+            "__id",
+            (F.col("__p0") + 1).alias("__pos"),  # 1-based token position
+            F.expr(_h("__g")).alias("__h"),
+        )
+    )
+    from pyspark.storagelevel import StorageLevel
+
+    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    dup = grams.groupBy("__h").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.min(F.struct("__id", "__pos")).alias("__keeper"),
+    ).filter(F.col("__cnt") >= 2)
+    flagged = grams.join(dup, "__h")
+    if keep == "first":
+        flagged = flagged.filter(
+            (F.col("__id") != F.col("__keeper.__id"))
+            | (F.col("__pos") != F.col("__keeper.__pos"))
+        )
+    # merge overlapping/adjacent shingle intervals [pos, pos+n-1] into
+    # maximal spans: gaps-and-islands over the per-document position order
+    w = Window.partitionBy("__id").orderBy("__pos")
+    wrun = (
+        Window.partitionBy("__id")
+        .orderBy("__pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = (
+        flagged.select("__id", "__pos")
+        .dropDuplicates()
+        .withColumn("__prev_max_end", F.max(F.col("__pos") + (n - 1)).over(wrun))
+        .withColumn(
+            "__new_island",
+            F.when(
+                F.col("__prev_max_end").isNull()
+                | (F.col("__pos") > F.col("__prev_max_end") + 1),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("__island", F.sum("__new_island").over(w))
+    )
+    return (
+        marked.groupBy(F.col("__id").alias(id_col), "__island")
+        .agg(
+            F.min("__pos").alias("start_tok"),
+            (F.max("__pos") + (n - 1)).alias("end_tok"),
+            F.count(F.lit(1)).alias("n_shingles"),
+        )
+        .drop("__island")
+    )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep: str = "first",
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """Apply :func:`duplicated_spans`: rebuild each document's text with
+    the flagged token ranges removed (pass a precomputed ``spans`` frame
+    to skip re-detection).  Returns ``(id_col, n_tokens, n_removed,
+    clean_text)`` for EVERY input document — untouched docs pass through
+    with ``n_removed = 0``.
+
+    The removal is expression-only: the document's spans aggregate to a
+    bounded array (documents have bounded span counts), joined back on
+    the doc id, and the token filter is a higher-order ``F.filter`` +
+    ``exists`` over that array — no UDFs, one doc-keyed shuffle."""
+    if spans is None:
+        spans = duplicated_spans(
+            df, n=n, id_col=id_col, text_col=text_col, keep=keep
+        )
+    span_arrays = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("start_tok", "end_tok")).alias("__spans")
+    )
+    t = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = df.select(
+        id_col, F.col(text_col), t.alias("__toks")
+    ).join(span_arrays, id_col, "left")
+    empty = F.expr("array()").cast(
+        "array<struct<start_tok:bigint,end_tok:bigint>>"
+    )
+    spans_col = F.coalesce(F.col("__spans").cast(
+        "array<struct<start_tok:bigint,end_tok:bigint>>"
+    ), empty)
+    # keep token i (1-based) iff no span covers it
+    kept = F.filter(
+        F.zip_with(
+            F.col("__toks"),
+            F.sequence(F.lit(1), F.size("__toks")),
+            lambda tok, i: F.struct(tok.alias("t"), i.alias("i")),
+        ),
+        lambda s: ~F.exists(
+            spans_col,
+            lambda sp: (s["i"] >= sp["start_tok"])
+            & (s["i"] <= sp["end_tok"]),
+        ),
+    )
+    return toks.select(
+        id_col,
+        F.size("__toks").alias("n_tokens"),
+        (F.size("__toks") - F.size(kept)).alias("n_removed"),
+        F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias(
+            "clean_text"
+        ),
+    )

@@ -5904,3 +5904,83 @@ def web_curation_chain_gate(spark, sf_dir):
             )
         ).alias("kept_md5"),
     )
+
+
+@q(
+    "dedup_substring_spans_gate",
+    """
+    WITH corp AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    ),
+    g AS (
+      SELECT c.doc_id AS id, i AS pos,
+             ('0x' || substr(md5(array_to_string(
+                list_slice(c.ws, i, i + 7), ' ')), 1, 15))::BIGINT AS h
+      FROM corp c, unnest(range(1, greatest(len(c.ws) - 7, 0) + 1)) AS t(i)
+    ),
+    d AS (
+      SELECT h, count(*) AS cnt, min(id * 1000 + pos) AS keeper
+      FROM g GROUP BY 1 HAVING count(*) >= 2
+    ),
+    flagged AS (
+      SELECT DISTINCT g.id, g.pos
+      FROM g JOIN d USING (h)
+      WHERE g.id * 1000 + g.pos <> d.keeper
+    ),
+    marked AS (
+      SELECT id, pos,
+             max(pos + 7) OVER (PARTITION BY id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_end
+      FROM flagged
+    ),
+    islands AS (
+      SELECT id, pos,
+             sum(CASE WHEN prev_max_end IS NULL OR pos > prev_max_end + 1
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY id ORDER BY pos) AS island
+      FROM marked
+    ),
+    spans AS (
+      SELECT id AS doc_id, island, min(pos) AS start_tok,
+             max(pos) + 7 AS end_tok
+      FROM islands GROUP BY 1, 2
+    ),
+    toks AS (
+      SELECT c.doc_id, i, c.ws[i] AS tok
+      FROM corp c, unnest(range(1, len(c.ws) + 1)) AS t(i)
+    ),
+    kept AS (
+      SELECT t.doc_id, t.i, t.tok
+      FROM toks t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = t.doc_id AND t.i BETWEEN s.start_tok AND s.end_tok
+      )
+    )
+    SELECT c.doc_id,
+           CAST(len(c.ws) AS INT) AS n_tokens,
+           CAST(len(c.ws) - count(k.i) AS INT) AS n_removed,
+           coalesce(string_agg(k.tok, ' ' ORDER BY k.i), '') AS clean_text
+    FROM corp c LEFT JOIN kept k USING (doc_id)
+    GROUP BY c.doc_id, len(c.ws)
+    """,
+)
+def dedup_substring_spans_gate(spark, sf_dir):
+    """Exact duplicated-substring SPAN dedup — the Lee et al. 2022
+    ExactSubstr rule, shingle-approximated (dedup.duplicated_spans /
+    remove_duplicated_spans): rolling 8-token windows catch duplicated
+    passages at ANY alignment (segment_dedup's non-overlapping windows
+    miss offset copies); keep='first' leaves one copy per passage in
+    (doc, position) order.  The oracle replays the md5-prefix hashes,
+    the keeper rule, the gaps-and-islands span merge, and the token
+    reassembly independently."""
+    docs = _docs(spark, sf_dir)
+    out = dedup.remove_duplicated_spans(docs, n=8)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("n_removed").cast("int").alias("n_removed"),
+        "clean_text",
+    )

@@ -4430,6 +4430,61 @@ def test_ngram_collision_report(spark):
     assert r(corpus2, heldout2, n=8, max_shingle_df=5).count() == 0
 
 
+def test_duplicated_spans_any_alignment(spark):
+    """ExactSubstr span dedup (Lee et al. 2022): rolling shingles catch a
+    duplicated passage at ANY alignment; keep='first' leaves exactly one
+    copy in (doc, position) order; merged spans are maximal."""
+    from mondrian_olap_spark.operators.dedup import (
+        duplicated_spans,
+        remove_duplicated_spans,
+    )
+
+    shared = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"a1 a2 a3 {shared} b1 b2"),
+            Row(doc_id=2, text=f"c1 {shared} d1 d2 d3 d4"),  # offset copy
+            Row(doc_id=3, text="all original words here no overlap at zz yy"),
+            Row(doc_id=4, text="tiny doc"),  # < n tokens: never flagged
+        ]
+    )
+    spans = duplicated_spans(docs, n=8).collect()
+    # only the LATER copy (doc 2) is flagged; tokens 2..11 = the passage
+    assert [(r.doc_id, r.start_tok, r.end_tok) for r in spans] == [(2, 2, 11)]
+    out = {r.doc_id: r for r in remove_duplicated_spans(docs, n=8).collect()}
+    assert out[1].n_removed == 0  # first occurrence survives intact
+    assert out[2].n_removed == 10
+    assert out[2].clean_text == "c1 d1 d2 d3 d4"
+    assert out[3].n_removed == 0 and out[4].n_removed == 0
+    # keep='none' scrubs BOTH copies
+    all_gone = {
+        r.doc_id: r.n_removed
+        for r in remove_duplicated_spans(docs, n=8, keep="none").collect()
+    }
+    assert all_gone[1] == 10 and all_gone[2] == 10
+
+
+def test_duplicated_spans_merge_adjacent_runs(spark):
+    from mondrian_olap_spark.operators.dedup import duplicated_spans
+
+    # two shared passages separated by ONE unique token in the copy: the
+    # islands merge only when shingle intervals overlap/touch
+    a = "x1 x2 x3 x4 x5 x6 x7 x8"
+    b = "y1 y2 y3 y4 y5 y6 y7 y8"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"{a} mid {b}"),
+            Row(doc_id=2, text=f"{a} other1 other2 other3 {b}"),
+        ]
+    )
+    spans = {
+        (r.doc_id, r.start_tok, r.end_tok)
+        for r in duplicated_spans(docs, n=8).collect()
+    }
+    # doc 2 (later) flagged for both passages as separate spans
+    assert spans == {(2, 1, 8), (2, 12, 19)}
+
+
 def test_ngram_collision_overlapping_id_spaces(spark):
     """Corpus and held-out id spaces may overlap (independent eval sets
     reuse small integer ids): the combined document frequency must count
