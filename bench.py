@@ -138,6 +138,7 @@ HEADLINE = [
     "catalog_xml_import_gate",
     "prevmember_formula_gate",
     "dedup_substring_spans_gate",
+    "dedup_span_ingest_gate",
 ]
 
 

@@ -1452,34 +1452,11 @@ def duplicated_spans(
     """
     if keep not in ("first", "none"):
         raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
-    from pyspark.sql import Window
-
-    from .util import ensure_min_parallelism
-
-    t = F.split(F.trim(F.col(text_col)), r"\s+")
-    grams = (
-        ensure_min_parallelism(df)
-        .select(
-            F.col(id_col).alias("__id"),
-            F.posexplode(
-                F.when(
-                    F.size(t) >= n,
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(t) - (n - 1)),
-                        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
-                    ),
-                ).otherwise(F.expr("array()").cast("array<string>"))
-            ).alias("__p0", "__g"),
-        )
-        .select(
-            "__id",
-            (F.col("__p0") + 1).alias("__pos"),  # 1-based token position
-            F.expr(_h("__g")).alias("__h"),
-        )
-    )
     from pyspark.storagelevel import StorageLevel
 
-    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    grams = _grams_with_pos(df, n, id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     dup = grams.groupBy("__h").agg(
         F.count(F.lit(1)).alias("__cnt"),
         F.min(F.struct("__id", "__pos")).alias("__keeper"),
@@ -1491,36 +1468,8 @@ def duplicated_spans(
             | (F.col("__pos") != F.col("__keeper.__pos"))
         )
     # merge overlapping/adjacent shingle intervals [pos, pos+n-1] into
-    # maximal spans: gaps-and-islands over the per-document position order
-    w = Window.partitionBy("__id").orderBy("__pos")
-    wrun = (
-        Window.partitionBy("__id")
-        .orderBy("__pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    marked = (
-        flagged.select("__id", "__pos")
-        .dropDuplicates()
-        .withColumn("__prev_max_end", F.max(F.col("__pos") + (n - 1)).over(wrun))
-        .withColumn(
-            "__new_island",
-            F.when(
-                F.col("__prev_max_end").isNull()
-                | (F.col("__pos") > F.col("__prev_max_end") + 1),
-                1,
-            ).otherwise(0),
-        )
-        .withColumn("__island", F.sum("__new_island").over(w))
-    )
-    return (
-        marked.groupBy(F.col("__id").alias(id_col), "__island")
-        .agg(
-            F.min("__pos").alias("start_tok"),
-            (F.max("__pos") + (n - 1)).alias("end_tok"),
-            F.count(F.lit(1)).alias("n_shingles"),
-        )
-        .drop("__island")
-    )
+    # maximal spans (gaps-and-islands per document)
+    return _merge_flagged_spans(flagged, n, id_col)
 
 
 def remove_duplicated_spans(
@@ -1579,3 +1528,195 @@ def remove_duplicated_spans(
             "clean_text"
         ),
     )
+
+
+def _grams_with_pos(
+    df: DataFrame, n: int, id_col: str, text_col: str
+) -> DataFrame:
+    """Rolling ``n``-token shingle hashes with 1-based token positions —
+    the shared explode behind :func:`duplicated_spans` and the
+    incremental shingle-store probe."""
+    from .util import ensure_min_parallelism
+
+    t = F.split(F.trim(F.col(text_col)), r"\s+")
+    return (
+        ensure_min_parallelism(df)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(
+                F.when(
+                    F.size(t) >= n,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+                    ),
+                ).otherwise(F.expr("array()").cast("array<string>"))
+            ).alias("__p0", "__g"),
+        )
+        .select(
+            "__id",
+            (F.col("__p0") + 1).alias("__pos"),
+            F.expr(_h("__g")).alias("__h"),
+        )
+    )
+
+
+def _merge_flagged_spans(
+    flagged: DataFrame, n: int, id_col: str
+) -> DataFrame:
+    """Gaps-and-islands merge of flagged shingle positions into maximal
+    spans (shared tail of the batch and incremental span-dedup paths)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__id").orderBy("__pos")
+    wrun = (
+        Window.partitionBy("__id")
+        .orderBy("__pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = (
+        flagged.select("__id", "__pos")
+        .dropDuplicates()
+        .withColumn(
+            "__prev_max_end", F.max(F.col("__pos") + (n - 1)).over(wrun)
+        )
+        .withColumn(
+            "__new_island",
+            F.when(
+                F.col("__prev_max_end").isNull()
+                | (F.col("__pos") > F.col("__prev_max_end") + 1),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("__island", F.sum("__new_island").over(w))
+    )
+    return (
+        marked.groupBy(F.col("__id").alias(id_col), "__island")
+        .agg(
+            F.min("__pos").alias("start_tok"),
+            (F.max("__pos") + (n - 1)).alias("end_tok"),
+            F.count(F.lit(1)).alias("n_shingles"),
+        )
+        .drop("__island")
+    )
+
+
+def write_shingle_store(
+    docs: DataFrame,
+    path: str,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialize the corpus's DISTINCT shingle-hash set — the on-disk
+    state for INCREMENTAL duplicated-span removal (the ExactSubstr
+    analog of :func:`write_minhash_index`): a new batch's passages that
+    already exist anywhere in the ingested corpus are found by probing
+    this store instead of re-shingling the corpus.
+
+    Stores hashes only (8 bytes/distinct shingle — no ids, no positions:
+    an ingest-time probe only needs "seen before").  ``n`` persists
+    under ``_params`` (probes must shingle identically).  Returns the
+    hash DataFrame it wrote."""
+    hashes = _grams_with_pos(docs, n, id_col, text_col).select(
+        "__h"
+    ).dropDuplicates()
+    hashes.write.mode("overwrite").parquet(path)
+    (
+        docs.sparkSession.createDataFrame([(n,)], "n int")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path + "/_params")
+    )
+    return hashes
+
+
+def read_shingle_store(spark, path: str) -> tuple[DataFrame, int]:
+    row = spark.read.parquet(path + "/_params").collect()[0]
+    return spark.read.parquet(path), int(row["n"])
+
+
+def shingle_store_append(
+    accepted_docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fold an ACCEPTED batch into the shingle store: shingle ONLY the
+    batch (per-batch cost is batch-sized, never corpus-sized) and
+    append-write its distinct hashes.  Duplicate hashes across appends
+    are harmless — probes are semi-joins — and storage growth from them
+    is bounded by re-ingested boilerplate; run
+    :func:`compact_shingle_store` periodically to re-distinct the
+    store."""
+    spark = accepted_docs.sparkSession
+    _, n = read_shingle_store(spark, path)
+    hashes = _grams_with_pos(accepted_docs, n, id_col, text_col).select(
+        "__h"
+    ).dropDuplicates()
+    hashes.write.mode("append").parquet(path)
+    return hashes
+
+
+def compact_shingle_store(spark, path: str) -> None:
+    """Re-distinct the shingle store in place (crash-safe swap via
+    :func:`..fsio.atomic_overwrite_dir`) — run after many appends to
+    drop cross-batch duplicate hashes."""
+    from ..fsio import atomic_overwrite_dir
+
+    store, n = read_shingle_store(spark, path)
+    distinct = store.dropDuplicates().localCheckpoint(eager=True)
+
+    def write(target: str) -> None:
+        distinct.write.mode("overwrite").parquet(target)
+        (
+            spark.createDataFrame([(n,)], "n int")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(target + "/_params")
+        )
+
+    atomic_overwrite_dir(spark, path, write)
+
+
+def probe_duplicated_spans(
+    new_docs: DataFrame,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dedup_within_batch: bool = True,
+) -> DataFrame:
+    """Incremental ExactSubstr: duplicated spans of a NEW batch against
+    the persisted shingle store (passages already in the ingested
+    corpus), plus — with ``dedup_within_batch`` — batch-internal
+    duplicates under the same keep-first rule as
+    :func:`duplicated_spans`.  Per-batch cost is batch-sized shingling
+    plus one semi-join against the store; the corpus text is never
+    re-read.  Returns merged spans ``(id_col, start_tok, end_tok,
+    n_shingles)`` — feed them to :func:`remove_duplicated_spans` via
+    ``spans=``."""
+    spark = new_docs.sparkSession
+    store, n = read_shingle_store(spark, store_path)
+    grams = _grams_with_pos(new_docs, n, id_col, text_col)
+    from pyspark.storagelevel import StorageLevel
+
+    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+    seen = grams.join(store, "__h", "left_semi")
+    flagged = seen
+    if dedup_within_batch:
+        dup = (
+            grams.groupBy("__h")
+            .agg(
+                F.count(F.lit(1)).alias("__cnt"),
+                F.min(F.struct("__id", "__pos")).alias("__keeper"),
+            )
+            .filter(F.col("__cnt") >= 2)
+        )
+        internal = grams.join(dup, "__h").filter(
+            (F.col("__id") != F.col("__keeper.__id"))
+            | (F.col("__pos") != F.col("__keeper.__pos"))
+        )
+        flagged = seen.select("__id", "__pos").unionByName(
+            internal.select("__id", "__pos")
+        )
+    return _merge_flagged_spans(flagged, n, id_col)

@@ -5984,3 +5984,92 @@ def dedup_substring_spans_gate(spark, sf_dir):
         F.col("n_removed").cast("int").alias("n_removed"),
         "clean_text",
     )
+
+
+@q(
+    "dedup_span_ingest_gate",
+    """
+    WITH corp AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    store AS (
+      SELECT DISTINCT
+             ('0x' || substr(md5(array_to_string(
+                list_slice(c.ws, i, i + 7), ' ')), 1, 15))::BIGINT AS h
+      FROM corp c, unnest(range(1, greatest(len(c.ws) - 7, 0) + 1)) AS t(i)
+    ),
+    batch AS (
+      SELECT doc_id + 1000000 AS doc_id,
+             string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents WHERE doc_id % 2 = 1 OR doc_id % 10 = 0
+    ),
+    bg AS (
+      SELECT b.doc_id AS id, i AS pos,
+             ('0x' || substr(md5(array_to_string(
+                list_slice(b.ws, i, i + 7), ' ')), 1, 15))::BIGINT AS h
+      FROM batch b, unnest(range(1, greatest(len(b.ws) - 7, 0) + 1)) AS t(i)
+    ),
+    seen AS (SELECT bg.id, bg.pos FROM bg JOIN store USING (h)),
+    bdup AS (
+      SELECT h, min(id * 10000000 + pos) AS keeper
+      FROM bg GROUP BY 1 HAVING count(*) >= 2
+    ),
+    internal AS (
+      SELECT bg.id, bg.pos FROM bg JOIN bdup USING (h)
+      WHERE bg.id * 10000000 + bg.pos <> bdup.keeper
+    ),
+    flagged AS (SELECT * FROM seen UNION SELECT * FROM internal),
+    marked AS (
+      SELECT id, pos,
+             max(pos + 7) OVER (PARTITION BY id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_end
+      FROM flagged
+    ),
+    islands AS (
+      SELECT id, pos,
+             sum(CASE WHEN prev_max_end IS NULL OR pos > prev_max_end + 1
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY id ORDER BY pos) AS island
+      FROM marked
+    )
+    SELECT id AS doc_id, CAST(island AS INT) AS start_tok_island,
+           CAST(min(pos) AS INT) AS start_tok,
+           CAST(max(pos) + 7 AS INT) AS end_tok,
+           CAST(count(*) AS INT) AS n_shingles
+    FROM islands GROUP BY 1, 2
+    """,
+)
+def dedup_span_ingest_gate(spark, sf_dir):
+    """INCREMENTAL ExactSubstr — duplicated-span detection of a new
+    batch against the persisted shingle store (dedup.write_shingle_store
+    / probe_duplicated_spans): the even-id half of the corpus is the
+    ingested state; the probe batch is the odd-id half PLUS re-ingested
+    copies of every 10th even doc, which must flag whole-document spans
+    against the store, while batch-internal duplicates flag under the
+    keep-first rule.  Per-batch cost is batch-sized shingling plus one
+    semi-join — the corpus text is never re-read.  The oracle replays
+    store construction, probe, keeper rule, and span merge."""
+    import tempfile
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    work = tempfile.mkdtemp(prefix="span_store_") + "/shingles"
+    dedup.write_shingle_store(corpus, work, n=8)
+    batch = docs.filter(
+        (F.col("doc_id") % 2 == 1) | (F.col("doc_id") % 10 == 0)
+    ).select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    spans = dedup.probe_duplicated_spans(batch, work)
+    from pyspark.sql import Window
+
+    isl = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy("start_tok")
+    )
+    return spans.select(
+        "doc_id",
+        isl.alias("start_tok_island"),
+        F.col("start_tok").cast("int").alias("start_tok"),
+        F.col("end_tok").cast("int").alias("end_tok"),
+        F.col("n_shingles").cast("int").alias("n_shingles"),
+    )

@@ -4485,6 +4485,67 @@ def test_duplicated_spans_merge_adjacent_runs(spark):
     assert spans == {(2, 1, 8), (2, 12, 19)}
 
 
+def test_shingle_store_roundtrip_and_probe(spark, tmp_path):
+    """Incremental ExactSubstr: store build → probe flags state passages
+    and batch-internal dups → append folds the batch → compaction
+    re-distincts without changing probe results."""
+    from mondrian_olap_spark.operators.dedup import (
+        compact_shingle_store,
+        probe_duplicated_spans,
+        read_shingle_store,
+        shingle_store_append,
+        write_shingle_store,
+    )
+
+    passage = "s1 s2 s3 s4 s5 s6 s7 s8"
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"{passage} extra tail words"),
+            Row(doc_id=2, text="fully original corpus doc two body text ok"),
+        ]
+    )
+    path = str(tmp_path / "shingles")
+    write_shingle_store(corpus, path, n=8)
+    _, n = read_shingle_store(spark, path)
+    assert n == 8
+    batch = spark.createDataFrame(
+        [
+            Row(doc_id=100, text=f"lead {passage} trail"),  # vs state
+            Row(doc_id=101, text="b1 b2 b3 b4 b5 b6 b7 b8 mid"),
+            Row(doc_id=102, text="pre b1 b2 b3 b4 b5 b6 b7 b8"),  # vs 101
+            Row(doc_id=103, text="wholly new never seen tokens q w e r"),
+        ]
+    )
+    spans = {
+        (r.doc_id, r.start_tok, r.end_tok)
+        for r in probe_duplicated_spans(batch, path).collect()
+    }
+    # 100 matches the state passage at tokens 2..9; 102's copy of 101's
+    # passage flags (keep-first: 101 < 102); 103 is clean
+    assert spans == {(100, 2, 9), (102, 2, 9)}
+    # fold the batch in: a re-probe of 103's text now flags against state
+    shingle_store_append(batch, path)
+    reprobe = probe_duplicated_spans(
+        spark.createDataFrame(
+            [Row(doc_id=200, text="wholly new never seen tokens q w e r")]
+        ),
+        path,
+    ).collect()
+    assert [(r.doc_id, r.start_tok, r.end_tok) for r in reprobe] == [(200, 1, 9)]
+    # compaction keeps probe results identical
+    before = spark.read.parquet(path).count()
+    compact_shingle_store(spark, path)
+    after = spark.read.parquet(path).count()
+    assert after <= before
+    reprobe2 = probe_duplicated_spans(
+        spark.createDataFrame(
+            [Row(doc_id=200, text="wholly new never seen tokens q w e r")]
+        ),
+        path,
+    ).collect()
+    assert [(r.doc_id, r.start_tok, r.end_tok) for r in reprobe2] == [(200, 1, 9)]
+
+
 def test_ngram_collision_overlapping_id_spaces(spark):
     """Corpus and held-out id spaces may overlap (independent eval sets
     reuse small integer ids): the combined document frequency must count
