@@ -139,6 +139,7 @@ HEADLINE = [
     "prevmember_formula_gate",
     "dedup_substring_spans_gate",
     "dedup_span_ingest_gate",
+    "events_pagerank_gate",
 ]
 
 

@@ -6073,3 +6073,63 @@ def dedup_span_ingest_gate(spark, sf_dir):
         F.col("end_tok").cast("int").alias("end_tok"),
         F.col("n_shingles").cast("int").alias("n_shingles"),
     )
+
+
+def _pagerank_oracle_sql(iterations: int = 5) -> str:
+    """Unrolled fixed-point PageRank oracle (the BPE/perceptron replay
+    trick): every stage is integer arithmetic, so DuckDB reproduces the
+    engine bit-for-bit."""
+    scale, damp = 10**12, 850
+    head = f"""
+    WITH seq AS (
+      SELECT event_type AS dst,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+             epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+      FROM events
+    ),
+    edges AS (SELECT src, dst FROM seq WHERE src IS NOT NULL AND gap <= 1800),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+      )
+    ),
+    deg AS (SELECT src, count(*) AS d FROM edges GROUP BY 1),
+    ew AS (SELECT e.src, e.dst, d.d FROM edges e JOIN deg d USING (src)),
+    params AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (
+      SELECT node, CAST({scale} // (SELECT n FROM params) AS BIGINT) AS rank
+      FROM nodes
+    )"""
+    steps = []
+    for k in range(1, iterations + 1):
+        steps.append(f""",
+    r{k} AS (
+      SELECT nd.node,
+             CAST((SELECT ({scale} * {1000 - damp}) // (1000 * n) FROM params)
+                  + ({damp} * coalesce(s.inflow, 0)) // 1000 AS BIGINT) AS rank
+      FROM nodes nd LEFT JOIN (
+        SELECT ew.dst AS node, sum(r.rank // ew.d) AS inflow
+        FROM ew JOIN r{k - 1} r ON r.node = ew.src GROUP BY 1
+      ) s USING (node)
+    )""")
+    return (
+        head
+        + "".join(steps)
+        + f"\n    SELECT node, rank FROM r{iterations}"
+    )
+
+
+@q("events_pagerank_gate", _pagerank_oracle_sql(5))
+def events_pagerank_gate(spark, sf_dir):
+    """Fixed-point PageRank over the user-journey transition graph
+    (operators.graph.pagerank + session_transition_edges) — the host/
+    page authority signal web-corpus curation ranks crawl output with.
+    ALL arithmetic is integer (contributions via `div`, damping as
+    permille multiply-divide), so ranks are bit-identical across
+    layouts and engines; the oracle replays 5 iterations as unrolled
+    integer SQL stages."""
+    from .operators import graph
+
+    ev = read_parquet_table(spark, f"{sf_dir}/events.parquet")
+    edges = graph.session_transition_edges(ev, gap_minutes=30)
+    return graph.pagerank(edges, iterations=5).select("node", "rank")
