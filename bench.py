@@ -140,6 +140,7 @@ HEADLINE = [
     "dedup_substring_spans_gate",
     "dedup_span_ingest_gate",
     "events_pagerank_gate",
+    "parallelperiod_quarter_gate",
 ]
 
 

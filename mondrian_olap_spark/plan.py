@@ -195,6 +195,12 @@ class Planner:
         #: the Aggregate-scalar totals lowering; bypasses the aggregate
         #: cache and summary-table routing (neither carries grain ids).
         self._emit_grain = False
+        #: callables df→df applied to the aggregated grid just before the
+        #: calc chain — used by per-query rewrites that need columns the
+        #: grid does not carry (e.g. member position-within-parent for
+        #: positional ParallelPeriod); enricher columns are transient,
+        #: dropped by the final ordered select
+        self.grid_enrichers: tuple = ()
 
     def aggregate(
         self,
@@ -363,6 +369,11 @@ class Planner:
             stat_groups.setdefault(_refs_key(spec[3]), []).append(spec)
         for specs in stat_groups.values():
             agg = self._attach_stat_scalar(agg, specs, axes, slicer, totals)
+
+        # grid enrichers: transient columns per-query rewrites need (the
+        # final ordered select drops them)
+        for enrich in self.grid_enrichers:
+            agg = enrich(agg)
 
         # calculated members in solve_order (schema.rb:314-341): formulas
         # over measure aliases, may reference earlier calculated members

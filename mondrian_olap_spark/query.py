@@ -997,7 +997,10 @@ class Query:
         # time-intelligence value forms — Sum(Ytd(), m), ParallelPeriod
         # tuples, … — lower to window SQL over the grid's time columns,
         # which are only known once the axes are (same per-query timing
-        # as the CurrentMember rewrite above)
+        # as the CurrentMember rewrite above).  Rewrites may register
+        # grid enrichers (transient columns like position-within-parent
+        # that the lowered windows reference).
+        grid_enrichers: list = []
         for cm in self._with:
             base = rewritten.get(cm.name, cm)
             if cm.name not in rewrite_errors and _TIME_INTEL_RE.search(
@@ -1007,7 +1010,7 @@ class Query:
                     rewritten[cm.name] = _dc.replace(
                         base,
                         expression=self._rewrite_time_intel(
-                            base.expression, axes
+                            base.expression, axes, grid_enrichers
                         ),
                     )
                 except QueryError as e:
@@ -1100,6 +1103,7 @@ class Query:
         )
         planner.agg_scalars = tuple(agg_specs)
         planner.stat_scalars = tuple(stat_specs)
+        planner.grid_enrichers = tuple(grid_enrichers)
         main_axes, shallow_groups = self._split_mixed_depth([ax.sets for ax in axes])
         if shallow_groups and (self._totals is not None or self._include_empty):
             # the shallow unions run outside the totals / empty-expansion
@@ -1678,7 +1682,7 @@ class Query:
         new_cond = pat.sub(repl, cond)
         return df, new_cond, [c for c in drops if c in df.columns]
 
-    def _rewrite_time_intel(self, expr: str, axes) -> str:
+    def _rewrite_time_intel(self, expr: str, axes, enrichers: list) -> str:
         """Time-intelligence VALUE forms in calc-member formulas → window
         SQL over the grid's time columns (SURVEY.md §2.5; jar!mondrian/
         olap/fun/{XtdFunDef,PeriodsToDateFunDef,LastPeriodsFunDef,
@@ -1696,9 +1700,11 @@ class Query:
           empty calendar periods; on gap-free time data the two agree —
           use ``include_empty()`` to expand the grid when gaps matter);
         * ``(<measure>, ParallelPeriod([T].[Level][, n]))`` — lag over
-          the level order partitioned by the deeper time columns (top
-          time level only: deeper levels need position-within-parent
-          ordinals, out of this subset);
+          the level order; below the top level the partition uses the
+          member's POSITION-WITHIN-PARENT (joined from the member list
+          via a grid enricher — month 5's cousin one quarter back is
+          month 2, the same position in Q1, never month 5 of an earlier
+          year);
         * ``(<measure>, OpeningPeriod|ClosingPeriod([T].[Level]))`` —
           first/last value of the level's periods within the current
           parent.
@@ -1778,6 +1784,35 @@ class Query:
             raise QueryError(
                 f"time-intelligence expects a measure, got {txt!r}"
             )
+
+        def ensure_pos_column(dim, li: int) -> str:
+            """Register a grid enricher joining the member list's
+            position-within-parent for level ``li`` (deduped per level);
+            returns the transient column name the window references."""
+            pos = f"__pos_{dim.levels[li].out}"
+            if any(getattr(e, "_pos_name", None) == pos for e in enrichers):
+                return pos
+            keys = [lv.out for lv in dim.levels[: li + 1]]
+            eng = self.engine
+
+            def enrich(agg, _d=dim, _li=li, _keys=keys, _pos=pos):
+                ranks = eng.level_members(
+                    _d.name, _li, _rank_within_parent=True
+                )
+                cols = [
+                    k
+                    for k in _keys
+                    if k in ranks.columns and k in agg.columns
+                ]
+                return agg.join(
+                    F.broadcast(ranks.select(*cols, _pos)),
+                    on=cols,
+                    how="left",
+                )
+
+            enrich._pos_name = pos
+            enrichers.append(enrich)
+            return pos
 
         out = expr
 
@@ -1963,16 +1998,20 @@ class Query:
                         "ParallelPeriod member argument is not supported "
                         "in this subset (the member is the current row)"
                     )
-                if idx != 0:
-                    # deeper levels need position-within-parent ordinals
-                    # (month 5 one quarter back is month 2, not month 5 of
-                    # an earlier year) — lag over raw columns would silently
-                    # compute the wrong cousin
-                    raise QueryError(
-                        "ParallelPeriod below the top time level is not "
-                        "supported in this subset"
-                    )
-                part = other_cols(dim) + tcols[idx + 1 :]
+                if idx == 0:
+                    below = tcols[idx + 1 :]
+                else:
+                    # positional cousin: lag over raw below-level columns
+                    # would silently compute the wrong member (month 5 one
+                    # quarter back is month 2 — same POSITION in Q1, never
+                    # month 5 of an earlier year), so the partition uses
+                    # position-within-parent columns joined from the
+                    # member list (data-independent, broadcast enricher)
+                    below = [
+                        ensure_pos_column(dim, li)
+                        for li in range(idx + 1, len(tcols))
+                    ]
+                part = other_cols(dim) + below
                 partition = (
                     f"PARTITION BY {', '.join(part)} " if part else ""
                 )

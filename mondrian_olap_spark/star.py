@@ -722,6 +722,7 @@ class CubeEngine:
         path: tuple[str, ...] = (),
         include_properties: bool = False,
         _with_rank: bool = False,
+        _rank_within_parent: bool = False,
     ) -> DataFrame:
         """Distinct members at ``depth`` (optionally under ancestor ``path``),
         hierarchy-ordered by ordinal expressions.
@@ -800,6 +801,24 @@ class CubeEngine:
             )
             df = df.withColumn("__setrank", F.row_number().over(w))
             return df.orderBy(*ord_cols).select(*outs, *props, "__setrank")
+        if _rank_within_parent:
+            # ``__pos_<out>``: the member's 1-based position among its
+            # SIBLINGS (partitioned by the parent levels) — the positional
+            # cousin coordinate ParallelPeriod below the top level needs
+            # (month 5 is position 2 of Q2; its cousin one quarter back is
+            # position 2 of Q1, i.e. month 2 — never month 5 of an earlier
+            # year).  Same bounded member frame as ``__setrank``.
+            from pyspark.sql import Window
+
+            parents = [lv.out for lv in levels[:-1]]
+            w = (
+                Window.partitionBy(*parents)
+                if parents
+                else Window.partitionBy(F.lit(1))
+            ).orderBy(*[F.col(c) for c in ord_cols], *[F.col(o) for o in outs])
+            pos = f"__pos_{levels[-1].out}"
+            df = df.withColumn(pos, F.row_number().over(w))
+            return df.orderBy(*ord_cols).select(*outs, *props, pos)
         return df.orderBy(*ord_cols).select(*outs, *props)
 
     def edge_member(

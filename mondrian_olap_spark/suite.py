@@ -1131,6 +1131,34 @@ def parallelperiod_mdx_gate(spark, sf_dir):
 
 
 @q(
+    "parallelperiod_quarter_gate",
+    f"""
+    WITH agg AS ({_MONTHLY_AGG_Q})
+    SELECT o_year, o_quarter, o_month, sum_price,
+           lag(sum_price, 1) OVER (PARTITION BY (o_month - 1) % 3
+                                   ORDER BY o_year, o_quarter) AS pq_price
+    FROM agg
+    """,
+)
+def parallelperiod_quarter_gate(spark, sf_dir):
+    """ParallelPeriod BELOW the top time level — the POSITIONAL cousin
+    (jar!...ParallelPeriodFunDef): month 5's cousin one quarter back is
+    month 2 (same position in Q1), crossing year boundaries at Q1.  The
+    engine partitions the lag by the member's position-within-parent
+    joined from the member list (data-independent); the oracle derives
+    the same position from calendar arithmetic ((month-1) mod 3)."""
+    eng = get_engine(spark, sf_dir)
+    return eng.execute(
+        """
+        WITH MEMBER [Measures].[PQ Price] AS
+          '([Measures].[Sum Price], ParallelPeriod([Time].[Quarter], 1))'
+        SELECT {[Measures].[Sum Price], [Measures].[PQ Price]} ON COLUMNS,
+               [Time].[Month].Members ON ROWS FROM [Sales]
+        """
+    ).df
+
+
+@q(
     "prevmember_formula_gate",
     f"""
     WITH agg AS ({_MONTHLY_AGG_Q})

@@ -139,17 +139,27 @@ def test_member_path_prevmember_not_swallowed(engine):
         )
 
 
-def test_parallelperiod_below_top_level_rejected(engine):
-    with pytest.raises(QueryError, match="top time level"):
-        execute_mdx(
-            engine,
-            """
-            WITH MEMBER [Measures].[A] AS
-              '([Measures].[Sum Price], ParallelPeriod([Time].[Quarter], 1))'
-            SELECT {[Measures].[A]} ON COLUMNS,
-                   [Time].[Month].Members ON ROWS FROM [Sales]
-            """,
-        )
+def test_parallelperiod_below_top_level_is_positional(engine):
+    """ParallelPeriod(Quarter, 1) on a month grid is the POSITIONAL
+    cousin: month 5 (position 2 of Q2) one quarter back is month 2
+    (position 2 of Q1), and Q1's cousin crosses into the previous
+    year's Q4 — never 'same month number, earlier year'."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[A] AS
+          '([Measures].[Sum Price], ParallelPeriod([Time].[Quarter], 1))'
+        SELECT {[Measures].[Sum Price], [Measures].[A]} ON COLUMNS,
+               [Time].[Month].Members ON ROWS FROM [Sales]
+        """,
+    )
+    rows = {
+        (x["o_year"], x["o_month"]): (x["sum_price"], x["a"])
+        for x in r.df.collect()
+    }
+    assert rows[(1995, 5)][1] == rows[(1995, 2)][0]
+    assert rows[(1996, 1)][1] == rows[(1995, 10)][0]  # crosses the year
+    assert rows[(1995, 2)][1] is None  # nothing before the first quarter
 
 
 def test_time_intel_needs_time_on_axis(engine):
