@@ -141,6 +141,7 @@ HEADLINE = [
     "dedup_span_ingest_gate",
     "events_pagerank_gate",
     "parallelperiod_quarter_gate",
+    "openingperiod_ancestor_gate",
 ]
 
 

@@ -62,7 +62,7 @@ class _Axis:
 #: at execute() time (query._rewrite_time_intel)
 _TIME_INTEL_RE = re.compile(
     r"(?i)(\b(ytd|qtd|mtd|wtd|periodstodate|lastperiods|parallelperiod|"
-    r"openingperiod|closingperiod)\s*\("
+    r"openingperiod|closingperiod|ancestor)\s*\("
     r"|\.\s*(prevmember|nextmember)\b"
     r"|\.\s*(lag|lead)\s*\()"
 )
@@ -1959,6 +1959,18 @@ class Query:
 
         out = nav.sub(nav_repl, out)
 
+        # Ancestor([T].CurrentMember, [T].[Level]) inside Opening/Closing
+        # period member arguments → a paren-free marker so the tuple
+        # regex below can match the whole call (nested parens otherwise
+        # break its argument capture)
+        anc = re.compile(
+            r"(?i)ancestor\s*\(\s*\[[^\]()]+\]\s*\.\s*currentmember\s*,\s*"
+            r"(\[[^\]()]+\](?:\s*\.\s*\[[^\]()]+\])*)\s*\)"
+        )
+        out = anc.sub(
+            lambda m: "@ancestor:" + re.sub(r"\s", "", m.group(1)), out
+        )
+
         # tuple forms: (measure, ParallelPeriod(...)) either order,
         # likewise OpeningPeriod/ClosingPeriod
         tup = re.compile(
@@ -2017,21 +2029,54 @@ class Query:
                 )
                 order = ", ".join(tcols[: idx + 1])
                 return f"lag({mout}, {n}) OVER ({partition}ORDER BY {order})"
-            if len(args) > 1:
-                raise QueryError(
-                    f"{fn} member argument is not supported in this "
-                    "subset (the scope is the current row's parent)"
-                )
             wfn = "first_value" if fn == "openingperiod" else "last_value"
-            part = other_cols(dim) + tcols[:idx]
+            if len(args) > 1:
+                # explicit scope member: Ancestor(CurrentMember, [LevelB])
+                # widens the frame to the LevelB ancestor's descendants;
+                # a bare CurrentMember at the grid's own level is the
+                # degenerate single-row frame (the value itself)
+                m_anc = re.fullmatch(r"@ancestor:(.+)", args[1])
+                m_cur = re.fullmatch(
+                    r"(?i)\[[^\]()]+\](?:\s*\.\s*\[[^\]()]+\])*"
+                    r"\s*\.\s*currentmember",
+                    args[1],
+                )
+                if m_anc:
+                    dim_b, idx_b = time_dim(m_anc.group(1))
+                    if dim_b.name != dim.name or idx_b > idx:
+                        raise QueryError(
+                            f"{fn}: the Ancestor level must be an "
+                            f"ancestor level of {dim.name!r}'s "
+                            f"{dim.levels[idx].name!r}"
+                        )
+                    part = other_cols(dim) + tcols[: idx_b + 1]
+                    order = ", ".join(tcols[idx_b + 1 :]) or tcols[idx_b]
+                elif m_cur:
+                    part = other_cols(dim) + tcols
+                    order = tcols[idx]
+                else:
+                    raise QueryError(
+                        f"{fn} member argument must be "
+                        "[Dim].CurrentMember or "
+                        "Ancestor([Dim].CurrentMember, [Dim].[Level]) "
+                        "in this subset"
+                    )
+            else:
+                part = other_cols(dim) + tcols[:idx]
+                order = ", ".join(tcols[idx:])
             partition = f"PARTITION BY {', '.join(part)} " if part else ""
-            order = ", ".join(tcols[idx:])
             return (
                 f"{wfn}({mout}) OVER ({partition}ORDER BY {order} "
                 "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
             )
 
         out = tup.sub(tup_repl, out)
+        if "@ancestor:" in out:
+            raise QueryError(
+                "Ancestor(CurrentMember, level) is supported only as the "
+                "member argument of OpeningPeriod/ClosingPeriod in this "
+                "subset"
+            )
         leftover = _TIME_INTEL_RE.search(out)
         if leftover:
             raise QueryError(

@@ -1131,6 +1131,45 @@ def parallelperiod_mdx_gate(spark, sf_dir):
 
 
 @q(
+    "openingperiod_ancestor_gate",
+    f"""
+    WITH agg AS ({_MONTHLY_AGG_Q})
+    SELECT o_year, o_quarter, o_month, sum_price,
+           first_value(sum_price) OVER (PARTITION BY o_year
+             ORDER BY o_quarter, o_month
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS open_year,
+           last_value(sum_price) OVER (PARTITION BY o_year
+             ORDER BY o_quarter, o_month
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS close_year
+    FROM agg
+    """,
+)
+def openingperiod_ancestor_gate(spark, sf_dir):
+    """OpeningPeriod/ClosingPeriod with an explicit Ancestor scope —
+    ``OpeningPeriod([T].[Month], Ancestor([T].CurrentMember,
+    [T].[Year]))`` widens the frame from the immediate parent (quarter)
+    to the YEAR ancestor's months (jar!...OpeningClosingPeriodFunDef
+    member argument)."""
+    eng = get_engine(spark, sf_dir)
+    return eng.execute(
+        """
+        WITH MEMBER [Measures].[Open Year] AS
+          '([Measures].[Sum Price], OpeningPeriod([Time].[Month],
+            Ancestor([Time].CurrentMember, [Time].[Year])))'
+        MEMBER [Measures].[Close Year] AS
+          '(ClosingPeriod([Time].[Month],
+            Ancestor([Time].CurrentMember, [Time].[Year])),
+            [Measures].[Sum Price])'
+        SELECT {[Measures].[Sum Price], [Measures].[Open Year],
+                [Measures].[Close Year]} ON COLUMNS,
+               [Time].[Month].Members ON ROWS FROM [Sales]
+        """
+    ).df
+
+
+@q(
     "parallelperiod_quarter_gate",
     f"""
     WITH agg AS ({_MONTHLY_AGG_Q})

@@ -162,6 +162,39 @@ def test_parallelperiod_below_top_level_is_positional(engine):
     assert rows[(1995, 2)][1] is None  # nothing before the first quarter
 
 
+def test_openingperiod_ancestor_scope(engine):
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[OY] AS
+          '([Measures].[Sum Price], OpeningPeriod([Time].[Month],
+            Ancestor([Time].CurrentMember, [Time].[Year])))'
+        MEMBER [Measures].[OQ] AS
+          '([Measures].[Sum Price], OpeningPeriod([Time].[Month]))'
+        SELECT {[Measures].[Sum Price], [Measures].[OY], [Measures].[OQ]}
+          ON COLUMNS, [Time].[Month].Members ON ROWS FROM [Sales]
+        """,
+    )
+    rows = {(x["o_year"], x["o_month"]): x for x in r.df.collect()}
+    # year scope opens at January; the default scope is the quarter
+    assert rows[(1995, 5)]["oy"] == rows[(1995, 1)]["sum_price"]
+    assert rows[(1995, 5)]["oq"] == rows[(1995, 4)]["sum_price"]
+
+
+def test_ancestor_outside_openingperiod_rejected(engine):
+    with pytest.raises(QueryError, match="Ancestor"):
+        execute_mdx(
+            engine,
+            """
+            WITH MEMBER [Measures].[X] AS
+              '([Measures].[Sum Price],
+                Ancestor([Time].CurrentMember, [Time].[Year]))'
+            SELECT {[Measures].[X]} ON COLUMNS,
+                   [Time].[Month].Members ON ROWS FROM [Sales]
+            """,
+        )
+
+
 def test_time_intel_needs_time_on_axis(engine):
     # Ytd() with no time dimension projected → clear error, not wrong math
     with pytest.raises(QueryError, match="time-typed dimension"):
