@@ -1693,12 +1693,13 @@ class Query:
           period parent (functions/windows.cumulative semantics);
         * ``Agg(PeriodsToDate([T].[Level]), <measure>)`` — explicit
           to-date level;
-        * ``Agg(LastPeriods(n), <measure>)`` — trailing window
-          (n < 0 → forward frame, n = 0 → empty set → NULL).  Row-frame
-          over the PRESENT grid rows: when a period has no fact rows at
-          all it does not occupy a frame slot (the reference counts
-          empty calendar periods; on gap-free time data the two agree —
-          use ``include_empty()`` to expand the grid when gaps matter);
+        * ``Agg(LastPeriods(n), <measure>)`` — CALENDAR-true trailing
+          window (n < 0 → forward frame, n = 0 → empty set → NULL): a
+          RANGE frame over a dense period index derived from member-list
+          position-within-parent columns, so a period with no fact rows
+          still occupies its frame slot.  Boundary: the period must
+          EXIST in the member list — a degenerate fact-derived time
+          dimension cannot know about periods with zero fact rows;
         * ``(<measure>, ParallelPeriod([T].[Level][, n]))`` — lag over
           the level order; below the top level the partition uses the
           member's POSITION-WITHIN-PARENT (joined from the member list
@@ -1846,20 +1847,37 @@ class Query:
                     partition = (
                         f"PARTITION BY {', '.join(part)} " if part else ""
                     )
-                    order = ", ".join(tcols)
                     if n == 0:  # MDX: LastPeriods(0) is the empty set
                         return "CAST(NULL AS DOUBLE)"
+                    # CALENDAR-true trailing window: a RANGE frame over a
+                    # dense period index derived from position-within-
+                    # parent columns (member-list enrichers), so a period
+                    # with no fact rows still occupies its frame slot —
+                    # a ROWS frame over present grid rows would silently
+                    # span extra calendar time across gaps
+                    idx_expr = f"__pos_{dim.levels[0].out}"
+                    for li in range(1, len(tcols)):
+                        cnt = self.engine.level_members(
+                            dim.name, li, _rank_within_parent=True
+                        ).agg(
+                            F.max(f"__pos_{dim.levels[li].out}")
+                        ).collect()[0][0]
+                        pos = ensure_pos_column(dim, li)
+                        idx_expr = f"(({idx_expr}) - 1) * {cnt} + {pos}"
+                    ensure_pos_column(dim, 0)
                     if n < 0:
                         frame = (
-                            f"ROWS BETWEEN CURRENT ROW AND {-n - 1} FOLLOWING"
+                            f"RANGE BETWEEN CURRENT ROW AND "
+                            f"{-n - 1} FOLLOWING"
                         )
                     else:
                         frame = (
-                            f"ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW"
+                            f"RANGE BETWEEN {n - 1} PRECEDING "
+                            "AND CURRENT ROW"
                         )
                     return (
                         f"{aggname}({mout}) OVER ({partition}"
-                        f"ORDER BY {order} {frame})"
+                        f"ORDER BY ({idx_expr}) {frame})"
                     )
                 if m_xtd:
                     kind = m_xtd.group(1).lower()

@@ -220,6 +220,63 @@ def test_unsupported_time_intel_form_is_loud(engine):
         )
 
 
+def test_lastperiods_is_calendar_true_across_gaps(spark):
+    """LastPeriods(n) spans CALENDAR periods, not present grid rows: a
+    month with no fact rows still occupies its frame slot (RANGE frame
+    over the member-list period index), so the trailing-3 window at
+    month 5 covers months {3,4,5} — never reaching back to month 2."""
+    from pyspark.sql import Row
+
+    from mondrian_olap_spark.model import Cube, Dimension, Level, Measure
+    from mondrian_olap_spark.star import CubeEngine
+
+    # the time DIMENSION TABLE declares month 4 even though no fact row
+    # references it — gap visibility requires the period to exist in the
+    # member list (a degenerate fact-derived time dim cannot know about
+    # periods with zero fact rows)
+    dim_rows = spark.createDataFrame(
+        [Row(tk=m, y=2024, m=m) for m in (1, 2, 3, 4, 5)]
+    )
+    fact = spark.createDataFrame(
+        [
+            Row(fk=1, v=1.0),
+            Row(fk=2, v=10.0),
+            Row(fk=3, v=100.0),
+            # month 4 has no fact rows at all
+            Row(fk=5, v=1000.0),
+        ]
+    )
+    cube = Cube(
+        name="Mini",
+        fact="f",
+        dimensions=(
+            Dimension(
+                name="Time",
+                foreign_key="fk",
+                table="d",
+                primary_key="tk",
+                levels=(
+                    Level("Year", "y", level_type="TimeYears"),
+                    Level("Month", "m", level_type="TimeMonths"),
+                ),
+            ),
+        ),
+        measures=(Measure("V", "v", "sum", output="v_sum"),),
+    )
+    eng = CubeEngine(cube, {"f": fact, "d": dim_rows})
+    r = execute_mdx(
+        eng,
+        """
+        WITH MEMBER [Measures].[T3] AS 'Sum(LastPeriods(3), [Measures].[V])'
+        SELECT {[Measures].[V], [Measures].[T3]} ON COLUMNS,
+               [Time].[Month].Members ON ROWS FROM [Mini]
+        """,
+    )
+    t3 = {row["month"]: row["t3"] for row in r.df.collect()}
+    assert t3[3] == 111.0  # months 1..3
+    assert t3[5] == 1100.0  # months 3,4,5 — month 2 must NOT leak in
+
+
 def test_lastperiods_zero_is_empty_set(engine):
     r = execute_mdx(
         engine,
