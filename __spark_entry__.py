@@ -116,43 +116,43 @@ _LAST_HASHED: dict[str, int] = {
     "events_sessionization": 8,
     "except_regions": 8,
     "filter_order_nations": 8,
-    "generate_customer_list": 4,
-    "last_periods_moving_3m": 4,
-    "level_members_metadata": 4,
-    "opening_closing_period": 4,
-    "parallel_period_month": 4,
-    "pipeline_deterministic_sample": 4,
-    "pipeline_split_contamination": 4,
-    "prev_member_month": 4,
-    "subset_nations_by_price": 4,
-    "text_chunking": 4,
-    "text_pii_redaction": 4,
-    "text_quality_features": 4,
-    "text_quality_filter": 4,
-    "text_repetition_features": 4,
-    "text_stats_by_source": 4,
-    "text_token_counts": 4,
-    "tuple_item_implicit_measure": 4,
-    "ytd_monthly": 4,
+    "generate_customer_list": 9,
+    "last_periods_moving_3m": 9,
+    "level_members_metadata": 9,
+    "opening_closing_period": 9,
+    "parallel_period_month": 9,
+    "pipeline_deterministic_sample": 9,
+    "pipeline_split_contamination": 9,
+    "prev_member_month": 9,
+    "subset_nations_by_price": 9,
+    "text_chunking": 9,
+    "text_pii_redaction": 9,
+    "text_quality_features": 9,
+    "text_quality_filter": 9,
+    "text_repetition_features": 9,
+    "text_stats_by_source": 9,
+    "text_token_counts": 9,
+    "tuple_item_implicit_measure": 9,
+    "ytd_monthly": 9,
     # first hashed green in CORRECTNESS_r05.json
-    "approx_distinct_parts": 5,
-    "bucketed_star_gate": 5,
-    "dedup_source_overlap": 5,
-    "embed_ivf_recall_gate": 5,
-    "embed_label_norm_stats": 5,
-    "embed_lsh_neardup_pairs": 5,
-    "embed_quantization_report": 5,
-    "events_approx_quantiles": 5,
-    "events_asof_attribution": 5,
-    "events_asof_forward_tolerance": 5,
-    "events_funnel_steps": 5,
-    "events_props_json_stats": 5,
-    "events_retention_weekly": 5,
-    "events_salted_join": 5,
-    "events_zorder_cells": 5,
-    "filter_member_property_gate": 5,
-    "multimodal_real_bmp_gate": 5,
-    "multimodal_real_wav_gate": 5,
+    "approx_distinct_parts": 9,
+    "bucketed_star_gate": 9,
+    "dedup_source_overlap": 9,
+    "embed_ivf_recall_gate": 9,
+    "embed_label_norm_stats": 9,
+    "embed_lsh_neardup_pairs": 9,
+    "embed_quantization_report": 9,
+    "events_approx_quantiles": 9,
+    "events_asof_attribution": 9,
+    "events_asof_forward_tolerance": 9,
+    "events_funnel_steps": 9,
+    "events_props_json_stats": 9,
+    "events_retention_weekly": 9,
+    "events_salted_join": 9,
+    "events_zorder_cells": 9,
+    "filter_member_property_gate": 9,
+    "multimodal_real_bmp_gate": 9,
+    "multimodal_real_wav_gate": 9,
     "pipeline_apply_changes": 5,
     "pipeline_balanced_sample": 5,
     "pipeline_corpus_diff": 5,
@@ -269,6 +269,21 @@ _LAST_HASHED: dict[str, int] = {
     "text_importance_weights": 7,
     "vba_excel_breadth_gate": 7,
     "vba_financial_gate": 7,
+    # first hashed green in CORRECTNESS_r09.json (round-9 gates)
+    "catalog_xml_import_gate": 9,
+    "dedup_span_ingest_gate": 9,
+    "dedup_substring_spans_gate": 9,
+    "events_pagerank_gate": 9,
+    "linreg_formula_text_gate": 9,
+    "openingperiod_ancestor_gate": 9,
+    "parallelperiod_mdx_gate": 9,
+    "parallelperiod_quarter_gate": 9,
+    "prevmember_formula_gate": 9,
+    "setstat_formula_text_gate": 9,
+    "union_intersect_mdx_gate": 9,
+    "visualtotals_mdx_gate": 9,
+    "ytd_axis_gate": 9,
+    "ytd_mdx_gate": 9,
 }
 
 

@@ -196,8 +196,14 @@ def _measure_refs_to_outs(formula: str, outs_by_name: dict[str, str]) -> str:
         name = (m.group(1) or m.group(2)).strip()
         return outs_by_name.get(name.lower(), m.group(0))
 
+    # the Measures head must be either a COMPLETE bracketed segment or a
+    # bare word with no identifier character (or ']') on its left —
+    # '\[?Measures\]?' would match "Measures].[Foo]" INSIDE
+    # '[GrossMeasures].[Foo]' and corrupt the formula when a measure
+    # named Foo exists
     pat = re.compile(
-        r"\[?Measures\]?\s*\.\s*(?:\[((?:[^\]]|\]\])+)\]|(\w+))",
+        r"(?:\[Measures\]|(?<![\w\]])Measures\b)\s*\.\s*"
+        r"(?:\[((?:[^\]]|\]\])+)\]|(\w+))",
         re.IGNORECASE,
     )
     return pat.sub(repl, formula)

@@ -1712,8 +1712,20 @@ class MdxParser:
             left_m = self._plain_members(inner, fname.upper())
             right_m = self._plain_members(right, fname.upper())
 
-            def canon(s: str) -> str:
-                return re.sub(r"\s", "", s).lower()
+            def canon(s: str):
+                # segment-wise identity: whitespace INSIDE a bracketed
+                # segment is part of the member name — '[North America]'
+                # and '[NorthAmerica]' are different members (a strip-all-
+                # whitespace canon would merge them); only case and
+                # inter-token spacing normalize away
+                from .members import MemberParseError, parse_identifier
+
+                try:
+                    return tuple(
+                        seg.lower() for seg in parse_identifier(s.strip())
+                    )
+                except MemberParseError:
+                    return (re.sub(r"\s+", " ", s.strip()).lower(),)
 
             if fname == "intersect":
                 if all_flag:

@@ -5920,13 +5920,13 @@ def web_curation_chain_gate(spark, sf_dir):
       FROM corp c, unnest(range(1, greatest(len(c.ws) - 7, 0) + 1)) AS t(i)
     ),
     d AS (
-      SELECT h, count(*) AS cnt, min(id * 1000 + pos) AS keeper
+      SELECT h, count(*) AS cnt, min(ROW(id, pos)) AS keeper
       FROM g GROUP BY 1 HAVING count(*) >= 2
     ),
     flagged AS (
       SELECT DISTINCT g.id, g.pos
       FROM g JOIN d USING (h)
-      WHERE g.id * 1000 + g.pos <> d.keeper
+      WHERE ROW(g.id, g.pos) <> d.keeper
     ),
     marked AS (
       SELECT id, pos,
@@ -6012,12 +6012,12 @@ def dedup_substring_spans_gate(spark, sf_dir):
     ),
     seen AS (SELECT bg.id, bg.pos FROM bg JOIN store USING (h)),
     bdup AS (
-      SELECT h, min(id * 10000000 + pos) AS keeper
+      SELECT h, min(ROW(id, pos)) AS keeper
       FROM bg GROUP BY 1 HAVING count(*) >= 2
     ),
     internal AS (
       SELECT bg.id, bg.pos FROM bg JOIN bdup USING (h)
-      WHERE bg.id * 10000000 + bg.pos <> bdup.keeper
+      WHERE ROW(bg.id, bg.pos) <> bdup.keeper
     ),
     flagged AS (SELECT * FROM seen UNION SELECT * FROM internal),
     marked AS (

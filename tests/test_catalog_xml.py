@@ -257,3 +257,26 @@ def test_virtual_cube_binding_requires_engines():
     _, virtuals = from_mondrian_xml(FIXTURE)
     with pytest.raises(KeyError, match="needs an engine"):
         build_virtual_cube(virtuals[0], engines={})
+
+
+def test_measure_ref_rewrite_requires_complete_head():
+    """The [Measures].[X] rewrite must not fire INSIDE a longer bracketed
+    identifier: '[GrossMeasures].[Foo]' contains the substring
+    'Measures].[Foo]', and an unanchored match corrupted the formula to
+    '[Gross<alias>' when a measure named Foo existed."""
+    from mondrian_olap_spark.catalog_xml import _measure_refs_to_outs
+
+    outs = {"foo": "foo_out", "sum qty": "sum_qty"}
+    # untouched: Measures-head is part of a longer identifier
+    assert (
+        _measure_refs_to_outs("[GrossMeasures].[Foo] + 1", outs)
+        == "[GrossMeasures].[Foo] + 1"
+    )
+    assert (
+        _measure_refs_to_outs("GrossMeasures.[Foo]", outs)
+        == "GrossMeasures.[Foo]"
+    )
+    # rewritten: complete heads, bracketed or bare, any spacing
+    assert _measure_refs_to_outs("[Measures].[Foo]", outs) == "foo_out"
+    assert _measure_refs_to_outs("Measures.[Sum Qty] * 2", outs) == "sum_qty * 2"
+    assert _measure_refs_to_outs("Measures . Foo", outs) == "foo_out"

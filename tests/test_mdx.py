@@ -3286,3 +3286,35 @@ def test_vba_partition(engine):
             "'Partition(20, 0, 98, count_order)' "
             "SELECT [Measures].[X] ON COLUMNS FROM [Sales]",
         )
+
+
+def test_union_intersect_member_identity_is_segmentwise(engine):
+    """UNION/INTERSECT member identity is per identifier SEGMENT, not
+    the whitespace-stripped written form: '[MIDDLE EAST]' and
+    '[MIDDLEEAST]' are DIFFERENT members (the space is part of the
+    bracketed name), while spacing around the dots normalizes away."""
+    # spurious match regression: strip-all-whitespace canon treated
+    # [MIDDLE EAST] as present in the right side's {[MIDDLEEAST], [ASIA]}
+    r = execute_mdx(
+        engine,
+        """
+        SELECT {[Measures].[Sum Qty]} ON COLUMNS,
+               INTERSECT({[Customer].[MIDDLE EAST], [Customer].[ASIA]},
+                         {[Customer].[MIDDLEEAST], [Customer].[ASIA]})
+                 ON ROWS
+        FROM [Sales]
+        """,
+    )
+    assert [x["region_name"] for x in r.df.collect()] == ["ASIA"]
+    # inter-token spacing (around the dots) still dedups
+    r2 = execute_mdx(
+        engine,
+        """
+        SELECT {[Measures].[Sum Qty]} ON COLUMNS,
+               UNION({[Customer].[MIDDLE EAST]},
+                     {[Customer] . [MIDDLE EAST]}) ON ROWS
+        FROM [Sales]
+        """,
+    )
+    rows = r2.df.collect()
+    assert [x["region_name"] for x in rows] == ["MIDDLE EAST"]
