@@ -979,7 +979,36 @@ class Query:
 
         rewritten: dict[str, CalculatedMember] = {}
         rewrite_errors: dict[str, QueryError] = {}
-        for cm in self._with:
+        # cube-level (schema-declared) calculated members get the SAME
+        # per-query rewrites as WITH members — a Mondrian-XML-imported
+        # formula like '(Measures.[Profit], [Time].[Time].PREVMEMBER)'
+        # (MondrianTest.xml:116) must lower, or fail with the friendly
+        # QueryError, not an opaque Spark SQL parse error at use time.
+        # WITH members shadow same-named cube members (the _measure
+        # resolution order), so they come first and win the dict.
+        with_names = {c.name.lower() for c in self._with}
+        selected = {n.lower() for ax in axes for n in ax.measure_names}
+
+        def _query_uses(c) -> bool:
+            # selected on an axis, or referenced from a WITH formula by
+            # output alias / bracketed name — unreferenced cube members
+            # must not register grid enrichers (each is a join)
+            if c.name.lower() in selected:
+                return True
+            import re as _re
+
+            pat = _re.compile(
+                rf"\b{_re.escape(c.out)}\b|\[\s*{_re.escape(c.name)}\s*\]",
+                _re.IGNORECASE,
+            )
+            return any(pat.search(w.expression) for w in self._with)
+
+        rewrite_candidates = list(self._with) + [
+            c
+            for c in self.cube.calculated_members
+            if c.name.lower() not in with_names and _query_uses(c)
+        ]
+        for cm in rewrite_candidates:
             if "currentmember" in cm.expression.lower():
                 # a WITH member the query never evaluates must not fail it
                 # (Mondrian computes calc members lazily): defer the
@@ -1001,7 +1030,7 @@ class Query:
         # grid enrichers (transient columns like position-within-parent
         # that the lowered windows reference).
         grid_enrichers: list = []
-        for cm in self._with:
+        for cm in rewrite_candidates:
             base = rewritten.get(cm.name, cm)
             if cm.name not in rewrite_errors and _TIME_INTEL_RE.search(
                 base.expression
@@ -1017,8 +1046,13 @@ class Query:
                     rewrite_errors[cm.name] = e
         with_list = tuple(
             rewritten.get(cm.name, cm)
-            for cm in self._with
+            for cm in rewrite_candidates
             if cm.name not in rewrite_errors
+            # cube-level members pass through the planner unrewritten by
+            # default (plan.py reads cube.calculated_members); only the
+            # ones a rewrite actually CHANGED ride along as extra
+            # measures, where first-per-out wins over the raw cube copy
+            and (cm.name.lower() in with_names or cm.name in rewritten)
         )
         measures: list[Measure | CalculatedMember] = []
         for ax in axes:
@@ -1040,7 +1074,7 @@ class Query:
 
         bad_refs = {}
         for bad, err in rewrite_errors.items():
-            bad_cm = next(c for c in self._with if c.name == bad)
+            bad_cm = next(c for c in rewrite_candidates if c.name == bad)
             pat = _re.compile(
                 rf"\b{_re.escape(bad_cm.out)}\b"
                 rf"|\[\s*{_re.escape(bad)}\s*\]",
@@ -1815,6 +1849,40 @@ class Query:
             enrichers.append(enrich)
             return pos
 
+        def ensure_dense_index_column(dim, li: int) -> str:
+            """Register a grid enricher joining the member's 1-based
+            position over the FULL ordered member list of level ``li``
+            (``level_members(_with_rank=True)``'s ``__setrank``).  Dense
+            by construction — consecutive calendar periods differ by
+            exactly 1 regardless of ragged child counts (a 52- vs 53-week
+            year, a sparse mid-history parent), which a per-level
+            mixed-radix product over position-within-parent cannot
+            guarantee."""
+            idx = f"__pidx_{dim.levels[li].out}"
+            if any(getattr(e, "_pos_name", None) == idx for e in enrichers):
+                return idx
+            keys = [lv.out for lv in dim.levels[: li + 1]]
+            eng = self.engine
+
+            def enrich(agg, _d=dim, _li=li, _keys=keys, _idx=idx):
+                ranks = eng.level_members(_d.name, _li, _with_rank=True)
+                cols = [
+                    k
+                    for k in _keys
+                    if k in ranks.columns and k in agg.columns
+                ]
+                return agg.join(
+                    F.broadcast(
+                        ranks.select(*cols, F.col("__setrank").alias(_idx))
+                    ),
+                    on=cols,
+                    how="left",
+                )
+
+            enrich._pos_name = idx
+            enrichers.append(enrich)
+            return idx
+
         out = expr
 
         def make_agg_repl(aggname: str):
@@ -1850,21 +1918,25 @@ class Query:
                     if n == 0:  # MDX: LastPeriods(0) is the empty set
                         return "CAST(NULL AS DOUBLE)"
                     # CALENDAR-true trailing window: a RANGE frame over a
-                    # dense period index derived from position-within-
-                    # parent columns (member-list enrichers), so a period
-                    # with no fact rows still occupies its frame slot —
-                    # a ROWS frame over present grid rows would silently
-                    # span extra calendar time across gaps
-                    idx_expr = f"__pos_{dim.levels[0].out}"
-                    for li in range(1, len(tcols)):
-                        cnt = self.engine.level_members(
-                            dim.name, li, _rank_within_parent=True
-                        ).agg(
-                            F.max(f"__pos_{dim.levels[li].out}")
-                        ).collect()[0][0]
-                        pos = ensure_pos_column(dim, li)
-                        idx_expr = f"(({idx_expr}) - 1) * {cnt} + {pos}"
-                    ensure_pos_column(dim, 0)
+                    # dense period index — the member's rank in the FULL
+                    # ordered member list of the deepest projected level
+                    # (a member-list enricher), so a period with no fact
+                    # rows still occupies its frame slot (a ROWS frame
+                    # over present grid rows would silently span extra
+                    # calendar time across gaps) AND ragged hierarchies
+                    # index densely (a mixed-radix product over per-level
+                    # max child counts left gaps after any parent with
+                    # fewer-than-max children, silently shrinking the
+                    # trailing window).  Remaining boundary: a period
+                    # absent from the member list itself (no dim row at
+                    # all) cannot occupy a slot — the index is only as
+                    # complete as the time dimension.
+                    leaf_li = next(
+                        i
+                        for i, lv in enumerate(dim.levels)
+                        if lv.out == tcols[-1]
+                    )
+                    idx_expr = ensure_dense_index_column(dim, leaf_li)
                     if n < 0:
                         frame = (
                             f"RANGE BETWEEN CURRENT ROW AND "

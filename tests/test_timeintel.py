@@ -287,3 +287,116 @@ def test_lastperiods_zero_is_empty_set(engine):
         """,
     )
     assert all(row["z"] is None for row in r.df.collect())
+
+
+def test_lastperiods_dense_index_with_ragged_child_counts(spark):
+    """The period index must stay DENSE when parents have unequal child
+    counts (a 52- vs 53-week year, a short first year): with 2023
+    holding months {1,2} and 2024 holding {1,2,3}, LastPeriods(3) at
+    2024-01 covers {2023-01, 2023-02, 2024-01}.  A mixed-radix product
+    over the global max position-within-parent (3) indexed 2023's months
+    1,2 and 2024's 4,5,6 — the gap at 3 silently shrank every trailing
+    window that crossed the year boundary."""
+    from pyspark.sql import Row
+
+    from mondrian_olap_spark.mdx import execute_mdx
+    from mondrian_olap_spark.model import Cube, Dimension, Level, Measure
+    from mondrian_olap_spark.star import CubeEngine
+
+    dim_rows = spark.createDataFrame(
+        [Row(tk=1, y=2023, m=1), Row(tk=2, y=2023, m=2),
+         Row(tk=3, y=2024, m=1), Row(tk=4, y=2024, m=2),
+         Row(tk=5, y=2024, m=3)]
+    )
+    fact = spark.createDataFrame(
+        [Row(fk=1, v=1.0), Row(fk=2, v=10.0), Row(fk=3, v=100.0),
+         Row(fk=4, v=1000.0), Row(fk=5, v=10000.0)]
+    )
+    cube = Cube(
+        name="Mini",
+        fact="f",
+        dimensions=(
+            Dimension(
+                name="Time",
+                foreign_key="fk",
+                table="d",
+                primary_key="tk",
+                levels=(
+                    Level("Year", "y", level_type="TimeYears"),
+                    Level("Month", "m", level_type="TimeMonths"),
+                ),
+            ),
+        ),
+        measures=(Measure("V", "v", "sum", output="v_sum"),),
+    )
+    eng = CubeEngine(cube, {"f": fact, "d": dim_rows})
+    r = execute_mdx(
+        eng,
+        """
+        WITH MEMBER [Measures].[T3] AS 'Sum(LastPeriods(3), [Measures].[V])'
+        SELECT {[Measures].[V], [Measures].[T3]} ON COLUMNS,
+               CROSSJOIN([Time].[Year].Members, [Time].[Month].Members)
+                 ON ROWS FROM [Mini]
+        """,
+    )
+    t3 = {(row["year"], row["month"]): row["t3"] for row in r.df.collect()}
+    # the window crossing the ragged year boundary sees 3 TRUE periods
+    assert t3[(2024, 1)] == 111.0     # 2023-01, 2023-02, 2024-01
+    assert t3[(2024, 2)] == 1110.0    # 2023-02, 2024-01, 2024-02
+    assert t3[(2024, 3)] == 11100.0   # 2024-01..03
+
+
+def test_cube_level_calc_member_time_intel_lowers(engine):
+    """A SCHEMA-declared calculated member (the Mondrian-XML idiom —
+    MondrianTest.xml:116 'Profit last Period' =
+    (Measures.[Profit], [Time].[Time].PREVMEMBER)) gets the same
+    per-query time-intelligence lowering as a WITH member; before, only
+    query-scoped WITH formulas were rewritten and the schema member died
+    at use time with an opaque Spark SQL parse error."""
+    import dataclasses as dc
+
+    from mondrian_olap_spark.model import CalculatedMember
+    from mondrian_olap_spark.star import CubeEngine
+
+    cube = dc.replace(
+        engine.cube,
+        calculated_members=(
+            *engine.cube.calculated_members,
+            CalculatedMember(
+                "Price last Period",
+                "([Measures].[Sum Price], [Time].[Time].PrevMember)",
+            ),
+        ),
+    )
+    eng = CubeEngine(cube, engine.tables)
+    r = execute_mdx(
+        eng,
+        """
+        SELECT {[Measures].[Sum Price], [Measures].[Price last Period]}
+          ON COLUMNS, [Time].[Year].Members ON ROWS FROM [Sales]
+        """,
+    )
+    rows = sorted(r.df.collect(), key=lambda row: row["o_year"])
+    assert rows[0]["price_last_period"] is None
+    assert all(
+        rows[i]["price_last_period"] == rows[i - 1]["sum_price"]
+        for i in range(1, len(rows))
+    )
+    # an UNREFERENCED schema member with an unlowerable formula must not
+    # fail unrelated queries on the same cube (lazy evaluation)
+    cube2 = dc.replace(
+        engine.cube,
+        calculated_members=(
+            *engine.cube.calculated_members,
+            CalculatedMember(
+                "Broken", "([Measures].[Sum Price], [Part].CurrentMember.Nope)"
+            ),
+        ),
+    )
+    eng2 = CubeEngine(cube2, engine.tables)
+    r2 = execute_mdx(
+        eng2,
+        "SELECT {[Measures].[Sum Qty]} ON COLUMNS, "
+        "[Customer].children ON ROWS FROM [Sales]",
+    )
+    assert r2.df.count() == 5
