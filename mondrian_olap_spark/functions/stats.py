@@ -173,6 +173,27 @@ def stat_column(output: str, fn: str, *exprs: str, arg: float | None = None) -> 
             F.array_sort(F.collect_list(e)),
             F.floor(idx).cast("int") - F.lit(1),
         ).alias(output)
+    if name == "genconcat":
+        # GENERATE(set, string expr[, separator]) string form
+        # (jar!mondrian/olap/fun/GenerateFunDef string mode;
+        # /root/reference/test/mondrian_test.rb:491-517): concatenate the
+        # per-member values in set (hierarchy) order.  ``exprs`` is
+        # (value, order); ``arg`` the separator ('' when omitted, the MDX
+        # default).  array_sort over (order, value) structs keeps the
+        # concatenation deterministic under parallel aggregation; NULL
+        # values drop out (collect_list skips the NULL the unmatched
+        # ``when`` yields), matching string_agg NULL-skipping.
+        if len(exprs) != 2:
+            raise ValueError("genconcat takes (value, order) expressions")
+        sep = "" if arg is None else str(arg)
+        v = F.expr(exprs[0]).cast("string")
+        o = F.expr(exprs[1])
+        pairs = F.collect_list(
+            F.when(v.isNotNull(), F.struct(o.alias("o"), v.alias("v")))
+        )
+        return F.array_join(
+            F.transform(F.array_sort(pairs), lambda x: x["v"]), sep
+        ).alias(output)
     if name in _UNARY:
         if len(exprs) != 1:
             raise ValueError(f"{fn} takes one expression")

@@ -3031,6 +3031,241 @@ class MdxParser:
             for _name in _SETSTAT_FN:
                 out = _rewrite_paren_call(out, _name, _setstat_handler(_name))
 
+        # ---- GENERATE in VALUE expressions -----------------------------
+        # (jar!mondrian/olap/fun/GenerateFunDef; reference WITH MEMBER
+        # texts /root/reference/test/mondrian_test.rb:491-517.)  Two modes:
+        #   * SetToStr(Generate(set, <member expr>[, ALL])) — the member
+        #     form stringified: folds to a constant at translation time
+        #     (the set's member list is metadata);
+        #   * Generate(set, <string expr>[, '<sep>']) — the string form:
+        #     per-member evaluation + ordered concat, lowered onto the
+        #     set-statistic sub-plan (fn 'genconcat', ordered by the
+        #     member's __setrank hierarchy position).
+        def _set_iteration_scope(member_strs, what: str):
+            """(dimension, leaf level index) every set member shares —
+            the Generate iteration context."""
+            from .members import resolve as _resolve_ref
+
+            dim = None
+            depth = None
+            for mstr in member_strs:
+                ref = _resolve_ref(self.cube, mstr)
+                if dim is None:
+                    dim, depth = ref.dimension, ref.depth
+                elif (
+                    ref.dimension.name != dim.name or ref.depth != depth
+                ):
+                    raise MdxError(
+                        f"{what}: all set members must share one "
+                        "dimension and level"
+                    )
+            return dim, depth
+
+        def _translate_generate_expr(
+            raw: str, dim, depth: int, set_canon: str
+        ) -> str:
+            """The string expression, per-member: inline WITH-member
+            formulas (their CurrentMember text must bind to the ITERATED
+            set, not the query axes), rewrite the set dimension's
+            CurrentMember properties onto the set level's member column,
+            then translate the remainder."""
+            for cm in self.q._with:
+                pat = (
+                    r"\[Measures\]\s*\.\s*\["
+                    + r"\s+".join(re.escape(p) for p in cm.name.split())
+                    + r"\]"
+                )
+                raw = re.sub(
+                    pat, "(" + cm.expression + ")", raw, flags=re.IGNORECASE
+                )
+            lv = dim.levels[depth]
+            name_col = f"cast({lv.out} as string)"
+
+            def repl_prop(m: re.Match) -> str:
+                from .star import _has_caption
+                from .udf import registered_functions
+
+                dname = m.group(1).replace("]]", "]")
+                if dname.lower() not in (
+                    dim.name.lower(),
+                    dim.name.replace(".", "").lower(),
+                ):
+                    raise MdxError(
+                        f"Generate(string form): CurrentMember of "
+                        f"[{dname}] — only the iterated set's dimension "
+                        f"({dim.name}) is current inside the expression"
+                    )
+                p = m.group(2).lower()
+                if p == "name":
+                    return name_col
+                if p == "caption":
+                    return (
+                        f"{lv.out}_caption" if _has_caption(lv) else name_col
+                    )
+                udfs = {
+                    n.lower()
+                    for n in registered_functions(
+                        self.engine.fact.sparkSession
+                    )
+                }
+                if p in udfs:
+                    args = m.group(4)
+                    extra = f", {args}" if args and args.strip() else ""
+                    return f"{m.group(2)}({name_col}{extra})"
+                raise MdxError(
+                    f"Generate(string form): unknown member property "
+                    f"{m.group(2)!r} — Name, Caption, or a registered "
+                    "scalar UDF"
+                )
+
+            raw = re.sub(
+                r"\[((?:[^\]]|\]\])+)\]\s*\.\s*CurrentMember\s*\.\s*"
+                r"([A-Za-z_][A-Za-z0-9_]*)\s*(\(([^)]*)\))?",
+                repl_prop,
+                raw,
+                flags=re.IGNORECASE,
+            )
+            if re.search(r"(?i)\bCurrentMember\b", raw):
+                raise MdxError(
+                    "Generate(string form): a bare CurrentMember is a "
+                    "MEMBER expression — wrap the call in SetToStr for "
+                    "the set-returning form"
+                )
+            return _translate_stat_expr(raw, set_canon)
+
+        def repl_generate_string(inner: str):
+            parts = _split_set_args(inner)
+            if len(parts) not in (2, 3):
+                return None
+            member_strs = _parse_set_arg(parts[0])
+            if member_strs is None:
+                raise MdxError(
+                    "Generate in a value expression takes (set, string "
+                    "expr[, separator]) — the first argument must be a "
+                    "set ({…} or <level>.Members)"
+                )
+            sep = ""
+            if len(parts) == 3:
+                mm = re.fullmatch(r"\x00(\d+)\x00", parts[2].strip())
+                if not mm:
+                    raise MdxError(
+                        "Generate separator must be a string literal"
+                    )
+                sep = _unquote(_masked[int(mm.group(1))])
+            dim, depth = _set_iteration_scope(
+                member_strs, "Generate(string form)"
+            )
+            expr_sql = _translate_generate_expr(
+                parts[1], dim, depth, _canon_frag(parts[0])
+            )
+            return _register_stat(
+                "genconcat", (expr_sql, "__setrank"), member_strs, sep, False
+            )
+
+        def repl_settostr_generate(inner: str):
+            m0 = re.match(r"(?is)\s*generate\s*\(", inner)
+            if not m0:
+                return None  # the zero-arg set-UDF pass already ran
+            gdepth, j = 1, m0.end()
+            while j < len(inner) and gdepth:
+                if inner[j] == "(":
+                    gdepth += 1
+                elif inner[j] == ")":
+                    gdepth -= 1
+                j += 1
+            if gdepth or inner[j:].strip():
+                return None
+            parts = _split_set_args(inner[m0.end() : j - 1])
+            all_flag = len(parts) >= 3 and parts[-1].strip().lower() == "all"
+            if all_flag:
+                parts = parts[:-1]
+            if len(parts) != 2:
+                raise MdxError(
+                    "SetToStr(Generate(...)) takes (set, member expr"
+                    "[, ALL])"
+                )
+            member_strs = _parse_set_arg(parts[0])
+            if member_strs is None:
+                raise MdxError(
+                    "SetToStr(Generate(...)): the first argument must be "
+                    "a set ({…} or <level>.Members)"
+                )
+            dim, depth = _set_iteration_scope(
+                member_strs, "SetToStr(Generate(...))"
+            )
+            from .members import (
+                format_name,
+                parse_identifier,
+                resolve as _resolve_ref,
+            )
+
+            mexpr = parts[1].strip()
+            cur = re.fullmatch(
+                rf"({_id_pat})\s*\.\s*CurrentMember", mexpr, re.IGNORECASE
+            )
+            unames: list[str] = []
+            if cur:
+                dname = parse_identifier(cur.group(1))[0]
+                if dname.lower() not in (
+                    dim.name.lower(),
+                    dim.name.replace(".", "").lower(),
+                ):
+                    raise MdxError(
+                        f"SetToStr(Generate(...)): CurrentMember of "
+                        f"[{dname}] — only the iterated set's dimension "
+                        f"({dim.name}) is current inside the expression"
+                    )
+                # identity: the generated set IS the set, in set order
+                for mstr in member_strs:
+                    if re.search(
+                        r"(?i)\.(members|allmembers|children)$", mstr
+                    ):
+                        ref = _resolve_ref(self.cube, mstr)
+                        outs = [
+                            lv.out for lv in ref.dimension.levels[
+                                : ref.depth + 1
+                            ]
+                        ]
+                        for row in self.engine.level_members(
+                            ref.dimension.name, ref.depth, path=ref.path
+                        ).collect():
+                            unames.append(
+                                format_name(
+                                    [dim.name]
+                                    + [str(row[o]) for o in outs]
+                                )
+                            )
+                    else:
+                        ref = _resolve_ref(self.cube, mstr)
+                        unames.append(
+                            format_name([dim.name, *ref.path])
+                        )
+            elif re.fullmatch(_id_pat, mexpr):
+                # a FIXED member: Generate yields it once per set member
+                ref = _resolve_ref(self.cube, mexpr)
+                fixed = format_name([ref.dimension.name, *ref.path])
+                unames = [fixed] * _set_member_count(member_strs)
+            else:
+                raise MdxError(
+                    "SetToStr(Generate(set, member)): the member "
+                    "expression must be <dim>.CurrentMember or a fixed "
+                    "member in this subset"
+                )
+            if not all_flag:  # Generate default: duplicates removed
+                seen_u: set = set()
+                unames = [
+                    u for u in unames if not (u in seen_u or seen_u.add(u))
+                ]
+            rendered = "{" + ", ".join(unames) + "}"
+            _masked.append("'" + rendered.replace("'", "''") + "'")
+            return f"\x00{len(_masked) - 1}\x00"
+
+        if re.search(r"(?i)\bgenerate\s*\(", out):
+            out = _rewrite_paren_call(
+                out, "settostr", repl_settostr_generate
+            )
+            out = _rewrite_paren_call(out, "generate", repl_generate_string)
+
         def repl_tuple(m: re.Match) -> str:
             # tuple scalar ([Measures].[X], [Dim].[M], …): the cell value
             # of X with the listed dimensions' context overridden

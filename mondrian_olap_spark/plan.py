@@ -700,7 +700,20 @@ class Planner:
         if any("__setrank" in e for e in all_exprs):
             from .query import QueryError
 
-            if len(refs) != 1:
+            # Rank() VALUES must come from the stat's own set, which the
+            # level-wide rank only equals for a whole-level set (single
+            # ref); genconcat uses __setrank purely as an ORDER key, so
+            # any same-level member list works (absolute values are
+            # irrelevant to a sort)
+            order_only = all(
+                sp[1] == "genconcat"
+                for sp in specs
+                if any("__setrank" in e for e in sp[2])
+            )
+            same_level = (
+                len({(r.dimension.name, r.depth) for r in refs}) == 1
+            )
+            if len(refs) != 1 and not (order_only and same_level):
                 raise QueryError(
                     "Rank(CurrentMember, set) inside a set statistic needs "
                     "a single-dimension set"

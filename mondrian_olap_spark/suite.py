@@ -1362,6 +1362,52 @@ def union_intersect_mdx_gate(spark, sf_dir):
 
 
 @q(
+    "generate_string_formula_gate",
+    f"""
+    WITH facts AS (SELECT DISTINCT r_name FROM {_CUST_STAR}),
+    s AS (
+      SELECT string_agg(r_name, ',' ORDER BY r_name) AS g FROM facts
+    ),
+    allr AS (
+      SELECT '{{' || string_agg('[Customer].[' || r_name || ']', ', '
+               ORDER BY r_name) || '}}' AS g3
+      FROM region
+    )
+    SELECT s.g AS generate_1, s.g AS generate_2, allr.g3 AS generate_3
+    FROM s, allr
+    """,
+)
+def generate_string_formula_gate(spark, sf_dir):
+    """GENERATE string form + SetToStr(Generate(...)) member form in WITH
+    MEMBER formula text — the three reference variants verbatim
+    (/root/reference/test/mondrian_test.rb:491-517; jar!mondrian/olap/fun/
+    GenerateFunDef): a measure CAST to string, a measure already string-
+    valued, and SetToStr over the identity member form with ALL.  The
+    string form lowers onto the set-statistic sub-plan (fn 'genconcat',
+    ordered by the member's hierarchy rank) and evaluates non-empty
+    (fact-backed members, the engine default); the member form folds to
+    the set's unique names at translation time (member-list metadata)."""
+    eng = get_engine(spark, sf_dir)
+    return eng.execute(
+        """
+        WITH MEMBER [Measures].[Region name] AS
+          '[Customer].CurrentMember.Name'
+        MEMBER [Measures].[Generate 1] AS
+          'Generate([Customer].[Region].Members,
+                    Cast([Measures].[Region name] AS String), ",")'
+        MEMBER [Measures].[Generate 2] AS
+          'Generate([Customer].[Region].Members,
+                    [Measures].[Region name], ",")'
+        MEMBER [Measures].[Generate 3] AS
+          'SetToStr(Generate([Customer].[Region].Members,
+                             [Customer].CurrentMember, ALL))'
+        SELECT {[Measures].[Generate 1], [Measures].[Generate 2],
+                [Measures].[Generate 3]} ON COLUMNS FROM [Sales]
+        """
+    ).df
+
+
+@q(
     "except_regions",
     f"""
     SELECT r_name AS region_name, CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price

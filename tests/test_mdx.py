@@ -3318,3 +3318,118 @@ def test_union_intersect_member_identity_is_segmentwise(engine):
     )
     rows = r2.df.collect()
     assert [x["region_name"] for x in rows] == ["MIDDLE EAST"]
+
+
+def test_generate_string_form_variants(engine):
+    """GENERATE string form (mondrian_test.rb:491-517 verbatim shapes):
+    measure-cast-to-string, string-valued measure, and the SetToStr
+    member form with/without ALL; default separator is ''."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[Region name] AS
+          '[Customer].CurrentMember.Name'
+        MEMBER [Measures].[G1] AS
+          'Generate([Customer].[Region].Members,
+                    Cast([Measures].[Region name] AS String), ",")'
+        MEMBER [Measures].[G2] AS
+          'Generate([Customer].[Region].Members,
+                    [Measures].[Region name], ",")'
+        MEMBER [Measures].[G3] AS
+          'SetToStr(Generate([Customer].[Region].Members,
+                             [Customer].CurrentMember, ALL))'
+        MEMBER [Measures].[G4] AS
+          'SetToStr(Generate({[Customer].[ASIA], [Customer].[ASIA]},
+                             [Customer].CurrentMember))'
+        MEMBER [Measures].[G5] AS
+          'Generate({[Customer].[ASIA], [Customer].[AFRICA]},
+                    [Measures].[Region name])'
+        SELECT {[Measures].[G1], [Measures].[G2], [Measures].[G3],
+                [Measures].[G4], [Measures].[G5]} ON COLUMNS FROM [Sales]
+        """,
+    )
+    row = r.df.collect()[0]
+    regions = "AFRICA,AMERICA,ASIA,EUROPE,MIDDLE EAST"
+    assert row["g1"] == regions
+    assert row["g2"] == regions
+    assert row["g3"] == (
+        "{[Customer].[AFRICA], [Customer].[AMERICA], [Customer].[ASIA], "
+        "[Customer].[EUROPE], [Customer].[MIDDLE EAST]}"
+    )
+    # without ALL duplicates are removed (Generate default)
+    assert row["g4"] == "{[Customer].[ASIA]}"
+    # explicit-list set: concatenation in hierarchy order, no separator
+    assert row["g5"] == "AFRICAASIA"
+
+
+def test_generate_string_form_fixed_member_and_errors(engine):
+    """The member form accepts a FIXED member (repeated per set member,
+    deduped without ALL); non-set first arguments and foreign
+    CurrentMember references raise friendly errors."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[GF] AS
+          'SetToStr(Generate([Customer].[Region].Members,
+                             [Part].[Brand#13], ALL))'
+        SELECT {[Measures].[GF]} ON COLUMNS FROM [Sales]
+        """,
+    )
+    assert (
+        r.df.collect()[0]["gf"]
+        == "{" + ", ".join(["[Part].[Brand#13]"] * 5) + "}"
+    )
+    with pytest.raises(MdxError, match="must be a set"):
+        execute_mdx(
+            engine,
+            "WITH MEMBER [Measures].[X] AS "
+            "'Generate([Customer].[ASIA].Nope, [Measures].[Sum Qty])' "
+            "SELECT [Measures].[X] ON COLUMNS FROM [Sales]",
+        )
+    with pytest.raises(MdxError, match="iterated set's dimension"):
+        execute_mdx(
+            engine,
+            "WITH MEMBER [Measures].[N] AS '[Part].CurrentMember.Name' "
+            "MEMBER [Measures].[X] AS "
+            "'Generate([Customer].[Region].Members, [Measures].[N], \",\")' "
+            "SELECT [Measures].[X] ON COLUMNS FROM [Sales]",
+        )
+    with pytest.raises(MdxError, match="SetToStr"):
+        execute_mdx(
+            engine,
+            "WITH MEMBER [Measures].[X] AS "
+            "'Generate([Customer].[Region].Members, "
+            "[Customer].CurrentMember, \",\")' "
+            "SELECT [Measures].[X] ON COLUMNS FROM [Sales]",
+        )
+
+
+def test_to_mdx_generate_string_form_roundtrip(engine):
+    """Builder WITH formulas carrying GENERATE text serialize verbatim
+    (to_mdx golden) and the serialized statement PARSES BACK through
+    execute_mdx to the same value — the full round-trip the reference's
+    builder tests imply (query_test.rb:394-732 style golden + the
+    mondrian_test.rb:491-517 string-form semantics)."""
+    q = (
+        Query(engine)
+        .with_member("Region list")
+        .as_(
+            'Generate([Customer].[Region].Members, '
+            '[Customer].CurrentMember.Name, ",")'
+        )
+        .columns("[Measures].[Region list]")
+    )
+    assert like(
+        q.to_mdx(),
+        """
+        WITH MEMBER [Measures].[Region list] AS
+          'Generate([Customer].[Region].Members, [Customer].CurrentMember.Name, ",")'
+        SELECT [Measures].[Region list] ON COLUMNS
+        FROM [Sales]
+        """,
+    )
+    r = execute_mdx(engine, q.to_mdx())
+    assert (
+        r.df.collect()[0]["region_list"]
+        == "AFRICA,AMERICA,ASIA,EUROPE,MIDDLE EAST"
+    )
