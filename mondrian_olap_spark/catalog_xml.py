@@ -288,7 +288,26 @@ def _parse_cube(el: ET.Element, shared: dict[str, list[Dimension]]) -> Cube:
     measures = [_parse_measure(m) for m in el.findall("Measure")]
     outs_by_name = {m.name.lower(): m.out for m in measures}
     calcs: list[CalculatedMember] = []
+    dim_calcs: list[tuple[str, str, str]] = []
     for i, cm in enumerate(el.findall("CalculatedMember")):
+        hier = cm.get("hierarchy") or cm.get("dimension") or "Measures"
+        if hier.strip("[]").lower() != "measures":
+            # non-Measures calculated member (schema.rb:314-341;
+            # test/schema_definition_test.rb:570-591 hierarchy form):
+            # kept as (name, hierarchy, formula) — MDX queries apply the
+            # formula as a query-scoped dimension member at use time
+            formula = cm.get("formula")
+            if formula is None:
+                fnode = cm.find("Formula")
+                formula = (
+                    (fnode.text or "").strip() if fnode is not None else None
+                )
+            if not formula:
+                raise ValueError(
+                    f"CalculatedMember {cm.get('name')!r} has no formula"
+                )
+            dim_calcs.append((cm.get("name"), hier, formula))
+            continue
         calc = _parse_calculated_member(cm, outs_by_name, order=i)
         outs_by_name[calc.name.lower()] = calc.out
         calcs.append(calc)
@@ -298,6 +317,7 @@ def _parse_cube(el: ET.Element, shared: dict[str, list[Dimension]]) -> Cube:
         dimensions=tuple(dims),
         measures=tuple(measures),
         calculated_members=tuple(calcs),
+        dimension_calc_members=tuple(dim_calcs),
         default_measure=el.get("defaultMeasure"),
         description=el.get("description"),
         caption=el.get("caption"),
@@ -574,6 +594,13 @@ def to_mondrian_xml(
                     cme, "CalculatedMemberProperty",
                     name="FORMAT_STRING", value=c.format_string,
                 )
+        for name, hier, formula in getattr(
+            cube, "dimension_calc_members", ()
+        ):
+            dme = ET.SubElement(
+                ce, "CalculatedMember", name=name, hierarchy=hier
+            )
+            ET.SubElement(dme, "Formula").text = formula
     for v in virtual_cubes:
         ve = ET.SubElement(root, "VirtualCube", name=v.name)
         for dname, cname in v.dimensions:

@@ -70,6 +70,39 @@ class Tok:
     pos: int
 
 
+def _splice_strtomember(toks: list[Tok]) -> list[Tok]:
+    """``StrToMember('[A].[B]')`` → the member's own tokens spliced inline
+    (jar!mondrian/olap/fun/StrToMemberFunDef).  With a literal argument —
+    the whole subset, since formulas have no string variables — the call
+    is a parse-time constant, so the splice makes the spelling valid
+    ANYWHERE a member expression is: slicer, axis, tuple and set
+    positions all see the plain identifier.  Non-literal arguments pass
+    through and fail loudly at the ordinary parse site."""
+    out: list[Tok] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if (
+            t.kind == "word"
+            and t.text.lower() == "strtomember"
+            and i + 3 < len(toks)
+            and toks[i + 1].text == "("
+            and toks[i + 2].kind == "string"
+            and toks[i + 3].text == ")"
+        ):
+            out.extend(
+                _shift_toks(
+                    tokenize(_unquote(toks[i + 2].text)),
+                    toks[i + 2].pos + 1,
+                )
+            )
+            i += 4
+            continue
+        out.append(t)
+        i += 1
+    return out
+
+
 def _shift_toks(toks: list[Tok], base: int) -> list[Tok]:
     """Re-base token positions of a nested string's tokens onto the OUTER
     statement (base = offset of the string content), so syntax-error
@@ -775,7 +808,7 @@ class MdxParser:
         self.engine = engine
         self.cube = engine.cube
         self.src = mdx
-        self.toks = tokenize(mdx)
+        self.toks = _splice_strtomember(tokenize(mdx))
         self.i = 0
         self.q = Query(engine)
         self.params = dict(parameters or {})
@@ -982,6 +1015,36 @@ class MdxParser:
                     self.parse_with_member()
                 else:
                     self.parse_with_set()
+        # schema-declared NON-Measures calculated members (XML
+        # ``CalculatedMember hierarchy=…`` — cube.dimension_calc_members,
+        # schema_definition_test.rb:570-591): lower the formula exactly
+        # like a WITH MEMBER on the dimension, lazily — only when this
+        # statement actually names the member (resolution may collect
+        # member lists, e.g. CurrentDateMember), and never shadowing a
+        # same-named query-scoped definition
+        defined = {
+            tuple(s.lower() for s in segs)
+            for _, segs, _ in self._dim_member_defs
+        }
+        for name, hier, formula in getattr(
+            self.cube, "dimension_calc_members", ()
+        ):
+            segs = [hier.strip("[]"), name]
+            if tuple(s.lower() for s in segs) in defined:
+                continue
+            if not re.search(
+                r"\[\s*" + re.escape(name) + r"\s*\]", self.src or "",
+                re.IGNORECASE,
+            ):
+                continue
+            inner = MdxParser.__new__(MdxParser)
+            inner.__dict__.update(self.__dict__)
+            quoted = formula.replace("'", "''")
+            inner.toks = _splice_strtomember(tokenize(f"AS '{quoted}'"))
+            inner.i = 0
+            # inner shares this parser's _dim_member_defs list object, so
+            # the buffered definition lands directly in self's queue
+            inner.parse_dimension_member(segs)
         self._apply_dim_member_defs()
         self.expect_word("select")
         self.parse_axis()
@@ -1107,6 +1170,22 @@ class MdxParser:
             # whole WITH block lazily); _apply_dim_member_defs orders by
             # the dependency DAG after the clause closes
             self._dim_member_defs.append(("aggregate", name_segs, members))
+        elif re.fullmatch(
+            r"(?is)\[(?:[^\]]|\]\])+\](?:\s*\.\s*\[(?:[^\]]|\]\])+\])*"
+            r"\s*\.\s*CurrentDateMember",
+            body,
+        ):
+            # a bare CurrentDateMember member expression as the formula —
+            # the reference's schema calc-member idiom
+            # (schema_definition_test.rb:580-591): alias of the resolved
+            # member, i.e. Aggregate of the singleton set
+            inner = MdxParser.__new__(MdxParser)
+            inner.__dict__.update(self.__dict__)
+            inner.toks = _shift_toks(tokenize(body), t.pos + 1)
+            inner.i = 0
+            self._dim_member_defs.append(
+                ("aggregate", name_segs, [inner.parse_member_string()])
+            )
         else:
             # arithmetic formula over member cells
             self._dim_member_defs.append(("formula", name_segs, body))
@@ -1993,6 +2072,28 @@ class MdxParser:
         ):
             dm = self.cube.default_measure_obj()
             return f"[Measures].{quote_segment(dm.name)}"
+        if (
+            len(segs) >= 2
+            and not segs[-1][1]
+            and segs[-1][0].lower() == "currentdatemember"
+        ):
+            # [Dim].[Level].CurrentDateMember — the member whose period
+            # contains the evaluation date, else the latest before it
+            # (star.current_date_member; the reference's schema calc-
+            # member idiom, schema_definition_test.rb:580-591).  A
+            # parse-time constant like DefaultMember above.
+            from .members import MemberParseError, resolve_level
+
+            ident = ".".join(quote_segment(s) for s, _ in segs[:-1])
+            try:
+                dim, li = resolve_level(self.cube, ident)
+            except (KeyError, MemberParseError) as e:
+                raise MdxError(
+                    f"CurrentDateMember needs a [Dimension].[Level] "
+                    f"prefix, got {ident!r}"
+                ) from e
+            path = self.engine.current_date_member(dim.name, li)
+            return format_name([dim.name, *path])
         return ".".join(
             s
             if not bracketed and s.lower() in self._NAV_WORDS

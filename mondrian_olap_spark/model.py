@@ -320,6 +320,13 @@ class Cube:
     #: value expressions whose Measures context is unpinned, e.g. a tuple
     #: scalar with no [Measures] component.  None → first stored measure.
     default_measure: str | None = None
+    #: schema-declared calculated members on NON-Measures hierarchies
+    #: (``CalculatedMember hierarchy="[Time.Weekly]"`` — schema.rb:314-341,
+    #: test/schema_definition_test.rb:570-591): (name, hierarchy, formula)
+    #: triples.  MDX queries referencing the name get the formula applied
+    #: as a query-scoped dimension member; the XML exporter round-trips
+    #: them verbatim.
+    dimension_calc_members: tuple[tuple[str, str, str], ...] = ()
 
     def __post_init__(self) -> None:
         seen: set[str] = set()

@@ -146,6 +146,18 @@ class Query:
         members = tuple(expanded)
         ax.raw_base.extend(members)
         for m in members:
+            dm_ref = self._dim_member_axis_ref(m)
+            if dm_ref is not None:
+                # an explicitly-listed dimension calc member: group the
+                # axis at the member set's LEVEL (the union row lands
+                # there), with the synthetic name as the leaf path key —
+                # it matches no real member, so listing only the calc
+                # member shows only its row.  Resolving the identifier as
+                # an ordinary path would misplace the NAME at the depth
+                # its segment count implies (e.g. into a numeric year
+                # column).
+                ax.sets.append(dm_ref)
+                continue
             ref = self._resolve(m)
             if isinstance(ref, MeasureRef):
                 ax.measure_names.append(ref.name)
@@ -153,6 +165,39 @@ class Query:
                 ax.sets.append(ref)
         self._current_axis = i
         return self
+
+    def _dim_member_axis_ref(self, m: str):
+        """If identifier ``m`` names a registered dimension calc member
+        (``with_dimension_member``/``_formula``) of its own dimension,
+        return the axis MemberSetRef shaped for its union row: grouped at
+        the member set's level, ancestor path = the set's shared prefix,
+        leaf key = the synthetic name."""
+        from .members import parse_identifier
+
+        try:
+            segs = parse_identifier(m)
+        except Exception:
+            return None
+        last = segs[-1].lower()
+        for dm in self._dim_members:
+            if dm[1].lower() != last:
+                continue
+            if len(segs) >= 2:
+                try:
+                    if (
+                        self.cube.dimension(segs[0]).name.lower()
+                        != dm[2].name.lower()
+                    ):
+                        continue
+                except KeyError:
+                    continue
+            return MemberSetRef(
+                dimension=dm[2],
+                depth=dm[3],
+                path=(*dm[4], dm[1]),
+                kind="member",
+            )
+        return None
 
     @staticmethod
     def _is_measures_listing(m: str) -> bool:

@@ -821,6 +821,72 @@ class CubeEngine:
             return df.orderBy(*ord_cols).select(*outs, *props, pos)
         return df.orderBy(*ord_cols).select(*outs, *props)
 
+    def current_date_member(
+        self, dim_name: str, depth: int, today=None
+    ) -> tuple[str, ...]:
+        """``[Dim].[Level].CurrentDateMember`` resolution (the reference's
+        schema formula idiom,
+        /root/reference/test/schema_definition_test.rb:580-591): the
+        member of ``depth`` whose period contains the evaluation date —
+        or, when the data does not reach it, the LATEST member before it
+        (Mondrian CurrentDateMember BEFORE matching).
+
+        Level walk: the top level picks the latest key numerically ≤
+        today's year when keys parse as integers (calendar years),
+        otherwise the last member in hierarchy order; each deeper level
+        picks the last member under the chosen path, capped at today's
+        unit position (quarter-of-year / month / ISO week / day) only
+        while the path is still IN the current year — a wholly-past year
+        closes at its own last period.  Member lists collect at the
+        driver: bounded frames (years, quarters-of-one-year, …), the
+        same contract as ``edge_member``."""
+        import datetime
+
+        dim = self.cube.dimension(dim_name)
+        today = today or datetime.date.today()
+        rows = self.level_members(dim_name, 0).collect()
+        if not rows:
+            raise KeyError(f"no members in {dim.name}")
+        key0 = dim.levels[0].out
+        keys = [r[key0] for r in rows]
+        try:
+            nums = [int(str(v)) for v in keys]
+        except (TypeError, ValueError):
+            nums = None
+        if nums is not None:
+            cands = [v for v, n in zip(keys, nums) if n <= today.year]
+            chosen = cands[-1] if cands else keys[-1]
+            in_current = int(str(chosen)) == today.year
+        else:
+            chosen, in_current = keys[-1], False
+        path = [str(chosen)]
+        caps = {
+            "TimeQuarters": (today.month - 1) // 3 + 1,
+            "TimeMonths": today.month,
+            "TimeWeeks": today.isocalendar()[1],
+            "TimeDays": today.day,
+        }
+        for li in range(1, depth + 1):
+            lv = dim.levels[li]
+            sub = self.level_members(
+                dim_name, li, path=tuple(path), _rank_within_parent=True
+            ).collect()
+            if not sub:
+                raise KeyError(
+                    f"no members at {dim.name}.{lv.name} under {path!r}"
+                )
+            pick = sub[-1]
+            cap = caps.get(lv.level_type) if in_current else None
+            if cap is not None:
+                within = [r for r in sub if r[f"__pos_{lv.out}"] <= cap]
+                if within:
+                    pick = within[-1]
+                    in_current = pick[f"__pos_{lv.out}"] == cap
+                else:
+                    in_current = False
+            path.append(str(pick[lv.out]))
+        return tuple(path)
+
     def edge_member(
         self, dim_name: str, depth: int, path: tuple = (), last: bool = False
     ):

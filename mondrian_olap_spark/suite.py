@@ -1362,6 +1362,76 @@ def union_intersect_mdx_gate(spark, sf_dir):
 
 
 @q(
+    "currentdatemember_formula_gate",
+    """
+    WITH y AS (
+      SELECT max(year(o_orderdate)) AS yy FROM orders
+      WHERE year(o_orderdate) <= year(current_date)
+    ),
+    q AS (
+      SELECT max(quarter(o_orderdate)) AS qq FROM orders, y
+      WHERE year(o_orderdate) = y.yy
+        AND (y.yy < year(current_date)
+             OR quarter(o_orderdate) <= quarter(current_date))
+    )
+    SELECT sum(l_quantity) AS sum_qty,
+           count(l_orderkey) AS count_order
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey, y, q
+    WHERE year(o_orderdate) = y.yy AND quarter(o_orderdate) = q.qq
+    """,
+)
+def currentdatemember_formula_gate(spark, sf_dir):
+    """``[Dim].[Level].CurrentDateMember`` as formula text — the
+    reference's schema calc-member idiom
+    (/root/reference/test/schema_definition_test.rb:580-591): the member
+    whose period contains the evaluation date, else the latest before it
+    (BEFORE matching) — here in slicer position (the WITH dimension-
+    formula and axis forms are pytest-covered).  The oracle replays the
+    resolution date-independently for any evaluation date after the
+    data's last year."""
+    eng = get_engine(spark, sf_dir)
+    return eng.execute(
+        """
+        SELECT {[Measures].[Sum Qty], [Measures].[Count Order]}
+          ON COLUMNS
+        FROM [Sales]
+        WHERE [Time].[Quarter].CurrentDateMember
+        """
+    ).df
+
+
+@q(
+    "strtomember_mdx_gate",
+    f"""
+    SELECT r_name AS region_name, n_name AS nation_name,
+           sum(l_quantity) AS sum_qty
+    FROM {_CUST_STAR}
+    WHERE n_name IN ('NATION_2', 'NATION_7', 'NATION_0')
+      AND year(o_orderdate) = 1995 AND l_returnflag = 'N'
+    GROUP BY 1, 2
+    """,
+)
+def strtomember_mdx_gate(spark, sf_dir):
+    """StrToMember('…') MDX spelling (jar!mondrian/olap/fun/
+    StrToMemberFunDef) in all three member positions at once: an axis
+    set element, a set-function argument, and a slicer TUPLE component —
+    the literal argument makes each a parse-time constant, spliced
+    inline."""
+    eng = get_engine(spark, sf_dir)
+    return eng.execute(
+        """
+        SELECT {[Measures].[Sum Qty]} ON COLUMNS,
+               UNION({StrToMember('[Customer].[ASIA].[NATION_2]'),
+                      [Customer].[ASIA].[NATION_7]},
+                     {StrToMember('[Customer].[AFRICA].[NATION_0]')}) ON ROWS
+        FROM [Sales]
+        WHERE (StrToMember('[Time].[1995]'),
+               StrToMember('[ReturnFlag].[N]'))
+        """
+    ).df
+
+
+@q(
     "generate_string_formula_gate",
     f"""
     WITH facts AS (SELECT DISTINCT r_name FROM {_CUST_STAR}),

@@ -3433,3 +3433,42 @@ def test_to_mdx_generate_string_form_roundtrip(engine):
         r.df.collect()[0]["region_list"]
         == "AFRICA,AMERICA,ASIA,EUROPE,MIDDLE EAST"
     )
+
+
+def test_strtomember_spelling_all_positions(engine):
+    """StrToMember('…') (jar!mondrian/olap/fun/StrToMemberFunDef) with a
+    literal argument is a parse-time constant, valid wherever a member
+    is: axis element, set-function argument, slicer tuple component."""
+    r = execute_mdx(
+        engine,
+        """
+        SELECT {[Measures].[Sum Qty]} ON COLUMNS,
+               {StrToMember('[Customer].[ASIA]'),
+                [Customer].[AFRICA]} ON ROWS
+        FROM [Sales]
+        WHERE (StrToMember('[Time].[1995]'),
+               StrToMember('[ReturnFlag].[N]'))
+        """,
+    )
+    rows = {x["region_name"] for x in r.df.collect()}
+    assert rows == {"ASIA", "AFRICA"}
+    # equivalent plain-identifier statement gives identical values
+    r2 = execute_mdx(
+        engine,
+        """
+        SELECT {[Measures].[Sum Qty]} ON COLUMNS,
+               {[Customer].[ASIA], [Customer].[AFRICA]} ON ROWS
+        FROM [Sales]
+        WHERE ([Time].[1995], [ReturnFlag].[N])
+        """,
+    )
+    assert sorted(map(tuple, r.df.collect())) == sorted(
+        map(tuple, r2.df.collect())
+    )
+    # non-literal argument: left for the ordinary parse site to reject
+    with pytest.raises(MdxError):
+        execute_mdx(
+            engine,
+            "SELECT {[Measures].[Sum Qty]} ON COLUMNS, "
+            "{StrToMember([Customer].[ASIA])} ON ROWS FROM [Sales]",
+        )

@@ -400,3 +400,178 @@ def test_cube_level_calc_member_time_intel_lowers(engine):
         "[Customer].children ON ROWS FROM [Sales]",
     )
     assert r2.df.count() == 5
+
+
+def test_currentdatemember_suffix_positions(engine):
+    """[Dim].[Level].CurrentDateMember (schema_definition_test.rb:580-591
+    formula idiom): slicer, axis element, and WITH dimension-member
+    formula all resolve to the same member — the latest period not after
+    the evaluation date (BEFORE matching; TPC-H data is historical, so
+    this is the last quarter of the last year)."""
+    path = engine.current_date_member("Time", 1)
+    sliced = execute_mdx(
+        engine,
+        "SELECT {[Measures].[Sum Qty]} ON COLUMNS FROM [Sales] "
+        "WHERE [Time].[Quarter].CurrentDateMember",
+    ).df.collect()[0]["sum_qty"]
+    direct = execute_mdx(
+        engine,
+        f"SELECT {{[Measures].[Sum Qty]}} ON COLUMNS FROM [Sales] "
+        f"WHERE [Time].[{path[0]}].[{path[1]}]",
+    ).df.collect()[0]["sum_qty"]
+    assert sliced == direct
+    on_axis = execute_mdx(
+        engine,
+        "SELECT {[Measures].[Sum Qty]} ON COLUMNS, "
+        "{[Time].[Quarter].CurrentDateMember} ON ROWS FROM [Sales]",
+    ).df.collect()
+    assert len(on_axis) == 1 and on_axis[0]["sum_qty"] == direct
+    with_form = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Time].[Current quarter] AS
+          '[Time].[Quarter].CurrentDateMember'
+        SELECT {[Measures].[Sum Qty]} ON COLUMNS,
+               [Time].[Quarter].Members ON ROWS FROM [Sales]
+        """,
+    ).df
+    row = [r for r in with_form.collect()
+           if r["o_quarter"] == "Current quarter"]
+    assert len(row) == 1 and row[0]["sum_qty"] == direct
+    from mondrian_olap_spark.mdx import MdxError
+
+    with pytest.raises(MdxError, match="Dimension"):
+        execute_mdx(
+            engine,
+            "SELECT {[Measures].[Sum Qty]} ON COLUMNS FROM [Sales] "
+            "WHERE [Nope].[Level].CurrentDateMember",
+        )
+
+
+def test_currentdatemember_current_year_caps_at_today(spark):
+    """When the member list REACHES the evaluation date's year, deeper
+    levels cap at today's unit position instead of the year's last
+    member (a future quarter in the dim table must not be 'current')."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from mondrian_olap_spark.model import Cube, Dimension, Level, Measure
+    from mondrian_olap_spark.star import CubeEngine
+
+    today = datetime.date.today()
+    rows = [
+        Row(tk=10 * q, y=today.year - 1, q=f"Q{q}") for q in (1, 2, 3, 4)
+    ] + [Row(tk=100 + q, y=today.year, q=f"Q{q}") for q in (1, 2, 3, 4)]
+    fact = spark.createDataFrame([Row(fk=r.tk, v=1.0) for r in rows])
+    cube = Cube(
+        name="Mini",
+        fact="f",
+        dimensions=(
+            Dimension(
+                name="Time",
+                foreign_key="fk",
+                table="d",
+                primary_key="tk",
+                levels=(
+                    Level("Year", "y", level_type="TimeYears"),
+                    Level("Quarter", "q", level_type="TimeQuarters"),
+                ),
+            ),
+        ),
+        measures=(Measure("V", "v", "sum", output="v_sum"),),
+    )
+    eng = CubeEngine(cube, {"f": fact, "d": spark.createDataFrame(rows)})
+    y, q = eng.current_date_member("Time", 1)
+    assert int(y) == today.year
+    assert q == f"Q{(today.month - 1) // 3 + 1}"
+
+
+def test_xml_imported_currentdatemember_calc_member(spark):
+    """The reference XML (schema_definition_test.rb:580-591 verbatim
+    shape) imports: the hierarchy-scoped CalculatedMember lands in
+    cube.dimension_calc_members, round-trips through to_mondrian_xml,
+    and an MDX query naming it resolves the formula (usability of the
+    lowered member is pinned by test_currentdatemember_suffix_positions's
+    WITH form — the parser path is identical)."""
+    import textwrap
+
+    from mondrian_olap_spark.catalog_xml import (
+        from_mondrian_xml,
+        to_mondrian_xml,
+    )
+
+    xml = textwrap.dedent("""\
+        <?xml version="1.0" encoding="UTF-8"?>
+        <Schema name="default">
+          <Cube name="Sales">
+            <Table name="orders"/>
+            <Dimension name="Time" foreignKey="o_orderkey">
+              <Hierarchy hasAll="false">
+                <Level name="Year" column="o_year" type="Numeric"
+                       levelType="TimeYears"/>
+                <Level name="Quarter" column="o_quarter"
+                       levelType="TimeQuarters"/>
+              </Hierarchy>
+            </Dimension>
+            <Measure name="Sum Qty" column="l_quantity" aggregator="sum"/>
+            <CalculatedMember hierarchy="[Time]" name="Current quarter">
+              <Formula>[Time].[Quarter].CurrentDateMember</Formula>
+            </CalculatedMember>
+          </Cube>
+        </Schema>
+    """)
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(
+        "w", suffix=".xml", delete=False
+    ) as f:
+        f.write(xml)
+        p = f.name
+    schema, _ = from_mondrian_xml(p)
+    cube = schema.cubes[0]
+    assert cube.dimension_calc_members == (
+        ("Current quarter", "[Time]", "[Time].[Quarter].CurrentDateMember"),
+    )
+    out_xml = to_mondrian_xml(schema)
+    assert 'hierarchy="[Time]"' in out_xml
+    assert "[Time].[Quarter].CurrentDateMember" in out_xml
+
+
+def test_schema_dimension_calc_member_usable_in_mdx(engine):
+    """A cube carrying dimension_calc_members (the XML import target)
+    makes the member usable in MDX WITHOUT a WITH clause — the parser
+    applies the schema formula lazily when the statement names it."""
+    import dataclasses as dc
+
+    from mondrian_olap_spark.star import CubeEngine
+
+    cube = dc.replace(
+        engine.cube,
+        dimension_calc_members=(
+            ("Current quarter", "[Time]",
+             "[Time].[Quarter].CurrentDateMember"),
+        ),
+    )
+    eng = CubeEngine(cube, engine.tables)
+    r = execute_mdx(
+        eng,
+        "SELECT {[Measures].[Sum Qty]} ON COLUMNS, "
+        "[Time].[Quarter].Members ON ROWS FROM [Sales]",
+    ).df
+    # unreferenced: no synthetic row, no resolution cost
+    rows = [x for x in r.collect() if x["o_quarter"] == "Current quarter"]
+    assert rows == []
+    r2 = execute_mdx(
+        eng,
+        """
+        SELECT {[Measures].[Sum Qty]} ON COLUMNS,
+               {[Time].[Quarter].Members, [Time].[Current quarter]}
+                 ON ROWS FROM [Sales]
+        """,
+    ).df
+    path = eng.current_date_member("Time", 1)
+    by_q = {(x["o_year"], x["o_quarter"]): x["sum_qty"] for x in r2.collect()}
+    synth = [v for (y, q), v in by_q.items() if q == "Current quarter"]
+    assert len(synth) == 1
+    assert synth[0] == by_q[(int(path[0]), path[1])]
