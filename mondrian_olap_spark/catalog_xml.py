@@ -38,12 +38,17 @@ shared ``Dimension``/``Hierarchy`` :class:`~.model.Dimension` — one per
 ``Parameter``                      :class:`~.model.Parameter`
 ================================  =====================================
 
+``AggName``/``AggPattern`` physical aggregate tables import as
+``Cube.aggregate_declarations`` and register with the engine's aggregate
+routing at construction when the summary tables exist in the engine's
+``tables`` map (schema.rb:374-414; ``AggFactCount`` is accepted but
+unused — the routing never rolls up avg/distinct-count from summaries,
+the only thing Mondrian needs the fact count for).
+
 Deliberately out of scope (documented, loud where ambiguous): per-level
 ``table=`` attributes (the engine resolves level columns against the
-JOINED dimension view by name), ``AggName``/``AggPattern`` physical
-aggregate tables (the engine's aggregate routing replaces them), and
-closure tables (parent-child hierarchies use
-:mod:`~mondrian_olap_spark.hierarchy`).
+JOINED dimension view by name) and closure tables (parent-child
+hierarchies use :mod:`~mondrian_olap_spark.hierarchy`).
 """
 
 from __future__ import annotations
@@ -311,6 +316,43 @@ def _parse_cube(el: ET.Element, shared: dict[str, list[Dimension]]) -> Cube:
         calc = _parse_calculated_member(cm, outs_by_name, order=i)
         outs_by_name[calc.name.lower()] = calc.out
         calcs.append(calc)
+    agg_decls: list[tuple] = []
+    for agg in fact_el:
+        if agg.tag not in ("AggName", "AggPattern"):
+            continue
+        # AggName/AggPattern → a routing declaration
+        # (schema.rb:374-414; rendered forms
+        # test/schema_definition_test.rb:627-775).  AggFactCount is
+        # accepted but unused: the engine's routing never rolls up
+        # avg/distinct-count from summaries, which is the only thing
+        # Mondrian needs the fact count for.
+        kind = "name" if agg.tag == "AggName" else "pattern"
+        raw = agg.get("name") if kind == "name" else agg.get("pattern")
+        lv_map: dict[str, str] = {}
+        m_map: dict[str, str] = {}
+        excludes: list[str] = []
+        for c in agg:
+            if c.tag == "AggLevel":
+                lv_map[c.get("name")] = c.get("column")
+            elif c.tag == "AggMeasure":
+                # names arrive as '[Measures].[Store Cost]' — strip to
+                # the bare measure name the model resolves
+                name = c.get("name")
+                segs = re.findall(r"\[((?:[^\]]|\]\])+)\]", name or "")
+                m_map[(segs[-1] if segs else name).replace("]]", "]")] = (
+                    c.get("column")
+                )
+            elif c.tag == "AggExclude":
+                excludes.append(c.get("name"))
+        agg_decls.append(
+            (
+                kind,
+                raw,
+                tuple(lv_map.items()),
+                tuple(m_map.items()),
+                tuple(excludes),
+            )
+        )
     return Cube(
         name=el.get("name"),
         fact=fact_el.get("name"),
@@ -318,6 +360,7 @@ def _parse_cube(el: ET.Element, shared: dict[str, list[Dimension]]) -> Cube:
         measures=tuple(measures),
         calculated_members=tuple(calcs),
         dimension_calc_members=tuple(dim_calcs),
+        aggregate_declarations=tuple(agg_decls),
         default_measure=el.get("defaultMeasure"),
         description=el.get("description"),
         caption=el.get("caption"),
@@ -558,7 +601,23 @@ def to_mondrian_xml(
         ce = ET.SubElement(root, "Cube", name=cube.name)
         if cube.default_measure:
             ce.set("defaultMeasure", cube.default_measure)
-        ET.SubElement(ce, "Table", name=cube.fact)
+        te = ET.SubElement(ce, "Table", name=cube.fact)
+        for kind, raw, lv_pairs, m_pairs, excludes in getattr(
+            cube, "aggregate_declarations", ()
+        ):
+            if kind == "name":
+                ae = ET.SubElement(te, "AggName", name=raw)
+            else:
+                ae = ET.SubElement(te, "AggPattern", pattern=raw)
+            for mname, col in m_pairs:
+                ET.SubElement(
+                    ae, "AggMeasure", column=col,
+                    name=f"[Measures].[{mname}]",
+                )
+            for ident, col in lv_pairs:
+                ET.SubElement(ae, "AggLevel", column=col, name=ident)
+            for x in excludes:
+                ET.SubElement(ae, "AggExclude", name=x)
         cube_grouped: dict[str, list[Dimension]] = {}
         for d in cube.dimensions:
             cube_grouped.setdefault(d.name.split(".", 1)[0], []).append(d)

@@ -327,6 +327,16 @@ class Cube:
     #: as a query-scoped dimension member; the XML exporter round-trips
     #: them verbatim.
     dimension_calc_members: tuple[tuple[str, str, str], ...] = ()
+    #: declared aggregate (summary) tables — the XML ``AggName``/
+    #: ``AggPattern`` surface (schema.rb:374-414; matcher
+    #: ``jar!mondrian/rolap/aggmatcher``): records of
+    #: ``(name_regex, levels, measures, excludes)`` where ``levels`` maps
+    #: level identifiers to physical columns and ``measures`` maps
+    #: measure names to physical columns (both tuple-of-pairs for
+    #: hashability).  CubeEngine registers every matching table in its
+    #: ``tables`` map at construction, so a migrating Mondrian schema's
+    #: summary tables keep routing instead of being silently dropped.
+    aggregate_declarations: tuple = ()
 
     def __post_init__(self) -> None:
         seen: set[str] = set()

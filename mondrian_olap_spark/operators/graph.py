@@ -14,10 +14,12 @@ Update rule per iteration (integer ops only, floor division):
     r'_v = (scale * (1000 - damping)) div (1000 * N)
            + (damping * Σ contribs into v) div 1000
 
-Deviations from textbook PageRank, documented: dangling-node mass is
-DROPPED rather than redistributed (ranks need not sum to ``scale``; the
-RANKING is what curation consumes), and parallel edges act as integer
-weights (u→v listed twice contributes twice).
+Deviations from textbook PageRank, documented: by default dangling-node
+mass is DROPPED rather than redistributed (ranks need not sum to
+``scale``; the RANKING is what curation consumes) — pass
+``redistribute_dangling=True`` for probability-like shares (one extra
+scalar aggregate per iteration, still integer) — and parallel edges act
+as integer weights (u→v listed twice contributes twice).
 """
 
 from __future__ import annotations
@@ -33,6 +35,7 @@ def pagerank(
     iterations: int = 5,
     damping_permille: int = 850,
     scale: int = 10**12,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Fixed-point PageRank over a directed edge list.
 
@@ -46,6 +49,13 @@ def pagerank(
     combined, order-free); ``localCheckpoint`` truncates lineage per
     iteration, the repo's iterative-join discipline.  O(iterations)
     rounds with no driver-side state beyond the loop counter.
+
+    ``redistribute_dangling=True`` folds each iteration's dangling-node
+    mass back uniformly (textbook behavior, rank_share ≈ a probability:
+    the sum stays within integer floor-division slack of 1.0).  Cost: one
+    scalar aggregate per iteration (the dangling ranks' sum — a single
+    driver long, like ``n_nodes``).  Default False keeps the cheaper
+    drop-the-mass behavior for ranking-only curation use.
     """
     if not (0 < damping_permille < 1000):
         raise ValueError("damping_permille must be in (0, 1000)")
@@ -62,6 +72,11 @@ def pagerank(
     outdeg = e.groupBy("__u").agg(F.count(F.lit(1)).alias("__deg"))
     ew = e.join(outdeg, "__u").localCheckpoint(eager=True)
     base = (scale * (1000 - damping_permille)) // (1000 * n_nodes)
+    dangling = None
+    if redistribute_dangling:
+        dangling = nodes.join(
+            outdeg.select(F.col("__u").alias("node")), "node", "left_anti"
+        ).localCheckpoint(eager=True)
     ranks = nodes.withColumn("rank", F.lit(scale // n_nodes).cast("long"))
     for _ in range(iterations):
         contrib = (
@@ -73,12 +88,22 @@ def pagerank(
             .groupBy(F.col("__v").alias("node"))
             .agg(F.sum("__c").alias("__in"))
         )
+        extra = 0
+        if dangling is not None:
+            dm = (
+                ranks.join(dangling, "node", "semi")
+                .agg(F.sum("rank"))
+                .collect()[0][0]
+            ) or 0
+            # each node's uniform share of the damped dangling mass —
+            # integer floor division, same determinism contract as base
+            extra = (damping_permille * (int(dm) // n_nodes)) // 1000
         ranks = (
             nodes.join(contrib, "node", "left")
             .select(
                 "node",
                 (
-                    F.lit(base)
+                    F.lit(base + extra)
                     + F.expr(
                         f"({damping_permille} * coalesce(__in, 0)) div 1000"
                     )

@@ -26,6 +26,7 @@ Scale notes (SURVEY.md §4):
 
 from __future__ import annotations
 
+import re as _re_mod
 from collections.abc import Mapping
 
 from pyspark.sql import DataFrame, SparkSession
@@ -216,6 +217,19 @@ class CubeEngine:
         self.role = None
         #: registered pre-aggregated summary tables (AggName matcher analog)
         self.aggregate_tables: list = []
+        # schema-declared aggregate tables (XML AggName/AggPattern →
+        # cube.aggregate_declarations, catalog_xml): register every
+        # declared summary present in this engine's tables map, so a
+        # migrating Mondrian schema's physical aggregates keep routing
+        for decl in getattr(cube, "aggregate_declarations", ()):
+            kind, raw, lv_pairs, m_pairs, excludes = decl
+            pattern = _re_mod.escape(raw) if kind == "name" else raw
+            self.register_aggregate_pattern(
+                pattern,
+                dict(lv_pairs),
+                dict(m_pairs),
+                exclude=tuple(_re_mod.escape(x) for x in excludes),
+            )
 
     def register_aggregate(
         self,

@@ -1335,6 +1335,111 @@ def catalog_xml_import_gate(spark, sf_dir):
 
 
 @q(
+    "xml_aggname_routing_gate",
+    f"""
+    SELECT r_name AS region, sum(l_quantity) AS sum_qty,
+           count(l_orderkey) AS order_count
+    FROM {_CUST_STAR} GROUP BY 1
+    """,
+)
+def xml_aggname_routing_gate(spark, sf_dir):
+    """XML-declared <AggName> summary tables route queries
+    (schema.rb:374-414; rendered forms
+    test/schema_definition_test.rb:627-775; matcher
+    jar!mondrian/rolap/aggmatcher): the declaration names physical
+    level/measure columns of a pre-aggregated table, the engine registers
+    it at construction when the table exists in the tables map, and a
+    coarser-grain query is served from it — the executed plan never
+    rescans the fact — with bit-exact answers vs the fact-derived
+    oracle."""
+    from .catalog_xml import from_mondrian_xml
+    from .star import CubeEngine, read_parquet_table
+
+    schema, _ = from_mondrian_xml(
+        '''<?xml version="1.0"?>
+        <Schema name="TpchXmlAgg">
+          <Dimension name="Customer">
+            <Hierarchy hasAll="true" primaryKey="o_orderkey">
+              <Join leftKey="o_custkey" rightKey="c_custkey">
+                <Table name="orders"/>
+                <Join leftKey="c_nationkey" rightKey="n_nationkey">
+                  <Table name="customer"/>
+                  <Join leftKey="n_regionkey" rightKey="r_regionkey">
+                    <Table name="nation"/>
+                    <Table name="region"/>
+                  </Join>
+                </Join>
+              </Join>
+              <Level name="Region" column="r_name"/>
+              <Level name="Nation" column="n_name"/>
+            </Hierarchy>
+          </Dimension>
+          <Cube name="Sales">
+            <Table name="lineitem">
+              <AggName name="agg_sales_nation">
+                <AggFactCount column="fact_count"/>
+                <AggMeasure column="qty_sum" name="[Measures].[Sum Qty]"/>
+                <AggMeasure column="order_cnt"
+                    name="[Measures].[Order Count]"/>
+                <AggLevel column="region" name="[Customer].[Region]"/>
+                <AggLevel column="nation" name="[Customer].[Nation]"/>
+              </AggName>
+            </Table>
+            <DimensionUsage name="Customer" source="Customer"
+                foreignKey="l_orderkey"/>
+            <Measure name="Sum Qty" column="l_quantity" aggregator="sum"/>
+            <Measure name="Order Count" column="l_orderkey"
+                aggregator="count"/>
+          </Cube>
+        </Schema>'''
+    )
+    cube = schema.cube("Sales")
+    names = {cube.fact} | {
+        t
+        for d in cube.dimensions
+        for t in [d.table, *[j.table for j in d.joins]]
+        if t
+    }
+    tables = {
+        n: read_parquet_table(spark, f"{sf_dir}/{n}.parquet") for n in names
+    }
+    # the physical summary, at the declared grain with the declared
+    # PHYSICAL column names (built here from the same sources; a real
+    # migration ships it as its own table) — eager checkpoint cuts the
+    # fact out of its lineage so the plan assertion below is honest
+    li, od, cu, na, re_ = (
+        tables["lineitem"], tables["orders"], tables["customer"],
+        tables["nation"], tables["region"],
+    )
+    summary = (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .join(cu, od["o_custkey"] == cu["c_custkey"])
+        .join(na, cu["c_nationkey"] == na["n_nationkey"])
+        .join(re_, na["n_regionkey"] == re_["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.sum("l_quantity").alias("qty_sum"),
+            F.count("l_orderkey").alias("order_cnt"),
+            F.count(F.lit(1)).alias("fact_count"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    eng = CubeEngine(cube, {**tables, "agg_sales_nation": summary})
+    routed = (
+        Query(eng)
+        .columns("[Measures].[Sum Qty]", "[Measures].[Order Count]")
+        .rows("[Customer].[Region].Members")
+        .execute()
+        .df
+    )
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem" not in plan, "query was not served from the summary"
+    return routed
+
+
+@q(
     "union_intersect_mdx_gate",
     f"""
     SELECT r_name AS region_name, sum(l_quantity) AS sum_qty

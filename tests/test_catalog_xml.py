@@ -280,3 +280,126 @@ def test_measure_ref_rewrite_requires_complete_head():
     assert _measure_refs_to_outs("[Measures].[Foo]", outs) == "foo_out"
     assert _measure_refs_to_outs("Measures.[Sum Qty] * 2", outs) == "sum_qty * 2"
     assert _measure_refs_to_outs("Measures . Foo", outs) == "foo_out"
+
+
+AGG_XML = '''<?xml version="1.0"?>
+<Schema name="AggTest">
+  <Dimension name="Customer">
+    <Hierarchy hasAll="true" primaryKey="o_orderkey">
+      <Join leftKey="o_custkey" rightKey="c_custkey">
+        <Table name="orders"/>
+        <Join leftKey="c_nationkey" rightKey="n_nationkey">
+          <Table name="customer"/>
+          <Join leftKey="n_regionkey" rightKey="r_regionkey">
+            <Table name="nation"/>
+            <Table name="region"/>
+          </Join>
+        </Join>
+      </Join>
+      <Level name="Region" column="r_name"/>
+      <Level name="Nation" column="n_name"/>
+    </Hierarchy>
+  </Dimension>
+  <Cube name="Sales">
+    <Table name="lineitem">
+      <AggPattern pattern="agg_.*_sales">
+        <AggFactCount column="fact_count"/>
+        <AggMeasure column="qty_sum" name="[Measures].[Sum Qty]"/>
+        <AggLevel column="region" name="[Customer].[Region]"/>
+        <AggLevel column="nation" name="[Customer].[Nation]"/>
+        <AggExclude name="agg_bad_sales"/>
+      </AggPattern>
+    </Table>
+    <DimensionUsage name="Customer" source="Customer"
+        foreignKey="l_orderkey"/>
+    <Measure name="Sum Qty" column="l_quantity" aggregator="sum"/>
+  </Cube>
+</Schema>'''
+
+
+def test_aggpattern_import_registers_matching_tables(spark, engine):
+    """<AggPattern> declarations import into cube.aggregate_declarations
+    and register every matching table at engine construction
+    (schema_definition_test.rb:674-775): a nation-grain summary serves a
+    region query without rescanning the fact; AggExclude names are
+    skipped; a declaration whose tables are all absent registers
+    nothing."""
+    from pyspark.sql import functions as F
+
+    schema, _ = from_mondrian_xml(AGG_XML)
+    cube = schema.cube("Sales")
+    assert cube.aggregate_declarations == (
+        (
+            "pattern",
+            "agg_.*_sales",
+            (("[Customer].[Region]", "region"),
+             ("[Customer].[Nation]", "nation")),
+            (("Sum Qty", "qty_sum"),),
+            ("agg_bad_sales",),
+        ),
+    )
+    sf_dir = "/root/testdata/sf0.001"
+    names = ("lineitem", "orders", "customer", "nation", "region")
+    tables = {
+        n: read_parquet_table(spark, f"{sf_dir}/{n}.parquet") for n in names
+    }
+    li, od, cu, na, re_ = (tables[n] for n in names)
+    summary = (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .join(cu, od["o_custkey"] == cu["c_custkey"])
+        .join(na, cu["c_nationkey"] == na["n_nationkey"])
+        .join(re_, na["n_regionkey"] == re_["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.sum("l_quantity").alias("qty_sum"),
+            F.count(F.lit(1)).alias("fact_count"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    # a poisoned same-pattern table: excluded by AggExclude, never used
+    bad = summary.withColumn("qty_sum", F.col("qty_sum") * 1000)
+    eng = CubeEngine(
+        cube,
+        {**tables, "agg_nation_sales": summary, "agg_bad_sales": bad},
+    )
+    assert len(eng.aggregate_tables) == 1
+    routed = (
+        Query(eng)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].[Region].Members")
+        .execute()
+        .df
+    )
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem" not in plan
+    direct = (
+        Query(CubeEngine(cube, tables))
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].[Region].Members")
+        .execute()
+        .df
+    )
+    assert sorted(map(tuple, routed.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    # absent summaries: declaration is inert, engine still builds
+    eng2 = CubeEngine(cube, tables)
+    assert eng2.aggregate_tables == []
+
+
+def test_agg_declarations_export_round_trip():
+    """AggName/AggPattern declarations survive to_mondrian_xml →
+    from_mondrian_xml unchanged."""
+    from mondrian_olap_spark.catalog_xml import to_mondrian_xml
+
+    schema, _ = from_mondrian_xml(AGG_XML)
+    out = to_mondrian_xml(schema)
+    assert 'pattern="agg_.*_sales"' in out
+    assert '<AggExclude name="agg_bad_sales"' in out
+    schema2, _ = from_mondrian_xml(out)
+    assert (
+        schema2.cube("Sales").aggregate_declarations
+        == schema.cube("Sales").aggregate_declarations
+    )

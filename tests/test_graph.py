@@ -67,3 +67,53 @@ def test_session_transition_edges_gap_and_tiebreak(spark):
         for r in graph.session_transition_edges(ev, gap_minutes=30).collect()
     )
     assert edges == [("A", "B"), ("C", "D")]
+
+
+def test_pagerank_redistribute_dangling_conserves_mass(spark):
+    """redistribute_dangling=True folds each iteration's dangling-node
+    mass back uniformly: the rank sum stays within integer floor-
+    division slack of `scale` (a probability-like share), where the
+    default drops it.  Non-dangling-only graphs are unaffected."""
+    # b and c are dangling (no out-edges): substantial mass to lose
+    edges = spark.createDataFrame(
+        [Row(src="a", dst="b"), Row(src="a", dst="c"), Row(src="d", dst="a")]
+    )
+    scale = 10**12
+    kept = graph.pagerank(
+        edges, iterations=5, scale=scale, redistribute_dangling=True
+    )
+    dropped = graph.pagerank(edges, iterations=5, scale=scale)
+    kept_sum = sum(r["rank"] for r in kept.collect())
+    dropped_sum = sum(r["rank"] for r in dropped.collect())
+    # floor-division slack: < n_nodes per div site per iteration
+    assert abs(kept_sum - scale) < 5 * 4 * 3
+    assert dropped_sum < kept_sum
+    # ranking order is preserved under redistribution for this graph
+    order = lambda df: [
+        r["node"]
+        for r in sorted(
+            df.collect(), key=lambda x: (-x["rank"], x["node"])
+        )
+    ]
+    assert order(kept) == order(dropped)
+    # deterministic: two runs bit-identical
+    kept2 = graph.pagerank(
+        edges, iterations=5, scale=scale, redistribute_dangling=True
+    )
+    assert sorted(map(tuple, kept.collect())) == sorted(
+        map(tuple, kept2.collect())
+    )
+    # no dangling nodes → option is a no-op
+    ring = spark.createDataFrame(
+        [Row(src="a", dst="b"), Row(src="b", dst="c"), Row(src="c", dst="a")]
+    )
+    assert sorted(
+        map(tuple, graph.pagerank(ring, iterations=3).collect())
+    ) == sorted(
+        map(
+            tuple,
+            graph.pagerank(
+                ring, iterations=3, redistribute_dangling=True
+            ).collect(),
+        )
+    )
