@@ -14,6 +14,7 @@ hashing).
 
 from __future__ import annotations
 
+import re
 import threading
 from collections import OrderedDict
 from collections.abc import Callable
@@ -1332,6 +1333,81 @@ def catalog_xml_import_gate(spark, sf_dir):
         .execute()
         .df
     )
+
+
+@q(
+    "partitioned_fact_dpp_gate",
+    """
+    WITH f AS (
+      SELECT l_quantity, l_returnflag, year(o_orderdate) AS o_year
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT 'year_slice' AS tag, l_returnflag AS flag,
+           sum(l_quantity) AS sum_qty
+    FROM f WHERE o_year = 1995 GROUP BY 2
+    UNION ALL
+    SELECT 'epoch_dpp', l_returnflag, sum(l_quantity)
+    FROM f WHERE o_year % 2 = 1 GROUP BY 2
+    """,
+)
+def partitioned_fact_dpp_gate(spark, sf_dir):
+    """Date-PARTITIONED fact layout — the 100 TB scan lever
+    (tpch.partitioned_fact_engines; reference behavior anchor:
+    slicer→WHERE pushdown, /root/reference/README.md:132-143).  Two
+    pruning shapes, both plan-asserted in the gate itself:
+
+    * a degenerate time slicer reaches the scan as a STATIC
+      ``PartitionFilters`` entry (whole ``o_year=`` directories pruned);
+    * filtering a dimension TABLE joined on the partition column plans a
+      ``dynamicpruningexpression`` subquery (Spark DPP — the classic
+      filtered-date-dim star shape).
+
+    Answers must be bit-identical across the partitioned and flat
+    layouts (layout is physical, never semantic) and hash-match the
+    fact-derived oracle."""
+    from pyspark.sql import functions as F
+
+    from .tpch import partitioned_fact_engines
+
+    part_eng, flat_eng = partitioned_fact_engines(spark, sf_dir)
+
+    def run(eng):
+        ys = (
+            Query(eng)
+            .columns("[Measures].[Sum Qty]")
+            .rows("[ReturnFlag].children")
+            .where("[Time].[1995]")
+            .execute()
+            .df
+        )
+        dpp = (
+            Query(eng)
+            .columns("[Measures].[Sum Qty]")
+            .rows("[ReturnFlag].children")
+            .where("[Epoch].[EPOCH_1]")
+            .execute()
+            .df
+        )
+        return ys, dpp
+
+    ys_p, dpp_p = run(part_eng)
+    plan_ys = ys_p._jdf.queryExecution().executedPlan().toString()
+    assert re.search(
+        r"PartitionFilters: \[[^\]]*o_year[^\]]*1995", plan_ys
+    ), "time slicer did not prune partitions statically"
+    plan_dpp = dpp_p._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan_dpp, (
+        "dim-table filter did not plan dynamic partition pruning"
+    )
+    ys_f, dpp_f = run(flat_eng)
+    for a, b in ((ys_p, ys_f), (dpp_p, dpp_f)):
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, b.collect())
+        ), "partitioned and flat layouts disagree"
+    tag = lambda df, t: df.select(
+        F.lit(t).alias("tag"), F.col("flag"), F.col("sum_qty")
+    )
+    return tag(ys_p, "year_slice").unionByName(tag(dpp_p, "epoch_dpp"))
 
 
 @q(

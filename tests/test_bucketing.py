@@ -120,3 +120,52 @@ def test_fingerprinted_corpus_curation_is_shuffle_free(spark):
         assert got == want and len(got) > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_partitioned_fact_pruning_and_layout_parity(spark):
+    """Date-partitioned fact layout (tpch.partitioned_fact_engines): a
+    degenerate time slicer prunes statically (PartitionFilters), a
+    filtered dim table joined on the partition column plans DPP, and
+    both layouts return bit-identical answers."""
+    import re as _re
+
+    from mondrian_olap_spark.query import Query
+    from mondrian_olap_spark.tpch import partitioned_fact_engines
+
+    part_eng, flat_eng = partitioned_fact_engines(
+        spark, "/root/testdata/sf0.001"
+    )
+
+    def year_slice(eng):
+        return (
+            Query(eng)
+            .columns("[Measures].[Sum Qty]")
+            .rows("[ReturnFlag].children")
+            .where("[Time].[1995]")
+            .execute()
+            .df
+        )
+
+    dfp = year_slice(part_eng)
+    plan = dfp._jdf.queryExecution().executedPlan().toString()
+    assert _re.search(r"PartitionFilters: \[[^\]]*o_year[^\]]*1995", plan)
+    # the flat layout pushes the same predicate as a row filter instead
+    dff = year_slice(flat_eng)
+    flat_plan = dff._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_year), EqualTo(o_year,1995)" in (
+        flat_plan
+    ) or "EqualTo(o_year,1995)" in flat_plan
+    assert sorted(map(tuple, dfp.collect())) == sorted(
+        map(tuple, dff.collect())
+    )
+    dpp = (
+        Query(part_eng)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[ReturnFlag].children")
+        .where("[Epoch].[EPOCH_0]")
+        .execute()
+        .df
+    )
+    assert "dynamicpruning" in (
+        dpp._jdf.queryExecution().executedPlan().toString()
+    )

@@ -759,6 +759,48 @@ def main() -> int:
         f"{len(fact_scan_lines(p_plain, 'lineitem'))} lineitem scans",
     )
 
+    # 40. date-PARTITIONED fact: a degenerate time slicer reaches the
+    #     scan as a STATIC PartitionFilters entry — whole o_year=
+    #     directories pruned before any row is read (the single biggest
+    #     scan lever on a date-partitioned 100 TB fact; previously never
+    #     exercised because every fixture fact was unpartitioned)
+    from mondrian_olap_spark.tpch import partitioned_fact_engines
+
+    part_eng, _flat = partitioned_fact_engines(spark, SF_DIR)
+    p = plan_str(
+        Query(part_eng)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[ReturnFlag].children")
+        .where("[Time].[1995]")
+        .execute()
+        .df
+    )
+    scan = [l for l in p.splitlines() if "fact_part" in l]
+    check(
+        "partitioned_fact.time_slicer_prunes_statically",
+        bool(scan)
+        and bool(re.search(r"PartitionFilters: \[[^\]]*o_year[^\]]*1995", p)),
+        f"fact scan: {scan[0].strip()[:220] if scan else 'MISSING'}",
+    )
+
+    # 41. filtering a dim TABLE joined on the partition column plans
+    #     DYNAMIC partition pruning: the fact scan carries a
+    #     dynamicpruningexpression fed by a subquery over the filtered
+    #     dim (the classic filtered-date-dim star shape at 100 TB)
+    p = plan_str(
+        Query(part_eng)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[ReturnFlag].children")
+        .where("[Epoch].[EPOCH_1]")
+        .execute()
+        .df
+    )
+    check(
+        "partitioned_fact.dim_filter_plans_dynamic_pruning",
+        "dynamicpruningexpression" in p,
+        f"plan: {p[:400]}",
+    )
+
     print(f"\n{len(failures)} failed properties" if failures else "\nall plan properties hold")
     return 1 if failures else 0
 
