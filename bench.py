@@ -142,6 +142,12 @@ HEADLINE = [
     "events_pagerank_gate",
     "parallelperiod_quarter_gate",
     "openingperiod_ancestor_gate",
+    # round-10 operators
+    "generate_string_formula_gate",
+    "strtomember_mdx_gate",
+    "currentdatemember_formula_gate",
+    "xml_aggname_routing_gate",
+    "partitioned_fact_dpp_gate",
 ]
 
 
