@@ -3259,6 +3259,47 @@ class MdxParser:
             expr_sql = _translate_generate_expr(
                 parts[1], dim, depth, _canon_frag(parts[0])
             )
+            # member-metadata expressions (no measure/calc references)
+            # evaluate over the MEMBER LIST, not a fact sub-aggregate:
+            # Mondrian iterates the set's members whether or not fact
+            # rows exist, and the list frame costs zero fact scans — the
+            # reference tests' own shape ([Gender].CurrentMember.Name).
+            # Measure-referencing expressions keep the set-statistic
+            # sub-plan (fact values need the fact).
+            refs_data = any(
+                re.search(rf"\b{re.escape(o)}\b", expr_sql)
+                for o in (
+                    *(m.out for m in self.cube.measures),
+                    *(c.out for c in self.cube.calculated_members),
+                    *(c.out for c in self.q._with),
+                )
+            )
+            if not refs_data:
+                from .members import resolve as _resolve_ref
+
+                vals: list[str] = []
+                try:
+                    for mstr in member_strs:
+                        ref = _resolve_ref(self.cube, mstr)
+                        rows = (
+                            self.engine.level_members(
+                                ref.dimension.name, ref.depth, path=ref.path
+                            )
+                            .selectExpr(
+                                f"cast(({expr_sql}) as string) AS __g"
+                            )
+                            .collect()
+                        )
+                        vals.extend(
+                            r["__g"] for r in rows if r["__g"] is not None
+                        )
+                except Exception:
+                    vals = None  # un-analyzable over the list — fall back
+                if vals is not None:
+                    _masked.append(
+                        "'" + sep.join(vals).replace("'", "''") + "'"
+                    )
+                    return f"\x00{len(_masked) - 1}\x00"
             return _register_stat(
                 "genconcat", (expr_sql, "__setrank"), member_strs, sep, False
             )

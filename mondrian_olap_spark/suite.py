@@ -1614,14 +1614,13 @@ def strtomember_mdx_gate(spark, sf_dir):
 
 @q(
     "generate_string_formula_gate",
-    f"""
-    WITH facts AS (SELECT DISTINCT r_name FROM {_CUST_STAR}),
-    s AS (
-      SELECT string_agg(r_name, ',' ORDER BY r_name) AS g FROM facts
+    """
+    WITH s AS (
+      SELECT string_agg(r_name, ',' ORDER BY r_name) AS g FROM region
     ),
     allr AS (
-      SELECT '{{' || string_agg('[Customer].[' || r_name || ']', ', '
-               ORDER BY r_name) || '}}' AS g3
+      SELECT '{' || string_agg('[Customer].[' || r_name || ']', ', '
+               ORDER BY r_name) || '}' AS g3
       FROM region
     )
     SELECT s.g AS generate_1, s.g AS generate_2, allr.g3 AS generate_3
@@ -1633,11 +1632,11 @@ def generate_string_formula_gate(spark, sf_dir):
     MEMBER formula text — the three reference variants verbatim
     (/root/reference/test/mondrian_test.rb:491-517; jar!mondrian/olap/fun/
     GenerateFunDef): a measure CAST to string, a measure already string-
-    valued, and SetToStr over the identity member form with ALL.  The
-    string form lowers onto the set-statistic sub-plan (fn 'genconcat',
-    ordered by the member's hierarchy rank) and evaluates non-empty
-    (fact-backed members, the engine default); the member form folds to
-    the set's unique names at translation time (member-list metadata)."""
+    valued, and SetToStr over the identity member form with ALL.
+    Member-metadata expressions (these, via the WITH-member inline)
+    evaluate over the MEMBER LIST — all set members, empty or not, zero
+    fact scans; a measure-referencing expression would lower onto the
+    set-statistic sub-plan (fn 'genconcat', hierarchy-rank ordered)."""
     eng = get_engine(spark, sf_dir)
     return eng.execute(
         """

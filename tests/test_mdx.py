@@ -3472,3 +3472,48 @@ def test_strtomember_spelling_all_positions(engine):
             "SELECT {[Measures].[Sum Qty]} ON COLUMNS, "
             "{StrToMember([Customer].[ASIA])} ON ROWS FROM [Sales]",
         )
+
+
+def test_generate_string_form_includes_empty_members(spark):
+    """Mondrian's Generate iterates the SET, not the fact: a member with
+    zero fact rows still contributes its Name to the string form (the
+    member-metadata path evaluates over the member list — and never
+    scans the fact)."""
+    from pyspark.sql import Row
+
+    from mondrian_olap_spark.model import Cube, Dimension, Level, Measure
+    from mondrian_olap_spark.star import CubeEngine
+
+    dim_rows = spark.createDataFrame(
+        [Row(tk=m, nm=f"M{m}") for m in (1, 2, 3, 4)]
+    )
+    fact = spark.createDataFrame(
+        [Row(fk=1, v=1.0), Row(fk=2, v=2.0)]  # M3, M4 have no facts
+    )
+    cube = Cube(
+        name="Mini",
+        fact="f",
+        dimensions=(
+            Dimension(
+                name="D",
+                foreign_key="fk",
+                table="d",
+                primary_key="tk",
+                levels=(Level("Name", "nm", output="d_name"),),
+            ),
+        ),
+        measures=(Measure("V", "v", "sum", output="v_sum"),),
+    )
+    eng = CubeEngine(cube, {"f": fact, "d": dim_rows})
+    r = execute_mdx(
+        eng,
+        """
+        WITH MEMBER [Measures].[N] AS '[D].CurrentMember.Name'
+        MEMBER [Measures].[G] AS
+          'Generate([D].[Name].Members, [Measures].[N], ",")'
+        SELECT {[Measures].[G]} ON COLUMNS FROM [Mini]
+        """,
+    )
+    assert r.df.collect()[0]["g"] == "M1,M2,M3,M4"
+    # zero-fact-scan for the metadata path is plan-audited against the
+    # parquet engine (tools/explain_audit.py property 42)

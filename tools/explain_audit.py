@@ -801,6 +801,27 @@ def main() -> int:
         f"plan: {p[:400]}",
     )
 
+    # 42. GENERATE string form over member metadata: the WITH formula's
+    #     value folds from the MEMBER LIST at translation time — the
+    #     query's only lineitem scan is the grid's own (no set-statistic
+    #     fact sub-aggregate for an expression that reads no measures)
+    r = execute_mdx(
+        eng,
+        """
+        WITH MEMBER [Measures].[RN] AS '[Customer].CurrentMember.Name'
+        MEMBER [Measures].[G] AS
+          'Generate([Customer].[Region].Members, [Measures].[RN], ",")'
+        SELECT {[Measures].[Sum Qty], [Measures].[G]} ON COLUMNS,
+               [Time].[Year].Members ON ROWS FROM [Sales]
+        """,
+    )
+    p = plan_str(r.df)
+    check(
+        "generate_string.metadata_form_zero_extra_fact_scan",
+        len(fact_scan_lines(p, "lineitem")) == 1,
+        f"{len(fact_scan_lines(p, 'lineitem'))} lineitem scans (want 1)",
+    )
+
     print(f"\n{len(failures)} failed properties" if failures else "\nall plan properties hold")
     return 1 if failures else 0
 
