@@ -148,6 +148,7 @@ HEADLINE = [
     "currentdatemember_formula_gate",
     "xml_aggname_routing_gate",
     "partitioned_fact_dpp_gate",
+    "generate_measure_concat_gate",
 ]
 
 

@@ -3266,12 +3266,25 @@ class MdxParser:
             # reference tests' own shape ([Gender].CurrentMember.Name).
             # Measure-referencing expressions keep the set-statistic
             # sub-plan (fact values need the fact).
+            # a WITH member's out may textually equal a set-dim LEVEL
+            # column (the reference's own '[Measures].[Gender name]' idiom
+            # snakes to the gender level's out): after the inline pass a
+            # bracketed WITH reference is gone, so a remaining token that
+            # names a set-dim level column IS the level column — exclude
+            # those outs or the metadata path would never fire.  Cube
+            # validation forbids measure/calc outs colliding with level
+            # outs, so only the WITH list needs the exclusion.
+            set_level_outs = {lv.out for lv in dim.levels}
             refs_data = any(
                 re.search(rf"\b{re.escape(o)}\b", expr_sql)
                 for o in (
                     *(m.out for m in self.cube.measures),
                     *(c.out for c in self.cube.calculated_members),
-                    *(c.out for c in self.q._with),
+                    *(
+                        c.out
+                        for c in self.q._with
+                        if c.out not in set_level_outs
+                    ),
                 )
             )
             if not refs_data:

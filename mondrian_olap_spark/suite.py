@@ -1582,6 +1582,37 @@ def currentdatemember_formula_gate(spark, sf_dir):
 
 
 @q(
+    "generate_measure_concat_gate",
+    f"""
+    WITH a AS (
+      SELECT r_name, CAST(sum(l_quantity) AS BIGINT) AS s
+      FROM {_CUST_STAR} GROUP BY 1
+    )
+    SELECT string_agg(CAST(s AS VARCHAR), '|' ORDER BY r_name)
+             AS region_qtys
+    FROM a
+    """,
+)
+def generate_measure_concat_gate(spark, sf_dir):
+    """GENERATE string form over a MEASURE-referencing expression — the
+    set-statistic lowering path ('genconcat' collapse over a per-member
+    fact sub-aggregate, hierarchy-rank ordered), as opposed to the
+    member-metadata fold the reference variants take.  BIGINT-cast keeps
+    the double→string rendering engine-independent (Spark goes
+    scientific above 1e7)."""
+    eng = get_engine(spark, sf_dir)
+    return eng.execute(
+        """
+        WITH MEMBER [Measures].[Region Qtys] AS
+          'Generate([Customer].[Region].Members,
+                    Cast(Cast([Measures].[Sum Qty] AS bigint) AS String),
+                    "|")'
+        SELECT {[Measures].[Region Qtys]} ON COLUMNS FROM [Sales]
+        """
+    ).df
+
+
+@q(
     "strtomember_mdx_gate",
     f"""
     SELECT r_name AS region_name, n_name AS nation_name,
