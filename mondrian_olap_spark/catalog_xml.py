@@ -343,7 +343,16 @@ def _parse_cube(el: ET.Element, shared: dict[str, list[Dimension]]) -> Cube:
                     c.get("column")
                 )
             elif c.tag == "AggExclude":
-                excludes.append(c.get("name"))
+                # name= (exact) or pattern= (regex) — Mondrian accepts
+                # both forms (schema.rb:374-414)
+                if c.get("name") is not None:
+                    excludes.append(("name", c.get("name")))
+                elif c.get("pattern") is not None:
+                    excludes.append(("pattern", c.get("pattern")))
+                else:
+                    raise ValueError(
+                        "AggExclude needs a name= or pattern= attribute"
+                    )
         agg_decls.append(
             (
                 kind,
@@ -616,8 +625,8 @@ def to_mondrian_xml(
                 )
             for ident, col in lv_pairs:
                 ET.SubElement(ae, "AggLevel", column=col, name=ident)
-            for x in excludes:
-                ET.SubElement(ae, "AggExclude", name=x)
+            for k, x in excludes:
+                ET.SubElement(ae, "AggExclude", **{k: x})
         cube_grouped: dict[str, list[Dimension]] = {}
         for d in cube.dimensions:
             cube_grouped.setdefault(d.name.split(".", 1)[0], []).append(d)

@@ -1026,12 +1026,22 @@ class MdxParser:
             tuple(s.lower() for s in segs)
             for _, segs, _ in self._dim_member_defs
         }
+        with_measure_names = {c.name.lower() for c in self.q._with}
         for name, hier, formula in getattr(
             self.cube, "dimension_calc_members", ()
         ):
             segs = [hier.strip("[]"), name]
             if tuple(s.lower() for s in segs) in defined:
                 continue
+            # a query-scoped WITH MEMBER [Measures].[<same name>] is a
+            # different object — never hijack it
+            if name.lower() in with_measure_names:
+                continue
+            # activation is a bracketed-name substring heuristic (MDX
+            # members are always written bracketed); a false positive is
+            # harmless because schema-activated members are LENIENT — a
+            # grid that doesn't group their dimension skips the union
+            # silently (query._lenient_dim_members)
             if not re.search(
                 r"\[\s*" + re.escape(name) + r"\s*\]", self.src or "",
                 re.IGNORECASE,
@@ -1045,6 +1055,7 @@ class MdxParser:
             # inner shares this parser's _dim_member_defs list object, so
             # the buffered definition lands directly in self's queue
             inner.parse_dimension_member(segs)
+            self.q._lenient_dim_members.add(name.lower())
         self._apply_dim_member_defs()
         self.expect_word("select")
         self.parse_axis()
@@ -3177,7 +3188,13 @@ class MdxParser:
                     + r"\]"
                 )
                 raw = re.sub(
-                    pat, "(" + cm.expression + ")", raw, flags=re.IGNORECASE
+                    # lambda replacement: the stored expression is literal
+                    # text, not a template — a backslash or \1 inside it
+                    # must not be interpreted as a regex escape
+                    pat,
+                    lambda _m, _e=cm.expression: "(" + _e + ")",
+                    raw,
+                    flags=re.IGNORECASE,
                 )
             lv = dim.levels[depth]
             name_col = f"cast({lv.out} as string)"

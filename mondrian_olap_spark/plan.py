@@ -719,8 +719,14 @@ class Planner:
                     "a single-dimension set"
                 )
             r = refs[0]
+            # a MULTI-member set spans parents (an explicit {m1, m2, …}
+            # list): ranks must come from the FULL level — refs[0]'s path
+            # filter would leave every other member a NULL rank, breaking
+            # the genconcat order.  Rank() VALUES (single ref) keep the
+            # path scope: rank-within-listing is the function's meaning.
+            rank_path = r.path if len(refs) == 1 else ()
             ranks = self.engine.level_members(
-                r.dimension.name, r.depth, path=r.path, _with_rank=True
+                r.dimension.name, r.depth, path=rank_path, _with_rank=True
             )
             keys = [
                 lv.out

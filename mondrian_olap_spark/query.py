@@ -96,6 +96,13 @@ class Query:
         self._include_empty = False
         self._named_sets: dict[str, list[str]] = {}
         self._dim_members: list[tuple] = []
+        #: names of SCHEMA-activated dimension calc members (lowered by
+        #: the MDX layer from cube.dimension_calc_members, not written in
+        #: this query's WITH clause): when the grid does not group their
+        #: dimension, they skip silently instead of raising — activation
+        #: is a substring heuristic, and a schema member must never break
+        #: a query that does not actually use it
+        self._lenient_dim_members: set[str] = set()
         self._drilldowns: list[MemberSetRef] = []
         #: tuple scalar references recorded by formula translation:
         #: (output column, measure name, member identifier strings)
@@ -177,6 +184,12 @@ class Query:
         try:
             segs = parse_identifier(m)
         except Exception:
+            return None
+        if len(segs) > 2:
+            # a calc member is referenced as [Name] or [Dim].[Name]; a
+            # longer path names a REAL member whose leaf merely collides
+            # ([Time].[1995].[Q1] vs a calc member named Q1) — never
+            # shadow it
             return None
         last = segs[-1].lower()
         for dm in self._dim_members:
@@ -1034,25 +1047,42 @@ class Query:
         with_names = {c.name.lower() for c in self._with}
         selected = {n.lower() for ax in axes for n in ax.measure_names}
 
-        def _query_uses(c) -> bool:
-            # selected on an axis, or referenced from a WITH formula by
-            # output alias / bracketed name — unreferenced cube members
-            # must not register grid enrichers (each is a join)
-            if c.name.lower() in selected:
-                return True
-            import re as _re
+        # cube-level members the query uses: selected on an axis, or
+        # referenced (by output alias / bracketed name) from a WITH
+        # formula or — TRANSITIVELY — from an already-used cube member's
+        # formula (A = '[Measures].[B] * 2' selected alone must still
+        # rewrite B).  Unreferenced members stay out: each rewrite may
+        # register grid enrichers (joins).
+        import re as _re
 
-            pat = _re.compile(
-                rf"\b{_re.escape(c.out)}\b|\[\s*{_re.escape(c.name)}\s*\]",
-                _re.IGNORECASE,
-            )
-            return any(pat.search(w.expression) for w in self._with)
-
-        rewrite_candidates = list(self._with) + [
+        cube_calcs = [
             c
             for c in self.cube.calculated_members
-            if c.name.lower() not in with_names and _query_uses(c)
+            if c.name.lower() not in with_names
         ]
+        used_cube_calcs: dict[str, CalculatedMember] = {}
+        ref_texts = [w.expression for w in self._with]
+        changed = True
+        while changed:
+            changed = False
+            for c in cube_calcs:
+                if c.name.lower() in used_cube_calcs:
+                    continue
+                pat = _re.compile(
+                    rf"\b{_re.escape(c.out)}\b"
+                    rf"|\[\s*{_re.escape(c.name)}\s*\]",
+                    _re.IGNORECASE,
+                )
+                if c.name.lower() in selected or any(
+                    pat.search(t) for t in ref_texts
+                ):
+                    used_cube_calcs[c.name.lower()] = c
+                    ref_texts.append(c.expression)
+                    changed = True
+
+        rewrite_candidates = list(self._with) + list(
+            used_cube_calcs.values()
+        )
         for cm in rewrite_candidates:
             if "currentmember" in cm.expression.lower():
                 # a WITH member the query never evaluates must not fail it
@@ -1360,14 +1390,19 @@ class Query:
         member set — exact even for distinct-count) and ``formula``
         (arithmetic over sibling members' cells)."""
         form, name, dim, depth, prefix = dm[:5]
+        lenient = name.lower() in self._lenient_dim_members
         target_levels = [lv.out for lv in dim.levels[: depth + 1]]
         if not all(c in group_cols for c in target_levels):
+            if lenient:
+                return df
             raise QueryError(
                 f"dimension calc member {name!r} needs the {dim.name} axis "
                 f"grouped at its level"
             )
         if any(c in group_cols for c in
                [lv.out for lv in dim.levels[depth + 1:]]):
+            if lenient:
+                return df
             raise QueryError(
                 f"dimension calc member {name!r}: axis grouped deeper than "
                 "the member's level"

@@ -228,7 +228,10 @@ class CubeEngine:
                 pattern,
                 dict(lv_pairs),
                 dict(m_pairs),
-                exclude=tuple(_re_mod.escape(x) for x in excludes),
+                exclude=tuple(
+                    _re_mod.escape(x) if k == "name" else x
+                    for k, x in excludes
+                ),
             )
 
     def register_aggregate(
@@ -849,9 +852,10 @@ class CubeEngine:
         today's year when keys parse as integers (calendar years),
         otherwise the last member in hierarchy order; each deeper level
         picks the last member under the chosen path, capped at today's
-        unit position (quarter-of-year / month / ISO week / day) only
-        while the path is still IN the current year — a wholly-past year
-        closes at its own last period.  Member lists collect at the
+        position WITHIN THE IMMEDIATE PARENT unit (month-of-quarter under
+        a Quarter parent, day-of-week under a Week parent, …) only while
+        the path is still IN the current period — a wholly-past parent
+        closes at its own last member.  Member lists collect at the
         driver: bounded frames (years, quarters-of-one-year, …), the
         same contract as ``edge_member``."""
         import datetime
@@ -874,12 +878,31 @@ class CubeEngine:
         else:
             chosen, in_current = keys[-1], False
         path = [str(chosen)]
-        caps = {
-            "TimeQuarters": (today.month - 1) // 3 + 1,
-            "TimeMonths": today.month,
-            "TimeWeeks": today.isocalendar()[1],
-            "TimeDays": today.day,
-        }
+
+        def _unit_cap(parent_type: str | None, level_type: str):
+            """today's 1-based position within its IMMEDIATE parent unit —
+            the coordinate ``_rank_within_parent`` positions compare
+            against.  An absolute calendar position (month-of-year under a
+            Quarter parent) would overshoot; unknown parent/level pairs
+            return None (no cap → the parent's last member, still BEFORE
+            matching)."""
+            iso_year, iso_week, iso_wday = today.isocalendar()
+            table = {
+                ("TimeYears", "TimeQuarters"): (today.month - 1) // 3 + 1,
+                ("TimeYears", "TimeMonths"): today.month,
+                # ISO week numbers belong to the ISO year: on boundary
+                # days (late Dec / early Jan) the number is ~52 off the
+                # calendar year's weeks — no cap there
+                ("TimeYears", "TimeWeeks"): (
+                    iso_week if iso_year == today.year else None
+                ),
+                ("TimeYears", "TimeDays"): today.timetuple().tm_yday,
+                ("TimeQuarters", "TimeMonths"): (today.month - 1) % 3 + 1,
+                ("TimeMonths", "TimeDays"): today.day,
+                ("TimeWeeks", "TimeDays"): iso_wday,
+            }
+            return table.get((parent_type, level_type))
+
         for li in range(1, depth + 1):
             lv = dim.levels[li]
             sub = self.level_members(
@@ -890,7 +913,11 @@ class CubeEngine:
                     f"no members at {dim.name}.{lv.name} under {path!r}"
                 )
             pick = sub[-1]
-            cap = caps.get(lv.level_type) if in_current else None
+            cap = (
+                _unit_cap(dim.levels[li - 1].level_type, lv.level_type)
+                if in_current
+                else None
+            )
             if cap is not None:
                 within = [r for r in sub if r[f"__pos_{lv.out}"] <= cap]
                 if within:

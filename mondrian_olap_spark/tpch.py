@@ -433,6 +433,8 @@ def partitioned_fact_engines(spark: SparkSession, sf_dir: str):
     with _ENGINES_LOCK:
         if key in _PART_ENGINES:
             return _PART_ENGINES[key]
+        import atexit
+        import shutil
         import tempfile
 
         from pyspark.sql import functions as F
@@ -449,6 +451,9 @@ def partitioned_fact_engines(spark: SparkSession, sf_dir: str):
             )
         )
         work = tempfile.mkdtemp(prefix="partfact_")
+        # two fact copies live here for the session — reclaim them at
+        # process exit (repeated sessions would otherwise accumulate)
+        atexit.register(shutil.rmtree, work, ignore_errors=True)
         fact.write.partitionBy("o_year").parquet(f"{work}/fact_part")
         fact.write.parquet(f"{work}/fact_flat")
         (

@@ -335,7 +335,7 @@ def test_aggpattern_import_registers_matching_tables(spark, engine):
             (("[Customer].[Region]", "region"),
              ("[Customer].[Nation]", "nation")),
             (("Sum Qty", "qty_sum"),),
-            ("agg_bad_sales",),
+            (("name", "agg_bad_sales"),),
         ),
     )
     sf_dir = "/root/testdata/sf0.001"

@@ -3517,3 +3517,136 @@ def test_generate_string_form_includes_empty_members(spark):
     assert r.df.collect()[0]["g"] == "M1,M2,M3,M4"
     # zero-fact-scan for the metadata path is plan-audited against the
     # parquet engine (tools/explain_audit.py property 42)
+
+
+def test_generate_measure_concat_cross_parent_set_order(engine, duck):
+    """A measure-path Generate over an EXPLICIT member list spanning
+    parents concatenates in hierarchy order — the rank frame must come
+    from the full level, not refs[0]'s ancestor path (which left every
+    other member a NULL rank and value-sorted the output)."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[G] AS
+          'Generate({[Customer].[ASIA].[NATION_7], [Customer].[ASIA].[NATION_2],
+                     [Customer].[AFRICA].[NATION_0]},
+                    Cast(Cast([Measures].[Sum Qty] AS bigint) AS String), "|")'
+        SELECT {[Measures].[G]} ON COLUMNS FROM [Sales]
+        """,
+    )
+    got = r.df.collect()[0]["g"]
+    want = "|".join(
+        str(v)
+        for (v,) in duck.execute(
+            """
+            SELECT CAST(sum(l_quantity) AS BIGINT) FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE n_name IN ('NATION_0', 'NATION_2', 'NATION_7')
+            GROUP BY n_name ORDER BY n_name
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_schema_dim_member_is_lenient_and_never_hijacks_with(engine):
+    """A schema-declared dimension calc member must not break queries
+    that merely mention its name: a same-named WITH Measures member wins
+    outright, and a grid that does not group the member's dimension
+    skips the union silently instead of raising."""
+    import dataclasses as dc
+
+    from mondrian_olap_spark.star import CubeEngine
+
+    cube = dc.replace(
+        engine.cube,
+        dimension_calc_members=(
+            ("Total", "[Customer]",
+             "Aggregate({[Customer].[ASIA], [Customer].[AFRICA]})"),
+        ),
+    )
+    eng = CubeEngine(cube, engine.tables)
+    # same-named WITH Measures member, Customer not on any axis
+    r = execute_mdx(
+        eng,
+        """
+        WITH MEMBER [Measures].[Total] AS '[Measures].[Sum Qty] * 2'
+        SELECT {[Measures].[Total]} ON COLUMNS,
+               [Time].[Year].Members ON ROWS FROM [Sales]
+        """,
+    )
+    assert r.df.count() > 0
+    # named on an axis WITH the dimension grouped: the union applies
+    r2 = execute_mdx(
+        eng,
+        "SELECT {[Measures].[Sum Qty]} ON COLUMNS, "
+        "{[Customer].children, [Customer].[Total]} ON ROWS FROM [Sales]",
+    ).df
+    by = {x["region_name"]: x["sum_qty"] for x in r2.collect()}
+    assert by["Total"] == pytest.approx(by["ASIA"] + by["AFRICA"])
+
+
+def test_dim_member_reference_requires_short_path(engine):
+    """A real member whose LEAF name collides with a registered
+    dimension calc member must not be shadowed: calc members are
+    referenced as [Name] or [Dim].[Name], never through a longer path."""
+    r = (
+        Query(engine)
+        .with_dimension_member(
+            "Q1", "[Time].[1996].[Q2]", dimension="Time"
+        )
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Time].[1995].[Q1]")
+        .execute()
+        .df
+    )
+    rows = {(x["o_year"], x["o_quarter"]): x["sum_qty"] for x in r.collect()}
+    # the REAL 1995 Q1 cell survives (it was silently replaced by the
+    # synthetic member's 1996 prefix before the short-path rule); the
+    # synthetic row still auto-unions at the grid's quarter grain
+    plain = (
+        Query(engine)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Time].[1995].[Q1]")
+        .execute()
+        .df.collect()
+    )
+    assert rows[(1995, "Q1")] == plain[0]["sum_qty"]
+    assert (1996, "Q1") in rows  # the union row, at its own prefix
+
+
+def test_cube_calc_member_transitive_rewrite(engine):
+    """A schema calc member referencing ANOTHER schema calc member whose
+    formula needs the per-query time-intelligence rewrite: selecting
+    only the outer member must still rewrite the inner one."""
+    import dataclasses as dc
+
+    from mondrian_olap_spark.model import CalculatedMember
+    from mondrian_olap_spark.star import CubeEngine
+
+    cube = dc.replace(
+        engine.cube,
+        calculated_members=(
+            *engine.cube.calculated_members,
+            CalculatedMember(
+                "Prev Price",
+                "([Measures].[Sum Price], [Time].[Time].PrevMember)",
+            ),
+            CalculatedMember("Prev Price x2", "prev_price * 2"),
+        ),
+    )
+    eng = CubeEngine(cube, engine.tables)
+    r = execute_mdx(
+        eng,
+        """
+        SELECT {[Measures].[Sum Price], [Measures].[Prev Price x2]}
+          ON COLUMNS, [Time].[Year].Members ON ROWS FROM [Sales]
+        """,
+    )
+    rows = sorted(r.df.collect(), key=lambda x: x["o_year"])
+    assert rows[0]["prev_price_x2"] is None
+    assert rows[1]["prev_price_x2"] == pytest.approx(
+        rows[0]["sum_price"] * 2
+    )

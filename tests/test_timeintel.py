@@ -575,3 +575,46 @@ def test_schema_dimension_calc_member_usable_in_mdx(engine):
     synth = [v for (y, q), v in by_q.items() if q == "Current quarter"]
     assert len(synth) == 1
     assert synth[0] == by_q[(int(path[0]), path[1])]
+
+
+def test_currentdatemember_cap_is_position_within_parent(spark):
+    """With a Year>Quarter>Month hierarchy reaching today, the month cap
+    must be the month's position WITHIN ITS QUARTER ((m-1)%3+1), not the
+    absolute month-of-year — the old absolute cap let the walk overshoot
+    into a future month of the current quarter."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from mondrian_olap_spark.model import Cube, Dimension, Level, Measure
+    from mondrian_olap_spark.star import CubeEngine
+
+    today = datetime.date.today()
+    rows = [
+        Row(tk=m, y=today.year, q=f"Q{(m - 1) // 3 + 1}", m=m)
+        for m in range(1, 13)
+    ]
+    fact = spark.createDataFrame([Row(fk=r.tk, v=1.0) for r in rows])
+    cube = Cube(
+        name="Mini",
+        fact="f",
+        dimensions=(
+            Dimension(
+                name="Time",
+                foreign_key="fk",
+                table="d",
+                primary_key="tk",
+                levels=(
+                    Level("Year", "y", level_type="TimeYears"),
+                    Level("Quarter", "q", level_type="TimeQuarters"),
+                    Level("Month", "m", level_type="TimeMonths"),
+                ),
+            ),
+        ),
+        measures=(Measure("V", "v", "sum", output="v_sum"),),
+    )
+    eng = CubeEngine(cube, {"f": fact, "d": spark.createDataFrame(rows)})
+    y, q, m = eng.current_date_member("Time", 2)
+    assert int(y) == today.year
+    assert q == f"Q{(today.month - 1) // 3 + 1}"
+    assert int(m) == today.month
