@@ -177,7 +177,10 @@ def stat_column(output: str, fn: str, *exprs: str, arg: float | None = None) -> 
         # GENERATE(set, string expr[, separator]) string form
         # (jar!mondrian/olap/fun/GenerateFunDef string mode;
         # /root/reference/test/mondrian_test.rb:491-517): concatenate the
-        # per-member values in set (hierarchy) order.  ``exprs`` is
+        # per-member values in HIERARCHY order (a documented deviation
+        # for explicit member lists written out of hierarchy order — the
+        # metadata fold in mdx preserves written order; the sub-aggregate
+        # here has no written-position column).  ``exprs`` is
         # (value, order); ``arg`` the separator ('' when omitted, the MDX
         # default).  array_sort over (order, value) structs keeps the
         # concatenation deterministic under parallel aggregation; NULL

@@ -3358,8 +3358,11 @@ def test_generate_string_form_variants(engine):
     )
     # without ALL duplicates are removed (Generate default)
     assert row["g4"] == "{[Customer].[ASIA]}"
-    # explicit-list set: concatenation in hierarchy order, no separator
-    assert row["g5"] == "AFRICAASIA"
+    # explicit-list set, metadata path: concatenation preserves the
+    # WRITTEN set order (Mondrian iterates the set as given); default
+    # separator is ''.  (The measure path orders by hierarchy rank — a
+    # documented deviation for explicit lists.)
+    assert row["g5"] == "ASIAAFRICA"
 
 
 def test_generate_string_form_fixed_member_and_errors(engine):
