@@ -837,6 +837,9 @@ class MdxParser:
         #: WITH SET definitions including set-function ops — referenced by
         #: bare name on axes (query_test.rb:706-731 WITH SET clause)
         self.named_sets: dict[str, "_SetBuild"] = {}
+        #: drill/toggle ops deferred to post-WHERE (computed set2 needs
+        #: the slicer context when it evaluates — parse_axis)
+        self._deferred_drills: list[tuple] = []
         #: buffered non-Measures WITH MEMBER definitions, applied in
         #: dependency order once the WITH clause closes (forward
         #: references between aggregate members are legal in Mondrian)
@@ -1076,6 +1079,26 @@ class MdxParser:
         if self.peek() is not None and not (stop_at_return and self.at_word("return")):
             t = self.peek()
             raise MdxError(f"unexpected trailing token {t.text!r} at {t.pos}")
+        # deferred DRILLDOWNMEMBER/TOGGLEDRILLSTATE: applied after WHERE so
+        # a computed set2 evaluates in the slicer context (Mondrian
+        # evaluates set arguments against the current context); concrete
+        # lists defer too, preserving drill/toggle relative order
+        from .query import SetExpr
+
+        for op in self._deferred_drills:
+            arg = op[1]
+            if isinstance(arg, SetExpr):
+                names = [
+                    format_name([r.dimension.name, *r.path])
+                    for r in self.q.eval_set_expr(arg)
+                ]
+            else:
+                names = list(arg)
+            if op[0] == "drilldown_member":
+                for m in names:
+                    self.q.drilldown(m)
+            else:
+                self.q.toggle_drill_state(*names)
         return self.q
 
     def parse_with_member(self):
@@ -1317,9 +1340,13 @@ class MdxParser:
             else:
                 q.subset(start, count)
         elif k == "except":
-            q.except_(*d[1])
+            from .query import SetExpr
+
+            q.except_(d[1]) if isinstance(d[1], SetExpr) else q.except_(*d[1])
         elif k == "exists":
-            q.exists_(*d[1])
+            from .query import SetExpr
+
+            q.exists_(d[1]) if isinstance(d[1], SetExpr) else q.exists_(*d[1])
         elif k == "nonempty":
             q.nonempty()
         elif k == "distinct":
@@ -1328,6 +1355,26 @@ class MdxParser:
             q.hierarchize(d[1])
         elif k == "generate":
             q.generate(*d[1], all=d[2])
+        elif k == "generate_expr":
+            # GENERATE(set1, <computed set2>[, ALL]): set2 ignores
+            # CurrentMember (a computed set cannot bind it in this subset),
+            # so the result is set2 evaluated — replace the axis set, then
+            # run set2's op chain through the nested-set (slicer-context)
+            # machinery (GenerateFunDef; query.rb:97-108)
+            _, sb, all_flag, raw = d
+            if any(re.search(r"(?i)\bcurrentmember\b", b) for b in sb.base):
+                raise MdxError(
+                    "GENERATE: CurrentMember inside a computed second set "
+                    "is not supported in this subset"
+                )
+            q.generate(*sb.base, all=all_flag, _display=raw)
+            for subset, op in sb.set_ops:
+                MdxParser._apply_set_op(q, subset, op)
+            for op in sb.ops:
+                if op[0] in ("filter", "topbottom", "slice"):
+                    MdxParser._apply_set_op(q, tuple(sb.base), op)
+                else:
+                    MdxParser._apply_axis_op(q, op)
         elif k == "range":
             q.member_range(d[1], d[2])
         elif k == "xtd":
@@ -1336,11 +1383,17 @@ class MdxParser:
             q.periods_to_date(d[1], d[2])
         elif k == "visual_totals":
             q.visual_totals(d[1])
-        elif k == "drilldown_member":
-            for m in d[1]:
-                q.drilldown(m)
-        elif k == "toggle_drill":
-            q.toggle_drill_state(*d[1])
+        elif k in ("drilldown_member", "toggle_drill"):
+            if not isinstance(d[1], (list, tuple)):
+                raise MdxError(
+                    f"{k.upper()}: a computed member set is only supported "
+                    "at the top level of an axis in this subset"
+                )
+            if k == "drilldown_member":
+                for m in d[1]:
+                    q.drilldown(m)
+            else:
+                q.toggle_drill_state(*d[1])
         elif k == "drilldown_level":
             q.drilldown_level()
         elif k == "drilldown_level_top":
@@ -1397,7 +1450,15 @@ class MdxParser:
         for subset, op in members.set_ops:
             self._apply_set_op(self.q, subset, op)
         for op in members.ops:
-            self._apply_axis_op(self.q, op)
+            if op[0] in ("drilldown_member", "toggle_drill"):
+                # drills mutate the query's GLOBAL drill list (not axis
+                # mods), so their application defers until after WHERE —
+                # a computed set2 (SetExpr) must see the slicer context
+                # when it evaluates; deferring all of them preserves the
+                # drill/toggle relative order (toggle cancels prior drills)
+                self._deferred_drills.append(op)
+            else:
+                self._apply_axis_op(self.q, op)
         if nonempty:
             self.q.nonempty()
 
@@ -1733,16 +1794,76 @@ class MdxParser:
 
     @staticmethod
     def _plain_members(sb: "_SetBuild", where: str) -> list[str]:
-        """Second set arguments (EXISTS/GENERATE/DRILLDOWNMEMBER/NONEMPTY/
-        TOGGLEDRILLSTATE) must be plain member lists in this subset —
-        silently dropping a nested set function's operations would return a
-        wrong member set with no error."""
+        """Set arguments that must be PLAIN member lists (UNION/INTERSECT
+        canonicalize written identities at parse time) — silently dropping
+        a nested set function's operations would return a wrong member set
+        with no error."""
         if sb.ops or sb.set_ops:
             raise MdxError(
                 f"set functions are not supported as the second argument of "
                 f"{where} in this subset (got a computed set)"
             )
         return list(sb.base)
+
+    def _parse_set_raw(self):
+        """parse_set + the argument's source text (for to_mdx round-trips
+        of computed set arguments)."""
+        t0 = self.peek()
+        sb = self.parse_set()
+        t1 = self.peek()
+        raw = None
+        if t0 is not None and t1 is not None and getattr(self, "src", None):
+            raw = self.src[t0.pos : t1.pos].strip()
+        return sb, raw
+
+    def _set_arg(self, sb: "_SetBuild", where: str, raw: str | None):
+        """Second set arguments of EXISTS/NONEMPTY/EXCEPT/DRILLDOWNMEMBER/
+        TOGGLEDRILLSTATE: a plain member list passes through as-is; a
+        computed set (FILTER/TOPCOUNT/HEAD/ORDER/EXCEPT result, expanded
+        named set) becomes a :class:`~.query.SetExpr` evaluated in the
+        slicer context at plan time (the reference accepts any set —
+        jar!mondrian/olap/fun/ExistsFunDef, ExceptFunDef; the builder
+        nests freely, lib/mondrian/olap/query.rb:47-57)."""
+        if not sb.ops and not sb.set_ops:
+            return list(sb.base)
+        from .query import SetExpr
+
+        if sb.set_ops:
+            raise MdxError(
+                f"nested CROSSJOIN arguments are not supported inside a "
+                f"computed set argument of {where}"
+            )
+        ops: list[tuple] = []
+        for d in sb.ops:
+            k = d[0]
+            if k == "filter":
+                if len(d) > 2 and d[2] and re.search(
+                    rf"(?i)\[?{re.escape(d[2])}\]?\s*\.\s*CURRENT", d[1]
+                ):
+                    raise MdxError(
+                        "set self-references (ALIAS.Current) are not "
+                        f"supported inside a computed set argument of {where}"
+                    )
+                ops.append(("filter", d[1]))
+            elif k in ("topbottom", "slice", "order"):
+                ops.append(d)
+            elif k == "except":
+                if not isinstance(d[1], (list, tuple)):
+                    raise MdxError(
+                        "EXCEPT of a computed set is not supported inside "
+                        f"a computed set argument of {where}"
+                    )
+                ops.append(("except", list(d[1])))
+            elif k in ("distinct", "nonempty"):
+                ops.append((k,))
+            elif k == "hierarchize":
+                ops.append(("hierarchize",))
+            else:
+                raise MdxError(
+                    f"{k.upper()} is not supported inside a computed set "
+                    f"argument of {where}"
+                )
+        return SetExpr(members=tuple(sb.base), ops=tuple(ops), raw=raw)
 
     def parse_set_function(self) -> "_SetBuild":
         fname = self.next().text.lower()
@@ -1910,19 +2031,23 @@ class MdxParser:
             # state within set1 (ToggleDrillStateFunDef); RECURSIVE flag
             # accepted (collapse removes the whole drill either way here)
             self.expect_op(",")
-            right = self.parse_set()
+            right, raw = self._parse_set_raw()
             if self.at_op(","):
                 self.next()
                 self.expect_word("recursive")
             self.expect_op(")")
-            inner.ops.append(("toggle_drill", self._plain_members(right, "TOGGLEDRILLSTATE")))
+            inner.ops.append(
+                ("toggle_drill", self._set_arg(right, "TOGGLEDRILLSTATE", raw))
+            )
             return inner
         if fname == "drilldownmember":
             # DRILLDOWNMEMBER(set1, set2) — drill set2's members within set1
             self.expect_op(",")
-            right = self.parse_set()
+            right, raw = self._parse_set_raw()
             self.expect_op(")")
-            inner.ops.append(("drilldown_member", self._plain_members(right, "DRILLDOWNMEMBER")))
+            inner.ops.append(
+                ("drilldown_member", self._set_arg(right, "DRILLDOWNMEMBER", raw))
+            )
             return inner
         if fname in ("drilldownlevel", "drilldownleveltop", "drilldownlevelbottom"):
             n = None
@@ -1963,27 +2088,35 @@ class MdxParser:
         if fname == "generate":
             # GENERATE(set1, set2[, ALL]) — set2 may reference CurrentMember
             self.expect_op(",")
-            right = self.parse_set()
+            right, raw = self._parse_set_raw()
             all_flag = False
             if self.at_op(","):
                 self.next()
                 self.expect_word("all")
                 all_flag = True
             self.expect_op(")")
-            inner.ops.append(("generate", self._plain_members(right, "GENERATE"), all_flag))
+            if right.ops or right.set_ops:
+                # computed set2: it cannot reference CurrentMember, so the
+                # result IS set2 evaluated (GenerateFunDef degenerate case)
+                # — lowered as a set replacement + set2's op chain
+                inner.ops.append(("generate_expr", right, all_flag, raw))
+            else:
+                inner.ops.append(("generate", list(right.base), all_flag))
             return inner
         if fname == "except":
             self.expect_op(",")
-            right = self.parse_set()
+            right, raw = self._parse_set_raw()
             self.expect_op(")")
-            inner.ops.append(("except", self._plain_members(right, "EXCEPT")))
+            inner.ops.append(("except", self._set_arg(right, "EXCEPT", raw)))
             return inner
         if fname == "exists":
             # EXISTS(set1, set2) — set1 members sharing fact rows with set2
             self.expect_op(",")
-            right = self.parse_set()
+            right, raw = self._parse_set_raw()
             self.expect_op(")")
-            inner.ops.append(("exists", self._plain_members(right, "EXISTS/NONEMPTY")))
+            inner.ops.append(
+                ("exists", self._set_arg(right, "EXISTS", raw))
+            )
             return inner
         if fname == "nonempty":
             # NONEMPTY(set[, set2]) (jar!mondrian/olap/fun/NonEmptyFunDef):
@@ -1992,9 +2125,11 @@ class MdxParser:
             # (shared-fact-rows semi-join, same plan as EXISTS)
             if self.at_op(","):
                 self.next()
-                right = self.parse_set()
+                right, raw = self._parse_set_raw()
                 self.expect_op(")")
-                inner.ops.append(("exists", self._plain_members(right, "EXISTS/NONEMPTY")))
+                inner.ops.append(
+                    ("exists", self._set_arg(right, "NONEMPTY", raw))
+                )
             else:
                 self.expect_op(")")
                 inner.ops.append(("nonempty",))

@@ -77,6 +77,28 @@ class QueryError(ValueError):
         self.root_cause_message = root_cause or message
 
 
+@dataclass(frozen=True)
+class SetExpr:
+    """A *computed set* passed where the engine needs a member list — the
+    second argument of EXISTS/NONEMPTY/EXCEPT/GENERATE/DRILLDOWNMEMBER/
+    TOGGLEDRILLSTATE (jar!mondrian/olap/fun/ExistsFunDef, ExceptFunDef,
+    GenerateFunDef accept any set expression; the reference builder nests
+    freely — lib/mondrian/olap/query.rb:47-57).
+
+    Holds the base member identifiers plus the op chain
+    (``("filter", cond)``, ``("topbottom", side, how, n, expr)``,
+    ``("slice", start, count, from_end)``, ``("order", expr, dir)``,
+    ``("except", members)``) and is evaluated LAZILY by
+    :meth:`Query.eval_set_expr` in the owning query's slicer context —
+    Mondrian evaluates nested set arguments against the current context,
+    not per output tuple.  ``raw`` keeps the source MDX text for
+    ``to_mdx`` round-trips."""
+
+    members: tuple
+    ops: tuple = ()
+    raw: str | None = None
+
+
 class Query:
     """One multidimensional query under construction."""
 
@@ -439,7 +461,17 @@ class Query:
         """EXCEPT(set, {members}) — anti-filter on member paths
         (query.rb:59-66; jar!...ExceptFunDef).  Arguments must be concrete
         members: a measure would crash at plan time and a path-less set
-        (``Level.Members``) would silently no-op — both rejected here."""
+        (``Level.Members``) would silently no-op — both rejected here.
+
+        A single :class:`SetExpr` argument subtracts a COMPUTED set —
+        evaluated in the slicer context at plan time, then anti-filtered
+        exactly like a plain member list (ExceptFunDef takes arbitrary
+        sets)."""
+        if len(members) == 1 and isinstance(members[0], SetExpr):
+            se = members[0]
+            self._axis().mods.append(("except_expr", se))
+            self._axis().display_ops.append(("except", [se.raw or "{…}"]))
+            return self
         refs = [self._resolve(m) for m in members]
         for m, r in zip(members, refs):
             if isinstance(r, MeasureRef):
@@ -495,7 +527,9 @@ class Query:
         ax.display_ops.append(("filter_nonempty",))
         return self
 
-    def generate(self, *members: str, all: bool = False) -> "Query":
+    def generate(
+        self, *members: str, all: bool = False, _display: str | None = None
+    ) -> "Query":
         """GENERATE(set1, set2[, ALL]) — evaluate ``set2`` for each member of
         the current set (query.rb:97-108; jar!mondrian/olap/fun/GenerateFunDef).
 
@@ -560,7 +594,9 @@ class Query:
         if plain_refs:
             # set2 does not reference the current member → result is set2
             ax.sets = plain_refs
-        ax.display_ops.append(("GENERATE", list(members), bool(all)))
+        ax.display_ops.append(
+            ("GENERATE", [_display] if _display else list(members), bool(all))
+        )
         return self
 
     def order(self, expr: str, direction: str = "BASC") -> "Query":
@@ -664,7 +700,20 @@ class Query:
         axis's members that share fact rows with at least one member of
         ``within``; measures still aggregate over the UNRESTRICTED context
         (EXISTS filters the set, not the cells).  Planned as a distinct
-        member lookup under the ``within`` slice + broadcast semi-join."""
+        member lookup under the ``within`` slice + broadcast semi-join.
+
+        ``within`` may also be a single :class:`SetExpr` — any computed
+        set (FILTER/TOPCOUNT/… result) evaluated in the slicer context at
+        plan time (jar!mondrian/olap/fun/ExistsFunDef takes arbitrary set
+        expressions)."""
+        if len(within) == 1 and isinstance(within[0], SetExpr):
+            se = within[0]
+            ax = self._axis()
+            if not ax.sets:
+                raise QueryError("exists_ needs a set on the current axis")
+            ax.mods.append(("subselect", list(ax.sets), ("exists", se)))
+            ax.display_ops.append(("EXISTS", [se.raw or "{…}"]))
+            return self
         refs2 = [self._resolve(m) for m in within]
         if not refs2 or any(isinstance(r, MeasureRef) for r in refs2):
             raise QueryError("exists_ takes dimension members")
@@ -2425,10 +2474,16 @@ class Query:
                     if memb is None
                     else (F.coalesce(~memb, F.lit(True)) | nonempty)
                 )
-            elif kind == "except":
+            elif kind in ("except", "except_expr"):
                 # set difference = anti-filter on member paths
-                # (query.rb:59-66; jar!...ExceptFunDef)
-                for ref in mod[1]:
+                # (query.rb:59-66; jar!...ExceptFunDef); a computed second
+                # set resolves to concrete members first (eval_set_expr)
+                refs_ = (
+                    self.eval_set_expr(mod[1])
+                    if kind == "except_expr"
+                    else mod[1]
+                )
+                for ref in refs_:
                     pred = None
                     for i, key in enumerate(ref.path):
                         c = F.col(ref.dimension.levels[i].out) == key
@@ -2744,6 +2799,113 @@ class Query:
                 out.append(self._measure(m.name))
         return out
 
+    def eval_set_expr(self, se: "SetExpr") -> list[MemberSetRef]:
+        """Materialize a computed set argument into concrete member refs.
+
+        The set is evaluated at its own grain in the slicer context
+        (sub-aggregate + the op chain), then the surviving member key
+        paths are collected — the list is dimension-sized, the same
+        member-list materialization Mondrian's evaluator performs for
+        every set argument (jar!mondrian/olap/fun/ExistsFunDef evaluates
+        its second set to a TupleList), so the driver collect is bounded
+        by the dimension, never the fact."""
+        refs = [self._resolve(m) for m in se.members]
+        if not refs or any(isinstance(r, MeasureRef) for r in refs):
+            raise QueryError("computed set arguments need dimension member sets")
+        dim = refs[0].dimension
+        if any(r.dimension.name != dim.name for r in refs):
+            raise QueryError(
+                "computed set argument members must share one dimension"
+            )
+        if len({r.depth for r in refs}) != 1:
+            raise QueryError(
+                "computed set argument members must share one level"
+            )
+        measures, seen = [], set()
+        for d in se.ops:
+            e = (
+                d[1] if d[0] in ("filter", "order")
+                else (d[4] if d[0] == "topbottom" else None)
+            )
+            for m in self._measures_in(e):
+                if m.out not in seen:
+                    seen.add(m.out)
+                    measures.append(m)
+        planner = Planner(self.engine, extra_measures=tuple(self._with))
+        sub, sub_group = planner.aggregate(
+            [list(refs)], list(self._slicer), measures
+        )
+        keys = [F.col(c) for c in sub_group]
+        local_sort: list | None = None
+        for d in se.ops:
+            k = d[0]
+            if k == "filter":
+                sub = sub.filter(F.expr(d[1]))
+            elif k == "topbottom":
+                _, side, how, n, e = d
+                sub, spec = _top_bottom(sub, side, how, n, e, keys)
+                local_sort = list(spec)
+            elif k == "order":
+                col = F.expr(d[1])
+                desc_ = d[2].upper().endswith("DESC")
+                local_sort = [col.desc() if desc_ else col.asc()] + keys
+            elif k == "slice":
+                _, start, count, from_end = d
+                if from_end and local_sort:
+                    raise QueryError(
+                        "TAIL after a custom order is not supported inside "
+                        "a computed set argument"
+                    )
+                order = local_sort if local_sort else (
+                    [c.desc() for c in keys] if from_end else list(keys)
+                )
+                w = Window.orderBy(*order)
+                sub = (
+                    sub.withColumn("__rn", F.row_number().over(w))
+                    .filter(
+                        (F.col("__rn") > start)
+                        & (F.col("__rn") <= start + count)
+                    )
+                    .drop("__rn")
+                )
+            elif k == "except":
+                for m in d[1]:
+                    r = self._resolve(m)
+                    if isinstance(r, MeasureRef) or not r.path:
+                        raise QueryError(
+                            "EXCEPT inside a computed set argument needs "
+                            "concrete member paths"
+                        )
+                    pred = None
+                    for i, key in enumerate(r.path):
+                        c = F.col(r.dimension.levels[i].out) == key
+                        pred = c if pred is None else (pred & c)
+                    sub = sub.filter(~F.coalesce(pred, F.lit(False)))
+            elif k in ("distinct", "hierarchize", "nonempty"):
+                pass  # the collected member list is already distinct
+            else:
+                raise QueryError(
+                    f"{k.upper()} is not supported inside a computed set "
+                    "argument"
+                )
+        rows = sub.select(*sub_group).dropDuplicates().collect()
+        out = []
+        for row in sorted(rows, key=lambda r: tuple(str(r[c]) for c in sub_group)):
+            path = tuple(row[c] for c in sub_group)
+            if any(v is None for v in path):
+                # genuinely-NULL member keys cannot form a path predicate
+                # (IN-list semantics, same as the SQL oracle's NULL drop)
+                continue
+            out.append(
+                MemberSetRef(
+                    dim,
+                    depth=len(sub_group) - 1,
+                    path=tuple(str(v) for v in path),
+                    kind="member",
+                )
+            )
+        return out
+
     def _apply_subselect(self, df: DataFrame, refs, desc) -> DataFrame:
         """Evaluate a nested set function over its own member sub-grid
         (grouped at the set's grain, slicer context, measures the expression
@@ -2755,7 +2917,18 @@ class Query:
         planner = Planner(self.engine, extra_measures=tuple(self._with))
         kind = desc[0]
         expr = desc[1] if kind == "filter" else (desc[4] if kind == "topbottom" else None)
-        extra_slice = list(desc[1]) if kind == "exists" else []
+        if kind == "exists":
+            # a computed second set resolves to concrete members first
+            # (slicer-context evaluation — eval_set_expr), then slices the
+            # exists sub-aggregate exactly like a plain member list
+            arg = desc[1]
+            extra_slice = (
+                self.eval_set_expr(arg)
+                if isinstance(arg, SetExpr)
+                else list(arg)
+            )
+        else:
+            extra_slice = []
         sub, sub_group = planner.aggregate(
             [list(refs)], list(self._slicer) + extra_slice, self._measures_in(expr)
         )

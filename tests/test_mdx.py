@@ -1602,17 +1602,132 @@ def test_range_drilldown_keeps_range_constraint(engine):
     assert len(rows) == 3 * 5  # 3 years × (4 quarters + parent row)
 
 
-def test_computed_second_set_argument_rejected(engine):
-    """Nested set functions as the second argument of EXISTS etc. raise
-    instead of silently evaluating against the unreduced set."""
-    with pytest.raises(MdxError, match="second argument"):
-        execute_mdx(
-            engine,
-            "SELECT [Measures].[Sum Qty] ON COLUMNS, "
-            "EXISTS([Customer].[Nation].Members, "
-            "TOPCOUNT([Time].[Year].Members, 1, [Measures].[Sum Qty])) ON ROWS "
-            "FROM [Sales]",
-        )
+def test_exists_computed_second_set(engine):
+    """EXISTS accepts an arbitrary computed set as its second argument
+    (jar!mondrian/olap/fun/ExistsFunDef): the set evaluates in the slicer
+    context, then slices the shared-fact-rows semi-join exactly like a
+    plain member list."""
+    r = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "EXISTS([Customer].[Nation].Members, "
+        "TOPCOUNT([Time].[Year].Members, 1, [Measures].[Sum Qty])) ON ROWS "
+        "FROM [Sales]",
+    )
+    # resolve the top year directly, then replay EXISTS with the plain list
+    top = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "TOPCOUNT([Time].[Year].Members, 1, [Measures].[Sum Qty]) ON ROWS "
+        "FROM [Sales]",
+    ).df.collect()
+    assert len(top) == 1
+    plain = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        f"EXISTS([Customer].[Nation].Members, {{[Time].[{top[0]['o_year']}]}}) "
+        "ON ROWS FROM [Sales]",
+    )
+    assert rows_of(r.df) == rows_of(plain.df)
+
+
+def test_except_computed_second_set(engine):
+    """EXCEPT subtracts a computed set — the FILTER result evaluated in
+    the slicer context (ExceptFunDef takes arbitrary sets)."""
+    r = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "EXCEPT([Customer].[Nation].Members, "
+        "FILTER([Customer].[Nation].Members, [Measures].[Sum Qty] > 9000)) "
+        "ON ROWS FROM [Sales]",
+    )
+    rows = r.df.collect()
+    assert rows and all(row["sum_qty"] <= 9000 for row in rows)
+
+
+def test_generate_computed_second_set(engine):
+    """GENERATE with a computed second set that ignores CurrentMember is
+    the computed set itself (GenerateFunDef degenerate case), evaluated
+    through the nested-set machinery."""
+    r = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "GENERATE([Customer].[Region].Members, "
+        "TOPCOUNT([Customer].[Nation].Members, 3, [Measures].[Sum Qty])) "
+        "ON ROWS FROM [Sales]",
+    )
+    direct = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "TOPCOUNT([Customer].[Nation].Members, 3, [Measures].[Sum Qty]) "
+        "ON ROWS FROM [Sales]",
+    )
+    assert sorted(rows_of(r.df)) == sorted(rows_of(direct.df))
+
+
+def test_drilldownmember_computed_second_set(engine):
+    """DRILLDOWNMEMBER's second set may be computed: the top region by
+    quantity drills to its nations (evaluation deferred past WHERE so the
+    slicer binds)."""
+    r = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "DRILLDOWNMEMBER([Customer].[Region].Members, "
+        "TOPCOUNT([Customer].[Region].Members, 1, [Measures].[Sum Qty])) "
+        "ON ROWS FROM [Sales] WHERE [ReturnFlag].[R]",
+    )
+    top = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "TOPCOUNT([Customer].[Region].Members, 1, [Measures].[Sum Qty]) "
+        "ON ROWS FROM [Sales] WHERE [ReturnFlag].[R]",
+    ).df.collect()
+    top_region = top[0]["region_name"]
+    rows = r.df.collect()
+    drilled = {row["region_name"] for row in rows if row["nation_name"] is not None}
+    assert drilled == {top_region}
+    assert {row["region_name"] for row in rows if row["nation_name"] is None} == {
+        "AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"
+    }
+
+
+def test_toggledrillstate_computed_cancels_drill(engine):
+    """TOGGLEDRILLSTATE(DRILLDOWNMEMBER(s, set2), set2) with a COMPUTED
+    set2 returns s — both evaluate to the same members post-WHERE, so the
+    toggle cancels the drill (ToggleDrillStateFunDef state semantics)."""
+    r = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "TOGGLEDRILLSTATE(DRILLDOWNMEMBER([Customer].[Region].Members, "
+        "TOPCOUNT([Customer].[Region].Members, 2, [Measures].[Sum Qty])), "
+        "TOPCOUNT([Customer].[Region].Members, 2, [Measures].[Sum Qty])) "
+        "ON ROWS FROM [Sales]",
+    )
+    plain = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "[Customer].[Region].Members ON ROWS FROM [Sales]",
+    )
+    assert rows_of(r.df) == rows_of(plain.df)
+
+
+def test_exists_computed_to_mdx_roundtrip(engine):
+    """A computed EXISTS argument serializes back to its source text and
+    re-executes to the same grid."""
+    mdx = (
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "EXISTS([Customer].[Nation].Members, "
+        "FILTER([ReturnFlag].Children, [Measures].[Sum Qty] > 6000)) "
+        "ON ROWS FROM [Sales]"
+    )
+    r = execute_mdx(engine, mdx)
+    out = r.to_mdx() if hasattr(r, "to_mdx") else None
+    if out is None:
+        from mondrian_olap_spark.mdx import MdxParser
+
+        out = MdxParser(engine, mdx).parse().to_mdx()
+    assert "FILTER([ReturnFlag].Children" in out
+    assert rows_of(execute_mdx(engine, out).df) == rows_of(r.df)
 
 
 def test_exists_to_mdx_roundtrip(engine):
