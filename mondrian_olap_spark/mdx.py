@@ -3122,12 +3122,13 @@ class MdxParser:
                     return tuple(ns.base)
             return None
 
-        def _register_stat(fn, exprs, member_strs, arg, nan_wrap):
+        def _register_stat(fn, exprs, member_strs, arg, nan_wrap, existing=False):
             key = (
                 fn,
                 tuple(_canon_frag(e) for e in exprs),
                 tuple(_canon_frag(m) for m in member_strs),
                 arg,
+                existing,
             )
             for prior in self.q._stat_scalars:
                 pkey = (
@@ -3135,12 +3136,16 @@ class MdxParser:
                     tuple(_canon_frag(e) for e in prior[2]),
                     tuple(_canon_frag(m) for m in prior[3]),
                     prior[4],
+                    prior[6],
                 )
                 if pkey == key:
                     return prior[0]
             out_name = f"__setstat{len(self.q._stat_scalars)}"
             self.q._stat_scalars.append(
-                (out_name, fn, tuple(exprs), tuple(member_strs), arg, nan_wrap)
+                (
+                    out_name, fn, tuple(exprs), tuple(member_strs), arg,
+                    nan_wrap, existing,
+                )
             )
             return out_name
 
@@ -3206,15 +3211,31 @@ class MdxParser:
                             "this subset"
                         ) from None
                     parts = parts[1:]
-                member_strs = _parse_set_arg(parts[0])
+                # one-arg EXISTING form (jar!mondrian/olap/fun/
+                # ExistingFunDef; SURVEY §2.3 "filter set to members having
+                # data in current context"): the set evaluates against the
+                # CURRENT evaluation context — the sub-aggregate keeps the
+                # grid's own grain for the set's dimension instead of
+                # overriding it, so each cell sees only the members that
+                # share fact rows with its coordinates + the slicer
+                set_src = parts[0]
+                m_ex = re.match(r"(?is)^\s*existing\b(.*)$", set_src)
+                existing = bool(m_ex)
+                if m_ex:
+                    set_src = m_ex.group(1)
+                member_strs = _parse_set_arg(set_src)
                 if member_strs is None:
+                    if existing:
+                        raise MdxError(
+                            "EXISTING takes a set ({…} or <level>.Members)"
+                        )
                     if mdx_name in _SETSTAT_STRICT:
                         raise MdxError(
                             f"{mdx_name}: first argument must be a set "
                             "({…} or <level>.Members)"
                         )
                     return None  # plausible plain SQL — leave untouched
-                set_canon = _canon_frag(parts[0])
+                set_canon = _canon_frag(set_src)
                 args = parts[1:]
                 if mdx_name == "count":
                     flag = args[0].strip().lower() if args else "includeempty"
@@ -3225,13 +3246,21 @@ class MdxParser:
                         # formula cannot pin statically)
                         expr = self.cube.default_measure_obj().out
                         return _register_stat(
-                            "count", (expr,), member_strs, None, False
+                            "count", (expr,), member_strs, None, False,
+                            existing,
                         )
                     if args and flag != "includeempty":
                         # Count(set, expr): count of non-NULL expr values
                         e = _translate_stat_expr(args[0], set_canon)
                         return _register_stat(
-                            "count", (e,), member_strs, None, False
+                            "count", (e,), member_strs, None, False, existing
+                        )
+                    if existing:
+                        # Count(EXISTING set) is context-dependent by
+                        # definition — one sub-aggregate row per existing
+                        # member, counted data-side (never a metadata fold)
+                        return _register_stat(
+                            "count", ("1",), member_strs, None, False, True
                         )
                     # IncludeEmpty (the MDX default): a metadata count —
                     # members exist whether or not fact rows do, so the
@@ -3259,7 +3288,9 @@ class MdxParser:
                             "covers the implicit-current-measure form"
                         )
                     e = _translate_stat_expr(args[0], set_canon)
-                    return _register_stat(fn, (e,), member_strs, arg, nan_wrap)
+                    return _register_stat(
+                        fn, (e,), member_strs, arg, nan_wrap, existing
+                    )
                 # two-expression family (set, y[, x]); x defaults to the
                 # member's set position (the LinReg* single-expression form)
                 if len(args) not in (1, 2):
@@ -3270,7 +3301,9 @@ class MdxParser:
                     if len(args) == 2
                     else "__setrank"
                 )
-                return _register_stat(fn, (y, x), member_strs, arg, nan_wrap)
+                return _register_stat(
+                    fn, (y, x), member_strs, arg, nan_wrap, existing
+                )
 
             return repl
 

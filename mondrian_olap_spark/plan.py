@@ -366,7 +366,10 @@ class Planner:
             agg = self._attach_agg_scalar(agg, specs, axes, slicer, totals)
         stat_groups: dict = {}
         for spec in self.stat_scalars:
-            stat_groups.setdefault(_refs_key(spec[3]), []).append(spec)
+            # EXISTING stats need their own sub-aggregate grain — never
+            # batch them with the context-overriding plain form
+            ex = bool(spec[6]) if len(spec) > 6 else False
+            stat_groups.setdefault((_refs_key(spec[3]), ex), []).append(spec)
         for specs in stat_groups.values():
             agg = self._attach_stat_scalar(agg, specs, axes, slicer, totals)
 
@@ -675,8 +678,23 @@ class Planner:
         from .functions.stats import stat_column
 
         refs = specs[0][3]
+        existing = bool(specs[0][6]) if len(specs[0]) > 6 else False
         all_exprs = tuple(e for sp in specs for e in sp[2])
-        overridden = {r.dimension.name for r in refs}
+        if existing and totals is not None:
+            from .query import QueryError
+
+            raise QueryError(
+                "EXISTING set statistics cannot combine with totals() in "
+                "this subset"
+            )
+        # EXISTING (jar!mondrian/olap/fun/ExistingFunDef): the set binds to
+        # the CURRENT evaluation context — the grid's own refs for the
+        # set's dimension(s) stay in the sub-aggregate (their path
+        # predicates AND with the set, their level columns stay in the
+        # collapse grain) and the slicer applies in full, so each cell
+        # statistic sees only members sharing fact rows with its
+        # coordinates (SURVEY §2.3 reading of "exist in current context")
+        overridden = set() if existing else {r.dimension.name for r in refs}
         sub_axes = [
             [s for s in axis if s.dimension.name not in overridden]
             for axis in axes
@@ -685,9 +703,11 @@ class Planner:
             sub_axes.append(list(refs))
         else:
             sub_axes.insert(0, list(refs))
-        kept_slicer = [
-            s for s in slicer if s.dimension.name not in overridden
-        ]
+        kept_slicer = (
+            list(slicer)
+            if existing
+            else [s for s in slicer if s.dimension.name not in overridden]
+        )
         calcs = self._scalar_safe_calcs(all_exprs, "set statistic (set, …)")
         base, calcs = self._scalar_sub_measures(all_exprs, calcs)
         sub_planner = Planner(self.engine, extra_measures=tuple(calcs))
@@ -695,7 +715,27 @@ class Planner:
         sub, sub_cols = sub_planner.aggregate(
             sub_axes, kept_slicer, base + calcs, totals=totals
         )
-        set_outs = {lv.out for r in refs for lv in r.dimension.levels}
+        if existing:
+            # collapse only the set levels BELOW each dimension's context
+            # grain — ancestor level columns (the cell coordinates) stay
+            # in the grouping so the statistic is per-cell
+            set_outs = set()
+            for dname in {r.dimension.name for r in refs}:
+                d0 = next(
+                    r.dimension for r in refs if r.dimension.name == dname
+                )
+                ctx_depth = max(
+                    (
+                        r.depth
+                        for axis in axes
+                        for r in axis
+                        if r.dimension.name == dname
+                    ),
+                    default=-1,
+                )
+                set_outs |= {lv.out for lv in d0.levels[ctx_depth + 1 :]}
+        else:
+            set_outs = {lv.out for r in refs for lv in r.dimension.levels}
         rem_cols = [c for c in sub_cols if c not in set_outs]
         if any("__setrank" in e for e in all_exprs):
             from .query import QueryError
@@ -740,7 +780,7 @@ class Planner:
             )
         stat_cols = [
             stat_column(out, fn, *exprs, arg=arg)
-            for out, fn, exprs, _refs, arg, _nan in specs
+            for out, fn, exprs, _refs, arg, _nan, *_ex in specs
         ]
         if totals is None:
             sub = (
@@ -759,7 +799,7 @@ class Planner:
                 )
             else:
                 sub = sub.agg(*stat_cols)
-        for out, _fn, _exprs, _refs, _arg, nan_wrap in specs:
+        for out, _fn, _exprs, _refs, _arg, nan_wrap, *_ex in specs:
             if nan_wrap:
                 sub = sub.withColumn(
                     out,

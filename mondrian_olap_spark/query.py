@@ -1243,7 +1243,9 @@ class Query:
                 refs.append(ref)
             agg_specs.append((out, expr_sql, tuple(refs)))
         stat_specs = []
-        for out, fn, exprs, member_strs, arg, nan_wrap in self._stat_scalars:
+        for out, fn, exprs, member_strs, arg, nan_wrap, existing in (
+            self._stat_scalars
+        ):
             refs = []
             for mstr in member_strs:
                 ref = self._resolve(mstr)
@@ -1253,7 +1255,9 @@ class Query:
                         "belong in the expression arguments, not the set"
                     )
                 refs.append(ref)
-            stat_specs.append((out, fn, exprs, tuple(refs), arg, nan_wrap))
+            stat_specs.append(
+                (out, fn, exprs, tuple(refs), arg, nan_wrap, existing)
+            )
         planner = Planner(
             self.engine,
             extra_measures=with_list,

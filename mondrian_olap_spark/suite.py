@@ -4053,3 +4053,42 @@ def drilldown_set_expression_gate(spark, sf_dir):
         "  TOPCOUNT([Customer].[Region].Members, 1, [Measures].[Sum Qty])) "
         "ON ROWS FROM [Sales] WHERE [Time].[1996]"
     ).df
+
+
+@q(
+    "existing_context_gate",
+    f"""
+    WITH star AS (
+      SELECT r_name, n_name, l_quantity FROM {_CUST_STAR}
+      WHERE year(o_orderdate) = 1995
+    ),
+    nat AS (
+      SELECT r_name, n_name, sum(l_quantity) AS s
+      FROM star GROUP BY 1, 2
+    )
+    SELECT r_name AS region_name, sum(s) AS sum_qty,
+           count(*) AS nation_cnt, max(s) AS top_nation_qty
+    FROM nat GROUP BY 1
+    """,
+)
+def existing_context_gate(spark, sf_dir):
+    """One-arg EXISTING (round-11 verdict item 2 —
+    jar!mondrian/olap/fun/ExistingFunDef): the set binds to the CURRENT
+    evaluation context.  Per region row, Count(EXISTING Nation.Members)
+    counts only that region's nations with 1995 fact rows (slicer + axis
+    context), and Max(EXISTING …) takes the per-region nation maximum —
+    unlike the plain forms, which override the context and repeat one
+    global value.  Plan shape: the sub-aggregate keeps the grid's own
+    grain (region stays in the collapse grouping), one fact pass, no
+    per-cell work."""
+    eng = get_engine(spark, sf_dir)
+    return eng.execute(
+        "WITH MEMBER [Measures].[Nation Cnt] AS "
+        "  'Count(EXISTING [Customer].[Nation].Members)' "
+        "MEMBER [Measures].[Top Nation Qty] AS "
+        "  'Max(EXISTING [Customer].[Nation].Members, [Measures].[Sum Qty])' "
+        "SELECT {[Measures].[Sum Qty], [Measures].[Nation Cnt], "
+        "        [Measures].[Top Nation Qty]} ON COLUMNS, "
+        "[Customer].[Region].Members ON ROWS FROM [Sales] "
+        "WHERE [Time].[1995]"
+    ).df

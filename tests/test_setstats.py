@@ -279,3 +279,73 @@ def test_shared_set_shares_one_subaggregate(engine):
     assert row["a"] is not None and row["b"] is not None
     # sanity: two independent attaches would need ≥2 joins/cross products
     assert joins <= 1, plan
+
+
+def test_existing_count_is_contextual(engine):
+    """Count(EXISTING set) binds to the cell's coordinates
+    (jar!mondrian/olap/fun/ExistingFunDef): each region row counts ITS
+    nations, while the plain Count repeats the global member count."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[Ex Cnt] AS
+               'Count(EXISTING [Customer].[Nation].Members)'
+             MEMBER [Measures].[Plain Cnt] AS
+               'Count([Customer].[Nation].Members, includeempty)'
+        SELECT {[Measures].[Ex Cnt], [Measures].[Plain Cnt]} ON COLUMNS,
+               [Customer].[Region].Members ON ROWS FROM [Sales]
+        """,
+    )
+    rows = r.df.collect()
+    assert len(rows) == 5
+    assert all(row["plain_cnt"] == 25 for row in rows)
+    assert all(row["ex_cnt"] == 5 for row in rows)
+
+
+def test_existing_respects_slicer(engine):
+    """The EXISTING evaluation context includes the slicer: nations with
+    no Q1-1995 fact rows drop out of their region's count."""
+    sliced = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[Ex Cnt] AS
+               'Count(EXISTING [Customer].[Nation].Members)'
+        SELECT {[Measures].[Ex Cnt]} ON COLUMNS,
+               [Customer].[Region].Members ON ROWS
+        FROM [Sales] WHERE [Time].[1995].[Q1]
+        """,
+    ).df.collect()
+    assert {row["region_name"] for row in sliced} == {
+        "AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"
+    }
+    assert all(row["ex_cnt"] <= 5 for row in sliced)
+    assert any(row["ex_cnt"] < 5 for row in sliced)  # sf0.001 sparsity
+
+
+def test_existing_stat_per_cell(engine):
+    """Max(EXISTING set, expr) takes the per-cell maximum over the cell's
+    own members — it must never exceed the cell's total and must differ
+    across regions (a context override would repeat one global value)."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[Top N Qty] AS
+               'Max(EXISTING [Customer].[Nation].Members, [Measures].[Sum Qty])'
+        SELECT {[Measures].[Sum Qty], [Measures].[Top N Qty]} ON COLUMNS,
+               [Customer].[Region].Members ON ROWS FROM [Sales]
+        """,
+    )
+    rows = r.df.collect()
+    assert all(row["top_n_qty"] <= row["sum_qty"] for row in rows)
+    assert len({row["top_n_qty"] for row in rows}) > 1
+
+
+def test_existing_requires_set(engine):
+    with pytest.raises(MdxError, match="EXISTING takes a set"):
+        execute_mdx(
+            engine,
+            """
+            WITH MEMBER [Measures].[X] AS 'Count(EXISTING 1 + 2)'
+            SELECT {[Measures].[X]} ON COLUMNS FROM [Sales]
+            """,
+        )
