@@ -177,10 +177,11 @@ def stat_column(output: str, fn: str, *exprs: str, arg: float | None = None) -> 
         # GENERATE(set, string expr[, separator]) string form
         # (jar!mondrian/olap/fun/GenerateFunDef string mode;
         # /root/reference/test/mondrian_test.rb:491-517): concatenate the
-        # per-member values in HIERARCHY order (a documented deviation
-        # for explicit member lists written out of hierarchy order — the
-        # metadata fold in mdx preserves written order; the sub-aggregate
-        # here has no written-position column).  ``exprs`` is
+        # per-member values in WRITTEN order — Mondrian iterates the set
+        # as written; the mdx lowering passes the written position as the
+        # order expression (a CASE over the member path for explicit
+        # lists, the hierarchy rank for whole-level sets, where the two
+        # orders coincide).  ``exprs`` is
         # (value, order); ``arg`` the separator ('' when omitted, the MDX
         # default).  array_sort over (order, value) structs keeps the
         # concatenation deterministic under parallel aggregation; NULL

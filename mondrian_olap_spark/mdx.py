@@ -3498,8 +3498,34 @@ class MdxParser:
                         "'" + sep.join(vals).replace("'", "''") + "'"
                     )
                     return f"\x00{len(_masked) - 1}\x00"
+            # ordering key: Mondrian iterates the set AS WRITTEN
+            # (test/mondrian_test.rb:491-517 iteration order) — for an
+            # explicit member list the written position is known at
+            # translation time and rides into the sub-aggregate as a CASE
+            # over the member's full level path (no __setrank broadcast
+            # join needed); whole-level sets (.Members/.Children) keep the
+            # hierarchy rank, which IS their written order
+            from .members import resolve as _resolve_written
+
+            order_expr = "__setrank"
+            resolved = [
+                _resolve_written(self.cube, mstr) for mstr in member_strs
+            ]
+            if all(r.kind == "member" and r.path for r in resolved):
+                whens = []
+                for i, r in enumerate(resolved):
+                    pred = " AND ".join(
+                        "cast({} as string) = '{}'".format(
+                            lv.out, str(k).replace("'", "''")
+                        )
+                        for lv, k in zip(r.dimension.levels, r.path)
+                    )
+                    whens.append(f"WHEN {pred} THEN {i}")
+                order_expr = (
+                    "CASE " + " ".join(whens) + f" ELSE {len(resolved)} END"
+                )
             return _register_stat(
-                "genconcat", (expr_sql, "__setrank"), member_strs, sep, False
+                "genconcat", (expr_sql, order_expr), member_strs, sep, False
             )
 
         def repl_settostr_generate(inner: str):

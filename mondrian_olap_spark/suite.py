@@ -1588,17 +1588,25 @@ def currentdatemember_formula_gate(spark, sf_dir):
       SELECT r_name, CAST(sum(l_quantity) AS BIGINT) AS s
       FROM {_CUST_STAR} GROUP BY 1
     )
-    SELECT string_agg(CAST(s AS VARCHAR), '|' ORDER BY r_name)
-             AS region_qtys
-    FROM a
+    SELECT
+      (SELECT string_agg(CAST(s AS VARCHAR), '|' ORDER BY r_name)
+       FROM a) AS region_qtys,
+      (SELECT string_agg(CAST(s AS VARCHAR), '|' ORDER BY
+                CASE r_name WHEN 'EUROPE' THEN 0 WHEN 'AFRICA' THEN 1
+                            WHEN 'ASIA' THEN 2 END)
+       FROM a WHERE r_name IN ('EUROPE', 'AFRICA', 'ASIA')) AS picked_qtys
     """,
 )
 def generate_measure_concat_gate(spark, sf_dir):
     """GENERATE string form over a MEASURE-referencing expression — the
     set-statistic lowering path ('genconcat' collapse over a per-member
-    fact sub-aggregate, hierarchy-rank ordered), as opposed to the
-    member-metadata fold the reference variants take.  BIGINT-cast keeps
-    the double→string rendering engine-independent (Spark goes
+    fact sub-aggregate), as opposed to the member-metadata fold the
+    reference variants take.  Iteration order is the set AS WRITTEN
+    (Mondrian semantics, test/mondrian_test.rb:491-517): the second
+    measure's explicit out-of-hierarchy-order list {EUROPE, AFRICA, ASIA}
+    must concatenate in exactly that order — the written position rides
+    into the sub-aggregate as a CASE over the member path.  BIGINT-cast
+    keeps the double→string rendering engine-independent (Spark goes
     scientific above 1e7)."""
     eng = get_engine(spark, sf_dir)
     return eng.execute(
@@ -1607,7 +1615,13 @@ def generate_measure_concat_gate(spark, sf_dir):
           'Generate([Customer].[Region].Members,
                     Cast(Cast([Measures].[Sum Qty] AS bigint) AS String),
                     "|")'
-        SELECT {[Measures].[Region Qtys]} ON COLUMNS FROM [Sales]
+        MEMBER [Measures].[Picked Qtys] AS
+          'Generate({[Customer].[EUROPE], [Customer].[AFRICA],
+                     [Customer].[ASIA]},
+                    Cast(Cast([Measures].[Sum Qty] AS bigint) AS String),
+                    "|")'
+        SELECT {[Measures].[Region Qtys], [Measures].[Picked Qtys]}
+          ON COLUMNS FROM [Sales]
         """
     ).df
 
@@ -1667,7 +1681,7 @@ def generate_string_formula_gate(spark, sf_dir):
     Member-metadata expressions (these, via the WITH-member inline)
     evaluate over the MEMBER LIST — all set members, empty or not, zero
     fact scans; a measure-referencing expression would lower onto the
-    set-statistic sub-plan (fn 'genconcat', hierarchy-rank ordered)."""
+    set-statistic sub-plan (fn 'genconcat', written-order keyed)."""
     eng = get_engine(spark, sf_dir)
     return eng.execute(
         """

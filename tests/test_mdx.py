@@ -3475,8 +3475,8 @@ def test_generate_string_form_variants(engine):
     assert row["g4"] == "{[Customer].[ASIA]}"
     # explicit-list set, metadata path: concatenation preserves the
     # WRITTEN set order (Mondrian iterates the set as given); default
-    # separator is ''.  (The measure path orders by hierarchy rank — a
-    # documented deviation for explicit lists.)
+    # separator is ''.  The measure path keys on the same written
+    # position (CASE over the member path in the sub-aggregate).
     assert row["g5"] == "ASIAAFRICA"
 
 
@@ -3639,9 +3639,9 @@ def test_generate_string_form_includes_empty_members(spark):
 
 def test_generate_measure_concat_cross_parent_set_order(engine, duck):
     """A measure-path Generate over an EXPLICIT member list spanning
-    parents concatenates in hierarchy order — the rank frame must come
-    from the full level, not refs[0]'s ancestor path (which left every
-    other member a NULL rank and value-sorted the output)."""
+    parents concatenates in WRITTEN order (Mondrian iteration order) —
+    the written position is keyed on the member's FULL path, so members
+    under different parents order correctly."""
     r = execute_mdx(
         engine,
         """
@@ -3653,19 +3653,20 @@ def test_generate_measure_concat_cross_parent_set_order(engine, duck):
         """,
     )
     got = r.df.collect()[0]["g"]
-    want = "|".join(
-        str(v)
-        for (v,) in duck.execute(
+    vals = {
+        n: str(v)
+        for n, v in duck.execute(
             """
-            SELECT CAST(sum(l_quantity) AS BIGINT) FROM lineitem
+            SELECT n_name, CAST(sum(l_quantity) AS BIGINT) FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             WHERE n_name IN ('NATION_0', 'NATION_2', 'NATION_7')
-            GROUP BY n_name ORDER BY n_name
+            GROUP BY n_name
             """
         ).fetchall()
-    )
+    }
+    want = "|".join([vals["NATION_7"], vals["NATION_2"], vals["NATION_0"]])
     assert got == want
 
 

@@ -349,3 +349,28 @@ def test_existing_requires_set(engine):
             SELECT {[Measures].[X]} ON COLUMNS FROM [Sales]
             """,
         )
+
+
+def test_generate_measure_path_written_order(engine):
+    """Measure-path Generate concatenates in the set's WRITTEN order
+    (Mondrian iteration order, test/mondrian_test.rb:491-517): an
+    explicit out-of-hierarchy-order list must come back as written, and
+    match the per-member values of the hierarchy-ordered spelling."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[W] AS
+          'Generate({[Customer].[EUROPE], [Customer].[AFRICA]},
+                    Cast(Cast([Measures].[Sum Qty] AS bigint) AS String),
+                    "|")'
+        MEMBER [Measures].[H] AS
+          'Generate({[Customer].[AFRICA], [Customer].[EUROPE]},
+                    Cast(Cast([Measures].[Sum Qty] AS bigint) AS String),
+                    "|")'
+        SELECT {[Measures].[W], [Measures].[H]} ON COLUMNS FROM [Sales]
+        """,
+    )
+    row = r.df.collect()[0]
+    e, a = row["h"].split("|")[1], row["h"].split("|")[0]
+    assert row["w"] == f"{e}|{a}"
+    assert row["w"] != row["h"]
