@@ -1591,9 +1591,6 @@ class MdxParser:
             fn = self.next().text.lower()
             self.expect_op("(")
             m1 = self.parse_member_string()
-            self.expect_op(",")
-            segs = self.parse_identifier_segments()
-            self.expect_op(")")
             from .members import resolve, resolve_level
 
             ref = resolve(self.cube, m1)
@@ -1601,6 +1598,30 @@ class MdxParser:
                 raise MdxError(
                     f"{fn.upper()} needs a full member path as its first argument"
                 )
+            max_depth = len(ref.dimension.levels) - 1
+            if fn == "descendants" and self.at_op(")"):
+                # Descendants(m) — the member and ALL its descendants
+                # (DescendantsFunDef no-level default, SELF_BEFORE_AFTER
+                # from the member's own level)
+                self.next()
+                return _SetBuild(
+                    base=self._descendant_chains(
+                        m1, ref.depth, ref.depth, max_depth
+                    )
+                )
+            self.expect_op(",")
+            segs = self.parse_identifier_segments()
+            flag = "self"
+            if fn == "descendants" and self.at_op(","):
+                # third flag argument (jar!mondrian/olap/fun/
+                # DescendantsFunDef): which levels relative to the target
+                # level contribute members
+                self.next()
+                flag = self.expect_word(
+                    "self", "self_and_before", "self_and_after", "before",
+                    "after", "self_before_after", "leaves",
+                ).text.lower()
+            self.expect_op(")")
             level_ident = ".".join(quote_segment(s) for s in segs)
             dim, lvl_idx = resolve_level(self.cube, level_ident)
             if dim.name != ref.dimension.name:
@@ -1614,13 +1635,35 @@ class MdxParser:
                 return _SetBuild(base=[".".join(head_segs)])
             if lvl_idx < ref.depth:
                 raise MdxError("DESCENDANTS level must not be above the member's level")
-            if lvl_idx == ref.depth:
-                # level == member's own level → {member} (DescendantsFunDef)
-                return _SetBuild(base=[m1])
-            base = m1
-            for _ in range(lvl_idx - ref.depth):
-                base += ".Children"
-            return _SetBuild(base=[base])
+            # flags select which level span contributes (DescendantsFunDef;
+            # non-ragged hierarchies here, so LEAVES = the bottom level —
+            # every leaf sits at the deepest level by construction)
+            if flag == "self":
+                span = (lvl_idx, lvl_idx)
+            elif flag == "self_and_before":
+                span = (ref.depth, lvl_idx)
+            elif flag == "self_and_after":
+                span = (lvl_idx, max_depth)
+            elif flag == "before":
+                if lvl_idx == ref.depth:
+                    raise MdxError(
+                        "DESCENDANTS BEFORE of the member's own level is "
+                        "the empty set"
+                    )
+                span = (ref.depth, lvl_idx - 1)
+            elif flag == "after":
+                if lvl_idx >= max_depth:
+                    raise MdxError(
+                        "DESCENDANTS AFTER the bottom level is the empty set"
+                    )
+                span = (lvl_idx + 1, max_depth)
+            elif flag == "self_before_after":
+                span = (ref.depth, max_depth)
+            else:  # leaves
+                span = (max_depth, max_depth)
+            return _SetBuild(
+                base=self._descendant_chains(m1, ref.depth, *span)
+            )
         if (
             t is not None
             and t.kind == "word"
@@ -1804,6 +1847,19 @@ class MdxParser:
                 f"{where} in this subset (got a computed set)"
             )
         return list(sb.base)
+
+    @staticmethod
+    def _descendant_chains(
+        m1: str, own_depth: int, lo: int, hi: int
+    ) -> list[str]:
+        """Descendant sets of ``m1`` for every level in ``lo..hi``
+        (inclusive), as ``.Children``-chain identifiers — the mixed-depth
+        axis machinery (query._split_mixed_depth) unions levels with NULL
+        padding in the deeper columns, the same grouping-sets shape
+        Mondrian's Descendants flags produce."""
+        return [
+            m1 + ".Children" * (d - own_depth) for d in range(lo, hi + 1)
+        ]
 
     def _parse_set_raw(self):
         """parse_set + the argument's source text (for to_mdx round-trips

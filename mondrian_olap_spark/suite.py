@@ -4106,3 +4106,39 @@ def existing_context_gate(spark, sf_dir):
         "[Customer].[Region].Members ON ROWS FROM [Sales] "
         "WHERE [Time].[1995]"
     ).df
+
+
+@q(
+    "descendants_flags_gate",
+    f"""
+    WITH star AS (
+      SELECT r_name, n_name, c_name, l_quantity FROM {_CUST_STAR}
+      WHERE r_name = 'ASIA' AND year(o_orderdate) = 1995
+    )
+    SELECT r_name AS region_name, CAST(NULL AS VARCHAR) AS nation_name,
+           CAST(NULL AS VARCHAR) AS customer_name,
+           sum(l_quantity) AS sum_qty
+    FROM star GROUP BY 1
+    UNION ALL
+    SELECT r_name, n_name, CAST(NULL AS VARCHAR), sum(l_quantity)
+    FROM star GROUP BY 1, 2
+    UNION ALL
+    SELECT r_name, n_name, c_name, sum(l_quantity)
+    FROM star GROUP BY 1, 2, 3
+    """,
+)
+def descendants_flags_gate(spark, sf_dir):
+    """DESCENDANTS flag argument (round-11 verdict item 4 —
+    jar!mondrian/olap/fun/DescendantsFunDef): SELF_AND_BEFORE spans the
+    member's own level through the target level, lowered as per-level
+    ``.Children`` chains unioned by the mixed-depth axis machinery
+    (grouping-sets shape: shallower rows carry NULL in deeper level
+    columns).  BEFORE/AFTER/LEAVES/SELF_BEFORE_AFTER and the no-level
+    Descendants(m) default are pytest-covered."""
+    eng = get_engine(spark, sf_dir)
+    return eng.execute(
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "DESCENDANTS([Customer].[ASIA], [Customer].[Customer], "
+        "            SELF_AND_BEFORE) ON ROWS "
+        "FROM [Sales] WHERE [Time].[1995]"
+    ).df

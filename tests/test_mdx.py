@@ -3769,3 +3769,56 @@ def test_cube_calc_member_transitive_rewrite(engine):
     assert rows[1]["prev_price_x2"] == pytest.approx(
         rows[0]["sum_price"] * 2
     )
+
+
+def test_descendants_flags(engine):
+    """DESCENDANTS third flag argument (DescendantsFunDef): the level
+    span each flag selects, over the 3-level Customer hierarchy."""
+    def rows(flag):
+        return execute_mdx(
+            engine,
+            "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+            f"DESCENDANTS([Customer].[ASIA], [Customer].[Nation], {flag}) "
+            "ON ROWS FROM [Sales]",
+        ).df.collect()
+
+    before = rows("BEFORE")
+    assert len(before) == 1 and before[0]["region_name"] == "ASIA"
+    sab = rows("SELF_AND_BEFORE")
+    assert {r["nation_name"] for r in sab} >= {None}
+    assert len(sab) == 6  # ASIA + its 5 nations
+    after = rows("AFTER")
+    assert all(r["customer_name"] is not None for r in after)
+    leaves = rows("LEAVES")
+    assert sorted(map(tuple, leaves)) == sorted(map(tuple, after))
+    sba = rows("SELF_BEFORE_AFTER")
+    assert len(sba) == len(sab) + len(after)
+
+
+def test_descendants_no_level_is_member_and_all_descendants(engine):
+    """Descendants(m) without a level returns the member plus ALL its
+    descendants (DescendantsFunDef default)."""
+    rows = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "DESCENDANTS([Time].[1995]) ON ROWS FROM [Sales]",
+    ).df.collect()
+    assert len(rows) == 17  # year + 4 quarters + 12 months
+    assert sum(1 for r in rows if r["o_quarter"] is None and r["o_month"] is None) == 1
+
+
+def test_descendants_flag_errors(engine):
+    with pytest.raises(MdxError, match="empty set"):
+        execute_mdx(
+            engine,
+            "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+            "DESCENDANTS([Customer].[ASIA], [Customer].[Region], BEFORE) "
+            "ON ROWS FROM [Sales]",
+        )
+    with pytest.raises(MdxError, match="empty set"):
+        execute_mdx(
+            engine,
+            "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+            "DESCENDANTS([Customer].[ASIA], [Customer].[Customer], AFTER) "
+            "ON ROWS FROM [Sales]",
+        )
