@@ -29,6 +29,7 @@ from .model import (
     Measure,
     Schema,
 )
+from .pool import EnginePool, SchemaHandle
 from .star import CubeEngine
 from .query import Query
 from .result import Result
@@ -38,12 +39,14 @@ __all__ = [
     "Cube",
     "CubeEngine",
     "Dimension",
+    "EnginePool",
     "JoinLink",
     "Level",
     "Measure",
     "Query",
     "Result",
     "Schema",
+    "SchemaHandle",
 ]
 
 __version__ = "0.1.0"
