@@ -531,7 +531,9 @@ def _level_to_xml(lv: Level, parent: ET.Element) -> None:
     if lv.caption:
         n = ET.SubElement(el, "NameExpression")
         ET.SubElement(n, "SQL", dialect="generic").text = lv.caption
-    for pname, pcol in lv.properties:
+    for pname, pcol, _pf in lv.property_defs:
+        # a Python property formatter has no XML serialization (Mondrian
+        # would need a className); the raw column round-trips
         ET.SubElement(el, "Property", name=pname, column=pcol)
 
 

@@ -3920,6 +3920,16 @@ class MdxParser:
             return "coalesce(" + ", ".join(a.strip() for a in args) + ")"
 
         out = _rewrite_paren_call(out, "coalesceempty", repl_coalesceempty)
+
+        # Cache(expr) (jar!mondrian/olap/fun/CacheFunDef): transparent for
+        # values — unwrap and evaluate; the wrapper sets the query's cache
+        # hint so the evaluated grid persists (intra-result reuse; the
+        # engine aggregate cache covers cross-query reuse when enabled)
+        def repl_cache(inner: str) -> str:
+            self.q._cache_hint = True
+            return "(" + inner + ")"
+
+        out = _rewrite_paren_call(out, "cache", repl_cache)
         # IsDirty(): cache-dirty introspection (mondrian_test.rb:241-247).
         # Aggregates here are always (re)computed from consistent source
         # snapshots — a cell is never served from a stale segment — so the

@@ -118,6 +118,21 @@ class Level:
     def ordinal_expr(self) -> str:
         return self.ordinal or self.column
 
+    @property
+    def property_defs(self) -> tuple[tuple[str, str, object], ...]:
+        """Normalized ``(name, expression, formatter)`` triples.
+
+        ``properties`` entries are ``(name, SQL expr)`` pairs or
+        ``(name, SQL expr, callable)`` triples — the callable is a Python
+        PROPERTY FORMATTER (schema_udf.rb:252-261 PropertyFormatter:
+        value → display string, Arrow-batched like the member formatter
+        at :attr:`formatter`).  The formatted value surfaces as an extra
+        ``<name>_formatted`` column next to the raw typed property."""
+        return tuple(
+            (p[0], p[1], p[2] if len(p) > 2 else None)
+            for p in self.properties
+        )
+
 
 @dataclass(frozen=True)
 class JoinLink:

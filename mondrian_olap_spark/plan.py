@@ -1207,7 +1207,7 @@ class Planner:
                             u.add_levels([cap])
                         select_exprs.append((out, cap))
                 else:
-                    props = dict(lv.properties)
+                    props = {n: e for n, e, _f in lv.property_defs}
                     pexpr = props.get(prop_m.group(2))
                     if pexpr is None:
                         # unknown property → empty column, not an error

@@ -135,6 +135,9 @@ class Query:
         #: set-statistic scalar references from formula translation:
         #: (out, fn, expr_sqls, member identifier strings, arg, nan_wrap)
         self._stat_scalars: list[tuple] = []
+        #: Cache(expr) appeared in a formula (CacheFunDef): persist the
+        #: evaluated grid for intra-result reuse
+        self._cache_hint: bool = False
 
     # -- axes ----------------------------------------------------------
     def axis(self, i: int, *members) -> "Query":
@@ -1367,6 +1370,13 @@ class Query:
             }
         )
         formats.update(self._cell_formatters)  # callables win over strings
+        if self._cache_hint:
+            # Cache(expr) spelling (jar!mondrian/olap/fun/CacheFunDef):
+            # transparent for values; the wrapper pins the evaluated grid
+            # so repeated reads of this result reuse it.  Cross-QUERY
+            # reuse is the engine's aggregate cache (enable_cache), which
+            # the sub-aggregates already flow through when enabled.
+            df = df.persist()
         res = Result(
             df, axis_cols, [m.out for m in measures], sort_spec, formats,
             locale=getattr(self.engine, "locale", None),
@@ -1810,7 +1820,7 @@ class Query:
                     "dimension on the axis"
                 )
             lv = present[-1]
-            by_name = {n.lower(): n for n, _ in lv.properties}
+            by_name = {n.lower(): n for n, _e, _f in lv.property_defs}
             if pname.lower() not in by_name:
                 raise QueryError(
                     f"level {dim.name}.{lv.name} declares no property "
@@ -1837,13 +1847,13 @@ class Query:
                     .agg(
                         *[
                             F.min(n).alias(n)
-                            for n, _ in lv.properties
+                            for n, _e, _f in lv.property_defs
                         ]
                     )
                 )
                 df = df.join(F.broadcast(props), keys, "left")
                 joined_dims.add(dim.name)
-                drops.extend(n for n, _ in lv.properties)
+                drops.extend(n for n, _e, _f in lv.property_defs)
             return f"`{col}`"
 
         new_cond = pat.sub(repl, cond)

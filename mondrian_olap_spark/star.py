@@ -70,6 +70,22 @@ def _caption_col(lv, locale: str | None = None) -> "F.Column":
     return _apply(src)
 
 
+def _formatted_property_col(pexpr: str, fmt) -> "F.Column":
+    """Python PROPERTY FORMATTER (schema_udf.rb:252-261 PropertyFormatter):
+    raw typed property value in, display string out — Arrow-batched as a
+    pandas UDF exactly like the member formatter above, never per-row.
+    The raw column stays alongside (Mondrian's getPropertyValue vs
+    getPropertyFormattedValue duality)."""
+
+    @F.pandas_udf("string")
+    def _apply(s):
+        import pandas as pd
+
+        return s.map(lambda v: None if pd.isna(v) else str(fmt(v)))
+
+    return _apply(F.expr(pexpr))
+
+
 def _has_caption(lv) -> bool:
     return (
         lv.caption is not None
@@ -133,8 +149,14 @@ class DimView:
                 level_cols.append(
                     _caption_col(lv, locale).alias(f"{lv.out}_caption")
                 )
-            for pname, pexpr in lv.properties:
+            for pname, pexpr, pfmt in lv.property_defs:
                 level_cols.append(F.expr(pexpr).alias(pname))
+                if pfmt is not None:
+                    level_cols.append(
+                        _formatted_property_col(pexpr, pfmt).alias(
+                            f"{pname}_formatted"
+                        )
+                    )
         self.df = base.select(*cols, *level_cols)
         # member view: members exist independently of the bridge/fact
         # (members_from_join — model.py); defaults to the joined view
@@ -765,7 +787,12 @@ class CubeEngine:
         outs = [lv.out for lv in visible_levels]
         props = []
         if include_properties:
-            props = [p for lv in visible_levels for p, _ in lv.properties]
+            props = []
+            for lv in visible_levels:
+                for p, _e, pf in lv.property_defs:
+                    props.append(p)
+                    if pf is not None:
+                        props.append(f"{p}_formatted")
             props += [
                 f"{lv.out}_caption" for lv in visible_levels if _has_caption(lv)
             ]
@@ -787,8 +814,14 @@ class CubeEngine:
                 for lv in levels:
                     if _has_caption(lv):
                         sel.append(_caption_col(lv, self.locale).alias(f"{lv.out}_caption"))
-                    for pname, pexpr in lv.properties:
+                    for pname, pexpr, pfmt in lv.property_defs:
                         sel.append(F.expr(pexpr).alias(pname))
+                        if pfmt is not None:
+                            sel.append(
+                                _formatted_property_col(pexpr, pfmt).alias(
+                                    f"{pname}_formatted"
+                                )
+                            )
             df = df.select(*sel)
         else:
             df = df.select(
@@ -1038,7 +1071,7 @@ class CubeEngine:
         a DATE property arrives as ``datetime.date``, not a string."""
         dim = self.cube.dimension(dim_name)
         lv = dim.levels[depth]
-        by_name = {n.lower(): n for n, _ in lv.properties}
+        by_name = {n.lower(): n for n, _e, _f in lv.property_defs}
         if prop.lower() not in by_name:
             raise KeyError(
                 f"level {dim.name}.{lv.name} declares no property {prop!r}"
@@ -1051,7 +1084,7 @@ class CubeEngine:
             # rows disagree on a property (Mondrian assumes functional
             # dependency; an arbitrary row read would vary run-to-run)
             if dim.degenerate:
-                pexpr = dict(lv.properties)[pname]
+                pexpr = {n: e for n, e, _f in lv.property_defs}[pname]
                 df = self.fact
                 for i, k in enumerate(path):
                     df = df.filter(F.expr(dim.levels[i].column) == F.lit(k))
@@ -1189,7 +1222,7 @@ class CubeEngine:
                 if f"{lv.out}_caption" in want and _has_caption(lv):
                     # drill-through Name(...) fields ship the caption source
                     cols.append(_caption_col(lv, self.locale).alias(f"{lv.out}_caption"))
-                for pname, pexpr in lv.properties:
+                for pname, pexpr, _pf in lv.property_defs:
                     # drill-through Property(...) fields (result.rb:283-419)
                     if pname in want:
                         cols.append(F.expr(pexpr).alias(pname))

@@ -335,3 +335,71 @@ def test_unused_currentmember_calc_member_is_lazy(spark, engine):
          .as_("[Part].CurrentMember.UpperName2", output="unused")
          .columns("[Measures].[Unused]").rows("[Customer].children")
          .execute())
+
+
+def test_property_formatter_callable(spark):
+    """Python PROPERTY FORMATTER (schema_udf.rb:252-261 PropertyFormatter):
+    a (name, expr, callable) property entry surfaces the raw typed value
+    AND an Arrow-batched `<name>_formatted` display column — Mondrian's
+    getPropertyValue vs getPropertyFormattedValue duality."""
+    import dataclasses
+
+    from mondrian_olap_spark.star import engine_from_parquet
+    from mondrian_olap_spark.tpch import SCHEMA
+
+    from .conftest import SF_DIR
+
+    sales = SCHEMA.cube("Sales")
+    cust = sales.dimension("Customer")
+    lv0 = dataclasses.replace(
+        cust.levels[0],
+        properties=(
+            ("name_len", "length(r_name)", lambda v: f"{v} chars"),
+        ),
+    )
+    cust2 = dataclasses.replace(cust, levels=(lv0,) + cust.levels[1:])
+    sales2 = dataclasses.replace(
+        sales,
+        dimensions=tuple(
+            cust2 if d.name == "Customer" else d for d in sales.dimensions
+        ),
+    )
+    schema2 = dataclasses.replace(
+        SCHEMA,
+        cubes=tuple(sales2 if c.name == "Sales" else c for c in SCHEMA.cubes),
+    )
+    eng = engine_from_parquet(spark, schema2, "Sales", SF_DIR)
+    rows = eng.level_members("Customer", 0, include_properties=True).collect()
+    got = {r["region_name"]: (r["name_len"], r["name_len_formatted"]) for r in rows}
+    assert got["AFRICA"] == (6, "6 chars")
+    assert got["MIDDLE EAST"] == (11, "11 chars")
+    # raw value access is untouched by the formatter
+    assert eng.member_property_value("Customer", 0, ("ASIA",), "name_len") == 4
+
+
+def test_cache_mdx_spelling(engine):
+    """Cache(expr) MDX spelling (jar!mondrian/olap/fun/CacheFunDef):
+    transparent for values — the wrapped formula evaluates identically —
+    and the evaluated grid is persisted for intra-result reuse."""
+    from mondrian_olap_spark.mdx import execute_mdx
+
+    cached = execute_mdx(
+        engine,
+        "WITH MEMBER [Measures].[X] AS 'Cache([Measures].[Sum Qty] * 2)' "
+        "SELECT {[Measures].[X]} ON COLUMNS, "
+        "[Customer].[Region].Members ON ROWS FROM [Sales]",
+    )
+    plain = execute_mdx(
+        engine,
+        "WITH MEMBER [Measures].[X] AS '[Measures].[Sum Qty] * 2' "
+        "SELECT {[Measures].[X]} ON COLUMNS, "
+        "[Customer].[Region].Members ON ROWS FROM [Sales]",
+    )
+    assert sorted(map(tuple, cached.df.collect())) == sorted(
+        map(tuple, plain.df.collect())
+    )
+    # Result.df derives an ordered view; the persist sits on the grid.
+    # (Spark's CacheManager is plan-keyed, so the identical-plan 'plain'
+    # query ALSO reports cached — the hint benefits equivalent plans.)
+    assert cached._df.storageLevel.useMemory  # persisted by the hint
+    cached._df.unpersist()
