@@ -177,11 +177,17 @@ def compact_line(detail: dict, queries_n: int, budget: int = 1700) -> str:
     return json.dumps(line, separators=(",", ":"))
 
 
-def main() -> None:
-    from pyspark.sql import SparkSession
+#: query classes whose scans want small splits (see _tune_splits)
+PIPELINE_PREFIXES = ("dedup_", "embed_", "text_", "pipeline_", "multimodal_")
 
-    import mondrian_olap_spark.suite_pipeline  # noqa: F401 — registers entries
-    from mondrian_olap_spark.suite import QUERIES
+#: in-suite warm time > CHURN_FACTOR × last round's → isolated re-time
+CHURN_FACTOR = 1.5
+#: bound the isolated re-time cost per bench run
+CHURN_MAX_ISOLATES = 8
+
+
+def _build_spark():
+    from pyspark.sql import SparkSession
 
     spark = (
         SparkSession.builder.master(f"local[{CPUS}]")
@@ -194,12 +200,10 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
 
-    # warm the JVM + parquet footers with one throwaway run (cold-start JIT
-    # noise is not what we're measuring; the reference engine likewise
-    # measures warm-cache behavior — BASELINE.md)
-    QUERIES["flagship_region_quarter"](spark, SF_DIR).collect()
 
+def _tune_splits(spark, name: str) -> None:
     # Split sizing is per query CLASS, set at runtime (both confs are
     # dynamic SQL confs).  Pipeline entries (dedup/ANN/text) explode a
     # single small parquet file ~100× — a 4 MB split spreads that scan and
@@ -209,28 +213,62 @@ def main() -> None:
     # splits just multiplies scheduler overhead (~10× more tasks for the
     # same bytes — the r2 regressions), so they keep the 128 MB default,
     # which is also the right setting at 100 TB.
-    PIPELINE_PREFIXES = ("dedup_", "embed_", "text_", "pipeline_", "multimodal_")
+    if name.startswith(PIPELINE_PREFIXES):
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+        spark.conf.set("spark.sql.files.openCostInBytes", str(1024 * 1024))
+    else:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        spark.conf.set("spark.sql.files.openCostInBytes", str(4 * 1024 * 1024))
 
-    def _tune_splits(name: str) -> None:
-        if name.startswith(PIPELINE_PREFIXES):
-            spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
-            spark.conf.set("spark.sql.files.openCostInBytes", str(1024 * 1024))
-        else:
-            spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-            spark.conf.set("spark.sql.files.openCostInBytes", str(4 * 1024 * 1024))
 
-    def _flush_caches() -> None:
-        """Drop every engine-level cache so the next run rebuilds the plan
-        and re-reads the fact table: statement cache (analyzed DataFrames),
-        aggregate caches (persisted cell segments), and any other persisted
-        intermediates.  The JVM stays warm — cold here means cold PLAN, the
-        measurement that reflects plan quality at scale."""
-        from mondrian_olap_spark import suite, tpch
+def _flush_caches(spark) -> None:
+    """Drop every engine-level cache so the next run rebuilds the plan
+    and re-reads the fact table: statement cache (analyzed DataFrames),
+    aggregate caches (persisted cell segments), and any other persisted
+    intermediates.  The JVM stays warm — cold here means cold PLAN, the
+    measurement that reflects plan quality at scale."""
+    from mondrian_olap_spark import suite, tpch
 
-        suite._STATEMENTS.clear()
-        for eng in tpch._ENGINES.values():
-            eng.flush_schema_cache()
-        spark.catalog.clearCache()
+    suite._STATEMENTS.clear()
+    for eng in tpch._ENGINES.values():
+        eng.flush_schema_cache()
+    spark.catalog.clearCache()
+
+
+def isolate(name: str) -> None:
+    """Fresh-JVM re-time of ONE entry (``bench.py --isolate <name>``) —
+    the churn detector's cross-check: an entry that regressed in-suite
+    but times flat in isolation is suite-order JIT/GC churn, not a plan
+    regression.  Prints one JSON line {"name", "cold", "warm"}."""
+    import mondrian_olap_spark.suite_pipeline  # noqa: F401 — registers entries
+    from mondrian_olap_spark.suite import QUERIES
+
+    spark = _build_spark()
+    QUERIES["flagship_region_quarter"](spark, SF_DIR).collect()  # JIT warm
+    fn = QUERIES[name]
+    _tune_splits(spark, name)
+    _flush_caches(spark)
+    t0 = time.perf_counter()
+    fn(spark, SF_DIR).collect()
+    cold = round(time.perf_counter() - t0, 3)
+    w = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).collect()
+        w = min(w, time.perf_counter() - t0)
+    print(json.dumps({"name": name, "cold": cold, "warm": round(w, 3)}))
+
+
+def main() -> None:
+    import mondrian_olap_spark.suite_pipeline  # noqa: F401 — registers entries
+    from mondrian_olap_spark.suite import QUERIES
+
+    spark = _build_spark()
+
+    # warm the JVM + parquet footers with one throwaway run (cold-start JIT
+    # noise is not what we're measuring; the reference engine likewise
+    # measures warm-cache behavior — BASELINE.md)
+    QUERIES["flagship_region_quarter"](spark, SF_DIR).collect()
 
     # Pass 1 — COLD: caches flushed before every query; times plan build +
     # full execution (what a first-run query costs, the number that scales
@@ -260,8 +298,8 @@ def main() -> None:
     warm_gc: dict[str, int] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
-        _tune_splits(name)
-        _flush_caches()
+        _tune_splits(spark, name)
+        _flush_caches(spark)
         gc0 = _jvm_gc_ms()
         t0 = time.perf_counter()
         fn(spark, SF_DIR).collect()
@@ -270,7 +308,7 @@ def main() -> None:
     for _ in range(2):
         for name in HEADLINE:
             fn = QUERIES[name]
-            _tune_splits(name)
+            _tune_splits(spark, name)
             gc0 = _jvm_gc_ms()
             t0 = time.perf_counter()
             fn(spark, SF_DIR).collect()
@@ -307,6 +345,58 @@ def main() -> None:
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    # churn containment: any entry whose in-suite warm time regressed
+    # >CHURN_FACTOR× vs the PREVIOUS run (same sf) is re-timed in a fresh
+    # JVM subprocess — flat-in-isolation means suite-order JIT/GC churn,
+    # not a plan regression; the isolated numbers land in BENCH_DETAIL
+    # mechanically so STATUS cites them instead of hand-investigating
+    prev_warm: dict[str, float] = {}
+    try:
+        with open(detail_path) as f:
+            prev = json.load(f)
+        if prev.get("sf") == sf_val:
+            prev_warm = prev.get("queries", {})
+    except (OSError, ValueError):
+        pass
+    movers = sorted(
+        (
+            n
+            for n in HEADLINE
+            if n in prev_warm and warm[n] > CHURN_FACTOR * prev_warm[n]
+        ),
+        key=lambda n: warm[n] / prev_warm[n],
+        reverse=True,
+    )
+    isolated: dict[str, dict] = {}
+    if movers:
+        import subprocess
+
+        for name in movers[:CHURN_MAX_ISOLATES]:
+            rec: dict = {
+                "in_suite_warm": warm[name],
+                "prev_warm": prev_warm[name],
+            }
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--isolate", name],
+                    capture_output=True, text=True, timeout=600,
+                    env=os.environ.copy(),
+                )
+                lines = [
+                    ln for ln in out.stdout.strip().splitlines()
+                    if ln.startswith("{")
+                ]
+                rec.update(json.loads(lines[-1]))
+                rec["verdict"] = (
+                    "churn"
+                    if rec["warm"] <= CHURN_FACTOR * prev_warm[name]
+                    else "regression"
+                )
+            except Exception as e:  # noqa: BLE001 — record, never fail bench
+                rec["error"] = str(e)[:300]
+            isolated[name] = rec
+        detail["isolated"] = isolated
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
 
@@ -314,4 +404,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) == 3 and sys.argv[1] == "--isolate":
+        isolate(sys.argv[2])
+    else:
+        main()
