@@ -153,51 +153,51 @@ _LAST_HASHED: dict[str, int] = {
     "filter_member_property_gate": 9,
     "multimodal_real_bmp_gate": 9,
     "multimodal_real_wav_gate": 9,
-    "pipeline_apply_changes": 5,
-    "pipeline_balanced_sample": 5,
-    "pipeline_corpus_diff": 5,
-    "pipeline_decontamination_report": 5,
-    "pipeline_end_to_end_curation": 5,
-    "pipeline_length_histogram": 5,
-    "pipeline_mix_applied": 5,
-    "pipeline_mix_weights": 5,
-    "pipeline_pack_concat": 5,
-    "pipeline_padding_efficiency": 5,
-    "pipeline_quality_topk": 5,
-    "pipeline_shuffle_order": 5,
-    "pipeline_skew_profile": 5,
-    "pipeline_temperature_mix": 5,
-    "pipeline_token_packing": 5,
-    "set_intersect_active_nations": 5,
-    "streaming_cms_gate": 5,
-    "streaming_dedup_gate": 5,
-    "streaming_maintenance_gate": 5,
-    "streaming_sessionization_gate": 5,
-    "streaming_windowed_counts_gate": 5,
-    "text_bigram_entropy": 5,
-    "text_bigram_perplexity": 5,
-    "text_bpe_pair_counts": 5,
-    "text_cms_frequency_gate": 5,
-    "text_inverted_index": 5,
-    "text_kl_from_corpus": 5,
-    "text_segment_dedup": 5,
-    "text_tfidf_top_terms": 5,
-    "text_top_ngrams": 5,
-    "text_unigram_entropy": 5,
-    "vba_val_round_dateserial": 5,
+    "pipeline_apply_changes": 10,
+    "pipeline_balanced_sample": 10,
+    "pipeline_corpus_diff": 10,
+    "pipeline_decontamination_report": 10,
+    "pipeline_end_to_end_curation": 10,
+    "pipeline_length_histogram": 10,
+    "pipeline_mix_applied": 10,
+    "pipeline_mix_weights": 10,
+    "pipeline_pack_concat": 10,
+    "pipeline_padding_efficiency": 10,
+    "pipeline_quality_topk": 10,
+    "pipeline_shuffle_order": 10,
+    "pipeline_skew_profile": 10,
+    "pipeline_temperature_mix": 10,
+    "pipeline_token_packing": 10,
+    "set_intersect_active_nations": 10,
+    "streaming_cms_gate": 10,
+    "streaming_dedup_gate": 10,
+    "streaming_maintenance_gate": 10,
+    "streaming_sessionization_gate": 10,
+    "streaming_windowed_counts_gate": 10,
+    "text_bigram_entropy": 10,
+    "text_bigram_perplexity": 10,
+    "text_bpe_pair_counts": 10,
+    "text_cms_frequency_gate": 10,
+    "text_inverted_index": 10,
+    "text_kl_from_corpus": 10,
+    "text_segment_dedup": 10,
+    "text_tfidf_top_terms": 10,
+    "text_top_ngrams": 10,
+    "text_unigram_entropy": 10,
+    "vba_val_round_dateserial": 10,
     # first hashed green in CORRECTNESS_r06.json
-    "advisor_auto_materialize_gate": 6,
-    "aggregate_crossjoin_set": 6,
-    "aggregate_member_set": 6,
-    "aggregate_refresh_gate": 6,
-    "aggregate_value_forms": 6,
-    "bottomcount_nations": 6,
-    "calc_member_chain": 6,
-    "case_coalesce_measures": 6,
-    "corr_linreg_stats": 6,
-    "crossjoin_nation_priority": 6,
-    "cube_flags_totals": 6,
-    "dedup_bloom_append_gate": 6,
+    "advisor_auto_materialize_gate": 10,
+    "aggregate_crossjoin_set": 10,
+    "aggregate_member_set": 10,
+    "aggregate_refresh_gate": 10,
+    "aggregate_value_forms": 10,
+    "bottomcount_nations": 10,
+    "calc_member_chain": 10,
+    "case_coalesce_measures": 10,
+    "corr_linreg_stats": 10,
+    "crossjoin_nation_priority": 10,
+    "cube_flags_totals": 10,
+    "dedup_bloom_append_gate": 10,
     "dedup_incremental_bloom": 6,
     "dedup_incremental_neardup": 6,
     "dedup_index_append_gate": 6,
@@ -284,6 +284,13 @@ _LAST_HASHED: dict[str, int] = {
     "visualtotals_mdx_gate": 9,
     "ytd_axis_gate": 9,
     "ytd_mdx_gate": 9,
+    # first hashed green in CORRECTNESS_r10.json
+    "currentdatemember_formula_gate": 10,
+    "generate_measure_concat_gate": 10,
+    "generate_string_formula_gate": 10,
+    "partitioned_fact_dpp_gate": 10,
+    "strtomember_mdx_gate": 10,
+    "xml_aggname_routing_gate": 10,
 }
 
 
