@@ -3178,13 +3178,16 @@ class MdxParser:
                     return tuple(ns.base)
             return None
 
-        def _register_stat(fn, exprs, member_strs, arg, nan_wrap, existing=False):
+        def _register_stat(
+            fn, exprs, member_strs, arg, nan_wrap, existing=False, where=None
+        ):
             key = (
                 fn,
                 tuple(_canon_frag(e) for e in exprs),
                 tuple(_canon_frag(m) for m in member_strs),
                 arg,
                 existing,
+                _canon_frag(where) if where else None,
             )
             for prior in self.q._stat_scalars:
                 pkey = (
@@ -3193,6 +3196,7 @@ class MdxParser:
                     tuple(_canon_frag(m) for m in prior[3]),
                     prior[4],
                     prior[6],
+                    _canon_frag(prior[7]) if prior[7] else None,
                 )
                 if pkey == key:
                     return prior[0]
@@ -3200,7 +3204,7 @@ class MdxParser:
             self.q._stat_scalars.append(
                 (
                     out_name, fn, tuple(exprs), tuple(member_strs), arg,
-                    nan_wrap, existing,
+                    nan_wrap, existing, where,
                 )
             )
             return out_name
@@ -3279,6 +3283,31 @@ class MdxParser:
                 existing = bool(m_ex)
                 if m_ex:
                     set_src = m_ex.group(1)
+                # Filter(set, cond) as the set argument (FilterFunDef
+                # inside an evaluator call, e.g. Count(Filter(...)) —
+                # the reference evaluates the filter per member in the
+                # current context): the condition lowers into the stat
+                # sub-aggregate as a row filter before the collapse
+                where_cond = None
+                mf = re.match(r"(?is)^\s*filter\s*\(", set_src)
+                if mf:
+                    depth, j = 1, mf.end()
+                    while j < len(set_src) and depth:
+                        if set_src[j] == "(":
+                            depth += 1
+                        elif set_src[j] == ")":
+                            depth -= 1
+                        j += 1
+                    if depth == 0 and not set_src[j:].strip():
+                        fparts = _split_set_args(set_src[mf.end() : j - 1])
+                        if (
+                            len(fparts) == 2
+                            and _parse_set_arg(fparts[0]) is not None
+                        ):
+                            set_src = fparts[0]
+                            where_cond = _translate_stat_expr(
+                                fparts[1], _canon_frag(fparts[0])
+                            )
                 member_strs = _parse_set_arg(set_src)
                 if member_strs is None:
                     if existing:
@@ -3303,20 +3332,23 @@ class MdxParser:
                         expr = self.cube.default_measure_obj().out
                         return _register_stat(
                             "count", (expr,), member_strs, None, False,
-                            existing,
+                            existing, where_cond,
                         )
                     if args and flag != "includeempty":
                         # Count(set, expr): count of non-NULL expr values
                         e = _translate_stat_expr(args[0], set_canon)
                         return _register_stat(
-                            "count", (e,), member_strs, None, False, existing
+                            "count", (e,), member_strs, None, False,
+                            existing, where_cond,
                         )
-                    if existing:
-                        # Count(EXISTING set) is context-dependent by
-                        # definition — one sub-aggregate row per existing
-                        # member, counted data-side (never a metadata fold)
+                    if existing or where_cond is not None:
+                        # Count(EXISTING set) / Count(Filter(set, cond))
+                        # is context/data-dependent by definition — one
+                        # sub-aggregate row per surviving member, counted
+                        # data-side (never a metadata fold)
                         return _register_stat(
-                            "count", ("1",), member_strs, None, False, True
+                            "count", ("1",), member_strs, None, False,
+                            existing, where_cond,
                         )
                     # IncludeEmpty (the MDX default): a metadata count —
                     # members exist whether or not fact rows do, so the
@@ -3345,7 +3377,8 @@ class MdxParser:
                         )
                     e = _translate_stat_expr(args[0], set_canon)
                     return _register_stat(
-                        fn, (e,), member_strs, arg, nan_wrap, existing
+                        fn, (e,), member_strs, arg, nan_wrap, existing,
+                        where_cond,
                     )
                 # two-expression family (set, y[, x]); x defaults to the
                 # member's set position (the LinReg* single-expression form)
@@ -3358,7 +3391,8 @@ class MdxParser:
                     else "__setrank"
                 )
                 return _register_stat(
-                    fn, (y, x), member_strs, arg, nan_wrap, existing
+                    fn, (y, x), member_strs, arg, nan_wrap, existing,
+                    where_cond,
                 )
 
             return repl

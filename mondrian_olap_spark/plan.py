@@ -366,10 +366,14 @@ class Planner:
             agg = self._attach_agg_scalar(agg, specs, axes, slicer, totals)
         stat_groups: dict = {}
         for spec in self.stat_scalars:
-            # EXISTING stats need their own sub-aggregate grain — never
-            # batch them with the context-overriding plain form
+            # EXISTING stats need their own sub-aggregate grain, and a
+            # Filter(set, cond) argument its own row filter — never batch
+            # either with the plain form over the same set
             ex = bool(spec[6]) if len(spec) > 6 else False
-            stat_groups.setdefault((_refs_key(spec[3]), ex), []).append(spec)
+            wh = spec[7] if len(spec) > 7 else None
+            stat_groups.setdefault(
+                (_refs_key(spec[3]), ex, wh), []
+            ).append(spec)
         for specs in stat_groups.values():
             agg = self._attach_stat_scalar(agg, specs, axes, slicer, totals)
 
@@ -679,7 +683,13 @@ class Planner:
 
         refs = specs[0][3]
         existing = bool(specs[0][6]) if len(specs[0]) > 6 else False
-        all_exprs = tuple(e for sp in specs for e in sp[2])
+        #: Filter(set, cond) argument — a row filter on the sub-aggregate
+        #: BEFORE the statistic collapse (FilterFunDef per-member
+        #: evaluation in the current context); part of the group key
+        where = specs[0][7] if len(specs[0]) > 7 else None
+        all_exprs = tuple(e for sp in specs for e in sp[2]) + (
+            (where,) if where else ()
+        )
         if existing and totals is not None:
             from .query import QueryError
 
@@ -715,6 +725,11 @@ class Planner:
         sub, sub_cols = sub_planner.aggregate(
             sub_axes, kept_slicer, base + calcs, totals=totals
         )
+        if where:
+            # Filter(set, cond): drop non-qualifying members before the
+            # collapse — evaluated per sub-aggregate row, i.e. per member
+            # in the remaining-grain context (FilterFunDef semantics)
+            sub = sub.filter(F.expr(where))
         if existing:
             # collapse only the set levels BELOW each dimension's context
             # grain — ancestor level columns (the cell coordinates) stay

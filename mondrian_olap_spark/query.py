@@ -1246,7 +1246,7 @@ class Query:
                 refs.append(ref)
             agg_specs.append((out, expr_sql, tuple(refs)))
         stat_specs = []
-        for out, fn, exprs, member_strs, arg, nan_wrap, existing in (
+        for out, fn, exprs, member_strs, arg, nan_wrap, existing, where in (
             self._stat_scalars
         ):
             refs = []
@@ -1259,7 +1259,7 @@ class Query:
                     )
                 refs.append(ref)
             stat_specs.append(
-                (out, fn, exprs, tuple(refs), arg, nan_wrap, existing)
+                (out, fn, exprs, tuple(refs), arg, nan_wrap, existing, where)
             )
         planner = Planner(
             self.engine,

@@ -4142,3 +4142,50 @@ def descendants_flags_gate(spark, sf_dir):
         "            SELF_AND_BEFORE) ON ROWS "
         "FROM [Sales] WHERE [Time].[1995]"
     ).df
+
+
+@q(
+    "count_filter_formula_gate",
+    f"""
+    WITH nat AS (
+      SELECT r_name, n_name, sum(l_quantity) AS s
+      FROM {_CUST_STAR} GROUP BY 1, 2
+    ),
+    big AS (SELECT * FROM nat WHERE s > 70000)
+    SELECT r.region_name,
+           (SELECT count(*) FROM big) AS big_nations,
+           (SELECT sum(s) FROM big) AS big_qty,
+           coalesce(e.c, 0) AS ex_big
+    FROM (SELECT DISTINCT r_name AS region_name FROM nat) r
+    LEFT JOIN (
+      SELECT r_name, count(*) AS c FROM big GROUP BY 1
+    ) e ON e.r_name = r.region_name
+    """,
+)
+def count_filter_formula_gate(spark, sf_dir):
+    """Filter(set, cond) as a set-statistic argument (FilterFunDef inside
+    an evaluator call — Count/Sum(Filter(...))): the condition lowers
+    into the stat sub-aggregate as a row filter before the collapse, one
+    fact pass.  Count(EXISTING Filter(...)) composes both forms: the
+    per-region count of qualifying nations.  The plain forms repeat one
+    global value per row; EXISTING keys it to the cell."""
+    eng = get_engine(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    df = eng.execute(
+        "WITH MEMBER [Measures].[Big Nations] AS "
+        "  'Count(Filter([Customer].[Nation].Members, "
+        "                [Measures].[Sum Qty] > 70000))' "
+        "MEMBER [Measures].[Big Qty] AS "
+        "  'Sum(Filter([Customer].[Nation].Members, "
+        "              [Measures].[Sum Qty] > 70000), [Measures].[Sum Qty])' "
+        "MEMBER [Measures].[Ex Big] AS "
+        "  'Count(EXISTING Filter([Customer].[Nation].Members, "
+        "                         [Measures].[Sum Qty] > 70000))' "
+        "SELECT {[Measures].[Big Nations], [Measures].[Big Qty], "
+        "        [Measures].[Ex Big]} ON COLUMNS, "
+        "[Customer].[Region].Members ON ROWS FROM [Sales]"
+    ).df
+    # a region with zero qualifying nations yields a NULL count cell
+    # (empty sub-group) — the oracle's LEFT JOIN spells that coalesce
+    return df.withColumn("ex_big", F.coalesce(F.col("ex_big"), F.lit(0)))

@@ -374,3 +374,63 @@ def test_generate_measure_path_written_order(engine):
     e, a = row["h"].split("|")[1], row["h"].split("|")[0]
     assert row["w"] == f"{e}|{a}"
     assert row["w"] != row["h"]
+
+
+def test_filter_set_argument_in_stats(engine):
+    """Filter(set, cond) as a set-statistic argument (FilterFunDef inside
+    an evaluator call): the condition filters the sub-aggregate rows
+    before the collapse — Count/Sum over the qualifying members only."""
+    r = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[N] AS
+          'Count(Filter([Customer].[Nation].Members,
+                        [Measures].[Sum Qty] > 9000))'
+        MEMBER [Measures].[S] AS
+          'Sum(Filter([Customer].[Nation].Members,
+                      [Measures].[Sum Qty] > 9000), [Measures].[Sum Qty])'
+        SELECT {[Measures].[N], [Measures].[S]} ON COLUMNS FROM [Sales]
+        """,
+    )
+    row = r.df.collect()[0]
+    base = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "[Customer].[Nation].Members ON ROWS FROM [Sales]",
+    ).df.collect()
+    big = [x["sum_qty"] for x in base if x["sum_qty"] > 9000]
+    assert row["n"] == len(big)
+    assert row["s"] == sum(big)
+
+
+def test_filter_with_existing_composes(engine):
+    """Count(EXISTING Filter(set, cond)) — per-cell count of qualifying
+    members under the cell's coordinates."""
+    rows = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[C] AS
+          'Count(EXISTING Filter([Customer].[Nation].Members,
+                                 [Measures].[Sum Qty] > 3000))'
+        SELECT {[Measures].[C]} ON COLUMNS,
+               [Customer].[Region].Members ON ROWS FROM [Sales]
+        """,
+    ).df.collect()
+    assert len(rows) == 5
+    assert len({r["c"] for r in rows}) > 1 or all(r["c"] <= 5 for r in rows)
+
+
+def test_filter_stat_distinct_conditions_never_share(engine):
+    """Two stats over the same set with DIFFERENT filter conditions must
+    not share one sub-aggregate (the group key includes the condition)."""
+    row = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[A] AS
+          'Count(Filter([Customer].[Nation].Members, [Measures].[Sum Qty] > 9000))'
+        MEMBER [Measures].[B] AS
+          'Count(Filter([Customer].[Nation].Members, [Measures].[Sum Qty] > 3000))'
+        SELECT {[Measures].[A], [Measures].[B]} ON COLUMNS FROM [Sales]
+        """,
+    ).df.collect()[0]
+    assert row["b"] > row["a"]
