@@ -822,6 +822,84 @@ def main() -> int:
         f"{len(fact_scan_lines(p, 'lineitem'))} lineitem scans (want 1)",
     )
 
+    # 43. EXISTS with a computed second set: the member evaluation is a
+    #     bounded sub-query at plan time; the grid itself keeps the
+    #     broadcast semi-join shape — no cartesian product, and the
+    #     qualifying-member join broadcasts
+    r = execute_mdx(
+        eng,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "EXISTS([Customer].[Customer].Members, "
+        "  FILTER([Customer].[Nation].Members, [Measures].[Sum Qty] > 0)) "
+        "ON ROWS FROM [Sales]",
+    )
+    p = plan_str(r.df)
+    check(
+        "exists_expr.no_cartesian_broadcast_semi",
+        "CartesianProduct" not in p
+        and ("LeftSemi" in p and "Broadcast" in p),
+        f"plan: {p[:400]}",
+    )
+
+    eng.flush_schema_cache()  # scan counts need a cold aggregate cache
+    # 44. EXISTING statistic: ONE sub-aggregate whose collapse keeps the
+    #     grid grain — no per-cell recomputation (exactly 2 lineitem
+    #     scans: the grid's own + one stat sub-plan), no cartesian
+    r = execute_mdx(
+        eng,
+        "WITH MEMBER [Measures].[C] AS "
+        "  'Count(EXISTING [Customer].[Nation].Members)' "
+        "SELECT {[Measures].[Sum Qty], [Measures].[C]} ON COLUMNS, "
+        "[Customer].[Region].Members ON ROWS FROM [Sales]",
+    )
+    p = plan_str(r.df)
+    check(
+        "existing_stat.single_subaggregate_no_cartesian",
+        len(fact_scan_lines(p, "lineitem")) == 2
+        and "CartesianProduct" not in p,
+        f"{len(fact_scan_lines(p, 'lineitem'))} lineitem scans (want 2)",
+    )
+
+    # 45. genconcat over an EXPLICIT member list orders by the written-
+    #     position CASE — no __setrank broadcast join (exactly 2 lineitem
+    #     scans, no member-rank frame join beyond the star's own)
+    r = execute_mdx(
+        eng,
+        """
+        WITH MEMBER [Measures].[G] AS
+          'Generate({[Customer].[EUROPE], [Customer].[ASIA]},
+                    Cast(Cast([Measures].[Sum Qty] AS bigint) AS String),
+                    "|")'
+        SELECT {[Measures].[G]} ON COLUMNS FROM [Sales]
+        """,
+    )
+    p = plan_str(r.df)
+    check(
+        "genconcat.written_order_no_setrank_join",
+        "__setrank" not in p and "CartesianProduct" not in p,
+        f"plan: {p[:400]}",
+    )
+
+    eng.flush_schema_cache()  # scan counts need a cold aggregate cache
+    # 46. Filter(set, cond) statistic argument: the condition filters the
+    #     sub-aggregate (a Filter node over the stat sub-plan), still one
+    #     stat sub-aggregate + the grid scan, no cartesian
+    r = execute_mdx(
+        eng,
+        "WITH MEMBER [Measures].[C] AS "
+        "  'Count(Filter([Customer].[Nation].Members, "
+        "                [Measures].[Sum Qty] > 9000))' "
+        "SELECT {[Measures].[Sum Qty], [Measures].[C]} ON COLUMNS, "
+        "[Customer].[Region].Members ON ROWS FROM [Sales]",
+    )
+    p = plan_str(r.df)
+    check(
+        "filter_stat.subaggregate_filtered_no_cartesian",
+        len(fact_scan_lines(p, "lineitem")) == 2
+        and "CartesianProduct" not in p,
+        f"{len(fact_scan_lines(p, 'lineitem'))} lineitem scans (want 2)",
+    )
+
     print(f"\n{len(failures)} failed properties" if failures else "\nall plan properties hold")
     return 1 if failures else 0
 
