@@ -1610,7 +1610,29 @@ class MdxParser:
                     )
                 )
             self.expect_op(",")
-            segs = self.parse_identifier_segments()
+            nt = self.peek()
+            if (
+                fn == "descendants"
+                and nt is not None
+                and nt.kind == "number"
+            ):
+                # Descendants(m, n[, flag]) — the DISTANCE form
+                # (DescendantsFunDef numeric second argument): the level
+                # n below the member's own
+                n_down = int(self.next().text)
+                if n_down < 0:
+                    raise MdxError("DESCENDANTS distance must be >= 0")
+                tgt = ref.depth + n_down
+                if tgt > max_depth:
+                    raise MdxError(
+                        f"DESCENDANTS distance {n_down} goes below the "
+                        f"bottom level of {ref.dimension.name}"
+                    )
+                segs = None
+                lvl_idx_override = tgt
+            else:
+                segs = self.parse_identifier_segments()
+                lvl_idx_override = None
             flag = "self"
             if fn == "descendants" and self.at_op(","):
                 # third flag argument (jar!mondrian/olap/fun/
@@ -1622,10 +1644,15 @@ class MdxParser:
                     "after", "self_before_after", "leaves",
                 ).text.lower()
             self.expect_op(")")
-            level_ident = ".".join(quote_segment(s) for s in segs)
-            dim, lvl_idx = resolve_level(self.cube, level_ident)
-            if dim.name != ref.dimension.name:
-                raise MdxError(f"{fn.upper()}: member and level dimensions differ")
+            if lvl_idx_override is not None:
+                lvl_idx = lvl_idx_override
+            else:
+                level_ident = ".".join(quote_segment(s) for s in segs)
+                dim, lvl_idx = resolve_level(self.cube, level_ident)
+                if dim.name != ref.dimension.name:
+                    raise MdxError(
+                        f"{fn.upper()}: member and level dimensions differ"
+                    )
             if fn == "ancestor":
                 if lvl_idx > ref.depth:
                     raise MdxError("ANCESTOR level is below the member's own level")

@@ -3822,3 +3822,27 @@ def test_descendants_flag_errors(engine):
             "DESCENDANTS([Customer].[ASIA], [Customer].[Customer], AFTER) "
             "ON ROWS FROM [Sales]",
         )
+
+
+def test_descendants_distance_form(engine):
+    """Descendants(m, n[, flag]) — the numeric DISTANCE form
+    (DescendantsFunDef): n levels below the member's own level."""
+    rows = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "DESCENDANTS([Customer].[ASIA], 1) ON ROWS FROM [Sales]",
+    ).df.collect()
+    assert len(rows) == 5 and all(r["region_name"] == "ASIA" for r in rows)
+    with_flag = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "DESCENDANTS([Customer].[ASIA], 1, SELF_AND_BEFORE) ON ROWS "
+        "FROM [Sales]",
+    ).df.collect()
+    assert len(with_flag) == 6
+    with pytest.raises(MdxError, match="below the bottom level"):
+        execute_mdx(
+            engine,
+            "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+            "DESCENDANTS([Customer].[ASIA], 9) ON ROWS FROM [Sales]",
+        )
