@@ -1367,6 +1367,48 @@ class MdxParser:
                     "GENERATE: CurrentMember inside a computed second set "
                     "is not supported in this subset"
                 )
+            # Mondrian evaluates set2 once per set1 member with that
+            # member pushed on the context (GenerateFunDef).  A
+            # measure-referencing op (FILTER/TOPCOUNT/ORDER condition) is
+            # therefore context-dependent — the once-evaluated lowering
+            # is only faithful when set1 and set2 share ONE hierarchy
+            # (the tuple's set2 member then REPLACES set1's member in
+            # context, making every per-member evaluation identical).
+            # Cross-dimension + data-dependent raises instead of
+            # silently returning the global evaluation.
+            op_exprs = [
+                (
+                    op[1]
+                    if op[0] in ("filter", "order")
+                    else (op[4] if op[0] == "topbottom" else None)
+                )
+                for op in sb.ops
+            ] + [
+                (
+                    op[1]
+                    if op[0] in ("filter", "order")
+                    else (op[4] if op[0] == "topbottom" else None)
+                )
+                for _, op in sb.set_ops
+            ]
+            if any(e and q._measures_in(e) for e in op_exprs):
+                from .members import MeasureRef as _MRef
+
+                set2_refs = [q._resolve(b) for b in sb.base]
+                set1_dims = {s.dimension.name for s in q._axis().sets}
+                set2_dims = {
+                    r.dimension.name
+                    for r in set2_refs
+                    if not isinstance(r, _MRef)
+                }
+                if not set1_dims <= set2_dims:
+                    raise MdxError(
+                        "GENERATE: a measure-dependent computed second set "
+                        "is only supported when both sets share one "
+                        "hierarchy (Mondrian evaluates set2 per set1 "
+                        "member; cross-dimension that differs from the "
+                        "once-evaluated lowering)"
+                    )
             q.generate(*sb.base, all=all_flag, _display=raw)
             for subset, op in sb.set_ops:
                 MdxParser._apply_set_op(q, subset, op)
@@ -1619,7 +1661,14 @@ class MdxParser:
                 # Descendants(m, n[, flag]) — the DISTANCE form
                 # (DescendantsFunDef numeric second argument): the level
                 # n below the member's own
-                n_down = int(self.next().text)
+                ntext = self.next().text
+                try:
+                    n_down = int(ntext)
+                except ValueError:
+                    raise MdxError(
+                        f"DESCENDANTS distance must be an integer, got "
+                        f"{ntext!r}"
+                    ) from None
                 if n_down < 0:
                     raise MdxError("DESCENDANTS distance must be >= 0")
                 tgt = ref.depth + n_down
@@ -1687,6 +1736,16 @@ class MdxParser:
             elif flag == "self_before_after":
                 span = (ref.depth, max_depth)
             else:  # leaves
+                # leaf members AT OR ABOVE the named level
+                # (DescendantsFunDef LEAVES): hierarchies here are
+                # non-ragged, so every leaf sits at the bottom level —
+                # a level above it selects no members, which would be a
+                # silently-empty axis; raise instead
+                if lvl_idx < max_depth:
+                    raise MdxError(
+                        "DESCENDANTS LEAVES above the bottom level selects "
+                        "no members in a non-ragged hierarchy"
+                    )
                 span = (max_depth, max_depth)
             return _SetBuild(
                 base=self._descendant_chains(m1, ref.depth, *span)

@@ -725,11 +725,6 @@ class Planner:
         sub, sub_cols = sub_planner.aggregate(
             sub_axes, kept_slicer, base + calcs, totals=totals
         )
-        if where:
-            # Filter(set, cond): drop non-qualifying members before the
-            # collapse — evaluated per sub-aggregate row, i.e. per member
-            # in the remaining-grain context (FilterFunDef semantics)
-            sub = sub.filter(F.expr(where))
         if existing:
             # collapse only the set levels BELOW each dimension's context
             # grain — ancestor level columns (the cell coordinates) stay
@@ -793,6 +788,13 @@ class Planner:
                 on=keys,
                 how="left",
             )
+        if where:
+            # Filter(set, cond): drop non-qualifying members before the
+            # collapse — evaluated per sub-aggregate row, i.e. per member
+            # in the remaining-grain context (FilterFunDef semantics).
+            # Applied AFTER the __setrank join so a Rank()-referencing
+            # condition resolves.
+            sub = sub.filter(F.expr(where))
         stat_cols = [
             stat_column(out, fn, *exprs, arg=arg)
             for out, fn, exprs, _refs, arg, _nan, *_ex in specs

@@ -151,13 +151,19 @@ class EnginePool:
         key = (content_key, connection_key)
         with self._lock:
             handle = self._pool.get(key)
-            if handle is not None:
-                return handle
-            schema, virtuals = from_mondrian_xml(text)
-            resolved = tables() if callable(tables) else tables
-            handle = SchemaHandle(self, key, schema, virtuals, resolved)
-            self._pool[key] = handle
+        if handle is not None:
             return handle
+        # build OUTSIDE the lock: catalog parsing and the table loader may
+        # be slow (or re-enter the pool for a shared base schema) —
+        # holding the pool-wide lock across them would serialize every
+        # connect and deadlock re-entrant loaders.  Concurrent same-key
+        # builds race benignly: first insert wins, the loser's handle is
+        # dropped (Mondrian's pool makes the same trade).
+        schema, virtuals = from_mondrian_xml(text)
+        resolved = tables() if callable(tables) else tables
+        handle = SchemaHandle(self, key, schema, virtuals, resolved)
+        with self._lock:
+            return self._pool.setdefault(key, handle)
 
     def flush_schema(self, schema_key: str) -> bool:
         """Remove one schema by its ``<content, connection>`` key string

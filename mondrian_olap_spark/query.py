@@ -1376,7 +1376,14 @@ class Query:
             # so repeated reads of this result reuse it.  Cross-QUERY
             # reuse is the engine's aggregate cache (enable_cache), which
             # the sub-aggregates already flow through when enabled.
+            # Pins register on the engine (bounded FIFO) so repeated
+            # Cache(...) statements cannot accumulate persisted grids;
+            # flush_schema_cache releases them all.
             df = df.persist()
+            pins = self.engine.__dict__.setdefault("_cache_hint_pins", [])
+            pins.append(df)
+            if len(pins) > 32:
+                pins.pop(0).unpersist()
         res = Result(
             df, axis_cols, [m.out for m in measures], sort_spec, formats,
             locale=getattr(self.engine, "locale", None),

@@ -589,7 +589,13 @@ class CubeEngine:
         return self.cache
 
     def flush_schema_cache(self) -> int:
-        """Whole-schema cache flush (``connection.rb:153-181``)."""
+        """Whole-schema cache flush (``connection.rb:153-181``) — also
+        releases grids pinned by the MDX ``Cache(expr)`` hint."""
+        for df in self.__dict__.pop("_cache_hint_pins", []):
+            try:
+                df.unpersist()
+            except Exception:  # noqa: BLE001 — a dead session is fine
+                pass
         return self.cache.flush_all() if self.cache else 0
 
     def flush_region_cache(self, members: list[str]) -> int:

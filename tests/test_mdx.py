@@ -3789,8 +3789,17 @@ def test_descendants_flags(engine):
     assert len(sab) == 6  # ASIA + its 5 nations
     after = rows("AFTER")
     assert all(r["customer_name"] is not None for r in after)
-    leaves = rows("LEAVES")
+    # LEAVES with the level AT the bottom = the leaf members; a level
+    # above the bottom selects nothing in a non-ragged hierarchy → error
+    leaves = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "DESCENDANTS([Customer].[ASIA], [Customer].[Customer], LEAVES) "
+        "ON ROWS FROM [Sales]",
+    ).df.collect()
     assert sorted(map(tuple, leaves)) == sorted(map(tuple, after))
+    with pytest.raises(MdxError, match="LEAVES above the bottom"):
+        rows("LEAVES")
     sba = rows("SELF_BEFORE_AFTER")
     assert len(sba) == len(sab) + len(after)
 
@@ -3845,4 +3854,26 @@ def test_descendants_distance_form(engine):
             engine,
             "SELECT [Measures].[Sum Qty] ON COLUMNS, "
             "DESCENDANTS([Customer].[ASIA], 9) ON ROWS FROM [Sales]",
+        )
+
+
+def test_generate_computed_cross_dim_data_dependent_rejected(engine):
+    """GENERATE with a measure-dependent computed second set across
+    DIFFERENT hierarchies raises: Mondrian evaluates set2 per set1
+    member (context-dependent), which the once-evaluated lowering would
+    silently get wrong.  Same-hierarchy stays supported — the set2
+    member REPLACES set1's in context, so one evaluation is faithful."""
+    with pytest.raises(MdxError, match="share one\\s+hierarchy"):
+        execute_mdx(
+            engine,
+            "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+            "GENERATE([Time].[Year].Members, "
+            "TOPCOUNT([Customer].[Nation].Members, 3, [Measures].[Sum Qty])) "
+            "ON ROWS FROM [Sales]",
+        )
+    with pytest.raises(MdxError, match="must be an integer"):
+        execute_mdx(
+            engine,
+            "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+            "DESCENDANTS([Customer].[ASIA], 1.5) ON ROWS FROM [Sales]",
         )

@@ -434,3 +434,20 @@ def test_filter_stat_distinct_conditions_never_share(engine):
         """,
     ).df.collect()[0]
     assert row["b"] > row["a"]
+
+
+def test_rank_inside_filter_condition(engine):
+    """Rank(CurrentMember, set) inside a Filter(set, cond) argument: the
+    condition filter applies AFTER the __setrank join so the rank column
+    resolves (round-11 review fix)."""
+    row = execute_mdx(
+        engine,
+        """
+        WITH MEMBER [Measures].[C] AS
+          'Count(Filter([Customer].[Nation].Members,
+            Rank([Customer].CurrentMember,
+                 [Customer].[Nation].Members) <= 3))'
+        SELECT {[Measures].[C]} ON COLUMNS FROM [Sales]
+        """,
+    ).df.collect()[0]
+    assert row["c"] == 3
