@@ -149,6 +149,13 @@ HEADLINE = [
     "xml_aggname_routing_gate",
     "partitioned_fact_dpp_gate",
     "generate_measure_concat_gate",
+    # round-11 operators
+    "exists_set_expression_gate",
+    "except_set_expression_gate",
+    "drilldown_set_expression_gate",
+    "existing_context_gate",
+    "descendants_flags_gate",
+    "count_filter_formula_gate",
 ]
 
 
@@ -182,6 +189,10 @@ PIPELINE_PREFIXES = ("dedup_", "embed_", "text_", "pipeline_", "multimodal_")
 
 #: in-suite warm time > CHURN_FACTOR × last round's → isolated re-time
 CHURN_FACTOR = 1.5
+#: absolute grace on the isolated verdict: sub-50 ms entries have noise
+#: amplitudes far above 1.5× of themselves — a "regression" label needs
+#: the isolated time to exceed BOTH the ratio and this absolute margin
+CHURN_ABS_GRACE = 0.1
 #: bound the isolated re-time cost per bench run
 CHURN_MAX_ISOLATES = 8
 
@@ -390,7 +401,8 @@ def main() -> None:
                 rec.update(json.loads(lines[-1]))
                 rec["verdict"] = (
                     "churn"
-                    if rec["warm"] <= CHURN_FACTOR * prev_warm[name]
+                    if rec["warm"]
+                    <= CHURN_FACTOR * prev_warm[name] + CHURN_ABS_GRACE
                     else "regression"
                 )
             except Exception as e:  # noqa: BLE001 — record, never fail bench
