@@ -156,6 +156,7 @@ HEADLINE = [
     "existing_context_gate",
     "descendants_flags_gate",
     "count_filter_formula_gate",
+    "generate_per_member_gate",
 ]
 
 

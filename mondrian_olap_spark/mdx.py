@@ -840,6 +840,9 @@ class MdxParser:
         #: drill/toggle ops deferred to post-WHERE (computed set2 needs
         #: the slicer context when it evaluates — parse_axis)
         self._deferred_drills: list[tuple] = []
+        #: per-member GENERATE ops deferred to post-WHERE:
+        #: (axis index, generate_expr descriptor)
+        self._deferred_generates: list[tuple] = []
         #: buffered non-Measures WITH MEMBER definitions, applied in
         #: dependency order once the WITH clause closes (forward
         #: references between aggregate members are legal in Mondrian)
@@ -1085,6 +1088,23 @@ class MdxParser:
         # lists defer too, preserving drill/toggle relative order
         from .query import SetExpr
 
+        # per-member GENERATE first (it REPLACES its axis's set; trailing
+        # drills may reference the replaced members)
+        for axis_i, op in self._deferred_generates:
+            _, sb, all_flag, raw = op
+            se = self._set_arg(sb, "GENERATE", raw)
+            ax_sets = list(self.q._axes[axis_i].sets)
+            refs = self.q.eval_set_expr_per_member(ax_sets, se)
+            if not refs:
+                raise MdxError(
+                    "GENERATE: the computed second set is empty in the "
+                    "query context"
+                )
+            names = [
+                format_name([r.dimension.name, *r.path]) for r in refs
+            ]
+            self.q.axis(axis_i)  # re-target the op's own axis
+            self.q.generate(*names, all=all_flag, _display=raw)
         for op in self._deferred_drills:
             arg = op[1]
             if isinstance(arg, SetExpr):
@@ -1491,7 +1511,7 @@ class MdxParser:
         self.q.axis(axis_i, *members.base)
         for subset, op in members.set_ops:
             self._apply_set_op(self.q, subset, op)
-        for op in members.ops:
+        for i, op in enumerate(members.ops):
             if op[0] in ("drilldown_member", "toggle_drill"):
                 # drills mutate the query's GLOBAL drill list (not axis
                 # mods), so their application defers until after WHERE —
@@ -1499,6 +1519,25 @@ class MdxParser:
                 # when it evaluates; deferring all of them preserves the
                 # drill/toggle relative order (toggle cancels prior drills)
                 self._deferred_drills.append(op)
+            elif op[0] == "generate_expr" and self._generate_per_member(
+                op[1]
+            ):
+                # cross-dimension + measure-dependent set2: Mondrian
+                # evaluates set2 PER set1 member — deferred past WHERE
+                # (slicer context), lowered as one partitioned
+                # sub-aggregate (Query.eval_set_expr_per_member).  Later
+                # axis ops would capture the pre-replacement set, so only
+                # trailing drills may follow.
+                if any(
+                    o[0] not in ("drilldown_member", "toggle_drill")
+                    for o in members.ops[i + 1 :]
+                ):
+                    raise MdxError(
+                        "GENERATE with a per-member computed second set "
+                        "must be the last set operation on its axis in "
+                        "this subset (drills may follow)"
+                    )
+                self._deferred_generates.append((axis_i, op))
             else:
                 self._apply_axis_op(self.q, op)
         if nonempty:
@@ -1946,6 +1985,38 @@ class MdxParser:
         return [
             m1 + ".Children" * (d - own_depth) for d in range(lo, hi + 1)
         ]
+
+    def _generate_per_member(self, sb: "_SetBuild") -> bool:
+        """True when GENERATE's computed second set needs PER-MEMBER
+        evaluation: its ops reference measures AND the current axis set
+        (set1) spans a hierarchy set2 does not — the set2 member then
+        does NOT replace set1's in context, so a once-evaluated lowering
+        would diverge (GenerateFunDef pushes each set1 member)."""
+        from .members import MeasureRef as _MRef
+
+        exprs = [
+            (
+                op[1]
+                if op[0] in ("filter", "order")
+                else (op[4] if op[0] == "topbottom" else None)
+            )
+            for op in sb.ops
+        ]
+        if not any(e and self.q._measures_in(e) for e in exprs):
+            return False
+        if sb.set_ops:
+            return False  # nested-crossjoin args raise in _set_arg later
+        try:
+            set2_refs = [self.q._resolve(b) for b in sb.base]
+        except Exception:
+            return False  # resolution errors surface on the normal path
+        set2_dims = {
+            r.dimension.name
+            for r in set2_refs
+            if not isinstance(r, _MRef)
+        }
+        set1_dims = {s.dimension.name for s in self.q._axis().sets}
+        return not set1_dims <= set2_dims
 
     def _parse_set_raw(self):
         """parse_set + the argument's source text (for to_mdx round-trips

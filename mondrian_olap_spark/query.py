@@ -2927,6 +2927,126 @@ class Query:
             )
         return out
 
+    def eval_set_expr_per_member(
+        self, context_refs, se: "SetExpr"
+    ) -> list[MemberSetRef]:
+        """PER-MEMBER evaluation of a computed set — the GENERATE(s1,
+        <computed s2>) lowering for CROSS-dimension, measure-dependent
+        s2 (jar!mondrian/olap/fun/GenerateFunDef iterates s1 and
+        evaluates s2 with each member pushed on the context).
+
+        ONE sub-aggregate at (s1 grain × s2 grain) in the slicer
+        context; the op chain applies per s1 partition (partitioned
+        windows — a single keyed shuffle, never a per-member loop); the
+        distinct surviving s2 member paths collect (bounded by the s2
+        dimension) and union, GenerateFunDef's default dedup."""
+        refs2 = [self._resolve(m) for m in se.members]
+        if not refs2 or any(isinstance(r, MeasureRef) for r in refs2):
+            raise QueryError("computed set arguments need dimension member sets")
+        dim2 = refs2[0].dimension
+        if any(r.dimension.name != dim2.name for r in refs2):
+            raise QueryError(
+                "computed set argument members must share one dimension"
+            )
+        if len({r.depth for r in refs2}) != 1:
+            raise QueryError(
+                "computed set argument members must share one level"
+            )
+        ctx = [
+            r for r in context_refs if r.dimension.name != dim2.name
+        ]
+        measures, seen = [], set()
+        for d in se.ops:
+            e = (
+                d[1] if d[0] in ("filter", "order")
+                else (d[4] if d[0] == "topbottom" else None)
+            )
+            for m in self._measures_in(e):
+                if m.out not in seen:
+                    seen.add(m.out)
+                    measures.append(m)
+        planner = Planner(self.engine, extra_measures=tuple(self._with))
+        sub, sub_group = planner.aggregate(
+            [list(ctx) + list(refs2)], list(self._slicer), measures
+        )
+        set2_cols = [
+            lv.out for lv in refs2[0].group_levels if lv.out in sub_group
+        ]
+        ctx_cols = [c for c in sub_group if c not in set2_cols]
+        keys = [F.col(c) for c in set2_cols]
+        part = [F.col(c) for c in ctx_cols]
+        local_sort: list | None = None
+        for d in se.ops:
+            k = d[0]
+            if k == "filter":
+                sub = sub.filter(F.expr(d[1]))
+            elif k == "topbottom":
+                _, side, how, n, e = d
+                sub, spec = _top_bottom(
+                    sub, side, how, n, e, keys, partition_by=part
+                )
+                local_sort = list(spec)
+            elif k == "order":
+                col = F.expr(d[1])
+                desc_ = d[2].upper().endswith("DESC")
+                local_sort = [col.desc() if desc_ else col.asc()] + keys
+            elif k == "slice":
+                _, start, count, from_end = d
+                if from_end and local_sort:
+                    raise QueryError(
+                        "TAIL after a custom order is not supported inside "
+                        "a computed set argument"
+                    )
+                order = local_sort if local_sort else (
+                    [c.desc() for c in keys] if from_end else list(keys)
+                )
+                w = Window.partitionBy(*part).orderBy(*order)
+                sub = (
+                    sub.withColumn("__rn", F.row_number().over(w))
+                    .filter(
+                        (F.col("__rn") > start)
+                        & (F.col("__rn") <= start + count)
+                    )
+                    .drop("__rn")
+                )
+            elif k == "except":
+                for m in d[1]:
+                    r = self._resolve(m)
+                    if isinstance(r, MeasureRef) or not r.path:
+                        raise QueryError(
+                            "EXCEPT inside a computed set argument needs "
+                            "concrete member paths"
+                        )
+                    pred = None
+                    for i, key in enumerate(r.path):
+                        c = F.col(r.dimension.levels[i].out) == key
+                        pred = c if pred is None else (pred & c)
+                    sub = sub.filter(~F.coalesce(pred, F.lit(False)))
+            elif k in ("distinct", "hierarchize", "nonempty"):
+                pass
+            else:
+                raise QueryError(
+                    f"{k.upper()} is not supported inside a computed set "
+                    "argument"
+                )
+        rows = sub.select(*set2_cols).dropDuplicates().collect()
+        out = []
+        for row in sorted(
+            rows, key=lambda r: tuple(str(r[c]) for c in set2_cols)
+        ):
+            path = tuple(row[c] for c in set2_cols)
+            if any(v is None for v in path):
+                continue
+            out.append(
+                MemberSetRef(
+                    dim2,
+                    depth=len(set2_cols) - 1,
+                    path=tuple(str(v) for v in path),
+                    kind="member",
+                )
+            )
+        return out
+
     def _apply_subselect(self, df: DataFrame, refs, desc) -> DataFrame:
         """Evaluate a nested set function over its own member sub-grid
         (grouped at the set's grain, slicer context, measures the expression
@@ -2999,7 +3119,9 @@ class Query:
         return kept.unionByName(df.filter(null_rows))
 
 
-def _top_bottom(df: DataFrame, side: str, how: str, n, expr, tiebreak):
+def _top_bottom(
+    df: DataFrame, side: str, how: str, n, expr, tiebreak, partition_by=()
+):
     """TOPCOUNT / TOPPERCENT / TOPSUM family
     (jar!mondrian/olap/fun/TopBottomCountFunDef, TopBottomPercentSumFunDef;
     SURVEY.md §2.5).
@@ -3017,7 +3139,13 @@ def _top_bottom(df: DataFrame, side: str, how: str, n, expr, tiebreak):
     if key is not None:
         order.append(key.desc() if side == "top" else key.asc())
     order += tiebreak
-    w = Window.orderBy(*order)
+    # ``partition_by``: evaluate the top-k PER GROUP (the per-member
+    # GENERATE lowering) — same single-window shape, keyed shuffle
+    w = (
+        Window.partitionBy(*partition_by).orderBy(*order)
+        if partition_by
+        else Window.orderBy(*order)
+    )
     if how == "count":
         df = (
             df.withColumn("__rn", F.row_number().over(w))
@@ -3027,8 +3155,13 @@ def _top_bottom(df: DataFrame, side: str, how: str, n, expr, tiebreak):
         return df, order
     val = F.expr(expr)
     cum = F.sum(val).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    total_w = (
+        Window.partitionBy(*partition_by).orderBy(F.lit(1))
+        if partition_by
+        else Window.orderBy(F.lit(1))
+    )
     total = F.sum(val).over(
-        Window.orderBy(F.lit(1)).rowsBetween(
+        total_w.rowsBetween(
             Window.unboundedPreceding, Window.unboundedFollowing
         )
     )

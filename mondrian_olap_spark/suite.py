@@ -4189,3 +4189,44 @@ def count_filter_formula_gate(spark, sf_dir):
     # a region with zero qualifying nations yields a NULL count cell
     # (empty sub-group) — the oracle's LEFT JOIN spells that coalesce
     return df.withColumn("ex_big", F.coalesce(F.col("ex_big"), F.lit(0)))
+
+
+@q(
+    "generate_per_member_gate",
+    f"""
+    WITH yr AS (
+      SELECT year(o_orderdate) AS y, r_name, n_name,
+             sum(l_quantity) AS s
+      FROM {_CUST_STAR} WHERE l_returnflag = 'N' GROUP BY 1, 2, 3
+    ),
+    top2 AS (
+      SELECT DISTINCT r_name, n_name FROM (
+        SELECT r_name, n_name, row_number() OVER (
+          PARTITION BY y ORDER BY s DESC, r_name, n_name) AS rn
+        FROM yr
+      ) WHERE rn <= 2
+    )
+    SELECT c.r_name AS region_name, c.n_name AS nation_name,
+           sum(c.l_quantity) AS sum_qty
+    FROM (SELECT r_name, n_name, l_quantity FROM {_CUST_STAR}
+          WHERE l_returnflag = 'N') c
+    JOIN top2 ON top2.r_name = c.r_name AND top2.n_name = c.n_name
+    GROUP BY 1, 2
+    """,
+)
+def generate_per_member_gate(spark, sf_dir):
+    """PER-MEMBER GENERATE (GenerateFunDef's true iteration semantics):
+    set2 is measure-dependent and CROSS-dimension, so it evaluates once
+    per set1 member with that member pushed on the context — each year's
+    top-2 nations by quantity (slicer applied), unioned with
+    GenerateFunDef's default dedup.  Lowered as ONE sub-aggregate at
+    (year × nation) grain + a year-partitioned row_number window — a
+    single keyed shuffle, never a per-member loop — then the bounded
+    distinct-member collect feeds the ordinary axis plan."""
+    eng = get_engine(spark, sf_dir)
+    return eng.execute(
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "GENERATE([Time].[Year].Members, "
+        "  TOPCOUNT([Customer].[Nation].Members, 2, [Measures].[Sum Qty])) "
+        "ON ROWS FROM [Sales] WHERE [ReturnFlag].[N]"
+    ).df

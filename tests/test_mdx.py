@@ -3858,22 +3858,56 @@ def test_descendants_distance_form(engine):
 
 
 def test_generate_computed_cross_dim_data_dependent_rejected(engine):
-    """GENERATE with a measure-dependent computed second set across
-    DIFFERENT hierarchies raises: Mondrian evaluates set2 per set1
-    member (context-dependent), which the once-evaluated lowering would
-    silently get wrong.  Same-hierarchy stays supported — the set2
-    member REPLACES set1's in context, so one evaluation is faithful."""
-    with pytest.raises(MdxError, match="share one\\s+hierarchy"):
-        execute_mdx(
-            engine,
-            "SELECT [Measures].[Sum Qty] ON COLUMNS, "
-            "GENERATE([Time].[Year].Members, "
-            "TOPCOUNT([Customer].[Nation].Members, 3, [Measures].[Sum Qty])) "
-            "ON ROWS FROM [Sales]",
-        )
+    """Malformed-argument errors stay positioned MdxErrors (the
+    cross-dimension measure-dependent GENERATE itself now evaluates
+    per-member — test_generate_per_member_cross_dim)."""
     with pytest.raises(MdxError, match="must be an integer"):
         execute_mdx(
             engine,
             "SELECT [Measures].[Sum Qty] ON COLUMNS, "
             "DESCENDANTS([Customer].[ASIA], 1.5) ON ROWS FROM [Sales]",
+        )
+
+
+def test_generate_per_member_cross_dim(engine, duck):
+    """Cross-dimension measure-dependent GENERATE evaluates set2 PER set1
+    member (GenerateFunDef iteration): the union of each year's top-2
+    nations — NOT the global top-2 (which would be 2 rows)."""
+    rows = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "GENERATE([Time].[Year].Members, "
+        "TOPCOUNT([Customer].[Nation].Members, 2, [Measures].[Sum Qty])) "
+        "ON ROWS FROM [Sales]",
+    ).df.collect()
+    want = {
+        n
+        for (n,) in duck.execute(
+            """
+            WITH yr AS (
+              SELECT year(o_orderdate) y, n_name, sum(l_quantity) s
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              GROUP BY 1, 2
+            )
+            SELECT DISTINCT n_name FROM (
+              SELECT n_name, row_number() OVER (
+                PARTITION BY y ORDER BY s DESC, n_name) rn FROM yr
+            ) WHERE rn <= 2
+            """
+        ).fetchall()
+    }
+    assert {r["nation_name"] for r in rows} == want
+    assert len(want) > 2  # proves per-member, not global
+
+
+def test_generate_per_member_must_be_last_op(engine):
+    with pytest.raises(MdxError, match="last set operation"):
+        execute_mdx(
+            engine,
+            "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+            "HEAD(GENERATE([Time].[Year].Members, "
+            "TOPCOUNT([Customer].[Nation].Members, 2, [Measures].[Sum Qty])), 3) "
+            "ON ROWS FROM [Sales]",
         )
