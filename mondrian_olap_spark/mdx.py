@@ -3335,6 +3335,48 @@ class MdxParser:
                     return tuple(ns.base)
             return None
 
+        def _named_set_filter_arg(s: str):
+            """A NAMED SET defined as FILTER(...) used as a statistic's
+            set argument: splice its base members and fold its filter
+            conditions into the sub-aggregate row filter (the same
+            lowering as an inline Filter(set, cond) argument).  Returns
+            (member_strs, where_sql) or None when not that shape."""
+            from .members import parse_identifier
+
+            s = s.strip()
+            if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", s):
+                segs = [s]  # bare named-set reference
+            elif re.fullmatch(_id_pat, s):
+                try:
+                    segs = parse_identifier(s)
+                except Exception:
+                    return None
+            else:
+                return None
+            if len(segs) != 1:
+                return None
+            ns = getattr(self, "named_sets", {}).get(segs[0].lower())
+            if (
+                ns is None
+                or not ns.base
+                or ns.set_ops
+                or not ns.ops
+                or not all(op[0] == "filter" for op in ns.ops)
+            ):
+                return None
+            conds = []
+            for op in ns.ops:
+                if len(op) > 2 and op[2] and re.search(
+                    rf"(?i)\[?{re.escape(op[2])}\]?\s*\.\s*CURRENT", op[1]
+                ):
+                    raise MdxError(
+                        "set self-references (ALIAS.Current) are not "
+                        "supported in a named set used as a statistic "
+                        "argument"
+                    )
+                conds.append(f"({op[1]})")
+            return tuple(ns.base), " AND ".join(conds)
+
         def _register_stat(
             fn, exprs, member_strs, arg, nan_wrap, existing=False, where=None
         ):
@@ -3466,6 +3508,17 @@ class MdxParser:
                                 fparts[1], _canon_frag(fparts[0])
                             )
                 member_strs = _parse_set_arg(set_src)
+                if member_strs is None:
+                    # a FILTER-defined named set splices like an inline
+                    # Filter(set, cond) argument
+                    spliced = _named_set_filter_arg(set_src)
+                    if spliced is not None:
+                        member_strs, ns_where = spliced
+                        where_cond = (
+                            ns_where
+                            if where_cond is None
+                            else f"({where_cond}) AND ({ns_where})"
+                        )
                 if member_strs is None:
                     if existing:
                         raise MdxError(

@@ -451,3 +451,26 @@ def test_rank_inside_filter_condition(engine):
         """,
     ).df.collect()[0]
     assert row["c"] == 3
+
+
+def test_named_filter_set_as_stat_argument(engine):
+    """A WITH SET defined as FILTER(...) splices into set statistics like
+    an inline Filter(set, cond) argument — base members + the condition
+    folded into the sub-aggregate row filter; bare and bracketed
+    references both resolve."""
+    for ref in ("BigNations", "[BigNations]"):
+        row = execute_mdx(
+            engine,
+            "WITH SET BigNations AS "
+            "'Filter([Customer].[Nation].Members, [Measures].[Sum Qty] > 9000)' "
+            f"MEMBER [Measures].[N] AS 'Count({ref})' "
+            f"MEMBER [Measures].[S] AS 'Sum({ref}, [Measures].[Sum Qty])' "
+            "SELECT {[Measures].[N], [Measures].[S]} ON COLUMNS FROM [Sales]",
+        ).df.collect()[0]
+        inline = execute_mdx(
+            engine,
+            "WITH MEMBER [Measures].[N] AS "
+            "'Count(Filter([Customer].[Nation].Members, [Measures].[Sum Qty] > 9000))' "
+            "SELECT {[Measures].[N]} ON COLUMNS FROM [Sales]",
+        ).df.collect()[0]
+        assert row["n"] == inline["n"] and row["n"] > 0
