@@ -3063,11 +3063,15 @@ class Query:
             # (slicer-context evaluation — eval_set_expr), then slices the
             # exists sub-aggregate exactly like a plain member list
             arg = desc[1]
-            extra_slice = (
-                self.eval_set_expr(arg)
-                if isinstance(arg, SetExpr)
-                else list(arg)
-            )
+            if isinstance(arg, SetExpr):
+                extra_slice = self.eval_set_expr(arg)
+                if not extra_slice:
+                    # EXISTS against an EMPTY computed set is the EMPTY
+                    # set — an empty slice would otherwise mean "no
+                    # constraint" and silently keep every member
+                    return df.filter(F.lit(False))
+            else:
+                extra_slice = list(arg)
         else:
             extra_slice = []
         sub, sub_group = planner.aggregate(

@@ -3911,3 +3911,17 @@ def test_generate_per_member_must_be_last_op(engine):
             "TOPCOUNT([Customer].[Nation].Members, 2, [Measures].[Sum Qty])), 3) "
             "ON ROWS FROM [Sales]",
         )
+
+
+def test_exists_empty_computed_set_is_empty(engine):
+    """EXISTS against a computed second set that evaluates to EMPTY is
+    the empty set — not 'no constraint' (round-11 sf0.001 sweep catch:
+    an empty slice list silently kept every member)."""
+    r = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "EXISTS([Customer].[Nation].Members, "
+        "FILTER([ReturnFlag].Children, [Measures].[Sum Qty] > 99999999)) "
+        "ON ROWS FROM [Sales]",
+    )
+    assert r.df.count() == 0
