@@ -157,6 +157,7 @@ HEADLINE = [
     "descendants_flags_gate",
     "count_filter_formula_gate",
     "generate_per_member_gate",
+    "union_set_expression_gate",
 ]
 
 

@@ -843,6 +843,9 @@ class MdxParser:
         #: per-member GENERATE ops deferred to post-WHERE:
         #: (axis index, generate_expr descriptor)
         self._deferred_generates: list[tuple] = []
+        #: UNION/INTERSECT ops with computed arguments, deferred to
+        #: post-WHERE: (axis index, setop_expr descriptor)
+        self._deferred_setops: list[tuple] = []
         #: buffered non-Measures WITH MEMBER definitions, applied in
         #: dependency order once the WITH clause closes (forward
         #: references between aggregate members are legal in Mondrian)
@@ -1088,7 +1091,11 @@ class MdxParser:
         # lists defer too, preserving drill/toggle relative order
         from .query import SetExpr
 
-        # per-member GENERATE first (it REPLACES its axis's set; trailing
+        # UNION/INTERSECT with computed arguments first: they BUILD their
+        # axis's set (the axis is empty until then)
+        for axis_i, op in self._deferred_setops:
+            self._apply_deferred_setop(axis_i, op)
+        # per-member GENERATE next (it REPLACES its axis's set; trailing
         # drills may reference the replaced members)
         for axis_i, op in self._deferred_generates:
             _, sb, all_flag, raw = op
@@ -1538,6 +1545,20 @@ class MdxParser:
                         "this subset (drills may follow)"
                     )
                 self._deferred_generates.append((axis_i, op))
+            elif op[0] == "setop_expr":
+                # UNION/INTERSECT with a computed argument: evaluated
+                # post-WHERE (slicer context); it IS the axis set, so
+                # only trailing drills may follow
+                if any(
+                    o[0] not in ("drilldown_member", "toggle_drill")
+                    for o in members.ops[i + 1 :]
+                ):
+                    raise MdxError(
+                        f"{op[1].upper()} with a computed argument must be "
+                        "the last set operation on its axis in this subset "
+                        "(drills may follow)"
+                    )
+                self._deferred_setops.append((axis_i, op))
             else:
                 self._apply_axis_op(self.q, op)
         if nonempty:
@@ -2018,6 +2039,85 @@ class MdxParser:
         set1_dims = {s.dimension.name for s in self.q._axis().sets}
         return not set1_dims <= set2_dims
 
+    def _apply_deferred_setop(self, axis_i: int, op: tuple) -> None:
+        """UNION/INTERSECT with a computed argument (UnionFunDef,
+        IntersectFunDef over arbitrary sets): each computed side
+        evaluates in the slicer context (eval_set_expr — bounded member
+        collect); UNION splices both sides onto the axis (same-dimension
+        sets union with IN semantics, the grid dedups); INTERSECT keeps
+        left-side members whose (dimension, level, path) identity
+        appears on the right — a whole-level side contains any
+        same-level member of its dimension."""
+        from .members import MeasureRef as _MRef
+
+        _, fname, left_sb, right_sb, all_flag, raw_r = op
+
+        def side(sb, raw):
+            """→ (names, refs): written identifiers + resolved refs."""
+            if not sb.ops and not sb.set_ops:
+                refs = [self.q._resolve(m) for m in sb.base]
+                if any(isinstance(r, _MRef) for r in refs):
+                    raise MdxError(
+                        f"{fname.upper()} takes dimension member sets"
+                    )
+                return list(sb.base), refs
+            se = self._set_arg(sb, fname.upper(), raw)
+            refs = self.q.eval_set_expr(se)
+            return (
+                [format_name([r.dimension.name, *r.path]) for r in refs],
+                refs,
+            )
+
+        left_names, left_refs = side(left_sb, None)
+        right_names, right_refs = side(right_sb, raw_r)
+        if fname == "union":
+            names = left_names + right_names
+            if not names:
+                raise MdxError(
+                    "UNION: both computed arguments are empty in the "
+                    "query context"
+                )
+            self.q.axis(axis_i, *names)
+            return
+
+        def key(r):
+            return (r.dimension.name, r.depth, tuple(map(str, r.path)))
+
+        # a whole-level ref (no path) on the right contains every
+        # same-level member of its dimension
+        right_levels = {
+            (r.dimension.name, r.depth)
+            for r in right_refs
+            if not r.path
+        }
+        right_keys = {key(r) for r in right_refs if r.path}
+        picked = []
+        for name, r in zip(left_names, left_refs):
+            if not r.path:
+                raise MdxError(
+                    "INTERSECT with a computed argument needs concrete "
+                    "members on the left side (a whole level cannot "
+                    "enumerate here)"
+                )
+            if (
+                key(r) in right_keys
+                or (r.dimension.name, r.depth) in right_levels
+            ):
+                picked.append(name)
+        if picked:
+            self.q.axis(axis_i, *picked)
+            return
+        # empty intersection: a one-member axis filtered to nothing keeps
+        # the grid's schema while yielding zero rows
+        seed = (left_names or right_names or [None])[0]
+        if seed is None:
+            raise MdxError(
+                "INTERSECT: both computed arguments are empty in the "
+                "query context"
+            )
+        self.q.axis(axis_i, seed)
+        self.q.filter("1 = 0")
+
     def _parse_set_raw(self):
         """parse_set + the argument's source text (for to_mdx round-trips
         of computed set arguments)."""
@@ -2115,14 +2215,13 @@ class MdxParser:
             return inner
         if fname in ("union", "intersect"):
             # UNION(s1, s2[, ALL]) / INTERSECT(s1, s2)
-            # (jar!mondrian/olap/fun/UnionFunDef, IntersectFunDef): the
-            # function spellings of what {s1, s2} / set arithmetic already
-            # cover.  Member identity is the canonicalized written form
-            # (whitespace/case-insensitive); both arguments must be plain
-            # member lists — computed-set arguments would need deferred
-            # evaluation (functions/sets.py covers the DataFrame forms).
+            # (jar!mondrian/olap/fun/UnionFunDef, IntersectFunDef): plain
+            # member lists canonicalize at parse time (written-form
+            # identity, segment-wise); a COMPUTED argument on either side
+            # defers to post-WHERE evaluation (slicer context) —
+            # parse_axis + _apply_deferred_setop.
             self.expect_op(",")
-            right = self.parse_set()
+            right, raw_r = self._parse_set_raw()
             all_flag = False
             if self.at_op(","):
                 self.next()
@@ -2133,6 +2232,11 @@ class MdxParser:
                 self.next()
                 all_flag = True
             self.expect_op(")")
+            if inner.ops or inner.set_ops or right.ops or right.set_ops:
+                return _SetBuild(
+                    base=[],
+                    ops=[("setop_expr", fname, inner, right, all_flag, raw_r)],
+                )
             left_m = self._plain_members(inner, fname.upper())
             right_m = self._plain_members(right, fname.upper())
 

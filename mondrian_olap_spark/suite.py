@@ -4230,3 +4230,41 @@ def generate_per_member_gate(spark, sf_dir):
         "  TOPCOUNT([Customer].[Nation].Members, 2, [Measures].[Sum Qty])) "
         "ON ROWS FROM [Sales] WHERE [ReturnFlag].[N]"
     ).df
+
+
+@q(
+    "union_set_expression_gate",
+    f"""
+    WITH nat AS (
+      SELECT r_name, n_name, sum(l_quantity) AS s
+      FROM {_CUST_STAR} GROUP BY 1, 2
+    ),
+    top2 AS (
+      SELECT r_name, n_name FROM (
+        SELECT r_name, n_name,
+               row_number() OVER (ORDER BY s DESC, r_name, n_name) AS rn
+        FROM nat
+      ) WHERE rn <= 2
+    )
+    SELECT r_name AS region_name, n_name AS nation_name, s AS sum_qty
+    FROM nat
+    WHERE (r_name = 'ASIA' AND n_name = 'NATION_2')
+       OR EXISTS (SELECT 1 FROM top2
+                  WHERE top2.r_name = nat.r_name
+                    AND top2.n_name = nat.n_name)
+    """,
+)
+def union_set_expression_gate(spark, sf_dir):
+    """UNION with a COMPUTED argument (UnionFunDef over arbitrary sets):
+    the TOPCOUNT side evaluates post-WHERE in the slicer context
+    (bounded member collect), then both sides splice onto the axis —
+    same-dimension sets union with IN semantics, the grid dedups
+    (GenerateFunDef-family deferred evaluation; INTERSECT and the
+    empty-result shapes are pytest-covered)."""
+    eng = get_engine(spark, sf_dir)
+    return eng.execute(
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "UNION({[Customer].[ASIA].[NATION_2]}, "
+        "  TOPCOUNT([Customer].[Nation].Members, 2, [Measures].[Sum Qty])) "
+        "ON ROWS FROM [Sales]"
+    ).df

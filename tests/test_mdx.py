@@ -3925,3 +3925,50 @@ def test_exists_empty_computed_set_is_empty(engine):
         "ON ROWS FROM [Sales]",
     )
     assert r.df.count() == 0
+
+
+def test_union_intersect_computed_arguments(engine):
+    """UNION/INTERSECT with computed arguments (UnionFunDef/
+    IntersectFunDef over arbitrary sets): the computed side evaluates in
+    the slicer context post-WHERE; INTERSECT keys on (dimension, level,
+    path) identity; an empty intersection yields an empty grid."""
+    u = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "UNION({[Customer].[ASIA].[NATION_2]}, "
+        "TOPCOUNT([Customer].[Nation].Members, 2, [Measures].[Sum Qty])) "
+        "ON ROWS FROM [Sales]",
+    ).df.collect()
+    top2 = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "TOPCOUNT([Customer].[Nation].Members, 2, [Measures].[Sum Qty]) "
+        "ON ROWS FROM [Sales]",
+    ).df.collect()
+    assert {r["nation_name"] for r in u} == {"NATION_2"} | {
+        r["nation_name"] for r in top2
+    }
+    i = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "INTERSECT({[Customer].[ASIA].[NATION_2], [Customer].[AFRICA].[NATION_0]}, "
+        "FILTER([Customer].[Nation].Members, [Measures].[Sum Qty] > 6000)) "
+        "ON ROWS FROM [Sales]",
+    ).df.collect()
+    assert [r["nation_name"] for r in i] == ["NATION_2"]
+    empty = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "INTERSECT({[Customer].[ASIA].[NATION_2]}, "
+        "FILTER([Customer].[Nation].Members, [Measures].[Sum Qty] > 99999999)) "
+        "ON ROWS FROM [Sales]",
+    )
+    assert empty.df.count() == 0
+    # a whole-level computed-side INTERSECT contains same-level members
+    lvl = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "INTERSECT({[Customer].[ASIA].[NATION_2]}, "
+        "DISTINCT([Customer].[Nation].Members)) ON ROWS FROM [Sales]",
+    ).df.collect()
+    assert [r["nation_name"] for r in lvl] == ["NATION_2"]
