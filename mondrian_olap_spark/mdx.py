@@ -799,6 +799,16 @@ def _rewrite_call(text: str, name: str, open_repl: str, close_repl: str) -> str:
         i = j
 
 
+def _alias_self_ref(cond: str, alias) -> bool:
+    """True when a FILTER condition references its set alias's .Current
+    self-iteration (ALIAS.Current / [ALIAS].CurrentOrdinal …) — supported
+    only in top-level axis FILTERs, so the nested/computed paths share
+    this one detector."""
+    return bool(alias) and bool(
+        re.search(rf"(?i)\[?{re.escape(alias)}\]?\s*\.\s*CURRENT", cond)
+    )
+
+
 class MdxParser:
     """Recursive-descent parser lowering MDX text onto a Query builder."""
 
@@ -1102,15 +1112,17 @@ class MdxParser:
             se = self._set_arg(sb, "GENERATE", raw)
             ax_sets = list(self.q._axes[axis_i].sets)
             refs = self.q.eval_set_expr_per_member(ax_sets, se)
+            self.q.axis(axis_i)  # re-target the op's own axis
             if not refs:
-                raise MdxError(
-                    "GENERATE: the computed second set is empty in the "
-                    "query context"
-                )
+                # an empty per-member union is an EMPTY axis (Mondrian
+                # returns zero tuples): keep set2's grid schema via its
+                # base identifiers, then filter to nothing
+                self.q.generate(*sb.base, all=all_flag, _display=raw)
+                self.q.filter("1 = 0")
+                continue
             names = [
                 format_name([r.dimension.name, *r.path]) for r in refs
             ]
-            self.q.axis(axis_i)  # re-target the op's own axis
             self.q.generate(*names, all=all_flag, _display=raw)
         for op in self._deferred_drills:
             arg = op[1]
@@ -1476,9 +1488,7 @@ class MdxParser:
     def _apply_set_op(q, members, d):
         k = d[0]
         if k == "filter":
-            if len(d) > 2 and d[2] and re.search(
-                rf"(?i)\[?{re.escape(d[2])}\]?\s*\.\s*CURRENT", d[1]
-            ):
+            if len(d) > 2 and _alias_self_ref(d[1], d[2]):
                 raise MdxError(
                     "set self-references (ALIAS.Current) are only supported "
                     "in top-level axis FILTERs in this subset"
@@ -1534,7 +1544,17 @@ class MdxParser:
                 # (slicer context), lowered as one partitioned
                 # sub-aggregate (Query.eval_set_expr_per_member).  Later
                 # axis ops would capture the pre-replacement set, so only
-                # trailing drills may follow.
+                # trailing drills may follow; and EARLIER ops restricting
+                # set1 (FILTER/TOPCOUNT/…) were applied as grid mods the
+                # deferred context evaluation cannot see — the iteration
+                # would cover unrestricted members, so that shape raises.
+                if i > 0 or members.set_ops:
+                    raise MdxError(
+                        "GENERATE with a per-member computed second set "
+                        "over a RESTRICTED first set is not supported in "
+                        "this subset (the context evaluation iterates the "
+                        "plain member list)"
+                    )
                 if any(
                     o[0] not in ("drilldown_member", "toggle_drill")
                     for o in members.ops[i + 1 :]
@@ -2047,7 +2067,13 @@ class MdxParser:
         sets union with IN semantics, the grid dedups); INTERSECT keeps
         left-side members whose (dimension, level, path) identity
         appears on the right — a whole-level side contains any
-        same-level member of its dimension."""
+        same-level member of its dimension.
+
+        Serialization note: evaluated members splice onto the axis as
+        concrete identifiers, so ``to_mdx`` flattens the UNION/INTERSECT
+        spelling to the resulting member list (the same
+        evaluate-then-serialize flattening deferred drills have);
+        re-execution is equivalent under the same data."""
         from .members import MeasureRef as _MRef
 
         _, fname, left_sb, right_sb, all_flag, raw_r = op
@@ -2073,36 +2099,62 @@ class MdxParser:
         if fname == "union":
             names = left_names + right_names
             if not names:
-                raise MdxError(
-                    "UNION: both computed arguments are empty in the "
-                    "query context"
-                )
+                # both computed sides evaluated empty: empty axis via the
+                # base identifiers' schema + a false filter
+                seeds = list(left_sb.base) + list(right_sb.base)
+                self.q.axis(axis_i, *seeds)
+                self.q.filter("1 = 0")
+                return
             self.q.axis(axis_i, *names)
             return
 
         def key(r):
             return (r.dimension.name, r.depth, tuple(map(str, r.path)))
 
-        # a whole-level ref (no path) on the right contains every
-        # same-level member of its dimension
+        # the identity comparison needs ENUMERABLE refs: concrete members
+        # compare by (dimension, level, path); a plain whole-level side
+        # ('.Members', no path constraint) contains every same-level
+        # member of its dimension.  Anything else a plain side can spell
+        # (.Children, ranges — path-constrained but NOT enumerated here)
+        # would compare its PARENT path against member paths and silently
+        # mis-intersect, so those raise.
+        def _check_enumerable(refs, side_name):
+            for r in refs:
+                if r.kind == "member" and r.path:
+                    continue
+                if r.kind == "level_members" and not r.path:
+                    continue
+                raise MdxError(
+                    f"INTERSECT with a computed argument supports "
+                    f"concrete members or whole levels on the "
+                    f"{side_name} side in this subset (got a "
+                    f"{r.kind} set)"
+                )
+
+        _check_enumerable(left_refs, "left")
+        _check_enumerable(right_refs, "right")
         right_levels = {
             (r.dimension.name, r.depth)
             for r in right_refs
             if not r.path
         }
         right_keys = {key(r) for r in right_refs if r.path}
+        left_levels = {
+            (r.dimension.name, r.depth) for r in left_refs if not r.path
+        }
         picked = []
         for name, r in zip(left_names, left_refs):
             if not r.path:
-                raise MdxError(
-                    "INTERSECT with a computed argument needs concrete "
-                    "members on the left side (a whole level cannot "
-                    "enumerate here)"
-                )
+                # a whole-level LEFT side intersected with concrete right
+                # members of that level = the right members
+                continue
             if (
                 key(r) in right_keys
                 or (r.dimension.name, r.depth) in right_levels
             ):
+                picked.append(name)
+        for name, r in zip(right_names, right_refs):
+            if r.path and (r.dimension.name, r.depth) in left_levels:
                 picked.append(name)
         if picked:
             self.q.axis(axis_i, *picked)
@@ -2150,9 +2202,7 @@ class MdxParser:
         for d in sb.ops:
             k = d[0]
             if k == "filter":
-                if len(d) > 2 and d[2] and re.search(
-                    rf"(?i)\[?{re.escape(d[2])}\]?\s*\.\s*CURRENT", d[1]
-                ):
+                if len(d) > 2 and _alias_self_ref(d[1], d[2]):
                     raise MdxError(
                         "set self-references (ALIAS.Current) are not "
                         f"supported inside a computed set argument of {where}"
@@ -3470,9 +3520,7 @@ class MdxParser:
                 return None
             conds = []
             for op in ns.ops:
-                if len(op) > 2 and op[2] and re.search(
-                    rf"(?i)\[?{re.escape(op[2])}\]?\s*\.\s*CURRENT", op[1]
-                ):
+                if len(op) > 2 and _alias_self_ref(op[1], op[2]):
                     raise MdxError(
                         "set self-references (ALIAS.Current) are not "
                         "supported in a named set used as a statistic "

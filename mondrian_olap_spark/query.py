@@ -2829,103 +2829,11 @@ class Query:
         member-list materialization Mondrian's evaluator performs for
         every set argument (jar!mondrian/olap/fun/ExistsFunDef evaluates
         its second set to a TupleList), so the driver collect is bounded
-        by the dimension, never the fact."""
-        refs = [self._resolve(m) for m in se.members]
-        if not refs or any(isinstance(r, MeasureRef) for r in refs):
-            raise QueryError("computed set arguments need dimension member sets")
-        dim = refs[0].dimension
-        if any(r.dimension.name != dim.name for r in refs):
-            raise QueryError(
-                "computed set argument members must share one dimension"
-            )
-        if len({r.depth for r in refs}) != 1:
-            raise QueryError(
-                "computed set argument members must share one level"
-            )
-        measures, seen = [], set()
-        for d in se.ops:
-            e = (
-                d[1] if d[0] in ("filter", "order")
-                else (d[4] if d[0] == "topbottom" else None)
-            )
-            for m in self._measures_in(e):
-                if m.out not in seen:
-                    seen.add(m.out)
-                    measures.append(m)
-        planner = Planner(self.engine, extra_measures=tuple(self._with))
-        sub, sub_group = planner.aggregate(
-            [list(refs)], list(self._slicer), measures
-        )
-        keys = [F.col(c) for c in sub_group]
-        local_sort: list | None = None
-        for d in se.ops:
-            k = d[0]
-            if k == "filter":
-                sub = sub.filter(F.expr(d[1]))
-            elif k == "topbottom":
-                _, side, how, n, e = d
-                sub, spec = _top_bottom(sub, side, how, n, e, keys)
-                local_sort = list(spec)
-            elif k == "order":
-                col = F.expr(d[1])
-                desc_ = d[2].upper().endswith("DESC")
-                local_sort = [col.desc() if desc_ else col.asc()] + keys
-            elif k == "slice":
-                _, start, count, from_end = d
-                if from_end and local_sort:
-                    raise QueryError(
-                        "TAIL after a custom order is not supported inside "
-                        "a computed set argument"
-                    )
-                order = local_sort if local_sort else (
-                    [c.desc() for c in keys] if from_end else list(keys)
-                )
-                w = Window.orderBy(*order)
-                sub = (
-                    sub.withColumn("__rn", F.row_number().over(w))
-                    .filter(
-                        (F.col("__rn") > start)
-                        & (F.col("__rn") <= start + count)
-                    )
-                    .drop("__rn")
-                )
-            elif k == "except":
-                for m in d[1]:
-                    r = self._resolve(m)
-                    if isinstance(r, MeasureRef) or not r.path:
-                        raise QueryError(
-                            "EXCEPT inside a computed set argument needs "
-                            "concrete member paths"
-                        )
-                    pred = None
-                    for i, key in enumerate(r.path):
-                        c = F.col(r.dimension.levels[i].out) == key
-                        pred = c if pred is None else (pred & c)
-                    sub = sub.filter(~F.coalesce(pred, F.lit(False)))
-            elif k in ("distinct", "hierarchize", "nonempty"):
-                pass  # the collected member list is already distinct
-            else:
-                raise QueryError(
-                    f"{k.upper()} is not supported inside a computed set "
-                    "argument"
-                )
-        rows = sub.select(*sub_group).dropDuplicates().collect()
-        out = []
-        for row in sorted(rows, key=lambda r: tuple(str(r[c]) for c in sub_group)):
-            path = tuple(row[c] for c in sub_group)
-            if any(v is None for v in path):
-                # genuinely-NULL member keys cannot form a path predicate
-                # (IN-list semantics, same as the SQL oracle's NULL drop)
-                continue
-            out.append(
-                MemberSetRef(
-                    dim,
-                    depth=len(sub_group) - 1,
-                    path=tuple(str(v) for v in path),
-                    kind="member",
-                )
-            )
-        return out
+        by the dimension, never the fact.
+
+        This is the zero-context case of the per-member evaluator (empty
+        partition → global windows) — ONE op interpreter serves both."""
+        return self.eval_set_expr_per_member([], se)
 
     def eval_set_expr_per_member(
         self, context_refs, se: "SetExpr"

@@ -3885,15 +3885,17 @@ def test_generate_per_member_cross_dim(engine, duck):
         for (n,) in duck.execute(
             """
             WITH yr AS (
-              SELECT year(o_orderdate) y, n_name, sum(l_quantity) s
+              SELECT year(o_orderdate) y, r_name, n_name,
+                     sum(l_quantity) s
               FROM lineitem JOIN orders ON l_orderkey = o_orderkey
               JOIN customer ON o_custkey = c_custkey
               JOIN nation ON c_nationkey = n_nationkey
-              GROUP BY 1, 2
+              JOIN region ON n_regionkey = r_regionkey
+              GROUP BY 1, 2, 3
             )
             SELECT DISTINCT n_name FROM (
               SELECT n_name, row_number() OVER (
-                PARTITION BY y ORDER BY s DESC, n_name) rn FROM yr
+                PARTITION BY y ORDER BY s DESC, r_name, n_name) rn FROM yr
             ) WHERE rn <= 2
             """
         ).fetchall()
@@ -3972,3 +3974,59 @@ def test_union_intersect_computed_arguments(engine):
         "DISTINCT([Customer].[Nation].Members)) ON ROWS FROM [Sales]",
     ).df.collect()
     assert [r["nation_name"] for r in lvl] == ["NATION_2"]
+
+
+def test_generate_per_member_restricted_set1_rejected(engine):
+    """Per-member GENERATE over a RESTRICTED first set raises: the
+    deferred context evaluation reads the plain member list, so an
+    earlier FILTER/TOPCOUNT on set1 would silently be ignored
+    (round-11 second-review fix)."""
+    with pytest.raises(MdxError, match="RESTRICTED first set"):
+        execute_mdx(
+            engine,
+            "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+            "GENERATE(FILTER([Time].[Year].Members, [Measures].[Sum Qty] > 0), "
+            "TOPCOUNT([Customer].[Nation].Members, 2, [Measures].[Sum Qty])) "
+            "ON ROWS FROM [Sales]",
+        )
+
+
+def test_generate_per_member_empty_is_empty_axis(engine):
+    """An empty per-member union is an EMPTY axis (zero tuples), not an
+    error — the grid keeps set2's schema."""
+    r = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "GENERATE([Time].[Year].Members, "
+        "FILTER([Customer].[Nation].Members, [Measures].[Sum Qty] > 99999999)) "
+        "ON ROWS FROM [Sales]",
+    )
+    assert r.df.count() == 0
+    assert "nation_name" in r.df.columns
+
+
+def test_intersect_children_side_rejected(engine):
+    """A plain .Children side of a computed INTERSECT cannot enumerate
+    here — its parent-path identity would silently mis-intersect against
+    member paths, so it raises (round-11 second-review fix)."""
+    with pytest.raises(MdxError, match="concrete members or whole levels"):
+        execute_mdx(
+            engine,
+            "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+            "INTERSECT([Customer].[ASIA].Children, "
+            "FILTER([Customer].[Nation].Members, [Measures].[Sum Qty] > 0)) "
+            "ON ROWS FROM [Sales]",
+        )
+
+
+def test_intersect_whole_level_left_side(engine):
+    """A whole-level plain LEFT side contains every same-level computed
+    member — the intersection is the computed side."""
+    rows = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "INTERSECT([Customer].[Nation].Members, "
+        "TOPCOUNT([Customer].[Nation].Members, 2, [Measures].[Sum Qty])) "
+        "ON ROWS FROM [Sales]",
+    ).df.collect()
+    assert len(rows) == 2
