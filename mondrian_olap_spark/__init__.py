@@ -31,7 +31,7 @@ from .model import (
 )
 from .pool import EnginePool, SchemaHandle
 from .star import CubeEngine
-from .query import Query
+from .query import Query, SetExpr
 from .result import Result
 
 __all__ = [
@@ -47,6 +47,7 @@ __all__ = [
     "Result",
     "Schema",
     "SchemaHandle",
+    "SetExpr",
 ]
 
 __version__ = "0.1.0"

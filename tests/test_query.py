@@ -1302,3 +1302,37 @@ def test_filter_by_member_property(engine, duck):
          .rows("[Customer].children")
          .filter("[Part].CurrentMember.Properties('part_size') > 1")
          .execute())
+
+
+def test_builder_setexpr_surface(engine):
+    """SetExpr is the builder-level computed-set argument (the package
+    exports it): exists_/except_ accept one directly — reference-style
+    builder nesting without MDX text."""
+    from mondrian_olap_spark import Query, SetExpr
+
+    r = (
+        Query(engine)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].[Nation].Members")
+        .exists_(
+            SetExpr(
+                members=("[ReturnFlag].Children",),
+                ops=(("filter", "sum_qty > 6000"),),
+            )
+        )
+        .execute()
+    )
+    assert r.df.count() > 0
+    r2 = (
+        Query(engine)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].[Nation].Members")
+        .except_(
+            SetExpr(
+                members=("[Customer].[Nation].Members",),
+                ops=(("topbottom", "top", "count", 3, "sum_qty"),),
+            )
+        )
+        .execute()
+    )
+    assert r2.df.count() == 22  # 25 nations minus the top 3
