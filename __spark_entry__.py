@@ -45,7 +45,7 @@ _LAST_HASHED: dict[str, int] = {
     # Section comments below record which round FIRST hashed the block,
     # for provenance only.
     # first hashed green in CORRECTNESS_r02.json
-    "date_functions_by_year": 7,
+    "date_functions_by_year": 11,
     "drilldown_member_region": 7,
     "empty_cells_grid": 7,
     "events_daily_users": 7,
@@ -60,9 +60,9 @@ _LAST_HASHED: dict[str, int] = {
     "virtual_valid_measure": 7,
     "visual_totals_regions": 7,
     # first hashed green in CORRECTNESS_r03.json
-    "aggregate_routing_gate": 7,
-    "currentdate_member": 7,
-    "dedup_exact_fingerprint": 7,
+    "aggregate_routing_gate": 11,
+    "currentdate_member": 11,
+    "dedup_exact_fingerprint": 11,
     "dedup_keep_list": 7,
     "dedup_minhash_lsh_pairs": 7,
     "dedup_ngram_jaccard_pairs": 7,
@@ -198,44 +198,44 @@ _LAST_HASHED: dict[str, int] = {
     "crossjoin_nation_priority": 10,
     "cube_flags_totals": 10,
     "dedup_bloom_append_gate": 10,
-    "dedup_incremental_bloom": 6,
-    "dedup_incremental_neardup": 6,
-    "dedup_index_append_gate": 6,
-    "dispersion_stats": 6,
-    "distinct_count_by_region": 6,
-    "embed_ivf_append_gate": 6,
-    "embed_pq_codes": 6,
-    "embed_pq_topk": 6,
-    "events_daily_anomaly": 6,
-    "events_inter_event_stats": 6,
-    "events_user_sequences": 6,
-    "flagship_region_quarter": 6,
-    "head_nations_hierarchized": 6,
-    "median_percentile_price": 6,
-    "nonempty_crossjoin_nation_brand": 6,
-    "pipeline_column_profile": 6,
-    "pipeline_incremental_curation": 6,
-    "pipeline_length_deciles": 6,
-    "pipeline_negative_samples": 6,
-    "pipeline_stateful_ingest_gate": 6,
-    "pipeline_stateful_neardup_gate": 6,
-    "pricing_summary_flags": 6,
-    "rank_nations": 6,
-    "rollup_region_nation": 6,
-    "sketch_distinct_rollup": 6,
-    "slicer_cross_dim_tuple": 6,
-    "slicer_multi_member_in": 6,
-    "text_blocklist_filter": 6,
-    "text_cdc_chunks": 6,
-    "text_doc_keywords": 6,
-    "text_mojibake_gate": 6,
-    "text_normalize_gate": 6,
-    "text_repeated_segments_removed": 6,
-    "text_script_profile": 6,
-    "text_tokens_to_ids": 6,
-    "topcount_nations": 6,
-    "toppercent_nations": 6,
-    "topsum_nations": 6,
+    "dedup_incremental_bloom": 11,
+    "dedup_incremental_neardup": 11,
+    "dedup_index_append_gate": 11,
+    "dispersion_stats": 11,
+    "distinct_count_by_region": 11,
+    "embed_ivf_append_gate": 11,
+    "embed_pq_codes": 11,
+    "embed_pq_topk": 11,
+    "events_daily_anomaly": 11,
+    "events_inter_event_stats": 11,
+    "events_user_sequences": 11,
+    "flagship_region_quarter": 11,
+    "head_nations_hierarchized": 11,
+    "median_percentile_price": 11,
+    "nonempty_crossjoin_nation_brand": 11,
+    "pipeline_column_profile": 11,
+    "pipeline_incremental_curation": 11,
+    "pipeline_length_deciles": 11,
+    "pipeline_negative_samples": 11,
+    "pipeline_stateful_ingest_gate": 11,
+    "pipeline_stateful_neardup_gate": 11,
+    "pricing_summary_flags": 11,
+    "rank_nations": 11,
+    "rollup_region_nation": 11,
+    "sketch_distinct_rollup": 11,
+    "slicer_cross_dim_tuple": 11,
+    "slicer_multi_member_in": 11,
+    "text_blocklist_filter": 11,
+    "text_cdc_chunks": 11,
+    "text_doc_keywords": 11,
+    "text_mojibake_gate": 11,
+    "text_normalize_gate": 11,
+    "text_repeated_segments_removed": 11,
+    "text_script_profile": 11,
+    "text_tokens_to_ids": 11,
+    "topcount_nations": 11,
+    "toppercent_nations": 11,
+    "topsum_nations": 11,
     # first hashed green in CORRECTNESS_r08.json (round-8 gates)
     "vba_breadth2_gate": 8,
     "vba_breadth3_gate": 8,
@@ -291,6 +291,15 @@ _LAST_HASHED: dict[str, int] = {
     "partitioned_fact_dpp_gate": 10,
     "strtomember_mdx_gate": 10,
     "xml_aggname_routing_gate": 10,
+    # first hashed green in CORRECTNESS_r11.json (round-11 gates)
+    "count_filter_formula_gate": 11,
+    "descendants_flags_gate": 11,
+    "drilldown_set_expression_gate": 11,
+    "except_set_expression_gate": 11,
+    "existing_context_gate": 11,
+    "exists_set_expression_gate": 11,
+    "generate_per_member_gate": 11,
+    "union_set_expression_gate": 11,
 }
 
 
