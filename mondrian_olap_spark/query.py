@@ -2856,10 +2856,6 @@ class Query:
             raise QueryError(
                 "computed set argument members must share one dimension"
             )
-        if len({r.depth for r in refs2}) != 1:
-            raise QueryError(
-                "computed set argument members must share one level"
-            )
         ctx = [
             r for r in context_refs if r.dimension.name != dim2.name
         ]
@@ -2874,13 +2870,50 @@ class Query:
                     seen.add(m.out)
                     measures.append(m)
         planner = Planner(self.engine, extra_measures=tuple(self._with))
-        sub, sub_group = planner.aggregate(
-            [list(ctx) + list(refs2)], list(self._slicer), measures
-        )
+        # MIXED-DEPTH sets ({[2019], [2019].[Q1]}): one sub-aggregate per
+        # depth (each member's condition/sort value is its OWN grain's
+        # cell — Mondrian's evaluator iterates the TupleList and evaluates
+        # per member, jar!mondrian/olap/fun/FilterFunDef), NULL-padded in
+        # the deeper level columns and unioned — the same lowering the
+        # axis grid uses for mixed-level sets (_split_mixed_depth).  The
+        # op chain then runs ONCE over the union (single keyed shuffle).
+        depths = sorted({r.depth for r in refs2})
+        deep_ref = max(refs2, key=lambda r: r.depth)
+        subs: dict[int, DataFrame] = {}
+        sub_group: list[str] = []
+        for d in depths:
+            grp = [r for r in refs2 if r.depth == d]
+            s, s_group = planner.aggregate(
+                [list(ctx) + grp], list(self._slicer), measures
+            )
+            subs[d] = s
+            if d == depths[-1]:
+                sub_group = s_group
         set2_cols = [
-            lv.out for lv in refs2[0].group_levels if lv.out in sub_group
+            lv.out for lv in deep_ref.group_levels if lv.out in sub_group
         ]
         ctx_cols = [c for c in sub_group if c not in set2_cols]
+        deep_types = dict(subs[depths[-1]].dtypes)
+        sub = subs[depths[-1]].withColumn(
+            "__set_depth", F.lit(depths[-1])
+        )
+        for d in depths[:-1]:
+            s = subs[d]
+            for c in set2_cols:
+                if c not in s.columns:
+                    s = s.withColumn(c, F.lit(None).cast(deep_types[c]))
+            s = s.withColumn("__set_depth", F.lit(d))
+            sub = sub.unionByName(s.select(*sub.columns))
+        #: visible level columns per member depth (role level bounds can
+        #: hide top levels uniformly across depths)
+        cols_for_depth = {
+            d: [
+                lv.out
+                for lv in dim2.levels[: d + 1]
+                if lv.out in set2_cols
+            ]
+            for d in depths
+        }
         keys = [F.col(c) for c in set2_cols]
         part = [F.col(c) for c in ctx_cols]
         local_sort: list | None = None
@@ -2900,23 +2933,32 @@ class Query:
                 local_sort = [col.desc() if desc_ else col.asc()] + keys
             elif k == "slice":
                 _, start, count, from_end = d
-                if from_end and local_sort:
-                    raise QueryError(
-                        "TAIL after a custom order is not supported inside "
-                        "a computed set argument"
-                    )
-                order = local_sort if local_sort else (
-                    [c.desc() for c in keys] if from_end else list(keys)
-                )
+                order = local_sort if local_sort else list(keys)
                 w = Window.partitionBy(*part).orderBy(*order)
-                sub = (
-                    sub.withColumn("__rn", F.row_number().over(w))
-                    .filter(
+                sub = sub.withColumn("__rn", F.row_number().over(w))
+                if from_end:
+                    # TAIL honors the set's CURRENT order (incl. a custom
+                    # ORDER — jar!mondrian/olap/fun/HeadTailFunDef slices
+                    # the evaluated list): last ``count`` after skipping
+                    # ``start`` from the end, via the partition row count
+                    # (the sort itself is never reversed — Column sort
+                    # specs are opaque)
+                    wt = Window.partitionBy(*part) if part else (
+                        Window.partitionBy(F.lit(1))
+                    )
+                    sub = (
+                        sub.withColumn("__cnt", F.count(F.lit(1)).over(wt))
+                        .filter(
+                            (F.col("__rn") > F.col("__cnt") - start - count)
+                            & (F.col("__rn") <= F.col("__cnt") - start)
+                        )
+                        .drop("__rn", "__cnt")
+                    )
+                else:
+                    sub = sub.filter(
                         (F.col("__rn") > start)
                         & (F.col("__rn") <= start + count)
-                    )
-                    .drop("__rn")
-                )
+                    ).drop("__rn")
             elif k == "except":
                 for m in d[1]:
                     r = self._resolve(m)
@@ -2929,6 +2971,14 @@ class Query:
                     for i, key in enumerate(r.path):
                         c = F.col(r.dimension.levels[i].out) == key
                         pred = c if pred is None else (pred & c)
+                    if r.dimension.name == dim2.name and len(depths) > 1:
+                        # mixed-depth set: an EXCEPT member removes only
+                        # the member ITSELF (ExceptFunDef removes exact
+                        # tuples, never descendants) — a year's quarters
+                        # share the year key, so pin the row depth
+                        pred = pred & (
+                            F.col("__set_depth") == F.lit(r.depth)
+                        )
                     sub = sub.filter(~F.coalesce(pred, F.lit(False)))
             elif k in ("distinct", "hierarchize", "nonempty"):
                 pass
@@ -2937,18 +2987,26 @@ class Query:
                     f"{k.upper()} is not supported inside a computed set "
                     "argument"
                 )
-        rows = sub.select(*set2_cols).dropDuplicates().collect()
+        rows = (
+            sub.select(*set2_cols, "__set_depth").dropDuplicates().collect()
+        )
         out = []
+        seen_paths: set[tuple] = set()
         for row in sorted(
-            rows, key=lambda r: tuple(str(r[c]) for c in set2_cols)
+            rows,
+            key=lambda r: tuple(
+                str(r[c]) for c in cols_for_depth[r["__set_depth"]]
+            ),
         ):
-            path = tuple(row[c] for c in set2_cols)
-            if any(v is None for v in path):
+            cols = cols_for_depth[row["__set_depth"]]
+            path = tuple(row[c] for c in cols)
+            if any(v is None for v in path) or path in seen_paths:
                 continue
+            seen_paths.add(path)
             out.append(
                 MemberSetRef(
                     dim2,
-                    depth=len(set2_cols) - 1,
+                    depth=len(cols) - 1,
                     path=tuple(str(v) for v in path),
                     kind="member",
                 )

@@ -4268,3 +4268,59 @@ def union_set_expression_gate(spark, sf_dir):
         "  TOPCOUNT([Customer].[Nation].Members, 2, [Measures].[Sum Qty])) "
         "ON ROWS FROM [Sales]"
     ).df
+
+
+@q(
+    "exists_mixed_depth_set_gate",
+    f"""
+    WITH star AS (
+      SELECT r_name, n_name, c_name, l_quantity,
+             year(o_orderdate) AS y, quarter(o_orderdate) AS q
+      FROM {_CUST_STAR}
+    ),
+    cand AS (
+      SELECT 1995 AS y, CAST(NULL AS INT) AS q
+      UNION ALL SELECT 1996, NULL
+      UNION ALL SELECT 1995, 1
+      UNION ALL SELECT 1996, 1
+    ),
+    cells AS (
+      SELECT c.y, c.q, sum(s.l_quantity) AS s
+      FROM cand c JOIN star s ON s.y = c.y AND (c.q IS NULL OR s.q = c.q)
+      GROUP BY 1, 2
+    ),
+    surv AS (SELECT y, q FROM cells ORDER BY s DESC LIMIT 3 OFFSET 1),
+    qual AS (
+      SELECT DISTINCT st.c_name
+      FROM star st JOIN surv v ON st.y = v.y AND (v.q IS NULL OR st.q = v.q)
+    )
+    SELECT r_name AS region_name, n_name AS nation_name,
+           c_name AS customer_name, sum(l_quantity) AS sum_qty
+    FROM star WHERE c_name IN (SELECT c_name FROM qual)
+    GROUP BY 1, 2, 3
+    """,
+)
+def exists_mixed_depth_set_gate(spark, sf_dir):
+    """MIXED-DEPTH computed set argument + TAIL after a custom ORDER
+    (round-12 verdict items 2a/2b — the eval_set_expr_per_member level
+    restriction lifted): the set {[1995], [1996], [1995].[Q1],
+    [1996].[Q1]} spans the Year and Quarter levels; each member's sort
+    value is its OWN grain's cell (one sub-aggregate per depth,
+    NULL-padded union — the _split_mixed_depth lowering), ORDER BDESC
+    sorts the union, and TAIL(..., 3) slices from the END of that custom
+    order via the partition row count (HeadTailFunDef slices the
+    evaluated list; jar!mondrian/olap/fun/FilterFunDef evaluates per
+    member).  The 3 survivors (one YEAR + two QUARTERS — mixed depths
+    reach the slicer) become the EXISTS fact-intersection slice for the
+    customer axis.  Plan shape: one dimension-grain sub-aggregate per
+    depth + a bounded member collect, then the existing broadcast
+    semi-join — the fact never re-shuffles."""
+    eng = get_engine(spark, sf_dir)
+    return eng.execute(
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "EXISTS([Customer].[Customer].Members, "
+        "  TAIL(ORDER({[Time].[1995], [Time].[1996], [Time].[1995].[Q1], "
+        "              [Time].[1996].[Q1]}, "
+        "       [Measures].[Sum Qty], BDESC), 3)) "
+        "ON ROWS FROM [Sales]"
+    ).df

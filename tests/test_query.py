@@ -1336,3 +1336,85 @@ def test_builder_setexpr_surface(engine):
         .execute()
     )
     assert r2.df.count() == 22  # 25 nations minus the top 3
+
+
+def test_setexpr_mixed_depth_filter(engine, duck):
+    """Mixed-depth computed set (round-12 verdict item 2): FILTER over
+    {[1995], [1995].[Q1], [1996].[Q1]} evaluates each member's condition
+    at its OWN grain (per-depth sub-aggregates, NULL-padded union), and
+    the survivors — possibly at different depths — slice the axis."""
+    from mondrian_olap_spark import Query, SetExpr
+
+    # year total ≫ quarter totals at every SF: keep only the quarters
+    year_total = duck.execute(
+        "SELECT sum(l_quantity) FROM lineitem JOIN orders "
+        "ON l_orderkey = o_orderkey WHERE year(o_orderdate) = 1995"
+    ).fetchone()[0]
+    thr = int(year_total) - 1
+    r = (
+        Query(engine)
+        .columns("[Measures].[Sum Qty]")
+        .rows("[Customer].[Nation].Members")
+        .exists_(
+            SetExpr(
+                members=(
+                    "[Time].[1995]",
+                    "[Time].[1995].[Q1]",
+                    "[Time].[1996].[Q1]",
+                ),
+                ops=(("filter", f"sum_qty < {thr}"),),
+            )
+        )
+        .execute()
+    )
+    exp = duck.execute(
+        """
+        SELECT count(DISTINCT n_name) FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE (year(o_orderdate) = 1995 AND quarter(o_orderdate) = 1)
+           OR (year(o_orderdate) = 1996 AND quarter(o_orderdate) = 1)
+        """
+    ).fetchone()[0]
+    assert r.df.count() == exp
+
+
+def test_setexpr_mixed_depth_except_depth_pinned(engine):
+    """EXCEPT inside a mixed-depth computed set removes the exact member
+    only (ExceptFunDef removes tuples, never descendants): excepting
+    [1995] keeps [1995].[Q1] even though the quarter shares the year
+    key."""
+    from mondrian_olap_spark import Query, SetExpr
+
+    se = SetExpr(
+        members=("[Time].[1995]", "[Time].[1995].[Q1]"),
+        ops=(("except", ["[Time].[1995]"]),),
+    )
+    refs = Query(engine).eval_set_expr(se)
+    assert [(r.depth, r.path) for r in refs] == [(1, ("1995", "Q1"))]
+
+
+def test_setexpr_tail_after_order(engine, duck):
+    """TAIL after a custom ORDER inside a computed set slices from the
+    END of that order (HeadTailFunDef) — previously raised."""
+    from mondrian_olap_spark import Query, SetExpr
+
+    se = SetExpr(
+        members=("[Customer].[Nation].Members",),
+        ops=(
+            ("order", "sum_qty", "BDESC"),
+            ("slice", 0, 3, True),
+        ),
+    )
+    refs = Query(engine).eval_set_expr(se)
+    exp = duck.execute(
+        """
+        SELECT n_name FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1 ORDER BY sum(l_quantity) ASC, n_name LIMIT 3
+        """
+    ).fetchall()
+    assert sorted(r.path[-1] for r in refs) == sorted(x[0] for x in exp)
