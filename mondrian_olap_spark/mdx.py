@@ -1816,11 +1816,25 @@ class MdxParser:
             elif flag == "self_before_after":
                 span = (ref.depth, max_depth)
             else:  # leaves
-                # leaf members AT OR ABOVE the named level
-                # (DescendantsFunDef LEAVES): hierarchies here are
-                # non-ragged, so every leaf sits at the bottom level —
-                # a level above it selects no members, which would be a
-                # silently-empty axis; raise instead
+                # leaf members of the bounded walk (DescendantsFunDef
+                # LEAVES): members AT the named level plus shallower
+                # descendants with NO visible descendant inside the
+                # bound.  In a RAGGED hierarchy (hide_member_if rules on
+                # a level inside the walk — schema.rb:222-230) shallow
+                # leaves are real members at MIXED depths; in a
+                # non-ragged hierarchy every member above the bottom has
+                # children, so LEAVES above the bottom would be a
+                # silently-empty axis — still a raise there
+                ragged_below = any(
+                    lv.hide_member_if
+                    for lv in ref.dimension.levels[
+                        ref.depth + 1 : lvl_idx + 1
+                    ]
+                )
+                if ragged_below:
+                    return _SetBuild(
+                        base=self._ragged_leaf_chains(ref, m1, lvl_idx)
+                    )
                 if lvl_idx < max_depth:
                     raise MdxError(
                         "DESCENDANTS LEAVES above the bottom level selects "
@@ -2026,6 +2040,71 @@ class MdxParser:
         return [
             m1 + ".Children" * (d - own_depth) for d in range(lo, hi + 1)
         ]
+
+    def _ragged_leaf_chains(
+        self, ref, m1: str, lvl_idx: int
+    ) -> list[str]:
+        """Leaf members of a RAGGED bounded walk
+        (jar!mondrian/olap/fun/DescendantsFunDef LEAVES over a
+        hide_member_if hierarchy): the target level passes through as a
+        ``.Children`` chain (grid visibility applies there), and each
+        SHALLOWER depth contributes its visible members that have no
+        visible descendant inside the bound — one dimension-sized
+        distinct per depth, resolved at validate time like COUSIN's
+        sibling lookup (exactly the bounded member resolution Mondrian's
+        validator performs; never fact-sized for a snowflake dim).  The
+        mixed-depth identifiers then union on the axis through
+        query._split_mixed_depth's NULL-padded grouping sets."""
+        from pyspark.sql import functions as F
+
+        dim = ref.dimension
+        levels = dim.levels
+        df = (
+            self.engine.fact
+            if dim.degenerate
+            else self.engine.dims[dim.name].member_df
+        )
+        from .plan import _path_predicate
+
+        pred = _path_predicate(ref)
+        if pred is not None:
+            df = df.filter(pred)
+
+        def vis(i: int):
+            lv = levels[i]
+            c = F.col(lv.out)
+            v = c.isNotNull()
+            if lv.hide_member_if == "IfBlankName":
+                v = v & (c != "")
+            elif lv.hide_member_if == "IfParentsName" and i > 0:
+                v = v & ~c.eqNullSafe(F.col(levels[i - 1].out))
+            return v
+
+        chains = [m1 + ".Children" * (lvl_idx - ref.depth)]
+        for d in range(ref.depth, lvl_idx):
+            deeper = None
+            for e in range(d + 1, lvl_idx + 1):
+                ve = vis(e)
+                deeper = ve if deeper is None else (deeper | ve)
+            outs = [lv.out for lv in levels[: d + 1]]
+            leaf_rows = (
+                df.filter(vis(d))
+                .groupBy(*outs)
+                .agg(
+                    F.max(F.when(deeper, 1).otherwise(0)).alias("__kid")
+                )
+                .filter(F.col("__kid") == 0)
+                .select(*outs)
+                .collect()
+            )
+            for row in sorted(
+                leaf_rows, key=lambda r: tuple(str(r[o]) for o in outs)
+            ):
+                segs = [quote_segment(dim.name)] + [
+                    quote_segment(str(row[o])) for o in outs
+                ]
+                chains.append(".".join(segs))
+        return chains
 
     def _generate_per_member(self, sb: "_SetBuild") -> bool:
         """True when GENERATE's computed second set needs PER-MEMBER

@@ -343,6 +343,8 @@ class Planner:
             if m.aggregator == "sum" and m.dtype:
                 agg = agg.withColumn(m.out, F.col(m.out).cast(m.dtype))
 
+        agg = _ragged_hidden_filter(agg, uses, group_cols, totals)
+
         # tuple scalar references ([Measures].[X], [Dim].[M], …) used in
         # formulas: attach each as a column BEFORE the calc chain so the
         # formulas can reference it like any measure alias
@@ -1393,6 +1395,62 @@ class Planner:
             else:
                 df = df.join(ddf, on, "inner").drop(ddf["__pk"])
         return df
+
+
+def _ragged_hidden_filter(
+    agg: DataFrame,
+    uses: dict[str, "_DimUse"],
+    group_cols: list[str],
+    totals: str | None,
+) -> DataFrame:
+    """Drop grid rows whose member at a ``hide_member_if`` level is hidden
+    (ragged hierarchies — schema.rb:222-230): a member invisible to
+    listings and navigation (star._apply_member_visibility) must not
+    surface as a grid ROW either, while its fact rows still roll into
+    ancestor cells.  Applied to the RETURNED grid only — cached segments
+    stay unfiltered, so rollup-reuse from a finer cached grain keeps
+    parent totals exact (Mondrian's ragged totals include hidden members'
+    data; the member is merely not navigable).
+
+    Rollup/cube super-aggregate marker NULLs must survive: with
+    ``__grain`` emitted, the level's grouping bit gates the test exactly;
+    otherwise only non-null hidden values are dropped, so a marker NULL
+    is never mistaken for a hidden member.  Inert (no-op plan) for
+    hierarchies without hide rules."""
+    has_grain = "__grain" in agg.columns
+    for u in uses.values():
+        levels = u.dim.levels
+        for i, lv in enumerate(levels):
+            if not lv.hide_member_if or lv.out not in group_cols:
+                continue
+            c = F.col(lv.out)
+            if lv.hide_member_if == "IfBlankName":
+                exact = c.isNull() | (c == "")
+                safe = c == ""
+            elif lv.hide_member_if == "IfParentsName" and i > 0:
+                if levels[i - 1].out not in agg.columns:
+                    continue
+                p = F.col(levels[i - 1].out)
+                exact = c.eqNullSafe(p)
+                safe = c == p
+            else:
+                continue
+            if not totals:
+                hidden = exact
+            elif has_grain:
+                gi = group_cols.index(lv.out)
+                bit = len(group_cols) - 1 - gi
+                grouped_here = (
+                    F.shiftright(F.col("__grain"), bit).bitwiseAND(
+                        F.lit(1)
+                    )
+                    == 0
+                )
+                hidden = exact & grouped_here
+            else:
+                hidden = safe
+            agg = agg.filter(~F.coalesce(hidden, F.lit(False)))
+    return agg
 
 
 def _or_all(preds: list[Column]) -> Column:

@@ -4324,3 +4324,95 @@ def exists_mixed_depth_set_gate(spark, sf_dir):
         "       [Measures].[Sum Qty], BDESC), 3)) "
         "ON ROWS FROM [Sales]"
     ).df
+
+
+@q(
+    "descendants_ragged_leaves_gate",
+    """
+    WITH rag AS (
+      SELECT 'World' AS world, r_name, n_nationkey,
+             CASE WHEN r_name = 'AFRICA' OR n_nationkey % 5 = 0
+                  THEN '' ELSE n_name END AS city
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+    ),
+    leafreg AS (
+      SELECT r_name FROM rag GROUP BY r_name
+      HAVING max(CASE WHEN city <> '' THEN 1 ELSE 0 END) = 0
+    )
+    SELECT 'World' AS world_name, r_name AS region_name,
+           city AS city_name, count(*) AS suppliers
+    FROM rag JOIN supplier ON s_nationkey = n_nationkey
+    WHERE city <> '' GROUP BY 1, 2, 3
+    UNION ALL
+    SELECT 'World', r_name, CAST(NULL AS VARCHAR), count(*)
+    FROM rag JOIN supplier ON s_nationkey = n_nationkey
+    WHERE r_name IN (SELECT r_name FROM leafreg)
+    GROUP BY 1, 2
+    """,
+)
+def descendants_ragged_leaves_gate(spark, sf_dir):
+    """Ragged-hierarchy LEAVES (round-12 verdict item 3 —
+    jar!mondrian/olap/fun/DescendantsFunDef over a hide_member_if
+    hierarchy): ``Descendants([Geo].[World], [Geo].[City], LEAVES)``
+    returns leaf members at MIXED depths — every visible city, PLUS each
+    region whose cities are ALL hidden (blank — the region itself is the
+    leaf of its branch).  One whole region's cities are blanked through
+    the SQL-view table so a genuine shallow leaf exists at every SF.
+    Plan shape: shallow-leaf detection is one dimension-sized distinct
+    per depth at validate time (Mondrian's validator-time member
+    resolution; the dim is guaranteed_small); the mixed-depth axis
+    unions through _split_mixed_depth's NULL-padded grouping sets — the
+    fact aggregates once per depth grain, never per member."""
+    from .model import Cube, Dimension, Level, Measure
+    from .sources.registry import with_sql_views
+    from .star import CubeEngine, read_parquet_table
+
+    base = {
+        t: read_parquet_table(spark, f"{sf_dir}/{t}.parquet")
+        for t in ("nation", "region", "supplier")
+    }
+    tables = with_sql_views(
+        spark,
+        base,
+        {
+            "ragged_geo": (
+                "SELECT n_nationkey, 'World' AS world, r_name, "
+                "CASE WHEN r_name = 'AFRICA' OR n_nationkey % 5 = 0 "
+                "THEN '' ELSE n_name END AS city "
+                "FROM nation JOIN region ON n_regionkey = r_regionkey"
+            )
+        },
+    )
+    cube = Cube(
+        name="Ragged",
+        fact="supplier",
+        dimensions=(
+            Dimension(
+                name="Geo",
+                foreign_key="s_nationkey",
+                table="ragged_geo",
+                primary_key="n_nationkey",
+                levels=(
+                    Level("World", "world", output="world_name"),
+                    Level("Region", "r_name", output="region_name"),
+                    Level(
+                        "City", "city", output="city_name",
+                        hide_member_if="IfBlankName",
+                    ),
+                ),
+                guaranteed_small=True,
+            ),
+        ),
+        measures=(
+            Measure("Suppliers", "s_suppkey", "count", output="suppliers"),
+        ),
+    )
+    eng = CubeEngine(cube, tables)
+    from .mdx import execute_mdx
+
+    return execute_mdx(
+        eng,
+        "SELECT [Measures].[Suppliers] ON COLUMNS, "
+        "DESCENDANTS([Geo].[World], [Geo].[City], LEAVES) ON ROWS "
+        "FROM [Ragged]",
+    ).df

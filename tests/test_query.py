@@ -1418,3 +1418,123 @@ def test_setexpr_tail_after_order(engine, duck):
         """
     ).fetchall()
     assert sorted(r.path[-1] for r in refs) == sorted(x[0] for x in exp)
+
+
+def _ragged_leaves_engine(spark):
+    from pyspark.sql import Row
+
+    from mondrian_olap_spark.model import Cube, Dimension, Level, Measure
+    from mondrian_olap_spark.star import CubeEngine
+
+    geo = spark.createDataFrame(
+        [
+            Row(id=1, country="USA", city="Boston"),
+            Row(id=2, country="USA", city=""),        # hidden under USA
+            Row(id=3, country="Vatican", city=""),    # ALL hidden -> leaf
+            Row(id=4, country="France", city="Paris"),
+        ]
+    )
+    fact = spark.createDataFrame(
+        [
+            Row(geo_id=1, v=1.0),
+            Row(geo_id=2, v=2.0),
+            Row(geo_id=3, v=4.0),
+            Row(geo_id=4, v=8.0),
+        ]
+    )
+    cube = Cube(
+        name="Ragged",
+        fact="fact",
+        dimensions=(
+            Dimension(
+                name="Geo",
+                foreign_key="geo_id",
+                table="geo",
+                primary_key="id",
+                levels=(
+                    Level("Country", "country", output="country"),
+                    Level(
+                        "City", "city", output="city",
+                        hide_member_if="IfBlankName",
+                    ),
+                ),
+                guaranteed_small=True,
+            ),
+        ),
+        measures=(Measure("V", "v", "sum", output="v_sum"),),
+    )
+    return CubeEngine(cube, {"fact": fact, "geo": geo})
+
+
+def test_ragged_leaves_mixed_depth(spark):
+    """Descendants(m, lvl, LEAVES) on a ragged hierarchy returns leaf
+    members at MIXED depths (round-12 verdict item 3): visible cities
+    plus each country whose cities are ALL hidden."""
+    from mondrian_olap_spark.mdx import execute_mdx
+
+    eng = _ragged_leaves_engine(spark)
+    rows = execute_mdx(
+        eng,
+        "SELECT [Measures].[V] ON COLUMNS, "
+        "DESCENDANTS([Geo].[USA], [Geo].[City], LEAVES) ON ROWS "
+        "FROM [Ragged]",
+    ).df.collect()
+    # USA has a visible city -> NOT a leaf itself; only Boston
+    assert [(r["country"], r["city"], r["v_sum"]) for r in rows] == [
+        ("USA", "Boston", 1.0)
+    ]
+    rows2 = execute_mdx(
+        eng,
+        "SELECT [Measures].[V] ON COLUMNS, "
+        "DESCENDANTS([Geo].[Vatican], [Geo].[City], LEAVES) ON ROWS "
+        "FROM [Ragged]",
+    ).df.collect()
+    # all cities hidden -> the country itself is the leaf, at depth 0,
+    # with its hidden rows still aggregated into the cell
+    assert [(r["country"], r["city"], r["v_sum"]) for r in rows2] == [
+        ("Vatican", None, 4.0)
+    ]
+
+
+def test_nonragged_leaves_above_bottom_still_raises(engine):
+    """Without hide rules, LEAVES above the bottom level stays a raise
+    (silently-empty axis guard — unchanged round-8 behavior)."""
+    import pytest as _pytest
+
+    from mondrian_olap_spark.mdx import MdxError, execute_mdx
+
+    with _pytest.raises(MdxError, match="LEAVES above the bottom"):
+        execute_mdx(
+            engine,
+            "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+            "DESCENDANTS([Customer].[ASIA], [Customer].[Nation], LEAVES) "
+            "ON ROWS FROM [Sales]",
+        )
+
+
+def test_ragged_hidden_member_not_a_grid_row(spark):
+    """A hide_member_if-hidden member must not surface as a grid ROW at
+    its level, while its fact rows still roll into ancestors (the
+    round-12 _ragged_hidden_filter)."""
+    from mondrian_olap_spark import Query
+
+    eng = _ragged_leaves_engine(spark)
+    rows = (
+        Query(eng)
+        .columns("[Measures].[V]")
+        .rows("[Geo].[City].Members")
+        .execute()
+        .df.collect()
+    )
+    cities = {r["city"] for r in rows}
+    assert "" not in cities and cities == {"Boston", "Paris"}
+    # country level: hidden cities' rows still count in the parent cell
+    rows2 = (
+        Query(eng)
+        .columns("[Measures].[V]")
+        .rows("[Geo].[Country].Members")
+        .execute()
+        .df.collect()
+    )
+    vals = {r["country"]: r["v_sum"] for r in rows2}
+    assert vals == {"USA": 3.0, "Vatican": 4.0, "France": 8.0}
