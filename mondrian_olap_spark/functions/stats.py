@@ -66,7 +66,42 @@ _DETERMINISTIC_BINARY = {
 }
 
 
+import re as _re
+
+#: a whole-expression decimal cast — the spelling the d-variant contract
+#: documents ("pass a DECIMAL-typed expression").  These inputs take the
+#: INTEGER-UNIT moment path below.
+_DEC_CAST_RE = _re.compile(
+    r"(?is)^\s*CAST\s*\(.+\s+AS\s+DECIMAL\s*\(\s*\d+\s*,\s*(\d+)\s*\)\s*\)\s*$"
+)
+
+
+def _int_units(expr: str):
+    """``(xi, u)`` for a top-level ``CAST(x AS DECIMAL(p,s))`` expression:
+    ``xi`` the exact integer-unit column (× 10^s, DECIMAL(38,0)) and
+    ``u = 10^s`` as a float; ``None`` for any other input spelling.
+
+    Why integer units (round-12 verdict item 4): a decimal with scale>0
+    casts to double by ``double(unscaled)/10^s`` in DuckDB — TWO
+    roundings — while Spark's BigDecimal.doubleValue() rounds once, so
+    the same exact moment can differ by one ulp between engines at
+    value-dependent SFs (the round-11 dispersion_stats sf0.001 miss:
+    …5820067 vs …582006).  A SCALE-0 decimal converts in a single
+    rounding in both engines (verified bit-equal against Python's
+    correctly-rounded int→float), and the final ÷10^s happens ONCE in
+    double arithmetic with the identical op order on both sides."""
+    m = _DEC_CAST_RE.match(expr)
+    if not m:
+        return None
+    s = int(m.group(1))
+    xi = F.expr(f"CAST(({expr}) * {10 ** s} AS DECIMAL(38,0))")
+    return xi, float(10**s)
+
+
 def _binary_det(name: str, ey: str, ex: str) -> Column:
+    iy, ix = _int_units(ey), _int_units(ex)
+    if iy is not None and ix is not None:
+        return _binary_det_units(name, ey, ex, iy, ix)
     y, x = F.expr(ey), F.expr(ex)
     # PAIRWISE null filtering, like Spark's corr/regr_* natives and
     # Mondrian's empty-cell skipping: a row contributes to the moments only
@@ -104,7 +139,62 @@ def _binary_det(name: str, ey: str, ex: str) -> Column:
     return cov_n * cov_n / (var_x_n * var_y_n)
 
 
+def _binary_det_units(name: str, ey: str, ex: str, iy, ix) -> Column:
+    """Integer-unit two-expression moments (see :func:`_int_units`).
+    Every formula's IEEE op sequence is mirrored verbatim in the SQL
+    oracles (suite.py corr_linreg_stats / linreg_variance_point)."""
+    yi, uy = iy
+    xi, ux = ix
+    y0, x0 = F.expr(ey), F.expr(ex)
+    both = x0.isNotNull() & y0.isNotNull()
+    pyi = F.when(both, yi)
+    pxi = F.when(both, xi)
+    n = F.count(pxi)
+    sx = F.sum(pxi).cast("double")
+    sy = F.sum(pyi).cast("double")
+    sxx = F.sum(pxi * pxi).cast("double")
+    syy = F.sum(pyi * pyi).cast("double")
+    sxy = F.sum(pxi * pyi).cast("double")
+    cov_n = sxy - sx * sy / n
+    var_x_n = sxx - sx * sx / n
+    var_y_n = syy - sy * sy / n
+    if name == "dcovariance":
+        return cov_n / n / F.lit(ux * uy)
+    if name == "dcovariancen":
+        return cov_n / (n - F.lit(1)) / F.lit(ux * uy)
+    if name == "dcorrelation":  # unit-invariant
+        return cov_n / F.sqrt(var_x_n * var_y_n)
+    slope = cov_n / var_x_n
+    if uy != ux:
+        slope = slope / F.lit(uy / ux)
+    if name == "dlinregslope":
+        return slope
+    if name == "dlinregintercept":
+        return sy / n / F.lit(uy) - slope * (sx / n / F.lit(ux))
+    if name == "dlinregvariance":
+        return (var_y_n - cov_n * cov_n / var_x_n) / F.lit(uy * uy)
+    # dlinregr2 — unit-invariant
+    return cov_n * cov_n / (var_x_n * var_y_n)
+
+
 def _dispersion_det(name: str, expr: str) -> Column:
+    iu = _int_units(expr)
+    if iu is not None:
+        xi, u = iu
+        e0 = F.expr(expr)
+        pxi = F.when(e0.isNotNull(), xi)
+        n = F.count(pxi)
+        s1 = F.sum(pxi).cast("double")
+        s2 = F.sum(pxi * pxi).cast("double")
+        num = s2 - s1 * s1 / n
+        u2 = F.lit(u * u)
+        if name == "dvarp":
+            return num / n / u2
+        if name == "dvar":
+            return num / (n - F.lit(1)) / u2
+        if name == "dstdevp":
+            return F.sqrt(num / n / u2)
+        return F.sqrt(num / (n - F.lit(1)) / u2)  # dstdev
     e = F.expr(expr)
     n = F.count(e)
     s1 = F.sum(e).cast("double")

@@ -432,16 +432,19 @@ def median_percentile_price(spark, sf_dir):
     WITH m AS (
       SELECT l_returnflag AS return_flag,
              count(l_extendedprice) AS n,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS s1,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS s2
+             CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                           AS DECIMAL(18,0))) AS DOUBLE) AS s1,
+             CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                           AS DECIMAL(18,0))
+                      * CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                             AS DECIMAL(18,0))) AS DOUBLE) AS s2
       FROM lineitem GROUP BY 1
     )
     SELECT return_flag,
-           sqrt((s2 - s1*s1/n) / (n - 1)) AS stdev_price,
-           sqrt((s2 - s1*s1/n) / n) AS stdevp_price,
-           (s2 - s1*s1/n) / (n - 1) AS var_price,
-           (s2 - s1*s1/n) / n AS varp_price
+           sqrt((s2 - s1*s1/n) / (n - 1) / 10000.0) AS stdev_price,
+           sqrt((s2 - s1*s1/n) / n / 10000.0) AS stdevp_price,
+           (s2 - s1*s1/n) / (n - 1) / 10000.0 AS var_price,
+           (s2 - s1*s1/n) / n / 10000.0 AS varp_price
     FROM m
     """,
 )
@@ -467,24 +470,29 @@ def dispersion_stats(spark, sf_dir):
 @q(
     "corr_linreg_stats",
     """
-    WITH m AS (
+    WITH u AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100
+                  AS DECIMAL(18,0)) AS xi,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                  AS DECIMAL(18,0)) AS yi
+      FROM lineitem
+    ),
+    m AS (
       SELECT l_returnflag AS return_flag,
              count(*) AS n,
-             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
-             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
-                      * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
-             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
-                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
-      FROM lineitem GROUP BY 1
+             CAST(sum(xi) AS DOUBLE) AS sx,
+             CAST(sum(yi) AS DOUBLE) AS sy,
+             CAST(sum(xi * xi) AS DOUBLE) AS sxx,
+             CAST(sum(yi * yi) AS DOUBLE) AS syy,
+             CAST(sum(xi * yi) AS DOUBLE) AS sxy
+      FROM u GROUP BY 1
     )
     SELECT return_flag,
            (sxy - sx*sy/n) / sqrt((sxx - sx*sx/n) * (syy - sy*sy/n)) AS corr_price_qty,
-           (sxy - sx*sy/n) / n AS covar_price_qty,
+           (sxy - sx*sy/n) / n / 10000.0 AS covar_price_qty,
            (sxy - sx*sy/n) / (sxx - sx*sx/n) AS slope,
-           sy/n - (sxy - sx*sy/n) / (sxx - sx*sx/n) * (sx/n) AS intercept,
+           sy/n/100.0 - (sxy - sx*sy/n) / (sxx - sx*sx/n) * (sx/n/100.0) AS intercept,
            (sxy - sx*sy/n) * (sxy - sx*sy/n)
              / ((sxx - sx*sx/n) * (syy - sy*sy/n)) AS r2
     FROM m
@@ -2829,24 +2837,31 @@ def drillthrough_grouped(spark, sf_dir):
 @q(
     "linreg_variance_point",
     """
-    WITH m AS (
+    WITH u AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100
+                  AS DECIMAL(18,0)) AS xi,
+             CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100
+                  AS DECIMAL(18,0)) AS yi
+      FROM lineitem
+    ),
+    m AS (
       SELECT l_returnflag AS return_flag,
              count(*) AS n,
-             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
-             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
-                      * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
-             CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
-             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
-                      * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
-      FROM lineitem GROUP BY 1
+             CAST(sum(xi) AS DOUBLE) AS sx,
+             CAST(sum(yi) AS DOUBLE) AS sy,
+             CAST(sum(xi * xi) AS DOUBLE) AS sxx,
+             CAST(sum(yi * yi) AS DOUBLE) AS syy,
+             CAST(sum(xi * yi) AS DOUBLE) AS sxy
+      FROM u GROUP BY 1
     )
     SELECT return_flag,
-           (syy - sy*sy/n)
-             - (sxy - sx*sy/n) * (sxy - sx*sy/n) / (sxx - sx*sx/n) AS resid_ss,
+           ((syy - sy*sy/n)
+             - (sxy - sx*sy/n) * (sxy - sx*sy/n) / (sxx - sx*sx/n))
+             / 10000.0 AS resid_ss,
            (sxy - sx*sy/n) / (sxx - sx*sx/n) * 25.0
-             + (sy/n - (sxy - sx*sy/n) / (sxx - sx*sx/n) * (sx/n)) AS point_at_25
+             + (sy/n/100.0 - (sxy - sx*sy/n) / (sxx - sx*sx/n)
+                * (sx/n/100.0)) AS point_at_25
     FROM m
     """,
 )
