@@ -56,6 +56,14 @@ class _Axis:
     raw_base: list[str] = field(default_factory=list)
     display_ops: list[tuple] = field(default_factory=list)
     nonempty_flag: bool = False
+    #: verbatim source text of a deferred set operation that REPLACED this
+    #: axis's written set with its evaluated member list (UNION/INTERSECT
+    #: with computed arguments): ``to_mdx`` serializes this instead of the
+    #: flattened members, so round-trips re-execute the ORIGINAL
+    #: expression (reference to_mdx is exact — query.rb:230-237).  Ops
+    #: recorded after the override (trailing drills) still serialize.
+    raw_override: str | None = None
+    raw_override_ops_from: int = 0
 
 
 #: time-intelligence function names whose VALUE forms lower to window SQL
@@ -1642,17 +1650,31 @@ class Query:
                 lines.append("WHERE (" + ", ".join(self._slicer_raw) + ")")
         return "\n".join(lines)
 
+    def _set_axis_raw_override(self, i: int, raw: str) -> None:
+        """Record the verbatim source of a deferred set op that replaced
+        axis ``i``'s written set (see ``_Axis.raw_override``)."""
+        ax = self._axes[i]
+        ax.raw_override = raw
+        ax.raw_override_ops_from = len(ax.display_ops)
+
     def _axis_set_mdx(self, ax: _Axis) -> str:
-        base = list(ax.raw_base)
-        # filter_last wraps the set element that was LAST when it was
-        # CALLED (index captured then) — members added afterwards must not
-        # steal the FILTER wrapper (query.rb add_last_set_function)
-        for op in ax.display_ops:
-            if op[0] == "filter_last" and base:
-                idx = op[2] if len(op) > 2 else len(base) - 1
-                base[idx] = f"FILTER({base[idx]}, {self._aliases_to_mdx(op[1])})"
-        cur = base[0] if len(base) == 1 else "{" + ", ".join(base) + "}"
-        for op in ax.display_ops:
+        if ax.raw_override is not None:
+            cur = ax.raw_override
+            display_ops = ax.display_ops[ax.raw_override_ops_from:]
+        else:
+            display_ops = ax.display_ops
+            base = list(ax.raw_base)
+            # filter_last wraps the set element that was LAST when it was
+            # CALLED (index captured then) — members added afterwards must
+            # not steal the FILTER wrapper (query.rb add_last_set_function)
+            for op in display_ops:
+                if op[0] == "filter_last" and base:
+                    idx = op[2] if len(op) > 2 else len(base) - 1
+                    base[idx] = (
+                        f"FILTER({base[idx]}, {self._aliases_to_mdx(op[1])})"
+                    )
+            cur = base[0] if len(base) == 1 else "{" + ", ".join(base) + "}"
+        for op in display_ops:
             kind = op[0]
             if kind == "filter_last":
                 continue  # applied above
