@@ -1114,7 +1114,7 @@ class MdxParser:
                 self.q._set_axis_raw_override(axis_i, raw_full)
         # per-member GENERATE next (it REPLACES its axis's set; trailing
         # drills may reference the replaced members)
-        for axis_i, op in self._deferred_generates:
+        for axis_i, op, trailing in self._deferred_generates:
             _, sb, all_flag, raw = op
             se = self._set_arg(sb, "GENERATE", raw)
             ax_sets = list(self.q._axes[axis_i].sets)
@@ -1131,6 +1131,11 @@ class MdxParser:
                 format_name([r.dimension.name, *r.path]) for r in refs
             ]
             self.q.generate(*names, all=all_flag, _display=raw)
+            # composition over the RESULT set (verdict item 6): the
+            # trailing ops run as ordinary grid mods on the replaced
+            # axis — same partitioned-window machinery, no extra pass
+            for o in trailing:
+                self._apply_axis_op(self.q, o)
         for op in self._deferred_drills:
             arg = op[1]
             if isinstance(arg, SetExpr):
@@ -1535,7 +1540,10 @@ class MdxParser:
         self.q.axis(axis_i, *members.base)
         for subset, op in members.set_ops:
             self._apply_set_op(self.q, subset, op)
+        skip: set[int] = set()
         for i, op in enumerate(members.ops):
+            if i in skip:
+                continue
             if op[0] in ("drilldown_member", "toggle_drill"):
                 # drills mutate the query's GLOBAL drill list (not axis
                 # mods), so their application defers until after WHERE —
@@ -1562,16 +1570,32 @@ class MdxParser:
                         "this subset (the context evaluation iterates the "
                         "plain member list)"
                     )
-                if any(
-                    o[0] not in ("drilldown_member", "toggle_drill")
-                    for o in members.ops[i + 1 :]
-                ):
-                    raise MdxError(
-                        "GENERATE with a per-member computed second set "
-                        "must be the last set operation on its axis in "
-                        "this subset (drills may follow)"
-                    )
-                self._deferred_generates.append((axis_i, op))
+                # trailing ops over the RESULT set compose (round-12
+                # verdict item 6 — GenerateFunDef composes freely):
+                # ORDER/TOPCOUNT-family/HEAD/TAIL/SUBSET/FILTER/DISTINCT/
+                # HIERARCHIZE defer WITH the generate and apply to the
+                # replaced axis set after the per-member evaluation;
+                # drills keep their own deferral (relative order intact)
+                composable = (
+                    "order", "topbottom", "slice", "filter",
+                    "distinct", "hierarchize",
+                )
+                trailing: list[tuple] = []
+                for j in range(i + 1, len(members.ops)):
+                    o = members.ops[j]
+                    if o[0] in ("drilldown_member", "toggle_drill"):
+                        continue
+                    if o[0] in composable:
+                        trailing.append(o)
+                        skip.add(j)
+                    else:
+                        raise MdxError(
+                            "after a per-member computed GENERATE only "
+                            "ORDER/TOPCOUNT-family/HEAD/TAIL/SUBSET/"
+                            "FILTER/DISTINCT/HIERARCHIZE and drills may "
+                            "follow in this subset"
+                        )
+                self._deferred_generates.append((axis_i, op, trailing))
             elif op[0] == "setop_expr":
                 # UNION/INTERSECT with a computed argument: evaluated
                 # post-WHERE (slicer context); it IS the axis set, so

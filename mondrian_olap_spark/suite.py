@@ -4431,3 +4431,46 @@ def descendants_ragged_leaves_gate(spark, sf_dir):
         "DESCENDANTS([Geo].[World], [Geo].[City], LEAVES) ON ROWS "
         "FROM [Ragged]",
     ).df
+
+
+@q(
+    "generate_post_ops_gate",
+    f"""
+    WITH yr AS (
+      SELECT year(o_orderdate) AS y, r_name, n_name,
+             sum(l_quantity) AS s
+      FROM {_CUST_STAR} WHERE l_returnflag = 'N' GROUP BY 1, 2, 3
+    ),
+    top2 AS (
+      SELECT DISTINCT r_name, n_name FROM (
+        SELECT r_name, n_name, row_number() OVER (
+          PARTITION BY y ORDER BY s DESC, r_name, n_name) AS rn
+        FROM yr
+      ) WHERE rn <= 2
+    ),
+    agg AS (
+      SELECT c.r_name, c.n_name, sum(c.l_quantity) AS s
+      FROM (SELECT r_name, n_name, l_quantity FROM {_CUST_STAR}
+            WHERE l_returnflag = 'N') c
+      JOIN top2 ON top2.r_name = c.r_name AND top2.n_name = c.n_name
+      GROUP BY 1, 2
+    )
+    SELECT r_name AS region_name, n_name AS nation_name, s AS sum_qty
+    FROM agg ORDER BY s DESC, r_name, n_name LIMIT 3
+    """,
+)
+def generate_post_ops_gate(spark, sf_dir):
+    """Post-op COMPOSITION after a per-member GENERATE (round-12 verdict
+    item 6 — jar!mondrian/olap/fun/GenerateFunDef composes freely): the
+    per-member evaluation (each year's top-2 nations, one partitioned
+    window pass) replaces the axis, then the trailing TOPCOUNT runs as an
+    ordinary grid mod over the RESULT set — same single-window machinery,
+    no extra fact pass."""
+    eng = get_engine(spark, sf_dir)
+    return eng.execute(
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "TOPCOUNT(GENERATE([Time].[Year].Members, "
+        "  TOPCOUNT([Customer].[Nation].Members, 2, [Measures].[Sum Qty])), "
+        "  3, [Measures].[Sum Qty]) "
+        "ON ROWS FROM [Sales] WHERE [ReturnFlag].[N]"
+    ).df

@@ -4074,3 +4074,49 @@ def test_to_mdx_deferred_intersect_roundtrip(engine):
     r1 = sorted(map(tuple, q1.execute().df.collect()))
     r2 = sorted(map(tuple, q2.execute().df.collect()))
     assert r1 == r2 and len(r1) == 3
+
+
+def test_generate_per_member_with_trailing_order_head(engine, duck):
+    """ORDER + HEAD after a per-member computed GENERATE compose over the
+    result set (round-12 verdict item 6) — previously raised."""
+    rows = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "HEAD(ORDER(GENERATE([Time].[Year].Members, "
+        "  TOPCOUNT([Customer].[Nation].Members, 2, [Measures].[Sum Qty])), "
+        "  [Measures].[Sum Qty], BASC), 2) "
+        "ON ROWS FROM [Sales] WHERE [ReturnFlag].[N]",
+    ).df.collect()
+    exp = duck.execute(
+        """
+        WITH yr AS (
+          SELECT year(o_orderdate) AS y, r_name, n_name, sum(l_quantity) AS s
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE l_returnflag = 'N' GROUP BY 1, 2, 3
+        ),
+        top2 AS (
+          SELECT DISTINCT r_name, n_name FROM (
+            SELECT r_name, n_name, row_number() OVER (
+              PARTITION BY y ORDER BY s DESC, r_name, n_name) AS rn FROM yr
+          ) WHERE rn <= 2
+        ),
+        agg AS (
+          SELECT c.r_name, c.n_name, sum(c.l_quantity) AS s
+          FROM (SELECT r_name, n_name, l_quantity
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE l_returnflag = 'N') c
+          JOIN top2 ON top2.r_name = c.r_name AND top2.n_name = c.n_name
+          GROUP BY 1, 2
+        )
+        SELECT n_name, s FROM agg ORDER BY s ASC, r_name, n_name LIMIT 2
+        """
+    ).fetchall()
+    assert sorted((r["nation_name"], r["sum_qty"]) for r in rows) == sorted(
+        (n, s) for n, s in exp
+    )
