@@ -3904,13 +3904,28 @@ def test_generate_per_member_cross_dim(engine, duck):
     assert len(want) > 2  # proves per-member, not global
 
 
-def test_generate_per_member_must_be_last_op(engine):
-    with pytest.raises(MdxError, match="last set operation"):
+def test_generate_per_member_head_composes(engine):
+    """HEAD after a per-member computed GENERATE composes (round-12
+    verdict item 6) — this exact shape raised through round 11."""
+    r = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "HEAD(GENERATE([Time].[Year].Members, "
+        "TOPCOUNT([Customer].[Nation].Members, 2, [Measures].[Sum Qty])), 3) "
+        "ON ROWS FROM [Sales]",
+    )
+    assert r.df.count() == 3
+
+
+def test_generate_per_member_unsupported_trailing_op_raises(engine):
+    """Non-composable trailing ops still raise with a named whitelist."""
+    with pytest.raises(MdxError, match="may\\s+follow"):
         execute_mdx(
             engine,
             "SELECT [Measures].[Sum Qty] ON COLUMNS, "
-            "HEAD(GENERATE([Time].[Year].Members, "
-            "TOPCOUNT([Customer].[Nation].Members, 2, [Measures].[Sum Qty])), 3) "
+            "EXCEPT(GENERATE([Time].[Year].Members, "
+            "TOPCOUNT([Customer].[Nation].Members, 2, "
+            "[Measures].[Sum Qty])), {[Customer].[ASIA].[NATION_2]}) "
             "ON ROWS FROM [Sales]",
         )
 
