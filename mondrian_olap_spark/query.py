@@ -2527,6 +2527,16 @@ class Query:
                     else mod[1]
                 )
                 for ref in refs_:
+                    if any(
+                        lv.out not in df.columns
+                        for lv in ref.dimension.levels[: ref.depth + 1]
+                    ):
+                        # a member DEEPER than the grid's grain (e.g. a
+                        # quarter from a mixed-depth computed set against
+                        # a year-level axis) can never match a row —
+                        # ExceptFunDef removes exact tuples only, so it
+                        # is a no-op, not an unresolved-column error
+                        continue
                     pred = None
                     for i, key in enumerate(ref.path):
                         c = F.col(ref.dimension.levels[i].out) == key

@@ -4135,3 +4135,87 @@ def test_generate_per_member_with_trailing_order_head(engine, duck):
     assert sorted((r["nation_name"], r["sum_qty"]) for r in rows) == sorted(
         (n, s) for n, s in exp
     )
+
+
+def test_except_mixed_depth_computed_argument(engine):
+    """EXCEPT with a computed argument whose base spans levels: the
+    mixed-depth evaluator feeds the anti-filter."""
+    r = execute_mdx(
+        engine,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "EXCEPT([Time].[Year].Members, "
+        "  FILTER({[Time].[1995], [Time].[1996].[Q1]}, "
+        "         [Measures].[Sum Qty] > 0)) "
+        "ON ROWS FROM [Sales]",
+    )
+    years = {row["o_year"] for row in r.df.collect()}
+    # 1995 (a year-level member of the computed set) is excepted; the
+    # 1996 QUARTER member does not remove the 1996 YEAR member
+    assert 1995 not in years and 1996 in years
+
+
+def test_ragged_leaves_if_parents_name(spark):
+    """LEAVES honors IfParentsName hiding: a branch whose only child
+    repeats the parent name makes the PARENT the leaf."""
+    from pyspark.sql import Row
+
+    from mondrian_olap_spark.mdx import execute_mdx
+    from mondrian_olap_spark.model import Cube, Dimension, Level, Measure
+    from mondrian_olap_spark.star import CubeEngine
+
+    geo = spark.createDataFrame(
+        [
+            Row(id=1, country="USA", city="Boston"),
+            Row(id=2, country="Monaco", city="Monaco"),  # = parent -> leaf
+        ]
+    )
+    fact = spark.createDataFrame(
+        [Row(geo_id=1, v=1.0), Row(geo_id=2, v=2.0)]
+    )
+    cube = Cube(
+        name="Ragged",
+        fact="fact",
+        dimensions=(
+            Dimension(
+                name="Geo", foreign_key="geo_id", table="geo",
+                primary_key="id",
+                levels=(
+                    Level("Country", "country", output="country"),
+                    Level(
+                        "City", "city", output="city",
+                        hide_member_if="IfParentsName",
+                    ),
+                ),
+                guaranteed_small=True,
+            ),
+        ),
+        measures=(Measure("V", "v", "sum", output="v_sum"),),
+    )
+    eng = CubeEngine(cube, {"fact": fact, "geo": geo})
+    rows = execute_mdx(
+        eng,
+        "SELECT [Measures].[V] ON COLUMNS, "
+        "DESCENDANTS([Geo].[Monaco], [Geo].[City], LEAVES) ON ROWS "
+        "FROM [Ragged]",
+    ).df.collect()
+    assert [(r["country"], r["city"], r["v_sum"]) for r in rows] == [
+        ("Monaco", None, 2.0)
+    ]
+
+
+def test_to_mdx_union_override_with_trailing_drill(engine):
+    """A trailing drill after a deferred UNION still serializes on top of
+    the preserved UNION spelling."""
+    from mondrian_olap_spark.mdx import MdxParser
+
+    mdx = (
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "DRILLDOWNMEMBER(UNION({[Customer].[ASIA]}, "
+        "TOPCOUNT([Customer].[Region].Members, 1, [Measures].[Sum Qty])), "
+        "{[Customer].[ASIA]}) ON ROWS FROM [Sales]"
+    )
+    q1, _ = MdxParser(engine, mdx, None).parse_statement()
+    out = q1.to_mdx()
+    assert "UNION(" in out and "TOPCOUNT(" in out
+    r1 = q1.execute().df
+    assert r1.count() > 0
