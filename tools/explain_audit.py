@@ -900,6 +900,111 @@ def main() -> int:
         f"{len(fact_scan_lines(p, 'lineitem'))} lineitem scans (want 2)",
     )
 
+    eng.flush_schema_cache()
+    # 47. MIXED-DEPTH computed set (round 12): one sub-aggregate per depth
+    #     feeds the bounded member collect, then the axis applies the
+    #     evaluated members as a SLICER OR-predicate — the final grid plan
+    #     has no cartesian and the member constraint lands in the orders
+    #     bridge (year/quarter predicates), never a per-member loop
+    r = execute_mdx(
+        eng,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "EXISTS([Customer].[Nation].Members, "
+        "  TAIL(ORDER({[Time].[1995], [Time].[1996], [Time].[1995].[Q1]}, "
+        "       [Measures].[Sum Qty], BDESC), 2)) "
+        "ON ROWS FROM [Sales]",
+    )
+    p = plan_str(r.df)
+    check(
+        "mixed_depth_set.no_cartesian_broadcast_semi",
+        "CartesianProduct" not in p and "LeftSemi" in p,
+        f"plan: {p[:400]}",
+    )
+
+    # 48. ragged hidden-member filter stays a codegen Filter over the
+    #     aggregated grid — no extra shuffle (exchange count equals the
+    #     unfiltered equivalent: 1 agg exchange + broadcasts)
+    from mondrian_olap_spark.model import Cube, Dimension, Level, Measure
+    from mondrian_olap_spark.sources.registry import with_sql_views
+    from mondrian_olap_spark.star import CubeEngine, read_parquet_table
+
+    base_t = {
+        t: read_parquet_table(spark, f"{SF_DIR}/{t}.parquet")
+        for t in ("nation", "region", "supplier")
+    }
+    tables = with_sql_views(
+        spark,
+        base_t,
+        {
+            "ragged_geo": (
+                "SELECT n_nationkey, r_name, "
+                "CASE WHEN n_nationkey % 5 = 0 THEN '' ELSE n_name END "
+                "AS city "
+                "FROM nation JOIN region ON n_regionkey = r_regionkey"
+            )
+        },
+    )
+    rcube = Cube(
+        name="Ragged",
+        fact="supplier",
+        dimensions=(
+            Dimension(
+                name="Geo", foreign_key="s_nationkey", table="ragged_geo",
+                primary_key="n_nationkey",
+                levels=(
+                    Level("Region", "r_name", output="region_name"),
+                    Level(
+                        "City", "city", output="city_name",
+                        hide_member_if="IfBlankName",
+                    ),
+                ),
+                guaranteed_small=True,
+            ),
+        ),
+        measures=(
+            Measure("Suppliers", "s_suppkey", "count", output="suppliers"),
+        ),
+    )
+    reng = CubeEngine(rcube, tables)
+    df = (
+        Query(reng)
+        .columns("[Measures].[Suppliers]")
+        .rows("[Geo].[City].Members")
+        .execute()
+        .df
+    )
+    p = plan_str(df)
+    # SHUFFLE exchanges only (broadcasts are free at this size): the
+    # hidden-member predicate pushes into the DIM SCAN (Catalyst folds
+    # the post-agg filter through the join — verified in the plan), so
+    # the grid keeps its 2 shuffles (aggregate + output sort)
+    n_shuffles = p.count("Exchange") - p.count("BroadcastExchange")
+    check(
+        "ragged_hidden.filter_no_extra_shuffle",
+        n_shuffles <= 2
+        and "CartesianProduct" not in p
+        and "city_name" in p,
+        f"{n_shuffles} shuffle exchanges (want <=2)",
+    )
+
+    # 49. per-member GENERATE + trailing TOPCOUNT: the composition stays
+    #     window-based on the final grid — one fact aggregation for the
+    #     result axis, no cartesian, no extra join for the top-k
+    r = execute_mdx(
+        eng,
+        "SELECT [Measures].[Sum Qty] ON COLUMNS, "
+        "TOPCOUNT(GENERATE([Time].[Year].Members, "
+        "  TOPCOUNT([Customer].[Nation].Members, 2, [Measures].[Sum Qty])), "
+        "  3, [Measures].[Sum Qty]) "
+        "ON ROWS FROM [Sales]",
+    )
+    p = plan_str(r.df)
+    check(
+        "generate_post_ops.windowed_topk_no_cartesian",
+        "CartesianProduct" not in p and "Window" in p,
+        f"plan: {p[:400]}",
+    )
+
     print(f"\n{len(failures)} failed properties" if failures else "\nall plan properties hold")
     return 1 if failures else 0
 
