@@ -158,6 +158,10 @@ HEADLINE = [
     "count_filter_formula_gate",
     "generate_per_member_gate",
     "union_set_expression_gate",
+    # round-12 operators
+    "exists_mixed_depth_set_gate",
+    "descendants_ragged_leaves_gate",
+    "generate_post_ops_gate",
 ]
 
 
@@ -447,9 +451,14 @@ def main() -> None:
                 rec["verdict"] = churn_verdict(
                     rec["warm"], rec["baseline_warm"], rec["baseline_kind"]
                 )
-                iso_baselines[name] = {
-                    "warm": rec["warm"], "cold": rec["cold"]
-                }
+                if rec["verdict"] != "regression":
+                    # a regression keeps the PRE-regression baseline: a
+                    # persistent slowdown must flag on every re-check,
+                    # and creeping sub-factor drifts must accumulate
+                    # against the last-good number, not the drifted one
+                    iso_baselines[name] = {
+                        "warm": rec["warm"], "cold": rec["cold"]
+                    }
             except Exception as e:  # noqa: BLE001 — record, never fail bench
                 rec["error"] = str(e)[:300]
             isolated[name] = rec

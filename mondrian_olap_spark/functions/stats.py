@@ -76,6 +76,28 @@ _DEC_CAST_RE = _re.compile(
 )
 
 
+def _is_single_cast(expr: str) -> bool:
+    """True only when ``expr`` is ONE top-level ``CAST(...)`` call — the
+    opening paren after CAST must close at the expression's very end.
+    Without this, a COMPOUND expression like
+    ``CAST(a AS DECIMAL(12,2)) / CAST(b AS DECIMAL(12,2))`` would match
+    the regex (it starts with CAST( and ends with DECIMAL(p,s))) and be
+    silently rounded to the last cast's scale on the unit path."""
+    s = expr.strip()
+    if not s[:5].upper().startswith("CAST"):
+        return False
+    i = s.upper().index("(")
+    depth = 0
+    for j in range(i, len(s)):
+        if s[j] == "(":
+            depth += 1
+        elif s[j] == ")":
+            depth -= 1
+            if depth == 0:
+                return j == len(s) - 1
+    return False
+
+
 def _int_units(expr: str):
     """``(xi, u)`` for a top-level ``CAST(x AS DECIMAL(p,s))`` expression:
     ``xi`` the exact integer-unit column (× 10^s, DECIMAL(38,0)) and
@@ -91,7 +113,7 @@ def _int_units(expr: str):
     correctly-rounded int→float), and the final ÷10^s happens ONCE in
     double arithmetic with the identical op order on both sides."""
     m = _DEC_CAST_RE.match(expr)
-    if not m:
+    if not m or not _is_single_cast(expr):
         return None
     s = int(m.group(1))
     xi = F.expr(f"CAST(({expr}) * {10 ** s} AS DECIMAL(38,0))")

@@ -2101,15 +2101,15 @@ class MdxParser:
         if pred is not None:
             df = df.filter(pred)
 
+        from .star import hide_member_predicate
+
         def vis(i: int):
-            lv = levels[i]
-            c = F.col(lv.out)
-            v = c.isNotNull()
-            if lv.hide_member_if == "IfBlankName":
-                v = v & (c != "")
-            elif lv.hide_member_if == "IfParentsName" and i > 0:
-                v = v & ~c.eqNullSafe(F.col(levels[i - 1].out))
-            return v
+            # THE shared visibility rule (star.hide_member_predicate) —
+            # a level without a hide rule never hides members (a NULL
+            # key is Mondrian's #null member, a real child), so only
+            # hide-ruled levels can make a shallow ancestor a leaf
+            p = hide_member_predicate(levels, i)
+            return F.lit(True) if p is None else p
 
         chains = [m1 + ".Children" * (lvl_idx - ref.depth)]
         for d in range(ref.depth, lvl_idx):
@@ -2131,6 +2131,10 @@ class MdxParser:
             for row in sorted(
                 leaf_rows, key=lambda r: tuple(str(r[o]) for o in outs)
             ):
+                if any(row[o] is None for o in outs):
+                    # a NULL key has no spellable member identifier; the
+                    # target-level chain still covers NULL-keyed rows
+                    continue
                 segs = [quote_segment(dim.name)] + [
                     quote_segment(str(row[o])) for o in outs
                 ]

@@ -1417,24 +1417,30 @@ def _ragged_hidden_filter(
     otherwise only non-null hidden values are dropped, so a marker NULL
     is never mistaken for a hidden member.  Inert (no-op plan) for
     hierarchies without hide rules."""
+    from .star import hide_member_predicate
+
     has_grain = "__grain" in agg.columns
     for u in uses.values():
         levels = u.dim.levels
         for i, lv in enumerate(levels):
             if not lv.hide_member_if or lv.out not in group_cols:
                 continue
-            c = F.col(lv.out)
-            if lv.hide_member_if == "IfBlankName":
-                exact = c.isNull() | (c == "")
-                safe = c == ""
-            elif lv.hide_member_if == "IfParentsName" and i > 0:
-                if levels[i - 1].out not in agg.columns:
-                    continue
-                p = F.col(levels[i - 1].out)
-                exact = c.eqNullSafe(p)
-                safe = c == p
-            else:
+            if (
+                lv.hide_member_if == "IfParentsName"
+                and (i == 0 or levels[i - 1].out not in agg.columns)
+            ):
                 continue
+            visible = hide_member_predicate(levels, i)
+            if visible is None:
+                continue
+            c = F.col(lv.out)
+            # exact = NOT visible (the shared rule); safe = the non-null
+            # subset of it, immune to rollup marker NULLs
+            exact = ~visible
+            if lv.hide_member_if == "IfBlankName":
+                safe = c == ""
+            else:  # IfParentsName
+                safe = c == F.col(levels[i - 1].out)
             if not totals:
                 hidden = exact
             elif has_grain:

@@ -2999,15 +2999,27 @@ class Query:
                             "EXCEPT inside a computed set argument needs "
                             "concrete member paths"
                         )
+                    if any(
+                        lv.out not in sub.columns
+                        for lv in r.dimension.levels[: r.depth + 1]
+                    ):
+                        # a member DEEPER than the set's grain (or of
+                        # another dimension) can never match a member of
+                        # the set — ExceptFunDef removes exact tuples
+                        # only, so it is a no-op, not an
+                        # unresolved-column error (mirrors the axis-grid
+                        # except guard)
+                        continue
                     pred = None
                     for i, key in enumerate(r.path):
                         c = F.col(r.dimension.levels[i].out) == key
                         pred = c if pred is None else (pred & c)
-                    if r.dimension.name == dim2.name and len(depths) > 1:
-                        # mixed-depth set: an EXCEPT member removes only
-                        # the member ITSELF (ExceptFunDef removes exact
-                        # tuples, never descendants) — a year's quarters
-                        # share the year key, so pin the row depth
+                    if r.dimension.name == dim2.name:
+                        # an EXCEPT member removes only the member ITSELF
+                        # (ExceptFunDef removes exact tuples, never
+                        # descendants) — a year's quarters share the year
+                        # key and a shallower member shares its
+                        # descendants' prefix, so pin the row depth
                         pred = pred & (
                             F.col("__set_depth") == F.lit(r.depth)
                         )

@@ -94,6 +94,21 @@ def _has_caption(lv) -> bool:
     )
 
 
+def hide_member_predicate(levels, i: int):
+    """Boolean Column: the member key at ``levels[i]`` is VISIBLE under
+    the ragged ``hide_member_if`` rules (schema.rb:222-230), or ``None``
+    when the level has no rule.  THE single definition — listings,
+    navigation, the grid filter, and the LEAVES walk all derive from it
+    so they can never disagree about which members exist."""
+    lv = levels[i]
+    c = F.col(lv.out)
+    if lv.hide_member_if == "IfBlankName":
+        return c.isNotNull() & (c != "")
+    if lv.hide_member_if == "IfParentsName" and i > 0:
+        return ~c.eqNullSafe(F.col(levels[i - 1].out))
+    return None
+
+
 def _apply_member_visibility(df, dim, levels, role, depth):
     """Shared member-visibility rules — role member grants
     (connection_role_test.rb:101-184) plus ragged ``hide_member_if``
@@ -104,14 +119,10 @@ def _apply_member_visibility(df, dim, levels, role, depth):
         vis = role.member_visibility_predicate(dim, depth)
         if vis is not None:
             df = df.filter(vis)
-    for i, lv in enumerate(levels):
-        if lv.hide_member_if == "IfBlankName":
-            c = F.col(lv.out)
-            df = df.filter(c.isNotNull() & (c != ""))
-        elif lv.hide_member_if == "IfParentsName" and i > 0:
-            df = df.filter(
-                ~F.col(lv.out).eqNullSafe(F.col(levels[i - 1].out))
-            )
+    for i in range(len(levels)):
+        p = hide_member_predicate(levels, i)
+        if p is not None:
+            df = df.filter(p)
     return df
 
 

@@ -4304,7 +4304,10 @@ def union_set_expression_gate(spark, sf_dir):
       FROM cand c JOIN star s ON s.y = c.y AND (c.q IS NULL OR s.q = c.q)
       GROUP BY 1, 2
     ),
-    surv AS (SELECT y, q FROM cells ORDER BY s DESC LIMIT 3 OFFSET 1),
+    surv AS (
+      SELECT y, q FROM cells
+      ORDER BY s DESC, y, q NULLS FIRST LIMIT 3 OFFSET 1
+    ),
     qual AS (
       SELECT DISTINCT st.c_name
       FROM star st JOIN surv v ON st.y = v.y AND (v.q IS NULL OR st.q = v.q)

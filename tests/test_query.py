@@ -1538,3 +1538,33 @@ def test_ragged_hidden_member_not_a_grid_row(spark):
     )
     vals = {r["country"]: r["v_sum"] for r in rows2}
     assert vals == {"USA": 3.0, "Vatican": 4.0, "France": 8.0}
+
+
+def test_setexpr_except_deeper_than_grain_is_noop(engine):
+    """EXCEPT inside a computed set with a member DEEPER than the set's
+    grain removes nothing (ExceptFunDef exact-tuple semantics) instead
+    of raising an unresolved-column error (round-12 review finding)."""
+    from mondrian_olap_spark import Query, SetExpr
+
+    se = SetExpr(
+        members=("[Time].[1995]", "[Time].[1996]"),
+        ops=(("except", ["[Time].[1995].[Q1]"]),),
+    )
+    refs = Query(engine).eval_set_expr(se)
+    assert sorted(r.path for r in refs) == [("1995",), ("1996",)]
+
+
+def test_setexpr_except_shallow_member_single_depth_noop(engine):
+    """A shallower EXCEPT member never matches a deeper set's members —
+    even in a single-depth set (the depth pin applies unconditionally,
+    round-12 review finding)."""
+    from mondrian_olap_spark import Query, SetExpr
+
+    se = SetExpr(
+        members=("[Time].[1995].[Q1]", "[Time].[1996].[Q1]"),
+        ops=(("except", ["[Time].[1995]"]),),
+    )
+    refs = Query(engine).eval_set_expr(se)
+    assert sorted(r.path for r in refs) == [
+        ("1995", "Q1"), ("1996", "Q1")
+    ]

@@ -474,3 +474,23 @@ def test_named_filter_set_as_stat_argument(engine):
             "SELECT {[Measures].[N]} ON COLUMNS FROM [Sales]",
         ).df.collect()[0]
         assert row["n"] == inline["n"] and row["n"] > 0
+
+
+def test_int_units_rejects_compound_expressions(spark):
+    """The integer-unit moment path fires ONLY on a single top-level
+    decimal cast — a compound expression (quotient/sum of casts) must
+    fall through to the generic double path instead of being silently
+    rounded to the last cast's scale (round-12 review finding)."""
+    from mondrian_olap_spark.functions.stats import _int_units
+
+    assert _int_units("CAST(l_extendedprice AS DECIMAL(12,2))") is not None
+    assert _int_units(
+        "CAST(CAST(x AS DECIMAL(10,4)) AS DECIMAL(12,2))"
+    ) is not None
+    assert _int_units(
+        "CAST(a AS DECIMAL(12,2)) / CAST(b AS DECIMAL(12,2))"
+    ) is None
+    assert _int_units(
+        "CAST(a AS DECIMAL(12,2)) * CAST(b AS DECIMAL(12,4))"
+    ) is None
+    assert _int_units("sum_qty") is None
