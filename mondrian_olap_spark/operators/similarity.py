@@ -1171,21 +1171,65 @@ def _pq_dist(vcol: Column, centroid: list[float], j: int, sub: int) -> Column:
     return xx - 2.0 * xc + F.lit(cc)
 
 
-def _pq_codes_df(base: DataFrame, codebooks: list, sub: int) -> DataFrame:
+def _pq_best_df(base: DataFrame, codebooks: list, sub: int) -> DataFrame:
+    """Add one ``__best{j}`` struct column per subspace holding the argmin
+    ``(d, i)`` over the subspace's codewords — the shared substrate of
+    :func:`pq_encode` (codes = ``.i``, reconstruction error = ``.d``).
+
+    Two deliberate projection layers keep the expression volume linear:
+    ``|x|²`` per subspace lands in its OWN projection (``__xx{j}``) so it
+    is folded once per row instead of once per codeword (k× duplicate
+    work — higher-order folds are interpreted, never codegen'd, so
+    Catalyst does not CSE them), and the argmin struct is computed once
+    and reused by every consumer instead of re-deriving the candidate
+    array per output column.  The arithmetic per candidate is the exact
+    :func:`_pq_dist` sequence (|x|² − 2·x·c + |c|²), so results stay
+    bit-identical to the per-candidate form.
+    """
     m = len(codebooks)
-    code_cols = []
+    stepped = base.select(
+        "*",
+        *[
+            F.aggregate(
+                _sub_slice(F.col("v"), j, sub), F.lit(0.0),
+                lambda a, b: a + b * b,
+            ).alias(f"__xx{j}")
+            for j in range(m)
+        ],
+    )
+    best_cols = []
     for j in range(m):
+        x = _sub_slice(F.col("v"), j, sub)
         cands = F.array(
             *[
                 F.struct(
-                    _pq_dist(F.col("v"), codebooks[j][c], j, sub).alias("d"),
+                    (
+                        F.col(f"__xx{j}")
+                        - 2.0 * dot(x, F.lit([float(v) for v in codebooks[j][c]]))
+                        + F.lit(float(sum(v * v for v in codebooks[j][c])))
+                    ).alias("d"),
                     F.lit(c).alias("i"),
                 )
                 for c in range(len(codebooks[j]))
             ]
         )
-        code_cols.append(F.array_min(cands)["i"])
-    return base.withColumn("codes", F.array(*code_cols))
+        best_cols.append(F.array_min(cands).alias(f"__best{j}"))
+    return stepped.select("*", *best_cols)
+
+
+def _pq_drop_internal(df: DataFrame, m: int) -> DataFrame:
+    return df.drop(
+        *[f"__xx{j}" for j in range(m)], *[f"__best{j}" for j in range(m)]
+    )
+
+
+def _pq_codes_df(base: DataFrame, codebooks: list, sub: int) -> DataFrame:
+    m = len(codebooks)
+    stepped = _pq_best_df(base, codebooks, sub)
+    out = stepped.withColumn(
+        "codes", F.array(*[F.col(f"__best{j}")["i"] for j in range(m)])
+    )
+    return _pq_drop_internal(out, m)
 
 
 def pq_encode(
@@ -1208,28 +1252,22 @@ def pq_encode(
     codeword's distance) — the quality number a compression decision
     needs, computed in the same pass.
     """
+    m = len(codebooks)
     base = emb.select(
-        F.col(id_col), _dvec(F.col(vec_col)).alias("v")
+        F.col(id_col).alias("id"), _dvec(F.col(vec_col)).alias("v")
     )
-    out = _pq_codes_df(base.withColumnRenamed(id_col, "id"), codebooks, sub)
-    out = out.withColumnRenamed("id", id_col)
+    stepped = _pq_best_df(base, codebooks, sub)
+    cols = [
+        F.col("id").alias(id_col),
+        F.array(*[F.col(f"__best{j}")["i"] for j in range(m)]).alias("codes"),
+    ]
     if with_error:
-        m = len(codebooks)
         err = None
         for j in range(m):
-            cands = F.array(
-                *[
-                    F.struct(
-                        _pq_dist(F.col("v"), codebooks[j][c], j, sub).alias("d"),
-                        F.lit(c).alias("i"),
-                    )
-                    for c in range(len(codebooks[j]))
-                ]
-            )
-            dj = F.array_min(cands)["d"]
+            dj = F.col(f"__best{j}")["d"]
             err = dj if err is None else err + dj
-        out = out.withColumn("sq_error", err)
-    return out.drop("v")
+        cols.append(err.alias("sq_error"))
+    return stepped.select(*cols)
 
 
 def pq_topk(

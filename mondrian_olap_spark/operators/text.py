@@ -1158,55 +1158,56 @@ def cdc_chunks(
 
     Returns ``(id_col, chunk_id, first_pos, n_tokens, chunk_hash)`` —
     chunk_hash is the md5 of the space-joined chunk tokens (the dedup
-    key).  Scale shape: grams/boundaries are array expressions inside the
-    scan projection; ONE doc-keyed shuffle drives the running boundary
-    sum and the chunk regroup (same window partitioning reused — the
-    exchange happens once).  Hashing is the portable md5-derived 60-bit
-    scheme, so a SQL oracle replays boundaries bit-for-bit.
+    key).  Scale shape: the ENTIRE chunking happens in the scan
+    projection as array expressions — boundary positions are a
+    ``filter`` over token positions, chunk (start, end) spans pair the
+    shifted boundary list with itself, and each chunk hashes a ``slice``
+    of the token array — so there is NO per-token explode, NO shuffle
+    and NO window: the only row expansion is the final chunk-level
+    ``posexplode`` (a narrow Generate).  A boundary token is the LAST
+    token of its chunk (the running-sum convention: chunk membership
+    counts boundaries strictly before the position).  Hashing is the
+    portable md5-derived 60-bit scheme, so a SQL oracle replays
+    boundaries bit-for-bit.
     """
     if k < 1 or divisor < 1:
         raise ValueError("k and divisor must be >= 1")
-    from pyspark.sql import Window
 
     t = F.split(F.trim(F.col(text_col)), r"\s+")
     gram = lambda i: F.concat_ws(" ", F.slice(t, i - (k - 1), k))  # noqa: E731
     h = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")  # noqa: E731
-    entries = F.transform(
+    # boundary positions, ascending; the when() guard keeps the gram
+    # slice from ever being built for i < k (slice(0) is an error)
+    bpos = F.filter(
         F.sequence(F.lit(1), F.size(t)),
-        lambda i: F.struct(
-            i.alias("pos"),
-            F.element_at(t, i).alias("tok"),
-            F.when(i >= k, (h(gram(i)) % divisor) == 0)
-            .otherwise(F.lit(False))
-            .alias("boundary"),
+        lambda i: F.when(i >= k, (h(gram(i)) % divisor) == 0).otherwise(
+            F.lit(False)
         ),
     )
+    # chunk spans: starts = [1, b+1 ...], ends = [b ..., n]; the trailing
+    # span is empty iff the last token is itself a boundary — drop it
+    starts = F.concat(F.array(F.lit(1)), F.transform(bpos, lambda b: b + 1))
+    ends = F.concat(bpos, F.array(F.size(t)))
+    chunks = F.filter(
+        F.zip_with(
+            starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))
+        ),
+        lambda c: c["s"] <= c["e"],
+    )
     rows = df.select(
-        F.col(id_col).alias("id"), F.explode(entries).alias("e")
-    ).select("id", "e.pos", "e.tok", "e.boundary")
-    w = (
-        Window.partitionBy("id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
+        F.col(id_col).alias("id"),
+        t.alias("__t"),
+        F.posexplode(chunks).alias("cix", "c"),
     )
-    chunked = rows.withColumn(
-        "chunk_id",
-        F.coalesce(F.sum(F.col("boundary").cast("long")).over(w), F.lit(0)),
-    )
-    seq = F.sort_array(
-        F.collect_list(F.struct(F.col("pos"), F.col("tok")))
-    )
-    return (
-        chunked.groupBy(F.col("id").alias(id_col), "chunk_id")
-        .agg(
-            F.min("pos").alias("first_pos"),
-            F.count("*").alias("n_tokens"),
-            F.md5(
-                F.concat_ws(
-                    " ", F.transform(seq, lambda s: s["tok"])
-                )
-            ).alias("chunk_hash"),
-        )
+    length = F.col("c.e") - F.col("c.s") + 1
+    return rows.select(
+        F.col("id").alias(id_col),
+        F.col("cix").cast("long").alias("chunk_id"),
+        F.col("c.s").alias("first_pos"),
+        length.cast("long").alias("n_tokens"),
+        F.md5(
+            F.concat_ws(" ", F.slice(F.col("__t"), F.col("c.s"), length))
+        ).alias("chunk_hash"),
     )
 
 
