@@ -633,8 +633,12 @@ def simhash_pairs(
             F.col("b.id").alias("id_b"),
             F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        # filter BEFORE the distinct: the hamming cut commutes with
+        # dedup (hamming is a function of the pair), and applying it
+        # first shrinks the dedup aggregate from every chunk collision
+        # to only near pairs (guide §2.3: aggregate fewer rows)
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

@@ -279,12 +279,27 @@ def decode_media(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = []
-            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
-                w, h, feats = decoder(kind, bytes(payload) if payload is not None else b"")
-                rows.append((mid, kind, w, h, feats))
+            # columnar accumulation: one list per output column beats a
+            # row-tuple list + DataFrame transpose for wide batches, and
+            # bytes(payload) is a no-op (not a copy) for bytes input
+            widths: list = []
+            heights: list = []
+            feats_col: list = []
+            for kind, payload in zip(pdf["kind"], pdf["payload"]):
+                w, h, feats = decoder(
+                    kind, bytes(payload) if payload is not None else b""
+                )
+                widths.append(w)
+                heights.append(h)
+                feats_col.append(feats)
             yield pd.DataFrame(
-                rows, columns=["media_id", "kind", "width", "height", "features"]
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "kind": pdf["kind"].to_numpy(),
+                    "width": widths,
+                    "height": heights,
+                    "features": feats_col,
+                }
             )
 
     return df.mapInPandas(batches, schema=DECODED_SCHEMA)

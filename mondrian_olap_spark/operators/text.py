@@ -1173,30 +1173,45 @@ def cdc_chunks(
     if k < 1 or divisor < 1:
         raise ValueError("k and divisor must be >= 1")
 
-    t = F.split(F.trim(F.col(text_col)), r"\s+")
-    gram = lambda i: F.concat_ws(" ", F.slice(t, i - (k - 1), k))  # noqa: E731
+    # STEPWISE projections: each array lands in its own column before the
+    # next step references it, so every lambda reference is a cheap
+    # attribute lookup.  Inlining instead (one giant expression) makes the
+    # per-position lambda re-evaluate the full regex split per element —
+    # O(tokens²) work per document (measured 15× slower at sf0.1).
+    # CollapseProject cannot re-inline the steps: the producers are
+    # non-cheap expressions referenced more than once.
+    tcol = F.col("__t")
+    gram = lambda i: F.concat_ws(" ", F.slice(tcol, i - (k - 1), k))  # noqa: E731
     h = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")  # noqa: E731
+    step1 = df.select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__t"),
+    )
     # boundary positions, ascending; the when() guard keeps the gram
     # slice from ever being built for i < k (slice(0) is an error)
-    bpos = F.filter(
-        F.sequence(F.lit(1), F.size(t)),
-        lambda i: F.when(i >= k, (h(gram(i)) % divisor) == 0).otherwise(
-            F.lit(False)
-        ),
+    step2 = step1.select(
+        "*",
+        F.filter(
+            F.sequence(F.lit(1), F.size(tcol)),
+            lambda i: F.when(i >= k, (h(gram(i)) % divisor) == 0).otherwise(
+                F.lit(False)
+            ),
+        ).alias("__b"),
     )
     # chunk spans: starts = [1, b+1 ...], ends = [b ..., n]; the trailing
     # span is empty iff the last token is itself a boundary — drop it
-    starts = F.concat(F.array(F.lit(1)), F.transform(bpos, lambda b: b + 1))
-    ends = F.concat(bpos, F.array(F.size(t)))
+    bcol = F.col("__b")
+    starts = F.concat(F.array(F.lit(1)), F.transform(bcol, lambda b: b + 1))
+    ends = F.concat(bcol, F.array(F.size(tcol)))
     chunks = F.filter(
         F.zip_with(
             starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))
         ),
         lambda c: c["s"] <= c["e"],
     )
-    rows = df.select(
-        F.col(id_col).alias("id"),
-        t.alias("__t"),
+    rows = step2.select(
+        "id",
+        F.col("__t"),
         F.posexplode(chunks).alias("cix", "c"),
     )
     length = F.col("c.e") - F.col("c.s") + 1

@@ -2396,14 +2396,24 @@ def multimodal_real_wav_gate(spark, sf_dir):
     docs = _docs(spark, sf_dir).select("doc_id")
 
     def gen(it):
-        idx = np.arange(32, dtype=np.int64)
+        step = np.arange(32, dtype=np.int64) * 17
         for pdf in it:
-            rows = []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                smp = ((did * 31 + idx * 17) % 2001 - 1000).astype("<i2")
-                rows.append((did, "audio", mm.encode_wav(smp, sample_rate=8000)))
-            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+            dids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            # one broadcasted synthesis for the whole batch instead of a
+            # per-row arange chain (guide §4.2: batch the numpy work)
+            smp = ((dids[:, None] * 31 + step[None, :]) % 2001 - 1000).astype(
+                "<i2"
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": dids,
+                    "kind": "audio",
+                    "payload": [
+                        mm.encode_wav(smp[i], sample_rate=8000)
+                        for i in range(len(dids))
+                    ],
+                }
+            )
 
     media = docs.mapInPandas(
         gen, schema="media_id long, kind string, payload binary"
