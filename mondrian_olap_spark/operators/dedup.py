@@ -66,8 +66,15 @@ def shingles(
     """
     from .util import ensure_min_parallelism
 
-    df = ensure_min_parallelism(df)
-    t = F.split(F.trim(F.col(text_col)), r"\s+")
+    # the token array is materialized in its OWN projection first: a
+    # transform/slice lambda over the inline split expression re-evaluates
+    # the regex split per position (O(tokens²) per document — measured 9×
+    # on the cdc operator); a column reference is a per-element no-op
+    step = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__t"),
+    )
+    t = F.col("__t")
     sh = F.when(
         F.size(t) >= n,
         F.transform(
@@ -75,7 +82,7 @@ def shingles(
             lambda i: F.concat_ws(" ", F.slice(t, i, n)),
         ),
     ).otherwise(F.array(F.concat_ws(" ", t)))
-    return df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle"))
+    return step.select("id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
 def exact_dedup(
@@ -703,7 +710,13 @@ def decontamination_report(
     from .util import ensure_min_parallelism
 
     def sh(df: DataFrame) -> DataFrame:
-        t = F.split(F.trim(F.col(text_col)), r"\s+")
+        # token array materialized first (see shingles(): inline split in
+        # the slice lambda is O(tokens²) per document)
+        step = ensure_min_parallelism(df).select(
+            F.col(id_col).alias("id"),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("__t"),
+        )
+        t = F.col("__t")
         grams = F.when(
             F.size(t) >= n,
             F.transform(
@@ -717,9 +730,8 @@ def decontamination_report(
         # (~(n_grams)²/2⁶¹) only ever overcount hits, matching the
         # bloom-filter practice of GPT-3-style decontamination
         return (
-            ensure_min_parallelism(df)
-            .select(
-                F.col(id_col).alias("id"),
+            step.select(
+                "id",
                 F.explode(F.array_distinct(grams)).alias("__g"),
             )
             .select("id", F.expr(_h("__g")).alias("g"))
@@ -1290,7 +1302,13 @@ def ngram_collision_report(
     from .util import ensure_min_parallelism
 
     def grams(frame: DataFrame, out_id: str) -> DataFrame:
-        t = F.split(F.trim(F.col(text_col)), r"\s+")
+        # token array materialized first (see shingles(): inline split in
+        # the slice lambda is O(tokens²) per document)
+        step = ensure_min_parallelism(frame).select(
+            F.col(id_col).alias(out_id),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("__t"),
+        )
+        t = F.col("__t")
         arr = F.when(
             F.size(t) >= n,
             F.transform(
@@ -1299,9 +1317,8 @@ def ngram_collision_report(
             ),
         ).otherwise(F.expr("array()").cast("array<string>"))
         return (
-            ensure_min_parallelism(frame)
-            .select(
-                F.col(id_col).alias(out_id),
+            step.select(
+                out_id,
                 F.explode(F.array_distinct(arr)).alias("__g"),
             )
             .withColumn(
@@ -1508,22 +1525,38 @@ def remove_duplicated_spans(
     empty = F.expr("array()").cast(
         "array<struct<start_tok:bigint,end_tok:bigint>>"
     )
-    spans_col = F.coalesce(F.col("__spans").cast(
-        "array<struct<start_tok:bigint,end_tok:bigint>>"
-    ), empty)
-    # keep token i (1-based) iff no span covers it
-    kept = F.filter(
-        F.zip_with(
-            F.col("__toks"),
-            F.sequence(F.lit(1), F.size("__toks")),
-            lambda tok, i: F.struct(tok.alias("t"), i.alias("i")),
-        ),
-        lambda s: ~F.exists(
-            spans_col,
-            lambda sp: (s["i"] >= sp["start_tok"])
-            & (s["i"] <= sp["end_tok"]),
+    # the normalized span array and the kept-token array each land in
+    # their own column: the exists lambda probes the spans PER TOKEN (an
+    # inline coalesce+cast would be re-built per probe), and kept feeds
+    # BOTH n_removed and the rebuilt text (an inline filter would run
+    # the token×span scan twice per row) — see shingles() on the cost of
+    # non-column expressions inside per-element lambdas
+    toks = toks.withColumn(
+        "__spansx",
+        F.coalesce(
+            F.col("__spans").cast(
+                "array<struct<start_tok:bigint,end_tok:bigint>>"
+            ),
+            empty,
         ),
     )
+    # keep token i (1-based) iff no span covers it
+    toks = toks.withColumn(
+        "__kept",
+        F.filter(
+            F.zip_with(
+                F.col("__toks"),
+                F.sequence(F.lit(1), F.size("__toks")),
+                lambda tok, i: F.struct(tok.alias("t"), i.alias("i")),
+            ),
+            lambda s: ~F.exists(
+                F.col("__spansx"),
+                lambda sp: (s["i"] >= sp["start_tok"])
+                & (s["i"] <= sp["end_tok"]),
+            ),
+        ),
+    )
+    kept = F.col("__kept")
     return toks.select(
         id_col,
         F.size("__toks").alias("n_tokens"),
@@ -1542,11 +1575,16 @@ def _grams_with_pos(
     incremental shingle-store probe."""
     from .util import ensure_min_parallelism
 
-    t = F.split(F.trim(F.col(text_col)), r"\s+")
+    # token array materialized first (see shingles(): inline split in
+    # the slice lambda is O(tokens²) per document)
+    step = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("__id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__t"),
+    )
+    t = F.col("__t")
     return (
-        ensure_min_parallelism(df)
-        .select(
-            F.col(id_col).alias("__id"),
+        step.select(
+            "__id",
             F.posexplode(
                 F.when(
                     F.size(t) >= n,

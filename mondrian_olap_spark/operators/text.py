@@ -396,17 +396,24 @@ def segment_dedup(
     """
     from .util import ensure_min_parallelism
 
-    df = ensure_min_parallelism(df)
     # NULL text → '' : split(NULL) is NULL, which would make n_segs NULL
-    # and posexplode silently DROP the document from the output
-    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    # and posexplode silently DROP the document from the output.  Token
+    # array materialized first (inline split in the slice lambda is
+    # O(tokens²) per document — see dedup.shingles).
+    step = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.split(
+            F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"
+        ).alias("__t"),
+    )
+    toks = F.col("__t")
     n_segs = F.ceil(F.size(toks) / F.lit(seg_tokens)).cast("int")
     segs = F.transform(
         F.sequence(F.lit(0), n_segs - 1),
         lambda i: F.concat_ws(" ", F.slice(toks, i * seg_tokens + 1, seg_tokens)),
     )
-    exploded = df.select(
-        F.col(id_col).alias("id"), F.posexplode(segs).alias("pos", "seg")
+    exploded = step.select(
+        "id", F.posexplode(segs).alias("pos", "seg")
     )
     firsts = exploded.groupBy("seg").agg(
         F.min(F.struct("id", "pos")).alias("__first")
@@ -495,7 +502,15 @@ def bigram_entropy(
     """
     from .util import ensure_min_parallelism
 
-    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    # token array materialized first (inline split in the element_at
+    # lambda is O(tokens²) per document — see dedup.shingles)
+    step = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.split(
+            F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"
+        ).alias("__t"),
+    )
+    toks = F.col("__t")
     grams = F.when(
         F.size(toks) >= 2,
         F.transform(
@@ -505,9 +520,7 @@ def bigram_entropy(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    out = ensure_min_parallelism(df).select(
-        F.col(id_col).alias("id"), F.array_sort(grams).alias("__arr")
-    )
+    out = step.select("id", F.array_sort(grams).alias("__arr"))
     return _runlength_entropy(
         out, "n_bigrams", "n_distinct_bigrams", "bigram_entropy"
     )
@@ -907,7 +920,13 @@ def top_ngrams(
     """
     from .util import ensure_min_parallelism
 
-    t = F.split(F.trim(F.col(text_col)), r"\s+")
+    # token array materialized first (inline split in the slice lambda
+    # is O(tokens²) per document — see dedup.shingles)
+    step = ensure_min_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__t"),
+    )
+    t = F.col("__t")
     grams = F.when(
         F.size(t) >= n,
         F.transform(
@@ -915,9 +934,7 @@ def top_ngrams(
             lambda i: F.concat_ws(" ", F.slice(t, i, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    exploded = ensure_min_parallelism(df).select(
-        F.col(id_col).alias("id"), F.explode(grams).alias("ngram")
-    )
+    exploded = step.select("id", F.explode(grams).alias("ngram"))
     agg = exploded.groupBy("ngram").agg(
         F.count("*").alias("occurrences"),
         F.countDistinct("id").alias("n_docs"),
@@ -1035,19 +1052,24 @@ def bigram_perplexity(
     from .util import ensure_min_parallelism
 
     t = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    base = ensure_min_parallelism(df)
+    # token array materialized first for the pair lambda (inline split
+    # re-evaluated per element is O(tokens²) — see dedup.shingles); the
+    # vocab explode below evaluates t once per row and stays inline
+    stept = base.select(F.col(id_col).alias("id"), t.alias("__t"))
+    t2 = F.col("__t")
     pairs = F.when(
-        F.size(t) >= 2,
+        F.size(t2) >= 2,
         F.transform(
-            F.sequence(F.lit(1), F.size(t) - 1),
+            F.sequence(F.lit(1), F.size(t2) - 1),
             lambda i: F.struct(
-                F.element_at(t, i).alias("w1"),
-                F.element_at(t, i + 1).alias("w2"),
+                F.element_at(t2, i).alias("w1"),
+                F.element_at(t2, i + 1).alias("w2"),
             ),
         ),
     ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    base = ensure_min_parallelism(df)
-    bg = base.select(
-        F.col(id_col).alias("id"), F.explode(pairs).alias("p")
+    bg = stept.select(
+        "id", F.explode(pairs).alias("p")
     ).select("id", "p.w1", "p.w2")
     c = bg.groupBy("id", "w1", "w2").agg(F.count("*").alias("c"))
     cb = c.groupBy("w1", "w2").agg(F.sum("c").alias("cb"))
@@ -1299,14 +1321,28 @@ def remove_repeated_segments(
     names a new column.  NULL text passes through NULL.
     """
     out = output or text_col
-    segs = F.split(F.col(text_col), _re_escape(sep))
-    kept = F.filter(
-        segs, lambda x, i: F.array_position(segs, x) == (i + F.lit(1)).cast("bigint")
+    # the segment array is materialized once before the dedup lambda: the
+    # filter references the array per element (array_position scan), so an
+    # inline split would be re-evaluated O(segments²) times per document
+    # (see dedup.shingles); the scan itself is the algorithm, the re-split
+    # is not
+    step = df.withColumn("__segs", F.split(F.col(text_col), _re_escape(sep)))
+    segs = F.col("__segs")
+    # __kept is materialized too: both n_segments_out and the rebuilt text
+    # consume it, and the quadratic first-occurrence filter must run once
+    step = step.withColumn(
+        "__kept",
+        F.filter(
+            segs,
+            lambda x, i: F.array_position(segs, x)
+            == (i + F.lit(1)).cast("bigint"),
+        ),
     )
     return (
-        df.withColumn("n_segments_in", F.size(segs))
-        .withColumn("n_segments_out", F.size(kept))
-        .withColumn(out, F.array_join(kept, sep))
+        step.withColumn("n_segments_in", F.size(segs))
+        .withColumn("n_segments_out", F.size(F.col("__kept")))
+        .withColumn(out, F.array_join(F.col("__kept"), sep))
+        .drop("__segs", "__kept")
     )
 
 
@@ -1655,17 +1691,23 @@ def _feature_array(col, ngram: int, hashed_buckets: int | None):
         lambda w: w != "",
     )
     if ngram > 1:
-        # guard short docs: sequence(ngram, size) would DESCEND when
-        # size < ngram and fabricate features
-        idx = F.when(
-            F.size(arr) >= ngram,
-            F.sequence(F.lit(ngram), F.size(arr)),
-        ).otherwise(F.expr("array()").cast("array<int>"))
-        arr = F.transform(
-            idx,
-            lambda i: F.array_join(
-                F.slice(arr, i - F.lit(ngram - 1), ngram), " "
-            ),
+        # n-grams via n shifted slices folded with zip_with instead of a
+        # per-index slice lambda: the lambda form re-evaluates the token
+        # array (filter of split) once PER POSITION — O(tokens²) per row
+        # (see dedup.shingles); the shifted-slice form evaluates it ~2n
+        # times per row and builds the identical joined strings.  The
+        # size guard keeps slice from seeing a non-positive length on
+        # short docs (which would error, not truncate).
+        cnt = F.size(arr) - (ngram - 1)
+        joined = F.slice(arr, 1, cnt)
+        for k in range(1, ngram):
+            joined = F.zip_with(
+                joined,
+                F.slice(arr, k + 1, cnt),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        arr = F.when(F.size(arr) >= ngram, joined).otherwise(
+            F.expr("array()").cast("array<string>")
         )
     if hashed_buckets is not None:
         arr = F.transform(
