@@ -2324,16 +2324,22 @@ def multimodal_real_bmp_gate(spark, sf_dir):
     docs = _docs(spark, sf_dir).select("doc_id")
 
     def gen(it):
+        y, x, c = np.meshgrid(range(4), range(4), range(3), indexing="ij")
+        base = 7 * y + 13 * x + 29 * c  # constant per batch, not per row
         for pdf in it:
-            rows = []
-            for did in pdf["doc_id"]:
-                did = int(did)
-                y, x, c = np.meshgrid(
-                    range(4), range(4), range(3), indexing="ij"
-                )
-                px = ((did + 7 * y + 13 * x + 29 * c) % 256).astype(np.uint8)
-                rows.append((did, "image", mm.encode_bmp(px)))
-            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+            dids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            px_all = ((dids[:, None, None, None] + base) % 256).astype(
+                np.uint8
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": dids,
+                    "kind": "image",
+                    "payload": [
+                        mm.encode_bmp(px_all[i]) for i in range(len(dids))
+                    ],
+                }
+            )
 
     media = docs.mapInPandas(
         gen, schema="media_id long, kind string, payload binary"
