@@ -103,3 +103,21 @@ def atomic_overwrite_dir(spark, path: str, write_fn) -> None:
     # drop Spark's cached file listing or the next read of this path
     # fails with FAILED_READ_FILE.FILE_NOT_EXIST
     spark.catalog.refreshByPath(path)
+
+
+def tiny_df(spark, rows, schema):
+    """Single-partition DataFrame from a handful of driver-side rows —
+    for params-sized artifact sidecars (``_params``, ``_centroids``, …).
+
+    ``spark.createDataFrame(rows)`` parallelizes the list over
+    ``defaultParallelism`` PYTHON-RDD slices (the plan is
+    ``Scan ExistingRDD`` via ``applySchemaToPythonRDD``), and the
+    ``coalesce(1)`` these sidecar writes want then computes all of those
+    slices SEQUENTIALLY inside one task, each paying its own
+    Python-worker round-trip — measured ~5-6 s for a ONE-ROW parquet
+    write on ``local[32]`` vs ~0.3 s with a single slice.  Parallelizing
+    with one slice up front keeps the single output file and crosses the
+    Python boundary once."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )

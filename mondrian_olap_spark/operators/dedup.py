@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .. import fsio
+
 #: portable 60-bit string hash (see module docstring)
 def _h(expr: str) -> str:
     return f"cast(conv(substr(md5({expr}), 1, 15), 16, 10) as bigint)"
@@ -899,10 +901,9 @@ def write_bloom(
     def _write_to(target: str) -> None:
         bitmap.coalesce(1).write.mode("overwrite").parquet(target)
         (
-            spark.createDataFrame(
-                [(int(m_bits), int(k))], "m_bits long, k int"
+            fsio.tiny_df(
+                spark, [(int(m_bits), int(k))], "m_bits long, k int"
             )
-            .coalesce(1)
             .write.mode("overwrite")
             .parquet(target + "/_params")
         )
@@ -1133,10 +1134,11 @@ def write_minhash_index(
     keys = minhash_band_keys(docs, id_col, text_col, n, num_hashes, bands)
     keys.write.mode("overwrite").partitionBy("band").parquet(path)
     (
-        docs.sparkSession.createDataFrame(
-            [(n, num_hashes, bands)], "n int, num_hashes int, bands int"
+        fsio.tiny_df(
+            docs.sparkSession,
+            [(n, num_hashes, bands)],
+            "n int, num_hashes int, bands int",
         )
-        .coalesce(1)
         .write.mode("overwrite")
         .parquet(path + "/_params")
     )
@@ -1665,8 +1667,7 @@ def write_shingle_store(
     ).dropDuplicates()
     hashes.write.mode("overwrite").parquet(path)
     (
-        docs.sparkSession.createDataFrame([(n,)], "n int")
-        .coalesce(1)
+        fsio.tiny_df(docs.sparkSession, [(n,)], "n int")
         .write.mode("overwrite")
         .parquet(path + "/_params")
     )
@@ -1712,8 +1713,7 @@ def compact_shingle_store(spark, path: str) -> None:
     def write(target: str) -> None:
         distinct.write.mode("overwrite").parquet(target)
         (
-            spark.createDataFrame([(n,)], "n int")
-            .coalesce(1)
+            fsio.tiny_df(spark, [(n,)], "n int")
             .write.mode("overwrite")
             .parquet(target + "/_params")
         )

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .. import fsio
+
 
 def _dvec(col: Column) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -703,10 +705,9 @@ def write_ivf_index(
         for s in seeds
     ]
     (
-        emb.sparkSession.createDataFrame(
-            cent_rows, "id long, v array<double>, nv double"
+        fsio.tiny_df(
+            emb.sparkSession, cent_rows, "id long, v array<double>, nv double"
         )
-        .coalesce(1)
         .write.mode("overwrite")
         .parquet(path + "/_centroids")
     )
@@ -1385,7 +1386,8 @@ def pq_topk(
         return out
 
     spark = emb.sparkSession
-    tdf = spark.createDataFrame(
+    tdf = fsio.tiny_df(
+        spark,
         [(int(r["qid"]), table(r["v"])) for r in qrows],
         "query_id long, t array<array<double>>",
     )
@@ -1445,10 +1447,9 @@ def write_pq_index(
         for c in range(len(codebooks[j]))
     ]
     (
-        emb.sparkSession.createDataFrame(
-            rows, "subspace int, code int, v array<double>"
+        fsio.tiny_df(
+            emb.sparkSession, rows, "subspace int, code int, v array<double>"
         )
-        .coalesce(1)
         .write.mode("overwrite")
         .parquet(path + "/_codebooks")
     )
@@ -1617,8 +1618,8 @@ def ivfpq_topk(
                 table.append(trow)
             rows.append((int(r["qid"]), int(s["id"]), table))
     spark = emb.sparkSession
-    tdf = spark.createDataFrame(
-        rows, "query_id long, __qcell long, t array<array<double>>"
+    tdf = fsio.tiny_df(
+        spark, rows, "query_id long, __qcell long, t array<array<double>>"
     )
     joined = index.join(
         F.broadcast(tdf),

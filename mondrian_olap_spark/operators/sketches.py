@@ -213,12 +213,12 @@ def write_histogram(
     def _write_to(target: str) -> None:
         hist.write.mode("overwrite").parquet(target)
         (
-            spark.createDataFrame(
+            fsio.tiny_df(
+                spark,
                 [(float(lo), float(hi), int(bins),
                   ",".join(group_cols or []))],
                 "lo double, hi double, bins int, group_cols string",
             )
-            .coalesce(1)
             .write.mode("overwrite")
             .parquet(target + "/_params")
         )

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .. import fsio
+
 #: tiny per-language stopword sets for the voting heuristic
 STOPWORDS = {
     "en": ("the", "a", "of", "and", "is", "to", "in"),
@@ -1393,7 +1395,8 @@ def build_vocab(
         )
     )
     spark = df.sparkSession
-    spec = spark.createDataFrame(
+    spec = fsio.tiny_df(
+        spark,
         [(t, i, 0) for i, t in enumerate(reserved)],
         "token string, token_id bigint, n_occurrences bigint",
     )
@@ -2270,8 +2273,7 @@ def write_line_stats(
     def _write_to(target: str) -> None:
         stats.write.mode("overwrite").parquet(target)
         (
-            spark.createDataFrame([(delimiter,)], "delimiter string")
-            .coalesce(1)
+            fsio.tiny_df(spark, [(delimiter,)], "delimiter string")
             .write.mode("overwrite")
             .parquet(target + "/_params")
         )
@@ -2310,8 +2312,7 @@ def line_stats_append(
     def _write_to(target: str) -> None:
         merged.write.mode("overwrite").parquet(target)
         (
-            spark.createDataFrame([(delimiter,)], "delimiter string")
-            .coalesce(1)
+            fsio.tiny_df(spark, [(delimiter,)], "delimiter string")
             .write.mode("overwrite")
             .parquet(target + "/_params")
         )

@@ -22,6 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import fsio
 from . import functions as fx
 from .functions.stats import set_aggregate
 from .query import Query
@@ -3478,7 +3479,7 @@ def format_strings_gate(spark, sf_dir):
         (x["region_name"], format_value(x["sum_price"], "#,##0.00"))
         for x in r.df.collect()
     ]
-    return spark.createDataFrame(data, "region_name string, pretty_price string")
+    return fsio.tiny_df(spark, data, "region_name string, pretty_price string")
 
 
 @q(

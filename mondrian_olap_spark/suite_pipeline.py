@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from . import fsio
 from .operators import dedup, similarity, text
 from .operators.sampling import split_case_sql as _split_case_sql
 from .star import read_parquet_table
@@ -5151,7 +5152,8 @@ def text_bpe_train_merges(spark, sf_dir):
     merges = t.train_bpe(
         _docs(spark, sf_dir), num_merges=20, min_freq=1, max_words=100_000
     )
-    return spark.createDataFrame(
+    return fsio.tiny_df(
+        spark,
         [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
         "rank INT, left STRING, right STRING, merged STRING",
     )
