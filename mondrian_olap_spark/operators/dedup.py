@@ -490,10 +490,16 @@ def dedup_clusters(
 
     Returns (id, cluster, keep).
     """
+    # materialized eagerly: edges joins into EVERY propagation round, and
+    # the incoming pairs plan is typically the expensive candidate stage
+    # (a blocked cosine self-join); without the checkpoint each round
+    # re-executes that whole plan (measured: 3 rounds re-ran a 6.4 s pair
+    # stage each — 20.8 s for a 106-pair graph)
     edges = (
         pairs.selectExpr("id_a AS src", "id_b AS dst")
         .unionByName(pairs.selectExpr("id_b AS src", "id_a AS dst"))
         .dropDuplicates()
+        .localCheckpoint(eager=True)
     )
     labels = ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("cluster"))
     changed = 1
