@@ -4919,3 +4919,26 @@ def test_perceptron_empty_and_degenerate_training(spark):
     assert m2["history"][-1] == 0
     scored = score_with_perceptron(neg, m2)
     assert scored.filter("prediction = 1").count() == 0
+
+
+def test_fsio_tiny_df_single_slice_roundtrip(spark, tmp_path):
+    """fsio.tiny_df builds sidecar frames on ONE slice: a params-sized
+    write must produce a single partition (one task, one file — not
+    defaultParallelism Python-RDD slices whose coalesce(1) serializes a
+    Python-worker round-trip per slice), with rows and schema identical
+    to the plain createDataFrame form."""
+    from mondrian_olap_spark import fsio
+
+    rows = [(7, 3), (9, 1)]
+    df = fsio.tiny_df(spark, rows, "m_bits long, k int")
+    assert df.rdd.getNumPartitions() == 1
+    ref = spark.createDataFrame(rows, "m_bits long, k int")
+    assert df.schema == ref.schema
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, ref.collect()))
+    path = str(tmp_path / "params")
+    df.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    assert sorted(map(tuple, back.collect())) == sorted(rows)
+    # exactly one data file — the sidecar stays a single small parquet
+    import glob
+    assert len(glob.glob(path + "/part-*")) == 1
