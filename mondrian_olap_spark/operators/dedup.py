@@ -678,10 +678,19 @@ def pair_recall_report(
             F.greatest(F.col(id_a), F.col(id_b)).alias("__b"),
         ).distinct()
 
+    # single pass over the exact arm: a left join against the (distinct)
+    # candidate set marks hits, so n_true and n_found come out of ONE
+    # aggregation — the crossJoin-of-two-aggregates form executed the
+    # expensive exact-pairs plan twice (once per aggregate branch)
     ex = canon(exact_pairs)
-    found = ex.join(canon(candidate_pairs), ["__a", "__b"], "left_semi")
-    return ex.agg(F.count("*").alias("n_true")).crossJoin(
-        found.agg(F.count("*").alias("n_found"))
+    marked = ex.join(
+        canon(candidate_pairs).withColumn("__hit", F.lit(1)),
+        ["__a", "__b"],
+        "left",
+    )
+    return marked.agg(
+        F.count("*").alias("n_true"),
+        F.count("__hit").alias("n_found"),
     ).select(
         "n_true",
         "n_found",

@@ -656,17 +656,21 @@ def recall_report(
     true neighbor still appear (recall 0.0).  Inputs are deduplicated
     (a multi-probe generator emitting a neighbor twice must not inflate
     n_hit past n_true)."""
+    # single pass over the exact arm: a left join against the (distinct)
+    # approximate set marks hits, so n_true and n_hit come out of ONE
+    # per-query aggregation — the truth-join-hits form executed the
+    # exact-baseline plan twice (once per aggregate branch)
     ex = exact.select(query_col, neighbor_col).distinct()
     ap = approx.select(query_col, neighbor_col).distinct()
-    truth = ex.groupBy(query_col).agg(F.count("*").alias("n_true"))
-    hits = (
-        ex.join(ap, [query_col, neighbor_col])
-        .groupBy(query_col)
-        .agg(F.count("*").alias("n_hit"))
+    marked = ex.join(
+        ap.withColumn("__hit", F.lit(1)), [query_col, neighbor_col], "left"
     )
     return (
-        truth.join(hits, query_col, "left")
-        .na.fill(0, ["n_hit"])
+        marked.groupBy(query_col)
+        .agg(
+            F.count("*").alias("n_true"),
+            F.count("__hit").alias("n_hit"),
+        )
         .withColumn(
             "recall",
             F.col("n_hit").cast("double") / F.col("n_true").cast("double"),
