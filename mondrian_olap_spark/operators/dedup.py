@@ -1229,6 +1229,12 @@ def incremental_neardup_pairs(
     if index is None:
         index = minhash_band_keys(corpus, id_col, text_col, n, num_hashes, bands)
     new_keys = minhash_band_keys(new_docs, id_col, text_col, n, num_hashes, bands)
+    # materialized eagerly: the candidate set feeds FIVE downstream
+    # branches (both semi-joins, both shingle sides of the verification
+    # join, and the join itself) — lazy, each branch re-executes the
+    # batch banding + index join; checkpointed, the banding runs once and
+    # what persists is candidate PAIRS (batch + collision bound, never
+    # corpus-sized)
     cand = (
         new_keys.select(
             F.col("id").alias("new_id"), "band", "key"
@@ -1239,6 +1245,7 @@ def incremental_neardup_pairs(
         )
         .select("new_id", "corpus_id")
         .dropDuplicates(["new_id", "corpus_id"])
+        .localCheckpoint(eager=True)
     )
     # verification shingles ONLY for documents that appear in a candidate
     # pair — the corpus-side semi-join is what keeps a 100 TB corpus out
