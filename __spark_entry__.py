@@ -46,47 +46,47 @@ _LAST_HASHED: dict[str, int] = {
     # for provenance only.
     # first hashed green in CORRECTNESS_r02.json
     "date_functions_by_year": 11,
-    "drilldown_member_region": 7,
-    "empty_cells_grid": 7,
-    "events_daily_users": 7,
-    "member_lookup_strtomember": 7,
-    "member_properties_parts": 7,
-    "parent_child_rollup": 7,
-    "role_region_grant": 7,
-    "scalar_string_math_functions": 7,
-    "set_union_nations": 7,
-    "udf_scaled_revenue": 7,
-    "virtual_sales_orders": 7,
-    "virtual_valid_measure": 7,
-    "visual_totals_regions": 7,
+    "drilldown_member_region": 12,
+    "empty_cells_grid": 12,
+    "events_daily_users": 12,
+    "member_lookup_strtomember": 12,
+    "member_properties_parts": 12,
+    "parent_child_rollup": 12,
+    "role_region_grant": 12,
+    "scalar_string_math_functions": 12,
+    "set_union_nations": 12,
+    "udf_scaled_revenue": 12,
+    "virtual_sales_orders": 12,
+    "virtual_valid_measure": 12,
+    "visual_totals_regions": 12,
     # first hashed green in CORRECTNESS_r03.json
     "aggregate_routing_gate": 11,
     "currentdate_member": 11,
     "dedup_exact_fingerprint": 11,
-    "dedup_keep_list": 7,
-    "dedup_minhash_lsh_pairs": 7,
-    "dedup_ngram_jaccard_pairs": 7,
-    "dedup_simhash_pairs": 7,
-    "descendants_months_mdx": 7,
-    "dimension_calc_member_mdx": 7,
-    "dimension_formula_member": 7,
-    "drilldown_level_top": 7,
-    "drilldown_operator_month": 7,
-    "drillthrough_grouped": 7,
-    "embed_cosine_topk": 7,
-    "embed_ivf_topk": 7,
-    "embed_neardup_pairs": 7,
-    "exists_customers_q1": 7,
-    "extract_hierarchy": 7,
-    "family_navigation_firstchild": 7,
-    "filter_last_regions": 7,
-    "filter_nonempty_grid": 7,
-    "format_strings_gate": 7,
-    "generate_children_drill": 7,
-    "linreg_variance_point": 7,
-    "locale_caption_members": 7,
-    "matches_regex_filter": 7,
-    "measures_allmembers": 7,
+    "dedup_keep_list": 12,
+    "dedup_minhash_lsh_pairs": 12,
+    "dedup_ngram_jaccard_pairs": 12,
+    "dedup_simhash_pairs": 12,
+    "descendants_months_mdx": 12,
+    "dimension_calc_member_mdx": 12,
+    "dimension_formula_member": 12,
+    "drilldown_level_top": 12,
+    "drilldown_operator_month": 12,
+    "drillthrough_grouped": 12,
+    "embed_cosine_topk": 12,
+    "embed_ivf_topk": 12,
+    "embed_neardup_pairs": 12,
+    "exists_customers_q1": 12,
+    "extract_hierarchy": 12,
+    "family_navigation_firstchild": 12,
+    "filter_last_regions": 12,
+    "filter_nonempty_grid": 12,
+    "format_strings_gate": 12,
+    "generate_children_drill": 12,
+    "linreg_variance_point": 12,
+    "locale_caption_members": 12,
+    "matches_regex_filter": 12,
+    "measures_allmembers": 12,
     "member_captions_suppliers": 8,
     "member_range_years": 8,
     "mixed_depth_axis": 8,
@@ -108,7 +108,7 @@ _LAST_HASHED: dict[str, int] = {
     "vba_function_names": 8,
     "weekly_hierarchy_totals": 8,
     # first hashed green in CORRECTNESS_r04.json
-    "count_exclude_empty": 8,
+    "count_exclude_empty": 12,
     "descendants_of_member": 8,
     "drillthrough_cell": 8,
     "embed_dedup_keep_list": 8,
@@ -260,15 +260,15 @@ _LAST_HASHED: dict[str, int] = {
     "text_line_stats_append_gate": 8,
     "web_curation_chain_gate": 8,
     # first hashed green in CORRECTNESS_r07.json (round-7 gates)
-    "default_member_all_gate": 7,
-    "embed_cluster_balanced_sample": 7,
-    "embed_semantic_dedup_gate": 7,
-    "streaming_importance_gate": 7,
-    "text_importance_hashed_gate": 7,
-    "text_importance_sample_gate": 7,
-    "text_importance_weights": 7,
-    "vba_excel_breadth_gate": 7,
-    "vba_financial_gate": 7,
+    "default_member_all_gate": 12,
+    "embed_cluster_balanced_sample": 12,
+    "embed_semantic_dedup_gate": 12,
+    "streaming_importance_gate": 12,
+    "text_importance_hashed_gate": 12,
+    "text_importance_sample_gate": 12,
+    "text_importance_weights": 12,
+    "vba_excel_breadth_gate": 12,
+    "vba_financial_gate": 12,
     # first hashed green in CORRECTNESS_r09.json (round-9 gates)
     "catalog_xml_import_gate": 9,
     "dedup_span_ingest_gate": 9,
@@ -300,7 +300,61 @@ _LAST_HASHED: dict[str, int] = {
     "exists_set_expression_gate": 11,
     "generate_per_member_gate": 11,
     "union_set_expression_gate": 11,
+    # first hashed green in CORRECTNESS_r12.json (round-12 gates)
+    "descendants_ragged_leaves_gate": 12,
+    "exists_mixed_depth_set_gate": 12,
+    "generate_post_ops_gate": 12,
 }
+
+#: entries whose IMPLEMENTATION was rewritten by an optimization round
+#: AFTER the round recorded in ``_LAST_HASHED`` — these jump the
+#: correctness queue (round-12 VERDICT "Next round" #3: stalest-first
+#: ordering back-queued exactly the operators that had just changed most;
+#: e.g. the r12 cdc/pq rewrites, last hashed r11, would not have been
+#: driver-re-hashed for several rounds).  Maintained by hand alongside
+#: each optimization: add the touched entry names here, remove them when
+#: a later CORRECTNESS_r{N}.json hashes them green (and bump
+#: ``_LAST_HASHED``).
+_TOUCHED_SINCE_HASH: set[str] = {
+    # round-12 optimization rewrites not re-hashed since:
+    "text_cdc_chunks",          # zero-shuffle array rewrite (r12) + r13 gram vectorization
+    "embed_pq_codes",           # mapInPandas vectorized encode (r12)
+    "embed_pq_topk",            # shares the pq encode path (r12)
+    "embed_quantization_report",  # pq_train shared-codes path (r12)
+    "dedup_lsh_recall_gate",    # single-pass recall report (r12)
+    "embed_ann_recall_gate",    # single-pass recall report (r12)
+    "dedup_bloom_append_gate",  # fsio.tiny_df sidecar writes (r12)
+    "dedup_index_append_gate",  # sidecar writes + cand checkpoint (r12)
+    "embed_ivf_append_gate",    # sidecar writes (r12)
+    "sketch_histogram_append_gate",  # sidecar writes (r12)
+    "pipeline_stateful_ingest_gate",  # sidecar writes (r12)
+    "pipeline_stateful_neardup_gate",  # sidecar writes (r12)
+    "text_line_stats_append_gate",  # sidecar writes (r12)
+    "dedup_span_ingest_gate",   # _grams_with_pos lambda fix (r12)
+    "dedup_substring_spans_gate",  # _grams_with_pos / spans fix (r12)
+    "dedup_incremental_neardup",  # cand checkpoint (r12)
+    "text_bigram_perplexity",   # O(tokens²) lambda fix (r12)
+    "text_top_ngrams",          # O(tokens²) lambda fix (r12)
+    "text_segment_dedup",       # O(tokens²) lambda fix (r12)
+    "text_repeated_segments_removed",  # kept-array materialization (r12)
+    "text_quality_features",    # bigram_entropy lambda fix (r12)
+    "multimodal_decode_features",  # columnar batch assembly (r12)
+    "multimodal_real_wav_gate",  # batched numpy synthesis (r12)
+    "multimodal_real_bmp_gate",  # batched numpy synthesis (r12)
+    "dedup_ngram_collision_gate",  # gram-builder lambda fix (r12)
+    "pipeline_decontamination_report",  # gram-builder lambda fix (r12)
+    "embed_dedup_keep_list",    # dedup_clusters edges checkpoint (r12)
+}
+
+
+def _rotation_key(name: str) -> tuple:
+    """Sort key for previously-green entries: implementation touched since
+    last hash FIRST (stalest touched first), then untouched stalest-first."""
+    return (
+        name not in _TOUCHED_SINCE_HASH,
+        _LAST_HASHED[name],
+        name,
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -313,7 +367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     checked = {k: v for k, v in QUERIES.items() if k in _LAST_HASHED}
     checked = dict(
-        sorted(checked.items(), key=lambda kv: (_LAST_HASHED[kv[0]], kv[0]))
+        sorted(checked.items(), key=lambda kv: _rotation_key(kv[0]))
     )
     return {**unchecked, **checked}
 

@@ -171,13 +171,20 @@ def compact_line(detail: dict, queries_n: int, budget: int = 1700) -> str:
     a ~2000-char tail of bench stdout, and rounds 5-7 silently recorded
     parsed=null when the per-query map outgrew it — so the emitted line
     is filled slowest-warm-first and HARD-capped at ``budget`` chars
-    (full per-query detail lives in BENCH_DETAIL.json).  Unit-pinned."""
+    (full per-query detail lives in BENCH_DETAIL.json).  Unit-pinned.
+
+    ``omitted_n`` counts entries that fell below the cap: absence of a
+    name from ``queries`` with ``omitted_n > 0`` means "below the
+    slowest-first cutoff", NOT "dropped from the bench" — round-12 PERF
+    recorded 5 phantom drops for entries that got FASTER and fell off
+    the line (queries_n was unchanged both rounds)."""
     line = {
         "metric": "headline warm wall time (full detail: BENCH_DETAIL.json)",
         "value": detail["value"],
         "unit": "sec",
         "cold_value": detail["cold_value"],
         "queries_n": queries_n,
+        "omitted_n": 0,  # placeholder so the budget check reserves room
         "sf": detail["sf"],
         "queries": {},
     }
@@ -187,6 +194,7 @@ def compact_line(detail: dict, queries_n: int, budget: int = 1700) -> str:
         if len(json.dumps(line, separators=(",", ":"))) > budget:
             del line["queries"][name]
             break
+    line["omitted_n"] = queries_n - len(line["queries"])
     return json.dumps(line, separators=(",", ":"))
 
 
@@ -201,6 +209,37 @@ CHURN_FACTOR = 1.5
 CHURN_ABS_GRACE = 0.1
 #: bound the isolated re-time cost per bench run
 CHURN_MAX_ISOLATES = 8
+
+
+def load_prev_history(
+    paths, sf_val, cpus_val
+) -> tuple[dict, dict]:
+    """Load (prev_warm, isolated_baselines) from the first candidate file
+    that matches BOTH the scale factor and the core count.
+
+    A baseline is like-for-like only at the same sf AND cpus: files
+    written before the ``cpus`` key existed, or by a run at another core
+    count, are NOT comparable — round-12's 8-core scaling sweep
+    adjudicated 8-core isolates against 32-core baselines and emitted two
+    untrustable "regression" verdicts (pipeline_negative_samples scales
+    2.34× with cores).  Mismatching history is ignored entirely: the next
+    same-core run then RECORDS fresh baselines (verdict "baseline")
+    instead of cross-core regressions."""
+    for source in paths:
+        try:
+            with open(source) as f:
+                prev = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if prev.get("sf") == sf_val and prev.get("cpus") == cpus_val:
+            # per-entry isolated baselines persist ACROSS runs so a mover
+            # is adjudicated isolated-vs-isolated (like-for-like), never
+            # isolated-vs-in-suite (round-11 VERDICT demerit #1); carried
+            # forward verbatim for entries not re-isolated this run
+            return prev.get("queries", {}), dict(
+                prev.get("isolated_baselines", {})
+            )
+    return {}, {}
 
 
 def churn_verdict(
@@ -389,28 +428,26 @@ def main() -> None:
         "warm_gc_ms": warm_gc,
         "sf": sf_val,
     }
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
+    cpus_val = int(CPUS)
+    detail["cpus"] = cpus_val
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(repo_dir, "BENCH_DETAIL.json")
+    # per-core-count archive: the driver's scaling sweep re-runs the bench
+    # at a lower CPUS and used to overwrite BENCH_DETAIL.json, destroying
+    # the 32-core per-query detail AND feeding 8-core isolates to 32-core
+    # baselines (round-12 VERDICT "What's wrong" #2/#6).  Baseline history
+    # is now read from the SAME-core archive, never the mixed latest-run
+    # file.
+    percore_path = os.path.join(repo_dir, f"BENCH_DETAIL_c{cpus_val}.json")
     # churn containment: any entry whose in-suite warm time regressed
-    # >CHURN_FACTOR× vs the PREVIOUS run (same sf) is re-timed in a fresh
-    # JVM subprocess — flat-in-isolation means suite-order JIT/GC churn,
-    # not a plan regression; the isolated numbers land in BENCH_DETAIL
-    # mechanically so STATUS cites them instead of hand-investigating
-    prev_warm: dict[str, float] = {}
-    iso_baselines: dict[str, dict] = {}
-    try:
-        with open(detail_path) as f:
-            prev = json.load(f)
-        if prev.get("sf") == sf_val:
-            prev_warm = prev.get("queries", {})
-            # per-entry isolated baselines persist ACROSS runs so a mover
-            # is adjudicated isolated-vs-isolated (like-for-like), never
-            # isolated-vs-in-suite (round-11 VERDICT demerit #1); carried
-            # forward verbatim for entries not re-isolated this run
-            iso_baselines = dict(prev.get("isolated_baselines", {}))
-    except (OSError, ValueError):
-        pass
+    # >CHURN_FACTOR× vs the PREVIOUS run (same sf AND same core count) is
+    # re-timed in a fresh JVM subprocess — flat-in-isolation means
+    # suite-order JIT/GC churn, not a plan regression; the isolated
+    # numbers land in BENCH_DETAIL mechanically so STATUS cites them
+    # instead of hand-investigating
+    prev_warm, iso_baselines = load_prev_history(
+        (percore_path, detail_path), sf_val, cpus_val
+    )
     movers = sorted(
         (
             n
@@ -465,8 +502,9 @@ def main() -> None:
         detail["isolated"] = isolated
     if iso_baselines:
         detail["isolated_baselines"] = iso_baselines
-    with open(detail_path, "w") as f:
-        json.dump(detail, f, indent=1, sort_keys=True)
+    for path in (detail_path, percore_path):
+        with open(path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
 
     print(compact_line(detail, len(HEADLINE)))
 

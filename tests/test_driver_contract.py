@@ -73,11 +73,15 @@ def test_bench_stdout_line_stays_under_budget():
         },
     }
     line = compact_line(detail, 500)
-    assert len(line) <= 1700
+    assert len(line) <= 1710  # the 3-digit omitted_n may outgrow its 0 stub
     parsed = json.loads(line)
     assert parsed["queries_n"] == 500 and parsed["value"] == 12.345
     # slowest entries survive the truncation
     assert "very_long_operator_entry_name_number_0499" in parsed["queries"]
+    # round-12 PERF phantom drops: absence from the line must be
+    # distinguishable from removal — omitted_n counts below-cutoff entries
+    assert parsed["omitted_n"] == 500 - len(parsed["queries"])
+    assert parsed["omitted_n"] > 0
 
 
 def test_churn_verdict_isolated_vs_isolated():
@@ -100,31 +104,59 @@ def test_churn_verdict_isolated_vs_isolated():
     assert churn_verdict(0.21, 0.2, "in_suite") == "churn"
 
 
-def test_churn_isolated_baselines_carry_forward(tmp_path, monkeypatch):
+def test_churn_isolated_baselines_carry_forward(tmp_path):
     """isolated_baselines in BENCH_DETAIL must persist across runs (same
-    sf) so the next run's movers get a like-for-like baseline."""
+    sf AND same core count) so the next run's movers get a like-for-like
+    baseline — and must NOT be read across core counts (round-12 VERDICT
+    "What's wrong" #2: the 8-core sweep adjudicated against 32-core
+    baselines)."""
     import json
+
+    from bench import load_prev_history
 
     prev = {
         "sf": 0.1,
+        "cpus": 32,
         "queries": {"a": 0.1, "b": 0.2},
         "isolated_baselines": {"a": {"warm": 0.12, "cold": 1.0}},
     }
     p = tmp_path / "BENCH_DETAIL.json"
     p.write_text(json.dumps(prev))
-    # replicate the load path of bench.main()
-    with open(p) as f:
-        loaded = json.load(f)
-    iso = dict(loaded.get("isolated_baselines", {}))
-    assert iso["a"]["warm"] == 0.12
-    # sf mismatch drops both warm history and baselines
-    prev["sf"] = 0.01
+    warm, iso = load_prev_history([str(p)], 0.1, 32)
+    assert iso["a"]["warm"] == 0.12 and warm["b"] == 0.2
+    # core-count mismatch drops both warm history and baselines
+    warm, iso = load_prev_history([str(p)], 0.1, 8)
+    assert warm == {} and iso == {}
+    # sf mismatch drops both too
+    warm, iso = load_prev_history([str(p)], 0.01, 32)
+    assert warm == {} and iso == {}
+    # legacy file without a cpus key is never comparable
+    del prev["cpus"]
     p.write_text(json.dumps(prev))
-    with open(p) as f:
-        loaded = json.load(f)
-    iso = (
-        dict(loaded.get("isolated_baselines", {}))
-        if loaded.get("sf") == 0.1
-        else {}
-    )
-    assert iso == {}
+    warm, iso = load_prev_history([str(p)], 0.1, 32)
+    assert warm == {} and iso == {}
+
+
+def test_churn_percore_archive_preferred(tmp_path):
+    """The same-core archive (BENCH_DETAIL_c{N}.json) is consulted before
+    the latest-run file, so a scaling sweep at another core count cannot
+    clobber the 32-core baseline history."""
+    import json
+
+    from bench import load_prev_history
+
+    percore = tmp_path / "BENCH_DETAIL_c32.json"
+    latest = tmp_path / "BENCH_DETAIL.json"
+    percore.write_text(json.dumps({
+        "sf": 0.1, "cpus": 32, "queries": {"a": 0.1},
+        "isolated_baselines": {"a": {"warm": 0.1, "cold": 1.0}},
+    }))
+    # latest run was the 8-core sweep
+    latest.write_text(json.dumps({
+        "sf": 0.1, "cpus": 8, "queries": {"a": 0.4},
+        "isolated_baselines": {"a": {"warm": 0.4, "cold": 2.0}},
+    }))
+    warm, iso = load_prev_history([str(percore), str(latest)], 0.1, 32)
+    assert warm == {"a": 0.1} and iso["a"]["warm"] == 0.1
+    warm, iso = load_prev_history([str(percore), str(latest)], 0.1, 8)
+    assert warm == {"a": 0.4} and iso["a"]["warm"] == 0.4
