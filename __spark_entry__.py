@@ -344,6 +344,10 @@ _TOUCHED_SINCE_HASH: set[str] = {
     "dedup_ngram_collision_gate",  # gram-builder lambda fix (r12)
     "pipeline_decontamination_report",  # gram-builder lambda fix (r12)
     "embed_dedup_keep_list",    # dedup_clusters edges checkpoint (r12)
+    # round-13 optimization rewrites:
+    "dedup_minhash_lsh_pairs",  # vectorized minhash_signatures (r13)
+    "dedup_keep_list",          # consumes minhash_dedup_pairs (r13)
+    "streaming_dedup_gate",     # minhash_band_keys per batch (r13)
 }
 
 

@@ -348,16 +348,78 @@ def minhash_signatures(
     num_hashes: int = 16,
 ) -> DataFrame:
     """MinHash signatures: min over shingle hashes under ``num_hashes``
-    universal hash functions — one groupBy over the exploded shingle table
-    computes every component (map-side partial min, single shuffle)."""
-    sh = shingles(df, id_col, text_col, n).withColumn(
-        "h", F.expr(_h("shingle")) % MINHASH_PRIME
+    universal hash functions.
+
+    One Arrow ``mapInPandas`` stage per input split — the per-document
+    signature depends only on that document's text, so the old
+    explode → md5 projection → groupBy(16 min aggs) shape shuffled a
+    corpus-sized shingle table to regroup rows that never needed to leave
+    their task, and its 100+ generated hash expressions dominated cold
+    runs with JIT.  The portable hash scheme is preserved bit-for-bit:
+    tokens are the Java ``split('\\s+')`` of the space-trimmed text
+    (ASCII whitespace, leading/trailing empty tokens kept exactly as
+    Java's limit=-1 split does), shingle hash = first 15 hex digits of
+    md5 mod P, signature component i = min((a_i·h + b_i) mod P) in int64
+    (a_i, h < 2³¹ so the product never overflows) — verified oracle-exact
+    against the same DuckDB SQL as the expression form.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401 — mapInPandas yields DataFrames
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    coeffs = minhash_coefficients(num_hashes)
+    a_arr = [int(a) for a, _ in coeffs]
+    b_arr = [int(b) for _, b in coeffs]
+    out_schema = StructType(
+        [StructField("id", df.schema[id_col].dataType)]
+        + [StructField(f"m{i}", LongType()) for i in range(num_hashes)]
     )
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"m{i}")
-        for i, (a, b) in enumerate(minhash_coefficients(num_hashes))
-    ]
-    return sh.groupBy("id").agg(*aggs)
+
+    def batches(it):
+        import hashlib
+        import re
+
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s, ASCII-only
+
+        def grams(text):
+            if text is None:
+                return [""]
+            toks = ws.split(text.strip(" "))  # Spark trim() strips 0x20 only
+            if len(toks) < n:
+                return [" ".join(toks)]
+            return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+        md5 = hashlib.md5
+        for pdf in it:
+            texts = pdf[text_col]
+            counts = np.empty(len(texts), dtype=np.int64)
+            flat: list = []
+            for row_i, text in enumerate(texts):
+                g = grams(text)
+                counts[row_i] = len(g)
+                flat.extend(g)
+            hs = np.fromiter(
+                (
+                    int(md5(g.encode("utf-8")).hexdigest()[:15], 16)
+                    for g in flat
+                ),
+                dtype=np.int64,
+                count=len(flat),
+            )
+            hs %= MINHASH_PRIME
+            # every document yields >= 1 gram (empty text -> [""]), so
+            # reduceat offsets are strictly increasing and never empty
+            offsets = np.zeros(len(texts), dtype=np.int64)
+            np.cumsum(counts[:-1], out=offsets[1:])
+            out = {"id": pdf[id_col].to_numpy()}
+            for i in range(num_hashes):
+                out[f"m{i}"] = np.minimum.reduceat(
+                    (a_arr[i] * hs + b_arr[i]) % MINHASH_PRIME, offsets
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, text_col).mapInPandas(batches, out_schema)
 
 
 def _band_buckets(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:

@@ -1205,21 +1205,42 @@ def cdc_chunks(
     # CollapseProject cannot re-inline the steps: the producers are
     # non-cheap expressions referenced more than once.
     tcol = F.col("__t")
-    gram = lambda i: F.concat_ws(" ", F.slice(tcol, i - (k - 1), k))  # noqa: E731
     h = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")  # noqa: E731
     step1 = df.select(
         F.col(id_col).alias("id"),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("__t"),
     )
-    # boundary positions, ascending; the when() guard keeps the gram
-    # slice from ever being built for i < k (slice(0) is an error)
-    step2 = step1.select(
-        "*",
+    # ALL k-grams built as ONE array from k shifted slices folded with
+    # zip_with (the _feature_array idiom) instead of a per-position
+    # slice+concat_ws lambda: every lambda body below touches only its
+    # own element variables, so nothing is re-evaluated per element and
+    # the per-position interpreted work drops to one md5 chain (HOFs are
+    # CodegenFallback — expression volume inside them is the cost).
+    # gram j (0-based) spans tokens j+1..j+k, i.e. ENDS at position j+k.
+    cnt = F.size(tcol) - (k - 1)
+    joined = F.slice(tcol, 1, cnt)
+    for j in range(1, k):
+        joined = F.zip_with(
+            joined,
+            F.slice(tcol, j + 1, cnt),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    grams = F.when(F.size(tcol) >= k, joined).otherwise(
+        F.expr("array()").cast("array<string>")
+    )
+    step2 = step1.select("*", grams.alias("__g"))
+    # boundary positions, ascending: hash each gram once, keep the END
+    # position (j + k) of grams whose hash ≡ 0 (mod divisor) — identical
+    # to the old filter over sequence(1, n) with the i >= k guard
+    step2 = step2.select(
+        "id",
+        F.col("__t"),
         F.filter(
-            F.sequence(F.lit(1), F.size(tcol)),
-            lambda i: F.when(i >= k, (h(gram(i)) % divisor) == 0).otherwise(
-                F.lit(False)
+            F.transform(
+                F.col("__g"),
+                lambda g, j: F.when((h(g) % divisor) == 0, j + k),
             ),
+            lambda x: x.isNotNull(),
         ).alias("__b"),
     )
     # chunk spans: starts = [1, b+1 ...], ends = [b ..., n]; the trailing

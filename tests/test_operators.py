@@ -45,6 +45,44 @@ def test_minhash_matches_exact(docs):
     assert mh == exact  # verification step makes precision exact; recall ~1 here
 
 
+def test_minhash_signatures_vectorized_matches_expression_form(spark):
+    """The Arrow mapInPandas signature path must replay the portable
+    md5/universal-hash scheme BIT-for-bit: same values as the old
+    explode → md5 → groupBy(min…) expression form on adversarial texts
+    (empty, null, tabs, multi-space, leading/trailing whitespace, short
+    docs), and a zero-shuffle single-map-stage plan."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, ""), (2, None), (3, "a"), (4, "a b"), (5, "a  b\tc"),
+        (6, " leading space"), (7, "\tlead tab x y z"), (8, "trailing sp "),
+        (9, "many t o k e n s h e r e indeed"), (10, "a b c d e f g"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def expression_form(frame, n=3, num_hashes=16):
+        sh = dedup.shingles(frame, "doc_id", "text", n).withColumn(
+            "h", F.expr(dedup._h("shingle")) % dedup.MINHASH_PRIME
+        )
+        aggs = [
+            F.min(
+                (F.lit(a) * F.col("h") + F.lit(b)) % dedup.MINHASH_PRIME
+            ).alias(f"m{i}")
+            for i, (a, b) in enumerate(dedup.minhash_coefficients(num_hashes))
+        ]
+        return sh.groupBy("id").agg(*aggs)
+
+    for n, nh in [(3, 16), (2, 8)]:
+        new = dedup.minhash_signatures(df, n=n, num_hashes=nh)
+        ref = expression_form(df, n=n, num_hashes=nh)
+        assert new.exceptAll(ref).count() == 0
+        assert ref.exceptAll(new).count() == 0
+    # signatures are per-document local math: no shuffle, no join
+    plan = dedup.minhash_signatures(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+    assert "MapInPandas" in plan
+
+
 def test_hot_shingle_guard_skewed_corpus(spark):
     """Stop-shingle default: a boilerplate phrase shared by every document
     (the 100 TB skew scenario) is dropped before the self-join, so
