@@ -141,6 +141,31 @@ def encode_bmp(px) -> bytes:
     return head + info + body
 
 
+def encode_bmp_batch(px) -> list[bytes]:
+    """Vectorized :func:`encode_bmp` over a (rows, height, width, 3) uint8
+    BGR array: one header build and one padded-buffer write for the whole
+    batch instead of per-row struct packing — bit-identical payloads."""
+    import struct
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    rows, h, w = px.shape[0], px.shape[1], px.shape[2]
+    stride = ((w * 3 + 3) // 4) * 4
+    buf = np.zeros((rows, h, stride), dtype=np.uint8)
+    if h:
+        buf[:, :, : w * 3] = np.ascontiguousarray(
+            px[:, ::-1, :, :3], dtype=np.uint8
+        ).reshape(rows, h, -1)
+    body_len = stride * h
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, body_len, 0, 0, 0, 0
+    )
+    head = struct.pack("<2sIHHI", b"BM", 54 + body_len, 0, 0, 54)
+    prefix = head + info
+    return [prefix + buf[i].tobytes() for i in range(rows)]
+
+
 def decode_bmp(payload: bytes) -> tuple[int, int, list[float]]:
     """Parse an uncompressed 24/32-bpp BMP (BITMAPINFOHEADER) and compute
     the 8-dim feature vector: per-channel means, luminance mean/stddev/
@@ -186,6 +211,38 @@ def encode_wav(samples, sample_rate: int = 8000, channels: int = 1) -> bytes:
     if len(data) & 1:  # chunks are word-aligned
         dat += b"\x00"
     return b"RIFF" + struct.pack("<I", 4 + len(fmt) + len(dat)) + b"WAVE" + fmt + dat
+
+
+def encode_wav_batch(
+    samples, sample_rate: int = 8000, channels: int = 1
+) -> list[bytes]:
+    """Vectorized :func:`encode_wav` over a (rows, samples) int16 matrix:
+    the RIFF header is built once (every row has the same frame count)
+    and each payload is header + that row's raw bytes — bit-identical."""
+    import struct
+
+    import numpy as np
+
+    x = np.ascontiguousarray(np.asarray(samples, dtype="<i2"))
+    if x.ndim != 2:
+        raise ValueError("encode_wav_batch expects a (rows, samples) matrix")
+    if x.shape[1] % channels:
+        raise ValueError(
+            f"{x.shape[1]} samples do not form whole {channels}-channel frames"
+        )
+    data_len = x.shape[1] * 2
+    block_align = channels * 2
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, channels, sample_rate,
+        sample_rate * block_align, block_align, 16,
+    )
+    pad = b"\x00" if data_len & 1 else b""
+    header = (
+        b"RIFF"
+        + struct.pack("<I", 4 + len(fmt) + 8 + data_len + len(pad))
+        + b"WAVE" + fmt + b"data" + struct.pack("<I", data_len)
+    )
+    return [header + x[i].tobytes() + pad for i in range(x.shape[0])]
 
 
 def decode_wav(payload: bytes) -> tuple[int, int, list[float]]:
@@ -270,6 +327,222 @@ def fake_decoder(kind: str, payload: bytes) -> tuple[int, int, list[float]]:
     return width, height, [float(f) for f in feats]
 
 
+# --------------------------------------------------------------- batch paths
+#
+# decode_media's per-row decoder seam stays (that is where PIL/ffmpeg drop
+# in), but the two decoders this package OWNS also get whole-batch
+# implementations (guide §4.2: hand batches to vectorized numpy, don't loop
+# rows in Python).  Payloads sharing one canonical header decode as ONE
+# numpy operation; anything non-canonical falls back to the per-row codec,
+# so the batch paths are bit-identical by construction for the fast case
+# and definitionally identical for the rest (pinned by
+# test_batch_decoders_match_per_row).
+
+
+def _wav_canonical_key(p: bytes) -> bytes | None:
+    """Grouping key for payloads in the canonical :func:`encode_wav` layout
+    (``fmt `` at 12 with a 16-byte body, ``data`` at 36, nothing after the
+    sample bytes).  The 44-byte header pins every fmt parameter AND the
+    data size, so equal keys decode under identical vectorized math."""
+    import struct
+
+    if (
+        len(p) < 44
+        or p[:4] != b"RIFF"
+        or p[8:16] != b"WAVEfmt "
+        or struct.unpack_from("<I", p, 16)[0] != 16
+        or p[36:40] != b"data"
+    ):
+        return None
+    data_size = struct.unpack_from("<I", p, 40)[0]
+    if 44 + data_size + (data_size & 1) != len(p):
+        return None
+    return p[:44]
+
+
+def _decode_wav_group(header: bytes, payloads: list) -> tuple[int, int, list]:
+    """Vectorized :func:`decode_wav` for payloads sharing one canonical
+    header: one ``frombuffer`` over the concatenated batch, feature
+    reductions along axis 1 — the same float64 operations per element and
+    the same contiguous per-row reduction order as the scalar path."""
+    import struct
+
+    import numpy as np
+
+    audio_format, channels, sample_rate, _, _, bits = struct.unpack_from(
+        "<HHIIHH", header, 20
+    )
+    data_size = struct.unpack_from("<I", header, 40)[0]
+    if channels <= 0 or sample_rate <= 0:
+        raise ValueError(f"bad WAV fmt (channels={channels}, rate={sample_rate})")
+    width = max(bits // 8, 1)
+    if data_size % width:
+        raise ValueError(
+            f"WAV data length {data_size} is not a multiple of the "
+            f"{bits}-bit sample width"
+        )
+    rows = len(payloads)
+    buf = np.frombuffer(b"".join(payloads), dtype=np.uint8).reshape(rows, -1)
+    data = np.ascontiguousarray(buf[:, 44 : 44 + data_size])
+    if audio_format == 1 and bits == 16:
+        x = data.view("<i2").astype(np.float64) / 32768.0
+    elif audio_format == 1 and bits == 8:
+        x = (data.astype(np.float64) - 128.0) / 128.0
+    elif audio_format == 1 and bits == 32:
+        x = data.view("<i4").astype(np.float64) / 2147483648.0
+    elif audio_format == 3 and bits == 32:
+        x = data.view("<f4").astype(np.float64)
+    else:
+        raise ValueError(
+            f"unsupported WAV encoding (format={audio_format}, bits={bits})"
+        )
+    n = (x.shape[1] // channels) * channels
+    per_channel = n // channels
+    if per_channel == 0:
+        raise ValueError("WAV data chunk has no complete frames")
+    mono = x[:, :n].reshape(rows, per_channel, channels).mean(axis=2)
+    if per_channel > 1:
+        zc = np.mean(
+            np.abs(np.diff(np.signbit(mono).astype(np.int8), axis=1)), axis=1
+        )
+    else:
+        zc = np.zeros(rows)
+    mean = mono.mean(axis=1)
+    rms = np.sqrt(np.mean(mono * mono, axis=1))
+    peak = np.abs(mono).max(axis=1)
+    dur = float(per_channel) / float(sample_rate)
+    rate_k = float(sample_rate) / 1000.0
+    ch = float(channels)
+    depth = float(bits) / 32.0
+    feats = [
+        [
+            float(mean[i]), float(rms[i]), float(peak[i]), float(zc[i]),
+            dur, rate_k, ch, depth,
+        ]
+        for i in range(rows)
+    ]
+    return int(per_channel), int(channels), feats
+
+
+def _bmp_canonical_key(p: bytes) -> bytes | None:
+    """Grouping key for payloads in the canonical BMP layout (pixel data at
+    54, BITMAPINFOHEADER, uncompressed 24/32 bpp, no trailing bytes)."""
+    import struct
+
+    if len(p) < 54 or p[:2] != b"BM":
+        return None
+    data_offset = struct.unpack_from("<I", p, 10)[0]
+    header_size = struct.unpack_from("<I", p, 14)[0]
+    if data_offset != 54 or header_size != 40:
+        return None
+    width, height = struct.unpack_from("<ii", p, 18)
+    bpp = struct.unpack_from("<HH", p, 26)[1]
+    compression = struct.unpack_from("<I", p, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        return None
+    h = abs(height)
+    if width <= 0 or h <= 0:
+        return None
+    stride = ((width * (bpp // 8) + 3) // 4) * 4
+    if len(p) != 54 + stride * h:
+        return None
+    return p[:54]
+
+
+def _decode_bmp_group(header: bytes, payloads: list) -> tuple[int, int, list]:
+    """Vectorized :func:`decode_bmp` for payloads sharing one canonical
+    header — same per-element float64 math and per-image reduction order
+    as the scalar path."""
+    import struct
+
+    import numpy as np
+
+    width, height = struct.unpack_from("<ii", header, 18)
+    bpp = struct.unpack_from("<HH", header, 26)[1]
+    top_down = height < 0
+    h = abs(height)
+    bytes_pp = bpp // 8
+    stride = ((width * bytes_pp + 3) // 4) * 4
+    rows = len(payloads)
+    buf = np.frombuffer(b"".join(payloads), dtype=np.uint8).reshape(rows, -1)
+    raw = buf[:, 54:].reshape(rows, h, stride)[:, :, : width * bytes_pp]
+    px = raw.reshape(rows, h, width, bytes_pp)
+    if not top_down:
+        px = px[:, ::-1]
+    px = px.astype(np.float64) / 255.0
+    b, g, r = px[..., 0], px[..., 1], px[..., 2]
+    lum = 0.299 * r + 0.587 * g + 0.114 * b
+    r_m = r.mean(axis=(1, 2))
+    g_m = g.mean(axis=(1, 2))
+    b_m = b.mean(axis=(1, 2))
+    l_m = lum.mean(axis=(1, 2))
+    l_s = lum.std(axis=(1, 2))
+    l_min = lum.min(axis=(1, 2))
+    l_max = lum.max(axis=(1, 2))
+    aspect = float(width) / float(h)
+    feats = [
+        [
+            float(r_m[i]), float(g_m[i]), float(b_m[i]), float(l_m[i]),
+            float(l_s[i]), float(l_min[i]), float(l_max[i]), aspect,
+        ]
+        for i in range(rows)
+    ]
+    return int(width), int(h), feats
+
+
+def _real_decode_batch(kinds, payloads) -> tuple[list, list, list]:
+    """Whole-batch :func:`real_decoder`: canonical same-header payloads are
+    grouped and decoded as single numpy operations; everything else goes
+    through the per-row codec (including its error contract)."""
+    raw = [bytes(p) if p is not None else b"" for p in payloads]
+    n = len(raw)
+    widths: list = [None] * n
+    heights: list = [None] * n
+    feats: list = [None] * n
+    wav_groups: dict[bytes, list[int]] = {}
+    bmp_groups: dict[bytes, list[int]] = {}
+    for i, p in enumerate(raw):
+        key = None
+        if p[:2] == b"BM":
+            key = _bmp_canonical_key(p)
+            groups = bmp_groups
+        elif p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+            key = _wav_canonical_key(p)
+            groups = wav_groups
+        if key is not None:
+            groups.setdefault(key, []).append(i)
+        else:
+            w, h, f = real_decoder(kinds[i], p)
+            widths[i], heights[i], feats[i] = w, h, f
+    for decode, groups in (
+        (_decode_wav_group, wav_groups),
+        (_decode_bmp_group, bmp_groups),
+    ):
+        for key, idxs in groups.items():
+            w, h, fs = decode(key, [raw[i] for i in idxs])
+            for j, i in enumerate(idxs):
+                widths[i], heights[i], feats[i] = w, h, fs[j]
+    return widths, heights, feats
+
+
+def _fake_decode_batch(payloads) -> tuple[list, list, list]:
+    """Whole-batch :func:`fake_decoder`: one md5 per payload is inherent,
+    but the dimension/feature math runs vectorized over the batch."""
+    import numpy as np
+
+    digs = np.frombuffer(
+        b"".join(
+            hashlib.md5(bytes(p) if p is not None else b"").digest()
+            for p in payloads
+        ),
+        dtype=np.uint8,
+    ).reshape(-1, 16)
+    widths = (16 + digs[:, 0].astype(np.int64)).tolist()
+    heights = (16 + digs[:, 1].astype(np.int64)).tolist()
+    feats = ((digs[:, :FEATURE_DIM].astype(np.float64) / 255.0) * 2.0 - 1.0)
+    return widths, heights, feats.tolist()
+
+
 def decode_media(
     df: DataFrame,
     decoder: Callable[[str, bytes], tuple[int, int, list[float]]] = fake_decoder,
@@ -279,19 +552,29 @@ def decode_media(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            # columnar accumulation: one list per output column beats a
-            # row-tuple list + DataFrame transpose for wide batches, and
-            # bytes(payload) is a no-op (not a copy) for bytes input
-            widths: list = []
-            heights: list = []
-            feats_col: list = []
-            for kind, payload in zip(pdf["kind"], pdf["payload"]):
-                w, h, feats = decoder(
-                    kind, bytes(payload) if payload is not None else b""
+            # the two decoders this package owns take the whole-batch
+            # vectorized path (guide §4.2); injected decoders keep the
+            # documented per-row seam.  bytes(payload) is a no-op (not a
+            # copy) for bytes input.
+            if decoder is real_decoder:
+                widths, heights, feats_col = _real_decode_batch(
+                    pdf["kind"].to_numpy(), pdf["payload"].to_numpy()
                 )
-                widths.append(w)
-                heights.append(h)
-                feats_col.append(feats)
+            elif decoder is fake_decoder:
+                widths, heights, feats_col = _fake_decode_batch(
+                    pdf["payload"].to_numpy()
+                )
+            else:
+                # columnar accumulation: one list per output column beats
+                # a row-tuple list + DataFrame transpose for wide batches
+                widths, heights, feats_col = [], [], []
+                for kind, payload in zip(pdf["kind"], pdf["payload"]):
+                    w, h, feats = decoder(
+                        kind, bytes(payload) if payload is not None else b""
+                    )
+                    widths.append(w)
+                    heights.append(h)
+                    feats_col.append(feats)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].to_numpy(),

@@ -2336,9 +2336,9 @@ def multimodal_real_bmp_gate(spark, sf_dir):
                 {
                     "media_id": dids,
                     "kind": "image",
-                    "payload": [
-                        mm.encode_bmp(px_all[i]) for i in range(len(dids))
-                    ],
+                    # one header build + padded-buffer write for the whole
+                    # batch (bit-identical to per-row encode_bmp)
+                    "payload": mm.encode_bmp_batch(px_all),
                 }
             )
 
@@ -2415,10 +2415,9 @@ def multimodal_real_wav_gate(spark, sf_dir):
                 {
                     "media_id": dids,
                     "kind": "audio",
-                    "payload": [
-                        mm.encode_wav(smp[i], sample_rate=8000)
-                        for i in range(len(dids))
-                    ],
+                    # one shared RIFF header + per-row raw sample bytes
+                    # (bit-identical to per-row encode_wav)
+                    "payload": mm.encode_wav_batch(smp, sample_rate=8000),
                 }
             )
 

@@ -486,6 +486,73 @@ def test_real_decoder_through_map_in_pandas(spark):
     assert out[2]["features"][2] == pytest.approx(1000 / 32768)  # peak
 
 
+def test_batch_decoders_match_per_row():
+    """The whole-batch numpy decoders behind decode_media must be
+    BIT-identical to the scalar codecs: same float64 operations, same
+    per-row reduction order.  Mixed sizes/channels force several
+    canonical groups; a WAV with an extra chunk exercises the per-row
+    fallback inside the batch path."""
+    import struct
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    payloads = []
+    for ns, ch, rate in [(32, 1, 8000), (32, 1, 8000), (7, 1, 4000),
+                         (10, 2, 16000), (1, 1, 8000)]:
+        samples = rng.randint(-32768, 32767, size=ns * ch).astype("<i2")
+        payloads.append(
+            ("audio", multimodal.encode_wav(samples, sample_rate=rate,
+                                            channels=ch))
+        )
+    for h, w in [(4, 4), (3, 2), (5, 1), (4, 4)]:
+        px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        payloads.append(("image", multimodal.encode_bmp(px)))
+    # non-canonical WAV: a LIST chunk before fmt -> per-row fallback
+    data = struct.pack("<4h", 5, -5, 7, -7)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    chunks = (b"WAVE" + b"LIST" + struct.pack("<I", 4) + b"INFO"
+              + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"data" + struct.pack("<I", len(data)) + data)
+    payloads.append(("audio", b"RIFF" + struct.pack("<I", len(chunks)) + chunks))
+
+    kinds = [k for k, _ in payloads]
+    raw = [p for _, p in payloads]
+    assert multimodal._wav_canonical_key(raw[-1]) is None  # really falls back
+    bw, bh, bf = multimodal._real_decode_batch(kinds, raw)
+    for i, (k, p) in enumerate(payloads):
+        w, h, f = multimodal.real_decoder(k, p)
+        assert (bw[i], bh[i]) == (w, h)
+        assert bf[i] == f  # exact float equality, not approx
+    fw, fh, ff = multimodal._fake_decode_batch(raw)
+    for i, p in enumerate(raw):
+        w, h, f = multimodal.fake_decoder("any", p)
+        assert (fw[i], fh[i], ff[i]) == (w, h, f)
+
+
+def test_batch_encoders_match_per_row():
+    """encode_wav_batch / encode_bmp_batch must produce byte-identical
+    payloads to the scalar encoders (the gates synthesize through them)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    smp = rng.randint(-1000, 1000, size=(6, 32)).astype("<i2")
+    batch = multimodal.encode_wav_batch(smp, sample_rate=8000)
+    for i in range(6):
+        assert batch[i] == multimodal.encode_wav(smp[i], sample_rate=8000)
+    inter = rng.randint(-1000, 1000, size=(3, 10)).astype("<i2")
+    batch = multimodal.encode_wav_batch(inter, sample_rate=16000, channels=2)
+    for i in range(3):
+        assert batch[i] == multimodal.encode_wav(
+            inter[i], sample_rate=16000, channels=2
+        )
+    for h, w in [(4, 4), (3, 2), (5, 1)]:  # odd widths exercise stride pad
+        px = rng.randint(0, 256, size=(4, h, w, 3)).astype(np.uint8)
+        batch = multimodal.encode_bmp_batch(px)
+        for i in range(4):
+            assert batch[i] == multimodal.encode_bmp(px[i])
+
+
 def test_real_decoder_unsupported_formats_raise():
     with pytest.raises(NotImplementedError):
         multimodal.real_decoder("image", b"\x89PNG not parseable")
