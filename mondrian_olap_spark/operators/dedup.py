@@ -1296,7 +1296,10 @@ def incremental_neardup_pairs(
     # join, and the join itself) — lazy, each branch re-executes the
     # batch banding + index join; checkpointed, the banding runs once and
     # what persists is candidate PAIRS (batch + collision bound, never
-    # corpus-sized)
+    # corpus-sized).  Note: eager=True runs the banding+index join at
+    # CALL time and pins the blocks on executors with truncated lineage;
+    # on a cluster with executor decommissioning, swap localCheckpoint
+    # for reliable checkpointing (sc.setCheckpointDir + .checkpoint())
     cand = (
         new_keys.select(
             F.col("id").alias("new_id"), "band", "key"

@@ -1264,7 +1264,14 @@ def pq_encode(
     subspaces of the chosen codeword's distance, left-associated) — the
     quality number a compression decision needs, computed in the same
     pass.  Contract (as for :func:`pq_seeds`): fixed-dimension non-null
-    vectors.
+    vectors — violations fail fast per batch with a readable message
+    instead of an opaque numpy traceback.
+
+    Known corner vs the Catalyst form: a row mixing a NaN distance
+    (earlier codeword index) with a true +inf distance picks the NaN's
+    index here (NaN→inf before argmin), while Spark struct ordering
+    ranks NaN above inf and would pick the inf codeword.  Reachable only
+    from vectors with inf/NaN components, which the contract excludes.
     """
     import numpy as np
     import pandas as pd
@@ -1295,7 +1302,23 @@ def pq_encode(
             n = len(pdf)
             if n == 0:
                 continue
-            V = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            vecs = pdf["__v"].to_numpy()
+            dim = m * sub
+            lengths = {None if v is None else len(v) for v in vecs}
+            if None in lengths or len(lengths) > 1 or min(lengths) < dim:
+                bad = next(
+                    i for i, v in enumerate(vecs)
+                    if v is None or len(v) != max(
+                        x for x in lengths if x is not None
+                    ) or len(v) < dim
+                )
+                raise ValueError(
+                    f"pq_encode: null/ragged/short vector (need fixed "
+                    f"dimension >= m*sub={dim}, saw lengths {lengths}; "
+                    f"e.g. {id_col}={pdf['__id'].iloc[bad]!r}); the "
+                    "contract requires fixed-dimension non-null vectors"
+                )
+            V = np.stack(vecs).astype(np.float64)
             codes = np.empty((n, m), dtype=np.int32)
             err = np.zeros(n) if with_error else None
             first = True

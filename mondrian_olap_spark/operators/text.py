@@ -1349,12 +1349,16 @@ def remove_repeated_segments(
     # inline split would be re-evaluated O(segments²) times per document
     # (see dedup.shingles); the scan itself is the algorithm, the re-split
     # is not
-    step = df.withColumn("__segs", F.split(F.col(text_col), _re_escape(sep)))
-    segs = F.col("__segs")
-    # __kept is materialized too: both n_segments_out and the rebuilt text
-    # consume it, and the quadratic first-occurrence filter must run once
+    # operator-prefixed internal names so an input frame that happens to
+    # carry a column of the same name is never silently overwritten+dropped
+    segs_col, kept_col = "__rrs_segs__", "__rrs_kept__"
+    step = df.withColumn(segs_col, F.split(F.col(text_col), _re_escape(sep)))
+    segs = F.col(segs_col)
+    # the kept array is materialized too: both n_segments_out and the
+    # rebuilt text consume it, and the quadratic first-occurrence filter
+    # must run once
     step = step.withColumn(
-        "__kept",
+        kept_col,
         F.filter(
             segs,
             lambda x, i: F.array_position(segs, x)
@@ -1363,9 +1367,9 @@ def remove_repeated_segments(
     )
     return (
         step.withColumn("n_segments_in", F.size(segs))
-        .withColumn("n_segments_out", F.size(F.col("__kept")))
-        .withColumn(out, F.array_join(F.col("__kept"), sep))
-        .drop("__segs", "__kept")
+        .withColumn("n_segments_out", F.size(F.col(kept_col)))
+        .withColumn(out, F.array_join(F.col(kept_col), sep))
+        .drop(segs_col, kept_col)
     )
 
 

@@ -3167,10 +3167,11 @@ def test_pq_encode_and_train(spark):
     tr_err = (sim.pq_encode(emb, cbt, sub)
               .agg(F.avg("sq_error")).collect()[0][0])
     assert tr_err < seed_err
-    # encode is a pure projection
+    # encode is a single scan-parallel map stage (no shuffle, no join)
     plan = (sim.pq_encode(emb, cb, sub)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan and "Join" not in plan
+    assert "MapInPandas" in plan
     with pytest.raises(ValueError, match="not divisible"):
         sim.pq_seeds(emb, m=7, k=4)
 
