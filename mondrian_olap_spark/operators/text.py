@@ -1204,9 +1204,17 @@ def cdc_chunks(
     # O(tokens²) work per document (measured 15× slower at sf0.1).
     # CollapseProject cannot re-inline the steps: the producers are
     # non-cheap expressions referenced more than once.
+    from .util import ensure_min_parallelism
+
     tcol = F.col("__t")
     h = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")  # noqa: E731
-    step1 = df.select(
+    # the per-document gram hashing below is the expensive map-side work;
+    # a single-row-group input would run it all in ONE task (ratio 1.01 in
+    # the round-12 scaling block).  The guard round-robins the SMALL
+    # (id, text) rows before the expansion and is a no-op at real scale —
+    # same discipline as dedup.shingles; measured 0.88 s -> 0.29 s warm at
+    # sf0.1/local[32]
+    step1 = ensure_min_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.split(F.trim(F.col(text_col)), r"\s+").alias("__t"),
     )
