@@ -39,10 +39,25 @@ def test_driver_prefix_leads_with_never_checked_entries():
     checked_positions = [i for i, n in enumerate(names) if n in checked]
     if unchecked_positions and checked_positions:
         assert max(unchecked_positions) < min(checked_positions)
-    # within the checked section, the most STALE hashes come first so
-    # each round's 50-row prefix re-verifies them on current code
-    checked_rounds = [checked[n] for n in names if n in checked]
-    assert checked_rounds == sorted(checked_rounds)
+    # within the checked section: entries whose implementation changed
+    # since their last hash come FIRST (round-12 VERDICT #3 — the driver
+    # must re-hash fresh rewrites, not back-queue them), then the rest;
+    # each group is ordered most-stale-first
+    touched = se._TOUCHED_SINCE_HASH
+    checked_names = [n for n in names if n in checked]
+    touched_positions = [
+        i for i, n in enumerate(checked_names) if n in touched
+    ]
+    untouched_positions = [
+        i for i, n in enumerate(checked_names) if n not in touched
+    ]
+    if touched_positions and untouched_positions:
+        assert max(touched_positions) < min(untouched_positions)
+    for group in (touched_positions, untouched_positions):
+        rounds = [checked[checked_names[i]] for i in group]
+        assert rounds == sorted(rounds)
+    # every touched name must be a real entry (typo guard)
+    assert touched <= set(names)
 
 
 def test_driver_checked_names_still_exist():
